@@ -1,0 +1,225 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators of the engine.
+  *
+  * Each op re-expresses one operator family from the reference
+  * (equinor/res2df, surveyed in /root/repo/SURVEY.md §2) as a declarative
+  * Spark transform: no driver-side loops, no collect, every op is a pure
+  * LogicalPlan rewrite so Catalyst can push filters/prune columns through it
+  * and AQE can re-plan shuffles at runtime. All ops are scale-invariant:
+  * they key every window/groupBy explicitly so the shuffle is on the
+  * business key, never on a global ordering (except where the reference
+  * semantics are inherently global, which is flagged per-op).
+  */
+object Ops {
+
+  /** Glob (fnmatch-style `*`/`?`) column selection.
+    * Reference: wildcard vector selection, grid.py:201-207, summary.py:387-398 (P1/P2).
+    */
+  def globToRegex(glob: String): String =
+    "^" + glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+
+  def globSelect(df: DataFrame, keep: Seq[String], globs: Seq[String]): DataFrame = {
+    val res = globs.map(globToRegex).map(_.r)
+    val cols = df.columns.filter(c =>
+      keep.contains(c) || res.exists(_.findFirstIn(c).isDefined))
+    df.select(cols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Range unroll: one row per integer in [c1, c2] (compdat K1-K2 unroll).
+    * Reference: unrolldf, compdat.py:415-470 (R1); faults.py:43-58 is the
+    * 3-D version (apply three times). explode(sequence) stays inside
+    * whole-stage codegen — no UDF, no shuffle.
+    */
+  def unrollRange(df: DataFrame, c1: String, c2: String, out: String): DataFrame =
+    df.withColumn(out, explode(sequence(col(c1).cast("long"), col(c2).cast("long"))))
+
+  /** Last-wins dedup: keep the last row per key under `ord` ordering.
+    * Reference: drop_duplicates(keep="last") state collapse,
+    * compdat.py:917-922, gruptree.py:152-181 (A6/W7/O5).
+    * One shuffle on `keys`; window, then filter — AQE handles skew.
+    */
+  def lastWinsDedup(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(ord.map(_.desc).toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Forward-fill nulls within a key partition ordered by `ord`.
+    * Reference: ffill of header/static columns, rft.py:85-95,
+    * common.py:836-837 (W1/W2). last(ignoreNulls) over an
+    * unboundedPreceding frame — the canonical Spark ffill.
+    */
+  def ffill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col).toIndexedSeq: _*)
+      .orderBy(ord.toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Backward-fill (VFP stack bfill, vfp/_vfpcommon.py:137-146, W6). */
+  def bfill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col).toIndexedSeq: _*)
+      .orderBy(ord.toIndexedSeq: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Status-change detection: keep rows where `value` differs from its lag
+    * within the key partition (first row always kept).
+    * Reference: wellconnstatus._extract_single_connection_status_changes,
+    * wellconnstatus.py:67-86 (W3).
+    */
+  def changesOnly(df: DataFrame, valueCol: Column, partitionBy: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col).toIndexedSeq: _*)
+      .orderBy(ord.toIndexedSeq: _*)
+    df.withColumn("__prev", lag(valueCol, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= valueCol)
+      .drop("__prev")
+  }
+
+  /** As-of join (event-time <=): for each left row, the single latest right
+    * row with rightTime <= leftTime, matched on equi `keys`.
+    * Reference: WELOPEN/WLIST/COMPLUMP as-of expansion,
+    * compdat.py:291-363, 757-788 (J9-J12).
+    *
+    * Implementation: equi-join on keys + range predicate, then
+    * row_number()==1 per left row ordered by rightTime desc. The equi keys
+    * carry the shuffle, so this scales as a normal shuffled join; when the
+    * right side is a small dimension (the reference's case) Catalyst
+    * broadcasts it and the range predicate never causes a cartesian.
+    */
+  def asofJoinLe(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, leftIdCols: Seq[String],
+      rightCols: Seq[String]): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col(s"r.$rightTime") <= col(s"l.$leftTime")
+    val joined = l.join(r, cond, "left")
+    val w = Window.partitionBy(leftIdCols.map(c => col(s"l.$c")).toIndexedSeq: _*)
+      .orderBy(col(s"r.$rightTime").desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Monthly/weekly/daily/yearly date-dimension generation with
+    * normalize-to-boundary semantics.
+    * Reference: resample_smry_dates, summary.py:195-290 — rollback start to
+    * its period start, rollforward end to the next boundary, emit the range.
+    * Spark: sequence() of dates — a single generated array exploded on the
+    * driver side of the plan (tiny), then joined; no shuffle.
+    */
+  def dateDimension(startEnd: DataFrame, startCol: String, endCol: String, freq: String): DataFrame = {
+    val (trunc, step) = freq match {
+      case "daily"   => ("day", expr("interval 1 day"))
+      case "weekly"  => ("week", expr("interval 1 week"))
+      case "monthly" => ("month", expr("interval 1 month"))
+      case "yearly"  => ("year", expr("interval 1 year"))
+      case other     => throw new IllegalArgumentException(s"freq: $other")
+    }
+    startEnd.select(
+      explode(sequence(
+        date_trunc(trunc, col(startCol)).cast("timestamp"),
+        // rollforward: end up to the next boundary so the crop includes it
+        (date_trunc(trunc, col(endCol)).cast("timestamp") + step).cast("timestamp"),
+        step)).as("DATE"))
+  }
+
+  /** Drop columns that hold a single distinct value (with keep-list).
+    * Reference: drop_constant_columns, grid.py:590-620 (P5).
+    * One pass of approx_count_distinct per column (driver decision on the
+    * tiny agg result), then a select — the 100 TB path never widens rows.
+    */
+  def dropConstantColumns(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val candidates = df.columns.filterNot(keep.contains)
+    if (candidates.isEmpty) return df
+    val aggs = candidates.map(c => countDistinct(col(c)).as(c))
+    val counts = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val dropped = candidates.zipWithIndex
+      .filter { case (_, i) => counts.getLong(i) <= 1 }.map(_._1)
+    df.drop(dropped.toIndexedSeq: _*)
+  }
+
+  /** Canonical unordered-pair key (region-interface aggregation).
+    * Reference: trans.py:188-219 (A3): `min-max` string pair key.
+    */
+  def pairKey(a: Column, b: Column): Column =
+    concat_ws("-", least(a, b), greatest(a, b))
+
+  /** Linear interpolation of null values by an index column, per group —
+    * only interior nulls are filled (limit_area="inside").
+    * Reference: satfunc.py:132-157 interpolate(method="index") (W4).
+    *
+    * Pure window composition (no UDF, codegen-friendly): previous/next
+    * non-null value + index via last/first(ignoreNulls) over opposing
+    * frames, then the linear formula. Scales: one shuffle on `partitionBy`.
+    */
+  def interpolateByIndex(df: DataFrame, valueCol: String, indexCol: String,
+      partitionBy: Seq[String]): DataFrame = {
+    val part = partitionBy.map(col).toIndexedSeq
+    val wPrev = Window.partitionBy(part: _*).orderBy(col(indexCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(part: _*).orderBy(col(indexCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val x = col(indexCol).cast("double")
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
+    val interp = prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull,
+          when(nextX === prevX, prevV).otherwise(interp))
+        .otherwise(lit(null)))
+  }
+
+  /** Run-length grouping of consecutive equal values under a global order.
+    * Reference: runlength_compress, common.py:753-784 (S14) — the `5*2`
+    * include-file syntax. Relational form: change-point flag via lag, then
+    * a running sum assigns a run id, then count per run.
+    * NOTE: inherently a global ordering (single include-file stream), so the
+    * window is unpartitioned — correct but single-reducer; the reference's
+    * use is export-side text (small by construction). For 100 TB inputs use
+    * `partitionBy` = the file/case key.
+    */
+  def runLengths(df: DataFrame, valueCol: Column, ord: Seq[Column],
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    val part = partitionBy.map(col).toIndexedSeq
+    val w = Window.partitionBy(part: _*).orderBy(ord.toIndexedSeq: _*)
+    df.withColumn("__chg",
+        when(lag(valueCol, 1).over(w).isNull ||
+          lag(valueCol, 1).over(w) =!= valueCol, 1).otherwise(0))
+      .withColumn("run_id",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__chg")
+  }
+
+  /** Sessionize an event stream: new session when the gap to the previous
+    * event (same key) exceeds `gapSeconds`. Standard lag + cumulative-sum
+    * idiom; one shuffle on the key. (Streaming analog: session_window /
+    * flatMapGroupsWithState — see graft.streaming.)
+    */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*).orderBy(col(tsCol))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    df.withColumn("__new", when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+}
