@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector- and set-similarity primitives: dot/cosine over Array[Float]
+  * embedding columns, MinHash signatures + LSH banding, SimHash.
+  *
+  * Pure Column expressions (zip_with / aggregate / transform higher-order
+  * functions) — no UDF serialization, vectors never leave Tungsten rows.
+  */
+object SimilarityFunctions {
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Dot product of two numeric arrays, accumulated in double, in element
+    * order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. For L2-normalized embeddings this equals dot(). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** MinHash signature of a token/shingle set: k independent permutations
+    * approximated by seeded xxhash64; each signature slot is the min hash
+    * over the set. One pass per slot over the array — linear, codegen'd.
+    */
+  def minhashSignature(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(toks, t => xxhash64(t, s))))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing slots. */
+  def minhashEstJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / lit(k.toDouble)
+
+  /** LSH band hashes: split a k-slot signature into `bands` bands of
+    * k/bands rows each; hash each band (band index salted in). Two sets
+    * with Jaccard j collide in ≥1 band with prob 1-(1-j^r)^b — the classic
+    * S-curve. Returns array of band hashes (band i at position i).
+    */
+  def lshBandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    array((0 until bands).map(b =>
+      xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, r), x => x.cast("string"))), lit(b))): _*)
+  }
+
+  /** SimHash (64-bit) of a token set: per-bit votes (+1 if the token's
+    * xxhash64 has the bit set, -1 otherwise) accumulated in a single pass
+    * over the tokens with an array accumulator, then sign → bit.
+    */
+  def simhash(toks: Column): Column = {
+    val zero = array((0 until 64).map(_ => lit(0L)): _*)
+    val bitsOf = (t: Column) =>
+      array((63 to 0 by -1).map(b =>
+        when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*)
+    val votes = aggregate(toks, zero, (acc, t) => zip_with(acc, bitsOf(t), (a, v) => a + v))
+    // fold the 64 sign bits (MSB first) into one long; shiftleft wraps
+    // rather than throwing under ANSI mode when the sign bit lands
+    aggregate(votes, lit(0L),
+      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
