@@ -1,0 +1,152 @@
+package graft.io
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One parsed deck record: `keywordIdx` is the global keyword ordinal (the
+  * ordering spine every schedule state machine keys on — SURVEY.md §1.1
+  * "stateful scan"), `recordIdx` the record ordinal within the keyword.
+  * `items` holds raw tokens with `n*v` repeats expanded and defaulted slots
+  * normalized to the literal `"1*"` (mapped to null/default downstream).
+  * An empty `items` is a table-terminator record (meaningful for PVT-style
+  * per-region tables — reference `emptyrecordcountername`, common.py:214-229).
+  */
+final case class DeckEvent(
+    keywordIdx: Int,
+    keyword: String,
+    recordIdx: Int,
+    items: Seq[String])
+
+/** Tokenizer for Eclipse-style simulator decks.
+  *
+  * A brand-new single-pass Scala tokenizer (the reference delegates to the
+  * opm.io C++ parser, resdatafiles.py:79-90; this replaces it). Grammar
+  * handled: `--` comments, keyword lines (known-keyword registry
+  * disambiguates table ends — which kills the reference's trial-reparse
+  * dimension inference, inferdims.py:18-84), records terminated by `/`
+  * (trailing text after the slash ignored), quoted strings, `n*` default
+  * runs and `n*v` repeat runs.
+  *
+  * Decks are driver-sized artifacts (text written by engineers); the parse
+  * is driver-side and the result becomes a Dataset so everything downstream
+  * is distributed. For many-deck corpora, parse inside mapPartitions over
+  * (path, text) pairs instead — the tokenizer is a pure function.
+  */
+object DeckParser {
+
+  /** Keywords the tokenizer recognizes as section/record starters. A token
+    * line only starts a new keyword if it is in this registry, so numeric
+    * table rows can never be mistaken for keywords.
+    */
+  val KnownKeywords: Set[String] = Set(
+    // schedule
+    "DATES", "START", "TSTEP", "COMPDAT", "WELSPECS", "WELOPEN", "WLIST",
+    "COMPLUMP", "WCONPROD", "WCONHIST", "WCONINJE", "WCONINJH", "GRUPTREE",
+    "GRUPNET", "BRANPROP", "NODEPROP", "WSEGVALV", "WELSEGS", "COMPSEGS",
+    // props / tables
+    "SWOF", "SGOF", "SWFN", "SGFN", "SOF2", "SOF3", "SLGOF", "SGWFN",
+    "PVTO", "PVDO", "PVTG", "PVDG", "PVTW", "DENSITY", "ROCK",
+    "EQUIL", "RSVD", "RVVD", "PBVD", "PDVD",
+    // grid / region
+    "FAULTS", "MULTFLT", "EQLNUM", "FIPNUM", "SATNUM", "PVTNUM",
+    // misc sections commonly seen in decks
+    "RUNSPEC", "GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION", "SUMMARY",
+    "SCHEDULE", "END", "ECHO", "NOECHO", "TITLE", "DIMENS", "TABDIMS",
+    "EQLDIMS", "OIL", "WATER", "GAS", "DISGAS", "VAPOIL", "METRIC", "FIELD",
+    "VFPPROD", "VFPINJ",
+  )
+
+  /** Keywords that take no records at all (section headers / flags). */
+  val NoRecordKeywords: Set[String] = Set(
+    "RUNSPEC", "GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION", "SUMMARY",
+    "SCHEDULE", "END", "ECHO", "NOECHO", "OIL", "WATER", "GAS", "DISGAS",
+    "VAPOIL", "METRIC", "FIELD")
+
+  private val RepeatRe = """^(\d+)\*(.*)$""".r
+
+  /** Split one line into raw tokens (strips `--` comments, honors quotes). */
+  def tokenizeLine(line: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == '-' && i + 1 < n && line.charAt(i + 1) == '-') i = n // comment
+      else if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val end = line.indexOf(c, i + 1)
+        val stop = if (end < 0) n else end
+        out += line.substring(i + 1, stop)
+        i = stop + 1
+      } else {
+        var j = i
+        while (j < n && !line.charAt(j).isWhitespace && line.charAt(j) != '\'' && line.charAt(j) != '"') j += 1
+        out += line.substring(i, j)
+        i = j
+      }
+    }
+    out.result()
+  }
+
+  /** Expand `n*` / `n*v` runs; `/` terminates the record (returns items and
+    * whether the terminator was seen).
+    */
+  private def expand(tokens: Vector[String]): (Vector[String], Boolean) = {
+    val out = Vector.newBuilder[String]
+    var terminated = false
+    tokens.takeWhile { t => // stop at the record terminator
+      if (t == "/" || t.startsWith("/")) { terminated = true; false } else true
+    }.foreach {
+      case RepeatRe(cnt, "")  => (1 to cnt.toInt).foreach(_ => out += "1*")
+      case RepeatRe(cnt, v)   => (1 to cnt.toInt).foreach(_ => out += v)
+      case t                  => out += t
+    }
+    (out.result(), terminated)
+  }
+
+  def parse(text: String): Vector[DeckEvent] = {
+    val events = Vector.newBuilder[DeckEvent]
+    var kwIdx = -1
+    var keyword: String = null
+    var recordIdx = 0
+    var buf = Vector.empty[String]
+    for (line <- text.linesIterator) {
+      val tokens = tokenizeLine(line)
+      // a quoted first token is data (e.g. a group literally named 'FIELD'),
+      // never a keyword; keywords also can't start mid-record
+      val firstQuoted = line.dropWhile(_.isWhitespace).headOption.exists(c => c == '\'' || c == '"')
+      val isKeywordLine = tokens.headOption.exists(t =>
+        KnownKeywords.contains(t.toUpperCase)) && buf.isEmpty && !firstQuoted
+      if (isKeywordLine) {
+        kwIdx += 1
+        keyword = tokens.head.toUpperCase
+        recordIdx = 0
+        if (NoRecordKeywords.contains(keyword)) {
+          events += DeckEvent(kwIdx, keyword, 0, Nil)
+          keyword = null
+        } else {
+          // tokens after the keyword on the same line belong to record 0
+          val (items, done) = expand(tokens.tail)
+          buf = items
+          if (done) {
+            events += DeckEvent(kwIdx, keyword, recordIdx, buf)
+            recordIdx += 1; buf = Vector.empty
+          }
+        }
+      } else if (keyword != null) {
+        val (items, done) = expand(tokens)
+        buf = buf ++ items
+        if (done) {
+          events += DeckEvent(kwIdx, keyword, recordIdx, buf)
+          recordIdx += 1; buf = Vector.empty
+        }
+      }
+    }
+    events.result()
+  }
+
+  /** Parse into a Dataset so downstream transforms are distributed. */
+  def toDS(spark: SparkSession, text: String): Dataset[DeckEvent] = {
+    import spark.implicits._
+    spark.createDataset(parse(text))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.modules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Records
+
+/** The deck schedule clock: assigns each keyword ordinal the simulation
+  * date in effect when it executes.
+  *
+  * The reference implements this as a sequential state machine carrying a
+  * mutable `date` across keywords (compdat.py:72-114, wcon.py:26-50,
+  * gruptree.py:94-123). Re-expressed as window functions over the keyword
+  * ordinal (SURVEY.md A8): forward-filled last explicit DATES/START date +
+  * the running TSTEP-day sum since that date. One unpartitioned window over
+  * the (tiny, driver-sized) keyword spine — per-deck; for a corpus of decks
+  * partition the windows by deck id.
+  */
+object Schedule {
+
+  private val MonthMap: Column = {
+    val pairs = Seq(
+      "JAN" -> 1, "FEB" -> 2, "MAR" -> 3, "APR" -> 4, "MAY" -> 5, "JUN" -> 6,
+      "JUL" -> 7, "JLY" -> 7, "AUG" -> 8, "SEP" -> 9, "OCT" -> 10,
+      "NOV" -> 11, "DEC" -> 12)
+    map(pairs.flatMap { case (m, n) => Seq(lit(m), lit(n)) }: _*)
+  }
+
+  /** Parse an Eclipse date record `1 'JAN' 2000 [time]` into a timestamp.
+    * Reference: parse_opmio_date_rec, common.py:352-357 + month map
+    * common.py:96-111.
+    */
+  def parseDateRecord: Column =
+    make_date(Records.int(2), element_at(MonthMap, upper(Records.str(1))), Records.int(0))
+      .cast("timestamp")
+
+  /** (keywordIdx, date) for every keyword in the deck event stream. */
+  def keywordDates(events: DataFrame): DataFrame = {
+    val perKw = events
+      .groupBy(col("keywordIdx"), col("keyword"))
+      .agg(
+        // last date record of a DATES/START block is the state afterwards
+        max(when(col("keyword").isin("DATES", "START") && size(col("items")) >= 3,
+          struct(col("recordIdx"), parseDateRecord.as("d")))).as("dateRec"),
+        sum(when(col("keyword") === "TSTEP", Records.itemsSum).otherwise(0.0)).as("tstepDays"))
+      .select(col("keywordIdx"), col("dateRec.d").as("explicitDate"), col("tstepDays"))
+    val w = Window.orderBy(col("keywordIdx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastDate = last(col("explicitDate"), ignoreNulls = true).over(w)
+    val cumTstep = sum(col("tstepDays")).over(w)
+    val cumAtDate = last(when(col("explicitDate").isNotNull, cumTstep), ignoreNulls = true).over(w)
+    perKw
+      .withColumn("DATE",
+        when(lastDate.isNotNull,
+          lastDate + make_dt_interval(lit(0), lit(0), lit(0),
+            (cumTstep - coalesce(cumAtDate, lit(0.0))) * 86400.0)))
+      .select(col("keywordIdx"), col("DATE"))
+  }
+
+  /** Attach the in-effect DATE to an event frame on keywordIdx. */
+  def withDates(events: DataFrame): DataFrame =
+    events.join(keywordDates(events), Seq("keywordIdx"), "left")
+}

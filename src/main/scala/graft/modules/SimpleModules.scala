@@ -1,0 +1,141 @@
+package graft.modules
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{DeckParser, Records => R}
+
+/** FAULTS: one row per (fault, cell) — the 3-D range unroll (R2,
+  * faults.py:43-58): triple explode(sequence) over the I/J/K ranges.
+  */
+object Faults {
+  def df(spark: SparkSession, deckText: String): DataFrame = {
+    val events = DeckParser.toDS(spark, deckText).toDF()
+    events.filter(col("keyword") === "FAULTS" && size(col("items")) > 0)
+      .select(R.str(0).as("NAME"),
+        R.int(1).as("IX1"), R.int(2).as("IX2"),
+        R.int(3).as("IY1"), R.int(4).as("IY2"),
+        R.int(5).as("IZ1"), R.int(6).as("IZ2"),
+        R.str(7).as("FACE"))
+      .withColumn("I", explode(sequence(col("IX1"), col("IX2"))))
+      .withColumn("J", explode(sequence(col("IY1"), col("IY2"))))
+      .withColumn("K", explode(sequence(col("IZ1"), col("IZ2"))))
+      .select(col("NAME"), col("I"), col("J"), col("K"), col("FACE"))
+      .orderBy(col("NAME"), col("I"), col("J"), col("K"))
+  }
+}
+
+/** EQUIL: one row per EQLNUM (equil.py:30-78); EQLNUM is the 1-based
+  * record counter (R7).
+  */
+object Equil {
+  def df(spark: SparkSession, deckText: String): DataFrame = {
+    val events = DeckParser.toDS(spark, deckText).toDF()
+    events.filter(col("keyword") === "EQUIL" && size(col("items")) > 0)
+      .select((col("recordIdx") + 1).as("EQLNUM"), lit("EQUIL").as("KEYWORD"),
+        R.dbl(0).as("Z"), R.dbl(1).as("PRESSURE"),
+        R.dbl(2, 0.0).as("OWC"), R.dbl(3, 0.0).as("PCOWC"),
+        R.dbl(4, 0.0).as("GOC"), R.dbl(5, 0.0).as("PCGOC"),
+        R.int(6).as("INITRS"), R.int(7).as("INITRV"), R.int(8).as("ACCURACY"))
+      .orderBy(col("EQLNUM"))
+  }
+}
+
+/** PVT keywords → tidy rows (pvt.py:31-73, 239-242). DENSITY/ROCK/PVTW are
+  * one row per PVTNUM (record counter); PVDO/PVDG are DATA reshapes per
+  * PVTNUM; PVTO (nested undersaturated lines) uses the empty-record counter
+  * (R7 emptyrecordcountername): records accumulate into the current PVTNUM
+  * until a record with zero items closes the region's table.
+  */
+object Pvt {
+  private def recordCounted(events: DataFrame, kw: String): DataFrame =
+    events.filter(col("keyword") === kw && size(col("items")) > 0)
+      .withColumn("PVTNUM", col("recordIdx") + 1)
+
+  def density(events: DataFrame): DataFrame =
+    recordCounted(events, "DENSITY")
+      .select(lit("DENSITY").as("KEYWORD"), col("PVTNUM"),
+        R.dbl(0).as("OILDENSITY"), R.dbl(1).as("WATERDENSITY"), R.dbl(2).as("GASDENSITY"))
+
+  def rock(events: DataFrame): DataFrame =
+    recordCounted(events, "ROCK")
+      .select(lit("ROCK").as("KEYWORD"), col("PVTNUM"),
+        R.dbl(0).as("PRESSURE"), R.dbl(1).as("COMPRESSIBILITY"))
+
+  def pvtw(events: DataFrame): DataFrame =
+    recordCounted(events, "PVTW")
+      .select(lit("PVTW").as("KEYWORD"), col("PVTNUM"),
+        R.dbl(0).as("PRESSURE"), R.dbl(1).as("VOLUMEFACTOR"),
+        R.dbl(2, 0.0).as("COMPRESSIBILITY"), R.dbl(3, 0.0).as("VISCOSITY"),
+        R.dbl(4, 0.0).as("VISCOSIBILITY"))
+
+  private def dataKeyword(events: DataFrame, kw: String): DataFrame =
+    recordCounted(events, kw)
+      .select(lit(kw).as("KEYWORD"), col("PVTNUM"),
+        explode(R.dataChunks(Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY"))).as("row"))
+      .select(col("KEYWORD"), col("PVTNUM"), col("row.PRESSURE").as("PRESSURE"),
+        col("row.VOLUMEFACTOR").as("VOLUMEFACTOR"), col("row.VISCOSITY").as("VISCOSITY"))
+
+  /** PVTO: records until an empty record belong to one PVTNUM; each record
+    * is RS followed by (PRESSURE, VOLUMEFACTOR, VISCOSITY) triplets
+    * (undersaturated lines share the record's RS).
+    */
+  def pvto(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("keywordIdx")).orderBy(col("recordIdx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("keyword") === "PVTO")
+      .withColumn("PVTNUM",
+        (sum(when(size(col("items")) === 0, 1).otherwise(0)).over(w) -
+          when(size(col("items")) === 0, 1).otherwise(0) + 1).cast("int"))
+      .filter(size(col("items")) > 0)
+      .select(lit("PVTO").as("KEYWORD"), col("PVTNUM"), R.dbl(0).as("RS"),
+        explode(transform(
+          sequence(lit(0), ((size(col("items")) - 1) / 3).cast("int") - 1),
+          r => struct(
+            get(col("items"), r * 3 + 1).cast("double").as("PRESSURE"),
+            get(col("items"), r * 3 + 2).cast("double").as("VOLUMEFACTOR"),
+            get(col("items"), r * 3 + 3).cast("double").as("VISCOSITY")))).as("row"))
+      .select(col("KEYWORD"), col("PVTNUM"), col("RS"),
+        col("row.PRESSURE").as("PRESSURE"), col("row.VOLUMEFACTOR").as("VOLUMEFACTOR"),
+        col("row.VISCOSITY").as("VISCOSITY"))
+  }
+
+  def df(spark: SparkSession, deckText: String): DataFrame = {
+    val events = DeckParser.toDS(spark, deckText).toDF()
+    val parts = Seq(density(events), rock(events), pvtw(events),
+      dataKeyword(events, "PVDO"), dataKeyword(events, "PVDG"), pvto(events))
+      .filter(d => !d.isEmpty)
+    parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(spark.emptyDataFrame)
+  }
+}
+
+/** WCON* production/injection control records + in-effect DATE
+  * (wcon.py:22-64): per-keyword typed frames unioned (U1).
+  */
+object Wcon {
+  def df(spark: SparkSession, deckText: String): DataFrame = {
+    val events = DeckParser.toDS(spark, deckText).toDF()
+    val dates = Schedule.keywordDates(events)
+    def base(kw: String) =
+      events.filter(col("keyword") === kw && size(col("items")) > 0)
+        .join(dates, Seq("keywordIdx"), "left")
+    val prod = base("WCONPROD").select(lit("WCONPROD").as("KEYWORD"), col("DATE"),
+      R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"), R.str(2).as("CMODE"),
+      R.dbl(3, 0.0).as("ORAT"), R.dbl(4, 0.0).as("WRAT"), R.dbl(5, 0.0).as("GRAT"),
+      R.dbl(6, 0.0).as("LRAT"), R.dbl(7, 0.0).as("RESV"), R.dbl(8).as("BHP"),
+      R.dbl(9).as("THP"), R.int(10).as("VFP_TABLE"))
+    val hist = base("WCONHIST").select(lit("WCONHIST").as("KEYWORD"), col("DATE"),
+      R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"), R.str(2).as("CMODE"),
+      R.dbl(3, 0.0).as("ORAT"), R.dbl(4, 0.0).as("WRAT"), R.dbl(5, 0.0).as("GRAT"),
+      R.int(6).as("VFP_TABLE"), R.dbl(7).as("ALQ"), R.dbl(8).as("THP"),
+      R.dbl(9).as("BHP"))
+    val inje = base("WCONINJE").select(lit("WCONINJE").as("KEYWORD"), col("DATE"),
+      R.str(0).as("WELL"), R.str(1).as("TYPE"), R.str(2, "OPEN").as("STATUS"),
+      R.str(3).as("CMODE"), R.dbl(4).as("RATE"), R.dbl(5).as("RESV"),
+      R.dbl(6).as("BHP"), R.dbl(7).as("THP"), R.int(8).as("VFP_TABLE"))
+    prod.unionByName(hist, allowMissingColumns = true)
+      .unionByName(inje, allowMissingColumns = true)
+      .orderBy(col("DATE"), col("WELL"), col("KEYWORD"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.modules.{Compdat, Schedule}
+import graft.io.DeckParser
+
+class CompdatSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def stateMap(df: org.apache.spark.sql.DataFrame): Map[(String, Int, Int, Int), String] =
+    df.collect().map(r => (
+      (r.getAs[String]("WELL"), r.getAs[Int]("I"), r.getAs[Int]("J"), r.getAs[Int]("K1")),
+      r.getAs[String]("OP/SH"))).toMap
+
+  test("K1-K2 unroll + WELOPEN on well vs single connection") {
+    // behavior from the reference applywelopen docstring (compdat.py:804-824)
+    val df = Compdat.df(spark,
+      """COMPDAT
+        | 'OP1' 33 44 10 11 'OPEN' /
+        | 'OP2' 66 44 10 11 'OPEN' /
+        |/
+        |WELOPEN
+        | 'OP1' SHUT /
+        | 'OP2' SHUT 66 44 10 /
+        |/
+        |""".stripMargin)
+    val m = stateMap(df)
+    assert(df.count() == 4)
+    assert(m(("OP1", 33, 44, 10)) == "SHUT" && m(("OP1", 33, 44, 11)) == "SHUT")
+    assert(m(("OP2", 66, 44, 10)) == "SHUT")
+    assert(m(("OP2", 66, 44, 11)) == "OPEN")
+  }
+
+  test("STOP acting on a well leaves connections open; on a connection it shuts") {
+    val df = Compdat.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |COMPDAT
+        | 'OP1' 1 1 1 2 'OPEN' /
+        |/
+        |DATES
+        | 1 'FEB' 2000 /
+        |/
+        |WELOPEN
+        | 'OP1' 'STOP' /
+        |/
+        |""".stripMargin)
+    val feb = df.filter("DATE = timestamp'2000-02-01 00:00:00'")
+    assert(feb.count() == 2)
+    assert(feb.select("`OP/SH`").collect().forall(_.getString(0) == "OPEN"))
+  }
+
+  test("defaulted I/J resolve from the as-of WELSPECS wellhead") {
+    val df = Compdat.df(spark,
+      """WELSPECS
+        | 'OP1' 'G' 5 6 1000 'OIL' /
+        |/
+        |COMPDAT
+        | 'OP1' 2* 1 1 'OPEN' /
+        |/
+        |""".stripMargin)
+    val r = df.collect().head
+    assert(r.getAs[Int]("I") == 5 && r.getAs[Int]("J") == 6)
+  }
+
+  test("wildcard well templates expand against earlier-defined wells") {
+    val df = Compdat.df(spark,
+      """COMPDAT
+        | 'OP1' 1 1 1 1 'OPEN' /
+        | 'OP2' 2 2 2 2 'OPEN' /
+        | 'WI1' 3 3 3 3 'OPEN' /
+        |/
+        |WELOPEN
+        | 'OP*' SHUT /
+        |/
+        |""".stripMargin)
+    val m = stateMap(df)
+    assert(m(("OP1", 1, 1, 1)) == "SHUT")
+    assert(m(("OP2", 2, 2, 2)) == "SHUT")
+    assert(m(("WI1", 3, 3, 3)) == "OPEN")
+  }
+
+  test("POPN re-opens a shut connection") {
+    val df = Compdat.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |COMPDAT
+        | 'OP1' 1 1 1 1 'SHUT' /
+        |/
+        |DATES
+        | 1 'MAR' 2000 /
+        |/
+        |WELOPEN
+        | 'OP1' 'POPN' 1 1 1 /
+        |/
+        |""".stripMargin)
+    val mar = df.filter("DATE = timestamp'2000-03-01 00:00:00'").collect()
+    assert(mar.length == 1 && mar.head.getAs[String]("OP/SH") == "OPEN")
+  }
+
+  test("schedule clock: DATES then TSTEP advances fractionally-summed days") {
+    val events = DeckParser.toDS(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |TSTEP
+        | 10 20.5 /
+        |/
+        |COMPDAT
+        | 'OP1' 1 1 1 1 /
+        |/
+        |""".stripMargin).toDF()
+    val dates = Schedule.keywordDates(events).orderBy("keywordIdx").collect()
+    // keyword 2 (COMPDAT) sits 30.5 days after 2000-01-01
+    assert(dates(2).getTimestamp(1).toString == "2000-01-31 12:00:00.0")
+  }
+}

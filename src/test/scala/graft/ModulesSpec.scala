@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.modules.{Equil, Faults, Gruptree, Pvt, Satfunc, Wcon}
+
+class ModulesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("satfunc: SWOF reshapes per-SATNUM flat DATA into rows") {
+    val df = Satfunc.df(spark,
+      """SWOF
+        | 0.1 0.0 1.0 0.0
+        | 0.5 0.3 0.5 0.0
+        | 1.0 1.0 0.0 0.0 /
+        | 0.2 0.0 1.0 0.0
+        | 1.0 1.0 0.0 0.0 /
+        |/
+        |""".stripMargin)
+    assert(df.count() == 5)
+    assert(df.filter("SATNUM = 1").count() == 3)
+    assert(df.filter("SATNUM = 2").count() == 2)
+    val sw = df.filter("SATNUM = 2").orderBy("SW").select("SW").collect().map(_.getDouble(0))
+    assert(sw.toSeq == Seq(0.2, 1.0))
+  }
+
+  test("faults: 3-D range unrolls to the cartesian cell set") {
+    val df = Faults.df(spark,
+      """FAULTS
+        | 'F1' 1 2 3 3 1 2 'X' /
+        |/
+        |""".stripMargin)
+    assert(df.count() == 4) // 2 * 1 * 2
+    assert(df.filter("I = 2 AND J = 3 AND K = 1").count() == 1)
+  }
+
+  test("equil: one row per EQLNUM with defaults") {
+    val df = Equil.df(spark,
+      """EQUIL
+        | 2000 200 2100 0.5 1700 0.3 /
+        | 2100 210 2200 /
+        |/
+        |""".stripMargin)
+    assert(df.count() == 2)
+    val r2 = df.filter("EQLNUM = 2").collect().head
+    assert(r2.getAs[Double]("PCOWC") == 0.0) // defaulted
+    assert(r2.getAs[Double]("OWC") == 2200.0)
+  }
+
+  test("pvt: PVTO empty-record counter splits PVTNUM tables") {
+    val df = Pvt.df(spark,
+      """PVTO
+        | 50 100 1.1 1.0 /
+        | 100 150 1.2 0.9 200 1.15 0.95 /
+        | /
+        | 60 110 1.05 1.1 /
+        | /
+        |DENSITY
+        | 800 1000 1.1 /
+        |/
+        |""".stripMargin)
+    val pvto = df.filter("KEYWORD = 'PVTO'")
+    assert(pvto.count() == 4)
+    assert(pvto.filter("PVTNUM = 1").count() == 3)
+    assert(pvto.filter("PVTNUM = 2 AND RS = 60.0").count() == 1)
+    assert(df.filter("KEYWORD = 'DENSITY'").count() == 1)
+  }
+
+  test("wcon: per-keyword frames union with in-effect dates") {
+    val df = Wcon.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |WCONHIST
+        | 'OP1' 'OPEN' 'ORAT' 100 10 1000 /
+        |/
+        |WCONINJE
+        | 'WI1' 'WATER' 'OPEN' 'RATE' 500 /
+        |/
+        |""".stripMargin)
+    assert(df.count() == 2)
+    val hist = df.filter("KEYWORD = 'WCONHIST'").collect().head
+    assert(hist.getAs[Double]("ORAT") == 100.0)
+    assert(hist.getAs[java.sql.Timestamp]("DATE").toString.startsWith("2000-01-01"))
+    assert(df.filter("KEYWORD = 'WCONINJE'").collect().head.getAs[Double]("RATE") == 500.0)
+  }
+
+  test("gruptree: full-tree snapshot per change date, last-wins reparenting") {
+    val df = Gruptree.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |GRUPTREE
+        | 'G1' 'FIELD' /
+        | 'G2' 'G1' /
+        |/
+        |DATES
+        | 1 'FEB' 2000 /
+        |/
+        |GRUPTREE
+        | 'G2' 'FIELD' /
+        |/
+        |""".stripMargin)
+    val jan = df.filter("DATE = timestamp'2000-01-01 00:00:00'")
+    val feb = df.filter("DATE = timestamp'2000-02-01 00:00:00'")
+    assert(jan.filter("CHILD = 'G2'").collect().head.getAs[String]("PARENT") == "G1")
+    assert(feb.filter("CHILD = 'G2'").collect().head.getAs[String]("PARENT") == "FIELD")
+    // root synthesized with null parent at both dates
+    assert(jan.filter("CHILD = 'FIELD' AND PARENT IS NULL").count() == 1)
+    assert(feb.filter("CHILD = 'FIELD' AND PARENT IS NULL").count() == 1)
+    // snapshots carry the whole tree, not only the changed edges
+    assert(feb.filter("CHILD = 'G1'").collect().head.getAs[String]("PARENT") == "FIELD")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.core.Ops
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic property sampling (scalacheck Gen without the
+    * scalatestplus bridge, which isn't on the offline classpath).
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("globToRegex matches fnmatch semantics") {
+    samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 50).foreach { s =>
+      assert(s.matches(Ops.globToRegex("*")))
+      assert(s.matches(Ops.globToRegex(s)))
+    }
+    assert("FOPT".matches(Ops.globToRegex("FOP?")))
+    assert(!"FOPTH".matches(Ops.globToRegex("FOP?")))
+    assert("WOPR:OP_1".matches(Ops.globToRegex("WOPR:*")))
+    assert(!"WOPR:OP_1".matches(Ops.globToRegex("WGPR:*")))
+    assert(!"AXB".matches(Ops.globToRegex("A.B"))) // dot is literal
+  }
+
+  test("unrollRange emits k2-k1+1 rows per input row") {
+    samples(Gen.listOfN(5, Gen.chooseNum(1, 20)), 3).foreach { starts =>
+      val df = starts.zipWithIndex
+        .map { case (k1, i) => (i.toLong, k1.toLong, (k1 + i).toLong) }
+        .toDF("id", "k1", "k2")
+      val n = Ops.unrollRange(df, "k1", "k2", "k").count()
+      assert(n == starts.zipWithIndex.map { case (_, i) => i + 1 }.sum)
+    }
+  }
+
+  test("interpolateByIndex fills interior nulls linearly, leaves edges null") {
+    val df = Seq(
+      (1, 1L, Some(10.0)), (1, 2L, None), (1, 3L, None), (1, 5L, Some(50.0)),
+      (1, 6L, None), // trailing null stays null
+      (2, 1L, None), (2, 2L, Some(5.0)) // leading null stays null
+    ).toDF("g", "x", "v")
+    val out = Ops.interpolateByIndex(df, "v", "x", Seq("g"))
+      .orderBy("g", "x").collect()
+    def v(i: Int): Option[Double] =
+      if (out(i).isNullAt(out(i).fieldIndex("v"))) None
+      else Some(out(i).getDouble(out(i).fieldIndex("v")))
+    assert(v(0).contains(10.0))
+    assert(v(1).contains(20.0)) // x=2 between (1,10) and (5,50)
+    assert(v(2).contains(30.0)) // x=3
+    assert(v(3).contains(50.0))
+    assert(v(4).isEmpty) // trailing
+    assert(v(5).isEmpty) // leading
+    assert(v(6).contains(5.0))
+  }
+
+  test("runLengths groups consecutive equal values") {
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "A"), (5L, "A"), (6L, "A"))
+      .toDF("i", "v")
+    val runs = Ops.runLengths(df, col("v"), Seq(col("i")))
+      .groupBy("run_id").agg(min("v").as("v"), count(lit(1)).as("len"))
+      .orderBy("run_id").collect()
+    assert(runs.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("A", 2L), ("B", 1L), ("A", 3L)))
+  }
+
+  test("sessionize splits on gaps above the threshold") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 11:30:00")), (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val s = Ops.sessionize(df, Seq("user_id"), "ts", 1800)
+      .orderBy("user_id", "ts").collect()
+    assert(s.map(_.getLong(2)).toSeq == Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("lastWinsDedup keeps the row with the highest ordering key") {
+    val df = Seq(("w", 1, "OPEN"), ("w", 2, "SHUT"), ("x", 1, "OPEN"))
+      .toDF("well", "idx", "st")
+    val out = Ops.lastWinsDedup(df, Seq("well"), Seq(col("idx")))
+      .orderBy("well").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("SHUT", "OPEN"))
+  }
+
+  test("dateDimension monthly covers [trunc(start), trunc(end)+1month]") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-15 10:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))).toDF("mn", "mx")
+    val months = Ops.dateDimension(df, "mn", "mx", "monthly")
+      .orderBy("DATE").collect().map(_.getTimestamp(0).toString)
+    assert(months.head == "2024-01-01 00:00:00.0")
+    assert(months.last == "2024-04-01 00:00:00.0")
+    assert(months.length == 4)
+  }
+}
