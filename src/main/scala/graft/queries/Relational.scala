@@ -61,17 +61,19 @@ object Relational {
   }
 
   // ---- §2.3 J9-J12: as-of join (latest right row with ts <= left ts) -----
+  // Union-and-forward-fill formulation (Ops.asofJoinUnion): O(n log n) with
+  // one shuffle on the key — the join+window variant (Ops.asofJoinLe)
+  // degenerates to a per-key cartesian when both sides are large. This is
+  // the 100 TB as-of shape.
   def q04Asof(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("error_ts"), col("value").as("error_value"))
-    Ops.asofJoinLe(purchases, errors, Seq("user_id"),
-        leftTime = "ts", rightTime = "error_ts",
-        leftIdCols = Seq("event_id"), rightCols = Seq("error_ts", "error_value"))
-      .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
-        col("l.ts").as("ts"), col("error_ts"), col("error_value"))
+    Ops.asofJoinUnion(purchases, errors, Seq("user_id"), "ts", "error_ts",
+        Seq("error_ts", "error_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("error_ts"), col("error_value"))
       .orderBy(col("event_id"))
   }
 
