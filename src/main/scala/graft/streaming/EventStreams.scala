@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Incremental mode for the event pipeline (SURVEY.md §2.10): the
+  * reference's batch-only status-change / resample computations expressed
+  * as Structured Streaming, for inputs that arrive file-by-file (e.g. per
+  * report step). Batch and stream share the same transform code — the
+  * DataFrame API is the common surface.
+  */
+object EventStreams {
+
+  /** The events table schema as written by the generator (ts is
+    * TIMESTAMP(NANOS) in parquet, surfaced as long under
+    * spark.sql.legacy.parquet.nanosAsLong — converted to micros here,
+    * mirroring graft.sources.Tables.events).
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(RawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregate — the streaming form of the
+    * monthly resample (here: minutes for test latency).
+    */
+  def windowedActivity(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Timestamp, last: Timestamp, n: Long, total: Double)
+  case class ClosedSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with explicit state (the streaming analog of
+    * Ops.sessionize): closes a session when the processing-time timeout
+    * fires after `gapSeconds` of silence per user.
+    */
+  def sessionized(events: Dataset[Ev], gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = e.ts, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

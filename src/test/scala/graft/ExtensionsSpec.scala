@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+import graft.write.IncludeWriter
+import graft.sources.Tables
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("multimodal: binary column plumbing with stubbed decode") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Multimodal.fromText(docs, "doc_id", "text", "image")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 20)
+    val r = feats.orderBy("media_id").collect().head
+    val f1 = r.getSeq[Float](r.fieldIndex("features"))
+    assert(f1.length == Multimodal.FeatureDim)
+    assert(r.getAs[Long]("n_bytes") > 0)
+    // determinism: same input bytes, same features
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect().head
+    assert(again.getSeq[Float](again.fieldIndex("features")) == f1)
+  }
+
+  test("multimodal: frame sampling emits evenly spaced offsets") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(3)
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    val frames = Multimodal.frameSample(media, 4)
+    assert(frames.count() == 12)
+    assert(frames.filter("frame_idx = 0").select("byte_offset").collect().forall(_.getLong(0) == 0L))
+  }
+
+  test("streaming: windowed aggregate over file-fed stream reaches memory sink") {
+    val q = EventStreams.windowedActivity(
+        EventStreams.readEvents(spark, "/root/testdata/sf0.001"), "1 day", "1 day")
+      .writeStream.outputMode("complete").format("memory").queryName("winact").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM winact")
+      assert(out.count() > 0)
+      // totals must reconcile with the batch aggregate
+      val streamed = out.agg(sum("n_events")).collect().head.getLong(0)
+      assert(streamed == 1000L)
+    } finally q.stop()
+  }
+
+  test("streaming: stateful sessionization closes sessions on gaps") {
+    import EventStreams.Ev
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = spark.createDataset(Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "click", 4.0)))
+    // batch Dataset through the same stateful session contract:
+    // two sessions for user 1 — the first closed by the 110-minute gap
+    val sessions = graft.core.Ops.sessionize(events.toDF(), Seq("user_id"), "ts", 1800)
+    val n = sessions.select("session_id").distinct().count()
+    assert(n == 2)
+  }
+
+  test("include writer: generic table with defaults, quoting, trailing elision") {
+    val df = Seq(
+      ("OP1", Some(33), Some(44), "OPEN", Some(100.5)),
+      ("OP 2", Some(66), None, "SHUT", None))
+      .toDF("WELL", "I", "J", "STATE", "TRAN")
+    val text = IncludeWriter.genericDeckTable(df, "COMPDAT")
+    assert(text.startsWith("COMPDAT\n"))
+    assert(text.contains("  OP1 33 44 OPEN 100.5 /"))
+    assert(text.contains("  'OP 2' 66 1* SHUT /")) // interior default kept, trailing elided
+    assert(text.endsWith("/\n"))
+  }
+
+  test("include writer: run-length compression uses N*value syntax") {
+    assert(IncludeWriter.runlengthCompress(Seq(2, 2, 2, 2, 2, 7, 1, 1)) == "5*2 7 2*1")
+    val rt = IncludeWriter.runlengthCompress(Seq(1.0, 1.0, 3.5))
+    assert(rt == "2*1 3.5")
+  }
+
+  test("include writer round-trip: table text reparses to the same records") {
+    val df = Seq(("OP1", 1, 1, 1, 2, "OPEN"), ("OP2", 2, 2, 1, 1, "SHUT"))
+      .toDF("WELL", "I", "J", "K1", "K2", "OPSH")
+    val text = IncludeWriter.genericDeckTable(df, "COMPDAT")
+    val events = graft.io.DeckParser.parse(text)
+    val recs = events.filter(e => e.keyword == "COMPDAT" && e.items.nonEmpty)
+    assert(recs.map(_.items) == Vector(
+      Vector("OP1", "1", "1", "1", "2", "OPEN"),
+      Vector("OP2", "2", "2", "1", "1", "SHUT")))
+  }
+}
