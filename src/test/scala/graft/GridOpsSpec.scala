@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.modules.GridOps
+
+class GridOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 2x2x2 synthetic grid: ACTIVE_IDX, I, J, K, X, Y, Z, VOLUME
+  private lazy val geometry = Seq(
+    (0L, 1, 1, 1, 100.0, 100.0, 2000.0, 10.0), (1L, 2, 1, 1, 200.0, 100.0, 2000.0, 10.0),
+    (2L, 1, 2, 1, 100.0, 200.0, 2000.0, 10.0), (3L, 2, 2, 1, 200.0, 200.0, 2000.0, 10.0),
+    (4L, 1, 1, 2, 100.0, 100.0, 2010.0, 12.0), (5L, 2, 1, 2, 200.0, 100.0, 2010.0, 12.0),
+    (6L, 1, 2, 2, 100.0, 200.0, 2010.0, 12.0), (7L, 2, 2, 2, 200.0, 200.0, 2010.0, 12.0)
+  ).toDF("ACTIVE_IDX", "I", "J", "K", "X", "Y", "Z", "VOLUME")
+
+  test("assemble: geometry + init + restart outer-join on the active ordinal; SOIL derived") {
+    val init = Seq((0L, 0.25, -1.0e20), (1L, 0.30, 5.0))
+      .toDF("ACTIVE_IDX", "PORO", "PERMX")
+    val rst = Seq((0L, 0.6, 0.1), (1L, 0.5, 0.2)).toDF("ACTIVE_IDX", "SWAT", "SGAS")
+    val df = GridOps.assemble(geometry,
+      Some(GridOps.washNanSentinel(init, Seq("PERMX"))), Some(rst))
+    assert(df.count() == 8)
+    val r0 = df.filter("ACTIVE_IDX = 0").collect().head
+    assert(math.abs(r0.getAs[Double]("SOIL") - 0.3) < 1e-12)
+    assert(r0.isNullAt(r0.fieldIndex("PERMX"))) // sentinel washed to null
+    assert(df.filter("ACTIVE_IDX = 7").collect().head.isNullAt(
+      df.columns.indexOf("PORO"))) // outer join pads missing init
+  }
+
+  test("mergeZones + parseLyr: K layer to zone name") {
+    val zonemap = GridOps.parseLyr(
+      """-- zone file
+        |'Upper' 1
+        |'Lower' 2
+        |""".stripMargin)
+    assert(zonemap == Map(1 -> "Upper", 2 -> "Lower"))
+    val df = GridOps.mergeZones(geometry, zonemap)
+    assert(df.filter("K = 1").select("ZONE").distinct().collect().head.getString(0) == "Upper")
+  }
+
+  test("parseLyr handles K ranges") {
+    assert(GridOps.parseLyr("'A' 1-3\n'B' 4") ==
+      Map(1 -> "A", 2 -> "A", 3 -> "A", 4 -> "B"))
+  }
+
+  test("pillarStats: sums volumes, averages coordinates per I-J pillar") {
+    val stats = GridOps.pillarStats(geometry)
+    assert(stats.count() == 4)
+    val p11 = stats.filter("PILLAR = '1-1'").collect().head
+    assert(p11.getAs[Double]("VOLUME") == 22.0)
+    assert(p11.getAs[Double]("Z") == 2005.0)
+  }
+
+  test("contactDepth: deepest cell above saturation cutoff") {
+    val withSat = geometry.withColumn("SWAT",
+      when(col("K") === 2, 0.8).otherwise(0.2))
+    val owc = GridOps.contactDepth(withSat, "SWAT", 0.5, "OWC")
+    assert(owc.count() == 4)
+    assert(owc.collect().forall(_.getAs[Double]("OWC") == 2010.0))
+  }
+
+  test("transRegionInterface: boundary filter + canonical pair rollup") {
+    val trans = Seq(
+      (1, 2, 5.0), (2, 1, 7.0), (1, 1, 99.0), (2, 3, 1.5)
+    ).toDF("FIPNUM1", "FIPNUM2", "TRAN")
+    val out = GridOps.transRegionInterface(trans, "FIPNUM").orderBy("PAIR").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("PAIR") == "1-2" && out(0).getAs[Double]("TRAN") == 12.0)
+    assert(out(1).getAs[String]("PAIR") == "2-3" && out(1).getAs[Double]("TRAN") == 1.5)
+  }
+
+  test("nnc: vertical filter and coordinate join") {
+    val nnc = Seq(
+      (1, 1, 1, 1, 1, 2, 0.5),  // vertical (same I,J)
+      (1, 1, 1, 2, 1, 1, 0.3)   // horizontal
+    ).toDF("I1", "J1", "K1", "I2", "J2", "K2", "TRAN")
+    assert(GridOps.filterVerticalNnc(nnc).count() == 1)
+    val coords = GridOps.nncWithCoordinates(nnc, geometry)
+    val v = coords.filter("K2 = 2").collect().head
+    assert(v.getAs[Double]("Z") == 2005.0) // midpoint of 2000 and 2010
+  }
+
+  test("mergeInitVectors + mergeParams") {
+    val compdatLike = Seq(("OP1", 1, 1, 1)).toDF("WELL", "I", "J", "K1")
+    val init = Seq((1, 1, 1, 0.25)).toDF("GI", "GJ", "GK", "PORO")
+    val merged = GridOps.mergeInitVectors(compdatLike, init,
+      Seq("I" -> "GI", "J" -> "GJ", "K1" -> "GK"))
+    assert(merged.collect().head.getAs[Double]("PORO") == 0.25)
+    val p = GridOps.mergeParams(merged, Map("CASE" -> "demo"))
+    assert(p.columns.contains("CASE"))
+  }
+}
