@@ -45,6 +45,54 @@ object Compdat {
         R.int(2).as("I"), R.int(3).as("J"), R.int(4).as("K"),
         R.int(5).as("C1"), R.int(6).as("C2"))
 
+  def wlistRecords(events: DataFrame): DataFrame =
+    events.filter(col("keyword") === "WLIST" && size(col("items")) > 0)
+      .select(col("keywordIdx"), col("recordIdx"),
+        R.str(0).as("NAME"), R.str(1).as("ACTION"), R.rest(2).as("WELLS"))
+
+  def complumpRecords(events: DataFrame): DataFrame =
+    events.filter(col("keyword") === "COMPLUMP" && size(col("items")) > 0)
+      .select(col("keywordIdx"), col("recordIdx"),
+        R.str(0).as("WELL"), R.int(1).as("I"), R.int(2).as("J"),
+        R.int(3).as("K1"), R.int(4).as("K2"), R.int(5).as("N"))
+
+  /** WLIST action algebra (R8, expand_wlist compdat.py:517-653): NEW
+    * replaces a list, ADD unions, DEL removes, MOV adds here and removes
+    * from every other list; `*LIST` references inside the well items
+    * resolve against the current state. Emitted as NEW snapshots per
+    * action record. The fold is inherently sequential global small-state
+    * (well lists are deck-sized) → a driver-side fold, as SURVEY §2.7
+    * prescribes; the *output* joins distributedly.
+    */
+  def expandWlist(wlist: DataFrame): DataFrame = {
+    val spark = wlist.sparkSession
+    import spark.implicits._
+    val recs = wlist.select("keywordIdx", "recordIdx", "NAME", "ACTION", "WELLS")
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+    var state = Map.empty[String, Vector[String]]
+    val out = Vector.newBuilder[(Int, Int, String, Seq[String])]
+    recs.foreach { r =>
+      val (kwIdx, recIdx) = (r.getInt(0), r.getInt(1))
+      val name = r.getString(2)
+      val action = r.getString(3)
+      val rawWells = r.getSeq[String](4)
+      val wells = rawWells.flatMap { w =>
+        if (w.startsWith("*")) state.getOrElse(w, Vector.empty) else Vector(w)
+      }.toVector
+      action match {
+        case "NEW" => state += name -> wells.distinct.sorted
+        case "ADD" => state += name -> (state.getOrElse(name, Vector.empty) ++ wells).distinct.sorted
+        case "DEL" => state += name -> state.getOrElse(name, Vector.empty).filterNot(wells.contains)
+        case "MOV" =>
+          state = state.map { case (n, ws) => n -> ws.filterNot(wells.contains) }
+          state += name -> (state.getOrElse(name, Vector.empty) ++ wells).distinct.sorted
+        case other => throw new IllegalArgumentException(s"WLIST action $other")
+      }
+      out += ((kwIdx, recIdx, name, state(name)))
+    }
+    out.result().toDF("keywordIdx", "recordIdx", "NAME", "WELLS")
+  }
+
   /** Full pipeline from deck text. */
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
@@ -71,10 +119,67 @@ object Compdat {
       .withColumn("K1", col("K")).withColumn("K2", col("K")).drop("K")
 
     val dated = unrolled.join(dates, Seq("keywordIdx"), "left")
-    val welopen = welopenRecords(events).join(dates, Seq("keywordIdx"), "left")
+    val welopenRaw = welopenRecords(events).join(dates, Seq("keywordIdx"), "left")
+    val welopen = resolveWelopen(welopenRaw,
+      expandWlist(wlistRecords(events)), complumpRecords(events))
     applyWelopen(dated, welopen)
       .select((Cols :+ "DATE").map(col): _*)
       .orderBy(col("DATE"), col("WELL"), col("I"), col("J"), col("K1"))
+  }
+
+  /** Resolve indirections in WELOPEN rows before state application:
+    * `*NAME` well entries → the as-of WLIST snapshot's wells (J12,
+    * compdat.py:757-788); C1/C2 completion ranges → the as-of COMPLUMP
+    * lump assignments' explicit (I,J,K) connections (J11,
+    * compdat.py:656-754). Both are as-of joins on the keyword ordinal
+    * against dimension-sized state tables → broadcast.
+    */
+  def resolveWelopen(welopen: DataFrame, wlistSnaps: DataFrame,
+      complump: DataFrame): DataFrame = {
+    val outCols = welopen.columns.toSeq
+    val isList = col("WELL").startsWith("*")
+    val afterList = {
+      val lists = welopen.filter(isList)
+      if (lists.isEmpty) welopen
+      else {
+        val s = wlistSnaps.select(col("NAME"), col("keywordIdx").as("snapIdx"),
+          col("recordIdx").as("snapRec"), col("WELLS"))
+        val joined = lists.join(broadcast(s),
+          col("NAME") === col("WELL") && col("snapIdx") <= col("keywordIdx"))
+        val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"))
+          .orderBy(col("snapIdx").desc, col("snapRec").desc)
+        val exploded = joined
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .withColumn("WELL", explode(col("WELLS")))
+          .select(outCols.map(col): _*)
+        welopen.filter(!isList).unionByName(exploded)
+      }
+    }
+    val hasC = col("C1").isNotNull || col("C2").isNotNull
+    val cRows = afterList.filter(hasC)
+    if (cRows.isEmpty) afterList
+    else {
+      val cl = complump
+        .withColumn("CL_K", explode(sequence(col("K1"), col("K2"))))
+        .select(col("WELL"), col("I").as("CL_I"), col("J").as("CL_J"),
+          col("CL_K"), col("N"),
+          col("keywordIdx").as("clIdx"), col("recordIdx").as("clRec"))
+      val joined = cRows.drop("I", "J", "K").join(broadcast(cl),
+        cRows("WELL") === cl("WELL") && col("clIdx") <= col("keywordIdx") &&
+          col("N").between(coalesce(col("C1"), col("C2")), coalesce(col("C2"), col("C1"))))
+        .drop(cl("WELL"))
+      // latest lump assignment per (welopen row, connection)
+      val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"),
+        col("CL_I"), col("CL_J"), col("CL_K"))
+        .orderBy(col("clIdx").desc, col("clRec").desc)
+      val expanded = joined
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .withColumn("I", col("CL_I")).withColumn("J", col("CL_J"))
+        .withColumn("K", col("CL_K"))
+        .withColumn("C1", lit(null).cast("int")).withColumn("C2", lit(null).cast("int"))
+        .select(outCols.map(col): _*)
+      afterList.filter(!hasC).unionByName(expanded)
+    }
   }
 
   /** WELOPEN → explicit COMPDAT state rows (reference applywelopen,

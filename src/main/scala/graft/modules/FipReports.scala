@@ -1,0 +1,90 @@
+package graft.modules
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** FIP region-report scraping from textual PRT files (S8,
+  * fipreports.py:34-191).
+  *
+  * The reference walks the file with a stateful line parser carrying the
+  * current date and region. Here the file is a line DataFrame with a
+  * stable ordinal; the carried state is two forward-fill windows over that
+  * ordinal (W1), and the colon-sectioned report rows parse with split/
+  * regexp Column expressions — fully distributed, one pass.
+  */
+object FipReports {
+
+  private val DateRe = """^\s{1,3}REPORT\s+\d+\s+(\d+)\s+([A-Z]{3})\s+(\d+)"""
+  // any FIP-family region header; a different family's header closes the
+  // current block (reference fipreports.py keeps an in_block flag)
+  private val AnyRegionRe = """:\s*(FIP[A-Z0-9_]*)\s+REPORT\s+REGION\s+(\d+)"""
+
+  private val MonthMap: Column = {
+    val pairs = Seq("JAN" -> 1, "FEB" -> 2, "MAR" -> 3, "APR" -> 4, "MAY" -> 5,
+      "JUN" -> 6, "JUL" -> 7, "JLY" -> 7, "AUG" -> 8, "SEP" -> 9, "OCT" -> 10,
+      "NOV" -> 11, "DEC" -> 12)
+    map(pairs.flatMap { case (m, n) => Seq(lit(m), lit(n)) }: _*)
+  }
+
+  /** Lift a text file into (line, idx) with a stable global ordinal. */
+  def lines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex.toDF("line", "idx")
+  }
+
+  def df(spark: SparkSession, path: String, fipname: String = "FIPNUM"): DataFrame =
+    fromLines(lines(spark, path), fipname)
+
+  def fromLines(linesDf: DataFrame, fipname: String = "FIPNUM"): DataFrame = {
+    val w = Window.orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dated = linesDf
+      .withColumn("dd", regexp_extract(col("line"), DateRe, 1))
+      .withColumn("mon", regexp_extract(col("line"), DateRe, 2))
+      .withColumn("yy", regexp_extract(col("line"), DateRe, 3))
+      .withColumn("dateHere",
+        when(col("dd") =!= "", make_date(col("yy").cast("int"),
+          element_at(MonthMap, col("mon")), col("dd").cast("int"))))
+      .withColumn("family", regexp_extract(col("line"), AnyRegionRe, 1))
+      .withColumn("regionHere",
+        when(col("family") === fipname,
+          regexp_extract(col("line"), AnyRegionRe, 2).cast("int"))
+          .when(col("family") =!= "", lit(-1))) // other family → block closes
+      // the carried scan state: current date + current region block
+      .withColumn("DATE", last(col("dateHere"), ignoreNulls = true).over(w))
+      .withColumn("REGION", last(col("regionHere"), ignoreNulls = true).over(w))
+      .filter(col("REGION").isNotNull && col("REGION") =!= -1)
+
+    val sect = split(col("line"), ":")
+    val rowName = upper(trim(regexp_replace(element_at(sect, 2), "\\s+", " ")))
+    val oil = split(trim(element_at(sect, 3)), "\\s+")
+    val water = trim(element_at(sect, 4))
+    val gas = split(trim(element_at(sect, 5)), "\\s+")
+    def num(c: Column): Column = c.cast("double")
+
+    dated
+      .filter(trim(col("line")).rlike("^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY|WELL|FIELD)"))
+      .filter(col("REGION").isNotNull)
+      .withColumn("DATATYPE",
+        when(col("line").contains("OUTFLOW TO REGION"), "OUTFLOW TO REGION").otherwise(rowName))
+      .withColumn("TO_REGION",
+        when(col("line").contains("OUTFLOW TO REGION"),
+          regexp_extract(element_at(sect, 2), """REGION\s+(\d+)""", 1).cast("int")))
+      .withColumn("STOIIP_OIL", when(size(oil) === 3, num(oil(0))).when(size(oil) === 2, num(oil(0))))
+      .withColumn("ASSOCIATEDOIL_GAS", when(size(oil) === 3, num(oil(1))))
+      .withColumn("STOIIP_TOTAL",
+        when(size(oil) === 3, num(oil(2))).when(size(oil) === 2, num(oil(1)))
+          .otherwise(num(oil(0))))
+      .withColumn("WIIP_TOTAL", num(water))
+      .withColumn("GIIP_GAS", when(size(gas) >= 2, num(gas(0))))
+      .withColumn("ASSOCIATEDGAS_OIL", when(size(gas) === 3, num(gas(1))))
+      .withColumn("GIIP_TOTAL",
+        when(size(gas) === 3, num(gas(2))).when(size(gas) === 2, num(gas(1)))
+          .otherwise(num(gas(0))))
+      .withColumn("FIPNAME", lit(fipname))
+      .select("DATE", "FIPNAME", "REGION", "DATATYPE", "TO_REGION",
+        "STOIIP_OIL", "ASSOCIATEDOIL_GAS", "STOIIP_TOTAL", "WIIP_TOTAL",
+        "GIIP_GAS", "ASSOCIATEDGAS_OIL", "GIIP_TOTAL")
+  }
+}
