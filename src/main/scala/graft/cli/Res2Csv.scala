@@ -20,6 +20,7 @@ object Res2Csv {
     "equil" -> ((s, t) => Equil.df(s, t)),
     "pvt" -> ((s, t) => Pvt.df(s, t)),
     "wcon" -> ((s, t) => Wcon.df(s, t)),
+    "vfp" -> ((s, t) => Vfp.df(s, t)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -24,19 +24,37 @@ object Faults {
   }
 }
 
-/** EQUIL: one row per EQLNUM (equil.py:30-78); EQLNUM is the 1-based
-  * record counter (R7).
+/** EQUIL + the depth-profile sub-keywords (equil.py:30-128): EQUIL is one
+  * row per EQLNUM (R7 record counter); RSVD/RVVD/PBVD/PDVD are per-EQLNUM
+  * (depth, value) DATA tables (R6 reshape), unioned with per-keyword
+  * column sets (U1).
   */
 object Equil {
-  def df(spark: SparkSession, deckText: String): DataFrame = {
-    val events = DeckParser.toDS(spark, deckText).toDF()
+  private val SubKeywords = Map(
+    "RSVD" -> "RS", "RVVD" -> "RV", "PBVD" -> "PB", "PDVD" -> "PD")
+
+  def equil(events: DataFrame): DataFrame =
     events.filter(col("keyword") === "EQUIL" && size(col("items")) > 0)
       .select((col("recordIdx") + 1).as("EQLNUM"), lit("EQUIL").as("KEYWORD"),
         R.dbl(0).as("Z"), R.dbl(1).as("PRESSURE"),
         R.dbl(2, 0.0).as("OWC"), R.dbl(3, 0.0).as("PCOWC"),
         R.dbl(4, 0.0).as("GOC"), R.dbl(5, 0.0).as("PCGOC"),
         R.int(6).as("INITRS"), R.int(7).as("INITRV"), R.int(8).as("ACCURACY"))
-      .orderBy(col("EQLNUM"))
+
+  def subKeyword(events: DataFrame, kw: String): DataFrame =
+    events.filter(col("keyword") === kw && size(col("items")) > 0)
+      .select((col("recordIdx") + 1).as("EQLNUM"), lit(kw).as("KEYWORD"),
+        explode(R.dataChunks(Seq("Z", SubKeywords(kw)))).as("row"))
+      .select(col("EQLNUM"), col("KEYWORD"), col("row.Z").as("Z"),
+        col(s"row.${SubKeywords(kw)}").as(SubKeywords(kw)))
+
+  def df(spark: SparkSession, deckText: String): DataFrame = {
+    val events = DeckParser.toDS(spark, deckText).toDF()
+    val parts = (equil(events) +: SubKeywords.keys.toSeq.sorted.map(subKeyword(events, _)))
+      .filter(d => !d.isEmpty)
+    parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(spark.emptyDataFrame)
+      .orderBy(col("EQLNUM"), col("KEYWORD"))
   }
 }
 

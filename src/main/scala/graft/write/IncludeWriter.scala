@@ -71,4 +71,13 @@ object IncludeWriter {
       .sortBy(_.get(0).toString.toLong).map(_.get(1)).toSeq
     s"$keyword\n${runlengthCompress(values)}\n/\n"
   }
+
+  /** EDITNNC keyword text from an NNC multiplier frame (S15,
+    * nnc.py:206-276): `I1 J1 K1 I2 J2 K2 TRANM` records.
+    */
+  def editnnc(nnc: DataFrame, multColumn: String = "TRANM"): String = {
+    val cols = Seq("I1", "J1", "K1", "I2", "J2", "K2", multColumn)
+    genericDeckTable(nnc.select(cols.map(org.apache.spark.sql.functions.col): _*),
+      "EDITNNC", Some(s"${nnc.count()} NNC connections to edit"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.modules.{Rft, Vfp}
+
+class VfpRftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("VFPPROD: N-d axes flatten to long rows with positional axis lookup") {
+    val df = Vfp.df(spark,
+      """VFPPROD
+        | 1 3000.0 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'METRIC' 'BHP' /
+        | 100 500 1000 /
+        | 50 100 /
+        | 0.0 0.5 /
+        | 900 /
+        | 0 /
+        | 1 1 1 1 201 202 203 /
+        | 2 1 1 1 211 212 213 /
+        | 1 2 1 1 221 222 223 /
+        | 2 2 1 1 231 232 233 /
+        |/
+        |""".stripMargin)
+    assert(df.count() == 12) // 4 table records x 3 flow values
+    val r = df.filter("THP = 100.0 AND WFR = 0.5 AND RATE = 500.0").collect().head
+    assert(r.getAs[Double]("TAB") == 232.0)
+    assert(r.getAs[Double]("GFR") == 900.0)
+    assert(r.getAs[Int]("TABLE_NUMBER") == 1)
+    // axis ordering: rows sorted by axes then rate
+    val first = df.collect().head
+    assert(first.getAs[Double]("THP") == 50.0 && first.getAs[Double]("RATE") == 100.0)
+  }
+
+  test("VFPINJ: THP-only table flattens") {
+    val df = Vfp.df(spark,
+      """VFPINJ
+        | 2 2500.0 'WAT' 'THP' 'METRIC' 'BHP' /
+        | 10 20 /
+        | 5 /
+        | 1 301 302 /
+        |/
+        |""".stripMargin)
+    assert(df.count() == 2)
+    assert(df.filter("RATE = 20.0").collect().head.getAs[Double]("TAB") == 302.0)
+  }
+
+  test("RFT segment topology: upstream join + LEAF/JUNCTION flags") {
+    // tree: 3 -> 2 -> 1, 4 -> 2 (2 is a junction; 3 and 4 leaves)
+    val seg = Seq(
+      (1, null.asInstanceOf[Integer], 100.0),
+      (2, Integer.valueOf(1), 90.0),
+      (3, Integer.valueOf(2), 80.0),
+      (4, Integer.valueOf(2), 70.0)
+    ).toDF("SEGIDX", "SEGNXT", "SEGPRES")
+    val topo = Rft.processSegTopology(seg)
+    val byIdx = topo.collect().map(r => r.getAs[Int]("SEGIDX") -> r).toMap
+    assert(byIdx(2).getAs[Boolean]("JUNCTION"))
+    assert(byIdx(3).getAs[Boolean]("LEAF") && byIdx(4).getAs[Boolean]("LEAF"))
+    assert(byIdx(1).getAs[Boolean]("LONELYSEG"))
+    assert(byIdx(3).getAs[Double]("SEGPRES_upstream") == 90.0) // 3 flows into 2
+  }
+
+  test("RFT connection-ICD-segment chain with anti-join remainder") {
+    val con = Seq((1, 10, 250.0), (2, 20, 260.0)).toDF("CONIDX", "CONSEGNO", "CONPRES")
+    val icd = Seq((10, 2)).toDF("SEGIDX", "SEGNXT") // ICD at seg 10 drains to seg 2
+    val seg = Seq((2, 240.0), (20, 255.0)).toDF("SEGIDX", "SEGPRES")
+    val merged = Rft.mergeIcdSegConseg(con, icd, seg)
+    assert(merged.count() == 2)
+    val viaIcd = merged.filter("CONIDX = 1").collect().head
+    assert(viaIcd.getAs[Double]("SEGPRES") == 240.0) // through the ICD's SEGNXT
+    val direct = merged.filter("CONIDX = 2").collect().head
+    assert(direct.getAs[Double]("SEGPRES") == 255.0) // direct segment join
+    val derived = Rft.addDerived(merged.withColumnRenamed("CONPRES", "CONPRES"))
+    assert(derived.columns.contains("COMPLETION_DP"))
+  }
+}
