@@ -23,12 +23,17 @@ object Res2Csv {
     "vfp" -> ((s, t) => Vfp.df(s, t)),
   )
 
+  /** Modules that take a file path (not deck text). */
+  val PathModules: Set[String] = Set("fipreports")
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 2 || !Modules.contains(args(0))) {
-      System.err.println(s"usage: Res2Csv <${Modules.keys.toSeq.sorted.mkString("|")}> <deckfile> [out.csv]")
+    val known = Modules.keySet ++ PathModules
+    if (args.length < 2 || !known.contains(args(0))) {
+      System.err.println(s"usage: Res2Csv <${known.toSeq.sorted.mkString("|")}> <deckfile|prtfile> [out.csv]")
       sys.exit(2)
     }
-    val deckText = Files.readString(Paths.get(args(1)))
+    val deckText = if (PathModules.contains(args(0))) args(1)
+      else Files.readString(Paths.get(args(1)))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("res2csv")
@@ -37,7 +42,9 @@ object Res2Csv {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = Modules(args(0))(spark, deckText)
+    val df =
+      if (args(0) == "fipreports") FipReports.df(spark, deckText)
+      else Modules(args(0))(spark, deckText)
     // deck-derived frames are driver-sized (decks are text written by
     // humans); stdout CSV matches the reference's write_dframe_stdout_file
     val rows = df.collect()

@@ -87,4 +87,20 @@ object Summary {
     */
   def cropDates(df: DataFrame, start: Column, end: Column): DataFrame =
     df.filter(col("DATE").between(start, end))
+
+  /** Duplicate-timestamp disambiguation (W5, _ensure_unique_datetime_index
+    * summary.py:435-483): the n-th row sharing a DATE within a vector gets
+    * n × `stepSeconds` added, preserving report-step ordering.
+    */
+  def ensureUniqueDates(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+      stepSeconds: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy((keys :+ "DATE").map(col).toIndexedSeq: _*)
+      .orderBy(ord.toIndexedSeq: _*)
+    df.withColumn("__n", row_number().over(w) - 1)
+      .withColumn("DATE",
+        when(col("__n") > 0,
+          col("DATE") + make_dt_interval(lit(0), lit(0), lit(0), col("__n") * stepSeconds))
+          .otherwise(col("DATE")))
+      .drop("__n")
+  }
 }

@@ -47,14 +47,14 @@ object Vfp {
       .join(axes, Seq("keywordIdx"))
       .join(basic, Seq("keywordIdx"))
       .select(col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("WFR_TYPE"),
-        col("GFR_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
+        col("GFR_TYPE"), col("THP_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
         element_at(col("thpArr"), col("THP_IDX")).as("THP"),
         element_at(col("wfrArr"), col("WFR_IDX")).as("WFR"),
         element_at(col("gfrArr"), col("GFR_IDX")).as("GFR"),
         element_at(col("alqArr"), col("ALQ_IDX")).as("ALQ"),
         explode(arrays_zip(col("flowArr"), col("tabRow"))).as("z"))
       .select(col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("WFR_TYPE"),
-        col("GFR_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
+        col("GFR_TYPE"), col("THP_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
         col("THP"), col("WFR"), col("GFR"), col("ALQ"),
         col("z.flowArr").as("RATE"), col("z.tabRow").as("TAB"))
       .orderBy(col("TABLE_NUMBER"), col("THP"), col("WFR"), col("GFR"), col("ALQ"), col("RATE"))

@@ -72,6 +72,42 @@ object IncludeWriter {
     s"$keyword\n${runlengthCompress(values)}\n/\n"
   }
 
+  /** VFPPROD include text from the long-form table (S17,
+    * vfp/_vfpprod.py:803-986): basic record, axis records, then one table
+    * record per (THP,WFR,GFR,ALQ) point with the BHP row over the flow
+    * axis. Inverse of modules/Vfp.vfpprod — round-trippable.
+    */
+  def vfpprod(long: DataFrame): String = {
+    val rows = long.collect()
+    val sb = new StringBuilder
+    rows.groupBy(_.getAs[Int]("TABLE_NUMBER")).toSeq.sortBy(_._1).foreach { case (tno, rs) =>
+      val h = rs.head
+      def axis(c: String): Seq[Double] =
+        rs.map(_.getAs[Double](c)).distinct.sorted.toSeq
+      val (flow, thp, wfr, gfr, alq) =
+        (axis("RATE"), axis("THP"), axis("WFR"), axis("GFR"), axis("ALQ"))
+      sb.append("VFPPROD\n")
+      sb.append(s"  $tno ${fmt(h.getAs[Double]("DATUM"))} '${h.getAs[String]("RATE_TYPE")}' " +
+        s"'${h.getAs[String]("WFR_TYPE")}' '${h.getAs[String]("GFR_TYPE")}' " +
+        s"'${h.getAs[String]("THP_TYPE")}' '${h.getAs[String]("ALQ_TYPE")}' " +
+        s"'${h.getAs[String]("UNIT_TYPE")}' '${h.getAs[String]("TAB_TYPE")}' /\n")
+      Seq(flow, thp, wfr, gfr, alq).foreach(a =>
+        sb.append("  ").append(a.map(fmt).mkString(" ")).append(" /\n"))
+      for (ti <- thp.indices; wi <- wfr.indices; gi <- gfr.indices; ai <- alq.indices) {
+        val pts = rs.filter(r => r.getAs[Double]("THP") == thp(ti) &&
+          r.getAs[Double]("WFR") == wfr(wi) && r.getAs[Double]("GFR") == gfr(gi) &&
+          r.getAs[Double]("ALQ") == alq(ai))
+        if (pts.nonEmpty) {
+          val tab = pts.sortBy(_.getAs[Double]("RATE")).map(r => fmt(r.getAs[Double]("TAB")))
+          sb.append(s"  ${ti + 1} ${wi + 1} ${gi + 1} ${ai + 1} ")
+            .append(tab.mkString(" ")).append(" /\n")
+        }
+      }
+      sb.append("/\n")
+    }
+    sb.toString
+  }
+
   /** EDITNNC keyword text from an NNC multiplier frame (S15,
     * nnc.py:206-276): `I1 J1 K1 I2 J2 K2 TRANM` records.
     */
