@@ -93,9 +93,17 @@ object Compdat {
     out.result().toDF("keywordIdx", "recordIdx", "NAME", "WELLS")
   }
 
+  /** Full pipeline from a deck file via the eclipse-deck DSv2 source —
+    * the corpus-scale entry point (one input partition per deck file).
+    */
+  def dfFromPath(spark: SparkSession, path: String): DataFrame =
+    fromEvents(spark.read.format("eclipse-deck").load(path))
+
   /** Full pipeline from deck text. */
-  def df(spark: SparkSession, deckText: String): DataFrame = {
-    val events = DeckParser.toDS(spark, deckText).toDF()
+  def df(spark: SparkSession, deckText: String): DataFrame =
+    fromEvents(DeckParser.toDS(spark, deckText).toDF())
+
+  def fromEvents(events: DataFrame): DataFrame = {
     val dates = Schedule.keywordDates(events)
     val compdat0 = compdatRecords(events)
     val welspecs = welspecsRecords(events)
