@@ -52,7 +52,7 @@ object DeckParser {
     "RUNSPEC", "GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION", "SUMMARY",
     "SCHEDULE", "END", "ECHO", "NOECHO", "TITLE", "DIMENS", "TABDIMS",
     "EQLDIMS", "OIL", "WATER", "GAS", "DISGAS", "VAPOIL", "METRIC", "FIELD",
-    "VFPPROD", "VFPINJ",
+    "VFPPROD", "VFPINJ", "INCLUDE",
   )
 
   /** Keywords that take no records at all (section headers / flags). */
@@ -148,5 +148,45 @@ object DeckParser {
   def toDS(spark: SparkSession, text: String): Dataset[DeckEvent] = {
     import spark.implicits._
     spark.createDataset(parse(text))
+  }
+
+  /** Textual INCLUDE expansion (reference follows includes through opm.io,
+    * resdatafiles.py:79-90): `INCLUDE 'file' /` splices the file's text,
+    * paths resolved relative to the including file, bounded recursion.
+    */
+  def expandIncludes(text: String, dir: java.nio.file.Path, depth: Int = 0): String = {
+    require(depth < 16, "INCLUDE nesting too deep (cycle?)")
+    val out = new StringBuilder
+    var pendingInclude = false
+    for (line <- text.linesIterator) {
+      val tokens = tokenizeLine(line)
+      if (!pendingInclude && tokens.headOption.exists(_.equalsIgnoreCase("INCLUDE"))) {
+        pendingInclude = true
+        // path may sit on the same line: INCLUDE 'x.inc' /
+        if (tokens.size > 1) {
+          spliceInclude(out, tokens(1), dir, depth)
+          pendingInclude = false
+        }
+      } else if (pendingInclude) {
+        if (tokens.nonEmpty) {
+          spliceInclude(out, tokens.head, dir, depth)
+          pendingInclude = false
+        }
+      } else out.append(line).append('\n')
+    }
+    out.toString
+  }
+
+  private def spliceInclude(out: StringBuilder, rawPath: String,
+      dir: java.nio.file.Path, depth: Int): Unit = {
+    val p = dir.resolve(rawPath.stripSuffix("/").trim)
+    val sub = new String(java.nio.file.Files.readAllBytes(p))
+    out.append(expandIncludes(sub, p.getParent, depth + 1))
+  }
+
+  /** Parse a deck file, following INCLUDEs. */
+  def parseFile(path: String): Vector[DeckEvent] = {
+    val p = java.nio.file.Paths.get(path)
+    parse(expandIncludes(new String(java.nio.file.Files.readAllBytes(p)), p.getParent))
   }
 }

@@ -31,6 +31,15 @@ object Gruptree {
     grup.unionByName(wspecs)
   }
 
+  /** GRUPNET/NODEPROP node-property records (gruptree.py:143-157): per
+    * node NAME, last definition wins; merged onto snapshot rows by CHILD.
+    */
+  def nodeEvents(events: DataFrame): DataFrame =
+    events.filter(col("keyword").isin("GRUPNET", "NODEPROP") && size(col("items")) > 0)
+      .select(col("keywordIdx"), col("recordIdx"),
+        R.str(0).as("CHILD"), R.dbl(1).as("TERMINAL_PRESSURE"),
+        R.int(2).as("VFP_TABLE"), R.dbl(3).as("ALQ"))
+
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
     val dated = edgeEvents(events)
@@ -53,7 +62,25 @@ object Gruptree {
       .select(col("DATE"), col("CHILD"), lit(null).cast("string").as("PARENT"),
         lit("GRUPTREE").as("KEYWORD"))
 
-    lastPerChild.unionByName(roots)
+    val tree = lastPerChild.unionByName(roots)
+
+    // attach the latest node properties as of each snapshot (broadcast:
+    // node records are deck-sized)
+    val nodes = nodeEvents(events)
+    val withNodes =
+      if (nodes.isEmpty) tree
+        .withColumn("TERMINAL_PRESSURE", lit(null).cast("double"))
+        .withColumn("VFP_TABLE", lit(null).cast("int"))
+        .withColumn("ALQ", lit(null).cast("double"))
+      else {
+        val lastNode = Ops.lastWinsDedup(nodes, Seq("CHILD"),
+          Seq(col("keywordIdx"), col("recordIdx")))
+          .select(col("CHILD"), col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
+        tree.join(broadcast(lastNode), Seq("CHILD"), "left")
+      }
+    withNodes
+      .select(col("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"),
+        col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
       .orderBy(col("DATE"), col("PARENT").asc_nulls_first, col("CHILD"))
   }
 }

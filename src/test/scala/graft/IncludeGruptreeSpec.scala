@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.io.DeckParser
+import graft.modules.Gruptree
+
+class IncludeGruptreeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("INCLUDE splices nested files with relative path resolution") {
+    val dir = Files.createTempDirectory("deck")
+    Files.writeString(dir.resolve("sched.inc"),
+      """COMPDAT
+        | 'OP1' 1 1 1 1 'OPEN' /
+        |/
+        |""".stripMargin)
+    Files.writeString(dir.resolve("main.DATA"),
+      """WELSPECS
+        | 'OP1' 'G' 1 1 1000 'OIL' /
+        |/
+        |INCLUDE
+        | 'sched.inc' /
+        |DATES
+        | 1 'JAN' 2000 /
+        |/
+        |""".stripMargin)
+    val events = DeckParser.parseFile(dir.resolve("main.DATA").toString)
+    assert(events.map(_.keyword).distinct == Vector("WELSPECS", "COMPDAT", "DATES"))
+    // ordinals interleave in splice order
+    val kwIdx = events.groupBy(_.keyword).view.mapValues(_.head.keywordIdx).toMap
+    assert(kwIdx("WELSPECS") < kwIdx("COMPDAT") && kwIdx("COMPDAT") < kwIdx("DATES"))
+  }
+
+  test("gruptree node properties merge onto snapshot rows") {
+    val df = Gruptree.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |GRUPTREE
+        | 'G1' 'FIELD' /
+        |/
+        |GRUPNET
+        | 'G1' 250.0 1 /
+        |/
+        |""".stripMargin)
+    val g1 = df.filter("CHILD = 'G1'").collect().head
+    assert(g1.getAs[Double]("TERMINAL_PRESSURE") == 250.0)
+    assert(g1.getAs[Int]("VFP_TABLE") == 1)
+    val root = df.filter("CHILD = 'FIELD'").collect().head
+    assert(root.isNullAt(root.fieldIndex("TERMINAL_PRESSURE")))
+  }
+}
