@@ -42,7 +42,10 @@ object Records {
       r => struct(
         r.as("row_idx") +:
           names.zipWithIndex.map { case (nm, i) =>
-            get(col("items"), r * dim + i).cast("double").as(nm)
+            val raw = get(col("items"), r * dim + i)
+            // defaulted slots (`1*`) must become null BEFORE the cast —
+            // ANSI mode makes cast('1*' as double) an error, not null
+            when(raw === "1*", lit(null)).otherwise(raw).cast("double").as(nm)
           }: _*))
   }
 

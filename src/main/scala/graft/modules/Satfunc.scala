@@ -35,13 +35,25 @@ object Satfunc {
         names.map(n => col(s"row.$n").as(n)): _*)
   }
 
+  /** Defaulted (`1*`) table values fill by linear interpolation over the
+    * saturation index, interior-only, per SATNUM — reference
+    * satfunc.py:132-157 interpolate(method="index", limit_area="inside").
+    */
+  def interpolateDefaults(df: DataFrame, keyword: String): DataFrame = {
+    val names = Families(keyword)
+    names.tail.foldLeft(df)((d, c) =>
+      graft.core.Ops.interpolateByIndex(d, c, names.head, Seq("SATNUM")))
+  }
+
   /** All present families, unioned with per-family column sets
     * (unionByName allowMissingColumns — reference U1, satfunc.py:114-116).
     */
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
-    val present = Families.keys.toSeq.sorted.map(k => keywordDf(events, k))
-      .filter(d => !d.isEmpty)
+    val present = Families.keys.toSeq.sorted
+      .map(k => (k, keywordDf(events, k)))
+      .filter { case (_, d) => !d.isEmpty }
+      .map { case (k, d) => interpolateDefaults(d, k) }
     present.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(spark.emptyDataFrame)
   }

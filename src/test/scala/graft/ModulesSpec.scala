@@ -23,6 +23,24 @@ class ModulesSpec extends AnyFunSuite {
     assert(sw.toSeq == Seq(0.2, 1.0))
   }
 
+  test("satfunc: defaulted (1*) values interpolate by saturation index, interior only") {
+    val df = Satfunc.df(spark,
+      """SWOF
+        | 0.2 0.0 1.0 0.0
+        | 0.4 1* 0.5 0.0
+        | 0.6 0.6 1* 0.0
+        | 1.0 1.0 0.0 1* /
+        |/
+        |""".stripMargin)
+    val rows = df.orderBy("SW").collect()
+    // KRW at SW=0.4 between (0.2, 0.0) and (0.6, 0.6) -> 0.3
+    assert(math.abs(rows(1).getAs[Double]("KRW") - 0.3) < 1e-12)
+    // KROW at SW=0.6 between (0.4, 0.5) and (1.0, 0.0) -> 0.5 + (-0.5)*(0.2/0.6)
+    assert(math.abs(rows(2).getAs[Double]("KROW") - (0.5 - 0.5 * 0.2 / 0.6)) < 1e-12)
+    // trailing default PCOW at SW=1.0 stays null (limit_area=inside)
+    assert(rows(3).isNullAt(rows(3).fieldIndex("PCOW")))
+  }
+
   test("faults: 3-D range unrolls to the cartesian cell set") {
     val df = Faults.df(spark,
       """FAULTS
