@@ -50,4 +50,17 @@ class IncludeGruptreeSpec extends AnyFunSuite {
     val root = df.filter("CHILD = 'FIELD'").collect().head
     assert(root.isNullAt(root.fieldIndex("TERMINAL_PRESSURE")))
   }
+
+  test("ASCII tree render of a snapshot") {
+    val df = Gruptree.df(spark,
+      """GRUPTREE
+        | 'G1' 'FIELD' /
+        | 'G2' 'FIELD' /
+        | 'G3' 'G1' /
+        |/
+        |""".stripMargin)
+    val text = graft.modules.TreePrint.render(df)
+    assert(text.startsWith("FIELD\n"))
+    assert(text.contains("├── G1") && text.contains("│   └── G3") && text.contains("└── G2"))
+  }
 }
