@@ -128,8 +128,10 @@ object Compdat {
 
     val dated = unrolled.join(dates, Seq("keywordIdx"), "left")
     val welopenRaw = welopenRecords(events).join(dates, Seq("keywordIdx"), "left")
-    val welopen = resolveWelopen(welopenRaw,
-      expandWlist(wlistRecords(events)), complumpRecords(events))
+    val welopen = expandWelopenDefaults(
+      resolveWelopen(welopenRaw,
+        expandWlist(wlistRecords(events)), complumpRecords(events)),
+      dated)
     applyWelopen(dated, welopen)
       .select((Cols :+ "DATE").map(col): _*)
       .orderBy(col("DATE"), col("WELL"), col("I"), col("J"), col("K1"))
@@ -188,6 +190,39 @@ object Compdat {
         .select(outCols.map(col): _*)
       afterList.filter(!hasC).unionByName(expanded)
     }
+  }
+
+  /** Partially-defaulted WELOPEN coordinates (J9, expand_welopen_defaults
+    * compdat.py:291-363): a row giving some but not all of I/J/K expands
+    * against the as-of COMPDAT connections matching the given coordinates,
+    * yielding explicit per-connection rows. Fully-defaulted rows stay
+    * (acts-on-well); fully-given rows stay (single connection).
+    */
+  def expandWelopenDefaults(welopen: DataFrame, compdat: DataFrame): DataFrame = {
+    def dflt(c: Column) = c.isNull || c <= 0
+    val nDefaulted =
+      when(dflt(col("I")), 1).otherwise(0) +
+        when(dflt(col("J")), 1).otherwise(0) +
+        when(dflt(col("K")), 1).otherwise(0)
+    val isPartial = nDefaulted > 0 && nDefaulted < 3
+    val partial = welopen.filter(isPartial)
+    if (partial.isEmpty) return welopen
+    val outCols = welopen.columns.toSeq
+    val conns = compdat.select(col("WELL"), col("keywordIdx").as("cIdx"),
+      col("recordIdx").as("cRec"), col("I").as("cI"), col("J").as("cJ"), col("K1").as("cK"))
+    val joined = partial.join(conns.withColumnRenamed("WELL", "cWELL"),
+      col("cWELL") === col("WELL") && col("cIdx") < col("keywordIdx") &&
+        (dflt(col("I")) || col("I") === col("cI")) &&
+        (dflt(col("J")) || col("J") === col("cJ")) &&
+        (dflt(col("K")) || col("K") === col("cK")))
+    // one expansion per distinct matching connection per welopen row
+    val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"),
+      col("cI"), col("cJ"), col("cK")).orderBy(col("cIdx").desc, col("cRec").desc)
+    val expanded = joined
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("I", col("cI")).withColumn("J", col("cJ")).withColumn("K", col("cK"))
+      .select(outCols.map(col): _*)
+    welopen.filter(!isPartial).unionByName(expanded)
   }
 
   /** WELOPEN → explicit COMPDAT state rows (reference applywelopen,

@@ -35,6 +35,25 @@ class CompdatChainSpec extends AnyFunSuite {
     assert(states("2000-03-01") == Map(2 -> "OPEN")) // only the re-opened conn re-stated
   }
 
+  test("partially-defaulted WELOPEN coords expand against matching connections") {
+    val df = Compdat.df(spark,
+      """COMPDAT
+        | 'OP1' 1 1 1 1 'OPEN' /
+        | 'OP1' 1 2 1 1 'OPEN' /
+        | 'OP1' 1 1 2 2 'OPEN' /
+        |/
+        |WELOPEN
+        | 'OP1' 'SHUT' 1 1 /
+        |/
+        |""".stripMargin)
+    // I=1 J=1 given, K defaulted: both K layers of (1,1) shut; (1,2) untouched
+    val m = df.collect().map(r =>
+      ((r.getAs[Int]("I"), r.getAs[Int]("J"), r.getAs[Int]("K1")), r.getAs[String]("OP/SH"))).toMap
+    assert(m(((1, 1, 1))) == "SHUT")
+    assert(m(((1, 1, 2))) == "SHUT")
+    assert(m(((1, 2, 1))) == "OPEN")
+  }
+
   test("same pipeline runs from a deck file through the DSv2 source") {
     val f = Files.createTempFile("chain", ".DATA")
     Files.writeString(f,
