@@ -164,16 +164,26 @@ object Ops {
 
   /** Drop columns that hold a single distinct value (with keep-list).
     * Reference: drop_constant_columns, grid.py:590-620 (P5).
-    * One pass of approx_count_distinct per column (driver decision on the
-    * tiny agg result), then a select — the 100 TB path never widens rows.
+    *
+    * "≤1 distinct non-null value" (all-null included) is exactly
+    * `min(c) <=> max(c)` (null-safe), so one ordinary single-pass
+    * min/max aggregate decides every column at once. The obvious
+    * `countDistinct` formulation plans an Expand that replicates every
+    * input row once per column (n×cols rows through a distinct hash
+    * aggregate) — at 100 TB that is cols extra passes; min/max is one.
     */
   def dropConstantColumns(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val candidates = df.columns.filterNot(keep.contains)
+    // MapType is not orderable — such columns are never dropped (same as
+    // the reference, which only ever sees scalar vectors here).
+    val candidates = df.schema.fields
+      .filter(f => !keep.contains(f.name) &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name)
     if (candidates.isEmpty) return df
-    val aggs = candidates.map(c => countDistinct(col(c)).as(c))
-    val counts = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val aggs = candidates.map(c => min(col(c)) <=> max(col(c)))
+    val flags = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val dropped = candidates.zipWithIndex
-      .filter { case (_, i) => counts.getLong(i) <= 1 }.map(_._1)
+      .filter { case (_, i) => flags.getBoolean(i) }.map(_._1)
     df.drop(dropped.toIndexedSeq: _*)
   }
 

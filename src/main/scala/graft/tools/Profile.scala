@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query profiler: runs each named query N times (default 3) against
+  * SPARK_GRAFT_SF_DIR and prints every run's wall time, so plan/codegen
+  * cost (run 1) separates from steady-state execution (runs 2+).
+  *
+  * Usage: runMain graft.tools.Profile q29_cosine_neardup q30_ann_lsh [n=3]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (names, n) = args.partition(!_.startsWith("n=")) match {
+      case (qs, opts) => (qs.toSeq, opts.headOption.map(_.drop(2).toInt).getOrElse(3))
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try SparkEntryRef.queries("q01_agg")(spark, sfDir).count() // warmup
+    catch { case _: Throwable => }
+
+    for (name <- names) {
+      val fn = SparkEntryRef.queries(name)
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, rows)
+      }
+      println(f"PROFILE $name rows=${times.head._2} " +
+        times.map(t => f"${t._1}%.3f").mkString("runs=[", ", ", "]"))
+    }
+    spark.stop()
+  }
+
+  private object SparkEntryRef {
+    def queries = graft.SparkEntry.queries
+  }
+}
