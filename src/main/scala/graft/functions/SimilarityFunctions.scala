@@ -68,3 +68,47 @@ object SimilarityFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }
+
+/** Engine-portable seeded hash family over small-integer keys.
+  *
+  * `mix(a, seed) = (((a+1)*2654435761 mod P) + 1) * C(seed) mod P` with
+  * `P = 2^31-1` and `C(seed) = ((seed+1)*2246822519 mod P) + 1` — the seed
+  * enters MULTIPLICATIVELY, which matters: an additive seed makes values
+  * across consecutive seeds an arithmetic progression mod P, whose parity
+  * sequence is a near-periodic Sturmian pattern — LSH plane signs then
+  * correlate across planes (observed: 12 "independent" hyperplanes
+  * collapsing to ~4, bucket sizes 150+ instead of ≤6). Working mod 2^31-1
+  * keeps every product under 2^62: no overflow under Spark ANSI or DuckDB
+  * BIGINT, so both engines compute bit-identical values. That is what makes
+  * MinHash permutations, SimHash bit votes, and random-hyperplane LSH signs
+  * oracle-checkable: the same formula runs as a codegen'd Spark expression
+  * AND as DuckDB SQL.
+  *
+  * The open-vocabulary production path would hash token strings directly
+  * (xxhash64, see [[SimilarityFunctions.minhashSignature]]); this family
+  * hashes a dictionary index instead, which is the classic "build a vocab,
+  * then permute ids" MinHash formulation — equally valid, and portable.
+  */
+object PortableHash {
+  val M1 = 2654435761L
+  val M2 = 2246822519L
+  val P  = 2147483647L // 2^31-1 (prime); keeps products < 2^62
+
+  private def seedC(seed: Int): Long = ((seed + 1L) * M2) % P + 1L
+
+  /** Spark side: mix of a long column with a constant seed. */
+  def mix(a: Column, seed: Int): Column =
+    (((a + lit(1L)) * lit(M1)) % lit(P) + lit(1L)) * lit(seedC(seed)) % lit(P)
+
+  /** Oracle side: the same mix as SQL text over expression `a`. */
+  def mixSql(a: String, seed: Int): String =
+    s"((((($a + 1) * $M1) % $P + 1) * ${seedC(seed)}) % $P)"
+
+  /** Spark side: ±1 sign from the mix parity. */
+  def sign(a: Column, seed: Int): Column =
+    when(mix(a, seed) % 2 === 1, lit(1L)).otherwise(lit(-1L))
+
+  /** Oracle side: the same ±1 sign as SQL text. */
+  def signSql(a: String, seed: Int): String =
+    s"(CASE WHEN ${mixSql(a, seed)} % 2 = 1 THEN 1 ELSE -1 END)"
+}

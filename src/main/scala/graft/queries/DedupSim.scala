@@ -19,6 +19,9 @@ object DedupSim {
 
   private val MinhashK = 32
   private val LshBands = 8
+  private val SimhashSeed = 100 // seed base for the 64 SimHash bit planes
+  private val AnnPlanes = 12
+  private val AnnSeed = 200 // seed base for the ANN hyperplane signs
 
   /** Exact dedup by content hash (hash-groupBy; one shuffle on md5(text)). */
   def q24ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -60,23 +63,59 @@ object DedupSim {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + LSH dedup clustering: signature per doc, band hashes,
-    * cluster id = min doc_id over all docs sharing any band bucket (one
-    * agglomeration hop). Output is LINEAR in the corpus — the dedup
-    * semantic ("which docs collapse together") without materializing the
-    * quadratic near-dup pair set, which on a high-similarity corpus is
-    * O(n²) no matter how good the index is. No SQL oracle (seeded hash
-    * permutations aren't expressible in DuckDB) — rows-only check.
+  /** Long-format (doc_id, bit) token-index view: distinct tokens exploded
+    * and mapped to their dictionary index via a broadcast vocab join. The
+    * shape every portable-hash text query builds on — downstream work is
+    * plain codegen'd hash aggregation, never interpreted per-row
+    * higher-order folds.
+    */
+  private def docTokenBits(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("bit", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
+    toks.join(broadcast(vocab), Seq("tok")).select(col("doc_id"), col("bit"))
+  }
+
+  /** SQL text of the same long-format view for the DuckDB oracle. */
+  private val docTokenBitsSql =
+    """toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+                FROM documents),
+       vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) - 1 AS bit
+                 FROM (SELECT DISTINCT tok FROM toks)),
+       t AS (SELECT doc_id, bit FROM toks JOIN vocab USING (tok))"""
+
+  private val BandWeights = Seq(31L, 37L, 41L, 43L)
+
+  /** MinHash + LSH dedup clustering: k=32 permutations of the vocabulary
+    * via [[graft.functions.PortableHash]] (min over each doc's token ids),
+    * 8 bands of 4 rows hashed by a weighted sum, cluster id = min doc_id
+    * over all docs sharing any band bucket (one agglomeration hop).
+    * Output is LINEAR in the corpus — the dedup semantic ("which docs
+    * collapse together") without materializing the quadratic near-dup pair
+    * set, which on a high-similarity corpus is O(n²) no matter how good
+    * the index is.
+    *
+    * All 32 slot minimums come out of ONE codegen'd hash aggregate over
+    * the long (doc_id, bit) format — no interpreted array folds — and the
+    * deterministic integer permutation family makes the whole pipeline
+    * expressible in DuckDB SQL, so this is a full hash-checked oracle
+    * query, not a rows-only one.
     */
   def q26MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // cached: band explode would otherwise re-run the k×|tokens| hash
-    // cascade per downstream row via collapsed projections
-    val sigs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        minhashSignature(array_distinct(tokens(col("text"))), MinhashK).as("sig"))
-      .cache()
-    val bands = sigs.select(col("doc_id"),
-      posexplode(lshBandHashes(col("sig"), MinhashK, LshBands)).as(Seq("band_idx", "band_hash")))
+    import graft.functions.PortableHash.mix
+    val r = MinhashK / LshBands
+    val sig = docTokenBits(s, dir).groupBy(col("doc_id"))
+      .agg(min(mix(col("bit"), 0)).as("m0"),
+        (1 until MinhashK).map(k => min(mix(col("bit"), k)).as(s"m$k")): _*)
+    val bandCols = (0 until LshBands).map { b =>
+      (BandWeights.zipWithIndex.map { case (w, i) => col(s"m${b * r + i}") * lit(w) }
+        .reduce(_ + _) + lit(b.toLong)) % lit(graft.functions.PortableHash.P)
+    }
+    val stackArgs = (0 until LshBands).map(b => s"${b}L, b$b").mkString(", ")
+    val bands = sig.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
+      .selectExpr("doc_id", s"stack($LshBands, $stackArgs) AS (band_idx, band_hash)")
+      .cache() // consumed twice (bucket agg + member join); tiny: bands×docs rows
     val bucketMin = bands.groupBy(col("band_idx"), col("band_hash"))
       .agg(min(col("doc_id")).as("bucket_min"), count(lit(1)).as("bucket_size"))
     bands.join(bucketMin, Seq("band_idx", "band_hash"))
@@ -86,11 +125,22 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash per document (64-bit, single pass). Rows-only check. */
-  def q27Simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), simhash(array_distinct(tokens(col("text")))).as("simhash"))
-      .orderBy(col("doc_id"))
+  /** SimHash per document: 64 bit-votes, each bit's ±1 sign drawn from the
+    * portable hash of the token's dictionary index, votes summed in one
+    * codegen'd 64-column hash aggregate over the long (doc_id, bit)
+    * format, then folded into a single 64-bit fingerprint (bit 63 enters
+    * as Long.MinValue so the fold never overflows ANSI arithmetic).
+    * Deterministic integer math end-to-end → full DuckDB oracle.
+    */
+  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.sign
+    val votes = docTokenBits(s, dir).groupBy(col("doc_id"))
+      .agg(sum(sign(col("bit"), SimhashSeed)).as("v0"),
+        (1 until 64).map(b => sum(sign(col("bit"), SimhashSeed + b)).as(s"v$b")): _*)
+    val fp = (0 until 63).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _) + when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    votes.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
 
   /** Brute-force cosine top-k: each query vector (vec_id < 10) against the
     * full embedding table. Embeddings are L2-normalized, so cosine == dot.
@@ -168,25 +218,33 @@ object DedupSim {
   }
 
   /** Random-hyperplane LSH ANN (the scale path for q28/q29): 12 fixed
-    * pseudo-hyperplanes (sign of dot with deterministic ±1 planes derived
-    * from xxhash64(plane, dim)) bucket each vector; candidates only join
-    * within a bucket. Rows-only check (hash planes aren't in DuckDB).
+    * pseudo-hyperplanes whose ±1 components come from the portable hash of
+    * the dimension index; a vector's bucket is the 12-bit sign pattern of
+    * its hyperplane dots. Candidates only join within a bucket — at 100 TB
+    * the bucket id is the shuffle key and each bucket's pair space is tiny.
+    *
+    * The hyperplane dots are computed over QUANTIZED components
+    * (round(x·1e6) as long) so the sums are exact integers: the bucket is
+    * order-independent and identical across engines, where a float sum
+    * near zero could flip a sign bit between Spark and DuckDB. That makes
+    * this a full hash-checked oracle query. The 12 sums come out of ONE
+    * codegen'd hash aggregate over the long (vec_id, dim, xq) format.
     */
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes = 12
-    val signBit = (p: Int, emb: Column) => {
-      // plane p's component d is +1/-1 from xxhash64(p, d); dot sign = bucket bit
-      val contrib = zip_with(emb,
-        transform(sequence(lit(0), size(emb) - 1),
-          d => when(xxhash64(lit(p), d) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
-        (x, w) => x.cast("double") * w)
-      when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L))
-    }
+    import graft.functions.PortableHash.sign
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val bucketed = e.withColumn("bucket",
-      (0 until planes).map(p => signBit(p, col("embedding")) * (1L << p)).reduce(_ + _))
-    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    val long = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xq"))
+    val sums = long.groupBy(col("vec_id"))
+      .agg(sum(col("xq") * sign(col("dim"), AnnSeed)).as("s0"),
+        (1 until AnnPlanes).map(p => sum(col("xq") * sign(col("dim"), AnnSeed + p)).as(s"s$p")): _*)
+    val bucket = sums.select(col("vec_id"),
+      (0 until AnnPlanes).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _).as("bucket"))
+    val be = e.join(bucket, Seq("vec_id"))
+    val a = be.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = be.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("score", round(dot(col("emb_a"), col("emb_b")), 6))
       .select(col("bucket"), col("id_a"), col("id_b"), col("score"))
@@ -203,7 +261,77 @@ object DedupSim {
     "q30_ann_lsh" -> (q30AnnLsh _),
   )
 
+  /** q26 oracle: the exact portable-hash MinHash+LSH pipeline as DuckDB
+    * SQL, generated from the same seeds/weights as the Spark side.
+    */
+  private def minhashLshSql: String = {
+    import graft.functions.PortableHash.{mixSql, P}
+    val r = MinhashK / LshBands
+    val minCols = (0 until MinhashK)
+      .map(k => s"min(${mixSql("bit", k)}) AS m$k").mkString(",\n             ")
+    val bandExprs = (0 until LshBands).map { b =>
+      val terms = BandWeights.zipWithIndex
+        .map { case (w, i) => s"m${b * r + i} * $w" }.mkString(" + ")
+      s"(($terms + $b) % $P) AS b$b"
+    }.mkString(",\n             ")
+    val bandCase = (0 until LshBands).map(b => s"WHEN $b THEN b$b").mkString(" ")
+    s"""WITH $docTokenBitsSql,
+       sig AS (SELECT doc_id, $minCols FROM t GROUP BY doc_id),
+       wide AS (SELECT doc_id, $bandExprs FROM sig),
+       bands AS (SELECT doc_id, u.band_idx, CASE u.band_idx $bandCase END AS band_hash
+                 FROM wide CROSS JOIN (SELECT unnest(range($LshBands)) AS band_idx) u),
+       bucket AS (SELECT band_idx, band_hash, min(doc_id) AS bucket_min,
+                         count(*) AS bucket_size
+                  FROM bands GROUP BY 1, 2)
+       SELECT b.doc_id, min(u.bucket_min) AS cluster_id, max(u.bucket_size) AS max_bucket,
+              min(u.bucket_min) < b.doc_id AS is_dup
+       FROM bands b JOIN bucket u USING (band_idx, band_hash)
+       GROUP BY b.doc_id ORDER BY doc_id"""
+  }
+
+  /** q27 oracle: 64 portable-hash bit votes + fingerprint fold in DuckDB. */
+  private def simhashSql: String = {
+    import graft.functions.PortableHash.signSql
+    val voteCols = (0 until 64)
+      .map(b => s"CAST(sum(${signSql("bit", SimhashSeed + b)}) AS BIGINT) AS v$b")
+      .mkString(",\n             ")
+    val fpTerms = (0 until 63)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ") +
+      " + CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END"
+    s"""WITH $docTokenBitsSql,
+       votes AS (SELECT doc_id, $voteCols FROM t GROUP BY doc_id)
+       SELECT doc_id, $fpTerms AS simhash FROM votes ORDER BY doc_id"""
+  }
+
+  /** q30 oracle: quantized hyperplane buckets + in-bucket pair scores. */
+  private def annLshSql: String = {
+    import graft.functions.PortableHash.signSql
+    val sumCols = (0 until AnnPlanes)
+      .map(p => s"CAST(sum(xq * ${signSql("dim", AnnSeed + p)}) AS BIGINT) AS s$p")
+      .mkString(",\n             ")
+    val bucketTerms = (0 until AnnPlanes)
+      .map(p => s"CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i FROM embeddings),
+       e AS (SELECT vec_id, CAST(x AS DOUBLE) AS xd,
+                    CAST(i AS BIGINT) - 1 AS dim,
+                    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq FROM raw),
+       s AS (SELECT vec_id, $sumCols FROM e GROUP BY vec_id),
+       b AS (SELECT vec_id, $bucketTerms AS bucket FROM s),
+       p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket
+             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       SELECT p.bucket, p.id_a, p.id_b, round(sum(ea.xd * eb.xd), 6) AS score
+       FROM p JOIN e ea ON ea.vec_id = p.id_a
+              JOIN e eb ON eb.vec_id = p.id_b AND eb.dim = ea.dim
+       GROUP BY 1, 2, 3 ORDER BY bucket, id_a, id_b"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q26_minhash_lsh" -> minhashLshSql,
+    "q27_simhash" -> simhashSql,
+    "q30_ann_lsh" -> annLshSql,
     "q24_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
