@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 35 codegen-heavy queries in one JVM overflow the default 240 MB JIT
+  // code cache; once full the JIT disables compilation and whole queries
+  // run interpreted (observed as a 10-20 s stall landing on whichever
+  // query was executing). Headroom keeps every stage compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -27,17 +27,22 @@ object Profile {
     try SparkEntryRef.queries("q01_agg")(spark, sfDir).count() // warmup
     catch { case _: Throwable => }
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
     for (name <- names) {
       val fn = SparkEntryRef.queries(name)
       val times = (1 to n).map { _ =>
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (dt, rows)
+        (dt, rows, gcMillis - g0)
       }
       println(f"PROFILE $name rows=${times.head._2} " +
-        times.map(t => f"${t._1}%.3f").mkString("runs=[", ", ", "]"))
+        times.map(t => f"${t._1}%.3f/gc${t._3}ms").mkString("runs=[", ", ", "]"))
     }
     spark.stop()
   }
