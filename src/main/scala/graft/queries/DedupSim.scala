@@ -251,7 +251,89 @@ object DedupSim {
       .orderBy(col("bucket"), col("id_a"), col("id_b"))
   }
 
+  private val IvfLists = 16
+  private val IvfProbes = 2
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * q30's LSH: vectors are assigned to the nearest of `IvfLists` centroid
+    * lists; a query exhaustively searches only its `IvfProbes` nearest
+    * lists. At 100 TB the list id is the partition key: assignment is one
+    * map-side pass, and a query touches nprobe/nlists of the data.
+    *
+    * Centroids here are the `IvfLists` lowest-id vectors — a deterministic
+    * stand-in for the offline k-means training step (which at scale runs
+    * on a sample, not in the query path). Dots are rounded to 6 decimals
+    * before every argmax/top-k (ties broken by id) so list assignment and
+    * ranking are reproducible across engines → full DuckDB oracle.
+    *
+    * All dot products are long-format equi-join + hash aggregate
+    * (codegen'd); the interpreted higher-order-fold shape never appears.
+    */
+  def q36AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embLong(s, dir) // (vec_id, dim, x)
+    val cents = e.filter(col("vec_id") < IvfLists)
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
+    // nearest-centroid assignment for every vector (and the probe lists
+    // for queries come from the same scored table)
+    val cdots = e.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(round(sum(col("x") * col("cx")), 6).as("cdot"))
+    val byDot = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cid"))
+    val ranked = cdots.withColumn("crank", row_number().over(byDot))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("list_id"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    // candidates = vectors in any probed list; score with the query
+    val cands = probes.join(assign, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val q = e.select(col("vec_id").as("qid"), col("dim"), col("x").as("qx"))
+      .filter(col("qid") < 10)
+    val scored = cands
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid", "dim"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("qx") * col("x")), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** q36 oracle: the same IVF pipeline in DuckDB SQL. */
+  private def annIvfSql: String =
+    s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i FROM embeddings),
+       e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, CAST(i AS BIGINT) - 1 AS dim FROM raw),
+       cents AS (SELECT vec_id AS cid, dim, x AS cx FROM e WHERE vec_id < $IvfLists),
+       cdots AS (SELECT e.vec_id, c.cid, round(sum(e.x * c.cx), 6) AS cdot
+                 FROM e JOIN cents c USING (dim) GROUP BY 1, 2),
+       ranked AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cdot DESC, cid) AS crank
+                  FROM cdots),
+       assign AS (SELECT vec_id, cid AS list_id FROM ranked WHERE crank = 1),
+       probes AS (SELECT vec_id AS qid, cid AS list_id FROM ranked
+                  WHERE vec_id < 10 AND crank <= $IvfProbes),
+       cands AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (list_id)
+                 WHERE a.vec_id <> p.qid),
+       scored AS (SELECT c.qid, c.vec_id,
+                         round(sum(q.x * v.x), 6) AS score
+                  FROM cands c
+                  JOIN e v ON v.vec_id = c.vec_id
+                  JOIN e q ON q.vec_id = c.qid AND q.dim = v.dim
+                  GROUP BY 1, 2),
+       topk AS (SELECT qid, vec_id, score,
+                       CAST(row_number() OVER (PARTITION BY qid
+                                               ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+                FROM scored)
+       SELECT qid, rn, vec_id AS neighbor_id, score FROM topk WHERE rn <= 5
+       ORDER BY qid, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_ann_ivf" -> (q36AnnIvf _),
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q25_jaccard" -> (q25Jaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -329,6 +411,7 @@ object DedupSim {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q36_ann_ivf" -> annIvfSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,

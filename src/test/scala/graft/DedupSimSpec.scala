@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.queries.DedupSim
+
+/** Properties of the portable hash family and the similarity/ANN queries
+  * built on it (q26/q27/q30/q36), at sf0.001.
+  */
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("portable hash: values in range, deterministic, seed-sensitive") {
+    val df = (0L until 64L).toDF("a")
+    val vals = df.select(
+      PortableHash.mix(col("a"), 0).as("h0"),
+      PortableHash.mix(col("a"), 1).as("h1")).collect()
+    assert(vals.forall(r => r.getLong(0) >= 0 && r.getLong(0) < PortableHash.P))
+    // different seeds permute differently (no fixed offset relation)
+    val diffs = vals.map(r => r.getLong(1) - r.getLong(0)).distinct
+    assert(diffs.length > 32, "seed must not act as a constant shift")
+  }
+
+  test("portable hash signs: plane parities are uncorrelated across seeds") {
+    // The additive-seed family failed exactly this: sign rows repeating
+    // with period ~4 across seeds. Check pairwise agreement rates stay
+    // within a wide band around 50% for the ANN plane seeds.
+    val signs = (0 until 64).map { d =>
+      (0 until 12).map { p =>
+        val h = ((((d + 1L) * PortableHash.M1) % PortableHash.P + 1L) *
+          (((200 + p + 1L) * PortableHash.M2) % PortableHash.P + 1L)) % PortableHash.P
+        if (h % 2 == 1) 1 else -1
+      }
+    }
+    for (p1 <- 0 until 12; p2 <- (p1 + 1) until 12) {
+      val agree = signs.count(row => row(p1) == row(p2))
+      // 66 pairwise comparisons over 64 dims: allow ±4.5σ around 32.
+      // The additive family this guards against hit 0 or 64 exactly.
+      assert(agree >= 14 && agree <= 52, s"planes $p1,$p2 agree on $agree/64 dims")
+    }
+  }
+
+  test("q30 LSH buckets are balanced") {
+    val out = DedupSim.q30AnnLsh(spark, dir)
+    val maxBucket = out.groupBy("bucket").count().agg(max("count")).head.getLong(0)
+    // pair count per bucket, not member count; still bounds collapse
+    assert(maxBucket < 200, s"largest bucket pair-count $maxBucket suggests plane collapse")
+  }
+
+  test("q36 IVF recall: top-1 matches brute force for most queries") {
+    val brute = DedupSim.q28CosineTopK(spark, dir)
+      .filter(col("rn") === 1).select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = DedupSim.q36AnnIvf(spark, dir)
+      .filter(col("rn") === 1).select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = brute.keys.count(q => ivf.get(q).contains(brute(q)))
+    assert(hits >= (brute.size * 6) / 10,
+      s"IVF top-1 recall $hits/${brute.size} too low for nprobe=2")
+  }
+
+  test("q26 clusters: is_dup iff a lower doc_id shares a bucket; cluster ids are min") {
+    val out = DedupSim.q26MinhashLsh(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val doc = r.getAs[Long]("doc_id"); val cl = r.getAs[Long]("cluster_id")
+      assert(cl <= doc)
+      assert(r.getAs[Boolean]("is_dup") == (cl < doc))
+    }
+  }
+}
