@@ -29,7 +29,13 @@ object EventStreams {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(RawSchema).parquet(dir)
+    // scope to the events table: a bare directory read would pull every
+    // table in the sf dir through name-based column matching (their rows
+    // surface as all-null events). The streaming file source requires a
+    // directory path, so the scoping is a file-name glob filter.
+    spark.readStream.schema(RawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -41,6 +47,19 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup — the incremental form of q24's hash-groupBy
+    * dedup: keeps the first event per `event_id` and drops replays arriving
+    * within the watermark. State is bounded by the watermark horizon (keys
+    * older than it are evicted), which is what makes exact dedup viable on
+    * an unbounded stream — the batch variant's full-table groupBy becomes a
+    * sliding state window. At 100 TB/day the state size is
+    * (keys per watermark window), not (all keys ever).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Timestamp, last: Timestamp, n: Long, total: Double)

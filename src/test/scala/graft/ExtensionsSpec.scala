@@ -48,6 +48,27 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: watermarked dedup drops replayed event ids") {
+    val events = EventStreams.readEvents(spark, "/root/testdata/sf0.001")
+    // duplicate every event in-batch (co-arriving replays are the
+    // guaranteed-dedup case; duplicates straddling the watermark are
+    // best-effort by definition)
+    val doubled = events
+      .withColumn("copy", explode(array(lit(1), lit(2)))).drop("copy")
+    val q = EventStreams.dedupedEvents(doubled, "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT event_id FROM dedup")
+        .collect().map(r => Option(r.get(0)))
+      val expected = Tables.events(spark, "/root/testdata/sf0.001")
+        .select("event_id").collect().map(r => Option(r.get(0)))
+      val extra = out.groupBy(identity).view.mapValues(_.size).toMap
+        .map { case (k, n) => (k, n - expected.count(_ == k)) }.filter(_._2 != 0)
+      assert(extra.isEmpty, s"output-vs-source multiplicity diffs: $extra")
+    } finally q.stop()
+  }
+
   test("streaming: stateful sessionization closes sessions on gaps") {
     import EventStreams.Ev
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
