@@ -246,7 +246,8 @@ object DedupSim {
     val a = be.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = be.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(dot(col("emb_a"), col("emb_b")), 6))
+      .withColumn("score",
+        round(graft.functions.VectorExpressions.dot_native(col("emb_a"), col("emb_b")), 6))
       .select(col("bucket"), col("id_a"), col("id_b"), col("score"))
       .orderBy(col("bucket"), col("id_a"), col("id_b"))
   }

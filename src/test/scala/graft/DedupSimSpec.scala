@@ -61,6 +61,30 @@ class DedupSimSpec extends AnyFunSuite {
       s"IVF top-1 recall $hits/${brute.size} too low for nprobe=2")
   }
 
+  test("native dot product matches the HOF formulation and stays in codegen") {
+    import graft.functions.{SimilarityFunctions, VectorExpressions}
+    val e = graft.sources.Tables.embeddings(spark, dir).limit(50)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val cmp = pairs.select(
+      round(SimilarityFunctions.dot(col("ea"), col("eb")), 9).as("hof"),
+      round(VectorExpressions.dot_native(col("ea"), col("eb")), 9).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
+    // the native expression must not force a CodegenFallback projection
+    // (plain scan+project shape: AQE wrappers would hide codegen marks)
+    val plan = graft.sources.Tables.embeddings(spark, dir)
+      .select(VectorExpressions.dot_native(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"expected the projection inside a WholeStageCodegen span in:\n$plan")
+    val hofPlan = graft.sources.Tables.embeddings(spark, dir)
+      .select(SimilarityFunctions.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(!hofPlan.contains("*(1) Project"),
+      "HOF dot projection unexpectedly codegen'd — update docs")
+  }
+
   test("q26 clusters: is_dup iff a lower doc_id shares a bucket; cluster ids are min") {
     val out = DedupSim.q26MinhashLsh(spark, dir).collect()
     assert(out.nonEmpty)
