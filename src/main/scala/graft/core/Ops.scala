@@ -190,6 +190,30 @@ object Ops {
   /** Canonical unordered-pair key (region-interface aggregation).
     * Reference: trans.py:188-219 (A3): `min-max` string pair key.
     */
+  /** Salted equi-join for skewed keys: every row of the big (probe) side
+    * gets a pseudo-random salt in [0, salts); the small side is replicated
+    * once per salt value, so one hot key's rows spread over `salts`
+    * shuffle partitions instead of landing on one straggler task.
+    *
+    * The salt derives from `monotonically_increasing_id` (row identity,
+    * key-independent), so the JOIN RESULT is exactly the unsalted result —
+    * only the physical distribution changes. Cost: the small side shuffles
+    * `salts`× its size; use for dimension-vs-skewed-fact shapes. AQE's
+    * skew-join handles sort-merge skew automatically at runtime — this is
+    * the explicit form for when the optimizer can't see the skew (e.g.
+    * the first shuffle of a freshly-read hot-keyed table) or when a
+    * deterministic layout is wanted.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    bigS.join(smallS, (keys :+ "__salt").toIndexedSeq, joinType).drop("__salt")
+  }
+
   def pairKey(a: Column, b: Column): Column =
     concat_ws("-", least(a, b), greatest(a, b))
 
