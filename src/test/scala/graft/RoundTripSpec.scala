@@ -36,6 +36,27 @@ class RoundTripSpec extends AnyFunSuite {
     assert(long2.count() == 12)
   }
 
+  test("UNSMRY binary round-trip: long form -> SMSPEC/UNSMRY -> read -> same (S16)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-smry").toString + "/CASE"
+    val df = Seq(
+      ("2020-01-01", "FOPR", 1250.5), ("2020-01-01", "WOPR:OP_1", 300.25),
+      ("2020-02-01", "FOPR", 1100.0), ("2020-02-01", "WOPR:OP_1", 290.5),
+      ("2020-03-01", "FOPR", 990.75), ("2020-03-01", "WOPR:OP_1", 0.0))
+      .toDF("DATE", "VECTOR", "VALUE")
+      .withColumn("DATE", to_date(col("DATE")))
+    val order = graft.write.SummaryWriter.write(df, base)
+    assert(order == Seq("TIME", "FOPR", "WOPR:OP_1"))
+    val back = graft.write.SummaryWriter.read(spark, base)
+      .withColumn("VALUE", round(col("VALUE"), 2)) // float32 storage precision
+    val expected = df.withColumn("VALUE", round(col("VALUE"), 2))
+    assert(back.count() == 6)
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+    // file structure: SMSPEC starts with a 16-byte header record framing
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$base.SMSPEC"))
+    assert(bytes(3) == 16 && new String(bytes.slice(4, 10), "ASCII") == "DIMENS")
+  }
+
   test("duplicate timestamps get TIMESTEP offsets (W5)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val df = Seq(
