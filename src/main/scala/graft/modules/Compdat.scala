@@ -165,7 +165,11 @@ object Compdat {
         welopen.filter(!isList).unionByName(exploded)
       }
     }
-    val hasC = col("C1").isNotNull || col("C2").isNotNull
+    // explicit 0 / negative completion numbers are defaults, same as 1*
+    // (reference zero/negative-values cases): only a positive C1 or C2
+    // names a real completion range. coalesce keeps the predicate
+    // two-valued so !hasC doesn't drop both-null rows.
+    val hasC = coalesce(col("C1"), lit(0)) > 0 || coalesce(col("C2"), lit(0)) > 0
     val cRows = afterList.filter(hasC)
     if (cRows.isEmpty) afterList
     else {

@@ -32,6 +32,27 @@ class CompdatSpec extends AnyFunSuite {
     assert(m(("OP2", 66, 44, 11)) == "OPEN")
   }
 
+  test("0, -1 and 5* coordinates are all defaults (reference zero/negative-values cases)") {
+    // reference test_welopen.py ids: welopen-shut-explicit-defaults,
+    // zero-values, negative-values — all equivalent to bare 'SHUT /'
+    for (coords <- Seq("", "5*", "0 0 0 0 0", "-1 -1 -1 -1 -1")) {
+      val df = Compdat.df(spark,
+        s"""DATES
+           | 1 'JAN' 2000 /
+           |/
+           |COMPDAT
+           | 'OP1' 1 1 1 1 'OPEN' /
+           |/
+           |WELOPEN
+           | 'OP1' 'SHUT' $coords /
+           |/
+           |""".stripMargin)
+      val m = stateMap(df)
+      assert(m(("OP1", 1, 1, 1)) == "SHUT", s"coords='$coords'")
+      assert(df.count() == 1, s"coords='$coords'")
+    }
+  }
+
   test("STOP acting on a well leaves connections open; on a connection it shuts") {
     val df = Compdat.df(spark,
       """DATES
