@@ -41,7 +41,8 @@ object DeckParser {
     // schedule
     "DATES", "START", "TSTEP", "COMPDAT", "WELSPECS", "WELOPEN", "WLIST",
     "COMPLUMP", "WCONPROD", "WCONHIST", "WCONINJE", "WCONINJH", "GRUPTREE",
-    "GRUPNET", "BRANPROP", "NODEPROP", "WSEGVALV", "WELSEGS", "COMPSEGS",
+    "GRUPNET", "BRANPROP", "NODEPROP", "WSEGVALV", "WSEGAICD", "WSEGSICD",
+    "WELSEGS", "COMPSEGS",
     // props / tables
     "SWOF", "SGOF", "SWFN", "SGFN", "SOF2", "SOF3", "SLGOF", "SGWFN",
     "PVTO", "PVDO", "PVTG", "PVDG", "PVTW", "DENSITY", "ROCK",
