@@ -21,19 +21,32 @@ import graft.core.Ops
 object Summary {
 
   /** Resample each vector onto the freq-normalized date grid spanning its
-    * own [min,max] date range.
-    * @param step true → step (previous-value) semantics, e.g. rate vectors;
+    * own [min,max] date range. Rollforward of the end bound is conditional
+    * (reference test_datenormalization: a max date already ON a grid
+    * boundary IS the last grid point; only off-boundary dates roll to the
+    * next one — pandas offset.rollforward semantics).
+    * @param step true → step (previous-value) semantics;
     *             false → linear interpolation between neighbors.
+    * @param rate true → Eclipse rate-vector semantics: a target's value is
+    *             the rate of the report interval CONTAINING it (backward
+    *             fill), and 0.0 beyond the last sample (reference
+    *             test_extrapolation: "rates should be zero, cumulatives
+    *             constant"). Overrides `step`.
     */
-  def resample(long: DataFrame, freq: String, step: Boolean = false): DataFrame = {
+  def resample(long: DataFrame, freq: String, step: Boolean = false,
+      rate: Boolean = false): DataFrame = {
     val bounds = long.groupBy(col("VECTOR").as("V2"))
       .agg(min(col("DATE")).as("mn"), max(col("DATE")).as("mx"))
     // per-vector date dimension: rollback/rollforward to freq boundaries
     // (same normalize semantics as Ops.dateDimension, keyed by vector)
+    val mxT = col("mx").cast("timestamp")
+    val mxTrunc = date_trunc(freqField(freq), col("mx")).cast("timestamp")
+    val gridEnd = when(mxTrunc === mxT, mxT)
+      .otherwise((mxTrunc + freqStep(freq)).cast("timestamp"))
     val targets = bounds.select(col("V2").as("VECTOR"),
       explode(sequence(
         date_trunc(freqField(freq), col("mn")).cast("timestamp"),
-        (date_trunc(freqField(freq), col("mx")).cast("timestamp") + freqStep(freq)).cast("timestamp"),
+        gridEnd,
         freqStep(freq))).as("DATE"))
       .withColumn("__side", lit(1))
       .withColumn("VALUE", lit(null).cast("double"))
@@ -52,6 +65,9 @@ object Summary {
     val nextX = first(when(col("VALUE").isNotNull, x), ignoreNulls = true).over(wNext)
     val interp =
       when(col("VALUE").isNotNull, col("VALUE"))
+        // rate: backward fill inside the sampled range, zero after the
+        // last sample (before the first, the first interval's rate applies)
+        .when(lit(rate), coalesce(nextV, lit(0.0)))
         .when(lit(step) && prevV.isNotNull, prevV)
         .when(prevV.isNull, nextV).when(nextV.isNull, prevV)
         .when(nextX === prevX, prevV)

@@ -292,7 +292,8 @@ object Relational {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
            FROM events),
          bounds AS (SELECT vector, date_trunc('month', min(d)) AS mn,
-                           date_trunc('month', max(d)) + INTERVAL 1 MONTH AS mx
+                           CASE WHEN date_trunc('month', max(d)) = max(d) THEN max(d)
+                                ELSE date_trunc('month', max(d)) + INTERVAL 1 MONTH END AS mx
                     FROM samples GROUP BY 1),
          targets AS (SELECT vector, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS md
                      FROM bounds),

@@ -35,6 +35,29 @@ class SummarySpec extends AnyFunSuite {
     assert(byDate("2000-04-01 00:00:00.0") == 30.0)
   }
 
+  test("rollforward keeps an on-boundary max date as the last grid point") {
+    // reference test_datenormalization: daily grid for data ending exactly
+    // on a day boundary ends ON that day; monthly rolls forward past it
+    val daily = Summary.resample(long, "daily").filter("VECTOR = 'FOPT'")
+      .agg(org.apache.spark.sql.functions.max("DATE")).head.getTimestamp(0)
+    assert(daily.toString == "2000-03-15 00:00:00.0")
+    val monthly = Summary.resample(long, "monthly").filter("VECTOR = 'FOPT'")
+      .agg(org.apache.spark.sql.functions.max("DATE")).head.getTimestamp(0)
+    assert(monthly.toString == "2000-04-01 00:00:00.0")
+  }
+
+  test("rate semantics: backward fill in range, zero beyond the last sample") {
+    // reference test_extrapolation: rates are zero in the future,
+    // and a rate applies to the report interval ENDING at its sample
+    val out = Summary.resample(long, "monthly", rate = true)
+      .filter("VECTOR = 'FOPR'").orderBy("DATE").collect()
+    val byDate = out.map(r => r.getTimestamp(1).toString -> r.getDouble(2)).toMap
+    assert(byDate("2000-01-01 00:00:00.0") == 10.0) // first interval's rate
+    assert(byDate("2000-02-01 00:00:00.0") == 30.0) // interval ending 03-15
+    assert(byDate("2000-03-01 00:00:00.0") == 30.0)
+    assert(byDate("2000-04-01 00:00:00.0") == 0.0) // extrapolated future
+  }
+
   test("toWide pivots vectors into columns") {
     val wide = Summary.toWide(Summary.resample(long, "monthly"), Seq("FOPT", "FOPR"))
     assert(wide.columns.toSeq == Seq("DATE", "FOPT", "FOPR"))
