@@ -17,7 +17,11 @@ object TreePrint {
     val children = rows.collect { case (c, Some(p)) => (p, c) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     val allChildren = rows.collect { case (c, Some(_)) => c }.toSet
-    val roots = rows.map(_._1).distinct.filterNot(allChildren.contains).sorted
+    // root candidates include nodes appearing only as PARENT: the
+    // reference accepts edge lists without dummy root rows
+    // (test_gruptree.py::test_multiple_roots, edges_noroots)
+    val nodes = (rows.map(_._1) ++ rows.flatMap(_._2)).distinct
+    val roots = nodes.filterNot(allChildren.contains).sorted
     val sb = new StringBuilder
     def walk(node: String, prefix: String, isLast: Boolean, isRoot: Boolean): Unit = {
       if (isRoot) sb.append(node).append('\n')

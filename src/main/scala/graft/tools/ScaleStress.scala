@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress harness: materializes a key-shifted ×N copy of an sf
+  * directory under /tmp and times representative queries against both, so
+  * scaling behavior (linear vs super-linear) is measured, not guessed.
+  *
+  * Key columns are shifted per replica (ids stay unique, key cardinality
+  * scales with volume) — the shapes that should scale linearly (scans,
+  * hash aggs, window-per-key, LSH bucketing) can be told apart from any
+  * that accidentally scale quadratically.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.ScaleStress [factor]
+  */
+object ScaleStress {
+
+  private val IdShift = 1000000000L
+
+  private def replicate(df: DataFrame, factor: Int, idCols: Seq[String]): DataFrame = {
+    val r = df.withColumn("__rep", explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    idCols.foldLeft(r)((d, c) => d.withColumn(c, col(c) + col("__rep") * IdShift))
+      .drop("__rep")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft-sfx$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // events.parquet is TIMESTAMP(NANOS): read it as raw long nanos so the
+    // replicated copy keeps the exact source shape Tables.events expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      println(s"-- materializing $dst (factor $factor)")
+      def w(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      import graft.sources.Tables
+      w("lineitem", replicate(Tables.lineitem(spark, src), factor, Seq("l_orderkey")))
+      w("orders", replicate(Tables.orders(spark, src), factor, Seq("o_orderkey", "o_custkey")))
+      w("customer", replicate(Tables.customer(spark, src), factor, Seq("c_custkey")))
+      w("supplier", Tables.supplier(spark, src))
+      w("part", Tables.part(spark, src))
+      w("nation", Tables.nation(spark, src))
+      w("region", Tables.region(spark, src))
+      w("events", replicate(
+        spark.read.parquet(s"$src/events.parquet"), // ts stays long nanos
+        factor, Seq("event_id", "user_id")))
+      w("documents", replicate(Tables.documents(spark, src), factor, Seq("doc_id")))
+      w("embeddings", replicate(Tables.embeddings(spark, src), factor, Seq("vec_id")))
+    }
+
+    val names = Seq("q01_agg", "q02_join", "q04_asof", "q07_lastwins",
+      "q12_running", "q24_exact_dedup", "q26_minhash_lsh", "q27_simhash",
+      "q30_ann_lsh", "q33_dropconst")
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, dir).count() catch { case e: Throwable => println(s"$name@$dir: $e"); -1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      val base = Seq(time(src), time(src)).min
+      val big = Seq(time(dst), time(dst)).min
+      println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
+    }
+    spark.stop()
+  }
+}

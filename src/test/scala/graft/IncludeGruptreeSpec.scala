@@ -63,4 +63,14 @@ class IncludeGruptreeSpec extends AnyFunSuite {
     assert(text.startsWith("FIELD\n"))
     assert(text.contains("├── G1") && text.contains("│   └── G3") && text.contains("└── G2"))
   }
+
+  test("tree render finds roots when dummy root rows are omitted; multi-root sorts") {
+    // reference test_gruptree.py::test_multiple_roots (edges_noroots case)
+    import spark.implicits._
+    val edges = Seq(("PLATB", "FIELDB"), ("PLATA", "FIELDA"))
+      .toDF("CHILD", "PARENT")
+    val text = graft.modules.TreePrint.render(edges)
+    assert(text ==
+      "FIELDA\n└── PLATA\nFIELDB\n└── PLATB\n")
+  }
 }
