@@ -104,10 +104,14 @@ object DeckParser {
     (out.result(), terminated)
   }
 
+  /** Eclipse keyword shape: up to 8 chars, uppercase start. */
+  private val UnknownKeywordRe = "^[A-Z][A-Z0-9_]{0,7}$".r
+
   def parse(text: String): Vector[DeckEvent] = {
     val events = Vector.newBuilder[DeckEvent]
     var kwIdx = -1
     var keyword: String = null
+    var keywordSeen = false
     var recordIdx = 0
     var buf = Vector.empty[String]
     for (line <- text.linesIterator) {
@@ -117,9 +121,20 @@ object DeckParser {
       val firstQuoted = line.dropWhile(_.isWhitespace).headOption.exists(c => c == '\'' || c == '"')
       val isKeywordLine = tokens.headOption.exists(t =>
         KnownKeywords.contains(t.toUpperCase)) && buf.isEmpty && !firstQuoted
-      if (isKeywordLine) {
+      // Permissive recovery for keywords outside the registry (the
+      // reference's PARSE_UNKNOWN_KEYWORD ignore mode,
+      // resdatafiles.py:20-32): an Eclipse keyword is <=8 chars of
+      // [A-Z0-9_], and a keyword line carries the keyword ALONE. Such a
+      // token between records starts an unknown keyword — its records
+      // parse structurally under its own name (modules filter by name, so
+      // they're inert) instead of corrupting the previous keyword's data.
+      val isUnknownKeywordLine = !isKeywordLine && buf.isEmpty && !firstQuoted &&
+        tokens.size == 1 && UnknownKeywordRe.matches(tokens.head) &&
+        keywordSeen // before any keyword, stray tokens stay ignored
+      if (isKeywordLine || isUnknownKeywordLine) {
         kwIdx += 1
         keyword = tokens.head.toUpperCase
+        keywordSeen = true
         recordIdx = 0
         if (NoRecordKeywords.contains(keyword)) {
           events += DeckEvent(kwIdx, keyword, 0, Nil)
@@ -132,6 +147,12 @@ object DeckParser {
             events += DeckEvent(kwIdx, keyword, recordIdx, buf)
             recordIdx += 1; buf = Vector.empty
           }
+        }
+      } else if (keyword == "TITLE") {
+        // TITLE's record is one line of free text, no `/` terminator
+        if (tokens.nonEmpty) {
+          events += DeckEvent(kwIdx, keyword, 0, tokens)
+          keyword = null
         }
       } else if (keyword != null) {
         val (items, done) = expand(tokens)

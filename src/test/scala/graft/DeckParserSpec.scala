@@ -52,6 +52,40 @@ class DeckParserSpec extends AnyFunSuite {
     assert(events(1).items == Vector("FIELD", "NORTH"))
   }
 
+  test("unknown keywords parse under their own name without corrupting neighbors") {
+    // the reference's PARSE_UNKNOWN_KEYWORD ignore recovery
+    // (resdatafiles.py:20-32): FOOBARBZ is not in the registry
+    val events = DeckParser.parse(
+      """COMPDAT
+        | 'OP1' 1 1 1 1 'OPEN' /
+        |/
+        |FOOBARBZ
+        | 1 2 3 /
+        |/
+        |WELOPEN
+        | 'OP1' 'SHUT' /
+        |/
+        |""".stripMargin)
+    assert(events.filter(_.keyword == "COMPDAT").flatMap(_.items) ==
+      Vector("OP1", "1", "1", "1", "1", "OPEN"))
+    assert(events.filter(_.keyword == "FOOBARBZ").head.items == Vector("1", "2", "3"))
+    assert(events.filter(_.keyword == "WELOPEN").flatMap(_.items) ==
+      Vector("OP1", "SHUT"))
+  }
+
+  test("TITLE consumes exactly one free-text line") {
+    val events = DeckParser.parse(
+      """RUNSPEC
+        |TITLE
+        | My Reservoir Model 2000
+        |DIMENS
+        | 2 2 2 /
+        |""".stripMargin)
+    assert(events.filter(_.keyword == "TITLE").head.items ==
+      Vector("My", "Reservoir", "Model", "2000"))
+    assert(events.filter(_.keyword == "DIMENS").head.items == Vector("2", "2", "2"))
+  }
+
   test("record data spanning multiple lines") {
     val events = DeckParser.parse(
       """SWOF
