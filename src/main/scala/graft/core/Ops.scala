@@ -190,6 +190,24 @@ object Ops {
   /** Canonical unordered-pair key (region-interface aggregation).
     * Reference: trans.py:188-219 (A3): `min-max` string pair key.
     */
+  /** Well-name template matching with the reference's validation rule
+    * (get_wells_matching_template, common.py:955-980): `*`/`?` glob
+    * templates, but a LEADING wildcard is rejected — in schedule keywords
+    * a leading `*` names a WLIST — unless escaped with a backslash, which
+    * re-enables wildcard semantics for the first character.
+    */
+  def wellsMatchingTemplate(template: String, wells: Seq[String]): Seq[String] = {
+    val t =
+      if (template.startsWith("\\")) template.drop(1)
+      else if (template.startsWith("*") || template.startsWith("?"))
+        throw new IllegalArgumentException(
+          "Well template not allowed to start with a wildcard character, " +
+            s"use a backslash escape: $template")
+      else template
+    val re = globToRegex(t).r // already ^…$-anchored
+    wells.filter(w => re.matches(w))
+  }
+
   /** Salted equi-join for skewed keys: every row of the big (probe) side
     * gets a pseudo-random salt in [0, salts); the small side is replicated
     * once per salt value, so one hot key's rows spread over `salts`

@@ -28,6 +28,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!"AXB".matches(Ops.globToRegex("A.B"))) // dot is literal
   }
 
+  test("well template matching: reference cases incl. leading-wildcard escape rule") {
+    // reference test_common.py::test_well_matching_template
+    import graft.core.Ops.wellsMatchingTemplate
+    assert(wellsMatchingTemplate("OP*", Seq("OP1", "OP2", "WI")) == Seq("OP1", "OP2"))
+    assert(wellsMatchingTemplate("B*H", Seq("B_1H", "BH", "B_23H", "WI")) ==
+      Seq("B_1H", "BH", "B_23H"))
+    assert(wellsMatchingTemplate("B_1H*", Seq("B_1H", "B_1HT2", "OB_1H")) ==
+      Seq("B_1H", "B_1HT2"))
+    assert(wellsMatchingTemplate("\\*P1", Seq("OP1", "WI")) == Seq("OP1"))
+    assert(wellsMatchingTemplate("B_?H", Seq("B_1H", "B_12H")) == Seq("B_1H"))
+    assert(wellsMatchingTemplate("\\????", Seq("B_1H", "D_2H", "OP1")) ==
+      Seq("B_1H", "D_2H"))
+    intercept[IllegalArgumentException](wellsMatchingTemplate("*P1", Seq("OP1")))
+    intercept[IllegalArgumentException](wellsMatchingTemplate("????", Seq("B_1H")))
+  }
+
   test("unrollRange emits k2-k1+1 rows per input row") {
     samples(Gen.listOfN(5, Gen.chooseNum(1, 20)), 3).foreach { starts =>
       val df = starts.zipWithIndex
