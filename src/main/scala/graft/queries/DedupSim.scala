@@ -20,6 +20,7 @@ object DedupSim {
   private val MinhashK = 32
   private val LshBands = 8
   private val SimhashSeed = 100 // seed base for the 64 SimHash bit planes
+  private val SimhashMaxHamming = 8 // near-dup threshold for q37
   private val AnnPlanes = 12
   private val AnnSeed = 200 // seed base for the ANN hyperplane signs
 
@@ -132,14 +133,43 @@ object DedupSim {
     * as Long.MinValue so the fold never overflows ANSI arithmetic).
     * Deterministic integer math end-to-end → full DuckDB oracle.
     */
-  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
+  private def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash.sign
     val votes = docTokenBits(s, dir).groupBy(col("doc_id"))
       .agg(sum(sign(col("bit"), SimhashSeed)).as("v0"),
         (1 until 64).map(b => sum(sign(col("bit"), SimhashSeed + b)).as(s"v$b")): _*)
     val fp = (0 until 63).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _) + when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
-    votes.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def q27Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(s, dir).orderBy(col("doc_id"))
+
+  /** SimHash near-dup decision table: pairs of DISTINCT fingerprints
+    * within `SimhashMaxHamming` bits, each annotated with its duplicate
+    * group's size and representative doc. On a dup-heavy corpus the doc
+    * pair list is inherently quadratic (one 100-doc identical cluster
+    * alone is ~5000 pairs; measured 35k+ pairs at sf0.1 even at
+    * hamming=0), so — same principle as q26's cluster output — the query
+    * emits the LINEAR fingerprint-level merge decisions; expanding any
+    * decision to doc pairs is a downstream join the caller opts into.
+    * Integer xor/popcount end-to-end → DuckDB oracle.
+    */
+  def q37SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val groups = simhashFingerprints(s, dir)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    val a = groups.select(col("simhash").as("fp_a"), col("n_docs").as("docs_a"),
+      col("rep_doc").as("rep_a"))
+    val b = groups.select(col("simhash").as("fp_b"), col("n_docs").as("docs_b"),
+      col("rep_doc").as("rep_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming && col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        col("docs_a"), col("docs_b"))
+      .orderBy(col("rep_a"), col("rep_b"))
   }
 
   /** Brute-force cosine top-k: each query vector (vec_id < 10) against the
@@ -335,6 +365,7 @@ object DedupSim {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_ivf" -> (q36AnnIvf _),
+    "q37_simhash_neardup" -> (q37SimhashNearDup _),
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q25_jaccard" -> (q25Jaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -387,6 +418,30 @@ object DedupSim {
        SELECT doc_id, $fpTerms AS simhash FROM votes ORDER BY doc_id"""
   }
 
+  /** q37 oracle: same distinct-fingerprint hamming pair walk in DuckDB. */
+  private def simhashNearDupSql: String = {
+    import graft.functions.PortableHash.signSql
+    val voteCols = (0 until 64)
+      .map(b => s"CAST(sum(${signSql("bit", SimhashSeed + b)}) AS BIGINT) AS v$b")
+      .mkString(",\n             ")
+    val fpTerms = (0 until 63)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ") +
+      " + CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END"
+    s"""WITH $docTokenBitsSql,
+       votes AS (SELECT doc_id, $voteCols FROM t GROUP BY doc_id),
+       fps AS (SELECT doc_id, $fpTerms AS simhash FROM votes),
+       groups AS (SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_doc
+                  FROM fps GROUP BY simhash)
+       SELECT a.rep_doc AS rep_a, b.rep_doc AS rep_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+              a.n_docs AS docs_a, b.n_docs AS docs_b
+       FROM groups a CROSS JOIN groups b
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+         AND a.rep_doc < b.rep_doc
+       ORDER BY rep_a, rep_b"""
+  }
+
   /** q30 oracle: quantized hyperplane buckets + in-bucket pair scores. */
   private def annLshSql: String = {
     import graft.functions.PortableHash.signSql
@@ -413,6 +468,7 @@ object DedupSim {
 
   val oracleSql: Map[String, String] = Map(
     "q36_ann_ivf" -> annIvfSql,
+    "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,
