@@ -14,20 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Rft {
 
-  /** Attach the downstream-neighbor row (`_upstream`-suffixed per the
-    * reference's naming) to every segment, plus topology flags:
+  /** Attach each UPSTREAM segment's row (`_upstream`-suffixed, one output
+    * row per inflow — a junction with two inflows appears twice, matching
+    * the reference's merge shape at rft.py:219-276 and its
+    * test_minimal_branched_well expectations), plus topology flags:
     * JUNCTION — more than one segment flows into this one;
-    * LEAF — no segment flows into this one;
+    * LEAF — no segment flows into this one (upstream columns stay null);
     * LONELYSEG — SEGNXT is null/absent (e.g. top segment).
     */
   def processSegTopology(seg: DataFrame): DataFrame = {
+    require(seg.columns.contains("SEGIDX") && seg.columns.contains("SEGNXT"),
+      s"Insufficient topology columns (need SEGIDX, SEGNXT): ${seg.columns.mkString(",")}")
     val segCols = seg.columns
     val up = seg.select(segCols.map(c => col(c).as(s"${c}_upstream")).toIndexedSeq: _*)
     // inflow count per segment: how many segments name me as their SEGNXT
     val inflow = seg.groupBy(col("SEGNXT").as("SEGIDX"))
       .agg(count(lit(1)).as("__n_inflow"))
     seg
-      .join(up, col("SEGNXT") === col("SEGIDX_upstream"), "left")
+      .join(up, col("SEGNXT_upstream") === col("SEGIDX"), "left")
       .join(inflow, Seq("SEGIDX"), "left")
       .withColumn("JUNCTION", coalesce(col("__n_inflow"), lit(0L)) > 1)
       .withColumn("LEAF", coalesce(col("__n_inflow"), lit(0L)) === 0)

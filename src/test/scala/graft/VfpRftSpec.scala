@@ -45,20 +45,30 @@ class VfpRftSpec extends AnyFunSuite {
     assert(df.filter("RATE = 20.0").collect().head.getAs[Double]("TAB") == 302.0)
   }
 
-  test("RFT segment topology: upstream join + LEAF/JUNCTION flags") {
-    // tree: 3 -> 2 -> 1, 4 -> 2 (2 is a junction; 3 and 4 leaves)
+  test("RFT segment topology: one row per inflow, LEAF/JUNCTION flags") {
+    // reference test_minimal_branched_well: 2 -> 1, 3 -> 1 (1 junction)
     val seg = Seq(
       (1, null.asInstanceOf[Integer], 100.0),
       (2, Integer.valueOf(1), 90.0),
-      (3, Integer.valueOf(2), 80.0),
-      (4, Integer.valueOf(2), 70.0)
+      (3, Integer.valueOf(1), 80.0)
     ).toDF("SEGIDX", "SEGNXT", "SEGPRES")
-    val topo = Rft.processSegTopology(seg)
-    val byIdx = topo.collect().map(r => r.getAs[Int]("SEGIDX") -> r).toMap
-    assert(byIdx(2).getAs[Boolean]("JUNCTION"))
-    assert(byIdx(3).getAs[Boolean]("LEAF") && byIdx(4).getAs[Boolean]("LEAF"))
-    assert(byIdx(1).getAs[Boolean]("LONELYSEG"))
-    assert(byIdx(3).getAs[Double]("SEGPRES_upstream") == 90.0) // 3 flows into 2
+    val topo = Rft.processSegTopology(seg).collect()
+    assert(topo.length == 4) // junction row duplicated per upstream
+    assert(topo.count(_.getAs[Boolean]("LEAF")) == 2)
+    val junctionUps = topo.filter(_.getAs[Int]("SEGIDX") == 1)
+      .map(_.getAs[Int]("SEGIDX_upstream")).toSet
+    assert(junctionUps == Set(2, 3))
+    val byIdx = topo.groupBy(_.getAs[Int]("SEGIDX"))
+    assert(byIdx(1).forall(_.getAs[Boolean]("JUNCTION")))
+    assert(byIdx(1).forall(_.getAs[Boolean]("LONELYSEG")))
+    assert(byIdx(2).forall(r => r.getAs[Boolean]("LEAF") && r.isNullAt(r.fieldIndex("SEGPRES_upstream"))))
+    // single-segment well: LEAF and LONELYSEG, one row (reference test_minimal_well)
+    val one = Rft.processSegTopology(
+      Seq((1, null.asInstanceOf[Integer], 195.8)).toDF("SEGIDX", "SEGNXT", "SEGPRES"))
+      .collect()
+    assert(one.length == 1 && one.head.getAs[Boolean]("LEAF"))
+    intercept[IllegalArgumentException](
+      Rft.processSegTopology(Seq((1, 1.0)).toDF("SEGNXT", "SEGPRES")))
   }
 
   test("RFT connection-ICD-segment chain with anti-join remainder") {

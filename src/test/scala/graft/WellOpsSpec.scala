@@ -17,7 +17,8 @@ class WellOpsSpec extends AnyFunSuite {
       (ts("2000-03-01"), "CPI:OP1:1,1,1", 6.0),  // no change
       (ts("2000-04-01"), "CPI:OP1:1,1,1", 0.0),  // SHUT
       (ts("2000-01-01"), "CPI:OP2:2,2,2", 3.0),  // first positive → OPEN
-      (ts("2000-01-01"), "FOPT", 1000.0)          // not a CPI vector
+      (ts("2000-01-01"), "FOPT", 1000.0),         // not a CPI vector
+      (ts("2000-01-01"), "CPI:OP1:123", 7.0)      // malformed ijk → ignored
     ).toDF("DATE", "VECTOR", "VALUE")
     val out = WellOps.wellConnStatus(cpi).orderBy("WELL", "DATE").collect()
     assert(out.length == 3)
