@@ -61,7 +61,10 @@ object FipReports {
     val oil = split(trim(element_at(sect, 3)), "\\s+")
     val water = trim(element_at(sect, 4))
     val gas = split(trim(element_at(sect, 5)), "\\s+")
-    def num(c: Column): Column = c.cast("double")
+    // two-phase runs leave whole sections blank (gas-water: no oil
+    // columns) — an empty string must parse as null, and ANSI mode makes
+    // a bare cast('') throw, so guard first
+    def num(c: Column): Column = when(trim(c) =!= "", trim(c).cast("double"))
 
     dated
       .filter(trim(col("line")).rlike("^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY|WELL|FIELD)"))

@@ -41,6 +41,32 @@ class FipReportsSpec extends AnyFunSuite {
     assert(cur2.getAs[java.sql.Date]("DATE").toString == "2021-01-02")
   }
 
+  test("two-phase gas-water report: blank oil section parses as nulls") {
+    // reference test_fipreports.py::test_gaswater_report
+    val gw =
+      """                                              =================================
+        |                                                : FIPNUM  REPORT REGION    2    :
+        |                                                :     PAV =       4045.00  BARSA:
+        | :-------------------------:-------------------------------------------:----------------:-------------------------------------------:
+        | :CURRENTLY IN PLACE       :                                           :      19135648. :      8457278.                     8457278.:
+        | :OUTFLOW TO OTHER REGIONS :                                           :             0. :            0.                           0.:
+        | :OUTFLOW THROUGH WELLS    :                                           :             0. :                                         0.:
+        | :ORIGINALLY IN PLACE      :                                           :      19135648. :      8457278.                     8457278.:
+        |""".stripMargin
+    val linesDf = spark.createDataset(gw.linesIterator.toSeq).rdd
+      .zipWithIndex.toDF("line", "idx")
+    val df = FipReports.fromLines(linesDf)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Int]("REGION") == 2))
+    val cur = rows.find(_.getAs[String]("DATATYPE") == "CURRENTLY IN PLACE").get
+    assert(cur.isNullAt(cur.fieldIndex("STOIIP_OIL")))
+    assert(cur.isNullAt(cur.fieldIndex("STOIIP_TOTAL")))
+    assert(cur.getAs[Double]("WIIP_TOTAL") == 19135648.0)
+    assert(cur.getAs[Double]("GIIP_GAS") == 8457278.0)
+    assert(cur.getAs[Double]("GIIP_TOTAL") == 8457278.0)
+  }
+
   test("scrapes the reference-shaped real PRT when available") {
     val p = "/root/reference/tests/data/fipreports/TEST1.PRT"
     if (new java.io.File(p).exists()) {
