@@ -33,13 +33,26 @@ object Equil {
   private val SubKeywords = Map(
     "RSVD" -> "RS", "RVVD" -> "RV", "PBVD" -> "PB", "PDVD" -> "PD")
 
-  def equil(events: DataFrame): DataFrame =
-    events.filter(col("keyword") === "EQUIL" && size(col("items")) > 0)
-      .select((col("recordIdx") + 1).as("EQLNUM"), lit("EQUIL").as("KEYWORD"),
-        R.dbl(0).as("Z"), R.dbl(1).as("PRESSURE"),
-        R.dbl(2, 0.0).as("OWC"), R.dbl(3, 0.0).as("PCOWC"),
-        R.dbl(4, 0.0).as("GOC"), R.dbl(5, 0.0).as("PCGOC"),
-        R.int(6).as("INITRS"), R.int(7).as("INITRV"), R.int(8).as("ACCURACY"))
+  /** EQUIL record positions are fixed; the CONTACT COLUMN NAMES depend on
+    * the deck's phase configuration (reference equil.py phases handling,
+    * tests test_equil.py::test_decks): oil-water → OWC, gas-water → GWC
+    * (same slot), gas-oil → that slot is ignored; the GOC slot only
+    * exists when both oil and gas are present.
+    */
+  def equil(events: DataFrame, phases: Set[String] = Set("OIL", "WATER", "GAS")): DataFrame = {
+    val (oil, water, gas) =
+      (phases contains "OIL", phases contains "WATER", phases contains "GAS")
+    val base = events.filter(col("keyword") === "EQUIL" && size(col("items")) > 0)
+    val contact1 =
+      if (oil && water) Some("OWC") else if (gas && water) Some("GWC") else None
+    val contact2 = if (oil && gas) Some("GOC") else None
+    val cols = Seq((col("recordIdx") + 1).as("EQLNUM"), lit("EQUIL").as("KEYWORD"),
+      R.dbl(0).as("Z"), R.dbl(1).as("PRESSURE")) ++
+      contact1.toSeq.flatMap(n => Seq(R.dbl(2, 0.0).as(n), R.dbl(3, 0.0).as(s"PC$n"))) ++
+      contact2.toSeq.flatMap(n => Seq(R.dbl(4, 0.0).as(n), R.dbl(5, 0.0).as(s"PC$n"))) ++
+      Seq(R.int(6).as("INITRS"), R.int(7).as("INITRV"), R.int(8).as("ACCURACY"))
+    base.select(cols: _*)
+  }
 
   def subKeyword(events: DataFrame, kw: String): DataFrame =
     events.filter(col("keyword") === kw && size(col("items")) > 0)
@@ -48,9 +61,19 @@ object Equil {
       .select(col("EQLNUM"), col("KEYWORD"), col("row.Z").as("Z"),
         col(s"row.${SubKeywords(kw)}").as(SubKeywords(kw)))
 
+  /** Phase keywords present in the deck; an undeclared deck (no phase
+    * keywords at all) is treated as three-phase.
+    */
+  def phasesFromEvents(events: DataFrame): Set[String] = {
+    val ph = events.filter(col("keyword").isin("OIL", "WATER", "GAS"))
+      .select("keyword").distinct().collect().map(_.getString(0)).toSet
+    if (ph.isEmpty) Set("OIL", "WATER", "GAS") else ph
+  }
+
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
-    val parts = (equil(events) +: SubKeywords.keys.toSeq.sorted.map(subKeyword(events, _)))
+    val parts = (equil(events, phasesFromEvents(events)) +:
+      SubKeywords.keys.toSeq.sorted.map(subKeyword(events, _)))
       .filter(d => !d.isEmpty)
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(spark.emptyDataFrame)

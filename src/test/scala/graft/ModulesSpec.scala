@@ -64,6 +64,23 @@ class ModulesSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("OWC") == 2200.0)
   }
 
+  test("equil: contact column names follow the deck's phase configuration") {
+    // reference test_equil.py::test_decks phase cases
+    val gasWater = Equil.df(spark,
+      "GAS\nWATER\n\nEQUIL\n 2000 200 2200 /\n")
+    assert(gasWater.columns.contains("GWC") && !gasWater.columns.contains("OWC"))
+    assert(gasWater.collect().head.getAs[Double]("GWC") == 2200.0)
+    assert(!gasWater.columns.contains("GOC"))
+    val gasOil = Equil.df(spark,
+      "GAS\nOIL\n\nEQUIL\n 2000 200 2200 1 2100 3 /\n")
+    assert(gasOil.collect().head.getAs[Double]("GOC") == 2100.0)
+    assert(!gasOil.columns.contains("OWC") && !gasOil.columns.contains("GWC"))
+    val oilWater = Equil.df(spark,
+      "OIL\nWATER\n\nEQUIL\n 2000 200 2200 /\n")
+    assert(oilWater.collect().head.getAs[Double]("OWC") == 2200.0)
+    assert(!oilWater.columns.contains("GOC"))
+  }
+
   test("pvt: PVTO empty-record counter splits PVTNUM tables") {
     val df = Pvt.df(spark,
       """PVTO
