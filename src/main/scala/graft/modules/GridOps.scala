@@ -63,6 +63,33 @@ object GridOps {
   def mergeParams(df: DataFrame, params: Map[String, String]): DataFrame =
     params.toSeq.sortBy(_._1).foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
 
+  /** Discover parameter files by the reference's directory convention
+    * (parameters.py:18-57): `<filebase>.{json,yml,txt}` and bare
+    * `<filebase>` in the deck's directory, one and two levels up, in that
+    * priority order.
+    */
+  def findParameterFiles(deckPath: String, filebase: String = "parameters"): Seq[String] = {
+    val base = java.nio.file.Paths.get(deckPath).toAbsolutePath.getParent
+    for {
+      up <- Seq(".", "..", "../..")
+      name <- Seq(s"$filebase.json", s"$filebase.yml", s"$filebase.txt", filebase)
+      p = base.resolve(up).resolve(name).normalize()
+      if java.nio.file.Files.isRegularFile(p)
+    } yield p.toString
+  }
+
+  /** parameters.txt → key-value map (parameters.py:60-100): one
+    * whitespace-separated pair per line, `#` comments ignored; lines with
+    * no value or extra tokens are skipped (the reference drops them with a
+    * warning).
+    */
+  def parseParametersTxt(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\\s+"))
+      .collect { case Array(k, v) => k -> v }
+      .toMap
+
   /** Pillar statistics (A1, pillars.py:38-141): PILLAR = "I-J", volumes
     * summed, coordinates/permeabilities averaged.
     */

@@ -92,4 +92,19 @@ class GridOpsSpec extends AnyFunSuite {
     val p = GridOps.mergeParams(merged, Map("CASE" -> "demo"))
     assert(p.columns.contains("CASE"))
   }
+
+  test("parameter file discovery walks up the directory convention") {
+    val root = java.nio.file.Files.createTempDirectory("graft-params")
+    val model = root.resolve("eclipse").resolve("model")
+    java.nio.file.Files.createDirectories(model)
+    java.nio.file.Files.writeString(root.resolve("parameters.txt"),
+      "# a comment\nFWL 1700.5\nRMS_SEED 422789\nBADLINE 1 2 3\n")
+    java.nio.file.Files.writeString(model.resolve("parameters.json"), "{}")
+    val found = GridOps.findParameterFiles(model.resolve("CASE.DATA").toString)
+    assert(found.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("parameters.json", "parameters.txt")) // same-dir json first, then 2-up txt
+    val params = GridOps.parseParametersTxt(
+      java.nio.file.Files.readString(root.resolve("parameters.txt")))
+    assert(params == Map("FWL" -> "1700.5", "RMS_SEED" -> "422789"))
+  }
 }
