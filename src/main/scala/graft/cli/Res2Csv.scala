@@ -21,6 +21,11 @@ object Res2Csv {
     "pvt" -> ((s, t) => Pvt.df(s, t)),
     "wcon" -> ((s, t) => Wcon.df(s, t)),
     "vfp" -> ((s, t) => Vfp.df(s, t)),
+    "welsegs" -> ((s, t) => Msw.welsegs(graft.io.DeckParser.toDS(s, t).toDF())),
+    "compsegs" -> ((s, t) => Msw.compsegs(graft.io.DeckParser.toDS(s, t).toDF())),
+    "wsegsicd" -> ((s, t) => Msw.wsegsicd(graft.io.DeckParser.toDS(s, t).toDF())),
+    "wsegaicd" -> ((s, t) => Msw.wsegaicd(graft.io.DeckParser.toDS(s, t).toDF())),
+    "wsegvalv" -> ((s, t) => Msw.wsegvalv(graft.io.DeckParser.toDS(s, t).toDF())),
   )
 
   /** Modules that take a file path (not deck text). */
