@@ -104,6 +104,25 @@ object Summary {
   def cropDates(df: DataFrame, start: Column, end: Column): DataFrame =
     df.filter(col("DATE").between(start, end))
 
+  /** Restart-history chaining (reference `include_restart`,
+    * summary.py:299/332 — resdata walks the RESTART ancestry and prepends
+    * the parent run's history): parent-case rows strictly BEFORE the
+    * restarted case's first date union with the restarted case, per
+    * vector. The restarted run owns every date from its start onward —
+    * overlapping parent rows are superseded, which is exactly resdata's
+    * behavior when a restart rewrites history. Chains fold left for
+    * multi-hop ancestry.
+    */
+  def chainRestart(parent: DataFrame, current: DataFrame): DataFrame = {
+    val firstByVec = current.groupBy(col("VECTOR").as("V2"))
+      .agg(min(col("DATE")).as("__restart_start"))
+    parent
+      .join(broadcast(firstByVec), col("VECTOR") === col("V2"), "left")
+      .filter(col("__restart_start").isNull || col("DATE") < col("__restart_start"))
+      .drop("V2", "__restart_start")
+      .unionByName(current)
+  }
+
   /** Duplicate-timestamp disambiguation (W5, _ensure_unique_datetime_index
     * summary.py:435-483): the n-th row sharing a DATE within a vector gets
     * n × `stepSeconds` added, preserving report-step ordering.

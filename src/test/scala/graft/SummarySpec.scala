@@ -58,6 +58,21 @@ class SummarySpec extends AnyFunSuite {
     assert(byDate("2000-04-01 00:00:00.0") == 0.0) // extrapolated future
   }
 
+  test("restart chaining prepends parent history before the restart start") {
+    val parent = Seq(
+      ("FOPT", ts("2000-01-15 00:00:00"), 100.0),
+      ("FOPT", ts("2000-02-15 00:00:00"), 150.0), // superseded: restart rewrites it
+      ("FWPT", ts("2000-01-15 00:00:00"), 7.0))   // vector absent in restart → kept
+      .toDF("VECTOR", "DATE", "VALUE")
+    val current = Seq(
+      ("FOPT", ts("2000-02-15 00:00:00"), 160.0),
+      ("FOPT", ts("2000-03-15 00:00:00"), 400.0))
+      .toDF("VECTOR", "DATE", "VALUE")
+    val out = Summary.chainRestart(parent, current).orderBy("VECTOR", "DATE").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("FOPT", 100.0), ("FOPT", 160.0), ("FOPT", 400.0), ("FWPT", 7.0)))
+  }
+
   test("toWide pivots vectors into columns") {
     val wide = Summary.toWide(Summary.resample(long, "monthly"), Seq("FOPT", "FOPR"))
     assert(wide.columns.toSeq == Seq("DATE", "FOPT", "FOPR"))
