@@ -75,6 +75,29 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** "Resize" kernel (the image-downscale analog over opaque bytes): keep
+    * every `factor`-th byte in a partition-batched primitive loop and
+    * rewrite the metadata to match. STUB for a real resampling codec —
+    * the content transform + metadata contract is what production swaps.
+    */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("media_type"), col("content"),
+        col("meta.source").as("source")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val out =
+            if (bytes == null) null
+            else Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+          Row(r.getLong(0), r.getString(1), out,
+            Row(r.getString(3), if (out == null) 0L else out.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** Deterministic frame sampling for video-like media: n evenly-spaced
     * byte offsets per item (the plumbing for keyframe extraction —
     * explode(sequence), fully declarative).

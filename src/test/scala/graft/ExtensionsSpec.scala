@@ -26,6 +26,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(again.getSeq[Float](again.fieldIndex("features")) == f1)
   }
 
+  test("multimodal: resize kernel shrinks content and rewrites metadata") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
+    val media = Multimodal.fromText(docs, "doc_id", "text", "image")
+    val resized = Multimodal.resize(media, 4).orderBy("media_id").collect()
+    val original = media.orderBy("media_id").collect()
+    resized.zip(original).foreach { case (r, o) =>
+      val rb = r.getAs[Array[Byte]]("content")
+      val ob = o.getAs[Array[Byte]]("content")
+      assert(rb.length == ob.length / 4)
+      assert(r.getStruct(r.fieldIndex("meta")).getAs[Long]("n_bytes") == rb.length.toLong)
+      // deterministic: every 4th byte survives
+      assert(rb.take(3).toSeq == Seq(ob(0), ob(4), ob(8)).toSeq)
+    }
+  }
+
   test("multimodal: frame sampling emits evenly spaced offsets") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(3)
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
