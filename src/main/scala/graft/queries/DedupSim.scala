@@ -116,7 +116,12 @@ object DedupSim {
     val stackArgs = (0 until LshBands).map(b => s"${b}L, b$b").mkString(", ")
     val bands = sig.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
       .selectExpr("doc_id", s"stack($LshBands, $stackArgs) AS (band_idx, band_hash)")
-      .cache() // consumed twice (bucket agg + member join); tiny: bands×docs rows
+      // consumed twice (bucket agg + member join). cache() is
+      // MEMORY_AND_DISK: at test scale it stays in memory; at corpus scale
+      // (bands×docs rows) it spills or — for a production run — gets
+      // checkpointed to parquet between the two consumers instead of
+      // recomputing the signature aggregate.
+      .cache()
     val bucketMin = bands.groupBy(col("band_idx"), col("band_hash"))
       .agg(min(col("doc_id")).as("bucket_min"), count(lit(1)).as("bucket_size"))
     bands.join(bucketMin, Seq("band_idx", "band_hash"))
