@@ -168,7 +168,12 @@ object Compdat {
     // explicit 0 / negative completion numbers are defaults, same as 1*
     // (reference zero/negative-values cases): only a positive C1 or C2
     // names a real completion range. coalesce keeps the predicate
-    // two-valued so !hasC doesn't drop both-null rows.
+    // two-valued so !hasC doesn't drop both-null rows. A half-given range
+    // (one bound positive, the other 0/defaulted) collapses to the given
+    // bound — the reference raises "Zeros for C1/C2 is not implemented"
+    // here; the engine generalizes instead of failing the job.
+    val c1p = when(col("C1") > 0, col("C1"))
+    val c2p = when(col("C2") > 0, col("C2"))
     val hasC = coalesce(col("C1"), lit(0)) > 0 || coalesce(col("C2"), lit(0)) > 0
     val cRows = afterList.filter(hasC)
     if (cRows.isEmpty) afterList
@@ -180,7 +185,7 @@ object Compdat {
           col("keywordIdx").as("clIdx"), col("recordIdx").as("clRec"))
       val joined = cRows.drop("I", "J", "K").join(broadcast(cl),
         cRows("WELL") === cl("WELL") && col("clIdx") <= col("keywordIdx") &&
-          col("N").between(coalesce(col("C1"), col("C2")), coalesce(col("C2"), col("C1"))))
+          col("N").between(coalesce(c1p, c2p), coalesce(c2p, c1p)))
         .drop(cl("WELL"))
       // latest lump assignment per (welopen row, connection)
       val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"),
@@ -295,5 +300,28 @@ object Compdat {
       compdat.unionByName(newRows),
       keys = Seq("WELL", "I", "J", "K1", "K2", "DATE"),
       ord = Seq(col("keywordIdx"), col("recordIdx")))
+  }
+
+  /** WELOPEN validation report: resolved WELOPEN rows that matched NO prior
+    * COMPDAT connection. The reference raises ValueError for these ("No
+    * connections are matching WELOPEN keyword", "not acting on any
+    * existing well"); a distributed engine must not fail a whole corpus on
+    * one bad record, so the anomalies surface as data — the caller decides
+    * whether they are fatal. Same join shape as applyWelopen, anti-form.
+    */
+  def welopenAnomalies(compdat: DataFrame, welopen: DataFrame): DataFrame = {
+    val wo = welopen.withColumn("actsOnWell",
+      (col("I").isNull || col("I") <= 0) &&
+        (col("J").isNull || col("J") <= 0) &&
+        (col("K").isNull || col("K") <= 0))
+    val c = compdat.select(col("WELL").as("cWELL"), col("keywordIdx").as("cIdx"),
+      col("I").as("cI"), col("J").as("cJ"), col("K1").as("cK1"), col("K2").as("cK2"))
+    wo.join(c,
+        col("cWELL") === col("WELL") && col("cIdx") < col("keywordIdx") &&
+          (col("actsOnWell") ||
+            (col("cI") === col("I") && col("cJ") === col("J") &&
+              col("cK1") === col("K") && col("cK2") === col("K"))),
+        "left_anti")
+      .drop("actsOnWell")
   }
 }

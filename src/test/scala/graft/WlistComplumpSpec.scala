@@ -59,6 +59,48 @@ class WlistComplumpSpec extends AnyFunSuite {
     assert(snaps(1).getSeq[String](3) == Seq("W1", "W2", "W9"))
   }
 
+  test("half-given completion range (C2=0) collapses to the given bound") {
+    // reference marks this "Zeros for C1/C2 is not implemented" (raises);
+    // the engine generalizes: C1=1, C2=0 acts on lump 1 only
+    val df = Compdat.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |COMPDAT
+        | 'OP1' 1 1 1 2 'OPEN' /
+        |/
+        |COMPLUMP
+        | 'OP1' 1 1 1 1 1 /
+        | 'OP1' 1 1 2 2 2 /
+        |/
+        |WELOPEN
+        | 'OP1' 'SHUT' 3* 1 0 /
+        |/
+        |""".stripMargin)
+    val m = df.collect().map(r =>
+      (r.getAs[Int]("K1"), r.getAs[String]("OP/SH"))).toMap
+    assert(m(1) == "SHUT" && m(2) == "OPEN")
+  }
+
+  test("welopenAnomalies reports rows matching no connection") {
+    import org.apache.spark.sql.functions._
+    val events = graft.io.DeckParser.toDS(spark,
+      """COMPDAT
+        | 'OP1' 1 1 1 2 'OPEN' /
+        |/
+        |WELOPEN
+        | 'OP1' 'SHUT' 9 9 9 /
+        | 'OP1' 'SHUT' 1 1 1 /
+        |/
+        |""".stripMargin).toDF()
+    val compdat = Compdat.compdatRecords(events)
+      .withColumn("K", explode(sequence(col("K1"), col("K2"))))
+      .withColumn("K1", col("K")).withColumn("K2", col("K")).drop("K")
+    val anomalies = Compdat.welopenAnomalies(compdat, Compdat.welopenRecords(events))
+    val rows = anomalies.collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("I") == 9)
+  }
+
   test("COMPLUMP range in WELOPEN expands to lumped connections only") {
     val df = Compdat.df(spark,
       """COMPDAT
