@@ -161,22 +161,30 @@ object Wcon {
     def base(kw: String) =
       events.filter(col("keyword") === kw && size(col("items")) > 0)
         .join(dates, Seq("keywordIdx"), "left")
+    // item positions and defaults follow the keyword schemas the reference
+    // ships (opmkeywords/WCON*): unspecified numeric items default to the
+    // schema default, not null, exactly like opm's deck view
     val prod = base("WCONPROD").select(lit("WCONPROD").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"), R.str(2).as("CMODE"),
       R.dbl(3, 0.0).as("ORAT"), R.dbl(4, 0.0).as("WRAT"), R.dbl(5, 0.0).as("GRAT"),
-      R.dbl(6, 0.0).as("LRAT"), R.dbl(7, 0.0).as("RESV"), R.dbl(8).as("BHP"),
-      R.dbl(9).as("THP"), R.int(10).as("VFP_TABLE"))
+      R.dbl(6, 0.0).as("LRAT"), R.dbl(7, 0.0).as("RESV"), R.dbl(8, 1.01325).as("BHP"),
+      R.dbl(9, 0.0).as("THP"), R.int(10, 0).as("VFP_TABLE"), R.dbl(11, 0.0).as("ALQ"))
     val hist = base("WCONHIST").select(lit("WCONHIST").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"), R.str(2).as("CMODE"),
       R.dbl(3, 0.0).as("ORAT"), R.dbl(4, 0.0).as("WRAT"), R.dbl(5, 0.0).as("GRAT"),
-      R.int(6).as("VFP_TABLE"), R.dbl(7).as("ALQ"), R.dbl(8).as("THP"),
-      R.dbl(9).as("BHP"))
+      R.int(6, 0).as("VFP_TABLE"), R.dbl(7, 0.0).as("ALQ"), R.dbl(8, 0.0).as("THP"),
+      R.dbl(9, 0.0).as("BHP"), R.dbl(10, 0.0).as("NGLRAT"))
     val inje = base("WCONINJE").select(lit("WCONINJE").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1).as("TYPE"), R.str(2, "OPEN").as("STATUS"),
       R.str(3).as("CMODE"), R.dbl(4).as("RATE"), R.dbl(5).as("RESV"),
-      R.dbl(6).as("BHP"), R.dbl(7).as("THP"), R.int(8).as("VFP_TABLE"))
+      R.dbl(6, 6895.0).as("BHP"), R.dbl(7).as("THP"), R.int(8, 0).as("VFP_TABLE"))
+    val injh = base("WCONINJH").select(lit("WCONINJH").as("KEYWORD"), col("DATE"),
+      R.str(0).as("WELL"), R.str(1).as("TYPE"), R.str(2, "OPEN").as("STATUS"),
+      R.dbl(3).as("RATE"), R.dbl(4).as("BHP"), R.dbl(5).as("THP"),
+      R.int(6, 0).as("VFP_TABLE"), R.str(11, "RATE").as("CMODE"))
     prod.unionByName(hist, allowMissingColumns = true)
       .unionByName(inje, allowMissingColumns = true)
+      .unionByName(injh, allowMissingColumns = true)
       .orderBy(col("DATE"), col("WELL"), col("KEYWORD"))
   }
 }

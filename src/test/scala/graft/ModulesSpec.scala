@@ -119,6 +119,20 @@ class ModulesSpec extends AnyFunSuite {
     assert(df.filter("KEYWORD = 'WCONINJE'").collect().head.getAs[Double]("RATE") == 500.0)
   }
 
+  test("wcon: WCONINJH and schema defaults (reference test_wconhist/test_wconinjh)") {
+    val df = Wcon.df(spark, "WCONHIST\n  'FOO' 0 1 /\n /\nWCONINJH\n  'BAR' 0 1 /\n /\n")
+    val hist = df.filter("KEYWORD = 'WCONHIST'").collect().head
+    assert(hist.getAs[String]("WELL") == "FOO")
+    assert(hist.getAs[String]("STATUS") == "0" && hist.getAs[String]("CMODE") == "1")
+    Seq("ORAT", "WRAT", "GRAT", "ALQ", "THP", "BHP", "NGLRAT").foreach(c =>
+      assert(hist.getAs[Double](c) == 0.0, c))
+    assert(hist.getAs[Int]("VFP_TABLE") == 0)
+    val injh = df.filter("KEYWORD = 'WCONINJH'").collect().head
+    assert(injh.getAs[String]("TYPE") == "0" && injh.getAs[String]("STATUS") == "1")
+    assert(injh.isNullAt(injh.fieldIndex("RATE")))
+    assert(injh.getAs[String]("CMODE") == "RATE") // defaulted item 12
+  }
+
   test("gruptree: full-tree snapshot per change date, last-wins reparenting") {
     val df = Gruptree.df(spark,
       """DATES
