@@ -44,6 +44,33 @@ object Pillars {
       withOwc.join(goc, keyCols, "left")
     } else withOwc
   }
+
+  /** Per-cell phase pore-volumes (reference compute_volumes,
+    * pillars.py:144-200): SOIL = 1 − SWAT [− SGAS], phase volumes =
+    * saturation × PORV, surface-condition variants when the inverse
+    * formation-volume-factor columns (1OVERBO/1OVERBG) are present.
+    * Column presence drives the output like the reference (two-phase
+    * frames get no GASVOL).
+    */
+  def computeVolumes(grid: DataFrame): DataFrame = {
+    val has = grid.columns.toSet
+    require(has("PORV") && has("SWAT"), "computeVolumes needs PORV and SWAT")
+    val soil =
+      if (has("SGAS")) lit(1.0) - col("SWAT") - col("SGAS")
+      else lit(1.0) - col("SWAT")
+    val base = grid
+      .withColumn("SOIL", soil)
+      .withColumn("WATVOL", col("SWAT") * col("PORV"))
+      .withColumn("OILVOL", col("SOIL") * col("PORV"))
+    val withGas =
+      if (has("SGAS")) base.withColumn("GASVOL", col("SGAS") * col("PORV")) else base
+    val withOilSurf =
+      if (has("1OVERBO")) withGas.withColumn("OILVOLSURF", col("OILVOL") * col("1OVERBO"))
+      else withGas
+    if (has("SGAS") && has("1OVERBG"))
+      withOilSurf.withColumn("GASVOLSURF", col("GASVOL") * col("1OVERBG"))
+    else withOilSurf
+  }
 }
 
 /** Zone-level well completion data: the reference's wellcompletiondata.df()

@@ -26,6 +26,22 @@ class PillarsSpec extends AnyFunSuite {
     assert(q.isNullAt(q.fieldIndex("OWC"))) // no water contact on that pillar
   }
 
+  test("phase volumes: SOIL residual, per-phase PORV split, surface variants") {
+    // reference test_pillars.py::test_compute_volumes
+    val threePhase = Seq((1.0, 0.5, 0.2, 0.8, 2.0))
+      .toDF("PORV", "SWAT", "SGAS", "1OVERBO", "1OVERBG")
+    val r = Pillars.computeVolumes(threePhase).collect().head
+    assert(math.abs(r.getAs[Double]("SOIL") - 0.3) < 1e-12)
+    assert(r.getAs[Double]("WATVOL") == 0.5)
+    assert(r.getAs[Double]("GASVOL") == 0.2)
+    assert(math.abs(r.getAs[Double]("OILVOLSURF") - 0.24) < 1e-12)
+    assert(r.getAs[Double]("GASVOLSURF") == 0.4)
+    // two-phase oil-water: no GASVOL column
+    val twoPhase = Pillars.computeVolumes(Seq((1.0, 0.9)).toDF("PORV", "SWAT"))
+    assert(!twoPhase.columns.contains("GASVOL"))
+    assert(math.abs(twoPhase.collect().head.getAs[Double]("SOIL") - 0.1) < 1e-12)
+  }
+
   test("wellcompletiondata: zone rollup with status override and exclusion") {
     val ts = Timestamp.valueOf("2000-01-01 00:00:00")
     val compdat = Seq(
