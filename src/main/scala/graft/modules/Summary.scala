@@ -88,6 +88,44 @@ object Summary {
     case other => throw new IllegalArgumentException(other)
   }
 
+  /** Per-vector metadata from the Eclipse mnemonic convention (the
+    * reference reads it from the binary SMSPEC, summary.py:567-599; the
+    * naming convention itself is public: `KEYWORD[:WGNAME[:NUM]]`, scope
+    * from the leading letter — F field / W well / G group / R region /
+    * B block / C connection — trailing `H` marks a historical vector,
+    * then trailing `T` a cumulative total and `R` a rate).
+    */
+  def vectorMeta(long: DataFrame): DataFrame = {
+    val parts = split(col("VECTOR"), ":")
+    val kw = element_at(parts, 1)
+    val base = when(kw.endsWith("H"), kw.substr(lit(1), length(kw) - 1)).otherwise(kw)
+    long.select(col("VECTOR")).distinct()
+      .withColumn("KEYWORD", kw)
+      .withColumn("WGNAME", when(size(parts) >= 2, element_at(parts, 2)))
+      .withColumn("NUM", when(size(parts) >= 3, element_at(parts, 3).cast("int")))
+      .withColumn("SCOPE",
+        when(kw.startsWith("F"), "FIELD").when(kw.startsWith("W"), "WELL")
+          .when(kw.startsWith("G"), "GROUP").when(kw.startsWith("R"), "REGION")
+          .when(kw.startsWith("B"), "BLOCK").when(kw.startsWith("C"), "CONNECTION")
+          .otherwise("OTHER"))
+      .withColumn("IS_HISTORICAL", kw.endsWith("H"))
+      .withColumn("IS_TOTAL", base.endsWith("T"))
+      .withColumn("IS_RATE", base.endsWith("R"))
+  }
+
+  /** Resample with per-vector semantics driven by [[vectorMeta]]: rate
+    * vectors get backward-fill + zero extrapolation, everything else
+    * (totals, pressures, ratios) linear interpolation — the mode the
+    * reference's resdata backend applies per smspec variable type, here
+    * decided from the mnemonic.
+    */
+  def resampleAuto(long: DataFrame, freq: String): DataFrame = {
+    val rates = vectorMeta(long).filter(col("IS_RATE")).select("VECTOR")
+    val rateRows = long.join(broadcast(rates), Seq("VECTOR"))
+    val otherRows = long.join(broadcast(rates), Seq("VECTOR"), "left_anti")
+    resample(otherRows, freq).unionByName(resample(rateRows, freq, rate = true))
+  }
+
   /** Long → wide pivot on vector names (the reference's wide output form).
     * Done via conditional aggregation when the vector list is known, or
     * Spark's pivot otherwise.

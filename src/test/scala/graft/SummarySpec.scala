@@ -73,6 +73,31 @@ class SummarySpec extends AnyFunSuite {
       Seq(("FOPT", 100.0), ("FOPT", 160.0), ("FOPT", 400.0), ("FWPT", 7.0)))
   }
 
+  test("vector metadata from mnemonics; auto-resample picks mode per vector") {
+    val meta = Summary.vectorMeta(
+      Seq(("WOPR:OP_1", ts("2000-01-15 00:00:00"), 1.0),
+        ("FOPT", ts("2000-01-15 00:00:00"), 1.0),
+        ("FOPTH", ts("2000-01-15 00:00:00"), 1.0),
+        ("BPR:1:2", ts("2000-01-15 00:00:00"), 1.0))
+        .toDF("VECTOR", "DATE", "VALUE"))
+      .collect().map(r => r.getAs[String]("VECTOR") -> r).toMap
+    val wopr = meta("WOPR:OP_1")
+    assert(wopr.getAs[String]("SCOPE") == "WELL" && wopr.getAs[String]("WGNAME") == "OP_1")
+    assert(wopr.getAs[Boolean]("IS_RATE") && !wopr.getAs[Boolean]("IS_TOTAL"))
+    val fopt = meta("FOPT")
+    assert(fopt.getAs[Boolean]("IS_TOTAL") && !fopt.getAs[Boolean]("IS_RATE"))
+    assert(meta("FOPTH").getAs[Boolean]("IS_HISTORICAL") &&
+      meta("FOPTH").getAs[Boolean]("IS_TOTAL"))
+    assert(meta("BPR:1:2").getAs[String]("SCOPE") == "BLOCK")
+
+    // auto mode: FOPR (rate) extrapolates to 0 past its range; FOPT
+    // (cumulative) clamps — in the SAME call
+    val out = Summary.resampleAuto(long, "monthly")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) -> r.getDouble(2)).toMap
+    assert(out(("FOPR", "2000-04-01 00:00:00.0")) == 0.0)
+    assert(out(("FOPT", "2000-04-01 00:00:00.0")) == 400.0)
+  }
+
   test("toWide pivots vectors into columns") {
     val wide = Summary.toWide(Summary.resample(long, "monthly"), Seq("FOPT", "FOPR"))
     assert(wide.columns.toSeq == Seq("DATE", "FOPT", "FOPR"))
