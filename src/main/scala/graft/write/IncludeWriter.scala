@@ -46,6 +46,27 @@ object IncludeWriter {
     sb.toString
   }
 
+  /** Table-family keyword writer (reference satfunc/pvt df2res_*,
+    * satfunc.py / pvt.py): rows grouped by a region column (SATNUM /
+    * PVTNUM), each group emitted as one table of data lines closed by a
+    * `/`, groups in ascending region order. Round-trips through the
+    * corresponding module reader (record index == region number).
+    */
+  def tableKeyword(df: DataFrame, keyword: String, regionCol: String,
+      valueCols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.col
+    val sb = new StringBuilder
+    sb.append(keyword).append('\n')
+    sb.append("-- ").append(valueCols.mkString(" ")).append('\n')
+    val rows = df.select((regionCol +: valueCols).map(col): _*).collect()
+    rows.groupBy(_.get(0).toString.toDouble.toInt).toSeq.sortBy(_._1)
+      .foreach { case (_, rs) =>
+        rs.foreach(r => sb.append("  ").append(r.toSeq.tail.map(fmt).mkString(" ")).append('\n'))
+        sb.append("/\n")
+      }
+    sb.toString
+  }
+
   /** Run-length compression of an ordered value sequence into Eclipse
     * `N*value` tokens (only runs >= `threshold` are compressed).
     */

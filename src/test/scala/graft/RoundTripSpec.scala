@@ -36,6 +36,26 @@ class RoundTripSpec extends AnyFunSuite {
     assert(long2.count() == 12)
   }
 
+  test("SWOF table round-trip: df -> include text -> parse -> same tables") {
+    // reference satfunc df2res_swof round-trip (test_satfunc.py::test_satfunc_roundtrip)
+    val src =
+      """SWOF
+        |  0 0 1 1
+        |  0.5 0.3 0.4 0.2
+        |  1 1 0 0
+        |/
+        |  0 0 1 1
+        |  1 1 0 0
+        |/
+        |""".stripMargin
+    val df = graft.modules.Satfunc.df(spark, src)
+    val text = IncludeWriter.tableKeyword(
+      df.orderBy("SATNUM", "SW"), "SWOF", "SATNUM", Seq("SW", "KRW", "KROW", "PCOW"))
+    val back = graft.modules.Satfunc.df(spark, text)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("UNSMRY binary round-trip: long form -> SMSPEC/UNSMRY -> read -> same (S16)") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-smry").toString + "/CASE"
