@@ -48,7 +48,7 @@ object DeckParser {
     "PVTO", "PVDO", "PVTG", "PVDG", "PVTW", "DENSITY", "ROCK",
     "EQUIL", "RSVD", "RVVD", "PBVD", "PDVD",
     // grid / region
-    "FAULTS", "MULTFLT", "EQLNUM", "FIPNUM", "SATNUM", "PVTNUM",
+    "FAULTS", "MULTFLT", "EQLNUM", "FIPNUM", "SATNUM", "PVTNUM", "EDITNNC",
     // misc sections commonly seen in decks
     "RUNSPEC", "GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION", "SUMMARY",
     "SCHEDULE", "END", "ECHO", "NOECHO", "TITLE", "DIMENS", "TABDIMS",

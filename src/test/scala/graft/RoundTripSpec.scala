@@ -36,6 +36,17 @@ class RoundTripSpec extends AnyFunSuite {
     assert(long2.count() == 12)
   }
 
+  test("EDITNNC round-trip: multiplier frame -> include text -> parse -> same") {
+    val nnc = Seq((1, 1, 1, 2, 1, 1, 0.5), (3, 4, 5, 3, 4, 6, 0.1))
+      .toDF("I1", "J1", "K1", "I2", "J2", "K2", "TRANM")
+    val text = IncludeWriter.editnnc(nnc)
+    val back = DeckParser.parse(text).filter(e => e.keyword == "EDITNNC" && e.items.nonEmpty)
+    assert(back.length == 2)
+    assert(back.map(_.items.take(6).map(_.toInt)).toSet ==
+      Set(Seq(1, 1, 1, 2, 1, 1), Seq(3, 4, 5, 3, 4, 6)))
+    assert(back.map(_.items(6).toDouble).toSet == Set(0.5, 0.1))
+  }
+
   test("SWOF table round-trip: df -> include text -> parse -> same tables") {
     // reference satfunc df2res_swof round-trip (test_satfunc.py::test_satfunc_roundtrip)
     val src =
