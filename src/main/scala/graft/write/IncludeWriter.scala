@@ -129,6 +129,43 @@ object IncludeWriter {
     sb.toString
   }
 
+  /** The reference's `common.df2res` dispatcher (common.py:508-625): route
+    * a KEYWORD-columned tidy frame to the right writer per keyword, in
+    * the order keywords appear. Table-family keywords (satfunc/PVT
+    * simple tables) go through [[tableKeyword]] grouped on their region
+    * column; everything else through [[genericDeckTable]] with the
+    * bookkeeping columns dropped.
+    */
+  def df2res(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    val tableFamilies: Map[String, (String, Seq[String])] = Map(
+      "SWOF" -> ("SATNUM", Seq("SW", "KRW", "KROW", "PCOW")),
+      "SGOF" -> ("SATNUM", Seq("SG", "KRG", "KROG", "PCOG")),
+      "SWFN" -> ("SATNUM", Seq("SW", "KRW", "PCOW")),
+      "SGFN" -> ("SATNUM", Seq("SG", "KRG", "PCOG")),
+      "SLGOF" -> ("SATNUM", Seq("SL", "KRG", "KROG", "PCOG")),
+      "SOF2" -> ("SATNUM", Seq("SO", "KRO")),
+      "SOF3" -> ("SATNUM", Seq("SO", "KROW", "KROG")),
+      "PVDO" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
+      "PVDG" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
+      "RSVD" -> ("EQLNUM", Seq("Z", "RS")),
+      "RVVD" -> ("EQLNUM", Seq("Z", "RV")),
+      "PBVD" -> ("EQLNUM", Seq("Z", "PB")),
+      "PDVD" -> ("EQLNUM", Seq("Z", "PD")))
+    require(df.columns.contains("KEYWORD"), "df2res needs a KEYWORD column")
+    val keywords = df.select("KEYWORD").distinct().collect().map(_.getString(0)).sorted
+    keywords.map { kw =>
+      val part = df.filter(col("KEYWORD") === kw)
+      tableFamilies.get(kw) match {
+        case Some((region, cols)) if part.columns.contains(region) =>
+          tableKeyword(part, kw, region, cols.filter(part.columns.contains))
+        case _ =>
+          val drop = Seq("KEYWORD", "DATE").filter(part.columns.contains)
+          genericDeckTable(part.drop(drop: _*), kw)
+      }
+    }.mkString("\n")
+  }
+
   /** EDITNNC keyword text from an NNC multiplier frame (S15,
     * nnc.py:206-276): `I1 J1 K1 I2 J2 K2 TRANM` records.
     */

@@ -36,6 +36,25 @@ class RoundTripSpec extends AnyFunSuite {
     assert(long2.count() == 12)
   }
 
+  test("df2res dispatcher routes mixed-keyword frames; satfunc round-trips") {
+    val src =
+      """SWOF
+        |  0 0 1 1
+        |  1 1 0 0
+        |/
+        |SGOF
+        |  0 0 1 1
+        |  1 1 0 0
+        |/
+        |""".stripMargin
+    val df = graft.modules.Satfunc.df(spark, src)
+    val text = IncludeWriter.df2res(df.orderBy("KEYWORD", "SATNUM"))
+    assert(text.contains("SWOF") && text.contains("SGOF"))
+    val back = graft.modules.Satfunc.df(spark, text)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("EDITNNC round-trip: multiplier frame -> include text -> parse -> same") {
     val nnc = Seq((1, 1, 1, 2, 1, 1, 0.5), (3, 4, 5, 3, 4, 6, 0.1))
       .toDF("I1", "J1", "K1", "I2", "J2", "K2", "TRANM")
