@@ -25,7 +25,12 @@ object Csv2Res {
     spark.sparkContext.setLogLevel("WARN")
     val df = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(args(1))
-    val text = IncludeWriter.genericDeckTable(df, args(0).toUpperCase)
+    // a CSV carrying its own KEYWORD column routes through the df2res
+    // dispatcher (mixed keywords, table families); otherwise the named
+    // keyword is written as one generic table
+    val text =
+      if (df.columns.contains("KEYWORD")) IncludeWriter.df2res(df)
+      else IncludeWriter.genericDeckTable(df, args(0).toUpperCase)
     if (args.length >= 3) Files.writeString(Paths.get(args(2)), text)
     else print(text)
     spark.stop()
