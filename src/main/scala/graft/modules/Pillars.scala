@@ -91,7 +91,11 @@ object WellCompletionData {
       compdat.filter(!col("WELL").startsWith(p)))
     val merged = connstatus.fold(filtered)(cs =>
       WellOps.mergeCompdatAndConnstatus(filtered, cs))
+    // layers the zonemap doesn't cover are dropped — an empty or
+    // nothing-matching zonemap yields an EMPTY frame, like the reference
+    // (test_wellcompletiondata.py::test_empty_zonemap)
     val zoned = GridOps.mergeZones(merged, zonemap, kCol = "K1")
+      .filter(col("ZONE").isNotNull)
     WellOps.aggregateLayerToZone(zoned)
       .orderBy(col("WELL"), col("ZONE"), col("DATE"))
   }

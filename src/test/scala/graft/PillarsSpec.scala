@@ -57,5 +57,13 @@ class PillarsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("ZONE") -> (r.getAs[Double]("KH"), r.getAs[String]("OP/SH"))).toMap
     assert(rows("Upper") == ((10.0, "OPEN")))
     assert(rows("Lower") == ((20.0, "OPEN")))
+    // reference test_empty_zonemap: empty / nothing-matching maps → empty
+    assert(WellCompletionData.df(compdat, zonemap = Map.empty).count() == 0)
+    assert(WellCompletionData.df(compdat,
+      zonemap = Map(1000 -> "ZONE1", -1 -> "ZONE1")).count() == 0)
+    // partial zonemap: uncovered layers silently drop
+    val partial = WellCompletionData.df(compdat, zonemap = Map(1 -> "Upper"),
+      excludeWellPrefix = Some("R_"))
+    assert(partial.count() == 1 && partial.head.getAs[String]("ZONE") == "Upper")
   }
 }
