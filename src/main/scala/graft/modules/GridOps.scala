@@ -78,6 +78,15 @@ object GridOps {
     } yield p.toString
   }
 
+  /** Default zonemap discovery (reference wellcompletiondata/zonemap
+    * convention, test_zonemap_with_no_input): `zones.lyr` in the deck's
+    * directory, if present.
+    */
+  def findZonemapFile(deckPath: String): Option[String] = {
+    val p = java.nio.file.Paths.get(deckPath).toAbsolutePath.getParent.resolve("zones.lyr")
+    if (java.nio.file.Files.isRegularFile(p)) Some(p.toString) else None
+  }
+
   /** parameters.txt → key-value map (parameters.py:60-100): one
     * whitespace-separated pair per line, `#` comments ignored; lines with
     * no value or extra tokens are skipped (the reference drops them with a

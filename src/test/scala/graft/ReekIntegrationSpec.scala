@@ -51,6 +51,17 @@ class ReekIntegrationSpec extends AnyFunSuite {
     assert(text.contains("FIELD"))
   }
 
+  test("zones.lyr discovered next to the deck and parsed") {
+    val found = GridOps.findZonemapFile(Deck)
+    assert(found.isDefined)
+    val zonemap = GridOps.parseLyr(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(found.get))))
+    assert(zonemap(1) == "UpperReek" && zonemap(5) == "UpperReek")
+    assert(zonemap(6) == "MidReek" && zonemap(14) == "LowerReek")
+    assert(zonemap(15) == "Aquifer Way Down") // quoted name with spaces
+    assert(zonemap.size == 15)
+  }
+
   test("satfunc, equil, wcon and faults modules find their keywords") {
     assert(Satfunc.df(spark, deckText).count() > 10)
     val eq = Equil.equil(events, Equil.phasesFromEvents(events))
