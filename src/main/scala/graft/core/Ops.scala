@@ -225,6 +225,14 @@ object Ops {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // The replicate-small-side construction is only result-preserving when
+    // unmatched SMALL-side rows never surface: under right/full outer each
+    // unmatched small row would appear once per salt. Refuse those types.
+    val okTypes = Set("inner", "cross", "left", "leftouter",
+      "semi", "leftsemi", "anti", "leftanti")
+    require(okTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not preserve '$joinType' semantics (unmatched small-side " +
+        "rows would be replicated once per salt); use inner/left/semi/anti")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     val smallS = small.withColumn("__salt",

@@ -104,8 +104,12 @@ object DeckParser {
     (out.result(), terminated)
   }
 
-  /** Eclipse keyword shape: up to 8 chars, uppercase start. */
-  private val UnknownKeywordRe = "^[A-Z][A-Z0-9_]{0,7}$".r
+  /** Unknown-keyword shape: up to 8 chars, uppercase letters and digits.
+    * Underscores are deliberately excluded — real Eclipse keywords never
+    * contain them, while well/group names conventionally do (OP_1), and a
+    * lone well name opening a multi-line record must stay record data.
+    */
+  private val UnknownKeywordRe = "^[A-Z][A-Z0-9]{0,7}$".r
 
   def parse(text: String): Vector[DeckEvent] = {
     val events = Vector.newBuilder[DeckEvent]
@@ -114,8 +118,11 @@ object DeckParser {
     var keywordSeen = false
     var recordIdx = 0
     var buf = Vector.empty[String]
-    for (line <- text.linesIterator) {
-      val tokens = tokenizeLine(line)
+    val lines = text.linesIterator.toVector
+    val lineTokens = lines.map(tokenizeLine)
+    for (li <- lines.indices) {
+      val line = lines(li)
+      val tokens = lineTokens(li)
       // a quoted first token is data (e.g. a group literally named 'FIELD'),
       // never a keyword; keywords also can't start mid-record
       val firstQuoted = line.dropWhile(_.isWhitespace).headOption.exists(c => c == '\'' || c == '"')
@@ -123,15 +130,36 @@ object DeckParser {
         KnownKeywords.contains(t.toUpperCase)) && buf.isEmpty && !firstQuoted
       // Permissive recovery for keywords outside the registry (the
       // reference's PARSE_UNKNOWN_KEYWORD ignore mode,
-      // resdatafiles.py:20-32): an Eclipse keyword is <=8 chars of
-      // [A-Z0-9_], and a keyword line carries the keyword ALONE. Such a
-      // token between records starts an unknown keyword — its records
-      // parse structurally under its own name (modules filter by name, so
-      // they're inert) instead of corrupting the previous keyword's data.
+      // resdatafiles.py:20-32): a keyword line carries the keyword ALONE.
+      // Such a token between records starts an unknown keyword — its
+      // records parse structurally under its own name (modules filter by
+      // name, so they're inert) instead of corrupting the previous
+      // keyword's data. Guards: TITLE's free-text record is consumed by
+      // the TITLE branch below, never re-interpreted as a keyword; and
+      // the next content line must look like record data (multi-token or
+      // `/`-terminated) or a known keyword — a lone trailing token at EOF
+      // is stray data, not a keyword.
+      lazy val nextContentOk = {
+        val next = (li + 1 until lines.length).iterator
+          .map(lineTokens).find(_.nonEmpty)
+        next.exists(ts => ts.size >= 2 || ts.exists(_.startsWith("/")) ||
+          KnownKeywords.contains(ts.head.toUpperCase))
+      }
       val isUnknownKeywordLine = !isKeywordLine && buf.isEmpty && !firstQuoted &&
-        tokens.size == 1 && UnknownKeywordRe.matches(tokens.head) &&
-        keywordSeen // before any keyword, stray tokens stay ignored
-      if (isKeywordLine || isUnknownKeywordLine) {
+        keyword != "TITLE" && tokens.size == 1 &&
+        UnknownKeywordRe.matches(tokens.head) &&
+        keywordSeen && // before any keyword, stray tokens stay ignored
+        nextContentOk
+      if (keyword == "TITLE") {
+        // TITLE's record is one line of free text, no `/` terminator —
+        // checked BEFORE any keyword test so a title that happens to be a
+        // single uppercase word ("REEK") or to start with a keyword-shaped
+        // token ("FIELD MODEL") still lands as the TITLE record.
+        if (tokens.nonEmpty) {
+          events += DeckEvent(kwIdx, keyword, 0, tokens)
+          keyword = null
+        }
+      } else if (isKeywordLine || isUnknownKeywordLine) {
         kwIdx += 1
         keyword = tokens.head.toUpperCase
         keywordSeen = true
@@ -147,12 +175,6 @@ object DeckParser {
             events += DeckEvent(kwIdx, keyword, recordIdx, buf)
             recordIdx += 1; buf = Vector.empty
           }
-        }
-      } else if (keyword == "TITLE") {
-        // TITLE's record is one line of free text, no `/` terminator
-        if (tokens.nonEmpty) {
-          events += DeckEvent(kwIdx, keyword, 0, tokens)
-          keyword = null
         }
       } else if (keyword != null) {
         val (items, done) = expand(tokens)

@@ -88,17 +88,50 @@ object Summary {
     case other => throw new IllegalArgumentException(other)
   }
 
+  /** Rate-variable stems of the SMSPEC variable-typing convention: the
+    * scope-stripped, history-stripped mnemonic must be ON this list to be
+    * a rate — a trailing `R` alone is NOT sufficient (FPR/RPR/BPR are
+    * pressures). The reference takes `is_rate` from resdata's smspec
+    * typing (summary.py:592), which consults exactly such a stem list;
+    * ratio vectors (GOR/WCT/OGR/WGR/GLR) are rate-typed there too.
+    */
+  private val RateStems: Set[String] = Set(
+    "OPR", "OIR", "OVPR", "OVIR", "OFR", "OPP", "OPI", "OMR",
+    "GPR", "GIR", "GVPR", "GVIR", "GFR", "GPP", "GPI", "GMR",
+    "WGPR", "WGIR", "GLIR", "RGR", "EGR", "EXGR", "SGR", "GSR",
+    "FGR", "GIMR", "GCR",
+    "WPR", "WIR", "WVPR", "WVIR", "WFR", "WPP", "WPI", "WMR",
+    "LPR", "LFR", "VPR", "VIR", "VFR",
+    "NPR", "NIR", "CPR", "CIR", "SIR", "SPR", "TIR", "TPR",
+    "GOR", "WCT", "OGR", "WGR", "GLR")
+
+  /** Cumulative-total stems, same convention: rate stems with the trailing
+    * `R` swapped for `T` (plus the free/solution oil splits).
+    */
+  private val TotalStems: Set[String] = Set(
+    "OPT", "OIT", "OVPT", "OVIT", "OFT", "OMT",
+    "GPT", "GIT", "GVPT", "GVIT", "GFT", "GMT",
+    "WGPT", "WGIT", "EGT", "EXGT", "SGT", "GST", "FGT", "GIMT", "GCT",
+    "WPT", "WIT", "WVPT", "WVIT", "WFT", "WMT",
+    "LPT", "VPT", "VIT", "NPT", "NIT", "CPT", "CIT", "SIT", "SPT",
+    "TIT", "TPT", "OPTF", "OPTS")
+
   /** Per-vector metadata from the Eclipse mnemonic convention (the
     * reference reads it from the binary SMSPEC, summary.py:567-599; the
     * naming convention itself is public: `KEYWORD[:WGNAME[:NUM]]`, scope
     * from the leading letter — F field / W well / G group / R region /
-    * B block / C connection — trailing `H` marks a historical vector,
-    * then trailing `T` a cumulative total and `R` a rate).
+    * B block / C connection — and a trailing `H` marks a historical
+    * vector). Rate/total classification matches the stem — scope letter
+    * and trailing H stripped — against the explicit [[RateStems]] /
+    * [[TotalStems]] lists, mirroring the SMSPEC variable typing rather
+    * than guessing from the last letter (which would call pressures like
+    * FPR rates).
     */
   def vectorMeta(long: DataFrame): DataFrame = {
     val parts = split(col("VECTOR"), ":")
     val kw = element_at(parts, 1)
     val base = when(kw.endsWith("H"), kw.substr(lit(1), length(kw) - 1)).otherwise(kw)
+    val stem = base.substr(lit(2), lit(16))
     long.select(col("VECTOR")).distinct()
       .withColumn("KEYWORD", kw)
       .withColumn("WGNAME", when(size(parts) >= 2, element_at(parts, 2)))
@@ -109,8 +142,8 @@ object Summary {
           .when(kw.startsWith("B"), "BLOCK").when(kw.startsWith("C"), "CONNECTION")
           .otherwise("OTHER"))
       .withColumn("IS_HISTORICAL", kw.endsWith("H"))
-      .withColumn("IS_TOTAL", base.endsWith("T"))
-      .withColumn("IS_RATE", base.endsWith("R"))
+      .withColumn("IS_TOTAL", stem.isin(TotalStems.toSeq: _*))
+      .withColumn("IS_RATE", stem.isin(RateStems.toSeq: _*))
   }
 
   /** Resample with per-vector semantics driven by [[vectorMeta]]: rate

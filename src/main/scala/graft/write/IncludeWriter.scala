@@ -129,39 +129,110 @@ object IncludeWriter {
     sb.toString
   }
 
-  /** The reference's `common.df2res` dispatcher (common.py:508-625): route
-    * a KEYWORD-columned tidy frame to the right writer per keyword, in
-    * the order keywords appear. Table-family keywords (satfunc/PVT
-    * simple tables) go through [[tableKeyword]] grouped on their region
-    * column; everything else through [[genericDeckTable]] with the
-    * bookkeeping columns dropped.
+  private val tableFamilies: Map[String, (String, Seq[String])] = Map(
+    "SWOF" -> ("SATNUM", Seq("SW", "KRW", "KROW", "PCOW")),
+    "SGOF" -> ("SATNUM", Seq("SG", "KRG", "KROG", "PCOG")),
+    "SWFN" -> ("SATNUM", Seq("SW", "KRW", "PCOW")),
+    "SGFN" -> ("SATNUM", Seq("SG", "KRG", "PCOG")),
+    "SLGOF" -> ("SATNUM", Seq("SL", "KRG", "KROG", "PCOG")),
+    "SOF2" -> ("SATNUM", Seq("SO", "KRO")),
+    "SOF3" -> ("SATNUM", Seq("SO", "KROW", "KROG")),
+    "PVDO" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
+    "PVDG" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
+    "RSVD" -> ("EQLNUM", Seq("Z", "RS")),
+    "RVVD" -> ("EQLNUM", Seq("Z", "RV")),
+    "PBVD" -> ("EQLNUM", Seq("Z", "PB")),
+    "PDVD" -> ("EQLNUM", Seq("Z", "PD")))
+
+  /** Ordered item slots per keyword for the generic record path. The
+    * reference slices the frame against the OPM keyword schema's item
+    * names (common.py:672-691) so region/bookkeeping columns and sibling
+    * keywords' columns never reach the output; these lists replay that
+    * selection against our module column names. Each slot lists the
+    * aliases that may carry it (EQUIL's contact slots are phase-dependent,
+    * equil.py:402-431); an empty slot is a schema position our readers
+    * never populate, held by `1*` so later items keep their index.
     */
-  def df2res(df: DataFrame): String = {
-    import org.apache.spark.sql.functions.col
-    val tableFamilies: Map[String, (String, Seq[String])] = Map(
-      "SWOF" -> ("SATNUM", Seq("SW", "KRW", "KROW", "PCOW")),
-      "SGOF" -> ("SATNUM", Seq("SG", "KRG", "KROG", "PCOG")),
-      "SWFN" -> ("SATNUM", Seq("SW", "KRW", "PCOW")),
-      "SGFN" -> ("SATNUM", Seq("SG", "KRG", "PCOG")),
-      "SLGOF" -> ("SATNUM", Seq("SL", "KRG", "KROG", "PCOG")),
-      "SOF2" -> ("SATNUM", Seq("SO", "KRO")),
-      "SOF3" -> ("SATNUM", Seq("SO", "KROW", "KROG")),
-      "PVDO" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
-      "PVDG" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
-      "RSVD" -> ("EQLNUM", Seq("Z", "RS")),
-      "RVVD" -> ("EQLNUM", Seq("Z", "RV")),
-      "PBVD" -> ("EQLNUM", Seq("Z", "PB")),
-      "PDVD" -> ("EQLNUM", Seq("Z", "PD")))
+  private val keywordSlots: Map[String, Seq[Seq[String]]] = Map(
+    "EQUIL" -> Seq(Seq("Z"), Seq("PRESSURE"), Seq("OWC", "GWC"),
+      Seq("PCOWC", "PCGWC"), Seq("GOC"), Seq("PCGOC"),
+      Seq("INITRS"), Seq("INITRV"), Seq("ACCURACY")),
+    "DENSITY" -> Seq("OILDENSITY", "WATERDENSITY", "GASDENSITY").map(Seq(_)),
+    "ROCK" -> Seq("PRESSURE", "COMPRESSIBILITY").map(Seq(_)),
+    "PVTW" -> Seq("PRESSURE", "VOLUMEFACTOR", "COMPRESSIBILITY",
+      "VISCOSITY", "VISCOSIBILITY").map(Seq(_)),
+    "WCONPROD" -> Seq("WELL", "STATUS", "CMODE", "ORAT", "WRAT", "GRAT",
+      "LRAT", "RESV", "BHP", "THP", "VFP_TABLE", "ALQ").map(Seq(_)),
+    "WCONHIST" -> Seq("WELL", "STATUS", "CMODE", "ORAT", "WRAT", "GRAT",
+      "VFP_TABLE", "ALQ", "THP", "BHP", "NGLRAT").map(Seq(_)),
+    "WCONINJE" -> Seq("WELL", "TYPE", "STATUS", "CMODE", "RATE", "RESV",
+      "BHP", "THP", "VFP_TABLE").map(Seq(_)),
+    "WCONINJH" -> (Seq("WELL", "TYPE", "STATUS", "RATE", "BHP", "THP",
+      "VFP_TABLE").map(Seq(_)) ++ Seq.fill(4)(Seq.empty[String]) :+ Seq("CMODE")),
+    "COMPDAT" -> Seq("WELL", "I", "J", "K1", "K2", "OP/SH", "SATN", "TRAN",
+      "WBDIA", "KH", "SKIN", "DFACT", "DIR", "PEQVR").map(Seq(_)),
+    "WELSPECS" -> Seq("WELL", "GROUP", "HEAD_I", "HEAD_J").map(Seq(_)),
+    "WELOPEN" -> Seq("WELL", "STATUS", "I", "J", "K", "C1", "C2").map(Seq(_)),
+    "COMPLUMP" -> Seq("WELL", "I", "J", "K1", "K2", "N").map(Seq(_)),
+    "GRUPTREE" -> Seq("CHILD", "PARENT").map(Seq(_)),
+    "FAULTS" -> Seq("NAME", "IX1", "IX2", "IY1", "IY2", "IZ1", "IZ2",
+      "FACE").map(Seq(_)),
+    "EDITNNC" -> Seq("I1", "J1", "K1", "I2", "J2", "K2", "TRANM").map(Seq(_)))
+
+  private val regionColumns = Seq("EQLNUM", "PVTNUM", "SATNUM")
+
+  /** The reference's `common.df2res` dispatcher (common.py:508-625): route
+    * a KEYWORD-columned tidy frame to the right writer per keyword.
+    * Keywords emit in `keywords` order when supplied (the reference's
+    * user-supplied list order, common.py:592-594), else in order of first
+    * appearance in the frame. Table-family keywords (satfunc/PVT simple
+    * tables) go through [[tableKeyword]] grouped on their region column;
+    * keywords with a registered slot list emit exactly their schema items
+    * (missing interior items as `1*`); anything else falls back to
+    * [[genericDeckTable]] with bookkeeping columns and per-keyword
+    * all-null columns dropped.
+    */
+  def df2res(df: DataFrame, keywords: Option[Seq[String]] = None): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, monotonically_increasing_id}
     require(df.columns.contains("KEYWORD"), "df2res needs a KEYWORD column")
-    val keywords = df.select("KEYWORD").distinct().collect().map(_.getString(0)).sorted
-    keywords.map { kw =>
-      val part = df.filter(col("KEYWORD") === kw)
+    val firstSeen = df.withColumn("__ord", monotonically_increasing_id())
+      .groupBy("KEYWORD").agg(min(col("__ord")).as("__first"))
+      .orderBy(col("__first")).collect().map(_.getString(0)).toSeq
+    val order = keywords.map(_.filter(firstSeen.toSet)).getOrElse(firstSeen)
+    order.map { kw =>
+      val part0 = df.filter(col("KEYWORD") === kw)
+      val region = regionColumns.find(part0.columns.contains)
+      val part = region.map(r => part0.orderBy(col(r))).getOrElse(part0)
       tableFamilies.get(kw) match {
-        case Some((region, cols)) if part.columns.contains(region) =>
-          tableKeyword(part, kw, region, cols.filter(part.columns.contains))
+        case Some((regionCol, cols)) if part.columns.contains(regionCol) =>
+          tableKeyword(part, kw, regionCol, cols.filter(part.columns.contains))
         case _ =>
-          val drop = Seq("KEYWORD", "DATE").filter(part.columns.contains)
-          genericDeckTable(part.drop(drop: _*), kw)
+          keywordSlots.get(kw) match {
+            case Some(slots) =>
+              val chosen = slots.map(_.find(part.columns.contains))
+              val last = chosen.lastIndexWhere(_.isDefined)
+              if (last < 0) s"$kw\n/\n"
+              else {
+                val sel = chosen.take(last + 1).zipWithIndex.map {
+                  case (Some(c), _) => col(s"`$c`")
+                  case (None, i) => lit(null).cast("string")
+                    .as(slots(i).headOption.getOrElse(s"ITEM${i + 1}"))
+                }
+                genericDeckTable(part.select(sel: _*), kw)
+              }
+            case None =>
+              val book = (Seq("KEYWORD", "DATE") ++ regionColumns)
+                .filter(part.columns.contains)
+              val p1 = part.drop(book: _*)
+              if (p1.columns.isEmpty) s"$kw\n/\n"
+              else {
+                val counts = p1.select(
+                  p1.columns.map(c => count(col(s"`$c`")).as(c)).toIndexedSeq: _*).collect()(0)
+                val keep = p1.columns.zipWithIndex
+                  .filter { case (_, i) => counts.getLong(i) > 0L }.map(_._1)
+                genericDeckTable(p1.select(keep.map(c => col(s"`$c`")).toIndexedSeq: _*), kw)
+              }
+          }
       }
     }.mkString("\n")
   }

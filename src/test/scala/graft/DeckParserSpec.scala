@@ -96,4 +96,55 @@ class DeckParserSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(events(0).items.length == 8)
   }
+
+  test("one-word all-caps TITLE is the title, not an unknown keyword") {
+    val events = DeckParser.parse(
+      """RUNSPEC
+        |TITLE
+        |REEK
+        |DIMENS
+        | 2 2 2 /
+        |""".stripMargin)
+    val title = events.filter(_.keyword == "TITLE")
+    assert(title.length == 1 && title.head.items == Vector("REEK"))
+    assert(events.filter(_.keyword == "DIMENS").head.items == Vector("2", "2", "2"))
+    assert(!events.exists(_.keyword == "REEK"))
+  }
+
+  test("TITLE text starting with a registry word stays the title") {
+    val events = DeckParser.parse(
+      """TITLE
+        |FIELD MODEL A
+        |DIMENS
+        | 1 1 1 /
+        |""".stripMargin)
+    assert(events.filter(_.keyword == "TITLE").head.items ==
+      Vector("FIELD", "MODEL", "A"))
+    assert(!events.exists(e => e.keyword == "FIELD"))
+  }
+
+  test("record whose first line is a lone well name is not swallowed as a keyword") {
+    // a multi-line WELSPECS record opening with just the well name
+    val events = DeckParser.parse(
+      """WELSPECS
+        | 'OP1' 'G' 5 6 1000 'OIL' /
+        | OP_2
+        |   'G' 7 8 1100 'OIL' /
+        |/
+        |""".stripMargin)
+    val recs = events.filter(e => e.keyword == "WELSPECS" && e.items.nonEmpty)
+    assert(recs.length == 2)
+    assert(recs(1).items == Vector("OP_2", "G", "7", "8", "1100", "OIL"))
+    assert(!events.exists(_.keyword == "OP_2"))
+  }
+
+  test("lone trailing token at EOF is stray data, not a keyword") {
+    val events = DeckParser.parse(
+      """COMPDAT
+        | 'OP1' 1 1 1 1 'OPEN' /
+        |/
+        |GARBAGE
+        |""".stripMargin)
+    assert(!events.exists(_.keyword == "GARBAGE"))
+  }
 }

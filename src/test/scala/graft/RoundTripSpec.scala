@@ -55,6 +55,73 @@ class RoundTripSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("df2res EQUIL: bookkeeping columns stay out of the record; round-trips") {
+    val src =
+      """OIL
+        |WATER
+        |GAS
+        |EQUIL
+        | 2469 382.4 1700 0.0 1000 0.0 1 1 20 /
+        | 2470 382.4 1705 0.0 1000 0.0 1 1 20 /
+        |""".stripMargin
+    val df = graft.modules.Equil.df(spark, src)
+    val text = IncludeWriter.df2res(df)
+    // first record item must be Z (2469), NOT the EQLNUM bookkeeping column
+    val rec = DeckParser.parse(text).filter(e => e.keyword == "EQUIL" && e.items.nonEmpty)
+    assert(rec.length == 2)
+    assert(rec.head.items.head == "2469", s"EQLNUM leaked into the record: ${rec.head.items}")
+    val back = graft.modules.Equil.df(spark, "OIL\nWATER\nGAS\n" + text)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("df2res mixed WCON frame: sibling keywords' null columns never emit") {
+    val src =
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |WCONHIST
+        | 'OP1' 'OPEN' 'ORAT' 100 50 1e6 /
+        |/
+        |WCONINJE
+        | 'INJ1' 'WATER' 'OPEN' 'RATE' 200 /
+        |/
+        |""".stripMargin
+    val df = graft.modules.Wcon.df(spark, src)
+    val text = IncludeWriter.df2res(df)
+    val events = DeckParser.parse(text)
+    val inje = events.filter(e => e.keyword == "WCONINJE" && e.items.nonEmpty)
+    assert(inje.length == 1)
+    // WCONINJE schema: WELL TYPE STATUS CMODE RATE RESV BHP THP VFP_TABLE —
+    // the union frame's ORAT/WRAT/GRAT columns (null here) must not appear
+    assert(inje.head.items.take(5) == Vector("INJ1", "WATER", "OPEN", "RATE", "200"))
+    val hist = events.filter(e => e.keyword == "WCONHIST" && e.items.nonEmpty).head
+    assert(hist.items.take(6) == Vector("OP1", "OPEN", "ORAT", "100", "50", "1000000"))
+    // keywords emit in order of first appearance in the frame (the frame
+    // sorts by DATE, WELL so INJ1's row leads) — alphabetical order would
+    // put WCONHIST first
+    val kwOrder = events.filter(_.items.nonEmpty).map(_.keyword).distinct
+    assert(kwOrder == Vector("WCONINJE", "WCONHIST"))
+  }
+
+  test("df2res honors an explicit keyword-order argument") {
+    val src =
+      """SWOF
+        |  0 0 1 1
+        |  1 1 0 0
+        |/
+        |SGOF
+        |  0 0 1 1
+        |  1 1 0 0
+        |/
+        |""".stripMargin
+    val df = graft.modules.Satfunc.df(spark, src)
+    val text = IncludeWriter.df2res(df, keywords = Some(Seq("SGOF", "SWOF")))
+    assert(text.indexOf("SGOF") >= 0 && text.indexOf("SGOF") < text.indexOf("SWOF"))
+    // keywords absent from the frame are skipped, not errored
+    val text2 = IncludeWriter.df2res(df, keywords = Some(Seq("SWOF", "PVTO")))
+    assert(text2.contains("SWOF") && !text2.contains("PVTO"))
+  }
+
   test("EDITNNC round-trip: multiplier frame -> include text -> parse -> same") {
     val nnc = Seq((1, 1, 1, 2, 1, 1, 0.5), (3, 4, 5, 3, 4, 6, 0.1))
       .toDF("I1", "J1", "K1", "I2", "J2", "K2", "TRANM")

@@ -23,6 +23,20 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join refuses result-distorting outer types") {
+    val big = spark.range(10).select(col("id").as("k"))
+    val small = Seq((1L, "a")).toDF("k", "v")
+    // right/full outer would replicate unmatched small-side rows once per salt
+    for (bad <- Seq("right_outer", "full_outer", "outer", "full"))
+      assertThrows[IllegalArgumentException](
+        Ops.saltedJoin(big, small, Seq("k"), salts = 4, joinType = bad))
+    // the preserved types still work
+    assert(Ops.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "left_anti")
+      .count() == 9)
+    assert(Ops.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "left_outer")
+      .count() == 10)
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.events(spark, "/root/testdata/sf0.001")

@@ -89,6 +89,28 @@ class SummarySpec extends AnyFunSuite {
     assert(meta("FOPTH").getAs[Boolean]("IS_HISTORICAL") &&
       meta("FOPTH").getAs[Boolean]("IS_TOTAL"))
     assert(meta("BPR:1:2").getAs[String]("SCOPE") == "BLOCK")
+    // pressures ending in R are NOT rates (stem whitelist, not endsWith):
+    // FPR field pressure, RPR region pressure, BPR block pressure
+    assert(!meta("BPR:1:2").getAs[Boolean]("IS_RATE"))
+    val meta2 = Summary.vectorMeta(
+      Seq(("FPR", ts("2000-01-15 00:00:00"), 1.0),
+        ("RPR:1", ts("2000-01-15 00:00:00"), 1.0),
+        ("WWCT:OP_1", ts("2000-01-15 00:00:00"), 1.0),
+        ("WWCTH:OP_1", ts("2000-01-15 00:00:00"), 1.0),
+        ("FGOR", ts("2000-01-15 00:00:00"), 1.0),
+        ("WBHP:OP_1", ts("2000-01-15 00:00:00"), 1.0))
+        .toDF("VECTOR", "DATE", "VALUE"))
+      .collect().map(r => r.getAs[String]("VECTOR") -> r).toMap
+    assert(!meta2("FPR").getAs[Boolean]("IS_RATE") &&
+      !meta2("FPR").getAs[Boolean]("IS_TOTAL"))
+    assert(!meta2("RPR:1").getAs[Boolean]("IS_RATE"))
+    // ratio vectors are rate-typed (and never totals despite trailing T)
+    assert(meta2("WWCT:OP_1").getAs[Boolean]("IS_RATE") &&
+      !meta2("WWCT:OP_1").getAs[Boolean]("IS_TOTAL"))
+    assert(meta2("WWCTH:OP_1").getAs[Boolean]("IS_RATE") &&
+      meta2("WWCTH:OP_1").getAs[Boolean]("IS_HISTORICAL"))
+    assert(meta2("FGOR").getAs[Boolean]("IS_RATE"))
+    assert(!meta2("WBHP:OP_1").getAs[Boolean]("IS_RATE"))
 
     // auto mode: FOPR (rate) extrapolates to 0 past its range; FOPT
     // (cumulative) clamps — in the SAME call
