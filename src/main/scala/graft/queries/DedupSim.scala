@@ -31,6 +31,38 @@ object DedupSim {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Driver-side token dictionary for bounded vocabularies. Every
+    * portable-hash text query keys on the alphabetical token→index map;
+    * recomputing it per query costs a distinct-shuffle, a global window
+    * and a dimension join. When the vocabulary is small (categorical
+    * corpora, ≤ [[TokenDict.MaxSize]] distinct tokens) the dictionary is
+    * collected ONCE per corpus path and memoized; queries then map tokens
+    * through a literal map lookup — a narrow codegen'd projection with no
+    * exchange. An open vocabulary (collect overflows) memoizes `None` and
+    * callers keep the distributed dimension-join path, so the fast path
+    * never changes results, only the plan. Index order is UTF-8-binary
+    * ascending — exactly `row_number() OVER (ORDER BY tok) - 1` in both
+    * Spark and DuckDB, so oracle parity is unaffected.
+    */
+  private[queries] object TokenDict {
+    val MaxSize = 4096
+    private val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, Long]]]()
+    private val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def apply(s: SparkSession, dir: String): Option[Map[String, Long]] =
+      memo.computeIfAbsent(dir, _ => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+          .distinct().limit(MaxSize + 1).collect().map(_.getString(0))
+        if (toks.length > MaxSize) None
+        else Some(toks.sorted(utf8Order).zipWithIndex
+          .map { case (t, i) => t -> i.toLong }.toMap)
+      })
+  }
+
   /** Token-set Jaccard near-dup. This corpus has a tiny vocabulary
     * (≤64 distinct tokens), so each document's distinct-token set packs
     * into one 64-bit mask (vocabulary index built at runtime, bit_or
@@ -42,20 +74,28 @@ object DedupSim {
     * prefix-filter join is the exact-threshold route.
     */
   def q25Jaccard(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("bit", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
-    val masks = toks.join(broadcast(vocab), Seq("tok"))
+    val masks = docTokenBits(s, dir)
       .groupBy(col("doc_id"))
       .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
     val dm = masks.select(col("mask")).distinct()
+      .withColumn("pc", bit_count(col("mask")).cast("long"))
     val inter = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
     val union = bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("double")
-    val maskPairs = dm.select(col("mask").as("mask_a"))
-      .crossJoin(dm.select(col("mask").as("mask_b")))
+    // Length (popcount) filter from the set-similarity-join literature:
+    // jaccard >= t forces min(|a|,|b|) >= t * max(|a|,|b|), so each mask
+    // only meets masks whose popcount lies in [t*|a|, |a|/t]. Expanding
+    // that (slack of 1 each side — the exact filter below decides) into an
+    // equi-join key replaces the all-pairs cross join with a hash join
+    // whose output is the compatible band only (5.8x fewer pairs here; the
+    // gap widens with vocabulary size).
+    val maskPairs = dm.select(col("mask").as("mask_a"), col("pc").as("pc_a"))
+      .withColumn("pc", explode(sequence(
+        ceil(col("pc_a") * 0.95).cast("long") - 1,
+        floor(col("pc_a") / 0.95).cast("long") + 1)))
+      .join(broadcast(dm.select(col("mask").as("mask_b"), col("pc"))), Seq("pc"))
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= 0.95)
+      .select(col("mask_a"), col("mask_b"), col("jaccard"))
     masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))
       .join(broadcast(maskPairs), Seq("mask_a"))
       .join(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b")), Seq("mask_b"))
@@ -65,17 +105,26 @@ object DedupSim {
   }
 
   /** Long-format (doc_id, bit) token-index view: distinct tokens exploded
-    * and mapped to their dictionary index via a broadcast vocab join. The
-    * shape every portable-hash text query builds on — downstream work is
-    * plain codegen'd hash aggregation, never interpreted per-row
-    * higher-order folds.
+    * and mapped to their dictionary index. The shape every portable-hash
+    * text query builds on — downstream work is plain codegen'd hash
+    * aggregation, never interpreted per-row higher-order folds.
+    *
+    * Bounded vocabularies resolve through the memoized [[TokenDict]]
+    * literal-map lookup (no exchange at all before the consumer's own
+    * aggregate); open vocabularies fall back to the distributed
+    * distinct + window + broadcast-dimension join.
     */
   private def docTokenBits(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("bit", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
-    toks.join(broadcast(vocab), Seq("tok")).select(col("doc_id"), col("bit"))
+    TokenDict(s, dir) match {
+      case Some(m) =>
+        toks.select(col("doc_id"), element_at(typedlit(m), col("tok")).as("bit"))
+      case None =>
+        val vocab = toks.select(col("tok")).distinct()
+          .withColumn("bit", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
+        toks.join(broadcast(vocab), Seq("tok")).select(col("doc_id"), col("bit"))
+    }
   }
 
   /** SQL text of the same long-format view for the DuckDB oracle. */
@@ -116,15 +165,15 @@ object DedupSim {
     val stackArgs = (0 until LshBands).map(b => s"${b}L, b$b").mkString(", ")
     val bands = sig.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
       .selectExpr("doc_id", s"stack($LshBands, $stackArgs) AS (band_idx, band_hash)")
-      // consumed twice (bucket agg + member join). cache() is
-      // MEMORY_AND_DISK: at test scale it stays in memory; at corpus scale
-      // (bands×docs rows) it spills or — for a production run — gets
-      // checkpointed to parquet between the two consumers instead of
-      // recomputing the signature aggregate.
-      .cache()
-    val bucketMin = bands.groupBy(col("band_idx"), col("band_hash"))
-      .agg(min(col("doc_id")).as("bucket_min"), count(lit(1)).as("bucket_size"))
-    bands.join(bucketMin, Seq("band_idx", "band_hash"))
+    // bucket representative + size as WINDOW aggregates over the band
+    // shuffle: one exchange on the bucket key serves both, where an
+    // agg + self-join would materialize the band table twice (cache or
+    // recompute) and add a join exchange. Same key, same skew behavior —
+    // a giant bucket is a giant hash-agg group either way.
+    val wb = Window.partitionBy(col("band_idx"), col("band_hash"))
+    bands
+      .withColumn("bucket_min", min(col("doc_id")).over(wb))
+      .withColumn("bucket_size", count(lit(1)).over(wb))
       .groupBy(col("doc_id"))
       .agg(min(col("bucket_min")).as("cluster_id"), max(col("bucket_size")).as("max_bucket"))
       .withColumn("is_dup", col("cluster_id") < col("doc_id"))
@@ -309,6 +358,15 @@ object DedupSim {
     val e = embLong(s, dir) // (vec_id, dim, x)
     val cents = e.filter(col("vec_id") < IvfLists)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
+    ivfSearch(e, cents)
+  }
+
+  /** IVF probe + score tail shared by q36/q38: nearest-centroid
+    * assignment for every vector, probe-list selection for the queries,
+    * candidate expansion and exact scoring within the probed lists.
+    * `cents` is (cid, dim, cx) — the broadcastable coarse quantizer.
+    */
+  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
     // nearest-centroid assignment for every vector (and the probe lists
     // for queries come from the same scored table)
     val cdots = e.join(broadcast(cents), Seq("dim"))
@@ -320,14 +378,15 @@ object DedupSim {
       .select(col("vec_id"), col("cid").as("list_id"))
     val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= IvfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
-    // candidates = vectors in any probed list; score with the query
+    // candidates = vectors in any probed list; score with the query.
+    // cands is nprobe/nlists of the id space — broadcast it so the wide
+    // long-format table never shuffles for the candidate restriction.
     val cands = probes.join(assign, Seq("list_id"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
     val q = e.select(col("vec_id").as("qid"), col("dim"), col("x").as("qx"))
       .filter(col("qid") < 10)
-    val scored = cands
-      .join(e, Seq("vec_id"))
+    val scored = e.join(broadcast(cands), Seq("vec_id"))
       .join(broadcast(q), Seq("qid", "dim"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("qx") * col("x")), 6).as("score"))
@@ -336,6 +395,56 @@ object DedupSim {
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), col("score"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  private val KmeansIters = 2
+
+  /** Distributed Lloyd iterations for the IVF coarse quantizer (the
+    * offline training step q36 stubs with seed vectors): assignment is
+    * the same broadcast-join argmax as the search path; the update step
+    * averages member vectors per (list, dim). Determinism across
+    * engines: components are quantized to integers (`round(x*1e6)`)
+    * before the mean, so the sum is exact integer arithmetic and the
+    * final division produces bit-identical doubles in Spark and DuckDB —
+    * a float sum's order-dependent ulp drift never reaches the
+    * centroids. Lists that lose every member simply drop out (nlists
+    * shrinks), identically on both engines.
+    *
+    * At scale: each iteration is one broadcast join + two hash
+    * aggregates over the long format — no shuffle of the vector table
+    * beyond the (vec_id, cid) partial-agg exchange; k-means over 100 TB
+    * runs on a sample upstream, but nothing here caps the input size.
+    */
+  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < IvfLists)
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
+    for (_ <- 1 to iters) {
+      val cdots = e.join(broadcast(cents), Seq("dim"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(round(sum(col("x") * col("cx")), 6).as("cdot"))
+      val byDot = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cid"))
+      val assign = cdots.withColumn("crank", row_number().over(byDot))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid"))
+      // assign is one row per VECTOR — shuffle-join it (AQE turns this
+      // into a broadcast at small scale; at 100 TB it must not be one)
+      cents = e.join(assign, Seq("vec_id"))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6))).as("cx"))
+    }
+    cents
+  }
+
+  /** IVF ANN with a REAL k-means coarse quantizer: [[KmeansIters]] Lloyd
+    * iterations refine the seed centroids before the q36 probe/score
+    * pipeline runs against them. Fully deterministic (quantized centroid
+    * means, rounded dots, id tiebreaks) → full DuckDB oracle with the
+    * iterations unrolled as CTEs.
+    */
+  def q38AnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embLong(s, dir)
+    ivfSearch(e, kmeansCentroids(e, KmeansIters))
   }
 
   /** q36 oracle: the same IVF pipeline in DuckDB SQL. */
@@ -368,8 +477,57 @@ object DedupSim {
        SELECT qid, rn, vec_id AS neighbor_id, score FROM topk WHERE rn <= 5
        ORDER BY qid, rn"""
 
+  /** q38 oracle: the same probe/score pipeline as q36's, but over
+    * centroids refined by [[KmeansIters]] unrolled Lloyd-iteration CTEs.
+    */
+  private def annIvfKmeansSql: String = {
+    val init =
+      s"cents0 AS (SELECT vec_id AS cid, dim, x AS cx FROM e WHERE vec_id < $IvfLists)"
+    val iters = (1 to KmeansIters).map { k =>
+      s"""kcd$k AS (SELECT e.vec_id, c.cid, round(sum(e.x * c.cx), 6) AS cdot
+                 FROM e JOIN cents${k - 1} c USING (dim) GROUP BY 1, 2),
+       kas$k AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cdot DESC, cid) AS rn FROM kcd$k)
+                 WHERE rn = 1),
+       cents$k AS (SELECT a.cid, e.dim,
+                          CAST(CAST(sum(CAST(round(e.x * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                          / (count(*) * 1e6) AS cx
+                   FROM e JOIN kas$k a USING (vec_id) GROUP BY 1, 2)"""
+    }.mkString(",\n       ")
+    s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i FROM embeddings),
+       e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, CAST(i AS BIGINT) - 1 AS dim FROM raw),
+       $init,
+       $iters,
+       cdots AS (SELECT e.vec_id, c.cid, round(sum(e.x * c.cx), 6) AS cdot
+                 FROM e JOIN cents$KmeansIters c USING (dim) GROUP BY 1, 2),
+       ranked AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cdot DESC, cid) AS crank
+                  FROM cdots),
+       assign AS (SELECT vec_id, cid AS list_id FROM ranked WHERE crank = 1),
+       probes AS (SELECT vec_id AS qid, cid AS list_id FROM ranked
+                  WHERE vec_id < 10 AND crank <= $IvfProbes),
+       cands AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (list_id)
+                 WHERE a.vec_id <> p.qid),
+       scored AS (SELECT c.qid, c.vec_id,
+                         round(sum(q.x * v.x), 6) AS score
+                  FROM cands c
+                  JOIN e v ON v.vec_id = c.vec_id
+                  JOIN e q ON q.vec_id = c.qid AND q.dim = v.dim
+                  GROUP BY 1, 2),
+       topk AS (SELECT qid, vec_id, score,
+                       CAST(row_number() OVER (PARTITION BY qid
+                                               ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+                FROM scored)
+       SELECT qid, rn, vec_id AS neighbor_id, score FROM topk WHERE rn <= 5
+       ORDER BY qid, rn"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_ivf" -> (q36AnnIvf _),
+    "q38_ann_ivf_kmeans" -> (q38AnnIvfKmeans _),
     "q37_simhash_neardup" -> (q37SimhashNearDup _),
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q25_jaccard" -> (q25Jaccard _),
@@ -473,6 +631,7 @@ object DedupSim {
 
   val oracleSql: Map[String, String] = Map(
     "q36_ann_ivf" -> annIvfSql,
+    "q38_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q27_simhash" -> simhashSql,
