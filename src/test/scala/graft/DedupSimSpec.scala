@@ -94,4 +94,44 @@ class DedupSimSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("is_dup") == (cl < doc))
     }
   }
+
+  test("q38 k-means IVF: well-formed top-k, recall not below the seeded quantizer") {
+    val out = DedupSim.q38AnnIvfKmeans(spark, dir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rs.length))
+      assert(rs.length <= 5)
+    }
+    val brute = DedupSim.q28CosineTopK(spark, dir)
+      .filter(col("rn") === 1).select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val km = out.filter(_.getAs[Long]("rn") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = brute.keys.count(q => km.get(q).contains(brute(q)))
+    assert(hits >= (brute.size * 6) / 10,
+      s"k-means IVF top-1 recall $hits/${brute.size} below the seed-centroid floor")
+  }
+
+  test("token-dictionary fast path and distributed fallback agree (q25 masks)") {
+    // q25's whole pipeline rides docTokenBits; the memoized literal-map
+    // lookup must be plan-only — same rows as the window+join path the
+    // oracle SQL replays.
+    val out = DedupSim.q25Jaccard(spark, dir).collect()
+    val sql = spark.sql(
+      s"""WITH toks AS (SELECT doc_id, explode(array_distinct(split(trim(text), '\\\\s+'))) AS tok
+                        FROM parquet.`$dir/documents.parquet`),
+          vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS bit
+                    FROM (SELECT DISTINCT tok FROM toks)),
+          masks AS (SELECT doc_id, bit_or(shiftleft(1L, cast(bit AS int))) AS mask
+                    FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(cast(bit_count(a.mask & b.mask) AS double)
+                       / bit_count(a.mask | b.mask), 6) AS jaccard
+          FROM masks a JOIN masks b ON a.doc_id < b.doc_id
+          WHERE cast(bit_count(a.mask & b.mask) AS double)
+                / bit_count(a.mask | b.mask) >= 0.95
+          ORDER BY doc_a, doc_b""").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      sql.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }
