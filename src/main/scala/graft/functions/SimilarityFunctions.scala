@@ -84,10 +84,10 @@ object SimilarityFunctions {
   * oracle-checkable: the same formula runs as a codegen'd Spark expression
   * AND as DuckDB SQL.
   *
-  * The open-vocabulary production path would hash token strings directly
-  * (xxhash64, see [[SimilarityFunctions.minhashSignature]]); this family
-  * hashes a dictionary index instead, which is the classic "build a vocab,
-  * then permute ids" MinHash formulation — equally valid, and portable.
+  * For the open-vocabulary path that skips the dictionary entirely, see
+  * [[PortableStringHash]], which hashes token STRINGS portably; this family
+  * hashes a dictionary index, the classic "build a vocab, then permute ids"
+  * MinHash formulation — equally valid where a dictionary exists.
   */
 object PortableHash {
   val M1 = 2654435761L
@@ -111,4 +111,104 @@ object PortableHash {
   /** Oracle side: the same ±1 sign as SQL text. */
   def signSql(a: String, seed: Int): String =
     s"(CASE WHEN ${mixSql(a, seed)} % 2 = 1 THEN 1 ELSE -1 END)"
+}
+
+/** Engine-portable polynomial hash over token STRINGS — the
+  * open-vocabulary companion to [[PortableHash]]: no dictionary build, no
+  * distinct-shuffle, no vocabulary bound. Horner fold over the first
+  * [[PortableStringHash.MaxChars]] codepoints,
+  * `h_i = (h_{i-1} * B + cp_i + 1) mod P`, which equals the positional sum
+  * `Σ (cp_i + 1) · B^(L-i) mod P` — the form the DuckDB oracle computes
+  * with a precomputed-powers list (SQL can't fold over characters, but it
+  * can unnest them with subscripts). Every intermediate stays under 2^62,
+  * so Spark ANSI and DuckDB BIGINT arithmetic agree bit-for-bit.
+  *
+  * Spark side is a native unary Expression whose codegen is a single
+  * static call — the token string is hashed inside whole-stage codegen,
+  * no interpreted fallback. Parity holds for BMP codepoints without
+  * combining sequences (DuckDB's per-character split vs. codePointAt);
+  * whitespace-delimited ASCII/Latin tokens — the tokenizer's output — are
+  * always safe.
+  */
+object PortableStringHash {
+  val B = 131L
+  val P: Long = PortableHash.P
+  val MaxChars = 64
+
+  /** Shared by interpreted eval and generated code. */
+  def hashString(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    var n = 0
+    while (i < str.length && n < MaxChars) {
+      val cp = str.codePointAt(i)
+      h = (h * B + cp + 1L) % P
+      i += Character.charCount(cp)
+      n += 1
+    }
+    h
+  }
+
+  /** Spark side: portable hash of a string column (BIGINT in [0, P)). */
+  def strHash(c: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      PortableStringHashExpr(org.apache.spark.sql.GraftShims.expression(c)))
+
+  private def powMod(e: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < e) { r = (r * B) % P; i += 1 }
+    r
+  }
+
+  /** Oracle side: CTE text hashing `tokCol` of relation `src` into
+    * `hashCol` (must differ from `tokCol`), keyed by `keys` (the
+    * non-token identifying columns). Emits two CTEs named `<out>_chars`
+    * and `<out>`; `<out>` has columns (keys..., hashCol).
+    */
+  def strHashCtes(src: String, keys: Seq[String], tokCol: String, out: String,
+      hashCol: String): String = {
+    require(hashCol != tokCol, "hashCol must differ from tokCol (GROUP BY ambiguity)")
+    val pw = (0 until MaxChars).map(powMod).mkString("[", ", ", "]")
+    val keyList = keys.mkString(", ")
+    s"""${out}_chars AS (
+         SELECT $keyList, $tokCol,
+                unnest(string_split($tokCol, '')) AS ch,
+                generate_subscripts(string_split($tokCol, ''), 1) AS i
+         FROM $src),
+       $out AS (
+         SELECT $keyList,
+                CAST(sum(CAST(ascii(ch) + 1 AS BIGINT) *
+                         CAST(($pw)[CAST(least(len($tokCol), $MaxChars) - i + 1 AS INT)]
+                              AS BIGINT)) % $P
+                     AS BIGINT) AS $hashCol
+         FROM ${out}_chars
+         WHERE i <= least(len($tokCol), $MaxChars)
+         GROUP BY $keyList, $tokCol)"""
+  }
+}
+
+case class PortableStringHashExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"portable_str_hash expects a string input, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    PortableStringHash.hashString(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableStringHash.hashString($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableStringHashExpr =
+    copy(child = newChild)
 }

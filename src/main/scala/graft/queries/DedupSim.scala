@@ -152,12 +152,37 @@ object DedupSim {
     * expressible in DuckDB SQL, so this is a full hash-checked oracle
     * query, not a rows-only one.
     */
-  def q26MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q26MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshCluster(docTokenBits(s, dir).select(col("doc_id"), col("bit").as("v")))
+
+  /** Open-vocabulary MinHash+LSH dedup clustering: identical banding and
+    * agglomeration to q26, but the permutation inputs are
+    * [[graft.functions.PortableStringHash]] values of the token strings —
+    * NO dictionary build, no distinct-shuffle over the vocabulary, no
+    * vocabulary-size bound. This is the 100 TB text-dedup shape: one
+    * narrow codegen'd projection per token, then the signature aggregate.
+    * The string hash is engine-portable, so the DuckDB oracle replays it
+    * exactly (char-unnest + precomputed powers).
+    */
+  def q39MinhashOpenVocab(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), strHash(col("tok")).as("v"))
+    minhashLshCluster(hashed)
+  }
+
+  /** Shared MinHash+LSH tail over (doc_id, v) — `v` any value already in
+    * the portable-hash domain [0, P): k slot minimums in one codegen'd
+    * hash aggregate, banded hashes, bucket stats as window aggregates over
+    * the band exchange, linear cluster output.
+    */
+  private def minhashLshCluster(vals: DataFrame): DataFrame = {
     import graft.functions.PortableHash.mix
     val r = MinhashK / LshBands
-    val sig = docTokenBits(s, dir).groupBy(col("doc_id"))
-      .agg(min(mix(col("bit"), 0)).as("m0"),
-        (1 until MinhashK).map(k => min(mix(col("bit"), k)).as(s"m$k")): _*)
+    val sig = vals.groupBy(col("doc_id"))
+      .agg(min(mix(col("v"), 0)).as("m0"),
+        (1 until MinhashK).map(k => min(mix(col("v"), k)).as(s"m$k")): _*)
     val bandCols = (0 until LshBands).map { b =>
       (BandWeights.zipWithIndex.map { case (w, i) => col(s"m${b * r + i}") * lit(w) }
         .reduce(_ + _) + lit(b.toLong)) % lit(graft.functions.PortableHash.P)
@@ -532,28 +557,30 @@ object DedupSim {
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q25_jaccard" -> (q25Jaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
+    "q39_minhash_openvocab" -> (q39MinhashOpenVocab _),
     "q27_simhash" -> (q27Simhash _),
     "q28_cosine_topk" -> (q28CosineTopK _),
     "q29_cosine_neardup" -> (q29CosineNearDup _),
     "q30_ann_lsh" -> (q30AnnLsh _),
   )
 
-  /** q26 oracle: the exact portable-hash MinHash+LSH pipeline as DuckDB
-    * SQL, generated from the same seeds/weights as the Spark side.
+  /** MinHash+LSH oracle tail over a CTE chain that must define
+    * `vals(doc_id, v)` — the same banding/bucketing as
+    * [[minhashLshCluster]], generated from the same seeds/weights.
     */
-  private def minhashLshSql: String = {
+  private def minhashLshTailSql(prefixCtes: String): String = {
     import graft.functions.PortableHash.{mixSql, P}
     val r = MinhashK / LshBands
     val minCols = (0 until MinhashK)
-      .map(k => s"min(${mixSql("bit", k)}) AS m$k").mkString(",\n             ")
+      .map(k => s"min(${mixSql("v", k)}) AS m$k").mkString(",\n             ")
     val bandExprs = (0 until LshBands).map { b =>
       val terms = BandWeights.zipWithIndex
         .map { case (w, i) => s"m${b * r + i} * $w" }.mkString(" + ")
       s"(($terms + $b) % $P) AS b$b"
     }.mkString(",\n             ")
     val bandCase = (0 until LshBands).map(b => s"WHEN $b THEN b$b").mkString(" ")
-    s"""WITH $docTokenBitsSql,
-       sig AS (SELECT doc_id, $minCols FROM t GROUP BY doc_id),
+    s"""WITH $prefixCtes,
+       sig AS (SELECT doc_id, $minCols FROM vals GROUP BY doc_id),
        wide AS (SELECT doc_id, $bandExprs FROM sig),
        bands AS (SELECT doc_id, u.band_idx, CASE u.band_idx $bandCase END AS band_hash
                  FROM wide CROSS JOIN (SELECT unnest(range($LshBands)) AS band_idx) u),
@@ -564,6 +591,24 @@ object DedupSim {
               min(u.bucket_min) < b.doc_id AS is_dup
        FROM bands b JOIN bucket u USING (band_idx, band_hash)
        GROUP BY b.doc_id ORDER BY doc_id"""
+  }
+
+  /** q26 oracle: dictionary-index MinHash over the long token-bit view. */
+  private def minhashLshSql: String =
+    minhashLshTailSql(
+      s"""$docTokenBitsSql,
+       vals AS (SELECT doc_id, bit AS v FROM t)""")
+
+  /** q39 oracle: dictionary-free MinHash over portable string hashes. */
+  private def minhashOpenVocabSql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "otoks", Seq("doc_id"), "tok", "ohash", "v")
+    minhashLshTailSql(
+      s"""otoks AS (SELECT doc_id,
+                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                    FROM documents),
+       $hashCtes,
+       vals AS (SELECT doc_id, v FROM ohash)""")
   }
 
   /** q27 oracle: 64 portable-hash bit votes + fingerprint fold in DuckDB. */
@@ -634,6 +679,7 @@ object DedupSim {
     "q38_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
+    "q39_minhash_openvocab" -> minhashOpenVocabSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,
     "q24_exact_dedup" ->

@@ -95,6 +95,48 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("portable string hash: codegen'd, matches the Horner fold, in range") {
+    import graft.functions.PortableStringHash
+    // spark.range keeps the projection in the plan (a local Seq would
+    // constant-fold to a LocalTableScan and hide the codegen span)
+    val df = spark.range(5)
+      .select(concat(lit("tok_"), col("id")).as("tok"))
+      .unionByName(Seq("alpha", "a" * 100, "Straße").toDF("tok"))
+      .select(col("tok"), PortableStringHash.strHash(col("tok")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"expected the hash projection inside WholeStageCodegen:\n$plan")
+    def horner(t: String): Long = {
+      var h = 0L
+      t.codePoints().limit(PortableStringHash.MaxChars).forEach(cp =>
+        h = (h * PortableStringHash.B + cp + 1L) % PortableStringHash.P)
+      h
+    }
+    df.collect().foreach { r =>
+      val (tok, h) = (r.getString(0), r.getLong(1))
+      assert(h == horner(tok), s"mismatch for '$tok'")
+      assert(h >= 0 && h < PortableStringHash.P)
+    }
+    // truncation: chars beyond MaxChars don't change the hash
+    assert(horner("a" * 100) == horner("a" * 64))
+  }
+
+  test("q39 open-vocab clusters: same invariants as q26, no dictionary dependency") {
+    val out = DedupSim.q39MinhashOpenVocab(spark, dir).collect()
+    assert(out.length == DedupSim.q26MinhashLsh(spark, dir).count())
+    out.foreach { r =>
+      val doc = r.getAs[Long]("doc_id"); val cl = r.getAs[Long]("cluster_id")
+      assert(cl <= doc)
+      assert(r.getAs[Boolean]("is_dup") == (cl < doc))
+    }
+    // identical duplicate texts must land in one cluster regardless of path
+    val dups26 = DedupSim.q26MinhashLsh(spark, dir)
+      .filter(col("is_dup")).count()
+    val dups39 = out.count(_.getAs[Boolean]("is_dup"))
+    assert(dups39 >= (dups26 * 8) / 10,
+      s"open-vocab path found $dups39 dups vs dictionary path's $dups26")
+  }
+
   test("q38 k-means IVF: well-formed top-k, recall not below the seeded quantizer") {
     val out = DedupSim.q38AnnIvfKmeans(spark, dir).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
