@@ -380,6 +380,10 @@ object DedupSim {
     * (codegen'd); the interpreted higher-order-fold shape never appears.
     */
   def q36AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    // The long-format table feeds assignment, probing and scoring. At
+    // corpus scale, materialize it once (checkpoint to parquet) before
+    // the multi-consumer lineage; at bench scale the recompute is cheaper
+    // than cache churn, so the plan re-derives it per consumer.
     val e = embLong(s, dir) // (vec_id, dim, x)
     val cents = e.filter(col("vec_id") < IvfLists)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
@@ -397,11 +401,16 @@ object DedupSim {
     val cdots = e.join(broadcast(cents), Seq("dim"))
       .groupBy(col("vec_id"), col("cid"))
       .agg(round(sum(col("x") * col("cx")), 6).as("cdot"))
+    // full-table assignment is a plain argmax — max_by skips the window's
+    // per-key sort; the top-nprobe window only ever runs over the QUERY
+    // vectors (the vec_id < 10 filter pushes below the window because
+    // vec_id is the partition key)
     val byDot = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cid"))
-    val ranked = cdots.withColumn("crank", row_number().over(byDot))
-    val assign = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid").as("list_id"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= IvfProbes)
+    val assign = cdots.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cdot"), (-col("cid")).as("nc"))).as("list_id"))
+    val probes = cdots.filter(col("vec_id") < 10)
+      .withColumn("crank", row_number().over(byDot))
+      .filter(col("crank") <= IvfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     // candidates = vectors in any probed list; score with the query.
     // cands is nprobe/nlists of the id space — broadcast it so the wide
@@ -447,10 +456,11 @@ object DedupSim {
       val cdots = e.join(broadcast(cents), Seq("dim"))
         .groupBy(col("vec_id"), col("cid"))
         .agg(round(sum(col("x") * col("cx")), 6).as("cdot"))
-      val byDot = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cid"))
-      val assign = cdots.withColumn("crank", row_number().over(byDot))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("cid"))
+      // argmax by (cdot desc, cid asc) as a max_by aggregate — the search
+      // tail needs a top-nprobe window, but the training loop only needs
+      // the winner, and an aggregate skips the window's per-key sort
+      val assign = cdots.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cdot"), (-col("cid")).as("nc"))).as("cid"))
       // assign is one row per VECTOR — shuffle-join it (AQE turns this
       // into a broadcast at small scale; at 100 TB it must not be one)
       cents = e.join(assign, Seq("vec_id"))
