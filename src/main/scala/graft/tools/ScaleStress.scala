@@ -62,8 +62,9 @@ object ScaleStress {
     }
 
     val names = Seq("q01_agg", "q02_join", "q04_asof", "q07_lastwins",
-      "q12_running", "q24_exact_dedup", "q26_minhash_lsh", "q27_simhash",
-      "q30_ann_lsh", "q33_dropconst")
+      "q12_running", "q24_exact_dedup", "q25_jaccard", "q26_minhash_lsh",
+      "q27_simhash", "q30_ann_lsh", "q33_dropconst", "q36_ann_ivf",
+      "q38_ann_ivf_kmeans", "q39_minhash_openvocab")
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
