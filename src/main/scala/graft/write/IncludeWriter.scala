@@ -190,20 +190,38 @@ object IncludeWriter {
     * keywords with a registered slot list emit exactly their schema items
     * (missing interior items as `1*`); anything else falls back to
     * [[genericDeckTable]] with bookkeeping columns and per-keyword
-    * all-null columns dropped.
+    * all-null columns dropped. `comments` prepends `-- ` blocks per
+    * keyword (key "master" heads the whole file) and `consecutive`
+    * fails fast on gapped region numbering, both mirroring the
+    * reference's dispatcher arguments (common.py:519-560).
     */
-  def df2res(df: DataFrame, keywords: Option[Seq[String]] = None): String = {
+  def df2res(df: DataFrame, keywords: Option[Seq[String]] = None,
+      comments: Map[String, String] = Map.empty,
+      consecutive: Option[String] = None): String = {
     import org.apache.spark.sql.functions.{col, count, lit, min, monotonically_increasing_id}
     require(df.columns.contains("KEYWORD"), "df2res needs a KEYWORD column")
+    // the reference refuses region columns with gaps (EQLNUM/SATNUM/PVTNUM
+    // must be 1..max consecutive — common.py:528-560): a gap silently
+    // renumbers every later region on re-parse, so fail fast instead
+    consecutive.filter(df.columns.contains).foreach { c =>
+      val vals = df.select(col(c).cast("long")).na.drop().distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(vals.isEmpty || (vals.head == 1L && vals.last == vals.length.toLong),
+        s"$c must be consecutive from 1, got ${vals.mkString(",")}")
+    }
+    val masterComment = comments.get("master")
+      .map(_.linesIterator.map("-- " + _).mkString("", "\n", "\n")).getOrElse("")
     val firstSeen = df.withColumn("__ord", monotonically_increasing_id())
       .groupBy("KEYWORD").agg(min(col("__ord")).as("__first"))
       .orderBy(col("__first")).collect().map(_.getString(0)).toSeq
     val order = keywords.map(_.filter(firstSeen.toSet)).getOrElse(firstSeen)
-    order.map { kw =>
+    masterComment + order.map { kw =>
       val part0 = df.filter(col("KEYWORD") === kw)
       val region = regionColumns.find(part0.columns.contains)
       val part = region.map(r => part0.orderBy(col(r))).getOrElse(part0)
-      tableFamilies.get(kw) match {
+      val comment = comments.get(kw)
+        .map(_.linesIterator.map("-- " + _).mkString("", "\n", "\n")).getOrElse("")
+      comment + (tableFamilies.get(kw) match {
         case Some((regionCol, cols)) if part.columns.contains(regionCol) =>
           tableKeyword(part, kw, regionCol, cols.filter(part.columns.contains))
         case _ =>
@@ -233,7 +251,7 @@ object IncludeWriter {
                 genericDeckTable(p1.select(keep.map(c => col(s"`$c`")).toIndexedSeq: _*), kw)
               }
           }
-      }
+      })
     }.mkString("\n")
   }
 

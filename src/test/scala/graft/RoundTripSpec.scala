@@ -103,6 +103,26 @@ class RoundTripSpec extends AnyFunSuite {
     assert(kwOrder == Vector("WCONINJE", "WCONHIST"))
   }
 
+  test("df2res comments and consecutive-region validation (reference dispatcher args)") {
+    val src =
+      """SWOF
+        |  0 0 1 1
+        |  1 1 0 0
+        |/
+        |""".stripMargin
+    val df = graft.modules.Satfunc.df(spark, src)
+    val text = IncludeWriter.df2res(df,
+      comments = Map("master" -> "exported by graft", "SWOF" -> "water-oil table"),
+      consecutive = Some("SATNUM"))
+    assert(text.startsWith("-- exported by graft\n"))
+    assert(text.contains("-- water-oil table\nSWOF"))
+    // gapped SATNUM (2 only, no 1) must be refused
+    val gapped = df.withColumn("SATNUM",
+      org.apache.spark.sql.functions.col("SATNUM") + 1)
+    assertThrows[IllegalArgumentException](
+      IncludeWriter.df2res(gapped, consecutive = Some("SATNUM")))
+  }
+
   test("df2res honors an explicit keyword-order argument") {
     val src =
       """SWOF
