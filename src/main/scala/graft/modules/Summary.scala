@@ -48,12 +48,24 @@ object Summary {
         date_trunc(freqField(freq), col("mn")).cast("timestamp"),
         gridEnd,
         freqStep(freq))).as("DATE"))
-      .withColumn("__side", lit(1))
+    interpAt(long, targets, step, rate)
+  }
+
+  /** Interpolated values of every vector at the given (VECTOR, DATE)
+    * target rows: union the targets into the sample stream and resolve
+    * each target from its per-vector window neighbors — linear between
+    * samples, clamped outside the range (step → previous sample held,
+    * rate → backward fill inside / zero beyond the last sample). One
+    * shuffle on VECTOR; shared tail of [[resample]] and [[atDates]].
+    */
+  private def interpAt(long: DataFrame, targets: DataFrame,
+      step: Boolean, rate: Boolean): DataFrame = {
+    val t = targets.withColumn("__side", lit(1))
       .withColumn("VALUE", lit(null).cast("double"))
     val samples = long.select(col("VECTOR"), col("DATE"), col("VALUE"))
       .withColumn("__side", lit(0))
 
-    val u = samples.unionByName(targets)
+    val u = samples.unionByName(t)
     val wPrev = Window.partitionBy(col("VECTOR")).orderBy(col("DATE"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(col("VECTOR")).orderBy(col("DATE"), col("__side"))
@@ -75,6 +87,47 @@ object Summary {
     u.withColumn("VALUE", interp)
       .filter(col("__side") === 1).drop("__side")
       .select(col("VECTOR"), col("DATE"), col("VALUE"))
+  }
+
+  /** Interpolated samples of every vector at explicit dates (each vector
+    * gets every date). The long-form analogue of passing a date / date
+    * list as the reference's `time_index`.
+    */
+  def atDates(long: DataFrame, dates: Seq[String], step: Boolean = false,
+      rate: Boolean = false): DataFrame = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val targets = long.select(col("VECTOR")).distinct()
+      .crossJoin(dates.map(d => java.sql.Timestamp.valueOf(d + " 00:00:00")).toDF("DATE"))
+    interpAt(long, targets, step, rate)
+  }
+
+  /** The reference's `resample_smry_dates` date-selection modes
+    * (summary.py:195-291) over the long form: `raw` returns the samples
+    * (cropped to (start, end) when supplied, with the boundary dates
+    * force-included as interpolated rows); `first` / `last` sample every
+    * vector at the corpus-wide first/last date; an ISO date string
+    * samples at that date; any other string is a resampling frequency
+    * delegated to [[resample]].
+    */
+  def selectDates(long: DataFrame, freq: String,
+      startDate: Option[String] = None, endDate: Option[String] = None): DataFrame = freq match {
+    case "raw" =>
+      val inRange = long
+        .filter(startDate.map(s => col("DATE") > lit(s).cast("timestamp")).getOrElse(lit(true)))
+        .filter(endDate.map(e => col("DATE") < lit(e).cast("timestamp")).getOrElse(lit(true)))
+      val boundaries = (startDate.toSeq ++ endDate.toSeq)
+      if (boundaries.isEmpty) inRange
+      else inRange.unionByName(atDates(long, boundaries))
+    case "first" =>
+      val d = long.agg(min(col("DATE"))).head.getTimestamp(0)
+      atDates(long, Seq(d.toLocalDateTime.toLocalDate.toString))
+    case "last" =>
+      val d = long.agg(max(col("DATE"))).head.getTimestamp(0)
+      atDates(long, Seq(d.toLocalDateTime.toLocalDate.toString))
+    case iso if iso.matches("""\d{4}-\d{2}-\d{2}""") =>
+      atDates(long, Seq(iso))
+    case f => resample(long, f)
   }
 
   private def freqField(freq: String): String = freq match {

@@ -120,6 +120,35 @@ class SummarySpec extends AnyFunSuite {
     assert(out(("FOPT", "2000-04-01 00:00:00.0")) == 400.0)
   }
 
+  test("selectDates: raw/first/last/ISO modes (resample_smry_dates parity)") {
+    import org.apache.spark.sql.functions.col
+    // raw with boundaries: strict interior rows + interpolated boundary rows
+    val raw = Summary.selectDates(long, "raw",
+      startDate = Some("2000-02-01"), endDate = Some("2000-03-01"))
+      .filter(col("VECTOR") === "FOPT").orderBy("DATE").collect()
+      .map(r => r.getTimestamp(1).toString -> r.getDouble(2))
+    // interior samples: 2000-01-15 excluded (< start), 2000-03-15 excluded
+    // (> end); boundary rows interpolated at 100 + 300*(17|46)/60
+    assert(raw.map(_._1).toSeq ==
+      Seq("2000-02-01 00:00:00.0", "2000-03-01 00:00:00.0"))
+    assert(math.abs(raw(0)._2 - 185.0) < 1e-9)
+    assert(math.abs(raw(1)._2 - 330.0) < 1e-9)
+
+    val first = Summary.selectDates(long, "first").collect()
+    assert(first.length == 2 && first.forall(_.getTimestamp(1) == ts("2000-01-15 00:00:00")))
+    val last = Summary.selectDates(long, "last").collect()
+    assert(last.length == 2 && last.forall(_.getTimestamp(1) == ts("2000-03-15 00:00:00")))
+    assert(last.find(_.getString(0) == "FOPT").get.getDouble(2) == 400.0)
+
+    val iso = Summary.selectDates(long, "2000-02-01")
+      .filter(col("VECTOR") === "FOPR").collect()
+    assert(iso.length == 1 && math.abs(iso(0).getDouble(2) - (10.0 + 20.0 * 17 / 60)) < 1e-9)
+
+    // frequency strings still delegate to resample
+    assert(Summary.selectDates(long, "monthly").count() ==
+      Summary.resample(long, "monthly").count())
+  }
+
   test("toWide pivots vectors into columns") {
     val wide = Summary.toWide(Summary.resample(long, "monthly"), Seq("FOPT", "FOPR"))
     assert(wide.columns.toSeq == Seq("DATE", "FOPT", "FOPR"))
