@@ -122,6 +122,82 @@ object GridOps {
       .groupBy(col("PILLAR"))
       .agg(max(col("Z")).as(contactName))
 
+  /** Neighbour-transmissibility pair table (trans.py:21-221): every cell
+    * with a positive TRANX/TRANY/TRANZ becomes one row pairing it with
+    * its +I/+J/+K neighbour (`I1 J1 K1 I2 J2 K2 DIR TRAN`). Options
+    * mirror the reference: direction filters, INIT-vector attachment to
+    * BOTH cells (suffix 1/2), NNC concatenation (DIR="NNC"), averaged
+    * midpoint + absolute distance coords, boundary filter (vector values
+    * differ across the pair) and per-interface grouping (canonical
+    * "min-max" pair key; X/Y/Z/D* averaged, TRAN summed; the split-back
+    * region columns are strings, exactly like the reference's).
+    *
+    * Scale shape: the pair construction is a narrow projection + union
+    * (no shuffle); vector attachment is two equi-joins on cell coordinates
+    * — co-partitioned if the grid is bucketed by (I,J,K), and the joined
+    * relation is the same table both times so the exchange is reused.
+    */
+  def trans(grid: DataFrame, vectors: Seq[String] = Nil,
+      boundaryFilter: Boolean = false, group: Boolean = false,
+      coords: Boolean = false, onlyKDir: Boolean = false,
+      onlyIJDir: Boolean = false, nnc: Option[DataFrame] = None): DataFrame = {
+    val doBoundary = boundaryFilter || group // grouping implies boundaryfilter
+    val present = vectors.filter(grid.columns.contains)
+    require(!(doBoundary && present.length != 1),
+      "boundary filtering/grouping needs exactly one INIT vector")
+    val dirs = Seq(
+      ("TRANX", 1, 0, 0, "I", !onlyKDir),
+      ("TRANY", 0, 1, 0, "J", !onlyKDir),
+      ("TRANZ", 0, 0, 1, "K", !onlyIJDir))
+      .filter(_._6).filter(d => grid.columns.contains(d._1))
+    val pairRows = dirs.map { case (tc, di, dj, dk, dir, _) =>
+      grid.filter(col(tc) > 0).select(
+        col("I").as("I1"), col("J").as("J1"), col("K").as("K1"),
+        (col("I") + di).as("I2"), (col("J") + dj).as("J2"), (col("K") + dk).as("K2"),
+        lit(dir).as("DIR"), col(tc).as("TRAN"))
+    }
+    val base = pairRows.reduceOption(_.unionByName(_))
+      .getOrElse(grid.sparkSession.emptyDataFrame)
+    val withNnc = nnc.map { n =>
+      base.unionByName(n.select(col("I1"), col("J1"), col("K1"),
+        col("I2"), col("J2"), col("K2"), lit("NNC").as("DIR"), col("TRAN")))
+    }.getOrElse(base)
+    val attachCols =
+      (present ++ (if (coords) Seq("X", "Y", "Z").filterNot(present.contains) else Nil))
+        .filter(grid.columns.contains)
+    val attached = if (attachCols.isEmpty) withNnc else {
+      def side(s: String) = grid.select(
+        (Seq("I", "J", "K").map(c => col(c).as(s"$c$s")) ++
+          attachCols.map(c => col(c).as(s"$c$s"))): _*)
+      withNnc.join(side("1"), Seq("I1", "J1", "K1"))
+        .join(side("2"), Seq("I2", "J2", "K2"))
+    }
+    val withCoords = if (!coords) attached else attached
+      .withColumn("X", (col("X1") + col("X2")) / 2)
+      .withColumn("Y", (col("Y1") + col("Y2")) / 2)
+      .withColumn("Z", (col("Z1") + col("Z2")) / 2)
+      .withColumn("DX", abs(col("X1") - col("X2")))
+      .withColumn("DY", abs(col("Y1") - col("Y2")))
+      .withColumn("DZ", abs(col("Z1") - col("Z2")))
+      .drop("X1", "X2", "Y1", "Y2", "Z1", "Z2")
+    val filtered =
+      if (!doBoundary) withCoords
+      else withCoords.filter(col(s"${present.head}1") =!= col(s"${present.head}2"))
+    if (!group) filtered
+    else {
+      val (v1, v2) = (s"${present.head}1", s"${present.head}2")
+      val pairName = s"${present.head}PAIR"
+      val means = Seq("X", "Y", "Z", "DX", "DY", "DZ").filter(filtered.columns.contains)
+      val g = filtered
+        .withColumn(pairName, concat_ws("-",
+          least(col(v1), col(v2)).cast("long"), greatest(col(v1), col(v2)).cast("long")))
+        .groupBy(col(pairName))
+        .agg(sum(col("TRAN")).as("TRAN"), means.map(c => avg(col(c)).as(c)): _*)
+      g.withColumn(v1, split(col(pairName), "-").getItem(0))
+        .withColumn(v2, split(col(pairName), "-").getItem(1))
+    }
+  }
+
   /** Region-interface transmissibility rollup (A3 + P8, trans.py:179-219):
     * keep rows crossing a region boundary, canonical unordered pair key,
     * sum TRAN over each interface.

@@ -107,4 +107,71 @@ class GridOpsSpec extends AnyFunSuite {
       java.nio.file.Files.readString(root.resolve("parameters.txt")))
     assert(params == Map("FWL" -> "1700.5", "RMS_SEED" -> "422789"))
   }
+
+  // 2x2x2 grid with TRAN vectors and a FIPNUM split along I
+  // (cells at I=1 are region 1, I=2 are region 2)
+  private lazy val tranGrid = Seq(
+    (1, 1, 1, 0.5, 0.3, 0.1, 1, 100.0, 100.0, 2000.0),
+    (2, 1, 1, 0.0, 0.4, 0.2, 2, 200.0, 100.0, 2000.0),
+    (1, 2, 1, 0.6, 0.0, 0.0, 1, 100.0, 200.0, 2000.0),
+    (2, 2, 1, 0.0, 0.0, 0.3, 2, 200.0, 200.0, 2000.0),
+    (1, 1, 2, 0.7, 0.8, 0.0, 1, 100.0, 100.0, 2010.0),
+    (2, 1, 2, 0.0, 0.9, 0.0, 2, 200.0, 100.0, 2010.0),
+    (1, 2, 2, 1.0, 0.0, 0.0, 1, 100.0, 200.0, 2010.0),
+    (2, 2, 2, 0.0, 0.0, 0.0, 2, 200.0, 200.0, 2010.0)
+  ).toDF("I", "J", "K", "TRANX", "TRANY", "TRANZ", "FIPNUM", "X", "Y", "Z")
+
+  test("trans: neighbour pairs per direction from positive TRAN vectors (test_trans)") {
+    val out = GridOps.trans(tranGrid).collect()
+    // 4 TRANX>0 + 4 TRANY>0 + 3 TRANZ>0
+    assert(out.length == 11)
+    assert(out.map(_.getAs[String]("DIR")).toSet == Set("I", "J", "K"))
+    val iPair = out.filter(r => r.getAs[String]("DIR") == "I" &&
+      r.getAs[Int]("I1") == 1 && r.getAs[Int]("J1") == 1 && r.getAs[Int]("K1") == 1).head
+    assert((iPair.getAs[Int]("I2"), iPair.getAs[Int]("J2"), iPair.getAs[Int]("K2")) == ((2, 1, 1)))
+    assert(iPair.getAs[Double]("TRAN") == 0.5)
+    // direction filters
+    assert(GridOps.trans(tranGrid, onlyKDir = true).select("DIR").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("K"))
+    assert(!GridOps.trans(tranGrid, onlyIJDir = true).collect()
+      .exists(_.getAs[String]("DIR") == "K"))
+    assert(GridOps.trans(tranGrid, onlyKDir = true, onlyIJDir = true).isEmpty)
+    // unknown vectors are skipped with no error; known ones attach both sides
+    val v = GridOps.trans(tranGrid, vectors = Seq("FIPNUM", "BOGUS"))
+    assert(v.columns.contains("FIPNUM1") && v.columns.contains("FIPNUM2"))
+    assert(!v.columns.contains("BOGUS1"))
+    // boundary filter: only I-direction pairs cross the FIPNUM split
+    val b = GridOps.trans(tranGrid, vectors = Seq("FIPNUM"), boundaryFilter = true)
+    assert(b.select("DIR").distinct().collect().map(_.getString(0)).toSeq == Seq("I"))
+    assert(b.count() == 4)
+  }
+
+  test("trans: NNC concat, coords, and interface grouping (test_grouptrans)") {
+    val nnc = Seq((1, 1, 1, 2, 2, 2, 0.05))
+      .toDF("I1", "J1", "K1", "I2", "J2", "K2", "TRAN")
+    val withNnc = GridOps.trans(tranGrid, nnc = Some(nnc))
+    assert(withNnc.count() == 12)
+    assert(withNnc.filter(org.apache.spark.sql.functions.col("DIR") === "NNC").count() == 1)
+
+    val c = GridOps.trans(tranGrid, coords = true).collect()
+    assert(c.forall(r => !r.isNullAt(r.fieldIndex("X")) && !r.isNullAt(r.fieldIndex("DZ"))))
+    val ip = c.filter(r => r.getAs[String]("DIR") == "I").head
+    assert(ip.getAs[Double]("X") == 150.0 && ip.getAs[Double]("DX") == 100.0)
+
+    val g = GridOps.trans(tranGrid, vectors = Seq("FIPNUM"), group = true, coords = true)
+      .collect()
+    // one FIPNUM interface (1-2): TRAN = sum of the 4 boundary-crossing I-pairs
+    assert(g.length == 1)
+    val row = g.head
+    assert(row.getAs[String]("FIPNUMPAIR") == "1-2")
+    assert((row.getAs[String]("FIPNUM1"), row.getAs[String]("FIPNUM2")) == (("1", "2")))
+    assert(math.abs(row.getAs[Double]("TRAN") - (0.5 + 0.6 + 0.7 + 1.0)) < 1e-12)
+    // grouping with two PRESENT vectors is refused (the reference returns
+    // empty with a logged error; we fail fast). An absent second vector is
+    // presence-filtered first, exactly like the reference.
+    assertThrows[IllegalArgumentException](
+      GridOps.trans(tranGrid, vectors = Seq("FIPNUM", "X"), group = true))
+    assert(GridOps.trans(tranGrid, vectors = Seq("FIPNUM", "EQLNUM"), group = true)
+      .count() == 1)
+  }
 }
