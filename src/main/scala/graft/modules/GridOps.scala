@@ -105,10 +105,15 @@ object GridOps {
   def pillarStats(grid: DataFrame): DataFrame = {
     val sums = Seq("VOLUME", "PORV").filter(grid.columns.contains)
     val means = Seq("X", "Y", "Z", "PERMX", "PERMY", "PERMZ", "PORO").filter(grid.columns.contains)
-    grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
+    val stats = grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
       .groupBy(col("PILLAR"))
       .agg(count(lit(1)).as("N_CELLS"),
         (sums.map(c => sum(col(c)).as(c)) ++ means.map(c => avg(col(c)).as(c))): _*)
+    // pillar porosity is pore-volume over bulk volume (pillars.py:120-122),
+    // not an unweighted cell mean
+    if (sums.contains("PORV") && sums.contains("VOLUME"))
+      stats.withColumn("PORO", col("PORV") / col("VOLUME"))
+    else stats
   }
 
   /** Contact depth per pillar (A2, pillars.py:260-309): deepest cell Z

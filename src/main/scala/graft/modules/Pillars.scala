@@ -13,36 +13,75 @@ import org.apache.spark.sql.functions._
   */
 object Pillars {
 
-  /** @param grid cell frame with I, J, X, Y, Z, VOLUME [, PORV, PERM*,
-    *             SWAT, SGAS, DATE]
+  /** Pillar statistics + contacts with the reference's exact semantics
+    * (pillars.py:38-141 df + pillars.py:192-318 compute_pillar_contacts):
+    * pillar PORO is PORE-VOLUME-weighted (PORV/VOLUME after aggregation,
+    * not an unweighted cell mean); OWC is the deepest cell with
+    * SOIL > soilCutoff among pillars holding water somewhere
+    * (SWAT > swatCutoff); three-phase GOC is the deepest cell with
+    * SGAS > sgasCutoff that still carries a minute oil saturation
+    * (SOIL > 0.01 — so gas injected into the water leg is not read as a
+    * contact), among pillars with any such oil; gas-water runs
+    * (`gasWater = true`, no SOIL) get GWC instead, eligibility-filtered
+    * on the water pillars. SOIL is derived as 1 − SWAT [− SGAS] when not
+    * supplied.
+    *
+    * @param grid cell frame with I, J, X, Y, Z, VOLUME [, PORV, PERM*,
+    *             SWAT, SGAS, SOIL, DATE]
     * @param region optional region column name (e.g. EQLNUM/FIPNUM) to
     *               include in the pillar key
-    * @param swatCutoff OWC detection threshold; GOC uses sgasCutoff
     */
   def df(grid: DataFrame, region: Option[String] = None,
-      swatCutoff: Double = 0.7, sgasCutoff: Double = 0.7): DataFrame = {
-    val keyCols = Seq("PILLAR") ++ region ++
+      soilCutoff: Double = 0.2, sgasCutoff: Double = 0.7,
+      swatCutoff: Double = 0.7, gasWater: Boolean = false): DataFrame = {
+    val keyCols = Seq("PILLAR") ++ region.filter(grid.columns.contains) ++
       (if (grid.columns.contains("DATE")) Seq("DATE") else Nil)
-    val withPillar = grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
+    val g0 = grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
+    val withPillar =
+      if (g0.columns.contains("SOIL") || gasWater || !grid.columns.contains("SWAT")) g0
+      else g0.withColumn("SOIL", lit(1.0) - col("SWAT") -
+        (if (grid.columns.contains("SGAS")) col("SGAS") else lit(0.0)))
 
     val sums = Seq("VOLUME", "PORV").filter(grid.columns.contains)
     val means = Seq("X", "Y", "Z", "PERMX", "PERMY", "PERMZ", "PORO")
       .filter(grid.columns.contains)
-    val stats = withPillar.groupBy(keyCols.map(col): _*)
+    val stats0 = withPillar.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("N_CELLS"),
         (sums.map(c => sum(col(c)).as(c)) ++ means.map(c => avg(col(c)).as(c))): _*)
+    val stats =
+      if (sums.contains("PORV") && sums.contains("VOLUME"))
+        stats0.withColumn("PORO", col("PORV") / col("VOLUME"))
+      else stats0
 
-    val withOwc =
-      if (grid.columns.contains("SWAT")) {
-        val owc = withPillar.filter(col("SWAT") > swatCutoff)
-          .groupBy(keyCols.map(col): _*).agg(max(col("Z")).as("OWC"))
-        stats.join(owc, keyCols, "left")
-      } else stats
-    if (grid.columns.contains("SGAS")) {
-      val goc = withPillar.filter(col("SGAS") > sgasCutoff)
-        .groupBy(keyCols.map(col): _*).agg(min(col("Z")).as("GOC"))
-      withOwc.join(goc, keyCols, "left")
-    } else withOwc
+    if (!withPillar.columns.contains("SWAT")) stats // no saturations, no contacts
+    else {
+      val epsSoil = 0.01
+      val keys = keyCols.map(col)
+      val waterKeys = withPillar.filter(col("SWAT") > swatCutoff)
+        .select(keys: _*).distinct()
+      val hasSoil = withPillar.columns.contains("SOIL")
+      val withOwc =
+        if (hasSoil) {
+          val owc = withPillar.filter(col("SOIL") > soilCutoff)
+            .groupBy(keys: _*).agg(max(col("Z")).as("OWC"))
+            .join(waterKeys, keyCols, "left_semi")
+          stats.join(owc, keyCols, "left")
+        } else stats
+      if (!withPillar.columns.contains("SGAS")) withOwc
+      else if (hasSoil) {
+        val oilKeys = withPillar.filter(col("SOIL") > epsSoil)
+          .select(keys: _*).distinct()
+        val goc = withPillar.filter(col("SGAS") > sgasCutoff && col("SOIL") > epsSoil)
+          .groupBy(keys: _*).agg(max(col("Z")).as("GOC"))
+          .join(oilKeys, keyCols, "left_semi")
+        withOwc.join(goc, keyCols, "left")
+      } else {
+        val gwc = withPillar.filter(col("SGAS") > sgasCutoff)
+          .groupBy(keys: _*).agg(max(col("Z")).as("GWC"))
+          .join(waterKeys, keyCols, "left_semi")
+        withOwc.join(gwc, keyCols, "left")
+      }
+    }
   }
 
   /** Per-cell phase pore-volumes (reference compute_volumes,

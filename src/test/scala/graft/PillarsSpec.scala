@@ -8,22 +8,44 @@ class PillarsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("pillars: stats + OWC/GOC contacts per pillar") {
-    // one pillar, water below (high SWAT deep), gas on top (high SGAS shallow)
+  test("pillars: stats + OWC/GOC contacts per pillar (reference contact rules)") {
+    // one pillar: gas cap (with epsilon oil) / oil zone / water zone
     val grid = Seq(
-      (1, 1, 2000.0, 10.0, 0.1, 0.9), // shallow: gas
-      (1, 1, 2010.0, 10.0, 0.2, 0.1),
-      (1, 1, 2020.0, 10.0, 0.9, 0.0), // deep: water
-      (2, 1, 2000.0, 12.0, 0.1, 0.0)
-    ).toDF("I", "J", "Z", "VOLUME", "SWAT", "SGAS")
+      (1, 1, 2000.0, 10.0, 4.0, 0.05, 0.90), // shallow: gas, SOIL=0.05
+      (1, 1, 2010.0, 10.0, 3.0, 0.20, 0.10), // oil zone, SOIL=0.70
+      (1, 1, 2020.0, 10.0, 2.0, 0.90, 0.00), // deep: water, SOIL=0.10
+      (2, 1, 2000.0, 12.0, 6.0, 0.10, 0.00)  // oily but NO water on pillar
+    ).toDF("I", "J", "Z", "VOLUME", "PORV", "SWAT", "SGAS")
     val out = Pillars.df(grid)
     val p = out.filter("PILLAR = '1-1'").collect().head
     assert(p.getAs[Long]("N_CELLS") == 3)
     assert(p.getAs[Double]("VOLUME") == 30.0)
-    assert(p.getAs[Double]("OWC") == 2020.0) // deepest high-SWAT cell
-    assert(p.getAs[Double]("GOC") == 2000.0) // shallowest high-SGAS cell
+    // pillar porosity is porevolume-weighted: PORV/VOLUME = 9/30
+    assert(math.abs(p.getAs[Double]("PORO") - 0.3) < 1e-12)
+    // OWC: deepest cell with SOIL > 0.2 (the oil zone), NOT the water cell
+    assert(p.getAs[Double]("OWC") == 2010.0)
+    // GOC: deepest SGAS > 0.7 cell that still has SOIL > 0.01
+    assert(p.getAs[Double]("GOC") == 2000.0)
     val q = out.filter("PILLAR = '2-1'").collect().head
-    assert(q.isNullAt(q.fieldIndex("OWC"))) // no water contact on that pillar
+    assert(q.isNullAt(q.fieldIndex("OWC"))) // no water in pillar → ineligible
+    assert(q.isNullAt(q.fieldIndex("GOC")))
+
+    // gas injected into the water leg (no oil) must NOT read as a GOC
+    val injected = Seq(
+      (1, 1, 2000.0, 10.0, 0.10, 0.90), // SOIL = 0.0: injected gas
+      (1, 1, 2010.0, 10.0, 0.95, 0.00)
+    ).toDF("I", "J", "Z", "VOLUME", "SWAT", "SGAS")
+    val inj = Pillars.df(injected).collect().head
+    assert(inj.isNullAt(inj.fieldIndex("GOC")))
+
+    // two-phase gas-water: GWC named column, water-pillar eligibility
+    val gw = Pillars.df(Seq(
+      (1, 1, 2000.0, 10.0, 0.10, 0.90),
+      (1, 1, 2010.0, 10.0, 0.95, 0.00)
+    ).toDF("I", "J", "Z", "VOLUME", "SWAT", "SGAS"), gasWater = true)
+    val g = gw.collect().head
+    assert(g.getAs[Double]("GWC") == 2000.0)
+    assert(!gw.columns.contains("GOC") && !gw.columns.contains("OWC"))
   }
 
   test("phase volumes: SOIL residual, per-phase PORV split, surface variants") {
