@@ -222,6 +222,39 @@ object Summary {
       .agg(first(col("VALUE")))
       .orderBy(col("DATE"))
 
+  /** Attach per-vector metadata to a wide frame's columns as
+    * `StructField.metadata` — the Spark analogue of the reference's
+    * `smry_meta` dict carried into Arrow field metadata
+    * (summary.py:567-599 / 486-526): keyword, wgname, scope, and the
+    * is_rate / is_total / is_historical typing from [[vectorMeta]].
+    * Survives a parquet round-trip, so downstream consumers (resampling
+    * mode selection, unit-aware sinks) read it from the schema instead
+    * of re-deriving it.
+    */
+  def attachMeta(wide: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val spark = wide.sparkSession
+    import spark.implicits._
+    val vecCols = wide.columns.filterNot(_ == "DATE")
+    val meta = vectorMeta(vecCols.toSeq.toDF("VECTOR"))
+      .collect().map(r => r.getAs[String]("VECTOR") -> r).toMap
+    val cols = wide.columns.map { c =>
+      meta.get(c) match {
+        case Some(r) =>
+          val b = new MetadataBuilder()
+            .putString("keyword", r.getAs[String]("KEYWORD"))
+            .putString("scope", r.getAs[String]("SCOPE"))
+            .putBoolean("is_rate", r.getAs[Boolean]("IS_RATE"))
+            .putBoolean("is_total", r.getAs[Boolean]("IS_TOTAL"))
+            .putBoolean("is_historical", r.getAs[Boolean]("IS_HISTORICAL"))
+          Option(r.getAs[String]("WGNAME")).foreach(b.putString("wgname", _))
+          col(c).as(c, b.build())
+        case None => col(c)
+      }
+    }
+    wide.select(cols.toIndexedSeq: _*)
+  }
+
   /** Crop to [start, end], force-including boundary rows if present
     * (reference _crop_datelist, summary.py:88-127).
     */

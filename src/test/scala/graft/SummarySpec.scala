@@ -149,6 +149,20 @@ class SummarySpec extends AnyFunSuite {
       Summary.resample(long, "monthly").count())
   }
 
+  test("attachMeta: vector typing lands in StructField metadata, survives parquet") {
+    val wide = Summary.toWide(long, Seq("FOPT", "FOPR"))
+    val tagged = Summary.attachMeta(wide)
+    val foprMeta = tagged.schema("FOPR").metadata
+    assert(foprMeta.getBoolean("is_rate") && !foprMeta.getBoolean("is_total"))
+    assert(foprMeta.getString("scope") == "FIELD")
+    assert(tagged.schema("FOPT").metadata.getBoolean("is_total"))
+    assert(tagged.schema("DATE").metadata.toString == "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    tagged.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("FOPR").metadata.getBoolean("is_rate"))
+  }
+
   test("toWide pivots vectors into columns") {
     val wide = Summary.toWide(Summary.resample(long, "monthly"), Seq("FOPT", "FOPR"))
     assert(wide.columns.toSeq == Seq("DATE", "FOPT", "FOPR"))
