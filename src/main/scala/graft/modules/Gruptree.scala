@@ -36,50 +36,90 @@ object Gruptree {
     */
   def nodeEvents(events: DataFrame): DataFrame =
     events.filter(col("keyword").isin("GRUPNET", "NODEPROP") && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"),
+      .select(col("keywordIdx"), col("recordIdx"), col("keyword").as("NKEYWORD"),
         R.str(0).as("CHILD"), R.dbl(1).as("TERMINAL_PRESSURE"),
         R.int(2).as("VFP_TABLE"), R.dbl(3).as("ALQ"))
 
+  /** The reference keeps TWO tree families (gruptree.py:185-288): the
+    * standard tree (GRUPTREE edges + GRUPNET node data) and the network
+    * tree (BRANPROP + NODEPROP). Each family snapshots independently:
+    * node data attaches as-of the snapshot date and only within its
+    * family; WELSPECS edges join both trees, but a BRANPROP tree drops
+    * wells whose parent group is outside it; WELSPECS parents missing
+    * from the GRUPTREE tree are synthesized as children of FIELD
+    * (GRUPTREE only); roots (parents that are nobody's child) carry the
+    * family's KEYWORD and a null PARENT, with node data attached.
+    * Duplicate (DATE, CHILD, KEYWORD) rows across the two families
+    * (shared WELSPECS edges) collapse at the end.
+    */
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
-    val dated = edgeEvents(events)
-      .join(Schedule.keywordDates(events), Seq("keywordIdx"), "left")
+    val dates = Schedule.keywordDates(events)
+    def dated(df: DataFrame) = df.join(dates, Seq("keywordIdx"), "left")
       .withColumn("DATE", coalesce(col("DATE"), lit("1900-01-01").cast("timestamp")))
+    val edges = dated(edgeEvents(events))
+    val treeEdges = edges.filter(col("KEYWORD") =!= "WELSPECS")
+    val wspecs = edges.filter(col("KEYWORD") === "WELSPECS")
+    val nodes = dated(nodeEvents(events))
+    val ord = Seq(col("keywordIdx"), col("recordIdx"))
 
-    val changeDates = dated.select(col("DATE").as("SNAP_DATE")).distinct()
-    // snapshot semantics: each edge is part of every snapshot at or after it
-    val visible = dated.join(changeDates, col("DATE") <= col("SNAP_DATE"))
-    val lastPerChild = Ops.lastWinsDedup(visible,
-      keys = Seq("SNAP_DATE", "CHILD", "KEYWORD"),
-      ord = Seq(col("keywordIdx"), col("recordIdx")))
-      .select(col("SNAP_DATE").as("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"))
+    def family(treetype: String, nodetype: String): DataFrame = {
+      val fe = treeEdges.filter(col("KEYWORD") === treetype)
+      val fn = nodes.filter(col("NKEYWORD") === nodetype)
+      // a family snapshot exists at every date any of its keywords (or
+      // WELSPECS) changed — gruptree.py:204 `any(found_keywords[...])`
+      val snapDates = fe.select(col("DATE")).unionByName(fn.select(col("DATE")))
+        .unionByName(wspecs.select(col("DATE")))
+        .distinct().select(col("DATE").as("SNAP_DATE"))
+      val snapEdges = Ops.lastWinsDedup(
+        fe.join(snapDates, col("DATE") <= col("SNAP_DATE")),
+        keys = Seq("SNAP_DATE", "CHILD"), ord = ord)
+        .select(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"))
+      val childs = snapEdges.select(col("SNAP_DATE"), col("CHILD"))
+      val wAll = Ops.lastWinsDedup(
+        wspecs.join(snapDates, col("DATE") <= col("SNAP_DATE")),
+        keys = Seq("SNAP_DATE", "CHILD"), ord = ord)
+        .select(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"))
+      // BRANPROP trees only keep wells whose parent group is in the tree
+      val ws =
+        if (treetype == "BRANPROP")
+          wAll.join(childs.withColumnRenamed("CHILD", "PARENT"),
+            Seq("SNAP_DATE", "PARENT"), "left_semi")
+        else wAll
+      // WELSPECS parents outside the GRUPTREE tree hang off FIELD
+      val orphans =
+        if (treetype == "GRUPTREE")
+          ws.select(col("SNAP_DATE"), col("PARENT").as("CHILD")).distinct()
+            .join(childs, Seq("SNAP_DATE", "CHILD"), "left_anti")
+            .select(col("SNAP_DATE"), col("CHILD"),
+              lit("FIELD").as("PARENT"), lit(treetype).as("KEYWORD"))
+        else snapEdges.limit(0)
+      val famEdges = snapEdges.unionByName(orphans)
+      val parents = famEdges.select(col("SNAP_DATE"), col("PARENT").as("CHILD"))
+        .filter(col("CHILD").isNotNull).distinct()
+      val roots = parents
+        .join(famEdges.select(col("SNAP_DATE"), col("CHILD")), Seq("SNAP_DATE", "CHILD"), "left_anti")
+        .select(col("SNAP_DATE"), col("CHILD"),
+          lit(null).cast("string").as("PARENT"), lit(treetype).as("KEYWORD"))
+      // node data as-of the snapshot, family-scoped, onto family rows and
+      // roots (the reference leaves WELSPECS rows bare)
+      val fnLast = Ops.lastWinsDedup(
+        fn.join(snapDates, col("DATE") <= col("SNAP_DATE")),
+        keys = Seq("SNAP_DATE", "CHILD"), ord = ord)
+        .select(col("SNAP_DATE"), col("CHILD"),
+          col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
+      famEdges.unionByName(roots)
+        .join(broadcast(fnLast), Seq("SNAP_DATE", "CHILD"), "left")
+        .unionByName(ws
+          .withColumn("TERMINAL_PRESSURE", lit(null).cast("double"))
+          .withColumn("VFP_TABLE", lit(null).cast("int"))
+          .withColumn("ALQ", lit(null).cast("double")))
+    }
 
-    // synthesize root rows: parents never appearing as children in the snapshot
-    val roots = lastPerChild.select(col("DATE"), col("PARENT").as("CHILD"), col("KEYWORD"))
-      .join(lastPerChild.select(col("DATE"), col("CHILD")), Seq("DATE", "CHILD"), "left_anti")
-      .filter(col("CHILD").isNotNull)
-      .distinct()
-      .select(col("DATE"), col("CHILD"), lit(null).cast("string").as("PARENT"),
-        lit("GRUPTREE").as("KEYWORD"))
-
-    val tree = lastPerChild.unionByName(roots)
-
-    // attach the latest node properties as of each snapshot (broadcast:
-    // node records are deck-sized)
-    val nodes = nodeEvents(events)
-    val withNodes =
-      if (nodes.isEmpty) tree
-        .withColumn("TERMINAL_PRESSURE", lit(null).cast("double"))
-        .withColumn("VFP_TABLE", lit(null).cast("int"))
-        .withColumn("ALQ", lit(null).cast("double"))
-      else {
-        val lastNode = Ops.lastWinsDedup(nodes, Seq("CHILD"),
-          Seq(col("keywordIdx"), col("recordIdx")))
-          .select(col("CHILD"), col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
-        tree.join(broadcast(lastNode), Seq("CHILD"), "left")
-      }
-    withNodes
-      .select(col("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"),
+    family("GRUPTREE", "GRUPNET")
+      .unionByName(family("BRANPROP", "NODEPROP"))
+      .dropDuplicates("SNAP_DATE", "CHILD", "KEYWORD")
+      .select(col("SNAP_DATE").as("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"),
         col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
       .orderBy(col("DATE"), col("PARENT").asc_nulls_first, col("CHILD"))
   }

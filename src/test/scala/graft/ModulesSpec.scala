@@ -133,6 +133,62 @@ class ModulesSpec extends AnyFunSuite {
     assert(injh.getAs[String]("CMODE") == "RATE") // defaulted item 12
   }
 
+  test("gruptree: family-scoped node data, as-of snapshots, BRANPROP well filter") {
+    val df = Gruptree.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |GRUPTREE
+        | 'G1' 'FIELD' /
+        |/
+        |BRANPROP
+        | 'B1' 'FIELD' /
+        |/
+        |NODEPROP
+        | 'B1' 99.0 /
+        |/
+        |WELSPECS
+        | 'OP1' 'G1' 5 5 1000 'OIL' /
+        | 'OP2' 'B1' 6 6 1000 'OIL' /
+        |/
+        |DATES
+        | 1 'FEB' 2000 /
+        |/
+        |GRUPNET
+        | 'G1' 250.0 /
+        |/
+        |""".stripMargin)
+    val jan = df.filter("DATE = timestamp'2000-01-01 00:00:00'").collect()
+    val feb = df.filter("DATE = timestamp'2000-02-01 00:00:00'").collect()
+    def row(rs: Array[org.apache.spark.sql.Row], child: String, kw: String) =
+      rs.find(r => r.getAs[String]("CHILD") == child && r.getAs[String]("KEYWORD") == kw)
+    // node data is family-scoped: NODEPROP's 99.0 lands on the BRANPROP
+    // row only, never on the GRUPTREE row of another node
+    assert(row(jan, "B1", "BRANPROP").get.getAs[Double]("TERMINAL_PRESSURE") == 99.0)
+    val g1jan = row(jan, "G1", "GRUPTREE").get
+    // as-of: GRUPNET defined in February must not appear in January
+    assert(g1jan.isNullAt(g1jan.fieldIndex("TERMINAL_PRESSURE")))
+    assert(row(feb, "G1", "GRUPTREE").get.getAs[Double]("TERMINAL_PRESSURE") == 250.0)
+    // both wells join the snapshot (GRUPTREE tree keeps all WELSPECS)
+    assert(row(jan, "OP1", "WELSPECS").isDefined && row(jan, "OP2", "WELSPECS").isDefined)
+
+    // a BRANPROP-only deck: wells outside the network tree are dropped
+    val bp = Gruptree.df(spark,
+      """BRANPROP
+        | 'B1' 'FIELD' /
+        |/
+        |WELSPECS
+        | 'OP1' 'B1' 5 5 1000 'OIL' /
+        | 'OP9' 'NOT_IN_TREE' 6 6 1000 'OIL' /
+        |/
+        |""".stripMargin)
+    val wells = bp.filter("KEYWORD = 'WELSPECS'").collect().map(_.getAs[String]("CHILD"))
+    assert(wells.contains("OP1"))
+    // OP9's parent is outside the BRANPROP tree: it appears only via the
+    // GRUPTREE family (synthesized under FIELD), not as a BRANPROP well
+    assert(bp.filter("CHILD = 'NOT_IN_TREE' AND PARENT = 'FIELD'").count() == 1)
+  }
+
   test("gruptree: full-tree snapshot per change date, last-wins reparenting") {
     val df = Gruptree.df(spark,
       """DATES
