@@ -18,7 +18,7 @@ object Satfunc {
   val Families: Map[String, Seq[String]] = Map(
     "SWOF" -> Seq("SW", "KRW", "KROW", "PCOW"),
     "SGOF" -> Seq("SG", "KRG", "KROG", "PCOG"),
-    "SLGOF" -> Seq("SL", "KRG", "KROG", "PCOG"),
+    "SLGOF" -> Seq("SL", "KRG", "KRO", "PCOG"), // KRO, not KROG (satfunc.py:56)
     "SWFN" -> Seq("SW", "KRW", "PCOW"),
     "SGFN" -> Seq("SG", "KRG", "PCOG"),
     "SGWFN" -> Seq("SG", "KRG", "KRW", "PCGW"),

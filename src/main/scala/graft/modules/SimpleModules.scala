@@ -116,35 +116,49 @@ object Pvt {
       .select(col("KEYWORD"), col("PVTNUM"), col("row.PRESSURE").as("PRESSURE"),
         col("row.VOLUMEFACTOR").as("VOLUMEFACTOR"), col("row.VISCOSITY").as("VISCOSITY"))
 
-  /** PVTO: records until an empty record belong to one PVTNUM; each record
-    * is RS followed by (PRESSURE, VOLUMEFACTOR, VISCOSITY) triplets
-    * (undersaturated lines share the record's RS).
+  /** Nested undersaturated-line keyword (PVTO/PVTG): records until an
+    * empty record belong to one PVTNUM (R7 emptyrecordcountername); each
+    * record is `headCol` followed by value triplets that share it.
     */
-  def pvto(events: DataFrame): DataFrame = {
+  private def nestedKeyword(events: DataFrame, kw: String, headCol: String,
+      triple: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("keywordIdx")).orderBy(col("recordIdx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events.filter(col("keyword") === "PVTO")
+    events.filter(col("keyword") === kw)
       .withColumn("PVTNUM",
         (sum(when(size(col("items")) === 0, 1).otherwise(0)).over(w) -
           when(size(col("items")) === 0, 1).otherwise(0) + 1).cast("int"))
       .filter(size(col("items")) > 0)
-      .select(lit("PVTO").as("KEYWORD"), col("PVTNUM"), R.dbl(0).as("RS"),
+      .select(lit(kw).as("KEYWORD"), col("PVTNUM"), R.dbl(0).as(headCol),
         explode(transform(
           sequence(lit(0), ((size(col("items")) - 1) / 3).cast("int") - 1),
           r => struct(
-            get(col("items"), r * 3 + 1).cast("double").as("PRESSURE"),
-            get(col("items"), r * 3 + 2).cast("double").as("VOLUMEFACTOR"),
-            get(col("items"), r * 3 + 3).cast("double").as("VISCOSITY")))).as("row"))
-      .select(col("KEYWORD"), col("PVTNUM"), col("RS"),
-        col("row.PRESSURE").as("PRESSURE"), col("row.VOLUMEFACTOR").as("VOLUMEFACTOR"),
-        col("row.VISCOSITY").as("VISCOSITY"))
+            get(col("items"), r * 3 + 1).cast("double").as(triple(0)),
+            get(col("items"), r * 3 + 2).cast("double").as(triple(1)),
+            get(col("items"), r * 3 + 3).cast("double").as(triple(2))))).as("row"))
+      .select(Seq(col("KEYWORD"), col("PVTNUM"), col(headCol)) ++
+        triple.map(t => col(s"row.$t").as(t)): _*)
   }
+
+  /** PVTO: live oil — RS head, (PRESSURE, VOLUMEFACTOR, VISCOSITY) lines
+    * (pvt.py:49, 126-140). Bubble-point pressure is named PRESSURE for
+    * mergeability, like the reference.
+    */
+  def pvto(events: DataFrame): DataFrame =
+    nestedKeyword(events, "PVTO", "RS", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY"))
+
+  /** PVTG: wet gas — gas PRESSURE head, (OGR, VOLUMEFACTOR, VISCOSITY)
+    * undersaturated lines (pvt.py:57-60, 176-194).
+    */
+  def pvtg(events: DataFrame): DataFrame =
+    nestedKeyword(events, "PVTG", "PRESSURE", Seq("OGR", "VOLUMEFACTOR", "VISCOSITY"))
 
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
     val parts = Seq(density(events), rock(events), pvtw(events),
-      dataKeyword(events, "PVDO"), dataKeyword(events, "PVDG"), pvto(events))
+      dataKeyword(events, "PVDO"), dataKeyword(events, "PVDG"),
+      pvto(events), pvtg(events))
       .filter(d => !d.isEmpty)
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(spark.emptyDataFrame)

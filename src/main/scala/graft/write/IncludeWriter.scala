@@ -134,7 +134,8 @@ object IncludeWriter {
     "SGOF" -> ("SATNUM", Seq("SG", "KRG", "KROG", "PCOG")),
     "SWFN" -> ("SATNUM", Seq("SW", "KRW", "PCOW")),
     "SGFN" -> ("SATNUM", Seq("SG", "KRG", "PCOG")),
-    "SLGOF" -> ("SATNUM", Seq("SL", "KRG", "KROG", "PCOG")),
+    "SLGOF" -> ("SATNUM", Seq("SL", "KRG", "KRO", "PCOG")),
+    "SGWFN" -> ("SATNUM", Seq("SG", "KRG", "KRW", "PCGW")),
     "SOF2" -> ("SATNUM", Seq("SO", "KRO")),
     "SOF3" -> ("SATNUM", Seq("SO", "KROW", "KROG")),
     "PVDO" -> ("PVTNUM", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),

@@ -100,6 +100,43 @@ class ModulesSpec extends AnyFunSuite {
     assert(df.filter("KEYWORD = 'DENSITY'").count() == 1)
   }
 
+  test("pvt: PVTG nested records (reference test_pvt.py::test_pvtg_string)") {
+    // E100 manual example, as in the reference test
+    val df = Pvt.df(spark,
+      """PVTG
+        |30 0.00014    0.0523 0.0234
+        |   0          0.0521 0.0238 /
+        |90 0.00012    0.0132 0.0252
+        |   0          0.0131 0.0253 /
+        |150 0.00015   0.00877 0.0281
+        |   0          0.00861 0.0275 /
+        |210 0.00019   0.00554 0.0318
+        |    0         0.00555 0.0302 /
+        |270 0.00029   0.00417 0.0355
+        |    0         0.00421 0.0330 /
+        |330 0.00049   0.00357 0.0392
+        |    0         0.00361 0.0358 /
+        |530 0.00060   0.00356 0.0393
+        |    0         0.00360 0.0359 /
+        |/
+        |60 0.00014    0.0523 0.0234 /
+        |120 0.00012   0.0132 0.0252 /
+        |180 0.00015   0.00877 0.0281 /
+        |240 0.00019   0.00554 0.0318 /
+        |300 0.00029   0.00417 0.0355 /
+        |360 0.00049   0.00357 0.0392 /
+        |560 0.00060   0.00356 0.0393
+        |    0         0.00360 0.0359 /
+        |/
+        |""".stripMargin).filter("KEYWORD = 'PVTG'")
+    assert(Seq("PRESSURE", "OGR", "PVTNUM", "VOLUMEFACTOR", "VISCOSITY")
+      .forall(df.columns.contains))
+    assert(df.select("PVTNUM").distinct().count() == 2)
+    assert(df.select("PRESSURE").distinct().count() == 14)
+    assert(df.agg(org.apache.spark.sql.functions.max("VOLUMEFACTOR")).head.getDouble(0) == 0.0523)
+    assert(df.agg(org.apache.spark.sql.functions.max("VISCOSITY")).head.getDouble(0) == 0.0393)
+  }
+
   test("wcon: per-keyword frames union with in-effect dates") {
     val df = Wcon.df(spark,
       """DATES
