@@ -136,26 +136,32 @@ object DeckParser {
       // name, so they're inert) instead of corrupting the previous
       // keyword's data. Guards: TITLE's free-text record is consumed by
       // the TITLE branch below, never re-interpreted as a keyword; and
-      // the next content line must look like record data (multi-token or
-      // `/`-terminated) or a known keyword — a lone trailing token at EOF
-      // is stray data, not a keyword.
-      lazy val nextContentOk = {
-        val next = (li + 1 until lines.length).iterator
-          .map(lineTokens).find(_.nonEmpty)
-        next.exists(ts => ts.size >= 2 || ts.exists(_.startsWith("/")) ||
-          KnownKeywords.contains(ts.head.toUpperCase))
-      }
+      // some following content must exist — a lone trailing token at EOF
+      // is stray data, not a keyword. (A stricter shape test on the next
+      // line would misclassify unknown keywords whose first record opens
+      // with a lone token, detaching their records onto the previous
+      // keyword — worse than the stray-token case it would catch.)
+      lazy val nextContentOk =
+        (li + 1 until lines.length).iterator.map(lineTokens).exists(_.nonEmpty)
       val isUnknownKeywordLine = !isKeywordLine && buf.isEmpty && !firstQuoted &&
         keyword != "TITLE" && tokens.size == 1 &&
         UnknownKeywordRe.matches(tokens.head) &&
         keywordSeen && // before any keyword, stray tokens stay ignored
+        // a keyword that has not produced a single record yet cannot be
+        // followed by a new keyword — a lone token right after one (e.g.
+        // the head of an unknown keyword's own first record) is data
+        (keyword == null || recordIdx > 0) &&
         nextContentOk
       if (keyword == "TITLE") {
-        // TITLE's record is one line of free text, no `/` terminator —
-        // checked BEFORE any keyword test so a title that happens to be a
-        // single uppercase word ("REEK") or to start with a keyword-shaped
-        // token ("FIELD MODEL") still lands as the TITLE record.
-        if (tokens.nonEmpty) {
+        // TITLE's record is EXACTLY the next non-comment line, no `/`
+        // terminator — checked BEFORE any keyword test so a title that is
+        // a single uppercase word ("REEK") or starts with a keyword-shaped
+        // token ("FIELD MODEL") still lands as the TITLE record. A blank
+        // line is an EMPTY title (consuming it keeps the following real
+        // keyword from being swallowed as title text); comment lines may
+        // still precede the title.
+        val trimmedLine = line.dropWhile(_.isWhitespace)
+        if (!trimmedLine.startsWith("--")) {
           events += DeckEvent(kwIdx, keyword, 0, tokens)
           keyword = null
         }

@@ -102,19 +102,7 @@ object GridOps {
   /** Pillar statistics (A1, pillars.py:38-141): PILLAR = "I-J", volumes
     * summed, coordinates/permeabilities averaged.
     */
-  def pillarStats(grid: DataFrame): DataFrame = {
-    val sums = Seq("VOLUME", "PORV").filter(grid.columns.contains)
-    val means = Seq("X", "Y", "Z", "PERMX", "PERMY", "PERMZ", "PORO").filter(grid.columns.contains)
-    val stats = grid.withColumn("PILLAR", concat_ws("-", col("I"), col("J")))
-      .groupBy(col("PILLAR"))
-      .agg(count(lit(1)).as("N_CELLS"),
-        (sums.map(c => sum(col(c)).as(c)) ++ means.map(c => avg(col(c)).as(c))): _*)
-    // pillar porosity is pore-volume over bulk volume (pillars.py:120-122),
-    // not an unweighted cell mean
-    if (sums.contains("PORV") && sums.contains("VOLUME"))
-      stats.withColumn("PORO", col("PORV") / col("VOLUME"))
-    else stats
-  }
+  def pillarStats(grid: DataFrame): DataFrame = Pillars.df(grid)
 
   /** Contact depth per pillar (A2, pillars.py:260-309): deepest cell Z
     * satisfying the saturation cutoff (max-Z-after-filter), left-semi
@@ -193,6 +181,9 @@ object GridOps {
       val (v1, v2) = (s"${present.head}1", s"${present.head}2")
       val pairName = s"${present.head}PAIR"
       val means = Seq("X", "Y", "Z", "DX", "DY", "DZ").filter(filtered.columns.contains)
+      // not Ops.pairKey: the reference formats region numbers as INTEGERS
+      // in the pair name ("3-4", trans.py:198-200), so the cast is part of
+      // the contract — a float region would otherwise render "3.0-4.0"
       val g = filtered
         .withColumn(pairName, concat_ws("-",
           least(col(v1), col(v2)).cast("long"), greatest(col(v1), col(v2)).cast("long")))

@@ -102,32 +102,50 @@ object Summary {
     interpAt(long, targets, step, rate)
   }
 
+  /** [[atDates]] with per-vector interpolation mode from [[vectorMeta]]
+    * (rate vectors backward-fill / zero-extrapolate, everything else
+    * linear) — the typing resdata applies when sampling at explicit
+    * dates.
+    */
+  def atDatesAuto(long: DataFrame, dates: Seq[String]): DataFrame = {
+    val rates = vectorMeta(long).filter(col("IS_RATE")).select("VECTOR")
+    val rateRows = long.join(broadcast(rates), Seq("VECTOR"))
+    val otherRows = long.join(broadcast(rates), Seq("VECTOR"), "left_anti")
+    atDates(otherRows, dates).unionByName(atDates(rateRows, dates, rate = true))
+  }
+
   /** The reference's `resample_smry_dates` date-selection modes
     * (summary.py:195-291) over the long form: `raw` returns the samples
     * (cropped to (start, end) when supplied, with the boundary dates
     * force-included as interpolated rows); `first` / `last` sample every
     * vector at the corpus-wide first/last date; an ISO date string
     * samples at that date; any other string is a resampling frequency
-    * delegated to [[resample]].
+    * delegated to [[resample]]. With `auto = true` every interpolated
+    * value follows the vector's SMSPEC typing ([[vectorMeta]]: rates
+    * backward-fill, totals/pressures linear) instead of uniform linear.
     */
   def selectDates(long: DataFrame, freq: String,
-      startDate: Option[String] = None, endDate: Option[String] = None): DataFrame = freq match {
-    case "raw" =>
-      val inRange = long
-        .filter(startDate.map(s => col("DATE") > lit(s).cast("timestamp")).getOrElse(lit(true)))
-        .filter(endDate.map(e => col("DATE") < lit(e).cast("timestamp")).getOrElse(lit(true)))
-      val boundaries = (startDate.toSeq ++ endDate.toSeq)
-      if (boundaries.isEmpty) inRange
-      else inRange.unionByName(atDates(long, boundaries))
-    case "first" =>
-      val d = long.agg(min(col("DATE"))).head.getTimestamp(0)
-      atDates(long, Seq(d.toLocalDateTime.toLocalDate.toString))
-    case "last" =>
-      val d = long.agg(max(col("DATE"))).head.getTimestamp(0)
-      atDates(long, Seq(d.toLocalDateTime.toLocalDate.toString))
-    case iso if iso.matches("""\d{4}-\d{2}-\d{2}""") =>
-      atDates(long, Seq(iso))
-    case f => resample(long, f)
+      startDate: Option[String] = None, endDate: Option[String] = None,
+      auto: Boolean = false): DataFrame = {
+    def at(dates: Seq[String]) =
+      if (auto) atDatesAuto(long, dates) else atDates(long, dates)
+    freq match {
+      case "raw" =>
+        val inRange = long
+          .filter(startDate.map(s => col("DATE") > lit(s).cast("timestamp")).getOrElse(lit(true)))
+          .filter(endDate.map(e => col("DATE") < lit(e).cast("timestamp")).getOrElse(lit(true)))
+        val boundaries = (startDate.toSeq ++ endDate.toSeq)
+        if (boundaries.isEmpty) inRange
+        else inRange.unionByName(at(boundaries))
+      case "first" =>
+        val d = long.agg(min(col("DATE"))).head.getTimestamp(0)
+        at(Seq(d.toLocalDateTime.toLocalDate.toString))
+      case "last" =>
+        val d = long.agg(max(col("DATE"))).head.getTimestamp(0)
+        at(Seq(d.toLocalDateTime.toLocalDate.toString))
+      case iso if iso.matches("""\d{4}-\d{2}-\d{2}""") => at(Seq(iso))
+      case f => if (auto) resampleAuto(long, f) else resample(long, f)
+    }
   }
 
   private def freqField(freq: String): String = freq match {

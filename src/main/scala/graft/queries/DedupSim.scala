@@ -52,8 +52,19 @@ object DedupSim {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    /** Memo key includes a fingerprint of the source file listing
+      * (name, length, mtime) so rewriting a corpus in place within one
+      * JVM invalidates the cached dictionary — a stale literal map would
+      * silently null out unseen tokens' bits.
+      */
+    private def key(dir: String): String = {
+      val files = new java.io.File(dir).listFiles()
+      val fp = if (files == null) "-" else files.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      s"$dir#${fp.hashCode}"
+    }
     def apply(s: SparkSession, dir: String): Option[Map[String, Long]] =
-      memo.computeIfAbsent(dir, _ => {
+      memo.computeIfAbsent(key(dir), _ => {
         val toks = Tables.documents(s, dir)
           .select(explode(array_distinct(tokens(col("text")))).as("tok"))
           .distinct().limit(MaxSize + 1).collect().map(_.getString(0))
@@ -168,6 +179,10 @@ object DedupSim {
     import graft.functions.PortableStringHash.strHash
     val hashed = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      // an empty/whitespace-only document tokenizes to [""] on both
+      // engines; the oracle's char-unnest produces no hash row for it, so
+      // drop it here too — an empty token carries no content anyway
+      .filter(length(col("tok")) > 0)
       .select(col("doc_id"), strHash(col("tok")).as("v"))
     minhashLshCluster(hashed)
   }

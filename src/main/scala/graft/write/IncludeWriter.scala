@@ -67,6 +67,37 @@ object IncludeWriter {
     sb.toString
   }
 
+  /** Nested-table keyword writer (PVTO/PVTG — reference df2res_pvto /
+    * df2res_pvtg, pvt.py:593-647): per region (sorted PVTNUM), one record
+    * per head value (sorted) holding the head followed by its
+    * undersaturated triples, `/` closing each record and a lone `/`
+    * closing each region — the empty-record separators the nested reader
+    * counts regions by, so the output round-trips.
+    */
+  def nestedTableKeyword(df: DataFrame, keyword: String, regionCol: String,
+      headCol: String, triple: Seq[String]): String = {
+    import org.apache.spark.sql.functions.col
+    val sb = new StringBuilder
+    sb.append(keyword).append('\n')
+    sb.append("-- ").append((headCol +: triple).mkString(" ")).append('\n')
+    val rows = df.select((Seq(regionCol, headCol) ++ triple).map(c => col(s"`$c`")): _*)
+      .collect()
+    rows.groupBy(_.get(0).toString.toDouble.toInt).toSeq.sortBy(_._1).foreach {
+      case (_, regionRows) =>
+        regionRows.groupBy(_.get(1).toString.toDouble).toSeq.sortBy(_._1).foreach {
+          case (_, recRows) =>
+            sb.append("  ").append(fmt(recRows.head.get(1)))
+            recRows.zipWithIndex.foreach { case (r, i) =>
+              if (i > 0) sb.append("\n   ")
+              sb.append("  ").append((2 until 2 + triple.length).map(j => fmt(r.get(j))).mkString(" "))
+            }
+            sb.append(" /\n")
+        }
+        sb.append("/\n")
+    }
+    sb.toString
+  }
+
   /** Run-length compression of an ordered value sequence into Eclipse
     * `N*value` tokens (only runs >= `threshold` are compressed).
     */
@@ -182,6 +213,13 @@ object IncludeWriter {
 
   private val regionColumns = Seq("EQLNUM", "PVTNUM", "SATNUM")
 
+  /** Nested undersaturated-line keywords: head column + triple, written by
+    * [[nestedTableKeyword]] (region separators preserved on round-trip).
+    */
+  private val nestedFamilies: Map[String, (String, Seq[String])] = Map(
+    "PVTO" -> ("RS", Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")),
+    "PVTG" -> ("PRESSURE", Seq("OGR", "VOLUMEFACTOR", "VISCOSITY")))
+
   /** The reference's `common.df2res` dispatcher (common.py:508-625): route
     * a KEYWORD-columned tidy frame to the right writer per keyword.
     * Keywords emit in `keywords` order when supplied (the reference's
@@ -225,6 +263,9 @@ object IncludeWriter {
       comment + (tableFamilies.get(kw) match {
         case Some((regionCol, cols)) if part.columns.contains(regionCol) =>
           tableKeyword(part, kw, regionCol, cols.filter(part.columns.contains))
+        case _ if nestedFamilies.contains(kw) && part.columns.contains("PVTNUM") =>
+          val (head, triple) = nestedFamilies(kw)
+          nestedTableKeyword(part, kw, "PVTNUM", head, triple)
         case _ =>
           keywordSlots.get(kw) match {
             case Some(slots) =>

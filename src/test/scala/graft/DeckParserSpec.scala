@@ -138,6 +138,31 @@ class DeckParserSpec extends AnyFunSuite {
     assert(!events.exists(_.keyword == "OP_2"))
   }
 
+  test("blank line after TITLE is an empty title; the next keyword survives") {
+    val events = DeckParser.parse(
+      "TITLE\n\nDIMENS\n 2 2 2 /\n")
+    assert(events.filter(_.keyword == "TITLE").head.items.isEmpty)
+    assert(events.filter(_.keyword == "DIMENS").head.items == Vector("2", "2", "2"))
+    // comment lines may still precede the title text
+    val events2 = DeckParser.parse(
+      "TITLE\n-- a comment\nReal Title\nDIMENS\n 1 1 1 /\n")
+    assert(events2.filter(_.keyword == "TITLE").head.items == Vector("Real", "Title"))
+  }
+
+  test("unknown keyword whose record opens with a lone token still parses") {
+    val events = DeckParser.parse(
+      """GRUPTREE
+        | 'G1' 'FIELD' /
+        |/
+        |SOMEKW
+        |VAL1
+        |/
+        |""".stripMargin)
+    // SOMEKW must become its own keyword, not a phantom GRUPTREE record
+    assert(events.count(e => e.keyword == "GRUPTREE" && e.items.nonEmpty) == 1)
+    assert(events.exists(e => e.keyword == "SOMEKW" && e.items == Vector("VAL1")))
+  }
+
   test("lone trailing token at EOF is stray data, not a keyword") {
     val events = DeckParser.parse(
       """COMPDAT

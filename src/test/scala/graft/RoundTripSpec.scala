@@ -103,6 +103,25 @@ class RoundTripSpec extends AnyFunSuite {
     assert(kwOrder == Vector("WCONINJE", "WCONHIST"))
   }
 
+  test("df2res PVTO/PVTG: nested writer keeps region separators; round-trips") {
+    val src =
+      """PVTO
+        |  10 100 1.1 0.5
+        |     200 1.05 0.6 /
+        |  20 150 1.2 0.4 /
+        |/
+        |  15 120 1.15 0.45 /
+        |/
+        |""".stripMargin
+    val df = graft.modules.Pvt.df(spark, src)
+    val text = IncludeWriter.df2res(df)
+    val back = graft.modules.Pvt.df(spark, text)
+    // both PVTNUM regions survive the round-trip (the generic path would
+    // have dropped the region column and merged everything into region 1)
+    assert(back.filter("KEYWORD = 'PVTO'").select("PVTNUM").distinct().count() == 2)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("df2res comments and consecutive-region validation (reference dispatcher args)") {
     val src =
       """SWOF

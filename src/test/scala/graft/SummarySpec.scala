@@ -147,6 +147,13 @@ class SummarySpec extends AnyFunSuite {
     // frequency strings still delegate to resample
     assert(Summary.selectDates(long, "monthly").count() ==
       Summary.resample(long, "monthly").count())
+
+    // auto mode: FOPR (a rate) backward-fills at an explicit date instead
+    // of interpolating linearly — the SMSPEC-typed sampling resdata does
+    val autoIso = Summary.selectDates(long, "2000-02-01", auto = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(autoIso("FOPR") == 30.0) // next sample's rate, not ~15.67
+    assert(math.abs(autoIso("FOPT") - 185.0) < 1e-9) // totals stay linear
   }
 
   test("attachMeta: vector typing lands in StructField metadata, survives parquet") {
