@@ -20,7 +20,11 @@ object Rft {
     * test_minimal_branched_well expectations), plus topology flags:
     * JUNCTION — more than one segment flows into this one;
     * LEAF — no segment flows into this one (upstream columns stay null);
-    * LONELYSEG — SEGNXT is null/absent (e.g. top segment).
+    * LONELYSEG — the segment is ALONE on its SEGBRNO branch
+    * (`~SEGBRNO.duplicated`, rft.py:268-269 — the property the ICD split
+    * keys on); without a SEGBRNO column it falls back to "no downstream
+    * segment";
+    * JUNCTION_DOWNSTREAM — the segment this one flows into is a junction.
     */
   def processSegTopology(seg: DataFrame): DataFrame = {
     require(seg.columns.contains("SEGIDX") && seg.columns.contains("SEGNXT"),
@@ -30,13 +34,48 @@ object Rft {
     // inflow count per segment: how many segments name me as their SEGNXT
     val inflow = seg.groupBy(col("SEGNXT").as("SEGIDX"))
       .agg(count(lit(1)).as("__n_inflow"))
-    seg
+    val junctions = seg.join(inflow, Seq("SEGIDX"))
+      .filter(col("__n_inflow") > 1).select(col("SEGIDX").as("__jidx"))
+    val merged = seg
       .join(up, col("SEGNXT_upstream") === col("SEGIDX"), "left")
       .join(inflow, Seq("SEGIDX"), "left")
       .withColumn("JUNCTION", coalesce(col("__n_inflow"), lit(0L)) > 1)
       .withColumn("LEAF", coalesce(col("__n_inflow"), lit(0L)) === 0)
-      .withColumn("LONELYSEG", col("SEGNXT").isNull)
-      .drop("__n_inflow")
+      .join(broadcast(junctions), col("SEGNXT") === col("__jidx"), "left")
+      .withColumn("JUNCTION_DOWNSTREAM", col("__jidx").isNotNull)
+      .drop("__n_inflow", "__jidx")
+    // lonely = SEGBRNO not duplicated across the MERGED rows (the
+    // reference computes it post-merge, rft.py:268-269)
+    val lonely =
+      if (segCols.contains("SEGBRNO"))
+        count(lit(1)).over(Window.partitionBy(col("SEGBRNO"))) === 1
+      else col("SEGNXT").isNull
+    merged.withColumn("LONELYSEG", lonely)
+  }
+
+  /** Branch count of a (non-ICD) segment table (rft.py:196-216): distinct
+    * SEGBRNO among segments that are not leaves or that feed a junction,
+    * floored at 1.
+    */
+  def countWellBranches(seg: DataFrame): Long = {
+    val topo = if (seg.columns.contains("LEAF")) seg else processSegTopology(seg)
+    math.max(1L, topo.filter(!col("LEAF") || col("JUNCTION_DOWNSTREAM"))
+      .select("SEGBRNO").na.drop().distinct().count())
+  }
+
+  /** Split segments into (non-ICD, ICD) frames (rft.py:326-373): ICDs are
+    * present when branch numbers exceed the true branch count, and an ICD
+    * segment is a LEAF alone on its branch. Returns the ICD frame empty
+    * when no ICDs are detected (column-compatible either way); columns
+    * keep their plain names — [[mergeIcdSegConseg]] applies the `ICD_`
+    * prefix when chaining.
+    */
+  def splitSegIcd(seg: DataFrame): (DataFrame, DataFrame) = {
+    val topo = if (seg.columns.contains("LEAF")) seg else processSegTopology(seg)
+    val maxBrno = topo.agg(max(col("SEGBRNO").cast("long"))).head.getLong(0)
+    if (maxBrno <= countWellBranches(topo)) (topo, topo.limit(0))
+    else (topo.filter(!(col("LEAF") && col("LONELYSEG"))),
+      topo.filter(col("LEAF") && col("LONELYSEG")))
   }
 
   /** Connection → ICD-segment → branch-segment chain: each connection row

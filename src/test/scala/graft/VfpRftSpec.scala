@@ -71,6 +71,35 @@ class VfpRftSpec extends AnyFunSuite {
       Rft.processSegTopology(Seq((1, 1.0)).toDF("SEGNXT", "SEGPRES")))
   }
 
+  test("RFT ICD split: lonely leaf branches are ICDs (test_single_branch_icd)") {
+    // | segidx 1; |-* 2/4; |-* 3/5 — ICDs 4 and 5 on their own branches
+    val wellseg = Seq(
+      (1, null.asInstanceOf[Integer], 1),
+      (2, Integer.valueOf(1), 1),
+      (3, Integer.valueOf(2), 1),
+      (4, Integer.valueOf(2), 2),
+      (5, Integer.valueOf(3), 3)
+    ).toDF("SEGIDX", "SEGNXT", "SEGBRNO")
+    val (segData, icdData) = Rft.splitSegIcd(wellseg)
+    assert(icdData.count() == 2)
+    assert(icdData.collect().map(_.getAs[Int]("SEGIDX")).sorted.toSeq == Seq(4, 5))
+    assert(icdData.collect().map(_.getAs[Int]("SEGBRNO")).sorted.toSeq == Seq(2, 3))
+    assert(Rft.countWellBranches(segData) == 1)
+    // tubing segments on branch 1 are not lonely (branch has several rows)
+    assert(segData.filter("SEGIDX <= 3").collect().forall(!_.getAs[Boolean]("LONELYSEG")))
+
+    // two-branch well WITHOUT ICDs: split returns everything + empty ICD
+    val twoBranch = Seq(
+      (1, null.asInstanceOf[Integer], 1),
+      (2, Integer.valueOf(1), 1),
+      (3, Integer.valueOf(2), 1),
+      (4, Integer.valueOf(2), 2),
+      (5, Integer.valueOf(4), 2)
+    ).toDF("SEGIDX", "SEGNXT", "SEGBRNO")
+    val (all2, icd2) = Rft.splitSegIcd(twoBranch)
+    assert(icd2.isEmpty && all2.count() >= 5)
+  }
+
   test("RFT connection-ICD-segment chain with anti-join remainder") {
     val con = Seq((1, 10, 250.0), (2, 20, 260.0)).toDF("CONIDX", "CONSEGNO", "CONPRES")
     val icd = Seq((10, 2)).toDF("SEGIDX", "SEGNXT") // ICD at seg 10 drains to seg 2
