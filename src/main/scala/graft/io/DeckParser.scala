@@ -173,6 +173,12 @@ object DeckParser {
         if (NoRecordKeywords.contains(keyword)) {
           events += DeckEvent(kwIdx, keyword, 0, Nil)
           keyword = null
+        } else if (keyword == "TITLE" && tokens.tail.nonEmpty) {
+          // title text on the SAME line as the keyword: emit it directly —
+          // stashing it in buf would poison record detection for the rest
+          // of the deck (buf never empties once keyword is null)
+          events += DeckEvent(kwIdx, keyword, 0, tokens.tail)
+          keyword = null
         } else {
           // tokens after the keyword on the same line belong to record 0
           val (items, done) = expand(tokens.tail)

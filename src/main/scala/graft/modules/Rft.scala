@@ -66,14 +66,20 @@ object Rft {
   /** Split segments into (non-ICD, ICD) frames (rft.py:326-373): ICDs are
     * present when branch numbers exceed the true branch count, and an ICD
     * segment is a LEAF alone on its branch. Returns the ICD frame empty
-    * when no ICDs are detected (column-compatible either way); columns
-    * keep their plain names — [[mergeIcdSegConseg]] applies the `ICD_`
-    * prefix when chaining.
+    * when no ICDs are detected or the input is empty (column-compatible
+    * either way); columns keep their plain names — [[mergeIcdSegConseg]]
+    * applies the `ICD_` prefix when chaining.
     */
   def splitSegIcd(seg: DataFrame): (DataFrame, DataFrame) = {
     val topo = if (seg.columns.contains("LEAF")) seg else processSegTopology(seg)
-    val maxBrno = topo.agg(max(col("SEGBRNO").cast("long"))).head.getLong(0)
-    if (maxBrno <= countWellBranches(topo)) (topo, topo.limit(0))
+    // max branch number and true branch count in ONE pass over the
+    // (driver-deck-sized) topology lineage
+    val stats = topo.agg(
+      max(col("SEGBRNO").cast("long")).as("mx"),
+      countDistinct(when(!col("LEAF") || col("JUNCTION_DOWNSTREAM"),
+        col("SEGBRNO"))).as("branches")).head
+    if (stats.isNullAt(0)) (topo, topo.limit(0)) // empty / all-null SEGBRNO
+    else if (stats.getLong(0) <= math.max(1L, stats.getLong(1))) (topo, topo.limit(0))
     else (topo.filter(!(col("LEAF") && col("LONELYSEG"))),
       topo.filter(col("LEAF") && col("LONELYSEG")))
   }

@@ -108,9 +108,7 @@ object Summary {
     * dates.
     */
   def atDatesAuto(long: DataFrame, dates: Seq[String]): DataFrame = {
-    val rates = vectorMeta(long).filter(col("IS_RATE")).select("VECTOR")
-    val rateRows = long.join(broadcast(rates), Seq("VECTOR"))
-    val otherRows = long.join(broadcast(rates), Seq("VECTOR"), "left_anti")
+    val (rateRows, otherRows) = splitByRate(long)
     atDates(otherRows, dates).unionByName(atDates(rateRows, dates, rate = true))
   }
 
@@ -223,10 +221,15 @@ object Summary {
     * reference's resdata backend applies per smspec variable type, here
     * decided from the mnemonic.
     */
-  def resampleAuto(long: DataFrame, freq: String): DataFrame = {
+  /** (rate rows, other rows) split by the vector's SMSPEC typing. */
+  private def splitByRate(long: DataFrame): (DataFrame, DataFrame) = {
     val rates = vectorMeta(long).filter(col("IS_RATE")).select("VECTOR")
-    val rateRows = long.join(broadcast(rates), Seq("VECTOR"))
-    val otherRows = long.join(broadcast(rates), Seq("VECTOR"), "left_anti")
+    (long.join(broadcast(rates), Seq("VECTOR")),
+      long.join(broadcast(rates), Seq("VECTOR"), "left_anti"))
+  }
+
+  def resampleAuto(long: DataFrame, freq: String): DataFrame = {
+    val (rateRows, otherRows) = splitByRate(long)
     resample(otherRows, freq).unionByName(resample(rateRows, freq, rate = true))
   }
 

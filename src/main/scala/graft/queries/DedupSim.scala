@@ -46,32 +46,43 @@ object DedupSim {
     */
   private[queries] object TokenDict {
     val MaxSize = 4096
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, Long]]]()
+    // one entry per corpus path, tagged with the fingerprint it was built
+    // against — superseded fingerprints are replaced, never accumulated
+    private val memo = new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Option[Map[String, Long]])]()
     private val utf8Order: Ordering[String] = (a: String, b: String) =>
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    /** Memo key includes a fingerprint of the source file listing
-      * (name, length, mtime) so rewriting a corpus in place within one
-      * JVM invalidates the cached dictionary — a stale literal map would
-      * silently null out unseen tokens' bits.
+    /** Fingerprint of the source file tree (name, length, mtime —
+      * recursing into parquet DIRECTORIES, whose own mtime does not
+      * change when a part file is overwritten in place), so rewriting a
+      * corpus within one JVM invalidates the cached dictionary — a stale
+      * literal map would silently null out unseen tokens' bits.
       */
-    private def key(dir: String): String = {
-      val files = new java.io.File(dir).listFiles()
-      val fp = if (files == null) "-" else files.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-      s"$dir#${fp.hashCode}"
+    private def fingerprint(dir: String): String = {
+      def walk(f: java.io.File, depth: Int): Seq[String] = {
+        val kids = f.listFiles()
+        if (kids == null || depth > 2) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+        else kids.sortBy(_.getName).toSeq.flatMap(walk(_, depth + 1))
+      }
+      walk(new java.io.File(dir), 0).mkString("|").hashCode.toString
     }
-    def apply(s: SparkSession, dir: String): Option[Map[String, Long]] =
-      memo.computeIfAbsent(key(dir), _ => {
-        val toks = Tables.documents(s, dir)
-          .select(explode(array_distinct(tokens(col("text")))).as("tok"))
-          .distinct().limit(MaxSize + 1).collect().map(_.getString(0))
-        if (toks.length > MaxSize) None
-        else Some(toks.sorted(utf8Order).zipWithIndex
-          .map { case (t, i) => t -> i.toLong }.toMap)
-      })
+    def apply(s: SparkSession, dir: String): Option[Map[String, Long]] = {
+      val fp = fingerprint(dir)
+      memo.compute(dir, (_, cached) => {
+        if (cached != null && cached._1 == fp) cached
+        else {
+          val toks = Tables.documents(s, dir)
+            .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+            .distinct().limit(MaxSize + 1).collect().map(_.getString(0))
+          val dict = if (toks.length > MaxSize) None
+            else Some(toks.sorted(utf8Order).zipWithIndex
+              .map { case (t, i) => t -> i.toLong }.toMap)
+          (fp, dict)
+        }
+      })._2
+    }
   }
 
   /** Token-set Jaccard near-dup. This corpus has a tiny vocabulary

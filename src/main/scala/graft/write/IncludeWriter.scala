@@ -75,7 +75,8 @@ object IncludeWriter {
     * counts regions by, so the output round-trips.
     */
   def nestedTableKeyword(df: DataFrame, keyword: String, regionCol: String,
-      headCol: String, triple: Seq[String]): String = {
+      headCol: String, triple: Seq[String],
+      descendingLines: Boolean = false): String = {
     import org.apache.spark.sql.functions.col
     val sb = new StringBuilder
     sb.append(keyword).append('\n')
@@ -85,7 +86,15 @@ object IncludeWriter {
     rows.groupBy(_.get(0).toString.toDouble.toInt).toSeq.sortBy(_._1).foreach {
       case (_, regionRows) =>
         regionRows.groupBy(_.get(1).toString.toDouble).toSeq.sortBy(_._1).foreach {
-          case (_, recRows) =>
+          case (_, recRows0) =>
+            // undersaturated lines in a deterministic, convention-correct
+            // order — Spark collect order is partition-scan order, not the
+            // frame's logical order (unlike the reference's stable pandas
+            // index): PVTO lines ascend in pressure, PVTG descend in OGR
+            val recRows = {
+              val sorted = recRows0.sortBy(_.get(2).toString.toDouble)
+              if (descendingLines) sorted.reverse else sorted
+            }
             sb.append("  ").append(fmt(recRows.head.get(1)))
             recRows.zipWithIndex.foreach { case (r, i) =>
               if (i > 0) sb.append("\n   ")
@@ -263,9 +272,14 @@ object IncludeWriter {
       comment + (tableFamilies.get(kw) match {
         case Some((regionCol, cols)) if part.columns.contains(regionCol) =>
           tableKeyword(part, kw, regionCol, cols.filter(part.columns.contains))
-        case _ if nestedFamilies.contains(kw) && part.columns.contains("PVTNUM") =>
+        case _ if nestedFamilies.contains(kw) =>
           val (head, triple) = nestedFamilies(kw)
-          nestedTableKeyword(part, kw, "PVTNUM", head, triple)
+          // a frame without PVTNUM is a single region (the reference
+          // fills PVTNUM=1, pvt.py:609-614)
+          val withRegion = if (part.columns.contains("PVTNUM")) part
+            else part.withColumn("PVTNUM", lit(1))
+          nestedTableKeyword(withRegion, kw, "PVTNUM", head, triple,
+            descendingLines = kw == "PVTG")
         case _ =>
           keywordSlots.get(kw) match {
             case Some(slots) =>

@@ -138,6 +138,13 @@ class DeckParserSpec extends AnyFunSuite {
     assert(!events.exists(_.keyword == "OP_2"))
   }
 
+  test("TITLE text on the keyword line itself does not poison the parse") {
+    val events = DeckParser.parse(
+      "TITLE Some Model\nDIMENS\n 2 2 2 /\n")
+    assert(events.filter(_.keyword == "TITLE").head.items == Vector("Some", "Model"))
+    assert(events.filter(_.keyword == "DIMENS").head.items == Vector("2", "2", "2"))
+  }
+
   test("blank line after TITLE is an empty title; the next keyword survives") {
     val events = DeckParser.parse(
       "TITLE\n\nDIMENS\n 2 2 2 /\n")

@@ -103,6 +103,27 @@ class RoundTripSpec extends AnyFunSuite {
     assert(kwOrder == Vector("WCONINJE", "WCONHIST"))
   }
 
+  test("df2res PVTG: undersaturated lines emit in descending OGR; no-PVTNUM defaults to region 1") {
+    val src =
+      """PVTG
+        |30 0.00014 0.0523 0.0234
+        |   0       0.0521 0.0238 /
+        |/
+        |""".stripMargin
+    val df = graft.modules.Pvt.df(spark, src)
+    // force a shuffled lineage so collect order is NOT the input order
+    val text = IncludeWriter.df2res(df.repartition(8))
+    val back = graft.modules.Pvt.df(spark, text)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // first undersaturated line of the record is the saturated (highest) OGR
+    val dataLine = text.linesIterator.find(l => l.trim.startsWith("30")).get
+    assert(dataLine.trim.split("\\s+")(1).toDouble == 0.00014)
+    // PVTO/PVTG frames without PVTNUM still go through the nested writer
+    val noRegion = IncludeWriter.df2res(df.drop("PVTNUM"))
+    val back2 = graft.modules.Pvt.df(spark, noRegion)
+    assert(back2.filter("KEYWORD = 'PVTG'").count() == 2)
+  }
+
   test("df2res PVTO/PVTG: nested writer keeps region separators; round-trips") {
     val src =
       """PVTO

@@ -98,6 +98,10 @@ class VfpRftSpec extends AnyFunSuite {
     ).toDF("SEGIDX", "SEGNXT", "SEGBRNO")
     val (all2, icd2) = Rft.splitSegIcd(twoBranch)
     assert(icd2.isEmpty && all2.count() >= 5)
+
+    // empty segment frame: both halves empty, no NPE
+    val (e1, e2) = Rft.splitSegIcd(wellseg.limit(0))
+    assert(e1.isEmpty && e2.isEmpty)
   }
 
   test("RFT connection-ICD-segment chain with anti-join remainder") {
