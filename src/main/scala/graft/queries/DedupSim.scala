@@ -231,6 +231,73 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  private val NgramN = 3
+  private val NgramThreshold = 0.5
+
+  /** N-gram (shingle) Jaccard near-dup — the ORDER-SENSITIVE companion to
+    * q25's token-set Jaccard: 3-token shingles built with lead() windows
+    * (codegen'd; no interpreted array folds), then an EXACT set-similarity
+    * join in postings form: self-join on the shingle key computes every
+    * co-occurring pair's intersection size as a count, sizes join in, and
+    * the Jaccard threshold filters. Cost is linear in shingle
+    * CO-OCCURRENCE (Σ df(shingle)²), not all-pairs — the standard exact
+    * path when the shingle space is open (no bitmask) and candidates must
+    * not be missed (no MinHash approximation). At 100 TB, stop-shingles
+    * (head of the df distribution) are the skew risk: drop or salt
+    * shingles above a df cap, which only REMOVES candidate evidence the
+    * way prefix filtering does. Pure integer counts + one rounded
+    * division → full DuckDB oracle.
+    */
+  def q40NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // concat (not concat_ws): a null lead must null the shingle so tail
+    // positions with fewer than N tokens drop, not shorten
+    val sh = toks
+      .withColumn("shingle", concat(col("tok"),
+        lit(" "), lead(col("tok"), 1).over(w),
+        lit(" "), lead(col("tok"), 2).over(w)))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= NgramThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q40 oracle: identical shingle postings join in DuckDB. */
+  private def ngramJaccardSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM sh a JOIN sh b USING (shingle)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $NgramThreshold
+       ORDER BY doc_a, doc_b"""
+
   /** SimHash per document: 64 bit-votes, each bit's ±1 sign drawn from the
     * portable hash of the token's dictionary index, votes summed in one
     * codegen'd 64-column hash aggregate over the long (doc_id, bit)
@@ -592,6 +659,7 @@ object DedupSim {
     "q37_simhash_neardup" -> (q37SimhashNearDup _),
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q25_jaccard" -> (q25Jaccard _),
+    "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q39_minhash_openvocab" -> (q39MinhashOpenVocab _),
     "q27_simhash" -> (q27Simhash _),
@@ -716,6 +784,7 @@ object DedupSim {
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,
+    "q40_ngram_jaccard" -> ngramJaccardSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,
     "q24_exact_dedup" ->
