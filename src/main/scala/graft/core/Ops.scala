@@ -243,6 +243,43 @@ object Ops {
   def pairKey(a: Column, b: Column): Column =
     concat_ws("-", least(a, b), greatest(a, b))
 
+  /** Stack `COL@date`-suffixed columns into long form (R4; the
+    * reference's stack_on_colnames, common.py:787-856): plain columns
+    * replicate per date, each date contributes one row carrying that
+    * date's `COL@date` values under the bare names (missing combinations
+    * are null), and the date lands in `stackCol` as a timestamp when it
+    * parses as a date. One codegen'd `stack()` projection — no shuffle.
+    * Frames with no suffixed columns pass through unchanged.
+    */
+  def stackOnColnames(df: DataFrame, sep: String = "@",
+      stackCol: String = "DATE"): DataFrame = {
+    val cols = df.columns
+    val suffixed = cols.filter(_.contains(sep))
+    if (suffixed.isEmpty) df
+    else {
+      val plain = cols.filterNot(_.contains(sep))
+      def split2(c: String) = {
+        val i = c.indexOf(sep)
+        (c.substring(0, i), c.substring(i + sep.length))
+      }
+      val bases = suffixed.map(c => split2(c)._1).distinct.toSeq
+      val dates = suffixed.map(c => split2(c)._2).distinct.sorted.toSeq
+      val tuples = dates.flatMap { d =>
+        lit(d) +: bases.map { b =>
+          val name = s"$b$sep$d"
+          if (cols.contains(name)) col(s"`$name`") else lit(null)
+        }
+      }
+      val stackExpr = stack((lit(dates.length) +: tuples): _*)
+        .as(stackCol +: bases)
+      val stacked = df.select(
+        (plain.map(c => col(s"`$c`")).toIndexedSeq :+ stackExpr): _*)
+      val isDate = dates.forall(_.matches("""\d{4}-\d{2}-\d{2}.*"""))
+      if (isDate) stacked.withColumn(stackCol, col(stackCol).cast("timestamp"))
+      else stacked
+    }
+  }
+
   /** Linear interpolation of null values by an index column, per group —
     * only interior nulls are filled (limit_area="inside").
     * Reference: satfunc.py:132-157 interpolate(method="index") (W4).

@@ -112,4 +112,24 @@ class OpsSpec extends AnyFunSuite {
     assert(months.last == "2024-04-01 00:00:00.0")
     assert(months.length == 4)
   }
+
+  test("stackOnColnames: COL@date wide form stacks to long (common.py example)") {
+    val wide = Seq((100.0, 1000.0, 990.0))
+      .toDF("PORV", "OWC@2000-01-01", "OWC@2020-01-01")
+    val out = Ops.stackOnColnames(wide).orderBy("DATE").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Double]("PORV")).toSeq == Seq(100.0, 100.0))
+    assert(out.map(_.getAs[Double]("OWC")).toSeq == Seq(1000.0, 990.0))
+    assert(out.map(_.getAs[java.sql.Timestamp]("DATE").toString).toSeq ==
+      Seq("2000-01-01 00:00:00.0", "2020-01-01 00:00:00.0"))
+    // ragged dates: a vector missing at one date stacks as null
+    val ragged = Seq((1.0, 2.0, 3.0))
+      .toDF("SWAT@2000-01-01", "SWAT@2020-01-01", "SGAS@2020-01-01")
+    val r = Ops.stackOnColnames(ragged).orderBy("DATE").collect()
+    assert(r.length == 2)
+    assert(r(0).isNullAt(r(0).fieldIndex("SGAS")) && r(1).getAs[Double]("SGAS") == 3.0)
+    // frames with no suffixed columns pass through untouched
+    val plain = Seq((1, 2)).toDF("A", "B")
+    assert(Ops.stackOnColnames(plain).columns.toSeq == Seq("A", "B"))
+  }
 }
