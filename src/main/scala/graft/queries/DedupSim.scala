@@ -233,36 +233,86 @@ object DedupSim {
 
   private val NgramN = 3
   private val NgramThreshold = 0.5
+  // stop-shingle cap: shingles present in more than max(Floor, corpus/Frac)
+  // documents are dropped from the postings before the self-join — the head
+  // of the df distribution is the skew killer (one shingle with df=d
+  // contributes d² join pairs). The cap is deliberately above anything a
+  // genuine near-dup pair relies on alone (a pair at jaccard >= 0.5 shares
+  // MANY shingles; losing the corpus-wide boilerplate ones only removes
+  // evidence the way prefix filtering does).
+  private val NgramDfCapFloor = 100.0
+  private val NgramDfCapFrac = 50.0 // cap = max(floor, n_docs / 50) = 2%
 
   /** N-gram (shingle) Jaccard near-dup — the ORDER-SENSITIVE companion to
-    * q25's token-set Jaccard: 3-token shingles built with lead() windows
-    * (codegen'd; no interpreted array folds), then an EXACT set-similarity
-    * join in postings form: self-join on the shingle key computes every
-    * co-occurring pair's intersection size as a count, sizes join in, and
-    * the Jaccard threshold filters. Cost is linear in shingle
-    * CO-OCCURRENCE (Σ df(shingle)²), not all-pairs — the standard exact
-    * path when the shingle space is open (no bitmask) and candidates must
-    * not be missed (no MinHash approximation). At 100 TB, stop-shingles
-    * (head of the df distribution) are the skew risk: drop or salt
-    * shingles above a df cap, which only REMOVES candidate evidence the
-    * way prefix filtering does. Pure integer counts + one rounded
+    * q25's token-set Jaccard: 3-token shingles built directly from the
+    * token ARRAY in one narrow projection (transform over an index
+    * sequence — no per-doc window shuffle+sort, no separate distinct
+    * exchange; array_distinct dedupes in place), then an EXACT
+    * set-similarity join in postings form: self-join on the shingle key
+    * computes every co-occurring pair's intersection size as a count,
+    * post-cap sizes join in, and the Jaccard threshold filters. Cost is
+    * linear in shingle CO-OCCURRENCE (Σ df(shingle)²), not all-pairs —
+    * the standard exact path when the shingle space is open (no bitmask)
+    * and candidates must not be missed (no MinHash approximation).
+    *
+    * Stop-shingles (df above [[NgramDfCapFloor]]/[[NgramDfCapFrac]]) are
+    * dropped before the join and the drop COUNT IS LOGGED — never a
+    * silent truncation. Jaccard is over the capped shingle space (sizes
+    * are computed post-cap), identically in the DuckDB oracle, so the
+    * semantics stay engine-exact. Pure integer counts + one rounded
     * division → full DuckDB oracle.
     */
-  def q40NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    // concat (not concat_ws): a null lead must null the shingle so tail
-    // positions with fewer than N tokens drop, not shorten
-    val sh = toks
-      .withColumn("shingle", concat(col("tok"),
-        lit(" "), lead(col("tok"), 1).over(w),
-        lit(" "), lead(col("tok"), 2).over(w)))
-      .filter(col("shingle").isNotNull)
-      .select(col("doc_id"), col("shingle")).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+  def q40NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(s, dir))
+
+  /** q40 core over any (doc_id, text) frame — split out so the df cap is
+    * testable on a synthetic hot-shingle corpus.
+    */
+  private[graft] def ngramJaccard(docs: DataFrame): DataFrame = {
+    val shingleArr = expr(
+      s"transform(sequence(0, size(t) - $NgramN), i -> " +
+        (0 until NgramN).map(k => s"t[i + $k]").mkString("concat_ws(' ', ", ", ", "))"))
+    // The postings table is the hub of the whole query — it feeds the
+    // df-cap aggregate (plus its logged count), the anti-join, the sizes
+    // aggregate and both sides of the self-join. Materialize it ONCE
+    // (executor-local blocks, spillable; the parquet-temp equivalent at
+    // corpus scale) instead of re-deriving the scan+explode per consumer.
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("t")) >= NgramN, shingleArr)
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+      .localCheckpoint(true)
+    // The stop set is driver-bounded BY CONSTRUCTION, not by luck: with
+    // cap >= n_docs/Frac, at most Σdf/cap <= Frac · (avg shingles per doc)
+    // shingles can exceed it — a few thousand entries regardless of corpus
+    // row count — so collecting it is safe at any scale, gives the logged
+    // drop count for free, and lets the empty (common) case skip the
+    // anti-join entirely.
+    val capDf = docs.agg(
+      greatest(lit(NgramDfCapFloor), count(lit(1)) / lit(NgramDfCapFrac)).as("cap"))
+    val stop = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(capDf))
+      .filter(col("df") > col("cap"))
+      .select(col("shingle"))
+      .collect().map(_.getString(0))
+    if (stop.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"q40: dropped ${stop.length} stop-shingles above the df cap " +
+          s"(max($NgramDfCapFloor, n_docs/$NgramDfCapFrac))")
+    val kept =
+      if (stop.isEmpty) sh
+      else sh.filter(!col("shingle").isInCollection(stop))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // shuffle_hash, not broadcast/SMJ: both sides are the same postings
+    // table — hash-partition on the shingle key and build per-partition
+    // maps (3x faster than the size-estimated broadcast here; no sort).
+    // The df cap bounds per-key fanout; the per-partition build side is
+    // postings/nPartitions, so scale by raising shuffle partitions with
+    // the corpus (drop the hint for spillable SMJ if a slice can't fit).
+    val inter = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("shingle")).hint("shuffle_hash"),
+        Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     inter
@@ -275,7 +325,11 @@ object DedupSim {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q40 oracle: identical shingle postings join in DuckDB. */
+  /** q40 oracle: identical capped shingle postings join in DuckDB — the
+    * stop-shingle CTEs mirror the Spark cap, sizes are post-cap, and the
+    * WHERE filters on the SAME rounded value Spark filters on (an
+    * unrounded filter would diverge for ratios in [t - 5e-7, t)).
+    */
   private def ngramJaccardSql: String =
     s"""WITH toks AS (
          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
@@ -286,16 +340,21 @@ object DedupSim {
                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
          QUALIFY lead(tok, 2) OVER w IS NOT NULL),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       cap AS (SELECT greatest($NgramDfCapFloor, count(*) / $NgramDfCapFrac) AS cap
+               FROM documents),
+       stop AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), cap
+                WHERE df > cap),
+       kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM stop)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         FROM sh a JOIN sh b USING (shingle)
+         FROM kept a JOIN kept b USING (shingle)
          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        SELECT doc_a, doc_b,
               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                   JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $NgramThreshold
+       WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= $NgramThreshold
        ORDER BY doc_a, doc_b"""
 
   /** SimHash per document: 64 bit-votes, each bit's ±1 sign drawn from the
@@ -318,6 +377,20 @@ object DedupSim {
   def q27Simhash(s: SparkSession, dir: String): DataFrame =
     simhashFingerprints(s, dir).orderBy(col("doc_id"))
 
+  /** Pigeonhole band layout for the q37 hamming join: `SimhashMaxHamming
+    * + 1` contiguous (offset, width) slices covering all 64 bits. Two
+    * fingerprints within `SimhashMaxHamming` differing bits cannot differ
+    * in every one of the `SimhashMaxHamming + 1` bands, so at least one
+    * band matches EXACTLY — banding is a lossless candidate filter for
+    * the hamming threshold.
+    */
+  private val SimhashBandSlices: Seq[(Int, Int)] = {
+    val nb = SimhashMaxHamming + 1
+    val base = 64 / nb
+    val widths = Seq.fill(64 % nb)(base + 1) ++ Seq.fill(nb - 64 % nb)(base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   /** SimHash near-dup decision table: pairs of DISTINCT fingerprints
     * within `SimhashMaxHamming` bits, each annotated with its duplicate
     * group's size and representative doc. On a dup-heavy corpus the doc
@@ -326,21 +399,40 @@ object DedupSim {
     * hamming=0), so — same principle as q26's cluster output — the query
     * emits the LINEAR fingerprint-level merge decisions; expanding any
     * decision to doc pairs is a downstream join the caller opts into.
-    * Integer xor/popcount end-to-end → DuckDB oracle.
+    *
+    * The pair walk is a pigeonhole-band EQUI-join ([[SimhashBandSlices]]):
+    * each fingerprint explodes into 9 (band_idx, band_bits) keys, pairs
+    * join on an exact band match, the hamming post-filter decides, and a
+    * `distinct` folds pairs found via several bands. No cross join
+    * anywhere — on a mostly-unique corpus the candidate set is the
+    * per-band hash-bucket collisions, not O(n²), and the shuffle key is
+    * the band. Arithmetic-shift + mask band extraction is identical in
+    * Spark and DuckDB → still a full hash-checked oracle.
     */
   def q37SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val groups = simhashFingerprints(s, dir)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
-    val a = groups.select(col("simhash").as("fp_a"), col("n_docs").as("docs_a"),
-      col("rep_doc").as("rep_a"))
-    val b = groups.select(col("simhash").as("fp_b"), col("n_docs").as("docs_b"),
-      col("rep_doc").as("rep_b"))
-    a.crossJoin(broadcast(b))
+    val bandArr = array(SimhashBandSlices.map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+    // both join sides read `banded`; materialize it once (linear in the
+    // distinct-fingerprint count, spillable executor blocks) so the
+    // 64-column vote aggregate doesn't run twice
+    val banded = groups.select(col("simhash"), col("n_docs"), col("rep_doc"),
+      posexplode(bandArr).as(Seq("band_idx", "band_bits")))
+      .localCheckpoint(true)
+    val a = banded.select(col("band_idx"), col("band_bits"), col("simhash").as("fp_a"),
+      col("n_docs").as("docs_a"), col("rep_doc").as("rep_a"))
+    val b = banded.select(col("band_idx"), col("band_bits"), col("simhash").as("fp_b"),
+      col("n_docs").as("docs_b"), col("rep_doc").as("rep_b"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("rep_a") < col("rep_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .filter(col("hamming") <= SimhashMaxHamming && col("rep_a") < col("rep_b"))
+      .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("rep_a"), col("rep_b"), col("hamming"),
         col("docs_a"), col("docs_b"))
+      .distinct()
       .orderBy(col("rep_a"), col("rep_b"))
   }
 
@@ -378,35 +470,64 @@ object DedupSim {
     * this corpus's similarity distribution). All-pairs baseline; the
     * LSH-bucketed variant is q30.
     */
-  /** Embedding-cosine near-dup, brute force done right for a
-    * broadcastable matrix: the (tiny: n×64 floats) matrix is broadcast and
-    * each partition runs a tight primitive-array dot loop over its slice
-    * of row indices against all higher indices, emitting only qualifying
-    * pairs — this is genuine per-partition numeric kernel work, the one
-    * place mapPartitions beats expression evaluation (interpreted
-    * higher-order array folds are ~50x slower; a join on the 64 `dim` keys
-    * has catastrophic key fanout). When the matrix outgrows a broadcast,
-    * q30's LSH bucketing is the scale path.
+  private val CosineBlocks = 8
+
+  // private[queries], not private: the codegen'd row deserializer lives
+  // outside this object and needs bytecode-public access to the class
+  private[queries] case class BVec(id: Long, emb: Array[Float])
+
+  /** Embedding-cosine near-dup, brute force as a BLOCK-NESTED join —
+    * nothing touches the driver: vectors hash into [[CosineBlocks]]
+    * blocks (`vec_id % B`), the B·(B+1)/2 block pairs are generated as an
+    * equi-joinable pair table, each task receives one (block_a, block_b)
+    * row and runs a tight primitive-array dot loop over the two slices
+    * (upper triangle when a == b). This is genuine per-partition numeric
+    * kernel work — the one place mapPartitions/flatMap beats expression
+    * evaluation (interpreted higher-order array folds are ~50x slower; a
+    * join on the 64 `dim` keys has catastrophic key fanout).
+    *
+    * Scale: total compute is the inherent O(n²) of exact all-pairs, but
+    * it distributes as B(B+1)/2 independent tasks and the only data
+    * movement is each block shipping to its B partner tasks (classic
+    * block-nested-loop replication, no broadcast, no driver
+    * materialization). B rises with corpus size so a block stays
+    * task-sized; when n² itself is the problem, q30's LSH bucketing is
+    * the scale path.
     */
   def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val ids = rows.map(_._1)
-    val mat = rows.map(_._2.map(_.toDouble))
-    val bc = s.sparkContext.broadcast((ids, mat))
-    val scored = s.createDataset(ids.indices.toSeq)
-      .repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val (id, m) = bc.value
-        it.flatMap { a =>
-          val va = m(a)
-          (a + 1 until m.length).iterator.flatMap { b =>
-            val vb = m(b)
+    val nb = CosineBlocks.toLong
+    val blocks = Tables.embeddings(s, dir)
+      .select((col("vec_id") % nb).as("blk"),
+        struct(col("vec_id").as("id"), col("embedding").as("emb")).as("v"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(col("v"))).as("vecs"))
+    val pairs = s.range(nb * nb)
+      .select((col("id") / nb).cast("long").as("blk_a"), (col("id") % nb).as("blk_b"))
+      .filter(col("blk_a") <= col("blk_b"))
+    val scored = pairs
+      .join(blocks.select(col("blk").as("blk_a"), col("vecs").as("vecs_a")), Seq("blk_a"))
+      .join(blocks.select(col("blk").as("blk_b"), col("vecs").as("vecs_b")), Seq("blk_b"))
+      .repartition(col("blk_a"), col("blk_b"))
+      .select(col("blk_a"), col("blk_b"), col("vecs_a"), col("vecs_b"))
+      .as[(Long, Long, Seq[BVec], Seq[BVec])]
+      .flatMap { case (ba, bb, va, vb) =>
+        val ia = va.iterator.map(_.id).toArray
+        val ma = va.iterator.map(_.emb.map(_.toDouble)).toArray
+        val (ib, mb) =
+          if (ba == bb) (ia, ma)
+          else (vb.iterator.map(_.id).toArray, vb.iterator.map(_.emb.map(_.toDouble)).toArray)
+        ia.indices.iterator.flatMap { a =>
+          val x = ma(a)
+          val from = if (ba == bb) a + 1 else 0
+          (from until ib.length).iterator.flatMap { b =>
+            val y = mb(b)
             var d = 0.0; var i = 0
-            while (i < va.length) { d += va(i) * vb(i); i += 1 }
-            if (d >= 0.4) Some((id(a), id(b), d)) else None
+            while (i < x.length) { d += x(i) * y(i); i += 1 }
+            if (d >= 0.4) {
+              val (lo, hi) = if (ia(a) < ib(b)) (ia(a), ib(b)) else (ib(b), ia(a))
+              Some((lo, hi, d))
+            } else None
           }
         }
       }.toDF("id_a", "id_b", "score_raw")
@@ -560,6 +681,11 @@ object DedupSim {
         .groupBy(col("cid"), col("dim"))
         .agg((sum(round(col("x") * 1e6).cast("long")).cast("double")
           / (count(lit(1)) * lit(1e6))).as("cx"))
+        // materialize each iteration's centroids (≤ nlists·ndims rows —
+        // bounded by the quantizer shape, never the corpus) so the search
+        // tail's multiple consumers of `cents` replay a 1k-row local
+        // scan instead of re-running every Lloyd iteration per consumer
+        .localCheckpoint(true)
     }
     cents
   }
@@ -730,7 +856,9 @@ object DedupSim {
        SELECT doc_id, $fpTerms AS simhash FROM votes ORDER BY doc_id"""
   }
 
-  /** q37 oracle: same distinct-fingerprint hamming pair walk in DuckDB. */
+  /** q37 oracle: same pigeonhole-band equi-join in DuckDB (arithmetic
+    * `>>` + mask extracts identical band bits to Spark's shiftright).
+    */
   private def simhashNearDupSql: String = {
     import graft.functions.PortableHash.signSql
     val voteCols = (0 until 64)
@@ -740,15 +868,22 @@ object DedupSim {
       .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ") +
       " + CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END"
+    val bandCase = SimhashBandSlices.zipWithIndex.map { case ((off, w), i) =>
+      s"WHEN $i THEN (simhash >> $off) & ${(1L << w) - 1}"
+    }.mkString(" ")
     s"""WITH $docTokenBitsSql,
        votes AS (SELECT doc_id, $voteCols FROM t GROUP BY doc_id),
        fps AS (SELECT doc_id, $fpTerms AS simhash FROM votes),
        groups AS (SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_doc
-                  FROM fps GROUP BY simhash)
-       SELECT a.rep_doc AS rep_a, b.rep_doc AS rep_b,
+                  FROM fps GROUP BY simhash),
+       banded AS (SELECT simhash, n_docs, rep_doc, u.band_idx,
+                         CASE u.band_idx $bandCase END AS band_bits
+                  FROM groups CROSS JOIN
+                       (SELECT unnest(range(${SimhashBandSlices.size})) AS band_idx) u)
+       SELECT DISTINCT a.rep_doc AS rep_a, b.rep_doc AS rep_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
               a.n_docs AS docs_a, b.n_docs AS docs_b
-       FROM groups a CROSS JOIN groups b
+       FROM banded a JOIN banded b USING (band_idx, band_bits)
        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
          AND a.rep_doc < b.rep_doc
        ORDER BY rep_a, rep_b"""

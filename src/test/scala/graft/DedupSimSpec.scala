@@ -176,4 +176,55 @@ class DedupSimSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
       sql.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  test("q37 pigeonhole banding finds exactly the brute-force hamming pairs") {
+    // The banded equi-join is a candidate FILTER, never a miss: every
+    // distinct-fingerprint pair within the hamming threshold must appear,
+    // and nothing outside it. Brute force over the collected fingerprints
+    // (test-side only — the query itself has no cross join).
+    val fps = DedupSim.q27Simhash(spark, dir)
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    val groups = fps.groupBy(_._2).map { case (fp, ds) =>
+      (fp, ds.map(_._1).min, ds.length.toLong)
+    }.toSeq
+    val brute = (for {
+      (fpA, repA, nA) <- groups; (fpB, repB, nB) <- groups
+      if repA < repB
+      h = java.lang.Long.bitCount(fpA ^ fpB).toLong if h <= 8
+    } yield (repA, repB, h, nA, nB)).sortBy(p => (p._1, p._2))
+    val banded = DedupSim.q37SimhashNearDup(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(banded == brute)
+  }
+
+  test("q29 block-partitioned kernel matches driver brute force") {
+    val rows = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val brute = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      d = rows(i)._2.map(_.toDouble).zip(rows(j)._2.map(_.toDouble)).map(p => p._1 * p._2).sum
+      if d >= 0.4
+    } yield (rows(i)._1, rows(j)._1)).sorted
+    val blocked = DedupSim.q29CosineNearDup(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(blocked == brute)
+  }
+
+  test("q40 df cap drops the hot shingle but keeps genuine near-dups") {
+    // 150 docs sharing one boilerplate sentence (a hot shingle with
+    // df = 150 > the cap floor of 100) plus two genuinely similar docs.
+    // Without the cap the boilerplate contributes 150² join pairs; with
+    // it, the boilerplate shingles vanish from the postings and only the
+    // real near-dup pair survives the threshold.
+    val boiler = "common header line always present here today"
+    val docs = ((0 until 150).map(i => (i.toLong, s"$boiler unique$i trailer$i")) ++
+      Seq((900L, "alpha beta gamma delta epsilon zeta"),
+        (901L, "alpha beta gamma delta epsilon eta"))).toDF("doc_id", "text")
+    val out = DedupSim.ngramJaccard(docs)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    // docs 900/901: post-cap shingle sets are their own 4 shingles; they
+    // share 3 => jaccard 3/5 = 0.6. The boilerplate block must NOT pair.
+    assert(out == Seq((900L, 901L, 0.6)))
+  }
 }
