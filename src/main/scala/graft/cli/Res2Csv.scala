@@ -2,6 +2,7 @@ package graft.cli
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.modules._
 
 /** res2csv-style CLI: `runMain graft.cli.Res2Csv <module> <deckfile> [out.csv]`.
@@ -28,17 +29,86 @@ object Res2Csv {
     "wsegvalv" -> ((s, t) => Msw.wsegvalv(graft.io.DeckParser.toDS(s, t).toDF())),
   )
 
-  /** Modules that take a file path (not deck text). */
-  val PathModules: Set[String] = Set("fipreports")
+  private def basePath(datafile: String): String =
+    datafile.replaceAll("\\.DATA$", "").replaceAll("\\.data$", "")
+
+  /** Deck text with INCLUDE files resolved relative to the deck — a deck
+    * module fed the raw text would silently miss every included section.
+    */
+  private def deckTextOf(path: String): String =
+    graft.io.DeckParser.expandIncludes(
+      Files.readString(Paths.get(path)), Paths.get(path).toAbsolutePath.getParent)
+
+  private def sibling(datafile: String, ext: String): Option[String] = {
+    val p = s"${basePath(datafile)}.$ext"
+    if (Files.isRegularFile(Paths.get(p))) Some(p) else None
+  }
+
+  /** Geometry ⟗ INIT ⟗ stacked-restart grid frame from the binary
+    * artifacts next to the datafile (grid.py:476-531; INIT vectors NaN-
+    * sentinel-washed like init2df does).
+    */
+  private def gridFrame(s: SparkSession, datafile: String): DataFrame = {
+    val geom = graft.io.EclBinary.egrid(s,
+      sibling(datafile, "EGRID").getOrElse(
+        throw new IllegalArgumentException(s"no EGRID next to $datafile")))
+    val init = sibling(datafile, "INIT").map { p =>
+      val i = graft.io.EclBinary.init(s, p)
+      val doubles = i.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.DoubleType => f.name
+      }
+      GridOps.washNanSentinel(i, doubles.toSeq)
+    }
+    val rst = sibling(datafile, "UNRST").map(p => graft.io.EclBinary.unrst(s, p))
+    GridOps.assemble(geom, init, rst)
+  }
+
+  private def zonemapOf(datafile: String): Map[Int, String] =
+    GridOps.findZonemapFile(datafile).map(p =>
+      GridOps.parseLyr(Files.readString(Paths.get(p)))).getOrElse(Map.empty)
+
+  /** Modules that take a file path (deck, PRT or .DATA with binary
+    * siblings) rather than deck text — these cover the reference CLI's
+    * remaining fronts (res2csv.py:226-272): grid, nnc, rft, summary,
+    * pillars, trans, wellconnstatus, wellcompletiondata, fipreports.
+    */
+  val PathModules: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fipreports" -> ((s, p) => FipReports.df(s, p)),
+    "grid" -> { (s, p) =>
+      val g = gridFrame(s, p)
+      val zm = zonemapOf(p)
+      if (zm.isEmpty) g else GridOps.mergeZones(g, zm)
+    },
+    "nnc" -> ((s, p) => graft.io.EclBinary.nnc(s,
+      sibling(p, "EGRID").getOrElse(
+        throw new IllegalArgumentException(s"no EGRID next to $p")),
+      sibling(p, "INIT"))),
+    "rft" -> ((s, p) => graft.io.EclBinary.rft(s,
+      sibling(p, "RFT").getOrElse(
+        throw new IllegalArgumentException(s"no RFT next to $p")))),
+    "summary" -> { (s, p) =>
+      // wide form like the reference's summary CSV: DATE + one column per
+      // vector (long → pivot; the vector catalog is the column axis)
+      val long = graft.write.SummaryWriter.read(s, basePath(p))
+      long.groupBy(col("DATE")).pivot("VECTOR").agg(first(col("VALUE")))
+        .orderBy(col("DATE"))
+    },
+    "pillars" -> ((s, p) => Pillars.df(gridFrame(s, p))),
+    "trans" -> ((s, p) => GridOps.trans(gridFrame(s, p))),
+    "wellconnstatus" -> ((s, p) =>
+      WellOps.wellConnStatus(graft.write.SummaryWriter.read(s, basePath(p)))),
+    "wellcompletiondata" -> { (s, p) =>
+      val compdat = Compdat.df(s, deckTextOf(p))
+      WellCompletionData.df(compdat, zonemapOf(p))
+    },
+  )
 
   def main(args: Array[String]): Unit = {
-    val known = Modules.keySet ++ PathModules
+    val known = Modules.keySet ++ PathModules.keySet
     if (args.length < 2 || !known.contains(args(0))) {
-      System.err.println(s"usage: Res2Csv <${known.toSeq.sorted.mkString("|")}> <deckfile|prtfile> [out.csv]")
+      System.err.println(s"usage: Res2Csv <${known.toSeq.sorted.mkString("|")}> <deckfile|prtfile|datafile> [out.csv]")
       sys.exit(2)
     }
-    val deckText = if (PathModules.contains(args(0))) args(1)
-      else Files.readString(Paths.get(args(1)))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("res2csv")
@@ -47,9 +117,10 @@ object Res2Csv {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df =
-      if (args(0) == "fipreports") FipReports.df(spark, deckText)
-      else Modules(args(0))(spark, deckText)
+    val df = PathModules.get(args(0)) match {
+      case Some(fn) => fn(spark, args(1))
+      case None => Modules(args(0))(spark, deckTextOf(args(1)))
+    }
     // deck-derived frames are driver-sized (decks are text written by
     // humans); stdout CSV matches the reference's write_dframe_stdout_file
     val rows = df.collect()

@@ -1,0 +1,321 @@
+package graft.io
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Binary Eclipse artifact readers: EGRID / INIT / UNRST / RFT files →
+  * the typed DataFrames the grid/rft modules consume (the reference opens
+  * the same files through the resdata C library — `grid.py:149-284`,
+  * `rft.py:63-135`; the decoded frames here carry the same column
+  * vocabulary so [[graft.modules.GridOps]] / [[graft.modules.Rft]] run
+  * unchanged on real simulator output).
+  *
+  * Scale shape: one artifact is ONE file, so the byte decode is
+  * driver-side (exactly like the reference); everything per-cell —
+  * corner-point geometry, volume, vector column assembly — runs
+  * DISTRIBUTED via broadcast arrays + `spark.range` over the cell space,
+  * so a 10⁸-cell grid fans out instead of looping on the driver. For a
+  * 100 TB corpus of many realisations, each realisation's decode is an
+  * independent task upstream of these frames (convert-to-parquet once,
+  * then all queries are columnar scans — SURVEY §4.3).
+  */
+object EclBinary {
+
+  // ---- EGRID geometry ------------------------------------------------------
+
+  /** Raw corner-point payload broadcast to the geometry kernel. `aprefix`
+    * is the running count of active cells before each global index, so
+    * `ACTIVE_IDX` needs no sequential pass on the executors.
+    */
+  private final case class RawGrid(nx: Int, ny: Int, nz: Int,
+      coord: Array[Float], zcorn: Array[Float], actnum: Array[Int],
+      aprefix: Array[Int])
+
+  private val GeomSchema = StructType(Seq(
+    StructField("I", IntegerType, nullable = false),
+    StructField("J", IntegerType, nullable = false),
+    StructField("K", IntegerType, nullable = false),
+    StructField("X", DoubleType, nullable = false),
+    StructField("Y", DoubleType, nullable = false),
+    StructField("Z", DoubleType, nullable = false),
+    StructField("Z_MIN", DoubleType, nullable = false),
+    StructField("Z_MAX", DoubleType, nullable = false),
+    StructField("VOLUME", DoubleType, nullable = false),
+    StructField("GLOBAL_INDEX", LongType, nullable = false),
+    StructField("ACTIVE_IDX", LongType, nullable = false)))
+
+  /** Read an EGRID file into the active-cell geometry frame
+    * (`I J K X Y Z Z_MIN Z_MAX VOLUME GLOBAL_INDEX ACTIVE_IDX`, one row
+    * per active cell, ordered by active index — the frame
+    * `gridgeometry2df` builds at grid.py:287-360). Cell centers are the
+    * mean of the 8 corner-point corners (COORD pillar interpolation at
+    * each ZCORN depth); VOLUME is the 24-tetrahedron decomposition around
+    * the face and cell centroids — exact for planar faces, robust for the
+    * non-planar ones corner-point grids produce.
+    */
+  def egrid(spark: SparkSession, path: String): DataFrame = {
+    val kws = EclKw.read(path)
+    def kw(name: String) = kws.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"$path: no $name keyword"))
+    val gh = kw("GRIDHEAD").ints
+    val (nx, ny, nz) = (gh(1), gh(2), gh(3))
+    val ncells = nx.toLong * ny * nz
+    require(ncells > 0 && ncells < Int.MaxValue, s"bad grid dims $nx*$ny*$nz")
+    val coord = kw("COORD").floats.toArray
+    val zcorn = kw("ZCORN").floats.toArray
+    val actnum = kws.find(_.name == "ACTNUM").map(_.ints.toArray)
+      .getOrElse(Array.fill(ncells.toInt)(1))
+    val aprefix = actnum.scanLeft(0)((acc, a) => acc + (if (a != 0) 1 else 0))
+    val bc = spark.sparkContext.broadcast(RawGrid(nx, ny, nz, coord, zcorn, actnum, aprefix))
+    val rows = spark.sparkContext.range(0L, ncells, numSlices = spark.sparkContext.defaultParallelism)
+      .flatMap { g =>
+        val rg = bc.value
+        val gi = g.toInt
+        if (rg.actnum(gi) == 0) None
+        else {
+          val i = gi % rg.nx
+          val j = (gi / rg.nx) % rg.ny
+          val k = gi / (rg.nx * rg.ny)
+          // 8 corners: pillar (i+cx, j+cy) interpolated at the ZCORN depth
+          val cx8 = new Array[Double](8); val cy8 = new Array[Double](8)
+          val cz8 = new Array[Double](8)
+          var c = 0
+          while (c < 8) {
+            val (dx, dy, dz) = (c & 1, (c >> 1) & 1, (c >> 2) & 1)
+            val zi = (((k * 2 + dz) * 2 * rg.ny + (j * 2 + dy)) * 2 * rg.nx) + (i * 2 + dx)
+            val z = rg.zcorn(zi).toDouble
+            val p = ((j + dy) * (rg.nx + 1) + (i + dx)) * 6
+            val (x1, y1, z1) = (rg.coord(p).toDouble, rg.coord(p + 1).toDouble, rg.coord(p + 2).toDouble)
+            val (x2, y2, z2) = (rg.coord(p + 3).toDouble, rg.coord(p + 4).toDouble, rg.coord(p + 5).toDouble)
+            val t = if (z2 == z1) 0.0 else (z - z1) / (z2 - z1)
+            cx8(c) = x1 + t * (x2 - x1); cy8(c) = y1 + t * (y2 - y1); cz8(c) = z
+            c += 1
+          }
+          val x = cx8.sum / 8; val y = cy8.sum / 8; val z = cz8.sum / 8
+          Some(Row(i + 1, j + 1, k + 1, x, y, z, cz8.min, cz8.max,
+            hexVolume(cx8, cy8, cz8), g, rg.aprefix(gi).toLong))
+        }
+      }
+    spark.createDataFrame(rows, GeomSchema)
+  }
+
+  /** Volume of the (possibly non-planar) hexahedron with corners indexed
+    * `c = cx + 2·cy + 4·cz`: each face splits into 4 triangles around its
+    * centroid, each triangle forms a tetrahedron with the cell centroid,
+    * signed volumes summed. |Σ| is orientation-independent (Eclipse z
+    * points down).
+    */
+  private def hexVolume(xs: Array[Double], ys: Array[Double], zs: Array[Double]): Double = {
+    val ox = xs.sum / 8; val oy = ys.sum / 8; val oz = zs.sum / 8
+    // faces as corner cycles (consistent winding per face)
+    val faces = Array(
+      Array(0, 1, 3, 2), Array(4, 6, 7, 5), // z-, z+
+      Array(0, 2, 6, 4), Array(1, 5, 7, 3), // x-, x+
+      Array(0, 4, 5, 1), Array(2, 3, 7, 6)) // y-, y+
+    var vol = 0.0
+    faces.foreach { f =>
+      val fx = f.map(xs).sum / 4; val fy = f.map(ys).sum / 4; val fz = f.map(zs).sum / 4
+      var e = 0
+      while (e < 4) {
+        val a = f(e); val b = f((e + 1) % 4)
+        // tet (a, b, face centroid) with apex at the cell centroid
+        val ax = xs(a) - ox; val ay = ys(a) - oy; val az = zs(a) - oz
+        val bx = xs(b) - ox; val by = ys(b) - oy; val bz = zs(b) - oz
+        val cx = fx - ox; val cy = fy - oy; val cz = fz - oz
+        vol += ax * (by * cz - bz * cy) - ay * (bx * cz - bz * cx) + az * (bx * cy - by * cx)
+        e += 1
+      }
+    }
+    math.abs(vol) / 6.0
+  }
+
+  // ---- INIT / UNRST per-cell vectors ---------------------------------------
+
+  /** Header/table keywords that can share the active-cell length by
+    * coincidence but are never per-cell data.
+    */
+  private val NonCellKw = Set("INTEHEAD", "LOGIHEAD", "DOUBHEAD", "TABDIMS",
+    "TAB", "CON", "REGDIMS", "FIPFAMNA", "SEQNUM", "STARTSOL", "ENDSOL")
+
+  private def nactiveOf(kws: Seq[EclKw.Kw], path: String): Int =
+    kws.find(_.name == "INTEHEAD")
+      .getOrElse(throw new IllegalArgumentException(s"$path: no INTEHEAD"))
+      .ints(11) // INTEHEAD[11] = NACTIVE (8,9,10 are NX,NY,NZ)
+
+  private def intestampDate(intehead: IndexedSeq[Int]): java.sql.Date =
+    java.sql.Date.valueOf(LocalDate.of(intehead(66), intehead(65), intehead(64)))
+
+  /** Assemble `(ACTIVE_IDX, vec1, vec2, …)` rows distributed over the
+    * active-cell range from a set of decoded per-cell vectors.
+    */
+  private def cellFrame(spark: SparkSession, nactive: Int,
+      vecs: Seq[EclKw.Kw], extra: Seq[(StructField, Any)] = Nil): DataFrame = {
+    val fields = StructField("ACTIVE_IDX", LongType, nullable = false) +:
+      (extra.map(_._1) ++ vecs.map(v => StructField(v.name,
+        if (v.typ == "INTE") IntegerType else DoubleType, nullable = false)))
+    val extraVals = extra.map(_._2)
+    val data: Seq[(String, Either[Array[Int], Array[Double]])] = vecs.map { v =>
+      v.name -> (if (v.typ == "INTE") Left(v.ints.toArray) else Right(v.doubles.toArray))
+    }
+    val bc = spark.sparkContext.broadcast(data)
+    val rows = spark.sparkContext
+      .range(0L, nactive.toLong, numSlices = spark.sparkContext.defaultParallelism)
+      .map { a =>
+        val cols = bc.value.map {
+          case (_, Left(ints)) => ints(a.toInt): Any
+          case (_, Right(ds)) => ds(a.toInt): Any
+        }
+        Row.fromSeq((a +: extraVals) ++ cols)
+      }
+    spark.createDataFrame(rows, StructType(fields))
+  }
+
+  /** Read an INIT file into `(ACTIVE_IDX, PORV, PERMX, …)` — every
+    * numeric vector of active-cell length (S4; `init2df` grid.py:412-474
+    * takes the same "INIT-vectors of size nactive" rule from resdata).
+    * Table/header payloads (TAB, TABDIMS, …) are excluded by name.
+    */
+  def init(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
+    val kws = EclKw.read(path)
+    val nactive = nactiveOf(kws, path)
+    val cellVecs = kws.filter(k => k.isNumeric && k.data.length == nactive &&
+      !NonCellKw(k.name) && (vectors.isEmpty || vectors.contains(k.name)))
+    cellFrame(spark, nactive, cellVecs)
+  }
+
+  /** Read a UNRST file into the DATE-stacked restart frame
+    * `(DATE, ACTIVE_IDX, PRESSURE, SWAT, …)` (S5; `rst2df`
+    * grid.py:190-284 — the reference's `@datestr` wide form is never
+    * materialized, dates stack from the start, R4). One row per
+    * (report step, active cell); vectors missing at a step are null.
+    */
+  def unrst(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
+    val groups = EclKw.groupsBy(EclKw.read(path), "SEQNUM")
+    require(groups.nonEmpty, s"$path: no SEQNUM records")
+    val frames = groups.map { g =>
+      val nactive = nactiveOf(g, path)
+      val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
+      val cellVecs = g.filter(k => k.isNumeric && k.data.length == nactive &&
+        !NonCellKw(k.name) && (vectors.isEmpty || vectors.contains(k.name)))
+      cellFrame(spark, nactive, cellVecs,
+        extra = Seq(StructField("DATE", DateType, nullable = false) -> date))
+    }
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  // ---- NNC -----------------------------------------------------------------
+
+  /** Non-neighbour connections from the EGRID's NNC1/NNC2 keyword pair
+    * (1-based global cell indices), with `TRAN` attached from the INIT's
+    * TRANNNC vector when available (nnc.py:34-122 reads the same three
+    * keywords through resdata). Returns `I1 J1 K1 I2 J2 K2 TRAN`, one
+    * row per connection; empty frame when the grid has no NNCs.
+    */
+  def nnc(spark: SparkSession, egridPath: String, initPath: Option[String] = None): DataFrame = {
+    val kws = EclKw.read(egridPath)
+    val gh = kws.find(_.name == "GRIDHEAD")
+      .getOrElse(throw new IllegalArgumentException(s"$egridPath: no GRIDHEAD")).ints
+    val (nx, ny) = (gh(1), gh(2))
+    val schema = StructType(Seq("I1", "J1", "K1", "I2", "J2", "K2")
+      .map(StructField(_, IntegerType, nullable = false)) :+
+      StructField("TRAN", DoubleType, nullable = true))
+    val (nnc1, nnc2) = (kws.find(_.name == "NNC1"), kws.find(_.name == "NNC2"))
+    val pairs: IndexedSeq[(Int, Int)] = (nnc1, nnc2) match {
+      case (Some(a), Some(b)) => a.ints.zip(b.ints)
+      case _ => IndexedSeq.empty
+    }
+    val tran = initPath.flatMap(p => EclKw.read(p).find(_.name == "TRANNNC"))
+      .map(_.doubles)
+    val rows = new java.util.ArrayList[Row]()
+    pairs.zipWithIndex.foreach { case ((g1, g2), idx) =>
+      def ijk(g: Int): (Int, Int, Int) = {
+        val z = g - 1 // NNC1/NNC2 are 1-based global indices
+        (z % nx + 1, z / nx % ny + 1, z / (nx * ny) + 1)
+      }
+      val (i1, j1, k1) = ijk(g1); val (i2, j2, k2) = ijk(g2)
+      rows.add(Row(i1, j1, k1, i2, j2, k2,
+        tran.flatMap(t => if (idx < t.length) Some(t(idx)) else None).orNull))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---- RFT -----------------------------------------------------------------
+
+  /** Read an RFT file's per-connection report rows: one row per (report,
+    * connection) with `DATE`, `WELL`, the CON* topology vectors and every
+    * data vector of connection length (DEPTH, PRESSURE, SWAT, SGAS, …) —
+    * S7, `rft.py:63-135` (the reference walks the same TIME-delimited
+    * record groups via resdata). RFT reports are per-well snapshots —
+    * driver-sized by nature, like the reference's.
+    */
+  def rft(spark: SparkSession, path: String): DataFrame = {
+    val groups = EclKw.groupsBy(EclKw.read(path), "TIME")
+    val perGroup = groups.flatMap { g =>
+      g.find(_.name == "CONIPOS").map { conipos =>
+        val ncon = conipos.data.length
+        val date = g.find(_.name == "DATE").map(d =>
+          java.sql.Date.valueOf(LocalDate.of(d.ints(2), d.ints(1), d.ints(0))))
+          .getOrElse(throw new IllegalArgumentException(s"$path: TIME group without DATE"))
+        val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
+        val vecs = g.filter(k => k.isNumeric && k.data.length == ncon &&
+          !k.name.startsWith("SEG") && !k.name.startsWith("BRN") &&
+          !Set("TIME", "DATE", "WELLPLT")(k.name))
+        (date, well, vecs)
+      }
+    }
+    rftGroupsToDf(spark, perGroup, ordinal = "CONIDX")
+  }
+
+  /** The segment-level companion frame: one row per (report, segment)
+    * with the SEG* vectors, `SEGIDX` ordinal (1-based, the segment number
+    * resdata assigns) — input to [[graft.modules.Rft.processSegTopology]].
+    */
+  def rftSeg(spark: SparkSession, path: String): DataFrame = {
+    val groups = EclKw.groupsBy(EclKw.read(path), "TIME")
+    val perGroup = groups.flatMap { g =>
+      g.find(_.name == "SEGDEPTH").map { segdepth =>
+        val nseg = segdepth.data.length
+        val date = g.find(_.name == "DATE").map(d =>
+          java.sql.Date.valueOf(LocalDate.of(d.ints(2), d.ints(1), d.ints(0)))).orNull
+        val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
+        val vecs = g.filter(k => k.isNumeric && k.data.length == nseg &&
+          k.name.startsWith("SEG"))
+        (date, well, vecs)
+      }
+    }
+    rftGroupsToDf(spark, perGroup, ordinal = "SEGIDX")
+  }
+
+  private def rftGroupsToDf(spark: SparkSession,
+      groups: Seq[(java.sql.Date, String, Seq[EclKw.Kw])], ordinal: String): DataFrame = {
+    if (groups.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+        StructField("DATE", DateType), StructField("WELL", StringType),
+        StructField(ordinal, IntegerType))))
+    val allVecs = groups.flatMap(_._3.map(v => v.name -> v.typ)).distinct.sortBy(_._1)
+    val schema = StructType(
+      StructField("DATE", DateType, nullable = true) +:
+      StructField("WELL", StringType, nullable = false) +:
+      StructField(ordinal, IntegerType, nullable = false) +:
+      allVecs.map { case (n, t) =>
+        StructField(n, if (t == "INTE") IntegerType else DoubleType, nullable = true)
+      })
+    val rows = new java.util.ArrayList[Row]()
+    groups.foreach { case (date, well, vecs) =>
+      val byName = vecs.map(v => v.name -> v).toMap
+      val n = vecs.headOption.map(_.data.length).getOrElse(0)
+      (0 until n).foreach { idx =>
+        val vals = allVecs.map { case (name, typ) =>
+          byName.get(name) match {
+            case Some(k) if typ == "INTE" => k.ints(idx): Any
+            case Some(k) => k.doubles(idx): Any
+            case None => null
+          }
+        }
+        rows.add(Row.fromSeq(Seq(date, well, idx + 1) ++ vals))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

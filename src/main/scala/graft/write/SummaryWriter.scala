@@ -109,65 +109,54 @@ object SummaryWriter {
     allVectors
   }
 
-  // ---- reader (round-trip inverse) ----------------------------------------
+  // ---- reader (round-trip inverse; framing shared via graft.io.EclKw) ------
 
-  private case class Kw(name: String, typ: String, data: Seq[Any])
-
-  private def readKw(in: DataInputStream): Option[Kw] = {
-    val len0 = try in.readInt() catch { case _: EOFException => return None }
-    require(len0 == 16, s"expected 16-byte header record, got $len0")
-    val nameB = new Array[Byte](8); in.readFully(nameB)
-    val n = in.readInt()
-    val typB = new Array[Byte](4); in.readFully(typB)
-    in.readInt() // trailing length
-    val typ = new String(typB, "ASCII")
-    val chunk = if (typ == "CHAR") CharChunk else NumChunk
-    val data = Seq.newBuilder[Any]
-    var remaining = n
-    while (remaining > 0) {
-      val take = math.min(chunk, remaining)
-      val len = in.readInt()
-      typ match {
-        case "INTE" => (0 until take).foreach(_ => data += in.readInt())
-        case "REAL" => (0 until take).foreach(_ => data += in.readFloat())
-        case "DOUB" => (0 until take).foreach(_ => data += in.readDouble())
-        case "CHAR" =>
-          (0 until take).foreach { _ =>
-            val b = new Array[Byte](8); in.readFully(b)
-            data += new String(b, "ASCII").trim
-          }
-        case other => throw new IllegalArgumentException(s"unsupported kw type '$other'")
-      }
-      val _ = len
-      in.readInt()
-      remaining -= take
+  /** Summary mnemonic from a SMSPEC catalog entry — resdata's `gen_key`
+    * rules: well/group vectors key on WGNAMES, region vectors on NUMS,
+    * block vectors on the (i,j,k) of NUMS within the DIMENS grid, field
+    * and misc vectors stand alone.
+    */
+  private def vectorName(kw: String, wg: String, num: Int,
+      dims: Option[(Int, Int, Int)]): String = {
+    val wgValid = wg.nonEmpty && wg != ":+:+:+:+"
+    def ijk = dims match {
+      case Some((nx, ny, _)) =>
+        val g = num - 1
+        s"${g % nx + 1},${g / nx % ny + 1},${g / (nx * ny) + 1}"
+      case None => num.toString
     }
-    Some(Kw(new String(nameB, "ASCII").trim, typ, data.result()))
+    // completion vectors carry BOTH the well and the cell: CPI:OP_1:1,2,3
+    if (kw.startsWith("C") && wgValid && num > 0) s"$kw:$wg:$ijk"
+    else if (wgValid) s"$kw:$wg"
+    else if (kw.startsWith("R") && num > 0) s"$kw:$num"
+    else if (kw.startsWith("B") && num > 0) s"$kw:$ijk"
+    else kw
   }
 
-  private def readAll(path: String): Seq[Kw] = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
-    try Iterator.continually(readKw(in)).takeWhile(_.isDefined).flatten.toSeq
-    finally in.close()
-  }
-
-  /** Read SMSPEC+UNSMRY back into the long `(DATE, VECTOR, VALUE)` form. */
+  /** Read SMSPEC+UNSMRY back into the long `(DATE, VECTOR, VALUE)` form
+    * (S6 for real simulator output; reference summary.py:406-470 reads
+    * the same catalog through resdata). The clock is the TIME vector
+    * (days since STARTDAT), wherever it sits in the catalog.
+    */
   def read(spark: SparkSession, basePath: String): DataFrame = {
-    val spec = readAll(s"$basePath.SMSPEC").map(k => k.name -> k).toMap
-    val kws = spec("KEYWORDS").data.map(_.toString)
-    val wgs = spec("WGNAMES").data.map(_.toString)
-    val sd = spec("STARTDAT").data.map(_.asInstanceOf[Int])
+    val spec = graft.io.EclKw.read(s"$basePath.SMSPEC").map(k => k.name -> k).toMap
+    val kws = spec("KEYWORDS").strings
+    val wgs = spec.get("WGNAMES").orElse(spec.get("NAMES")).map(_.strings)
+      .getOrElse(kws.map(_ => ""))
+    val nums = spec.get("NUMS").map(_.ints).getOrElse(kws.map(_ => 0))
+    val dims = spec.get("DIMENS").map(_.ints).filter(_.length >= 4)
+      .map(d => (d(1), d(2), d(3)))
+    val sd = spec("STARTDAT").ints
     val start = LocalDate.of(sd(2), sd(1), sd(0))
-    val vectors = kws.zip(wgs).map {
-      case (k, w) if w.isEmpty || w == ":+:+:+:+" => k
-      case (k, w) => s"$k:$w"
-    }
+    val vectors = kws.indices.map(i => vectorName(kws(i), wgs(i), nums(i), dims))
+    val timeIdx = kws.indexOf("TIME")
+    require(timeIdx >= 0, s"$basePath.SMSPEC has no TIME vector")
     val out = Seq.newBuilder[(java.sql.Date, String, Double)]
-    readAll(s"$basePath.UNSMRY").filter(_.name == "PARAMS").foreach { kw =>
-      val vals = kw.data.map(_.asInstanceOf[Float])
-      val date = java.sql.Date.valueOf(start.plusDays(vals.head.toLong))
-      vectors.zip(vals).drop(1).foreach { case (v, x) =>
-        out += ((date, v, x.toDouble))
+    graft.io.EclKw.read(s"$basePath.UNSMRY").filter(_.name == "PARAMS").foreach { kw =>
+      val vals = kw.floats
+      val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
+      vectors.indices.foreach { i =>
+        if (i != timeIdx) out += ((date, vectors(i), vals(i).toDouble))
       }
     }
     import spark.implicits._

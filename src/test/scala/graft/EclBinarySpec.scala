@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.EclBinary
+import graft.write.SummaryWriter
+
+/** Binary EGRID/INIT/UNRST/RFT/UNSMRY decode against the reference's real
+  * simulator artifacts: the analytic eightcells model (2×2×2 grid of
+  * exact 50×50×50 m cells — every geometric quantity is known in closed
+  * form) and the full-field Reek EGRID/RFT (row properties documented in
+  * the reference's tests/test_grid.py and tests/test_rft.py).
+  */
+class EclBinarySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val EightCells = "/root/reference/tests/data/eightcells/EIGHTCELLS"
+  private val ReekModel = "/root/reference/tests/data/reek/eclipse/model/2_R001_REEK-0"
+
+  test("eightcells EGRID: exact geometry of the analytic 2x2x2 grid") {
+    val g = EclBinary.egrid(spark, s"$EightCells.EGRID").orderBy("ACTIVE_IDX")
+    assert(g.count() == 8)
+    val rows = g.collect()
+    // active order == global order on an all-active grid
+    assert(rows.map(_.getAs[Long]("GLOBAL_INDEX")).toSeq == (0L until 8L))
+    assert(rows.map(_.getAs[Long]("ACTIVE_IDX")).toSeq == (0L until 8L))
+    rows.foreach { r =>
+      val (i, j, k) = (r.getAs[Int]("I"), r.getAs[Int]("J"), r.getAs[Int]("K"))
+      assert(math.abs(r.getAs[Double]("X") - (i * 50.0 - 25.0)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("Y") - (j * 50.0 - 25.0)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("Z") - (k * 50.0 - 25.0)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("VOLUME") - 125000.0) < 1e-6)
+      assert(r.getAs[Double]("Z_MIN") == (k - 1) * 50.0)
+      assert(r.getAs[Double]("Z_MAX") == k * 50.0)
+    }
+  }
+
+  test("eightcells INIT: per-cell vectors of active length") {
+    val init = EclBinary.init(spark, s"$EightCells.INIT")
+    assert(init.count() == 8)
+    for (c <- Seq("PORO", "PERMX", "PORV", "SATNUM"))
+      assert(init.columns.contains(c), s"missing $c in ${init.columns.mkString(",")}")
+    // table payloads must not leak in as columns
+    for (c <- Seq("TAB", "TABDIMS", "INTEHEAD")) assert(!init.columns.contains(c))
+    assert(init.filter(col("PORV") <= 0).count() == 0)
+    assert(init.schema("SATNUM").dataType.typeName == "integer")
+  }
+
+  test("eightcells UNRST: DATE-stacked restart vectors") {
+    val rst = EclBinary.unrst(spark, s"$EightCells.UNRST")
+    val dates = rst.select("DATE").distinct().orderBy("DATE")
+      .as[java.sql.Date].collect().map(_.toString)
+    assert(dates.toSeq == Seq("2000-01-01", "2000-01-02", "2000-01-03")) // TSTEP 1 1
+    assert(rst.count() == 3 * 8)
+    assert(rst.columns.contains("PRESSURE") && rst.columns.contains("SWAT"))
+    assert(rst.filter(col("SWAT") < 0 || col("SWAT") > 1).count() == 0)
+    // vector selection narrows the frame
+    val only = EclBinary.unrst(spark, s"$EightCells.UNRST", Seq("PRESSURE"))
+    assert(only.columns.toSet == Set("DATE", "ACTIVE_IDX", "PRESSURE"))
+  }
+
+  test("eightcells RFT: connection rows and segment topology feed Rft ops") {
+    val con = EclBinary.rft(spark, s"$EightCells.RFT")
+    assert(con.count() >= 1)
+    for (c <- Seq("DATE", "WELL", "CONIDX", "CONIPOS", "CONJPOS", "CONKPOS",
+        "DEPTH", "PRESSURE"))
+      assert(con.columns.contains(c), s"missing $c in ${con.columns.mkString(",")}")
+    assert(con.select("WELL").distinct().as[String].collect().toSet == Set("OP1"))
+    val seg = EclBinary.rftSeg(spark, s"$EightCells.RFT")
+    assert(seg.count() >= 2) // the multiseg well has 2 segments per report
+    assert(seg.columns.contains("SEGIDX") && seg.columns.contains("SEGNXT"))
+    // the decoded segment frame drives the existing topology operator
+    val topo = graft.modules.Rft.processSegTopology(
+      seg.filter(col("DATE") === seg.agg(min("DATE")).head.getDate(0)))
+    assert(topo.count() >= 2)
+    assert(topo.columns.contains("LEAF") && topo.columns.contains("JUNCTION"))
+  }
+
+  test("eightcells UNSMRY reads through the catalog naming rules") {
+    val df = SummaryWriter.read(spark, EightCells)
+    assert(df.count() > 0)
+    val vecs = df.select("VECTOR").distinct().as[String].collect().toSet
+    assert(!vecs.contains("TIME"), "TIME is the clock, not a vector")
+    assert(vecs.exists(_.startsWith("F")), s"no field vector in $vecs")
+    // well vectors carry the WGNAME qualifier
+    assert(vecs.filter(_.startsWith("W")).forall(_.contains(":")), s"$vecs")
+  }
+
+  test("Reek EGRID: full-field frame has the documented active-cell count") {
+    val g = EclBinary.egrid(spark, s"$ReekModel.EGRID")
+    assert(g.count() == 35817) // 40*64*14 = 35840 cells, 23 inactive
+    val agg = g.agg(max("I"), max("J"), max("K"),
+      min("VOLUME"), min("Z_MIN"), max("Z_MAX")).head
+    assert((agg.getInt(0), agg.getInt(1), agg.getInt(2)) == ((40, 64, 14)))
+    assert(agg.getDouble(3) > 0, "every cell volume must be positive")
+    assert(agg.getDouble(4) > 1000 && agg.getDouble(5) < 3000,
+      "Reek reservoir depth is ~1500-1900 m")
+    // zonemap merge over the real grid: every K layer 1..14 is zoned
+    val zonemap = graft.modules.GridOps.parseLyr(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"${ReekModel.stripSuffix("2_R001_REEK-0")}zones.lyr"))))
+    val zoned = graft.modules.GridOps.mergeZones(g, zonemap)
+    assert(zoned.filter(col("ZONE").isNull).count() == 0)
+  }
+
+  test("Reek NNC: EGRID pair list decodes, TRAN null without INIT") {
+    val nnc = graft.io.EclBinary.nnc(spark, s"$ReekModel.EGRID", None)
+    assert(nnc.count() == 3286) // NNC1/NNC2 length in the Reek EGRID
+    assert(nnc.filter(col("TRAN").isNotNull).count() == 0)
+    assert(nnc.filter(col("I1") < 1 || col("I1") > 40 || col("K2") > 14).count() == 0)
+    // Reek's NNCs all cross faults — none connect vertically stacked cells
+    val vert = graft.modules.GridOps.filterVerticalNnc(nnc)
+    assert(vert.count() == 0)
+  }
+
+  test("CLI path modules run end-to-end on the binary artifacts") {
+    import graft.cli.Res2Csv.PathModules
+    val data8 = s"$EightCells.DATA"
+    // grid: geometry ⟗ INIT ⟗ stacked restart = 8 cells × 3 dates
+    val grid = PathModules("grid")(spark, data8)
+    assert(grid.count() == 24)
+    for (c <- Seq("I", "J", "K", "VOLUME", "PORO", "PRESSURE", "DATE"))
+      assert(grid.columns.contains(c), s"grid missing $c")
+    // pillars and trans run over the same assembled frame
+    assert(PathModules("pillars")(spark, data8).count() > 0)
+    val trans = PathModules("trans")(spark, data8)
+    assert(trans.count() > 0)
+    assert(trans.select("DIR").distinct().as[String].collect().toSet.subsetOf(Set("I", "J", "K")))
+    // summary: wide frame, DATE + one column per vector
+    val summary = PathModules("summary")(spark, data8)
+    assert(summary.columns.head == "DATE" && summary.columns.length > 3)
+    assert(summary.count() > 0)
+    // wellconnstatus: the CPI:OP1:i,j,k vector yields OP1's single OPEN
+    val wcs = PathModules("wellconnstatus")(spark, data8).collect()
+    assert(wcs.map(_.toSeq.drop(1)).toSeq == Seq(Seq("OP1", 1, 1, 1, "OPEN")))
+    // wellcompletiondata: the eightcells zones.lyr (Upper=K1, Lower=K2)
+    // rolls OP1's single K=1 completion into the Upper zone
+    val wcd8 = PathModules("wellcompletiondata")(spark, data8).collect()
+    assert(wcd8.length == 1 &&
+      wcd8.head.getAs[String]("WELL") == "OP1" &&
+      wcd8.head.getAs[String]("ZONE") == "Upper")
+    val wcd = PathModules("wellcompletiondata")(spark, s"$ReekModel.DATA")
+    assert(wcd.count() > 0)
+    assert(wcd.select("ZONE").distinct().count() >= 2)
+    // Reek grid: geometry only (no INIT/UNRST shipped) + ZONE merge
+    val reekGrid = PathModules("grid")(spark, s"$ReekModel.DATA")
+    assert(reekGrid.count() == 35817 && reekGrid.columns.contains("ZONE"))
+  }
+
+  test("Reek RFT: per-connection report for OP_1") {
+    val con = EclBinary.rft(spark, s"$ReekModel.RFT")
+    val wells = con.select("WELL").distinct().as[String].collect().toSet
+    assert(wells.contains("OP_1") && wells.size == 8, s"wells: $wells")
+    val first = con.filter(col("DATE") === lit("2000-02-01") && col("WELL") === "OP_1")
+    assert(first.count() == 14) // 14 connections in OP_1's report
+    assert(first.filter(col("PRESSURE") <= 0).count() == 0)
+    // connection coordinates stay within the grid dims
+    assert(first.filter(col("CONIPOS") > 40 || col("CONJPOS") > 64 ||
+      col("CONKPOS") > 14).count() == 0)
+  }
+}
