@@ -14,7 +14,8 @@ final case class DeckEvent(
     keywordIdx: Int,
     keyword: String,
     recordIdx: Int,
-    items: Seq[String])
+    items: Seq[String],
+    deckId: String = "")
 
 /** Tokenizer for Eclipse-style simulator decks.
   *
@@ -111,7 +112,14 @@ object DeckParser {
     */
   private val UnknownKeywordRe = "^[A-Z][A-Z0-9]{0,7}$".r
 
-  def parse(text: String): Vector[DeckEvent] = {
+  /** @param deckId corpus key carried on every event — the partition key
+    *   for all sequential-scan windows downstream (Schedule clock,
+    *   keyword ordinals), so a many-deck corpus never funnels through a
+    *   single global window partition. Single-deck callers keep the
+    *   default (one constant partition — same plan, never the
+    *   unpartitioned-window shape).
+    */
+  def parse(text: String, deckId: String = ""): Vector[DeckEvent] = {
     val events = Vector.newBuilder[DeckEvent]
     var kwIdx = -1
     var keyword: String = null
@@ -162,7 +170,7 @@ object DeckParser {
         // still precede the title.
         val trimmedLine = line.dropWhile(_.isWhitespace)
         if (!trimmedLine.startsWith("--")) {
-          events += DeckEvent(kwIdx, keyword, 0, tokens)
+          events += DeckEvent(kwIdx, keyword, 0, tokens, deckId)
           keyword = null
         }
       } else if (isKeywordLine || isUnknownKeywordLine) {
@@ -171,20 +179,20 @@ object DeckParser {
         keywordSeen = true
         recordIdx = 0
         if (NoRecordKeywords.contains(keyword)) {
-          events += DeckEvent(kwIdx, keyword, 0, Nil)
+          events += DeckEvent(kwIdx, keyword, 0, Nil, deckId)
           keyword = null
         } else if (keyword == "TITLE" && tokens.tail.nonEmpty) {
           // title text on the SAME line as the keyword: emit it directly —
           // stashing it in buf would poison record detection for the rest
           // of the deck (buf never empties once keyword is null)
-          events += DeckEvent(kwIdx, keyword, 0, tokens.tail)
+          events += DeckEvent(kwIdx, keyword, 0, tokens.tail, deckId)
           keyword = null
         } else {
           // tokens after the keyword on the same line belong to record 0
           val (items, done) = expand(tokens.tail)
           buf = items
           if (done) {
-            events += DeckEvent(kwIdx, keyword, recordIdx, buf)
+            events += DeckEvent(kwIdx, keyword, recordIdx, buf, deckId)
             recordIdx += 1; buf = Vector.empty
           }
         }
@@ -192,7 +200,7 @@ object DeckParser {
         val (items, done) = expand(tokens)
         buf = buf ++ items
         if (done) {
-          events += DeckEvent(kwIdx, keyword, recordIdx, buf)
+          events += DeckEvent(kwIdx, keyword, recordIdx, buf, deckId)
           recordIdx += 1; buf = Vector.empty
         }
       }
@@ -201,9 +209,9 @@ object DeckParser {
   }
 
   /** Parse into a Dataset so downstream transforms are distributed. */
-  def toDS(spark: SparkSession, text: String): Dataset[DeckEvent] = {
+  def toDS(spark: SparkSession, text: String, deckId: String = ""): Dataset[DeckEvent] = {
     import spark.implicits._
-    spark.createDataset(parse(text))
+    spark.createDataset(parse(text, deckId))
   }
 
   /** Textual INCLUDE expansion (reference follows includes through opm.io,
@@ -243,6 +251,7 @@ object DeckParser {
   /** Parse a deck file, following INCLUDEs. */
   def parseFile(path: String): Vector[DeckEvent] = {
     val p = java.nio.file.Paths.get(path)
-    parse(expandIncludes(new String(java.nio.file.Files.readAllBytes(p)), p.getParent))
+    parse(expandIncludes(new String(java.nio.file.Files.readAllBytes(p)), p.getParent),
+      deckId = p.getFileName.toString)
   }
 }

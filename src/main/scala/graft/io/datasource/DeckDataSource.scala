@@ -37,7 +37,8 @@ object DeckDataSource {
     StructField("keywordIdx", IntegerType, nullable = false),
     StructField("keyword", StringType, nullable = false),
     StructField("recordIdx", IntegerType, nullable = false),
-    StructField("items", ArrayType(StringType), nullable = false)))
+    StructField("items", ArrayType(StringType), nullable = false),
+    StructField("deckId", StringType, nullable = false)))
 }
 
 class DeckTable(path: String) extends Table with SupportsRead {
@@ -74,8 +75,16 @@ class DeckReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[DeckInputPartition].file
     new PartitionReader[InternalRow] {
-      private val events = DeckParser.parse(
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))).iterator
+      // INCLUDEs expand like every other entry point (a raw read would
+      // silently drop included sections); deckId = file name, the
+      // per-deck window key downstream
+      private val events = {
+        val p = java.nio.file.Paths.get(file)
+        DeckParser.parse(
+          DeckParser.expandIncludes(
+            new String(java.nio.file.Files.readAllBytes(p)), p.getParent),
+          deckId = p.getFileName.toString).iterator
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!events.hasNext) return false
@@ -86,6 +95,7 @@ class DeckReaderFactory(required: StructType) extends PartitionReaderFactory {
           case "recordIdx" => e.recordIdx
           case "items" => ArrayData.toArrayData(
             e.items.map(UTF8String.fromString).toArray)
+          case "deckId" => UTF8String.fromString(e.deckId)
         }
         current = InternalRow.fromSeq(values.toIndexedSeq)
         true

@@ -27,17 +27,26 @@ object FipReports {
     map(pairs.flatMap { case (m, n) => Seq(lit(m), lit(n)) }: _*)
   }
 
-  /** Lift a text file into (line, idx) with a stable global ordinal. */
+  /** Lift a text file into (line, idx, src) with a stable per-file
+    * ordinal; `src` keys every downstream scan window so a corpus of PRT
+    * files partitions per file instead of one global window.
+    */
   def lines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).rdd.zipWithIndex.toDF("line", "idx")
+    // src rides IN the rows (a foldable lit() would be optimized out of
+    // the window partition spec, reverting to the global-window shape)
+    spark.read.textFile(path).rdd.zipWithIndex
+      .map { case (l, i) => (l, i, path) }.toDF("line", "idx", "src")
   }
 
   def df(spark: SparkSession, path: String, fipname: String = "FIPNUM"): DataFrame =
     fromLines(lines(spark, path), fipname)
 
   def fromLines(linesDf: DataFrame, fipname: String = "FIPNUM"): DataFrame = {
-    val w = Window.orderBy(col("idx"))
+    // per-file scan state: partition on src when the frame carries it
+    // (lines() always does) — the corpus-scale shape by default
+    val srcKeys = if (linesDf.columns.contains("src")) Seq(col("src")) else Nil
+    val w = Window.partitionBy(srcKeys: _*).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dated = linesDf
       .withColumn("dd", regexp_extract(col("line"), DateRe, 1))

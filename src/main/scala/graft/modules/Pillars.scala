@@ -60,27 +60,33 @@ object Pillars {
       val waterKeys = withPillar.filter(col("SWAT") > swatCutoff)
         .select(keys: _*).distinct()
       val hasSoil = withPillar.columns.contains("SOIL")
-      val withOwc =
-        if (hasSoil) {
-          val owc = withPillar.filter(col("SOIL") > soilCutoff)
-            .groupBy(keys: _*).agg(max(col("Z")).as("OWC"))
-            .join(waterKeys, keyCols, "left_semi")
-          stats.join(owc, keyCols, "left")
-        } else stats
-      if (!withPillar.columns.contains("SGAS")) withOwc
-      else if (hasSoil) {
-        val oilKeys = withPillar.filter(col("SOIL") > epsSoil)
-          .select(keys: _*).distinct()
-        val goc = withPillar.filter(col("SGAS") > sgasCutoff && col("SOIL") > epsSoil)
-          .groupBy(keys: _*).agg(max(col("Z")).as("GOC"))
-          .join(oilKeys, keyCols, "left_semi")
-        withOwc.join(goc, keyCols, "left")
-      } else {
-        val gwc = withPillar.filter(col("SGAS") > sgasCutoff)
+      val owcOpt =
+        if (!hasSoil) None
+        else Some(withPillar.filter(col("SOIL") > soilCutoff)
+          .groupBy(keys: _*).agg(max(col("Z")).as("OWC"))
+          .join(waterKeys, keyCols, "left_semi"))
+      val gocOpt =
+        if (!withPillar.columns.contains("SGAS")) None
+        else if (hasSoil) {
+          val oilKeys = withPillar.filter(col("SOIL") > epsSoil)
+            .select(keys: _*).distinct()
+          Some(withPillar.filter(col("SGAS") > sgasCutoff && col("SOIL") > epsSoil)
+            .groupBy(keys: _*).agg(max(col("Z")).as("GOC"))
+            .join(oilKeys, keyCols, "left_semi"))
+        } else Some(withPillar.filter(col("SGAS") > sgasCutoff)
           .groupBy(keys: _*).agg(max(col("Z")).as("GWC"))
-          .join(waterKeys, keyCols, "left_semi")
-        withOwc.join(gwc, keyCols, "left")
+          .join(waterKeys, keyCols, "left_semi"))
+      // Combine exactly like compute_pillar_contacts (pillars.py:310-318):
+      // when BOTH contact frames are NON-EMPTY the contacts table is their
+      // INNER join — a pillar with only one of OWC/GOC reports neither —
+      // while an empty frame yields the other alone. Emptiness is a
+      // runtime property, so probe it (the frames are per-pillar
+      // aggregates, dimension-sized like the reference's pandas frames).
+      val contacts = (owcOpt.filterNot(_.isEmpty), gocOpt.filterNot(_.isEmpty)) match {
+        case (Some(o), Some(g)) => Some(o.join(g, keyCols, "inner"))
+        case (o, g) => o.orElse(g)
       }
+      contacts.fold(stats)(c => stats.join(c, keyCols, "left"))
     }
   }
 

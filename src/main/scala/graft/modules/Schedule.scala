@@ -34,30 +34,45 @@ object Schedule {
     make_date(Records.int(2), element_at(MonthMap, upper(Records.str(1))), Records.int(0))
       .cast("timestamp")
 
-  /** (keywordIdx, date) for every keyword in the deck event stream. */
-  def keywordDates(events: DataFrame): DataFrame = {
+  /** (keywordIdx, date) for every keyword in the deck event stream. The
+    * running clock is PER DECK: every window partitions on `deckId` when
+    * the frame carries one (DeckParser always emits it — constant for a
+    * single deck, the corpus key for a many-deck frame), so a 1000-deck
+    * corpus runs 1000 independent partitions instead of funnelling
+    * through one global window. `keepDeckId` additionally keeps the key
+    * column in the output — required to join correctly on a multi-deck
+    * frame (keywordIdx alone repeats across decks); [[withDates]] does
+    * this automatically.
+    */
+  def keywordDates(events: DataFrame, keepDeckId: Boolean = false): DataFrame = {
+    val deckKeys = if (events.columns.contains("deckId")) Seq("deckId") else Nil
     val perKw = events
-      .groupBy(col("keywordIdx"), col("keyword"))
+      .groupBy((deckKeys :+ "keywordIdx" :+ "keyword").map(col): _*)
       .agg(
         // last date record of a DATES/START block is the state afterwards
         max(when(col("keyword").isin("DATES", "START") && size(col("items")) >= 3,
           struct(col("recordIdx"), parseDateRecord.as("d")))).as("dateRec"),
         sum(when(col("keyword") === "TSTEP", Records.itemsSum).otherwise(0.0)).as("tstepDays"))
-      .select(col("keywordIdx"), col("dateRec.d").as("explicitDate"), col("tstepDays"))
-    val w = Window.orderBy(col("keywordIdx"))
+      .select((deckKeys.map(col) :+ col("keywordIdx") :+
+        col("dateRec.d").as("explicitDate") :+ col("tstepDays")): _*)
+    val w = Window.partitionBy(deckKeys.map(col): _*).orderBy(col("keywordIdx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lastDate = last(col("explicitDate"), ignoreNulls = true).over(w)
     val cumTstep = sum(col("tstepDays")).over(w)
     val cumAtDate = last(when(col("explicitDate").isNotNull, cumTstep), ignoreNulls = true).over(w)
+    val outKeys = if (keepDeckId) deckKeys else Nil
     perKw
       .withColumn("DATE",
         when(lastDate.isNotNull,
           lastDate + make_dt_interval(lit(0), lit(0), lit(0),
             (cumTstep - coalesce(cumAtDate, lit(0.0))) * 86400.0)))
-      .select(col("keywordIdx"), col("DATE"))
+      .select((outKeys.map(col) :+ col("keywordIdx") :+ col("DATE")): _*)
   }
 
-  /** Attach the in-effect DATE to an event frame on keywordIdx. */
-  def withDates(events: DataFrame): DataFrame =
-    events.join(keywordDates(events), Seq("keywordIdx"), "left")
+  /** Attach the in-effect DATE to an event frame on (deckId?, keywordIdx). */
+  def withDates(events: DataFrame): DataFrame = {
+    val hasDeck = events.columns.contains("deckId")
+    val keys = (if (hasDeck) Seq("deckId") else Nil) :+ "keywordIdx"
+    events.join(keywordDates(events, keepDeckId = hasDeck), keys, "left")
+  }
 }

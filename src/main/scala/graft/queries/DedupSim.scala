@@ -54,19 +54,22 @@ object DedupSim {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    /** Fingerprint of the source file tree (name, length, mtime —
-      * recursing into parquet DIRECTORIES, whose own mtime does not
-      * change when a part file is overwritten in place), so rewriting a
-      * corpus within one JVM invalidates the cached dictionary — a stale
-      * literal map would silently null out unseen tokens' bits.
+    /** Fingerprint of the source file tree (name, length, mtime of every
+      * LEAF file, at any depth — directories are only traversal, since a
+      * directory's own mtime does not change when a part file is
+      * overwritten in place), so rewriting a corpus within one JVM
+      * invalidates the cached dictionary — a stale literal map would
+      * silently null out unseen tokens' bits. The FULL fingerprint string
+      * is the cache tag (no lossy 32-bit hash that a same-length,
+      * same-mtime-granularity rewrite could collide with).
       */
     private def fingerprint(dir: String): String = {
-      def walk(f: java.io.File, depth: Int): Seq[String] = {
+      def walk(f: java.io.File): Seq[String] = {
         val kids = f.listFiles()
-        if (kids == null || depth > 2) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-        else kids.sortBy(_.getName).toSeq.flatMap(walk(_, depth + 1))
+        if (kids == null) Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
+        else kids.sortBy(_.getName).toSeq.flatMap(walk)
       }
-      walk(new java.io.File(dir), 0).mkString("|").hashCode.toString
+      walk(new java.io.File(dir)).mkString("|")
     }
     def apply(s: SparkSession, dir: String): Option[Map[String, Long]] = {
       val fp = fingerprint(dir)

@@ -59,6 +59,9 @@ object IncludeWriter {
     sb.append(keyword).append('\n')
     sb.append("-- ").append(valueCols.mkString(" ")).append('\n')
     val rows = df.select((regionCol +: valueCols).map(col): _*).collect()
+    val nullRegions = rows.count(_.isNullAt(0))
+    require(nullRegions == 0,
+      s"$keyword: $nullRegions rows with null $regionCol — region is the table key")
     rows.groupBy(_.get(0).toString.toDouble.toInt).toSeq.sortBy(_._1)
       .foreach { case (_, rs) =>
         rs.foreach(r => sb.append("  ").append(r.toSeq.tail.map(fmt).mkString(" ")).append('\n'))
@@ -83,9 +86,15 @@ object IncludeWriter {
     sb.append("-- ").append((headCol +: triple).mkString(" ")).append('\n')
     val rows = df.select((Seq(regionCol, headCol) ++ triple).map(c => col(s"`$c`")): _*)
       .collect()
+    val nullKeys = rows.count(r => r.isNullAt(0) || r.isNullAt(1))
+    require(nullKeys == 0,
+      s"$keyword: $nullKeys rows with null $regionCol/$headCol — both are record keys")
     rows.groupBy(_.get(0).toString.toDouble.toInt).toSeq.sortBy(_._1).foreach {
       case (_, regionRows) =>
-        regionRows.groupBy(_.get(1).toString.toDouble).toSeq.sortBy(_._1).foreach {
+        // group records by the RAW head value (row identity), sort by its
+        // numeric value — parsing to double first would silently merge
+        // distinct records whose formatted heads happen to parse equal
+        regionRows.groupBy(_.get(1)).toSeq.sortBy(_._1.toString.toDouble).foreach {
           case (_, recRows0) =>
             // undersaturated lines in a deterministic, convention-correct
             // order — Spark collect order is partition-scan order, not the

@@ -24,7 +24,7 @@ class DeckDataSourceSpec extends AnyFunSuite {
 
   test("eclipse-deck DSv2 format reads the event stream") {
     val df = spark.read.format("eclipse-deck").load(deckFile)
-    assert(df.columns.toSeq == Seq("keywordIdx", "keyword", "recordIdx", "items"))
+    assert(df.columns.toSeq == Seq("keywordIdx", "keyword", "recordIdx", "items", "deckId"))
     assert(df.count() == 6) // 2 records/kw for WELSPECS+DATES (incl. terminators) + 2 COMPDAT
     val compdat = df.filter("keyword = 'COMPDAT' AND size(items) > 0").collect()
     assert(compdat.length == 1)

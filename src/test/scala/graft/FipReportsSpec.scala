@@ -25,7 +25,7 @@ class FipReportsSpec extends AnyFunSuite {
 
   test("stateful PRT scrape: date+region carried by forward-fill, rows parsed") {
     val linesDf = spark.createDataset(prt.linesIterator.toSeq).rdd
-      .zipWithIndex.toDF("line", "idx")
+      .zipWithIndex.map { case (l, i) => (l, i, "test.PRT") }.toDF("line", "idx", "src")
     val df = FipReports.fromLines(linesDf)
     assert(df.count() == 6)
     val cur1 = df.filter("REGION = 1 AND DATATYPE = 'CURRENTLY IN PLACE'").collect().head
@@ -54,7 +54,7 @@ class FipReportsSpec extends AnyFunSuite {
         | :ORIGINALLY IN PLACE      :                                           :      19135648. :      8457278.                     8457278.:
         |""".stripMargin
     val linesDf = spark.createDataset(gw.linesIterator.toSeq).rdd
-      .zipWithIndex.toDF("line", "idx")
+      .zipWithIndex.map { case (l, i) => (l, i, "test.PRT") }.toDF("line", "idx", "src")
     val df = FipReports.fromLines(linesDf)
     val rows = df.collect()
     assert(rows.length == 4)

@@ -30,13 +30,24 @@ class PillarsSpec extends AnyFunSuite {
     assert(q.isNullAt(q.fieldIndex("OWC"))) // no water in pillar → ineligible
     assert(q.isNullAt(q.fieldIndex("GOC")))
 
-    // gas injected into the water leg (no oil) must NOT read as a GOC
+    // gas injected into the water leg (no oil) must NOT read as a GOC —
+    // and with BOTH contact frames empty the reference adds no contact
+    // columns at all (pillars.py:136-137 skips the merge)
     val injected = Seq(
       (1, 1, 2000.0, 10.0, 0.10, 0.90), // SOIL = 0.0: injected gas
       (1, 1, 2010.0, 10.0, 0.95, 0.00)
     ).toDF("I", "J", "Z", "VOLUME", "SWAT", "SGAS")
-    val inj = Pillars.df(injected).collect().head
-    assert(inj.isNullAt(inj.fieldIndex("GOC")))
+    val inj = Pillars.df(injected)
+    assert(!inj.columns.contains("GOC") && !inj.columns.contains("OWC"))
+
+    // one-sided contacts survive: OWC present, GOC frame empty → OWC
+    // alone left-joins (pillars.py:314-315), GOC column absent
+    val owcOnly = Pillars.df(Seq(
+      (1, 1, 2000.0, 10.0, 0.30, 0.00), // oil zone, SOIL=0.70
+      (1, 1, 2010.0, 10.0, 0.90, 0.00)  // water below
+    ).toDF("I", "J", "Z", "VOLUME", "SWAT", "SGAS"))
+    assert(owcOnly.collect().head.getAs[Double]("OWC") == 2000.0)
+    assert(!owcOnly.columns.contains("GOC"))
 
     // two-phase gas-water: GWC named column, water-pillar eligibility
     val gw = Pillars.df(Seq(
