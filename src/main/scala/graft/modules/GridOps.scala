@@ -99,6 +99,37 @@ object GridOps {
       .collect { case Array(k, v) => k -> v }
       .toMap
 
+  /** Any parameters file → key-value map, with the reference's format
+    * cascade (parameters.py:117-183): YAML first, then JSON, then the txt
+    * pair format; a non-object parse (YAML happily reads txt as one
+    * scalar) falls through, and dict-valued entries (grouped keys) are
+    * dropped exactly like the reference's final filter. Driver-side by
+    * design — parameter files are tiny per-realisation metadata.
+    */
+  def parseParametersFile(path: String): Map[String, String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    parseParameters(text)
+  }
+
+  def parseParameters(text: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    if (text.trim.isEmpty) return Map.empty
+    def structured(mapper: com.fasterxml.jackson.databind.ObjectMapper): Option[Map[String, String]] =
+      try {
+        val node = mapper.readTree(text)
+        if (node == null || !node.isObject) None
+        else Some(node.fields().asScala
+          .filter(e => !e.getValue.isObject) // grouped keys dropped
+          .map(e => e.getKey ->
+            (if (e.getValue.isTextual) e.getValue.asText else e.getValue.toString))
+          .toMap)
+      } catch { case _: Exception => None }
+    structured(new com.fasterxml.jackson.databind.ObjectMapper(
+        new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()))
+      .orElse(structured(new com.fasterxml.jackson.databind.ObjectMapper()))
+      .getOrElse(parseParametersTxt(text))
+  }
+
   /** Pillar statistics (A1, pillars.py:38-141): PILLAR = "I-J", volumes
     * summed, coordinates/permeabilities averaged.
     */

@@ -23,13 +23,19 @@ object Vfp {
 
   private def darr = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
 
-  def vfpprod(events: DataFrame): DataFrame = {
+  def vfpprod(events: DataFrame, tablenumbers: Seq[Int] = Nil): DataFrame = {
     val vfp = events.filter(col("keyword") === "VFPPROD" && size(col("items")) > 0)
-    val basic = vfp.filter(col("recordIdx") === 0)
+    // type/unit defaults follow the reference (vfp/_vfpprod.py:100-130):
+    // no UNITS entry → the DEFAULT unit system; a defaulted/empty ALQ type
+    // renders as the literal two-quote string '' like the reference keeps
+    val basic0 = vfp.filter(col("recordIdx") === 0)
       .select(col("keywordIdx"), R.int(0).as("TABLE_NUMBER"), R.dbl(1).as("DATUM"),
         R.str(2).as("RATE_TYPE"), R.str(3).as("WFR_TYPE"), R.str(4).as("GFR_TYPE"),
-        R.str(5, "THP").as("THP_TYPE"), R.str(6).as("ALQ_TYPE"),
-        R.str(7, "METRIC").as("UNIT_TYPE"), R.str(8, "BHP").as("TAB_TYPE"))
+        R.str(5, "THP").as("PRESSURE_TYPE"),
+        coalesce(nullif(R.str(6), lit("")), lit("''")).as("ALQ_TYPE"),
+        R.str(7, "DEFAULT").as("UNIT_TYPE"), R.str(8, "BHP").as("TAB_TYPE"))
+    val basic = if (tablenumbers.isEmpty) basic0
+      else basic0.filter(col("TABLE_NUMBER").isin(tablenumbers: _*))
     val axes = vfp.filter(col("recordIdx").between(1, 5))
       .groupBy(col("keywordIdx"))
       .agg(
@@ -47,25 +53,30 @@ object Vfp {
       .join(axes, Seq("keywordIdx"))
       .join(basic, Seq("keywordIdx"))
       .select(col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("WFR_TYPE"),
-        col("GFR_TYPE"), col("THP_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
-        element_at(col("thpArr"), col("THP_IDX")).as("THP"),
+        col("GFR_TYPE"), col("PRESSURE_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
+        element_at(col("thpArr"), col("THP_IDX")).as("PRESSURE"),
         element_at(col("wfrArr"), col("WFR_IDX")).as("WFR"),
         element_at(col("gfrArr"), col("GFR_IDX")).as("GFR"),
         element_at(col("alqArr"), col("ALQ_IDX")).as("ALQ"),
         explode(arrays_zip(col("flowArr"), col("tabRow"))).as("z"))
-      .select(col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("WFR_TYPE"),
-        col("GFR_TYPE"), col("THP_TYPE"), col("ALQ_TYPE"), col("UNIT_TYPE"), col("TAB_TYPE"),
-        col("THP"), col("WFR"), col("GFR"), col("ALQ"),
-        col("z.flowArr").as("RATE"), col("z.tabRow").as("TAB"))
-      .orderBy(col("TABLE_NUMBER"), col("THP"), col("WFR"), col("GFR"), col("ALQ"), col("RATE"))
+      // reference column order (vfp/_vfpprod.py:278-298)
+      .select(col("z.flowArr").as("RATE"), col("PRESSURE"), col("WFR"), col("GFR"),
+        col("ALQ"), col("z.tabRow").as("TAB"), lit("VFPPROD").as("VFP_TYPE"),
+        col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("WFR_TYPE"),
+        col("GFR_TYPE"), col("ALQ_TYPE"), col("PRESSURE_TYPE"), col("TAB_TYPE"),
+        col("UNIT_TYPE"))
+      .orderBy(col("TABLE_NUMBER"), col("PRESSURE"), col("WFR"), col("GFR"),
+        col("ALQ"), col("RATE"))
   }
 
-  def vfpinj(events: DataFrame): DataFrame = {
+  def vfpinj(events: DataFrame, tablenumbers: Seq[Int] = Nil): DataFrame = {
     val vfp = events.filter(col("keyword") === "VFPINJ" && size(col("items")) > 0)
-    val basic = vfp.filter(col("recordIdx") === 0)
+    val basic0 = vfp.filter(col("recordIdx") === 0)
       .select(col("keywordIdx"), R.int(0).as("TABLE_NUMBER"), R.dbl(1).as("DATUM"),
-        R.str(2).as("RATE_TYPE"), R.str(3, "THP").as("THP_TYPE"),
-        R.str(4, "METRIC").as("UNIT_TYPE"), R.str(5, "BHP").as("TAB_TYPE"))
+        R.str(2).as("RATE_TYPE"), R.str(3, "THP").as("PRESSURE_TYPE"),
+        R.str(4, "DEFAULT").as("UNIT_TYPE"), R.str(5, "BHP").as("TAB_TYPE"))
+    val basic = if (tablenumbers.isEmpty) basic0
+      else basic0.filter(col("TABLE_NUMBER").isin(tablenumbers: _*))
     val axes = vfp.filter(col("recordIdx").between(1, 2))
       .groupBy(col("keywordIdx"))
       .agg(
@@ -78,21 +89,31 @@ object Vfp {
       .join(axes, Seq("keywordIdx"))
       .join(basic, Seq("keywordIdx"))
       .select(col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("UNIT_TYPE"),
-        col("TAB_TYPE"),
-        element_at(col("thpArr"), col("THP_IDX")).as("THP"),
+        col("TAB_TYPE"), col("PRESSURE_TYPE"),
+        element_at(col("thpArr"), col("THP_IDX")).as("PRESSURE"),
         explode(arrays_zip(col("flowArr"), col("tabRow"))).as("z"))
-      .select(col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"), col("UNIT_TYPE"),
-        col("TAB_TYPE"), col("THP"),
-        col("z.flowArr").as("RATE"), col("z.tabRow").as("TAB"))
-      .orderBy(col("TABLE_NUMBER"), col("THP"), col("RATE"))
+      // reference column order (vfp/_vfpinj.py stacked form)
+      .select(col("z.flowArr").as("RATE"), col("PRESSURE"),
+        col("z.tabRow").as("TAB"), lit("VFPINJ").as("VFP_TYPE"),
+        col("TABLE_NUMBER"), col("DATUM"), col("RATE_TYPE"),
+        col("PRESSURE_TYPE"), col("TAB_TYPE"), col("UNIT_TYPE"))
+      .orderBy(col("TABLE_NUMBER"), col("PRESSURE"), col("RATE"))
   }
 
-  def df(spark: SparkSession, deckText: String): DataFrame = {
+  /** @param tablenumbers restrict to these TABLE_NUMBERs (the reference's
+    *   `vfpnumbers_str` filter, vfp/_vfp.py:436-437) — pruned at the
+    *   basic-record stage, before the table explode
+    * @param units attach per-axis unit columns from [[VfpDefs]]
+    */
+  def df(spark: SparkSession, deckText: String,
+      tablenumbers: Seq[Int] = Nil, units: Boolean = false): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
-    val prod = vfpprod(events)
-    val inj = vfpinj(events)
-    if (inj.isEmpty) prod
-    else if (prod.isEmpty) inj
-    else prod.unionByName(inj, allowMissingColumns = true)
+    val prod = vfpprod(events, tablenumbers)
+    val inj = vfpinj(events, tablenumbers)
+    val out =
+      if (inj.isEmpty) prod
+      else if (prod.isEmpty) inj
+      else prod.unionByName(inj, allowMissingColumns = true)
+    if (units) VfpDefs.withUnits(out) else out
   }
 }

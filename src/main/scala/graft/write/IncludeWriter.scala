@@ -27,6 +27,12 @@ object IncludeWriter {
     case x => x.toString
   }
 
+  /** A VFP type token: the empty-ALQ sentinel `''` is already its own
+    * quoting (wrapping it again would emit four quotes).
+    */
+  private def quoteType(s: String): String =
+    if (s == "''" || s == null) "''" else s"'$s'"
+
   /** Generic keyword table: one record line per row, `1*` for nulls,
     * trailing defaults elided, terminating slash per record and a lone
     * slash closing the keyword.
@@ -155,16 +161,16 @@ object IncludeWriter {
       def axis(c: String): Seq[Double] =
         rs.map(_.getAs[Double](c)).distinct.sorted.toSeq
       val (flow, thp, wfr, gfr, alq) =
-        (axis("RATE"), axis("THP"), axis("WFR"), axis("GFR"), axis("ALQ"))
+        (axis("RATE"), axis("PRESSURE"), axis("WFR"), axis("GFR"), axis("ALQ"))
       sb.append("VFPPROD\n")
       sb.append(s"  $tno ${fmt(h.getAs[Double]("DATUM"))} '${h.getAs[String]("RATE_TYPE")}' " +
         s"'${h.getAs[String]("WFR_TYPE")}' '${h.getAs[String]("GFR_TYPE")}' " +
-        s"'${h.getAs[String]("THP_TYPE")}' '${h.getAs[String]("ALQ_TYPE")}' " +
+        s"'${h.getAs[String]("PRESSURE_TYPE")}' ${quoteType(h.getAs[String]("ALQ_TYPE"))} " +
         s"'${h.getAs[String]("UNIT_TYPE")}' '${h.getAs[String]("TAB_TYPE")}' /\n")
       Seq(flow, thp, wfr, gfr, alq).foreach(a =>
         sb.append("  ").append(a.map(fmt).mkString(" ")).append(" /\n"))
       for (ti <- thp.indices; wi <- wfr.indices; gi <- gfr.indices; ai <- alq.indices) {
-        val pts = rs.filter(r => r.getAs[Double]("THP") == thp(ti) &&
+        val pts = rs.filter(r => r.getAs[Double]("PRESSURE") == thp(ti) &&
           r.getAs[Double]("WFR") == wfr(wi) && r.getAs[Double]("GFR") == gfr(gi) &&
           r.getAs[Double]("ALQ") == alq(ai))
         if (pts.nonEmpty) {

@@ -108,6 +108,28 @@ class GridOpsSpec extends AnyFunSuite {
     assert(params == Map("FWL" -> "1700.5", "RMS_SEED" -> "422789"))
   }
 
+  test("parameters parse through the yaml -> json -> txt cascade") {
+    // yaml: flat keys survive, grouped (dict-valued) keys are dropped
+    // (parameters.py:177-183); numbers render as written
+    val yml = GridOps.parseParameters(
+      "FWL: 1700.5\nLABEL: hello\ngrouped:\n  inner: 3\n")
+    assert(yml == Map("FWL" -> "1700.5", "LABEL" -> "hello"))
+    // json object with mixed types; nested object dropped
+    val json = GridOps.parseParameters(
+      """{"SEED": 42, "NAME": "x y", "sub": {"a": 1}, "FRAC": 0.25}""")
+    assert(json == Map("SEED" -> "42", "NAME" -> "x y", "FRAC" -> "0.25"))
+    // txt falls through both structured parsers
+    assert(GridOps.parseParameters("FWL 1700.5\nRMS_SEED 422789\n") ==
+      Map("FWL" -> "1700.5", "RMS_SEED" -> "422789"))
+    // empty file → empty map (parameters.py:131-133)
+    assert(GridOps.parseParameters("   \n") == Map.empty)
+    // discovered files parse by content, whatever the extension
+    val d = java.nio.file.Files.createTempDirectory("graft-params2")
+    java.nio.file.Files.writeString(d.resolve("parameters.yml"), "A: 1\nB: two\n")
+    assert(GridOps.parseParametersFile(d.resolve("parameters.yml").toString) ==
+      Map("A" -> "1", "B" -> "two"))
+  }
+
   // 2x2x2 grid with TRAN vectors and a FIPNUM split along I
   // (cells at I=1 are region 1, I=2 are region 2)
   private lazy val tranGrid = Seq(

@@ -29,7 +29,7 @@ class RoundTripSpec extends AnyFunSuite {
     val text = IncludeWriter.vfpprod(long1)
     val long2 = Vfp.df(spark, text)
     val key = (r: org.apache.spark.sql.Row) => (
-      r.getAs[Int]("TABLE_NUMBER"), r.getAs[Double]("THP"), r.getAs[Double]("WFR"),
+      r.getAs[Int]("TABLE_NUMBER"), r.getAs[Double]("PRESSURE"), r.getAs[Double]("WFR"),
       r.getAs[Double]("GFR"), r.getAs[Double]("ALQ"), r.getAs[Double]("RATE"),
       r.getAs[Double]("TAB"))
     assert(long1.collect().map(key).toSet == long2.collect().map(key).toSet)

@@ -23,13 +23,60 @@ class VfpRftSpec extends AnyFunSuite {
         |/
         |""".stripMargin)
     assert(df.count() == 12) // 4 table records x 3 flow values
-    val r = df.filter("THP = 100.0 AND WFR = 0.5 AND RATE = 500.0").collect().head
+    val r = df.filter("PRESSURE = 100.0 AND WFR = 0.5 AND RATE = 500.0").collect().head
     assert(r.getAs[Double]("TAB") == 232.0)
     assert(r.getAs[Double]("GFR") == 900.0)
     assert(r.getAs[Int]("TABLE_NUMBER") == 1)
     // axis ordering: rows sorted by axes then rate
     val first = df.collect().head
-    assert(first.getAs[Double]("THP") == 50.0 && first.getAs[Double]("RATE") == 100.0)
+    assert(first.getAs[Double]("PRESSURE") == 50.0 && first.getAs[Double]("RATE") == 100.0)
+  }
+
+  test("VFP column contract, unit system lookups and tablenumbers filter") {
+    // the GAS/WGR/GOR METRIC case from the reference's VFPPROD_CASES
+    // (tests/test_vfp.py:30-120) plus a UNITS-less FIELD-free table
+    val deck =
+      """VFPPROD
+        | 1 3000.0 GAS WGR GOR THP '' METRIC BHP /
+        | 50000 500000 5e+06 /
+        | 40 100 /
+        | 0 1e-05 /
+        | 500 4000 /
+        | 0 /
+        | 1 1 1 1 160.11 130.21 180.31 /
+        | 2 1 1 1 240.15 210.25 260.35 /
+        |/
+        |VFPPROD
+        | 2 3000.0 GAS WCT GOR THP '' /
+        | 50000 /
+        | 40 /
+        | 0 /
+        | 500 /
+        | 0 /
+        | 1 1 1 1 160.11 /
+        |/
+        |""".stripMargin
+    val df = Vfp.df(spark, deck, units = true)
+    // reference column order (test_vfp.py expected frames), units appended
+    assert(df.columns.toSeq == Seq("RATE", "PRESSURE", "WFR", "GFR", "ALQ", "TAB",
+      "VFP_TYPE", "TABLE_NUMBER", "DATUM", "RATE_TYPE", "WFR_TYPE", "GFR_TYPE",
+      "ALQ_TYPE", "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE",
+      "RATE_UNIT", "PRESSURE_UNIT", "WFR_UNIT", "GFR_UNIT", "ALQ_UNIT"))
+    val t1 = df.filter("TABLE_NUMBER = 1").collect()
+    assert(t1.head.getAs[String]("ALQ_TYPE") == "''")
+    assert(t1.head.getAs[String]("UNIT_TYPE") == "METRIC")
+    assert(t1.head.getAs[String]("RATE_UNIT") == "sm3/day")
+    assert(t1.head.getAs[String]("PRESSURE_UNIT") == "barsa")
+    assert(t1.head.getAs[String]("WFR_UNIT") == "sm3/sm3")
+    assert(t1.head.getAs[String]("GFR_UNIT") == "sm3/sm3")
+    assert(t1.head.getAs[String]("ALQ_UNIT") == "")
+    // no UNITS entry → the DEFAULT system (reference UNITTYPE.DEFAULT)
+    val t2 = df.filter("TABLE_NUMBER = 2").collect()
+    assert(t2.head.getAs[String]("UNIT_TYPE") == "DEFAULT")
+    assert(t2.head.getAs[String]("RATE_UNIT") == "")
+    // tablenumbers filter prunes whole tables (vfp/_vfp.py:436-437)
+    assert(Vfp.df(spark, deck, tablenumbers = Seq(2))
+      .select("TABLE_NUMBER").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
   test("VFPINJ: THP-only table flattens") {
