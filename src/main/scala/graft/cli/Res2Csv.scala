@@ -37,18 +37,25 @@ object Res2Csv {
     */
   private def deckTextOf(path: String): String =
     graft.io.DeckParser.expandIncludes(
-      Files.readString(Paths.get(path)), Paths.get(path).toAbsolutePath.getParent)
+      // lenient decode like every other deck entry point — decks in the
+      // wild carry Latin-1 comment bytes that strict UTF-8 would throw on
+      new String(Files.readAllBytes(Paths.get(path))),
+      Paths.get(path).toAbsolutePath.getParent)
 
   private def sibling(datafile: String, ext: String): Option[String] = {
     val p = s"${basePath(datafile)}.$ext"
     if (Files.isRegularFile(Paths.get(p))) Some(p) else None
   }
 
-  /** Geometry ⟗ INIT ⟗ stacked-restart grid frame from the binary
+  /** Geometry ⟗ INIT [⟗ stacked-restart] grid frame from the binary
     * artifacts next to the datafile (grid.py:476-531; INIT vectors NaN-
-    * sentinel-washed like init2df does).
+    * sentinel-washed like init2df does). Static consumers (pillars,
+    * trans) must pass `withRst = false`: the DATE-stacked restart join
+    * multiplies every cell by the report-step count, which would
+    * duplicate their per-connection/per-pillar rows.
     */
-  private def gridFrame(s: SparkSession, datafile: String): DataFrame = {
+  private def gridFrame(s: SparkSession, datafile: String,
+      withRst: Boolean = true): DataFrame = {
     val geom = graft.io.EclBinary.egrid(s,
       sibling(datafile, "EGRID").getOrElse(
         throw new IllegalArgumentException(s"no EGRID next to $datafile")))
@@ -59,7 +66,9 @@ object Res2Csv {
       }
       GridOps.washNanSentinel(i, doubles.toSeq)
     }
-    val rst = sibling(datafile, "UNRST").map(p => graft.io.EclBinary.unrst(s, p))
+    val rst =
+      if (withRst) sibling(datafile, "UNRST").map(p => graft.io.EclBinary.unrst(s, p))
+      else None
     GridOps.assemble(geom, init, rst)
   }
 
@@ -88,13 +97,15 @@ object Res2Csv {
         throw new IllegalArgumentException(s"no RFT next to $p")))),
     "summary" -> { (s, p) =>
       // wide form like the reference's summary CSV: DATE + one column per
-      // vector (long → pivot; the vector catalog is the column axis)
-      val long = graft.write.SummaryWriter.read(s, basePath(p))
-      long.groupBy(col("DATE")).pivot("VECTOR").agg(first(col("VALUE")))
+      // vector. Ministeps within a day collapse to the LAST state of the
+      // day (max_by STEP) — a bare first() would be order-dependent.
+      val long = graft.write.SummaryWriter.readWithStep(s, basePath(p))
+      long.groupBy(col("DATE")).pivot("VECTOR")
+        .agg(max_by(col("VALUE"), col("STEP")))
         .orderBy(col("DATE"))
     },
-    "pillars" -> ((s, p) => Pillars.df(gridFrame(s, p))),
-    "trans" -> ((s, p) => GridOps.trans(gridFrame(s, p))),
+    "pillars" -> ((s, p) => Pillars.df(gridFrame(s, p, withRst = false))),
+    "trans" -> ((s, p) => GridOps.trans(gridFrame(s, p, withRst = false))),
     "wellconnstatus" -> ((s, p) =>
       WellOps.wellConnStatus(graft.write.SummaryWriter.read(s, basePath(p)))),
     "wellcompletiondata" -> { (s, p) =>

@@ -252,6 +252,6 @@ object DeckParser {
   def parseFile(path: String): Vector[DeckEvent] = {
     val p = java.nio.file.Paths.get(path)
     parse(expandIncludes(new String(java.nio.file.Files.readAllBytes(p)), p.getParent),
-      deckId = p.getFileName.toString)
+      deckId = p.toString)
   }
 }

@@ -76,14 +76,15 @@ class DeckReaderFactory(required: StructType) extends PartitionReaderFactory {
     val file = partition.asInstanceOf[DeckInputPartition].file
     new PartitionReader[InternalRow] {
       // INCLUDEs expand like every other entry point (a raw read would
-      // silently drop included sections); deckId = file name, the
-      // per-deck window key downstream
+      // silently drop included sections); deckId = the FULL path — a
+      // basename would collide across realisation directories and merge
+      // their window partitions
       private val events = {
         val p = java.nio.file.Paths.get(file)
         DeckParser.parse(
           DeckParser.expandIncludes(
             new String(java.nio.file.Files.readAllBytes(p)), p.getParent),
-          deckId = p.getFileName.toString).iterator
+          deckId = p.toString).iterator
       }
       private var current: InternalRow = _
       override def next(): Boolean = {

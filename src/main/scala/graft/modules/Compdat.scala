@@ -104,6 +104,7 @@ object Compdat {
     fromEvents(DeckParser.toDS(spark, deckText).toDF())
 
   def fromEvents(events: DataFrame): DataFrame = {
+    Schedule.requireSingleDeck(events, "compdat")
     val dates = Schedule.keywordDates(events)
     val compdat0 = compdatRecords(events)
     val welspecs = welspecsRecords(events)

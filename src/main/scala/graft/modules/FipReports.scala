@@ -33,6 +33,12 @@ object FipReports {
     */
   def lines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    // ONE file per call: a glob would zip a single global ordinal across
+    // files and stamp them all with the same src, silently leaking scan
+    // state (DATE/REGION forward-fill) across file boundaries. A corpus
+    // maps this per file and unions the frames.
+    require(!path.contains("*") && !path.contains(",") && !path.contains("{"),
+      s"lines() reads one PRT file; got a multi-file pattern: $path")
     // src rides IN the rows (a foldable lit() would be optimized out of
     // the window partition spec, reverting to the global-window shape)
     spark.read.textFile(path).rdd.zipWithIndex

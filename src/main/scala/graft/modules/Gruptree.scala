@@ -54,6 +54,7 @@ object Gruptree {
     */
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
+    Schedule.requireSingleDeck(events, "gruptree")
     val dates = Schedule.keywordDates(events)
     def dated(df: DataFrame) = df.join(dates, Seq("keywordIdx"), "left")
       .withColumn("DATE", coalesce(col("DATE"), lit("1900-01-01").cast("timestamp")))

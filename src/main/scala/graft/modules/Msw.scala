@@ -32,6 +32,7 @@ object Msw {
 
   /** WELSEGS: per-segment rows with the record-0 well header fanned out. */
   def welsegs(events: DataFrame, unroll: Boolean = true): DataFrame = {
+    Schedule.requireSingleDeck(events, "msw")
     val dates = Schedule.keywordDates(events)
     val recs = kw(events, "WELSEGS")
     val headers = recs.filter(col("recordIdx") === 0)
@@ -60,6 +61,7 @@ object Msw {
 
   /** COMPSEGS: per-connection segment assignment rows with well header. */
   def compsegs(events: DataFrame): DataFrame = {
+    Schedule.requireSingleDeck(events, "msw")
     val dates = Schedule.keywordDates(events)
     val recs = kw(events, "COMPSEGS")
     val headers = recs.filter(col("recordIdx") === 0)
@@ -102,6 +104,7 @@ object Msw {
   private def segRecords(events: DataFrame, name: String, unroll: Boolean,
       dblCols: Seq[(String, Int)], statusIdx: Option[Int],
       tail: Seq[(String, Int)] = Nil): DataFrame = {
+    Schedule.requireSingleDeck(events, "msw")
     val dates = Schedule.keywordDates(events)
     val base = kw(events, name).select(
       Seq(col("keywordIdx"), col("recordIdx"),
@@ -117,6 +120,7 @@ object Msw {
 
   /** WSEGVALV: segment valves (no range — one segment per record). */
   def wsegvalv(events: DataFrame): DataFrame = {
+    Schedule.requireSingleDeck(events, "msw")
     val dates = Schedule.keywordDates(events)
     kw(events, "WSEGVALV").select(
       col("keywordIdx"),

@@ -80,9 +80,13 @@ object Pillars {
       // when BOTH contact frames are NON-EMPTY the contacts table is their
       // INNER join — a pillar with only one of OWC/GOC reports neither —
       // while an empty frame yields the other alone. Emptiness is a
-      // runtime property, so probe it (the frames are per-pillar
-      // aggregates, dimension-sized like the reference's pandas frames).
-      val contacts = (owcOpt.filterNot(_.isEmpty), gocOpt.filterNot(_.isEmpty)) match {
+      // runtime property, so probe it; the frames are materialized first
+      // (per-pillar aggregates, dimension-sized) so the probe and the
+      // later join replay local blocks instead of re-running the
+      // aggregation pipeline twice.
+      val owcM = owcOpt.map(_.localCheckpoint(true))
+      val gocM = gocOpt.map(_.localCheckpoint(true))
+      val contacts = (owcM.filterNot(_.isEmpty), gocM.filterNot(_.isEmpty)) match {
         case (Some(o), Some(g)) => Some(o.join(g, keyCols, "inner"))
         case (o, g) => o.orElse(g)
       }

@@ -75,4 +75,19 @@ object Schedule {
     val keys = (if (hasDeck) Seq("deckId") else Nil) :+ "keywordIdx"
     events.join(keywordDates(events, keepDeckId = hasDeck), keys, "left")
   }
+
+  /** Guard for the record-level state machines (compdat, gruptree, msw,
+    * wcon): their WLIST folds, as-of chains and WELL-keyed joins operate
+    * in ONE deck's ordinal space, so a frame holding several decks would
+    * silently cross-contaminate. Corpus processing applies the module per
+    * deck (each deck is independent — group on deckId upstream), it does
+    * not feed one multi-deck frame through. Fails fast instead.
+    */
+  def requireSingleDeck(events: DataFrame, module: String): Unit =
+    if (events.columns.contains("deckId")) {
+      val decks = events.select("deckId").distinct().limit(2).collect()
+      require(decks.length <= 1,
+        s"$module processes one deck per call (WELL-keyed state is per-deck); " +
+          "got a multi-deck frame — apply the module per deckId group instead")
+    }
 }

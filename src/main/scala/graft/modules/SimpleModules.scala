@@ -171,6 +171,7 @@ object Pvt {
 object Wcon {
   def df(spark: SparkSession, deckText: String): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
+    Schedule.requireSingleDeck(events, "wcon")
     val dates = Schedule.keywordDates(events)
     def base(kw: String) =
       events.filter(col("keyword") === kw && size(col("items")) > 0)

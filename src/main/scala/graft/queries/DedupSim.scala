@@ -239,10 +239,10 @@ object DedupSim {
   // stop-shingle cap: shingles present in more than max(Floor, corpus/Frac)
   // documents are dropped from the postings before the self-join — the head
   // of the df distribution is the skew killer (one shingle with df=d
-  // contributes d² join pairs). The cap is deliberately above anything a
-  // genuine near-dup pair relies on alone (a pair at jaccard >= 0.5 shares
-  // MANY shingles; losing the corpus-wide boilerplate ones only removes
-  // evidence the way prefix filtering does).
+  // contributes d² join pairs). NOT a lossless filter: similarity is then
+  // measured over the capped shingle space, so pairs alike only through
+  // corpus-wide boilerplate intentionally stop qualifying (see the
+  // ngramJaccard scaladoc; the oracle applies the same cap).
   private val NgramDfCapFloor = 100.0
   private val NgramDfCapFrac = 50.0 // cap = max(floor, n_docs / 50) = 2%
 
@@ -260,10 +260,15 @@ object DedupSim {
     *
     * Stop-shingles (df above [[NgramDfCapFloor]]/[[NgramDfCapFrac]]) are
     * dropped before the join and the drop COUNT IS LOGGED — never a
-    * silent truncation. Jaccard is over the capped shingle space (sizes
-    * are computed post-cap), identically in the DuckDB oracle, so the
-    * semantics stay engine-exact. Pure integer counts + one rounded
-    * division → full DuckDB oracle.
+    * silent truncation. The cap CHANGES THE METRIC, deliberately: Jaccard
+    * is over the capped shingle space (sizes post-cap), so a pair whose
+    * similarity rests ONLY on corpus-wide boilerplate does not qualify —
+    * the dedup-pipeline semantics (content-bearing similarity), not a
+    * lossless candidate filter. Exactness holds WITHIN that metric (no
+    * candidate sharing a sub-cap shingle is missed), and the DuckDB
+    * oracle applies the identical cap, so the semantics stay
+    * engine-exact. Pure integer counts + one rounded division → full
+    * DuckDB oracle.
     */
   def q40NgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.documents(s, dir))

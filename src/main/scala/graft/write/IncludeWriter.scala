@@ -166,7 +166,13 @@ object IncludeWriter {
       sb.append(s"  $tno ${fmt(h.getAs[Double]("DATUM"))} '${h.getAs[String]("RATE_TYPE")}' " +
         s"'${h.getAs[String]("WFR_TYPE")}' '${h.getAs[String]("GFR_TYPE")}' " +
         s"'${h.getAs[String]("PRESSURE_TYPE")}' ${quoteType(h.getAs[String]("ALQ_TYPE"))} " +
-        s"'${h.getAs[String]("UNIT_TYPE")}' '${h.getAs[String]("TAB_TYPE")}' /\n")
+        // DEFAULT is the absence of a UNITS entry, not a token — the
+        // reference writes 1* for it (vfp/_vfpprod.py:933-935)
+        (h.getAs[String]("UNIT_TYPE") match {
+          case "DEFAULT" | null => "1* "
+          case u => s"'$u' "
+        }) +
+        s"'${h.getAs[String]("TAB_TYPE")}' /\n")
       Seq(flow, thp, wfr, gfr, alq).foreach(a =>
         sb.append("  ").append(a.map(fmt).mkString(" ")).append(" /\n"))
       for (ti <- thp.indices; wi <- wfr.indices; gi <- gfr.indices; ai <- alq.indices) {

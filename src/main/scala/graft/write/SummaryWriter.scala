@@ -138,7 +138,15 @@ object SummaryWriter {
     * the same catalog through resdata). The clock is the TIME vector
     * (days since STARTDAT), wherever it sits in the catalog.
     */
-  def read(spark: SparkSession, basePath: String): DataFrame = {
+  def read(spark: SparkSession, basePath: String): DataFrame =
+    readWithStep(spark, basePath).drop("STEP")
+
+  /** As [[read]], plus the PARAMS-record ordinal as `STEP` — several
+    * ministeps can truncate to the same DATE, and STEP is the
+    * deterministic tiebreaker for last-state-wins consumers (the wide
+    * pivot; a bare `first()` over duplicate dates is order-dependent).
+    */
+  def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
     val spec = graft.io.EclKw.read(s"$basePath.SMSPEC").map(k => k.name -> k).toMap
     val kws = spec("KEYWORDS").strings
     val wgs = spec.get("WGNAMES").orElse(spec.get("NAMES")).map(_.strings)
@@ -151,15 +159,16 @@ object SummaryWriter {
     val vectors = kws.indices.map(i => vectorName(kws(i), wgs(i), nums(i), dims))
     val timeIdx = kws.indexOf("TIME")
     require(timeIdx >= 0, s"$basePath.SMSPEC has no TIME vector")
-    val out = Seq.newBuilder[(java.sql.Date, String, Double)]
-    graft.io.EclKw.read(s"$basePath.UNSMRY").filter(_.name == "PARAMS").foreach { kw =>
-      val vals = kw.floats
-      val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
-      vectors.indices.foreach { i =>
-        if (i != timeIdx) out += ((date, vectors(i), vals(i).toDouble))
+    val out = Seq.newBuilder[(java.sql.Date, String, Double, Int)]
+    graft.io.EclKw.read(s"$basePath.UNSMRY").filter(_.name == "PARAMS")
+      .zipWithIndex.foreach { case (kw, step) =>
+        val vals = kw.floats
+        val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
+        vectors.indices.foreach { i =>
+          if (i != timeIdx) out += ((date, vectors(i), vals(i).toDouble, step))
+        }
       }
-    }
     import spark.implicits._
-    out.result().toDF("DATE", "VECTOR", "VALUE")
+    out.result().toDF("DATE", "VECTOR", "VALUE", "STEP")
   }
 }

@@ -122,11 +122,15 @@ class EclBinarySpec extends AnyFunSuite {
     assert(grid.count() == 24)
     for (c <- Seq("I", "J", "K", "VOLUME", "PORO", "PRESSURE", "DATE"))
       assert(grid.columns.contains(c), s"grid missing $c")
-    // pillars and trans run over the same assembled frame
+    // pillars and trans run over the STATIC frame (no restart stacking):
+    // every connection appears exactly once, not once per report date
     assert(PathModules("pillars")(spark, data8).count() > 0)
     val trans = PathModules("trans")(spark, data8)
     assert(trans.count() > 0)
     assert(trans.select("DIR").distinct().as[String].collect().toSet.subsetOf(Set("I", "J", "K")))
+    assert(trans.groupBy("I1", "J1", "K1", "DIR").count()
+      .filter(col("count") > 1).count() == 0,
+      "trans rows must not be multiplied by restart dates")
     // summary: wide frame, DATE + one column per vector
     val summary = PathModules("summary")(spark, data8)
     assert(summary.columns.head == "DATE" && summary.columns.length > 3)
@@ -146,6 +150,17 @@ class EclBinarySpec extends AnyFunSuite {
     // Reek grid: geometry only (no INIT/UNRST shipped) + ZONE merge
     val reekGrid = PathModules("grid")(spark, s"$ReekModel.DATA")
     assert(reekGrid.count() == 35817 && reekGrid.columns.contains("ZONE"))
+  }
+
+  test("record-level modules fail fast on a multi-deck frame") {
+    val events = spark.read.format("eclipse-deck")
+      .load(s"$EightCells.DATA,$ReekModel.DATA")
+    // the two decks keep distinct full-path ids — no basename collision
+    assert(events.select("deckId").distinct().count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.modules.Compdat.fromEvents(events).count()
+    }
+    assert(e.getMessage.contains("one deck per call"))
   }
 
   test("Reek RFT: per-connection report for OP_1") {

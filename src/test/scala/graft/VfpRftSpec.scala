@@ -77,6 +77,15 @@ class VfpRftSpec extends AnyFunSuite {
     // tablenumbers filter prunes whole tables (vfp/_vfp.py:436-437)
     assert(Vfp.df(spark, deck, tablenumbers = Seq(2))
       .select("TABLE_NUMBER").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // DEFAULT unit system round-trips as 1*, never as a 'DEFAULT' token
+    // (the reference writes 1* for UNITTYPE.DEFAULT)
+    val text = graft.write.IncludeWriter.vfpprod(Vfp.df(spark, deck))
+    assert(!text.contains("'DEFAULT'"))
+    val back = Vfp.df(spark, text)
+    assert(back.filter("TABLE_NUMBER = 2").collect().head
+      .getAs[String]("UNIT_TYPE") == "DEFAULT")
+    assert(back.filter("TABLE_NUMBER = 1").collect().head
+      .getAs[String]("UNIT_TYPE") == "METRIC")
   }
 
   test("VFPINJ: THP-only table flattens") {
