@@ -63,8 +63,9 @@ object ScaleStress {
 
     val names = Seq("q01_agg", "q02_join", "q04_asof", "q07_lastwins",
       "q12_running", "q24_exact_dedup", "q25_jaccard", "q26_minhash_lsh",
-      "q27_simhash", "q30_ann_lsh", "q33_dropconst", "q36_ann_ivf",
-      "q38_ann_ivf_kmeans", "q39_minhash_openvocab")
+      "q27_simhash", "q29_cosine_neardup", "q30_ann_lsh", "q33_dropconst",
+      "q36_ann_ivf", "q37_simhash_neardup", "q38_ann_ivf_kmeans",
+      "q39_minhash_openvocab", "q40_ngram_jaccard")
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
@@ -78,6 +79,24 @@ object ScaleStress {
       val big = Seq(time(dst), time(dst)).min
       println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
     }
+
+    // per-deck window scaling: the Schedule clock over a many-deck corpus
+    // must scale with the number of decks, not funnel into one partition
+    val deckText = (1 to 20).map(m =>
+      s"DATES\n 1 'JAN' ${2000 + m} /\n/\nCOMPDAT\n 'OP1' 1 1 1 2 'OPEN' /\n/\nTSTEP\n 30 /\n")
+      .mkString
+    def corpus(n: Int): DataFrame =
+      spark.createDataFrame(
+        (0 until n).flatMap(i => graft.io.DeckParser.parse(deckText, s"deck$i")))
+    def timeDecks(n: Int): Double = {
+      val df = corpus(n)
+      val t0 = System.nanoTime()
+      graft.modules.Schedule.keywordDates(df, keepDeckId = true).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (d1, d10) = (Seq(timeDecks(100), timeDecks(100)).min,
+      Seq(timeDecks(1000), timeDecks(1000)).min)
+    println(f"SCALE schedule_corpus decks=100:${d1}%.2fs decks=1000:${d10}%.2fs ratio=${d10 / d1}%.1f")
     spark.stop()
   }
 }
