@@ -201,12 +201,13 @@ object DedupSim {
     minhashLshCluster(hashed)
   }
 
-  /** Shared MinHash+LSH tail over (doc_id, v) — `v` any value already in
-    * the portable-hash domain [0, P): k slot minimums in one codegen'd
-    * hash aggregate, banded hashes, bucket stats as window aggregates over
-    * the band exchange, linear cluster output.
+  /** MinHash band memberships of (doc_id, v): k slot minimums in one
+    * codegen'd hash aggregate, then the banded hashes stacked long —
+    * `(doc_id, band_idx, band_hash)`, the bipartite doc↔bucket graph
+    * every LSH consumer (bucket clustering, connected components) builds
+    * on.
     */
-  private def minhashLshCluster(vals: DataFrame): DataFrame = {
+  private def minhashBands(vals: DataFrame): DataFrame = {
     import graft.functions.PortableHash.mix
     val r = MinhashK / LshBands
     val sig = vals.groupBy(col("doc_id"))
@@ -217,8 +218,16 @@ object DedupSim {
         .reduce(_ + _) + lit(b.toLong)) % lit(graft.functions.PortableHash.P)
     }
     val stackArgs = (0 until LshBands).map(b => s"${b}L, b$b").mkString(", ")
-    val bands = sig.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
+    sig.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
       .selectExpr("doc_id", s"stack($LshBands, $stackArgs) AS (band_idx, band_hash)")
+  }
+
+  /** Shared MinHash+LSH tail over (doc_id, v) — `v` any value already in
+    * the portable-hash domain [0, P): banded bucket stats as window
+    * aggregates over the band exchange, linear cluster output.
+    */
+  private def minhashLshCluster(vals: DataFrame): DataFrame = {
+    val bands = minhashBands(vals)
     // bucket representative + size as WINDOW aggregates over the band
     // shuffle: one exchange on the bucket key serves both, where an
     // agg + self-join would materialize the band table twice (cache or
@@ -232,6 +241,98 @@ object DedupSim {
       .agg(min(col("bucket_min")).as("cluster_id"), max(col("bucket_size")).as("max_bucket"))
       .withColumn("is_dup", col("cluster_id") < col("doc_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Transitive dedup components over the open-vocab MinHash buckets —
+    * the CLOSURE q26/q39 deliberately stop short of: their cluster id is
+    * one agglomeration hop (min doc over SHARED buckets), so a chain
+    * A~B~C where A and C share no bucket stays two clusters. This query
+    * converges the full connected component: `component_id` = min doc_id
+    * reachable through any chain of bucket co-memberships.
+    *
+    * Algorithm: min-label propagation over the BIPARTITE doc↔bucket
+    * graph — alternate "bucket label = min member label" / "doc label =
+    * min over its buckets' labels" until a fixpoint. The doc↔doc edge
+    * set is never materialized (a k-member bucket contributes k bipartite
+    * edges, not k²), each iteration is two hash aggregates + two joins on
+    * the bucket/doc keys, and labels are checkpointed per iteration —
+    * the standard large-graph CC shape (Hash-to-Min family), linear in
+    * memberships per iteration, O(component diameter) iterations.
+    * Deterministic (min is order-free) → DuckDB oracle replays the
+    * closure with a recursive CTE.
+    */
+  def q41DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), strHash(col("tok")).as("v"))
+    connectedComponents(minhashBands(hashed)
+      .select(col("doc_id"), struct(col("band_idx"), col("band_hash")).as("bucket")))
+  }
+
+  /** Min-label propagation to a fixpoint over a bipartite membership
+    * frame `(doc_id, bucket)` → `(doc_id, component_id, is_dup)`.
+    */
+  private[graft] def connectedComponents(membershipRaw: DataFrame): DataFrame = {
+    val membership = membershipRaw.localCheckpoint(true) // per-iteration join input
+    var labels = membership.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val bucketMin = membership.join(labels, Seq("doc_id"))
+        .groupBy(col("bucket")).agg(min(col("label")).as("blabel"))
+      val docMin = membership.join(bucketMin, Seq("bucket"))
+        .groupBy(col("doc_id")).agg(min(col("blabel")).as("nlabel"))
+      val next = labels.join(docMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nlabel"))
+        .localCheckpoint(true)
+      changed = next.filter(col("nlabel") < col("label")).count()
+      labels = next.select(col("doc_id"), col("nlabel").as("label"))
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("component_id"),
+        (col("label") < col("doc_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q41 oracle: the same closure as unrolled POINTER-JUMPING rounds —
+    * each round propagates the min label through the buckets, then jumps
+    * `label := label(label)`, so convergence distance DOUBLES per round:
+    * [[CcOracleRounds]] rounds cover any component diameter up to
+    * 2^rounds, far beyond any oracle-scale corpus, with every round a
+    * plain join+aggregate CTE (no recursive transitive pair set, which
+    * is Σ component² rows and blows up on a dup-heavy corpus).
+    */
+  private val CcOracleRounds = 16
+
+  private def dedupComponentsSql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "otoks", Seq("doc_id"), "tok", "ohash", "v")
+    val rounds = (1 to CcOracleRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""bm$i AS (SELECT m.band_idx, m.band_hash, min(l.label) AS blabel
+               FROM bands m JOIN $prev l USING (doc_id) GROUP BY 1, 2),
+       dm$i AS (SELECT m.doc_id, min(b.blabel) AS nlabel
+               FROM bands m JOIN bm$i b USING (band_idx, band_hash) GROUP BY 1),
+       lp$i AS MATERIALIZED (SELECT l.doc_id, least(l.label, coalesce(d.nlabel, l.label)) AS label
+               FROM $prev l LEFT JOIN dm$i d USING (doc_id)),
+       l$i AS MATERIALIZED (SELECT a.doc_id, b.label FROM lp$i a JOIN lp$i b ON b.doc_id = a.label)"""
+    }.mkString(",\n       ")
+    s"""WITH otoks AS (SELECT doc_id,
+                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                    FROM documents),
+       $hashCtes,
+       vals AS (SELECT doc_id, v FROM ohash),
+       ${minhashBandsSql},
+       l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM bands),
+       $rounds
+       SELECT doc_id, label AS component_id, label < doc_id AS is_dup
+       FROM l$CcOracleRounds ORDER BY doc_id"""
   }
 
   private val NgramN = 3
@@ -796,6 +897,7 @@ object DedupSim {
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q39_minhash_openvocab" -> (q39MinhashOpenVocab _),
+    "q41_dedup_components" -> (q41DedupComponents _),
     "q27_simhash" -> (q27Simhash _),
     "q28_cosine_topk" -> (q28CosineTopK _),
     "q29_cosine_neardup" -> (q29CosineNearDup _),
@@ -806,7 +908,10 @@ object DedupSim {
     * `vals(doc_id, v)` — the same banding/bucketing as
     * [[minhashLshCluster]], generated from the same seeds/weights.
     */
-  private def minhashLshTailSql(prefixCtes: String): String = {
+  /** The sig→wide→bands CTE chain over a `vals(doc_id, v)` CTE — shared
+    * by the LSH cluster oracle and the connected-components oracle.
+    */
+  private def minhashBandsSql: String = {
     import graft.functions.PortableHash.{mixSql, P}
     val r = MinhashK / LshBands
     val minCols = (0 until MinhashK)
@@ -817,11 +922,18 @@ object DedupSim {
       s"(($terms + $b) % $P) AS b$b"
     }.mkString(",\n             ")
     val bandCase = (0 until LshBands).map(b => s"WHEN $b THEN b$b").mkString(" ")
-    s"""WITH $prefixCtes,
-       sig AS (SELECT doc_id, $minCols FROM vals GROUP BY doc_id),
+    // MATERIALIZED: bands is referenced from several consumers per
+    // oracle; without it DuckDB inlines the whole chain per reference
+    // (exponentially in the unrolled-rounds oracle)
+    s"""sig AS (SELECT doc_id, $minCols FROM vals GROUP BY doc_id),
        wide AS (SELECT doc_id, $bandExprs FROM sig),
-       bands AS (SELECT doc_id, u.band_idx, CASE u.band_idx $bandCase END AS band_hash
-                 FROM wide CROSS JOIN (SELECT unnest(range($LshBands)) AS band_idx) u),
+       bands AS MATERIALIZED (SELECT doc_id, u.band_idx, CASE u.band_idx $bandCase END AS band_hash
+                 FROM wide CROSS JOIN (SELECT unnest(range($LshBands)) AS band_idx) u)"""
+  }
+
+  private def minhashLshTailSql(prefixCtes: String): String = {
+    s"""WITH $prefixCtes,
+       ${minhashBandsSql},
        bucket AS (SELECT band_idx, band_hash, min(doc_id) AS bucket_min,
                          count(*) AS bucket_size
                   FROM bands GROUP BY 1, 2)
@@ -927,6 +1039,7 @@ object DedupSim {
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,
+    "q41_dedup_components" -> dedupComponentsSql,
     "q40_ngram_jaccard" -> ngramJaccardSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,

@@ -211,6 +211,31 @@ class DedupSimSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
+  test("q41 closes bucket chains into one component; refines q39 clusters") {
+    // a path graph A-(b1)-B-(b2)-C: A and C share no bucket, so the
+    // one-hop cluster id (q26/q39 shape) keeps them apart — the closure
+    // must merge all three; D stays alone
+    val membership = Seq((1L, "b1"), (2L, "b1"), (2L, "b2"), (3L, "b2"), (4L, "b3"))
+      .toDF("doc_id", "bucket")
+    val cc = DedupSim.connectedComponents(membership)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(cc == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (4L, 4L, false)))
+
+    // on the corpus: every one-hop q39 cluster lies INSIDE a q41
+    // component (components only merge, never split)
+    val oneHop = DedupSim.q39MinhashOpenVocab(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val full = DedupSim.q41DedupComponents(spark, dir)
+      .select(col("doc_id"), col("component_id"))
+    val joined = oneHop.join(full, "doc_id")
+      .join(full.select(col("doc_id").as("cluster_id"), col("component_id").as("rep_comp")),
+        "cluster_id")
+    assert(joined.filter(col("component_id") =!= col("rep_comp")).count() == 0,
+      "docs sharing a one-hop cluster must share a component")
+    assert(full.select("component_id").distinct().count() <=
+      oneHop.select("cluster_id").distinct().count())
+  }
+
   test("q40 df cap drops the hot shingle but keeps genuine near-dups") {
     // 150 docs sharing one boilerplate sentence (a hot shingle with
     // df = 150 > the cap floor of 100) plus two genuinely similar docs.
