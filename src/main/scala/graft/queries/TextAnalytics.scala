@@ -39,11 +39,43 @@ object TextAnalytics {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition signals — the Gopher-rule style
+    * repetitive-content filters a pretraining pipeline applies before
+    * dedup: the duplicate 3-gram fraction (1 − distinct/total) and the
+    * most-frequent 2-gram's share of all 2-grams. Everything is a NARROW
+    * per-document projection over the token array (transform +
+    * array_distinct + filter counts — no explode, no shuffle; the
+    * per-doc HOF work is bounded by document length squared, fine for
+    * natural documents and embarrassingly parallel at corpus scale).
+    */
+  def q42Repetition(s: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) = when(size(col("t")) >= n,
+      expr(s"transform(sequence(0, size(t) - $n), i -> " +
+        (0 until n).map(k => s"t[i + $k]").mkString("concat_ws(' ', ", ", ", "))")))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), grams(3).as("g3"), grams(2).as("g2"))
+      .select(
+        col("doc_id"),
+        when(size(col("g3")) > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"),
+        when(size(col("g2")) > 0,
+          round(expr(
+            "array_max(transform(array_distinct(g2), g -> size(filter(g2, x -> x = g))))")
+            .cast("double") / size(col("g2")), 6))
+          .otherwise(lit(0.0)).as("top_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
     "q23_fingerprint" -> (q23Fingerprint _),
+    "q42_repetition" -> (q42Repetition _),
   )
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -98,5 +130,24 @@ object TextAnalytics {
                 list_reduce(list_transform(string_split(text, ''), x -> CAST(ord(x) AS BIGINT)),
                             (a, b) -> (a * 31 + b) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    // DuckDB lists are 1-based: i ranges over valid gram starts only, so
+    // a short doc yields an empty list (range(1, b) is empty for b <= 1)
+    "q42_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS g2
+               FROM t)
+         SELECT doc_id,
+                CASE WHEN len(g3) > 0
+                     THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                     ELSE 0.0 END AS dup_3gram_frac,
+                CASE WHEN len(g2) > 0
+                     THEN round(CAST(list_max(list_transform(list_distinct(g2),
+                            g -> len(list_filter(g2, x -> x = g)))) AS DOUBLE) / len(g2), 6)
+                     ELSE 0.0 END AS top_2gram_frac
+         FROM g ORDER BY doc_id""",
   )
 }

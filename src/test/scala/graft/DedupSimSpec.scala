@@ -236,6 +236,17 @@ class DedupSimSpec extends AnyFunSuite {
       oneHop.select("cluster_id").distinct().count())
   }
 
+  test("q42 repetition signals match hand-computed fractions") {
+    // "a b a b a b": 3-grams [aba, bab, aba, bab] → dup = 1 - 2/4 = 0.5;
+    // 2-grams [ab, ba, ab, ba, ab] → top share 3/5 = 0.6
+    val d = java.nio.file.Files.createTempDirectory("graft-q42").toString
+    Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.queries.TextAnalytics.q42Repetition(spark, d)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 0.5, 0.6), (2L, 0.0, 0.5), (3L, 0.0, 0.0)))
+  }
+
   test("q40 df cap drops the hot shingle but keeps genuine near-dups") {
     // 150 docs sharing one boilerplate sentence (a hot shingle with
     // df = 150 > the cap floor of 100) plus two genuinely similar docs.
