@@ -11,10 +11,18 @@ import graft.sources.Tables
   */
 object TextAnalytics {
 
+  /** GPT-2-style pretokenizer shape (space-prefixed letter runs, digit
+    * runs, punctuation runs) restricted to the regex subset Java and RE2
+    * evaluate identically: no lookahead, no unicode property classes,
+    * same alternation order (both engines are leftmost-first here).
+    */
+  private val BpeRe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
   def q20Tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        regexp_count(col("text"), lit(BpeRe)).cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"),
         round(avgWordLen(col("text")), 6).as("avg_word_len"))
       .orderBy(col("doc_id"))
@@ -87,6 +95,8 @@ object TextAnalytics {
     "q20_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+                  AS n_bpe_tokens,
                 CAST(length(text) AS BIGINT) AS n_chars_actual,
                 round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS avg_word_len
