@@ -52,7 +52,10 @@ object EclBinary {
     * mean of the 8 corner-point corners (COORD pillar interpolation at
     * each ZCORN depth); VOLUME is the 24-tetrahedron decomposition around
     * the face and cell centroids — exact for planar faces, robust for the
-    * non-planar ones corner-point grids produce.
+    * non-planar ones corner-point grids produce. MAPAXES is read but not
+    * applied, matching resdata's default cell-position export (COORD is
+    * already in map coordinates for simulator-written EGRIDs; the
+    * transform only matters for viz-local grids).
     */
   def egrid(spark: SparkSession, path: String): DataFrame = {
     val kws = EclKw.read(path)
