@@ -116,8 +116,22 @@ object Res2Csv {
 
   def main(args: Array[String]): Unit = {
     val known = Modules.keySet ++ PathModules.keySet
-    if (args.length < 2 || !known.contains(args(0))) {
-      System.err.println(s"usage: Res2Csv <${known.toSeq.sorted.mkString("|")}> <deckfile|prtfile|datafile> [out.csv]")
+    // flags anywhere after the module name (reference res2csv option
+    // style): --units, --tablenumbers 1,2 (vfp); others ignored by
+    // modules that don't take them
+    val (flagArgs, positional0) = args.partition(_.startsWith("--"))
+    val flags = flagArgs.map(_.stripPrefix("--")).toSet
+    val tablenumbers: Seq[Int] = {
+      val i = args.indexOf("--tablenumbers")
+      if (i >= 0 && i + 1 < args.length)
+        args(i + 1).split(",").flatMap(s => scala.util.Try(s.trim.toInt).toOption).toSeq
+      else Nil
+    }
+    val positional = positional0.filterNot(a => tablenumbers.nonEmpty &&
+      a == args(args.indexOf("--tablenumbers") + 1))
+    if (positional.length < 2 || !known.contains(positional(0))) {
+      System.err.println(s"usage: Res2Csv <${known.toSeq.sorted.mkString("|")}> " +
+        "<deckfile|prtfile|datafile> [out.csv] [--units] [--tablenumbers n,m]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -128,9 +142,13 @@ object Res2Csv {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = PathModules.get(args(0)) match {
-      case Some(fn) => fn(spark, args(1))
-      case None => Modules(args(0))(spark, deckTextOf(args(1)))
+    val df = positional(0) match {
+      case "vfp" =>
+        Vfp.df(spark, deckTextOf(positional(1)), tablenumbers, flags.contains("units"))
+      case m => PathModules.get(m) match {
+        case Some(fn) => fn(spark, positional(1))
+        case None => Modules(m)(spark, deckTextOf(positional(1)))
+      }
     }
     // deck-derived frames are driver-sized (decks are text written by
     // humans); stdout CSV matches the reference's write_dframe_stdout_file
@@ -142,7 +160,7 @@ object Res2Csv {
       case v => v.toString
     }.mkString(",")).mkString("\n")
     val out = header + "\n" + body + "\n"
-    if (args.length >= 3) Files.writeString(Paths.get(args(2)), out)
+    if (positional.length >= 3) Files.writeString(Paths.get(positional(2)), out)
     else print(out)
     spark.stop()
   }
