@@ -152,6 +152,27 @@ class EclBinarySpec extends AnyFunSuite {
     assert(reekGrid.count() == 35817 && reekGrid.columns.contains("ZONE"))
   }
 
+  test("every reference test deck parses and drives the schedule clock") {
+    val decks = {
+      val out = Seq.newBuilder[java.nio.file.Path]
+      java.nio.file.Files.walk(java.nio.file.Paths.get("/root/reference/tests/data"))
+        .filter(p => p.toString.endsWith(".DATA")).forEach(p => out += p)
+      out.result()
+    }
+    assert(decks.size >= 7)
+    decks.foreach { p =>
+      val events = graft.io.DeckParser.parseFile(p.toString)
+      assert(events.nonEmpty, s"$p produced no events")
+      // the schedule clock runs over every deck without error; decks
+      // with DATES/TSTEP produce at least one dated keyword
+      val df = spark.createDataFrame(events)
+      val dates = graft.modules.Schedule.keywordDates(df)
+      val dated = dates.filter(col("DATE").isNotNull).count()
+      val hasClock = events.exists(e => Set("DATES", "START", "TSTEP")(e.keyword))
+      if (hasClock) assert(dated > 0, s"$p: clock keywords but no dated rows")
+    }
+  }
+
   test("record-level modules fail fast on a multi-deck frame") {
     val events = spark.read.format("eclipse-deck")
       .load(s"$EightCells.DATA,$ReekModel.DATA")
