@@ -61,6 +61,54 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class Doc(doc_id: Long, text: String)
+  case class DocDedup(doc_id: Long, canonical_id: Long, is_dup: Boolean)
+
+  /** Streaming MinHash-signature dedup — the incremental member of the
+    * q26/q39 dedup family: each arriving document maps to its 32-slot
+    * MinHash signature with the SAME portable hash family as the batch
+    * queries, computed as a stateless per-document projection
+    * (`array_min ∘ transform` over the token array — per-doc bounded
+    * work; the batch pipeline's hash-aggregate shape would be a second
+    * stateful operator, which streaming queries cannot chain before
+    * mapGroupsWithState). One stateful stage keyed by the signature keeps
+    * the first-seen doc id: identical signatures (all 32 slots equal —
+    * content-identical or extremely near) collapse to the first arrival.
+    *
+    * State is one long per DISTINCT signature — the irreducible state of
+    * any streaming dedup (the distinct-content set); at corpus scale it
+    * lives in the RocksDB state store, and a TTL policy can bound it when
+    * late duplicates stop mattering.
+    */
+  def signatureDeduped(docs: DataFrame): Dataset[DocDedup] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.PortableHash.mix
+    import graft.functions.PortableStringHash.strHash
+    import graft.functions.TextFunctions.tokens
+    val sigCols = (0 until 32).map { k =>
+      array_min(transform(
+        filter(array_distinct(tokens(col("text"))), t => length(t) > 0),
+        t => mix(strHash(t), k)))
+    }
+    val keyed = docs.select(col("doc_id"),
+      concat_ws("_", sigCols: _*).as("sig"))
+      .as[(Long, String)]
+    keyed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) => {
+          // deterministic within a micro-batch: process by ascending id
+          val ids = rows.map(_._1).toSeq.sorted
+          var canon = state.getOption.getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            val c = math.min(canon, id)
+            canon = c
+            DocDedup(id, c, c < id)
+          }
+          state.update(canon)
+          out.iterator
+        })
+  }
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Timestamp, last: Timestamp, n: Long, total: Double)
   case class ClosedSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -84,6 +84,28 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: minhash-signature dedup collapses identical content across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = EventStreams.signatureDeduped(src.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sigdedup").start()
+    try {
+      src.addData(Doc(1, "alpha beta gamma"), Doc(2, "alpha beta gamma"),
+        Doc(3, "delta epsilon"))
+      q.processAllAvailable()
+      src.addData(Doc(4, "alpha beta gamma")) // replay in a LATER micro-batch
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, canonical_id, is_dup FROM sigdedup")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(out(1L) == ((1L, false)))
+      assert(out(2L) == ((1L, true)))  // same batch, same content
+      assert(out(3L) == ((3L, false)))
+      assert(out(4L) == ((1L, true))) // cross-batch: state remembered doc 1
+    } finally q.stop()
+  }
+
   test("streaming: stateful sessionization closes sessions on gaps") {
     import EventStreams.Ev
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
