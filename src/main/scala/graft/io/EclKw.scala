@@ -87,6 +87,49 @@ object EclKw {
     finally in.close()
   }
 
+  // ---- writer (the inverse; Eclipse chunk conventions) ---------------------
+
+  private val NumChunk = 1000
+  private val CharChunk = 105
+
+  private def record(out: java.io.DataOutputStream)(body: java.io.DataOutputStream => Unit): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    body(new java.io.DataOutputStream(buf))
+    val bytes = buf.toByteArray
+    out.writeInt(bytes.length); out.write(bytes); out.writeInt(bytes.length)
+  }
+
+  /** Write keywords in the standard framing (1000 numeric / 105 char
+    * elements per data record) — the inverse of [[read]]; SMSPEC/UNSMRY
+    * writing in [[graft.write.SummaryWriter]] and synthetic test
+    * artifacts both ride on it.
+    */
+  def write(path: String, kws: Seq[Kw]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    try kws.foreach { kw =>
+      record(out) { o =>
+        o.writeBytes(kw.name.take(8).padTo(8, ' '))
+        o.writeInt(kw.data.length)
+        o.writeBytes(kw.typ.take(4).padTo(4, ' '))
+      }
+      val chunk = if (kw.typ == "CHAR" || kw.typ.startsWith("C0")) CharChunk else NumChunk
+      val w = elemWidth(kw.typ)
+      kw.data.grouped(chunk).foreach { group =>
+        record(out) { o =>
+          group.foreach {
+            case i: Int => o.writeInt(i)
+            case f: Float => o.writeFloat(f)
+            case d: Double => o.writeDouble(d)
+            case b: Boolean => o.writeInt(if (b) -1 else 0)
+            case s: String => o.writeBytes(s.take(w).padTo(w, ' '))
+            case other => throw new IllegalArgumentException(s"${kw.name}: $other")
+          }
+        }
+      }
+    } finally out.close()
+  }
+
   /** Split a keyword stream into groups, each STARTING at a keyword named
     * `marker` (content before the first marker is dropped) — the record
     * grouping of UNRST (SEQNUM) and RFT (TIME) files.

@@ -25,42 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object SummaryWriter {
 
-  private val NumChunk = 1000
-  private val CharChunk = 105
+  // ---- writer (framing shared via graft.io.EclKw) --------------------------
 
-  // ---- fortran unformatted framing ----------------------------------------
-
-  private def record(out: DataOutputStream)(body: DataOutputStream => Unit): Unit = {
-    val buf = new java.io.ByteArrayOutputStream()
-    body(new DataOutputStream(buf))
-    val bytes = buf.toByteArray
-    out.writeInt(bytes.length)
-    out.write(bytes)
-    out.writeInt(bytes.length)
-  }
-
-  private def pad8(s: String): String = s.take(8).padTo(8, ' ')
-
-  private def header(out: DataOutputStream, name: String, n: Int, typ: String): Unit =
-    record(out) { o => o.writeBytes(pad8(name)); o.writeInt(n); o.writeBytes(typ.take(4).padTo(4, ' ')) }
-
-  private def writeInte(out: DataOutputStream, name: String, data: Seq[Int]): Unit = {
-    header(out, name, data.length, "INTE")
-    data.grouped(NumChunk).foreach(chunk => record(out)(o => chunk.foreach(o.writeInt)))
-  }
-
-  private def writeReal(out: DataOutputStream, name: String, data: Seq[Float]): Unit = {
-    header(out, name, data.length, "REAL")
-    data.grouped(NumChunk).foreach(chunk => record(out)(o => chunk.foreach(o.writeFloat)))
-  }
-
-  private def writeChar(out: DataOutputStream, name: String, data: Seq[String]): Unit = {
-    header(out, name, data.length, "CHAR")
-    data.grouped(CharChunk).foreach(chunk =>
-      record(out)(o => chunk.foreach(s => o.writeBytes(pad8(s)))))
-  }
-
-  // ---- writer --------------------------------------------------------------
+  private def inte(name: String, data: Seq[Int]) =
+    graft.io.EclKw.Kw(name, "INTE", data.toIndexedSeq)
+  private def real(name: String, data: Seq[Float]) =
+    graft.io.EclKw.Kw(name, "REAL", data.toIndexedSeq)
+  private def char(name: String, data: Seq[String]) =
+    graft.io.EclKw.Kw(name, "CHAR", data.toIndexedSeq)
 
   /** Split a summary mnemonic like `WOPR:OP_1` into (keyword, wgname). */
   private def splitVector(v: String): (String, String) = v.split(":", 2) match {
@@ -83,29 +55,20 @@ object SummaryWriter {
     // TIME (days since start) is param 0, matching the convention that the
     // params vector always carries the clock.
     val allVectors = "TIME" +: vectors
-    val smspec = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(s"$basePath.SMSPEC")))
-    try {
-      writeInte(smspec, "DIMENS", Seq(allVectors.length, 0, 0, 0, 0, -1))
-      writeChar(smspec, "KEYWORDS", allVectors.map(v => splitVector(v)._1))
-      writeChar(smspec, "WGNAMES", allVectors.map(v => splitVector(v)._2))
-      writeInte(smspec, "NUMS", allVectors.map(_ => 0))
-      writeChar(smspec, "UNITS", allVectors.map(_ => ""))
-      writeInte(smspec, "STARTDAT",
-        Seq(start.getDayOfMonth, start.getMonthValue, start.getYear, 0, 0, 0))
-    } finally smspec.close()
-
-    val unsmry = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(s"$basePath.UNSMRY")))
-    try {
-      dates.zipWithIndex.foreach { case (d, i) =>
-        writeInte(unsmry, "SEQHDR", Seq(i))
-        writeInte(unsmry, "MINISTEP", Seq(i))
+    graft.io.EclKw.write(s"$basePath.SMSPEC", Seq(
+      inte("DIMENS", Seq(allVectors.length, 0, 0, 0, 0, -1)),
+      char("KEYWORDS", allVectors.map(v => splitVector(v)._1)),
+      char("WGNAMES", allVectors.map(v => splitVector(v)._2)),
+      inte("NUMS", allVectors.map(_ => 0)),
+      char("UNITS", allVectors.map(_ => "")),
+      inte("STARTDAT",
+        Seq(start.getDayOfMonth, start.getMonthValue, start.getYear, 0, 0, 0))))
+    graft.io.EclKw.write(s"$basePath.UNSMRY",
+      dates.zipWithIndex.flatMap { case (d, i) =>
         val params = (d.toEpochDay - start.toEpochDay).toFloat +:
           vectors.map(v => byKey.getOrElse((d, v), 0.0).toFloat)
-        writeReal(unsmry, "PARAMS", params)
-      }
-    } finally unsmry.close()
+        Seq(inte("SEQHDR", Seq(i)), inte("MINISTEP", Seq(i)), real("PARAMS", params))
+      })
     allVectors
   }
 

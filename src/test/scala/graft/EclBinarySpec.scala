@@ -104,6 +104,29 @@ class EclBinarySpec extends AnyFunSuite {
     assert(zoned.filter(col("ZONE").isNull).count() == 0)
   }
 
+  test("NNC TRANNNC attachment round-trips through the ecl_kw writer") {
+    import graft.io.EclKw
+    import graft.io.EclKw.Kw
+    // synthetic 3x2x1 grid: NNC1/NNC2 pair cells (1,1,1)<->(3,2,1), and
+    // an INIT carrying the matching TRANNNC vector (no shipped dataset
+    // has BOTH NNCs and an INIT, so the writer builds the fixture)
+    val d = java.nio.file.Files.createTempDirectory("graft-nnc").toString
+    EclKw.write(s"$d/T.EGRID", Seq(
+      Kw("GRIDHEAD", "INTE", IndexedSeq.fill(4)(0).updated(1, 3).updated(2, 2).updated(3, 1)),
+      Kw("NNC1", "INTE", IndexedSeq(1, 2)),
+      Kw("NNC2", "INTE", IndexedSeq(6, 5))))
+    val ih = IndexedSeq.fill(95)(0).updated(8, 3).updated(9, 2).updated(10, 1).updated(11, 6)
+    EclKw.write(s"$d/T.INIT", Seq(
+      Kw("INTEHEAD", "INTE", ih),
+      Kw("TRANNNC", "REAL", IndexedSeq(12.5f, 7.25f))))
+    val nnc = graft.io.EclBinary.nnc(spark, s"$d/T.EGRID", Some(s"$d/T.INIT"))
+      .orderBy("I1").collect()
+    // global 1 -> (1,1,1), 6 -> (3,2,1); global 2 -> (2,1,1), 5 -> (2,2,1)
+    assert(nnc.map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6))).toSeq ==
+      Seq((1, 1, 1, 3, 2, 1, 12.5), (2, 1, 1, 2, 2, 1, 7.25)))
+  }
+
   test("Reek NNC: EGRID pair list decodes, TRAN null without INIT") {
     val nnc = graft.io.EclBinary.nnc(spark, s"$ReekModel.EGRID", None)
     assert(nnc.count() == 3286) // NNC1/NNC2 length in the Reek EGRID
