@@ -24,13 +24,18 @@ object EclBinary {
 
   // ---- EGRID geometry ------------------------------------------------------
 
-  /** Raw corner-point payload broadcast to the geometry kernel. `aprefix`
-    * is the running count of active cells before each global index, so
-    * `ACTIVE_IDX` needs no sequential pass on the executors.
+  /** One K-slab's payload for the geometry kernel: the slab's ZCORN /
+    * ACTNUM slices ride IN the task's partition (each byte ships to
+    * exactly one task — broadcasting the whole arrays would ship
+    * ncells-sized payloads to every executor, gigabytes on a 10⁸-cell
+    * grid). Only COORD (pillar tops/bottoms, (nx+1)·(ny+1)·6 floats —
+    * megabytes at any realistic areal size) is broadcast, since every
+    * slab interpolates against it. `aprefix` is the running active count
+    * before each cell of the slab, so `ACTIVE_IDX` needs no sequential
+    * pass on the executors.
     */
-  private final case class RawGrid(nx: Int, ny: Int, nz: Int,
-      coord: Array[Float], zcorn: Array[Float], actnum: Array[Int],
-      aprefix: Array[Int])
+  private final case class GridSlab(k: Int, nx: Int, ny: Int,
+      zcorn: Array[Float], actnum: Array[Int], aprefix: Array[Int])
 
   private val GeomSchema = StructType(Seq(
     StructField("I", IntegerType, nullable = false),
@@ -70,34 +75,45 @@ object EclBinary {
     val actnum = kws.find(_.name == "ACTNUM").map(_.ints.toArray)
       .getOrElse(Array.fill(ncells.toInt)(1))
     val aprefix = actnum.scanLeft(0)((acc, a) => acc + (if (a != 0) 1 else 0))
-    val bc = spark.sparkContext.broadcast(RawGrid(nx, ny, nz, coord, zcorn, actnum, aprefix))
-    val rows = spark.sparkContext.range(0L, ncells, numSlices = spark.sparkContext.defaultParallelism)
-      .flatMap { g =>
-        val rg = bc.value
-        val gi = g.toInt
-        if (rg.actnum(gi) == 0) None
-        else {
-          val i = gi % rg.nx
-          val j = (gi / rg.nx) % rg.ny
-          val k = gi / (rg.nx * rg.ny)
-          // 8 corners: pillar (i+cx, j+cy) interpolated at the ZCORN depth
-          val cx8 = new Array[Double](8); val cy8 = new Array[Double](8)
-          val cz8 = new Array[Double](8)
-          var c = 0
-          while (c < 8) {
-            val (dx, dy, dz) = (c & 1, (c >> 1) & 1, (c >> 2) & 1)
-            val zi = (((k * 2 + dz) * 2 * rg.ny + (j * 2 + dy)) * 2 * rg.nx) + (i * 2 + dx)
-            val z = rg.zcorn(zi).toDouble
-            val p = ((j + dy) * (rg.nx + 1) + (i + dx)) * 6
-            val (x1, y1, z1) = (rg.coord(p).toDouble, rg.coord(p + 1).toDouble, rg.coord(p + 2).toDouble)
-            val (x2, y2, z2) = (rg.coord(p + 3).toDouble, rg.coord(p + 4).toDouble, rg.coord(p + 5).toDouble)
-            val t = if (z2 == z1) 0.0 else (z - z1) / (z2 - z1)
-            cx8(c) = x1 + t * (x2 - x1); cy8(c) = y1 + t * (y2 - y1); cz8(c) = z
-            c += 1
+    val bcCoord = spark.sparkContext.broadcast(coord)
+    val perSlab = nx * ny
+    val slabs = (0 until nz).map { k =>
+      GridSlab(k, nx, ny,
+        java.util.Arrays.copyOfRange(zcorn, k * 8 * perSlab, (k + 1) * 8 * perSlab),
+        java.util.Arrays.copyOfRange(actnum, k * perSlab, (k + 1) * perSlab),
+        java.util.Arrays.copyOfRange(aprefix, k * perSlab, (k + 1) * perSlab))
+    }
+    val rows = spark.sparkContext
+      .parallelize(slabs, math.min(nz, spark.sparkContext.defaultParallelism))
+      .flatMap { sl =>
+        val coordA = bcCoord.value
+        (0 until sl.nx * sl.ny).iterator.flatMap { li =>
+          if (sl.actnum(li) == 0) None
+          else {
+            val i = li % sl.nx
+            val j = li / sl.nx
+            val k = sl.k
+            // 8 corners: pillar (i+cx, j+cy) interpolated at the ZCORN
+            // depth; the slab's zcorn slice is 0-based at layer k
+            val cx8 = new Array[Double](8); val cy8 = new Array[Double](8)
+            val cz8 = new Array[Double](8)
+            var c = 0
+            while (c < 8) {
+              val (dx, dy, dz) = (c & 1, (c >> 1) & 1, (c >> 2) & 1)
+              val zi = ((dz * 2 * sl.ny + (j * 2 + dy)) * 2 * sl.nx) + (i * 2 + dx)
+              val z = sl.zcorn(zi).toDouble
+              val p = ((j + dy) * (sl.nx + 1) + (i + dx)) * 6
+              val (x1, y1, z1) = (coordA(p).toDouble, coordA(p + 1).toDouble, coordA(p + 2).toDouble)
+              val (x2, y2, z2) = (coordA(p + 3).toDouble, coordA(p + 4).toDouble, coordA(p + 5).toDouble)
+              val t = if (z2 == z1) 0.0 else (z - z1) / (z2 - z1)
+              cx8(c) = x1 + t * (x2 - x1); cy8(c) = y1 + t * (y2 - y1); cz8(c) = z
+              c += 1
+            }
+            val x = cx8.sum / 8; val y = cy8.sum / 8; val z = cz8.sum / 8
+            val g = k.toLong * sl.nx * sl.ny + li
+            Some(Row(i + 1, j + 1, k + 1, x, y, z, cz8.min, cz8.max,
+              hexVolume(cx8, cy8, cz8), g, sl.aprefix(li).toLong))
           }
-          val x = cx8.sum / 8; val y = cy8.sum / 8; val z = cz8.sum / 8
-          Some(Row(i + 1, j + 1, k + 1, x, y, z, cz8.min, cz8.max,
-            hexVolume(cx8, cy8, cz8), g, rg.aprefix(gi).toLong))
         }
       }
     spark.createDataFrame(rows, GeomSchema)
@@ -150,7 +166,11 @@ object EclBinary {
     java.sql.Date.valueOf(LocalDate.of(intehead(66), intehead(65), intehead(64)))
 
   /** Assemble `(ACTIVE_IDX, vec1, vec2, …)` rows distributed over the
-    * active-cell range from a set of decoded per-cell vectors.
+    * active-cell range from a set of decoded per-cell vectors. Each task
+    * receives ONLY its contiguous slice of every vector (the slices ride
+    * in the partition payloads — broadcasting the full vectors would
+    * ship nactive × nvec values to every executor, gigabytes on a
+    * 10⁸-cell grid with a full INIT).
     */
   private def cellFrame(spark: SparkSession, nactive: Int,
       vecs: Seq[EclKw.Kw], extra: Seq[(StructField, Any)] = Nil): DataFrame = {
@@ -158,18 +178,27 @@ object EclBinary {
       (extra.map(_._1) ++ vecs.map(v => StructField(v.name,
         if (v.typ == "INTE") IntegerType else DoubleType, nullable = false)))
     val extraVals = extra.map(_._2)
-    val data: Seq[(String, Either[Array[Int], Array[Double]])] = vecs.map { v =>
-      v.name -> (if (v.typ == "INTE") Left(v.ints.toArray) else Right(v.doubles.toArray))
+    val data: Seq[Either[Array[Int], Array[Double]]] = vecs.map { v =>
+      if (v.typ == "INTE") Left(v.ints.toArray) else Right(v.doubles.toArray)
     }
-    val bc = spark.sparkContext.broadcast(data)
-    val rows = spark.sparkContext
-      .range(0L, nactive.toLong, numSlices = spark.sparkContext.defaultParallelism)
-      .map { a =>
-        val cols = bc.value.map {
-          case (_, Left(ints)) => ints(a.toInt): Any
-          case (_, Right(ds)) => ds(a.toInt): Any
+    val nSlices = math.max(1, math.min(spark.sparkContext.defaultParallelism, nactive))
+    val bounds = (0 to nSlices).map(s => (s.toLong * nactive / nSlices).toInt)
+    val payloads = (0 until nSlices).map { s =>
+      val (lo, hi) = (bounds(s), bounds(s + 1))
+      (lo.toLong, hi - lo, data.map {
+        case Left(a) => Left(java.util.Arrays.copyOfRange(a, lo, hi))
+        case Right(a) => Right(java.util.Arrays.copyOfRange(a, lo, hi))
+      })
+    }
+    val rows = spark.sparkContext.parallelize(payloads, nSlices)
+      .flatMap { case (lo, n, slices) =>
+        (0 until n).iterator.map { off =>
+          val cols = slices.map {
+            case Left(ints) => ints(off): Any
+            case Right(ds) => ds(off): Any
+          }
+          Row.fromSeq(((lo + off) +: extraVals) ++ cols)
         }
-        Row.fromSeq((a +: extraVals) ++ cols)
       }
     spark.createDataFrame(rows, StructType(fields))
   }
