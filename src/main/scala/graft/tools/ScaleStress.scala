@@ -65,7 +65,8 @@ object ScaleStress {
       "q12_running", "q24_exact_dedup", "q25_jaccard", "q26_minhash_lsh",
       "q27_simhash", "q29_cosine_neardup", "q30_ann_lsh", "q33_dropconst",
       "q36_ann_ivf", "q37_simhash_neardup", "q38_ann_ivf_kmeans",
-      "q39_minhash_openvocab", "q40_ngram_jaccard")
+      "q39_minhash_openvocab", "q40_ngram_jaccard", "q41_dedup_components",
+      "q42_repetition")
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
