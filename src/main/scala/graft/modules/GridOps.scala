@@ -257,6 +257,83 @@ object GridOps {
       .drop("X1", "X2", "Y1", "Y2", "Z1", "Z2")
   }
 
+  /** SVG 1.0 color keyword names (the public CSS/SVG specification list
+    * the reference validates against, common.py:847-856).
+    */
+  private val SvgColorNames: Set[String] = Set(
+    "aliceblue", "antiquewhite", "aqua", "aquamarine", "azure", "beige",
+    "bisque", "black", "blanchedalmond", "blue", "blueviolet", "brown",
+    "burlywood", "cadetblue", "chartreuse", "chocolate", "coral",
+    "cornflowerblue", "cornsilk", "crimson", "cyan", "darkblue", "darkcyan",
+    "darkgoldenrod", "darkgray", "darkgreen", "darkgrey", "darkkhaki",
+    "darkmagenta", "darkolivegreen", "darkorange", "darkorchid", "darkred",
+    "darksalmon", "darkseagreen", "darkslateblue", "darkslategray",
+    "darkslategrey", "darkturquoise", "darkviolet", "deeppink", "deepskyblue",
+    "dimgray", "dimgrey", "dodgerblue", "firebrick", "floralwhite",
+    "forestgreen", "fuchsia", "gainsboro", "ghostwhite", "gold", "goldenrod",
+    "gray", "green", "greenyellow", "grey", "honeydew", "hotpink",
+    "indianred", "indigo", "ivory", "khaki", "lavender", "lavenderblush",
+    "lawngreen", "lemonchiffon", "lightblue", "lightcoral", "lightcyan",
+    "lightgoldenrodyellow", "lightgray", "lightgreen", "lightgrey",
+    "lightpink", "lightsalmon", "lightseagreen", "lightskyblue",
+    "lightslategray", "lightslategrey", "lightsteelblue", "lightyellow",
+    "lime", "limegreen", "linen", "magenta", "maroon", "mediumaquamarine",
+    "mediumblue", "mediumorchid", "mediumpurple", "mediumseagreen",
+    "mediumslateblue", "mediumspringgreen", "mediumturquoise",
+    "mediumvioletred", "midnightblue", "mintcream", "mistyrose", "moccasin",
+    "navajowhite", "navy", "oldlace", "olive", "olivedrab", "orange",
+    "orangered", "orchid", "palegoldenrod", "palegreen", "paleturquoise",
+    "palevioletred", "papayawhip", "peachpuff", "peru", "pink", "plum",
+    "powderblue", "purple", "red", "rosybrown", "royalblue", "saddlebrown",
+    "salmon", "sandybrown", "seagreen", "seashell", "sienna", "silver",
+    "skyblue", "slateblue", "slategray", "slategrey", "snow", "springgreen",
+    "steelblue", "tan", "teal", "thistle", "tomato", "turquoise", "violet",
+    "wheat", "white", "whitesmoke", "yellow", "yellowgreen")
+
+  /** Valid lyr color token: 3/6-digit hex or an SVG keyword name
+    * (is_color, common.py:847-856).
+    */
+  def isColor(s: String): Boolean =
+    SvgColorNames.contains(s.toLowerCase) ||
+      s.matches("^#([A-Fa-f0-9]{6}|[A-Fa-f0-9]{3})$")
+
+  /** One parsed lyr record: K range as from/to or a single-layer span,
+    * optional validated color (parse_lyrfile's dict shape,
+    * common.py:859-952).
+    */
+  final case class LyrZone(name: String, fromLayer: Option[Int],
+      toLayer: Option[Int], span: Option[Int], color: Option[String])
+
+  /** Structured lyr parse with the reference's exact record shape and
+    * failure mode: `None` when any line fails (inverted ranges, bad
+    * numbers), like parse_lyrfile's error return; color tokens are
+    * recognized only when valid per [[isColor]].
+    */
+  def parseLyrRecords(text: String): Option[Seq[LyrZone]] = {
+    val lines = text.linesIterator
+      .map(_.split("--")(0).trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSeq
+    val out = Seq.newBuilder[LyrZone]
+    lines.foreach { line =>
+      val toks0 = graft.io.DeckParser.tokenizeLine(line)
+      if (toks0.isEmpty) return None
+      val (toks, color) =
+        if (toks0.length > 1 && isColor(toks0.last)) (toks0.dropRight(1), Some(toks0.last))
+        else (toks0, None)
+      val numbers = toks.tail.mkString(" ").split("-").map(_.trim)
+      try numbers.length match {
+        case 2 =>
+          val (from, to) = (numbers(0).toInt, numbers(1).toInt)
+          if (from > to) return None // from_layer higher than to_layer
+          out += LyrZone(toks.head, Some(from), Some(to), None, color)
+        case 1 => out += LyrZone(toks.head, None, None, Some(numbers(0).toInt), color)
+        case _ => return None
+      } catch { case _: NumberFormatException => return None }
+    }
+    Some(out.result())
+  }
+
   /** Parse an lyr zonemap text (S10, common.py:859-952): lines of
     * `'ZoneName' startK [- endK]` (color tokens ignored), → K→zone map.
     * Driver-side by design: lyr files are hand-written and tiny.

@@ -108,6 +108,26 @@ class GridOpsSpec extends AnyFunSuite {
     assert(params == Map("FWL" -> "1700.5", "RMS_SEED" -> "422789"))
   }
 
+  test("lyr records: ranges, spans, color validation, reference failure modes") {
+    import GridOps.LyrZone
+    val ok = GridOps.parseLyrRecords(
+      """-- comment
+        |'ZoneA' 1-4     #FFE5F7
+        |'ZoneB' 5       red
+        |'ZoneC' 6 - 8
+        |""".stripMargin)
+    assert(ok.contains(Seq(
+      LyrZone("ZoneA", Some(1), Some(4), None, Some("#FFE5F7")),
+      LyrZone("ZoneB", None, None, Some(5), Some("red")),
+      LyrZone("ZoneC", Some(6), Some(8), None, None))))
+    // invalid color token is NOT a color → it poisons the number parse
+    assert(GridOps.parseLyrRecords("'Z' 1-2 notacolor\n").isEmpty)
+    // inverted range fails the whole parse, like the reference
+    assert(GridOps.parseLyrRecords("'Z' 4-1\n").isEmpty)
+    assert(GridOps.isColor("#abc") && GridOps.isColor("DarkSeaGreen"))
+    assert(!GridOps.isColor("#abcd") && !GridOps.isColor("zzz"))
+  }
+
   test("parameters parse through the yaml -> json -> txt cascade") {
     // yaml: flat keys survive, grouped (dict-valued) keys are dropped
     // (parameters.py:177-183); numbers render as written
