@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   * unchanged on real simulator output).
   *
   * Scale shape: one artifact is ONE file, so the byte decode is
-  * driver-side (exactly like the reference); everything per-cell —
+  * driver-side (exactly like the reference) — but it is a SELECTIVE
+  * STREAMING decode ([[EclKw.stream]]): only the keywords a frame needs
+  * are materialized (primitive arrays, one at a time; UNRST one report
+  * step at a time), everything else is seeked past. Everything per-cell —
   * corner-point geometry, volume, vector column assembly — runs
-  * DISTRIBUTED via broadcast arrays + `spark.range` over the cell space,
-  * so a 10⁸-cell grid fans out instead of looping on the driver. For a
-  * 100 TB corpus of many realisations, each realisation's decode is an
-  * independent task upstream of these frames (convert-to-parquet once,
+  * DISTRIBUTED via per-task array slices + `spark.range` over the cell
+  * space, so a 10⁸-cell grid fans out instead of looping on the driver.
+  * For a 100 TB corpus of many realisations, each realisation's decode is
+  * an independent task upstream of these frames (convert-to-parquet once,
   * then all queries are columnar scans — SURVEY §4.3).
   */
 object EclBinary {
@@ -57,22 +60,24 @@ object EclBinary {
     * mean of the 8 corner-point corners (COORD pillar interpolation at
     * each ZCORN depth); VOLUME is the 24-tetrahedron decomposition around
     * the face and cell centroids — exact for planar faces, robust for the
-    * non-planar ones corner-point grids produce. MAPAXES is read but not
-    * applied, matching resdata's default cell-position export (COORD is
-    * already in map coordinates for simulator-written EGRIDs; the
-    * transform only matters for viz-local grids).
+    * non-planar ones corner-point grids produce. MAPAXES is not applied,
+    * matching resdata's default cell-position export (COORD is already in
+    * map coordinates for simulator-written EGRIDs; the transform only
+    * matters for viz-local grids). Only the four geometry keywords are
+    * decoded — NNC/LGR/map payloads in the file are seeked past.
     */
   def egrid(spark: SparkSession, path: String): DataFrame = {
-    val kws = EclKw.read(path)
+    val wanted = Set("GRIDHEAD", "COORD", "ZCORN", "ACTNUM")
+    val kws = EclKw.stream(path, (name, _, _) => wanted(name))(_.toVector)
     def kw(name: String) = kws.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"$path: no $name keyword"))
     val gh = kw("GRIDHEAD").ints
     val (nx, ny, nz) = (gh(1), gh(2), gh(3))
     val ncells = nx.toLong * ny * nz
     require(ncells > 0 && ncells < Int.MaxValue, s"bad grid dims $nx*$ny*$nz")
-    val coord = kw("COORD").floats.toArray
-    val zcorn = kw("ZCORN").floats.toArray
-    val actnum = kws.find(_.name == "ACTNUM").map(_.ints.toArray)
+    val coord = kw("COORD").floats
+    val zcorn = kw("ZCORN").floats
+    val actnum = kws.find(_.name == "ACTNUM").map(_.ints)
       .getOrElse(Array.fill(ncells.toInt)(1))
     val aprefix = actnum.scanLeft(0)((acc, a) => acc + (if (a != 0) 1 else 0))
     val bcCoord = spark.sparkContext.broadcast(coord)
@@ -157,12 +162,16 @@ object EclBinary {
   private val NonCellKw = Set("INTEHEAD", "LOGIHEAD", "DOUBHEAD", "TABDIMS",
     "TAB", "CON", "REGDIMS", "FIPFAMNA", "SEQNUM", "STARTSOL", "ENDSOL")
 
+  private def isCellVector(name: String, typ: String, vectors: Seq[String]): Boolean =
+    (typ == "INTE" || typ == "REAL" || typ == "DOUB") && !NonCellKw(name) &&
+      (vectors.isEmpty || vectors.contains(name))
+
   private def nactiveOf(kws: Seq[EclKw.Kw], path: String): Int =
     kws.find(_.name == "INTEHEAD")
       .getOrElse(throw new IllegalArgumentException(s"$path: no INTEHEAD"))
       .ints(11) // INTEHEAD[11] = NACTIVE (8,9,10 are NX,NY,NZ)
 
-  private def intestampDate(intehead: IndexedSeq[Int]): java.sql.Date =
+  private def intestampDate(intehead: Array[Int]): java.sql.Date =
     java.sql.Date.valueOf(LocalDate.of(intehead(66), intehead(65), intehead(64)))
 
   /** Assemble `(ACTIVE_IDX, vec1, vec2, …)` rows distributed over the
@@ -170,7 +179,8 @@ object EclBinary {
     * receives ONLY its contiguous slice of every vector (the slices ride
     * in the partition payloads — broadcasting the full vectors would
     * ship nactive × nvec values to every executor, gigabytes on a
-    * 10⁸-cell grid with a full INIT).
+    * 10⁸-cell grid with a full INIT). REAL vectors stay `Array[Float]`
+    * in the payloads (half the bytes) and widen to double per row.
     */
   private def cellFrame(spark: SparkSession, nactive: Int,
       vecs: Seq[EclKw.Kw], extra: Seq[(StructField, Any)] = Nil): DataFrame = {
@@ -178,24 +188,26 @@ object EclBinary {
       (extra.map(_._1) ++ vecs.map(v => StructField(v.name,
         if (v.typ == "INTE") IntegerType else DoubleType, nullable = false)))
     val extraVals = extra.map(_._2)
-    val data: Seq[Either[Array[Int], Array[Double]]] = vecs.map { v =>
-      if (v.typ == "INTE") Left(v.ints.toArray) else Right(v.doubles.toArray)
+    val data: Seq[Array[_]] = vecs.map(_.data)
+    def slice(a: Array[_], lo: Int, hi: Int): Array[_] = a match {
+      case x: Array[Int] => java.util.Arrays.copyOfRange(x, lo, hi)
+      case x: Array[Float] => java.util.Arrays.copyOfRange(x, lo, hi)
+      case x: Array[Double] => java.util.Arrays.copyOfRange(x, lo, hi)
+      case other => throw new IllegalArgumentException(s"non-numeric cell vector: $other")
     }
     val nSlices = math.max(1, math.min(spark.sparkContext.defaultParallelism, nactive))
     val bounds = (0 to nSlices).map(s => (s.toLong * nactive / nSlices).toInt)
     val payloads = (0 until nSlices).map { s =>
       val (lo, hi) = (bounds(s), bounds(s + 1))
-      (lo.toLong, hi - lo, data.map {
-        case Left(a) => Left(java.util.Arrays.copyOfRange(a, lo, hi))
-        case Right(a) => Right(java.util.Arrays.copyOfRange(a, lo, hi))
-      })
+      (lo.toLong, hi - lo, data.map(slice(_, lo, hi)))
     }
     val rows = spark.sparkContext.parallelize(payloads, nSlices)
       .flatMap { case (lo, n, slices) =>
         (0 until n).iterator.map { off =>
           val cols = slices.map {
-            case Left(ints) => ints(off): Any
-            case Right(ds) => ds(off): Any
+            case ints: Array[Int] => ints(off): Any
+            case fs: Array[Float] => fs(off).toDouble: Any
+            case ds: Array[Double] => ds(off): Any
           }
           Row.fromSeq(((lo + off) +: extraVals) ++ cols)
         }
@@ -206,14 +218,23 @@ object EclBinary {
   /** Read an INIT file into `(ACTIVE_IDX, PORV, PERMX, …)` — every
     * numeric vector of active-cell length (S4; `init2df` grid.py:412-474
     * takes the same "INIT-vectors of size nactive" rule from resdata).
-    * Table/header payloads (TAB, TABDIMS, …) are excluded by name.
+    * Table/header payloads (TAB, TABDIMS, …) and unselected vectors are
+    * seeked past without decoding — a 2-vector read of a 50-vector INIT
+    * materializes 2 vectors plus INTEHEAD.
     */
   def init(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
-    val kws = EclKw.read(path)
-    val nactive = nactiveOf(kws, path)
-    val cellVecs = kws.filter(k => k.isNumeric && k.data.length == nactive &&
-      !NonCellKw(k.name) && (vectors.isEmpty || vectors.contains(k.name)))
-    cellFrame(spark, nactive, cellVecs)
+    var nactive = -1
+    val picked = Vector.newBuilder[EclKw.Kw]
+    EclKw.stream(path, (name, typ, n) =>
+      name == "INTEHEAD" ||
+        (isCellVector(name, typ, vectors) && (nactive < 0 || n == nactive))) { it =>
+      it.foreach { kw =>
+        if (kw.name == "INTEHEAD") { if (nactive < 0) nactive = kw.ints(11) }
+        else picked += kw
+      }
+    }
+    if (nactive < 0) throw new IllegalArgumentException(s"$path: no INTEHEAD")
+    cellFrame(spark, nactive, picked.result().filter(_.data.length == nactive))
   }
 
   /** Read a UNRST file into the DATE-stacked restart frame
@@ -221,19 +242,33 @@ object EclBinary {
     * grid.py:190-284 — the reference's `@datestr` wide form is never
     * materialized, dates stack from the start, R4). One row per
     * (report step, active cell); vectors missing at a step are null.
+    * Streams ONE report step at a time: the decode never holds more than
+    * one SEQNUM group's selected vectors.
     */
   def unrst(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
-    val groups = EclKw.groupsBy(EclKw.read(path), "SEQNUM")
-    require(groups.nonEmpty, s"$path: no SEQNUM records")
-    val frames = groups.map { g =>
+    val frames = Vector.newBuilder[DataFrame]
+    var cur: List[EclKw.Kw] = Nil
+    var started = false
+    def flush(): Unit = if (started) {
+      val g = cur.reverse
       val nactive = nactiveOf(g, path)
       val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
-      val cellVecs = g.filter(k => k.isNumeric && k.data.length == nactive &&
-        !NonCellKw(k.name) && (vectors.isEmpty || vectors.contains(k.name)))
-      cellFrame(spark, nactive, cellVecs,
+      val cellVecs = g.filter(k => isCellVector(k.name, k.typ, vectors) &&
+        k.data.length == nactive)
+      frames += cellFrame(spark, nactive, cellVecs,
         extra = Seq(StructField("DATE", DateType, nullable = false) -> date))
     }
-    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    EclKw.stream(path, (name, typ, _) =>
+      name == "SEQNUM" || name == "INTEHEAD" || isCellVector(name, typ, vectors)) { it =>
+      it.foreach { kw =>
+        if (kw.name == "SEQNUM") { flush(); cur = Nil; started = true }
+        else if (started) cur ::= kw
+      }
+    }
+    flush()
+    val fs = frames.result()
+    require(fs.nonEmpty, s"$path: no SEQNUM records")
+    fs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   // ---- NNC -----------------------------------------------------------------
@@ -242,33 +277,63 @@ object EclBinary {
     * (1-based global cell indices), with `TRAN` attached from the INIT's
     * TRANNNC vector when available (nnc.py:34-122 reads the same three
     * keywords through resdata). Returns `I1 J1 K1 I2 J2 K2 TRAN`, one
-    * row per connection; empty frame when the grid has no NNCs.
+    * row per connection; empty frame when the grid has no NNCs. The
+    * index→(I,J,K) arithmetic runs DISTRIBUTED over per-task slices of
+    * the pair arrays (faulted full-field grids carry millions of NNCs —
+    * no driver row loop).
     */
   def nnc(spark: SparkSession, egridPath: String, initPath: Option[String] = None): DataFrame = {
-    val kws = EclKw.read(egridPath)
+    val wanted = Set("GRIDHEAD", "NNC1", "NNC2")
+    val kws = EclKw.stream(egridPath, (name, _, _) => wanted(name))(_.toVector)
     val gh = kws.find(_.name == "GRIDHEAD")
       .getOrElse(throw new IllegalArgumentException(s"$egridPath: no GRIDHEAD")).ints
     val (nx, ny) = (gh(1), gh(2))
     val schema = StructType(Seq("I1", "J1", "K1", "I2", "J2", "K2")
       .map(StructField(_, IntegerType, nullable = false)) :+
       StructField("TRAN", DoubleType, nullable = true))
-    val (nnc1, nnc2) = (kws.find(_.name == "NNC1"), kws.find(_.name == "NNC2"))
-    val pairs: IndexedSeq[(Int, Int)] = (nnc1, nnc2) match {
-      case (Some(a), Some(b)) => a.ints.zip(b.ints)
-      case _ => IndexedSeq.empty
+    val (nnc1, nnc2) = (kws.find(_.name == "NNC1").map(_.ints),
+      kws.find(_.name == "NNC2").map(_.ints))
+    val n = (nnc1, nnc2) match {
+      case (Some(a), Some(b)) => math.min(a.length, b.length)
+      case _ => 0
     }
-    val tran = initPath.flatMap(p => EclKw.read(p).find(_.name == "TRANNNC"))
-      .map(_.doubles)
-    val rows = new java.util.ArrayList[Row]()
-    pairs.zipWithIndex.foreach { case ((g1, g2), idx) =>
-      def ijk(g: Int): (Int, Int, Int) = {
-        val z = g - 1 // NNC1/NNC2 are 1-based global indices
-        (z % nx + 1, z / nx % ny + 1, z / (nx * ny) + 1)
+    if (n == 0)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val (a1, a2) = (nnc1.get, nnc2.get)
+    // TRANNNC padded to n with NaN-as-null for short/absent vectors (a
+    // literal NaN transmissibility also maps to null — the same wash
+    // GridOps applies to every INIT vector)
+    val tran: Array[Double] = initPath
+      .flatMap(p => EclKw.stream(p, (name, _, _) => name == "TRANNNC") { it =>
+        if (it.hasNext) Some(it.next().doubles) else None
+      })
+      .map { t =>
+        if (t.length >= n) t
+        else {
+          val p = new Array[Double](n)
+          java.util.Arrays.fill(p, Double.NaN)
+          System.arraycopy(t, 0, p, 0, t.length); p
+        }
+      }.orNull
+    val nSlices = math.max(1, math.min(spark.sparkContext.defaultParallelism, n))
+    val bounds = (0 to nSlices).map(s => (s.toLong * n / nSlices).toInt)
+    val payloads = (0 until nSlices).map { s =>
+      val (lo, hi) = (bounds(s), bounds(s + 1))
+      (java.util.Arrays.copyOfRange(a1, lo, hi),
+        java.util.Arrays.copyOfRange(a2, lo, hi),
+        if (tran == null) null else java.util.Arrays.copyOfRange(tran, lo, hi))
+    }
+    val rows = spark.sparkContext.parallelize(payloads, nSlices)
+      .flatMap { case (s1, s2, ts) =>
+        s1.indices.iterator.map { off =>
+          val z1 = s1(off) - 1; val z2 = s2(off) - 1 // 1-based global indices
+          val t: Any =
+            if (ts == null) null
+            else { val v = ts(off); if (java.lang.Double.isNaN(v)) null else v }
+          Row(z1 % nx + 1, z1 / nx % ny + 1, z1 / (nx * ny) + 1,
+            z2 % nx + 1, z2 / nx % ny + 1, z2 / (nx * ny) + 1, t)
+        }
       }
-      val (i1, j1, k1) = ijk(g1); val (i2, j2, k2) = ijk(g2)
-      rows.add(Row(i1, j1, k1, i2, j2, k2,
-        tran.flatMap(t => if (idx < t.length) Some(t(idx)) else None).orNull))
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -335,14 +400,16 @@ object EclBinary {
       })
     val rows = new java.util.ArrayList[Row]()
     groups.foreach { case (date, well, vecs) =>
-      val byName = vecs.map(v => v.name -> v).toMap
+      // widen once per group, not per row (Kw.doubles allocates)
+      val byName: Map[String, Array[_]] = vecs.map(v =>
+        v.name -> (if (v.typ == "INTE") v.ints: Array[_] else v.doubles: Array[_])).toMap
       val n = vecs.headOption.map(_.data.length).getOrElse(0)
       (0 until n).foreach { idx =>
-        val vals = allVecs.map { case (name, typ) =>
+        val vals = allVecs.map { case (name, _) =>
           byName.get(name) match {
-            case Some(k) if typ == "INTE" => k.ints(idx): Any
-            case Some(k) => k.doubles(idx): Any
-            case None => null
+            case Some(a: Array[Int]) => a(idx): Any
+            case Some(a: Array[Double]) => a(idx): Any
+            case _ => null
           }
         }
         rows.add(Row.fromSeq(Seq(date, well, idx + 1) ++ vals))

@@ -1,6 +1,7 @@
 package graft.io
 
 import java.io.{BufferedInputStream, DataInputStream, EOFException, FileInputStream}
+import java.nio.ByteBuffer
 
 /** Reader for the Eclipse "ecl_kw" binary keyword stream — the shared
   * on-disk framing of EGRID / INIT / UNRST / RFT / SMSPEC / UNSMRY files
@@ -17,24 +18,47 @@ import java.io.{BufferedInputStream, DataInputStream, EOFException, FileInputStr
   *
   * Driver-side by design: a single binary artifact is one file on one
   * machine; the DISTRIBUTED work starts with the DataFrames built from it
-  * (see [[EclBinary]], which broadcasts the decoded arrays and fans the
-  * per-cell work out over executors).
+  * (see [[EclBinary]], which ships per-task slices of the decoded arrays
+  * and fans the per-cell work out over executors). Two properties keep
+  * that driver step scale-safe on 10⁸-cell grids:
+  *
+  *   - payloads decode into TYPE-SPECIALIZED PRIMITIVE ARRAYS
+  *     (`Array[Int]` / `Array[Float]` / `Array[Double]`), never boxed
+  *     collections — ZCORN on a 10⁸-cell grid is 800M floats = 3.2 GB
+  *     flat, vs ~20 GB+ boxed;
+  *   - [[stream]] decodes ONE keyword at a time and SKIPS (seeks past)
+  *     payloads the caller's header predicate rejects, so a selective
+  *     read (e.g. two vectors out of a 50-vector INIT, or NNC keywords
+  *     out of an EGRID) never materializes the rest of the file.
   */
 object EclKw {
 
   /** One decoded keyword: `typ` is the 4-char mnemonic (INTE, REAL, DOUB,
-    * CHAR, LOGI, MESS or C0NN for NN-wide strings).
+    * CHAR, LOGI, MESS or C0NN for NN-wide strings); `data` is the
+    * matching primitive array (`INTE`→`Array[Int]`, `REAL`→`Array[Float]`,
+    * `DOUB`→`Array[Double]`, `LOGI`→`Array[Boolean]`, char types →
+    * `Array[String]`).
     */
-  final case class Kw(name: String, typ: String, data: IndexedSeq[Any]) {
-    def ints: IndexedSeq[Int] = data.asInstanceOf[IndexedSeq[Int]]
-    def floats: IndexedSeq[Float] = data.asInstanceOf[IndexedSeq[Float]]
-    def doubles: IndexedSeq[Double] = typ match {
-      case "DOUB" => data.asInstanceOf[IndexedSeq[Double]]
-      case "REAL" => floats.map(_.toDouble)
-      case "INTE" => ints.map(_.toDouble)
+  final case class Kw(name: String, typ: String, data: Array[_]) {
+    def length: Int = data.length
+    def ints: Array[Int] = data.asInstanceOf[Array[Int]]
+    def floats: Array[Float] = data.asInstanceOf[Array[Float]]
+    /** Numeric payload widened to doubles. For REAL/INTE this ALLOCATES a
+      * converted copy per call — hoist out of per-element loops.
+      */
+    def doubles: Array[Double] = typ match {
+      case "DOUB" => data.asInstanceOf[Array[Double]]
+      case "REAL" =>
+        val f = floats; val out = new Array[Double](f.length)
+        var i = 0; while (i < f.length) { out(i) = f(i); i += 1 }
+        out
+      case "INTE" =>
+        val a = ints; val out = new Array[Double](a.length)
+        var i = 0; while (i < a.length) { out(i) = a(i); i += 1 }
+        out
       case other => throw new IllegalArgumentException(s"$name: $other is not numeric")
     }
-    def strings: IndexedSeq[String] = data.asInstanceOf[IndexedSeq[String]]
+    def strings: Array[String] = data.asInstanceOf[Array[String]]
     def isNumeric: Boolean = typ == "INTE" || typ == "REAL" || typ == "DOUB"
   }
 
@@ -47,7 +71,9 @@ object EclKw {
     case other => throw new IllegalArgumentException(s"unsupported ecl_kw type '$other'")
   }
 
-  private def readKw(in: DataInputStream): Option[Kw] = {
+  private final case class Head(name: String, n: Int, typ: String, w: Int)
+
+  private def readHead(in: DataInputStream): Option[Head] = {
     val len0 = try in.readInt() catch { case _: EOFException => return None }
     require(len0 == 16, s"expected 16-byte keyword header record, got $len0")
     val nameB = new Array[Byte](8); in.readFully(nameB)
@@ -55,37 +81,115 @@ object EclKw {
     val typB = new Array[Byte](4); in.readFully(typB)
     in.readInt() // trailing length
     val typ = new String(typB, "ASCII").trim
-    val w = elemWidth(typ)
-    val data = IndexedSeq.newBuilder[Any]
-    var remaining = if (w == 0) 0 else n
+    Some(Head(new String(nameB, "ASCII").trim, n, typ, elemWidth(typ)))
+  }
+
+  /** Decode the data records following `h`'s header into a primitive
+    * array of exactly `h.n` elements. Each record must be a whole number
+    * of elements (`len % width == 0` — a clear error AT the corrupt
+    * record beats a desynced stream failing three keywords later);
+    * zero-length data records (some writers emit them) are consumed and
+    * skipped.
+    */
+  private def readData(in: DataInputStream, h: Head): Array[_] = {
+    val out: Array[_] = h.typ match {
+      case "INTE" => new Array[Int](h.n)
+      case "REAL" => new Array[Float](h.n)
+      case "DOUB" => new Array[Double](h.n)
+      case "LOGI" => new Array[Boolean](h.n)
+      case "MESS" => Array.empty[String]
+      case _ => new Array[String](h.n) // CHAR / C0NN
+    }
+    val total = if (h.w == 0) 0 else h.n
+    var filled = 0
+    while (filled < total) {
+      val len = in.readInt()
+      require(len >= 0 && len % h.w == 0,
+        s"${h.name}: ${h.typ} record of $len bytes is not a whole number of ${h.w}-byte elements")
+      val count = len / h.w
+      require(count <= total - filled,
+        s"${h.name}: ${h.typ} record of $len bytes vs ${total - filled} remaining elements")
+      if (count > 0) {
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val bb = ByteBuffer.wrap(bytes) // big-endian by default
+        h.typ match {
+          case "INTE" => bb.asIntBuffer().get(out.asInstanceOf[Array[Int]], filled, count)
+          case "REAL" => bb.asFloatBuffer().get(out.asInstanceOf[Array[Float]], filled, count)
+          case "DOUB" => bb.asDoubleBuffer().get(out.asInstanceOf[Array[Double]], filled, count)
+          case "LOGI" =>
+            val o = out.asInstanceOf[Array[Boolean]]
+            var i = 0; while (i < count) { o(filled + i) = bb.getInt(i * 4) != 0; i += 1 }
+          case _ =>
+            val o = out.asInstanceOf[Array[String]]
+            var i = 0
+            while (i < count) { o(filled + i) = new String(bytes, i * h.w, h.w, "ASCII").trim; i += 1 }
+        }
+      }
+      in.readInt() // trailing length
+      filled += count
+    }
+    out
+  }
+
+  /** Seek past the data records following `h`'s header without decoding
+    * (or allocating) anything.
+    */
+  private def skipData(in: DataInputStream, h: Head): Unit = {
+    var remaining = if (h.w == 0) 0 else h.n
     while (remaining > 0) {
       val len = in.readInt()
-      val count = len / w
-      require(count > 0 && count <= remaining,
-        s"$typ record of $len bytes vs $remaining remaining elements")
-      typ match {
-        case "INTE" => (0 until count).foreach(_ => data += in.readInt())
-        case "REAL" => (0 until count).foreach(_ => data += in.readFloat())
-        case "DOUB" => (0 until count).foreach(_ => data += in.readDouble())
-        case "LOGI" => (0 until count).foreach(_ => data += (in.readInt() != 0))
-        case _ => // CHAR / C0NN
-          (0 until count).foreach { _ =>
-            val b = new Array[Byte](w); in.readFully(b)
-            data += new String(b, "ASCII").trim
-          }
+      require(len >= 0 && len % h.w == 0,
+        s"${h.name}: ${h.typ} record of $len bytes is not a whole number of ${h.w}-byte elements")
+      val count = len / h.w
+      require(count <= remaining,
+        s"${h.name}: ${h.typ} record of $len bytes vs $remaining remaining elements")
+      var toSkip = len
+      while (toSkip > 0) {
+        val s = in.skipBytes(toSkip)
+        if (s <= 0) throw new EOFException(s"${h.name}: EOF inside a $len-byte data record")
+        toSkip -= s
       }
       in.readInt() // trailing length
       remaining -= count
     }
-    Some(Kw(new String(nameB, "ASCII").trim, typ, data.result()))
   }
 
-  /** Decode every keyword in the file, in order. */
-  def read(path: String): Vector[Kw] = {
+  /** Stream keywords one at a time: `select(name, typ, count)` decides
+    * FROM THE HEADER whether a payload is decoded — rejected payloads are
+    * seeked past, never read into memory — and the iterator handed to `f`
+    * holds at most ONE decoded keyword. This is the scale path for
+    * selective reads of multi-GB INIT/UNRST files; the iterator is only
+    * valid inside `f` (the stream closes when `f` returns).
+    */
+  def stream[A](path: String, select: (String, String, Int) => Boolean = (_, _, _) => true)
+      (f: Iterator[Kw] => A): A = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
-    try Iterator.continually(readKw(in)).takeWhile(_.isDefined).flatten.toVector
-    finally in.close()
+    try {
+      val it = new Iterator[Kw] {
+        private var nextKw: Kw = null
+        private def advance(): Unit = {
+          nextKw = null
+          var done = false
+          while (!done) readHead(in) match {
+            case None => done = true
+            case Some(h) =>
+              if (select(h.name, h.typ, h.n)) { nextKw = Kw(h.name, h.typ, readData(in, h)); done = true }
+              else skipData(in, h)
+          }
+        }
+        advance()
+        def hasNext: Boolean = nextKw != null
+        def next(): Kw = { val k = nextKw; advance(); k }
+      }
+      f(it)
+    } finally in.close()
   }
+
+  /** Decode every keyword in the file, in order (holds them all — use
+    * [[stream]] with a `select` predicate for large files).
+    */
+  def read(path: String): Vector[Kw] = stream(path)(_.toVector)
 
   // ---- writer (the inverse; Eclipse chunk conventions) ---------------------
 

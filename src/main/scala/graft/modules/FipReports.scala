@@ -39,6 +39,11 @@ object FipReports {
     // maps this per file and unions the frames.
     require(!path.contains("*") && !path.contains(",") && !path.contains("{"),
       s"lines() reads one PRT file; got a multi-file pattern: $path")
+    // a directory would be the same leak: textFile(dir) reads every file
+    // inside under one global ordinal and one src value
+    require(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(
+        path.stripPrefix("file:"))),
+      s"lines() reads one PRT file; not a regular file: $path")
     // src rides IN the rows (a foldable lit() would be optimized out of
     // the window partition spec, reverting to the global-window shape)
     spark.read.textFile(path).rdd.zipWithIndex

@@ -276,7 +276,12 @@ object DedupSim {
     * propagation rounds run per materialization/convergence check —
     * driver actions dominate at bench scale, the extra round at the
     * fixpoint is idempotent, and convergence across a round PAIR is the
-    * same fixpoint.
+    * same fixpoint. Each iteration ends with a POINTER-JUMP
+    * (`label := label(label)` — every label is itself a doc_id, so the
+    * lookup is a self-join), which doubles the propagation distance per
+    * iteration: convergence is O(log diameter) and the 25-iteration cap
+    * covers any diameter up to ~2²⁵. Exceeding it fails loudly rather
+    * than returning a silently-unconverged labeling.
     */
   private[graft] def connectedComponents(membershipRaw: DataFrame): DataFrame = {
     val membership = membershipRaw.localCheckpoint(true) // per-iteration join input
@@ -292,10 +297,15 @@ object DedupSim {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
     }
+    def jump(l: DataFrame): DataFrame =
+      l.join(l.select(col("doc_id").as("jid"), col("label").as("jlabel")),
+          col("label") === col("jid"), "left")
+        .select(col("doc_id"), coalesce(col("jlabel"), col("label")).as("label"))
+    val MaxIter = 25
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) {
-      val next = round(round(labels))
+    while (changed > 0 && iter < MaxIter) {
+      val next = jump(round(round(labels)))
         .withColumnRenamed("label", "nlabel")
         .join(labels, Seq("doc_id"))
         .localCheckpoint(true)
@@ -303,6 +313,10 @@ object DedupSim {
       labels = next.select(col("doc_id"), col("nlabel").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxIter pointer-jumped iterations " +
+          s"($changed labels still changing) — component diameter beyond 2^$MaxIter?")
     labels
       .select(col("doc_id"), col("label").as("component_id"),
         (col("label") < col("doc_id")).as("is_dup"))
@@ -616,7 +630,9 @@ object DedupSim {
     import s.implicits._
     val nb = CosineBlocks.toLong
     val blocks = Tables.embeddings(s, dir)
-      .select((col("vec_id") % nb).as("blk"),
+      // pmod, not %: Java % is negative for negative ids, which would
+      // silently drop those vectors from the 0..nb-1 block pair table
+      .select(pmod(col("vec_id"), lit(nb)).as("blk"),
         struct(col("vec_id").as("id"), col("embedding").as("emb")).as("v"))
       .groupBy(col("blk"))
       .agg(sort_array(collect_list(col("v"))).as("vecs"))

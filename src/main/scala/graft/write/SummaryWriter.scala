@@ -27,11 +27,11 @@ object SummaryWriter {
   // ---- writer (framing shared via graft.io.EclKw) --------------------------
 
   private def inte(name: String, data: Seq[Int]) =
-    graft.io.EclKw.Kw(name, "INTE", data.toIndexedSeq)
+    graft.io.EclKw.Kw(name, "INTE", data.toArray)
   private def real(name: String, data: Seq[Float]) =
-    graft.io.EclKw.Kw(name, "REAL", data.toIndexedSeq)
+    graft.io.EclKw.Kw(name, "REAL", data.toArray)
   private def char(name: String, data: Seq[String]) =
-    graft.io.EclKw.Kw(name, "CHAR", data.toIndexedSeq)
+    graft.io.EclKw.Kw(name, "CHAR", data.toArray)
 
   /** Split a summary mnemonic like `WOPR:OP_1` into (keyword, wgname). */
   private def splitVector(v: String): (String, String) = v.split(":", 2) match {

@@ -112,13 +112,14 @@ class EclBinarySpec extends AnyFunSuite {
     // has BOTH NNCs and an INIT, so the writer builds the fixture)
     val d = java.nio.file.Files.createTempDirectory("graft-nnc").toString
     EclKw.write(s"$d/T.EGRID", Seq(
-      Kw("GRIDHEAD", "INTE", IndexedSeq.fill(4)(0).updated(1, 3).updated(2, 2).updated(3, 1)),
-      Kw("NNC1", "INTE", IndexedSeq(1, 2)),
-      Kw("NNC2", "INTE", IndexedSeq(6, 5))))
-    val ih = IndexedSeq.fill(95)(0).updated(8, 3).updated(9, 2).updated(10, 1).updated(11, 6)
+      Kw("GRIDHEAD", "INTE", Array(0, 3, 2, 1)),
+      Kw("NNC1", "INTE", Array(1, 2)),
+      Kw("NNC2", "INTE", Array(6, 5))))
+    val ih = Array.fill(95)(0)
+    ih(8) = 3; ih(9) = 2; ih(10) = 1; ih(11) = 6
     EclKw.write(s"$d/T.INIT", Seq(
       Kw("INTEHEAD", "INTE", ih),
-      Kw("TRANNNC", "REAL", IndexedSeq(12.5f, 7.25f))))
+      Kw("TRANNNC", "REAL", Array(12.5f, 7.25f))))
     val nnc = graft.io.EclBinary.nnc(spark, s"$d/T.EGRID", Some(s"$d/T.INIT"))
       .orderBy("I1").collect()
     // global 1 -> (1,1,1), 6 -> (3,2,1); global 2 -> (2,1,1), 5 -> (2,2,1)
