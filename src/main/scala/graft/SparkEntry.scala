@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupSim, Extras, Relational, TextAnalytics}
+import graft.queries.{DedupSim, Extras, Media, Relational, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     Relational.q08Resample(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalytics.queries ++ DedupSim.queries ++ Extras.queries
+    Relational.queries ++ TextAnalytics.queries ++ DedupSim.queries ++ Extras.queries ++
+      Media.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextAnalytics.oracleSql ++ DedupSim.oracleSql ++ Extras.oracleSql
+    Relational.oracleSql ++ TextAnalytics.oracleSql ++ DedupSim.oracleSql ++ Extras.oracleSql ++
+      Media.oracleSql
 }

@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-batched kernels.
   *
-  * The decode step is a STUB (no image/audio codecs in this environment):
-  * `decodeStub` derives a deterministic pseudo-feature vector from the
-  * bytes. The Spark-side plumbing — schema, partitioning, batch kernel
-  * shape, metadata propagation — is real: swap `decodeStub` for a JNI/
-  * native decoder and nothing else changes. At 100 TB the binary column
-  * rides in parquet alongside its metadata; kernels run one partition at
-  * a time with bounded memory.
+  * IMAGE decode is REAL: PNG/JPEG/GIF/BMP decode, resize, and re-encode
+  * run through the JDK's `javax.imageio` (ships in java.desktop — zero
+  * external deps). Audio/video decode remains a STUB (`decodeStub`, a
+  * deterministic byte-fold — those codecs genuinely aren't in the JDK);
+  * the Spark-side plumbing — schema, partitioning, batch kernel shape,
+  * metadata propagation — is identical for both, so swapping the stub
+  * for a JNI/native decoder changes nothing else. At 100 TB the binary
+  * column rides in parquet alongside its metadata; kernels run one
+  * partition at a time with bounded memory.
   */
 object Multimodal {
 
@@ -36,10 +38,106 @@ object Multimodal {
       struct(lit("synthetic").as("source"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
+  // ---- real image codec (JDK ImageIO) --------------------------------------
+
+  /** ImageIO's default stream cache writes temp FILES per decode — wrong
+    * for executor kernels (fs churn, and java.io.tmpdir may not exist in
+    * a forked JVM). Memory-cached streams, set once per JVM.
+    */
+  @transient private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode an image byte payload (PNG/JPEG/GIF/BMP — whatever the JDK's
+    * registered readers handle). None when the bytes aren't a decodable
+    * image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoInit
+    if (bytes == null || bytes.length == 0) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+  }
+
+  /** Encode to PNG bytes (lossless — the round-trip inverse of
+    * [[decodeImage]] for RGB content).
+    */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoInit
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer registered")
+    out.toByteArray
+  }
+
+  /** Real bilinear resize kernel. */
+  def resizeBilinear(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+    require(w >= 1 && h >= 1, s"bad target size ${w}x$h")
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Decoded image metadata per media row: `(media_id, media_type,
+    * n_bytes, width, height, channels)` — dims null when the payload
+    * isn't a decodable image. Partition-batched like every kernel here.
+    */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true)))
+    val rdd = media.select(col("media_id"), col("media_type"), col("content")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          decodeImage(bytes) match {
+            case Some(img) =>
+              Row(r.getLong(0), r.getString(1), n,
+                img.getWidth, img.getHeight, img.getRaster.getNumBands)
+            case None => Row(r.getLong(0), r.getString(1), n, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Real image resize over a media frame: decodable payloads are
+    * bilinear-resized to `w`×`h` and re-encoded as PNG (metadata rewritten
+    * to the new byte size); undecodable payloads pass through unchanged.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("media_type"), col("content"),
+        col("meta.source").as("source")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val out = decodeImage(bytes) match {
+            case Some(img) => encodePng(resizeBilinear(img, w, h))
+            case None => bytes
+          }
+          Row(r.getLong(0), r.getString(1), out,
+            Row(r.getString(3), if (out == null) 0L else out.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   val FeatureDim = 16
 
-  /** STUB decoder: ??? in production — replaced by a real codec. Here a
-    * deterministic byte-fold so tests can assert exact plumbing behavior.
+  /** STUB decoder for codecs the JDK genuinely lacks (audio/video):
+    * a deterministic byte-fold so tests can assert exact plumbing
+    * behavior. Images take the real [[decodeImage]] path instead.
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -52,9 +150,36 @@ object Multimodal {
     out
   }
 
+  /** Real image features: `[width, height, channels, meanR, meanG,
+    * meanB]` zero-padded to [[FeatureDim]] — the downstream contract
+    * (fixed-dim Array[Float] per item) is the same as the stub's.
+    */
+  private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    out(0) = w.toFloat; out(1) = h.toFloat
+    out(2) = img.getRaster.getNumBands.toFloat
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    out(3) = sr.toFloat / n; out(4) = sg.toFloat / n; out(5) = sb.toFloat / n
+    out
+  }
+
   /** Feature extraction as a partition-batched kernel: one pass per
     * partition, primitive loops inside (the Scala analog of a pandas-batch
     * UDF — same batch shape, no per-row closure dispatch in the hot loop).
+    * Payloads that decode as images get REAL features ([[imageFeatures]]);
+    * everything else falls back to the deterministic stub fold.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -67,9 +192,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
+          val feats = decodeImage(bytes) match {
+            case Some(img) => imageFeatures(img)
+            case None => decodeStub(bytes)
+          }
           Row(r.getLong(0), r.getString(1),
             if (bytes == null) 0L else bytes.length.toLong,
-            decodeStub(bytes).toSeq)
+            feats.toSeq)
         }
       }
     spark.createDataFrame(rdd, outSchema)

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-column query with a DuckDB oracle: the image decode is a
+  * real codec (JDK ImageIO), so the oracle can't replay it — instead the
+  * query builds each image from a CLOSED-FORM pixel formula, round-trips
+  * it through the actual PNG encoder+decoder, and reports what the
+  * DECODED image contains; the oracle computes the same quantities from
+  * the formula alone. A hash match therefore proves the codec really ran
+  * and recovered every pixel (dims, corner pixels, full red-channel sum),
+  * which a byte-fold stub cannot fake.
+  */
+object Media {
+
+  /** q43: per document `doc_id` deterministic image of
+    * `(8 + id%24) × (8 + id%16)` px, pixel `(x,y)` red channel
+    * `(id + 3x + 7y) % 256` — encode PNG, decode PNG, report decoded
+    * width/height/band-count, the two corner red values and the red sum.
+    * Partition-batched kernel (one codec context per executor thread,
+    * the 100 TB shape: images never leave their partition).
+    */
+  def q43ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id + 3 * x + 7 * y) % 256).toInt
+            val g = ((id + x) % 256).toInt
+            val b = ((id + y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val dec = Multimodal.decodeImage(Multimodal.encodePng(img))
+          .getOrElse(throw new IllegalStateException(s"PNG round-trip failed for doc $id"))
+        def red(x: Int, y: Int): Int = (dec.getRGB(x, y) >> 16) & 0xff
+        var redSum = 0L
+        var yy = 0
+        while (yy < dec.getHeight) {
+          var xx = 0
+          while (xx < dec.getWidth) { redSum += red(xx, yy); xx += 1 }
+          yy += 1
+        }
+        (id, dec.getWidth, dec.getHeight, dec.getRaster.getNumBands,
+          red(0, 0), red(dec.getWidth - 1, dec.getHeight - 1), redSum)
+      }
+    }.toDF("doc_id", "width", "height", "channels", "px00_red", "pxwh_red", "red_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_image_decode" -> (q43ImageDecode _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q43_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 24 AS INT) AS width,
+        |         CAST(8 + doc_id % 16 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT unnest(range(32)) AS x),
+        |ys AS (SELECT unnest(range(24)) AS y),
+        |sums AS (
+        |  SELECT d.doc_id,
+        |         CAST(SUM((d.doc_id + 3*xs.x + 7*ys.y) % 256) AS BIGINT) AS red_sum
+        |  FROM dims d JOIN xs ON xs.x < d.width JOIN ys ON ys.y < d.height
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, d.width, d.height, CAST(3 AS INT) AS channels,
+        |       CAST(d.doc_id % 256 AS INT) AS px00_red,
+        |       CAST((d.doc_id + 3*(d.width-1) + 7*(d.height-1)) % 256 AS INT) AS pxwh_red,
+        |       s.red_sum
+        |FROM dims d JOIN sums s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

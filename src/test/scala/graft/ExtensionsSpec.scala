@@ -41,6 +41,68 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real ImageIO decode recovers exact dims and pixels") {
+    // a 5x3 PNG with formula pixels: decode must return every value
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 3; x <- 0 until 5)
+      img.setRGB(x, y, ((10 * x + y) << 16) | ((x + y) << 8) | (x * y))
+    val png = Multimodal.encodePng(img)
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val dec = Multimodal.decodeImage(png).get
+    assert(dec.getWidth == 5 && dec.getHeight == 3)
+    assert(dec.getRaster.getNumBands == 3)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val rgb = dec.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == 10 * x + y)
+      assert(((rgb >> 8) & 0xff) == x + y)
+      assert((rgb & 0xff) == x * y)
+    }
+    // non-image bytes are None, not an exception
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("multimodal: real image resize changes dims, preserves solid color") {
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(120, 200, 40)); g.fillRect(0, 0, 16, 8); g.dispose()
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L, "image",
+        Multimodal.encodePng(img),
+        org.apache.spark.sql.Row("synthetic", 0L))),
+      Multimodal.MediaSchema)
+    val out = Multimodal.resizeImages(media, 4, 2).collect().head
+    val dec = Multimodal.decodeImage(out.getAs[Array[Byte]]("content")).get
+    assert(dec.getWidth == 4 && dec.getHeight == 2)
+    // bilinear resize of a constant image is the same constant
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xffffff) == ((120 << 16) | (200 << 8) | 40))
+    assert(out.getStruct(out.fieldIndex("meta")).getAs[Long]("n_bytes") ==
+      out.getAs[Array[Byte]]("content").length.toLong)
+    // imageMeta sees the decoded dims; text payloads yield null dims
+    val mixed = media.unionByName(Multimodal.fromText(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(1), "doc_id", "text", "image"))
+    val metas = Multimodal.imageMeta(mixed).orderBy("media_id").collect()
+    assert(metas.exists(r => !r.isNullAt(r.fieldIndex("width")) &&
+      r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 8))
+    assert(metas.exists(r => r.isNullAt(r.fieldIndex("width"))))
+  }
+
+  test("multimodal: extractFeatures takes the real path for decodable images") {
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(50, 100, 150)); g.fillRect(0, 0, 6, 4); g.dispose()
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "image",
+        Multimodal.encodePng(img), org.apache.spark.sql.Row("synthetic", 0L))),
+      Multimodal.MediaSchema)
+    val r = Multimodal.extractFeatures(media).collect().head
+    val f = r.getSeq[Float](r.fieldIndex("features"))
+    assert(f.length == Multimodal.FeatureDim)
+    assert(f(0) == 6.0f && f(1) == 4.0f && f(2) == 3.0f) // w, h, channels
+    assert(f(3) == 50.0f && f(4) == 100.0f && f(5) == 150.0f) // channel means
+  }
+
   test("multimodal: frame sampling emits evenly spaced offsets") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(3)
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
