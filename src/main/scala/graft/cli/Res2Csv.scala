@@ -98,9 +98,13 @@ object Res2Csv {
     "summary" -> { (s, p) =>
       // wide form like the reference's summary CSV: DATE + one column per
       // vector. Ministeps within a day collapse to the LAST state of the
-      // day (max_by STEP) — a bare first() would be order-dependent.
+      // day (max_by STEP) — a bare first() would be order-dependent. The
+      // pivot gets the SMSPEC-declared vector list explicitly (same sorted
+      // order a distinct pass would produce) — one fewer job, no
+      // driver-collected pivot-column scan.
       val long = graft.write.SummaryWriter.readWithStep(s, basePath(p))
-      long.groupBy(col("DATE")).pivot("VECTOR")
+      long.groupBy(col("DATE"))
+        .pivot("VECTOR", graft.write.SummaryWriter.vectors(basePath(p)))
         .agg(max_by(col("VALUE"), col("STEP")))
         .orderBy(col("DATE"))
     },

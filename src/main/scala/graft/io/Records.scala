@@ -21,10 +21,16 @@ object Records {
   def str(i: Int): Column = item(i)
   def str(i: Int, default: String): Column = coalesce(item(i), lit(default))
 
-  def int(i: Int): Column = item(i).cast("int")
+  /** try_cast, not cast: Catalyst freely reorders deterministic filters,
+    * so a numeric extraction can be EVALUATED against records of another
+    * keyword (e.g. a WELOPEN coordinate predicate pushed past the keyword
+    * filter onto WLIST rows whose item is a well name) — under ANSI cast
+    * that's a job-killing error on perfectly valid decks.
+    */
+  def int(i: Int): Column = item(i).try_cast("int")
   def int(i: Int, default: Int): Column = coalesce(int(i), lit(default))
 
-  def dbl(i: Int): Column = item(i).cast("double")
+  def dbl(i: Int): Column = item(i).try_cast("double")
   def dbl(i: Int, default: Double): Column = coalesce(dbl(i), lit(default))
 
   /** All items from position `from` onward (WLIST-style trailing varargs). */

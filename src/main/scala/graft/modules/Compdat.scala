@@ -14,83 +14,113 @@ import graft.io.{DeckParser, Records => R}
   * dates via window forward-fill (Schedule), defaulted COMPDAT I/J from the
   * as-of WELSPECS header (J9-style as-of join), K1-K2 unroll via
   * explode(sequence) (R1), WELOPEN application as a join + union + last-wins
-  * window dedup (R11/W7). All operators are shuffle-keyed on WELL —
-  * at corpus scale everything co-partitions by (deck, well).
+  * window dedup (R11/W7).
+  *
+  * CORPUS-NATIVE: every as-of join, wildcard expansion, WLIST fold and
+  * last-wins window is keyed on `(deckId, WELL)` when the event frame
+  * carries a `deckId` column (the eclipse-deck source always emits one), so
+  * ONE frame holding a fleet of decks processes each deck's state machine
+  * independently — the reference's per-deck semantics (compdat.py:791-924)
+  * at 1000-deck scale without a driver loop. [[fromEvents]] with
+  * `keepDeckId = true` is the corpus entry point; the default keeps the
+  * reference's single-deck output schema (and fails fast on multi-deck
+  * input, since dropping the deck key there would silently interleave
+  * unrelated wells).
   */
 object Compdat {
 
   val Cols = Seq("WELL", "I", "J", "K1", "K2", "OP/SH", "SATN", "TRAN",
     "WBDIA", "KH", "SKIN", "DFACT", "DIR", "PEQVR")
 
+  /** The corpus key columns: `deckId` when the frame carries it. Appended
+    * LAST in record frames so single-deck positional access is unchanged.
+    */
+  private def deckCols(df: DataFrame): Seq[String] =
+    if (df.columns.contains("deckId")) Seq("deckId") else Nil
+
+  private def withDeck(df: DataFrame, cols: Seq[Column]): Seq[Column] =
+    cols ++ deckCols(df).map(col)
+
   /** Typed COMPDAT records (pre-unroll). */
   def compdatRecords(events: DataFrame): DataFrame =
     events.filter(col("keyword") === "COMPDAT" && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"),
+      .select(withDeck(events, Seq(col("keywordIdx"), col("recordIdx"),
         R.str(0).as("WELL"), R.int(1).as("I"), R.int(2).as("J"),
         R.int(3).as("K1"), R.int(4).as("K2"), R.str(5, "OPEN").as("OP/SH"),
         R.int(6).as("SATN"), R.dbl(7).as("TRAN"), R.dbl(8).as("WBDIA"),
         R.dbl(9).as("KH"), R.dbl(10).as("SKIN"), R.dbl(11).as("DFACT"),
-        R.str(12, "Z").as("DIR"), R.dbl(13).as("PEQVR"))
+        R.str(12, "Z").as("DIR"), R.dbl(13).as("PEQVR"))): _*)
 
   def welspecsRecords(events: DataFrame): DataFrame =
     events.filter(col("keyword") === "WELSPECS" && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"),
+      .select(withDeck(events, Seq(col("keywordIdx"), col("recordIdx"),
         R.str(0).as("WELL"), R.str(1).as("GROUP"),
-        R.int(2).as("HEAD_I"), R.int(3).as("HEAD_J"))
+        R.int(2).as("HEAD_I"), R.int(3).as("HEAD_J"))): _*)
 
   def welopenRecords(events: DataFrame): DataFrame =
     events.filter(col("keyword") === "WELOPEN" && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"),
+      .select(withDeck(events, Seq(col("keywordIdx"), col("recordIdx"),
         R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"),
         R.int(2).as("I"), R.int(3).as("J"), R.int(4).as("K"),
-        R.int(5).as("C1"), R.int(6).as("C2"))
+        R.int(5).as("C1"), R.int(6).as("C2"))): _*)
 
   def wlistRecords(events: DataFrame): DataFrame =
     events.filter(col("keyword") === "WLIST" && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"),
-        R.str(0).as("NAME"), R.str(1).as("ACTION"), R.rest(2).as("WELLS"))
+      .select(withDeck(events, Seq(col("keywordIdx"), col("recordIdx"),
+        R.str(0).as("NAME"), R.str(1).as("ACTION"), R.rest(2).as("WELLS"))): _*)
 
   def complumpRecords(events: DataFrame): DataFrame =
     events.filter(col("keyword") === "COMPLUMP" && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"),
+      .select(withDeck(events, Seq(col("keywordIdx"), col("recordIdx"),
         R.str(0).as("WELL"), R.int(1).as("I"), R.int(2).as("J"),
-        R.int(3).as("K1"), R.int(4).as("K2"), R.int(5).as("N"))
+        R.int(3).as("K1"), R.int(4).as("K2"), R.int(5).as("N"))): _*)
 
   /** WLIST action algebra (R8, expand_wlist compdat.py:517-653): NEW
     * replaces a list, ADD unions, DEL removes, MOV adds here and removes
-    * from every other list; `*LIST` references inside the well items
-    * resolve against the current state. Emitted as NEW snapshots per
-    * action record. The fold is inherently sequential global small-state
-    * (well lists are deck-sized) → a driver-side fold, as SURVEY §2.7
-    * prescribes; the *output* joins distributedly.
+    * from every other list OF THE SAME DECK; `*LIST` references inside the
+    * well items resolve against the current per-deck state. Emitted as NEW
+    * snapshots per action record. The fold is inherently sequential small-
+    * state (well lists are deck-sized; a corpus's total WLIST record count
+    * is the bound on this collect — action records, not wells × dates) →
+    * a driver-side fold, as SURVEY §2.7 prescribes; the *output* joins
+    * distributedly.
     */
   def expandWlist(wlist: DataFrame): DataFrame = {
     val spark = wlist.sparkSession
     import spark.implicits._
-    val recs = wlist.select("keywordIdx", "recordIdx", "NAME", "ACTION", "WELLS")
-      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
-    var state = Map.empty[String, Vector[String]]
-    val out = Vector.newBuilder[(Int, Int, String, Seq[String])]
+    val hadDeck = deckCols(wlist).nonEmpty
+    val base = if (hadDeck) wlist else wlist.withColumn("deckId", lit(""))
+    val recs = base.select("deckId", "keywordIdx", "recordIdx", "NAME", "ACTION", "WELLS")
+      .collect().sortBy(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    var state = Map.empty[(String, String), Vector[String]]
+    val out = Vector.newBuilder[(Int, Int, String, Seq[String], String)]
     recs.foreach { r =>
-      val (kwIdx, recIdx) = (r.getInt(0), r.getInt(1))
-      val name = r.getString(2)
-      val action = r.getString(3)
-      val rawWells = r.getSeq[String](4)
+      val deck = r.getString(0)
+      val (kwIdx, recIdx) = (r.getInt(1), r.getInt(2))
+      val name = r.getString(3)
+      val action = r.getString(4)
+      val rawWells = r.getSeq[String](5)
       val wells = rawWells.flatMap { w =>
-        if (w.startsWith("*")) state.getOrElse(w, Vector.empty) else Vector(w)
+        if (w.startsWith("*")) state.getOrElse((deck, w), Vector.empty) else Vector(w)
       }.toVector
       action match {
-        case "NEW" => state += name -> wells.distinct.sorted
-        case "ADD" => state += name -> (state.getOrElse(name, Vector.empty) ++ wells).distinct.sorted
-        case "DEL" => state += name -> state.getOrElse(name, Vector.empty).filterNot(wells.contains)
+        case "NEW" => state += (deck, name) -> wells.distinct.sorted
+        case "ADD" => state += (deck, name) ->
+          (state.getOrElse((deck, name), Vector.empty) ++ wells).distinct.sorted
+        case "DEL" => state += (deck, name) ->
+          state.getOrElse((deck, name), Vector.empty).filterNot(wells.contains)
         case "MOV" =>
-          state = state.map { case (n, ws) => n -> ws.filterNot(wells.contains) }
-          state += name -> (state.getOrElse(name, Vector.empty) ++ wells).distinct.sorted
+          state = state.map { case ((d, n), ws) =>
+            (d, n) -> (if (d == deck) ws.filterNot(wells.contains) else ws)
+          }
+          state += (deck, name) ->
+            (state.getOrElse((deck, name), Vector.empty) ++ wells).distinct.sorted
         case other => throw new IllegalArgumentException(s"WLIST action $other")
       }
-      out += ((kwIdx, recIdx, name, state(name)))
+      out += ((kwIdx, recIdx, name, state((deck, name)), deck))
     }
-    out.result().toDF("keywordIdx", "recordIdx", "NAME", "WELLS")
+    val df = out.result().toDF("keywordIdx", "recordIdx", "NAME", "WELLS", "deckId")
+    if (hadDeck) df else df.drop("deckId")
   }
 
   /** Full pipeline from a deck file via the eclipse-deck DSv2 source —
@@ -103,19 +133,30 @@ object Compdat {
   def df(spark: SparkSession, deckText: String): DataFrame =
     fromEvents(DeckParser.toDS(spark, deckText).toDF())
 
-  def fromEvents(events: DataFrame): DataFrame = {
-    Schedule.requireSingleDeck(events, "compdat")
-    val dates = Schedule.keywordDates(events)
+  def fromEvents(events: DataFrame): DataFrame =
+    fromEvents(events, keepDeckId = false)
+
+  /** `keepDeckId = true` is corpus mode: the output carries `deckId` and a
+    * multi-deck frame yields, per deck, exactly what a single-deck run
+    * yields — all state operators below key on (deckId, WELL). The default
+    * drops the column for reference-schema parity and therefore refuses
+    * multi-deck input.
+    */
+  def fromEvents(events: DataFrame, keepDeckId: Boolean): DataFrame = {
+    if (!keepDeckId) Schedule.requireSingleDeck(events, "compdat")
+    val dk = deckCols(events)
+    val dates = Schedule.keywordDates(events, keepDeckId = dk.nonEmpty)
     val compdat0 = compdatRecords(events)
     val welspecs = welspecsRecords(events)
 
     // Defaulted (null or <=0) I/J inherit the as-of WELSPECS wellhead
     // (reference compdat.py:115-143).
     val headAsof = Ops.asofJoinLe(
-      compdat0, welspecs.select(col("WELL"), col("keywordIdx").as("wsIdx"),
-        col("HEAD_I"), col("HEAD_J")),
-      keys = Seq("WELL"), leftTime = "keywordIdx", rightTime = "wsIdx",
-      leftIdCols = Seq("keywordIdx", "recordIdx"), rightCols = Seq("HEAD_I", "HEAD_J"))
+      compdat0, welspecs.select(withDeck(welspecs, Seq(col("WELL"),
+        col("keywordIdx").as("wsIdx"), col("HEAD_I"), col("HEAD_J"))): _*),
+      keys = dk :+ "WELL", leftTime = "keywordIdx", rightTime = "wsIdx",
+      leftIdCols = dk ++ Seq("keywordIdx", "recordIdx"),
+      rightCols = Seq("HEAD_I", "HEAD_J"))
       .select(compdat0.columns.map(c => col(s"l.$c")) :+ col("HEAD_I") :+ col("HEAD_J"): _*)
     val withHead = headAsof
       .withColumn("I", when(col("I").isNull || col("I") <= 0, col("HEAD_I")).otherwise(col("I")))
@@ -127,15 +168,17 @@ object Compdat {
       .withColumn("K", explode(sequence(col("K1"), col("K2"))))
       .withColumn("K1", col("K")).withColumn("K2", col("K")).drop("K")
 
-    val dated = unrolled.join(dates, Seq("keywordIdx"), "left")
-    val welopenRaw = welopenRecords(events).join(dates, Seq("keywordIdx"), "left")
+    val dated = unrolled.join(dates, dk :+ "keywordIdx", "left")
+    val welopenRaw = welopenRecords(events).join(dates, dk :+ "keywordIdx", "left")
     val welopen = expandWelopenDefaults(
       resolveWelopen(welopenRaw,
         expandWlist(wlistRecords(events)), complumpRecords(events)),
       dated)
+    val outCols = (if (keepDeckId) dk else Nil) ++ Cols :+ "DATE"
     applyWelopen(dated, welopen)
-      .select((Cols :+ "DATE").map(col): _*)
-      .orderBy(col("DATE"), col("WELL"), col("I"), col("J"), col("K1"))
+      .select(outCols.map(col): _*)
+      .orderBy(((if (keepDeckId) dk else Nil) ++
+        Seq("DATE", "WELL", "I", "J", "K1")).map(col): _*)
   }
 
   /** Resolve indirections in WELOPEN rows before state application:
@@ -143,21 +186,27 @@ object Compdat {
     * compdat.py:757-788); C1/C2 completion ranges → the as-of COMPLUMP
     * lump assignments' explicit (I,J,K) connections (J11,
     * compdat.py:656-754). Both are as-of joins on the keyword ordinal
-    * against dimension-sized state tables → broadcast.
+    * against dimension-sized state tables → broadcast; both match within
+    * the owning deck on a corpus frame.
     */
   def resolveWelopen(welopen: DataFrame, wlistSnaps: DataFrame,
       complump: DataFrame): DataFrame = {
+    val dk = deckCols(welopen)
     val outCols = welopen.columns.toSeq
     val isList = col("WELL").startsWith("*")
     val afterList = {
       val lists = welopen.filter(isList)
       if (lists.isEmpty) welopen
       else {
-        val s = wlistSnaps.select(col("NAME"), col("keywordIdx").as("snapIdx"),
-          col("recordIdx").as("snapRec"), col("WELLS"))
+        val s = wlistSnaps.select(Seq(col("NAME"), col("keywordIdx").as("snapIdx"),
+          col("recordIdx").as("snapRec"), col("WELLS")) ++
+          dk.map(c => col(c).as("snapDeck")): _*)
+        val deckMatch = dk.map(_ => col("snapDeck") === col("deckId"))
         val joined = lists.join(broadcast(s),
-          col("NAME") === col("WELL") && col("snapIdx") <= col("keywordIdx"))
-        val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"))
+          deckMatch.foldLeft(col("NAME") === col("WELL") &&
+            col("snapIdx") <= col("keywordIdx"))(_ && _))
+        val w = Window
+          .partitionBy((dk :+ "keywordIdx" :+ "recordIdx").map(col): _*)
           .orderBy(col("snapIdx").desc, col("snapRec").desc)
         val exploded = joined
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -181,16 +230,20 @@ object Compdat {
     else {
       val cl = complump
         .withColumn("CL_K", explode(sequence(col("K1"), col("K2"))))
-        .select(col("WELL"), col("I").as("CL_I"), col("J").as("CL_J"),
+        .select(Seq(col("WELL"), col("I").as("CL_I"), col("J").as("CL_J"),
           col("CL_K"), col("N"),
-          col("keywordIdx").as("clIdx"), col("recordIdx").as("clRec"))
+          col("keywordIdx").as("clIdx"), col("recordIdx").as("clRec")) ++
+          dk.map(c => col(c).as("clDeck")): _*)
+      val deckMatch = dk.map(_ => cRows("deckId") === cl("clDeck"))
       val joined = cRows.drop("I", "J", "K").join(broadcast(cl),
-        cRows("WELL") === cl("WELL") && col("clIdx") <= col("keywordIdx") &&
-          col("N").between(coalesce(c1p, c2p), coalesce(c2p, c1p)))
+        deckMatch.foldLeft(cRows("WELL") === cl("WELL") &&
+          col("clIdx") <= col("keywordIdx") &&
+          col("N").between(coalesce(c1p, c2p), coalesce(c2p, c1p)))(_ && _))
         .drop(cl("WELL"))
       // latest lump assignment per (welopen row, connection)
-      val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"),
-        col("CL_I"), col("CL_J"), col("CL_K"))
+      val w = Window
+        .partitionBy((dk :+ "keywordIdx" :+ "recordIdx").map(col) ++
+          Seq(col("CL_I"), col("CL_J"), col("CL_K")): _*)
         .orderBy(col("clIdx").desc, col("clRec").desc)
       val expanded = joined
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -217,17 +270,23 @@ object Compdat {
     val isPartial = nDefaulted > 0 && nDefaulted < 3
     val partial = welopen.filter(isPartial)
     if (partial.isEmpty) return welopen
+    val dk = deckCols(welopen)
     val outCols = welopen.columns.toSeq
-    val conns = compdat.select(col("WELL"), col("keywordIdx").as("cIdx"),
-      col("recordIdx").as("cRec"), col("I").as("cI"), col("J").as("cJ"), col("K1").as("cK"))
-    val joined = partial.join(conns.withColumnRenamed("WELL", "cWELL"),
-      col("cWELL") === col("WELL") && col("cIdx") < col("keywordIdx") &&
+    val conns = compdat.select(Seq(col("WELL").as("cWELL"), col("keywordIdx").as("cIdx"),
+      col("recordIdx").as("cRec"), col("I").as("cI"), col("J").as("cJ"),
+      col("K1").as("cK")) ++ dk.map(c => col(c).as("cDeck")): _*)
+    val deckMatch = dk.map(_ => col("cDeck") === col("deckId"))
+    val joined = partial.join(conns,
+      deckMatch.foldLeft(col("cWELL") === col("WELL") &&
+        col("cIdx") < col("keywordIdx") &&
         (dflt(col("I")) || col("I") === col("cI")) &&
         (dflt(col("J")) || col("J") === col("cJ")) &&
-        (dflt(col("K")) || col("K") === col("cK")))
+        (dflt(col("K")) || col("K") === col("cK")))(_ && _))
     // one expansion per distinct matching connection per welopen row
-    val w = Window.partitionBy(col("keywordIdx"), col("recordIdx"),
-      col("cI"), col("cJ"), col("cK")).orderBy(col("cIdx").desc, col("cRec").desc)
+    val w = Window
+      .partitionBy((dk :+ "keywordIdx" :+ "recordIdx").map(col) ++
+        Seq(col("cI"), col("cJ"), col("cK")): _*)
+      .orderBy(col("cIdx").desc, col("cRec").desc)
     val expanded = joined
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .withColumn("I", col("cI")).withColumn("J", col("cJ")).withColumn("K", col("cK"))
@@ -242,26 +301,31 @@ object Compdat {
     *  - all of I,J,K given, C1/C2 defaulted → acts on one connection
     *    (STOP→SHUT at connection level); POPN→OPEN always.
     *  - `*`/`?` well templates expand against wells defined earlier in the
-    *    deck (compdat.py:366-412).
+    *    SAME deck (compdat.py:366-412).
     * New rows copy the latest prior state per connection with OP/SH
     * replaced, stamped with the WELOPEN's keywordIdx/DATE; final last-wins
-    * dedup per (WELL,I,J,K1,K2,DATE) ordered by keyword position.
+    * dedup per (deckId?, WELL,I,J,K1,K2,DATE) ordered by keyword position.
     */
   def applyWelopen(compdat: DataFrame, welopen: DataFrame): DataFrame = {
     if (welopen.isEmpty) return compdat
+    val dk = deckCols(compdat)
 
     // wildcard well templates → concrete wells known earlier in the deck
-    val wellsFirstDef = compdat.groupBy(col("WELL").as("defWell"))
+    val wellsFirstDef = compdat
+      .groupBy(dk.map(c => col(c).as("defDeck")) :+ col("WELL").as("defWell"): _*)
       .agg(min(col("keywordIdx")).as("firstDefIdx"))
     val isTemplate = col("WELL").contains("*") || col("WELL").contains("?")
     val literal = welopen.filter(!isTemplate)
+    val deckMatch = dk.map(_ => col("defDeck") === col("deckId"))
     val expanded = welopen.filter(isTemplate)
       .join(wellsFirstDef,
-        regexp_like(col("defWell"), concat(lit("^"),
-          regexp_replace(regexp_replace(col("WELL"),
-            lit("\\*"), lit(".*")), lit("\\?"), lit(".")), lit("$"))) &&
-          col("firstDefIdx") < col("keywordIdx"))
-      .drop("WELL").withColumnRenamed("defWell", "WELL").drop("firstDefIdx")
+        deckMatch.foldLeft(
+          regexp_like(col("defWell"), concat(lit("^"),
+            regexp_replace(regexp_replace(col("WELL"),
+              lit("\\*"), lit(".*")), lit("\\?"), lit(".")), lit("$"))) &&
+            col("firstDefIdx") < col("keywordIdx"))(_ && _))
+      .drop("WELL").withColumnRenamed("defWell", "WELL")
+      .drop("firstDefIdx").drop("defDeck")
     val wo = literal.unionByName(expanded.select(literal.columns.map(col): _*))
       .withColumn("actsOnWell",
         (col("I").isNull || col("I") <= 0) &&
@@ -270,20 +334,22 @@ object Compdat {
 
     val c = compdat.alias("c")
     val w = wo.alias("w")
+    val deckMatchCW = dk.map(k => col(s"c.$k") === col(s"w.$k"))
     val joined = c.join(w,
-      col("c.WELL") === col("w.WELL") &&
+      deckMatchCW.foldLeft(col("c.WELL") === col("w.WELL") &&
         col("c.keywordIdx") < col("w.keywordIdx") &&
         (col("w.actsOnWell") ||
           (col("c.I") === col("w.I") && col("c.J") === col("w.J") &&
-            col("c.K1") === col("w.K") && col("c.K2") === col("w.K"))))
+            col("c.K1") === col("w.K") && col("c.K2") === col("w.K"))))(_ && _))
     // latest prior state per (welopen row, connection)
     val latest = Window
-      .partitionBy(col("w.keywordIdx"), col("w.recordIdx"),
-        col("c.I"), col("c.J"), col("c.K1"), col("c.K2"))
+      .partitionBy(dk.map(k => col(s"w.$k")) ++
+        Seq(col("w.keywordIdx"), col("w.recordIdx"),
+          col("c.I"), col("c.J"), col("c.K1"), col("c.K2")): _*)
       .orderBy(col("c.keywordIdx").desc, col("c.recordIdx").desc)
     val newRows = joined
       .withColumn("__rn", row_number().over(latest)).filter(col("__rn") === 1)
-      .select(
+      .select(dk.map(k => col(s"c.$k").as(k)) ++ Seq(
         col("w.keywordIdx").as("keywordIdx"), col("w.recordIdx").as("recordIdx"),
         col("c.WELL").as("WELL"), col("c.I").as("I"), col("c.J").as("J"),
         col("c.K1").as("K1"), col("c.K2").as("K2"),
@@ -295,11 +361,11 @@ object Compdat {
         col("c.WBDIA").as("WBDIA"), col("c.KH").as("KH"),
         col("c.SKIN").as("SKIN"), col("c.DFACT").as("DFACT"),
         col("c.DIR").as("DIR"), col("c.PEQVR").as("PEQVR"),
-        col("w.DATE").as("DATE"))
+        col("w.DATE").as("DATE")): _*)
 
     Ops.lastWinsDedup(
       compdat.unionByName(newRows),
-      keys = Seq("WELL", "I", "J", "K1", "K2", "DATE"),
+      keys = dk ++ Seq("WELL", "I", "J", "K1", "K2", "DATE"),
       ord = Seq(col("keywordIdx"), col("recordIdx")))
   }
 
@@ -311,17 +377,21 @@ object Compdat {
     * whether they are fatal. Same join shape as applyWelopen, anti-form.
     */
   def welopenAnomalies(compdat: DataFrame, welopen: DataFrame): DataFrame = {
+    val dk = deckCols(welopen).intersect(deckCols(compdat))
     val wo = welopen.withColumn("actsOnWell",
       (col("I").isNull || col("I") <= 0) &&
         (col("J").isNull || col("J") <= 0) &&
         (col("K").isNull || col("K") <= 0))
-    val c = compdat.select(col("WELL").as("cWELL"), col("keywordIdx").as("cIdx"),
-      col("I").as("cI"), col("J").as("cJ"), col("K1").as("cK1"), col("K2").as("cK2"))
+    val c = compdat.select(Seq(col("WELL").as("cWELL"), col("keywordIdx").as("cIdx"),
+      col("I").as("cI"), col("J").as("cJ"), col("K1").as("cK1"),
+      col("K2").as("cK2")) ++ dk.map(k => col(k).as("cDeck")): _*)
+    val deckMatch = dk.map(_ => col("cDeck") === col("deckId"))
     wo.join(c,
-        col("cWELL") === col("WELL") && col("cIdx") < col("keywordIdx") &&
+        deckMatch.foldLeft(col("cWELL") === col("WELL") &&
+          col("cIdx") < col("keywordIdx") &&
           (col("actsOnWell") ||
             (col("cI") === col("I") && col("cJ") === col("J") &&
-              col("cK1") === col("K") && col("cK2") === col("K"))),
+              col("cK1") === col("K") && col("cK2") === col("K"))))(_ && _),
         "left_anti")
       .drop("actsOnWell")
   }

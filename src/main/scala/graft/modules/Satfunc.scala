@@ -25,14 +25,51 @@ object Satfunc {
     "SOF2" -> Seq("SO", "KRO"),
     "SOF3" -> Seq("SO", "KROW", "KROG"))
 
-  def keywordDf(events: DataFrame, keyword: String): DataFrame = {
+  def keywordDf(events: DataFrame, keyword: String): DataFrame =
+    keywordDf(events, keyword, None)
+
+  /** `ntsfun` is the explicit table-count override (inferdims.py:18-84
+    * API parity — the reference's `satfunc.df(..., ntsfun=N)`): when the
+    * deck's record structure under-counts (several tables concatenated in
+    * one flat record — the shape opm needs TABDIMS for), records split
+    * into tables wherever the saturation column DECREASES (Eclipse
+    * requires strictly increasing saturation within a table — the same
+    * monotonicity rule opm's strict reparse enforces), and the result
+    * must come out to exactly `ntsfun` tables. Without the override the
+    * record counter stands, as before.
+    */
+  def keywordDf(events: DataFrame, keyword: String, ntsfun: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val names = Families(keyword)
-    events.filter(col("keyword") === keyword && size(col("items")) > 0)
-      .withColumn("SATNUM", col("recordIdx") + 1)
-      .select(col("keywordIdx"), col("SATNUM"),
+    val base = events.filter(col("keyword") === keyword && size(col("items")) > 0)
+      .select(col("keywordIdx"), col("recordIdx"),
         explode(R.dataChunks(names)).as("row"))
-      .select(Seq(lit(keyword).as("KEYWORD"), col("SATNUM")) ++
+      .select(Seq(col("keywordIdx"), col("recordIdx"),
+        col("row.row_idx").as("rowIdx")) ++
         names.map(n => col(s"row.$n").as(n)): _*)
+    val numbered = ntsfun match {
+      case None => base.withColumn("SATNUM", (col("recordIdx") + 1).cast("int"))
+      case Some(n) =>
+        val sat = col(names.head)
+        val byRow = Window.partitionBy(col("keywordIdx"), col("recordIdx"))
+          .orderBy(col("rowIdx"))
+        val cum = byRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val split = base
+          .withColumn("__newTab",
+            when(sat < lag(sat, 1).over(byRow), 1).otherwise(0))
+          .withColumn("__tabInRec", sum(col("__newTab")).over(cum))
+        val byTab = Window.partitionBy(col("keywordIdx"))
+          .orderBy(col("recordIdx"), col("__tabInRec"))
+        val withSat = split.withColumn("SATNUM", dense_rank().over(byTab))
+          .drop("__newTab", "__tabInRec")
+        val got = withSat.agg(coalesce(max(col("SATNUM")), lit(0))).head.getInt(0)
+        // got == 0 means the keyword isn't in this deck — nothing to check
+        require(got == 0 || got == n,
+          s"$keyword: ntsfun=$n given but the deck's monotonicity boundaries yield $got tables")
+        withSat
+    }
+    numbered.select(Seq(lit(keyword).as("KEYWORD"), col("SATNUM")) ++
+      names.map(col): _*)
   }
 
   /** Defaulted (`1*`) table values fill by linear interpolation over the
@@ -47,11 +84,14 @@ object Satfunc {
 
   /** All present families, unioned with per-family column sets
     * (unionByName allowMissingColumns — reference U1, satfunc.py:114-116).
+    * `ntsfun` overrides the per-record table count for every family (the
+    * reference's API takes one ntsfun for the whole call too).
     */
-  def df(spark: SparkSession, deckText: String): DataFrame = {
+  def df(spark: SparkSession, deckText: String,
+      ntsfun: Option[Int] = None): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
     val present = Families.keys.toSeq.sorted
-      .map(k => (k, keywordDf(events, k)))
+      .map(k => (k, keywordDf(events, k, ntsfun)))
       .filter { case (_, d) => !d.isEmpty }
       .map { case (k, d) => interpolateDefaults(d, k) }
     present.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))

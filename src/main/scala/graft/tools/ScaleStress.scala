@@ -98,6 +98,37 @@ object ScaleStress {
     val (d1, d10) = (Seq(timeDecks(100), timeDecks(100)).min,
       Seq(timeDecks(1000), timeDecks(1000)).min)
     println(f"SCALE schedule_corpus decks=100:${d1}%.2fs decks=1000:${d10}%.2fs ratio=${d10 / d1}%.1f")
+
+    // corpus-native compdat: the FULL per-deck state pipeline (WELSPECS
+    // as-of, K unroll, WLIST fold, WELOPEN application, last-wins) over one
+    // multi-deck frame — every operator keyed on (deckId, WELL)
+    val compdatDeck = (1 to 10).map(m =>
+      s"""DATES
+         | 1 'JAN' ${2000 + m} /
+         |/
+         |WELSPECS
+         | 'OP$m' 'G' $m $m /
+         |/
+         |COMPDAT
+         | 'OP$m' 2* 1 3 'OPEN' /
+         |/
+         |WLIST
+         | '*L$m' 'NEW' 'OP$m' /
+         |/
+         |WELOPEN
+         | '*L$m' 'SHUT' /
+         |/
+         |""".stripMargin).mkString
+    def timeCompdat(n: Int): Double = {
+      val df = spark.createDataFrame(
+        (0 until n).flatMap(i => graft.io.DeckParser.parse(compdatDeck, s"deck$i")))
+      val t0 = System.nanoTime()
+      graft.modules.Compdat.fromEvents(df, keepDeckId = true).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (c1, c10) = (Seq(timeCompdat(100), timeCompdat(100)).min,
+      Seq(timeCompdat(1000), timeCompdat(1000)).min)
+    println(f"SCALE compdat_corpus decks=100:${c1}%.2fs decks=1000:${c10}%.2fs ratio=${c10 / c1}%.1f")
     spark.stop()
   }
 }

@@ -108,7 +108,10 @@ object SummaryWriter {
     * deterministic tiebreaker for last-state-wins consumers (the wide
     * pivot; a bare `first()` over duplicate dates is order-dependent).
     */
-  def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
+  /** Decode a SMSPEC's catalog: (per-param vector names, TIME index,
+    * start date).
+    */
+  private def specCatalog(basePath: String): (IndexedSeq[String], Int, LocalDate) = {
     val spec = graft.io.EclKw.read(s"$basePath.SMSPEC").map(k => k.name -> k).toMap
     val kws = spec("KEYWORDS").strings
     val wgs = spec.get("WGNAMES").orElse(spec.get("NAMES")).map(_.strings)
@@ -121,6 +124,20 @@ object SummaryWriter {
     val vectors = kws.indices.map(i => vectorName(kws(i), wgs(i), nums(i), dims))
     val timeIdx = kws.indexOf("TIME")
     require(timeIdx >= 0, s"$basePath.SMSPEC has no TIME vector")
+    (vectors, timeIdx, start)
+  }
+
+  /** The distinct vector names a SMSPEC declares (TIME excluded), sorted —
+    * lets pivot consumers pass an explicit values list instead of paying
+    * a distinct pass + driver collect over the long data.
+    */
+  def vectors(basePath: String): Seq[String] = {
+    val (vecs, timeIdx, _) = specCatalog(basePath)
+    vecs.indices.collect { case i if i != timeIdx => vecs(i) }.distinct.sorted
+  }
+
+  def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
+    val (vectors, timeIdx, start) = specCatalog(basePath)
     val out = Seq.newBuilder[(java.sql.Date, String, Double, Int)]
     graft.io.EclKw.read(s"$basePath.UNSMRY").filter(_.name == "PARAMS")
       .zipWithIndex.foreach { case (kw, step) =>

@@ -122,6 +122,70 @@ class CompdatSpec extends AnyFunSuite {
     assert(mar.length == 1 && mar.head.getAs[String]("OP/SH") == "OPEN")
   }
 
+  test("corpus mode: one multi-deck frame == per-deck single runs, exactly") {
+    // two decks that would cross-contaminate badly if any WELL-keyed
+    // operator ignored deckId: SAME well names, SAME list name, different
+    // headers, WELOPEN/WLIST/COMPLUMP state and clocks per deck
+    val deckA =
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |WELSPECS
+        | 'OP1' 'G' 11 12 /
+        |/
+        |COMPDAT
+        | 'OP1' 2* 1 3 'OPEN' /
+        | 'OP2' 5 5 1 1 'OPEN' /
+        |/
+        |WLIST
+        | '*L' 'NEW' 'OP1' /
+        |/
+        |WELOPEN
+        | '*L' 'SHUT' /
+        |/
+        |""".stripMargin
+    val deckB =
+      """DATES
+        | 1 'FEB' 2001 /
+        |/
+        |WELSPECS
+        | 'OP1' 'G' 77 88 /
+        |/
+        |COMPDAT
+        | 'OP1' 2* 1 2 'OPEN' /
+        | 'OP2' 5 5 1 1 'OPEN' /
+        |/
+        |WLIST
+        | '*L' 'NEW' 'OP2' /
+        |/
+        |COMPLUMP
+        | 'OP1' 77 88 1 1 9 /
+        |/
+        |WELOPEN
+        | '*L' 'SHUT' /
+        | 'OP1' 'SHUT' 3* 9 9 /
+        |/
+        |""".stripMargin
+    val evA = DeckParser.toDS(spark, deckA, deckId = "A").toDF()
+    val evB = DeckParser.toDS(spark, deckB, deckId = "B").toDF()
+    val corpus = Compdat.fromEvents(evA.unionByName(evB), keepDeckId = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val singleA = Compdat.fromEvents(evA)
+    val singleB = Compdat.fromEvents(evB)
+    assert(rows(corpus.filter("deckId = 'A'").drop("deckId")) == rows(singleA))
+    assert(rows(corpus.filter("deckId = 'B'").drop("deckId")) == rows(singleB))
+    // sanity on the cross-contamination vectors: deck A's OP1 takes head
+    // (11,12) and is SHUT via *L; deck B's OP1 takes head (77,88), is
+    // SHUT via its OWN COMPLUMP lump, and OP2 is SHUT only in deck B
+    val a = rows(singleA).map(r => (r(0), r(1), r(2), r(5))) // WELL I J OP/SH
+    assert(a.contains(("OP1", 11, 12, "SHUT")))
+    assert(a.contains(("OP2", 5, 5, "OPEN")))
+    val b = rows(singleB).map(r => (r(0), r(1), r(2), r(5)))
+    assert(b.contains(("OP1", 77, 88, "SHUT")))
+    assert(b.contains(("OP2", 5, 5, "SHUT")))
+  }
+
   test("schedule clock: DATES then TSTEP advances fractionally-summed days") {
     val events = DeckParser.toDS(spark,
       """DATES

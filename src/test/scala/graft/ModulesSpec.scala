@@ -23,6 +23,60 @@ class ModulesSpec extends AnyFunSuite {
     assert(sw.toSeq == Seq(0.2, 1.0))
   }
 
+  test("satfunc: explicit ntsfun splits an ambiguous single-record keyword") {
+    // two tables concatenated in ONE record (no interior '/'): the record
+    // counter alone sees one SATNUM — the reference needs TABDIMS/ntsfun
+    // here (inferdims.py); ntsfun=2 splits at the saturation decrease
+    val deck =
+      """SWOF
+        | 0.1 0.0 1.0 0.0
+        | 0.5 0.3 0.5 0.0
+        | 1.0 1.0 0.0 0.0
+        | 0.2 0.0 1.0 0.0
+        | 1.0 1.0 0.0 0.0 /
+        |/
+        |""".stripMargin
+    val ambiguous = Satfunc.df(spark, deck)
+    assert(ambiguous.filter("SATNUM = 1").count() == 5) // under-counted
+    val split = Satfunc.df(spark, deck, ntsfun = Some(2))
+    assert(split.filter("SATNUM = 1").count() == 3)
+    assert(split.filter("SATNUM = 2").count() == 2)
+    val sw2 = split.filter("SATNUM = 2").orderBy("SW")
+      .select("SW").collect().map(_.getDouble(0))
+    assert(sw2.toSeq == Seq(0.2, 1.0))
+    // a wrong override fails loudly instead of mis-numbering silently
+    val e = intercept[IllegalArgumentException](Satfunc.df(spark, deck, Some(3)).count())
+    assert(e.getMessage.contains("yield 2 tables"))
+    // on a well-formed deck, ntsfun equal to the real count is a no-op
+    val wellFormed =
+      """SWOF
+        | 0.1 0.0 1.0 0.0
+        | 1.0 1.0 0.0 0.0 /
+        | 0.2 0.0 1.0 0.0
+        | 1.0 1.0 0.0 0.0 /
+        |/
+        |""".stripMargin
+    assert(Satfunc.df(spark, wellFormed, Some(2)).filter("SATNUM = 2").count() == 2)
+  }
+
+  test("pvt: explicit ntpvt splits concatenated PVDG tables") {
+    val deck =
+      """PVDG
+        | 100 0.010 0.01
+        | 200 0.005 0.02
+        | 100 0.011 0.01
+        | 200 0.006 0.02 /
+        |/
+        |""".stripMargin
+    val split = Pvt.df(spark, deck, ntpvt = Some(2))
+    assert(split.filter("PVTNUM = 1").count() == 2)
+    assert(split.filter("PVTNUM = 2").count() == 2)
+    assert(split.filter("PVTNUM = 2").orderBy("PRESSURE")
+      .select("VOLUMEFACTOR").collect().map(_.getDouble(0)).toSeq == Seq(0.011, 0.006))
+    val e = intercept[IllegalArgumentException](Pvt.df(spark, deck, Some(5)).count())
+    assert(e.getMessage.contains("ntpvt=5"))
+  }
+
   test("satfunc: defaulted (1*) values interpolate by saturation index, interior only") {
     val df = Satfunc.df(spark,
       """SWOF
