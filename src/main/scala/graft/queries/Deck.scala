@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reservoir-module pipeline with a DuckDB oracle: a generated corpus of
+  * [[CorpusDecks]] schedule decks runs through the CORPUS-NATIVE compdat
+  * pipeline (one multi-deck frame, every operator keyed on (deckId,
+  * WELL)), and the oracle replays each operator relationally in SQL from
+  * the same closed-form event corpus: forward-filled schedule clock (A8),
+  * WELSPECS as-of header fill (J9), K1–K2 unroll (R1), wildcard WELOPEN
+  * expansion (J10) and last-wins state collapse (R11/W7) — the reference's
+  * applywelopen semantics (compdat.py:791-924) checked row-for-row,
+  * hash-for-hash, across 20 decks in one plan.
+  */
+object Deck {
+
+  private val CorpusDecks = 20
+
+  /** One deck of the generated corpus: explicit clock, a defaulted-I/J
+    * producer (exercises the WELSPECS as-of), an explicit connection, a
+    * wildcard whole-well SHUT and a connection-specific SHUT.
+    */
+  private def deckText(d: Int): String =
+    s"""DATES
+       | 1 'JAN' ${2000 + d} /
+       |/
+       |WELSPECS
+       | 'W$d' 'G' ${d + 1} ${d + 2} /
+       |/
+       |COMPDAT
+       | 'W$d' 2* 1 3 'OPEN' /
+       | 'X$d' 5 6 1 1 'OPEN' /
+       |/
+       |DATES
+       | 1 'FEB' ${2000 + d} /
+       |/
+       |WELOPEN
+       | 'W*' 'SHUT' /
+       | 'X$d' 'SHUT' 5 6 1 /
+       |/
+       |""".stripMargin
+
+  def q44CompdatWelopen(s: SparkSession, dir: String): DataFrame = {
+    val events = (0 until CorpusDecks).flatMap(d =>
+      graft.io.DeckParser.parse(deckText(d), deckId = s"d$d"))
+    graft.modules.Compdat.fromEvents(s.createDataFrame(events), keepDeckId = true)
+      .select(col("deckId").as("deck_id"), col("WELL").as("well"),
+        col("I").as("i"), col("J").as("j"),
+        col("K1").as("k1"), col("K2").as("k2"),
+        col("OP/SH").as("op_sh"), col("DATE").cast("date").as("date"))
+      .orderBy(col("deck_id"), col("date"), col("well"), col("i"), col("j"), col("k1"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_compdat_welopen" -> (q44CompdatWelopen _),
+  )
+
+  /** The oracle builds the SAME corpus relationally (UNION ALL of the
+    * closed-form records, one ordinal per record) and replays every
+    * pipeline operator in SQL. Record-level ordinals vs the engine's
+    * keyword-level ordinals are order-isomorphic here (every comparison
+    * the pipeline makes crosses a keyword boundary).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q44_compdat_welopen" ->
+      s"""WITH decks AS (SELECT CAST(unnest(range($CorpusDecks)) AS BIGINT) AS d),
+        |ev AS (
+        |  SELECT d, 1 AS kw, 'DATES' AS keyword, CAST(NULL AS VARCHAR) AS well,
+        |         CAST(NULL AS INT) AS i, CAST(NULL AS INT) AS j,
+        |         CAST(NULL AS INT) AS k1, CAST(NULL AS INT) AS k2,
+        |         CAST(NULL AS VARCHAR) AS status,
+        |         make_date(CAST(2000 + d AS INT), 1, 1) AS edate FROM decks
+        |  UNION ALL SELECT d, 2, 'WELSPECS', 'W' || d, CAST(d + 1 AS INT),
+        |         CAST(d + 2 AS INT), NULL, NULL, NULL, NULL FROM decks
+        |  UNION ALL SELECT d, 3, 'COMPDAT', 'W' || d, NULL, NULL, 1, 3, 'OPEN', NULL FROM decks
+        |  UNION ALL SELECT d, 4, 'COMPDAT', 'X' || d, 5, 6, 1, 1, 'OPEN', NULL FROM decks
+        |  UNION ALL SELECT d, 5, 'DATES', NULL, NULL, NULL, NULL, NULL, NULL,
+        |         make_date(CAST(2000 + d AS INT), 2, 1) FROM decks
+        |  UNION ALL SELECT d, 6, 'WELOPEN', 'W*', NULL, NULL, NULL, NULL, 'SHUT', NULL FROM decks
+        |  UNION ALL SELECT d, 7, 'WELOPEN', 'X' || d, 5, 6, 1, NULL, 'SHUT', NULL FROM decks),
+        |dated AS (  -- A8: per-deck forward-filled schedule clock
+        |  SELECT *, last_value(edate IGNORE NULLS) OVER
+        |           (PARTITION BY d ORDER BY kw ROWS UNBOUNDED PRECEDING) AS date
+        |  FROM ev),
+        |compdat0 AS (SELECT d, kw, well, i, j, k1, k2, status, date
+        |             FROM dated WHERE keyword = 'COMPDAT'),
+        |heads AS (SELECT d, kw AS hkw, well, i AS hi, j AS hj
+        |          FROM dated WHERE keyword = 'WELSPECS'),
+        |headed AS (  -- J9: as-of (<=) WELSPECS header fill for defaulted I/J
+        |  SELECT c.*, h.hi, h.hj,
+        |         row_number() OVER (PARTITION BY c.d, c.kw, c.well
+        |                            ORDER BY h.hkw DESC) AS rn
+        |  FROM compdat0 c LEFT JOIN heads h
+        |    ON h.d = c.d AND h.well = c.well AND h.hkw <= c.kw),
+        |filled AS (SELECT d, kw, well, coalesce(i, hi) AS i, coalesce(j, hj) AS j,
+        |                  k1, k2, status, date
+        |           FROM headed WHERE rn = 1),
+        |unrolled AS (  -- R1: K1-K2 layer unroll
+        |  SELECT d, kw, well, i, j,
+        |         CAST(unnest(generate_series(k1, k2)) AS INT) AS k, status, date
+        |  FROM filled),
+        |wo AS (SELECT d, kw, well, i, j, k1 AS k, status, date
+        |       FROM dated WHERE keyword = 'WELOPEN'),
+        |firstdef AS (SELECT d, well, min(kw) AS fkw FROM compdat0 GROUP BY 1, 2),
+        |wo_wells AS (  -- J10: */? well templates expand against earlier wells
+        |  SELECT w.d, w.kw, f.well, w.i, w.j, w.k, w.status, w.date
+        |  FROM wo w JOIN firstdef f ON f.d = w.d
+        |    AND f.well LIKE replace(replace(w.well, '*', '%'), '?', '_')
+        |    AND (CASE WHEN w.well LIKE '%*%' OR w.well LIKE '%?%'
+        |              THEN f.fkw < w.kw ELSE TRUE END)),
+        |newrows AS (  -- R11: copy latest prior connection state, override status
+        |  SELECT u.d, w.kw, u.well, u.i, u.j, u.k,
+        |         CASE WHEN w.status = 'POPN' THEN 'OPEN'
+        |              WHEN w.status = 'STOP' THEN
+        |                CASE WHEN w.i IS NULL AND w.j IS NULL AND w.k IS NULL
+        |                     THEN 'OPEN' ELSE 'SHUT' END
+        |              ELSE w.status END AS status,
+        |         w.date,
+        |         row_number() OVER (PARTITION BY u.d, w.kw, u.i, u.j, u.k, u.well
+        |                            ORDER BY u.kw DESC) AS rn
+        |  FROM wo_wells w JOIN unrolled u
+        |    ON u.d = w.d AND u.well = w.well AND u.kw < w.kw
+        |    AND ((w.i IS NULL AND w.j IS NULL AND w.k IS NULL)
+        |         OR (u.i = w.i AND u.j = w.j AND u.k = w.k))),
+        |allrows AS (
+        |  SELECT d, kw, well, i, j, k, status, date FROM unrolled
+        |  UNION ALL
+        |  SELECT d, kw, well, i, j, k, status, date FROM newrows WHERE rn = 1),
+        |final AS (  -- W7: last state wins per (deck, connection, date)
+        |  SELECT *, row_number() OVER (PARTITION BY d, well, i, j, k, date
+        |                               ORDER BY kw DESC) AS lrn
+        |  FROM allrows)
+        |SELECT 'd' || d AS deck_id, well, i, j, k AS k1, k AS k2,
+        |       status AS op_sh, date
+        |FROM final WHERE lrn = 1
+        |ORDER BY deck_id, date, well, i, j, k1""".stripMargin,
+  )
+}
