@@ -22,12 +22,13 @@ import graft.io.{DeckParser, Records => R}
 object Gruptree {
 
   def edgeEvents(events: DataFrame): DataFrame = {
+    val dk = Schedule.deckKeys(events).map(col)
     val grup = events.filter(col("keyword").isin("GRUPTREE", "BRANPROP") && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"), col("keyword").as("KEYWORD"),
-        R.str(0).as("CHILD"), R.str(1, "FIELD").as("PARENT"))
+      .select(dk ++ Seq(col("keywordIdx"), col("recordIdx"), col("keyword").as("KEYWORD"),
+        R.str(0).as("CHILD"), R.str(1, "FIELD").as("PARENT")): _*)
     val wspecs = events.filter(col("keyword") === "WELSPECS" && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"), lit("WELSPECS").as("KEYWORD"),
-        R.str(0).as("CHILD"), R.str(1).as("PARENT"))
+      .select(dk ++ Seq(col("keywordIdx"), col("recordIdx"), lit("WELSPECS").as("KEYWORD"),
+        R.str(0).as("CHILD"), R.str(1).as("PARENT")): _*)
     grup.unionByName(wspecs)
   }
 
@@ -36,9 +37,10 @@ object Gruptree {
     */
   def nodeEvents(events: DataFrame): DataFrame =
     events.filter(col("keyword").isin("GRUPNET", "NODEPROP") && size(col("items")) > 0)
-      .select(col("keywordIdx"), col("recordIdx"), col("keyword").as("NKEYWORD"),
-        R.str(0).as("CHILD"), R.dbl(1).as("TERMINAL_PRESSURE"),
-        R.int(2).as("VFP_TABLE"), R.dbl(3).as("ALQ"))
+      .select(Schedule.deckKeys(events).map(col) ++
+        Seq(col("keywordIdx"), col("recordIdx"), col("keyword").as("NKEYWORD"),
+          R.str(0).as("CHILD"), R.dbl(1).as("TERMINAL_PRESSURE"),
+          R.int(2).as("VFP_TABLE"), R.dbl(3).as("ALQ")): _*)
 
   /** The reference keeps TWO tree families (gruptree.py:185-288): the
     * standard tree (GRUPTREE edges + GRUPNET node data) and the network
@@ -52,76 +54,94 @@ object Gruptree {
     * Duplicate (DATE, CHILD, KEYWORD) rows across the two families
     * (shared WELSPECS edges) collapse at the end.
     */
-  def df(spark: SparkSession, deckText: String): DataFrame = {
-    val events = DeckParser.toDS(spark, deckText).toDF()
-    Schedule.requireSingleDeck(events, "gruptree")
-    val dates = Schedule.keywordDates(events)
-    def dated(df: DataFrame) = df.join(dates, Seq("keywordIdx"), "left")
+  def df(spark: SparkSession, deckText: String): DataFrame =
+    fromEvents(DeckParser.toDS(spark, deckText).toDF())
+
+  /** `keepDeckId = true` is corpus mode: snapshot dates, as-of edge/node
+    * joins and the final dedup all key on (deckId, …) and the output
+    * carries the deck key — one plan over a fleet of decks.
+    */
+  def fromEvents(events: DataFrame, keepDeckId: Boolean = false): DataFrame = {
+    if (!keepDeckId) Schedule.requireSingleDeck(events, "gruptree")
+    val dk = Schedule.deckKeys(events)
+    val dates = Schedule.keywordDates(events, keepDeckId = dk.nonEmpty)
+    def dated(df: DataFrame) = df.join(dates, dk :+ "keywordIdx", "left")
       .withColumn("DATE", coalesce(col("DATE"), lit("1900-01-01").cast("timestamp")))
     val edges = dated(edgeEvents(events))
     val treeEdges = edges.filter(col("KEYWORD") =!= "WELSPECS")
     val wspecs = edges.filter(col("KEYWORD") === "WELSPECS")
     val nodes = dated(nodeEvents(events))
     val ord = Seq(col("keywordIdx"), col("recordIdx"))
+    val dkc = dk.map(col)
+    // snapshot-range joins and key sets, deck-scoped on a corpus frame
+    def snapJoin(df: DataFrame, snapDates: DataFrame): DataFrame =
+      df.join(snapDates,
+        dk.map(k => df(k) === snapDates(s"SNAP_$k")).foldLeft(
+          col("DATE") <= col("SNAP_DATE"))(_ && _))
+        .drop(dk.map(k => s"SNAP_$k"): _*)
+    val snapKeys = dk ++ Seq("SNAP_DATE", "CHILD")
 
     def family(treetype: String, nodetype: String): DataFrame = {
       val fe = treeEdges.filter(col("KEYWORD") === treetype)
       val fn = nodes.filter(col("NKEYWORD") === nodetype)
       // a family snapshot exists at every date any of its keywords (or
       // WELSPECS) changed — gruptree.py:204 `any(found_keywords[...])`
-      val snapDates = fe.select(col("DATE")).unionByName(fn.select(col("DATE")))
-        .unionByName(wspecs.select(col("DATE")))
-        .distinct().select(col("DATE").as("SNAP_DATE"))
-      val snapEdges = Ops.lastWinsDedup(
-        fe.join(snapDates, col("DATE") <= col("SNAP_DATE")),
-        keys = Seq("SNAP_DATE", "CHILD"), ord = ord)
-        .select(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"))
-      val childs = snapEdges.select(col("SNAP_DATE"), col("CHILD"))
-      val wAll = Ops.lastWinsDedup(
-        wspecs.join(snapDates, col("DATE") <= col("SNAP_DATE")),
-        keys = Seq("SNAP_DATE", "CHILD"), ord = ord)
-        .select(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"))
+      val snapDates = fe.select(dkc :+ col("DATE"): _*)
+        .unionByName(fn.select(dkc :+ col("DATE"): _*))
+        .unionByName(wspecs.select(dkc :+ col("DATE"): _*))
+        .distinct()
+        .select(dk.map(k => col(k).as(s"SNAP_$k")) :+ col("DATE").as("SNAP_DATE"): _*)
+      val snapEdges = Ops.lastWinsDedup(snapJoin(fe, snapDates),
+        keys = snapKeys, ord = ord)
+        .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD")): _*)
+      val childs = snapEdges.select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD")): _*)
+      val wAll = Ops.lastWinsDedup(snapJoin(wspecs, snapDates),
+        keys = snapKeys, ord = ord)
+        .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD")): _*)
       // BRANPROP trees only keep wells whose parent group is in the tree
       val ws =
         if (treetype == "BRANPROP")
           wAll.join(childs.withColumnRenamed("CHILD", "PARENT"),
-            Seq("SNAP_DATE", "PARENT"), "left_semi")
+            dk ++ Seq("SNAP_DATE", "PARENT"), "left_semi")
         else wAll
       // WELSPECS parents outside the GRUPTREE tree hang off FIELD
       val orphans =
         if (treetype == "GRUPTREE")
-          ws.select(col("SNAP_DATE"), col("PARENT").as("CHILD")).distinct()
-            .join(childs, Seq("SNAP_DATE", "CHILD"), "left_anti")
-            .select(col("SNAP_DATE"), col("CHILD"),
-              lit("FIELD").as("PARENT"), lit(treetype).as("KEYWORD"))
+          ws.select(dkc ++ Seq(col("SNAP_DATE"), col("PARENT").as("CHILD")): _*).distinct()
+            .join(childs, snapKeys, "left_anti")
+            .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"),
+              lit("FIELD").as("PARENT"), lit(treetype).as("KEYWORD")): _*)
         else snapEdges.limit(0)
       val famEdges = snapEdges.unionByName(orphans)
-      val parents = famEdges.select(col("SNAP_DATE"), col("PARENT").as("CHILD"))
+      val parents = famEdges
+        .select(dkc ++ Seq(col("SNAP_DATE"), col("PARENT").as("CHILD")): _*)
         .filter(col("CHILD").isNotNull).distinct()
       val roots = parents
-        .join(famEdges.select(col("SNAP_DATE"), col("CHILD")), Seq("SNAP_DATE", "CHILD"), "left_anti")
-        .select(col("SNAP_DATE"), col("CHILD"),
-          lit(null).cast("string").as("PARENT"), lit(treetype).as("KEYWORD"))
+        .join(famEdges.select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD")): _*),
+          snapKeys, "left_anti")
+        .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"),
+          lit(null).cast("string").as("PARENT"), lit(treetype).as("KEYWORD")): _*)
       // node data as-of the snapshot, family-scoped, onto family rows and
       // roots (the reference leaves WELSPECS rows bare)
-      val fnLast = Ops.lastWinsDedup(
-        fn.join(snapDates, col("DATE") <= col("SNAP_DATE")),
-        keys = Seq("SNAP_DATE", "CHILD"), ord = ord)
-        .select(col("SNAP_DATE"), col("CHILD"),
-          col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
+      val fnLast = Ops.lastWinsDedup(snapJoin(fn, snapDates),
+        keys = snapKeys, ord = ord)
+        .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"),
+          col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ")): _*)
       famEdges.unionByName(roots)
-        .join(broadcast(fnLast), Seq("SNAP_DATE", "CHILD"), "left")
+        .join(broadcast(fnLast), snapKeys, "left")
         .unionByName(ws
           .withColumn("TERMINAL_PRESSURE", lit(null).cast("double"))
           .withColumn("VFP_TABLE", lit(null).cast("int"))
           .withColumn("ALQ", lit(null).cast("double")))
     }
 
-    family("GRUPTREE", "GRUPNET")
+    val out = family("GRUPTREE", "GRUPNET")
       .unionByName(family("BRANPROP", "NODEPROP"))
-      .dropDuplicates("SNAP_DATE", "CHILD", "KEYWORD")
-      .select(col("SNAP_DATE").as("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"),
-        col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"))
-      .orderBy(col("DATE"), col("PARENT").asc_nulls_first, col("CHILD"))
+      .dropDuplicates(dk ++ Seq("SNAP_DATE", "CHILD", "KEYWORD"))
+      .select((if (keepDeckId) dkc else Nil) ++
+        Seq(col("SNAP_DATE").as("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"),
+          col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ")): _*)
+    out.orderBy((if (keepDeckId) dkc else Nil) ++
+      Seq(col("DATE"), col("PARENT").asc_nulls_first, col("CHILD")): _*)
   }
 }

@@ -76,12 +76,17 @@ object Schedule {
     events.join(keywordDates(events, keepDeckId = hasDeck), keys, "left")
   }
 
-  /** Guard for the record-level state machines (compdat, gruptree, msw,
-    * wcon): their WLIST folds, as-of chains and WELL-keyed joins operate
-    * in ONE deck's ordinal space, so a frame holding several decks would
-    * silently cross-contaminate. Corpus processing applies the module per
-    * deck (each deck is independent — group on deckId upstream), it does
-    * not feed one multi-deck frame through. Fails fast instead.
+  /** The corpus key columns: `deckId` when the frame carries one. */
+  def deckKeys(events: DataFrame): Seq[String] =
+    if (events.columns.contains("deckId")) Seq("deckId") else Nil
+
+  /** Guard for the record-level state machines' DEFAULT single-deck
+    * entry points (compdat, gruptree, msw, wcon): without the corpus key
+    * in the output, a frame holding several decks would silently
+    * interleave unrelated wells. Each module's `keepDeckId = true` mode
+    * is the corpus path — every ordinal join and window there keys on
+    * (deckId, …), so one multi-deck frame processes per-deck semantics
+    * in one plan.
     */
   def requireSingleDeck(events: DataFrame, module: String): Unit =
     if (events.columns.contains("deckId")) {

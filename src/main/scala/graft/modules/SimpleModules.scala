@@ -201,37 +201,46 @@ object Pvt {
   * (wcon.py:22-64): per-keyword typed frames unioned (U1).
   */
 object Wcon {
-  def df(spark: SparkSession, deckText: String): DataFrame = {
-    val events = DeckParser.toDS(spark, deckText).toDF()
-    Schedule.requireSingleDeck(events, "wcon")
-    val dates = Schedule.keywordDates(events)
+  def df(spark: SparkSession, deckText: String): DataFrame =
+    fromEvents(DeckParser.toDS(spark, deckText).toDF())
+
+  /** `keepDeckId = true` is corpus mode: dates join per deck and the
+    * output carries `deckId` (wcon has no cross-record state beyond the
+    * clock, so this is the whole of its per-deck semantics).
+    */
+  def fromEvents(events: DataFrame, keepDeckId: Boolean = false): DataFrame = {
+    if (!keepDeckId) Schedule.requireSingleDeck(events, "wcon")
+    val dk = Schedule.deckKeys(events)
+    val dates = Schedule.keywordDates(events, keepDeckId = dk.nonEmpty)
+    val head = (if (keepDeckId) dk.map(col) else Nil)
     def base(kw: String) =
       events.filter(col("keyword") === kw && size(col("items")) > 0)
-        .join(dates, Seq("keywordIdx"), "left")
+        .join(dates, dk :+ "keywordIdx", "left")
     // item positions and defaults follow the keyword schemas the reference
     // ships (opmkeywords/WCON*): unspecified numeric items default to the
     // schema default, not null, exactly like opm's deck view
-    val prod = base("WCONPROD").select(lit("WCONPROD").as("KEYWORD"), col("DATE"),
+    val prod = base("WCONPROD").select(head ++ Seq(lit("WCONPROD").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"), R.str(2).as("CMODE"),
       R.dbl(3, 0.0).as("ORAT"), R.dbl(4, 0.0).as("WRAT"), R.dbl(5, 0.0).as("GRAT"),
       R.dbl(6, 0.0).as("LRAT"), R.dbl(7, 0.0).as("RESV"), R.dbl(8, 1.01325).as("BHP"),
-      R.dbl(9, 0.0).as("THP"), R.int(10, 0).as("VFP_TABLE"), R.dbl(11, 0.0).as("ALQ"))
-    val hist = base("WCONHIST").select(lit("WCONHIST").as("KEYWORD"), col("DATE"),
+      R.dbl(9, 0.0).as("THP"), R.int(10, 0).as("VFP_TABLE"), R.dbl(11, 0.0).as("ALQ")): _*)
+    val hist = base("WCONHIST").select(head ++ Seq(lit("WCONHIST").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1, "OPEN").as("STATUS"), R.str(2).as("CMODE"),
       R.dbl(3, 0.0).as("ORAT"), R.dbl(4, 0.0).as("WRAT"), R.dbl(5, 0.0).as("GRAT"),
       R.int(6, 0).as("VFP_TABLE"), R.dbl(7, 0.0).as("ALQ"), R.dbl(8, 0.0).as("THP"),
-      R.dbl(9, 0.0).as("BHP"), R.dbl(10, 0.0).as("NGLRAT"))
-    val inje = base("WCONINJE").select(lit("WCONINJE").as("KEYWORD"), col("DATE"),
+      R.dbl(9, 0.0).as("BHP"), R.dbl(10, 0.0).as("NGLRAT")): _*)
+    val inje = base("WCONINJE").select(head ++ Seq(lit("WCONINJE").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1).as("TYPE"), R.str(2, "OPEN").as("STATUS"),
       R.str(3).as("CMODE"), R.dbl(4).as("RATE"), R.dbl(5).as("RESV"),
-      R.dbl(6, 6895.0).as("BHP"), R.dbl(7).as("THP"), R.int(8, 0).as("VFP_TABLE"))
-    val injh = base("WCONINJH").select(lit("WCONINJH").as("KEYWORD"), col("DATE"),
+      R.dbl(6, 6895.0).as("BHP"), R.dbl(7).as("THP"), R.int(8, 0).as("VFP_TABLE")): _*)
+    val injh = base("WCONINJH").select(head ++ Seq(lit("WCONINJH").as("KEYWORD"), col("DATE"),
       R.str(0).as("WELL"), R.str(1).as("TYPE"), R.str(2, "OPEN").as("STATUS"),
       R.dbl(3).as("RATE"), R.dbl(4).as("BHP"), R.dbl(5).as("THP"),
-      R.int(6, 0).as("VFP_TABLE"), R.str(11, "RATE").as("CMODE"))
+      R.int(6, 0).as("VFP_TABLE"), R.str(11, "RATE").as("CMODE")): _*)
     prod.unionByName(hist, allowMissingColumns = true)
       .unionByName(inje, allowMissingColumns = true)
       .unionByName(injh, allowMissingColumns = true)
-      .orderBy(col("DATE"), col("WELL"), col("KEYWORD"))
+      .orderBy((if (keepDeckId) dk.map(col) else Nil) ++
+        Seq(col("DATE"), col("WELL"), col("KEYWORD")): _*)
   }
 }

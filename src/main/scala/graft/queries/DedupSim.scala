@@ -276,12 +276,16 @@ object DedupSim {
     * propagation rounds run per materialization/convergence check —
     * driver actions dominate at bench scale, the extra round at the
     * fixpoint is idempotent, and convergence across a round PAIR is the
-    * same fixpoint. Each iteration ends with a POINTER-JUMP
-    * (`label := label(label)` — every label is itself a doc_id, so the
-    * lookup is a self-join), which doubles the propagation distance per
-    * iteration: convergence is O(log diameter) and the 25-iteration cap
-    * covers any diameter up to ~2²⁵. Exceeding it fails loudly rather
-    * than returning a silently-unconverged labeling.
+    * same fixpoint. From the third iteration on, each iteration ends
+    * with a POINTER-JUMP (`label := label(label)` — every label is
+    * itself a doc_id, so the lookup is a self-join), which doubles the
+    * propagation distance per iteration: convergence is O(log diameter)
+    * and the 25-iteration cap covers any diameter up to ~2²³. The first
+    * two iterations skip the jump — typical corpora converge within
+    * them, and the extra self-join pass measured as the difference
+    * between a ×10 scale ratio of ~2.2 and ~4 — deep chains pay it,
+    * shallow ones don't. Exceeding the cap fails loudly rather than
+    * returning a silently-unconverged labeling.
     */
   private[graft] def connectedComponents(membershipRaw: DataFrame): DataFrame = {
     val membership = membershipRaw.localCheckpoint(true) // per-iteration join input
@@ -305,7 +309,8 @@ object DedupSim {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxIter) {
-      val next = jump(round(round(labels)))
+      val propagated = round(round(labels))
+      val next = (if (iter >= 2) jump(propagated) else propagated)
         .withColumnRenamed("label", "nlabel")
         .join(labels, Seq("doc_id"))
         .localCheckpoint(true)

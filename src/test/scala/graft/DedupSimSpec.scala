@@ -236,6 +236,22 @@ class DedupSimSpec extends AnyFunSuite {
       oneHop.select("cluster_id").distinct().count())
   }
 
+  test("connectedComponents converges on a deep chain via pointer-jumping") {
+    // an 80-hop path graph: plain min-label propagation moves the label
+    // ~2 hops per iteration, so 25 iterations can't close it — only the
+    // pointer-jump (label := label(label), distance doubling) can. This
+    // is the regime the unconverged-exit guard and the jump exist for.
+    val n = 80
+    val membership = (0 until n - 1).flatMap(i =>
+      Seq((i.toLong, s"b$i"), ((i + 1).toLong, s"b$i")))
+      .toDF("doc_id", "bucket")
+    val cc = DedupSim.connectedComponents(membership)
+      .as[(Long, Long, Boolean)].collect()
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 0L), "every doc must reach component 0")
+    assert(cc.count(!_._3) == 1)
+  }
+
   test("q42 repetition signals match hand-computed fractions") {
     // "a b a b a b": 3-grams [aba, bab, aba, bab] → dup = 1 - 2/4 = 0.5;
     // 2-grams [ab, ba, ab, ba, ab] → top share 3/5 = 0.6

@@ -23,6 +23,59 @@ class ModulesSpec extends AnyFunSuite {
     assert(sw.toSeq == Seq(0.2, 1.0))
   }
 
+  test("corpus mode: wcon/gruptree/msw multi-deck frames == per-deck runs") {
+    import graft.io.DeckParser
+    import graft.modules.Msw
+    def deck(d: Int) =
+      s"""DATES
+         | 1 'JAN' ${2000 + d} /
+         |/
+         |WELSPECS
+         | 'OP$d' 'GRP$d' 1 1 /
+         |/
+         |GRUPTREE
+         | 'GRP$d' 'FIELD' /
+         |/
+         |GRUPNET
+         | 'GRP$d' ${10.0 + d} /
+         |/
+         |WCONPROD
+         | 'OP$d' 'OPEN' 'ORAT' ${100 + d} /
+         |/
+         |WELSEGS
+         | 'OP$d' ${2500 + d} 0 1* 'ABS' /
+         | 2 2 1 1 ${2520 + d} ${2510 + d} 0.15 0.0001 /
+         |/
+         |WSEGVALV
+         | 'OP$d' 2 0.5 ${0.001 * (d + 1)} /
+         |/
+         |""".stripMargin
+    val evA = DeckParser.toDS(spark, deck(1), deckId = "A").toDF()
+    val evB = DeckParser.toDS(spark, deck(2), deckId = "B").toDF()
+    val corpus = evA.unionByName(evB)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // wcon
+    val wc = Wcon.fromEvents(corpus, keepDeckId = true)
+    assert(rows(wc.filter("deckId = 'A'").drop("deckId")) == rows(Wcon.fromEvents(evA)))
+    assert(rows(wc.filter("deckId = 'B'").drop("deckId")) == rows(Wcon.fromEvents(evB)))
+    // gruptree: deck B's GRP2/date-2002 tree must not leak into deck A's
+    val gt = Gruptree.fromEvents(corpus, keepDeckId = true)
+    assert(rows(gt.filter("deckId = 'A'").drop("deckId")) ==
+      rows(Gruptree.fromEvents(evA)))
+    assert(rows(gt.filter("deckId = 'B'").drop("deckId")) ==
+      rows(Gruptree.fromEvents(evB)))
+    // msw: per-deck headers fan onto per-deck segments only
+    val ws = Msw.welsegs(corpus, keepDeckId = true)
+    assert(rows(ws.filter("deckId = 'A'").drop("deckId")) == rows(Msw.welsegs(evA)))
+    assert(rows(ws.filter("deckId = 'B'").drop("deckId")) == rows(Msw.welsegs(evB)))
+    val wv = Msw.wsegvalv(corpus, keepDeckId = true)
+    assert(rows(wv.filter("deckId = 'A'").drop("deckId")) == rows(Msw.wsegvalv(evA)))
+    // default single-deck entry still refuses a corpus frame
+    intercept[IllegalArgumentException](Wcon.fromEvents(corpus))
+    intercept[IllegalArgumentException](Gruptree.fromEvents(corpus))
+    intercept[IllegalArgumentException](Msw.welsegs(corpus))
+  }
+
   test("satfunc: explicit ntsfun splits an ambiguous single-record keyword") {
     // two tables concatenated in ONE record (no interior '/'): the record
     // counter alone sees one SATNUM — the reference needs TABDIMS/ntsfun
