@@ -242,8 +242,12 @@ object EclBinary {
     * grid.py:190-284 — the reference's `@datestr` wide form is never
     * materialized, dates stack from the start, R4). One row per
     * (report step, active cell); vectors missing at a step are null.
-    * Streams ONE report step at a time: the decode never holds more than
-    * one SEQNUM group's selected vectors.
+    * The DECODE streams one SEQNUM group at a time (unselected payloads
+    * are seeked past, nothing is double-buffered); the returned plan
+    * still references every step's selected vectors as per-task slice
+    * payloads until the job executes — inherent to handing back one
+    * union frame, so the driver must hold the SELECTED vectors (use the
+    * `vectors` filter on wide files), just never the whole file.
     */
   def unrst(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
     val frames = Vector.newBuilder[DataFrame]

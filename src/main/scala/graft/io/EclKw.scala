@@ -166,21 +166,23 @@ object EclKw {
       (f: Iterator[Kw] => A): A = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
     try {
+      // advance LAZILY (in hasNext, not next()): stateful select
+      // predicates — e.g. init's "n == nactive once INTEHEAD is seen" —
+      // must observe the caller's processing of the PREVIOUS keyword
+      // before the next header is judged; eager lookahead would decode
+      // one payload with stale state
       val it = new Iterator[Kw] {
         private var nextKw: Kw = null
-        private def advance(): Unit = {
-          nextKw = null
-          var done = false
-          while (!done) readHead(in) match {
-            case None => done = true
+        private var eof = false
+        private def advance(): Unit =
+          while (nextKw == null && !eof) readHead(in) match {
+            case None => eof = true
             case Some(h) =>
-              if (select(h.name, h.typ, h.n)) { nextKw = Kw(h.name, h.typ, readData(in, h)); done = true }
+              if (select(h.name, h.typ, h.n)) nextKw = Kw(h.name, h.typ, readData(in, h))
               else skipData(in, h)
           }
-        }
-        advance()
-        def hasNext: Boolean = nextKw != null
-        def next(): Kw = { val k = nextKw; advance(); k }
+        def hasNext: Boolean = { advance(); nextKw != null }
+        def next(): Kw = { advance(); val k = nextKw; nextKw = null; k }
       }
       f(it)
     } finally in.close()

@@ -32,11 +32,10 @@ object Compdat {
   val Cols = Seq("WELL", "I", "J", "K1", "K2", "OP/SH", "SATN", "TRAN",
     "WBDIA", "KH", "SKIN", "DFACT", "DIR", "PEQVR")
 
-  /** The corpus key columns: `deckId` when the frame carries it. Appended
-    * LAST in record frames so single-deck positional access is unchanged.
+  /** The corpus key columns ([[Schedule.deckKeys]]). Appended LAST in
+    * record frames so single-deck positional access is unchanged.
     */
-  private def deckCols(df: DataFrame): Seq[String] =
-    if (df.columns.contains("deckId")) Seq("deckId") else Nil
+  private def deckCols(df: DataFrame): Seq[String] = Schedule.deckKeys(df)
 
   private def withDeck(df: DataFrame, cols: Seq[Column]): Seq[Column] =
     cols ++ deckCols(df).map(col)
@@ -240,10 +239,11 @@ object Compdat {
           col("clIdx") <= col("keywordIdx") &&
           col("N").between(coalesce(c1p, c2p), coalesce(c2p, c1p)))(_ && _))
         .drop(cl("WELL"))
-      // latest lump assignment per (welopen row, connection)
+      // latest lump assignment per (welopen row, WELL, connection) —
+      // *LIST-expanded rows share (keywordIdx, recordIdx) across wells
       val w = Window
         .partitionBy((dk :+ "keywordIdx" :+ "recordIdx").map(col) ++
-          Seq(col("CL_I"), col("CL_J"), col("CL_K")): _*)
+          Seq(col("WELL"), col("CL_I"), col("CL_J"), col("CL_K")): _*)
         .orderBy(col("clIdx").desc, col("clRec").desc)
       val expanded = joined
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -282,10 +282,12 @@ object Compdat {
         (dflt(col("I")) || col("I") === col("cI")) &&
         (dflt(col("J")) || col("J") === col("cJ")) &&
         (dflt(col("K")) || col("K") === col("cK")))(_ && _))
-    // one expansion per distinct matching connection per welopen row
+    // one expansion per distinct matching connection per (welopen row,
+    // WELL) — *LIST-expanded rows share (keywordIdx, recordIdx) across
+    // wells, so the well key must partition too
     val w = Window
       .partitionBy((dk :+ "keywordIdx" :+ "recordIdx").map(col) ++
-        Seq(col("cI"), col("cJ"), col("cK")): _*)
+        Seq(col("WELL"), col("cI"), col("cJ"), col("cK")): _*)
       .orderBy(col("cIdx").desc, col("cRec").desc)
     val expanded = joined
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -341,10 +343,13 @@ object Compdat {
         (col("w.actsOnWell") ||
           (col("c.I") === col("w.I") && col("c.J") === col("w.J") &&
             col("c.K1") === col("w.K") && col("c.K2") === col("w.K"))))(_ && _))
-    // latest prior state per (welopen row, connection)
+    // latest prior state per (welopen row, WELL, connection) — the WELL
+    // must be in the partition: one wildcard/*LIST record expands to
+    // several wells SHARING (keywordIdx, recordIdx), and two wells'
+    // connections at equal coordinates must not collapse to one row
     val latest = Window
       .partitionBy(dk.map(k => col(s"w.$k")) ++
-        Seq(col("w.keywordIdx"), col("w.recordIdx"),
+        Seq(col("w.keywordIdx"), col("w.recordIdx"), col("c.WELL"),
           col("c.I"), col("c.J"), col("c.K1"), col("c.K2")): _*)
       .orderBy(col("c.keywordIdx").desc, col("c.recordIdx").desc)
     val newRows = joined

@@ -40,9 +40,12 @@ object FipReports {
     require(!path.contains("*") && !path.contains(",") && !path.contains("{"),
       s"lines() reads one PRT file; got a multi-file pattern: $path")
     // a directory would be the same leak: textFile(dir) reads every file
-    // inside under one global ordinal and one src value
-    require(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(
-        path.stripPrefix("file:"))),
+    // inside under one global ordinal and one src value. Only checkable
+    // for local paths — hdfs://-style URIs pass through (the wildcard
+    // guard above still applies to them)
+    val local = path.stripPrefix("file:")
+    require(path.contains("://") ||
+        java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(local)),
       s"lines() reads one PRT file; not a regular file: $path")
     // src rides IN the rows (a foldable lit() would be optimized out of
     // the window partition spec, reverting to the global-window shape)

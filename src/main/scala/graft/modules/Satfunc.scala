@@ -39,7 +39,6 @@ object Satfunc {
     * record counter stands, as before.
     */
   def keywordDf(events: DataFrame, keyword: String, ntsfun: Option[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val names = Families(keyword)
     val base = events.filter(col("keyword") === keyword && size(col("items")) > 0)
       .select(col("keywordIdx"), col("recordIdx"),
@@ -50,23 +49,7 @@ object Satfunc {
     val numbered = ntsfun match {
       case None => base.withColumn("SATNUM", (col("recordIdx") + 1).cast("int"))
       case Some(n) =>
-        val sat = col(names.head)
-        val byRow = Window.partitionBy(col("keywordIdx"), col("recordIdx"))
-          .orderBy(col("rowIdx"))
-        val cum = byRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val split = base
-          .withColumn("__newTab",
-            when(sat < lag(sat, 1).over(byRow), 1).otherwise(0))
-          .withColumn("__tabInRec", sum(col("__newTab")).over(cum))
-        val byTab = Window.partitionBy(col("keywordIdx"))
-          .orderBy(col("recordIdx"), col("__tabInRec"))
-        val withSat = split.withColumn("SATNUM", dense_rank().over(byTab))
-          .drop("__newTab", "__tabInRec")
-        val got = withSat.agg(coalesce(max(col("SATNUM")), lit(0))).head.getInt(0)
-        // got == 0 means the keyword isn't in this deck — nothing to check
-        require(got == 0 || got == n,
-          s"$keyword: ntsfun=$n given but the deck's monotonicity boundaries yield $got tables")
-        withSat
+        graft.core.Ops.monotonicTableSplit(base, names.head, "SATNUM", n, keyword)
     }
     numbered.select(Seq(lit(keyword).as("KEYWORD"), col("SATNUM")) ++
       names.map(col): _*)

@@ -116,7 +116,6 @@ object Pvt {
     */
   private def dataKeyword(events: DataFrame, kw: String,
       ntpvt: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cols = Seq("PRESSURE", "VOLUMEFACTOR", "VISCOSITY")
     val base = events.filter(col("keyword") === kw && size(col("items")) > 0)
       .select(col("keywordIdx"), col("recordIdx"),
@@ -127,22 +126,7 @@ object Pvt {
     val numbered = ntpvt match {
       case None => base.withColumn("PVTNUM", (col("recordIdx") + 1).cast("int"))
       case Some(n) =>
-        val byRow = Window.partitionBy(col("keywordIdx"), col("recordIdx"))
-          .orderBy(col("rowIdx"))
-        val cum = byRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val split = base
-          .withColumn("__newTab",
-            when(col("PRESSURE") < lag(col("PRESSURE"), 1).over(byRow), 1).otherwise(0))
-          .withColumn("__tabInRec", sum(col("__newTab")).over(cum))
-        val byTab = Window.partitionBy(col("keywordIdx"))
-          .orderBy(col("recordIdx"), col("__tabInRec"))
-        val withNum = split.withColumn("PVTNUM", dense_rank().over(byTab))
-          .drop("__newTab", "__tabInRec")
-        val got = withNum.agg(coalesce(max(col("PVTNUM")), lit(0))).head.getInt(0)
-        // got == 0 means the keyword isn't in this deck — nothing to check
-        require(got == 0 || got == n,
-          s"$kw: ntpvt=$n given but the deck's monotonicity boundaries yield $got tables")
-        withNum
+        graft.core.Ops.monotonicTableSplit(base, "PRESSURE", "PVTNUM", n, kw)
     }
     numbered.select(Seq(lit(kw).as("KEYWORD"), col("PVTNUM")) ++ cols.map(col): _*)
   }

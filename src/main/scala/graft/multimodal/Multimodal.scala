@@ -55,8 +55,12 @@ object Multimodal {
     imageIoInit
     if (bytes == null || bytes.length == 0) None
     else
+      // NonFatal, not just IOException: JDK plugin readers throw
+      // RuntimeExceptions (CMMException, NegativeArraySize, …) on
+      // payloads whose magic bytes match but whose body is corrupt —
+      // one bad row must fall back, not kill the job
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Encode to PNG bytes (lossless — the round-trip inverse of

@@ -30,7 +30,7 @@ object DecodeStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val path = s"/tmp/graft-decode-stress-$ncells.INIT"
+    val path = s"/tmp/graft-decode-stress-$ncells-$nvec.INIT"
 
     val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
     println(s"heap=${heapMb}MB ncells=$ncells nvec=$nvec")

@@ -122,6 +122,30 @@ class CompdatSpec extends AnyFunSuite {
     assert(mar.length == 1 && mar.head.getAs[String]("OP/SH") == "OPEN")
   }
 
+  test("wildcard WELOPEN shuts EVERY matching well, even at shared coordinates") {
+    // two wells completing the SAME cell: the expanded 'W*' rows share
+    // (keywordIdx, recordIdx), so the last-state windows must also key
+    // on the well or one well's state row silently vanishes
+    val df = Compdat.df(spark,
+      """DATES
+        | 1 'JAN' 2000 /
+        |/
+        |COMPDAT
+        | 'W1' 5 5 1 1 'OPEN' /
+        | 'W2' 5 5 1 1 'OPEN' /
+        |/
+        |DATES
+        | 1 'FEB' 2000 /
+        |/
+        |WELOPEN
+        | 'W*' 'SHUT' /
+        |/
+        |""".stripMargin)
+    val feb = df.filter("DATE = timestamp'2000-02-01 00:00:00'").collect()
+      .map(r => r.getAs[String]("WELL") -> r.getAs[String]("OP/SH")).toMap
+    assert(feb == Map("W1" -> "SHUT", "W2" -> "SHUT"))
+  }
+
   test("corpus mode: one multi-deck frame == per-deck single runs, exactly") {
     // two decks that would cross-contaminate badly if any WELL-keyed
     // operator ignored deckId: SAME well names, SAME list name, different

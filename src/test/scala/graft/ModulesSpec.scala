@@ -127,7 +127,7 @@ class ModulesSpec extends AnyFunSuite {
     assert(split.filter("PVTNUM = 2").orderBy("PRESSURE")
       .select("VOLUMEFACTOR").collect().map(_.getDouble(0)).toSeq == Seq(0.011, 0.006))
     val e = intercept[IllegalArgumentException](Pvt.df(spark, deck, Some(5)).count())
-    assert(e.getMessage.contains("ntpvt=5"))
+    assert(e.getMessage.contains("PVDG") && e.getMessage.contains("5"))
   }
 
   test("satfunc: defaulted (1*) values interpolate by saturation index, interior only") {
