@@ -49,9 +49,13 @@ object Ops {
     * strictly increasing in their leading column — the same
     * monotonicity rule opm's strict reparse enforces), number tables
     * densely per keyword into `outCol`, and require the inferred count
-    * to equal `expected` (0 tables = keyword absent = nothing to
-    * check; the validation is one bounded driver action over a
-    * deck-sized frame). Expects `keywordIdx`/`recordIdx`/`rowIdx`.
+    * to equal `expected` PER KEYWORD OCCURRENCE (0 tables = keyword
+    * absent = nothing to check; the validation is one bounded driver
+    * action over a deck-sized frame). The decrease-at-boundary rule is
+    * a supported SUBSET of opm's TABDIMS-count-driven split: a deck
+    * whose adjacent tables do not decrease at the boundary (legal under
+    * opm when counts are explicit) fails loudly here rather than being
+    * mis-split. Expects `keywordIdx`/`recordIdx`/`rowIdx`.
     */
   def monotonicTableSplit(df: DataFrame, sortCol: String, outCol: String,
       expected: Int, keyword: String): DataFrame = {
@@ -66,10 +70,15 @@ object Ops {
       .orderBy(col("recordIdx"), col("__tabInRec"))
     val out = split.withColumn(outCol, dense_rank().over(byTab))
       .drop("__newTab", "__tabInRec")
-    val got = out.agg(coalesce(max(col(outCol)), lit(0))).head.getInt(0)
-    require(got == 0 || got == expected,
-      s"$keyword: explicit table count $expected given but the deck's " +
-        s"monotonicity boundaries yield $got tables")
+    // per-occurrence check: dense_rank numbers tables within each
+    // keywordIdx, so every occurrence must independently yield `expected`
+    val counts = out.groupBy(col("keywordIdx")).agg(max(col(outCol)).as("got"))
+      .collect().map(r => (r.get(0), r.getInt(1)))
+    counts.foreach { case (kwIdx, got) =>
+      require(got == expected,
+        s"$keyword (keywordIdx=$kwIdx): explicit table count $expected given " +
+          s"but the deck's monotonicity boundaries yield $got tables")
+    }
     out
   }
 

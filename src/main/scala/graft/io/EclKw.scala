@@ -182,7 +182,11 @@ object EclKw {
               else skipData(in, h)
           }
         def hasNext: Boolean = { advance(); nextKw != null }
-        def next(): Kw = { advance(); val k = nextKw; nextKw = null; k }
+        def next(): Kw = {
+          advance()
+          if (nextKw == null) throw new NoSuchElementException("ecl kw stream exhausted")
+          val k = nextKw; nextKw = null; k
+        }
       }
       f(it)
     } finally in.close()

@@ -78,47 +78,47 @@ object Compdat {
     * replaces a list, ADD unions, DEL removes, MOV adds here and removes
     * from every other list OF THE SAME DECK; `*LIST` references inside the
     * well items resolve against the current per-deck state. Emitted as NEW
-    * snapshots per action record. The fold is inherently sequential small-
-    * state (well lists are deck-sized; a corpus's total WLIST record count
-    * is the bound on this collect — action records, not wells × dates) →
-    * a driver-side fold, as SURVEY §2.7 prescribes; the *output* joins
-    * distributedly.
+    * snapshots per action record. The fold is inherently sequential
+    * small-state but the state is PER DECK by construction (MOV never
+    * crosses decks), so corpus mode runs it as a `groupByKey(deckId)` +
+    * `flatMapGroups` ordered fold — one task per deck, no driver collect,
+    * state bounded by one deck's WLIST records. SURVEY §2.7's driver-fold
+    * prescription is the single-deck degenerate case (one group).
     */
   def expandWlist(wlist: DataFrame): DataFrame = {
     val spark = wlist.sparkSession
     import spark.implicits._
     val hadDeck = deckCols(wlist).nonEmpty
     val base = if (hadDeck) wlist else wlist.withColumn("deckId", lit(""))
-    val recs = base.select("deckId", "keywordIdx", "recordIdx", "NAME", "ACTION", "WELLS")
-      .collect().sortBy(r => (r.getString(0), r.getInt(1), r.getInt(2)))
-    var state = Map.empty[(String, String), Vector[String]]
-    val out = Vector.newBuilder[(Int, Int, String, Seq[String], String)]
-    recs.foreach { r =>
-      val deck = r.getString(0)
-      val (kwIdx, recIdx) = (r.getInt(1), r.getInt(2))
-      val name = r.getString(3)
-      val action = r.getString(4)
-      val rawWells = r.getSeq[String](5)
-      val wells = rawWells.flatMap { w =>
-        if (w.startsWith("*")) state.getOrElse((deck, w), Vector.empty) else Vector(w)
-      }.toVector
-      action match {
-        case "NEW" => state += (deck, name) -> wells.distinct.sorted
-        case "ADD" => state += (deck, name) ->
-          (state.getOrElse((deck, name), Vector.empty) ++ wells).distinct.sorted
-        case "DEL" => state += (deck, name) ->
-          state.getOrElse((deck, name), Vector.empty).filterNot(wells.contains)
-        case "MOV" =>
-          state = state.map { case ((d, n), ws) =>
-            (d, n) -> (if (d == deck) ws.filterNot(wells.contains) else ws)
+    val out = base
+      .select(col("deckId"), col("keywordIdx"), col("recordIdx"),
+        col("NAME"), col("ACTION"), col("WELLS"))
+      .as[(String, Int, Int, String, String, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (deck, it) =>
+        // deck-sized: sort this deck's action records in task memory
+        val recs = it.toArray.sortBy(r => (r._2, r._3))
+        var state = Map.empty[String, Vector[String]]
+        recs.iterator.map { case (_, kwIdx, recIdx, name, action, rawWells) =>
+          val wells = rawWells.flatMap { w =>
+            if (w.startsWith("*")) state.getOrElse(w, Vector.empty) else Vector(w)
+          }.toVector
+          action match {
+            case "NEW" => state += name -> wells.distinct.sorted
+            case "ADD" => state += name ->
+              (state.getOrElse(name, Vector.empty) ++ wells).distinct.sorted
+            case "DEL" => state += name ->
+              state.getOrElse(name, Vector.empty).filterNot(wells.contains)
+            case "MOV" =>
+              state = state.map { case (n, ws) => n -> ws.filterNot(wells.contains) }
+              state += name ->
+                (state.getOrElse(name, Vector.empty) ++ wells).distinct.sorted
+            case other => throw new IllegalArgumentException(s"WLIST action $other")
           }
-          state += (deck, name) ->
-            (state.getOrElse((deck, name), Vector.empty) ++ wells).distinct.sorted
-        case other => throw new IllegalArgumentException(s"WLIST action $other")
+          (kwIdx, recIdx, name, state(name): Seq[String], deck)
+        }
       }
-      out += ((kwIdx, recIdx, name, state((deck, name)), deck))
-    }
-    val df = out.result().toDF("keywordIdx", "recordIdx", "NAME", "WELLS", "deckId")
+    val df = out.toDF("keywordIdx", "recordIdx", "NAME", "WELLS", "deckId")
     if (hadDeck) df else df.drop("deckId")
   }
 
@@ -311,6 +311,9 @@ object Compdat {
   def applyWelopen(compdat: DataFrame, welopen: DataFrame): DataFrame = {
     if (welopen.isEmpty) return compdat
     val dk = deckCols(compdat)
+    // single-key contract (Schedule.deckKeys): the defDeck alias below
+    // would silently collapse multiple keys into one column
+    require(dk.size <= 1, s"deck key must be a single column, got $dk")
 
     // wildcard well templates → concrete wells known earlier in the deck
     val wellsFirstDef = compdat

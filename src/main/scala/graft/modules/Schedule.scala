@@ -76,7 +76,12 @@ object Schedule {
     events.join(keywordDates(events, keepDeckId = hasDeck), keys, "left")
   }
 
-  /** The corpus key columns: `deckId` when the frame carries one. */
+  /** The corpus key columns: `deckId` when the frame carries one.
+    * CONTRACT: at most ONE key — callers (e.g. Compdat.applyWelopen)
+    * alias the single key to fixed names like `defDeck`; growing this
+    * beyond one column requires revisiting every `dk.map(... .as(...))`
+    * site.
+    */
   def deckKeys(events: DataFrame): Seq[String] =
     if (events.columns.contains("deckId")) Seq("deckId") else Nil
 

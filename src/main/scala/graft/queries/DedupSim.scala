@@ -272,25 +272,30 @@ object DedupSim {
   }
 
   /** Min-label propagation to a fixpoint over a bipartite membership
-    * frame `(doc_id, bucket)` → `(doc_id, component_id, is_dup)`. Two
-    * propagation rounds run per materialization/convergence check —
-    * driver actions dominate at bench scale, the extra round at the
-    * fixpoint is idempotent, and convergence across a round PAIR is the
-    * same fixpoint. From the third iteration on, each iteration ends
+    * frame `(doc_id, bucket)` → `(doc_id, component_id, is_dup)`.
+    * Round 0 is folded into initialization: `round(identity)` is just
+    * bucket-min → doc-min over the membership itself, so the identity
+    * frame, its distinct shuffle and its checkpoint never materialize.
+    * Each loop iteration then runs ONE propagation round + convergence
+    * count — propagation is monotone (labels only decrease), so a round
+    * with zero decreases IS the fixpoint, and shallow corpora (dup
+    * pairs / star clusters — the typical LSH shape) exit after a single
+    * cheap iteration. From the third iteration on, each iteration ends
     * with a POINTER-JUMP (`label := label(label)` — every label is
     * itself a doc_id, so the lookup is a self-join), which doubles the
     * propagation distance per iteration: convergence is O(log diameter)
-    * and the 25-iteration cap covers any diameter up to ~2²³. The first
-    * two iterations skip the jump — typical corpora converge within
-    * them, and the extra self-join pass measured as the difference
-    * between a ×10 scale ratio of ~2.2 and ~4 — deep chains pay it,
-    * shallow ones don't. Exceeding the cap fails loudly rather than
-    * returning a silently-unconverged labeling.
+    * and the 25-iteration cap covers any diameter up to ~2²³; deep
+    * chains pay the extra self-join, shallow ones never reach it.
+    * Exceeding the cap fails loudly rather than returning a
+    * silently-unconverged labeling.
     */
   private[graft] def connectedComponents(membershipRaw: DataFrame): DataFrame = {
     val membership = membershipRaw.localCheckpoint(true) // per-iteration join input
-    var labels = membership.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // round 0: label(v) = min doc_id over v's buckets' members (== one
+    // round over identity labels, without building the identity frame)
+    val bucketMin0 = membership.groupBy(col("bucket")).agg(min(col("doc_id")).as("blabel"))
+    var labels = membership.join(bucketMin0, Seq("bucket"))
+      .groupBy(col("doc_id")).agg(min(col("blabel")).as("label"))
       .localCheckpoint(true)
     def round(l: DataFrame): DataFrame = {
       val bucketMin = membership.join(l, Seq("doc_id"))
@@ -309,14 +314,21 @@ object DedupSim {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxIter) {
-      val propagated = round(round(labels))
-      val next = (if (iter >= 2) jump(propagated) else propagated)
+      val propagated = round(labels)
+      // engage the jump only from the 4th round: typical LSH corpora
+      // settle in ≤3 single rounds (the last being the zero-change
+      // confirmation), so the self-join would land exactly on the
+      // cheapest, final iteration; deep chains still get distance
+      // doubling one round later
+      val next = (if (iter >= 3) jump(propagated) else propagated)
         .withColumnRenamed("label", "nlabel")
         .join(labels, Seq("doc_id"))
         .localCheckpoint(true)
       changed = next.filter(col("nlabel") < col("label")).count()
       labels = next.select(col("doc_id"), col("nlabel").as("label"))
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] iter=$iter changed=$changed")
     }
     if (changed > 0)
       throw new IllegalStateException(

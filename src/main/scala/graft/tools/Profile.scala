@@ -14,7 +14,8 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // run count as `n=5` or a bare trailing number; everything else is a
     // query name
-    val (optArgs, names) = args.partition(a => a.startsWith("n=") || a.forall(_.isDigit))
+    val (optArgs, names) =
+      args.partition(a => a.startsWith("n=") || (a.nonEmpty && a.forall(_.isDigit)))
     val n = optArgs.headOption.map(_.stripPrefix("n=").toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
