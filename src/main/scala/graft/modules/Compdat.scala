@@ -147,6 +147,26 @@ object Compdat {
     val dates = Schedule.keywordDates(events, keepDeckId = dk.nonEmpty)
     val compdat0 = compdatRecords(events)
     val welspecs = welspecsRecords(events)
+    val welopenRecs = welopenRecords(events)
+
+    // ONE bounded driver action over the RAW record frame decides which
+    // WELOPEN expansion stages this corpus needs — replacing four isEmpty
+    // probes that each executed a progressively longer join/window
+    // lineage. The flags are computable on raw records because resolve
+    // steps never create list/C/partial rows: *LIST explode keeps I/J/K,
+    // and COMPLUMP rewrite sets all three (never partial afterwards).
+    def dflt(c: Column) = c.isNull || c <= 0
+    val nDef = when(dflt(col("I")), 1).otherwise(0) +
+      when(dflt(col("J")), 1).otherwise(0) +
+      when(dflt(col("K")), 1).otherwise(0)
+    val rawHasC = coalesce(col("C1"), lit(0)) > 0 || coalesce(col("C2"), lit(0)) > 0
+    val feat = welopenRecs.agg(
+      count(lit(1)).as("n"),
+      count(when(col("WELL").startsWith("*"), 1)).as("nList"),
+      count(when(rawHasC, 1)).as("nC"),
+      count(when(!rawHasC && nDef > 0 && nDef < 3, 1)).as("nPartial")).head()
+    val (hasWelopen, hasList, hasC, hasPartial) =
+      (feat.getLong(0) > 0, feat.getLong(1) > 0, feat.getLong(2) > 0, feat.getLong(3) > 0)
 
     // Defaulted (null or <=0) I/J inherit the as-of WELSPECS wellhead
     // (reference compdat.py:115-143).
@@ -168,13 +188,14 @@ object Compdat {
       .withColumn("K1", col("K")).withColumn("K2", col("K")).drop("K")
 
     val dated = unrolled.join(dates, dk :+ "keywordIdx", "left")
-    val welopenRaw = welopenRecords(events).join(dates, dk :+ "keywordIdx", "left")
+    val welopenRaw = welopenRecs.join(dates, dk :+ "keywordIdx", "left")
     val welopen = expandWelopenDefaults(
       resolveWelopen(welopenRaw,
-        expandWlist(wlistRecords(events)), complumpRecords(events)),
-      dated)
+        expandWlist(wlistRecords(events)), complumpRecords(events),
+        doList = Some(hasList), doC = Some(hasC)),
+      dated, doPartial = Some(hasPartial))
     val outCols = (if (keepDeckId) dk else Nil) ++ Cols :+ "DATE"
-    applyWelopen(dated, welopen)
+    applyWelopen(dated, welopen, nonEmpty = Some(hasWelopen))
       .select(outCols.map(col): _*)
       .orderBy(((if (keepDeckId) dk else Nil) ++
         Seq("DATE", "WELL", "I", "J", "K1")).map(col): _*)
@@ -189,13 +210,14 @@ object Compdat {
     * the owning deck on a corpus frame.
     */
   def resolveWelopen(welopen: DataFrame, wlistSnaps: DataFrame,
-      complump: DataFrame): DataFrame = {
+      complump: DataFrame, doList: Option[Boolean] = None,
+      doC: Option[Boolean] = None): DataFrame = {
     val dk = deckCols(welopen)
     val outCols = welopen.columns.toSeq
     val isList = col("WELL").startsWith("*")
     val afterList = {
-      val lists = welopen.filter(isList)
-      if (lists.isEmpty) welopen
+      lazy val lists = welopen.filter(isList)
+      if (!doList.getOrElse(!lists.isEmpty)) welopen
       else {
         val s = wlistSnaps.select(Seq(col("NAME"), col("keywordIdx").as("snapIdx"),
           col("recordIdx").as("snapRec"), col("WELLS")) ++
@@ -225,7 +247,7 @@ object Compdat {
     val c2p = when(col("C2") > 0, col("C2"))
     val hasC = coalesce(col("C1"), lit(0)) > 0 || coalesce(col("C2"), lit(0)) > 0
     val cRows = afterList.filter(hasC)
-    if (cRows.isEmpty) afterList
+    if (!doC.getOrElse(!cRows.isEmpty)) afterList
     else {
       val cl = complump
         .withColumn("CL_K", explode(sequence(col("K1"), col("K2"))))
@@ -261,7 +283,8 @@ object Compdat {
     * yielding explicit per-connection rows. Fully-defaulted rows stay
     * (acts-on-well); fully-given rows stay (single connection).
     */
-  def expandWelopenDefaults(welopen: DataFrame, compdat: DataFrame): DataFrame = {
+  def expandWelopenDefaults(welopen: DataFrame, compdat: DataFrame,
+      doPartial: Option[Boolean] = None): DataFrame = {
     def dflt(c: Column) = c.isNull || c <= 0
     val nDefaulted =
       when(dflt(col("I")), 1).otherwise(0) +
@@ -269,7 +292,7 @@ object Compdat {
         when(dflt(col("K")), 1).otherwise(0)
     val isPartial = nDefaulted > 0 && nDefaulted < 3
     val partial = welopen.filter(isPartial)
-    if (partial.isEmpty) return welopen
+    if (!doPartial.getOrElse(!partial.isEmpty)) return welopen
     val dk = deckCols(welopen)
     val outCols = welopen.columns.toSeq
     val conns = compdat.select(Seq(col("WELL").as("cWELL"), col("keywordIdx").as("cIdx"),
@@ -308,8 +331,9 @@ object Compdat {
     * replaced, stamped with the WELOPEN's keywordIdx/DATE; final last-wins
     * dedup per (deckId?, WELL,I,J,K1,K2,DATE) ordered by keyword position.
     */
-  def applyWelopen(compdat: DataFrame, welopen: DataFrame): DataFrame = {
-    if (welopen.isEmpty) return compdat
+  def applyWelopen(compdat: DataFrame, welopen: DataFrame,
+      nonEmpty: Option[Boolean] = None): DataFrame = {
+    if (!nonEmpty.getOrElse(!welopen.isEmpty)) return compdat
     val dk = deckCols(compdat)
     // single-key contract (Schedule.deckKeys): the defDeck alias below
     // would silently collapse multiple keys into one column
