@@ -2,17 +2,27 @@ package graft.cli
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-import graft.write.IncludeWriter
+import org.apache.spark.sql.functions._
+import graft.write.{IncludeWriter, SummaryWriter}
 
-/** csv2res-style CLI: `runMain graft.cli.Csv2Res <KEYWORD> <in.csv> [out.inc]`
-  * — the reverse path (reference csv2res.py): a tidy CSV becomes keyword
-  * include text via the generic fixed-width writer. Round-trips with
-  * Res2Csv through the deck parser.
+/** csv2res-style CLI (reference csv2res.py subcommands):
+  *
+  *  - `Csv2Res summary <in.csv> <out_basepath>` — a wide summary CSV
+  *    (DATE + one column per vector mnemonic, Res2Csv `summary` parity)
+  *    becomes binary `<out_basepath>.SMSPEC` + `.UNSMRY` through
+  *    [[SummaryWriter]] (csv2res.py:43-50 / df2ressum).
+  *  - `Csv2Res vfp <in.csv> [out.inc]` — a long-form VFPPROD table CSV
+  *    becomes VFP include text (csv2res.py:70-80).
+  *  - `Csv2Res <KEYWORD> <in.csv> [out.inc]` — a tidy CSV becomes keyword
+  *    include text via the generic fixed-width writer; a CSV carrying its
+  *    own KEYWORD column routes through the df2res dispatcher. Round-trips
+  *    with Res2Csv through the deck parser.
   */
 object Csv2Res {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: Csv2Res <KEYWORD> <in.csv> [out.inc]")
+      System.err.println(
+        "usage: Csv2Res <summary|vfp|KEYWORD> <in.csv> [out.inc|out_basepath]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -25,14 +35,43 @@ object Csv2Res {
     spark.sparkContext.setLogLevel("WARN")
     val df = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(args(1))
-    // a CSV carrying its own KEYWORD column routes through the df2res
-    // dispatcher (mixed keywords, table families); otherwise the named
-    // keyword is written as one generic table
-    val text =
-      if (df.columns.contains("KEYWORD")) IncludeWriter.df2res(df)
-      else IncludeWriter.genericDeckTable(df, args(0).toUpperCase)
-    if (args.length >= 3) Files.writeString(Paths.get(args(2)), text)
-    else print(text)
+    args(0).toUpperCase match {
+      case "SUMMARY" =>
+        if (args.length < 3) {
+          System.err.println("usage: Csv2Res summary <in.csv> <out_basepath>")
+          sys.exit(2)
+        }
+        summaryCsvToBinary(spark, args(1), args(2))
+      case "VFP" =>
+        val text = IncludeWriter.vfpprod(df)
+        if (args.length >= 3) Files.writeString(Paths.get(args(2)), text)
+        else print(text)
+      case kw =>
+        // a CSV carrying its own KEYWORD column routes through the df2res
+        // dispatcher (mixed keywords, table families); otherwise the named
+        // keyword is written as one generic table
+        val text =
+          if (df.columns.contains("KEYWORD")) IncludeWriter.df2res(df)
+          else IncludeWriter.genericDeckTable(df, kw)
+        if (args.length >= 3) Files.writeString(Paths.get(args(2)), text)
+        else print(text)
+    }
     spark.stop()
+  }
+
+  /** Wide summary CSV (DATE + one column per vector mnemonic) → binary
+    * `basePath.{SMSPEC,UNSMRY}`: melt to the long frame and hand it to
+    * [[SummaryWriter.write]]. TIME never appears in the wide form — the
+    * writer re-derives it as param 0 from the dates. Returns the PARAMS
+    * vector order. Testable core of the `summary` subcommand.
+    */
+  def summaryCsvToBinary(spark: SparkSession, inCsv: String,
+      basePath: String): Seq[String] = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(inCsv)
+    val vecCols = df.columns.filterNot(_ == "DATE")
+    val long = df.unpivot(Array(col("DATE").cast("date")),
+      vecCols.map(col), "VECTOR", "VALUE")
+    SummaryWriter.write(long, basePath)
   }
 }

@@ -154,18 +154,42 @@ object Res2Csv {
         case None => Modules(m)(spark, deckTextOf(positional(1)))
       }
     }
-    // deck-derived frames are driver-sized (decks are text written by
-    // humans); stdout CSV matches the reference's write_dframe_stdout_file
-    val rows = df.collect()
-    val header = df.columns.mkString(",")
-    val body = rows.map(_.toSeq.map {
-      case null => ""
-      case s: String if s.contains(",") => "\"" + s + "\""
-      case v => v.toString
-    }.mkString(",")).mkString("\n")
-    val out = header + "\n" + body + "\n"
-    if (positional.length >= 3) Files.writeString(Paths.get(positional(2)), out)
-    else print(out)
+    if (positional.length >= 3) writeCsvFile(df, positional(2))
+    else {
+      // stdout CSV matches the reference's write_dframe_stdout_file —
+      // stdout output is terminal-sized by nature, so the collect is fine
+      val rows = df.collect()
+      val header = df.columns.mkString(",")
+      val body = rows.map(_.toSeq.map {
+        case null => ""
+        case s: String if s.contains(",") => "\"" + s + "\""
+        case v => v.toString
+      }.mkString(",")).mkString("\n")
+      print(header + "\n" + body + "\n")
+    }
     spark.stop()
+  }
+
+  /** File output streams through the executors (`df.write.csv`) instead of
+    * a driver collect: PathModules routes grid/UNRST-sized frames here, and
+    * a 10⁸-cell grid CSV must not need a grid-sized driver heap.
+    * `coalesce(1)` keeps the reference's single-file convention — one
+    * writer task streams rows; only a row at a time is ever in memory.
+    */
+  private[graft] def writeCsvFile(df: DataFrame, outPath: String): Unit = {
+    val target = Paths.get(outPath).toAbsolutePath
+    val parent = Option(target.getParent).getOrElse(Paths.get("."))
+    val tmp = Files.createTempDirectory(parent, ".res2csv_")
+    df.coalesce(1).write
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .mode("overwrite")
+      .csv(tmp.toString)
+    val files = tmp.toFile.listFiles()
+    val part = files.find(_.getName.startsWith("part-")).getOrElse(
+      throw new IllegalStateException(s"no CSV part file written under $tmp"))
+    Files.move(part.toPath, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    files.filterNot(_ == part).foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(tmp)
   }
 }

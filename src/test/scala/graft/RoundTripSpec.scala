@@ -234,6 +234,40 @@ class RoundTripSpec extends AnyFunSuite {
     assert(bytes(3) == 16 && new String(bytes.slice(4, 10), "ASCII") == "DIMENS")
   }
 
+  test("csv2res summary: wide CSV -> binary SMSPEC/UNSMRY -> read -> same frame") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv2sum").toString
+    // wide CSV exactly like Res2Csv's summary module emits
+    val csv = s"$dir/in.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "DATE,FOPR,WOPR:OP_1\n2020-01-01,1250.5,300.25\n2020-02-01,1100.0,290.5\n")
+    val order = graft.cli.Csv2Res.summaryCsvToBinary(spark, csv, s"$dir/CASE")
+    assert(order == Seq("TIME", "FOPR", "WOPR:OP_1"))
+    val back = graft.write.SummaryWriter.read(spark, s"$dir/CASE")
+      .withColumn("VALUE", round(col("VALUE"), 2))
+    val expected = Seq(
+      ("2020-01-01", "FOPR", 1250.5), ("2020-01-01", "WOPR:OP_1", 300.25),
+      ("2020-02-01", "FOPR", 1100.0), ("2020-02-01", "WOPR:OP_1", 290.5))
+      .toDF("DATE", "VECTOR", "VALUE")
+      .withColumn("DATE", to_date(col("DATE")))
+      .withColumn("VALUE", round(col("VALUE"), 2))
+    assert(back.count() == 4)
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+  }
+
+  test("Res2Csv file output streams via df.write.csv and lands as ONE csv file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-csv").toString
+    val df = (1 to 1000).map(i => (i, s"w$i", i * 1.5)).toDF("I", "WELL", "V")
+    val out = s"$dir/out.csv"
+    graft.cli.Res2Csv.writeCsvFile(df, out)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.count() == 1000)
+    assert(back.columns.toSeq == Seq("I", "WELL", "V"))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // single visible artifact: the tmp write dir and its part files are gone
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSeq == Seq("out.csv"))
+  }
+
   test("duplicate timestamps get TIMESTEP offsets (W5)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val df = Seq(
