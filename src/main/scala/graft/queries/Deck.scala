@@ -52,8 +52,54 @@ object Deck {
       .orderBy(col("deck_id"), col("date"), col("well"), col("i"), col("j"), col("k1"))
   }
 
+  /** One deck of the gruptree corpus: a GRUPTREE block BEFORE any DATES
+    * (exercising the 1900-01-01 default stamp), dated WELSPECS + GRUPNET
+    * node data, then a reparenting GRUPTREE — three snapshot dates per
+    * deck, with root synthesis (FIELD) and as-of node-data attachment.
+    */
+  private def gruptreeDeckText(d: Int): String =
+    s"""GRUPTREE
+       | 'PLAT' 'FIELD' /
+       | 'G$d' 'PLAT' /
+       |/
+       |DATES
+       | 1 'JAN' ${2000 + d} /
+       |/
+       |WELSPECS
+       | 'W$d' 'G$d' 1 2 /
+       |/
+       |GRUPNET
+       | 'FIELD' 10.0 /
+       | 'PLAT' 20.5 /
+       |/
+       |DATES
+       | 1 'FEB' ${2000 + d} /
+       |/
+       |GRUPTREE
+       | 'G$d' 'FIELD' /
+       |/
+       |""".stripMargin
+
+  /** R9 under the oracle gate: the corpus-native gruptree snapshot
+    * pipeline (edge accumulation, per-change-date full-tree emission,
+    * root synthesis, GRUPNET as-of node data — gruptree.py:94-182,
+    * 215-287) over a 20-deck corpus in one plan keyed on deckId.
+    */
+  def q45GruptreeSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val events = (0 until CorpusDecks).flatMap(d =>
+      graft.io.DeckParser.parse(gruptreeDeckText(d), deckId = s"d$d"))
+    graft.modules.Gruptree.fromEvents(s.createDataFrame(events), keepDeckId = true)
+      .select(col("deckId").as("deck_id"), col("DATE").cast("date").as("date"),
+        col("CHILD").as("child"), col("PARENT").as("parent"),
+        col("KEYWORD").as("keyword"),
+        col("TERMINAL_PRESSURE").as("terminal_pressure"),
+        col("VFP_TABLE").as("vfp_table"), col("ALQ").as("alq"))
+      .orderBy(col("deck_id"), col("date"), col("child"), col("keyword"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_compdat_welopen" -> (q44CompdatWelopen _),
+    "q45_gruptree_snapshots" -> (q45GruptreeSnapshots _),
   )
 
   /** The oracle builds the SAME corpus relationally (UNION ALL of the
@@ -135,5 +181,79 @@ object Deck {
         |       status AS op_sh, date
         |FROM final WHERE lrn = 1
         |ORDER BY deck_id, date, well, i, j, k1""".stripMargin,
+
+    /* The gruptree oracle replays snapshot semantics relationally:
+     * forward-filled clock with the 1900-01-01 default, snapshot dates =
+     * every date a family keyword changed, last edge per (deck, snapshot,
+     * child), WELSPECS rows bare, orphan WELSPECS parents under FIELD,
+     * roots = parents that are nobody's child, GRUPNET node data as-of
+     * the snapshot. */
+    "q45_gruptree_snapshots" ->
+      s"""WITH decks AS (SELECT CAST(unnest(range($CorpusDecks)) AS BIGINT) AS d),
+        |ev AS (
+        |  SELECT d, 1 AS kw, 'GRUPTREE' AS keyword, 'PLAT' AS child,
+        |         'FIELD' AS parent, CAST(NULL AS DOUBLE) AS tp,
+        |         CAST(NULL AS DATE) AS edate FROM decks
+        |  UNION ALL SELECT d, 2, 'GRUPTREE', 'G' || d, 'PLAT', NULL, NULL FROM decks
+        |  UNION ALL SELECT d, 3, 'DATES', NULL, NULL, NULL,
+        |         make_date(CAST(2000 + d AS INT), 1, 1) FROM decks
+        |  UNION ALL SELECT d, 4, 'WELSPECS', 'W' || d, 'G' || d, NULL, NULL FROM decks
+        |  UNION ALL SELECT d, 5, 'GRUPNET', 'FIELD', NULL, 10.0, NULL FROM decks
+        |  UNION ALL SELECT d, 6, 'GRUPNET', 'PLAT', NULL, 20.5, NULL FROM decks
+        |  UNION ALL SELECT d, 7, 'DATES', NULL, NULL, NULL,
+        |         make_date(CAST(2000 + d AS INT), 2, 1) FROM decks
+        |  UNION ALL SELECT d, 8, 'GRUPTREE', 'G' || d, 'FIELD', NULL, NULL FROM decks),
+        |dated AS (  -- A8 clock with the reference's 1900-01-01 default
+        |  SELECT *, coalesce(last_value(edate IGNORE NULLS) OVER
+        |      (PARTITION BY d ORDER BY kw ROWS UNBOUNDED PRECEDING),
+        |    DATE '1900-01-01') AS date
+        |  FROM ev),
+        |snaps AS (SELECT DISTINCT d, date AS sdate FROM dated
+        |          WHERE keyword IN ('GRUPTREE', 'GRUPNET', 'WELSPECS')),
+        |se AS MATERIALIZED (  -- last tree edge per (deck, snapshot, child)
+        |  SELECT d, sdate, child, parent, keyword FROM (
+        |    SELECT e.d, s.sdate, e.child, e.parent, e.keyword,
+        |           row_number() OVER (PARTITION BY e.d, s.sdate, e.child
+        |                              ORDER BY e.kw DESC) AS rn
+        |    FROM dated e JOIN snaps s ON s.d = e.d AND e.date <= s.sdate
+        |    WHERE e.keyword = 'GRUPTREE') WHERE rn = 1),
+        |ws AS MATERIALIZED (  -- WELSPECS edges visible at the snapshot
+        |  SELECT d, sdate, child, parent, keyword FROM (
+        |    SELECT e.d, s.sdate, e.child, e.parent, e.keyword,
+        |           row_number() OVER (PARTITION BY e.d, s.sdate, e.child
+        |                              ORDER BY e.kw DESC) AS rn
+        |    FROM dated e JOIN snaps s ON s.d = e.d AND e.date <= s.sdate
+        |    WHERE e.keyword = 'WELSPECS') WHERE rn = 1),
+        |orphans AS (  -- WELSPECS parents outside the tree hang off FIELD
+        |  SELECT DISTINCT w.d, w.sdate, w.parent AS child, 'FIELD' AS parent,
+        |         'GRUPTREE' AS keyword
+        |  FROM ws w WHERE NOT EXISTS (SELECT 1 FROM se
+        |    WHERE se.d = w.d AND se.sdate = w.sdate AND se.child = w.parent)),
+        |fam AS MATERIALIZED (SELECT * FROM se UNION ALL SELECT * FROM orphans),
+        |roots AS (  -- parents that are nobody's child, bare PARENT
+        |  SELECT DISTINCT f.d, f.sdate, f.parent AS child,
+        |         CAST(NULL AS VARCHAR) AS parent, 'GRUPTREE' AS keyword
+        |  FROM fam f WHERE f.parent IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM fam c WHERE c.d = f.d AND c.sdate = f.sdate
+        |      AND c.child = f.parent)),
+        |nl AS (  -- GRUPNET node data as-of the snapshot
+        |  SELECT d, sdate, child, tp FROM (
+        |    SELECT e.d, s.sdate, e.child, e.tp,
+        |           row_number() OVER (PARTITION BY e.d, s.sdate, e.child
+        |                              ORDER BY e.kw DESC) AS rn
+        |    FROM dated e JOIN snaps s ON s.d = e.d AND e.date <= s.sdate
+        |    WHERE e.keyword = 'GRUPNET') WHERE rn = 1),
+        |famr AS (SELECT * FROM fam UNION ALL SELECT * FROM roots),
+        |withn AS (
+        |  SELECT f.d, f.sdate, f.child, f.parent, f.keyword, n.tp
+        |  FROM famr f LEFT JOIN nl n
+        |    ON n.d = f.d AND n.sdate = f.sdate AND n.child = f.child
+        |  UNION ALL
+        |  SELECT d, sdate, child, parent, keyword, CAST(NULL AS DOUBLE) FROM ws)
+        |SELECT 'd' || d AS deck_id, sdate AS date, child, parent, keyword,
+        |       tp AS terminal_pressure, CAST(NULL AS INT) AS vfp_table,
+        |       CAST(NULL AS DOUBLE) AS alq
+        |FROM withn
+        |ORDER BY deck_id, date, child, keyword""".stripMargin,
   )
 }
