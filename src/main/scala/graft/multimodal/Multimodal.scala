@@ -137,11 +137,142 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  // ---- real WAV/PCM codec (javax.sound.sampled) ----------------------------
+
+  /** Decoded PCM audio: normalized interleaved samples in [-1, 1). A
+    * 16-bit value v maps to v/32768f exactly (24-bit float mantissa), so
+    * `round(sample * 32768f)` recovers the raw int16 losslessly.
+    */
+  final case class WavAudio(sampleRate: Float, channels: Int, frames: Long,
+      samples: Array[Float]) {
+    def durationSec: Double = frames.toDouble / sampleRate
+  }
+
+  /** Decode a WAV (RIFF/PCM) payload via `javax.sound.sampled` — in
+    * java.desktop, zero external deps, the same argument that made image
+    * decode real. 8-bit and 16-bit PCM, any channel count, either
+    * endianness. None for compressed codecs (MP3/OGG — genuinely not in
+    * the JDK; those fall back to the stub) or undecodable bytes.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+    import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) || (bits != 8 && bits != 16))
+          return None
+        val data = in.readAllBytes()
+        val n = data.length / (bits / 8)
+        val out = new Array[Float](n)
+        var i = 0
+        if (bits == 8) {
+          while (i < n) {
+            val v = if (enc == PCM_UNSIGNED) (data(i) & 0xff) - 128 else data(i).toInt
+            out(i) = v / 128f
+            i += 1
+          }
+        } else {
+          val be = f.isBigEndian
+          while (i < n) {
+            val b0 = data(2 * i) & 0xff
+            val b1 = data(2 * i + 1) & 0xff
+            val raw = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+            val v = if (enc == PCM_UNSIGNED) raw - 32768 else raw.toShort.toInt
+            out(i) = v / 32768f
+            i += 1
+          }
+        }
+        Some(WavAudio(f.getSampleRate, f.getChannels, in.getFrameLength, out))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode raw int16 PCM as WAV bytes (the round-trip inverse of
+    * [[decodeWav]]) through the JDK's actual RIFF writer.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int, channels: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels,
+      true, false) // PCM_SIGNED little-endian
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded audio metadata per media row: `(media_id, media_type,
+    * n_bytes, sample_rate, channels, frames, duration_s)` — audio fields
+    * null when the payload isn't decodable PCM. The audio twin of
+    * [[imageMeta]], same partition-batched kernel shape.
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("n_bytes", LongType),
+      StructField("sample_rate", FloatType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("frames", LongType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true)))
+    val rdd = media.select(col("media_id"), col("media_type"), col("content")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          decodeWav(bytes) match {
+            case Some(w) =>
+              Row(r.getLong(0), r.getString(1), n,
+                w.sampleRate, w.channels, w.frames, w.durationSec)
+            case None => Row(r.getLong(0), r.getString(1), n, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Real audio features: `[sampleRate, channels, frames, duration, rms,
+    * meanAbs, zeroCrossRate]` zero-padded to [[FeatureDim]] — same
+    * fixed-dim contract as the image features and the stub.
+    */
+  private[multimodal] def audioFeatures(w: WavAudio): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = w.sampleRate; out(1) = w.channels.toFloat; out(2) = w.frames.toFloat
+    out(3) = w.durationSec.toFloat
+    var sumSq = 0.0; var sumAbs = 0.0; var zc = 0
+    var i = 0
+    while (i < w.samples.length) {
+      val v = w.samples(i)
+      sumSq += v.toDouble * v; sumAbs += math.abs(v.toDouble)
+      if (i > 0 && (w.samples(i - 1) >= 0) != (v >= 0)) zc += 1
+      i += 1
+    }
+    val n = math.max(w.samples.length, 1)
+    out(4) = math.sqrt(sumSq / n).toFloat
+    out(5) = (sumAbs / n).toFloat
+    out(6) = zc.toFloat / n
+    out
+  }
+
   val FeatureDim = 16
 
-  /** STUB decoder for codecs the JDK genuinely lacks (audio/video):
-    * a deterministic byte-fold so tests can assert exact plumbing
-    * behavior. Images take the real [[decodeImage]] path instead.
+  /** STUB decoder for codecs the JDK genuinely lacks (compressed audio
+    * and video): a deterministic byte-fold so tests can assert exact
+    * plumbing behavior. Images take the real [[decodeImage]] path, WAV
+    * audio the real [[decodeWav]] path.
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -182,8 +313,9 @@ object Multimodal {
   /** Feature extraction as a partition-batched kernel: one pass per
     * partition, primitive loops inside (the Scala analog of a pandas-batch
     * UDF — same batch shape, no per-row closure dispatch in the hot loop).
-    * Payloads that decode as images get REAL features ([[imageFeatures]]);
-    * everything else falls back to the deterministic stub fold.
+    * Payloads that decode as images get REAL features ([[imageFeatures]]),
+    * WAV payloads real audio features ([[audioFeatures]]); everything else
+    * falls back to the deterministic stub fold.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -198,7 +330,10 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("content")
           val feats = decodeImage(bytes) match {
             case Some(img) => imageFeatures(img)
-            case None => decodeStub(bytes)
+            case None => decodeWav(bytes) match {
+              case Some(w) => audioFeatures(w)
+              case None => decodeStub(bytes)
+            }
           }
           Row(r.getLong(0), r.getString(1),
             if (bytes == null) 0L else bytes.length.toLong,

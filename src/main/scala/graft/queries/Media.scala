@@ -61,8 +61,40 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** q46: the audio twin of q43 — per `doc_id` a deterministic mono
+    * 16-bit PCM signal of `64 + id%64` samples at 8 kHz, sample
+    * `i` = `((id·31 + i·17) % 65536) − 32768`, encoded through the JDK's
+    * actual RIFF/WAV writer and decoded back through [[Multimodal
+    * .decodeWav]]; the query reports what the DECODED stream contains
+    * (frame count, rate, channels, first/last raw samples, full sample
+    * sum) while the oracle computes the same quantities from the formula
+    * alone. A hash match proves the WAV codec really ran and recovered
+    * every sample — a byte-fold stub cannot fake it.
+    */
+  def q46AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+        val wav = Multimodal.decodeWav(Multimodal.encodeWav(samples, 8000, 1))
+          .getOrElse(throw new IllegalStateException(s"WAV round-trip failed for doc $id"))
+        def raw(i: Int): Int = Math.round(wav.samples(i) * 32768f)
+        var sum = 0L
+        var i = 0
+        while (i < wav.samples.length) { sum += raw(i); i += 1 }
+        (id, wav.frames, wav.sampleRate.toInt, wav.channels,
+          raw(0), raw(wav.samples.length - 1), sum)
+      }
+    }.toDF("doc_id", "n_frames", "sample_rate", "channels", "s_first", "s_last", "sample_sum")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_image_decode" -> (q43ImageDecode _),
+    "q46_audio_decode" -> (q46AudioDecode _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,6 +115,25 @@ object Media {
         |       CAST(d.doc_id % 256 AS INT) AS px00_red,
         |       CAST((d.doc_id + 3*(d.width-1) + 7*(d.height-1)) % 256 AS INT) AS pxwh_red,
         |       s.red_sum
+        |FROM dims d JOIN sums s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q46_audio_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+        |  FROM documents),
+        |idx AS (SELECT unnest(range(128)) AS i),
+        |sums AS (
+        |  SELECT d.doc_id,
+        |         CAST(SUM((d.doc_id * 31 + idx.i * 17) % 65536 - 32768) AS BIGINT)
+        |           AS sample_sum
+        |  FROM dims d JOIN idx ON idx.i < d.n
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, d.n AS n_frames, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(d.doc_id * 31 % 65536 - 32768 AS INT) AS s_first,
+        |       CAST((d.doc_id * 31 + (d.n - 1) * 17) % 65536 - 32768 AS INT) AS s_last,
+        |       s.sample_sum
         |FROM dims d JOIN sums s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
   )

@@ -62,6 +62,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(null).isEmpty)
   }
 
+  test("multimodal: real WAV decode recovers exact samples, meta and features") {
+    // 200 samples of a known ramp at 8 kHz mono: every sample must come back
+    val samples = Array.tabulate(200)(i => ((i * 163) % 65536 - 32768).toShort)
+    val wav = Multimodal.encodeWav(samples, 8000, 1)
+    assert(new String(wav.take(4), "ASCII") == "RIFF")
+    val dec = Multimodal.decodeWav(wav).get
+    assert(dec.sampleRate == 8000f && dec.channels == 1 && dec.frames == 200L)
+    assert(dec.samples.length == 200)
+    for (i <- 0 until 200)
+      assert(Math.round(dec.samples(i) * 32768f) == samples(i).toInt)
+    // stereo: frames = samples / channels, interleaving preserved
+    val st = Multimodal.decodeWav(Multimodal.encodeWav(samples, 16000, 2)).get
+    assert(st.channels == 2 && st.frames == 100L && st.samples.length == 200)
+    // non-WAV bytes are None, not an exception
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // audioMeta + feature routing: a WAV payload gets real audio features
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, "audio", wav,
+        org.apache.spark.sql.Row("synthetic", wav.length.toLong))),
+      Multimodal.MediaSchema)
+    val meta = Multimodal.audioMeta(media).collect().head
+    assert(meta.getAs[Float]("sample_rate") == 8000f &&
+      meta.getAs[Int]("channels") == 1 && meta.getAs[Long]("frames") == 200L)
+    assert(math.abs(meta.getAs[Double]("duration_s") - 0.025) < 1e-9)
+    val feats = Multimodal.extractFeatures(media).collect().head
+      .getAs[scala.collection.Seq[Float]]("features")
+    assert(feats(0) == 8000f && feats(1) == 1f && feats(2) == 200f)
+    val expRms = math.sqrt(samples.map(s => math.pow(s / 32768.0, 2)).sum / 200)
+    assert(math.abs(feats(4) - expRms) < 1e-4)
+  }
+
   test("multimodal: real image resize changes dims, preserves solid color") {
     val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val g = img.createGraphics()
