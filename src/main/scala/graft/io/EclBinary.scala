@@ -60,17 +60,39 @@ object EclBinary {
     * mean of the 8 corner-point corners (COORD pillar interpolation at
     * each ZCORN depth); VOLUME is the 24-tetrahedron decomposition around
     * the face and cell centroids — exact for planar faces, robust for the
-    * non-planar ones corner-point grids produce. MAPAXES is not applied,
-    * matching resdata's default cell-position export (COORD is already in
-    * map coordinates for simulator-written EGRIDs; the transform only
-    * matters for viz-local grids). Only the four geometry keywords are
-    * decoded — NNC/LGR/map payloads in the file are seeked past.
+    * non-planar ones corner-point grids produce. MAPAXES is NOT applied by
+    * default, matching resdata's default cell-position export (COORD is
+    * already in map coordinates for simulator-written EGRIDs; the
+    * transform only matters for viz-local grids) — pass
+    * `applyMapaxes = true` to rebase X/Y into the MAPAXES frame
+    * (origin + normalized axis units, resdata's mapaxes_transform; the
+    * transform is rigid so Z, depths and VOLUME are unchanged). Only the
+    * geometry keywords are decoded — NNC/LGR payloads are seeked past.
     */
-  def egrid(spark: SparkSession, path: String): DataFrame = {
-    val wanted = Set("GRIDHEAD", "COORD", "ZCORN", "ACTNUM")
+  def egrid(spark: SparkSession, path: String,
+      applyMapaxes: Boolean = false): DataFrame = {
+    val wanted = Set("GRIDHEAD", "COORD", "ZCORN", "ACTNUM", "MAPAXES")
     val kws = EclKw.stream(path, (name, _, _) => wanted(name))(_.toVector)
     def kw(name: String) = kws.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"$path: no $name keyword"))
+    // MAPAXES = (Yend_x, Yend_y, origin_x, origin_y, Xend_x, Xend_y):
+    // global = origin + x·unit(Xend−origin) + y·unit(Yend−origin)
+    val mapx: Option[(Double, Double, Double, Double, Double, Double)] =
+      if (!applyMapaxes) None
+      else kws.find(_.name == "MAPAXES").map { m =>
+        val a = m.floats
+        require(a.length >= 6, s"$path: MAPAXES carries ${a.length} values")
+        val (ox, oy) = (a(2).toDouble, a(3).toDouble)
+        def unit(px: Double, py: Double) = {
+          val (dx, dy) = (px - ox, py - oy)
+          val n = math.hypot(dx, dy)
+          require(n > 0, s"$path: degenerate MAPAXES axis")
+          (dx / n, dy / n)
+        }
+        val (uxx, uxy) = unit(a(4).toDouble, a(5).toDouble)
+        val (uyx, uyy) = unit(a(0).toDouble, a(1).toDouble)
+        (ox, oy, uxx, uxy, uyx, uyy)
+      }
     val gh = kw("GRIDHEAD").ints
     val (nx, ny, nz) = (gh(1), gh(2), gh(3))
     val ncells = nx.toLong * ny * nz
@@ -114,7 +136,14 @@ object EclBinary {
               cx8(c) = x1 + t * (x2 - x1); cy8(c) = y1 + t * (y2 - y1); cz8(c) = z
               c += 1
             }
-            val x = cx8.sum / 8; val y = cy8.sum / 8; val z = cz8.sum / 8
+            val xl = cx8.sum / 8; val yl = cy8.sum / 8; val z = cz8.sum / 8
+            // center-level MAPAXES rebase: the transform is linear, so it
+            // commutes with the 8-corner mean (and leaves VOLUME rigid)
+            val (x, y) = mapx match {
+              case Some((ox, oy, uxx, uxy, uyx, uyy)) =>
+                (ox + xl * uxx + yl * uyx, oy + xl * uxy + yl * uyy)
+              case None => (xl, yl)
+            }
             val g = k.toLong * sl.nx * sl.ny + li
             Some(Row(i + 1, j + 1, k + 1, x, y, z, cz8.min, cz8.max,
               hexVolume(cx8, cy8, cz8), g, sl.aprefix(li).toLong))

@@ -128,6 +128,33 @@ class EclBinarySpec extends AnyFunSuite {
       Seq((1, 1, 1, 3, 2, 1, 12.5), (2, 1, 1, 2, 2, 1, 7.25)))
   }
 
+  test("MAPAXES applies on request: rotated axes move cell centers exactly") {
+    import graft.io.EclKw
+    import graft.io.EclKw.Kw
+    // 1x1x1 unit-square cell, depth 0..5 → local center (0.5, 0.5, 2.5);
+    // MAPAXES: origin (100,200), X axis toward +y, Y axis toward -x (a
+    // 90° rotation) → global center (99.5, 200.5), Z and VOLUME unchanged
+    val d = java.nio.file.Files.createTempDirectory("graft-mapaxes").toString
+    val coord = Array(
+      0f, 0f, 0f, 0f, 0f, 10f, 1f, 0f, 0f, 1f, 0f, 10f,
+      0f, 1f, 0f, 0f, 1f, 10f, 1f, 1f, 0f, 1f, 1f, 10f)
+    val zcorn = Array(0f, 0f, 0f, 0f, 5f, 5f, 5f, 5f)
+    EclKw.write(s"$d/M.EGRID", Seq(
+      Kw("GRIDHEAD", "INTE", Array(0, 1, 1, 1)),
+      Kw("MAPAXES", "REAL", Array(99f, 200f, 100f, 200f, 100f, 201f)),
+      Kw("COORD", "REAL", coord),
+      Kw("ZCORN", "REAL", zcorn),
+      Kw("ACTNUM", "INTE", Array(1))))
+    val local = graft.io.EclBinary.egrid(spark, s"$d/M.EGRID").collect().head
+    assert(local.getDouble(3) == 0.5 && local.getDouble(4) == 0.5)
+    val mapped = graft.io.EclBinary.egrid(spark, s"$d/M.EGRID",
+      applyMapaxes = true).collect().head
+    assert(math.abs(mapped.getDouble(3) - 99.5) < 1e-9)
+    assert(math.abs(mapped.getDouble(4) - 200.5) < 1e-9)
+    assert(mapped.getDouble(5) == 2.5)                  // Z untouched
+    assert(math.abs(mapped.getDouble(8) - 5.0) < 1e-9)  // VOLUME rigid
+  }
+
   test("Reek NNC: EGRID pair list decodes, TRAN null without INIT") {
     val nnc = graft.io.EclBinary.nnc(spark, s"$ReekModel.EGRID", None)
     assert(nnc.count() == 3286) // NNC1/NNC2 length in the Reek EGRID
