@@ -39,8 +39,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t = (System.nanoTime() - t0) / 1e9
       // keep queries independent: a .cache() inside one query must not
-      // occupy storage memory (and skew GC) for every later measurement
+      // occupy storage memory (and skew GC) for every later measurement —
+      // and localCheckpoint(true) blocks are RDD-level persists that
+      // clearCache (SQL CacheManager only) never releases, so drop those
+      // explicitly rather than waiting on GC + ContextCleaner
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> t
     }.toMap
     val (p1, p2) = (sweep(), sweep())

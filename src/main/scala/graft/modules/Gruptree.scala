@@ -67,10 +67,14 @@ object Gruptree {
     val dates = Schedule.keywordDates(events, keepDeckId = dk.nonEmpty)
     def dated(df: DataFrame) = df.join(dates, dk :+ "keywordIdx", "left")
       .withColumn("DATE", coalesce(col("DATE"), lit("1900-01-01").cast("timestamp")))
-    val edges = dated(edgeEvents(events))
+    // the dated edge/node frames are record-count-sized hubs consumed by
+    // ~20 places in the snapshot plan (snapshot dates, range joins, orphan
+    // and root synthesis, per family) — materialize them once instead of
+    // re-running the date-fill window per consumer
+    val edges = dated(edgeEvents(events)).localCheckpoint(true)
     val treeEdges = edges.filter(col("KEYWORD") =!= "WELSPECS")
     val wspecs = edges.filter(col("KEYWORD") === "WELSPECS")
-    val nodes = dated(nodeEvents(events))
+    val nodes = dated(nodeEvents(events)).localCheckpoint(true)
     val ord = Seq(col("keywordIdx"), col("recordIdx"))
     val dkc = dk.map(col)
     // snapshot-range joins and key sets, deck-scoped on a corpus frame
@@ -84,20 +88,36 @@ object Gruptree {
     def family(treetype: String, nodetype: String): DataFrame = {
       val fe = treeEdges.filter(col("KEYWORD") === treetype)
       val fn = nodes.filter(col("NKEYWORD") === nodetype)
+      // ONE tagged frame carries the family's edges, WELSPECS edges and
+      // node records through a SINGLE snapshot range join + last-wins
+      // window (tag rides in the partition key), instead of three joins +
+      // three windows over three subtrees; the deduped hub is then
+      // checkpointed once for its five downstream consumers
+      val nullS = lit(null).cast("string")
+      val tagged = fe.select(dkc ++ Seq(col("keywordIdx"), col("recordIdx"),
+          lit("E").as("tag"), col("CHILD"), col("PARENT"), col("KEYWORD"),
+          lit(null).cast("double").as("TERMINAL_PRESSURE"),
+          lit(null).cast("int").as("VFP_TABLE"),
+          lit(null).cast("double").as("ALQ"), col("DATE")): _*)
+        .unionByName(wspecs.select(dkc ++ Seq(col("keywordIdx"), col("recordIdx"),
+          lit("W").as("tag"), col("CHILD"), col("PARENT"), col("KEYWORD"),
+          lit(null).cast("double").as("TERMINAL_PRESSURE"),
+          lit(null).cast("int").as("VFP_TABLE"),
+          lit(null).cast("double").as("ALQ"), col("DATE")): _*))
+        .unionByName(fn.select(dkc ++ Seq(col("keywordIdx"), col("recordIdx"),
+          lit("N").as("tag"), col("CHILD"), nullS.as("PARENT"), nullS.as("KEYWORD"),
+          col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ"), col("DATE")): _*))
       // a family snapshot exists at every date any of its keywords (or
       // WELSPECS) changed — gruptree.py:204 `any(found_keywords[...])`
-      val snapDates = fe.select(dkc :+ col("DATE"): _*)
-        .unionByName(fn.select(dkc :+ col("DATE"): _*))
-        .unionByName(wspecs.select(dkc :+ col("DATE"): _*))
-        .distinct()
+      val snapDates = tagged.select(dkc :+ col("DATE"): _*).distinct()
         .select(dk.map(k => col(k).as(s"SNAP_$k")) :+ col("DATE").as("SNAP_DATE"): _*)
-      val snapEdges = Ops.lastWinsDedup(snapJoin(fe, snapDates),
-        keys = snapKeys, ord = ord)
-        .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD")): _*)
+      val deduped = Ops.lastWinsDedup(snapJoin(tagged, snapDates),
+        keys = dk ++ Seq("SNAP_DATE", "CHILD", "tag"), ord = ord)
+        .localCheckpoint(true)
+      val outCols = dkc ++ Seq(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"))
+      val snapEdges = deduped.filter(col("tag") === "E").select(outCols: _*)
       val childs = snapEdges.select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD")): _*)
-      val wAll = Ops.lastWinsDedup(snapJoin(wspecs, snapDates),
-        keys = snapKeys, ord = ord)
-        .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"), col("PARENT"), col("KEYWORD")): _*)
+      val wAll = deduped.filter(col("tag") === "W").select(outCols: _*)
       // BRANPROP trees only keep wells whose parent group is in the tree
       val ws =
         if (treetype == "BRANPROP")
@@ -123,8 +143,7 @@ object Gruptree {
           lit(null).cast("string").as("PARENT"), lit(treetype).as("KEYWORD")): _*)
       // node data as-of the snapshot, family-scoped, onto family rows and
       // roots (the reference leaves WELSPECS rows bare)
-      val fnLast = Ops.lastWinsDedup(snapJoin(fn, snapDates),
-        keys = snapKeys, ord = ord)
+      val fnLast = deduped.filter(col("tag") === "N")
         .select(dkc ++ Seq(col("SNAP_DATE"), col("CHILD"),
           col("TERMINAL_PRESSURE"), col("VFP_TABLE"), col("ALQ")): _*)
       famEdges.unionByName(roots)
@@ -135,8 +154,25 @@ object Gruptree {
           .withColumn("ALQ", lit(null).cast("double")))
     }
 
-    val out = family("GRUPTREE", "GRUPNET")
-      .unionByName(family("BRANPROP", "NODEPROP"))
+    // one bounded driver action over the raw keyword set decides which
+    // families exist at all: a family with no edges contributes nothing
+    // (GRUPNET/NODEPROP node data only ever attaches to family rows, and
+    // the GRUPTREE family additionally materializes from bare WELSPECS via
+    // orphan synthesis) — skipping an empty family halves the plan's
+    // shuffle stages on GRUPTREE-only decks, the common case
+    val present = events
+      .filter(col("keyword").isin("GRUPTREE", "BRANPROP", "WELSPECS") &&
+        size(col("items")) > 0)
+      .select(col("keyword")).distinct().collect().map(_.getString(0)).toSet
+    val fams = Seq(
+      if (present("GRUPTREE") || present("WELSPECS"))
+        Some(family("GRUPTREE", "GRUPNET")) else None,
+      if (present("BRANPROP")) Some(family("BRANPROP", "NODEPROP")) else None).flatten
+    val base = fams match {
+      case Nil => family("GRUPTREE", "GRUPNET").limit(0) // schema-only, folds empty
+      case f :: rest => rest.foldLeft(f)(_ unionByName _)
+    }
+    val out = base
       .dropDuplicates(dk ++ Seq("SNAP_DATE", "CHILD", "KEYWORD"))
       .select((if (keepDeckId) dkc else Nil) ++
         Seq(col("SNAP_DATE").as("DATE"), col("CHILD"), col("PARENT"), col("KEYWORD"),

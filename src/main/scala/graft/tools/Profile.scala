@@ -41,6 +41,8 @@ object Profile {
         val rows = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint blocks are RDD-level persists clearCache misses
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         (dt, rows, gcMillis - g0)
       }
       println(f"PROFILE $name rows=${times.head._2} " +
