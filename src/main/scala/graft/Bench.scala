@@ -44,7 +44,8 @@ object Bench {
       // clearCache (SQL CacheManager only) never releases, so drop those
       // explicitly rather than waiting on GC + ContextCleaner
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (!sys.env.contains("GRAFT_BENCH_NO_UNPERSIST"))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> t
     }.toMap
     val (p1, p2) = (sweep(), sweep())

@@ -129,6 +129,35 @@ object ScaleStress {
     val (c1, c10) = (Seq(timeCompdat(100), timeCompdat(100)).min,
       Seq(timeCompdat(1000), timeCompdat(1000)).min)
     println(f"SCALE compdat_corpus decks=100:${c1}%.2fs decks=1000:${c10}%.2fs ratio=${c10 / c1}%.1f")
+
+    // corpus-native gruptree: snapshot emission (tagged range join,
+    // last-wins window, root synthesis, node data) over one multi-deck
+    // frame — every key (deckId, SNAP_DATE, CHILD)
+    val gruptreeDeck = (1 to 10).map(m =>
+      s"""GRUPTREE
+         | 'PLAT$m' 'FIELD' /
+         | 'G$m' 'PLAT$m' /
+         |/
+         |DATES
+         | 1 'JAN' ${2000 + m} /
+         |/
+         |WELSPECS
+         | 'W$m' 'G$m' 1 2 /
+         |/
+         |GRUPNET
+         | 'PLAT$m' ${m * 1.5} /
+         |/
+         |""".stripMargin).mkString
+    def timeGruptree(n: Int): Double = {
+      val df = spark.createDataFrame(
+        (0 until n).flatMap(i => graft.io.DeckParser.parse(gruptreeDeck, s"deck$i")))
+      val t0 = System.nanoTime()
+      graft.modules.Gruptree.fromEvents(df, keepDeckId = true).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (g1, g10) = (Seq(timeGruptree(100), timeGruptree(100)).min,
+      Seq(timeGruptree(1000), timeGruptree(1000)).min)
+    println(f"SCALE gruptree_corpus decks=100:${g1}%.2fs decks=1000:${g10}%.2fs ratio=${g10 / g1}%.1f")
     spark.stop()
   }
 }
