@@ -33,8 +33,10 @@ object Csv2Res {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(args(1))
+    // each branch reads the CSV itself — an eager shared inferSchema read
+    // here would scan the input a second, wasted time for `summary`
+    def readCsv() = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(args(1))
     args(0).toUpperCase match {
       case "SUMMARY" =>
         if (args.length < 3) {
@@ -43,13 +45,14 @@ object Csv2Res {
         }
         summaryCsvToBinary(spark, args(1), args(2))
       case "VFP" =>
-        val text = IncludeWriter.vfpprod(df)
+        val text = IncludeWriter.vfpprod(readCsv())
         if (args.length >= 3) Files.writeString(Paths.get(args(2)), text)
         else print(text)
       case kw =>
         // a CSV carrying its own KEYWORD column routes through the df2res
         // dispatcher (mixed keywords, table families); otherwise the named
         // keyword is written as one generic table
+        val df = readCsv()
         val text =
           if (df.columns.contains("KEYWORD")) IncludeWriter.df2res(df)
           else IncludeWriter.genericDeckTable(df, kw)
@@ -70,8 +73,12 @@ object Csv2Res {
     val df = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(inCsv)
     val vecCols = df.columns.filterNot(_ == "DATE")
+    // Dataset.unpivot (unlike SQL UNPIVOT) KEEPS null value cells — drop
+    // them so sparse exports take the writer's dense-0.0 default instead
+    // of NPE-ing in its row decode
     val long = df.unpivot(Array(col("DATE").cast("date")),
       vecCols.map(col), "VECTOR", "VALUE")
+      .filter(col("VALUE").isNotNull)
     SummaryWriter.write(long, basePath)
   }
 }

@@ -180,16 +180,26 @@ object Res2Csv {
     val target = Paths.get(outPath).toAbsolutePath
     val parent = Option(target.getParent).getOrElse(Paths.get("."))
     val tmp = Files.createTempDirectory(parent, ".res2csv_")
-    df.coalesce(1).write
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .mode("overwrite")
-      .csv(tmp.toString)
-    val files = tmp.toFile.listFiles()
-    val part = files.find(_.getName.startsWith("part-")).getOrElse(
-      throw new IllegalStateException(s"no CSV part file written under $tmp"))
-    Files.move(part.toPath, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    files.filterNot(_ == part).foreach(f => Files.deleteIfExists(f.toPath))
-    Files.deleteIfExists(tmp)
+    try {
+      df.coalesce(1).write
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .mode("overwrite")
+        .csv(tmp.toString)
+      tmp.toFile.listFiles().find(_.getName.startsWith("part-")) match {
+        case Some(part) =>
+          Files.move(part.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // a zero-partition frame writes no part file — header-only CSV,
+          // matching what the collect path printed for empty frames
+          Files.writeString(target, df.columns.mkString(",") + "\n")
+      }
+    } finally {
+      // never leave a stray .res2csv_* dir next to the user's output
+      Option(tmp.toFile.listFiles()).foreach(
+        _.foreach(f => Files.deleteIfExists(f.toPath)))
+      Files.deleteIfExists(tmp)
+    }
   }
 }

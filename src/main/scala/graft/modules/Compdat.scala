@@ -165,8 +165,13 @@ object Compdat {
       count(when(col("WELL").startsWith("*"), 1)).as("nList"),
       count(when(rawHasC, 1)).as("nC"),
       count(when(!rawHasC && nDef > 0 && nDef < 3, 1)).as("nPartial")).head()
-    val (hasWelopen, hasList, hasC, hasPartial) =
-      (feat.getLong(0) > 0, feat.getLong(1) > 0, feat.getLong(2) > 0, feat.getLong(3) > 0)
+    val (hasWelopen, hasList, hasC) =
+      (feat.getLong(0) > 0, feat.getLong(1) > 0, feat.getLong(2) > 0)
+    // C rows can BECOME partial during resolve (a COMPLUMP record with
+    // defaulted I/J rewrites them to null coordinates), so any C row
+    // forces the partial-expansion stage too — running it over zero
+    // partial rows is a correct no-op, skipping it over one is not
+    val hasPartial = feat.getLong(3) > 0 || hasC
 
     // Defaulted (null or <=0) I/J inherit the as-of WELSPECS wellhead
     // (reference compdat.py:115-143).

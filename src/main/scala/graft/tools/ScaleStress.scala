@@ -74,6 +74,9 @@ object ScaleStress {
         try fn(spark, dir).count() catch { case e: Throwable => println(s"$name@$dir: $e"); -1 }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint blocks (q37/q38/q40/q41 hubs) are RDD-level
+        // persists clearCache misses — same hygiene as Bench/Profile
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         dt
       }
       val base = Seq(time(src), time(src)).min
@@ -153,7 +156,12 @@ object ScaleStress {
         (0 until n).flatMap(i => graft.io.DeckParser.parse(gruptreeDeck, s"deck$i")))
       val t0 = System.nanoTime()
       graft.modules.Gruptree.fromEvents(df, keepDeckId = true).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Gruptree eagerly localCheckpoints its hub frames — drop the blocks
+      // so the four timed runs don't contaminate each other (same hygiene
+      // as Bench/Profile)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
     val (g1, g10) = (Seq(timeGruptree(100), timeGruptree(100)).min,
       Seq(timeGruptree(1000), timeGruptree(1000)).min)

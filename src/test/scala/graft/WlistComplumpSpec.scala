@@ -82,6 +82,32 @@ class WlistComplumpSpec extends AnyFunSuite {
     assert(m(1) == "SHUT" && m(2) == "OPEN")
   }
 
+  test("COMPLUMP with defaulted I/J still routes through partial expansion") {
+    // the lump record leaves I/J defaulted (2*), so the C-branch rewrite
+    // yields PARTIAL rows (null I/J, explicit K) that must expand against
+    // the as-of connections — the r6 raw-record feature scan must force
+    // the partial stage whenever C rows exist, not just when raw partial
+    // rows do
+    val df = Compdat.df(spark,
+      """DATES
+        | 1 'JAN' 2020 /
+        |/
+        |COMPDAT
+        | 'OP1' 5 6 1 2 'OPEN' /
+        |/
+        |COMPLUMP
+        | 'OP1' 2* 1 1 1 /
+        |/
+        |WELOPEN
+        | 'OP1' 'SHUT' 3* 1 1 /
+        |/
+        |""".stripMargin)
+    val m = df.collect().map(r =>
+      (r.getAs[Int]("K1"), r.getAs[String]("OP/SH"))).toMap
+    assert(m(1) == "SHUT", "lumped connection (K=1) must be SHUT")
+    assert(m(2) == "OPEN", "unlumped connection (K=2) must stay OPEN")
+  }
+
   test("welopenAnomalies reports rows matching no connection") {
     import org.apache.spark.sql.functions._
     val events = graft.io.DeckParser.toDS(spark,
