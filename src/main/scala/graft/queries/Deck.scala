@@ -97,9 +97,98 @@ object Deck {
       .orderBy(col("deck_id"), col("date"), col("child"), col("keyword"))
   }
 
+  /** One deck of the WELSEGS corpus: explicit clock, a header record with
+    * defaulted LENGTH/WELLBORE_VOLUME (`2*`) and per-deck INFO_TYPE
+    * (ABS on even decks exercises the SEGMENT_MD derivation), one ranged
+    * segment record (2-4, exercising the unroll) and one single-segment
+    * record.
+    */
+  private def welsegsDeckText(d: Int): String = {
+    val info = if (d % 2 == 0) "ABS" else "INC"
+    s"""DATES
+       | 1 'JAN' ${2000 + d} /
+       |/
+       |WELSEGS
+       | 'W$d' ${1000.5 + d} 2* '$info' /
+       | 2 4 1 1 ${10.0 + d} 1.5 0.2 /
+       | 5 5 2 2 ${20.0 + d} 2.5 0.3 /
+       |/
+       |""".stripMargin
+  }
+
+  /** MSW under the oracle gate: the corpus-native WELSEGS pipeline —
+    * record-0 header fan-out (broadcast equi-join on the keyword
+    * ordinal), SEGMENT1-SEGMENT2 unroll (R5/R1), header defaults, the
+    * ABS-mode SEGMENT_MD derivation and the schedule clock — replayed
+    * relationally by DuckDB over the same closed-form corpus.
+    */
+  def q47WelsegsUnroll(s: SparkSession, dir: String): DataFrame = {
+    val events = (0 until CorpusDecks).flatMap(d =>
+      graft.io.DeckParser.parse(welsegsDeckText(d), deckId = s"d$d"))
+    graft.modules.Msw.welsegs(s.createDataFrame(events),
+        unroll = true, keepDeckId = true)
+      .select(col("deckId").as("deck_id"), col("WELL").as("well"),
+        col("SEGMENT1").as("segment1"), col("SEGMENT2").as("segment2"),
+        col("BRANCH").as("branch"), col("JOIN_SEGMENT").as("join_segment"),
+        col("SEGMENT_LENGTH").as("segment_length"),
+        col("DEPTH_CHANGE").as("depth_change"), col("DIAMETER").as("diameter"),
+        col("DEPTH").as("depth"), col("LENGTH").as("length"),
+        col("WELLBORE_VOLUME").as("wellbore_volume"),
+        col("INFO_TYPE").as("info_type"),
+        col("PRESSURE_COMPONENTS").as("pressure_components"),
+        col("FLOW_MODEL").as("flow_model"), col("SEGMENT_MD").as("segment_md"),
+        col("DATE").cast("date").as("date"))
+      .orderBy(col("deck_id"), col("segment1"))
+  }
+
+  /** One deck of the wcon corpus: a dated WCONPROD with mid-record `2*`
+    * defaults, a TSTEP-advanced clock, then WCONHIST + WCONINJE — three
+    * keyword families with different schemas union'd with their opm
+    * defaults (U1 allowMissingColumns nulls for absent columns).
+    */
+  private def wconDeckText(d: Int): String =
+    s"""DATES
+       | 1 'JAN' ${2000 + d} /
+       |/
+       |WCONPROD
+       | 'P$d' 'OPEN' 'ORAT' ${100.0 + d} 2* ${50.0 + d} /
+       |/
+       |TSTEP
+       | 30 /
+       |/
+       |WCONHIST
+       | 'P$d' 'OPEN' 'ORAT' ${90.0 + d} /
+       |/
+       |WCONINJE
+       | 'I$d' 'WATER' 'OPEN' 'RATE' ${200.0 + d} /
+       |/
+       |""".stripMargin
+
+  /** Wcon under the oracle gate: per-keyword record schemas with opm
+    * defaults (BHP 1.01325 / 6895.0, zero rates), `n*` default runs, the
+    * TSTEP-advanced schedule clock (A8) and the allowMissingColumns
+    * union (U1) — replayed column-for-column by DuckDB.
+    */
+  def q48WconCorpus(s: SparkSession, dir: String): DataFrame = {
+    val events = (0 until CorpusDecks).flatMap(d =>
+      graft.io.DeckParser.parse(wconDeckText(d), deckId = s"d$d"))
+    graft.modules.Wcon.fromEvents(s.createDataFrame(events), keepDeckId = true)
+      .select(col("deckId").as("deck_id"), col("KEYWORD").as("keyword"),
+        col("DATE").cast("date").as("date"), col("WELL").as("well"),
+        col("STATUS").as("status"), col("CMODE").as("cmode"),
+        col("ORAT").as("orat"), col("WRAT").as("wrat"), col("GRAT").as("grat"),
+        col("LRAT").as("lrat"), col("RESV").as("resv"), col("BHP").as("bhp"),
+        col("THP").as("thp"), col("VFP_TABLE").as("vfp_table"),
+        col("ALQ").as("alq"), col("NGLRAT").as("nglrat"),
+        col("TYPE").as("type"), col("RATE").as("rate"))
+      .orderBy(col("deck_id"), col("date"), col("keyword"), col("well"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_compdat_welopen" -> (q44CompdatWelopen _),
     "q45_gruptree_snapshots" -> (q45GruptreeSnapshots _),
+    "q47_welsegs_unroll" -> (q47WelsegsUnroll _),
+    "q48_wcon_corpus" -> (q48WconCorpus _),
   )
 
   /** The oracle builds the SAME corpus relationally (UNION ALL of the
@@ -255,5 +344,70 @@ object Deck {
         |       CAST(NULL AS DOUBLE) AS alq
         |FROM withn
         |ORDER BY deck_id, date, child, keyword""".stripMargin,
+
+    /* The WELSEGS oracle: closed-form segment records unrolled with
+     * generate_series, header defaults (LENGTH 0.0, WELLBORE_VOLUME 1e-5,
+     * PRESSURE_COMPONENTS 'HFA', FLOW_MODEL 'HO') applied per the
+     * keyword spec, SEGMENT_MD = segment length only in ABS mode. */
+    "q47_welsegs_unroll" ->
+      s"""WITH decks AS (SELECT CAST(unnest(range($CorpusDecks)) AS BIGINT) AS d),
+        |segs AS (
+        |  SELECT d, 2 AS s1, 4 AS s2, 1 AS branch, 1 AS join_segment,
+        |         CAST(10.0 + d AS DOUBLE) AS seg_len,
+        |         CAST(1.5 AS DOUBLE) AS depth_change,
+        |         CAST(0.2 AS DOUBLE) AS diameter FROM decks
+        |  UNION ALL SELECT d, 5, 5, 2, 2, 20.0 + d, 2.5, 0.3 FROM decks),
+        |unrolled AS (
+        |  SELECT *, CAST(unnest(generate_series(s1, s2)) AS INT) AS seg
+        |  FROM segs)
+        |SELECT 'd' || d AS deck_id, 'W' || d AS well,
+        |       seg AS segment1, seg AS segment2, branch, join_segment,
+        |       seg_len AS segment_length, depth_change, diameter,
+        |       CAST(1000.5 + d AS DOUBLE) AS depth,
+        |       CAST(0.0 AS DOUBLE) AS length,
+        |       CAST(0.00001 AS DOUBLE) AS wellbore_volume,
+        |       CASE WHEN d % 2 = 0 THEN 'ABS' ELSE 'INC' END AS info_type,
+        |       'HFA' AS pressure_components, 'HO' AS flow_model,
+        |       CASE WHEN d % 2 = 0 THEN seg_len END AS segment_md,
+        |       make_date(CAST(2000 + d AS INT), 1, 1) AS date
+        |FROM unrolled
+        |ORDER BY deck_id, segment1""".stripMargin,
+
+    /* The wcon oracle: one closed-form row per (deck, keyword family)
+     * with the opm schema defaults and the union's null pattern for
+     * columns a family's schema lacks; WCONHIST/WCONINJE carry the
+     * TSTEP-advanced date (Jan 1 + 30 days). */
+    "q48_wcon_corpus" ->
+      s"""WITH decks AS (SELECT CAST(unnest(range($CorpusDecks)) AS BIGINT) AS d),
+        |rows_ AS (
+        |  SELECT d, 'WCONPROD' AS keyword,
+        |         make_date(CAST(2000 + d AS INT), 1, 1) AS date,
+        |         'P' || d AS well, 'OPEN' AS status, 'ORAT' AS cmode,
+        |         CAST(100.0 + d AS DOUBLE) AS orat, CAST(0.0 AS DOUBLE) AS wrat,
+        |         CAST(0.0 AS DOUBLE) AS grat, CAST(50.0 + d AS DOUBLE) AS lrat,
+        |         CAST(0.0 AS DOUBLE) AS resv, CAST(1.01325 AS DOUBLE) AS bhp,
+        |         CAST(0.0 AS DOUBLE) AS thp, CAST(0 AS INT) AS vfp_table,
+        |         CAST(0.0 AS DOUBLE) AS alq, CAST(NULL AS DOUBLE) AS nglrat,
+        |         CAST(NULL AS VARCHAR) AS type, CAST(NULL AS DOUBLE) AS rate
+        |  FROM decks
+        |  UNION ALL
+        |  SELECT d, 'WCONHIST',
+        |         make_date(CAST(2000 + d AS INT), 1, 1) + INTERVAL 30 DAY,
+        |         'P' || d, 'OPEN', 'ORAT',
+        |         90.0 + d, 0.0, 0.0, NULL, NULL, 0.0, 0.0, 0, 0.0, 0.0,
+        |         NULL, NULL
+        |  FROM decks
+        |  UNION ALL
+        |  SELECT d, 'WCONINJE',
+        |         make_date(CAST(2000 + d AS INT), 1, 1) + INTERVAL 30 DAY,
+        |         'I' || d, 'OPEN', 'RATE',
+        |         NULL, NULL, NULL, NULL, NULL, 6895.0, NULL, 0, NULL, NULL,
+        |         'WATER', 200.0 + d
+        |  FROM decks)
+        |SELECT 'd' || d AS deck_id, keyword, CAST(date AS DATE) AS date, well,
+        |       status, cmode, orat, wrat, grat, lrat, resv, bhp, thp,
+        |       vfp_table, alq, nglrat, type, rate
+        |FROM rows_
+        |ORDER BY deck_id, date, keyword, well""".stripMargin,
   )
 }
