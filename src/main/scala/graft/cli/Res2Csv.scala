@@ -55,19 +55,31 @@ object Res2Csv {
     * duplicate their per-connection/per-pillar rows.
     */
   private def gridFrame(s: SparkSession, datafile: String,
-      withRst: Boolean = true): DataFrame = {
+      withRst: Boolean = true, vectors: Seq[String] = Nil,
+      rstdates: Option[String] = None): DataFrame = {
     val geom = graft.io.EclBinary.egrid(s,
       sibling(datafile, "EGRID").getOrElse(
         throw new IllegalArgumentException(s"no EGRID next to $datafile")))
     val init = sibling(datafile, "INIT").map { p =>
-      val i = graft.io.EclBinary.init(s, p)
+      val i = graft.io.EclBinary.init(s, p, vectors)
       val doubles = i.schema.fields.collect {
         case f if f.dataType == org.apache.spark.sql.types.DoubleType => f.name
       }
       GridOps.washNanSentinel(i, doubles.toSeq)
     }
     val rst =
-      if (withRst) sibling(datafile, "UNRST").map(p => graft.io.EclBinary.unrst(s, p))
+      if (withRst) sibling(datafile, "UNRST").map { p =>
+        // first/last/all mnemonics or an ISO date (reference
+        // dates2rstindices, grid.py:54-107) — resolved against a cheap
+        // INTEHEAD-only pre-scan, then only matching report steps decode
+        val dates = rstdates.map {
+          case "all" => Nil
+          case "first" => graft.io.EclBinary.unrstDates(p).take(1)
+          case "last" => graft.io.EclBinary.unrstDates(p).takeRight(1)
+          case iso => Seq(java.sql.Date.valueOf(iso))
+        }.getOrElse(Nil)
+        graft.io.EclBinary.unrst(s, p, vectors, dates)
+      }
       else None
     GridOps.assemble(geom, init, rst)
   }
@@ -121,21 +133,27 @@ object Res2Csv {
   def main(args: Array[String]): Unit = {
     val known = Modules.keySet ++ PathModules.keySet
     // flags anywhere after the module name (reference res2csv option
-    // style): --units, --tablenumbers 1,2 (vfp); others ignored by
-    // modules that don't take them
-    val (flagArgs, positional0) = args.partition(_.startsWith("--"))
-    val flags = flagArgs.map(_.stripPrefix("--")).toSet
-    val tablenumbers: Seq[Int] = {
-      val i = args.indexOf("--tablenumbers")
-      if (i >= 0 && i + 1 < args.length)
-        args(i + 1).split(",").flatMap(s => scala.util.Try(s.trim.toInt).toOption).toSeq
-      else Nil
+    // style): boolean --units/--dropconstants; valued --tablenumbers 1,2
+    // (vfp), --vectors 'PORO,P*' and --rstdates first|last|all|ISO
+    // (grid); flags are ignored by modules that don't take them
+    val Valued = Set("--tablenumbers", "--vectors", "--rstdates")
+    val opts = scala.collection.mutable.Map[String, String]()
+    val flags = scala.collection.mutable.Set[String]()
+    val positional = scala.collection.mutable.Buffer[String]()
+    var ai = 0
+    while (ai < args.length) {
+      val a = args(ai)
+      if (Valued(a) && ai + 1 < args.length) {
+        opts(a.stripPrefix("--")) = args(ai + 1); ai += 2
+      } else if (a.startsWith("--")) { flags += a.stripPrefix("--"); ai += 1 }
+      else { positional += a; ai += 1 }
     }
-    val positional = positional0.filterNot(a => tablenumbers.nonEmpty &&
-      a == args(args.indexOf("--tablenumbers") + 1))
+    val tablenumbers: Seq[Int] = opts.get("tablenumbers").toSeq.flatMap(
+      _.split(",").flatMap(s => scala.util.Try(s.trim.toInt).toOption))
     if (positional.length < 2 || !known.contains(positional(0))) {
       System.err.println(s"usage: Res2Csv <${known.toSeq.sorted.mkString("|")}> " +
-        "<deckfile|prtfile|datafile> [out.csv] [--units] [--tablenumbers n,m]")
+        "<deckfile|prtfile|datafile> [out.csv] [--units] [--dropconstants] " +
+        "[--tablenumbers n,m] [--vectors glob,glob] [--rstdates first|last|all|ISO]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -146,14 +164,25 @@ object Res2Csv {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = positional(0) match {
+    val df0 = positional(0) match {
       case "vfp" =>
         Vfp.df(spark, deckTextOf(positional(1)), tablenumbers, flags.contains("units"))
+      case "grid" =>
+        // vector globs reach the BINARY reads (unselected INIT/UNRST
+        // payloads are seeked past, never decoded) — reference --vectors
+        val vecs = opts.get("vectors").map(_.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val g = gridFrame(spark, positional(1), withRst = true,
+          vectors = vecs, rstdates = opts.get("rstdates"))
+        val zm = zonemapOf(positional(1))
+        if (zm.isEmpty) g else GridOps.mergeZones(g, zm)
       case m => PathModules.get(m) match {
         case Some(fn) => fn(spark, positional(1))
         case None => Modules(m)(spark, deckTextOf(positional(1)))
       }
     }
+    val df = if (flags.contains("dropconstants"))
+      graft.core.Ops.dropConstantColumns(df0) else df0
     if (positional.length >= 3) writeCsvFile(df, positional(2))
     else {
       // stdout CSV matches the reference's write_dframe_stdout_file —

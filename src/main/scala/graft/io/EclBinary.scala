@@ -191,9 +191,19 @@ object EclBinary {
   private val NonCellKw = Set("INTEHEAD", "LOGIHEAD", "DOUBHEAD", "TABDIMS",
     "TAB", "CON", "REGDIMS", "FIPFAMNA", "SEQNUM", "STARTSOL", "ENDSOL")
 
-  private def isCellVector(name: String, typ: String, vectors: Seq[String]): Boolean =
-    (typ == "INTE" || typ == "REAL" || typ == "DOUB") && !NonCellKw(name) &&
-      (vectors.isEmpty || vectors.contains(name))
+  /** Vector selections are GLOBS, reference-style (grid.py fnmatch over
+    * `--vectors`): `PORO` matches exactly, `P*` matches PORO/PERMX/…; a
+    * bare name with no wildcard is the exact-match degenerate case.
+    */
+  private def vectorMatcher(vectors: Seq[String]): String => Boolean =
+    if (vectors.isEmpty) _ => true
+    else {
+      val pats = vectors.map(v => graft.core.Ops.globToRegex(v).r.pattern)
+      name => pats.exists(_.matcher(name).matches())
+    }
+
+  private def isCellVector(name: String, typ: String, wanted: String => Boolean): Boolean =
+    (typ == "INTE" || typ == "REAL" || typ == "DOUB") && !NonCellKw(name) && wanted(name)
 
   private def nactiveOf(kws: Seq[EclKw.Kw], path: String): Int =
     kws.find(_.name == "INTEHEAD")
@@ -252,11 +262,12 @@ object EclBinary {
     * materializes 2 vectors plus INTEHEAD.
     */
   def init(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
+    val wanted = vectorMatcher(vectors)
     var nactive = -1
     val picked = Vector.newBuilder[EclKw.Kw]
     EclKw.stream(path, (name, typ, n) =>
       name == "INTEHEAD" ||
-        (isCellVector(name, typ, vectors) && (nactive < 0 || n == nactive))) { it =>
+        (isCellVector(name, typ, wanted) && (nactive < 0 || n == nactive))) { it =>
       it.foreach { kw =>
         if (kw.name == "INTEHEAD") { if (nactive < 0) nactive = kw.ints(11) }
         else picked += kw
@@ -278,31 +289,55 @@ object EclBinary {
     * union frame, so the driver must hold the SELECTED vectors (use the
     * `vectors` filter on wide files), just never the whole file.
     */
-  def unrst(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
+  def unrst(spark: SparkSession, path: String, vectors: Seq[String] = Nil,
+      dates: Seq[java.sql.Date] = Nil): DataFrame = {
+    val wantedVec = vectorMatcher(vectors)
+    val wantedDate = dates.toSet
     val frames = Vector.newBuilder[DataFrame]
     var cur: List[EclKw.Kw] = Nil
     var started = false
-    def flush(): Unit = if (started) {
+    // set when the current step's INTEHEAD is processed; the lazy-advance
+    // stream contract guarantees the select predicate observes it before
+    // judging the step's cell-vector headers, so payloads of unselected
+    // report steps are SEEKED PAST, never decoded
+    var stepOk = wantedDate.isEmpty
+    def flush(): Unit = if (started && stepOk) {
       val g = cur.reverse
       val nactive = nactiveOf(g, path)
       val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
-      val cellVecs = g.filter(k => isCellVector(k.name, k.typ, vectors) &&
+      val cellVecs = g.filter(k => isCellVector(k.name, k.typ, wantedVec) &&
         k.data.length == nactive)
       frames += cellFrame(spark, nactive, cellVecs,
         extra = Seq(StructField("DATE", DateType, nullable = false) -> date))
     }
     EclKw.stream(path, (name, typ, _) =>
-      name == "SEQNUM" || name == "INTEHEAD" || isCellVector(name, typ, vectors)) { it =>
+      name == "SEQNUM" || name == "INTEHEAD" ||
+        (stepOk && isCellVector(name, typ, wantedVec))) { it =>
       it.foreach { kw =>
-        if (kw.name == "SEQNUM") { flush(); cur = Nil; started = true }
-        else if (started) cur ::= kw
+        if (kw.name == "SEQNUM") {
+          flush(); cur = Nil; started = true
+          stepOk = wantedDate.isEmpty // unknown until this step's INTEHEAD
+        } else if (started) {
+          if (kw.name == "INTEHEAD")
+            stepOk = wantedDate.isEmpty || wantedDate(intestampDate(kw.ints))
+          cur ::= kw
+        }
       }
     }
     flush()
     val fs = frames.result()
-    require(fs.nonEmpty, s"$path: no SEQNUM records")
+    require(fs.nonEmpty,
+      s"$path: no ${if (wantedDate.isEmpty) "SEQNUM records" else "matching report steps"}")
     fs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
+
+  /** The available report-step dates of a UNRST file, in file order —
+    * one cheap pass decoding ONLY INTEHEADs (every payload seeked past);
+    * the reference's get_available_rst_dates (grid.py:40-52).
+    */
+  def unrstDates(path: String): Seq[java.sql.Date] =
+    EclKw.stream(path, (name, _, _) => name == "INTEHEAD")(
+      _.map(kw => intestampDate(kw.ints)).toVector)
 
   // ---- NNC -----------------------------------------------------------------
 

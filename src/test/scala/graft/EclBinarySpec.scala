@@ -128,6 +128,27 @@ class EclBinarySpec extends AnyFunSuite {
       Seq((1, 1, 1, 3, 2, 1, 12.5), (2, 1, 1, 2, 2, 1, 7.25)))
   }
 
+  test("vector globs and rstdates reach the binary reads (reference --vectors)") {
+    // INIT: a P* glob keeps only P-vectors (+ACTIVE_IDX); others are
+    // seeked past, never decoded
+    val init = graft.io.EclBinary.init(spark, s"$EightCells.INIT", Seq("P*"))
+    assert(init.columns.head == "ACTIVE_IDX")
+    val vecCols = init.columns.filterNot(_ == "ACTIVE_IDX")
+    assert(vecCols.nonEmpty && vecCols.forall(_.startsWith("P")))
+    assert(init.count() == 8)
+
+    // UNRST: the INTEHEAD-only pre-scan lists the report dates; a
+    // dates filter decodes ONLY the selected step
+    val dates = graft.io.EclBinary.unrstDates(s"$EightCells.UNRST")
+    assert(dates.length >= 2 && dates == dates.sorted)
+    val last = graft.io.EclBinary.unrst(spark, s"$EightCells.UNRST",
+      dates = dates.takeRight(1))
+    assert(last.select("DATE").distinct().count() == 1)
+    assert(last.count() == 8)
+    val all = graft.io.EclBinary.unrst(spark, s"$EightCells.UNRST")
+    assert(all.count() == 8L * dates.length)
+  }
+
   test("MAPAXES applies on request: rotated axes move cell centers exactly") {
     import graft.io.EclKw
     import graft.io.EclKw.Kw
