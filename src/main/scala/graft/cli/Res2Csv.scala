@@ -136,7 +136,8 @@ object Res2Csv {
     // style): boolean --units/--dropconstants; valued --tablenumbers 1,2
     // (vfp), --vectors 'PORO,P*' and --rstdates first|last|all|ISO
     // (grid); flags are ignored by modules that don't take them
-    val Valued = Set("--tablenumbers", "--vectors", "--rstdates")
+    val Valued = Set("--tablenumbers", "--vectors", "--rstdates",
+      "--column_keys", "--time_index", "--start_date", "--end_date", "--paramfile")
     val opts = scala.collection.mutable.Map[String, String]()
     val flags = scala.collection.mutable.Set[String]()
     val positional = scala.collection.mutable.Buffer[String]()
@@ -176,6 +177,41 @@ object Res2Csv {
           vectors = vecs, rstdates = opts.get("rstdates"))
         val zm = zonemapOf(positional(1))
         if (zm.isEmpty) g else GridOps.mergeZones(g, zm)
+      case "summary" if opts.nonEmpty || flags.contains("params") =>
+        // reference summary CLI surface (summary.py:698-766):
+        // --column_keys glob,glob --time_index raw|first|last|ISO|daily|
+        // monthly|yearly --start_date/--end_date ISO --params/--paramfile
+        val base = basePath(positional(1))
+        val vecsAll = graft.write.SummaryWriter.vectors(base)
+        val selected = opts.get("column_keys") match {
+          case Some(gs) =>
+            val pats = gs.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(g => graft.core.Ops.globToRegex(g).r.pattern)
+            vecsAll.filter(v => pats.exists(_.matcher(v).matches()))
+          case None => vecsAll
+        }
+        val long = graft.core.Ops.lastWinsDedup(
+          graft.write.SummaryWriter.readWithStep(spark, base)
+            .filter(col("VECTOR").isin(selected: _*)),
+          keys = Seq("DATE", "VECTOR"), ord = Seq(col("STEP"))).drop("STEP")
+        val timed = Summary.selectDates(long,
+          opts.getOrElse("time_index", "raw"),
+          opts.get("start_date"), opts.get("end_date"), auto = true)
+        val wide = Summary.toWide(timed, selected)
+        if (flags.contains("params") || opts.contains("paramfile")) {
+          // nearest parameter file wins, reference cascade
+          val pmap = opts.get("paramfile") match {
+            case Some(pf) =>
+              val p = if (Paths.get(pf).isAbsolute) pf
+                else Paths.get(positional(1)).toAbsolutePath.getParent.resolve(pf).toString
+              GridOps.parseParametersFile(p)
+            case None =>
+              GridOps.findParameterFiles(positional(1)).reverse
+                .foldLeft(Map.empty[String, String])(
+                  (m, f) => m ++ GridOps.parseParametersFile(f))
+          }
+          GridOps.mergeParams(wide, pmap)
+        } else wide
       case m => PathModules.get(m) match {
         case Some(fn) => fn(spark, positional(1))
         case None => Modules(m)(spark, deckTextOf(positional(1)))
