@@ -137,7 +137,10 @@ object Res2Csv {
     // (vfp), --vectors 'PORO,P*' and --rstdates first|last|all|ISO
     // (grid); flags are ignored by modules that don't take them
     val Valued = Set("--tablenumbers", "--vectors", "--rstdates",
-      "--column_keys", "--time_index", "--start_date", "--end_date", "--paramfile")
+      "--column_keys", "--time_index", "--start_date", "--end_date", "--paramfile",
+      "--region", "--soilcutoff", "--sgascutoff", "--swatcutoff", "--fipname",
+      "--keywords", "--excl_well_startswith", "--zonemap", "--startdate",
+      "--initvectors", "--date", "--wellname")
     val opts = scala.collection.mutable.Map[String, String]()
     val flags = scala.collection.mutable.Set[String]()
     val positional = scala.collection.mutable.Buffer[String]()
@@ -212,6 +215,105 @@ object Res2Csv {
           }
           GridOps.mergeParams(wide, pmap)
         } else wide
+      case "nnc" =>
+        // --pillars/--vertical: only along-pillar connections; --coords:
+        // connection-midpoint xyz from the geometry (nnc.py:186-198)
+        val egridP = sibling(positional(1), "EGRID").getOrElse(
+          throw new IllegalArgumentException(s"no EGRID next to ${positional(1)}"))
+        val raw = graft.io.EclBinary.nnc(spark, egridP, sibling(positional(1), "INIT"))
+        val vert = if (flags.contains("pillars") || flags.contains("vertical"))
+          GridOps.filterVerticalNnc(raw) else raw
+        if (flags.contains("coords"))
+          GridOps.nncWithCoordinates(vert, graft.io.EclBinary.egrid(spark, egridP))
+        else vert
+      case "trans" =>
+        // full reference trans option surface (trans.py fill_parser):
+        // --vectors/--boundaryfilter/--group/--coords/--onlyij/--onlyk/--nnc
+        val vecs = opts.get("vectors").map(_.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val nncF = if (flags.contains("nnc"))
+          sibling(positional(1), "EGRID").map(e =>
+            graft.io.EclBinary.nnc(spark, e, sibling(positional(1), "INIT")))
+          else None
+        GridOps.trans(gridFrame(spark, positional(1), withRst = false),
+          vectors = vecs, boundaryFilter = flags.contains("boundaryfilter"),
+          group = flags.contains("group"), coords = flags.contains("coords"),
+          onlyKDir = flags.contains("onlyk"), onlyIJDir = flags.contains("onlyij"),
+          nnc = nncF)
+      case "pillars" =>
+        // --region/--rstdates/--stackdates/cutoffs/--group (pillars.py).
+        // Dates always stack into a DATE column — the @date wide form is
+        // never materialized by design (R4), so --stackdates names the
+        // only shape this engine produces
+        val withRst = opts.contains("rstdates") || flags.contains("stackdates")
+        val grid = gridFrame(spark, positional(1), withRst = withRst,
+          rstdates = opts.get("rstdates"))
+        val st = Pillars.df(grid, region = opts.get("region"),
+          soilCutoff = opts.get("soilcutoff").map(_.toDouble).getOrElse(0.2),
+          sgasCutoff = opts.get("sgascutoff").map(_.toDouble).getOrElse(0.7),
+          swatCutoff = opts.get("swatcutoff").map(_.toDouble).getOrElse(0.7))
+        if (flags.contains("group")) Pillars.grouped(st, opts.get("region")) else st
+      case "rft" =>
+        // --date ISO / --wellname filters (rft.py fill_parser)
+        val raw = graft.io.EclBinary.rft(spark,
+          sibling(positional(1), "RFT").getOrElse(
+            throw new IllegalArgumentException(s"no RFT next to ${positional(1)}")))
+        val byDate = opts.get("date").map(d =>
+          raw.filter(col("DATE") === lit(d).cast("date"))).getOrElse(raw)
+        opts.get("wellname").map(w => byDate.filter(col("WELL") === w))
+          .getOrElse(byDate)
+      case "fipreports" =>
+        FipReports.df(spark, positional(1), opts.getOrElse("fipname", "FIPNUM"))
+      case m @ ("satfunc" | "equil" | "pvt") =>
+        // --keywords SWOF,SGOF: emit only the named keyword families
+        val base = Modules(m)(spark, deckTextOf(positional(1)))
+        opts.get("keywords").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .filter(_.nonEmpty)
+          .map(ks => base.filter(col("KEYWORD").isin(ks: _*)))
+          .getOrElse(base)
+      case "wellcompletiondata" =>
+        // --zonemap lyrfile / --use_wellconnstatus / --excl_well_startswith
+        val compdat = Compdat.df(spark, deckTextOf(positional(1)))
+        val zm = opts.get("zonemap")
+          .map(p => GridOps.parseLyr(Files.readString(Paths.get(p))))
+          .getOrElse(zonemapOf(positional(1)))
+        val cs = if (flags.contains("use_wellconnstatus"))
+          Some(WellOps.wellConnStatus(
+            graft.write.SummaryWriter.read(spark, basePath(positional(1)))))
+          else None
+        WellCompletionData.df(compdat, zm, connstatus = cs,
+          excludeWellPrefix = opts.get("excl_well_startswith"))
+      case "gruptree" =>
+        // --startdate ISO / --prettyprint (gruptree.py fill_parser); the
+        // pretty print renders each date's tree to stdout and exits
+        val base = Gruptree.df(spark, deckTextOf(positional(1)))
+        val fromDate = opts.get("startdate").map(d =>
+          base.filter(col("DATE") >= lit(d).cast("timestamp"))).getOrElse(base)
+        if (flags.contains("prettyprint")) {
+          val dates = fromDate.select(col("DATE")).distinct()
+            .orderBy(col("DATE")).collect().map(_.getTimestamp(0))
+          dates.foreach { d =>
+            println(s"Date: ${d.toLocalDateTime.toLocalDate}")
+            print(TreePrint.render(fromDate.filter(col("DATE") === d)))
+            println()
+          }
+          spark.stop(); return
+        }
+        fromDate
+      case "compdat" =>
+        // --initvectors PORO,PERMX: INIT values at each connection cell
+        // (compdat.py --initvectors via merge_initvectors)
+        val base = Compdat.df(spark, deckTextOf(positional(1)))
+        opts.get("initvectors").map { vs =>
+          val vecs = vs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          val grid = gridFrame(spark, positional(1), withRst = false,
+            vectors = vecs)
+            .select(col("I").as("GI") +: col("J").as("GJ") +: col("K").as("GK") +:
+              vecs.map(col): _*)
+          GridOps.mergeInitVectors(base, grid,
+            Seq("I" -> "GI", "J" -> "GJ", "K1" -> "GK"))
+            .drop("GI", "GJ", "GK")
+        }.getOrElse(base)
       case m => PathModules.get(m) match {
         case Some(fn) => fn(spark, positional(1))
         case None => Modules(m)(spark, deckTextOf(positional(1)))

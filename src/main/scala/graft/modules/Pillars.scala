@@ -94,6 +94,28 @@ object Pillars {
     }
   }
 
+  /** `--group` aggregation over the per-pillar stats (reference
+    * AGGREGATORS, pillars.py:18-35): sum for volumes and cell counts,
+    * mean for coordinates / permeabilities / porosity / contact depths;
+    * grouped over the region column (when present) and DATE (when
+    * present), else one global row.
+    */
+  def grouped(stats: DataFrame, region: Option[String] = None): DataFrame = {
+    val keys = region.filter(stats.columns.contains).toSeq ++
+      (if (stats.columns.contains("DATE")) Seq("DATE") else Nil)
+    val meanNames = Set("X", "Y", "Z", "PERMX", "PERMY", "PERMZ", "PORO",
+      "OWC", "GOC", "GWC")
+    val sumCols = stats.columns.filter(c => c == "N_CELLS" || c == "VOLUME" ||
+      c == "PORV" || c.endsWith("VOL") || c.endsWith("VOLSURF"))
+    val meanCols = stats.columns.filter(meanNames.contains)
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      meanCols.map(c => avg(col(c)).as(c))
+    require(aggs.nonEmpty, "no aggregatable pillar columns")
+    if (keys.isEmpty) stats.agg(aggs.head, aggs.tail: _*)
+    else stats.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Per-cell phase pore-volumes (reference compute_volumes,
     * pillars.py:144-200): SOIL = 1 − SWAT [− SGAS], phase volumes =
     * saturation × PORV, surface-condition variants when the inverse
