@@ -321,7 +321,12 @@ object Res2Csv {
     }
     val df = if (flags.contains("dropconstants"))
       graft.core.Ops.dropConstantColumns(df0) else df0
-    if (positional.length >= 3) writeCsvFile(df, positional(2))
+    if (flags.contains("arrow") && positional.length >= 3)
+      // columnar output (reference --arrow/res2arrow): parquet is this
+      // engine's Arrow-compatible columnar sink (S12) — streamed through
+      // the executors, no driver collect
+      df.write.mode("overwrite").parquet(positional(2))
+    else if (positional.length >= 3) writeCsvFile(df, positional(2))
     else {
       // stdout CSV matches the reference's write_dframe_stdout_file —
       // stdout output is terminal-sized by nature, so the collect is fine

@@ -59,6 +59,23 @@ class PillarsSpec extends AnyFunSuite {
     assert(!gw.columns.contains("GOC") && !gw.columns.contains("OWC"))
   }
 
+  test("pillars --group: sum volumes, mean coords/contacts, region-keyed") {
+    val stats = Seq(
+      ("1-1", 1, 2L, 100.0, 20.0, 10.0, 1500.0),
+      ("1-2", 1, 2L, 300.0, 60.0, 30.0, 1700.0),
+      ("2-1", 2, 4L, 400.0, 80.0, 50.0, 1900.0)
+    ).toDF("PILLAR", "EQLNUM", "N_CELLS", "VOLUME", "PORV", "X", "OWC")
+    // global: one row, sums 6/800/160, means 30/1700
+    val g = Pillars.grouped(stats).collect().head
+    assert(g.getAs[Long]("N_CELLS") == 8L && g.getAs[Double]("VOLUME") == 800.0)
+    assert(g.getAs[Double]("X") == 30.0 && g.getAs[Double]("OWC") == 1700.0)
+    // region-keyed: one row per EQLNUM
+    val byReg = Pillars.grouped(stats, region = Some("EQLNUM"))
+      .collect().map(r => r.getAs[Int]("EQLNUM") ->
+        (r.getAs[Double]("VOLUME"), r.getAs[Double]("OWC"))).toMap
+    assert(byReg(1) == ((400.0, 1600.0)) && byReg(2) == ((400.0, 1900.0)))
+  }
+
   test("phase volumes: SOIL residual, per-phase PORV split, surface variants") {
     // reference test_pillars.py::test_compute_volumes
     val threePhase = Seq((1.0, 0.5, 0.2, 0.8, 2.0))
