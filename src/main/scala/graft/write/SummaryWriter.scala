@@ -138,16 +138,35 @@ object SummaryWriter {
 
   def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
     val (vectors, timeIdx, start) = specCatalog(basePath)
-    val out = Seq.newBuilder[(java.sql.Date, String, Double, Int)]
-    graft.io.EclKw.read(s"$basePath.UNSMRY").filter(_.name == "PARAMS")
-      .zipWithIndex.foreach { case (kw, step) =>
+    // STREAM one PARAMS record at a time (not EclKw.read's whole-file
+    // vector) — driver memory is the raw float payloads, ≈ the file
+    // itself; the steps×vectors long-row expansion (with its repeated
+    // vector-name strings) happens EXECUTOR-side from per-step slices,
+    // the same slice-shipping convention as the grid readers
+    val steps = graft.io.EclKw.stream(s"$basePath.UNSMRY",
+      (n, _, _) => n == "PARAMS") { it =>
+      it.zipWithIndex.map { case (kw, step) =>
         val vals = kw.floats
-        val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
-        vectors.indices.foreach { i =>
-          if (i != timeIdx) out += ((date, vectors(i), vals(i).toDouble, step))
-        }
-      }
-    import spark.implicits._
-    out.result().toDF("DATE", "VECTOR", "VALUE", "STEP")
+        (java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong)), step, vals)
+      }.toVector
+    }
+    val vecArr = vectors.toArray
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("DATE",
+        org.apache.spark.sql.types.DateType, nullable = false),
+      org.apache.spark.sql.types.StructField("VECTOR",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("VALUE",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("STEP",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val par = math.max(1, math.min(steps.length,
+      spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(steps, par).flatMap {
+      case (date, step, vals) =>
+        vals.indices.iterator.filter(_ != timeIdx).map(i =>
+          org.apache.spark.sql.Row(date, vecArr(i), vals(i).toDouble, step))
+    }
+    spark.createDataFrame(rows, schema)
   }
 }
