@@ -411,12 +411,12 @@ object EclBinary {
     * connection) with `DATE`, `WELL`, the CON* topology vectors and every
     * data vector of connection length (DEPTH, PRESSURE, SWAT, SGAS, …) —
     * S7, `rft.py:63-135` (the reference walks the same TIME-delimited
-    * record groups via resdata). RFT reports are per-well snapshots —
-    * driver-sized by nature, like the reference's.
+    * record groups via resdata). Groups STREAM one at a time
+    * ([[EclKw.streamGroups]]) — a many-thousand-report RFT never
+    * materializes whole; only the retained connection vectors live on.
     */
   def rft(spark: SparkSession, path: String): DataFrame = {
-    val groups = EclKw.groupsBy(EclKw.read(path), "TIME")
-    val perGroup = groups.flatMap { g =>
+    val perGroup = EclKw.streamGroups(path, "TIME") { g =>
       g.find(_.name == "CONIPOS").map { conipos =>
         val ncon = conipos.data.length
         val date = g.find(_.name == "DATE").map(d =>
@@ -437,8 +437,7 @@ object EclBinary {
     * resdata assigns) — input to [[graft.modules.Rft.processSegTopology]].
     */
   def rftSeg(spark: SparkSession, path: String): DataFrame = {
-    val groups = EclKw.groupsBy(EclKw.read(path), "TIME")
-    val perGroup = groups.flatMap { g =>
+    val perGroup = EclKw.streamGroups(path, "TIME") { g =>
       g.find(_.name == "SEGDEPTH").map { segdepth =>
         val nseg = segdepth.data.length
         val date = g.find(_.name == "DATE").map(d =>

@@ -244,17 +244,26 @@ object EclKw {
     * `marker` (content before the first marker is dropped) — the record
     * grouping of UNRST (SEQNUM) and RFT (TIME) files.
     */
-  def groupsBy(kws: Seq[Kw], marker: String): Seq[Seq[Kw]] = {
-    val out = Seq.newBuilder[Seq[Kw]]
-    var cur: List[Kw] = Nil
-    var started = false
-    kws.foreach { kw =>
-      if (kw.name == marker) {
-        if (started) out += cur.reverse
-        cur = List(kw); started = true
-      } else if (started) cur ::= kw
+  /** Stream marker-delimited keyword groups: at most ONE group's decoded
+    * keywords live at a time — `f` maps each group to the values worth
+    * retaining (not the Kws), so a many-group file (RFT with thousands of
+    * TIME reports) never materializes whole. Groups `f` rejects cost one
+    * group's transient decode.
+    */
+  def streamGroups[A](path: String, marker: String,
+      select: (String, String, Int) => Boolean = (_, _, _) => true)
+      (f: Seq[Kw] => Option[A]): Vector[A] =
+    stream(path, select) { it =>
+      val out = Vector.newBuilder[A]
+      var cur: List[Kw] = Nil
+      var started = false
+      def flush(): Unit = if (started) f(cur.reverse).foreach(out += _)
+      it.foreach { kw =>
+        if (kw.name == marker) { flush(); cur = List(kw); started = true }
+        else if (started) cur ::= kw
+      }
+      flush()
+      out.result()
     }
-    if (started) out += cur.reverse
-    out.result()
-  }
+
 }
