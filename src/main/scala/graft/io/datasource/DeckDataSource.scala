@@ -64,9 +64,41 @@ class DeckScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    path.split(",").filter(_.nonEmpty).map(p => DeckInputPartition(p.trim))
+    path.split(",").filter(_.nonEmpty).map(_.trim)
+      .flatMap(DeckScan.expand)
+      .map(DeckInputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new DeckReaderFactory(required)
+}
+
+object DeckScan {
+  /** Fleet-friendly path resolution: a directory yields its *.DATA files,
+    * a glob (`*`/`?`/`[]` in the LAST segment) expands against its parent
+    * directory, a plain file passes through. Deterministic (sorted) so
+    * partition numbering is stable across runs.
+    */
+  private[datasource] def expand(p: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(p)
+    val name = Option(path.getFileName).map(_.toString).getOrElse("")
+    if (name.exists("*?[".contains(_))) {
+      val dir = Option(path.getParent).getOrElse(Paths.get("."))
+      val matcher = java.nio.file.FileSystems.getDefault
+        .getPathMatcher(s"glob:$name")
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(f => matcher.matches(f.getFileName) && Files.isRegularFile(f))
+        .map(_.toString).toVector.sorted
+      finally s.close()
+    } else if (Files.isDirectory(path)) {
+      val s = Files.list(path)
+      try s.iterator().asScala
+        .filter(f => f.toString.toUpperCase.endsWith(".DATA") &&
+          Files.isRegularFile(f))
+        .map(_.toString).toVector.sorted
+      finally s.close()
+    } else Seq(p)
+  }
 }
 
 case class DeckInputPartition(file: String) extends InputPartition

@@ -122,11 +122,19 @@ object Compdat {
     if (hadDeck) df else df.drop("deckId")
   }
 
-  /** Full pipeline from a deck file via the eclipse-deck DSv2 source —
-    * the corpus-scale entry point (one input partition per deck file).
+  /** Full pipeline from a deck file via the eclipse-deck DSv2 source
+    * (one input partition per deck file).
     */
   def dfFromPath(spark: SparkSession, path: String): DataFrame =
     fromEvents(spark.read.format("eclipse-deck").load(path))
+
+  /** FLEET entry: one multi-deck frame from a glob/directory of deck
+    * files — every state operator keyed on (deckId, …), output carries
+    * the deck key. The 100 TB shape: 10⁵ decks = 10⁵ input partitions
+    * through ONE plan.
+    */
+  def corpusFromPath(spark: SparkSession, paths: String*): DataFrame =
+    fromEvents(spark.read.format("eclipse-deck").load(paths: _*), keepDeckId = true)
 
   /** Full pipeline from deck text. */
   def df(spark: SparkSession, deckText: String): DataFrame =

@@ -57,6 +57,12 @@ object Gruptree {
   def df(spark: SparkSession, deckText: String): DataFrame =
     fromEvents(DeckParser.toDS(spark, deckText).toDF())
 
+  /** FLEET entry: snapshot trees for a glob/directory of deck files in
+    * one plan, keyed on (deckId, DATE, CHILD) throughout.
+    */
+  def corpusFromPath(spark: SparkSession, paths: String*): DataFrame =
+    fromEvents(spark.read.format("eclipse-deck").load(paths: _*), keepDeckId = true)
+
   /** `keepDeckId = true` is corpus mode: snapshot dates, as-of edge/node
     * joins and the final dedup all key on (deckId, …) and the output
     * carries the deck key — one plan over a fleet of decks.

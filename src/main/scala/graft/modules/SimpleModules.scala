@@ -188,6 +188,12 @@ object Wcon {
   def df(spark: SparkSession, deckText: String): DataFrame =
     fromEvents(DeckParser.toDS(spark, deckText).toDF())
 
+  /** FLEET entry: control records for a glob/directory of deck files in
+    * one plan, each deck's schedule clock independent.
+    */
+  def corpusFromPath(spark: SparkSession, paths: String*): DataFrame =
+    fromEvents(spark.read.format("eclipse-deck").load(paths: _*), keepDeckId = true)
+
   /** `keepDeckId = true` is corpus mode: dates join per deck and the
     * output carries `deckId` (wcon has no cross-record state beyond the
     * clock, so this is the whole of its per-deck semantics).

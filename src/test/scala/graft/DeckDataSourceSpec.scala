@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 class DeckDataSourceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -44,5 +45,33 @@ class DeckDataSourceSpec extends AnyFunSuite {
     val dates = graft.modules.Schedule.keywordDates(events)
       .orderBy("keywordIdx").collect()
     assert(dates(2).getTimestamp(1).toString == "2000-01-01 00:00:00.0")
+  }
+
+  test("corpusFromPath: a directory of decks = per-deck single runs, one plan") {
+    val dir = Files.createTempDirectory("graft-corpus")
+    def deck(i: Int) =
+      s"""DATES
+         | 1 'JAN' ${2000 + i} /
+         |/
+         |WELSPECS
+         | 'W$i' 'G' 1 2 /
+         |/
+         |COMPDAT
+         | 'W$i' 2* 1 2 'OPEN' /
+         |/
+         |""".stripMargin
+    val texts = (1 to 3).map(i => i -> deck(i)).toMap
+    texts.foreach { case (i, t) => Files.writeString(dir.resolve(s"D$i.DATA"), t) }
+    val corpus = graft.modules.Compdat.corpusFromPath(spark, dir.toString + "/*.DATA")
+    assert(corpus.columns.contains("deckId"))
+    assert(corpus.select("deckId").distinct().count() == 3)
+    // each deck's slice is byte-equal to its single-deck run
+    texts.foreach { case (i, t) =>
+      val single = graft.modules.Compdat.df(spark, t)
+      val slice = corpus.filter(col("deckId").endsWith(s"D$i.DATA"))
+        .drop("deckId")
+      assert(slice.exceptAll(single).isEmpty && single.exceptAll(slice).isEmpty,
+        s"deck $i corpus slice != single-deck run")
+    }
   }
 }
