@@ -24,15 +24,15 @@ object Bench {
     try SparkEntry.queries("q01_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    // Steady-state timing: two measured executions per query, report the
-    // per-query min. Single-shot numbers on this box are dominated by a
-    // periodic host-level stall (~10-20 s landing on whatever is running;
-    // observed totals 19-77 s for identical binaries). The two passes are
-    // INTERLEAVED (full sweep, then a second full sweep) rather than
-    // back-to-back per query, so a stall window hits different queries in
-    // each pass and the per-query min measures the engine, not stall
-    // luck. Caches are cleared between runs, so both executions recompute
-    // from parquet.
+    // Steady-state timing: three measured executions per query, report
+    // the per-query min. Single-shot numbers on this box are dominated by
+    // host-level throughput swings (±20-30% on hour scales plus 10-20 s
+    // stalls landing on whatever is running; observed totals 19-77 s for
+    // identical binaries — multi-run trace in PLANS.md). The passes are
+    // INTERLEAVED (full sweeps, not back-to-back per query), so a stall
+    // window hits different queries in each pass and the per-query min
+    // measures the engine, not stall luck. Caches are cleared between
+    // runs, so every execution recomputes from parquet.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def sweep(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -48,8 +48,8 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> t
     }.toMap
-    val (p1, p2) = (sweep(), sweep())
-    val results = ordered.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+    val sweeps = Seq(sweep(), sweep(), sweep())
+    val results = ordered.map { case (name, _) => name -> sweeps.map(_(name)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
