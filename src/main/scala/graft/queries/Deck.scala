@@ -184,11 +184,92 @@ object Deck {
       .orderBy(col("deck_id"), col("date"), col("keyword"), col("well"))
   }
 
+  private val SatTables = 20
+
+  /** Closed-form SWOF deck: [[SatTables]] SATNUM records of 5 rows on an
+    * EXACT binary grid (SW = (j+1)/8, KRW = SW·s/32, PCOW = (s+j)/4 with
+    * the middle row defaulted `1*`), plus an SGFN family — every value
+    * and every interpolated fill ((s+2)/4, since the SW grid is uniform)
+    * is exact in both engines, so the oracle needs no rounding.
+    */
+  private def satfuncDeckText: String = {
+    val swof = (1 to SatTables).map { s =>
+      (0 until 5).map { j =>
+        val sw = s"${(j + 1) / 8.0}"
+        val krw = s"${(j + 1) * s / 256.0}"
+        val krow = s"${1.0 - (j + 1) / 8.0}"
+        val pcow = if (j == 2) "1*" else s"${(s + j) / 4.0}"
+        s" $sw $krw $krow $pcow"
+      }.mkString("\n") + " /"
+    }.mkString("\n")
+    val sgfn = (1 to SatTables).map { s =>
+      (0 until 3).map { j =>
+        s" ${j / 4.0} ${j * s / 128.0} ${s / 4.0}"
+      }.mkString("\n") + " /"
+    }.mkString("\n")
+    s"SWOF\n$swof\n\nSGFN\n$sgfn\n"
+  }
+
+  /** R6/R7/W4 under the oracle gate: flat DATA reshape into fixed-width
+    * rows, the SATNUM record counter, and interior `1*` interpolation
+    * over the saturation index (satfunc.py:38-157), with the
+    * allowMissingColumns family union (U1).
+    */
+  def q49Satfunc(s: SparkSession, dir: String): DataFrame =
+    graft.modules.Satfunc.df(s, satfuncDeckText)
+      .select(col("KEYWORD").as("keyword"), col("SATNUM").as("satnum"),
+        col("SG").as("sg"), col("KRG").as("krg"), col("PCOG").as("pcog"),
+        col("SW").as("sw"), col("KRW").as("krw"), col("KROW").as("krow"),
+        col("PCOW").as("pcow"))
+      .orderBy(col("keyword"), col("satnum"), coalesce(col("sw"), col("sg")))
+
+  private val VfpTables = 10
+
+  /** Closed-form VFPPROD deck: [[VfpTables]] tables of 4 rates × 3 THP ×
+    * 2 WFR, TAB = 10000·n + 1000·t + 100·w + r (exact integers as
+    * doubles).
+    */
+  private def vfpDeckText: String =
+    (1 to VfpTables).map { n =>
+      val bhp = (for (t <- 1 to 3; w <- 1 to 2) yield
+        s" $t $w 1 1 ${(1 to 4).map(r => s"${10000 * n + 1000 * t + 100 * w + r}.0").mkString(" ")} /")
+        .mkString("\n")
+      s"""VFPPROD
+         | $n ${2000.0 + n} 'LIQ' 'WCT' 'GOR' 'THP' '' 'METRIC' 'BHP' /
+         | 100.0 200.0 400.0 800.0 /
+         | 50.0 150.0 250.0 /
+         | 0.25 0.5 /
+         | 500.0 /
+         | 0.0 /
+         |$bhp
+         |/
+         |""".stripMargin
+    }.mkString("\n")
+
+  /** R5 under the oracle gate: the VFP axis stack — per-table axis
+    * records exploded through arrays_zip into the long form with the
+    * reference's column contract (vfp/_vfpprod.py:278-298), across
+    * [[VfpTables]] tables in one plan.
+    */
+  def q50VfpStack(s: SparkSession, dir: String): DataFrame =
+    graft.modules.Vfp.df(s, vfpDeckText)
+      .select(col("RATE").as("rate"), col("PRESSURE").as("pressure"),
+        col("WFR").as("wfr"), col("GFR").as("gfr"), col("ALQ").as("alq"),
+        col("TAB").as("tab"), col("VFP_TYPE").as("vfp_type"),
+        col("TABLE_NUMBER").as("table_number"), col("DATUM").as("datum"),
+        col("RATE_TYPE").as("rate_type"), col("WFR_TYPE").as("wfr_type"),
+        col("GFR_TYPE").as("gfr_type"), col("ALQ_TYPE").as("alq_type"),
+        col("PRESSURE_TYPE").as("pressure_type"), col("TAB_TYPE").as("tab_type"),
+        col("UNIT_TYPE").as("unit_type"))
+      .orderBy(col("table_number"), col("pressure"), col("wfr"), col("rate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_compdat_welopen" -> (q44CompdatWelopen _),
     "q45_gruptree_snapshots" -> (q45GruptreeSnapshots _),
     "q47_welsegs_unroll" -> (q47WelsegsUnroll _),
     "q48_wcon_corpus" -> (q48WconCorpus _),
+    "q49_satfunc" -> (q49Satfunc _),
+    "q50_vfp_stack" -> (q50VfpStack _),
   )
 
   /** The oracle builds the SAME corpus relationally (UNION ALL of the
@@ -409,5 +490,49 @@ object Deck {
         |       vfp_table, alq, nglrat, type, rate
         |FROM rows_
         |ORDER BY deck_id, date, keyword, well""".stripMargin,
+
+    /* Satfunc oracle: the same exact-binary-grid tables in closed form,
+     * with the middle row's interpolated PCOW = (s+2)/4 (uniform SW grid
+     * ⇒ t = 0.5 exactly) and the family union's null pattern. */
+    "q49_satfunc" ->
+      s"""WITH s AS (SELECT CAST(unnest(range(1, ${SatTables + 1})) AS INT) AS satnum),
+        |j5 AS (SELECT CAST(unnest(range(5)) AS BIGINT) AS j),
+        |j3 AS (SELECT CAST(unnest(range(3)) AS BIGINT) AS j),
+        |swof AS (
+        |  SELECT 'SWOF' AS keyword, satnum,
+        |         CAST(NULL AS DOUBLE) AS sg, CAST(NULL AS DOUBLE) AS krg,
+        |         CAST(NULL AS DOUBLE) AS pcog,
+        |         (j + 1) / 8.0 AS sw, (j + 1) * satnum / 256.0 AS krw,
+        |         1.0 - (j + 1) / 8.0 AS krow,
+        |         CASE WHEN j = 2 THEN (satnum + 2) / 4.0
+        |              ELSE (satnum + j) / 4.0 END AS pcow
+        |  FROM s, j5),
+        |sgfn AS (
+        |  SELECT 'SGFN' AS keyword, satnum,
+        |         j / 4.0 AS sg, j * satnum / 128.0 AS krg, satnum / 4.0 AS pcog,
+        |         CAST(NULL AS DOUBLE) AS sw, CAST(NULL AS DOUBLE) AS krw,
+        |         CAST(NULL AS DOUBLE) AS krow, CAST(NULL AS DOUBLE) AS pcow
+        |  FROM s, j3)
+        |SELECT * FROM (SELECT * FROM swof UNION ALL SELECT * FROM sgfn)
+        |ORDER BY keyword, satnum, coalesce(sw, sg)""".stripMargin,
+
+    /* VFP oracle: the axis cross-product in closed form with the exact
+     * integer-valued TAB formula and the reference column contract. */
+    "q50_vfp_stack" ->
+      s"""WITH n AS (SELECT CAST(unnest(range(1, ${VfpTables + 1})) AS INT) AS tn),
+        |r(ri, rate) AS (VALUES (1, 100.0), (2, 200.0), (3, 400.0), (4, 800.0)),
+        |t(ti, pressure) AS (VALUES (1, 50.0), (2, 150.0), (3, 250.0)),
+        |w(wi, wfr) AS (VALUES (1, 0.25), (2, 0.5))
+        |SELECT CAST(rate AS DOUBLE) AS rate, CAST(pressure AS DOUBLE) AS pressure,
+        |       CAST(wfr AS DOUBLE) AS wfr, CAST(500.0 AS DOUBLE) AS gfr,
+        |       CAST(0.0 AS DOUBLE) AS alq,
+        |       CAST(10000 * tn + 1000 * ti + 100 * wi + ri AS DOUBLE) AS tab,
+        |       'VFPPROD' AS vfp_type, tn AS table_number,
+        |       CAST(2000.0 + tn AS DOUBLE) AS datum,
+        |       'LIQ' AS rate_type, 'WCT' AS wfr_type, 'GOR' AS gfr_type,
+        |       '''''' AS alq_type, 'THP' AS pressure_type, 'BHP' AS tab_type,
+        |       'METRIC' AS unit_type
+        |FROM n, t, w, r
+        |ORDER BY table_number, pressure, wfr, rate""".stripMargin,
   )
 }
