@@ -73,12 +73,14 @@ object Csv2Res {
     val df = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(inCsv)
     val vecCols = df.columns.filterNot(_ == "DATE")
-    // Dataset.unpivot (unlike SQL UNPIVOT) KEEPS null value cells — drop
-    // them so sparse exports take the writer's dense-0.0 default instead
-    // of NPE-ing in its row decode
+    // Dataset.unpivot (unlike SQL UNPIVOT) KEEPS null value cells —
+    // coalesce them to the dense 0.0 default instead of dropping, so a
+    // fully-empty row still contributes its report step (a filter would
+    // silently shift the time axis) and the writer's row decode never
+    // sees a null
     val long = df.unpivot(Array(col("DATE").cast("date")),
       vecCols.map(col), "VECTOR", "VALUE")
-      .filter(col("VALUE").isNotNull)
+      .withColumn("VALUE", coalesce(col("VALUE").cast("double"), lit(0.0)))
     SummaryWriter.write(long, basePath)
   }
 }

@@ -147,7 +147,13 @@ object Res2Csv {
     var ai = 0
     while (ai < args.length) {
       val a = args(ai)
-      if (Valued(a) && ai + 1 < args.length) {
+      if (Valued(a)) {
+        if (ai + 1 >= args.length) {
+          // a silently-demoted valued flag would produce the OPPOSITE of
+          // what was asked (e.g. --vectors with no value = read everything)
+          System.err.println(s"$a requires a value")
+          sys.exit(2)
+        }
         opts(a.stripPrefix("--")) = args(ai + 1); ai += 2
       } else if (a.startsWith("--")) { flags += a.stripPrefix("--"); ai += 1 }
       else { positional += a; ai += 1 }
@@ -306,10 +312,17 @@ object Res2Csv {
         val base = Compdat.df(spark, deckTextOf(positional(1)))
         opts.get("initvectors").map { vs =>
           val vecs = vs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          val grid = gridFrame(spark, positional(1), withRst = false,
+          val grid0 = gridFrame(spark, positional(1), withRst = false,
             vectors = vecs)
-            .select(col("I").as("GI") +: col("J").as("GJ") +: col("K").as("GK") +:
-              vecs.map(col): _*)
+          // the binary read treats the values as GLOBS — resolve the
+          // concrete matching columns before the select (a literal
+          // col("PERM*") would not resolve)
+          val pats = vecs.map(v => graft.core.Ops.globToRegex(v).r.pattern)
+          val chosen = grid0.columns
+            .filterNot(Seq("I", "J", "K").contains)
+            .filter(c => pats.exists(_.matcher(c).matches()))
+          val grid = grid0.select(col("I").as("GI") +: col("J").as("GJ") +:
+            col("K").as("GK") +: chosen.map(col): _*)
           GridOps.mergeInitVectors(base, grid,
             Seq("I" -> "GI", "J" -> "GJ", "K1" -> "GK"))
             .drop("GI", "GJ", "GK")
@@ -321,7 +334,13 @@ object Res2Csv {
     }
     val df = if (flags.contains("dropconstants"))
       graft.core.Ops.dropConstantColumns(df0) else df0
-    if (flags.contains("arrow") && positional.length >= 3)
+    if (flags.contains("arrow") && positional.length < 3) {
+      // falling through to the stdout collect would be the opposite of
+      // what --arrow exists for (grid-sized columnar output)
+      System.err.println("--arrow requires an output path")
+      sys.exit(2)
+    }
+    if (flags.contains("arrow"))
       // columnar output (reference --arrow/res2arrow): parquet is this
       // engine's Arrow-compatible columnar sink (S12) — streamed through
       // the executors, no driver collect
@@ -365,7 +384,12 @@ object Res2Csv {
         case None =>
           // a zero-partition frame writes no part file — header-only CSV,
           // matching what the collect path printed for empty frames
-          Files.writeString(target, df.columns.mkString(",") + "\n")
+          // (quoted like Spark's CSV writer would)
+          val header = df.columns.map { c =>
+            if (c.exists(",\"\n".contains(_))) "\"" + c.replace("\"", "\"\"") + "\""
+            else c
+          }.mkString(",")
+          Files.writeString(target, header + "\n")
       }
     } finally {
       // never leave a stray .res2csv_* dir next to the user's output

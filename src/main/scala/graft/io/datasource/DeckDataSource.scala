@@ -64,40 +64,73 @@ class DeckScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    path.split(",").filter(_.nonEmpty).map(_.trim)
+    DeckScan.splitPaths(path)
       .flatMap(DeckScan.expand)
       .map(DeckInputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new DeckReaderFactory(required)
 }
 
 object DeckScan {
-  /** Fleet-friendly path resolution: a directory yields its *.DATA files,
-    * a glob (`*`/`?`/`[]` in the LAST segment) expands against its parent
-    * directory, a plain file passes through. Deterministic (sorted) so
-    * partition numbering is stable across runs.
+  /** Multi-path `load(a, b, …)` arrives as a JSON string array in the
+    * `paths` option (Spark's DataFrameReader encoding); single-path load
+    * and comma-joined strings arrive plain.
+    */
+  private[datasource] def splitPaths(raw: String): Seq[String] = {
+    val t = raw.trim
+    if (t.startsWith("["))
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
+        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .toVector
+    else t.split(",").map(_.trim).filter(_.nonEmpty).toVector
+  }
+
+  /** Fleet-friendly path resolution: a directory yields its contained
+    * .DATA files; globs (`*`/`?`/`[]`) may sit in ANY path segment —
+    * realizations/&#42;/deck.DATA — and expand level by level; a plain
+    * file passes through. Deterministic (sorted) so partition numbering
+    * is stable across runs.
     */
   private[datasource] def expand(p: String): Seq[String] = {
-    import java.nio.file.{Files, Paths}
-    val path = Paths.get(p)
-    val name = Option(path.getFileName).map(_.toString).getOrElse("")
-    if (name.exists("*?[".contains(_))) {
-      val dir = Option(path.getParent).getOrElse(Paths.get("."))
+    import java.nio.file.{Files, Path, Paths}
+    def isGlob(s: String) = s.exists("*?[".contains(_))
+    def listMatching(dir: Path, pattern: String): Vector[Path] = {
+      if (!Files.isDirectory(dir)) return Vector.empty
       val matcher = java.nio.file.FileSystems.getDefault
-        .getPathMatcher(s"glob:$name")
+        .getPathMatcher(s"glob:$pattern")
       val s = Files.list(dir)
-      try s.iterator().asScala
-        .filter(f => matcher.matches(f.getFileName) && Files.isRegularFile(f))
-        .map(_.toString).toVector.sorted
+      try s.iterator().asScala.filter(f => matcher.matches(f.getFileName))
+        .toVector.sortBy(_.toString)
       finally s.close()
-    } else if (Files.isDirectory(path)) {
-      val s = Files.list(path)
-      try s.iterator().asScala
-        .filter(f => f.toString.toUpperCase.endsWith(".DATA") &&
-          Files.isRegularFile(f))
-        .map(_.toString).toVector.sorted
-      finally s.close()
-    } else Seq(p)
+    }
+    if (!isGlob(p)) {
+      val path = Paths.get(p)
+      if (Files.isDirectory(path)) {
+        val s = Files.list(path)
+        try s.iterator().asScala
+          .filter(f => f.toString.toUpperCase.endsWith(".DATA") &&
+            Files.isRegularFile(f))
+          .map(_.toString).toVector.sorted
+        finally s.close()
+      } else Seq(p)
+    } else {
+      // walk segment by segment: expand the FIRST glob segment against
+      // its directory level, recurse into the remainder
+      val abs = p.startsWith("/")
+      val segs = p.split("/").filter(_.nonEmpty).toList
+      val firstGlob = segs.indexWhere(isGlob)
+      val prefix = (if (abs) "/" else "") + segs.take(firstGlob).mkString("/")
+      val baseDir = Paths.get(if (prefix.isEmpty) "." else prefix)
+      val rest = segs.drop(firstGlob + 1)
+      listMatching(baseDir, segs(firstGlob)).flatMap { m =>
+        if (rest.isEmpty) {
+          if (Files.isRegularFile(m)) Seq(m.toString)
+          else if (Files.isDirectory(m)) expand(m.toString)
+          else Nil
+        } else expand((m.toString +: rest).mkString("/"))
+      }
+    }
   }
 }
 

@@ -178,6 +178,14 @@ object Gruptree {
       case Nil => family("GRUPTREE", "GRUPNET").limit(0) // schema-only, folds empty
       case f :: rest => rest.foldLeft(f)(_ unionByName _)
     }
+    // the per-family `deduped` hubs (which the returned plan reads) have
+    // materialized eagerly by now, so the upstream edge/node hubs can be
+    // released — a long-lived session calling this per deck would
+    // otherwise accumulate their blocks until GC + ContextCleaner. The
+    // family hubs themselves stay for the caller's action (one or two
+    // frames per call; Bench/Profile drop them between queries).
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     val out = base
       .dropDuplicates(dk ++ Seq("SNAP_DATE", "CHILD", "KEYWORD"))
       .select((if (keepDeckId) dkc else Nil) ++

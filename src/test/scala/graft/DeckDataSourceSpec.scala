@@ -65,6 +65,19 @@ class DeckDataSourceSpec extends AnyFunSuite {
     val corpus = graft.modules.Compdat.corpusFromPath(spark, dir.toString + "/*.DATA")
     assert(corpus.columns.contains("deckId"))
     assert(corpus.select("deckId").distinct().count() == 3)
+    // varargs multi-path load (Spark encodes it as a JSON paths array)
+    val two = graft.modules.Compdat.corpusFromPath(spark,
+      dir.resolve("D1.DATA").toString, dir.resolve("D2.DATA").toString)
+    assert(two.select("deckId").distinct().count() == 2)
+    // the fleet pattern: wildcard in a MIDDLE segment
+    val reals = Files.createTempDirectory("graft-reals")
+    (1 to 2).foreach { i =>
+      val sub = reals.resolve(s"r$i"); Files.createDirectories(sub)
+      Files.writeString(sub.resolve("deck.DATA"), deck(i))
+    }
+    val fleet = graft.modules.Compdat.corpusFromPath(spark,
+      reals.toString + "/*/deck.DATA")
+    assert(fleet.select("deckId").distinct().count() == 2)
     // each deck's slice is byte-equal to its single-deck run
     texts.foreach { case (i, t) =>
       val single = graft.modules.Compdat.df(spark, t)

@@ -239,11 +239,12 @@ class RoundTripSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv2sum").toString
     // wide CSV exactly like Res2Csv's summary module emits
     val csv = s"$dir/in.csv"
-    // the 2020-03-01 WOPR cell is EMPTY: sparse exports must take the
-    // writer's dense-0.0 default, not NPE in the long-frame decode
+    // the 2020-03-01 WOPR cell is EMPTY (sparse exports must take the
+    // dense-0.0 default, not NPE) and the 2020-04-01 row is ALL empty
+    // (its report step must survive, not silently drop off the time axis)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
       "DATE,FOPR,WOPR:OP_1\n2020-01-01,1250.5,300.25\n2020-02-01,1100.0,290.5\n" +
-        "2020-03-01,990.75,\n")
+        "2020-03-01,990.75,\n2020-04-01,,\n")
     val order = graft.cli.Csv2Res.summaryCsvToBinary(spark, csv, s"$dir/CASE")
     assert(order == Seq("TIME", "FOPR", "WOPR:OP_1"))
     val back = graft.write.SummaryWriter.read(spark, s"$dir/CASE")
@@ -251,11 +252,12 @@ class RoundTripSpec extends AnyFunSuite {
     val expected = Seq(
       ("2020-01-01", "FOPR", 1250.5), ("2020-01-01", "WOPR:OP_1", 300.25),
       ("2020-02-01", "FOPR", 1100.0), ("2020-02-01", "WOPR:OP_1", 290.5),
-      ("2020-03-01", "FOPR", 990.75), ("2020-03-01", "WOPR:OP_1", 0.0))
+      ("2020-03-01", "FOPR", 990.75), ("2020-03-01", "WOPR:OP_1", 0.0),
+      ("2020-04-01", "FOPR", 0.0), ("2020-04-01", "WOPR:OP_1", 0.0))
       .toDF("DATE", "VECTOR", "VALUE")
       .withColumn("DATE", to_date(col("DATE")))
       .withColumn("VALUE", round(col("VALUE"), 2))
-    assert(back.count() == 6)
+    assert(back.count() == 8)
     assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
   }
 
