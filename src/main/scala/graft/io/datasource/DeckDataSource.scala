@@ -63,11 +63,10 @@ class DeckScanBuilder(path: String)
 class DeckScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    DeckScan.splitPaths(path)
-      .flatMap(DeckScan.expand)
-      .map(DeckInputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = DeckScan.splitPaths(path).flatMap(DeckScan.expand)
+    DeckScan.pack(files).map(DeckInputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new DeckReaderFactory(required)
 }
@@ -132,19 +131,52 @@ object DeckScan {
       }
     }
   }
+
+  /** Size-aware bin packing, the FilePartition convention: a fleet of
+    * tiny decks groups several files per task (one 10⁵-file corpus must
+    * not pay 10⁵ task launches), while decks at or above the target size
+    * keep a task to themselves. Greedy first-fit over the sorted list —
+    * deterministic partition contents.
+    */
+  private[datasource] def pack(files: Seq[String]): Seq[Seq[String]] = {
+    import java.nio.file.{Files, Paths}
+    if (files.isEmpty) return Nil
+    val sized = files.map(f =>
+      f -> (try Files.size(Paths.get(f)) catch { case _: Exception => 1L }))
+    val parallelism =
+      try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      catch { case _: Exception => 8 }
+    val target = math.max(64L << 10,
+      sized.map(_._2).sum / math.max(1, 4 * parallelism))
+    val bins = Vector.newBuilder[Seq[String]]
+    var cur = Vector.newBuilder[String]
+    var curBytes = 0L
+    var curN = 0
+    sized.foreach { case (f, sz) =>
+      if (curN > 0 && curBytes + sz > target) {
+        bins += cur.result(); cur = Vector.newBuilder[String]
+        curBytes = 0L; curN = 0
+      }
+      cur += f; curBytes += sz; curN += 1
+    }
+    if (curN > 0) bins += cur.result()
+    bins.result()
+  }
 }
 
-case class DeckInputPartition(file: String) extends InputPartition
+case class DeckInputPartition(files: Seq[String]) extends InputPartition
 
 class DeckReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[DeckInputPartition].file
+    val files = partition.asInstanceOf[DeckInputPartition].files
     new PartitionReader[InternalRow] {
       // INCLUDEs expand like every other entry point (a raw read would
       // silently drop included sections); deckId = the FULL path — a
       // basename would collide across realisation directories and merge
-      // their window partitions
-      private val events = {
+      // their window partitions. One deck parses at a time (lazy
+      // flatMap), so a packed partition holds one deck's events, not
+      // the bin's.
+      private val events = files.iterator.flatMap { file =>
         val p = java.nio.file.Paths.get(file)
         DeckParser.parse(
           DeckParser.expandIncludes(

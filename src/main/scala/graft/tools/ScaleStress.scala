@@ -166,6 +166,29 @@ object ScaleStress {
     val (g1, g10) = (Seq(timeGruptree(100), timeGruptree(100)).min,
       Seq(timeGruptree(1000), timeGruptree(1000)).min)
     println(f"SCALE gruptree_corpus decks=100:${g1}%.2fs decks=1000:${g10}%.2fs ratio=${g10 / g1}%.1f")
+
+    // the FILE-based fleet path: same compdat pipeline but through the
+    // eclipse-deck DSv2 source over a directory of real deck FILES (one
+    // input partition per file) — proves the corpusFromPath entry at
+    // 100 vs 1000 files, listing + read + full state pipeline
+    val fleetRoot = java.nio.file.Files.createTempDirectory("graft-fleet")
+    (0 until 1000).foreach { i =>
+      val d = fleetRoot.resolve(s"r$i"); java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("DECK.DATA"), compdatDeck)
+    }
+    def timeFleet(n: Int): Double = {
+      val glob =
+        if (n >= 1000) s"$fleetRoot/*/DECK.DATA"
+        else s"$fleetRoot/r[0-9]/DECK.DATA,$fleetRoot/r[0-9][0-9]/DECK.DATA"
+      val t0 = System.nanoTime()
+      graft.modules.Compdat.corpusFromPath(spark, glob).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
+    }
+    val (f1, f10) = (Seq(timeFleet(100), timeFleet(100)).min,
+      Seq(timeFleet(1000), timeFleet(1000)).min)
+    println(f"SCALE fleet_files decks=100:${f1}%.2fs decks=1000:${f10}%.2fs ratio=${f10 / f1}%.1f")
     spark.stop()
   }
 }
