@@ -74,13 +74,21 @@ object Csv2Res {
       .csv(inCsv)
     val vecCols = df.columns.filterNot(_ == "DATE")
     // Dataset.unpivot (unlike SQL UNPIVOT) KEEPS null value cells —
-    // coalesce them to the dense 0.0 default instead of dropping, so a
-    // fully-empty row still contributes its report step (a filter would
-    // silently shift the time axis) and the writer's row decode never
-    // sees a null
+    // EMPTY cells take the dense 0.0 default (so a fully-empty row still
+    // contributes its report step; a filter would silently shift the
+    // time axis), but a NON-empty cell that fails the double cast is a
+    // malformed input ("N/A", "1,250.5") that must fail loudly, not be
+    // fabricated into 0.0
     val long = df.unpivot(Array(col("DATE").cast("date")),
       vecCols.map(col), "VECTOR", "VALUE")
-      .withColumn("VALUE", coalesce(col("VALUE").cast("double"), lit(0.0)))
-    SummaryWriter.write(long, basePath)
+      .withColumn("__cast", col("VALUE").cast("double"))
+    val bad = long.filter(col("VALUE").isNotNull && col("__cast").isNull)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"csv2res summary: unparseable value '${bad.headOption.map(_.get(2)).orNull}' " +
+        s"for ${bad.headOption.map(_.get(1)).orNull}")
+    SummaryWriter.write(
+      long.withColumn("VALUE", coalesce(col("__cast"), lit(0.0))).drop("__cast"),
+      basePath)
   }
 }

@@ -148,9 +148,11 @@ object Res2Csv {
     while (ai < args.length) {
       val a = args(ai)
       if (Valued(a)) {
-        if (ai + 1 >= args.length) {
+        if (ai + 1 >= args.length || args(ai + 1).startsWith("--")) {
           // a silently-demoted valued flag would produce the OPPOSITE of
-          // what was asked (e.g. --vectors with no value = read everything)
+          // what was asked (e.g. --vectors with no value = read
+          // everything) — and consuming the NEXT flag as the value is the
+          // same failure mid-args
           System.err.println(s"$a requires a value")
           sys.exit(2)
         }
@@ -316,11 +318,21 @@ object Res2Csv {
             vectors = vecs)
           // the binary read treats the values as GLOBS — resolve the
           // concrete matching columns before the select (a literal
-          // col("PERM*") would not resolve)
+          // col("PERM*") would not resolve). Geometry columns are never
+          // INIT vectors, and a pattern matching NOTHING is a typo the
+          // user must hear about, not a silently-absent column
+          val geomCols = Set("I", "J", "K", "X", "Y", "Z", "Z_MIN", "Z_MAX",
+            "VOLUME", "GLOBAL_INDEX", "ACTIVE_IDX")
           val pats = vecs.map(v => graft.core.Ops.globToRegex(v).r.pattern)
-          val chosen = grid0.columns
-            .filterNot(Seq("I", "J", "K").contains)
-            .filter(c => pats.exists(_.matcher(c).matches()))
+          val initCols = grid0.columns.filterNot(geomCols.contains)
+          pats.zip(vecs).foreach { case (p, v) =>
+            if (!initCols.exists(c => p.matcher(c).matches())) {
+              System.err.println(s"--initvectors: '$v' matches no INIT vector " +
+                s"(available: ${initCols.sorted.mkString(", ")})")
+              sys.exit(2)
+            }
+          }
+          val chosen = initCols.filter(c => pats.exists(_.matcher(c).matches()))
           val grid = grid0.select(col("I").as("GI") +: col("J").as("GJ") +:
             col("K").as("GK") +: chosen.map(col): _*)
           GridOps.mergeInitVectors(base, grid,

@@ -64,7 +64,7 @@ class DeckScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = DeckScan.splitPaths(path).flatMap(DeckScan.expand)
+    val files = DeckScan.splitPaths(path).flatMap(p => DeckScan.expand(p))
     DeckScan.pack(files).map(DeckInputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -78,7 +78,10 @@ object DeckScan {
     */
   private[datasource] def splitPaths(raw: String): Seq[String] = {
     val t = raw.trim
-    if (t.startsWith("["))
+    // a JSON paths array is ["..."] — requiring the quote right after the
+    // bracket keeps legal bracket GLOBS like [0-9]*/deck.DATA out of this
+    // branch
+    if (t.startsWith("[\"") && t.endsWith("]"))
       "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
         .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
         .toVector
@@ -91,7 +94,7 @@ object DeckScan {
     * file passes through. Deterministic (sorted) so partition numbering
     * is stable across runs.
     */
-  private[datasource] def expand(p: String): Seq[String] = {
+  private[datasource] def expand(p: String, lenient: Boolean = false): Seq[String] = {
     import java.nio.file.{Files, Path, Paths}
     def isGlob(s: String) = s.exists("*?[".contains(_))
     def listMatching(dir: Path, pattern: String): Vector[Path] = {
@@ -112,7 +115,9 @@ object DeckScan {
             Files.isRegularFile(f))
           .map(_.toString).toVector.sorted
         finally s.close()
-      } else Seq(p)
+      } else if (Files.isRegularFile(path)) Seq(p)
+      else if (lenient) Nil // a glob-matched dir missing the tail file
+      else throw new IllegalArgumentException(s"eclipse-deck: no such file: $p")
     } else {
       // walk segment by segment: expand the FIRST glob segment against
       // its directory level, recurse into the remainder
@@ -125,9 +130,13 @@ object DeckScan {
       listMatching(baseDir, segs(firstGlob)).flatMap { m =>
         if (rest.isEmpty) {
           if (Files.isRegularFile(m)) Seq(m.toString)
-          else if (Files.isDirectory(m)) expand(m.toString)
+          else if (Files.isDirectory(m)) expand(m.toString, lenient = true)
           else Nil
-        } else expand((m.toString +: rest).mkString("/"))
+        } else
+          // a matched dir may legitimately lack the tail (a failed
+          // realization) — skip it rather than shipping a nonexistent
+          // path into a partition
+          expand((m.toString +: rest).mkString("/"), lenient = true)
       }
     }
   }

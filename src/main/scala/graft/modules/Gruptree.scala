@@ -76,11 +76,22 @@ object Gruptree {
     // the dated edge/node frames are record-count-sized hubs consumed by
     // ~20 places in the snapshot plan (snapshot dates, range joins, orphan
     // and root synthesis, per family) — materialize them once instead of
-    // re-running the date-fill window per consumer
-    val edges = dated(edgeEvents(events)).localCheckpoint(true)
+    // re-running the date-fill window per consumer. Track the RDD ids the
+    // eager checkpoint registers: localCheckpoint persists at the RDD
+    // level, where Dataset.unpersist (CacheManager-only) cannot reach, so
+    // the release below must go through getPersistentRDDs
+    val sc = events.sparkSession.sparkContext
+    var hubIds = Set.empty[Int]
+    def checkpointHub(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      hubIds ++= (sc.getPersistentRDDs.keySet -- before)
+      out
+    }
+    val edges = checkpointHub(dated(edgeEvents(events)))
     val treeEdges = edges.filter(col("KEYWORD") =!= "WELSPECS")
     val wspecs = edges.filter(col("KEYWORD") === "WELSPECS")
-    val nodes = dated(nodeEvents(events)).localCheckpoint(true)
+    val nodes = checkpointHub(dated(nodeEvents(events)))
     val ord = Seq(col("keywordIdx"), col("recordIdx"))
     val dkc = dk.map(col)
     // snapshot-range joins and key sets, deck-scoped on a corpus frame
@@ -179,13 +190,15 @@ object Gruptree {
       case f :: rest => rest.foldLeft(f)(_ unionByName _)
     }
     // the per-family `deduped` hubs (which the returned plan reads) have
-    // materialized eagerly by now, so the upstream edge/node hubs can be
-    // released — a long-lived session calling this per deck would
-    // otherwise accumulate their blocks until GC + ContextCleaner. The
-    // family hubs themselves stay for the caller's action (one or two
-    // frames per call; Bench/Profile drop them between queries).
-    edges.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // materialized eagerly by now, so the upstream edge/node hub BLOCKS
+    // can be released — a long-lived session calling this per deck would
+    // otherwise accumulate them until GC + ContextCleaner. RDD-level
+    // unpersist via the tracked ids (Dataset.unpersist is a no-op for
+    // checkpointed frames). The family hubs themselves stay for the
+    // caller's action (one or two frames per call; Bench/Profile drop
+    // them between queries).
+    sc.getPersistentRDDs.view.filterKeys(hubIds).values
+      .foreach(_.unpersist(blocking = false))
     val out = base
       .dropDuplicates(dk ++ Seq("SNAP_DATE", "CHILD", "KEYWORD"))
       .select((if (keepDeckId) dkc else Nil) ++

@@ -168,13 +168,17 @@ object ScaleStress {
     println(f"SCALE gruptree_corpus decks=100:${g1}%.2fs decks=1000:${g10}%.2fs ratio=${g10 / g1}%.1f")
 
     // the FILE-based fleet path: same compdat pipeline but through the
-    // eclipse-deck DSv2 source over a directory of real deck FILES (one
-    // input partition per file) — proves the corpusFromPath entry at
-    // 100 vs 1000 files, listing + read + full state pipeline
-    val fleetRoot = java.nio.file.Files.createTempDirectory("graft-fleet")
-    (0 until 1000).foreach { i =>
-      val d = fleetRoot.resolve(s"r$i"); java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.writeString(d.resolve("DECK.DATA"), compdatDeck)
+    // eclipse-deck DSv2 source over a directory tree of real deck FILES
+    // (size-aware bin packing groups the tiny decks into ~4×parallelism
+    // tasks) — proves the corpusFromPath entry at 100 vs 1000 files,
+    // listing + glob expansion + read + full state pipeline. Fixed reuse
+    // path like the sfx dataset: no per-run /tmp accumulation.
+    val fleetRoot = java.nio.file.Paths.get("/tmp/graft-fleet-1000")
+    if (!java.nio.file.Files.isDirectory(fleetRoot.resolve("r999"))) {
+      (0 until 1000).foreach { i =>
+        val d = fleetRoot.resolve(s"r$i"); java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.writeString(d.resolve("DECK.DATA"), compdatDeck)
+      }
     }
     def timeFleet(n: Int): Double = {
       val glob =
