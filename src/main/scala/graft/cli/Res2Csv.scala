@@ -181,10 +181,14 @@ object Res2Csv {
         Vfp.df(spark, deckTextOf(positional(1)), tablenumbers, flags.contains("units"))
       case "grid" =>
         // vector globs reach the BINARY reads (unselected INIT/UNRST
-        // payloads are seeked past, never decoded) — reference --vectors
+        // payloads are seeked past, never decoded) — reference --vectors.
+        // Restart data joins ONLY when --rstdates/--stackdates ask for it
+        // (grid.py:480 defaults rstdates=None → geometry+INIT only);
+        // the programmatic GridOps.assemble keeps taking any rst frame
         val vecs = opts.get("vectors").map(_.split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-        val g = gridFrame(spark, positional(1), withRst = true,
+        val withRst = opts.contains("rstdates") || flags.contains("stackdates")
+        val g = gridFrame(spark, positional(1), withRst = withRst,
           vectors = vecs, rstdates = opts.get("rstdates"))
         val zm = zonemapOf(positional(1))
         if (zm.isEmpty) g else GridOps.mergeZones(g, zm)
