@@ -192,7 +192,8 @@ object Res2Csv {
           vectors = vecs, rstdates = opts.get("rstdates"))
         val zm = zonemapOf(positional(1))
         if (zm.isEmpty) g else GridOps.mergeZones(g, zm)
-      case "summary" if opts.nonEmpty || flags.contains("params") =>
+      case "summary" if opts.nonEmpty || flags.contains("params") ||
+          flags.contains("include_restart") =>
         // reference summary CLI surface (summary.py:698-766):
         // --column_keys glob,glob --time_index raw|first|last|ISO|daily|
         // monthly|yearly --start_date/--end_date ISO --params/--paramfile
@@ -205,10 +206,28 @@ object Res2Csv {
             vecsAll.filter(v => pats.exists(_.matcher(v).matches()))
           case None => vecsAll
         }
-        val long = graft.core.Ops.lastWinsDedup(
-          graft.write.SummaryWriter.readWithStep(spark, base)
+        def longOf(b: String) = graft.core.Ops.lastWinsDedup(
+          graft.write.SummaryWriter.readWithStep(spark, b)
             .filter(col("VECTOR").isin(selected: _*)),
           keys = Seq("DATE", "VECTOR"), ord = Seq(col("STEP"))).drop("STEP")
+        // --include_restart: chase the SMSPEC RESTART chain and splice
+        // each parent's history BEFORE its child's first date
+        // (summary.py:768-770 / resdata include_restart)
+        val chain =
+          if (!flags.contains("include_restart")) Seq(base)
+          else {
+            var cs = List(base)
+            var seen = Set(base)
+            var cur = graft.write.SummaryWriter.restartParent(base)
+            while (cur.exists(p => !seen(p) &&
+                Files.isRegularFile(Paths.get(s"$p.SMSPEC")))) {
+              cs ::= cur.get; seen += cur.get
+              cur = graft.write.SummaryWriter.restartParent(cur.get)
+            }
+            cs // oldest first
+          }
+        val long = chain.map(longOf)
+          .reduce((parent, cur) => Summary.chainRestart(parent, cur))
         val timed = Summary.selectDates(long,
           opts.getOrElse("time_index", "raw"),
           opts.get("start_date"), opts.get("end_date"), auto = true)

@@ -42,8 +42,12 @@ object SummaryWriter {
   /** Write a long-format summary frame `(DATE date/timestamp, VECTOR
     * string, VALUE double)` as SMSPEC + UNSMRY at `basePath.{SMSPEC,
     * UNSMRY}`. Returns the vector order used for PARAMS.
+    * `restartFrom` writes the SMSPEC RESTART pointer (the parent case's
+    * base name in 8-char CHAR cells — the convention resdata's
+    * include_restart follows).
     */
-  def write(df: DataFrame, basePath: String): Seq[String] = {
+  def write(df: DataFrame, basePath: String,
+      restartFrom: Option[String] = None): Seq[String] = {
     val rows = df.select(col("DATE").cast("date"), col("VECTOR"), col("VALUE").cast("double"))
       .collect()
     val dates = rows.map(_.getDate(0).toLocalDate).distinct.sorted(Ordering.by[LocalDate, Long](_.toEpochDay))
@@ -54,7 +58,11 @@ object SummaryWriter {
     // TIME (days since start) is param 0, matching the convention that the
     // params vector always carries the clock.
     val allVectors = "TIME" +: vectors
-    graft.io.EclKw.write(s"$basePath.SMSPEC", Seq(
+    val restartKw = restartFrom.toSeq.map { parent =>
+      val cells = parent.grouped(8).toSeq
+      char("RESTART", cells ++ Seq.fill(math.max(0, 9 - cells.length))(""))
+    }
+    graft.io.EclKw.write(s"$basePath.SMSPEC", restartKw ++ Seq(
       inte("DIMENS", Seq(allVectors.length, 0, 0, 0, 0, -1)),
       char("KEYWORDS", allVectors.map(v => splitVector(v)._1)),
       char("WGNAMES", allVectors.map(v => splitVector(v)._2)),
@@ -125,6 +133,24 @@ object SummaryWriter {
     val timeIdx = kws.indexOf("TIME")
     require(timeIdx >= 0, s"$basePath.SMSPEC has no TIME vector")
     (vectors, timeIdx, start)
+  }
+
+  /** The parent case this summary restarts FROM: the SMSPEC RESTART
+    * keyword's 8-char CHAR cells concatenated (resdata's include_restart
+    * convention), resolved relative to `basePath`'s directory. None when
+    * absent or blank.
+    */
+  def restartParent(basePath: String): Option[String] = {
+    val spec = graft.io.EclKw.stream(s"$basePath.SMSPEC",
+      (n, _, _) => n == "RESTART")(_.toVector)
+    spec.headOption
+      .map(_.strings.mkString("").trim)
+      .filter(_.nonEmpty)
+      .map { rel =>
+        val dir = java.nio.file.Paths.get(basePath).toAbsolutePath.getParent
+        if (java.nio.file.Paths.get(rel).isAbsolute) rel
+        else dir.resolve(rel).toString
+      }
   }
 
   /** The distinct vector names a SMSPEC declares (TIME excluded), sorted —

@@ -261,6 +261,32 @@ class RoundTripSpec extends AnyFunSuite {
     assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
   }
 
+  test("RESTART pointer round-trips and chains parent history (include_restart)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    def frame(rows: Seq[(String, Double)]) =
+      rows.map { case (d, v) => (d, "FOPR", v) }.toDF("DATE", "VECTOR", "VALUE")
+        .withColumn("DATE", to_date(col("DATE")))
+    // parent runs Jan-Mar; child restarts from it in Mar (overlapping
+    // date must come from the CHILD, pre-restart history from the parent)
+    graft.write.SummaryWriter.write(
+      frame(Seq("2020-01-01" -> 1.0, "2020-02-01" -> 2.0, "2020-03-01" -> 99.0)),
+      s"$dir/PARENT")
+    graft.write.SummaryWriter.write(
+      frame(Seq("2020-03-01" -> 3.0, "2020-04-01" -> 4.0)),
+      s"$dir/CHILD", restartFrom = Some("PARENT"))
+    assert(graft.write.SummaryWriter.restartParent(s"$dir/CHILD")
+      .contains(s"$dir/PARENT"))
+    assert(graft.write.SummaryWriter.restartParent(s"$dir/PARENT").isEmpty)
+    val chained = graft.modules.Summary.chainRestart(
+      graft.write.SummaryWriter.read(spark, s"$dir/PARENT"),
+      graft.write.SummaryWriter.read(spark, s"$dir/CHILD"))
+      .orderBy("DATE").collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(2))
+    assert(chained.toSeq == Seq("2020-01-01" -> 1.0, "2020-02-01" -> 2.0,
+      "2020-03-01" -> 3.0, "2020-04-01" -> 4.0))
+  }
+
   test("Res2Csv file output streams via df.write.csv and lands as ONE csv file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli-csv").toString
     val df = (1 to 1000).map(i => (i, s"w$i", i * 1.5)).toDF("I", "WELL", "V")
