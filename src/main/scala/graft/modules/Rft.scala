@@ -1,6 +1,6 @@
 package graft.modules
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,8 +11,24 @@ import org.apache.spark.sql.functions._
   * (merge_icd_seg_conseg, J6). Segments form a tree via SEGNXT (towards
   * wellhead); the reference's pandas merges become aliased self-joins,
   * and LEAF/JUNCTION flags become windowed counts.
+  *
+  * Every entry point takes an optional `keys` list (e.g.
+  * `Seq("WELL", "DATE")`): the reference loops one well-report at a time,
+  * while here the same plan runs corpus-native — all self-joins and
+  * windows are scoped to the key columns, so a fleet of wells resolves in
+  * one shuffle per operator instead of a driver loop. Right-side key
+  * columns are renamed (`__up_`/`__j_`/`__icd_`/`__seg_` prefixes) before
+  * each join: the frames share lineage, and renamed keys sidestep
+  * self-join attribute ambiguity entirely.
   */
 object Rft {
+
+  /** `left.k <=> prefixed right.k` conjunction ending in `rest`. */
+  private def keyCond(keys: Seq[String], prefix: String, rest: Column): Column =
+    keys.map(k => col(k) <=> col(s"$prefix$k")).foldRight(rest)(_ && _)
+
+  private def dropPrefixed(df: DataFrame, keys: Seq[String], prefix: String): DataFrame =
+    df.drop(keys.map(k => s"$prefix$k").toIndexedSeq: _*)
 
   /** Attach each UPSTREAM segment's row (`_upstream`-suffixed, one output
     * row per inflow — a junction with two inflows appears twice, matching
@@ -26,36 +42,46 @@ object Rft {
     * segment";
     * JUNCTION_DOWNSTREAM — the segment this one flows into is a junction.
     */
-  def processSegTopology(seg: DataFrame): DataFrame = {
+  def processSegTopology(seg: DataFrame, keys: Seq[String] = Nil): DataFrame = {
     require(seg.columns.contains("SEGIDX") && seg.columns.contains("SEGNXT"),
       s"Insufficient topology columns (need SEGIDX, SEGNXT): ${seg.columns.mkString(",")}")
-    val segCols = seg.columns
-    val up = seg.select(segCols.map(c => col(c).as(s"${c}_upstream")).toIndexedSeq: _*)
+    val dataCols = seg.columns.filterNot(keys.contains)
+    val up = seg.select((keys.map(k => col(k).as(s"__up_$k")) ++
+      dataCols.map(c => col(c).as(s"${c}_upstream"))).toIndexedSeq: _*)
     // inflow count per segment: how many segments name me as their SEGNXT
-    val inflow = seg.groupBy(col("SEGNXT").as("SEGIDX"))
+    val inflow = seg.select((keys.map(col) :+ col("SEGNXT").as("SEGIDX")).toIndexedSeq: _*)
+      .groupBy((keys :+ "SEGIDX").map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("__n_inflow"))
-    val junctions = seg.join(inflow, Seq("SEGIDX"))
-      .filter(col("__n_inflow") > 1).select(col("SEGIDX").as("__jidx"))
-    val merged = seg
-      .join(up, col("SEGNXT_upstream") === col("SEGIDX"), "left")
-      .join(inflow, Seq("SEGIDX"), "left")
+    val junctions0 = inflow.filter(col("__n_inflow") > 1)
+      .select((keys.map(k => col(k).as(s"__j_$k")) :+
+        col("SEGIDX").as("__jidx")).toIndexedSeq: _*)
+    // single-well calls broadcast the (tiny) junction list; corpus-keyed
+    // calls leave the strategy to AQE — one junction row per well adds up
+    val junctions = if (keys.isEmpty) broadcast(junctions0) else junctions0
+    val merged = dropPrefixed(
+      seg.join(up, keyCond(keys, "__up_",
+        col("SEGNXT_upstream") === col("SEGIDX")), "left"), keys, "__up_")
+      .join(inflow, (keys :+ "SEGIDX").toIndexedSeq, "left")
       .withColumn("JUNCTION", coalesce(col("__n_inflow"), lit(0L)) > 1)
       .withColumn("LEAF", coalesce(col("__n_inflow"), lit(0L)) === 0)
-      .join(broadcast(junctions), col("SEGNXT") === col("__jidx"), "left")
+    val jJoined = dropPrefixed(
+      merged.join(junctions, keyCond(keys, "__j_",
+        col("SEGNXT") === col("__jidx")), "left"), keys, "__j_")
       .withColumn("JUNCTION_DOWNSTREAM", col("__jidx").isNotNull)
       .drop("__n_inflow", "__jidx")
     // lonely = SEGBRNO not duplicated across the MERGED rows (the
     // reference computes it post-merge, rft.py:268-269)
     val lonely =
-      if (segCols.contains("SEGBRNO"))
-        count(lit(1)).over(Window.partitionBy(col("SEGBRNO"))) === 1
+      if (dataCols.contains("SEGBRNO"))
+        count(lit(1)).over(
+          Window.partitionBy((keys :+ "SEGBRNO").map(col).toIndexedSeq: _*)) === 1
       else col("SEGNXT").isNull
-    merged.withColumn("LONELYSEG", lonely)
+    jJoined.withColumn("LONELYSEG", lonely)
   }
 
-  /** Branch count of a (non-ICD) segment table (rft.py:196-216): distinct
-    * SEGBRNO among segments that are not leaves or that feed a junction,
-    * floored at 1.
+  /** Branch count of a (non-ICD) single-well segment table (rft.py:196-216):
+    * distinct SEGBRNO among segments that are not leaves or that feed a
+    * junction, floored at 1.
     */
   def countWellBranches(seg: DataFrame): Long = {
     val topo = if (seg.columns.contains("LEAF")) seg else processSegTopology(seg)
@@ -68,33 +94,57 @@ object Rft {
     * segment is a LEAF alone on its branch. Returns the ICD frame empty
     * when no ICDs are detected or the input is empty (column-compatible
     * either way); columns keep their plain names — [[mergeIcdSegConseg]]
-    * applies the `ICD_` prefix when chaining.
+    * applies the `ICD_` prefix when chaining. With `keys`, ICD presence is
+    * decided PER KEY (per well-report) via window aggregates — no
+    * driver-side action, so the split stays one corpus-wide plan.
     */
-  def splitSegIcd(seg: DataFrame): (DataFrame, DataFrame) = {
-    val topo = if (seg.columns.contains("LEAF")) seg else processSegTopology(seg)
-    // max branch number and true branch count in ONE pass over the
-    // (driver-deck-sized) topology lineage
-    val stats = topo.agg(
-      max(col("SEGBRNO").cast("long")).as("mx"),
-      countDistinct(when(!col("LEAF") || col("JUNCTION_DOWNSTREAM"),
-        col("SEGBRNO"))).as("branches")).head
-    if (stats.isNullAt(0)) (topo, topo.limit(0)) // empty / all-null SEGBRNO
-    else if (stats.getLong(0) <= math.max(1L, stats.getLong(1))) (topo, topo.limit(0))
-    else (topo.filter(!(col("LEAF") && col("LONELYSEG"))),
-      topo.filter(col("LEAF") && col("LONELYSEG")))
+  def splitSegIcd(seg: DataFrame, keys: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val topo = if (seg.columns.contains("LEAF")) seg
+      else processSegTopology(seg, keys)
+    // per-key max branch number and true branch count as window aggregates
+    // over the (well-report-sized) key partition — segments per well are
+    // dozens, so the collect_set stays tiny at any corpus scale
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+    val branches = greatest(lit(1L),
+      size(collect_set(when(!col("LEAF") || col("JUNCTION_DOWNSTREAM"),
+        col("SEGBRNO"))).over(w)).cast("long"))
+    val icdPresent = coalesce(
+      max(col("SEGBRNO").cast("long")).over(w) > branches, lit(false))
+    val flagged = topo.withColumn("__icd",
+      icdPresent && col("LEAF") && col("LONELYSEG"))
+    (flagged.filter(!col("__icd")).drop("__icd"),
+      flagged.filter(col("__icd")).drop("__icd"))
   }
 
-  /** Connection → ICD-segment → branch-segment chain: each connection row
-    * joins its ICD segment on CONSEGNO == ICD segment index, then the ICD's
-    * downstream segment; connections without an ICD (anti-join remainder)
-    * join their segment directly (J6).
+  /** Connection → ICD-segment → branch-segment chain (rft.py:376-460):
+    * each connection row joins its ICD segment on CONSEGNO == ICD segment
+    * index, then the ICD's downstream segment; rows the junction-expanded
+    * topology duplicated are filtered back to the one whose upstream IS
+    * the ICD (`CONSEGNO == SEGIDX_upstream`, rft.py:434-436 — ICD-fed
+    * junctions are legit and would otherwise double rows). Connections
+    * without an ICD (anti-join remainder) join their segment directly
+    * (inner, matching the reference's default merge at rft.py:448-451).
     */
-  def mergeIcdSegConseg(con: DataFrame, icd: DataFrame, seg: DataFrame): DataFrame = {
-    val icdR = icd.select(icd.columns.map(c => col(c).as(s"ICD_$c")).toIndexedSeq: _*)
-    val viaIcd = con.join(icdR, col("CONSEGNO") === col("ICD_SEGIDX"), "inner")
-      .join(seg, col("ICD_SEGNXT") === col("SEGIDX"), "left")
-    val noIcd = con.join(icdR, col("CONSEGNO") === col("ICD_SEGIDX"), "left_anti")
-      .join(seg, col("CONSEGNO") === col("SEGIDX"), "left")
+  def mergeIcdSegConseg(con: DataFrame, icd: DataFrame, seg: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
+    val icdR = icd.select((keys.map(k => col(k).as(s"__icd_$k")) ++
+      icd.columns.filterNot(keys.contains)
+        .map(c => col(c).as(s"ICD_$c"))).toIndexedSeq: _*)
+    val segR = seg.select((keys.map(k => col(k).as(s"__seg_$k")) ++
+      seg.columns.filterNot(keys.contains).map(col)).toIndexedSeq: _*)
+    val onIcd = keyCond(keys, "__icd_", col("CONSEGNO") === col("ICD_SEGIDX"))
+    val viaIcd1 = dropPrefixed(
+      dropPrefixed(con.join(icdR, onIcd, "inner"), keys, "__icd_")
+        .join(segR, keyCond(keys, "__seg_",
+          col("ICD_SEGNXT") === col("SEGIDX")), "left"), keys, "__seg_")
+    val viaIcd =
+      if (seg.columns.contains("SEGIDX_upstream"))
+        viaIcd1.filter(col("CONSEGNO") === col("SEGIDX_upstream"))
+      else viaIcd1
+    val noIcd = dropPrefixed(
+      con.join(icdR, onIcd, "left_anti")
+        .join(segR, keyCond(keys, "__seg_",
+          col("CONSEGNO") === col("SEGIDX")), "inner"), keys, "__seg_")
     viaIcd.unionByName(noIcd, allowMissingColumns = true)
   }
 

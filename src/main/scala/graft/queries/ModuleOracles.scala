@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 module-family oracle queries: the remaining hard families that
+  * previously rested on ScalaTest alone, each replayed relationally by
+  * DuckDB over the same closed-form generated corpus (the q44-q50
+  * recipe).
+  */
+object ModuleOracles {
+
+  private val Wells = 20
+
+  /** The q51 segment corpus, one well = one segment tree with two real
+    * branches, two junctions and three ICDs:
+    * {{{
+    *   1 <- 2 <- 3 <- 4 <- 5        branch 1 (tubing)
+    *             ^         ^  ^
+    *             6 <- 7    9  10    branch 2 (+ ICDs 9/10 on br 4/5)
+    *                  ^
+    *                  8             ICD on branch 3
+    * }}}
+    * Segment 3 is a plain junction (inflows 4, 6); segment 5 is an
+    * ICD-FED junction (inflows 9, 10) — the case rft.py:434-436 dedups
+    * with the `CONSEGNO == SEGIDX_upstream` filter. Depth/pressure are
+    * exact closed forms of (well, segidx).
+    */
+  private def segCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val edges = Seq( // (segidx, segnxt, segbrno)
+      (1, None, 1), (2, Some(1), 1), (3, Some(2), 1), (4, Some(3), 1),
+      (5, Some(4), 1), (6, Some(3), 2), (7, Some(6), 2),
+      (8, Some(7), 3), (9, Some(5), 4), (10, Some(5), 5))
+    (0 until Wells).flatMap { w =>
+      edges.map { case (idx, nxt, br) =>
+        ("W" + w, idx, nxt, br, 1000.0 + 10 * w + idx, 200.0 + w + idx)
+      }
+    }.toDF("WELL", "SEGIDX", "SEGNXT", "SEGBRNO", "SEGDEPTH", "SEGPRES")
+  }
+
+  /** Four connections per well: via ICD 8 (downstream seg 7), via ICDs
+    * 9 and 10 (both drain to junction seg 5 — exercises the upstream
+    * dedup), and one direct non-ICD connection at seg 2 (anti-join
+    * remainder).
+    */
+  private def conCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val cons = Seq((1, 8), (2, 9), (3, 10), (4, 2)) // (conidx, consegno)
+    (0 until Wells).flatMap { w =>
+      cons.map { case (ci, csn) =>
+        ("W" + w, ci, csn, 1000.0 + 10 * w + csn, 250.0 + w + ci)
+      }
+    }.toDF("WELL", "CONIDX", "CONSEGNO", "CONDEPTH", "CONPRES")
+  }
+
+  /** J5/J6 under the oracle gate: the corpus-native RFT segment pipeline —
+    * topology self-join with LEAF/JUNCTION/LONELYSEG/JUNCTION_DOWNSTREAM
+    * flags (rft.py:219-276), per-well windowed ICD split (rft.py:326-373),
+    * the connection → ICD → branch-segment chain with the ICD-fed-junction
+    * upstream dedup and the anti-join direct remainder (rft.py:376-460),
+    * and the COMPLETION_DP derived column (rft.py:463-508) — 20 wells in
+    * ONE plan keyed on WELL.
+    */
+  def q51RftTopology(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("WELL")
+    val topo = graft.modules.Rft.processSegTopology(segCorpus(s), keys)
+    val (nonIcd, icd) = graft.modules.Rft.splitSegIcd(topo, keys)
+    val merged = graft.modules.Rft.mergeIcdSegConseg(conCorpus(s), icd, nonIcd, keys)
+    graft.modules.Rft.addDerived(merged)
+      .select(col("WELL").as("well"), col("CONIDX").as("conidx"),
+        col("CONSEGNO").as("consegno"), col("CONDEPTH").as("condepth"),
+        col("CONPRES").as("conpres"),
+        col("ICD_SEGIDX").as("icd_segidx"), col("ICD_SEGNXT").as("icd_segnxt"),
+        col("ICD_SEGBRNO").as("icd_segbrno"),
+        col("ICD_SEGDEPTH").as("icd_segdepth"),
+        col("SEGIDX").as("segidx"), col("SEGNXT").as("segnxt"),
+        col("SEGBRNO").as("segbrno"), col("SEGDEPTH").as("segdepth"),
+        col("SEGPRES").as("segpres"),
+        col("LEAF").as("leaf"), col("JUNCTION").as("junction"),
+        col("LONELYSEG").as("lonelyseg"),
+        col("JUNCTION_DOWNSTREAM").as("junction_downstream"),
+        col("SEGIDX_upstream").as("segidx_upstream"),
+        col("SEGDEPTH_upstream").as("segdepth_upstream"),
+        col("COMPLETION_DP").as("completion_dp"))
+      .orderBy(col("well"), col("conidx"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_rft_topology" -> (q51RftTopology _),
+  )
+
+  /** The q51 oracle rebuilds the same segment/connection corpus in closed
+    * form and replays the whole chain relationally: self-join for
+    * upstream rows, inflow counts for LEAF/JUNCTION, a windowed count for
+    * LONELYSEG, per-well branch stats for the ICD split, then the
+    * via-ICD join (with the upstream dedup) plus the anti-join direct
+    * path.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q51_rft_topology" ->
+      s"""WITH wells AS (SELECT CAST(unnest(range($Wells)) AS BIGINT) AS w),
+        |edges(segidx, segnxt, segbrno) AS (VALUES
+        |  (1, NULL, 1), (2, 1, 1), (3, 2, 1), (4, 3, 1), (5, 4, 1),
+        |  (6, 3, 2), (7, 6, 2), (8, 7, 3), (9, 5, 4), (10, 5, 5)),
+        |seg AS (
+        |  SELECT w, CAST(segidx AS INT) AS segidx, CAST(segnxt AS INT) AS segnxt,
+        |         CAST(segbrno AS INT) AS segbrno,
+        |         1000.0 + 10 * w + segidx AS segdepth,
+        |         200.0 + w + segidx AS segpres
+        |  FROM wells, edges),
+        |merged AS (  -- J5: one row per inflow, upstream columns suffixed
+        |  SELECT s.*, u.segidx AS segidx_upstream, u.segdepth AS segdepth_upstream
+        |  FROM seg s LEFT JOIN seg u ON u.w = s.w AND u.segnxt = s.segidx),
+        |inflow AS (SELECT w, segnxt AS segidx, count(*) AS n FROM seg
+        |           WHERE segnxt IS NOT NULL GROUP BY 1, 2),
+        |topo AS (
+        |  SELECT m.*, coalesce(i.n, 0) > 1 AS junction,
+        |         coalesce(i.n, 0) = 0 AS leaf,
+        |         EXISTS (SELECT 1 FROM inflow j
+        |                 WHERE j.w = m.w AND j.segidx = m.segnxt AND j.n > 1)
+        |           AS junction_downstream,
+        |         count(*) OVER (PARTITION BY m.w, m.segbrno) = 1 AS lonelyseg
+        |  FROM merged m LEFT JOIN inflow i ON i.w = m.w AND i.segidx = m.segidx),
+        |stats AS (  -- per-well ICD presence: max branch no > true branches
+        |  SELECT w, max(segbrno) AS mx,
+        |         greatest(1, count(DISTINCT CASE WHEN NOT leaf OR junction_downstream
+        |                                         THEN segbrno END)) AS br
+        |  FROM topo GROUP BY 1),
+        |icd AS (SELECT t.* FROM topo t JOIN stats st ON st.w = t.w AND st.mx > st.br
+        |        WHERE t.leaf AND t.lonelyseg),
+        |nonicd AS (SELECT t.* FROM topo t
+        |           WHERE NOT (t.leaf AND t.lonelyseg AND EXISTS
+        |             (SELECT 1 FROM stats st WHERE st.w = t.w AND st.mx > st.br))),
+        |con AS (
+        |  SELECT w, c.conidx, c.consegno,
+        |         1000.0 + 10 * w + c.consegno AS condepth,
+        |         250.0 + w + c.conidx AS conpres
+        |  FROM wells, (VALUES (1, 8), (2, 9), (3, 10), (4, 2)) c(conidx, consegno)),
+        |via AS (  -- J6 via-ICD chain with the upstream dedup (rft.py:434-436)
+        |  SELECT c.w, c.conidx, c.consegno, c.condepth, c.conpres,
+        |         i.segidx AS icd_segidx, i.segnxt AS icd_segnxt,
+        |         i.segbrno AS icd_segbrno, i.segdepth AS icd_segdepth,
+        |         t.segidx, t.segnxt, t.segbrno, t.segdepth, t.segpres,
+        |         t.leaf, t.junction, t.lonelyseg, t.junction_downstream,
+        |         t.segidx_upstream, t.segdepth_upstream
+        |  FROM con c
+        |  JOIN icd i ON i.w = c.w AND i.segidx = c.consegno
+        |  LEFT JOIN nonicd t ON t.w = c.w AND t.segidx = i.segnxt
+        |  WHERE c.consegno = t.segidx_upstream),
+        |direct AS (  -- anti-join remainder joins its segment directly
+        |  SELECT c.w, c.conidx, c.consegno, c.condepth, c.conpres,
+        |         CAST(NULL AS INT) AS icd_segidx, CAST(NULL AS INT) AS icd_segnxt,
+        |         CAST(NULL AS INT) AS icd_segbrno, CAST(NULL AS DOUBLE) AS icd_segdepth,
+        |         t.segidx, t.segnxt, t.segbrno, t.segdepth, t.segpres,
+        |         t.leaf, t.junction, t.lonelyseg, t.junction_downstream,
+        |         t.segidx_upstream, t.segdepth_upstream
+        |  FROM con c JOIN nonicd t ON t.w = c.w AND t.segidx = c.consegno
+        |  WHERE NOT EXISTS (SELECT 1 FROM icd i
+        |                    WHERE i.w = c.w AND i.segidx = c.consegno)),
+        |unioned AS (SELECT * FROM via UNION ALL SELECT * FROM direct)
+        |SELECT 'W' || w AS well, conidx, consegno, condepth, conpres,
+        |       icd_segidx, icd_segnxt, icd_segbrno, icd_segdepth,
+        |       segidx, segnxt, segbrno, segdepth, segpres,
+        |       leaf, junction, lonelyseg, junction_downstream,
+        |       segidx_upstream, segdepth_upstream,
+        |       conpres - segpres AS completion_dp
+        |FROM unioned
+        |ORDER BY well, conidx""".stripMargin,
+  )
+}
