@@ -73,7 +73,9 @@ object FipReports {
       .withColumn("regionHere",
         when(col("family") === fipname,
           regexp_extract(col("line"), AnyRegionRe, 2).cast("int"))
-          .when(col("family") =!= "", lit(-1))) // other family → block closes
+          .when(col("family") =!= "", lit(-1)) // other family → block closes
+          // the table footer closes the block too (fipreports.py:162-164)
+          .when(col("line").startsWith(" ============================"), lit(-1)))
       // the carried scan state: current date + current region block
       .withColumn("DATE", last(col("dateHere"), ignoreNulls = true).over(w))
       .withColumn("REGION", last(col("regionHere"), ignoreNulls = true).over(w))

@@ -86,8 +86,64 @@ object ModuleOracles {
       .orderBy(col("well"), col("conidx"))
   }
 
+  private val PrtFiles = 20
+
+  /** One generated PRT file: a dated FIPNUM region-1 block with all four
+    * report-row shapes (3/2/1-column oil and gas sections), a `====` table
+    * footer followed by a stray report row (must be dropped — the footer
+    * closes the block, fipreports.py:162-164), a FIPZON block (other
+    * family — also dropped), then a second date and a FIPNUM region-2
+    * block. Every numeric cell is `base·r + f` with r the row kind.
+    */
+  private def prtLines(f: Int): Seq[String] = {
+    def v(r: Int, base: Int) = s"${base * r + f}.0"
+    def oil3(r: Int) = s"${v(r, 100)}    ${v(r, 200)}    ${v(r, 300)}"
+    def gas3(r: Int) = s"${v(r, 500)}    ${v(r, 600)}    ${v(r, 700)}"
+    def cur3(r: Int) =
+      s" :CURRENTLY IN PLACE       :   ${oil3(r)}:   ${v(r, 400)}:   ${gas3(r)}:"
+    Seq(
+      "RUNNING SIMULATION",
+      s"  REPORT   1     1 JAN ${2000 + f}",
+      "  BAL  :FIPNUM  REPORT REGION    1        :",
+      cur3(1),
+      s" :OUTFLOW TO REGION   2    :   ${v(2, 100)}    ${v(2, 300)}:   ${v(2, 400)}:   ${v(2, 500)}    ${v(2, 700)}:",
+      s" :MATERIAL BALANCE ERROR.  :   ${v(3, 300)}:   ${v(3, 400)}:   ${v(3, 700)}:",
+      s" :ORIGINALLY IN PLACE      :   ${oil3(4)}:   ${v(4, 400)}:   ${gas3(4)}:",
+      " ============================",
+      cur3(8), // after the footer: excluded
+      s"  REPORT   2    15 FEB ${2000 + f}",
+      "  BAL  :FIPZON  REPORT REGION    7        :",
+      cur3(9), // other FIP family: excluded
+      "  BAL  :FIPNUM  REPORT REGION    2        :",
+      cur3(5))
+  }
+
+  /** S8 under the oracle gate: the stateful PRT scan as pure relational
+    * operators — date and region-block forward-fill windows over per-file
+    * line ordinals (fipreports.py:123-170 scan state), family/footer block
+    * closing, and the colon-sectioned 3/2/1-column row parse
+    * (fipreports.py:34-97) — 20 files in one plan keyed on src.
+    */
+  def q52Fipreports(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = (0 until PrtFiles).flatMap(f =>
+      prtLines(f).zipWithIndex.map { case (l, i) => (l, i.toLong, s"f$f") })
+      .toDF("line", "idx", "src")
+    graft.modules.FipReports.fromLines(lines)
+      .select(col("DATE").as("date"), col("FIPNAME").as("fipname"),
+        col("REGION").as("region"), col("DATATYPE").as("datatype"),
+        col("TO_REGION").as("to_region"), col("STOIIP_OIL").as("stoiip_oil"),
+        col("ASSOCIATEDOIL_GAS").as("associatedoil_gas"),
+        col("STOIIP_TOTAL").as("stoiip_total"),
+        col("WIIP_TOTAL").as("wiip_total"), col("GIIP_GAS").as("giip_gas"),
+        col("ASSOCIATEDGAS_OIL").as("associatedgas_oil"),
+        col("GIIP_TOTAL").as("giip_total"))
+      .orderBy(col("date"), col("region"), col("datatype"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_rft_topology" -> (q51RftTopology _),
+    "q52_fipreports" -> (q52Fipreports _),
   )
 
   /** The q51 oracle rebuilds the same segment/connection corpus in closed
@@ -98,6 +154,100 @@ object ModuleOracles {
     * path.
     */
   val oracleSql: Map[String, String] = Map(
+    /* The q52 oracle builds the same PRT lines by template and replays
+     * the scan relationally: regex date/region extraction, IGNORE NULLS
+     * forward-fill windows per file, family/footer block close, and the
+     * colon-section split with 3/2/1-column oil/gas parsing. */
+    "q52_fipreports" ->
+      s"""WITH files AS (SELECT CAST(unnest(range($PrtFiles)) AS BIGINT) AS f),
+        |tmpl(idx, kind, r) AS (VALUES
+        |  (0, 'noise', 0), (1, 'date1', 0), (2, 'hdr1', 0), (3, 'cur', 1),
+        |  (4, 'out', 2), (5, 'mat', 3), (6, 'orig', 4), (7, 'eq', 0),
+        |  (8, 'cur', 8), (9, 'date2', 0), (10, 'hdrz', 0), (11, 'cur', 9),
+        |  (12, 'hdr2', 0), (13, 'cur', 5)),
+        |lines AS (
+        |  SELECT f, idx,
+        |    CASE kind
+        |      WHEN 'noise' THEN 'RUNNING SIMULATION'
+        |      WHEN 'date1' THEN '  REPORT   1     1 JAN ' || (2000 + f)
+        |      WHEN 'date2' THEN '  REPORT   2    15 FEB ' || (2000 + f)
+        |      WHEN 'hdr1' THEN '  BAL  :FIPNUM  REPORT REGION    1        :'
+        |      WHEN 'hdr2' THEN '  BAL  :FIPNUM  REPORT REGION    2        :'
+        |      WHEN 'hdrz' THEN '  BAL  :FIPZON  REPORT REGION    7        :'
+        |      WHEN 'eq' THEN ' ============================'
+        |      WHEN 'cur' THEN ' :CURRENTLY IN PLACE       :   '
+        |        || (100*r+f) || '.0    ' || (200*r+f) || '.0    ' || (300*r+f)
+        |        || '.0:   ' || (400*r+f) || '.0:   ' || (500*r+f) || '.0    '
+        |        || (600*r+f) || '.0    ' || (700*r+f) || '.0:'
+        |      WHEN 'out' THEN ' :OUTFLOW TO REGION   2    :   '
+        |        || (100*r+f) || '.0    ' || (300*r+f) || '.0:   ' || (400*r+f)
+        |        || '.0:   ' || (500*r+f) || '.0    ' || (700*r+f) || '.0:'
+        |      WHEN 'mat' THEN ' :MATERIAL BALANCE ERROR.  :   '
+        |        || (300*r+f) || '.0:   ' || (400*r+f) || '.0:   '
+        |        || (700*r+f) || '.0:'
+        |      WHEN 'orig' THEN ' :ORIGINALLY IN PLACE      :   '
+        |        || (100*r+f) || '.0    ' || (200*r+f) || '.0    ' || (300*r+f)
+        |        || '.0:   ' || (400*r+f) || '.0:   ' || (500*r+f) || '.0    '
+        |        || (600*r+f) || '.0    ' || (700*r+f) || '.0:'
+        |    END AS line
+        |  FROM files, tmpl),
+        |scan AS (
+        |  SELECT f, idx, line,
+        |    CASE WHEN regexp_matches(line,
+        |           '^\\s{1,3}REPORT\\s+\\d+\\s+\\d+\\s+[A-Z]{3}\\s+\\d+')
+        |      THEN make_date(
+        |        CAST(regexp_extract(line,
+        |          'REPORT\\s+\\d+\\s+\\d+\\s+[A-Z]{3}\\s+(\\d+)', 1) AS INT),
+        |        CASE regexp_extract(line,
+        |          'REPORT\\s+\\d+\\s+\\d+\\s+([A-Z]{3})', 1)
+        |          WHEN 'JAN' THEN 1 WHEN 'FEB' THEN 2 END,
+        |        CAST(regexp_extract(line, 'REPORT\\s+\\d+\\s+(\\d+)', 1) AS INT))
+        |    END AS date_here,
+        |    CASE WHEN regexp_extract(line,
+        |           ':\\s*(FIP[A-Z0-9_]*)\\s+REPORT\\s+REGION', 1) = 'FIPNUM'
+        |           THEN CAST(regexp_extract(line,
+        |             'REPORT\\s+REGION\\s+(\\d+)', 1) AS INT)
+        |         WHEN regexp_extract(line,
+        |           ':\\s*(FIP[A-Z0-9_]*)\\s+REPORT\\s+REGION', 1) <> '' THEN -1
+        |         WHEN line LIKE ' ============================%' THEN -1
+        |    END AS region_here
+        |  FROM lines),
+        |st AS (
+        |  SELECT f, idx, line,
+        |    last_value(date_here IGNORE NULLS)
+        |      OVER (PARTITION BY f ORDER BY idx) AS date,
+        |    last_value(region_here IGNORE NULLS)
+        |      OVER (PARTITION BY f ORDER BY idx) AS region
+        |  FROM scan),
+        |rpt AS (SELECT * FROM st
+        |        WHERE region IS NOT NULL AND region <> -1
+        |          AND regexp_matches(trim(line),
+        |            '^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY)')),
+        |parsed AS (
+        |  SELECT date, region, line, string_split(line, ':') AS s,
+        |         string_split_regex(trim(string_split(line, ':')[3]), '\\s+') AS oil,
+        |         trim(string_split(line, ':')[4]) AS water,
+        |         string_split_regex(trim(string_split(line, ':')[5]), '\\s+') AS gas
+        |  FROM rpt)
+        |SELECT date, 'FIPNUM' AS fipname, region,
+        |  CASE WHEN contains(line, 'OUTFLOW TO REGION') THEN 'OUTFLOW TO REGION'
+        |       ELSE upper(trim(regexp_replace(s[2], '\\s+', ' ', 'g'))) END
+        |    AS datatype,
+        |  CASE WHEN contains(line, 'OUTFLOW TO REGION')
+        |       THEN CAST(regexp_extract(s[2], 'REGION\\s+(\\d+)', 1) AS INT) END
+        |    AS to_region,
+        |  CASE WHEN len(oil) >= 2 THEN CAST(oil[1] AS DOUBLE) END AS stoiip_oil,
+        |  CASE WHEN len(oil) = 3 THEN CAST(oil[2] AS DOUBLE) END
+        |    AS associatedoil_gas,
+        |  CAST(oil[len(oil)] AS DOUBLE) AS stoiip_total,
+        |  CAST(water AS DOUBLE) AS wiip_total,
+        |  CASE WHEN len(gas) >= 2 THEN CAST(gas[1] AS DOUBLE) END AS giip_gas,
+        |  CASE WHEN len(gas) = 3 THEN CAST(gas[2] AS DOUBLE) END
+        |    AS associatedgas_oil,
+        |  CAST(gas[len(gas)] AS DOUBLE) AS giip_total
+        |FROM parsed
+        |ORDER BY date, region, datatype""".stripMargin,
+
     "q51_rft_topology" ->
       s"""WITH wells AS (SELECT CAST(unnest(range($Wells)) AS BIGINT) AS w),
         |edges(segidx, segnxt, segbrno) AS (VALUES
