@@ -302,17 +302,32 @@ object Summary {
   }
 
   /** Duplicate-timestamp disambiguation (W5, _ensure_unique_datetime_index
-    * summary.py:435-483): the n-th row sharing a DATE within a vector gets
-    * n × `stepSeconds` added, preserving report-step ordering.
+    * summary.py:435-483): every row AFTER the first sharing a DATE within
+    * a vector gets an offset added, preserving report-step ordering.
+    *
+    * With `timestep` supplied, the offset is the row's OWN TIMESTEP value
+    * scaled by `timestepUnit` (DAYS or HOURS — any other unit throws,
+    * matching the reference's ValueError); without it, the n-th duplicate
+    * gets n × `stepSeconds` (a deterministic fallback the reference does
+    * not have — it refuses outright when TIMESTEP is absent).
     */
   def ensureUniqueDates(df: DataFrame, keys: Seq[String], ord: Seq[Column],
-      stepSeconds: Double = 1.0): DataFrame = {
+      stepSeconds: Double = 1.0, timestep: Option[Column] = None,
+      timestepUnit: String = "DAYS"): DataFrame = {
+    val secondsPerUnit = timestepUnit.toUpperCase match {
+      case "DAYS" => 86400.0
+      case "HOURS" => 3600.0
+      case u => throw new IllegalArgumentException(
+        s"TIMESTEP unit $u not recognized (expected DAYS or HOURS)")
+    }
+    val offsetSeconds = timestep.map(_ * secondsPerUnit)
+      .getOrElse(col("__n") * stepSeconds)
     val w = Window.partitionBy((keys :+ "DATE").map(col).toIndexedSeq: _*)
       .orderBy(ord.toIndexedSeq: _*)
     df.withColumn("__n", row_number().over(w) - 1)
       .withColumn("DATE",
         when(col("__n") > 0,
-          col("DATE") + make_dt_interval(lit(0), lit(0), lit(0), col("__n") * stepSeconds))
+          col("DATE") + make_dt_interval(lit(0), lit(0), lit(0), offsetSeconds))
           .otherwise(col("DATE")))
       .drop("__n")
   }

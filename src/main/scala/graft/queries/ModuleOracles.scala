@@ -141,9 +141,61 @@ object ModuleOracles {
       .orderBy(col("date"), col("region"), col("datatype"))
   }
 
+  private val Cases = 20
+
+  /** The q53 summary corpus: per case, a three-hop restart ancestry
+    * (grandparent Jan 1-6, parent restarts Jan 4-8, child restarts Jan 7
+    * with a duplicate Jan 8 report step). Case identity rides in the
+    * vector name ("V0@c3"), so all [[Cases]] chains fold in ONE plan —
+    * chainRestart is keyed per vector by construction. Even cases carry a
+    * DAYS-unit TIMESTEP (0.25 → +6 h on the duplicate), odd cases HOURS
+    * (0.25 → +15 min).
+    */
+  private def summaryRuns(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def day(d: Int) = ts(f"2000-01-${d}%02d 00:00:00")
+    def rows(firstDay: Int, dayOff: Int => Int, steps: Int, valOff: Int) =
+      (0 until Cases).flatMap { c =>
+        (0 until 2).flatMap { k =>
+          (0 until steps).map { i =>
+            (s"V$k@c$c", day(firstDay + dayOff(i)),
+              (100000 * k + 1000 * c + valOff + i).toDouble, 0.25,
+              if (c % 2 == 0) "DAYS" else "HOURS", i)
+          }
+        }
+      }.toDF("VECTOR", "DATE", "VALUE", "TIMESTEP", "UNIT", "STEP")
+    (rows(1, identity, 6, 0),              // grandparent: Jan 1..6
+      rows(4, identity, 5, 100),           // parent: Jan 4..8
+      rows(7, Seq(0, 1, 1, 2), 4, 200))    // child: Jan 7, 8, 8 (dup), 9
+  }
+
+  /** W5 + restart chaining under the oracle gate: chainRestart folds a
+    * three-hop RESTART ancestry ("the restarted run owns every date from
+    * its start", summary.py:299/332 / resdata include_restart) and
+    * ensureUniqueDates separates the surviving duplicate report step by
+    * its own TIMESTEP value in the frame's unit
+    * (_ensure_unique_datetime_index, summary.py:435-483) — 20 chains, 40
+    * vectors, one plan.
+    */
+  def q53SummaryRestart(s: SparkSession, dir: String): DataFrame = {
+    import graft.modules.Summary
+    val (gp, parent, child) = summaryRuns(s)
+    val chained = Summary.chainRestart(Summary.chainRestart(gp, parent), child)
+    val fixed = Seq("DAYS", "HOURS").map { u =>
+      Summary.ensureUniqueDates(chained.filter(col("UNIT") === u),
+        Seq("VECTOR"), Seq(col("STEP")),
+        timestep = Some(col("TIMESTEP")), timestepUnit = u)
+    }.reduce(_ unionByName _)
+    fixed.select(col("VECTOR").as("vector"), col("DATE").as("date"),
+        col("VALUE").as("value"), col("TIMESTEP").as("timestep"))
+      .orderBy(col("vector"), col("date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_rft_topology" -> (q51RftTopology _),
     "q52_fipreports" -> (q52Fipreports _),
+    "q53_summary_restart" -> (q53SummaryRestart _),
   )
 
   /** The q51 oracle rebuilds the same segment/connection corpus in closed
@@ -154,6 +206,49 @@ object ModuleOracles {
     * path.
     */
   val oracleSql: Map[String, String] = Map(
+    /* The q53 oracle rebuilds the three runs in closed form and replays
+     * the chain relationally: each hop keeps ancestor rows strictly
+     * before the per-vector min date of the newer run (history rewrite),
+     * then the duplicate-timestamp CTE offsets every post-first row
+     * sharing a (vector, date) by its TIMESTEP in the case's unit. */
+    "q53_summary_restart" ->
+      s"""WITH cases AS (SELECT CAST(unnest(range($Cases)) AS BIGINT) AS c),
+        |ks AS (SELECT CAST(unnest(range(2)) AS BIGINT) AS k),
+        |gp AS (SELECT c, k, CAST(i AS INT) AS step,
+        |         TIMESTAMP '2000-01-01' + CAST(i AS INT) * INTERVAL 1 DAY AS date,
+        |         CAST(100000*k + 1000*c + i AS DOUBLE) AS value
+        |       FROM cases, ks, (SELECT unnest(range(6)) AS i)),
+        |par AS (SELECT c, k, CAST(i AS INT) AS step,
+        |         TIMESTAMP '2000-01-04' + CAST(i AS INT) * INTERVAL 1 DAY AS date,
+        |         CAST(100000*k + 1000*c + 100 + i AS DOUBLE) AS value
+        |       FROM cases, ks, (SELECT unnest(range(5)) AS i)),
+        |ch AS (SELECT c, k, CAST(i AS INT) AS step,
+        |         TIMESTAMP '2000-01-07' + (CASE WHEN i = 0 THEN 0
+        |           WHEN i = 3 THEN 2 ELSE 1 END) * INTERVAL 1 DAY AS date,
+        |         CAST(100000*k + 1000*c + 200 + i AS DOUBLE) AS value
+        |       FROM cases, ks, (SELECT unnest(range(4)) AS i)),
+        |minp AS (SELECT c, k, min(date) AS md FROM par GROUP BY 1, 2),
+        |minc AS (SELECT c, k, min(date) AS md FROM ch GROUP BY 1, 2),
+        |chained AS (
+        |  SELECT g.* FROM gp g
+        |    JOIN minp ON minp.c = g.c AND minp.k = g.k
+        |    JOIN minc ON minc.c = g.c AND minc.k = g.k
+        |  WHERE g.date < minp.md AND g.date < minc.md
+        |  UNION ALL
+        |  SELECT p.* FROM par p JOIN minc ON minc.c = p.c AND minc.k = p.k
+        |  WHERE p.date < minc.md
+        |  UNION ALL SELECT * FROM ch),
+        |dedup AS (SELECT *, row_number()
+        |            OVER (PARTITION BY c, k, date ORDER BY step) - 1 AS n
+        |          FROM chained)
+        |SELECT 'V' || k || '@c' || c AS vector,
+        |  CASE WHEN n > 0 THEN date + CASE WHEN c % 2 = 0
+        |       THEN INTERVAL 21600 SECOND ELSE INTERVAL 900 SECOND END
+        |       ELSE date END AS date,
+        |  value, CAST(0.25 AS DOUBLE) AS timestep
+        |FROM dedup
+        |ORDER BY vector, date""".stripMargin,
+
     /* The q52 oracle builds the same PRT lines by template and replays
      * the scan relationally: regex date/region extraction, IGNORE NULLS
      * forward-fill windows per file, family/footer block close, and the
