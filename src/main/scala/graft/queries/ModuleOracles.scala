@@ -192,10 +192,67 @@ object ModuleOracles {
       .orderBy(col("vector"), col("date"))
   }
 
+  /** The q54 corpus: per well, four connections on layers 1-4 (zonemap
+    * covers 1-2 → A, 3 → B; layer 4 unmapped and dropped), a Feb
+    * status flip on connection 1, plus X-prefixed clone wells that the
+    * exclusion filter must drop. Even wells also get CPI summary vectors
+    * (0→5→0 on conn 1, first-positive on conn 2, all-zero on conn 3), so
+    * their completion history comes from the connection-status change log
+    * instead of compdat.
+    */
+  private def wcdCompdat(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val d1 = java.sql.Date.valueOf("2000-01-01")
+    val d2 = java.sql.Date.valueOf("2000-02-01")
+    (0 until Wells).flatMap { w =>
+      Seq("W", "X").flatMap { p =>
+        val well = s"$p$w"
+        Seq(
+          (well, 1, 1, 1, 1, "OPEN", 10.0 + w, d1),
+          (well, 1, 1, 2, 2, "OPEN", 20.0 + w, d1),
+          (well, 1, 1, 3, 3, "SHUT", 30.0 + w, d1),
+          (well, 1, 1, 4, 4, "OPEN", 40.0 + w, d1),
+          (well, 1, 1, 1, 1, "SHUT", 10.0 + w, d2))
+      }
+    }.toDF("WELL", "I", "J", "K1", "K2", "OP/SH", "KH", "DATE")
+  }
+
+  private def wcdCpi(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val dates = Seq("2000-01-01", "2000-02-01", "2000-03-01")
+      .map(java.sql.Date.valueOf)
+    (0 until Wells by 2).flatMap { w =>
+      Seq(
+        (s"CPI:W$w:1,1,1", dates(0), 0.0), (s"CPI:W$w:1,1,1", dates(1), 5.0),
+        (s"CPI:W$w:1,1,1", dates(2), 0.0),
+        (s"CPI:W$w:1,1,2", dates(0), 3.0),
+        (s"CPI:W$w:1,1,3", dates(0), 0.0), (s"CPI:W$w:1,1,3", dates(1), 0.0))
+    }.toDF("VECTOR", "DATE", "VALUE")
+  }
+
+  /** J8/A4 (+P12/W3/J4) under the oracle gate: the whole
+    * wellcompletiondata pipeline — CPI-vector change detection
+    * (wellconnstatus.py:38-86), connstatus-over-compdat merge with the
+    * compdat-only remainder (wellcompletiondata.py:168-215), well-prefix
+    * exclusion, zonemap lookup with unmapped-layer drop, and the
+    * zone-level KH/status rollup (wellcompletiondata.py:141-165) — 20
+    * wells in one plan keyed on WELL.
+    */
+  def q54WellCompletion(s: SparkSession, dir: String): DataFrame = {
+    val cs = graft.modules.WellOps.wellConnStatus(wcdCpi(s))
+    graft.modules.WellCompletionData.df(wcdCompdat(s),
+        zonemap = Map(1 -> "A", 2 -> "A", 3 -> "B"),
+        connstatus = Some(cs), excludeWellPrefix = Some("X"))
+      .select(col("WELL").as("well"), col("ZONE").as("zone"),
+        col("DATE").as("date"), col("KH").as("kh"), col("OP/SH").as("op_sh"))
+      .orderBy(col("well"), col("zone"), col("date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_rft_topology" -> (q51RftTopology _),
     "q52_fipreports" -> (q52Fipreports _),
     "q53_summary_restart" -> (q53SummaryRestart _),
+    "q54_wellcompletion" -> (q54WellCompletion _),
   )
 
   /** The q51 oracle rebuilds the same segment/connection corpus in closed
@@ -206,6 +263,58 @@ object ModuleOracles {
     * path.
     */
   val oracleSql: Map[String, String] = Map(
+    /* The q54 oracle rebuilds the corpus (W-prefixed wells only — the X
+     * clones fall to the exclusion filter) and replays the pipeline:
+     * lag-window change detection over CPI samples, connstatus rows
+     * joined to compdat attributes with the compdat-only-well remainder,
+     * inline zonemap with unmapped layers dropped, and the
+     * any-open/KH-sum zone rollup. */
+    "q54_wellcompletion" ->
+      s"""WITH wells AS (SELECT CAST(unnest(range($Wells)) AS BIGINT) AS w),
+        |compdat AS (
+        |  SELECT 'W' || w AS well, r.k1, r.opsh, r.kh0 + w AS kh, r.d AS date
+        |  FROM wells, (VALUES (1, 'OPEN', 10.0, DATE '2000-01-01'),
+        |                      (2, 'OPEN', 20.0, DATE '2000-01-01'),
+        |                      (3, 'SHUT', 30.0, DATE '2000-01-01'),
+        |                      (4, 'OPEN', 40.0, DATE '2000-01-01'),
+        |                      (1, 'SHUT', 10.0, DATE '2000-02-01'))
+        |       r(k1, opsh, kh0, d)),
+        |cpi AS (SELECT 'W' || w AS well, r.k, r.d AS date, r.v AS value
+        |        FROM wells, (VALUES (1, DATE '2000-01-01', 0.0),
+        |                            (1, DATE '2000-02-01', 5.0),
+        |                            (1, DATE '2000-03-01', 0.0),
+        |                            (2, DATE '2000-01-01', 3.0),
+        |                            (3, DATE '2000-01-01', 0.0),
+        |                            (3, DATE '2000-02-01', 0.0)) r(k, d, v)
+        |        WHERE w % 2 = 0),
+        |cs AS (  -- W3: 0→positive = OPEN (first positive too), positive→0 = SHUT
+        |  SELECT well, k, date,
+        |         CASE WHEN open THEN 'OPEN' ELSE 'SHUT' END AS opsh
+        |  FROM (SELECT *, value > 0 AS open,
+        |               lag(value > 0) OVER (PARTITION BY well, k ORDER BY date)
+        |                 AS prev
+        |        FROM cpi)
+        |  WHERE (prev IS NULL AND open) OR (prev IS NOT NULL AND prev <> open)),
+        |merged AS (  -- J8: connstatus wins where present, compdat elsewhere
+        |  SELECT c.well, c.k AS k1, c.date, c.opsh, a.kh
+        |  FROM cs c JOIN (SELECT DISTINCT well, k1, kh FROM compdat) a
+        |    ON a.well = c.well AND a.k1 = c.k
+        |  UNION ALL
+        |  SELECT well, k1, date, opsh, kh FROM compdat
+        |  WHERE well NOT IN (SELECT DISTINCT well FROM cs)),
+        |zoned AS (  -- J4: zonemap lookup, unmapped layers dropped
+        |  SELECT m.*, CASE WHEN k1 IN (1, 2) THEN 'A'
+        |                   WHEN k1 = 3 THEN 'B' END AS zone
+        |  FROM merged m)
+        |SELECT well, zone, date,
+        |  CAST(coalesce(sum(CASE WHEN opsh = 'OPEN' THEN kh END), 0) AS DOUBLE)
+        |    AS kh,
+        |  CASE WHEN max(CASE WHEN opsh = 'OPEN' THEN 1 ELSE 0 END) = 1
+        |       THEN 'OPEN' ELSE 'SHUT' END AS op_sh
+        |FROM zoned WHERE zone IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY well, zone, date""".stripMargin,
+
     /* The q53 oracle rebuilds the three runs in closed form and replays
      * the chain relationally: each hop keeps ancestor rows strictly
      * before the per-vector min date of the newer run (history rewrite),
