@@ -315,7 +315,10 @@ object Multimodal {
     * UDF — same batch shape, no per-row closure dispatch in the hot loop).
     * Payloads that decode as images get REAL features ([[imageFeatures]]),
     * WAV payloads real audio features ([[audioFeatures]]); everything else
-    * falls back to the deterministic stub fold.
+    * falls back to the deterministic stub fold. The `decoder` column
+    * records which path produced each row ("image" / "wav" / "stub") so a
+    * corrupt payload can never masquerade as decoded media downstream —
+    * similarity search and audits filter on it.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -323,21 +326,22 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("media_type", StringType),
       StructField("n_bytes", LongType),
+      StructField("decoder", StringType, nullable = false),
       StructField("features", ArrayType(FloatType))))
     val rdd = media.select(col("media_id"), col("media_type"), col("content")).rdd
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          val feats = decodeImage(bytes) match {
-            case Some(img) => imageFeatures(img)
+          val (decoder, feats) = decodeImage(bytes) match {
+            case Some(img) => ("image", imageFeatures(img))
             case None => decodeWav(bytes) match {
-              case Some(w) => audioFeatures(w)
-              case None => decodeStub(bytes)
+              case Some(w) => ("wav", audioFeatures(w))
+              case None => ("stub", decodeStub(bytes))
             }
           }
           Row(r.getLong(0), r.getString(1),
             if (bytes == null) 0L else bytes.length.toLong,
-            feats.toSeq)
+            decoder, feats.toSeq)
         }
       }
     spark.createDataFrame(rdd, outSchema)

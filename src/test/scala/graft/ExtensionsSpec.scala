@@ -21,6 +21,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val f1 = r.getSeq[Float](r.fieldIndex("features"))
     assert(f1.length == Multimodal.FeatureDim)
     assert(r.getAs[Long]("n_bytes") > 0)
+    assert(r.getAs[String]("decoder") == "stub") // text payload: provenance says so
     // determinism: same input bytes, same features
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect().head
     assert(again.getSeq[Float](again.fieldIndex("features")) == f1)
@@ -87,8 +88,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(meta.getAs[Float]("sample_rate") == 8000f &&
       meta.getAs[Int]("channels") == 1 && meta.getAs[Long]("frames") == 200L)
     assert(math.abs(meta.getAs[Double]("duration_s") - 0.025) < 1e-9)
-    val feats = Multimodal.extractFeatures(media).collect().head
-      .getAs[scala.collection.Seq[Float]]("features")
+    val featRow = Multimodal.extractFeatures(media).collect().head
+    assert(featRow.getAs[String]("decoder") == "wav")
+    val feats = featRow.getAs[scala.collection.Seq[Float]]("features")
     assert(feats(0) == 8000f && feats(1) == 1f && feats(2) == 200f)
     val expRms = math.sqrt(samples.map(s => math.pow(s / 32768.0, 2)).sum / 200)
     assert(math.abs(feats(4) - expRms) < 1e-4)
@@ -131,8 +133,29 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = Multimodal.extractFeatures(media).collect().head
     val f = r.getSeq[Float](r.fieldIndex("features"))
     assert(f.length == Multimodal.FeatureDim)
+    assert(r.getAs[String]("decoder") == "image")
     assert(f(0) == 6.0f && f(1) == 4.0f && f(2) == 3.0f) // w, h, channels
     assert(f(3) == 50.0f && f(4) == 100.0f && f(5) == 150.0f) // channel means
+  }
+
+  test("multimodal: corrupt payloads are flagged stub, never decoded media") {
+    // a truncated PNG and a truncated WAV: magic bytes present, body gone —
+    // both must fall to the stub path and SAY so in the decoder column
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val corruptPng = Multimodal.encodePng(img).take(12)
+    val corruptWav = Multimodal.encodeWav(Array.tabulate(50)(_.toShort), 8000, 1).take(16)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "image", corruptPng,
+          org.apache.spark.sql.Row("synthetic", corruptPng.length.toLong)),
+        org.apache.spark.sql.Row(2L, "audio", corruptWav,
+          org.apache.spark.sql.Row("synthetic", corruptWav.length.toLong))),
+      Multimodal.MediaSchema)
+    val rows = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[String]("decoder") == "stub"))
+    // downstream can filter decoded media without inspecting payloads
+    assert(Multimodal.extractFeatures(media)
+      .filter(col("decoder") =!= "stub").count() == 0)
   }
 
   test("multimodal: frame sampling emits evenly spaced offsets") {
