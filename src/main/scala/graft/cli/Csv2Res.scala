@@ -13,16 +13,31 @@ import graft.write.{IncludeWriter, SummaryWriter}
   *    [[SummaryWriter]] (csv2res.py:43-50 / df2ressum).
   *  - `Csv2Res vfp <in.csv> [out.inc]` — a long-form VFPPROD table CSV
   *    becomes VFP include text (csv2res.py:70-80).
+  *  - `Csv2Res equil|pvt|satfunc <in.csv> [out.inc] [--keywords A,B]` —
+  *    the reference's typed reverse subcommands (csv2res.py:51-79): the
+  *    module CSV routes through the df2res dispatcher with the module's
+  *    region-consecutiveness check (EQLNUM/PVTNUM/SATNUM) and default
+  *    output name (solution.inc / pvt.inc / relperm.inc; `-` = stdout).
   *  - `Csv2Res <KEYWORD> <in.csv> [out.inc]` — a tidy CSV becomes keyword
   *    include text via the generic fixed-width writer; a CSV carrying its
   *    own KEYWORD column routes through the df2res dispatcher. Round-trips
   *    with Res2Csv through the deck parser.
   */
 object Csv2Res {
+
+  /** subcommand → (region column to check consecutive, default output) —
+    * reference equil.py:396/pvt.py:284,352/satfunc.py:193,266.
+    */
+  private val TypedSubcommands = Map(
+    "EQUIL" -> ("EQLNUM", "solution.inc"),
+    "PVT" -> ("PVTNUM", "pvt.inc"),
+    "SATFUNC" -> ("SATNUM", "relperm.inc"))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Csv2Res <summary|vfp|KEYWORD> <in.csv> [out.inc|out_basepath]")
+        "usage: Csv2Res <summary|vfp|equil|pvt|satfunc|KEYWORD> <in.csv> " +
+          "[out.inc|out_basepath] [--keywords A,B]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -48,6 +63,20 @@ object Csv2Res {
         val text = IncludeWriter.vfpprod(readCsv())
         if (args.length >= 3) Files.writeString(Paths.get(args(2)), text)
         else print(text)
+      case m if TypedSubcommands.contains(m) =>
+        val (regionCol, defaultOut) = TypedSubcommands(m)
+        val rest = args.drop(2).toSeq
+        val kwIdx = rest.indexOf("--keywords")
+        val keywords =
+          if (kwIdx >= 0 && kwIdx + 1 < rest.size)
+            Some(rest(kwIdx + 1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          else None
+        val out = rest.zipWithIndex
+          .filterNot { case (_, i) => i == kwIdx || i == kwIdx + 1 }
+          .map(_._1).find(!_.startsWith("--")).getOrElse(defaultOut)
+        val text = typedCsvToInclude(readCsv(), regionCol, keywords)
+        if (out == "-") print(text)
+        else Files.writeString(Paths.get(out), text)
       case kw =>
         // a CSV carrying its own KEYWORD column routes through the df2res
         // dispatcher (mixed keywords, table families); otherwise the named
@@ -60,6 +89,19 @@ object Csv2Res {
         else print(text)
     }
     spark.stop()
+  }
+
+  /** Typed reverse subcommand core (equil/pvt/satfunc reverse mains,
+    * equil.py:351-359 and siblings): the module CSV (KEYWORD column in
+    * res2df format) through the df2res dispatcher with an optional
+    * keyword filter and the module's region-consecutiveness check.
+    * Testable without the filesystem.
+    */
+  def typedCsvToInclude(df: org.apache.spark.sql.DataFrame, regionCol: String,
+      keywords: Option[Seq[String]]): String = {
+    require(df.columns.contains("KEYWORD"),
+      s"typed csv2res subcommand needs a KEYWORD column, got ${df.columns.mkString(",")}")
+    IncludeWriter.df2res(df, keywords = keywords, consecutive = Some(regionCol))
   }
 
   /** Wide summary CSV (DATE + one column per vector mnemonic) → binary

@@ -300,6 +300,43 @@ class RoundTripSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().map(_.getName).toSeq == Seq("out.csv"))
   }
 
+  test("csv2res typed subcommands: equil/pvt/satfunc CSV round-trips through df2res") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv2res").toString
+    // module frame -> CSV file -> typed subcommand core -> include text
+    def viaCsv(df: org.apache.spark.sql.DataFrame, region: String,
+        kws: Option[Seq[String]] = None): String = {
+      val p = s"$dir/$region.csv"
+      val cols = df.columns
+      val rows = df.collect().map(r => cols.indices.map(i =>
+        Option(r.get(i)).map(_.toString).getOrElse("")).mkString(","))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        (cols.mkString(",") +: rows).mkString("\n") + "\n")
+      val back = spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(p)
+      graft.cli.Csv2Res.typedCsvToInclude(back, region, kws)
+    }
+    // equil (test_equil.py df2res round trips)
+    val eq = graft.modules.Equil.df(spark,
+      "EQUIL\n 2000 300 2100 0.5 /\n 2050 310 2150 0.7 /\n")
+    val eqBack = graft.modules.Equil.df(spark, viaCsv(eq, "EQLNUM"))
+    assert(eqBack.exceptAll(eq).isEmpty && eq.exceptAll(eqBack).isEmpty)
+    // pvt (test_pvt.py df2res round trips): two keyword families mixed
+    val pvt = graft.modules.Pvt.df(spark,
+      "DENSITY\n 800 1000 1.2 /\n 820 1010 1.3 /\nPVTW\n 200 1.03 4e-5 0.3 0 /\n 210 1.04 5e-5 0.4 0 /\n")
+    val pvtBack = graft.modules.Pvt.df(spark, viaCsv(pvt, "PVTNUM"))
+    assert(pvtBack.exceptAll(pvt).isEmpty && pvt.exceptAll(pvtBack).isEmpty)
+    // satfunc (test_satfunc.py round trips) + the --keywords filter
+    val sat = graft.modules.Satfunc.df(spark,
+      "SWOF\n 0 0 1 1\n 0.5 0.3 0.4 0.2\n 1 1 0 0\n/\nSGFN\n 0 0 1\n 1 1 0\n/\n")
+    val satBack = graft.modules.Satfunc.df(spark, viaCsv(sat, "SATNUM"))
+    assert(satBack.exceptAll(sat).isEmpty && sat.exceptAll(satBack).isEmpty)
+    val swofOnly = viaCsv(sat, "SATNUM", Some(Seq("SWOF")))
+    assert(swofOnly.contains("SWOF") && !swofOnly.contains("SGFN"))
+    // KEYWORD column is mandatory for the typed route
+    intercept[IllegalArgumentException](
+      graft.cli.Csv2Res.typedCsvToInclude(eq.drop("KEYWORD"), "EQLNUM", None))
+  }
+
   test("duplicate timestamps get TIMESTEP offsets (W5)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val df = Seq(
