@@ -121,9 +121,18 @@ object Csv2Res {
     // time axis), but a NON-empty cell that fails the double cast is a
     // malformed input ("N/A", "1,250.5") that must fail loudly, not be
     // fabricated into 0.0
+    // Same loud-failure rule for DATE: under ANSI a plain cast would throw
+    // Spark's own (row-less) error mid-plan; try_cast + require names the
+    // bad cell instead, and guards the NPE a null date would cause in
+    // SummaryWriter.
+    val badDate = df.select(col("DATE").cast("string").as("raw"))
+      .filter(col("raw").isNotNull && expr("try_cast(raw AS DATE)").isNull)
+      .limit(1).collect()
+    require(badDate.isEmpty,
+      s"csv2res summary: unparseable DATE '${badDate.headOption.map(_.getString(0)).orNull}'")
     val long = df.unpivot(Array(col("DATE").cast("date")),
       vecCols.map(col), "VECTOR", "VALUE")
-      .withColumn("__cast", col("VALUE").cast("double"))
+      .withColumn("__cast", expr("try_cast(VALUE AS DOUBLE)"))
     val bad = long.filter(col("VALUE").isNotNull && col("__cast").isNull)
       .limit(1).collect()
     require(bad.isEmpty,

@@ -427,10 +427,14 @@ object Res2Csv {
           Files.writeString(target, header + "\n")
       }
     } finally {
-      // never leave a stray .res2csv_* dir next to the user's output
-      Option(tmp.toFile.listFiles()).foreach(
-        _.foreach(f => Files.deleteIfExists(f.toPath)))
-      Files.deleteIfExists(tmp)
+      // never leave a stray .res2csv_* dir next to the user's output; a
+      // failed Spark write can leave a nested _temporary tree, so delete
+      // deepest-first, and never let cleanup shadow the write's exception
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

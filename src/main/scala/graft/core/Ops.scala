@@ -17,16 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
-  /** Glob (fnmatch-style `*`/`?`) column selection.
+  /** Glob (fnmatch-style `*`/`?`/`[seq]`/`[!seq]`) column selection.
     * Reference: wildcard vector selection, grid.py:201-207, summary.py:387-398 (P1/P2).
+    * Character classes follow Python's fnmatch.translate: `[!seq]` negates,
+    * a `]` immediately after the opening bracket (or the `!`) is literal,
+    * and an unterminated `[` matches a literal bracket.
     */
-  def globToRegex(glob: String): String =
-    "^" + glob.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-      case c => c.toString
-    } + "$"
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    val n = glob.length
+    while (i < n) {
+      val c = glob.charAt(i); i += 1
+      c match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          var j = i
+          if (j < n && glob.charAt(j) == '!') j += 1
+          if (j < n && glob.charAt(j) == ']') j += 1
+          while (j < n && glob.charAt(j) != ']') j += 1
+          if (j >= n) sb.append("\\[")
+          else {
+            var stuff = glob.substring(i, j).replace("\\", "\\\\")
+            i = j + 1
+            if (stuff.startsWith("!")) stuff = "^" + stuff.substring(1)
+            else if (stuff.startsWith("^")) stuff = "\\" + stuff
+            sb.append('[').append(stuff).append(']')
+          }
+        case c if "\\.[]{}()+-^$|".contains(c) => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+    }
+    sb.append('$').toString
+  }
 
   def globSelect(df: DataFrame, keep: Seq[String], globs: Seq[String]): DataFrame = {
     val res = globs.map(globToRegex).map(_.r)

@@ -167,6 +167,36 @@ object ScaleStress {
       Seq(timeGruptree(1000), timeGruptree(1000)).min)
     println(f"SCALE gruptree_corpus decks=100:${g1}%.2fs decks=1000:${g10}%.2fs ratio=${g10 / g1}%.1f")
 
+    // corpus-native wcon: the keyword-family union (WCONPROD/HIST/INJE/
+    // INJH) + per-deck schedule clock over one multi-deck frame — the
+    // clock join is keyed (deckId, keywordIdx), no cross-deck state
+    val wconDeck = (1 to 10).map(m =>
+      s"""WCONPROD
+         | 'P$m' 'OPEN' 'ORAT' ${m * 100.0} 4* ${m * 10.0} /
+         |/
+         |DATES
+         | 1 'JAN' ${2000 + m} /
+         |/
+         |WCONHIST
+         | 'P$m' 'OPEN' 'ORAT' ${m * 90.0} /
+         |/
+         |WCONINJE
+         | 'I$m' 'WATER' 'OPEN' 'RATE' ${m * 50.0} /
+         |/
+         |""".stripMargin).mkString
+    def timeWcon(n: Int): Double = {
+      val df = spark.createDataFrame(
+        (0 until n).flatMap(i => graft.io.DeckParser.parse(wconDeck, s"deck$i")))
+      val t0 = System.nanoTime()
+      graft.modules.Wcon.fromEvents(df, keepDeckId = true).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
+    }
+    val (w1, w10) = (Seq(timeWcon(100), timeWcon(100)).min,
+      Seq(timeWcon(1000), timeWcon(1000)).min)
+    println(f"SCALE wcon_corpus decks=100:${w1}%.2fs decks=1000:${w10}%.2fs ratio=${w10 / w1}%.1f")
+
     // the FILE-based fleet path: same compdat pipeline but through the
     // eclipse-deck DSv2 source over a directory tree of real deck FILES
     // (size-aware bin packing groups the tiny decks into ~4×parallelism
@@ -181,9 +211,12 @@ object ScaleStress {
       }
     }
     def timeFleet(n: Int): Double = {
+      // the n=100 list is explicit (r0..r99) rather than a bracket glob, so
+      // a change to the corpus naming can't silently skew the 100-vs-1000
+      // ratio; the 1000 case still exercises glob expansion
       val glob =
         if (n >= 1000) s"$fleetRoot/*/DECK.DATA"
-        else s"$fleetRoot/r[0-9]/DECK.DATA,$fleetRoot/r[0-9][0-9]/DECK.DATA"
+        else (0 until n).map(i => s"$fleetRoot/r$i/DECK.DATA").mkString(",")
       val t0 = System.nanoTime()
       graft.modules.Compdat.corpusFromPath(spark, glob).count()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -59,6 +59,17 @@ object SummaryWriter {
     // params vector always carries the clock.
     val allVectors = "TIME" +: vectors
     val restartKw = restartFrom.toSeq.map { parent =>
+      // The RESTART convention is 9 8-char cells (72 chars max) and readers
+      // (ours included, resdata too) trim each cell before re-joining, so a
+      // longer path or one with spaces cannot round-trip — fail loudly
+      // instead of writing a pointer no reader can reconstruct.
+      require(parent.length <= 72,
+        s"RESTART pointer '$parent' is ${parent.length} chars; the 9-cell " +
+          "SMSPEC RESTART convention holds at most 72 — use a shorter " +
+          "relative path to the parent case")
+      require(!parent.contains(' '),
+        s"RESTART pointer '$parent' contains a space; 8-char CHAR cells " +
+          "are whitespace-trimmed on read, so the path cannot round-trip")
       val cells = parent.grouped(8).toSeq
       char("RESTART", cells ++ Seq.fill(math.max(0, 9 - cells.length))(""))
     }

@@ -26,6 +26,15 @@ class OpsSpec extends AnyFunSuite {
     assert("WOPR:OP_1".matches(Ops.globToRegex("WOPR:*")))
     assert(!"WOPR:OP_1".matches(Ops.globToRegex("WGPR:*")))
     assert(!"AXB".matches(Ops.globToRegex("A.B"))) // dot is literal
+    // fnmatch [seq] character classes (fnmatch.translate semantics)
+    assert("PERMX".matches(Ops.globToRegex("PERM[XY]")))
+    assert("PERMY".matches(Ops.globToRegex("PERM[XY]")))
+    assert(!"PERMZ".matches(Ops.globToRegex("PERM[XY]")))
+    assert("PERMZ".matches(Ops.globToRegex("PERM[!XY]")))   // [!seq] negates
+    assert(!"PERMX".matches(Ops.globToRegex("PERM[!XY]")))
+    assert("TRANX".matches(Ops.globToRegex("TRAN[X-Z]")))   // ranges
+    assert("A]B".matches(Ops.globToRegex("A[]]B")))         // leading ] literal
+    assert("A[B".matches(Ops.globToRegex("A[B")))           // unterminated [ literal
   }
 
   test("well template matching: reference cases incl. leading-wildcard escape rule") {

@@ -261,6 +261,38 @@ class RoundTripSpec extends AnyFunSuite {
     assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
   }
 
+  test("csv2res summary: malformed DATE cell fails loudly (not an NPE downstream)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv2sum-bad").toString
+    val csv = s"$dir/in.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "DATE,FOPR\n2020-01-01,1.0\nnot-a-date,2.0\n")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Csv2Res.summaryCsvToBinary(spark, csv, s"$dir/CASE")
+    }
+    assert(e.getMessage.contains("not-a-date"))
+    val csv2 = s"$dir/in2.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv2),
+      "DATE,FOPR\n2020-01-01,1.0\n2020-02-01,N/A\n")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Csv2Res.summaryCsvToBinary(spark, csv2, s"$dir/CASE2")
+    }
+    assert(e2.getMessage.contains("N/A") && e2.getMessage.contains("FOPR"))
+  }
+
+  test("RESTART pointer: >72 chars or embedded space fails loudly at write") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart-bad").toString
+    val frame = Seq(("2020-01-01", "FOPR", 1.0)).toDF("DATE", "VECTOR", "VALUE")
+      .withColumn("DATE", to_date(col("DATE")))
+    val tooLong = "p/" * 40  // 80 chars
+    assert(intercept[IllegalArgumentException] {
+      graft.write.SummaryWriter.write(frame, s"$dir/A", restartFrom = Some(tooLong))
+    }.getMessage.contains("72"))
+    assert(intercept[IllegalArgumentException] {
+      graft.write.SummaryWriter.write(frame, s"$dir/B", restartFrom = Some("MY CASE"))
+    }.getMessage.contains("space"))
+  }
+
   test("RESTART pointer round-trips and chains parent history (include_restart)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
