@@ -65,16 +65,14 @@ object Csv2Res {
         else print(text)
       case m if TypedSubcommands.contains(m) =>
         val (regionCol, defaultOut) = TypedSubcommands(m)
-        val rest = args.drop(2).toSeq
-        val kwIdx = rest.indexOf("--keywords")
-        val keywords =
-          if (kwIdx >= 0 && kwIdx + 1 < rest.size)
-            Some(rest(kwIdx + 1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          else None
-        val out = rest.zipWithIndex
-          .filterNot { case (_, i) => i == kwIdx || i == kwIdx + 1 }
-          .map(_._1).find(!_.startsWith("--")).getOrElse(defaultOut)
-        val text = typedCsvToInclude(readCsv(), regionCol, keywords)
+        val (keywords, out) = parseTypedArgs(args.drop(2).toSeq, defaultOut)
+        // a KEYWORD-column CSV (res2df module format) takes the typed route
+        // with the module's region check; a plain table CSV keeps the
+        // generic single-keyword route it had before these subcommands
+        val df = readCsv()
+        val text =
+          if (df.columns.contains("KEYWORD")) typedCsvToInclude(df, regionCol, keywords)
+          else IncludeWriter.genericDeckTable(df, m)
         if (out == "-") print(text)
         else Files.writeString(Paths.get(out), text)
       case kw =>
@@ -89,6 +87,24 @@ object Csv2Res {
         else print(text)
     }
     spark.stop()
+  }
+
+  /** Typed-subcommand argument split: `--keywords A,B` (and its value) out,
+    * first remaining non-flag token is the output path. `kwIdx + 1 == 0`
+    * when the flag is absent — guard on `kwIdx >= 0` so a flagless
+    * `equil in.csv out.inc` doesn't lose its output path to the default.
+    */
+  private[graft] def parseTypedArgs(rest: Seq[String],
+      defaultOut: String): (Option[Seq[String]], String) = {
+    val kwIdx = rest.indexOf("--keywords")
+    val keywords =
+      if (kwIdx >= 0 && kwIdx + 1 < rest.size)
+        Some(rest(kwIdx + 1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      else None
+    val out = rest.zipWithIndex
+      .filterNot { case (_, i) => kwIdx >= 0 && (i == kwIdx || i == kwIdx + 1) }
+      .map(_._1).find(!_.startsWith("--")).getOrElse(defaultOut)
+    (keywords, out)
   }
 
   /** Typed reverse subcommand core (equil/pvt/satfunc reverse mains,
@@ -121,25 +137,31 @@ object Csv2Res {
     // time axis), but a NON-empty cell that fails the double cast is a
     // malformed input ("N/A", "1,250.5") that must fail loudly, not be
     // fabricated into 0.0
-    // Same loud-failure rule for DATE: under ANSI a plain cast would throw
-    // Spark's own (row-less) error mid-plan; try_cast + require names the
-    // bad cell instead, and guards the NPE a null date would cause in
-    // SummaryWriter.
-    val badDate = df.select(col("DATE").cast("string").as("raw"))
-      .filter(col("raw").isNotNull && expr("try_cast(raw AS DATE)").isNull)
-      .limit(1).collect()
-    require(badDate.isEmpty,
-      s"csv2res summary: unparseable DATE '${badDate.headOption.map(_.getString(0)).orNull}'")
-    val long = df.unpivot(Array(col("DATE").cast("date")),
+    // Same loud-failure rule for DATE — missing OR unparseable (under ANSI a
+    // plain cast would throw Spark's own row-less error mid-plan, and a null
+    // date would NPE inside SummaryWriter). Both probes ride ONE pass over
+    // the unpivoted frame: the raw DATE string travels as a second id
+    // column, so validation costs one job, not two.
+    val long = df.unpivot(
+      Array(col("DATE").cast("string").as("__raw"),
+        expr("try_cast(DATE AS DATE)").as("DATE")),
       vecCols.map(col), "VECTOR", "VALUE")
       .withColumn("__cast", expr("try_cast(VALUE AS DOUBLE)"))
-    val bad = long.filter(col("VALUE").isNotNull && col("__cast").isNull)
+    val bad = long.filter(col("DATE").isNull ||
+        (col("VALUE").isNotNull && col("__cast").isNull))
       .limit(1).collect()
-    require(bad.isEmpty,
-      s"csv2res summary: unparseable value '${bad.headOption.map(_.get(2)).orNull}' " +
-        s"for ${bad.headOption.map(_.get(1)).orNull}")
+    bad.headOption.foreach { r =>
+      val msg =
+        if (r.isNullAt(r.fieldIndex("DATE")))
+          s"csv2res summary: unparseable or missing DATE '${r.getAs[String]("__raw")}'"
+        else
+          s"csv2res summary: unparseable value '${r.getAs[Any]("VALUE")}' " +
+            s"for ${r.getAs[String]("VECTOR")}"
+      throw new IllegalArgumentException(msg)
+    }
     SummaryWriter.write(
-      long.withColumn("VALUE", coalesce(col("__cast"), lit(0.0))).drop("__cast"),
+      long.withColumn("VALUE", coalesce(col("__cast"), lit(0.0)))
+        .drop("__cast", "__raw"),
       basePath)
   }
 }

@@ -39,7 +39,10 @@ object Ops {
           while (j < n && glob.charAt(j) != ']') j += 1
           if (j >= n) sb.append("\\[")
           else {
+            // Java (unlike Python re) nests classes on a bare '[' and
+            // intersects on '&&', so escape both inside the class body
             var stuff = glob.substring(i, j).replace("\\", "\\\\")
+              .replace("[", "\\[").replace("&", "\\&")
             i = j + 1
             if (stuff.startsWith("!")) stuff = "^" + stuff.substring(1)
             else if (stuff.startsWith("^")) stuff = "\\" + stuff

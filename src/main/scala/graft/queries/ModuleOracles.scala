@@ -153,8 +153,11 @@ object ModuleOracles {
     */
   private def summaryRuns(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val ts = java.sql.Timestamp.valueOf(_: String)
-    def day(d: Int) = ts(f"2000-01-${d}%02d 00:00:00")
+    // dates go in as strings and cast in-plan, so the timestamps are
+    // session-timezone values like every other query corpus —
+    // java.sql.Timestamp.valueOf would bake in the JVM default zone and
+    // hash-mismatch the (naive) DuckDB oracle on a non-UTC driver
+    def day(d: Int) = f"2000-01-${d}%02d 00:00:00"
     def rows(firstDay: Int, dayOff: Int => Int, steps: Int, valOff: Int) =
       (0 until Cases).flatMap { c =>
         (0 until 2).flatMap { k =>
@@ -165,6 +168,7 @@ object ModuleOracles {
           }
         }
       }.toDF("VECTOR", "DATE", "VALUE", "TIMESTEP", "UNIT", "STEP")
+        .withColumn("DATE", to_timestamp(col("DATE")))
     (rows(1, identity, 6, 0),              // grandparent: Jan 1..6
       rows(4, identity, 5, 100),           // parent: Jan 4..8
       rows(7, Seq(0, 1, 1, 2), 4, 200))    // child: Jan 7, 8, 8 (dup), 9

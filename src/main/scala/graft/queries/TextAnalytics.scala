@@ -78,12 +78,37 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic mixture sampling (q55): reproducible per-source
+    * sub-sampling for a training-data mix — keep a document iff the
+    * portable hash of a salted doc key lands under its source's rate in
+    * basis points. rate(srcN) = 2000 + 1500·(N mod 4) bp (20/35/50/65%),
+    * a closed form over the source ordinal so any source count works.
+    * ZERO shuffles: one narrow codegen'd filter over the scan — the
+    * 100 TB plan is scan→filter→project with no exchange at all.
+    * Reproducibility comes from the hash, not an RNG seed: retries and
+    * backfills re-derive the same sample, and re-salting ("mix:v2|")
+    * re-draws it deterministically. The sample composition is auditable
+    * per row via the emitted bucket.
+    */
+  def q55SampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val rateBp = lit(2000L) + lit(1500L) * pmod(srcNum, lit(4L))
+    Tables.documents(s, dir)
+      .withColumn("bucket_bp",
+        pmod(strHash(concat(lit("mix:v1|"), col("doc_id").cast("string"))), lit(10000L)))
+      .filter(col("bucket_bp") < rateBp)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("bucket_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
     "q23_fingerprint" -> (q23Fingerprint _),
     "q42_repetition" -> (q42Repetition _),
+    "q55_sample_mixture" -> (q55SampleMixture _),
   )
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -159,5 +184,16 @@ object TextAnalytics {
                             g -> len(list_filter(g2, x -> x = g)))) AS DOUBLE) / len(g2), 6)
                      ELSE 0.0 END AS top_2gram_frac
          FROM g ORDER BY doc_id""",
+    "q55_sample_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+                            'mix:v1|' || CAST(doc_id AS VARCHAR) AS tok
+                     FROM documents),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "d", Seq("doc_id", "source", "lang", "n_chars"), "tok", "mh", "h")}
+          SELECT doc_id, source, lang, n_chars, h % 10000 AS bucket_bp
+          FROM mh
+          WHERE h % 10000 <
+                2000 + 1500 * (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4)
+          ORDER BY doc_id""",
   )
 }

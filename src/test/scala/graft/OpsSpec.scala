@@ -35,6 +35,9 @@ class OpsSpec extends AnyFunSuite {
     assert("TRANX".matches(Ops.globToRegex("TRAN[X-Z]")))   // ranges
     assert("A]B".matches(Ops.globToRegex("A[]]B")))         // leading ] literal
     assert("A[B".matches(Ops.globToRegex("A[B")))           // unterminated [ literal
+    assert("A[B".matches(Ops.globToRegex("A[[]B")))         // [ inside class (Java nests)
+    assert("AaB".matches(Ops.globToRegex("A[a&b]B")))       // & in class is literal
+    assert("A&B".matches(Ops.globToRegex("A[a&&b]B")))      // no Java intersection
   }
 
   test("well template matching: reference cases incl. leading-wildcard escape rule") {

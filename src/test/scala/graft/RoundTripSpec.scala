@@ -277,6 +277,24 @@ class RoundTripSpec extends AnyFunSuite {
       graft.cli.Csv2Res.summaryCsvToBinary(spark, csv2, s"$dir/CASE2")
     }
     assert(e2.getMessage.contains("N/A") && e2.getMessage.contains("FOPR"))
+    // EMPTY date cell: same loud failure, not an NPE in the writer
+    val csv3 = s"$dir/in3.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv3),
+      "DATE,FOPR\n2020-01-01,1.0\n,2.0\n")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cli.Csv2Res.summaryCsvToBinary(spark, csv3, s"$dir/CASE3")
+    }
+    assert(e3.getMessage.toLowerCase.contains("date"))
+  }
+
+  test("csv2res typed-subcommand args: output path survives without --keywords") {
+    import graft.cli.Csv2Res.parseTypedArgs
+    assert(parseTypedArgs(Seq("out.inc"), "solution.inc") == (None, "out.inc"))
+    assert(parseTypedArgs(Seq(), "solution.inc") == (None, "solution.inc"))
+    assert(parseTypedArgs(Seq("--keywords", "EQUIL", "out.inc"), "solution.inc") ==
+      (Some(Seq("EQUIL")), "out.inc"))
+    assert(parseTypedArgs(Seq("out.inc", "--keywords", "EQUIL,RSVD"), "solution.inc") ==
+      (Some(Seq("EQUIL", "RSVD")), "out.inc"))
   }
 
   test("RESTART pointer: >72 chars or embedded space fails loudly at write") {
