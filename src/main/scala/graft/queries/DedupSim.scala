@@ -261,7 +261,15 @@ object DedupSim {
     * Deterministic (min is order-free) → DuckDB oracle replays the
     * closure with a recursive CTE.
     */
-  def q41DedupComponents(s: SparkSession, dir: String): DataFrame = {
+  def q41DedupComponents(s: SparkSession, dir: String): DataFrame =
+    docComponents(s, dir).orderBy(col("doc_id"))
+
+  /** Unsorted component labels for the document corpus — shared by q41
+    * (which only adds the presentation sort) and q56 (which composes
+    * further joins on top; a mid-plan sort would be a wasted range
+    * exchange there).
+    */
+  private def docComponents(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
     val hashed = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -269,6 +277,31 @@ object DedupSim {
       .select(col("doc_id"), strHash(col("tok")).as("v"))
     connectedComponents(minhashBands(hashed)
       .select(col("doc_id"), struct(col("band_idx"), col("band_hash")).as("bucket")))
+  }
+
+  /** Dedup MATERIALIZATION (q56): the step after component labeling that
+    * actually produces the cleaned corpus — one surviving document per
+    * q41 component (the canonical min-id member), carrying `n_merged` =
+    * how many near-duplicates folded into it. Shape at 100 TB: the
+    * labels frame is doc-count-sized and already clustered by doc_id
+    * from the final propagation round; the component-size aggregate is
+    * map-side-combinable (one long count per component), and the
+    * survivors join back to `documents` is a doc_id equi-join that AQE
+    * can plan as shuffle-hash — no all-pairs structure anywhere, linear
+    * in corpus size. Survivor selection (`component_id == doc_id`) is a
+    * filter, not another aggregate: canonical-by-min is already encoded
+    * in the labels by construction.
+    */
+  def q56DedupMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val comp = docComponents(s, dir)
+    val sizes = comp.groupBy(col("component_id")).agg(count(lit(1)).as("n_merged"))
+    val keep = comp.filter(!col("is_dup"))
+      .join(sizes, Seq("component_id"))
+      .select(col("doc_id"), col("n_merged"))
+    Tables.documents(s, dir)
+      .join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("n_merged"))
+      .orderBy(col("doc_id"))
   }
 
   /** Min-label propagation to a fixpoint over a bipartite membership
@@ -337,7 +370,6 @@ object DedupSim {
     labels
       .select(col("doc_id"), col("label").as("component_id"),
         (col("label") < col("doc_id")).as("is_dup"))
-      .orderBy(col("doc_id"))
   }
 
   /** q41 oracle: the same closure as unrolled POINTER-JUMPING rounds —
@@ -350,7 +382,11 @@ object DedupSim {
     */
   private val CcOracleRounds = 16
 
-  private def dedupComponentsSql: String = {
+  /** The shared CTE chain ending in `l$CcOracleRounds(doc_id, label)` —
+    * the q41 oracle selects it directly; the q56 oracle composes the
+    * survivor join + component-size count on top.
+    */
+  private def dedupComponentsCtes: String = {
     val hashCtes = graft.functions.PortableStringHash.strHashCtes(
       "otoks", Seq("doc_id"), "tok", "ohash", "v")
     val rounds = (1 to CcOracleRounds).map { i =>
@@ -363,17 +399,30 @@ object DedupSim {
                FROM $prev l LEFT JOIN dm$i d USING (doc_id)),
        l$i AS MATERIALIZED (SELECT a.doc_id, b.label FROM lp$i a JOIN lp$i b ON b.doc_id = a.label)"""
     }.mkString(",\n       ")
-    s"""WITH otoks AS (SELECT doc_id,
+    s"""otoks AS (SELECT doc_id,
                     unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
                     FROM documents),
        $hashCtes,
        vals AS (SELECT doc_id, v FROM ohash),
        ${minhashBandsSql},
        l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM bands),
-       $rounds
+       $rounds"""
+  }
+
+  private def dedupComponentsSql: String =
+    s"""WITH ${dedupComponentsCtes}
        SELECT doc_id, label AS component_id, label < doc_id AS is_dup
        FROM l$CcOracleRounds ORDER BY doc_id"""
-  }
+
+  private def dedupMaterializeSql: String =
+    s"""WITH ${dedupComponentsCtes},
+       comp AS (SELECT doc_id, label AS component_id FROM l$CcOracleRounds),
+       sizes AS (SELECT component_id, count(*) AS n_merged FROM comp GROUP BY 1)
+       SELECT d.doc_id, d.source, d.lang, d.n_chars, s.n_merged
+       FROM documents d
+       JOIN comp c ON c.doc_id = d.doc_id AND c.component_id = d.doc_id
+       JOIN sizes s ON s.component_id = c.component_id
+       ORDER BY d.doc_id"""
 
   private val NgramN = 3
   private val NgramThreshold = 0.5
@@ -1006,6 +1055,7 @@ object DedupSim {
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q39_minhash_openvocab" -> (q39MinhashOpenVocab _),
     "q41_dedup_components" -> (q41DedupComponents _),
+    "q56_dedup_materialize" -> (q56DedupMaterialize _),
     "q27_simhash" -> (q27Simhash _),
     "q28_cosine_topk" -> (q28CosineTopK _),
     "q29_cosine_neardup" -> (q29CosineNearDup _),
@@ -1148,6 +1198,7 @@ object DedupSim {
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,
     "q41_dedup_components" -> dedupComponentsSql,
+    "q56_dedup_materialize" -> dedupMaterializeSql,
     "q40_ngram_jaccard" -> ngramJaccardSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,

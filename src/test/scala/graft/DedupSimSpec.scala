@@ -218,7 +218,7 @@ class DedupSimSpec extends AnyFunSuite {
     val membership = Seq((1L, "b1"), (2L, "b1"), (2L, "b2"), (3L, "b2"), (4L, "b3"))
       .toDF("doc_id", "bucket")
     val cc = DedupSim.connectedComponents(membership)
-      .as[(Long, Long, Boolean)].collect().toSeq
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
     assert(cc == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (4L, 4L, false)))
 
     // on the corpus: every one-hop q39 cluster lies INSIDE a q41
@@ -234,6 +234,23 @@ class DedupSimSpec extends AnyFunSuite {
       "docs sharing a one-hop cluster must share a component")
     assert(full.select("component_id").distinct().count() <=
       oneHop.select("cluster_id").distinct().count())
+  }
+
+  test("q56 materializes exactly the canonical member per q41 component") {
+    val comp = DedupSim.q41DedupComponents(spark, dir)
+    val out = DedupSim.q56DedupMaterialize(spark, dir)
+    // one survivor per component, and it IS the canonical (min-id) member
+    val canon = comp.filter(!col("is_dup")).select("doc_id")
+    assert(out.select("doc_id").exceptAll(canon).isEmpty &&
+      canon.exceptAll(out.select("doc_id")).isEmpty)
+    // fold counts partition the corpus: Σ n_merged == corpus size
+    val total = out.agg(sum("n_merged")).as[Long].head()
+    assert(total == comp.count())
+    // survivors keep their document attributes (join didn't shift rows)
+    val doc0 = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "n_chars")
+    assert(out.select("doc_id", "source", "lang", "n_chars")
+      .exceptAll(doc0.join(canon, "doc_id")).isEmpty)
   }
 
   test("connectedComponents converges on a deep chain via pointer-jumping") {
