@@ -102,6 +102,29 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality top-k (q57): the CURATION shape — keep the K
+    * best documents of each source by q22's quality score, ties broken
+    * by doc_id so selection is fully deterministic. Declarative
+    * row_number-over-window + rank filter is the scale-correct
+    * formulation on Spark ≥3.5: the optimizer inserts a
+    * WindowGroupLimit(Partial) BELOW the exchange, so every input
+    * partition forwards at most K rows per source before the shuffle —
+    * the classic two-phase top-k without hand-written partial
+    * aggregation, and the per-source skew a plain window would suffer
+    * at 100 TB (one task per source) never materializes. Verified in
+    * PLANS.md via explain.
+    */
+  def q57QualityTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= 10)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
@@ -109,6 +132,7 @@ object TextAnalytics {
     "q23_fingerprint" -> (q23Fingerprint _),
     "q42_repetition" -> (q42Repetition _),
     "q55_sample_mixture" -> (q55SampleMixture _),
+    "q57_quality_topk" -> (q57QualityTopK _),
   )
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -195,5 +219,21 @@ object TextAnalytics {
           WHERE h % 10000 <
                 2000 + 1500 * (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 4)
           ORDER BY doc_id""",
+    "q57_quality_topk" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+                            string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+          m AS (SELECT doc_id, source,
+                round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE))
+                      + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                     / CAST(length(text) AS DOUBLE)), 6) AS quality
+                FROM t),
+          r AS (SELECT doc_id, source, quality,
+                       CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS INTEGER) AS rank_in_source
+                FROM m)
+          SELECT doc_id, source, quality, rank_in_source
+          FROM r WHERE rank_in_source <= 10 ORDER BY doc_id""",
   )
 }

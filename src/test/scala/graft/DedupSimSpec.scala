@@ -253,6 +253,19 @@ class DedupSimSpec extends AnyFunSuite {
       .exceptAll(doc0.join(canon, "doc_id")).isEmpty)
   }
 
+  test("q57 per-source top-k is bounded and planned as a two-phase WindowGroupLimit") {
+    val out = graft.queries.TextAnalytics.q57QualityTopK(spark, dir)
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 10))
+    assert(out.agg(max("rank_in_source")).head.getInt(0) <= 10)
+    // the optimizer must insert the Partial group limit BELOW the source
+    // exchange — the two-phase top-k that keeps a hot source from
+    // shipping its whole partition to one task at scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "expected WindowGroupLimit in plan")
+    assert(plan.contains("Partial"), "expected a Partial (pre-shuffle) group limit")
+  }
+
   test("connectedComponents converges on a deep chain via pointer-jumping") {
     // an 80-hop path graph: plain min-label propagation moves the label
     // ~2 hops per iteration, so 25 iterations can't close it — only the
