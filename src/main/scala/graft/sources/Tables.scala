@@ -22,14 +22,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively;
-    * read it as a long and truncate to micros — identical to what DuckDB
-    * (µs-precision timestamps) does with the same file.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark only
+    * reads as a long), TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP — normalize all three to a session
+    * (UTC) TimestampType so downstream date arithmetic and the DuckDB
+    * oracle (µs wall-clock timestamps) agree on the same values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

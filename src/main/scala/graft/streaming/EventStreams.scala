@@ -14,29 +14,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events table schema as written by the generator (ts is
-    * TIMESTAMP(NANOS) in parquet, surfaced as long under
-    * spark.sql.legacy.parquet.nanosAsLong — converted to micros here,
-    * mirroring graft.sources.Tables.events).
+  /** The events table schema has shipped with ts as TIMESTAMP(NANOS)
+    * (surfaced as long under spark.sql.legacy.parquet.nanosAsLong), as
+    * TIMESTAMP(MICROS, NTZ), and as plain TIMESTAMP. The streaming file
+    * source needs an explicit schema, so probe the footer with a one-file
+    * batch read and normalize ts to TimestampType — mirroring
+    * graft.sources.Tables.events.
     */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
     // scope to the events table: a bare directory read would pull every
     // table in the sf dir through name-based column matching (their rows
     // surface as all-null events). The streaming file source requires a
     // directory path, so the scoping is a file-name glob filter.
-    spark.readStream.schema(RawSchema)
+    val stream = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw("ts").dataType match {
+      case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => stream
+    }
   }
 
   /** Watermarked tumbling-window aggregate — the streaming form of the
