@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.EclKw
+import graft.io.EclKw.Kw
+
+/** The Eclipse BINARY decode paths under the oracle gate (SURVEY.md §2.1
+  * S3/S4/S6/S16): the q43/q46 media recipe applied to simulator artifacts.
+  * Each query builds files from a CLOSED-FORM formula, round-trips them
+  * through the actual binary writers+readers (Fortran record framing,
+  * keyword chunking, corner-point geometry, SMSPEC catalog), and reports
+  * what the DECODED frames contain; the DuckDB oracle computes the same
+  * quantities from the formula alone, so a hash match proves the real
+  * codec ran and recovered every cell/sample — independent of the
+  * ScalaTest fixtures (which stay, for the reference-artifact parity).
+  */
+object BinaryGate {
+
+  private val GridCases = 4
+  private val Nx = 20
+  private val Ny = 20
+  private val Nz = 5
+
+  /** One closed-form corner-point case: unit-square pillars at integer
+    * (x, y), layer k (0-based) spanning depth k(k+1)/2 .. (k+1)(k+2)/2
+    * (thickness k+1 → VOLUME = k+1 exactly), cell (global index g)
+    * inactive when (g + c) % 7 == 0, and an INIT with
+    * PORO = ((g + 5c) % 64)/64 (float-exact) and PERMX = (7g + c) % 1000
+    * over the ACTIVE cells in file order. All geometry lands on
+    * power-of-two fractions, so decode vs oracle compare is exact.
+    */
+  private def writeGridCase(dir: String, c: Int): String = {
+    val perSlab = Nx * Ny
+    val ncells = perSlab * Nz
+    val coord = new Array[Float]((Nx + 1) * (Ny + 1) * 6)
+    for (j <- 0 to Ny; i <- 0 to Nx) {
+      val p = (j * (Nx + 1) + i) * 6
+      coord(p) = i.toFloat; coord(p + 1) = j.toFloat; coord(p + 2) = 0f
+      coord(p + 3) = i.toFloat; coord(p + 4) = j.toFloat; coord(p + 5) = 15f
+    }
+    def zb(k: Int): Float = (k * (k + 1) / 2).toFloat // 0,1,3,6,10,15
+    val zcorn = new Array[Float](8 * perSlab * Nz)
+    for (k <- 0 until Nz) {
+      java.util.Arrays.fill(zcorn, k * 8 * perSlab, k * 8 * perSlab + 4 * perSlab, zb(k))
+      java.util.Arrays.fill(zcorn, k * 8 * perSlab + 4 * perSlab, (k + 1) * 8 * perSlab, zb(k + 1))
+    }
+    val actnum = Array.tabulate(ncells)(g => if ((g + c) % 7 == 0) 0 else 1)
+    val base = s"$dir/CASE$c"
+    EclKw.write(s"$base.EGRID", Seq(
+      Kw("GRIDHEAD", "INTE", Array(0, Nx, Ny, Nz)),
+      Kw("COORD", "REAL", coord),
+      Kw("ZCORN", "REAL", zcorn),
+      Kw("ACTNUM", "INTE", actnum)))
+    val activeG = (0 until ncells).filter(g => actnum(g) != 0)
+    EclKw.write(s"$base.INIT", Seq(
+      Kw("INTEHEAD", "INTE", Array.tabulate(12)(i => if (i == 11) activeG.length else 0)),
+      Kw("PORO", "REAL", activeG.map(g => ((g + 5 * c) % 64) / 64f).toArray),
+      Kw("PERMX", "REAL", activeG.map(g => ((7 * g + c) % 1000).toFloat).toArray)))
+    base
+  }
+
+  /** q59: EGRID + INIT decode and active-ordinal assembly (S1→S3/S4 +
+    * J1): four generated cases through [[graft.io.EclBinary.egrid]]
+    * (COORD/ZCORN corner interpolation, ACTNUM mapping, 24-tetrahedron
+    * volume), [[graft.io.EclBinary.init]] (INTEHEAD nactive, active-length
+    * vector selection) and [[graft.modules.GridOps.assemble]]'s
+    * ACTIVE_IDX join. VOLUME is rounded (6) on both sides — the
+    * tetrahedron sum is mathematically k+1 but floating addition may sit
+    * one ulp off the oracle's literal.
+    *
+    * Scale shape: per-case decode parallelizes over Nz slabs
+    * (executor-side corner math; only COORD is broadcast), cases union
+    * into one plan — the same fleet form as the deck corpus queries.
+    */
+  def q59GridBinary(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q59").toString
+    val frames = (0 until GridCases).map { c =>
+      val base = writeGridCase(tmp, c)
+      val geom = graft.io.EclBinary.egrid(s, s"$base.EGRID")
+      val init = graft.io.EclBinary.init(s, s"$base.INIT")
+      graft.modules.GridOps.assemble(geom, Some(init), None)
+        .withColumn("case_id", lit(c))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("case_id"), col("I").as("i"), col("J").as("j"), col("K").as("k"),
+        col("X").as("x"), col("Y").as("y"), col("Z").as("z"),
+        col("Z_MIN").as("z_min"), col("Z_MAX").as("z_max"),
+        round(col("VOLUME"), 6).as("volume"),
+        col("GLOBAL_INDEX").as("global_index"), col("ACTIVE_IDX").as("active_idx"),
+        col("PORO").cast("double").as("poro"), col("PERMX").cast("double").as("permx"))
+      .orderBy(col("case_id"), col("global_index"))
+  }
+
+  private val SumVectors = Seq("FOPR", "FOPT", "WBHP:W0", "WOPR:W0", "WOPR:W1")
+  private val SumDays = 30
+
+  /** q60: the UNSMRY/SMSPEC binary round trip (S16 write → S6 read) as a
+    * hash-checked query: a closed-form long summary frame
+    * (value = 1000·vi + d + (d mod 32)/32, float-exact) through
+    * [[graft.write.SummaryWriter.write]] (SMSPEC catalog + per-step
+    * SEQHDR/MINISTEP/PARAMS records) and [[graft.write.SummaryWriter
+    * .read]] (catalog naming rules, TIME clock, executor-side row
+    * expansion). The writer's driver collect is the documented
+    * boundary-artifact exception (summary files are one float per vector
+    * per step); the READ side streams one PARAMS record at a time.
+    */
+  def q60SummaryBinary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q60").toString
+    val rows = for {
+      (v, vi) <- SumVectors.zipWithIndex
+      d <- 0 until SumDays
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+      1000.0 * vi + d + (d % 32) / 32.0)
+    val df = rows.toDF("VECTOR", "DATE", "VALUE")
+    graft.write.SummaryWriter.write(df, s"$tmp/GATE")
+    graft.write.SummaryWriter.read(s, s"$tmp/GATE")
+      .filter(col("VECTOR") =!= "TIME")
+      .select(col("VECTOR").as("vector"), col("DATE").cast("timestamp").as("date"),
+        col("VALUE").as("value"))
+      .orderBy(col("vector"), col("date"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_grid_binary" -> (q59GridBinary _),
+    "q60_summary_binary" -> (q60SummaryBinary _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Geometry/vector replay from the closed form: centers (i-½, j-½,
+    // k²/2) for 1-based (i,j,k), VOLUME = k, ACTIVE_IDX = per-case rank
+    // of the global index over active cells.
+    "q59_grid_binary" ->
+      s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
+         cells AS (SELECT c, unnest(range(${Nx * Ny * Nz})) AS g FROM cases),
+         act AS (
+           SELECT c, g,
+                  CAST(g % $Nx + 1 AS INT) AS i,
+                  CAST((g // $Nx) % $Ny + 1 AS INT) AS j,
+                  CAST(g // ${Nx * Ny} + 1 AS INT) AS k
+           FROM cells WHERE (g + c) % 7 <> 0),
+         idx AS (SELECT *, row_number() OVER (PARTITION BY c ORDER BY g) - 1 AS active_idx
+                 FROM act)
+         SELECT CAST(c AS INT) AS case_id, i, j, k,
+                CAST(i AS DOUBLE) - 0.5 AS x,
+                CAST(j AS DOUBLE) - 0.5 AS y,
+                CAST(k * k AS DOUBLE) / 2 AS z,
+                CAST((k - 1) * k AS DOUBLE) / 2 AS z_min,
+                CAST(k * (k + 1) AS DOUBLE) / 2 AS z_max,
+                round(CAST(k AS DOUBLE), 6) AS volume,
+                g AS global_index, active_idx,
+                CAST((g + 5 * c) % 64 AS DOUBLE) / 64 AS poro,
+                CAST((7 * g + c) % 1000 AS DOUBLE) AS permx
+         FROM idx ORDER BY case_id, global_index""",
+    "q60_summary_binary" ->
+      s"""WITH v AS (
+           SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
+                  unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+         d AS (SELECT unnest(range($SumDays)) AS day)
+         SELECT vector,
+                CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
+                1000.0 * vi + day + CAST(day % 32 AS DOUBLE) / 32 AS value
+         FROM v CROSS JOIN d ORDER BY vector, date""",
+  )
+}

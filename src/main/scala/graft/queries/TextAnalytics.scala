@@ -125,6 +125,51 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val DecontamN = 8
+  private val DecontamBenchMod = 50
+
+  /** Benchmark DECONTAMINATION (q61): flag training documents sharing any
+    * [[DecontamN]]-token shingle with a held-out benchmark set (here:
+    * every [[DecontamBenchMod]]-th document stands in for the eval
+    * suite) — the n-gram-overlap scrub every serious pretraining corpus
+    * runs before training (the reason test-set leakage audits exist).
+    *
+    * Scale shape: shingles are hashed to fixed-width BIGINTs with the
+    * portable hash (no string shuffle), and the BENCHMARK side — always
+    * tiny relative to the corpus: eval suites are millions of n-grams,
+    * the corpus is trillions — is distinct-ed and BROADCAST, so the
+    * corpus-side scan is one pass with a map-side semi-join probe: zero
+    * shuffles of corpus-sized data, no join skew (a hot shingle only
+    * fans out on the probe side, which aggregates map-side per doc).
+    * Emits every training doc (LEFT join), hit count + flag, so the
+    * clean/contaminated split is a filter downstream.
+    */
+  def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val shingleArr = expr(
+      s"transform(sequence(0, size(t) - $DecontamN), i -> " +
+        (0 until DecontamN).map(k => s"t[i + $k]").mkString("concat_ws(' ', ", ", ", "))"))
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("t")) >= DecontamN, shingleArr)
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+      .select(col("doc_id"), strHash(col("shingle")).as("h"))
+    val isBench = col("doc_id") % DecontamBenchMod === 0
+    val bench = sh.filter(isBench).select(col("h")).distinct()
+    val hits = sh.filter(!isBench)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hits"))
+    Tables.documents(s, dir)
+      .filter(!isBench)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
@@ -133,6 +178,7 @@ object TextAnalytics {
     "q42_repetition" -> (q42Repetition _),
     "q55_sample_mixture" -> (q55SampleMixture _),
     "q57_quality_topk" -> (q57QualityTopK _),
+    "q61_decontaminate" -> (q61Decontaminate _),
   )
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -235,5 +281,28 @@ object TextAnalytics {
                 FROM m)
           SELECT doc_id, source, quality, rank_in_source
           FROM r WHERE rank_in_source <= 10 ORDER BY doc_id""",
+    "q61_decontaminate" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents),
+          sh0 AS (
+            SELECT DISTINCT doc_id,
+                   ${(0 until DecontamN).map {
+                     case 0 => "tok"
+                     case k => s"lead(tok, $k) OVER w"
+                   }.mkString(" || ' ' || ")} AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, ${DecontamN - 1}) OVER w IS NOT NULL),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "sh0", Seq("doc_id"), "shingle", "shh", "h")},
+          bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % $DecontamBenchMod = 0),
+          hits AS (SELECT s.doc_id, count(DISTINCT s.h) AS n_hits
+                   FROM shh s JOIN bench b USING (h)
+                   WHERE s.doc_id % $DecontamBenchMod <> 0 GROUP BY 1)
+          SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                 coalesce(h.n_hits, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.doc_id % $DecontamBenchMod <> 0 ORDER BY doc_id""",
   )
 }
