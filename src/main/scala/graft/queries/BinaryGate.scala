@@ -122,9 +122,90 @@ object BinaryGate {
       .orderBy(col("vector"), col("date"))
   }
 
+  private val RstCases = 4
+  private val RstSteps = 3
+  private val RstNactive = 500
+
+  /** q62: the UNRST restart scan (S5) under the gate — per case a
+    * 3-report-step UNRST (SEQNUM group markers, INTEHEAD clock at
+    * [64..66], active-length PRESSURE/SWAT) written with the real
+    * keyword writer and decoded by [[graft.io.EclBinary.unrst]]'s
+    * one-step-at-a-time streaming reader into the DATE-stacked frame
+    * (R4). PRESSURE is integer-valued and SWAT dyadic, so float32
+    * round-trip vs the oracle formula is exact.
+    */
+  def q62UnrstBinary(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
+    val frames = (0 until RstCases).map { c =>
+      val path = s"$tmp/CASE$c.UNRST"
+      EclKw.write(path, (0 until RstSteps).flatMap { t =>
+        val intehead = Array.tabulate(67) {
+          case 11 => RstNactive
+          case 64 => 1 + t // day
+          case 65 => 1     // month
+          case 66 => 2022  // year
+          case _  => 0
+        }
+        Seq(
+          Kw("SEQNUM", "INTE", Array(t)),
+          Kw("INTEHEAD", "INTE", intehead),
+          Kw("PRESSURE", "REAL",
+            Array.tabulate(RstNactive)(a => (a + 100 * t + 1000 * c).toFloat)),
+          Kw("SWAT", "REAL",
+            Array.tabulate(RstNactive)(a => ((a + t + c) % 32) / 32f)))
+      })
+      graft.io.EclBinary.unrst(s, path).withColumn("case_id", lit(c))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").cast("double").as("pressure"),
+        col("SWAT").cast("double").as("swat"))
+      .orderBy(col("case_id"), col("date"), col("active_idx"))
+  }
+
+  private val RftCases = 4
+  private val RftDates = 2
+  private val RftNcon = 10
+
+  /** q63: the RFT binary scan (S7) under the gate — per case a .RFT with
+    * [[RftDates]] TIME report groups (TIME marker, DATE clock, WELLETC
+    * well name, CONIPOS ordinals, per-connection DEPTH/PRESSURE vectors)
+    * through [[graft.io.EclBinary.rft]]'s one-group-at-a-time streaming
+    * decode. Values are integer-valued floats → exact against the
+    * formula replay; q51 already gates the downstream segment-topology
+    * pipeline, this gates the BINARY decode feeding it.
+    */
+  def q63RftBinary(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q63").toString
+    val frames = (0 until RftCases).map { c =>
+      val path = s"$tmp/CASE$c.RFT"
+      EclKw.write(path, (0 until RftDates).flatMap { t =>
+        Seq(
+          Kw("TIME", "REAL", Array(t.toFloat)),
+          Kw("DATE", "INTE", Array(1 + t, 2, 2023)),
+          Kw("WELLETC", "CHAR", Array("", s"W$c")),
+          Kw("CONIPOS", "INTE", Array.tabulate(RftNcon)(i => i + 1)),
+          Kw("DEPTH", "REAL",
+            Array.tabulate(RftNcon)(i => (1000 + 10 * i + 100 * t + c).toFloat)),
+          Kw("PRESSURE", "REAL",
+            Array.tabulate(RftNcon)(i => (200 + i + 50 * t + 7 * c).toFloat)))
+      })
+      graft.io.EclBinary.rft(s, path).withColumn("case_id", lit(c))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("WELL").as("well"), col("CONIDX").as("conidx"),
+        col("CONIPOS").as("conipos"),
+        col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
+      .orderBy(col("case_id"), col("date"), col("conidx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
+    "q62_unrst_binary" -> (q62UnrstBinary _),
+    "q63_rft_binary" -> (q63RftBinary _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +243,27 @@ object BinaryGate {
                 CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
                 1000.0 * vi + day + CAST(day % 32 AS DOUBLE) / 32 AS value
          FROM v CROSS JOIN d ORDER BY vector, date""",
+    "q62_unrst_binary" ->
+      s"""WITH cases AS (SELECT unnest(range($RstCases)) AS c),
+         steps AS (SELECT c, unnest(range($RstSteps)) AS t FROM cases),
+         cells AS (SELECT c, t, unnest(range($RstNactive)) AS a FROM steps)
+         SELECT CAST(c AS INT) AS case_id,
+                CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                a AS active_idx,
+                CAST(a + 100 * t + 1000 * c AS DOUBLE) AS pressure,
+                CAST((a + t + c) % 32 AS DOUBLE) / 32 AS swat
+         FROM cells ORDER BY case_id, date, active_idx""",
+    "q63_rft_binary" ->
+      s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
+         dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),
+         cons AS (SELECT c, t, unnest(range($RftNcon)) AS i FROM dates)
+         SELECT CAST(c AS INT) AS case_id,
+                CAST(DATE '2023-02-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                'W' || CAST(c AS VARCHAR) AS well,
+                CAST(i + 1 AS INT) AS conidx,
+                CAST(i + 1 AS INT) AS conipos,
+                CAST(1000 + 10 * i + 100 * t + c AS DOUBLE) AS depth,
+                CAST(200 + i + 50 * t + 7 * c AS DOUBLE) AS pressure
+         FROM cons ORDER BY case_id, date, conidx""",
   )
 }

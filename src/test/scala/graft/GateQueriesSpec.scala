@@ -64,6 +64,23 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1000.0 * 4 + 29 + 29 / 32.0)
   }
 
+  test("q62/q63: UNRST and RFT binary decodes recover the closed forms") {
+    val rst = graft.queries.BinaryGate.q62UnrstBinary(spark, Sf)
+    assert(rst.count() == 4L * 3 * 500)
+    val r = rst.filter(col("case_id") === 3 && col("active_idx") === 499L &&
+      col("date") === lit("2022-01-03 00:00:00").cast("timestamp")).collect().head
+    assert(r.getAs[Double]("pressure") == 499 + 200 + 3000)
+    assert(r.getAs[Double]("swat") == ((499 + 2 + 3) % 32) / 32.0)
+
+    val rft = graft.queries.BinaryGate.q63RftBinary(spark, Sf)
+    assert(rft.count() == 4L * 2 * 10)
+    val f = rft.filter(col("case_id") === 1 && col("conidx") === 10 &&
+      col("date") === lit("2023-02-02 00:00:00").cast("timestamp")).collect().head
+    assert(f.getAs[String]("well") == "W1")
+    assert(f.getAs[Double]("depth") == 1000 + 90 + 100 + 1)
+    assert(f.getAs[Double]("pressure") == 200 + 9 + 50 + 7)
+  }
+
   test("q61: decontamination flags are consistent and exclude the benchmark") {
     val out = graft.queries.TextAnalytics.q61Decontaminate(spark, Sf)
     val docs = graft.sources.Tables.documents(spark, Sf)
