@@ -1045,7 +1045,47 @@ object DedupSim {
        ORDER BY qid, rn"""
   }
 
+  /** INT8-quantized ANN (q65): the memory-bound 100 TB variant of q28 —
+    * embeddings symmetric-quantize to int8 per vector
+    * (scale = 127/max|x|, q = ⌊x·scale + ½⌋ — round-half-up spelled as
+    * floor, because native float→int rounding modes differ across
+    * engines while floor does not), neighbor
+    * scoring runs on EXACT integer dot products (4× smaller vectors,
+    * SIMD-able int math — the standard scalar-quantization ANN storage
+    * trick). Ranking uses the DEQUANTIZED score dot_q/(scale_a·scale_b) —
+    * per-vector scales make raw integer dots incomparable across
+    * neighbors — but stays bit-reproducible: the dot is an exact BIGINT
+    * and dequantization is ONE IEEE division of exact operands, so the
+    * ordering (ties broken by id) is identical on every engine — a
+    * guarantee float accumulation order can't give.
+    */
+  def q65QuantAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("scale",
+        lit(127.0) / array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), col("scale"),
+        floor(col("x").cast("double") * col("scale") + lit(0.5)).cast("long").as("qx"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("dim"), col("qx").as("qqx"),
+        col("scale").as("qscale"))
+    val scored = e.join(broadcast(q), Seq("dim"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qqx") * col("qx")).as("dot_q"),
+        max(col("qscale") * col("scale")).as("ss")) // constant per group
+      .withColumn("score_raw", col("dot_q").cast("double") / col("ss"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), col("dot_q"),
+        round(col("score_raw"), 6).as("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_quant_ann" -> (q65QuantAnn _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q38_ann_ivf_kmeans" -> (q38AnnIvfKmeans _),
     "q37_simhash_neardup" -> (q37SimhashNearDup _),
@@ -1227,6 +1267,25 @@ object DedupSim {
                     ORDER BY score DESC, nid) AS BIGINT) AS rn FROM d)
          SELECT qid, rn, nid AS neighbor_id, score FROM r WHERE rn <= 5
          ORDER BY qid, rn""",
+    "q65_quant_ann" ->
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i FROM embeddings),
+         sc AS (SELECT vec_id, 127.0 / max(abs(CAST(x AS DOUBLE))) AS scale
+                FROM e0 GROUP BY 1),
+         qv AS (SELECT e0.vec_id, i, scale,
+                       CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT) AS qx
+                FROM e0 JOIN sc USING (vec_id)),
+         d AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+                      sum(q.qx * b.qx) AS dot_q,
+                      CAST(sum(q.qx * b.qx) AS DOUBLE) / max(q.scale * b.scale) AS score_raw
+               FROM (SELECT * FROM qv WHERE vec_id < 10) q
+               JOIN qv b USING (i)
+               WHERE b.vec_id <> q.vec_id GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score_raw DESC, nid) AS BIGINT) AS rn FROM d)
+         SELECT qid, rn, nid AS neighbor_id, dot_q,
+                round(score_raw, 6) AS score
+         FROM r WHERE rn <= 3 ORDER BY qid, rn""",
     "q29_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
                            generate_subscripts(embedding, 1) AS i FROM embeddings),

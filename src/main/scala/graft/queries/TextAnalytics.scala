@@ -170,6 +170,39 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing (q64): detect + redact emails / IPv4s / phone-shaped
+    * numbers — the redaction pass every pretraining corpus runs before
+    * the quality filters. The corpus text carries no PII by construction,
+    * so (q43/q46-style) each doc is prefixed with a CLOSED-FORM header
+    * whose PII density varies per doc_id (the phone only matches when
+    * doc_id%1000 has three digits), and the query reports what the
+    * REGEXES found and what survived redaction; the oracle replays the
+    * same construction + regexes in DuckDB. Patterns use only literal
+    * character classes so Java-regex and RE2 semantics coincide.
+    *
+    * Scale shape: scan → codegen'd regexp project → done. ZERO
+    * exchanges, no UDF, embarrassingly parallel — string kernels stay
+    * inside whole-stage codegen.
+    */
+  def q64PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phone = "555-[0-9]{4}"
+    Tables.documents(s, dir)
+      .withColumn("pii_text", concat(
+        lit("Contact u"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
+        lit(".com or "), col("doc_id") % 250, lit("."), (col("doc_id") * 3) % 250,
+        lit("."), (col("doc_id") * 7) % 250, lit("."), col("doc_id") % 100,
+        lit(" phone 555-0"), col("doc_id") % 1000, lit(" "), col("text")))
+      .select(col("doc_id"),
+        expr(s"size(regexp_extract_all(pii_text, '$email', 0))").as("n_emails"),
+        expr(s"size(regexp_extract_all(pii_text, '$ip', 0))").as("n_ips"),
+        expr(s"size(regexp_extract_all(pii_text, '$phone', 0))").as("n_phones"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")).as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
@@ -179,6 +212,7 @@ object TextAnalytics {
     "q55_sample_mixture" -> (q55SampleMixture _),
     "q57_quality_topk" -> (q57QualityTopK _),
     "q61_decontaminate" -> (q61Decontaminate _),
+    "q64_pii_scrub" -> (q64PiiScrub _),
   )
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -304,5 +338,23 @@ object TextAnalytics {
                  coalesce(h.n_hits, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN hits h USING (doc_id)
           WHERE d.doc_id % $DecontamBenchMod <> 0 ORDER BY doc_id""",
+    "q64_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  'Contact u' || doc_id || '@mail' || doc_id % 7 ||
+                  '.com or ' || doc_id % 250 || '.' || (doc_id * 3) % 250 ||
+                  '.' || (doc_id * 7) % 250 || '.' || doc_id % 100 ||
+                  ' phone 555-0' || doc_id % 1000 || ' ' || text AS pii_text
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(pii_text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS n_emails,
+                len(regexp_extract_all(pii_text,
+                    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ips,
+                len(regexp_extract_all(pii_text, '555-[0-9]{4}')) AS n_phones,
+                length(regexp_replace(regexp_replace(regexp_replace(pii_text,
+                  '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+                  '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+                  '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+         FROM p ORDER BY doc_id""",
   )
 }

@@ -81,6 +81,47 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(f.getAs[Double]("pressure") == 200 + 9 + 50 + 7)
   }
 
+  test("q64: PII scrub finds the constructed PII and redaction shortens text") {
+    val out = graft.queries.TextAnalytics.q64PiiScrub(spark, Sf)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    assert(out.count() == docs.count())
+    // the constructed header guarantees >=1 email and >=1 IP everywhere
+    assert(out.filter(col("n_emails") < 1 || col("n_ips") < 1).count() == 0)
+    // the phone only matches when doc_id%1000 has three digits
+    assert(out.filter(col("doc_id") % 1000 >= 100 && col("n_phones") < 1).count() == 0)
+    assert(out.filter(col("doc_id") % 1000 < 100 && col("doc_id") < 1000 &&
+      col("n_phones") > 0).count() == 0)
+  }
+
+  test("q65: int8 quantization has bounded cosine regret vs exact top-1") {
+    // this corpus's queries have near-tied neighbors (exact top-1/top-2
+    // gaps down to 0.004), so id agreement is the wrong invariant — a
+    // correct quantizer may legitimately flip ties. The right one:
+    // the EXACT cosine of the quantized winner must be within the int8
+    // error budget of the exact best.
+    val quantTop1 = graft.queries.DedupSim.q65QuantAnn(spark, Sf)
+      .filter(col("rn") === 1).select(col("qid"), col("neighbor_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactTop1 = graft.queries.DedupSim.q28CosineTopK(spark, Sf)
+      .filter(col("rn") === 1).select(col("qid"), col("neighbor_id"), col("score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(quantTop1.keySet == exactTop1.keySet && quantTop1.nonEmpty)
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    quantTop1.foreach { case (q, n) =>
+      val (exN, exScore) = exactTop1(q)
+      // budget: |Δdot| ≤ (‖a‖₁·step_b + ‖b‖₁·step_a)/2 with
+      // step = max|x|/127; unit vectors in 64 dims have ‖·‖₁ ≤ 8 and
+      // max|x| ≈ 0.3 here → ≈ 2·8·0.0024/2 ≈ 0.02
+      val qScore = dot(vecs(q), vecs(n))
+      assert(qScore >= exScore - 0.02,
+        s"qid=$q quant picked $n (cos=$qScore) vs exact $exN (cos=$exScore)")
+    }
+  }
+
   test("q61: decontamination flags are consistent and exclude the benchmark") {
     val out = graft.queries.TextAnalytics.q61Decontaminate(spark, Sf)
     val docs = graft.sources.Tables.documents(spark, Sf)
