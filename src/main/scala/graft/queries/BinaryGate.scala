@@ -17,6 +17,20 @@ import graft.io.EclKw.Kw
   */
 object BinaryGate {
 
+  /** Fixture root: a FIXED per-query directory under the JVM temp dir,
+    * overwritten on every invocation (the writers truncate), so repeated
+    * Verify/Bench/spec runs reuse one set of small files instead of
+    * accumulating orphaned temp directories on a long-lived host. Safe
+    * because the harness runs queries serially and each invocation's
+    * jobs complete (action) before the next invocation rewrites.
+    */
+  private def fixtureDir(q: String): String = {
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", q)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   private val GridCases = 4
   private val Nx = 20
   private val Ny = 20
@@ -74,7 +88,7 @@ object BinaryGate {
     * into one plan — the same fleet form as the deck corpus queries.
     */
   def q59GridBinary(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q59").toString
+    val tmp = fixtureDir("q59")
     val frames = (0 until GridCases).map { c =>
       val base = writeGridCase(tmp, c)
       val geom = graft.io.EclBinary.egrid(s, s"$base.EGRID")
@@ -107,7 +121,7 @@ object BinaryGate {
     */
   def q60SummaryBinary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q60").toString
+    val tmp = fixtureDir("q60")
     val rows = for {
       (v, vi) <- SumVectors.zipWithIndex
       d <- 0 until SumDays
@@ -135,7 +149,7 @@ object BinaryGate {
     * round-trip vs the oracle formula is exact.
     */
   def q62UnrstBinary(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
+    val tmp = fixtureDir("q62")
     val frames = (0 until RstCases).map { c =>
       val path = s"$tmp/CASE$c.UNRST"
       EclKw.write(path, (0 until RstSteps).flatMap { t =>
@@ -177,7 +191,7 @@ object BinaryGate {
     * pipeline, this gates the BINARY decode feeding it.
     */
   def q63RftBinary(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q63").toString
+    val tmp = fixtureDir("q63")
     val frames = (0 until RftCases).map { c =>
       val path = s"$tmp/CASE$c.RFT"
       EclKw.write(path, (0 until RftDates).flatMap { t =>

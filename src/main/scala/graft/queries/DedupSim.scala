@@ -1060,9 +1060,14 @@ object DedupSim {
     * guarantee float accumulation order can't give.
     */
   def q65QuantAnn(s: SparkSession, dir: String): DataFrame = {
+    // all-zero vectors are excluded EXPLICITLY on both sides: 127/0 is
+    // +Inf and 0·Inf is NaN, which Spark's non-ANSI cast nulls while
+    // DuckDB's cast throws — an engine-asymmetric failure with no
+    // meaningful quantization anyway (a zero vector has no direction)
     val e = Tables.embeddings(s, dir)
-      .withColumn("scale",
-        lit(127.0) / array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", lit(127.0) / col("mx"))
       .select(col("vec_id"), col("scale"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim"), col("scale"),
@@ -1271,7 +1276,8 @@ object DedupSim {
       """WITH e0 AS (SELECT vec_id, unnest(embedding) AS x,
                             generate_subscripts(embedding, 1) AS i FROM embeddings),
          sc AS (SELECT vec_id, 127.0 / max(abs(CAST(x AS DOUBLE))) AS scale
-                FROM e0 GROUP BY 1),
+                FROM e0 GROUP BY 1
+                HAVING max(abs(CAST(x AS DOUBLE))) > 0),
          qv AS (SELECT e0.vec_id, i, scale,
                        CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT) AS qx
                 FROM e0 JOIN sc USING (vec_id)),

@@ -26,11 +26,16 @@ object StreamGate {
     * micro-batches the state accumulated over, and identical to the
     * oracle's batch sum.
     *
-    * Scale shape: the stateful window agg is keyed on (window,
-    * event_type) — state is O(open windows × types), bounded by the
-    * 2-hour watermark; at 100 TB/day the same plan runs with a files/
-    * kafka sink instead of the test-harness memory sink (which is the
-    * one driver-sized piece here: days × types rows).
+    * Mode honesty: this HARNESS run uses complete output mode because a
+    * finite replay must surface every window's final value in one
+    * readable table — and in complete mode the watermark does NOT evict
+    * state (Spark retains all windows, fine for a bounded gate input).
+    * The production form of the same upstream plan is APPEND mode, where
+    * the 2-hour watermark closes windows, evicts their state (state =
+    * O(open windows × types)) and emits each window once to a files/
+    * kafka sink; append can't serve the gate because the final windows
+    * only emit after the watermark passes them, which a finite replay's
+    * last batch never triggers.
     */
   def q58StreamWindow(s: SparkSession, dir: String): DataFrame = {
     val events = graft.streaming.EventStreams.readEvents(s, dir)

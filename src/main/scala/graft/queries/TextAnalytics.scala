@@ -145,16 +145,22 @@ object TextAnalytics {
     * clean/contaminated split is a filter downstream.
     */
   def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableStringHash.strHash
-    val shingleArr = expr(
-      s"transform(sequence(0, size(t) - $DecontamN), i -> " +
-        (0 until DecontamN).map(k => s"t[i + $k]").mkString("concat_ws(' ', ", ", ", "))"))
+    import graft.functions.PortableStringHash.{strHash, P}
+    // Shingle hash = polynomial fold of the PER-TOKEN hashes (base 131
+    // mod P), NOT strHash of the joined string: strHash caps at
+    // MaxChars=64 codepoints, and an 8-token shingle routinely exceeds
+    // that — two distinct 8-grams sharing a 64-char prefix would
+    // silently collide on BOTH engines (review-found). Token hashes are
+    // < P < 2^31, so acc·131 + h < 2^39 never overflows a long; the
+    // oracle replays the identical fold over lead() windows.
+    val fold = (1 until DecontamN)
+      .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
+    val shingleHashes = expr(s"transform(sequence(0, size(ha) - $DecontamN), i -> $fold)")
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
       .select(col("doc_id"),
-        explode(array_distinct(when(size(col("t")) >= DecontamN, shingleArr)
-          .otherwise(array().cast("array<string>")))).as("shingle"))
-      .select(col("doc_id"), strHash(col("shingle")).as("h"))
+        explode(array_distinct(when(size(col("ha")) >= DecontamN, shingleHashes)
+          .otherwise(array().cast("array<bigint>")))).as("h"))
     val isBench = col("doc_id") % DecontamBenchMod === 0
     val bench = sh.filter(isBench).select(col("h")).distinct()
     val hits = sh.filter(!isBench)
@@ -320,19 +326,17 @@ object TextAnalytics {
             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
                    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
             FROM documents),
-          sh0 AS (
-            SELECT DISTINCT doc_id,
-                   ${(0 until DecontamN).map {
-                     case 0 => "tok"
-                     case k => s"lead(tok, $k) OVER w"
-                   }.mkString(" || ' ' || ")} AS shingle
-            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(tok, ${DecontamN - 1}) OVER w IS NOT NULL),
           ${graft.functions.PortableStringHash.strHashCtes(
-            "sh0", Seq("doc_id"), "shingle", "shh", "h")},
-          bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % $DecontamBenchMod = 0),
-          hits AS (SELECT s.doc_id, count(DISTINCT s.h) AS n_hits
-                   FROM shh s JOIN bench b USING (h)
+            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+          shh AS (
+            SELECT DISTINCT doc_id,
+                   ${(1 until DecontamN).foldLeft("h")((acc, k) =>
+                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(h, ${DecontamN - 1}) OVER w IS NOT NULL),
+          bench AS (SELECT DISTINCT hsh FROM shh WHERE doc_id % $DecontamBenchMod = 0),
+          hits AS (SELECT s.doc_id, count(DISTINCT s.hsh) AS n_hits
+                   FROM shh s JOIN bench b USING (hsh)
                    WHERE s.doc_id % $DecontamBenchMod <> 0 GROUP BY 1)
           SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                  coalesce(h.n_hits, 0) > 0 AS contaminated

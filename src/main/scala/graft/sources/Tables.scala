@@ -29,10 +29,19 @@ object Tables {
     * oracle (µs wall-clock timestamps) agree on the same values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(apply(s, d, "events"))
+  }
+
+  /** Normalize the events `ts` column to session TimestampType whatever
+    * the generator wrote (long nanos under nanosAsLong, TIMESTAMP_NTZ,
+    * plain TIMESTAMP). SHARED by the batch and streaming loaders — the r7
+    * regression was exactly these two drifting apart when the testdata
+    * schema changed.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

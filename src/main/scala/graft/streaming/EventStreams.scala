@@ -18,8 +18,9 @@ object EventStreams {
     * (surfaced as long under spark.sql.legacy.parquet.nanosAsLong), as
     * TIMESTAMP(MICROS, NTZ), and as plain TIMESTAMP. The streaming file
     * source needs an explicit schema, so probe the footer with a one-file
-    * batch read and normalize ts to TimestampType — mirroring
-    * graft.sources.Tables.events.
+    * batch read, then normalize ts through the SAME helper the batch
+    * loader uses ([[graft.sources.Tables.normalizeEventTs]]) — one place
+    * to update when the generator's timestamp type changes again.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -28,14 +29,10 @@ object EventStreams {
     // table in the sf dir through name-based column matching (their rows
     // surface as all-null events). The streaming file source requires a
     // directory path, so the scoping is a file-name glob filter.
-    val stream = spark.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    raw("ts").dataType match {
-      case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => stream
-    }
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregate — the streaming form of the
