@@ -38,8 +38,10 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // events.parquet is TIMESTAMP(NANOS): read it as raw long nanos so the
-    // replicated copy keeps the exact source shape Tables.events expects
+    // events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-6) and
+    // TIMESTAMP(MICROS, NTZ) (round 8+): nanosAsLong makes the nanos form
+    // readable, the replicated copy keeps whichever raw shape the source
+    // has, and Tables.normalizeEventTs adapts on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
@@ -66,7 +68,9 @@ object ScaleStress {
       "q27_simhash", "q29_cosine_neardup", "q30_ann_lsh", "q33_dropconst",
       "q36_ann_ivf", "q37_simhash_neardup", "q38_ann_ivf_kmeans",
       "q39_minhash_openvocab", "q40_ngram_jaccard", "q41_dedup_components",
-      "q42_repetition")
+      "q42_repetition", "q55_sample_mixture", "q56_dedup_materialize",
+      "q57_quality_topk", "q61_decontaminate", "q64_pii_scrub",
+      "q65_quant_ann")
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
