@@ -61,18 +61,29 @@ object BinaryGate {
     }
     val actnum = Array.tabulate(ncells)(g => if ((g + c) % 7 == 0) 0 else 1)
     val base = s"$dir/CASE$c"
+    // NNC pair list (q66): 1-based global indices from a closed form that
+    // may land on inactive cells — exercising the coordinate join's
+    // left-join null path. q59's egrid read ignores these keywords.
+    val nnc1 = Array.tabulate(NncN)(p => (37 * p + c) % ncells + 1)
+    val nnc2 = Array.tabulate(NncN)(p => (61 * p + 7 + 3 * c) % ncells + 1)
     EclKw.write(s"$base.EGRID", Seq(
       Kw("GRIDHEAD", "INTE", Array(0, Nx, Ny, Nz)),
       Kw("COORD", "REAL", coord),
       Kw("ZCORN", "REAL", zcorn),
-      Kw("ACTNUM", "INTE", actnum)))
+      Kw("ACTNUM", "INTE", actnum),
+      Kw("NNC1", "INTE", nnc1),
+      Kw("NNC2", "INTE", nnc2)))
     val activeG = (0 until ncells).filter(g => actnum(g) != 0)
     EclKw.write(s"$base.INIT", Seq(
       Kw("INTEHEAD", "INTE", Array.tabulate(12)(i => if (i == 11) activeG.length else 0)),
       Kw("PORO", "REAL", activeG.map(g => ((g + 5 * c) % 64) / 64f).toArray),
-      Kw("PERMX", "REAL", activeG.map(g => ((7 * g + c) % 1000).toFloat).toArray)))
+      Kw("PERMX", "REAL", activeG.map(g => ((7 * g + c) % 1000).toFloat).toArray),
+      // length NncN != nactive, so q59's active-vector selection skips it
+      Kw("TRANNNC", "REAL", Array.tabulate(NncN)(p => p + (p % 64) / 64f))))
     base
   }
+
+  private val NncN = 120
 
   /** q59: EGRID + INIT decode and active-ordinal assembly (S1→S3/S4 +
     * J1): four generated cases through [[graft.io.EclBinary.egrid]]
@@ -215,11 +226,37 @@ object BinaryGate {
       .orderBy(col("case_id"), col("date"), col("conidx"))
   }
 
+  /** q66: the NNC pair-list decode + cell-coordinate join (S3's NNC1/
+    * NNC2 + TRANNNC surface and J7's `nncWithCoordinates`) under the
+    * gate, over the SAME grid fixtures as q59. The pair formula
+    * deliberately lands some endpoints on inactive cells, so the
+    * broadcast left-joins' null path (missing geometry → null averaged
+    * coordinates) is hash-checked too; TRANNNC values are float-exact
+    * dyadics read through the REAL→double widening.
+    */
+  def q66NncBinary(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q59")
+    val frames = (0 until GridCases).map { c =>
+      val base = writeGridCase(tmp, c)
+      val nnc = graft.io.EclBinary.nnc(s, s"$base.EGRID", Some(s"$base.INIT"))
+      graft.modules.GridOps.nncWithCoordinates(nnc, graft.io.EclBinary.egrid(s, s"$base.EGRID"))
+        .withColumn("case_id", lit(c))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("case_id"),
+        col("I1").as("i1"), col("J1").as("j1"), col("K1").as("k1"),
+        col("I2").as("i2"), col("J2").as("j2"), col("K2").as("k2"),
+        col("TRAN").as("tran"), col("X").as("x"), col("Y").as("y"), col("Z").as("z"))
+      .orderBy(col("case_id"), col("i1"), col("j1"), col("k1"),
+        col("i2"), col("j2"), col("k2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q62_unrst_binary" -> (q62UnrstBinary _),
     "q63_rft_binary" -> (q63RftBinary _),
+    "q66_nnc_binary" -> (q66NncBinary _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -279,5 +316,37 @@ object BinaryGate {
                 CAST(1000 + 10 * i + 100 * t + c AS DOUBLE) AS depth,
                 CAST(200 + i + 50 * t + 7 * c AS DOUBLE) AS pressure
          FROM cons ORDER BY case_id, date, conidx""",
+    // Endpoint (i,j,k) decodes from the 1-based global index regardless
+    // of activity; coordinates left-join only ACTIVE cells, so pairs
+    // touching an inactive endpoint average to NULL — same as the
+    // broadcast left-join null path in nncWithCoordinates.
+    "q66_nnc_binary" ->
+      s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
+         pairs AS (SELECT c, unnest(range($NncN)) AS p FROM cases),
+         pp AS (SELECT c, p,
+                       (37 * p + c) % ${Nx * Ny * Nz} AS g1,
+                       (61 * p + 7 + 3 * c) % ${Nx * Ny * Nz} AS g2,
+                       p + CAST(p % 64 AS DOUBLE) / 64 AS tran
+                FROM pairs),
+         cells AS (SELECT c, unnest(range(${Nx * Ny * Nz})) AS g FROM cases),
+         coord AS (
+           SELECT c, g,
+                  CAST(g % $Nx + 1 AS DOUBLE) - 0.5 AS x,
+                  CAST((g // $Nx) % $Ny + 1 AS DOUBLE) - 0.5 AS y,
+                  CAST((g // ${Nx * Ny} + 1) * (g // ${Nx * Ny} + 1) AS DOUBLE) / 2 AS z
+           FROM cells WHERE (g + c) % 7 <> 0)
+         SELECT CAST(pp.c AS INT) AS case_id,
+                CAST(g1 % $Nx + 1 AS INT) AS i1,
+                CAST((g1 // $Nx) % $Ny + 1 AS INT) AS j1,
+                CAST(g1 // ${Nx * Ny} + 1 AS INT) AS k1,
+                CAST(g2 % $Nx + 1 AS INT) AS i2,
+                CAST((g2 // $Nx) % $Ny + 1 AS INT) AS j2,
+                CAST(g2 // ${Nx * Ny} + 1 AS INT) AS k2,
+                tran,
+                (a.x + b.x) / 2 AS x, (a.y + b.y) / 2 AS y, (a.z + b.z) / 2 AS z
+         FROM pp
+         LEFT JOIN coord a ON a.c = pp.c AND a.g = pp.g1
+         LEFT JOIN coord b ON b.c = pp.c AND b.g = pp.g2
+         ORDER BY case_id, i1, j1, k1, i2, j2, k2""",
   )
 }

@@ -81,6 +81,19 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(f.getAs[Double]("pressure") == 200 + 9 + 50 + 7)
   }
 
+  test("q66: NNC decode joins coordinates and nulls inactive endpoints") {
+    val nnc = graft.queries.BinaryGate.q66NncBinary(spark, Sf)
+    assert(nnc.count() == 4L * 120)
+    // an endpoint on an inactive cell ((g+c)%7==0) must average to null
+    val inact1 = (col("i1") - 1) + (col("j1") - 1) * 20 + (col("k1") - 1) * 400 + col("case_id")
+    val bad = nnc.filter(pmod(inact1, lit(7)) === 0 && col("x").isNotNull)
+    assert(bad.count() == 0)
+    // fully-active pairs carry exact averaged centers and dyadic TRAN
+    val active = nnc.filter(col("x").isNotNull)
+    assert(active.count() > 0)
+    assert(active.filter(col("tran") < 0 || col("tran") >= 120).count() == 0)
+  }
+
   test("q64: PII scrub finds the constructed PII and redaction shortens text") {
     val out = graft.queries.TextAnalytics.q64PiiScrub(spark, Sf)
     val docs = graft.sources.Tables.documents(spark, Sf)
