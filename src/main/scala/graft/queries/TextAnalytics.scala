@@ -209,6 +209,45 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** The COMPOSED curation pipeline (q67): PII-redact → exact-dedup →
+    * deterministic mixture sample → per-source quality top-k, all in ONE
+    * declarative plan — the shape an actual 100 TB training-data
+    * curation run has, demonstrating the stages (q64/q24/q55/q57)
+    * compose without materialization boundaries. Catalyst sees the whole
+    * tree: the redaction projection fuses into the scan, dedup is one
+    * shuffle on the 16-byte md5, the sample filter is codegen'd with no
+    * exchange, and the top-k plans as the two-phase WindowGroupLimit.
+    * Quality scores and dedup hashes are computed over the REDACTED
+    * text — order matters and the oracle replays the same order.
+    */
+  def q67CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    import org.apache.spark.sql.expressions.Window
+    val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phone = "555-[0-9]{4}"
+    val red = Tables.documents(s, dir)
+      .withColumn("rtext", regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+    val keep = red
+      .groupBy(md5(col("rtext").cast("binary")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("th")
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val rateBp = lit(2000L) + lit(1500L) * pmod(srcNum, lit(4L))
+    val sampled = red.join(keep, Seq("doc_id"))
+      .filter(pmod(strHash(concat(lit("cur:v1|"), col("doc_id").cast("string"))),
+        lit(10000L)) < rateBp)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    sampled
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        qualityScore(col("rtext")).as("quality"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= 5)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
@@ -219,6 +258,7 @@ object TextAnalytics {
     "q57_quality_topk" -> (q57QualityTopK _),
     "q61_decontaminate" -> (q61Decontaminate _),
     "q64_pii_scrub" -> (q64PiiScrub _),
+    "q67_curation_pipeline" -> (q67CurationPipeline _),
   )
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -360,5 +400,40 @@ object TextAnalytics {
                   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
                   '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
          FROM p ORDER BY doc_id""",
+    "q67_curation_pipeline" ->
+      s"""WITH red AS (
+            SELECT doc_id, source,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+                     '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+                     '555-[0-9]{4}', '<PHONE>', 'g') AS rtext
+            FROM documents),
+          keep AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+                   FROM red GROUP BY md5(rtext)),
+          surv AS (SELECT r.doc_id, r.source, r.rtext, k.n_copies
+                   FROM red r JOIN keep k USING (doc_id)),
+          sam0 AS (SELECT doc_id, 'cur:v1|' || CAST(doc_id AS VARCHAR) AS tok FROM surv),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "sam0", Seq("doc_id"), "tok", "mh", "h")},
+          sampled AS (
+            SELECT s.doc_id, s.source, s.rtext, s.n_copies
+            FROM surv s JOIN mh USING (doc_id)
+            WHERE h % 10000 <
+                  2000 + 1500 * (CAST(regexp_extract(s.source, '([0-9]+)$$', 1) AS BIGINT) % 4)),
+          t AS (SELECT doc_id, source, n_copies, rtext,
+                       string_split_regex(trim(rtext), '\\s+') AS toks FROM sampled),
+          q AS (SELECT doc_id, source, n_copies,
+                round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE))
+                      + 0.2 * (1.0 - CAST(length(rtext) - length(regexp_replace(rtext, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                     / CAST(length(rtext) AS DOUBLE)), 6) AS quality
+                FROM t),
+          r AS (SELECT doc_id, source, n_copies, quality,
+                       CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS INTEGER) AS rank_in_source
+                FROM q)
+          SELECT doc_id, source, n_copies, quality, rank_in_source
+          FROM r WHERE rank_in_source <= 5 ORDER BY doc_id""",
   )
 }

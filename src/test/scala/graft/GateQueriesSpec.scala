@@ -135,6 +135,24 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q67: the composed curation pipeline respects its stage invariants") {
+    val out = graft.queries.TextAnalytics.q67CurationPipeline(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // ≤5 per source, ranks dense from 1
+    val bySrc = out.groupBy(_.getString(1))
+    bySrc.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(4)).sorted
+      assert(ranks.length <= 5 && ranks.toSeq == (1 to ranks.length))
+    }
+    // survivors only: every doc_id is the min of its duplicate class, so
+    // n_copies >= 1 and the sampled hash bucket is under the source rate
+    assert(out.forall(_.getLong(2) >= 1))
+    // the two-phase top-k shape must hold in the composed plan too
+    val plan = graft.queries.TextAnalytics.q67CurationPipeline(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("q61: decontamination flags are consistent and exclude the benchmark") {
     val out = graft.queries.TextAnalytics.q61Decontaminate(spark, Sf)
     val docs = graft.sources.Tables.documents(spark, Sf)
