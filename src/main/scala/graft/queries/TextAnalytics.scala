@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
@@ -176,6 +176,20 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+  private val IpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** The shared email→IP→phone redaction chain (q64 standalone scrub and
+    * q67's pipeline stage 1 — ONE set of patterns, Spark + oracle). */
+  private def redact(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+
+  private def redactSql(textExpr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($textExpr, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+
   /** PII scrubbing (q64): detect + redact emails / IPv4s / phone-shaped
     * numbers — the redaction pass every pretraining corpus runs before
     * the quality filters. The corpus text carries no PII by construction,
@@ -191,9 +205,6 @@ object TextAnalytics {
     * inside whole-stage codegen.
     */
   def q64PiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-    val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
-    val phone = "555-[0-9]{4}"
     Tables.documents(s, dir)
       .withColumn("pii_text", concat(
         lit("Contact u"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
@@ -201,11 +212,10 @@ object TextAnalytics {
         lit("."), (col("doc_id") * 7) % 250, lit("."), col("doc_id") % 100,
         lit(" phone 555-0"), col("doc_id") % 1000, lit(" "), col("text")))
       .select(col("doc_id"),
-        expr(s"size(regexp_extract_all(pii_text, '$email', 0))").as("n_emails"),
-        expr(s"size(regexp_extract_all(pii_text, '$ip', 0))").as("n_ips"),
-        expr(s"size(regexp_extract_all(pii_text, '$phone', 0))").as("n_phones"),
-        length(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
-          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")).as("redacted_len"))
+        expr(s"size(regexp_extract_all(pii_text, '$EmailRe', 0))").as("n_emails"),
+        expr(s"size(regexp_extract_all(pii_text, '$IpRe', 0))").as("n_ips"),
+        expr(s"size(regexp_extract_all(pii_text, '$PhoneRe', 0))").as("n_phones"),
+        length(redact(col("pii_text"))).as("redacted_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -223,12 +233,8 @@ object TextAnalytics {
   def q67CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
-    val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-    val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
-    val phone = "555-[0-9]{4}"
     val red = Tables.documents(s, dir)
-      .withColumn("rtext", regexp_replace(regexp_replace(regexp_replace(col("text"),
-        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+      .withColumn("rtext", redact(col("text")))
     val keep = red
       .groupBy(md5(col("rtext").cast("binary")).as("th"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
@@ -265,6 +271,19 @@ object TextAnalytics {
   private val deList = DeStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = EsStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val frList = FrStop.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The qualityScore formula as oracle SQL over a relation exposing
+    * `toks` (whitespace-split token list) and the text column `textCol`
+    * — ONE definition for the q57 and q67 oracles (the Spark side has
+    * the single `qualityScore` helper; this is its SQL twin, same
+    * pattern as PortableStringHash.strHashCtes). */
+  private def qualitySql(textCol: String): String =
+    s"""round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE))
+                      + 0.2 * (1.0 - CAST(length($textCol) - length(regexp_replace($textCol, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                     / CAST(length($textCol) AS DOUBLE)), 6)"""
+
 
   val oracleSql: Map[String, String] = Map(
     "q20_tokens" ->
@@ -349,11 +368,7 @@ object TextAnalytics {
       s"""WITH t AS (SELECT doc_id, source, text,
                             string_split_regex(trim(text), '\\s+') AS toks FROM documents),
           m AS (SELECT doc_id, source,
-                round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-                      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
-                               / CAST(len(toks) AS DOUBLE))
-                      + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                                     / CAST(length(text) AS DOUBLE)), 6) AS quality
+                ${qualitySql("text")} AS quality
                 FROM t),
           r AS (SELECT doc_id, source, quality,
                        CAST(row_number() OVER (PARTITION BY source
@@ -383,7 +398,7 @@ object TextAnalytics {
           FROM documents d LEFT JOIN hits h USING (doc_id)
           WHERE d.doc_id % $DecontamBenchMod <> 0 ORDER BY doc_id""",
     "q64_pii_scrub" ->
-      """WITH p AS (
+      s"""WITH p AS (
            SELECT doc_id,
                   'Contact u' || doc_id || '@mail' || doc_id % 7 ||
                   '.com or ' || doc_id % 250 || '.' || (doc_id * 3) % 250 ||
@@ -391,22 +406,14 @@ object TextAnalytics {
                   ' phone 555-0' || doc_id % 1000 || ' ' || text AS pii_text
            FROM documents)
          SELECT doc_id,
-                len(regexp_extract_all(pii_text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS n_emails,
-                len(regexp_extract_all(pii_text,
-                    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ips,
-                len(regexp_extract_all(pii_text, '555-[0-9]{4}')) AS n_phones,
-                length(regexp_replace(regexp_replace(regexp_replace(pii_text,
-                  '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
-                  '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
-                  '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+                len(regexp_extract_all(pii_text, '$EmailRe')) AS n_emails,
+                len(regexp_extract_all(pii_text, '$IpRe')) AS n_ips,
+                len(regexp_extract_all(pii_text, '$PhoneRe')) AS n_phones,
+                length(${redactSql("pii_text")}) AS redacted_len
          FROM p ORDER BY doc_id""",
     "q67_curation_pipeline" ->
       s"""WITH red AS (
-            SELECT doc_id, source,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
-                     '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
-                     '555-[0-9]{4}', '<PHONE>', 'g') AS rtext
+            SELECT doc_id, source, ${redactSql("text")} AS rtext
             FROM documents),
           keep AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
                    FROM red GROUP BY md5(rtext)),
@@ -423,11 +430,7 @@ object TextAnalytics {
           t AS (SELECT doc_id, source, n_copies, rtext,
                        string_split_regex(trim(rtext), '\\s+') AS toks FROM sampled),
           q AS (SELECT doc_id, source, n_copies,
-                round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-                      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
-                               / CAST(len(toks) AS DOUBLE))
-                      + 0.2 * (1.0 - CAST(length(rtext) - length(regexp_replace(rtext, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                                     / CAST(length(rtext) AS DOUBLE)), 6) AS quality
+                ${qualitySql("rtext")} AS quality
                 FROM t),
           r AS (SELECT doc_id, source, n_copies, quality,
                        CAST(row_number() OVER (PARTITION BY source

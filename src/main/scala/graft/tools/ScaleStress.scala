@@ -57,7 +57,7 @@ object ScaleStress {
       w("nation", Tables.nation(spark, src))
       w("region", Tables.region(spark, src))
       w("events", replicate(
-        spark.read.parquet(s"$src/events.parquet"), // ts stays long nanos
+        spark.read.parquet(s"$src/events.parquet"), // raw source ts shape preserved
         factor, Seq("event_id", "user_id")))
       w("documents", replicate(Tables.documents(spark, src), factor, Seq("doc_id")))
       w("embeddings", replicate(Tables.embeddings(spark, src), factor, Seq("vec_id")))

@@ -136,7 +136,8 @@ class GateQueriesSpec extends AnyFunSuite {
   }
 
   test("q67: the composed curation pipeline respects its stage invariants") {
-    val out = graft.queries.TextAnalytics.q67CurationPipeline(spark, Sf).collect()
+    val df = graft.queries.TextAnalytics.q67CurationPipeline(spark, Sf)
+    val out = df.collect()
     assert(out.nonEmpty)
     // ≤5 per source, ranks dense from 1
     val bySrc = out.groupBy(_.getString(1))
@@ -148,8 +149,7 @@ class GateQueriesSpec extends AnyFunSuite {
     // n_copies >= 1 and the sampled hash bucket is under the source rate
     assert(out.forall(_.getLong(2) >= 1))
     // the two-phase top-k shape must hold in the composed plan too
-    val plan = graft.queries.TextAnalytics.q67CurationPipeline(spark, Sf)
-      .queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
 
