@@ -50,11 +50,46 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  private val ParamCases = 20
+
+  /** S9/S10/J14 under the gate (q68): per case a generated lyr zonemap
+    * text (quoted zone names, K ranges, an UNMAPPED tail at K=11..12)
+    * and a parameters text rotating through the reference's THREE
+    * formats — YAML (c%3=0), JSON (c%3=1), txt pairs (c%3=2) — parsed
+    * by the real cascade (`parseParameters`: yaml → json → txt) and the
+    * real lyr tokenizer, then applied to a per-case K frame via the
+    * broadcast zone lookup (`mergeZones`) and the params fan-out
+    * (`mergeParams`). The oracle replays the closed form, so a parse
+    * divergence in ANY of the three formats (or the unmapped-layer null
+    * path) breaks the hash.
+    */
+  def q68ParamZone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = (0 until ParamCases).map { c =>
+      val a = 3 + c % 3
+      val lyr = s"'UPPER$c' 1-$a\n'MID$c' ${a + 1}-8\n'LOWER$c' 9-10"
+      val ptext = (c % 3) match {
+        case 0 => s"FWL: ${100 + c}\nRMS_SEED: ${7 * c}"
+        case 1 => s"""{"FWL": ${100 + c}, "RMS_SEED": ${7 * c}}"""
+        case _ => s"FWL ${100 + c}\nRMS_SEED ${7 * c}"
+      }
+      val base = (1 to 12).map(k => (c, k, (k * 10 + c).toLong))
+        .toDF("case_id", "K", "value")
+      val zoned = GridOps.mergeZones(base, GridOps.parseLyr(lyr), "K")
+      GridOps.mergeParams(zoned, GridOps.parseParameters(ptext))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("case_id"), col("K").as("k"), col("value"),
+        col("ZONE").as("zone"), col("FWL").as("fwl"), col("RMS_SEED").as("rms_seed"))
+      .orderBy(col("case_id"), col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_glob" -> (q32Glob _),
     "q33_dropconst" -> (q33DropConst _),
     "q34_zonemap" -> (q34ZoneMap _),
     "q35_crop" -> (q35Crop _),
+    "q68_param_zone" -> (q68ParamZone _),
   )
 
   private val zoneList = (0 until 25).map(k => s"'G${k / 5}'").mkString("[", ",", "]")
@@ -77,5 +112,17 @@ object Extras {
             OR ts = (SELECT min(ts) FROM events)
             OR ts = (SELECT max(ts) FROM events)
          ORDER BY event_id""",
+    "q68_param_zone" ->
+      s"""WITH cases AS (SELECT unnest(range($ParamCases)) AS c),
+          ks AS (SELECT c, unnest(range(1, 13)) AS k FROM cases)
+          SELECT CAST(c AS INT) AS case_id, CAST(k AS INT) AS k,
+                 k * 10 + c AS value,
+                 CASE WHEN k <= 3 + c % 3 THEN 'UPPER' || CAST(c AS VARCHAR)
+                      WHEN k <= 8 THEN 'MID' || CAST(c AS VARCHAR)
+                      WHEN k <= 10 THEN 'LOWER' || CAST(c AS VARCHAR)
+                      ELSE NULL END AS zone,
+                 CAST(100 + c AS VARCHAR) AS fwl,
+                 CAST(7 * c AS VARCHAR) AS rms_seed
+          FROM ks ORDER BY case_id, k""",
   )
 }

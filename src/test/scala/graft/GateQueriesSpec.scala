@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-8 gate queries: streaming parity (q58), binary grid decode
-  * (q59), summary binary round trip (q60), decontamination (q61). The
-  * DuckDB hash check is the primary gate; these specs pin the invariants
-  * the hash can't express (batch/stream parity inside one engine,
-  * round-trip identity, set relationships).
+/** Round-8 gate queries (q58-q68): streaming parity, the binary
+  * EGRID/INIT/UNRST/RFT/NNC/UNSMRY decode round trips, decontamination,
+  * PII scrub, int8-quantized ANN, the composed curation pipeline, and
+  * the parameters/zonemap parse cascade. The DuckDB hash check is the
+  * primary gate; these specs pin the invariants the hash can't express
+  * (batch/stream parity inside one engine, round-trip identity, regret
+  * budgets, set relationships).
   */
 class GateQueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -151,6 +153,17 @@ class GateQueriesSpec extends AnyFunSuite {
     // the two-phase top-k shape must hold in the composed plan too
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("q68: the three parameter formats parse identically") {
+    val out = graft.queries.Extras.q68ParamZone(spark, Sf)
+    assert(out.count() == 20L * 12)
+    // yaml/json/txt cases must produce the same (fwl, rms_seed) shape
+    assert(out.filter(col("fwl") =!= (col("case_id") + 100).cast("string")).count() == 0)
+    assert(out.filter(col("rms_seed") =!= (col("case_id") * 7).cast("string")).count() == 0)
+    // unmapped layers stay null
+    assert(out.filter(col("k") > 10 && col("zone").isNotNull).count() == 0)
+    assert(out.filter(col("k") <= 10 && col("zone").isNull).count() == 0)
   }
 
   test("q61: decontamination flags are consistent and exclude the benchmark") {
