@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .foreach { case (name, fn) =>
@@ -25,6 +26,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(500)
       }
       // same hygiene as Bench: release per-query caches and the
       // localCheckpoint(true) hub blocks (RDD-level persists that SQL
@@ -47,6 +49,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // LOUD failure manifest: round 7 lost 11 queries SILENTLY because a
+    // testdata schema change made them throw here — the per-query stderr
+    // lines drowned in Spark logs and the driver simply omitted the
+    // missing parquet dirs from the correctness report. Persist the
+    // failure list where both the driver artifacts and the next builder
+    // session will trip over it.
+    if (failures.nonEmpty) {
+      val fjson = failures
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), fjson)
+      System.err.println(
+        s"[verify] *** ${failures.size} QUERIES FAILED TO DUMP: " +
+          failures.map(_._1).mkString(", ") +
+          s" — see $outDir/_verify_errors.json ***")
+    }
     spark.stop()
   }
 }

@@ -61,6 +61,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    errs_path = f"{out_dir}/_verify_errors.json"
+    if os.path.exists(errs_path):
+        for name, msg in json.load(open(errs_path)).items():
+            print(f"FAIL {name}: verify dump threw: {msg[:200]}")
+            n_fail += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))],
