@@ -22,16 +22,23 @@ object EventStreams {
     * loader uses ([[graft.sources.Tables.normalizeEventTs]]) — one place
     * to update when the generator's timestamp type changes again.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir).schema
     // scope to the events table: a bare directory read would pull every
     // table in the sf dir through name-based column matching (their rows
     // surface as all-null events). The streaming file source requires a
-    // directory path, so the scoping is a file-name glob filter.
+    // directory path, so the scoping is a file-name glob filter —
+    // `events*.parquet` covers both the testdata layout (one flat
+    // events.parquet) and incremental per-arrival files
+    // (events_0001.parquet, ...: the report-step convention).
+    // sourceOptions: extra FILE-SOURCE options (e.g. maxFilesPerTrigger
+    // for incremental multi-batch runs).
     graft.sources.Tables.normalizeEventTs(
       spark.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .options(sourceOptions)
         .parquet(dir))
   }
 

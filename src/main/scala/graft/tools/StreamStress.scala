@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scale proof for the streaming path (§2.10): drives [[graft.streaming
+  * .EventStreams]] through a MULTI-BATCH incremental run — `nfiles`
+  * event files arriving one micro-batch at a time (`maxFilesPerTrigger
+  * = 1`), the q58 windowed aggregate accumulating state across batches —
+  * and reconciles the final complete-mode table against the one-shot
+  * batch answer. This is the property the q58 gate can't show (its
+  * AvailableNow run over one file usually lands in a single batch):
+  * state carried across `nfiles` batches yields EXACTLY the batch
+  * result, with the exact-long sum making the comparison bit-equal.
+  *
+  * Usage: runMain graft.tools.StreamStress [nfiles] [rowsPerFile]
+  * (defaults 20 × 500k = 10M events)
+  */
+object StreamStress {
+
+  def main(args: Array[String]): Unit = {
+    val nfiles = args.headOption.map(_.toInt).getOrElse(20)
+    val rowsPerFile = args.drop(1).headOption.map(_.toInt).getOrElse(500000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = s"/tmp/graft-stream-stress-$nfiles-$rowsPerFile"
+    val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
+    println(s"heap=${heapMb}MB nfiles=$nfiles rowsPerFile=$rowsPerFile")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // one FLAT parquet file per "arrival" (events_0000.parquet, ... —
+    // the per-report-step layout readEvents' glob expects): 90 days of
+    // events, ts/type/value closed-form over the global row id
+    if (!new java.io.File(f"$dir/events_${nfiles - 1}%04d.parquet").exists()) {
+      timed(s"materialize $nfiles files x $rowsPerFile rows") {
+        new java.io.File(dir).mkdirs()
+        val types = Array("view", "click", "purchase", "signup", "error")
+        (0 until nfiles).foreach { f =>
+          val tmp = s"$dir/_tmp"
+          spark.range(f.toLong * rowsPerFile, (f + 1).toLong * rowsPerFile)
+            .select(
+              col("id").as("event_id"),
+              timestamp_seconds(lit(1704067200L) + pmod(col("id") * 7919L, lit(90L * 86400)))
+                .as("ts"),
+              pmod(col("id"), lit(10000L)).as("user_id"),
+              element_at(typedLit(types.toSeq), (pmod(col("id"), lit(5L)) + 1).cast("int"))
+                .as("event_type"),
+              (pmod(col("id") * 31L, lit(10000L)).cast("double") / 100.0).as("value"),
+              lit("{}").as("props"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(f"$dir/events_$f%04d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/_tmp"))
+      }
+    }
+
+    def agg(events: DataFrame): DataFrame = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
+
+    val batch = timed("batch answer") {
+      agg(graft.sources.Tables.normalizeEventTs(
+          spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir)))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+        .collect().toSeq
+    }
+
+    val streamed = timed(s"streamed answer ($nfiles incremental batches)") {
+      spark.catalog.dropTempView("stream_stress_sink")
+      val q = agg(graft.streaming.EventStreams.readEvents(spark, dir,
+            Map("maxFilesPerTrigger" -> "1"))
+          .withWatermark("ts", "2 hours"))
+        .writeStream.format("memory").queryName("stream_stress_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.length
+      println(s"micro-batches executed: $batches")
+      require(batches > 1, s"expected a multi-batch run, got $batches")
+      spark.table("stream_stress_sink")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+        .collect().toSeq
+    }
+
+    require(streamed == batch,
+      s"stream/batch mismatch: ${streamed.size} vs ${batch.size} rows")
+    println(s"OK: ${streamed.size} windows bit-equal across ${nfiles} incremental batches")
+    spark.stop()
+  }
+}
