@@ -18,6 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // clear any stale manifest from a prior failing run in the same
+    // outDir — a leftover would make tools/check.py fail forever
+    Files.deleteIfExists(Paths.get(s"$outDir/_verify_errors.json"))
     val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }

@@ -70,7 +70,11 @@ object Extras {
       val lyr = s"'UPPER$c' 1-$a\n'MID$c' ${a + 1}-8\n'LOWER$c' 9-10"
       val ptext = (c % 3) match {
         case 0 => s"FWL: ${100 + c}\nRMS_SEED: ${7 * c}"
-        case 1 => s"""{"FWL": ${100 + c}, "RMS_SEED": ${7 * c}}"""
+        // the hard tab makes YAML reject it (MarkedYAMLException, probed)
+        // while JSON allows tab whitespace — so the cascade's JSON
+        // FALLBACK branch genuinely runs; plain JSON is also valid YAML
+        // and would be eaten by the yaml branch, leaving json dead
+        case 1 => s"{\t\"FWL\": ${100 + c}, \"RMS_SEED\": ${7 * c}}"
         case _ => s"FWL ${100 + c}\nRMS_SEED ${7 * c}"
       }
       val base = (1 to 12).map(k => (c, k, (k * 10 + c).toLong))

@@ -39,12 +39,8 @@ object StreamGate {
     */
   def q58StreamWindow(s: SparkSession, dir: String): DataFrame = {
     val events = graft.streaming.EventStreams.readEvents(s, dir)
-    val agg = events
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
+    val agg = graft.streaming.EventStreams.dailyActivityExact(
+      events.withWatermark("ts", "2 hours"))
     val sink = "q58_sink"
     s.catalog.dropTempView(sink) // rerun hygiene (Bench sweeps 3×)
     val q = agg.writeStream

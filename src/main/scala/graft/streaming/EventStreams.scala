@@ -25,22 +25,34 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String,
       sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir).schema
+    val raw = spark.read.option("pathGlobFilter", "{events,events_[0-9]*}.parquet").parquet(dir).schema
     // scope to the events table: a bare directory read would pull every
     // table in the sf dir through name-based column matching (their rows
     // surface as all-null events). The streaming file source requires a
     // directory path, so the scoping is a file-name glob filter —
-    // `events*.parquet` covers both the testdata layout (one flat
-    // events.parquet) and incremental per-arrival files
-    // (events_0001.parquet, ...: the report-step convention).
+    // exactly `events.parquet` (the testdata layout) or numbered
+    // per-arrival files `events_<digits>….parquet` (the report-step
+    // convention); a broader events* would silently union any future
+    // events_foo.parquet dump into the stream.
     // sourceOptions: extra FILE-SOURCE options (e.g. maxFilesPerTrigger
     // for incremental multi-batch runs).
     graft.sources.Tables.normalizeEventTs(
       spark.readStream.schema(raw)
-        .option("pathGlobFilter", "events*.parquet")
+        .option("pathGlobFilter", "{events,events_[0-9]*}.parquet")
         .options(sourceOptions)
         .parquet(dir))
   }
+
+  /** The q58/StreamStress daily activity aggregate: event-time tumbling
+    * 1-day window, count + EXACT-LONG value sum (association-order-free,
+    * hence bit-equal between batch and any micro-batch accumulation) —
+    * ONE definition so the gate query and the scale proof can't drift.
+    */
+  def dailyActivityExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
 
   /** Watermarked tumbling-window aggregate — the streaming form of the
     * monthly resample (here: minutes for test latency).

@@ -33,7 +33,10 @@ object StreamStress {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val dir = s"/tmp/graft-stream-stress-$nfiles-$rowsPerFile"
+    // v2 in the path = generator-formula version: bump when the closed
+    // form changes, or a cached dataset from the old formula would be
+    // silently reused by the exists() guard below
+    val dir = s"/tmp/graft-stream-stress-v2-$nfiles-$rowsPerFile"
     val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
     println(s"heap=${heapMb}MB nfiles=$nfiles rowsPerFile=$rowsPerFile")
 
@@ -75,10 +78,8 @@ object StreamStress {
       }
     }
 
-    def agg(events: DataFrame): DataFrame = events
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
+    def agg(events: DataFrame): DataFrame =
+      graft.streaming.EventStreams.dailyActivityExact(events)
 
     val batch = timed("batch answer") {
       agg(graft.sources.Tables.normalizeEventTs(
@@ -99,7 +100,9 @@ object StreamStress {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val batches = q.recentProgress.length
+      // recentProgress caps at 100 entries; batchId counts from 0 on
+      // the fresh per-run checkpoint, so lastProgress gives the true count
+      val batches = q.lastProgress.batchId + 1
       println(s"micro-batches executed: $batches")
       require(batches > 1, s"expected a multi-batch run, got $batches")
       spark.table("stream_stress_sink")

@@ -62,12 +62,16 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     errs_path = f"{out_dir}/_verify_errors.json"
+    dump_failed = {}
     if os.path.exists(errs_path):
-        for name, msg in json.load(open(errs_path)).items():
+        dump_failed = json.load(open(errs_path))
+        for name, msg in dump_failed.items():
             print(f"FAIL {name}: verify dump threw: {msg[:200]}")
             n_fail += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
+        if name in dump_failed:
+            continue  # already FAILed above; a stale dir must not print PASS
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))],
                         ignore_index=True) if glob.glob(f"{d}/*.parquet") else None
         if got is None:
