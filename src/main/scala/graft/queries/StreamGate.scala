@@ -55,8 +55,63 @@ object StreamGate {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  private val DedupN = 5000
+  private val DedupCopies = 4
+
+  /** q69: STREAMING EXACT DEDUP on the gate — the incremental form of
+    * q24. [[DedupCopies]] identical per-arrival files (at-least-once
+    * replays, byte-identical rows) stream through
+    * `dropDuplicatesWithinWatermark("event_id")` (append mode: each
+    * first-seen id emits immediately, replays die against the id state),
+    * and the surviving rows batch-aggregate to the daily activity shape.
+    * The oracle replays ONE copy of the closed form — so the hash only
+    * matches if the streaming dedup removed every duplicate and nothing
+    * else. Replayed rows are byte-identical by construction, which is
+    * what makes "keep the first arrival" deterministic under any
+    * batching.
+    */
+  def q69StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", "q69")
+    java.nio.file.Files.createDirectories(tmp)
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val one = s.range(0, DedupN).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 7919L, lit(30L * 86400)))
+        .as("ts"),
+      pmod(col("id"), lit(100L)).as("user_id"),
+      element_at(typedLit(types), (pmod(col("id"), lit(5L)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"),
+      lit("{}").as("props"))
+    (0 until DedupCopies).foreach { c =>
+      val scratch = s"$tmp/_scratch"
+      one.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        tmp.resolve(f"events_$c%04d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val sink = "q69_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams
+      .dedupedEvents(graft.streaming.EventStreams.readEvents(s, tmp.toString), "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.EventStreams.dailyActivityExact(s.table(sink))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_stream_window" -> (q58StreamWindow _),
+    "q69_stream_dedup" -> (q69StreamDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -65,5 +120,21 @@ object StreamGate {
          count(*) AS n_events,
          CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // ONE copy of the closed form — the hash only matches when the
+    // streaming dedup dropped every replayed duplicate and nothing else
+    "q69_stream_dedup" ->
+      s"""WITH e AS (SELECT unnest(range($DedupN)) AS i),
+         ev AS (SELECT i,
+                  TIMESTAMP '2024-01-01 00:00:00'
+                    + ((i * 7919) % ${30L * 86400}) * INTERVAL 1 SECOND AS ts,
+                  (['view', 'click', 'purchase', 'signup', 'error'])[CAST(i % 5 AS INT) + 1]
+                    AS event_type,
+                  CAST(i % 10000 AS DOUBLE) / 100.0 AS value
+                FROM e)
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+                  AS total_value
+         FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

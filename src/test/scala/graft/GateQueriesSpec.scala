@@ -155,6 +155,13 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("q69: streaming dedup drops exactly the replayed copies") {
+    val out = graft.queries.StreamGate.q69StreamDedup(spark, Sf)
+    // the sink holds the dedup SURVIVORS: exactly one per distinct id
+    assert(spark.table("q69_sink").count() == 5000L)
+    assert(out.agg(sum(col("n_events"))).collect().head.getLong(0) == 5000L)
+  }
+
   test("q68: the three parameter formats parse identically") {
     val out = graft.queries.Extras.q68ParamZone(spark, Sf)
     assert(out.count() == 20L * 12)
