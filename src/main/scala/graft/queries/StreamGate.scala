@@ -109,9 +109,63 @@ object StreamGate {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** q70: the MinHash-SIGNATURE streaming dedup
+    * ([[graft.streaming.EventStreams.signatureDeduped]] — stateless
+    * 32-slot signature projection + ONE flatMapGroupsWithState stage
+    * keyed by signature) on the gate. One AvailableNow batch over the
+    * documents file keeps the result closed-form: within a batch ids
+    * process in ascending order, so every row's canonical is the GLOBAL
+    * min doc_id of its signature group — which is exactly what the
+    * DuckDB oracle replays by grouping the same 32 slot-min columns
+    * (same portable hash family as q26/q39). A hash match proves the
+    * stateful streaming operator computed the batch signature-grouping
+    * semantics.
+    */
+  def q70StreamSigDedup(s: SparkSession, dir: String): DataFrame = {
+    val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val sink = "q70_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.signatureDeduped(stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def streamSigDedupSql: String = {
+    import graft.functions.PortableHash.mixSql
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "otoks", Seq("doc_id"), "tok", "ohash", "v")
+    // 32 slots, matching signatureDeduped's hardcoded signature width
+    val minCols = (0 until 32).map(k => s"min(${mixSql("v", k)}) AS m$k")
+      .mkString(",\n                  ")
+    val keys = (0 until 32).map("m" + _).mkString(", ")
+    s"""WITH otoks AS (SELECT doc_id,
+                  unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                  FROM documents),
+       $hashCtes,
+       vals AS (SELECT doc_id, v FROM ohash),
+       sig AS (SELECT doc_id, $minCols
+               FROM vals GROUP BY doc_id),
+       canon AS (SELECT $keys, min(doc_id) AS canonical_id
+                 FROM sig GROUP BY $keys)
+       SELECT sig.doc_id, c.canonical_id, sig.doc_id > c.canonical_id AS is_dup
+       FROM sig JOIN canon c USING ($keys)
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_stream_window" -> (q58StreamWindow _),
     "q69_stream_dedup" -> (q69StreamDedup _),
+    "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,5 +190,6 @@ object StreamGate {
                 CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
                   AS total_value
          FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q70_stream_sig_dedup" -> streamSigDedupSql,
   )
 }

@@ -162,6 +162,16 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n_events"))).collect().head.getLong(0) == 5000L)
   }
 
+  test("q70: streaming signature dedup matches the batch grouping") {
+    val out = graft.queries.StreamGate.q70StreamSigDedup(spark, Sf)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    assert(out.count() == docs.count())
+    // canonical ids are self-canonical and the flag is consistent
+    assert(out.filter(col("is_dup") =!= (col("doc_id") > col("canonical_id"))).count() == 0)
+    val canons = out.select(col("canonical_id").as("cid")).distinct()
+    assert(canons.join(out, col("cid") === col("doc_id"), "left_anti").count() == 0)
+  }
+
   test("q68: the three parameter formats parse identically") {
     val out = graft.queries.Extras.q68ParamZone(spark, Sf)
     assert(out.count() == 20L * 12)
