@@ -72,27 +72,32 @@ object StreamGate {
     */
   def q69StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the formula version rides in the dir name (v1-N-copies): changing
+    // the closed form changes the path, so the exists() reuse guard can
+    // never serve stale data from an older formula
     val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-gate", "q69")
+      sys.props("java.io.tmpdir"), "graft-gate", s"q69-v1-$DedupN-$DedupCopies")
     java.nio.file.Files.createDirectories(tmp)
-    val types = Seq("view", "click", "purchase", "signup", "error")
-    val one = s.range(0, DedupN).select(
-      col("id").as("event_id"),
-      timestamp_seconds(lit(1704067200L) + pmod(col("id") * 7919L, lit(30L * 86400)))
-        .as("ts"),
-      pmod(col("id"), lit(100L)).as("user_id"),
-      element_at(typedLit(types), (pmod(col("id"), lit(5L)) + 1).cast("int"))
-        .as("event_type"),
-      (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"),
-      lit("{}").as("props"))
-    (0 until DedupCopies).foreach { c =>
-      val scratch = s"$tmp/_scratch"
-      one.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        tmp.resolve(f"events_$c%04d.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!java.nio.file.Files.exists(tmp.resolve(f"events_${DedupCopies - 1}%04d.parquet"))) {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val one = s.range(0, DedupN).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + pmod(col("id") * 7919L, lit(30L * 86400)))
+          .as("ts"),
+        pmod(col("id"), lit(100L)).as("user_id"),
+        element_at(typedLit(types), (pmod(col("id"), lit(5L)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"),
+        lit("{}").as("props"))
+      (0 until DedupCopies).foreach { c =>
+        val scratch = s"$tmp/_scratch"
+        one.coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          tmp.resolve(f"events_$c%04d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     val sink = "q69_sink"
     s.catalog.dropTempView(sink)
