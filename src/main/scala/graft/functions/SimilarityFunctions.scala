@@ -143,8 +143,12 @@ object PortableStringHash {
   val MaxChars = 64
 
   /** Shared by interpreted eval and generated code. */
-  def hashString(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
+  def hashString(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    hashString(s.toString)
+
+  /** String overload — the actual fold; JVM-side kernels call this
+    * directly, skipping the UTF8String encode/decode round trip. */
+  def hashString(str: String): Long = {
     var h = 0L
     var i = 0
     var n = 0

@@ -55,8 +55,8 @@ object StreamGate {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  private val DedupN = 5000
-  private val DedupCopies = 4
+  private[graft] val DedupN = 5000
+  private[graft] val DedupCopies = 4
 
   /** q69: STREAMING EXACT DEDUP on the gate — the incremental form of
     * q24. [[DedupCopies]] identical per-arrival files (at-least-once
@@ -89,15 +89,21 @@ object StreamGate {
           .as("event_type"),
         (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"),
         lit("{}").as("props"))
+      // ONE write, then byte-level copies: the replay files are
+      // byte-identical BY CONSTRUCTION (not by parquet write
+      // determinism), and a per-process scratch dir keeps concurrent
+      // JVMs (sbt test + driver Verify) from clobbering each other
+      val scratch = s"$tmp/_scratch-${java.util.UUID.randomUUID()}"
+      one.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
       (0 until DedupCopies).foreach { c =>
-        val scratch = s"$tmp/_scratch"
-        one.coalesce(1).write.mode("overwrite").parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
+        java.nio.file.Files.copy(part.toPath,
           tmp.resolve(f"events_$c%04d.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+      part.getParentFile.listFiles().foreach(_.delete())
+      new java.io.File(scratch).delete()
     }
     val sink = "q69_sink"
     s.catalog.dropTempView(sink)

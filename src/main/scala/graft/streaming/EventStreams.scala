@@ -106,11 +106,18 @@ object EventStreams {
     // kernel and mixLong is mix's scalar twin.
     val keyed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty).distinct
+        // SQL-trim semantics (strip ' ' only — Java String.trim strips
+        // all chars <= U+0020 and would diverge from the oracle's trim);
+        // null text folds to the empty token set
+        val raw = if (text == null) "" else text
+        var lo = 0
+        var hi = raw.length
+        while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+        while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+        val toks = raw.substring(lo, hi).split("\\s+").filter(_.nonEmpty).distinct
         val mins = Array.fill(32)(Long.MaxValue)
         toks.foreach { t =>
-          val h = PortableStringHash.hashString(
-            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          val h = PortableStringHash.hashString(t)
           var k = 0
           while (k < 32) {
             val m = PortableHash.mixLong(h, k)
@@ -120,6 +127,9 @@ object EventStreams {
         }
         (id, if (toks.isEmpty) "" else mins.mkString("_"))
       }
+      // token-less documents carry no content to deduplicate — dropped on
+      // BOTH sides (the oracle's char-unnest naturally drops them)
+      .filter(_._2.nonEmpty)
     keyed.groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) => {

@@ -157,9 +157,10 @@ class GateQueriesSpec extends AnyFunSuite {
 
   test("q69: streaming dedup drops exactly the replayed copies") {
     val out = graft.queries.StreamGate.q69StreamDedup(spark, Sf)
+    val n = graft.queries.StreamGate.DedupN.toLong
     // the sink holds the dedup SURVIVORS: exactly one per distinct id
-    assert(spark.table("q69_sink").count() == 5000L)
-    assert(out.agg(sum(col("n_events"))).collect().head.getLong(0) == 5000L)
+    assert(spark.table("q69_sink").count() == n)
+    assert(out.agg(sum(col("n_events"))).collect().head.getLong(0) == n)
   }
 
   test("q70: streaming signature dedup matches the batch grouping") {
