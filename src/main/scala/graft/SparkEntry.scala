@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BinaryGate, Deck, DedupSim, Extras, Media, ModuleOracles, Relational, StreamGate, TextAnalytics}
+import graft.queries.{BinaryGate, Chunking, Deck, DedupSim, Extras, Media, ModuleOracles, Relational, ReservoirGate, StreamGate, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalytics.queries ++ DedupSim.queries ++ Extras.queries ++
       Media.queries ++ Deck.queries ++ ModuleOracles.queries ++
-      StreamGate.queries ++ BinaryGate.queries
+      StreamGate.queries ++ BinaryGate.queries ++ ReservoirGate.queries ++
+      Chunking.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalytics.oracleSql ++ DedupSim.oracleSql ++ Extras.oracleSql ++
       Media.oracleSql ++ Deck.oracleSql ++ ModuleOracles.oracleSql ++
-      StreamGate.oracleSql ++ BinaryGate.oracleSql
+      StreamGate.oracleSql ++ BinaryGate.oracleSql ++ ReservoirGate.oracleSql ++
+      Chunking.oracleSql
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 gate queries (q71-q77): pillar contacts, FAULTS unroll, the
+  * PVT/EQUIL keyword families, trans pair construction, chunking and
+  * sequence packing. The DuckDB hash check is the primary gate; these
+  * specs pin invariants the hash can't express (eligibility semantics,
+  * coverage/conservation laws, pack-exactness).
+  */
+class ReservoirGateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("q71: contact eligibility and the inner-join combine behave like the reference") {
+    val rows = graft.queries.ReservoirGate.q71Pillars(spark, Sf).collect()
+    assert(rows.length == 40)
+    val byPillar = rows.map(r => r.getAs[String]("pillar") -> r).toMap
+    // i%4==0 pillars hold no water (SWAT<=0.7 everywhere): no OWC, and
+    // with the inner-join combine no GOC either
+    val p41 = byPillar("4-1")
+    assert(p41.isNullAt(p41.fieldIndex("owc")) && p41.isNullAt(p41.fieldIndex("goc")))
+    // j%3==0 pillars hold no gas: GOC missing drags OWC out too
+    val p13 = byPillar("1-3")
+    assert(p13.isNullAt(p13.fieldIndex("owc")) && p13.isNullAt(p13.fieldIndex("goc")))
+    // a fully eligible pillar reports both closed-form depths
+    val p11 = byPillar("1-1")
+    assert(p11.getAs[Double]("owc") == 1072.0) // deepest SOIL>0.2 cell: k=7
+    assert(p11.getAs[Double]("goc") == 1022.0) // deepest gas-cap cell: k=2
+    // PORO is pore-volume weighted: sum(PORV)/sum(VOLUME), not a cell mean
+    val porv = (1 to 10).map(k => 10.0 + ((1 * 1 + k) % 5)).sum
+    val vol = (1 to 10).map(k => 100.0 + 1 + 1 + k).sum
+    assert(p11.getAs[Double]("poro") == porv / vol)
+  }
+
+  test("q72: the 3-D unroll emits exactly the cartesian cell set per fault") {
+    val rows = graft.queries.ReservoirGate.q72Faults(spark, Sf)
+    val expected = (0 until 12).map(f => (2 + f % 2) * 3 * (1 + f % 3)).sum
+    assert(rows.count() == expected)
+    val f0 = rows.filter(col("name") === "F0").collect()
+    assert(f0.length == 6) // i 1..2, j 1..3, k 1..1
+    assert(f0.forall(_.getAs[String]("face") == "X"))
+    assert(f0.map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Int]("k"))).toSet ==
+      (for { i <- 1 to 2; j <- 1 to 3 } yield (i, j, 1)).toSet)
+  }
+
+  test("q73: the empty-record counter splits nested PVTO/PVTG regions") {
+    val df = graft.queries.ReservoirGate.q73Pvt(spark, Sf)
+    val pvto = df.filter(col("keyword") === "PVTO")
+    assert(pvto.count() == 36) // 3 lines per region
+    assert(pvto.filter(col("pvtnum") === 5).select("rs").distinct()
+      .collect().map(_.getDouble(0)).toSet == Set(51.0, 52.0))
+    assert(df.filter(col("keyword") === "PVTG").count() == 36)
+    // PVTW trailing defaults fall to the schema defaults, not null
+    val w3 = df.filter(col("keyword") === "PVTW" && col("pvtnum") === 3).collect().head
+    assert(w3.getAs[Double]("compressibility") == 0.0)
+    assert(w3.getAs[Double]("viscosibility") == 0.0)
+  }
+
+  test("q74: EQUIL trailing defaults and the per-keyword union") {
+    val df = graft.queries.ReservoirGate.q74Equil(spark, Sf)
+    assert(df.count() == 60) // 15 EQUIL + 30 RSVD + 15 PBVD
+    val e1 = df.filter(col("keyword") === "EQUIL" && col("eqlnum") === 1).collect().head
+    assert(e1.getAs[Double]("pcowc") == 0.0 && e1.getAs[Double]("goc") == 0.0)
+    assert(e1.isNullAt(e1.fieldIndex("initrs")))
+    val e2 = df.filter(col("keyword") === "EQUIL" && col("eqlnum") === 2).collect().head
+    assert(e2.getAs[Double]("goc") == 1702.0 && e2.getAs[Int]("accuracy") == 20)
+    // RSVD carries RS only; PBVD carries PB only
+    assert(df.filter(col("keyword") === "RSVD" && col("rs").isNull).count() == 0)
+    assert(df.filter(col("keyword") === "PBVD" && col("pb").isNull).count() == 0)
+  }
+
+  test("q75: direction split, NNC concat and midpoint coords") {
+    val rows = graft.queries.ReservoirGate.q75Trans(spark, Sf)
+    val byDir = rows.groupBy("dir").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDir("NNC") == 5)
+    // closed-form counts: positive-TRAN cells per direction
+    val expI = (for { i <- 1 to 5; j <- 1 to 5; k <- 1 to 4 } yield (i, j, k))
+      .count { case (i, j, k) => (i + j + k) % 5 != 0 }
+    assert(byDir("I") == expI)
+    // an NNC pair gets coordinates from both endpoints
+    val n1 = rows.filter(col("dir") === "NNC" && col("j1") === 2).collect().head
+    assert(n1.getAs[Double]("dx") == 200.0 && n1.getAs[Double]("dz") == 30.0)
+    assert(n1.getAs[Double]("x") == 200.0) // midpoint of 100 and 300
+    // a K pair crossing k=2 -> 3 crosses the FIPNUM split
+    val crossing = rows.filter(col("dir") === "K" && col("k1") === 2)
+    assert(crossing.count() > 0)
+    assert(crossing.filter(col("fipnum1") === col("fipnum2")).count() == 0)
+  }
+
+  test("q76: chunks tile every document with the configured stride") {
+    val rows = graft.queries.Chunking.q76Chunk(spark, Sf)
+      .join(spark.read.parquet(s"$Sf/documents.parquet")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")), Seq("doc_id"))
+    // per doc: n_chunks = (len-1) div 180 + 1; last chunk reaches the end
+    assert(rows.filter(col("n_chunks") =!= expr("(len - 1) div 180") + 1)
+      .count() == 0)
+    val last = rows.filter(col("chunk_idx") === col("n_chunks") - 1)
+    assert(last.filter(col("chunk_start") + col("chunk_len") - 1 =!= col("len"))
+      .count() == 0)
+    // every chunk is window-wide or clipped by the document end (the
+    // second-to-last can be 181-239 chars: window 240 > stride 180)
+    assert(rows.filter(col("chunk_len") =!=
+      least(lit(240L), col("len") - col("chunk_start") + 1)).count() == 0)
+    // consecutive chunks overlap by window - stride
+    assert(rows.filter(col("chunk_idx") > 0 &&
+      col("chunk_start") =!= (col("chunk_idx") - 1) * 180 + 181).count() == 0)
+  }
+
+  test("q77: packing conserves tokens and fills every non-final pack exactly") {
+    val rows = graft.queries.Chunking.q77Pack(spark, Sf)
+    // conservation: each doc's spans sum to its token count
+    val perDoc = rows.groupBy("doc_id", "n_tok")
+      .agg(sum("tok_in_pack").as("got"), sum(when(col("is_head"), 1).otherwise(0)).as("heads"))
+    assert(perDoc.filter(col("got") =!= col("n_tok")).count() == 0)
+    assert(perDoc.filter(col("heads") =!= 1).count() == 0)
+    // every pack except a source's last holds exactly 1024 tokens
+    val perPack = rows.groupBy("source", "pack_id").agg(sum("tok_in_pack").as("t"))
+    val lastPack = perPack.groupBy("source").agg(max("pack_id").as("pack_id"))
+    assert(perPack.join(lastPack, Seq("source", "pack_id"), "left_anti")
+      .filter(col("t") =!= 1024).count() == 0)
+  }
+}
