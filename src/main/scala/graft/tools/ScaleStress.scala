@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   * that accidentally scale quadratically.
   *
   * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.ScaleStress [factor]
+  * [queryNameSubstring ...] — with name filters, only matching table
+  * queries run (corpus rows skipped); iteration aid, the round sweep
+  * runs everything.
   */
 object ScaleStress {
 
@@ -26,6 +29,7 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(1).toSeq
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft-sfx$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,8 +74,8 @@ object ScaleStress {
       "q39_minhash_openvocab", "q40_ngram_jaccard", "q41_dedup_components",
       "q42_repetition", "q55_sample_mixture", "q56_dedup_materialize",
       "q57_quality_topk", "q61_decontaminate", "q64_pii_scrub",
-      "q65_quant_ann")
-    for (name <- names) {
+      "q65_quant_ann", "q76_chunk", "q77_pack")
+    for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
@@ -87,6 +91,8 @@ object ScaleStress {
       val big = Seq(time(dst), time(dst)).min
       println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
     }
+
+    if (only.nonEmpty) { spark.stop(); return } // filtered run: tables only
 
     // per-deck window scaling: the Schedule clock over a many-deck corpus
     // must scale with the number of decks, not funnel into one partition
