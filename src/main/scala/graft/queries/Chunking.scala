@@ -26,9 +26,10 @@ object Chunking {
     * task that read the row, so a 100 TB corpus chunks in one pass with
     * no shuffle of either documents or chunks. Integer `div` (not `/`)
     * keeps the chunk count in long arithmetic, and the greatest() guard
-    * makes a zero-length doc yield exactly one (empty) chunk on both
-    * engines (Spark div truncates toward zero, DuckDB // floors — they
-    * disagree below zero).
+    * keeps the dividend non-negative so a zero-length doc yields exactly
+    * one (empty) chunk WITHOUT relying on negative integer-division
+    * semantics, which are an engine-version detail (floor vs truncate)
+    * this layout must never depend on.
     */
   def q76Chunk(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -56,8 +57,11 @@ object Chunking {
     *
     * Scale shape: ONE shuffle — the per-source running token sum — then
     * a narrow pack-span explode; the span fan-out is (doc tokens /
-    * [[PackB]]) + 1, linear in input. The window key doubles as the
-    * packing shard: at 100 TB you don't pack one global stream anyway —
+    * [[PackB]]) + 1, linear in input. The layout is well-defined because
+    * doc_id is the table's unique key: the ROWS-framed cumsum (pinned on
+    * BOTH engines — DuckDB's default frame is RANGE, which would merge
+    * tied keys) is only deterministic under a unique (source, doc_id)
+    * ordering. The window key doubles as the packing shard: at 100 TB you don't pack one global stream anyway —
     * you pack per shard exactly like this, with `source` replaced by a
     * deterministic shard key, so the cumsum never serializes through
     * one partition.
@@ -107,8 +111,11 @@ object Chunking {
         |  SELECT doc_id, source,
         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
         |  FROM documents),
-        |c AS (SELECT *,  -- DuckDB sums BIGINT into HUGEINT; pin the layout type
-        |             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+        |c AS (SELECT *,  -- HUGEINT sum pinned to BIGINT; ROWS frame pinned to
+        |             -- match the Spark window (DuckDB defaults to RANGE,
+        |             -- which merges tied order keys into one prefix sum)
+        |             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |                  AS BIGINT) AS tok_end
         |      FROM t),
         |b AS (SELECT *, tok_end - n_tok AS tok_start FROM c),

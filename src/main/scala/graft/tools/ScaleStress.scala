@@ -28,8 +28,9 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val only = args.drop(1).toSeq
+    // factor is optional before the name filters: take it only if numeric
+    val factor = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+    val only = args.dropWhile(_.forall(_.isDigit)).toSeq
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft-sfx$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

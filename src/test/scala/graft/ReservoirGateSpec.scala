@@ -106,9 +106,14 @@ class ReservoirGateSpec extends AnyFunSuite {
     // second-to-last can be 181-239 chars: window 240 > stride 180)
     assert(rows.filter(col("chunk_len") =!=
       least(lit(240L), col("len") - col("chunk_start") + 1)).count() == 0)
-    // consecutive chunks overlap by window - stride
-    assert(rows.filter(col("chunk_idx") > 0 &&
-      col("chunk_start") =!= (col("chunk_idx") - 1) * 180 + 181).count() == 0)
+    // content check against an independent derivation: each emitted md5
+    // must equal the digest of the text slice at the emitted offsets
+    val withText = graft.queries.Chunking.q76Chunk(spark, Sf)
+      .join(spark.read.parquet(s"$Sf/documents.parquet")
+        .select(col("doc_id"), col("text")), Seq("doc_id"))
+    assert(withText.filter(col("chunk_md5") =!=
+      md5(expr("substring(text, CAST(chunk_start AS INT), 240)").cast("binary")))
+      .count() == 0)
   }
 
   test("q77: packing conserves tokens and fills every non-final pack exactly") {
