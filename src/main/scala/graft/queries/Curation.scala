@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus-curation operators beyond the q55/q57/q67 sampling/top-k
+  * shapes: the Gopher-style quality-filter CASCADE with per-rule
+  * attribution, and corpus-level token-frequency statistics (the
+  * vocabulary/top-k profile every tokenizer-training and
+  * corpus-analysis run computes).
+  */
+object Curation {
+
+  private val MinTokens = 50L
+  private val WordLenLo = 3.0
+  private val WordLenHi = 12.0
+  private val MinStopRatio = 0.03
+  private val MaxPunctRatio = 0.2
+
+  /** Quality-filter cascade with attribution (q80): the Gopher-rule
+    * document filter shape — minimum length, mean-word-length band,
+    * stopword floor, punctuation ceiling — evaluated TOGETHER so every
+    * document carries each rule's verdict, the failure count, and a
+    * reasons string. Real pipelines keep this attribution (you audit
+    * WHY a document was dropped and tune thresholds from the marginal
+    * distributions, not just the keep bit).
+    *
+    * Scale shape: scan → one codegen'd projection, ZERO exchanges. All
+    * four signals come from the same token array / length arithmetic,
+    * evaluated once per row; comparisons of identically-computed IEEE
+    * doubles are engine-portable.
+    */
+  def q80QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val passLen = nTok >= MinTokens
+    val passWord = avgWordLen(col("text")).between(WordLenLo, WordLenHi)
+    val passStop = stopwordRatio(col("text")) >= MinStopRatio
+    val passPunct = punctRatio(col("text")) <= MaxPunctRatio
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        passLen.as("pass_len"), passWord.as("pass_wordlen"),
+        passStop.as("pass_stop"), passPunct.as("pass_punct"))
+      .withColumn("n_failed",
+        (lit(4) - col("pass_len").cast("int") - col("pass_wordlen").cast("int")
+          - col("pass_stop").cast("int") - col("pass_punct").cast("int")).cast("long"))
+      .withColumn("keep", col("n_failed") === 0)
+      .withColumn("reasons", concat_ws(",",
+        when(!col("pass_len"), "len"), when(!col("pass_wordlen"), "wordlen"),
+        when(!col("pass_stop"), "stop"), when(!col("pass_punct"), "punct")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val TopK = 50
+
+  /** Corpus token frequency top-k (q81): global term counts + document
+    * frequencies over the whitespace tokenization, top [[TopK]] terms by
+    * (count desc, term asc) — the corpus-vocabulary profile.
+    *
+    * Scale shape: explode → hash aggregate with MAP-SIDE partial
+    * aggregation (each task pre-counts its tokens before the single
+    * exchange on the term — the natural-language Zipf head never ships
+    * raw), then top-k as TakeOrderedAndProject (no global sort; each
+    * partition forwards at most K rows). countDistinct(doc_id) adds the
+    * expand for exact df — acceptable because the agg keyspace is the
+    * vocabulary, bounded and tiny relative to the corpus.
+    */
+  def q81TokenTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(TopK)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_quality_gate" -> (q80QualityGate _),
+    "q81_token_topk" -> (q81TokenTopk _),
+  )
+
+  private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q80_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, text,
+        |                  string_split_regex(trim(text), '\\s+') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS awl,
+        |        CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |             AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |      FROM t),
+        |f AS (SELECT doc_id, n_tokens,
+        |        n_tokens >= $MinTokens AS pass_len,
+        |        awl BETWEEN $WordLenLo AND $WordLenHi AS pass_wordlen,
+        |        stop_ratio >= $MinStopRatio AS pass_stop,
+        |        punct_ratio <= $MaxPunctRatio AS pass_punct
+        |      FROM m)
+        |SELECT doc_id, n_tokens, pass_len, pass_wordlen, pass_stop, pass_punct,
+        |       CAST(4 - CAST(pass_len AS INT) - CAST(pass_wordlen AS INT)
+        |            - CAST(pass_stop AS INT) - CAST(pass_punct AS INT) AS BIGINT)
+        |         AS n_failed,
+        |       pass_len AND pass_wordlen AND pass_stop AND pass_punct AS keep,
+        |       concat_ws(',',
+        |         CASE WHEN NOT pass_len THEN 'len' END,
+        |         CASE WHEN NOT pass_wordlen THEN 'wordlen' END,
+        |         CASE WHEN NOT pass_stop THEN 'stop' END,
+        |         CASE WHEN NOT pass_punct THEN 'punct' END) AS reasons
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q81_token_topk" ->
+      s"""WITH t AS (SELECT doc_id,
+        |                  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |           FROM documents)
+        |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM t GROUP BY 1
+        |ORDER BY n DESC, tok ASC LIMIT $TopK""".stripMargin,
+  )
+}

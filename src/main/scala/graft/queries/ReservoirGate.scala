@@ -246,12 +246,76 @@ object ReservoirGate {
       .orderBy(col("dir"), col("i1"), col("j1"), col("k1"))
   }
 
+  // ---------------------------------------------------------------- q78
+
+  private val StackP = 30
+
+  /** R3/W2 under the oracle gate: Ops.stackOnColnames — the reference's
+    * wide `COL@date` → long reshape (stack_on_colnames, common.py:787-844)
+    * including the missing-combination null fill (no GOC column exists
+    * for the third date) and the all-dates timestamp cast. The engine's
+    * own frames never take the wide form (R4 design), so this gates the
+    * COMPATIBILITY path for wide reference CSVs.
+    */
+  def q78StackWide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = (0 until StackP).map(p =>
+      ("P" + p, 1000.0 + p, 1010.0 + p, 1020.0 + p, 900.0 + p, 910.0 + p))
+      .toDF("PILLAR", "OWC@2000-01-01", "OWC@2010-01-01", "OWC@2020-01-01",
+        "GOC@2000-01-01", "GOC@2010-01-01")
+    graft.core.Ops.stackOnColnames(wide)
+      .select(col("PILLAR").as("pillar"), col("DATE").as("date"),
+        col("OWC").as("owc"), col("GOC").as("goc"))
+      .orderBy(col("pillar"), col("date"))
+  }
+
+  // ---------------------------------------------------------------- q79
+
+  private val ResampleV = 10
+
+  /** Six samples per vector, start day shifted per vector off the Monday
+    * 2000-01-03 so the weekly grid's conditional rollforward takes BOTH
+    * branches across the corpus (c=1 and c=8 end ON a Monday), spaced
+    * 11 days so samples and grid points interleave.
+    */
+  private def resampleSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until ResampleV).flatMap { c =>
+      (0 until 6).map { i =>
+        val d = java.time.LocalDate.of(2000, 1, 3).plusDays(c + 11L * i)
+        (s"V$c", s"$d 00:00:00", 1000.0 * c + i)
+      }
+    }.toDF("VECTOR", "DATE", "VALUE")
+      .withColumn("DATE", to_timestamp(col("DATE")))
+  }
+
+  /** Calendar resampling under the oracle gate beyond q31's monthly
+    * linear: WEEKLY and YEARLY grids (resample_smry_dates freq
+    * mnemonics, summary.py:30-37, 195-290) with normalize semantics —
+    * rollback of the start, CONDITIONAL rollforward of the end (a max
+    * date already on the grid boundary IS the last point) — and STEP
+    * (previous-value) interpolation clamped to the next sample before
+    * the first. All values exact (no division in step mode).
+    */
+  def q79ResampleCalendar(s: SparkSession, dir: String): DataFrame = {
+    import graft.modules.Summary
+    val base = resampleSamples(s)
+    Seq("weekly", "yearly").map { f =>
+      Summary.resample(base, f, step = true).withColumn("freq", lit(f))
+    }.reduce(_ unionByName _)
+      .select(col("VECTOR").as("vector"), col("freq"),
+        col("DATE").as("date"), col("VALUE").as("value"))
+      .orderBy(col("vector"), col("freq"), col("date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_pillars" -> (q71Pillars _),
     "q72_faults" -> (q72Faults _),
     "q73_pvt" -> (q73Pvt _),
     "q74_equil" -> (q74Equil _),
     "q75_trans" -> (q75Trans _),
+    "q78_stack_wide" -> (q78StackWide _),
+    "q79_resample_calendar" -> (q79ResampleCalendar _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -439,5 +503,57 @@ object ReservoirGate {
         |JOIN cells c1 ON c1.i = p.i1 AND c1.j = p.j1 AND c1.k = p.k1
         |JOIN cells c2 ON c2.i = p.i2 AND c2.j = p.j2 AND c2.k = p.k2
         |ORDER BY dir, i1, j1, k1""".stripMargin,
+
+    /* The q78 oracle rebuilds the wide frame's VALUES closed-form as
+     * long rows directly: owc = 1000 + decade-offset + p, goc likewise
+     * but absent (null) for the third date. */
+    "q78_stack_wide" ->
+      s"""WITH p AS (SELECT CAST(unnest(range($StackP)) AS BIGINT) AS p),
+        |d AS (SELECT * FROM (VALUES (TIMESTAMP '2000-01-01', 0),
+        |                            (TIMESTAMP '2010-01-01', 10),
+        |                            (TIMESTAMP '2020-01-01', 20)) v(date, off))
+        |SELECT 'P' || p AS pillar, date,
+        |       CAST(1000 + off + p AS DOUBLE) AS owc,
+        |       CASE WHEN off < 20 THEN CAST(900 + off + p AS DOUBLE) END AS goc
+        |FROM p, d
+        |ORDER BY pillar, date""".stripMargin,
+
+    /* The q79 oracle rebuilds the samples closed-form, generates the
+     * weekly/yearly grids with the same rollback + conditional
+     * rollforward, and resolves step values with ASOF joins (previous
+     * sample at or before the target; next sample when none precedes). */
+    "q79_resample_calendar" ->
+      s"""WITH c AS (SELECT CAST(unnest(range($ResampleV)) AS BIGINT) AS c),
+        |i AS (SELECT CAST(unnest(range(6)) AS BIGINT) AS i),
+        |samples AS (
+        |  SELECT 'V' || c AS vector,
+        |         TIMESTAMP '2000-01-03' + (c + 11 * i) * INTERVAL 1 DAY AS d,
+        |         CAST(1000 * c + i AS DOUBLE) AS v
+        |  FROM c, i),
+        |bounds AS (SELECT vector, min(d) AS mn, max(d) AS mx
+        |           FROM samples GROUP BY 1),
+        |grids AS (
+        |  SELECT vector, 'weekly' AS freq, unnest(generate_series(
+        |           date_trunc('week', mn),
+        |           CASE WHEN date_trunc('week', mx) = mx THEN mx
+        |                ELSE date_trunc('week', mx) + INTERVAL 1 WEEK END,
+        |           INTERVAL 1 WEEK)) AS md
+        |  FROM bounds
+        |  UNION ALL
+        |  SELECT vector, 'yearly', unnest(generate_series(
+        |           date_trunc('year', mn),
+        |           CASE WHEN date_trunc('year', mx) = mx THEN mx
+        |                ELSE date_trunc('year', mx) + INTERVAL 1 YEAR END,
+        |           INTERVAL 1 YEAR))
+        |  FROM bounds),
+        |prev AS (SELECT g.vector, g.freq, g.md, s.v AS pv
+        |         FROM grids g ASOF LEFT JOIN samples s
+        |           ON g.vector = s.vector AND g.md >= s.d),
+        |nxt AS (SELECT g.vector, g.freq, g.md, s.v AS nv
+        |        FROM grids g ASOF LEFT JOIN samples s
+        |          ON g.vector = s.vector AND g.md < s.d)
+        |SELECT p.vector, p.freq, p.md AS date, coalesce(p.pv, n.nv) AS value
+        |FROM prev p JOIN nxt n USING (vector, freq, md)
+        |ORDER BY vector, freq, date""".stripMargin,
   )
 }

@@ -116,6 +116,58 @@ class ReservoirGateSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("q78: wide COL@date columns stack long with missing combinations null") {
+    val rows = graft.queries.ReservoirGate.q78StackWide(spark, Sf)
+    assert(rows.count() == 90) // 30 pillars x 3 dates
+    assert(rows.schema("date").dataType.typeName == "timestamp")
+    val p5 = rows.filter(col("pillar") === "P5").orderBy("date").collect()
+    assert(p5.map(_.getAs[Double]("owc")).toSeq == Seq(1005.0, 1015.0, 1025.0))
+    assert(p5(2).isNullAt(p5(2).fieldIndex("goc"))) // no GOC@2020 column
+  }
+
+  test("q79: weekly grids roll forward only when the end is off-boundary") {
+    val rows = graft.queries.ReservoirGate.q79ResampleCalendar(spark, Sf)
+    val wk = rows.filter(col("freq") === "weekly")
+    // V1 ends ON a Monday (2000-01-04 + 55d = Mon 2000-02-28): its last
+    // grid point IS that date; V2 ends Tue Feb 29 (leap year) and rolls
+    // forward to the next Monday
+    def lastDate(v: String) = wk.filter(col("vector") === v)
+      .agg(max("date")).collect().head.getTimestamp(0).toString
+    assert(lastDate("V1").startsWith("2000-02-28"))
+    assert(lastDate("V2").startsWith("2000-03-06"))
+    // step semantics: grid value equals the latest sample at or before it
+    val v0 = wk.filter(col("vector") === "V0" && col("date") === "2000-01-17 00:00:00")
+      .collect().head // samples at Jan 3 (v=0) and Jan 14 (v=1)
+    assert(v0.getAs[Double]("value") == 1.0)
+    // yearly: every vector spans into 2001 via the rollforward
+    val yr = rows.filter(col("freq") === "yearly")
+    assert(yr.groupBy("vector").count().filter(col("count") =!= 2).count() == 0)
+  }
+
+  test("q80: rule attribution is consistent with the keep bit") {
+    val rows = graft.queries.Curation.q80QualityGate(spark, Sf)
+    assert(rows.count() == 500)
+    // keep <=> zero failures <=> empty reasons
+    assert(rows.filter(col("keep") =!= (col("n_failed") === 0)).count() == 0)
+    assert(rows.filter(col("keep") && col("reasons") =!= "").count() == 0)
+    assert(rows.filter(!col("keep") && col("reasons") === "").count() == 0)
+    // the cascade must actually split the corpus (thresholds do work)
+    val kept = rows.filter(col("keep")).count()
+    assert(kept > 0 && kept < 500)
+  }
+
+  test("q81: top-k token counts conserve the corpus token total") {
+    val rows = graft.queries.Curation.q81TokenTopk(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // ordered by count desc, token asc
+    val pairs = rows.map(r => (r.getAs[Long]("n"), r.getAs[String]("tok")))
+    assert(pairs.sliding(2).forall { case Array((n1, t1), (n2, t2)) =>
+      n1 > n2 || (n1 == n2 && t1 < t2) })
+    // df <= n always, and df bounded by the document count
+    assert(rows.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("n")))
+    assert(rows.forall(r => r.getAs[Long]("df") <= 500))
+  }
+
   test("q77: packing conserves tokens and fills every non-final pack exactly") {
     val rows = graft.queries.Chunking.q77Pack(spark, Sf)
     // conservation: each doc's spans sum to its token count
