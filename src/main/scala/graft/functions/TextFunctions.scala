@@ -26,6 +26,13 @@ object TextFunctions {
   val EsStop = Seq("el", "la", "de", "y", "que", "los")
   val FrStop = Seq("le", "la", "les", "et", "de", "un")
 
+  /** DuckDB list literal of a word list — the ONE rendering every oracle
+    * uses, so a list change (or a word needing escaping) updates every
+    * oracle in lockstep.
+    */
+  def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
   /** Stopword ratio: fraction of tokens found in the English stopword list. */
   def stopwordRatio(text: Column): Column =
     countIn(tokens(text), EnStop).cast("double") / tokenCount(text).cast("double")

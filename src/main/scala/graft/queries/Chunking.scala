@@ -22,9 +22,11 @@ object Chunking {
     * row per chunk with its offsets and content digest.
     *
     * Scale shape: scan → narrow explode(sequence) → codegen'd substring
-    * + md5 projection. ZERO exchanges — the fan-out happens inside the
-    * task that read the row, so a 100 TB corpus chunks in one pass with
-    * no shuffle of either documents or chunks. Integer `div` (not `/`)
+    * + md5 projection — exchange-free up to the trailing presentation
+    * orderBy (driver-contract determinism; a production pipeline drops
+    * it): the fan-out happens inside the task that read the row, so a
+    * 100 TB corpus chunks in one pass with no shuffle of either
+    * documents or chunks. Integer `div` (not `/`)
     * keeps the chunk count in long arithmetic, and the greatest() guard
     * keeps the dividend non-negative so a zero-length doc yields exactly
     * one (empty) chunk WITHOUT relying on negative integer-division

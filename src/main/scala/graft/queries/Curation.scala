@@ -27,10 +27,12 @@ object Curation {
     * WHY a document was dropped and tune thresholds from the marginal
     * distributions, not just the keep bit).
     *
-    * Scale shape: scan → one codegen'd projection, ZERO exchanges. All
-    * four signals come from the same token array / length arithmetic,
-    * evaluated once per row; comparisons of identically-computed IEEE
-    * doubles are engine-portable.
+    * Scale shape: scan → one codegen'd projection — exchange-free up to
+    * the trailing presentation orderBy (a driver-contract determinism
+    * sort a production pipeline drops). All four signals come from the
+    * same token array / length arithmetic, evaluated once per row;
+    * comparisons of identically-computed IEEE doubles are
+    * engine-portable.
     */
   def q80QualityGate(s: SparkSession, dir: String): DataFrame = {
     val nTok = tokenCount(col("text"))
@@ -58,13 +60,16 @@ object Curation {
     * frequencies over the whitespace tokenization, top [[TopK]] terms by
     * (count desc, term asc) — the corpus-vocabulary profile.
     *
-    * Scale shape: explode → hash aggregate with MAP-SIDE partial
-    * aggregation (each task pre-counts its tokens before the single
-    * exchange on the term — the natural-language Zipf head never ships
-    * raw), then top-k as TakeOrderedAndProject (no global sort; each
-    * partition forwards at most K rows). countDistinct(doc_id) adds the
-    * expand for exact df — acceptable because the agg keyspace is the
-    * vocabulary, bounded and tiny relative to the corpus.
+    * Scale shape: explode → TWO-exchange distinct aggregation — exact
+    * countDistinct plans a partial aggregate on (term, doc_id) BEFORE
+    * the first exchange (each task dedupes its own (term, doc) pairs,
+    * so the Zipf head never ships one row per occurrence), a second
+    * map-side-combined aggregate on the term alone, then top-k as
+    * TakeOrderedAndProject (no global sort; each partition forwards at
+    * most K rows). The first shuffle's keyspace is Σ distinct terms per
+    * document — corpus-scale, the honest cost of an EXACT df; swap in
+    * approx_count_distinct to collapse to one vocabulary-sized exchange
+    * when ±2% df is acceptable.
     */
   def q81TokenTopk(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -79,7 +84,7 @@ object Curation {
     "q81_token_topk" -> (q81TokenTopk _),
   )
 
-  private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
+  private val enList = sqlList(EnStop)
 
   val oracleSql: Map[String, String] = Map(
     "q80_quality_gate" ->

@@ -267,10 +267,10 @@ object TextAnalytics {
     "q67_curation_pipeline" -> (q67CurationPipeline _),
   )
 
-  private val enList = EnStop.map(w => s"'$w'").mkString("[", ",", "]")
-  private val deList = DeStop.map(w => s"'$w'").mkString("[", ",", "]")
-  private val esList = EsStop.map(w => s"'$w'").mkString("[", ",", "]")
-  private val frList = FrStop.map(w => s"'$w'").mkString("[", ",", "]")
+  private val enList = sqlList(EnStop)
+  private val deList = sqlList(DeStop)
+  private val esList = sqlList(EsStop)
+  private val frList = sqlList(FrStop)
 
   /** The qualityScore formula as oracle SQL over a relation exposing
     * `toks` (whitespace-split token list) and the text column `textCol`

@@ -59,20 +59,26 @@ object BucketStress {
       ("Exchange".r.findAllIn(plan).length,
         if (plan.contains("SortMergeJoin")) "SMJ" else "other")
     }
-    def time(df: org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    def time(mk: () => org.apache.spark.sql.DataFrame): Double = {
+      // execute a FRESH plan each iteration via toRdd: Dataset.count()
+      // would rewrite the plan and prune the aggregates away, and
+      // re-executing the SAME QueryExecution reuses its materialized
+      // shuffle stages (near-zero repeat times, measured)
+      val qe = mk().queryExecution
+      val t0 = System.nanoTime(); qe.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
     }
     def q(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(sum($"l_extendedprice").as("rev"), count(lit(1)).as("n"))
 
-    val plainQ = q(li, ord)
-    val bucketQ = q(spark.table("li_bucketed"), spark.table("ord_bucketed"))
-    val (pe, pj) = shape(plainQ)
-    val (be, bj) = shape(bucketQ)
-    val pt = Seq(time(plainQ), time(plainQ), time(plainQ)).min
-    val bt = Seq(time(bucketQ), time(bucketQ), time(bucketQ)).min
+    def plainQ() = q(li, ord)
+    def bucketQ() = q(spark.table("li_bucketed"), spark.table("ord_bucketed"))
+    val (pe, pj) = shape(plainQ())
+    val (be, bj) = shape(bucketQ())
+    val pt = Seq(time(plainQ _), time(plainQ _), time(plainQ _)).min
+    val bt = Seq(time(bucketQ _), time(bucketQ _), time(bucketQ _)).min
     println(f"BUCKET plain: join=$pj exchanges=$pe time=$pt%.2fs")
     println(f"BUCKET bucketed: join=$bj exchanges=$be time=$bt%.2fs")
     assert(be < pe, s"bucketed plan must drop the pre-join exchanges ($be vs $pe)")

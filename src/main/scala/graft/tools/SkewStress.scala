@@ -42,7 +42,9 @@ object SkewStress {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // 40% of fact rows land on key 1; the rest spread over 100k keys
+    // 40% of fact rows land on key 1; the rest spread over the ~60k
+    // residues of pmod(id, 100000) whose id%100 >= 40 (the other ids
+    // were captured by the hot branch)
     val fact = spark.range(n).select(
       when(pmod($"id", lit(100)) < 40, 1L)
         .otherwise(pmod($"id", lit(100000))).as("k"),
@@ -74,16 +76,21 @@ object SkewStress {
     println(f"SKEW on:  time=$tOn%.2fs splitDetected=$split")
 
     // hot-key AGGREGATION needs no salt: partial agg collapses the hot
-    // key map-side, so the skewed groupBy matches the uniform one
+    // key map-side. Execute via toRdd (Dataset.count() would prune the
+    // sum aggregate away and time a different plan), min-of-2 per
+    // distribution, SAME workload family for both sides.
     def agg(col0: org.apache.spark.sql.Column): Double = {
-      val t0 = System.nanoTime()
-      spark.range(n).select(col0.as("k"), ($"id" % 1000).cast("double").as("v"))
-        .groupBy("k").agg(sum($"v")).count()
+      val qe = spark.range(n)
+        .select(col0.as("k"), ($"id" % 1000).cast("double").as("v"))
+        .groupBy("k").agg(sum($"v")).queryExecution
+      val t0 = System.nanoTime(); qe.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
-    val hot = Seq(agg(when(pmod($"id", lit(100)) < 40, 1L)
-      .otherwise(pmod($"id", lit(100000)))), agg(lit(1L))).min
-    val uniform = agg(pmod($"id", lit(100000)))
+    val hotCol = when(pmod($"id", lit(100)) < 40, 1L)
+      .otherwise(pmod($"id", lit(100000)))
+    val uniformCol = pmod($"id", lit(100000))
+    val hot = Seq(agg(hotCol), agg(hotCol)).min
+    val uniform = Seq(agg(uniformCol), agg(uniformCol)).min
     println(f"SKEW agg: hotkey=$hot%.2fs uniform=$uniform%.2fs (partial agg absorbs the skew)")
     spark.stop()
   }

@@ -159,9 +159,10 @@ class ReservoirGateSpec extends AnyFunSuite {
   test("q81: top-k token counts conserve the corpus token total") {
     val rows = graft.queries.Curation.q81TokenTopk(spark, Sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
-    // ordered by count desc, token asc
+    // ordered by count desc, token asc (zip-with-tail: total order holds
+    // pairwise, and a single-row result is trivially ordered)
     val pairs = rows.map(r => (r.getAs[Long]("n"), r.getAs[String]("tok")))
-    assert(pairs.sliding(2).forall { case Array((n1, t1), (n2, t2)) =>
+    assert(pairs.zip(pairs.drop(1)).forall { case ((n1, t1), (n2, t2)) =>
       n1 > n2 || (n1 == n2 && t1 < t2) })
     // df <= n always, and df bounded by the document count
     assert(rows.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("n")))
