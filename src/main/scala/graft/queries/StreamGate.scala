@@ -173,10 +173,40 @@ object StreamGate {
        ORDER BY doc_id"""
   }
 
+  /** q82: STREAMING SEQUENCE PACKING on the gate — the incremental form
+    * of q77 ([[graft.streaming.EventStreams.packedSpans]]: stateless
+    * token-count projection + one flatMapGroupsWithState stage keyed by
+    * source carrying the running token offset). One AvailableNow batch
+    * over the documents file keeps the layout closed-form (within a
+    * batch each source group sorts by doc_id), so the oracle IS q77's —
+    * the hash only matches if the stateful streaming operator packed
+    * exactly like the batch window-cumsum plan.
+    */
+  def q82StreamPack(s: SparkSession, dir: String): DataFrame = {
+    val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    val sink = "q82_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.packedSpans(stream, 1024L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"),
+        col("tok_in_pack"), col("is_head"))
+      .orderBy(col("source"), col("pack_id"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_stream_window" -> (q58StreamWindow _),
     "q69_stream_dedup" -> (q69StreamDedup _),
     "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
+    "q82_stream_pack" -> (q82StreamPack _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -202,5 +232,8 @@ object StreamGate {
                   AS total_value
          FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
     "q70_stream_sig_dedup" -> streamSigDedupSql,
+    // the streaming packer must reproduce the batch layout EXACTLY —
+    // same oracle as q77, verbatim
+    "q82_stream_pack" -> Chunking.oracleSql("q77_pack"),
   )
 }

@@ -146,6 +146,46 @@ object EventStreams {
         })
   }
 
+  case class PackSpan(source: String, pack_id: Long, doc_id: Long, n_tok: Long,
+      tok_in_pack: Long, is_head: Boolean)
+
+  /** STREAMING sequence packing — the incremental form of the q77 batch
+    * layout: documents arrive per source, the per-source state carries
+    * the running token offset, and each document emits its (pack, token
+    * span) rows as it arrives. One flatMapGroupsWithState stage keyed by
+    * source; tokens are counted by the SAME Column kernel as the batch
+    * query (a stateless projection ahead of the stateful stage), so
+    * stream and batch agree token-for-token.
+    *
+    * Determinism contract: within a micro-batch the group sorts by
+    * doc_id, so a single AvailableNow batch reproduces the batch layout
+    * exactly (the gate form). Across batches the layout follows ARRIVAL
+    * order — the production form requires per-shard ordered arrival
+    * (e.g. per-report-step files ascending by id), the same contract a
+    * batch backfill has, verified multi-batch in StreamingSpec.
+    */
+  def packedSpans(docs: DataFrame, packB: Long): Dataset[PackSpan] = {
+    import docs.sparkSession.implicits._
+    val typed = docs.select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) => {
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            val start = off; val end = off + n; off = end
+            (start / packB to (end - 1) / packB).map { p =>
+              PackSpan(src, p, id, n,
+                math.min(end, (p + 1) * packB) - math.max(start, p * packB),
+                p == start / packB)
+            }
+          }
+          state.update(off)
+          out.iterator
+        })
+  }
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Timestamp, last: Timestamp, n: Long, total: Double)
   case class ClosedSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,

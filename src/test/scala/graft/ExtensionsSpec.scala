@@ -223,6 +223,34 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: sequence packing carries the token offset across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val docs = src.toDF()
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(2))))
+    val q = EventStreams.packedSpans(docs, 5L) // tiny packs force straddles
+      .writeStream.outputMode("append").format("memory").queryName("spack").start()
+    try {
+      src.addData(Doc(0, "a b c"), Doc(1, "d e f g"))
+      q.processAllAvailable()
+      // batch 2 must CONTINUE each source's token offset from state
+      src.addData(Doc(2, "h i j k l m"), Doc(3, "n o"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM spack").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id")) ->
+          ((r.getAs[Long]("tok_in_pack"), r.getAs[Boolean]("is_head")))).toMap
+      // s0: doc0 tokens [0,3) -> pack0; doc2 tokens [3,9) -> 2 in pack0, 4 in pack1
+      assert(out((0L, 0L)) == ((3L, true)))
+      assert(out((2L, 0L)) == ((2L, true)) && out((2L, 1L)) == ((4L, false)))
+      // s1: doc1 tokens [0,4) -> pack0; doc3 tokens [4,6) -> 1 in pack0, 1 in pack1
+      assert(out((1L, 0L)) == ((4L, true)))
+      assert(out((3L, 0L)) == ((1L, true)) && out((3L, 1L)) == ((1L, false)))
+      assert(out.size == 6)
+    } finally q.stop()
+  }
+
   test("streaming: stateful sessionization closes sessions on gaps") {
     import EventStreams.Ev
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
