@@ -148,17 +148,39 @@ object Rft {
     viaIcd.unionByName(noIcd, allowMissingColumns = true)
   }
 
-  /** Per-connection derived quantities (P13, rft.py:463-508): pressure
-    * drops, drawdown, measured depth and scaled rates.
+  /** Per-connection derived quantities (P13, rft.py add_extras:463-508):
+    * pressure drops (zero-guarded like the reference: COMPLETION_DP only
+    * where BOTH pressures are positive, else 0.0), drawdown (0.0 default
+    * — the reference materializes the column on any non-empty frame;
+    * here it is schema-stable and always present), the CONBPRES alias,
+    * measured depth + length from the [CONLENST, CONLENEN] interval, and
+    * the per-length scaled rates.
     */
   def addDerived(df: DataFrame): DataFrame = {
+    val has = df.columns.toSet
     val withDp =
-      if (df.columns.contains("CONPRES") && df.columns.contains("SEGPRES"))
-        df.withColumn("COMPLETION_DP", col("CONPRES") - col("SEGPRES"))
+      if (has("CONPRES") && has("SEGPRES"))
+        df.withColumn("COMPLETION_DP",
+          when(col("CONPRES") > 0 && col("SEGPRES") > 0,
+            col("CONPRES") - col("SEGPRES")).otherwise(0.0))
       else df
-    if (withDp.columns.contains("PRESSURE") && withDp.columns.contains("CONPRES"))
-      withDp.withColumn("DRAWDOWN",
-        when(col("CONPRES") > 0, col("PRESSURE") - col("CONPRES")).otherwise(0.0))
-    else withDp
+    val withDraw = withDp.withColumn("DRAWDOWN",
+      if (has("PRESSURE") && has("CONPRES"))
+        when(col("CONPRES") > 0, col("PRESSURE") - col("CONPRES")).otherwise(0.0)
+      else lit(0.0))
+    val withAlias =
+      if (has("PRESSURE")) withDraw.withColumn("CONBPRES", col("PRESSURE"))
+      else withDraw
+    val withLen =
+      if (has("CONLENST") && has("CONLENEN"))
+        withAlias
+          .withColumn("CONMD", lit(0.5) * (col("CONLENST") + col("CONLENEN")))
+          .withColumn("CONLENTH", col("CONLENEN") - col("CONLENST"))
+      else withAlias
+    Seq("CONORAT", "CONWRAT", "CONGRAT").foldLeft(withLen) { (d, c) =>
+      if (has(c) && d.columns.contains("CONLENTH"))
+        d.withColumn(c + "S", col(c) / col("CONLENTH"))
+      else d
+    }
   }
 }

@@ -42,16 +42,23 @@ object ModuleOracles {
   /** Four connections per well: via ICD 8 (downstream seg 7), via ICDs
     * 9 and 10 (both drain to junction seg 5 — exercises the upstream
     * dedup), and one direct non-ICD connection at seg 2 (anti-join
-    * remainder).
+    * remainder). Connection 4 carries CONPRES = 0 so the reference's
+    * zero-pressure guard on COMPLETION_DP (rft.py:478-483) is
+    * hash-checked; the [CONLENST, CONLENEN] interval and phase rates
+    * feed the CONMD/CONLENTH/scaled-rate derivations.
     */
   private def conCorpus(s: SparkSession): DataFrame = {
     import s.implicits._
     val cons = Seq((1, 8), (2, 9), (3, 10), (4, 2)) // (conidx, consegno)
     (0 until Wells).flatMap { w =>
       cons.map { case (ci, csn) =>
-        ("W" + w, ci, csn, 1000.0 + 10 * w + csn, 250.0 + w + ci)
+        val lenst = 2000.0 + 10 * w + 10 * ci
+        ("W" + w, ci, csn, 1000.0 + 10 * w + csn,
+          if (ci == 4) 0.0 else 250.0 + w + ci,
+          lenst, lenst + 5 + ci, 100.0 + ci, 50.0 + ci, 200.0 + ci)
       }
-    }.toDF("WELL", "CONIDX", "CONSEGNO", "CONDEPTH", "CONPRES")
+    }.toDF("WELL", "CONIDX", "CONSEGNO", "CONDEPTH", "CONPRES",
+      "CONLENST", "CONLENEN", "CONORAT", "CONWRAT", "CONGRAT")
   }
 
   /** J5/J6 under the oracle gate: the corpus-native RFT segment pipeline —
@@ -59,7 +66,9 @@ object ModuleOracles {
     * flags (rft.py:219-276), per-well windowed ICD split (rft.py:326-373),
     * the connection → ICD → branch-segment chain with the ICD-fed-junction
     * upstream dedup and the anti-join direct remainder (rft.py:376-460),
-    * and the COMPLETION_DP derived column (rft.py:463-508) — 20 wells in
+    * and the full add_extras derived surface (rft.py:463-508:
+    * zero-guarded COMPLETION_DP, DRAWDOWN default, CONMD/CONLENTH from
+    * the length interval, per-length scaled phase rates) — 20 wells in
     * ONE plan keyed on WELL.
     */
   def q51RftTopology(s: SparkSession, dir: String): DataFrame = {
@@ -82,7 +91,12 @@ object ModuleOracles {
         col("JUNCTION_DOWNSTREAM").as("junction_downstream"),
         col("SEGIDX_upstream").as("segidx_upstream"),
         col("SEGDEPTH_upstream").as("segdepth_upstream"),
-        col("COMPLETION_DP").as("completion_dp"))
+        col("COMPLETION_DP").as("completion_dp"),
+        col("DRAWDOWN").as("drawdown"),
+        col("CONLENST").as("conlenst"), col("CONLENEN").as("conlenen"),
+        col("CONMD").as("conmd"), col("CONLENTH").as("conlenth"),
+        col("CONORATS").as("conorats"), col("CONWRATS").as("conwrats"),
+        col("CONGRATS").as("congrats"))
       .orderBy(col("well"), col("conidx"))
   }
 
@@ -493,10 +507,16 @@ object ModuleOracles {
         |con AS (
         |  SELECT w, c.conidx, c.consegno,
         |         1000.0 + 10 * w + c.consegno AS condepth,
-        |         250.0 + w + c.conidx AS conpres
+        |         CASE WHEN c.conidx = 4 THEN CAST(0.0 AS DOUBLE)
+        |              ELSE 250.0 + w + c.conidx END AS conpres,
+        |         2000.0 + 10 * w + 10 * c.conidx AS conlenst,
+        |         2000.0 + 10 * w + 10 * c.conidx + 5 + c.conidx AS conlenen,
+        |         100.0 + c.conidx AS conorat, 50.0 + c.conidx AS conwrat,
+        |         200.0 + c.conidx AS congrat
         |  FROM wells, (VALUES (1, 8), (2, 9), (3, 10), (4, 2)) c(conidx, consegno)),
         |via AS (  -- J6 via-ICD chain with the upstream dedup (rft.py:434-436)
         |  SELECT c.w, c.conidx, c.consegno, c.condepth, c.conpres,
+        |         c.conlenst, c.conlenen, c.conorat, c.conwrat, c.congrat,
         |         i.segidx AS icd_segidx, i.segnxt AS icd_segnxt,
         |         i.segbrno AS icd_segbrno, i.segdepth AS icd_segdepth,
         |         t.segidx, t.segnxt, t.segbrno, t.segdepth, t.segpres,
@@ -508,6 +528,7 @@ object ModuleOracles {
         |  WHERE c.consegno = t.segidx_upstream),
         |direct AS (  -- anti-join remainder joins its segment directly
         |  SELECT c.w, c.conidx, c.consegno, c.condepth, c.conpres,
+        |         c.conlenst, c.conlenen, c.conorat, c.conwrat, c.congrat,
         |         CAST(NULL AS INT) AS icd_segidx, CAST(NULL AS INT) AS icd_segnxt,
         |         CAST(NULL AS INT) AS icd_segbrno, CAST(NULL AS DOUBLE) AS icd_segdepth,
         |         t.segidx, t.segnxt, t.segbrno, t.segdepth, t.segpres,
@@ -522,7 +543,16 @@ object ModuleOracles {
         |       segidx, segnxt, segbrno, segdepth, segpres,
         |       leaf, junction, lonelyseg, junction_downstream,
         |       segidx_upstream, segdepth_upstream,
-        |       conpres - segpres AS completion_dp
+        |       -- add_extras: zero-guarded dp, drawdown default, length family
+        |       CASE WHEN conpres > 0 AND segpres > 0 THEN conpres - segpres
+        |            ELSE CAST(0.0 AS DOUBLE) END AS completion_dp,
+        |       CAST(0.0 AS DOUBLE) AS drawdown,
+        |       conlenst, conlenen,
+        |       0.5 * (conlenst + conlenen) AS conmd,
+        |       conlenen - conlenst AS conlenth,
+        |       conorat / (conlenen - conlenst) AS conorats,
+        |       conwrat / (conlenen - conlenst) AS conwrats,
+        |       congrat / (conlenen - conlenst) AS congrats
         |FROM unioned
         |ORDER BY well, conidx""".stripMargin,
   )
