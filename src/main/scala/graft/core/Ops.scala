@@ -410,4 +410,23 @@ object Ops {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** Copy `StructField` metadata from `source` onto same-named columns of
+    * `df`. Spark drops column metadata the moment a column is computed
+    * (SURVEY §4.3), so a projection or aggregation loses the unit/typing
+    * annotations `Summary.attachMeta` put on the scan — this restores
+    * them post-hoc for every surviving column (the reference carries
+    * `smry_meta` side-band for the same reason, summary.py:409-414).
+    * A pure projection: no plan change beyond aliasing.
+    */
+  def copyMetadata(df: DataFrame, source: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.Metadata
+    val meta = source.schema.fields
+      .filter(_.metadata != Metadata.empty)
+      .map(f => f.name -> f.metadata).toMap
+    if (meta.isEmpty) df
+    else df.select(df.columns.map { c =>
+      meta.get(c).fold(col(s"`$c`"))(m => col(s"`$c`").as(c, m))
+    }.toIndexedSeq: _*)
+  }
 }

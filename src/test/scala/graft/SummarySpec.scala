@@ -168,6 +168,18 @@ class SummarySpec extends AnyFunSuite {
     tagged.write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)
     assert(back.schema("FOPR").metadata.getBoolean("is_rate"))
+    // computed columns drop metadata; Ops.copyMetadata restores it for
+    // surviving columns (SURVEY §4.3 — the metadata-preserving select)
+    import org.apache.spark.sql.functions.{col, sum}
+    val computed = tagged.select(col("DATE"),
+      (col("FOPR") * 2).as("FOPR"), col("FOPT"))
+    assert(computed.schema("FOPR").metadata.toString == "{}")
+    val restored = graft.core.Ops.copyMetadata(computed, tagged)
+    assert(restored.schema("FOPR").metadata.getBoolean("is_rate"))
+    assert(restored.schema("FOPT").metadata.getBoolean("is_total"))
+    // values pass through untouched
+    assert(restored.agg(sum("FOPR")).collect().head.getDouble(0) ==
+      computed.agg(sum("FOPR")).collect().head.getDouble(0))
   }
 
   test("toWide pivots vectors into columns") {
