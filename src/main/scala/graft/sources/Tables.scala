@@ -48,6 +48,25 @@ object Tables {
       case _                => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** The documents/embeddings loaders pin the integer widths the query
+    * layer (and every DuckDB oracle) assumes — the same insurance
+    * [[normalizeEventTs]] gives `ts`: if the generator ever reships
+    * doc_id/n_chars as int32 (or label as int64), every gate query would
+    * otherwise silently change schema and fall off the correctness
+    * report (the r7 events incident class). Casting to the already-true
+    * type is a no-op in the plan.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    apply(s, d, "documents")
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    apply(s, d, "embeddings")
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .withColumn("label", col("label").cast("int"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
 }
