@@ -28,8 +28,11 @@ object GridOps {
   def assemble(geometry: DataFrame, init: Option[DataFrame], rst: Option[DataFrame]): DataFrame = {
     val gi = init.fold(geometry)(i => geometry.join(i, Seq("ACTIVE_IDX"), "outer"))
     val full = rst.fold(gi) { r =>
+      // derive only when absent — a restart that CARRIES a SOIL vector
+      // must win over the 1-SWAT-SGAS convenience (grid.py:250-256)
       val withSoil =
-        if (r.columns.contains("SWAT") && r.columns.contains("SGAS"))
+        if (r.columns.contains("SWAT") && r.columns.contains("SGAS") &&
+            !r.columns.contains("SOIL"))
           r.withColumn("SOIL", lit(1.0) - col("SWAT") - col("SGAS"))
         else r
       gi.join(withSoil, Seq("ACTIVE_IDX"), "outer")
