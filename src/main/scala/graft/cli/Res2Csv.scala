@@ -81,7 +81,8 @@ object Res2Csv {
         graft.io.EclBinary.unrst(s, p, vectors, dates)
       }
       else None
-    GridOps.assemble(geom, init, rst)
+    GridOps.assemble(geom, init, rst,
+      deriveSoil = GridOps.vectorsMatchSoil(vectors))
   }
 
   private def zonemapOf(datafile: String): Map[Int, String] =

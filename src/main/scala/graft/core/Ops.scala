@@ -425,8 +425,15 @@ object Ops {
       .filter(_.metadata != Metadata.empty)
       .map(f => f.name -> f.metadata).toMap
     if (meta.isEmpty) df
-    else df.select(df.columns.map { c =>
-      meta.get(c).fold(col(s"`$c`"))(m => col(s"`$c`").as(c, m))
-    }.toIndexedSeq: _*)
+    else {
+      // name-based resolution requires unique names; fail loudly up
+      // front instead of an input-dependent ambiguity error later
+      require(df.columns.distinct.length == df.columns.length,
+        "copyMetadata requires unique column names; got duplicates: " +
+          df.columns.diff(df.columns.distinct).distinct.mkString(", "))
+      df.select(df.columns.map { c =>
+        meta.get(c).fold(col(s"`$c`"))(m => col(s"`$c`").as(c, m))
+      }.toIndexedSeq: _*)
+    }
   }
 }

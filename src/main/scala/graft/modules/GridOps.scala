@@ -25,13 +25,20 @@ object GridOps {
     * (P13, grid.py:250-256). Restart frames carry DATE (stacked form, R4 —
     * the `COL@date` wide form is never materialized).
     */
-  def assemble(geometry: DataFrame, init: Option[DataFrame], rst: Option[DataFrame]): DataFrame = {
+  /** @param deriveSoil derive SOIL = 1 − SWAT − SGAS on the restart
+    *   frame. The reference derives only when the user's vector globs
+    *   match "SOIL" (grid.py:250-256) — CLI callers pass
+    *   `vectorsMatchSoil(vectors)`; the default keeps the programmatic
+    *   convenience for API users who pass full frames.
+    */
+  def assemble(geometry: DataFrame, init: Option[DataFrame], rst: Option[DataFrame],
+      deriveSoil: Boolean = true): DataFrame = {
     val gi = init.fold(geometry)(i => geometry.join(i, Seq("ACTIVE_IDX"), "outer"))
     val full = rst.fold(gi) { r =>
       // derive only when absent — a restart that CARRIES a SOIL vector
       // must win over the 1-SWAT-SGAS convenience (grid.py:250-256)
       val withSoil =
-        if (r.columns.contains("SWAT") && r.columns.contains("SGAS") &&
+        if (deriveSoil && r.columns.contains("SWAT") && r.columns.contains("SGAS") &&
             !r.columns.contains("SOIL"))
           r.withColumn("SOIL", lit(1.0) - col("SWAT") - col("SGAS"))
         else r
@@ -39,6 +46,14 @@ object GridOps {
     }
     full
   }
+
+  /** The reference's SOIL-derivation gate: any of the requested vector
+    * globs matches "SOIL" (grid.py:253-255 `fnmatch("SOIL", key)`); an
+    * empty vector list means "all vectors", which matches.
+    */
+  def vectorsMatchSoil(vectors: Seq[String]): Boolean =
+    vectors.isEmpty ||
+      vectors.exists(g => "SOIL".matches(graft.core.Ops.globToRegex(g)))
 
   /** Merge INIT vectors onto any (I,J,K)-keyed frame with configurable key
     * names (J3, merge_initvectors grid.py:365-408). The per-case INIT side

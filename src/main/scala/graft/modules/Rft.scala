@@ -179,7 +179,13 @@ object Rft {
       else withAlias
     Seq("CONORAT", "CONWRAT", "CONGRAT").foldLeft(withLen) { (d, c) =>
       if (has(c) && d.columns.contains("CONLENTH"))
-        d.withColumn(c + "S", col(c) / col("CONLENTH"))
+        // Spark's Divide returns NULL on a 0.0 divisor where IEEE (and
+        // the pandas reference, rft.py:502-507) give ±inf/NaN — mirror
+        // IEEE explicitly: rate × (+inf) is +inf/−inf/NaN by the rate's
+        // sign, exactly rate/0.0
+        d.withColumn(c + "S",
+          when(col("CONLENTH") === 0.0, col(c) * lit(Double.PositiveInfinity))
+            .otherwise(col(c) / col("CONLENTH")))
       else d
     }
   }

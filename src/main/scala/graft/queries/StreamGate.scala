@@ -133,10 +133,7 @@ object StreamGate {
     * semantics.
     */
   def q70StreamSigDedup(s: SparkSession, dir: String): DataFrame = {
-    val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val stream = s.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = graft.streaming.EventStreams.readDocuments(s, dir)
       .select(col("doc_id"), col("text"))
     val sink = "q70_sink"
     s.catalog.dropTempView(sink)
@@ -183,10 +180,7 @@ object StreamGate {
     * exactly like the batch window-cumsum plan.
     */
   def q82StreamPack(s: SparkSession, dir: String): DataFrame = {
-    val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val stream = s.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = graft.streaming.EventStreams.readDocuments(s, dir)
       .select(col("source"), col("doc_id"), col("text"))
     val sink = "q82_sink"
     s.catalog.dropTempView(sink)

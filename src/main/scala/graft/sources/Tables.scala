@@ -56,17 +56,21 @@ object Tables {
     * report (the r7 events incident class). Casting to the already-true
     * type is a no-op in the plan.
     */
-  def documents(s: SparkSession, d: String): DataFrame = {
+  private def pinTypes(df: DataFrame, casts: (String, String)*): DataFrame = {
     import org.apache.spark.sql.functions.col
-    apply(s, d, "documents")
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      .withColumn("n_chars", col("n_chars").cast("long"))
+    casts.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
   }
-  def embeddings(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    apply(s, d, "embeddings")
-      .withColumn("vec_id", col("vec_id").cast("long"))
-      .withColumn("label", col("label").cast("int"))
-      .withColumn("embedding", col("embedding").cast("array<float>"))
-  }
+  /** SHARED by the batch loader and the streaming documents reader
+    * (EventStreams.readDocuments) — the r7 regression was the batch and
+    * streaming events loaders drifting apart on a schema change.
+    */
+  private[graft] def pinDocumentTypes(df: DataFrame): DataFrame =
+    pinTypes(df, "doc_id" -> "long", "n_chars" -> "long")
+  def documents(s: SparkSession, d: String): DataFrame =
+    pinDocumentTypes(apply(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    pinTypes(apply(s, d, "embeddings"), "vec_id" -> "long", "label" -> "int",
+      "embedding" -> "array<float>")
 }

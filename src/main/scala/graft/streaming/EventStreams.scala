@@ -146,6 +146,19 @@ object EventStreams {
         })
   }
 
+  /** Streaming documents reader: explicit schema from a one-file batch
+    * probe, scoped to the documents file, with the SAME type pinning as
+    * the batch `Tables.documents` loader — shared insurance against the
+    * batch/streaming drift that silently dropped queries in r7.
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    graft.sources.Tables.pinDocumentTypes(
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+  }
+
   case class PackSpan(source: String, pack_id: Long, doc_id: Long, n_tok: Long,
       tok_in_pack: Long, is_head: Boolean)
 

@@ -28,6 +28,17 @@ class GridOpsSpec extends AnyFunSuite {
     assert(r0.isNullAt(r0.fieldIndex("PERMX"))) // sentinel washed to null
     assert(df.filter("ACTIVE_IDX = 7").collect().head.isNullAt(
       df.columns.indexOf("PORO"))) // outer join pads missing init
+    // a restart CARRYING SOIL wins over the derivation (grid.py guard)
+    val rstWithSoil = Seq((0L, 0.6, 0.1, 0.42)).toDF("ACTIVE_IDX", "SWAT", "SGAS", "SOIL")
+    val carried = GridOps.assemble(geometry, None, Some(rstWithSoil))
+      .filter("ACTIVE_IDX = 0").collect().head
+    assert(carried.getAs[Double]("SOIL") == 0.42)
+    // and the CLI's vectors gate: derivation only when a glob asks for SOIL
+    val gated = GridOps.assemble(geometry, None, Some(rst),
+      deriveSoil = GridOps.vectorsMatchSoil(Seq("SWAT", "SGAS")))
+    assert(!gated.columns.contains("SOIL"))
+    assert(GridOps.vectorsMatchSoil(Nil) && GridOps.vectorsMatchSoil(Seq("SO*")))
+    assert(!GridOps.vectorsMatchSoil(Seq("PRESSURE")))
   }
 
   test("mergeZones + parseLyr: K layer to zone name") {

@@ -173,4 +173,28 @@ class VfpRftSpec extends AnyFunSuite {
     val derived = Rft.addDerived(merged.withColumnRenamed("CONPRES", "CONPRES"))
     assert(derived.columns.contains("COMPLETION_DP"))
   }
+
+  test("rft addDerived: drawdown, alias, lengths and IEEE scaled rates (add_extras)") {
+    val df = Seq(
+      //  CONPRES, SEGPRES, PRESSURE, CONLENST, CONLENEN, CONORAT
+      (260.0, 240.0, 300.0, 1500.0, 1510.0, 50.0), // normal
+      (0.0, 240.0, 300.0, 1500.0, 1500.0, 50.0),   // zero conpres + point interval
+      (260.0, 240.0, 300.0, 1500.0, 1500.0, 0.0))  // 0-rate over 0-length
+      .toDF("CONPRES", "SEGPRES", "PRESSURE", "CONLENST", "CONLENEN", "CONORAT")
+    val d = Rft.addDerived(df).collect()
+    // DRAWDOWN = PRESSURE - CONPRES where CONPRES > 0, else 0.0
+    assert(d(0).getAs[Double]("DRAWDOWN") == 40.0)
+    assert(d(1).getAs[Double]("DRAWDOWN") == 0.0)
+    // COMPLETION_DP zero-guard
+    assert(d(0).getAs[Double]("COMPLETION_DP") == 20.0)
+    assert(d(1).getAs[Double]("COMPLETION_DP") == 0.0)
+    // CONBPRES is a PRESSURE alias; CONMD/CONLENTH from the interval
+    assert(d(0).getAs[Double]("CONBPRES") == 300.0)
+    assert(d(0).getAs[Double]("CONMD") == 1505.0)
+    assert(d(0).getAs[Double]("CONLENTH") == 10.0)
+    // scaled rates follow IEEE like the pandas reference: x/0 = inf, 0/0 = NaN
+    assert(d(0).getAs[Double]("CONORATS") == 5.0)
+    assert(d(1).getAs[Double]("CONORATS").isPosInfinity)
+    assert(d(2).getAs[Double]("CONORATS").isNaN)
+  }
 }
