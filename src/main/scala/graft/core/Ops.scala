@@ -261,6 +261,13 @@ object Ops {
     * templates, but a LEADING wildcard is rejected — in schedule keywords
     * a leading `*` names a WLIST — unless escaped with a backslash, which
     * re-enables wildcard semantics for the first character.
+    *
+    * Anchoring: this matches the WHOLE well name (Eclipse template
+    * semantics). The reference uses `re.match` (prefix-anchored only,
+    * common.py:980) — a latent quirk under which "B*H" would also match
+    * "B_1HX"; its own test table (test_common.py:264-290) never
+    * exercises the difference and passes under either semantics, so the
+    * Eclipse-correct full match is kept deliberately.
     */
   def wellsMatchingTemplate(template: String, wells: Seq[String]): Seq[String] = {
     val t =

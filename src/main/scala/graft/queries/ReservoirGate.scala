@@ -308,7 +308,71 @@ object ReservoirGate {
       .orderBy(col("vector"), col("freq"), col("date"))
   }
 
+  // ---------------------------------------------------------------- q83
+
+  /** P3 + P7 under the oracle gate: the resdata NaN sentinel wash
+    * (values below −1e20+1e13 → null, grid.py:264-266) followed by the
+    * vertical-NNC filter (I1==I2 ∧ J1==J2, nnc.py:150-169) over a
+    * closed-form pair list where every third pair is lateral and every
+    * fifth TRAN carries the sentinel.
+    */
+  def q83NncVertical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = (0 until 60).map { m =>
+      val lateral = m % 3 == 0
+      (m, 1 + m % 5, 2 + m % 4, 1 + m % 3,
+        if (lateral) 2 + m % 5 else 1 + m % 5, 2 + m % 4, 2 + m % 3,
+        if (m % 5 == 0) -1.0e20 else 10.0 + m)
+    }.toDF("pair_id", "I1", "J1", "K1", "I2", "J2", "K2", "TRAN")
+    graft.modules.GridOps.filterVerticalNnc(
+        graft.modules.GridOps.washNanSentinel(pairs, Seq("TRAN")))
+      .select(col("pair_id"), col("I1").as("i1"), col("J1").as("j1"),
+        col("K1").as("k1"), col("I2").as("i2"), col("J2").as("j2"),
+        col("K2").as("k2"), col("TRAN").as("tran"))
+      .orderBy(col("pair_id"))
+  }
+
+  // ---------------------------------------------------------------- q84
+
+  private val MatchWells = (0 until 40).map { w =>
+    val prefix = Seq("OP", "B_", "WI", "D_")(w % 4)
+    s"$prefix${w}H".take(if (w % 5 == 0) 3 else 8)
+  }
+  private val MatchTemplates =
+    Seq("OP*", "B*H", "B_?H*", "\\*I2*", "D_*", "\\????")
+
+  /** P2 under the oracle gate: well-name template matching with the
+    * reference's leading-wildcard escape rule
+    * (get_wells_matching_template, common.py:955-980; whole-name
+    * anchoring per the Eclipse semantics — see Ops.wellsMatchingTemplate)
+    * — every (template, well) match pair over a closed-form well list,
+    * evaluated as the same translated-regex rlike the schedule keywords
+    * use at scale.
+    */
+  def q84WellMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // same validation + translation as Ops.wellsMatchingTemplate, but
+    // evaluated DISTRIBUTED: the templates are a broadcast dimension and
+    // the match is an rlike over the anchored translated regex — the
+    // shape the schedule keywords use against a corpus-sized well set
+    val temps = MatchTemplates.map { t =>
+      val core =
+        if (t.startsWith("\\")) t.drop(1)
+        else if (t.startsWith("*") || t.startsWith("?"))
+          throw new IllegalArgumentException(s"leading wildcard: $t")
+        else t
+      (t, graft.core.Ops.globToRegex(core))
+    }.toDF("template", "re")
+    MatchWells.toDF("well")
+      .crossJoin(broadcast(temps))
+      .filter(expr("well rlike re"))
+      .select(col("template"), col("well"))
+      .orderBy(col("template"), col("well"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_nnc_vertical" -> (q83NncVertical _),
+    "q84_well_match" -> (q84WellMatch _),
     "q71_pillars" -> (q71Pillars _),
     "q72_faults" -> (q72Faults _),
     "q73_pvt" -> (q73Pvt _),
@@ -503,6 +567,42 @@ object ReservoirGate {
         |JOIN cells c1 ON c1.i = p.i1 AND c1.j = p.j1 AND c1.k = p.k1
         |JOIN cells c2 ON c2.i = p.i2 AND c2.j = p.j2 AND c2.k = p.k2
         |ORDER BY dir, i1, j1, k1""".stripMargin,
+
+    /* The q83 oracle rebuilds the pair list closed-form, nulls the
+     * sentinel values and keeps the vertical pairs. */
+    "q83_nnc_vertical" ->
+      """WITH m AS (SELECT CAST(unnest(range(60)) AS INT) AS m),
+        |pairs AS (
+        |  SELECT m AS pair_id,
+        |    1 + m % 5 AS i1, 2 + m % 4 AS j1, 1 + m % 3 AS k1,
+        |    CASE WHEN m % 3 = 0 THEN 2 + m % 5 ELSE 1 + m % 5 END AS i2,
+        |    2 + m % 4 AS j2, 2 + m % 3 AS k2,
+        |    CASE WHEN m % 5 = 0 THEN CAST(-1.0e20 AS DOUBLE)
+        |         ELSE CAST(10.0 + m AS DOUBLE) END AS tran
+        |  FROM m)
+        |SELECT pair_id, i1, j1, k1, i2, j2, k2,
+        |       CASE WHEN tran < -1.0e20 + 1.0e13 THEN NULL ELSE tran END AS tran
+        |FROM pairs WHERE i1 = i2 AND j1 = j2
+        |ORDER BY pair_id""".stripMargin,
+
+    /* The q84 oracle rebuilds the well list closed-form and evaluates
+     * each template as an INDEPENDENTLY hand-anchored regex (the glob
+     * translation under test is restated, not reused). */
+    "q84_well_match" ->
+      """WITH w AS (SELECT CAST(unnest(range(40)) AS BIGINT) AS w),
+        |wells AS (
+        |  SELECT CASE WHEN w % 5 = 0
+        |           THEN left((['OP','B_','WI','D_'])[CAST(w % 4 AS INT) + 1]
+        |                     || w || 'H', 3)
+        |           ELSE left((['OP','B_','WI','D_'])[CAST(w % 4 AS INT) + 1]
+        |                     || w || 'H', 8) END AS well
+        |  FROM w),
+        |temps(template, re) AS (VALUES
+        |  ('OP*', '^OP.*$'), ('B*H', '^B.*H$'), ('B_?H*', '^B_.H.*$'),
+        |  ('\*I2*', '^.*I2.*$'), ('D_*', '^D_.*$'), ('\????', '^....$'))
+        |SELECT template, well FROM wells, temps
+        |WHERE regexp_matches(well, re)
+        |ORDER BY template, well""".stripMargin,
 
     /* The q78 oracle rebuilds the wide frame's VALUES closed-form as
      * long rows directly: owc = 1000 + decade-offset + p, goc likewise

@@ -169,6 +169,32 @@ class ReservoirGateSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("df") <= 500))
   }
 
+  test("q83: sentinel wash nulls, vertical filter keeps I/J-aligned pairs") {
+    val rows = graft.queries.ReservoirGate.q83NncVertical(spark, Sf).collect()
+    // the m%3==0 pairs are lateral (i2 shifted) and must be dropped
+    assert(rows.length == 40)
+    assert(rows.forall(r => r.getAs[Int]("i1") == r.getAs[Int]("i2") &&
+      r.getAs[Int]("j1") == r.getAs[Int]("j2")))
+    // every m%5==0 survivor carries a washed-null TRAN
+    rows.filter(_.getAs[Int]("pair_id") % 5 == 0)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("tran"))))
+  }
+
+  test("q84: template matching enforces the leading-wildcard escape rule") {
+    val rows = graft.queries.ReservoirGate.q84WellMatch(spark, Sf).collect()
+    val byTemplate = rows.groupBy(_.getAs[String]("template"))
+      .view.mapValues(_.map(_.getAs[String]("well")).toSet).toMap
+    // whole-name anchoring: every B*H match ENDS in H
+    assert(byTemplate("B*H").forall(_.endsWith("H")))
+    // escaped leading * re-enables the wildcard for the first char
+    assert(byTemplate("\\*I2*").forall(_.contains("I2")))
+    // \???? matches exactly the 4-char names
+    assert(byTemplate.get("\\????").forall(_.forall(_.length == 4)))
+    // unescaped leading wildcards throw (the WLIST-name protection)
+    assertThrows[IllegalArgumentException](
+      graft.core.Ops.wellsMatchingTemplate("*P1", Seq("OP1")))
+  }
+
   test("q77: packing conserves tokens and fills every non-final pack exactly") {
     val rows = graft.queries.Chunking.q77Pack(spark, Sf)
     // conservation: each doc's spans sum to its token count
