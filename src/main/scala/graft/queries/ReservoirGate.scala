@@ -181,14 +181,22 @@ object ReservoirGate {
     for (n <- 1 to EquilN)
       sb.append(s" ${1600 + n} ${50 + n} /\n")
     sb.append("/\n")
+    sb.append("RVVD\n")
+    for (n <- 1 to EquilN)
+      sb.append(s" ${1650 + n} ${70 + n} /\n")
+    sb.append("/\n")
+    sb.append("PDVD\n")
+    for (n <- 1 to EquilN)
+      sb.append(s" ${1700 + n} ${90 + n} /\n")
+    sb.append("/\n")
     sb.toString
   }
 
   /** R7 + phase-dependent schemas under the oracle gate: Equil.df
     * (equil.py:30-128) — per-EQLNUM EQUIL records with the three-phase
-    * OWC/GOC contact slots and trailing-default handling, the RSVD/PBVD
-    * depth-profile DATA reshapes, and the per-keyword union — [[EquilN]]
-    * regions, one plan.
+    * OWC/GOC contact slots and trailing-default handling, all FOUR
+    * depth-profile DATA reshapes (RSVD/PBVD/RVVD/PDVD), and the
+    * per-keyword union — [[EquilN]] regions, one plan.
     */
   def q74Equil(s: SparkSession, dir: String): DataFrame =
     Equil.df(s, equilDeck)
@@ -197,7 +205,8 @@ object ReservoirGate {
         col("OWC").as("owc"), col("PCOWC").as("pcowc"),
         col("GOC").as("goc"), col("PCGOC").as("pcgoc"),
         col("INITRS").as("initrs"), col("INITRV").as("initrv"),
-        col("ACCURACY").as("accuracy"), col("RS").as("rs"), col("PB").as("pb"))
+        col("ACCURACY").as("accuracy"), col("RS").as("rs"), col("PB").as("pb"),
+        col("RV").as("rv"), col("PD").as("pd"))
       .orderBy(col("eqlnum"), col("keyword"), col("z").asc_nulls_first)
 
   // ---------------------------------------------------------------- q75
@@ -512,15 +521,24 @@ object ReservoirGate {
         |         CASE WHEN n % 2 = 0 THEN 1 END AS initrs,
         |         CASE WHEN n % 2 = 0 THEN 2 END AS initrv,
         |         CASE WHEN n % 2 = 0 THEN 20 END AS accuracy,
-        |         CAST(NULL AS DOUBLE) AS rs, CAST(NULL AS DOUBLE) AS pb
+        |         CAST(NULL AS DOUBLE) AS rs, CAST(NULL AS DOUBLE) AS pb,
+        |         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS DOUBLE) AS pd
         |  FROM r
         |  UNION ALL
         |  SELECT n, 'RSVD', CAST(v.z0 + n AS DOUBLE), NULL, NULL, NULL, NULL,
-        |         NULL, NULL, NULL, NULL, CAST(v.v0 + n AS DOUBLE), NULL
+        |         NULL, NULL, NULL, NULL, CAST(v.v0 + n AS DOUBLE), NULL, NULL, NULL
         |  FROM r, (VALUES (1500, 10), (1800, 20)) v(z0, v0)
         |  UNION ALL
         |  SELECT n, 'PBVD', CAST(1600 + n AS DOUBLE), NULL, NULL, NULL, NULL,
-        |         NULL, NULL, NULL, NULL, NULL, CAST(50 + n AS DOUBLE)
+        |         NULL, NULL, NULL, NULL, NULL, CAST(50 + n AS DOUBLE), NULL, NULL
+        |  FROM r
+        |  UNION ALL
+        |  SELECT n, 'RVVD', CAST(1650 + n AS DOUBLE), NULL, NULL, NULL, NULL,
+        |         NULL, NULL, NULL, NULL, NULL, NULL, CAST(70 + n AS DOUBLE), NULL
+        |  FROM r
+        |  UNION ALL
+        |  SELECT n, 'PDVD', CAST(1700 + n AS DOUBLE), NULL, NULL, NULL, NULL,
+        |         NULL, NULL, NULL, NULL, NULL, NULL, NULL, CAST(90 + n AS DOUBLE)
         |  FROM r
         |)
         |ORDER BY eqlnum, keyword, z ASC NULLS FIRST""".stripMargin,

@@ -62,7 +62,7 @@ class ReservoirGateSpec extends AnyFunSuite {
 
   test("q74: EQUIL trailing defaults and the per-keyword union") {
     val df = graft.queries.ReservoirGate.q74Equil(spark, Sf)
-    assert(df.count() == 60) // 15 EQUIL + 30 RSVD + 15 PBVD
+    assert(df.count() == 90) // 15 EQUIL + 30 RSVD + 15 each PBVD/RVVD/PDVD
     val e1 = df.filter(col("keyword") === "EQUIL" && col("eqlnum") === 1).collect().head
     assert(e1.getAs[Double]("pcowc") == 0.0 && e1.getAs[Double]("goc") == 0.0)
     assert(e1.isNullAt(e1.fieldIndex("initrs")))
