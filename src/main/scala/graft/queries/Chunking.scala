@@ -68,20 +68,27 @@ object Chunking {
     * deterministic shard key, so the cumsum never serializes through
     * one partition.
     */
-  def q77Pack(s: SparkSession, dir: String): DataFrame = {
+  def q77Pack(s: SparkSession, dir: String): DataFrame =
+    q77PackOver(Tables.documents(s, dir), PackB)
+
+  /** The q77 layout over any (doc_id, source, text) frame with a
+    * configurable pack size — split out so the layout laws are
+    * property-testable on random corpora.
+    */
+  private[graft] def q77PackOver(docs: DataFrame, packB: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tok"))
       .withColumn("pack_id", explode(sequence(
-        expr(s"tok_start div $PackB"), expr(s"(tok_end - 1) div $PackB"))))
+        expr(s"tok_start div $packB"), expr(s"(tok_end - 1) div $packB"))))
       .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"),
-        (least(col("tok_end"), (col("pack_id") + 1) * PackB) -
-          greatest(col("tok_start"), col("pack_id") * PackB)).as("tok_in_pack"),
-        (col("pack_id") === expr(s"tok_start div $PackB")).as("is_head"))
+        (least(col("tok_end"), (col("pack_id") + 1) * packB) -
+          greatest(col("tok_start"), col("pack_id") * packB)).as("tok_in_pack"),
+        (col("pack_id") === expr(s"tok_start div $packB")).as("is_head"))
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 

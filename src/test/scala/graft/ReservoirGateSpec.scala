@@ -169,6 +169,37 @@ class ReservoirGateSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("df") <= 500))
   }
 
+  test("property: packing layout laws hold for random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(1L, 50L)))
+    (0 until 5).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { docs0 =>
+        // random (source, n_tok) docs; text = n_tok single-char tokens
+        val docs = docs0.zipWithIndex.map { case ((s, n), id) =>
+          (id.toLong, s"s$s", Seq.fill(n.toInt)("x").mkString(" "))
+        }.toDF("doc_id", "source", "text")
+        val B = 7L // small packs: force straddles
+        val spans = graft.queries.Chunking.q77PackOver(docs, B).collect()
+        val bySrc = spans.groupBy(_.getAs[String]("source"))
+        bySrc.foreach { case (_, rows) =>
+          // conservation per doc
+          rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, spansOfDoc) =>
+            assert(spansOfDoc.map(_.getAs[Long]("tok_in_pack")).sum ==
+              spansOfDoc.head.getAs[Long]("n_tok"))
+            assert(spansOfDoc.count(_.getAs[Boolean]("is_head")) == 1)
+          }
+          // every pack except the last holds exactly B tokens
+          val perPack = rows.groupBy(_.getAs[Long]("pack_id"))
+            .view.mapValues(_.map(_.getAs[Long]("tok_in_pack")).sum).toMap
+          val lastPack = perPack.keys.max
+          perPack.foreach { case (p, t) => if (p != lastPack) assert(t == B) }
+          // pack ids are dense from 0
+          assert(perPack.keys.min == 0 && perPack.size == lastPack + 1)
+        }
+      }
+  }
+
   test("q83: sentinel wash nulls, vertical filter keeps I/J-aligned pairs") {
     val rows = graft.queries.ReservoirGate.q83NncVertical(spark, Sf).collect()
     // the m%3==0 pairs are lateral (i2 shifted) and must be dropped
