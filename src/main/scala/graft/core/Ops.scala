@@ -270,6 +270,15 @@ object Ops {
     * Eclipse-correct full match is kept deliberately.
     */
   def wellsMatchingTemplate(template: String, wells: Seq[String]): Seq[String] = {
+    val re = templateToRegex(template).r
+    wells.filter(w => re.matches(w))
+  }
+
+  /** The validation + translation half of [[wellsMatchingTemplate]],
+    * shared with the distributed rlike form (q84): leading-wildcard
+    * rejection, backslash escape, anchored glob regex.
+    */
+  def templateToRegex(template: String): String = {
     val t =
       if (template.startsWith("\\")) template.drop(1)
       else if (template.startsWith("*") || template.startsWith("?"))
@@ -277,8 +286,7 @@ object Ops {
           "Well template not allowed to start with a wildcard character, " +
             s"use a backslash escape: $template")
       else template
-    val re = globToRegex(t).r // already ^…$-anchored
-    wells.filter(w => re.matches(w))
+    globToRegex(t) // already ^…$-anchored
   }
 
   /** Salted equi-join for skewed keys: every row of the big (probe) side

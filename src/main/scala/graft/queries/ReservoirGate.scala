@@ -161,8 +161,9 @@ object ReservoirGate {
 
   /** The q74 deck: three-phase declaration, [[EquilN]] EQUIL records
     * (odd regions defaulting the trailing items — PC slots fall to their
-    * 0.0 schema defaults, the int items to null), plus RSVD (two depth
-    * nodes) and PBVD (one) per region.
+    * 0.0 schema defaults, the int items to null), plus all four depth
+    * sub-keywords per region: RSVD (two depth nodes), PBVD, RVVD and
+    * PDVD (one each).
     */
   private def equilDeck: String = {
     val sb = new StringBuilder("OIL\nWATER\nGAS\n\n")
@@ -360,18 +361,12 @@ object ReservoirGate {
     */
   def q84WellMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // same validation + translation as Ops.wellsMatchingTemplate, but
+    // THE production validation + translation (Ops.templateToRegex),
     // evaluated DISTRIBUTED: the templates are a broadcast dimension and
     // the match is an rlike over the anchored translated regex — the
     // shape the schedule keywords use against a corpus-sized well set
-    val temps = MatchTemplates.map { t =>
-      val core =
-        if (t.startsWith("\\")) t.drop(1)
-        else if (t.startsWith("*") || t.startsWith("?"))
-          throw new IllegalArgumentException(s"leading wildcard: $t")
-        else t
-      (t, graft.core.Ops.globToRegex(core))
-    }.toDF("template", "re")
+    val temps = MatchTemplates.map(t => (t, graft.core.Ops.templateToRegex(t)))
+      .toDF("template", "re")
     MatchWells.toDF("well")
       .crossJoin(broadcast(temps))
       .filter(expr("well rlike re"))
@@ -508,7 +503,7 @@ object ReservoirGate {
         |         pressure ASC NULLS FIRST, ogr ASC NULLS FIRST""".stripMargin,
 
     /* The q74 oracle rebuilds the EQUIL records (odd regions defaulted:
-     * PC slots 0.0, int items NULL) and the RSVD/PBVD depth tables. */
+     * PC slots 0.0, int items NULL) and the four depth sub-keyword tables. */
     "q74_equil" ->
       s"""WITH r AS (SELECT CAST(unnest(range(1, ${EquilN + 1})) AS INT) AS n)
         |SELECT * FROM (

@@ -219,8 +219,10 @@ class ReservoirGateSpec extends AnyFunSuite {
     assert(byTemplate("B*H").forall(_.endsWith("H")))
     // escaped leading * re-enables the wildcard for the first char
     assert(byTemplate("\\*I2*").forall(_.contains("I2")))
-    // \???? matches exactly the 4-char names
-    assert(byTemplate.get("\\????").forall(_.forall(_.length == 4)))
+    // \???? matches exactly the 4-char names (and matches SOMETHING —
+    // a broken escape translation must fail here, not pass vacuously)
+    assert(byTemplate("\\????").nonEmpty)
+    assert(byTemplate("\\????").forall(_.length == 4))
     // unescaped leading wildcards throw (the WLIST-name protection)
     assertThrows[IllegalArgumentException](
       graft.core.Ops.wellsMatchingTemplate("*P1", Seq("OP1")))
