@@ -79,9 +79,33 @@ object Curation {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(TopK)
 
+  /** Corpus report with ROLLUP (q85): per-(source, lang) doc counts,
+    * token totals and char extremes, with the per-source and
+    * grand-total superaggregate rows from one ROLLUP pass — the
+    * corpus-composition panel every training-data run reports, and the
+    * grouping-sets family SURVEY §2.4 notes the reference lacks but
+    * Spark gives free (here: proven against DuckDB's ROLLUP, including
+    * the GROUPING_ID bitmask contract).
+    *
+    * Scale shape: ONE aggregation pass — Expand emits the three
+    * grouping-set rows per input row BUT the partial (map-side) hash
+    * aggregate collapses them before the single exchange, whose
+    * keyspace is |sources|×|langs| + |sources| + 1.
+    */
+  def q85CorpusRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), tokenCount(col("text")).as("n_tok"),
+        length(col("text")).cast("long").as("len"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        min(col("len")).as("min_chars"), max(col("len")).as("max_chars"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_quality_gate" -> (q80QualityGate _),
     "q81_token_topk" -> (q81TokenTopk _),
+    "q85_corpus_rollup" -> (q85CorpusRollup _),
   )
 
   private val enList = sqlList(EnStop)
@@ -125,5 +149,18 @@ object Curation {
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY 1
         |ORDER BY n DESC, tok ASC LIMIT $TopK""".stripMargin,
+
+    "q85_corpus_rollup" ->
+      """WITH d AS (SELECT source, lang,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |                    AS n_tok,
+        |                  CAST(length(text) AS BIGINT) AS len
+        |           FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       min(len) AS min_chars, max(len) AS max_chars,
+        |       CAST(grouping_id(source, lang) AS BIGINT) AS gid
+        |FROM d GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -200,6 +200,22 @@ class ReservoirGateSpec extends AnyFunSuite {
       }
   }
 
+  test("q85: rollup superaggregates reconcile with the leaf rows") {
+    val rows = graft.queries.Curation.q85CorpusRollup(spark, Sf).collect()
+    val leaves = rows.filter(_.getAs[Long]("gid") == 0)
+    val bySource = rows.filter(_.getAs[Long]("gid") == 1)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3)
+    assert(grand.length == 1)
+    // every level sums to the same doc/token totals
+    assert(leaves.map(_.getAs[Long]("n_docs")).sum ==
+      grand.head.getAs[Long]("n_docs"))
+    assert(bySource.map(_.getAs[Long]("total_tokens")).sum ==
+      grand.head.getAs[Long]("total_tokens"))
+    // per-source rows have null lang; grand total nulls both
+    assert(bySource.forall(_.isNullAt(1)))
+    assert(grand.head.isNullAt(0) && grand.head.isNullAt(1))
+  }
+
   test("q83: sentinel wash nulls, vertical filter keeps I/J-aligned pairs") {
     val rows = graft.queries.ReservoirGate.q83NncVertical(spark, Sf).collect()
     // the m%3==0 pairs are lateral (i2 shifted) and must be dropped
