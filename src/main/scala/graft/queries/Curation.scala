@@ -102,10 +102,34 @@ object Curation {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)
 
+  /** ANN recall evaluation (q86): recall@5 of the IVF index (q36)
+    * against the exact top-k baseline (q28), per query and joinable to
+    * a macro mean — the MEASURED quality loop every ANN deployment
+    * runs ("measure, don't guess" applied to the index itself: the
+    * sub-quadratic path's accuracy is a number on the gate, not a
+    * claim). Left-semi join of exact pairs against ANN pairs, then a
+    * per-query count — both sides are top-k-bounded (|queries|×k rows),
+    * so the evaluation costs nothing at any corpus scale.
+    */
+  def q86AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = DedupSim.q28CosineTopK(s, dir)
+      .select(col("qid"), col("neighbor_id"))
+    val ann = DedupSim.q36AnnIvf(s, dir)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall_at_5"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_quality_gate" -> (q80QualityGate _),
     "q81_token_topk" -> (q81TokenTopk _),
     "q85_corpus_rollup" -> (q85CorpusRollup _),
+    "q86_ann_recall" -> (q86AnnRecall _),
   )
 
   private val enList = sqlList(EnStop)
@@ -162,5 +186,21 @@ object Curation {
         |       CAST(grouping_id(source, lang) AS BIGINT) AS gid
         |FROM d GROUP BY ROLLUP (source, lang)
         |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
+    /* The q86 oracle composes the q28 and q36 oracles verbatim as CTEs
+     * (one definition each — the recall evaluation must grade exactly
+     * the gated index against exactly the gated baseline). */
+    "q86_ann_recall" ->
+      s"""WITH exact AS (${DedupSim.oracleSql("q28_cosine_topk")}),
+        |ann AS (${DedupSim.oracleSql("q36_ann_ivf")}),
+        |hits AS (SELECT e.qid, count(*) AS n_hits
+        |         FROM exact e JOIN ann a
+        |           ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+        |         GROUP BY 1)
+        |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM (SELECT DISTINCT qid FROM exact) q
+        |LEFT JOIN hits h USING (qid)
+        |ORDER BY qid""".stripMargin,
   )
 }

@@ -216,6 +216,25 @@ class ReservoirGateSpec extends AnyFunSuite {
     assert(grand.head.isNullAt(0) && grand.head.isNullAt(1))
   }
 
+  test("q86: recall grades the gated ANN against the gated exact baseline") {
+    val rows = graft.queries.Curation.q86AnnRecall(spark, Sf).collect()
+    assert(rows.length == 10) // one row per query vector
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Double]("recall_at_5") == h / 5.0)
+    }
+    // recall reconciles with a direct intersection for one query
+    val qid0Exact = graft.queries.DedupSim.q28CosineTopK(spark, Sf)
+      .filter(col("qid") === 0).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    val qid0Ann = graft.queries.DedupSim.q36AnnIvf(spark, Sf)
+      .filter(col("qid") === 0).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (qid0Exact & qid0Ann).size.toLong
+    assert(rows.find(_.getAs[Long]("qid") == 0L).get.getAs[Long]("n_hits") == expected)
+  }
+
   test("q83: sentinel wash nulls, vertical filter keeps I/J-aligned pairs") {
     val rows = graft.queries.ReservoirGate.q83NncVertical(spark, Sf).collect()
     // the m%3==0 pairs are lateral (i2 shifted) and must be dropped
