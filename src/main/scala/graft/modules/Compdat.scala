@@ -46,8 +46,12 @@ object Compdat {
       .select(withDeck(events, Seq(col("keywordIdx"), col("recordIdx"),
         R.str(0).as("WELL"), R.int(1).as("I"), R.int(2).as("J"),
         R.int(3).as("K1"), R.int(4).as("K2"), R.str(5, "OPEN").as("OP/SH"),
-        R.int(6).as("SATN"), R.dbl(7).as("TRAN"), R.dbl(8).as("WBDIA"),
-        R.dbl(9).as("KH"), R.dbl(10).as("SKIN"), R.dbl(11).as("DFACT"),
+        // defaulted items carry the opm schema defaults exactly like the
+        // reference's deck view (opmkeywords/COMPDAT: SAT_TABLE 0, Kh -1,
+        // SKIN 0 — visible in the reference's published compdat.csv);
+        // TRAN/WBDIA/DFACT/PEQVR have no schema default and stay null
+        R.int(6, 0).as("SATN"), R.dbl(7).as("TRAN"), R.dbl(8).as("WBDIA"),
+        R.dbl(9, -1.0).as("KH"), R.dbl(10, 0.0).as("SKIN"), R.dbl(11).as("DFACT"),
         R.str(12, "Z").as("DIR"), R.dbl(13).as("PEQVR"))): _*)
 
   def welspecsRecords(events: DataFrame): DataFrame =

@@ -92,7 +92,10 @@ object FipReports {
     def num(c: Column): Column = when(trim(c) =!= "", trim(c).cast("double"))
 
     dated
-      .filter(trim(col("line")).rlike("^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY|WELL|FIELD)"))
+      // exactly the reference's allowed report-row starts
+      // (fipreports.py:47) — a ":WELLS"/":FIELD" stat row inside a block
+      // is NOT a region report row
+      .filter(trim(col("line")).rlike("^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY)"))
       .filter(col("REGION").isNotNull)
       .withColumn("DATATYPE",
         when(col("line").contains("OUTFLOW TO REGION"), "OUTFLOW TO REGION").otherwise(rowName))
