@@ -87,6 +87,37 @@ class EclBinarySpec extends AnyFunSuite {
     assert(vecs.filter(_.startsWith("W")).forall(_.contains(":")), s"$vecs")
   }
 
+  test("eightcells end-to-end: assemble obeys the reference laws; trans + pillars run") {
+    // the reference's own consistency law over the same shipped binaries
+    // (test_grid.py::test_grid_df): PORV reconciles with PORO×VOLUME
+    val geom = EclBinary.egrid(spark, s"$EightCells.EGRID")
+    val init = EclBinary.init(spark, s"$EightCells.INIT")
+    val grid = graft.modules.GridOps.assemble(geom, Some(init), None)
+    val r = grid.agg(
+      sum(abs(col("PORO") * col("VOLUME") * col("NTG") - col("PORV"))).as("err"),
+      sum(col("PORV")).as("porv")).head
+    assert(r.getDouble(0) / r.getDouble(1) < 1e-5)
+    // trans over REAL binary TRAN vectors (test_trans.py::test_trans
+    // properties): direction set, positivity, closed-form pair counts
+    val tr = graft.modules.GridOps.trans(grid, vectors = Seq("FIPNUM"))
+    val byDir = tr.groupBy("DIR").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byDir.keySet.subsetOf(Set("I", "J", "K")))
+    assert(tr.filter(col("TRAN") <= 0).count() == 0)
+    def positives(c: String, edge: String, lim: Int) =
+      grid.filter(col(c) > 0 && col(edge) < lim).count()
+    assert(byDir.getOrElse("I", 0L) == positives("TRANX", "I", 2))
+    assert(byDir.getOrElse("J", 0L) == positives("TRANY", "J", 2))
+    assert(byDir.getOrElse("K", 0L) == positives("TRANZ", "K", 2))
+    // pillars over the assembled frame: 2×2 pillars of 2 cells, PORO
+    // pore-volume-weighted
+    val p = graft.modules.Pillars.df(grid).collect()
+    assert(p.length == 4)
+    assert(p.forall(_.getAs[Long]("N_CELLS") == 2L))
+    p.foreach(row => assert(math.abs(row.getAs[Double]("PORO") -
+      row.getAs[Double]("PORV") / row.getAs[Double]("VOLUME")) < 1e-12))
+  }
+
   test("Reek EGRID: full-field frame has the documented active-cell count") {
     val g = EclBinary.egrid(spark, s"$ReekModel.EGRID")
     assert(g.count() == 35817) // 40*64*14 = 35840 cells, 23 inactive
