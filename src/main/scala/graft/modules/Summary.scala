@@ -311,6 +311,32 @@ object Summary {
     * gets n × `stepSeconds` (a deterministic fallback the reference does
     * not have — it refuses outright when TIMESTEP is absent).
     */
+  /** The reference's whole duplicate-date recovery over a binary summary
+    * read (summary.py:435-483): the day-resolution DATE collapses
+    * sub-daily report steps, and each post-first duplicate is offset by
+    * its report step's OWN TIMESTEP value in the SMSPEC-declared unit.
+    * Like the reference, this REFUSES when the deck recorded no TIMESTEP
+    * vector (its ValueError) — without per-step lengths the offsets
+    * would be invented.
+    *
+    * @param withStep a `SummaryWriter.readWithStep` frame
+    *                 (DATE, VECTOR, VALUE, STEP)
+    * @param unit TIMESTEP's unit from `SummaryWriter.vectorUnit`
+    */
+  def dedupDatesWithTimestep(withStep: DataFrame, unit: String): DataFrame = {
+    val ts = withStep.filter(col("VECTOR") === "TIMESTEP")
+      .select(col("STEP"), col("VALUE").as("__TSTEP"))
+    require(!ts.isEmpty,
+      "duplicate report dates but no TIMESTEP vector to separate them " +
+        "(the reference raises ValueError here, summary.py:450-455)")
+    // report-step-count-sized side → broadcast
+    val joined = withStep.filter(col("VECTOR") =!= "TIMESTEP")
+      .join(broadcast(ts), Seq("STEP"))
+    ensureUniqueDates(joined, Seq("VECTOR"), Seq(col("STEP")),
+      timestep = Some(col("__TSTEP")), timestepUnit = unit)
+      .drop("__TSTEP")
+  }
+
   def ensureUniqueDates(df: DataFrame, keys: Seq[String], ord: Seq[Column],
       stepSeconds: Double = 1.0, timestep: Option[Column] = None,
       timestepUnit: String = "DAYS"): DataFrame = {

@@ -173,6 +173,18 @@ object SummaryWriter {
     vecs.indices.collect { case i if i != timeIdx => vecs(i) }.distinct.sorted
   }
 
+  /** The SMSPEC UNITS entry for a vector (e.g. TIMESTEP's "DAYS"/"HOURS"
+    * — the reference reads the same meta to scale duplicate-date offsets,
+    * summary.py:457-470). None when the vector or UNITS is absent.
+    */
+  def vectorUnit(basePath: String, vector: String): Option[String] = {
+    val spec = graft.io.EclKw.read(s"$basePath.SMSPEC").map(k => k.name -> k).toMap
+    val i = spec("KEYWORDS").strings.indexOf(vector)
+    if (i < 0) None
+    else spec.get("UNITS").map(_.strings).flatMap(_.lift(i)).map(_.trim)
+      .filter(_.nonEmpty)
+  }
+
   def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
     val (vectors, timeIdx, start) = specCatalog(basePath)
     // STREAM one PARAMS record at a time (not EclKw.read's whole-file

@@ -118,6 +118,30 @@ class EclBinarySpec extends AnyFunSuite {
       row.getAs[Double]("PORV") / row.getAs[Double]("VOLUME")) < 1e-12))
   }
 
+  test("timesteps: TIMESTEP vector separates collapsed sub-daily report dates") {
+    // real simulator cases for the reference's duplicate-date subsystem
+    // (test_summary.py::test_unique_datetime_for_short_timesteps): the
+    // day-resolution DATE collapses sub-daily steps into duplicates
+    def dupes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("VECTOR", "DATE").count().filter(col("count") > 1).count()
+    val dir = "/root/reference/tests/data/timesteps"
+    val bare = SummaryWriter.readWithStep(spark, s"$dir/SHORT_STEP")
+    assert(dupes(bare) > 0, "SHORT_STEP must exhibit collapsed dates")
+    // without a TIMESTEP vector the recovery refuses, like the
+    // reference's ValueError
+    assertThrows[IllegalArgumentException](
+      graft.modules.Summary.dedupDatesWithTimestep(bare, "DAYS"))
+    // with it, every duplicate separates by its own step length in the
+    // SMSPEC-declared unit
+    val base = s"$dir/SHORT_STEP_WITH_TIMESTEP"
+    val unit = SummaryWriter.vectorUnit(base, "TIMESTEP").get
+    val withStep = SummaryWriter.readWithStep(spark, base)
+    assert(dupes(withStep) > 0)
+    val fixed = graft.modules.Summary.dedupDatesWithTimestep(withStep, unit)
+    assert(dupes(fixed) == 0)
+    assert(fixed.count() == withStep.filter(col("VECTOR") =!= "TIMESTEP").count())
+  }
+
   test("Reek EGRID: full-field frame has the documented active-cell count") {
     val g = EclBinary.egrid(spark, s"$ReekModel.EGRID")
     assert(g.count() == 35817) // 40*64*14 = 35840 cells, 23 inactive
