@@ -142,6 +142,25 @@ class EclBinarySpec extends AnyFunSuite {
     assert(fixed.count() == withStep.filter(col("VECTOR") =!= "TIMESTEP").count())
   }
 
+  test("duplicated summary vectors collapse value-exactly in the wide form") {
+    // the reference's test_duplicated_summary_vectors case: a deck with
+    // FOPR twice in SUMMARY ships the vector twice per report step;
+    // summary.py:418-425 drops the duplicate column. The long form reads
+    // both copies; because they carry identical values the wide pivot's
+    // collapse is value-exact, matching the reference's first-wins drop.
+    val base = "/root/reference/tests/data/eightcells/" +
+      "eightcells_duplicated_summary_vector/EIGHTCELLS_DUPES"
+    val long = SummaryWriter.read(spark, base)
+    val fopr = long.filter(col("VECTOR") === "FOPR")
+    assert(fopr.groupBy("DATE").count().filter(col("count") =!= 2).count() == 0,
+      "expected the vector duplicated once per report step")
+    assert(fopr.groupBy("DATE").agg(countDistinct("VALUE").as("n"))
+      .filter(col("n") =!= 1).count() == 0, "duplicate copies must agree")
+    val wide = graft.modules.Summary.toWide(long, Seq("FOPR"))
+    assert(wide.columns.toSeq == Seq("DATE", "FOPR"))
+    assert(wide.count() == long.select("DATE").distinct().count())
+  }
+
   test("Reek EGRID: full-field frame has the documented active-cell count") {
     val g = EclBinary.egrid(spark, s"$ReekModel.EGRID")
     assert(g.count() == 35817) // 40*64*14 = 35840 cells, 23 inactive
