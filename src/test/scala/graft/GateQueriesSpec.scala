@@ -222,6 +222,19 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(pq == exact)
   }
 
+  test("q88: tokenization conserves pieces and byte-fallback never undercounts") {
+    val out = graft.queries.Tokenize.q88Tokenize(spark, Sf)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    assert(out.count() == docs.count())
+    // every piece is either vocab or OOV; a unit count below the piece
+    // count would mean a piece was dropped
+    assert(out.filter(col("n_pieces") =!= col("n_vocab") + col("n_oov")).count() == 0)
+    assert(out.filter(col("n_units") < col("n_pieces")).count() == 0)
+    // head carries min(n_pieces, 8) comma-separated reprs in order
+    assert(out.filter(size(split(col("head"), ",")) =!=
+      least(col("n_pieces"), lit(8))).count() == 0)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
