@@ -56,7 +56,27 @@ object FipReports {
   def df(spark: SparkSession, path: String, fipname: String = "FIPNUM"): DataFrame =
     fromLines(lines(spark, path), fipname)
 
-  def fromLines(linesDf: DataFrame, fipname: String = "FIPNUM"): DataFrame = {
+  /** Corpus scan: every PRT file under `path` (a directory, glob, or
+    * comma-free multi-segment path) in ONE distributed plan. Each file
+    * arrives whole in its task (`wholetext` — PRT files are human-scale
+    * by nature, the same bound the reference's per-file line parser
+    * assumes), so the per-file line ordinal is a narrow posexplode and
+    * the scan-state windows partition on the file column — no
+    * driver-side per-file loop, no RDD zipWithIndex job per file, and
+    * adding files adds tasks, not jobs.
+    */
+  def corpusFromPath(spark: SparkSession, path: String,
+      fipname: String = "FIPNUM"): DataFrame = {
+    val whole = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("src"), col("value"))
+    val linesDf = whole
+      .select(col("src"), posexplode(split(col("value"), "\r?\n")).as(Seq("idx", "line")))
+      .select(col("line"), col("idx").cast("long").as("idx"), col("src"))
+    fromLines(linesDf, fipname, keepSrc = true)
+  }
+
+  def fromLines(linesDf: DataFrame, fipname: String = "FIPNUM",
+      keepSrc: Boolean = false): DataFrame = {
     // per-file scan state: partition on src when the frame carries it
     // (lines() always does) — the corpus-scale shape by default
     val srcKeys = if (linesDf.columns.contains("src")) Seq(col("src")) else Nil
@@ -114,8 +134,13 @@ object FipReports {
         when(size(gas) === 3, num(gas(2))).when(size(gas) === 2, num(gas(1)))
           .otherwise(num(gas(0))))
       .withColumn("FIPNAME", lit(fipname))
-      .select("DATE", "FIPNAME", "REGION", "DATATYPE", "TO_REGION",
+      // corpus callers get the file identity (basename) as SRC; the
+      // single-file df() keeps the reference's exact column set
+      .withColumn("SRC",
+        if (keepSrc) regexp_extract(col("src"), "([^/]+)$", 1) else lit(null))
+      .select(Seq("DATE", "FIPNAME", "REGION", "DATATYPE", "TO_REGION",
         "STOIIP_OIL", "ASSOCIATEDOIL_GAS", "STOIIP_TOTAL", "WIIP_TOTAL",
-        "GIIP_GAS", "ASSOCIATEDGAS_OIL", "GIIP_TOTAL")
+        "GIIP_GAS", "ASSOCIATEDGAS_OIL", "GIIP_TOTAL") ++
+        (if (keepSrc) Seq("SRC") else Nil) map col: _*)
   }
 }

@@ -155,6 +155,41 @@ object ModuleOracles {
       .orderBy(col("date"), col("region"), col("datatype"))
   }
 
+  /** Fixture root for queries that must exercise the real file-reading
+    * path — fixed per-query dir under the JVM temp dir, rewritten each
+    * invocation (the BinaryGate discipline).
+    */
+  private def fixtureDir(q: String): String = {
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-gate", q)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
+  /** S8 corpus mode on the gate: the same [[PrtFiles]] generated PRT
+    * texts as q52, but written as REAL files and scanned by
+    * `FipReports.corpusFromPath` — one distributed plan (wholetext file
+    * scan → per-file posexplode ordinals → src-partitioned scan-state
+    * windows), no per-file driver loop. The file identity survives as
+    * the `file` column, so the hash also proves no scan state leaked
+    * across file boundaries.
+    */
+  def q89FipreportsCorpus(s: SparkSession, dir: String): DataFrame = {
+    val root = fixtureDir("q89")
+    (0 until PrtFiles).foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"case$f.PRT"),
+        prtLines(f).mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    graft.modules.FipReports.corpusFromPath(s, root)
+      .select(col("SRC").as("file"), col("DATE").as("date"),
+        col("REGION").as("region"), col("DATATYPE").as("datatype"),
+        col("TO_REGION").as("to_region"),
+        col("STOIIP_TOTAL").as("stoiip_total"),
+        col("WIIP_TOTAL").as("wiip_total"),
+        col("GIIP_TOTAL").as("giip_total"))
+      .orderBy(col("file"), col("date"), col("region"), col("datatype"))
+  }
+
   private val Cases = 20
 
   /** The q53 summary corpus: per case, a three-hop restart ancestry
@@ -269,6 +304,7 @@ object ModuleOracles {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_rft_topology" -> (q51RftTopology _),
     "q52_fipreports" -> (q52Fipreports _),
+    "q89_fipreports_corpus" -> (q89FipreportsCorpus _),
     "q53_summary_restart" -> (q53SummaryRestart _),
     "q54_wellcompletion" -> (q54WellCompletion _),
   )
@@ -280,6 +316,85 @@ object ModuleOracles {
     * via-ICD join (with the upstream dedup) plus the anti-join direct
     * path.
     */
+  /** Shared q52/q89 oracle prefix: generate the PRT corpus by template
+    * and replay the stateful scan relationally - regex date/region
+    * extraction, IGNORE NULLS forward-fill windows per file, family/
+    * footer block close, colon-section split - ending at the `parsed`
+    * CTE (which carries the file id `f` for q89).
+    */
+  private def prtScanCte: String =
+      s"""WITH files AS (SELECT CAST(unnest(range($PrtFiles)) AS BIGINT) AS f),
+        |tmpl(idx, kind, r) AS (VALUES
+        |  (0, 'noise', 0), (1, 'date1', 0), (2, 'hdr1', 0), (3, 'cur', 1),
+        |  (4, 'out', 2), (5, 'mat', 3), (6, 'orig', 4), (7, 'eq', 0),
+        |  (8, 'cur', 8), (9, 'date2', 0), (10, 'hdrz', 0), (11, 'cur', 9),
+        |  (12, 'hdr2', 0), (13, 'cur', 5)),
+        |lines AS (
+        |  SELECT f, idx,
+        |    CASE kind
+        |      WHEN 'noise' THEN 'RUNNING SIMULATION'
+        |      WHEN 'date1' THEN '  REPORT   1     1 JAN ' || (2000 + f)
+        |      WHEN 'date2' THEN '  REPORT   2    15 FEB ' || (2000 + f)
+        |      WHEN 'hdr1' THEN '  BAL  :FIPNUM  REPORT REGION    1        :'
+        |      WHEN 'hdr2' THEN '  BAL  :FIPNUM  REPORT REGION    2        :'
+        |      WHEN 'hdrz' THEN '  BAL  :FIPZON  REPORT REGION    7        :'
+        |      WHEN 'eq' THEN ' ============================'
+        |      WHEN 'cur' THEN ' :CURRENTLY IN PLACE       :   '
+        |        || (100*r+f) || '.0    ' || (200*r+f) || '.0    ' || (300*r+f)
+        |        || '.0:   ' || (400*r+f) || '.0:   ' || (500*r+f) || '.0    '
+        |        || (600*r+f) || '.0    ' || (700*r+f) || '.0:'
+        |      WHEN 'out' THEN ' :OUTFLOW TO REGION   2    :   '
+        |        || (100*r+f) || '.0    ' || (300*r+f) || '.0:   ' || (400*r+f)
+        |        || '.0:   ' || (500*r+f) || '.0    ' || (700*r+f) || '.0:'
+        |      WHEN 'mat' THEN ' :MATERIAL BALANCE ERROR.  :   '
+        |        || (300*r+f) || '.0:   ' || (400*r+f) || '.0:   '
+        |        || (700*r+f) || '.0:'
+        |      WHEN 'orig' THEN ' :ORIGINALLY IN PLACE      :   '
+        |        || (100*r+f) || '.0    ' || (200*r+f) || '.0    ' || (300*r+f)
+        |        || '.0:   ' || (400*r+f) || '.0:   ' || (500*r+f) || '.0    '
+        |        || (600*r+f) || '.0    ' || (700*r+f) || '.0:'
+        |    END AS line
+        |  FROM files, tmpl),
+        |scan AS (
+        |  SELECT f, idx, line,
+        |    CASE WHEN regexp_matches(line,
+        |           '^\\s{1,3}REPORT\\s+\\d+\\s+\\d+\\s+[A-Z]{3}\\s+\\d+')
+        |      THEN make_date(
+        |        CAST(regexp_extract(line,
+        |          'REPORT\\s+\\d+\\s+\\d+\\s+[A-Z]{3}\\s+(\\d+)', 1) AS INT),
+        |        CASE regexp_extract(line,
+        |          'REPORT\\s+\\d+\\s+\\d+\\s+([A-Z]{3})', 1)
+        |          WHEN 'JAN' THEN 1 WHEN 'FEB' THEN 2 END,
+        |        CAST(regexp_extract(line, 'REPORT\\s+\\d+\\s+(\\d+)', 1) AS INT))
+        |    END AS date_here,
+        |    CASE WHEN regexp_extract(line,
+        |           ':\\s*(FIP[A-Z0-9_]*)\\s+REPORT\\s+REGION', 1) = 'FIPNUM'
+        |           THEN CAST(regexp_extract(line,
+        |             'REPORT\\s+REGION\\s+(\\d+)', 1) AS INT)
+        |         WHEN regexp_extract(line,
+        |           ':\\s*(FIP[A-Z0-9_]*)\\s+REPORT\\s+REGION', 1) <> '' THEN -1
+        |         WHEN line LIKE ' ============================%' THEN -1
+        |    END AS region_here
+        |  FROM lines),
+        |st AS (
+        |  SELECT f, idx, line,
+        |    last_value(date_here IGNORE NULLS)
+        |      OVER (PARTITION BY f ORDER BY idx) AS date,
+        |    last_value(region_here IGNORE NULLS)
+        |      OVER (PARTITION BY f ORDER BY idx) AS region
+        |  FROM scan),
+        |rpt AS (SELECT * FROM st
+        |        WHERE region IS NOT NULL AND region <> -1
+        |          AND regexp_matches(trim(line),
+        |            '^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY)')),
+        |parsed AS (
+        |  SELECT f, date, region, line, string_split(line, ':') AS s,
+        |         string_split_regex(trim(string_split(line, ':')[3]), '\\s+') AS oil,
+        |         trim(string_split(line, ':')[4]) AS water,
+        |         string_split_regex(trim(string_split(line, ':')[5]), '\\s+') AS gas
+        |  FROM rpt)
+        |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     /* The q54 oracle rebuilds the corpus (W-prefixed wells only — the X
      * clones fall to the exclusion filter) and replays the pipeline:
@@ -380,83 +495,13 @@ object ModuleOracles {
      * the scan relationally: regex date/region extraction, IGNORE NULLS
      * forward-fill windows per file, family/footer block close, and the
      * colon-section split with 3/2/1-column oil/gas parsing. */
-    "q52_fipreports" ->
-      s"""WITH files AS (SELECT CAST(unnest(range($PrtFiles)) AS BIGINT) AS f),
-        |tmpl(idx, kind, r) AS (VALUES
-        |  (0, 'noise', 0), (1, 'date1', 0), (2, 'hdr1', 0), (3, 'cur', 1),
-        |  (4, 'out', 2), (5, 'mat', 3), (6, 'orig', 4), (7, 'eq', 0),
-        |  (8, 'cur', 8), (9, 'date2', 0), (10, 'hdrz', 0), (11, 'cur', 9),
-        |  (12, 'hdr2', 0), (13, 'cur', 5)),
-        |lines AS (
-        |  SELECT f, idx,
-        |    CASE kind
-        |      WHEN 'noise' THEN 'RUNNING SIMULATION'
-        |      WHEN 'date1' THEN '  REPORT   1     1 JAN ' || (2000 + f)
-        |      WHEN 'date2' THEN '  REPORT   2    15 FEB ' || (2000 + f)
-        |      WHEN 'hdr1' THEN '  BAL  :FIPNUM  REPORT REGION    1        :'
-        |      WHEN 'hdr2' THEN '  BAL  :FIPNUM  REPORT REGION    2        :'
-        |      WHEN 'hdrz' THEN '  BAL  :FIPZON  REPORT REGION    7        :'
-        |      WHEN 'eq' THEN ' ============================'
-        |      WHEN 'cur' THEN ' :CURRENTLY IN PLACE       :   '
-        |        || (100*r+f) || '.0    ' || (200*r+f) || '.0    ' || (300*r+f)
-        |        || '.0:   ' || (400*r+f) || '.0:   ' || (500*r+f) || '.0    '
-        |        || (600*r+f) || '.0    ' || (700*r+f) || '.0:'
-        |      WHEN 'out' THEN ' :OUTFLOW TO REGION   2    :   '
-        |        || (100*r+f) || '.0    ' || (300*r+f) || '.0:   ' || (400*r+f)
-        |        || '.0:   ' || (500*r+f) || '.0    ' || (700*r+f) || '.0:'
-        |      WHEN 'mat' THEN ' :MATERIAL BALANCE ERROR.  :   '
-        |        || (300*r+f) || '.0:   ' || (400*r+f) || '.0:   '
-        |        || (700*r+f) || '.0:'
-        |      WHEN 'orig' THEN ' :ORIGINALLY IN PLACE      :   '
-        |        || (100*r+f) || '.0    ' || (200*r+f) || '.0    ' || (300*r+f)
-        |        || '.0:   ' || (400*r+f) || '.0:   ' || (500*r+f) || '.0    '
-        |        || (600*r+f) || '.0    ' || (700*r+f) || '.0:'
-        |    END AS line
-        |  FROM files, tmpl),
-        |scan AS (
-        |  SELECT f, idx, line,
-        |    CASE WHEN regexp_matches(line,
-        |           '^\\s{1,3}REPORT\\s+\\d+\\s+\\d+\\s+[A-Z]{3}\\s+\\d+')
-        |      THEN make_date(
-        |        CAST(regexp_extract(line,
-        |          'REPORT\\s+\\d+\\s+\\d+\\s+[A-Z]{3}\\s+(\\d+)', 1) AS INT),
-        |        CASE regexp_extract(line,
-        |          'REPORT\\s+\\d+\\s+\\d+\\s+([A-Z]{3})', 1)
-        |          WHEN 'JAN' THEN 1 WHEN 'FEB' THEN 2 END,
-        |        CAST(regexp_extract(line, 'REPORT\\s+\\d+\\s+(\\d+)', 1) AS INT))
-        |    END AS date_here,
-        |    CASE WHEN regexp_extract(line,
-        |           ':\\s*(FIP[A-Z0-9_]*)\\s+REPORT\\s+REGION', 1) = 'FIPNUM'
-        |           THEN CAST(regexp_extract(line,
-        |             'REPORT\\s+REGION\\s+(\\d+)', 1) AS INT)
-        |         WHEN regexp_extract(line,
-        |           ':\\s*(FIP[A-Z0-9_]*)\\s+REPORT\\s+REGION', 1) <> '' THEN -1
-        |         WHEN line LIKE ' ============================%' THEN -1
-        |    END AS region_here
-        |  FROM lines),
-        |st AS (
-        |  SELECT f, idx, line,
-        |    last_value(date_here IGNORE NULLS)
-        |      OVER (PARTITION BY f ORDER BY idx) AS date,
-        |    last_value(region_here IGNORE NULLS)
-        |      OVER (PARTITION BY f ORDER BY idx) AS region
-        |  FROM scan),
-        |rpt AS (SELECT * FROM st
-        |        WHERE region IS NOT NULL AND region <> -1
-        |          AND regexp_matches(trim(line),
-        |            '^:(CURRENTLY|OUTFLOW|MATERIAL|ORIGINALLY)')),
-        |parsed AS (
-        |  SELECT date, region, line, string_split(line, ':') AS s,
-        |         string_split_regex(trim(string_split(line, ':')[3]), '\\s+') AS oil,
-        |         trim(string_split(line, ':')[4]) AS water,
-        |         string_split_regex(trim(string_split(line, ':')[5]), '\\s+') AS gas
-        |  FROM rpt)
-        |SELECT date, 'FIPNUM' AS fipname, region,
+    "q52_fipreports" -> (prtScanCte +
+      """SELECT date, 'FIPNUM' AS fipname, region,
         |  CASE WHEN contains(line, 'OUTFLOW TO REGION') THEN 'OUTFLOW TO REGION'
-        |       ELSE upper(trim(regexp_replace(s[2], '\\s+', ' ', 'g'))) END
+        |       ELSE upper(trim(regexp_replace(s[2], '\s+', ' ', 'g'))) END
         |    AS datatype,
         |  CASE WHEN contains(line, 'OUTFLOW TO REGION')
-        |       THEN CAST(regexp_extract(s[2], 'REGION\\s+(\\d+)', 1) AS INT) END
+        |       THEN CAST(regexp_extract(s[2], 'REGION\s+(\d+)', 1) AS INT) END
         |    AS to_region,
         |  CASE WHEN len(oil) >= 2 THEN CAST(oil[1] AS DOUBLE) END AS stoiip_oil,
         |  CASE WHEN len(oil) = 3 THEN CAST(oil[2] AS DOUBLE) END
@@ -468,7 +513,24 @@ object ModuleOracles {
         |    AS associatedgas_oil,
         |  CAST(gas[len(gas)] AS DOUBLE) AS giip_total
         |FROM parsed
-        |ORDER BY date, region, datatype""".stripMargin,
+        |ORDER BY date, region, datatype""".stripMargin),
+
+    /* The q89 oracle is the SAME generated corpus and scan replay, with
+     * the file identity surviving to the output — the corpus-mode
+     * contract (state never crosses a file boundary) under the hash. */
+    "q89_fipreports_corpus" -> (prtScanCte +
+      """SELECT 'case' || f || '.PRT' AS file, date, region,
+        |  CASE WHEN contains(line, 'OUTFLOW TO REGION') THEN 'OUTFLOW TO REGION'
+        |       ELSE upper(trim(regexp_replace(s[2], '\s+', ' ', 'g'))) END
+        |    AS datatype,
+        |  CASE WHEN contains(line, 'OUTFLOW TO REGION')
+        |       THEN CAST(regexp_extract(s[2], 'REGION\s+(\d+)', 1) AS INT) END
+        |    AS to_region,
+        |  CAST(oil[len(oil)] AS DOUBLE) AS stoiip_total,
+        |  CAST(water AS DOUBLE) AS wiip_total,
+        |  CAST(gas[len(gas)] AS DOUBLE) AS giip_total
+        |FROM parsed
+        |ORDER BY file, date, region, datatype""".stripMargin),
 
     "q51_rft_topology" ->
       s"""WITH wells AS (SELECT CAST(unnest(range($Wells)) AS BIGINT) AS w),
