@@ -190,6 +190,36 @@ object ModuleOracles {
       .orderBy(col("file"), col("date"), col("region"), col("datatype"))
   }
 
+  private val TreeCases = 20
+
+  /** R10 on the gate: ASCII tree rendering as data — the LAST operator
+    * family that rested outside the hash gate (display-only by design).
+    * A 20-tree corpus (ternary forests with two roots, sizes varying per
+    * case, names deliberately mixing 1- and 2-digit suffixes so
+    * lexicographic sibling order ≠ numeric order) renders through the
+    * distributed `TreePrint.renderLines` (one task per tree); the DuckDB
+    * oracle replays the walk as a RECURSIVE CTE carrying the prefix
+    * string down the tree and ordering lines by the '/'-joined path
+    * (for alphanumeric names, path order IS DFS preorder: '/' sorts
+    * below every alnum char). Every box-drawing connector, prefix run
+    * and line ordinal must hash-match.
+    */
+  def q90TreeRender(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = (0 until TreeCases).flatMap { c =>
+      val nNodes = 12 + c % 4
+      (0 until nNodes).map { n =>
+        val parent =
+          if (n < 2) None else Some(s"N${(((n - 2) / 3) * 7 + c) % 100}")
+        (c.toLong, s"N${(n * 7 + c) % 100}", parent)
+      }
+    }.toDF("case_id", "CHILD", "PARENT")
+    graft.modules.TreePrint.renderLines(edges, "case_id")
+      .select(col("case_id").cast("long").as("case_id"),
+        col("line_no"), col("line"))
+      .orderBy(col("case_id"), col("line_no"))
+  }
+
   private val Cases = 20
 
   /** The q53 summary corpus: per case, a three-hop restart ancestry
@@ -305,6 +335,7 @@ object ModuleOracles {
     "q51_rft_topology" -> (q51RftTopology _),
     "q52_fipreports" -> (q52Fipreports _),
     "q89_fipreports_corpus" -> (q89FipreportsCorpus _),
+    "q90_tree_render" -> (q90TreeRender _),
     "q53_summary_restart" -> (q53SummaryRestart _),
     "q54_wellcompletion" -> (q54WellCompletion _),
   )
@@ -514,6 +545,36 @@ object ModuleOracles {
         |  CAST(gas[len(gas)] AS DOUBLE) AS giip_total
         |FROM parsed
         |ORDER BY date, region, datatype""".stripMargin),
+
+    /* The q90 oracle replays the tree walk as a recursive CTE: sibling
+     * rank/count precomputed per edge, the render prefix accumulated
+     * down the recursion, DFS line order recovered from the path. */
+    "q90_tree_render" ->
+      s"""WITH RECURSIVE cases AS (SELECT CAST(unnest(range($TreeCases)) AS BIGINT) AS c),
+        |nodes AS (SELECT c, CAST(unnest(range(12 + c % 4)) AS BIGINT) AS n FROM cases),
+        |edges AS (SELECT c, 'N' || ((n * 7 + c) % 100) AS child,
+        |                 CASE WHEN n >= 2
+        |                      THEN 'N' || ((((n - 2) // 3) * 7 + c) % 100) END AS parent
+        |          FROM nodes),
+        |sib AS (SELECT c, child, parent,
+        |               row_number() OVER (PARTITION BY c, parent ORDER BY child) AS rn,
+        |               count(*) OVER (PARTITION BY c, parent) AS cnt
+        |        FROM edges WHERE parent IS NOT NULL),
+        |walk AS (
+        |  SELECT c, child AS name, child AS path,
+        |         CAST('' AS VARCHAR) AS cprefix, child AS line
+        |  FROM edges WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT s.c, s.child, w.path || '/' || s.child,
+        |         w.cprefix || CASE WHEN s.rn = s.cnt THEN '    ' ELSE '│   ' END,
+        |         w.cprefix || CASE WHEN s.rn = s.cnt THEN '└── ' ELSE '├── ' END
+        |           || s.child
+        |  FROM walk w JOIN sib s ON s.c = w.c AND s.parent = w.name)
+        |SELECT c AS case_id,
+        |       CAST(row_number() OVER (PARTITION BY c ORDER BY path) AS BIGINT)
+        |         AS line_no,
+        |       line
+        |FROM walk ORDER BY case_id, line_no""".stripMargin,
 
     /* The q89 oracle is the SAME generated corpus and scan replay, with
      * the file identity surviving to the output — the corpus-mode

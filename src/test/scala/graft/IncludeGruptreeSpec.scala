@@ -73,4 +73,26 @@ class IncludeGruptreeSpec extends AnyFunSuite {
     assert(text ==
       "FIELDA\n└── PLATA\nFIELDB\n└── PLATB\n")
   }
+
+  test("renderLines one-group slice equals render, per key") {
+    import spark.implicits._
+    // two trees in one frame, incl. an omitted-root edge in case b
+    val edges = Seq(
+      ("a", "G1", Some("FIELD")), ("a", "G2", Some("FIELD")),
+      ("a", "G3", Some("G1")), ("a", "FIELD", None),
+      ("b", "PLATB", Some("FIELDB")), ("b", "PLATA", Some("FIELDA")))
+      .toDF("case_id", "CHILD", "PARENT")
+    val lines = graft.modules.TreePrint.renderLines(edges, "case_id")
+      .orderBy(org.apache.spark.sql.functions.col("case_id"),
+        org.apache.spark.sql.functions.col("line_no")).collect()
+    for (k <- Seq("a", "b")) {
+      val slice = lines.filter(_.getString(0) == k)
+        .map(_.getString(2)).mkString("", "\n", "\n")
+      val single = graft.modules.TreePrint.render(
+        edges.filter(org.apache.spark.sql.functions.col("case_id") === k))
+      assert(slice == single, s"case $k")
+    }
+    // ordinals are 1-based and dense per key
+    assert(lines.filter(_.getString(0) == "a").map(_.getLong(1)).toSeq == (1L to 4L))
+  }
 }
