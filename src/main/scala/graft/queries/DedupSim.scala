@@ -201,6 +201,57 @@ object DedupSim {
     minhashLshCluster(hashed)
   }
 
+  private val VerifyThreshold = 0.7
+
+  /** Two-stage near-dup pipeline (q91): LSH candidate generation +
+    * EXACT Jaccard verification — the canonical production MinHash
+    * dedup shape (q26/q39 stop at bucket clustering, which admits the
+    * LSH false-positive rate; real corpus-dedup runs verify candidates
+    * before dropping documents). Stage 1 self-joins the open-vocabulary
+    * band table (q39's dictionary-free signatures) on the bucket key —
+    * candidate pairs are LINEAR in bucket co-membership, never
+    * all-pairs, and the band count per pair rides along as the
+    * candidate strength. Stage 2 computes the TRUE token-set Jaccard of
+    * each candidate pair only — a postings equi-join restricted to the
+    * candidate set — and keeps pairs at or above [[VerifyThreshold]]
+    * (filtered on the 6-decimal rounded value so the cutoff is
+    * engine-portable).
+    *
+    * Scale: stage 2's cost is Σ over candidate pairs of |tokens(a)| —
+    * proportional to the near-dup density the LSH surfaced, not the
+    * corpus squared. A pathological bucket (boilerplate collision)
+    * inflates stage 1 quadratically; the production guard is the q40
+    * stop-shingle/df cap discipline, and the q41 component path shows
+    * the linear alternative when pair output itself is the problem.
+    */
+  def q91LshVerify(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bands = minhashBands(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_buckets"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ninter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("ninter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("ninter")).cast("double"), 6))
+      .filter(col("jaccard") >= VerifyThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_buckets"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash band memberships of (doc_id, v): k slot minimums in one
     * codegen'd hash aggregate, then the banded hashes stacked long —
     * `(doc_id, band_idx, band_hash)`, the bipartite doc↔bucket graph
@@ -1099,6 +1150,7 @@ object DedupSim {
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q39_minhash_openvocab" -> (q39MinhashOpenVocab _),
+    "q91_lsh_verify" -> (q91LshVerify _),
     "q41_dedup_components" -> (q41DedupComponents _),
     "q56_dedup_materialize" -> (q56DedupMaterialize _),
     "q27_simhash" -> (q27Simhash _),
@@ -1162,6 +1214,42 @@ object DedupSim {
                     FROM documents),
        $hashCtes,
        vals AS (SELECT doc_id, v FROM ohash)""")
+  }
+
+  /** q91 oracle: the q39 band chain, bucket-key self-join for candidate
+    * pairs, then the exact token-set Jaccard of candidates only.
+    */
+  private def lshVerifySql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "otoks", Seq("doc_id"), "tok", "ohash", "v")
+    s"""WITH otoks AS (SELECT doc_id,
+       |              unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |              FROM documents),
+       |vtoks AS (SELECT doc_id, tok FROM otoks WHERE length(tok) > 0),
+       |$hashCtes,
+       |vals AS (SELECT doc_id, v FROM ohash),
+       |${minhashBandsSql},
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_buckets
+       |         FROM bands a JOIN bands b
+       |           ON b.band_idx = a.band_idx AND b.band_hash = a.band_hash
+       |          AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM vtoks GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+       |          FROM cand c
+       |          JOIN vtoks ta ON ta.doc_id = c.doc_a
+       |          JOIN vtoks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       |          GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.n_buckets,
+       |       round(CAST(i.ninter AS DOUBLE)
+       |             / CAST(sa.sz + sb.sz - i.ninter AS DOUBLE), 6) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE round(CAST(i.ninter AS DOUBLE)
+       |            / CAST(sa.sz + sb.sz - i.ninter AS DOUBLE), 6) >= $VerifyThreshold
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
   /** q27 oracle: 64 portable-hash bit votes + fingerprint fold in DuckDB. */
@@ -1242,6 +1330,7 @@ object DedupSim {
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,
+    "q91_lsh_verify" -> lshVerifySql,
     "q41_dedup_components" -> dedupComponentsSql,
     "q56_dedup_materialize" -> dedupMaterializeSql,
     "q40_ngram_jaccard" -> ngramJaccardSql,

@@ -309,4 +309,23 @@ class DedupSimSpec extends AnyFunSuite {
     // share 3 => jaccard 3/5 = 0.6. The boilerplate block must NOT pair.
     assert(out == Seq((900L, 901L, 0.6)))
   }
+
+  test("q91 verification recovers the exact >=0.95 pair set with identical jaccards") {
+    val sf = "/root/testdata/sf0.001"
+    val out = DedupSim.q91LshVerify(spark, sf)
+    // the verification stage's contract: nothing below threshold survives
+    assert(out.filter(col("jaccard") < 0.7).count() == 0)
+    assert(out.filter(col("n_buckets") < 1 || col("n_buckets") > 8).count() == 0)
+    // ground truth: q25's exact all-pairs >= 0.95 set (same token-set
+    // similarity). At j >= 0.95 a band collides with prob 1-(1-j^4)^8
+    // ~ 0.999998 — on this fixed corpus every q25 pair must surface as
+    // an LSH candidate and verify with the IDENTICAL jaccard value
+    val exact = DedupSim.q25Jaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("jx"))
+    val nExact = exact.count()
+    assert(nExact > 0) // the synthetic corpus is near-dup-heavy
+    val joined = exact.join(out, Seq("doc_a", "doc_b"))
+    assert(joined.count() == nExact)
+    assert(joined.filter(col("jaccard") =!= col("jx")).count() == 0)
+  }
 }
