@@ -34,13 +34,21 @@ object Curation {
     * comparisons of identically-computed IEEE doubles are
     * engine-portable.
     */
-  def q80QualityGate(s: SparkSession, dir: String): DataFrame = {
+  def q80QualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityCascade(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The cascade as a pure projection over any (doc_id, text) frame —
+    * STATELESS, so the identical Column tree serves the batch gate
+    * (q80) and the streaming gate (q92) unchanged: the batch/stream
+    * parity argument is structural, not re-implemented.
+    */
+  private[queries] def qualityCascade(docs: DataFrame): DataFrame = {
     val nTok = tokenCount(col("text"))
     val passLen = nTok >= MinTokens
     val passWord = avgWordLen(col("text")).between(WordLenLo, WordLenHi)
     val passStop = stopwordRatio(col("text")) >= MinStopRatio
     val passPunct = punctRatio(col("text")) <= MaxPunctRatio
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), nTok.as("n_tokens"),
         passLen.as("pass_len"), passWord.as("pass_wordlen"),
         passStop.as("pass_stop"), passPunct.as("pass_punct"))
@@ -51,7 +59,6 @@ object Curation {
       .withColumn("reasons", concat_ws(",",
         when(!col("pass_len"), "len"), when(!col("pass_wordlen"), "wordlen"),
         when(!col("pass_stop"), "stop"), when(!col("pass_punct"), "punct")))
-      .orderBy(col("doc_id"))
   }
 
   private val TopK = 50

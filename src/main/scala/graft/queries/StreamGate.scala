@@ -196,8 +196,32 @@ object StreamGate {
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 
+  /** q92: the STREAMING quality-filter cascade — q80's exact Column
+    * tree ([[Curation.qualityCascade]], stateless) executed by the
+    * streaming engine over the documents file source in APPEND mode
+    * (the production form: a stateless projection needs no state store,
+    * no watermark, emits every row once). The oracle is q80's verbatim:
+    * the hash only matches if per-micro-batch execution of the cascade
+    * is byte-identical to the batch plan — the filter-at-ingest shape a
+    * 100 TB pipeline runs on arriving shards.
+    */
+  def q92StreamQuality(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+      .select(col("doc_id"), col("text"))
+    val sink = "q92_sink"
+    s.catalog.dropTempView(sink)
+    val q = Curation.qualityCascade(stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_stream_window" -> (q58StreamWindow _),
+    "q92_stream_quality" -> (q92StreamQuality _),
     "q69_stream_dedup" -> (q69StreamDedup _),
     "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
     "q82_stream_pack" -> (q82StreamPack _),
@@ -229,5 +253,8 @@ object StreamGate {
     // the streaming packer must reproduce the batch layout EXACTLY —
     // same oracle as q77, verbatim
     "q82_stream_pack" -> Chunking.oracleSql("q77_pack"),
+    // the streaming cascade must reproduce the batch verdicts EXACTLY —
+    // same oracle as q80, verbatim
+    "q92_stream_quality" -> Curation.oracleSql("q80_quality_gate"),
   )
 }
