@@ -92,9 +92,37 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** q93: the video-style plumbing ops on the gate — [[Multimodal
+    * .frameSample]] (n evenly-spaced byte offsets per item, the keyframe
+    * extraction layout) and [[Multimodal.resize]] (every-kth-byte
+    * content transform + metadata rewrite) over closed-form ASCII
+    * payloads, so the oracle replays both from the formula: byte
+    * offsets, resized lengths, AND a character probed out of the
+    * actually-resized binary content (which a metadata-only stub could
+    * not produce). Payloads are ASCII by construction so byte and
+    * character indexing agree on both engines.
+    */
+  def q93FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(expr("repeat('ABCDEFGHIJ', CAST(1 + doc_id % 7 AS INT))"),
+          col("doc_id").cast("string")).as("payload"))
+    val media = Multimodal.fromText(docs, "doc_id", "payload", "video")
+    val frames = Multimodal.frameSample(media, 4)
+    val resized = Multimodal.resize(media, 3)
+      .select(col("media_id"), col("meta.n_bytes").as("rs_nbytes"),
+        col("content").cast("string").as("rs_text"))
+    frames.join(resized, Seq("media_id"))
+      .withColumn("rs_char", expr("substr(rs_text, CAST(frame_idx AS INT) + 1, 1)"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("byte_offset"), col("media_type"), col("rs_nbytes"), col("rs_char"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_image_decode" -> (q43ImageDecode _),
     "q46_audio_decode" -> (q46AudioDecode _),
+    "q93_frame_sample" -> (q93FrameSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,5 +164,28 @@ object Media {
         |       s.sample_sum
         |FROM dims d JOIN sums s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    /* Spark divides frame_idx·n_bytes/4 as IEEE and casts long by
+     * TRUNCATION — floor() replays that for the non-negative operands;
+     * the resized char comes straight off the payload formula. */
+    "q93_frame_sample" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |                  repeat('ABCDEFGHIJ', CAST(1 + doc_id % 7 AS INT))
+        |                    || CAST(doc_id AS VARCHAR) AS payload
+        |           FROM documents),
+        |m AS (SELECT media_id, payload,
+        |             CAST(length(payload) AS BIGINT) AS n_bytes,
+        |             CAST(length(payload) // 3 AS BIGINT) AS rs_nbytes
+        |      FROM p),
+        |f AS (SELECT media_id, CAST(unnest(range(4)) AS BIGINT) AS frame_idx FROM m)
+        |SELECT m.media_id, f.frame_idx,
+        |       CAST(floor(f.frame_idx * greatest(m.n_bytes, 1) / 4.0) AS BIGINT)
+        |         AS byte_offset,
+        |       'video' AS media_type, m.rs_nbytes,
+        |       CASE WHEN f.frame_idx < m.rs_nbytes
+        |            THEN substr(m.payload, CAST(f.frame_idx * 3 + 1 AS INT), 1)
+        |            ELSE '' END AS rs_char
+        |FROM m JOIN f USING (media_id)
+        |ORDER BY media_id, frame_idx""".stripMargin,
   )
 }
