@@ -117,39 +117,39 @@ object AnnPq {
       }.toDF("vec_id", "m", "code")
   }
 
-  def q87AnnPq(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.embeddings(s, dir)
-    val bc = s.sparkContext.broadcast(codebook(raw))
-    val codes = encode(raw, bc)
-    // per-query LUT: exact integer dot of each query subvector with each
-    // codeword — M·K rows per query, built relationally from the long
-    // form (tiny input: NQueries + Codes vectors)
-    val qlong = raw.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("qid"), col("dim").cast("long").as("dim"),
-        round(col("x").cast("double") * 1e6).cast("long").as("qxq"))
+  /** Quantized long form `(id, m, dim, xq)` of the first `maxId`
+    * vectors (the whole table when `maxId` is negative).
+    */
+  private def quantLong(raw: DataFrame, idAs: String, valAs: String,
+      maxId: Int): DataFrame = {
+    val base = if (maxId >= 0) raw.filter(col("vec_id") < maxId) else raw
+    base
+      .select(col("vec_id").as(idAs), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col(idAs), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as(valAs))
       .withColumn("m", (col("dim") / SubDim).cast("long"))
-    val cblong = raw.filter(col("vec_id") < Codes)
-      .select(col("vec_id").as("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("cid"), col("dim").cast("long").as("dim"),
-        round(col("x").cast("double") * 1e6).cast("long").as("cq"))
-      .withColumn("m", (col("dim") / SubDim).cast("long"))
-    val lut = qlong.join(broadcast(cblong), Seq("m", "dim"))
+  }
+
+  /** Per-query LUT: exact integer dot of each query subvector with each
+    * codeword — M·K rows per query, built relationally from the long
+    * form (tiny input: NQueries + Codes vectors).
+    */
+  private def lutOf(raw: DataFrame): DataFrame =
+    quantLong(raw, "qid", "qxq", NQueries)
+      .join(broadcast(quantLong(raw, "cid", "cq", Codes)), Seq("m", "dim"))
       .groupBy(col("qid"), col("m"), col("cid"))
       .agg(sum(col("qxq") * col("cq")).as("ldot"))
-    // stage 1 — ADC: candidates ranked by the summed LUT entries of
-    // their codes; keep the Shortlist best per query
-    val adc = codes.join(broadcast(lut),
-        codes("m") === lut("m") && codes("code") === lut("cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("ldot")).cast("double") / 1e12, 6).as("score_adc"))
+
+  /** The shared two-stage tail: rank an ADC score frame, keep the
+    * [[Shortlist]] best per query, and exact-re-rank ONLY those (the
+    * full-precision reads are Shortlist·NQueries pairs, independent of
+    * corpus size).
+    */
+  private def shortlistRerank(raw: DataFrame, adc: DataFrame): DataFrame = {
     val byAdc = Window.partitionBy(col("qid")).orderBy(col("score_adc").desc, col("vec_id"))
     val shortlist = adc.withColumn("srank", row_number().over(byAdc))
       .filter(col("srank") <= Shortlist)
       .select(col("qid"), col("vec_id"), col("score_adc"))
-    // stage 2 — exact re-rank: only the shortlisted full vectors are
-    // read (Shortlist·NQueries pairs, independent of corpus size)
     val e = raw.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("x").cast("double").as("x"))
@@ -167,60 +167,217 @@ object AnnPq {
       .orderBy(col("qid"), col("rn"))
   }
 
+  def q87AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val bc = s.sparkContext.broadcast(codebook(raw))
+    val codes = encode(raw, bc)
+    val lut = lutOf(raw)
+    // stage 1 — ADC: candidates ranked by the summed LUT entries of
+    // their codes; keep the Shortlist best per query
+    val adc = codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("ldot")).cast("double") / 1e12, 6).as("score_adc"))
+    shortlistRerank(raw, adc)
+  }
+
+  private val Lists = 16 // IVF coarse lists (q94)
+  private val Probes = 2 // lists searched per query (q94)
+
+  /** Full IVF-PQ composition (q94): the q36 coarse-quantizer probe
+    * restriction IN FRONT of the q87 PQ-ADC + re-rank — the complete
+    * billion-vector index layout (Faiss IndexIVFPQ + refine). Every
+    * vector is assigned to the nearest of [[Lists]] coarse centroids by
+    * EXACT integer dot (computed inside the same kernel pass that PQ-
+    * encodes it — one scan emits list id + M codes); a query searches
+    * only its [[Probes]] best lists, ranks those candidates by ADC, and
+    * exact-re-ranks the shortlist. At 100 TB the list id is the
+    * partition key: the ADC join touches Probes/Lists of the codes
+    * table, and nothing else is read at full precision but the
+    * shortlist.
+    *
+    * Fully integer-deterministic: coarse assignment and probe selection
+    * are argmax over exact BIGINT dots (ties to the lowest cid), so the
+    * whole pipeline — assignment, probes, ADC, re-rank — replays in
+    * DuckDB.
+    */
+  def q94AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val bcCb = s.sparkContext.broadcast(codebook(raw))
+    val bcCents = s.sparkContext.broadcast(centroids(raw))
+    val enc = encodeWithList(raw, bcCb, bcCents) // (vec_id, list_id, m, code)
+    // probe selection: per query, the Probes best lists by exact
+    // integer dot — tiny relational input (NQueries × Lists vectors)
+    val qcd = quantLong(raw, "qid", "qxq", NQueries)
+      .join(broadcast(quantLong(raw, "cid", "cq", Lists)), Seq("m", "dim"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qxq") * col("cq")).as("cdot"))
+    val byCdot = Window.partitionBy(col("qid")).orderBy(col("cdot").desc, col("cid"))
+    val probes = qcd.withColumn("crank", row_number().over(byCdot))
+      .filter(col("crank") <= Probes)
+      .select(col("qid"), col("cid").as("list_id"))
+    // ADC restricted to the probed lists: the codes scan joins the
+    // broadcast probe set on the list key, then the broadcast LUT
+    val lut = lutOf(raw)
+    val adc = enc.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("ldot")).cast("double") / 1e12, 6).as("score_adc"))
+    shortlistRerank(raw, adc)
+  }
+
+  /** Coarse centroids as quantized driver arrays (Lists × 64 longs). */
+  private def centroids(raw: DataFrame): Array[(Long, Array[Long])] = {
+    raw.filter(col("vec_id") < Lists)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Float](1).iterator.map(f => quant(f.toDouble)).toArray)
+      }.sortBy(_._1)
+  }
+
+  /** One kernel pass per vector: coarse-list assignment (argmax exact
+    * integer dot over [[Lists]] centroids, lowest cid on ties) AND the
+    * M subspace codes — the IVF-PQ index build as a single scan.
+    * Emits `(vec_id, list_id, m, cid)` where `cid` is the PQ code (the
+    * column name matches the LUT's code key for the equi-join).
+    */
+  private def encodeWithList(raw: DataFrame,
+      bcCb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]],
+      bcCents: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]]): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    raw.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        val cents = bcCents.value
+        it.flatMap { case (id, emb) =>
+          val xq = emb.iterator.map(f => quant(f.toDouble)).toArray
+          var bestList = Long.MaxValue
+          var bestDot = Long.MinValue
+          cents.foreach { case (cid, c) =>
+            var d = 0L
+            var i = 0
+            while (i < c.length) { d += xq(i) * c(i); i += 1 }
+            if (d > bestDot || (d == bestDot && cid < bestList)) {
+              bestDot = d; bestList = cid
+            }
+          }
+          val listId = bestList
+          (0 until SubSpaces).iterator.map { m =>
+            val codesM = cb(m)
+            var bestCid = -1
+            var best = Long.MaxValue
+            var c = 0
+            while (c < Codes) {
+              val cw = codesM(c)
+              var d2 = 0L
+              var i = 0
+              while (i < SubDim) {
+                val diff = xq(m * SubDim + i) - cw(i)
+                d2 += diff * diff
+                i += 1
+              }
+              if (d2 < best) { best = d2; bestCid = c }
+              c += 1
+            }
+            (id, listId, m.toLong, bestCid.toLong)
+          }
+        }
+      }.toDF("vec_id", "list_id", "m", "cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_ann_pq" -> (q87AnnPq _),
+    "q94_ann_ivf_pq" -> (q94AnnIvfPq _),
   )
 
-  /** The oracle replays encoding relationally: the argmin over exact
-    * integer subspace distances is a row_number window, the LUT/ADC sums
-    * the same exact BIGINT aggregates, and the re-rank is the q28
-    * scoring contract restricted to the shortlist.
+  /** Shared oracle prefix: quantized long form, PQ codebook, code
+    * assignment (argmin over exact integer subspace distances as a
+    * row_number window) and the per-query LUT. MATERIALIZED where
+    * referenced repeatedly.
     */
+  private def pqPrefixSql: String =
+    s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
+      |                     generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |e AS MATERIALIZED (SELECT vec_id,
+      |             CAST(i AS BIGINT) - 1 AS dim,
+      |             CAST(x AS DOUBLE) AS xd,
+      |             CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq,
+      |             (CAST(i AS BIGINT) - 1) // $SubDim AS m
+      |      FROM raw),
+      |cb AS (SELECT vec_id AS cid, dim, xq AS cq, m FROM e WHERE vec_id < $Codes),
+      |dist AS (SELECT e.vec_id, e.m, cb.cid,
+      |                sum((e.xq - cb.cq) * (e.xq - cb.cq)) AS d2
+      |         FROM e JOIN cb ON cb.m = e.m AND cb.dim = e.dim
+      |         GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, m, cid AS code FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |                                         ORDER BY d2, cid) AS rn
+      |            FROM dist) WHERE rn = 1),
+      |lut AS (SELECT e.vec_id AS qid, e.m, cb.cid,
+      |               sum(e.xq * cb.cq) AS ldot
+      |        FROM e JOIN cb ON cb.m = e.m AND cb.dim = e.dim
+      |        WHERE e.vec_id < $NQueries
+      |        GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Shared oracle tail over an `adc(qid, vec_id, score_adc)` CTE:
+    * shortlist window, exact re-rank (the q28 scoring contract
+    * restricted to the shortlist), top-k.
+    */
+  private def pqTailSql: String =
+    s"""shortlist AS (SELECT qid, vec_id, score_adc FROM (
+      |                SELECT *, row_number() OVER (PARTITION BY qid
+      |                    ORDER BY score_adc DESC, vec_id) AS srank
+      |                FROM adc) WHERE srank <= $Shortlist),
+      |exact AS (SELECT s.qid, s.vec_id, s.score_adc,
+      |                 round(sum(q.xd * v.xd), 6) AS score
+      |          FROM shortlist s
+      |          JOIN e v ON v.vec_id = s.vec_id
+      |          JOIN e q ON q.vec_id = s.qid AND q.dim = v.dim
+      |          GROUP BY 1, 2, 3),
+      |topk AS (SELECT qid, vec_id, score, score_adc,
+      |                CAST(row_number() OVER (PARTITION BY qid
+      |                                        ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+      |         FROM exact)
+      |SELECT qid, rn, vec_id AS neighbor_id, score, score_adc
+      |FROM topk WHERE rn <= $TopK
+      |ORDER BY qid, rn""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q87_ann_pq" ->
-      s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
-        |                     generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |e AS (SELECT vec_id,
-        |             CAST(i AS BIGINT) - 1 AS dim,
-        |             CAST(x AS DOUBLE) AS xd,
-        |             CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq,
-        |             (CAST(i AS BIGINT) - 1) // $SubDim AS m
-        |      FROM raw),
-        |cb AS (SELECT vec_id AS cid, dim, xq AS cq, m FROM e WHERE vec_id < $Codes),
-        |dist AS (SELECT e.vec_id, e.m, cb.cid,
-        |                sum((e.xq - cb.cq) * (e.xq - cb.cq)) AS d2
-        |         FROM e JOIN cb ON cb.m = e.m AND cb.dim = e.dim
-        |         GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, m, cid AS code FROM (
-        |            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |                                         ORDER BY d2, cid) AS rn
-        |            FROM dist) WHERE rn = 1),
-        |lut AS (SELECT e.vec_id AS qid, e.m, cb.cid,
-        |               sum(e.xq * cb.cq) AS ldot
-        |        FROM e JOIN cb ON cb.m = e.m AND cb.dim = e.dim
-        |        WHERE e.vec_id < $NQueries
-        |        GROUP BY 1, 2, 3),
+      s"""$pqPrefixSql,
         |adc AS (SELECT l.qid, c.vec_id,
         |               round(CAST(sum(l.ldot) AS DOUBLE) / 1e12, 6) AS score_adc
         |        FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
         |        WHERE c.vec_id <> l.qid
         |        GROUP BY 1, 2),
-        |shortlist AS (SELECT qid, vec_id, score_adc FROM (
-        |                SELECT *, row_number() OVER (PARTITION BY qid
-        |                    ORDER BY score_adc DESC, vec_id) AS srank
-        |                FROM adc) WHERE srank <= $Shortlist),
-        |exact AS (SELECT s.qid, s.vec_id, s.score_adc,
-        |                 round(sum(q.xd * v.xd), 6) AS score
-        |          FROM shortlist s
-        |          JOIN e v ON v.vec_id = s.vec_id
-        |          JOIN e q ON q.vec_id = s.qid AND q.dim = v.dim
-        |          GROUP BY 1, 2, 3),
-        |topk AS (SELECT qid, vec_id, score, score_adc,
-        |                CAST(row_number() OVER (PARTITION BY qid
-        |                                        ORDER BY score DESC, vec_id) AS BIGINT) AS rn
-        |         FROM exact)
-        |SELECT qid, rn, vec_id AS neighbor_id, score, score_adc
-        |FROM topk WHERE rn <= $TopK
-        |ORDER BY qid, rn""".stripMargin,
+        |$pqTailSql""".stripMargin,
+
+    /* q94: the q87 chain with the coarse-quantizer stage in front —
+     * exact-integer-dot list assignment for every vector, the same
+     * ranking for the query's probe lists, ADC restricted to probed
+     * candidates. */
+    "q94_ann_ivf_pq" ->
+      s"""$pqPrefixSql,
+        |cents AS (SELECT vec_id AS ccid, dim, xq AS cxq FROM e WHERE vec_id < $Lists),
+        |coarse AS MATERIALIZED (
+        |  SELECT e.vec_id, c.ccid, sum(e.xq * c.cxq) AS cdot,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY sum(e.xq * c.cxq) DESC, c.ccid) AS crank
+        |  FROM e JOIN cents c USING (dim)
+        |  GROUP BY e.vec_id, c.ccid),
+        |assign AS (SELECT vec_id, ccid AS list_id FROM coarse WHERE crank = 1),
+        |probes AS (SELECT vec_id AS qid, ccid AS list_id FROM coarse
+        |           WHERE vec_id < $NQueries AND crank <= $Probes),
+        |adc AS (SELECT p.qid, a.vec_id,
+        |               round(CAST(sum(l.ldot) AS DOUBLE) / 1e12, 6) AS score_adc
+        |        FROM probes p
+        |        JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+        |        JOIN codes c ON c.vec_id = a.vec_id
+        |        JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.cid = c.code
+        |        GROUP BY 1, 2),
+        |$pqTailSql""".stripMargin,
   )
 }
