@@ -61,8 +61,11 @@ object TreePrint {
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
         val text = renderPairs(it.map(t => (t._2, t._3)).toSeq)
-        text.split("\n").iterator.zipWithIndex
-          .filter(_._1.nonEmpty)
+        // filter BEFORE numbering so ordinals stay dense even if a
+        // degenerate empty node name renders an empty line
+        text.split("\n").iterator
+          .filter(_.nonEmpty)
+          .zipWithIndex
           .map { case (l, i) => (k, i.toLong + 1, l) }
       }
       .toDF(keyCol, "line_no", "line")

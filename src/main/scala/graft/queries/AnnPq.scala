@@ -81,10 +81,38 @@ object AnnPq {
     cb
   }
 
-  /** PQ-encode every vector: per subspace, the code with the minimum
-    * EXACT integer L2 distance to the quantized subvector (lowest cid on
-    * ties). One kernel pass, no intermediate rows.
+  /** The PQ code assignment shared by both index-build kernels: per
+    * subspace, the code with the minimum EXACT integer L2 distance to
+    * the quantized subvector (lowest cid on ties). Kept in ONE place so
+    * the q87 and q94 indexes can never desynchronize.
     */
+  private def pqCodesOf(xq: Array[Long], cb: Array[Array[Array[Long]]]): Array[Int] = {
+    val out = new Array[Int](SubSpaces)
+    var m = 0
+    while (m < SubSpaces) {
+      val codesM = cb(m)
+      var bestCid = -1
+      var best = Long.MaxValue
+      var c = 0
+      while (c < Codes) {
+        val cw = codesM(c)
+        var d2 = 0L
+        var i = 0
+        while (i < SubDim) {
+          val diff = xq(m * SubDim + i) - cw(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < best) { best = d2; bestCid = c }
+        c += 1
+      }
+      out(m) = bestCid
+      m += 1
+    }
+    out
+  }
+
+  /** PQ-encode every vector — one kernel pass, no intermediate rows. */
   private def encode(raw: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]]): DataFrame = {
     val s = raw.sparkSession
@@ -94,25 +122,8 @@ object AnnPq {
         val cb = bc.value
         it.flatMap { case (id, emb) =>
           val xq = emb.iterator.map(f => quant(f.toDouble)).toArray
-          (0 until SubSpaces).iterator.map { m =>
-            val codesM = cb(m)
-            var bestCid = -1
-            var best = Long.MaxValue
-            var c = 0
-            while (c < Codes) {
-              val cw = codesM(c)
-              var d2 = 0L
-              var i = 0
-              while (i < SubDim) {
-                val diff = xq(m * SubDim + i) - cw(i)
-                d2 += diff * diff
-                i += 1
-              }
-              if (d2 < best) { best = d2; bestCid = c }
-              c += 1
-            }
-            (id, m.toLong, bestCid.toLong)
-          }
+          val codes = pqCodesOf(xq, cb)
+          (0 until SubSpaces).iterator.map(m => (id, m.toLong, codes(m).toLong))
         }
       }.toDF("vec_id", "m", "code")
   }
@@ -265,25 +276,8 @@ object AnnPq {
             }
           }
           val listId = bestList
-          (0 until SubSpaces).iterator.map { m =>
-            val codesM = cb(m)
-            var bestCid = -1
-            var best = Long.MaxValue
-            var c = 0
-            while (c < Codes) {
-              val cw = codesM(c)
-              var d2 = 0L
-              var i = 0
-              while (i < SubDim) {
-                val diff = xq(m * SubDim + i) - cw(i)
-                d2 += diff * diff
-                i += 1
-              }
-              if (d2 < best) { best = d2; bestCid = c }
-              c += 1
-            }
-            (id, listId, m.toLong, bestCid.toLong)
-          }
+          val codes = pqCodesOf(xq, cb)
+          (0 until SubSpaces).iterator.map(m => (id, listId, m.toLong, codes(m).toLong))
         }
       }.toDF("vec_id", "list_id", "m", "cid")
   }

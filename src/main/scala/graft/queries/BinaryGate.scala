@@ -24,7 +24,7 @@ object BinaryGate {
     * because the harness runs queries serially and each invocation's
     * jobs complete (action) before the next invocation rewrites.
     */
-  private def fixtureDir(q: String): String = {
+  private[queries] def fixtureDir(q: String): String = {
     val d = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-gate", q)
     java.nio.file.Files.createDirectories(d)

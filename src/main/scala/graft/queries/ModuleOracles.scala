@@ -155,16 +155,6 @@ object ModuleOracles {
       .orderBy(col("date"), col("region"), col("datatype"))
   }
 
-  /** Fixture root for queries that must exercise the real file-reading
-    * path — fixed per-query dir under the JVM temp dir, rewritten each
-    * invocation (the BinaryGate discipline).
-    */
-  private def fixtureDir(q: String): String = {
-    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-gate", q)
-    java.nio.file.Files.createDirectories(d)
-    d.toString
-  }
-
   /** S8 corpus mode on the gate: the same [[PrtFiles]] generated PRT
     * texts as q52, but written as REAL files and scanned by
     * `FipReports.corpusFromPath` — one distributed plan (wholetext file
@@ -174,7 +164,11 @@ object ModuleOracles {
     * across file boundaries.
     */
   def q89FipreportsCorpus(s: SparkSession, dir: String): DataFrame = {
-    val root = fixtureDir("q89")
+    val root = BinaryGate.fixtureDir("q89")
+    // corpusFromPath scans the WHOLE directory (unlike the BinaryGate
+    // queries, which read back exact paths), so clear anything a
+    // formula change or crashed run left behind before writing
+    new java.io.File(root).listFiles().foreach(_.delete())
     (0 until PrtFiles).foreach { f =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(root, s"case$f.PRT"),

@@ -11,9 +11,10 @@ import graft.sources.Tables
   * sequence packing.
   *
   * Stage 1 pre-tokenizes with a regex over LITERAL character classes
-  * (`[a-z]+|[0-9]+|[^a-z0-9\s]+` on the lowercased text — letter runs,
-  * digit runs, punctuation runs; classes are kept literal so Java regex
-  * and RE2 produce identical pieces, the q64 PII-scrub rule). Stage 2
+  * (letter runs, digit runs, punctuation runs on the lowercased text;
+  * whitespace is spelled as explicit characters rather than `\s` so
+  * Java regex and RE2 produce identical pieces — the q64 PII-scrub
+  * rule). Stage 2
   * builds the corpus vocabulary: the top [[VocabSize]] pieces by
   * (count desc, piece asc), ids assigned in that order — the
   * deterministic stand-in for a trained BPE merge table (which at scale
@@ -37,7 +38,10 @@ object Tokenize {
 
   private val VocabSize = 256
   private val HeadLen = 8
-  private val PiecePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  // whitespace spelled as explicit characters, not \s: Java's \s matches
+  // vertical tab (\x0B) where RE2's does not, so \s inside the negated
+  // class would diverge on a VT-bearing document
+  private val PiecePat = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]+"
 
   def q88Tokenize(s: SparkSession, dir: String): DataFrame = {
     // Column-API regexp_extract_all with lit(): the pattern reaches the

@@ -77,7 +77,7 @@ object ScaleStress {
       "q57_quality_topk", "q61_decontaminate", "q64_pii_scrub",
       "q65_quant_ann", "q76_chunk", "q77_pack", "q80_quality_gate",
       "q81_token_topk", "q85_corpus_rollup", "q87_ann_pq", "q88_tokenize",
-      "q91_lsh_verify")
+      "q91_lsh_verify", "q94_ann_ivf_pq")
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
