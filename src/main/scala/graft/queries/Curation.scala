@@ -132,11 +132,47 @@ object Curation {
       .orderBy(col("qid"))
   }
 
+  /** ANN index leaderboard (q95): recall@5 of EVERY gated top-k index —
+    * IVF (q36), two-stage PQ (q87), IVF-PQ (q94) — against the exact
+    * q28 baseline, one row per (index, query) plus the per-index macro
+    * mean as a ROLLUP-style summary row (qid null). This is q86
+    * generalized into the evaluation harness an index deployment
+    * actually keeps: one report that says which accuracy each
+    * compression/probe trade buys. All sides are top-k-bounded, so the
+    * whole evaluation is |indexes|·|queries|·k rows at any corpus
+    * scale.
+    */
+  def q95IndexRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = DedupSim.q28CosineTopK(s, dir)
+      .select(col("qid"), col("neighbor_id"))
+    val indexes = Seq(
+      "ivf" -> DedupSim.q36AnnIvf(s, dir),
+      "pq" -> AnnPq.q87AnnPq(s, dir),
+      "ivf_pq" -> AnnPq.q94AnnIvfPq(s, dir))
+    val perQuery = indexes.map { case (name, df) =>
+      val hits = exact.join(df.select(col("qid"), col("neighbor_id")),
+          Seq("qid", "neighbor_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(lit(name).as("index_name"), col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    }.reduce(_ unionByName _)
+    val summary = perQuery.groupBy(col("index_name"))
+      .agg(sum(col("n_hits")).as("n_hits"))
+      .select(col("index_name"), lit(null).cast("long").as("qid"), col("n_hits"))
+    perQuery.unionByName(summary)
+      .withColumn("recall_at_5", col("n_hits").cast("double")
+        / when(col("qid").isNull, 50.0).otherwise(5.0))
+      .orderBy(col("index_name"), col("qid").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_quality_gate" -> (q80QualityGate _),
     "q81_token_topk" -> (q81TokenTopk _),
     "q85_corpus_rollup" -> (q85CorpusRollup _),
     "q86_ann_recall" -> (q86AnnRecall _),
+    "q95_index_recall" -> (q95IndexRecall _),
   )
 
   private val enList = sqlList(EnStop)
@@ -209,5 +245,41 @@ object Curation {
         |FROM (SELECT DISTINCT qid FROM exact) q
         |LEFT JOIN hits h USING (qid)
         |ORDER BY qid""".stripMargin,
+
+    /* The q95 oracle composes the four gated oracles verbatim (q28
+     * exact, q36 IVF, q87 PQ, q94 IVF-PQ) and replays the per-index
+     * hit counts + macro summary rows. */
+    "q95_index_recall" ->
+      s"""WITH exact AS (${DedupSim.oracleSql("q28_cosine_topk")}),
+        |eq AS (SELECT DISTINCT qid FROM exact),
+        |i_ivf AS (${DedupSim.oracleSql("q36_ann_ivf")}),
+        |i_pq AS (${AnnPq.oracleSql("q87_ann_pq")}),
+        |i_ivfpq AS (${AnnPq.oracleSql("q94_ann_ivf_pq")}),
+        |h_ivf AS (SELECT e.qid, count(*) AS n FROM exact e
+        |          JOIN i_ivf a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+        |          GROUP BY 1),
+        |h_pq AS (SELECT e.qid, count(*) AS n FROM exact e
+        |         JOIN i_pq a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+        |         GROUP BY 1),
+        |h_ivfpq AS (SELECT e.qid, count(*) AS n FROM exact e
+        |            JOIN i_ivfpq a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+        |            GROUP BY 1),
+        |per AS (
+        |  SELECT 'ivf' AS index_name, q.qid, coalesce(h.n, 0) AS n_hits
+        |  FROM eq q LEFT JOIN h_ivf h USING (qid)
+        |  UNION ALL
+        |  SELECT 'pq' AS index_name, q.qid, coalesce(h.n, 0) AS n_hits
+        |  FROM eq q LEFT JOIN h_pq h USING (qid)
+        |  UNION ALL
+        |  SELECT 'ivf_pq' AS index_name, q.qid, coalesce(h.n, 0) AS n_hits
+        |  FROM eq q LEFT JOIN h_ivfpq h USING (qid)),
+        |summ AS (SELECT index_name, CAST(NULL AS BIGINT) AS qid,
+        |                CAST(sum(n_hits) AS BIGINT) AS n_hits
+        |         FROM per GROUP BY 1)
+        |SELECT index_name, qid, n_hits,
+        |       CAST(n_hits AS DOUBLE)
+        |         / CASE WHEN qid IS NULL THEN 50.0 ELSE 5.0 END AS recall_at_5
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM summ)
+        |ORDER BY index_name, qid NULLS FIRST""".stripMargin,
   )
 }
