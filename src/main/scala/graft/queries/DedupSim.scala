@@ -1033,6 +1033,64 @@ object DedupSim {
     ivfSearch(s, raw, e, kmeansCentroids(s, raw, e, KmeansIters))
   }
 
+  private val SemDedupTau = 0.4
+
+  /** SemDeDup (q96): SEMANTIC dedup over the embedding space — cluster
+    * first, then pairwise-prune only within clusters (the SemDeDup
+    * pipeline shape, Abbas et al. 2023, arXiv:2303.09540). Stage 1 is
+    * the q38 coarse quantizer ([[KmeansIters]] deterministic Lloyd
+    * iterations, quantized-integer centroid means); stage 2 computes
+    * exact cosine ONLY within each cluster and drops every vector that
+    * has an earlier (lower-id) in-cluster neighbor with
+    * sim >= [[SemDedupTau]] — keep-one-representative with a
+    * deterministic representative (min id).
+    *
+    * Scale shape: clustering bounds the quadratic — pairwise work is
+    * Σ|cluster|², never n², and each cluster's upper triangle runs as
+    * ONE task over its collected members (the q29 block kernel applied
+    * per cluster). At 100 TB the cluster count k rises with the corpus
+    * so a cluster stays task-sized; an oversized cluster composes with
+    * q29's block-pair split. Emits every vector with its cluster,
+    * earlier-neighbor count, max similarity and kept flag, so the dedup
+    * itself is a `kept` filter downstream.
+    */
+  def q96SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.embeddings(s, dir)
+    val e = embLong(s, dir)
+    val cents = kmeansCentroids(s, raw, e, KmeansIters)
+    val bc = s.sparkContext.broadcast(collectCentroids(cents))
+    val assign = nearestCentroid(raw, bc)
+    val pairs = raw.join(assign, Seq("vec_id"))
+      .select(col("list_id"),
+        struct(col("vec_id").as("id"), col("embedding").as("emb")).as("v"))
+      .groupBy(col("list_id"))
+      .agg(sort_array(collect_list(col("v"))).as("vecs"))
+      .as[(Long, Seq[BVec])]
+      .flatMap { case (_, vs) =>
+        val ids = vs.iterator.map(_.id).toArray
+        val m = vs.iterator.map(_.emb.map(_.toDouble)).toArray
+        ids.indices.iterator.flatMap { a =>
+          val x = m(a)
+          (a + 1 until ids.length).iterator.flatMap { b =>
+            val y = m(b)
+            var d = 0.0; var i = 0
+            while (i < x.length) { d += x(i) * y(i); i += 1 }
+            val r = round6(d)
+            if (r >= SemDedupTau) Some((ids(a), ids(b), r)) else None
+          }
+        }
+      }.toDF("id_a", "id_b", "sim")
+    val dups = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups_earlier"), max(col("sim")).as("max_sim_earlier"))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_dups_earlier"), lit(0L)).as("n_dups_earlier"),
+        coalesce(col("max_sim_earlier"), lit(0.0)).as("max_sim_earlier"),
+        col("n_dups_earlier").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q36 oracle: the same IVF pipeline in DuckDB SQL. */
   private def annIvfSql: String =
     s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
@@ -1063,10 +1121,13 @@ object DedupSim {
        SELECT qid, rn, vec_id AS neighbor_id, score FROM topk WHERE rn <= 5
        ORDER BY qid, rn"""
 
-  /** q38 oracle: the same probe/score pipeline as q36's, but over
-    * centroids refined by [[KmeansIters]] unrolled Lloyd-iteration CTEs.
+  /** CTE chain shared by the q38 and q96 oracles: long-format `e`, the
+    * [[KmeansIters]] unrolled Lloyd iterations, and the final
+    * nearest-centroid assignment. Defines `raw`, `e`, `cents0..N`,
+    * `cdots`, `ranked` (full centroid ranking per vector — q38's probe
+    * CTE reads it) and `assign(vec_id, list_id)`.
     */
-  private def annIvfKmeansSql: String = {
+  private def kmeansAssignCtes: String = {
     val init =
       s"cents0 AS (SELECT vec_id AS cid, dim, x AS cx FROM e WHERE vec_id < $IvfLists)"
     val iters = (1 to KmeansIters).map { k =>
@@ -1081,7 +1142,7 @@ object DedupSim {
                           / (count(*) * 1e6) AS cx
                    FROM e JOIN kas$k a USING (vec_id) GROUP BY 1, 2)"""
     }.mkString(",\n       ")
-    s"""WITH raw AS (SELECT vec_id, unnest(embedding) AS x,
+    s"""raw AS (SELECT vec_id, unnest(embedding) AS x,
                             generate_subscripts(embedding, 1) AS i FROM embeddings),
        e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, CAST(i AS BIGINT) - 1 AS dim FROM raw),
        $init,
@@ -1092,7 +1153,14 @@ object DedupSim {
                          row_number() OVER (PARTITION BY vec_id
                                             ORDER BY cdot DESC, cid) AS crank
                   FROM cdots),
-       assign AS (SELECT vec_id, cid AS list_id FROM ranked WHERE crank = 1),
+       assign AS (SELECT vec_id, cid AS list_id FROM ranked WHERE crank = 1)"""
+  }
+
+  /** q38 oracle: the same probe/score pipeline as q36's, but over
+    * centroids refined by [[KmeansIters]] unrolled Lloyd-iteration CTEs.
+    */
+  private def annIvfKmeansSql: String = {
+    s"""WITH $kmeansAssignCtes,
        probes AS (SELECT vec_id AS qid, cid AS list_id FROM ranked
                   WHERE vec_id < 10 AND crank <= $IvfProbes),
        cands AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (list_id)
@@ -1110,6 +1178,31 @@ object DedupSim {
        SELECT qid, rn, vec_id AS neighbor_id, score FROM topk WHERE rn <= 5
        ORDER BY qid, rn"""
   }
+
+  /** q96 oracle: the shared k-means-assignment CTE prefix + within-
+    * cluster pairwise dots + the earlier-neighbor dedup rule, replayed
+    * relationally (cluster self-join on list equality, id_a < id_b).
+    */
+  private def semDedupSql: String =
+    s"""WITH $kmeansAssignCtes,
+       pairs AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+                        round(sum(e1.x * e2.x), 6) AS sim
+                 FROM assign a1
+                 JOIN assign a2 ON a2.list_id = a1.list_id
+                                AND a2.vec_id > a1.vec_id
+                 JOIN e e1 ON e1.vec_id = a1.vec_id
+                 JOIN e e2 ON e2.vec_id = a2.vec_id AND e2.dim = e1.dim
+                 GROUP BY 1, 2
+                 HAVING round(sum(e1.x * e2.x), 6) >= $SemDedupTau),
+       dups AS (SELECT id_b AS vec_id, CAST(count(*) AS BIGINT) AS n_dups_earlier,
+                       max(sim) AS max_sim_earlier
+                FROM pairs GROUP BY 1)
+       SELECT a.vec_id, a.list_id,
+              coalesce(d.n_dups_earlier, 0) AS n_dups_earlier,
+              coalesce(d.max_sim_earlier, 0.0) AS max_sim_earlier,
+              d.n_dups_earlier IS NULL AS kept
+       FROM assign a LEFT JOIN dups d USING (vec_id)
+       ORDER BY a.vec_id"""
 
   /** INT8-quantized ANN (q65): the memory-bound 100 TB variant of q28 —
     * embeddings symmetric-quantize to int8 per vector
@@ -1159,6 +1252,7 @@ object DedupSim {
     "q65_quant_ann" -> (q65QuantAnn _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q38_ann_ivf_kmeans" -> (q38AnnIvfKmeans _),
+    "q96_semdedup" -> (q96SemDedup _),
     "q37_simhash_neardup" -> (q37SimhashNearDup _),
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q25_jaccard" -> (q25Jaccard _),
@@ -1339,6 +1433,7 @@ object DedupSim {
   val oracleSql: Map[String, String] = Map(
     "q36_ann_ivf" -> annIvfSql,
     "q38_ann_ivf_kmeans" -> annIvfKmeansSql,
+    "q96_semdedup" -> semDedupSql,
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,

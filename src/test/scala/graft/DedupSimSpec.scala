@@ -211,6 +211,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
+  test("q96 SemDeDup: removal rule matches driver brute force within clusters") {
+    val out = DedupSim.q96SemDedup(spark, dir).collect()
+    assert(out.length == 500)
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = out.filter(!_.getBoolean(4)).map(_.getLong(0)).toSet
+    // independent recomputation: exact pairwise dots with the SAME
+    // HALF_UP 6-decimal rounding as the kernel, restricted to
+    // same-cluster earlier-id neighbors — the q96 removal rule
+    val rows = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val expected = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if cluster(rows(i)._1) == cluster(rows(j)._1)
+      d = rows(i)._2.map(_.toDouble).zip(rows(j)._2.map(_.toDouble)).map(p => p._1 * p._2).sum
+      if BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+    } yield rows(j)._1).toSet
+    assert(removed == expected)
+    // a cluster's min-id member can never have an earlier neighbor: kept
+    val minIds = out.groupBy(_.getLong(1)).map { case (_, rs) => rs.map(_.getLong(0)).min }
+    assert(minIds.forall(id => !removed.contains(id)))
+  }
+
   test("q41 closes bucket chains into one component; refines q39 clusters") {
     // a path graph A-(b1)-B-(b2)-C: A and C share no bucket, so the
     // one-hop cluster id (q26/q39 shape) keeps them apart — the closure
