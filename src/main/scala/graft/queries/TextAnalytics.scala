@@ -176,6 +176,61 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val LmHeadT = -3.39
+  private val LmTailT = -3.42
+
+  /** N-gram language-model quality scoring (q97): the CCNet-style
+    * perplexity filter (Wenzek et al. 2020, arXiv:1911.00359) — score
+    * every document by the average add-one-smoothed bigram
+    * log-probability ln((c(w1,w2)+1)/(c(w1)+V)) under a count LM, then
+    * bucket into head/middle/tail on fixed thresholds. The LM here is
+    * self-trained on the corpus in the same plan (CCNet trains on a
+    * reference corpus upstream — same join shape, the count tables just
+    * arrive as a side input); the thresholds are constants at apply
+    * time, exactly how CCNet deploys its corpus-percentile cutoffs.
+    * Buckets compare the ROUNDED score on both engines so the bucket is
+    * a pure function of the gated value.
+    *
+    * Scale shape: three LINEAR shuffles — unigram counts and bigram
+    * counts are vocabulary-keyed hash aggregates (map-side partial
+    * combine), and the per-doc re-aggregation is keyed on doc_id. The
+    * count-table joins are equi-joins AQE broadcasts at small scale; at
+    * 100 TB the bigram join shuffles on (w1, w2) — still linear in
+    * corpus tokens, no quadratic anywhere. V is a 1-row broadcast.
+    */
+  def q97LmScore(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = t.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vsz = uni.agg(count(lit(1)).as("vsz"))
+    val bi = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val scored = big
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vsz))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + lit(1.0)) / (col("c1") + col("vsz")))), 6)
+          .as("avg_logprob"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"),
+        when(col("n_bigrams").isNull, lit("empty"))
+          .when(col("avg_logprob") > LmHeadT, lit("head"))
+          .when(col("avg_logprob") > LmTailT, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
   private val IpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   private val PhoneRe = "555-[0-9]{4}"
@@ -265,6 +320,7 @@ object TextAnalytics {
     "q61_decontaminate" -> (q61Decontaminate _),
     "q64_pii_scrub" -> (q64PiiScrub _),
     "q67_curation_pipeline" -> (q67CurationPipeline _),
+    "q97_lm_score" -> (q97LmScore _),
   )
 
   private val enList = sqlList(EnStop)
@@ -286,6 +342,30 @@ object TextAnalytics {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q97_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                     FROM documents),
+          big AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+                  FROM t, unnest(range(1, len(toks))) AS u(i)),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+          v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni),
+          bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+          sc AS (SELECT b.doc_id,
+                        CAST(count(*) AS BIGINT) AS n_bigrams,
+                        round(avg(ln((bi.c2 + 1.0) / (uni.c1 + v.vsz))), 6) AS avg_logprob
+                 FROM big b JOIN bi USING (w1, w2)
+                 JOIN uni ON uni.w = b.w1 CROSS JOIN v
+                 GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                 coalesce(sc.avg_logprob, 0.0) AS avg_logprob,
+                 CASE WHEN sc.n_bigrams IS NULL THEN 'empty'
+                      WHEN sc.avg_logprob > $LmHeadT THEN 'head'
+                      WHEN sc.avg_logprob > $LmTailT THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM documents d LEFT JOIN sc USING (doc_id)
+          ORDER BY d.doc_id""",
     "q20_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

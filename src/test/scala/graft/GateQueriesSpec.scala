@@ -247,6 +247,34 @@ class GateQueriesSpec extends AnyFunSuite {
     assert((ivfpq & exact).size == 47)
   }
 
+  test("q97: LM score matches a driver-side bigram LM on a sampled doc") {
+    val out = graft.queries.TextAnalytics.q97LmScore(spark, Sf).collect()
+    assert(out.length == 500)
+    // buckets are non-degenerate on this corpus and a pure function of
+    // the rounded score (the cross-engine safety argument)
+    val buckets = out.map(_.getString(3)).distinct.toSet
+    assert(buckets.subsetOf(Set("head", "middle", "tail", "empty")) && buckets.size >= 2)
+    // independent recomputation for one document: count-LM over the
+    // whole corpus built driver-side, same add-one smoothing
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val uni = toks.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size }
+    val vsz = uni.size
+    val bi = toks.values.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (p, ps) => p -> ps.size }
+    val target = out.find(_.getLong(1) >= 2).get
+    val id = target.getLong(0)
+    val pairs = toks(id).zip(toks(id).drop(1))
+    val avg = pairs.map { case (w1, w2) =>
+      math.log((bi(w1 -> w2) + 1.0) / (uni(w1) + vsz.toDouble))
+    }.sum / pairs.size
+    val rounded = BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(target.getDouble(2) - rounded) < 2e-6,
+      s"doc $id: got ${target.getDouble(2)}, recomputed $rounded")
+    assert(target.getLong(1) == pairs.size)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
