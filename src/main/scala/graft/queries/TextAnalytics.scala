@@ -231,6 +231,57 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val SpanW = 12
+
+  /** Duplicate-span detection (q98): substring-level exact dedup — every
+    * maximal token span whose [[SpanW]]-token shingles each occur at
+    * least twice in the corpus (cross-doc or within-doc). This is the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring-dedup shape (Lee et al. 2022, arXiv:2107.06499)
+    * reformulated at shingle granularity: their suffix array finds
+    * duplicated substrings ≥50 tokens; hashing every W-token window and
+    * keeping windows whose hash repeats finds the same spans with only
+    * scans, one hash aggregate and one window — the
+    * distributed-friendly formulation. Adjacent/overlapping duplicated
+    * windows (gap ≤ W) merge into one span via gaps-and-islands.
+    *
+    * Scale shape: shingle hashes are fixed-width BIGINTs (q61's
+    * token-hash polynomial fold — no string shuffle); the occurrence
+    * count is ONE linear hash aggregate keyed on the hash; the join
+    * back is an equi-join on the same key (only duplicated positions
+    * survive — output-sized, typically a tiny fraction of the corpus);
+    * the island window partitions by doc_id. Nothing quadratic, no
+    * driver state. Emits (doc, span) rows so the removal/clipping
+    * policy stays a downstream choice, exactly like the paper's
+    * pipeline.
+    */
+  def q98DupSpans(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.{strHash, P}
+    import org.apache.spark.sql.expressions.Window
+    val fold = (1 until SpanW)
+      .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
+    val shingleHashes = expr(s"transform(sequence(0, size(ha) - $SpanW), i -> $fold)")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("ha")) >= SpanW, shingleHashes)
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val dupH = sh.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(dupH, Seq("h"))
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= SpanW, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(SpanW - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_dup_shingles"),
+        max(col("n_occ")).as("max_occ"))
+      .drop("island")
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
   private val IpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   private val PhoneRe = "555-[0-9]{4}"
@@ -321,6 +372,7 @@ object TextAnalytics {
     "q64_pii_scrub" -> (q64PiiScrub _),
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q97_lm_score" -> (q97LmScore _),
+    "q98_dup_spans" -> (q98DupSpans _),
   )
 
   private val enList = sqlList(EnStop)
@@ -342,6 +394,33 @@ object TextAnalytics {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q98_dup_spans" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+          sh AS (
+            SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+                   ${(1 until SpanW).foldLeft("h")((acc, k) =>
+                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(h, ${SpanW - 1}) OVER w IS NOT NULL),
+          dup AS (SELECT hsh, CAST(count(*) AS BIGINT) AS n_occ
+                  FROM sh GROUP BY 1 HAVING count(*) >= 2),
+          dpos AS (SELECT s.doc_id, s.pos, d.n_occ FROM sh s JOIN dup d USING (hsh)),
+          isl AS (SELECT doc_id, pos, n_occ,
+                         sum(CASE WHEN prev IS NULL OR pos - prev > $SpanW
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                  FROM (SELECT doc_id, pos, n_occ,
+                               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                        FROM dpos))
+          SELECT doc_id, min(pos) AS start_tok,
+                 max(pos) + ${SpanW - 1} AS end_tok,
+                 CAST(count(*) AS BIGINT) AS n_dup_shingles, max(n_occ) AS max_occ
+          FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok""",
     "q97_lm_score" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                      FROM documents),

@@ -275,6 +275,41 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(target.getLong(1) == pairs.size)
   }
 
+  test("q98: duplicate spans match a driver-side recomputation") {
+    import graft.functions.PortableStringHash
+    val W = 12
+    val out = graft.queries.TextAnalytics.q98DupSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val P = PortableStringHash.P
+    val sh = docs.flatMap { case (id, t) =>
+      val ha = t.trim.split("\\s+").map(PortableStringHash.hashString)
+      (0 to ha.length - W).map { i =>
+        var h = ha(i)
+        for (k <- 1 until W) h = (h * 131 + ha(i + k)) % P
+        (id, i.toLong, h)
+      }
+    }
+    val occ = sh.groupBy(_._3).map { case (h, xs) => h -> xs.size.toLong }
+    val expected = sh.filter(x => occ(x._3) >= 2).groupBy(_._1).toSeq.flatMap {
+      case (id, xs) =>
+        val spans = collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        var start = -1L; var prev = -1L; var cnt = 0L; var mx = 0L
+        for ((_, p, h) <- xs.sortBy(_._2)) {
+          if (start >= 0 && p - prev > W) {
+            spans += ((id, start, prev + W - 1, cnt, mx)); start = -1
+          }
+          if (start < 0) { start = p; cnt = 0; mx = 0 }
+          prev = p; cnt += 1; mx = math.max(mx, occ(h))
+        }
+        if (start >= 0) spans += ((id, start, prev + W - 1, cnt, mx))
+        spans
+    }.sortBy(x => (x._1, x._2))
+    assert(out == expected)
+    assert(out.forall(s => s._3 - s._2 + 1 >= W), "every span covers >= W tokens")
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
