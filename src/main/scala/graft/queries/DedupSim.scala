@@ -31,6 +31,72 @@ object DedupSim {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  private val BloomBits = 32768L
+
+  /** Incremental bloom-prefiltered dedup (q99): dedup a NEWLY ARRIVING
+    * shard against a historical corpus without shuffling the whole
+    * shard — the day-2 shape of exact dedup (q24 is the day-1 batch).
+    * The new shard is a closed-form re-ingest of the corpus: every
+    * doc_id%3==0 document returns verbatim (a re-crawl duplicate),
+    * the rest return with a revision marker (genuinely new content);
+    * dedup is content-driven via md5, never id-driven.
+    *
+    * Pipeline: (1) build a [[BloomBits]]-bit k=2 bloom filter over the
+    * historical md5 set — two portable salted hashes per key, bit
+    * positions aggregated DISTRIBUTED and collected bounded by the
+    * filter size (≤ BloomBits rows), never the corpus; (2) probe the
+    * packed filter as a literal long-array in a codegen'd projection
+    * over the new shard (shiftright + mask — no UDF, no shuffle);
+    * (3) only bloom survivors join the historical hash set for exact
+    * verification (left-semi). No false negatives by construction, so
+    * the exact join sees every true duplicate; false positives are
+    * culled by the join. `bloom_hit` is emitted so FP auditing is a
+    * projection — and the oracle replays the bloom as a set-membership
+    * check on the same bit positions, putting the filter itself on the
+    * hash gate.
+    *
+    * Scale: the filter is sized to the HISTORICAL cardinality (~10 bits
+    * per key at 1% FP); up to ~10⁹ keys that is a ~1 GB broadcast and
+    * the new-shard side never shuffles for the non-dup majority. Beyond
+    * that, production shards the filter by key range or falls back to
+    * the plain shuffled anti-join — the join tail here is exactly that
+    * fallback, so the operator degrades, not breaks.
+    */
+  def q99BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val docs = Tables.documents(s, dir)
+    val hist = docs.select(md5(col("text").cast("binary")).as("th"))
+    val newShard = docs.select(
+      (col("doc_id") + lit(1000000L)).as("new_id"),
+      col("doc_id").as("src_id"),
+      md5(when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" [rev2]"))).cast("binary")).as("th"))
+    def bloomPos(salt: String, th: Column) =
+      pmod(strHash(concat(lit(salt), th)), lit(BloomBits))
+    val setBits = hist
+      .select(explode(array(
+        bloomPos("bloom1|", col("th")), bloomPos("bloom2|", col("th")))).as("bit"))
+      .distinct() // bounded by BloomBits, never the corpus
+      .collect().map(_.getLong(0))
+    val words = new Array[Long]((BloomBits / 64).toInt)
+    setBits.foreach { b => words((b / 64).toInt) |= (1L << (b % 64).toInt) }
+    val probed = newShard
+      .withColumn("h1", bloomPos("bloom1|", col("th")))
+      .withColumn("h2", bloomPos("bloom2|", col("th")))
+      .withColumn("bits", typedlit(words.toSeq))
+      .withColumn("bloom_hit", expr(
+        "(shiftright(element_at(bits, CAST(h1 div 64 AS INT) + 1), CAST(h1 % 64 AS INT)) & 1) = 1 AND " +
+        "(shiftright(element_at(bits, CAST(h2 div 64 AS INT) + 1), CAST(h2 % 64 AS INT)) & 1) = 1"))
+    val dupIds = probed.filter(col("bloom_hit"))
+      .join(hist.distinct(), Seq("th"), "left_semi")
+      .select(col("new_id"), lit(true).as("dup"))
+    probed.join(dupIds, Seq("new_id"), "left")
+      .select(col("new_id"), col("src_id"), col("bloom_hit"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+      .orderBy(col("new_id"))
+  }
+
   /** Driver-side token dictionary for bounded vocabularies. Every
     * portable-hash text query keys on the alphabetical token→index map;
     * recomputing it per query costs a distinct-shuffle, a global window
@@ -1179,6 +1245,35 @@ object DedupSim {
        ORDER BY qid, rn"""
   }
 
+  /** q99 oracle: the bloom replayed as SET-MEMBERSHIP over the same bit
+    * positions (a bloom filter IS the set of its set bits — packing is
+    * representation, not semantics), plus the exact md5 dedup join.
+    */
+  private def bloomDedupSql: String = {
+    import graft.functions.PortableStringHash
+    s"""WITH hist AS (SELECT DISTINCT md5(text) AS th FROM documents),
+       hsalt AS (SELECT th, 1 AS salt, 'bloom1|' || th AS tok FROM hist
+                 UNION ALL SELECT th, 2, 'bloom2|' || th FROM hist),
+       ${PortableStringHash.strHashCtes("hsalt", Seq("th", "salt"), "tok", "hb", "h")},
+       bitset AS (SELECT DISTINCT h % $BloomBits AS bit FROM hb),
+       n AS (SELECT doc_id + 1000000 AS new_id, doc_id AS src_id,
+                    md5(CASE WHEN doc_id % 3 = 0 THEN text
+                             ELSE text || ' [rev2]' END) AS th
+             FROM documents),
+       nsalt AS (SELECT new_id, 1 AS salt, 'bloom1|' || th AS tok FROM n
+                 UNION ALL SELECT new_id, 2, 'bloom2|' || th FROM n),
+       ${PortableStringHash.strHashCtes("nsalt", Seq("new_id", "salt"), "tok", "nh", "h")},
+       nbloom AS (SELECT nh.new_id, bool_and(bs.bit IS NOT NULL) AS bloom_hit
+                  FROM nh LEFT JOIN bitset bs ON bs.bit = nh.h % $BloomBits
+                  GROUP BY 1),
+       d AS (SELECT DISTINCT n.new_id FROM n JOIN hist USING (th))
+       SELECT n.new_id, n.src_id, b.bloom_hit,
+              d.new_id IS NOT NULL AS is_dup,
+              d.new_id IS NULL AS kept
+       FROM n JOIN nbloom b USING (new_id) LEFT JOIN d USING (new_id)
+       ORDER BY n.new_id"""
+  }
+
   /** q96 oracle: the shared k-means-assignment CTE prefix + within-
     * cluster pairwise dots + the earlier-neighbor dedup rule, replayed
     * relationally (cluster self-join on list equality, id_a < id_b).
@@ -1255,6 +1350,7 @@ object DedupSim {
     "q96_semdedup" -> (q96SemDedup _),
     "q37_simhash_neardup" -> (q37SimhashNearDup _),
     "q24_exact_dedup" -> (q24ExactDedup _),
+    "q99_bloom_dedup" -> (q99BloomDedup _),
     "q25_jaccard" -> (q25Jaccard _),
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -1434,6 +1530,7 @@ object DedupSim {
     "q36_ann_ivf" -> annIvfSql,
     "q38_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q96_semdedup" -> semDedupSql,
+    "q99_bloom_dedup" -> bloomDedupSql,
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,

@@ -310,6 +310,23 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.forall(s => s._3 - s._2 + 1 >= W), "every span covers >= W tokens")
   }
 
+  test("q99: bloom prefilter has no false negatives; exact verify culls FPs") {
+    val out = graft.queries.DedupSim.q99BloomDedup(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(out.length == 500)
+    // no false negatives: every true duplicate passed the bloom
+    assert(out.forall { case (_, bloomHit, isDup, _) => !isDup || bloomHit })
+    // the construction makes dedup content-decidable: re-crawled docs
+    // (src %3==0) are dups, revision-marked docs are not
+    assert(out.forall { case (src, _, isDup, kept) =>
+      isDup == (src % 3 == 0) && kept == !isDup })
+    // the filter actually filters: bloom pass-throughs are close to the
+    // true-dup count (FP rate small at this fill factor), never 100%
+    val hits = out.count(_._2); val dups = out.count(_._3)
+    assert(hits < out.length / 2, s"bloom passed $hits of ${out.length}")
+    assert(hits >= dups)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
