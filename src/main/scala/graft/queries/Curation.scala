@@ -167,7 +167,51 @@ object Curation {
       .orderBy(col("index_name"), col("qid").asc_nulls_first)
   }
 
+  private val ShufBucketW = 65536L // bucket = k div W → ≤ P/W ≈ 32768 buckets
+  private val ShardSize = 100L
+
+  /** Deterministic corpus shuffle with contiguous training order (q100):
+    * the "shuffle the corpus before training" step — every document gets
+    * a pseudorandom but fully reproducible position 0..n-1 (rank of its
+    * salted portable hash) and a training shard id (`ord div
+    * ShardSize`). Re-salting re-draws the order deterministically;
+    * retries and backfills reproduce it exactly (hash, not RNG).
+    *
+    * Scale shape: the naive formulation (row_number over a GLOBAL
+    * window) funnels the corpus through one task. This is the two-phase
+    * distributed ranking instead: (1) fixed-width hash-range buckets
+    * (`k div ShufBucketW` — deterministic, no sampled boundaries),
+    * (2) one linear count-per-bucket aggregate whose collect is bounded
+    * by the BUCKET COUNT (≤32768 rows) never the corpus, prefix-summed
+    * into offsets on the driver, (3) per-bucket row_number + offset —
+    * windows partitioned by bucket, skew-free because the hash is
+    * uniform. Two linear shuffles total, nothing global.
+    */
+  def q100CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        strHash(concat(lit("shuf:v1|"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bucket", expr(s"k div $ShufBucketW"))
+    val counts = docs.groupBy(col("bucket")).count()
+      .orderBy(col("bucket")).collect() // bounded by bucket count (≤32768)
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("bucket", "off")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+    docs.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("ord", row_number().over(w).cast("long") + col("off") - 1)
+      .select(col("doc_id"), col("k"), col("ord"),
+        expr(s"ord div $ShardSize").as("shard"))
+      .orderBy(col("ord"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_corpus_shuffle" -> (q100CorpusShuffle _),
     "q80_quality_gate" -> (q80QualityGate _),
     "q81_token_topk" -> (q81TokenTopk _),
     "q85_corpus_rollup" -> (q85CorpusRollup _),
@@ -178,6 +222,16 @@ object Curation {
   private val enList = sqlList(EnStop)
 
   val oracleSql: Map[String, String] = Map(
+    "q100_corpus_shuffle" ->
+      s"""WITH d AS (SELECT doc_id, 'shuf:v1|' || CAST(doc_id AS VARCHAR) AS tok
+        |           FROM documents),
+        |${graft.functions.PortableStringHash.strHashCtes(
+             "d", Seq("doc_id"), "tok", "kh", "k")}
+        |SELECT doc_id, k,
+        |       CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS ord,
+        |       (CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT))
+        |         // $ShardSize AS shard
+        |FROM kh ORDER BY ord""".stripMargin,
     "q80_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, text,
         |                  string_split_regex(trim(text), '\\s+') AS toks

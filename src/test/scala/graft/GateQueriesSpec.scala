@@ -327,6 +327,23 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(hits >= dups)
   }
 
+  test("q100: corpus shuffle assigns a contiguous permutation in hash order") {
+    val out = graft.queries.Curation.q100CorpusShuffle(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500)
+    // ords are exactly 0..n-1 (contiguity is the whole point of the
+    // two-phase offsets — a per-bucket rank alone would restart at 0)
+    assert(out.map(_._3).sorted.toSeq == (0L until 500L))
+    // order is the rank of (k, doc_id) — recompute by plain sorting
+    val expected = out.sortBy(x => (x._2, x._1)).map(_._1).toSeq
+    assert(out.sortBy(_._3).map(_._1).toSeq == expected)
+    assert(out.forall { case (_, _, ord, shard) => shard == ord / 100 })
+    // deterministic: a second run reproduces the permutation
+    val again = graft.queries.Curation.q100CorpusShuffle(spark, Sf).collect()
+      .map(_.getLong(2)).toSeq
+    assert(again == out.map(_._3).toSeq)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
