@@ -294,21 +294,81 @@ object DedupSim {
     * the q41 component path is the linear alternative when pair output
     * itself is the problem.
     */
-  def q91LshVerify(s: SparkSession, dir: String): DataFrame = {
+  private val VerifyBlockSz = 256
+
+  def q91LshVerify(s: SparkSession, dir: String): DataFrame = q91Stages(s, dir)._4
+
+  /** q91's stage frames, exposed for the Q91Probe timing tool. */
+  private[graft] def q91Parts(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val (bands, raw, cand, full) = q91Stages(s, dir)
+    Seq("bands" -> bands, "raw_pairs" -> raw, "cand" -> cand, "full" -> full)
+  }
+
+  private def q91Stages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.PortableStringHash.strHash
+    import s.implicits._
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val bands = minhashBands(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
-    // ONE pair aggregate over the bucket self-join; every later stage
-    // hangs off this single frame (a second reference would recompute
-    // the signature aggregate + self-join per action)
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_buckets"))
+    val bvecs = minhashBandVecs(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
+    val bands = bvecs
+      .select(col("doc_id"), col("bvec"),
+        posexplode(col("bvec")).as(Seq("bi", "band_hash")))
+      .select(col("doc_id"), col("bvec"),
+        col("bi").cast("long").as("band_idx"), col("band_hash"))
+    // Candidate pairs, emitted EXACTLY ONCE each with their band count
+    // computed in-kernel. Two measured bottlenecks shaped this:
+    // (1) a plain bucket self-join emits a mega bucket's ~|bucket|²/2
+    //     pairs from ONE task (one join key = one partition — skew AQE
+    //     cannot split), so buckets split into doc_id-ordered blocks of
+    //     [[VerifyBlockSz]] and the B(B+1)/2 block pairs run as
+    //     independent kernel tasks — q29's block-nested-loop per bucket;
+    // (2) the emit-per-shared-band + groupBy(pair) formulation shuffled
+    //     22M pair rows into a 7.7M-group aggregate (measured: that
+    //     exchange was over half the query). Instead each member carries
+    //     its full band vector into the task; a pair is emitted only in
+    //     its MINIMUM shared band (so exactly one bucket in the whole
+    //     job emits it) and n_buckets = |shared bands| is 8 integer
+    //     compares — the pair aggregate disappears from the plan.
+    // Blocks are doc_id-ordered, so doc_a < doc_b by construction.
+    val wB = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
+    val blocked = bands
+      .withColumn("blk", ((row_number().over(wB) - 1) / VerifyBlockSz).cast("int"))
+      .groupBy(col("band_idx"), col("band_hash"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("bvec").as("bv"))))
+        .as("ms"))
+    val bpairs = blocked.groupBy(col("band_idx"), col("band_hash"))
+      .agg(max(col("blk")).as("mb"))
+      .select(col("band_idx"), col("band_hash"),
+        explode(expr("flatten(transform(sequence(0, mb), " +
+          "a -> transform(sequence(a, mb), b -> struct(a AS ba, b AS bb))))")).as("p"))
+      .select(col("band_idx"), col("band_hash"),
+        col("p.ba").as("ba"), col("p.bb").as("bb"))
+    val cand = bpairs
+      .join(blocked.select(col("band_idx"), col("band_hash"),
+        col("blk").as("ba"), col("ms").as("ms_a")), Seq("band_idx", "band_hash", "ba"))
+      .join(blocked.select(col("band_idx"), col("band_hash"),
+        col("blk").as("bb"), col("ms").as("ms_b")), Seq("band_idx", "band_hash", "bb"))
+      .repartition(col("band_idx"), col("band_hash"), col("ba"), col("bb"))
+      .select(col("band_idx").cast("int").as("b"), (col("ba") === col("bb")).as("same"),
+        col("ms_a"), col("ms_b"))
+      .as[(Int, Boolean, Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])])]
+      .flatMap { case (b, same, ma, mb) =>
+        def pair(x: (Long, Seq[Long]), y: (Long, Seq[Long])): Option[(Long, Long, Long)] = {
+          val bx = x._2; val by = y._2
+          var shared = 0; var minShared = -1; var i = 0
+          while (i < bx.length) {
+            if (bx(i) == by(i)) { shared += 1; if (minShared < 0) minShared = i }
+            i += 1
+          }
+          if (minShared == b) Some((x._1, y._1, shared.toLong)) else None
+        }
+        if (same) ma.indices.iterator.flatMap(i =>
+          (i + 1 until ma.length).iterator.flatMap(j => pair(ma(i), ma(j))))
+        else ma.iterator.flatMap(a => mb.iterator.flatMap(c => pair(a, c)))
+      }.toDF("doc_a", "doc_b", "n_buckets")
+    val rawPairs = cand // single-emission kernel: candidates ARE the raw pairs
     // exact verification as an O(1)-per-pair popcount over the q25
     // bitmask view (dictionary-bounded corpus: one 64-bit mask per doc;
     // an open vocabulary falls back to the postings-intersection join,
@@ -318,7 +378,7 @@ object DedupSim {
     val masks = docTokenBits(s, dir)
       .groupBy(col("doc_id"))
       .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
-    cand
+    val full = cand
       // one mask row per doc — broadcast both sides so the multi-million
       // pair frame never shuffles for the verification lookups
       .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))),
@@ -331,6 +391,7 @@ object DedupSim {
       .filter(col("jaccard") >= VerifyThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_buckets"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    (bands, rawPairs, cand, full)
   }
 
   /** MinHash band memberships of (doc_id, v): k slot minimums in one
@@ -339,7 +400,16 @@ object DedupSim {
     * every LSH consumer (bucket clustering, connected components) builds
     * on.
     */
-  private def minhashBands(vals: DataFrame): DataFrame = {
+  private def minhashBands(vals: DataFrame): DataFrame =
+    minhashBandVecs(vals)
+      .select(col("doc_id"), posexplode(col("bvec")).as(Seq("bi", "band_hash")))
+      .select(col("doc_id"), col("bi").cast("long").as("band_idx"), col("band_hash"))
+
+  /** One row per doc with the [[LshBands]] band hashes as an ARRAY —
+    * the wide form [[minhashBands]] stacks long, kept separate so
+    * kernels (q91) can carry a doc's whole signature into a task.
+    */
+  private def minhashBandVecs(vals: DataFrame): DataFrame = {
     import graft.functions.PortableHash.mix
     val r = MinhashK / LshBands
     val sig = vals.groupBy(col("doc_id"))
@@ -349,9 +419,7 @@ object DedupSim {
       (BandWeights.zipWithIndex.map { case (w, i) => col(s"m${b * r + i}") * lit(w) }
         .reduce(_ + _) + lit(b.toLong)) % lit(graft.functions.PortableHash.P)
     }
-    val stackArgs = (0 until LshBands).map(b => s"${b}L, b$b").mkString(", ")
-    sig.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
-      .selectExpr("doc_id", s"stack($LshBands, $stackArgs) AS (band_idx, band_hash)")
+    sig.select(col("doc_id"), array(bandCols: _*).as("bvec"))
   }
 
   /** Shared MinHash+LSH tail over (doc_id, v) — `v` any value already in
