@@ -53,7 +53,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Auxiliary FULL-PLAN sweep: count() lets Catalyst drop the final
+    // sort and eliminate unique-keyed left joins above the counted
+    // relation, so count-based times can hide real output cost (q97's
+    // LM join tree and q91's output sort are the measured examples —
+    // PLANS.md round-8 note). The primary metric stays count() for
+    // round-over-round comparability; `queries_full` executes each
+    // query's OWN physical plan to the last row (toRdd.count) once.
+    val fullSweep: Map[String, Double] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      if (!sys.env.contains("GRAFT_BENCH_NO_UNPERSIST"))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> t
+    }.toMap
+    val qsFull = ordered.map { case (name, _) =>
+      "\"" + name + "\":" + fullSweep(name) }.mkString("{", ",", "}")
+    val totalFull = fullSweep.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""total_full":$totalFull,"queries_full":$qsFull,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,7 +38,14 @@ object Profile {
       val times = (1 to n).map { _ =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
-        val rows = fn(spark, sfDir).count()
+        // GRAFT_PROFILE_FULL=1 executes the query's OWN physical plan to
+        // the last row (toRdd.count) instead of count() — count() lets
+        // Catalyst drop final sorts and prune columns, which can hide
+        // real output cost for wide/sorted results
+        val rows =
+          if (sys.env.contains("GRAFT_PROFILE_FULL"))
+            fn(spark, sfDir).queryExecution.toRdd.count()
+          else fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         // localCheckpoint blocks are RDD-level persists clearCache misses
