@@ -304,34 +304,91 @@ object DedupSim {
     Seq("bands" -> bands, "raw_pairs" -> raw, "cand" -> cand, "full" -> full)
   }
 
-  private def q91Stages(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  private val NearDupOffset = 1000000L
+
+  /** Incremental near-dup probe (q101): detect near-duplicates of a
+    * NEWLY ARRIVING shard against the historical corpus's MinHash band
+    * index — the day-2 near-dup companion of q99's exact dedup (a
+    * re-crawl with small edits defeats md5; MinHash catches it). The
+    * new shard is a closed-form re-ingest: every doc_id%3==0 document
+    * returns with an 'update:' token prepended (a near-dup that is NOT
+    * an exact dup), the rest are closed-form fresh content with a
+    * disjoint token vocabulary. Band signatures for both sides come
+    * from ONE union'd plan, so the historical side is exactly the index
+    * a q26/q39 run would have persisted.
+    *
+    * Pipeline: signatures → the [[bandBlockPairs]] kernel with the
+    * id-boundary restriction (only hist×new pairs emit; the historical
+    * corpus's own near-dup density never reaches a shuffle) → best
+    * candidate per new doc by band count (two-phase top-k window) →
+    * exact token-set Jaccard of the best pair only (candidate-bounded,
+    * one row per new doc). Emits every new doc with match id, band
+    * count, verified jaccard and the near-dup verdict.
+    */
+  def q101IncNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
-    import s.implicits._
-    val toks = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val newText = when(col("doc_id") % 3 === 0, concat(lit("update: "), col("text")))
+      .otherwise(concat(lit("zz"), col("doc_id"), lit("a zz"),
+        col("doc_id"), lit("b zz"), col("doc_id"), lit("c")))
+    val hist = docs.select(col("doc_id"), col("text"))
+    val nw = docs.select((col("doc_id") + NearDupOffset).as("doc_id"), newText.as("text"))
+    val all = hist.unionByName(nw)
+    val toks = all
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
     val bvecs = minhashBandVecs(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
+    val cand = bandBlockPairs(s, bvecs, Some(NearDupOffset))
+    val wTop = Window.partitionBy(col("doc_b")).orderBy(col("n_buckets").desc, col("doc_a"))
+    val best = cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_a").as("match_id"), col("doc_b").as("new_id"), col("n_buckets"))
+    val tsets = all.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+    val inter = size(array_intersect(col("ts_b"), col("ts_a"))).cast("double")
+    val verified = best
+      .join(tsets.select(col("doc_id").as("match_id"), col("ts").as("ts_a")), Seq("match_id"))
+      .join(tsets.select(col("doc_id").as("new_id"), col("ts").as("ts_b")), Seq("new_id"))
+      .withColumn("jaccard", round(inter /
+        ((size(col("ts_a")) + size(col("ts_b"))).cast("double") - inter), 6))
+    nw.select(col("doc_id").as("new_id"))
+      .join(verified.select(col("new_id"), col("match_id"), col("n_buckets"),
+        col("jaccard")), Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        (coalesce(col("jaccard"), lit(0.0)) >= VerifyThreshold).as("is_near_dup"))
+      .orderBy(col("new_id"))
+  }
+
+  /** Per-bucket block-kernel candidate pairs over a `(doc_id, bvec)`
+    * band-signature frame → `(doc_a, doc_b, n_buckets)` with doc_a <
+    * doc_b, each pair emitted EXACTLY ONCE. Two measured bottlenecks
+    * shaped this (q91, sf0.1, Q91Probe):
+    * (1) a plain bucket self-join emits a mega bucket's ~|bucket|²/2
+    *     pairs from ONE task (one join key = one partition — skew AQE
+    *     cannot split a key), so buckets split into doc_id-ordered
+    *     blocks of [[VerifyBlockSz]] and the B(B+1)/2 block pairs run
+    *     as independent kernel tasks — q29's block-nested-loop applied
+    *     per bucket;
+    * (2) the emit-per-shared-band + groupBy(pair) formulation shuffled
+    *     22M pair rows into a 7.7M-group aggregate (over half the
+    *     query's wall time). Instead each member carries its full band
+    *     vector into the task; a pair is emitted only in its MINIMUM
+    *     shared band (so exactly one bucket in the whole job emits it)
+    *     and n_buckets = |shared bands| is 8 integer compares — the
+    *     pair aggregate disappears from the plan.
+    * `crossBound`: when Some(off), only pairs straddling the id
+    * boundary (doc_a < off <= doc_b) are emitted — the incremental
+    * historical-vs-new probe shape (q101); q91 passes None (all pairs).
+    */
+  private def bandBlockPairs(s: SparkSession, bvecs: DataFrame,
+      crossBound: Option[Long]): DataFrame = {
+    import s.implicits._
     val bands = bvecs
       .select(col("doc_id"), col("bvec"),
         posexplode(col("bvec")).as(Seq("bi", "band_hash")))
       .select(col("doc_id"), col("bvec"),
         col("bi").cast("long").as("band_idx"), col("band_hash"))
-    // Candidate pairs, emitted EXACTLY ONCE each with their band count
-    // computed in-kernel. Two measured bottlenecks shaped this:
-    // (1) a plain bucket self-join emits a mega bucket's ~|bucket|²/2
-    //     pairs from ONE task (one join key = one partition — skew AQE
-    //     cannot split), so buckets split into doc_id-ordered blocks of
-    //     [[VerifyBlockSz]] and the B(B+1)/2 block pairs run as
-    //     independent kernel tasks — q29's block-nested-loop per bucket;
-    // (2) the emit-per-shared-band + groupBy(pair) formulation shuffled
-    //     22M pair rows into a 7.7M-group aggregate (measured: that
-    //     exchange was over half the query). Instead each member carries
-    //     its full band vector into the task; a pair is emitted only in
-    //     its MINIMUM shared band (so exactly one bucket in the whole
-    //     job emits it) and n_buckets = |shared bands| is 8 integer
-    //     compares — the pair aggregate disappears from the plan.
-    // Blocks are doc_id-ordered, so doc_a < doc_b by construction.
     val wB = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
     val blocked = bands
       .withColumn("blk", ((row_number().over(wB) - 1) / VerifyBlockSz).cast("int"))
@@ -345,7 +402,8 @@ object DedupSim {
           "a -> transform(sequence(a, mb), b -> struct(a AS ba, b AS bb))))")).as("p"))
       .select(col("band_idx"), col("band_hash"),
         col("p.ba").as("ba"), col("p.bb").as("bb"))
-    val cand = bpairs
+    val bound = crossBound.getOrElse(-1L)
+    bpairs
       .join(blocked.select(col("band_idx"), col("band_hash"),
         col("blk").as("ba"), col("ms").as("ms_a")), Seq("band_idx", "band_hash", "ba"))
       .join(blocked.select(col("band_idx"), col("band_hash"),
@@ -356,18 +414,37 @@ object DedupSim {
       .as[(Int, Boolean, Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])])]
       .flatMap { case (b, same, ma, mb) =>
         def pair(x: (Long, Seq[Long]), y: (Long, Seq[Long])): Option[(Long, Long, Long)] = {
-          val bx = x._2; val by = y._2
-          var shared = 0; var minShared = -1; var i = 0
-          while (i < bx.length) {
-            if (bx(i) == by(i)) { shared += 1; if (minShared < 0) minShared = i }
-            i += 1
+          if (bound >= 0 && !(x._1 < bound && y._1 >= bound)) None
+          else {
+            val bx = x._2; val by = y._2
+            var shared = 0; var minShared = -1; var i = 0
+            while (i < bx.length) {
+              if (bx(i) == by(i)) { shared += 1; if (minShared < 0) minShared = i }
+              i += 1
+            }
+            if (minShared == b) Some((x._1, y._1, shared.toLong)) else None
           }
-          if (minShared == b) Some((x._1, y._1, shared.toLong)) else None
         }
         if (same) ma.indices.iterator.flatMap(i =>
           (i + 1 until ma.length).iterator.flatMap(j => pair(ma(i), ma(j))))
         else ma.iterator.flatMap(a => mb.iterator.flatMap(c => pair(a, c)))
       }.toDF("doc_a", "doc_b", "n_buckets")
+  }
+
+  private def q91Stages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.PortableStringHash.strHash
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bvecs = minhashBandVecs(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
+    val bands = bvecs
+      .select(col("doc_id"), col("bvec"),
+        posexplode(col("bvec")).as(Seq("bi", "band_hash")))
+      .select(col("doc_id"), col("bvec"),
+        col("bi").cast("long").as("band_idx"), col("band_hash"))
+    val cand = bandBlockPairs(s, bvecs, None)
     val rawPairs = cand // single-emission kernel: candidates ARE the raw pairs
     // exact verification as an O(1)-per-pair popcount over the q25
     // bitmask view (dictionary-bounded corpus: one 64-bit mask per doc;
@@ -1313,6 +1390,58 @@ object DedupSim {
        ORDER BY qid, rn"""
   }
 
+  /** q101 oracle: the union'd band chain, bucket equi-join restricted to
+    * hist×new pairs, best-candidate window, exact Jaccard of the best
+    * pair (q25's list_intersect formulation).
+    */
+  private def incNearDupSql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "utoks", Seq("doc_id"), "tok", "uhash", "v")
+    s"""WITH uni AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + $NearDupOffset AS doc_id, ntext AS text FROM (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'update: ' || text
+                       ELSE 'zz' || doc_id || 'a zz' || doc_id || 'b zz' || doc_id || 'c'
+                  END AS ntext
+           FROM documents)),
+       utoks AS (SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                 FROM uni),
+       $hashCtes,
+       vals AS (SELECT doc_id, v FROM uhash),
+       ${minhashBandsSql},
+       cand AS (SELECT a.doc_id AS match_id, b.doc_id AS new_id,
+                       CAST(count(*) AS BIGINT) AS n_buckets
+                FROM bands a JOIN bands b USING (band_idx, band_hash)
+                WHERE a.doc_id < $NearDupOffset AND b.doc_id >= $NearDupOffset
+                GROUP BY 1, 2),
+       best AS (SELECT match_id, new_id, n_buckets FROM (
+                  SELECT match_id, new_id, n_buckets,
+                         row_number() OVER (PARTITION BY new_id
+                           ORDER BY n_buckets DESC, match_id) AS rn
+                  FROM cand) WHERE rn = 1),
+       t AS (SELECT doc_id,
+                    list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+             FROM uni),
+       v AS (SELECT b.new_id, b.match_id, b.n_buckets,
+                    round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                          / (CAST(len(ta.ts) + len(tb.ts) AS DOUBLE)
+                             - CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)),
+                          6) AS jaccard
+             FROM best b JOIN t ta ON ta.doc_id = b.match_id
+                         JOIN t tb ON tb.doc_id = b.new_id)
+       SELECT n.doc_id AS new_id,
+              coalesce(v.match_id, -1) AS match_id,
+              coalesce(v.n_buckets, 0) AS n_buckets,
+              coalesce(v.jaccard, 0.0) AS jaccard,
+              coalesce(v.jaccard, 0.0) >= $VerifyThreshold AS is_near_dup
+       FROM (SELECT doc_id FROM uni WHERE doc_id >= $NearDupOffset) n
+       LEFT JOIN v ON v.new_id = n.doc_id
+       ORDER BY new_id"""
+  }
+
   /** q99 oracle: the bloom replayed as SET-MEMBERSHIP over the same bit
     * positions (a bloom filter IS the set of its set bits — packing is
     * representation, not semantics), plus the exact md5 dedup join.
@@ -1419,6 +1548,7 @@ object DedupSim {
     "q37_simhash_neardup" -> (q37SimhashNearDup _),
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q99_bloom_dedup" -> (q99BloomDedup _),
+    "q101_inc_neardup" -> (q101IncNearDup _),
     "q25_jaccard" -> (q25Jaccard _),
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -1599,6 +1729,7 @@ object DedupSim {
     "q38_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q96_semdedup" -> semDedupSql,
     "q99_bloom_dedup" -> bloomDedupSql,
+    "q101_inc_neardup" -> incNearDupSql,
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,

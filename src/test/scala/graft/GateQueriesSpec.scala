@@ -344,6 +344,25 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(again == out.map(_._3).toSeq)
   }
 
+  test("q101: incremental near-dup finds every edited re-crawl, no fresh doc") {
+    val out = graft.queries.DedupSim.q101IncNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 500)
+    out.foreach { case (newId, matchId, nBuckets, jaccard, isDup) =>
+      val src = newId - 1000000L
+      if (src % 3 == 0) {
+        // every edited re-crawl is flagged, with a real historical match
+        // verified at or above the threshold (md5/q99 would MISS these)
+        assert(isDup && matchId >= 0 && matchId < 1000000L && jaccard >= 0.7,
+          s"re-crawl $newId not caught: match=$matchId j=$jaccard")
+      } else {
+        // fresh closed-form content shares no band bucket with history
+        assert(!isDup && matchId == -1L && nBuckets == 0L && jaccard == 0.0,
+          s"fresh doc $newId spuriously matched $matchId")
+      }
+    }
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
