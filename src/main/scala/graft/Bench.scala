@@ -34,20 +34,25 @@ object Bench {
     // measures the engine, not stall luck. Caches are cleared between
     // runs, so every execution recomputes from parquet.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def sweep(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      // keep queries independent: a .cache() inside one query must not
-      // occupy storage memory (and skew GC) for every later measurement —
-      // and localCheckpoint(true) blocks are RDD-level persists that
-      // clearCache (SQL CacheManager only) never releases, so drop those
-      // explicitly rather than waiting on GC + ContextCleaner
-      spark.catalog.clearCache()
-      if (!sys.env.contains("GRAFT_BENCH_NO_UNPERSIST"))
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> t
-    }.toMap
+    // one timing body for both sweeps: a failed query records -1 (a
+    // crash under one action but not the other must read as a failure,
+    // not a speedup), and per-query cleanup lives in exactly one place
+    def sweepWith(run: org.apache.spark.sql.DataFrame => Long): Map[String, Double] =
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        // keep queries independent: a .cache() inside one query must not
+        // occupy storage memory (and skew GC) for every later measurement —
+        // and localCheckpoint(true) blocks are RDD-level persists that
+        // clearCache (SQL CacheManager only) never releases, so drop those
+        // explicitly rather than waiting on GC + ContextCleaner
+        spark.catalog.clearCache()
+        if (!sys.env.contains("GRAFT_BENCH_NO_UNPERSIST"))
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        name -> (if (ok) t else -1.0)
+      }.toMap
+    def sweep(): Map[String, Double] = sweepWith(_.count())
     val sweeps = Seq(sweep(), sweep(), sweep())
     val results = ordered.map { case (name, _) => name -> sweeps.map(_(name)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -60,16 +65,7 @@ object Bench {
     // PLANS.md round-8 note). The primary metric stays count() for
     // round-over-round comparability; `queries_full` executes each
     // query's OWN physical plan to the last row (toRdd.count) once.
-    val fullSweep: Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      if (!sys.env.contains("GRAFT_BENCH_NO_UNPERSIST"))
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> t
-    }.toMap
+    val fullSweep: Map[String, Double] = sweepWith(_.queryExecution.toRdd.count())
     val qsFull = ordered.map { case (name, _) =>
       "\"" + name + "\":" + fullSweep(name) }.mkString("{", ",", "}")
     val totalFull = fullSweep.values.sum

@@ -33,6 +33,12 @@ object DedupSim {
 
   private val BloomBits = 32768L
 
+  /** Id offset of the synthetic "newly arriving shard" shared by the two
+    * day-2 incremental queries (q99 exact, q101 near-dup): new_id =
+    * doc_id + NearDupOffset, so src ids and new ids never collide.
+    */
+  private val NearDupOffset = 1000000L
+
   /** Incremental bloom-prefiltered dedup (q99): dedup a NEWLY ARRIVING
     * shard against a historical corpus without shuffling the whole
     * shard — the day-2 shape of exact dedup (q24 is the day-1 batch).
@@ -67,7 +73,7 @@ object DedupSim {
     val docs = Tables.documents(s, dir)
     val hist = docs.select(md5(col("text").cast("binary")).as("th"))
     val newShard = docs.select(
-      (col("doc_id") + lit(1000000L)).as("new_id"),
+      (col("doc_id") + lit(NearDupOffset)).as("new_id"),
       col("doc_id").as("src_id"),
       md5(when(col("doc_id") % 3 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" [rev2]"))).cast("binary")).as("th"))
@@ -304,8 +310,6 @@ object DedupSim {
     Seq("bands" -> bands, "raw_pairs" -> raw, "cand" -> cand, "full" -> full)
   }
 
-  private val NearDupOffset = 1000000L
-
   /** Incremental near-dup probe (q101): detect near-duplicates of a
     * NEWLY ARRIVING shard against the historical corpus's MinHash band
     * index — the day-2 near-dup companion of q99's exact dedup (a
@@ -381,14 +385,21 @@ object DedupSim {
     * boundary (doc_a < off <= doc_b) are emitted — the incremental
     * historical-vs-new probe shape (q101); q91 passes None (all pairs).
     */
-  private def bandBlockPairs(s: SparkSession, bvecs: DataFrame,
-      crossBound: Option[Long]): DataFrame = {
-    import s.implicits._
-    val bands = bvecs
+  /** Stacked band rows of a `(doc_id, bvec)` frame, each row still
+    * carrying the full vector — the shape [[bandBlockPairs]] consumes
+    * and Q91Probe's `bands` stage times.
+    */
+  private def bandsOf(bvecs: DataFrame): DataFrame =
+    bvecs
       .select(col("doc_id"), col("bvec"),
         posexplode(col("bvec")).as(Seq("bi", "band_hash")))
       .select(col("doc_id"), col("bvec"),
         col("bi").cast("long").as("band_idx"), col("band_hash"))
+
+  private def bandBlockPairs(s: SparkSession, bvecs: DataFrame,
+      crossBound: Option[Long]): DataFrame = {
+    import s.implicits._
+    val bands = bandsOf(bvecs)
     val wB = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
     val blocked = bands
       .withColumn("blk", ((row_number().over(wB) - 1) / VerifyBlockSz).cast("int"))
@@ -439,11 +450,7 @@ object DedupSim {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
     val bvecs = minhashBandVecs(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
-    val bands = bvecs
-      .select(col("doc_id"), col("bvec"),
-        posexplode(col("bvec")).as(Seq("bi", "band_hash")))
-      .select(col("doc_id"), col("bvec"),
-        col("bi").cast("long").as("band_idx"), col("band_hash"))
+    val bands = bandsOf(bvecs)
     val cand = bandBlockPairs(s, bvecs, None)
     val rawPairs = cand // single-emission kernel: candidates ARE the raw pairs
     // exact verification as an O(1)-per-pair popcount over the q25
@@ -1453,7 +1460,7 @@ object DedupSim {
                  UNION ALL SELECT th, 2, 'bloom2|' || th FROM hist),
        ${PortableStringHash.strHashCtes("hsalt", Seq("th", "salt"), "tok", "hb", "h")},
        bitset AS (SELECT DISTINCT h % $BloomBits AS bit FROM hb),
-       n AS (SELECT doc_id + 1000000 AS new_id, doc_id AS src_id,
+       n AS (SELECT doc_id + $NearDupOffset AS new_id, doc_id AS src_id,
                     md5(CASE WHEN doc_id % 3 = 0 THEN text
                              ELSE text || ' [rev2]' END) AS th
              FROM documents),

@@ -29,8 +29,11 @@ object Q91Probe {
     // warmup
     graft.SparkEntry.queries("q01_agg")(spark, sfDir).count()
     val parts = graft.queries.DedupSim.q91Parts(spark, sfDir)
+    // toRdd.count, not count(): count() lets Catalyst drop the final
+    // sort and collapse joins, which would hide exactly the output cost
+    // this probe exists to attribute (see the Bench full-sweep note)
     for (_ <- 1 to 2)
-      parts.foreach { case (name, df) => time(name)(df.count()) }
+      parts.foreach { case (name, df) => time(name)(df.queryExecution.toRdd.count()) }
     spark.stop()
   }
 }
