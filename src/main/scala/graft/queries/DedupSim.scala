@@ -69,9 +69,29 @@ object DedupSim {
     * fallback, so the operator degrades, not breaks.
     */
   def q99BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val (hist, probed) = bloomParts(s, dir, Tables.documents(s, dir))
+    val dupIds = probed.filter(col("bloom_hit"))
+      .join(hist.distinct(), Seq("th"), "left_semi")
+      .select(col("new_id"), lit(true).as("dup"))
+    probed.join(dupIds, Seq("new_id"), "left")
+      .select(col("new_id"), col("src_id"), col("bloom_hit"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+      .orderBy(col("new_id"))
+  }
+
+  /** q99's shared machinery over any `(doc_id, text)` frame — batch
+    * (q99) or streaming (q102): the historical md5 set read from `dir`,
+    * and the new-shard construction + packed-bloom probe applied to
+    * `docs` as pure stateless projections. The bloom is built from the
+    * BATCH historical side regardless (it is the persisted index an
+    * ingest pipeline ships to its stream workers as a broadcast).
+    */
+  private[queries] def bloomParts(s: SparkSession, dir: String,
+      docs: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.PortableStringHash.strHash
-    val docs = Tables.documents(s, dir)
-    val hist = docs.select(md5(col("text").cast("binary")).as("th"))
+    val hist = Tables.documents(s, dir)
+      .select(md5(col("text").cast("binary")).as("th"))
     val newShard = docs.select(
       (col("doc_id") + lit(NearDupOffset)).as("new_id"),
       col("doc_id").as("src_id"),
@@ -93,15 +113,13 @@ object DedupSim {
       .withColumn("bloom_hit", expr(
         "(shiftright(element_at(bits, CAST(h1 div 64 AS INT) + 1), CAST(h1 % 64 AS INT)) & 1) = 1 AND " +
         "(shiftright(element_at(bits, CAST(h2 div 64 AS INT) + 1), CAST(h2 % 64 AS INT)) & 1) = 1"))
-    val dupIds = probed.filter(col("bloom_hit"))
-      .join(hist.distinct(), Seq("th"), "left_semi")
-      .select(col("new_id"), lit(true).as("dup"))
-    probed.join(dupIds, Seq("new_id"), "left")
-      .select(col("new_id"), col("src_id"), col("bloom_hit"),
-        coalesce(col("dup"), lit(false)).as("is_dup"),
-        (!coalesce(col("dup"), lit(false))).as("kept"))
-      .orderBy(col("new_id"))
+    (hist, probed)
   }
+
+  /** The q99 oracle, shared verbatim with the q102 streaming twin: both
+    * runs must hash-match the same relational statement.
+    */
+  private[queries] def bloomDedupOracle: String = bloomDedupSql
 
   /** Driver-side token dictionary for bounded vocabularies. Every
     * portable-hash text query keys on the alphabetical token→index map;

@@ -219,9 +219,44 @@ object StreamGate {
     s.table(sink).orderBy(col("doc_id"))
   }
 
+  /** Streaming ingest dedup against the historical corpus (q102): q99's
+    * bloom-prefiltered exact dedup executed by the STREAMING engine —
+    * dedup-at-ingest for arriving shards. The bloom probe is a pure
+    * stateless projection (the packed filter ships as a literal, the
+    * broadcast an ingest pipeline distributes to stream workers); the
+    * exact verification is a stream-STATIC left join against the
+    * historical md5 set with `bloom_hit` in the join condition, so
+    * non-survivors never probe the static hash relation — the one-pass
+    * streamable formulation of q99's survivor semi-join (no state
+    * store, no watermark; the static side is batch). Hash-matches q99's
+    * oracle verbatim: the batch and streaming runs must agree row for
+    * row, cross-engine.
+    */
+  def q102StreamBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+      .select(col("doc_id"), col("text"))
+    val (hist, probed) = DedupSim.bloomParts(s, dir, stream)
+    val histD = hist.distinct().withColumnRenamed("th", "th_h")
+      .withColumn("dup", lit(true))
+    val sink = "q102_sink"
+    s.catalog.dropTempView(sink)
+    val out = probed
+      .join(broadcast(histD), col("th") === col("th_h") && col("bloom_hit"), "left")
+      .select(col("new_id"), col("src_id"), col("bloom_hit"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("new_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_stream_window" -> (q58StreamWindow _),
     "q92_stream_quality" -> (q92StreamQuality _),
+    "q102_stream_bloom" -> (q102StreamBloomDedup _),
     "q69_stream_dedup" -> (q69StreamDedup _),
     "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
     "q82_stream_pack" -> (q82StreamPack _),
@@ -256,5 +291,6 @@ object StreamGate {
     // the streaming cascade must reproduce the batch verdicts EXACTLY —
     // same oracle as q80, verbatim
     "q92_stream_quality" -> Curation.oracleSql("q80_quality_gate"),
+    "q102_stream_bloom" -> DedupSim.bloomDedupOracle,
   )
 }

@@ -363,6 +363,15 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q102: the streaming bloom dedup equals the batch q99 row set") {
+    val batch = graft.queries.DedupSim.q99BloomDedup(spark, Sf).collect()
+      .map(_.toSeq).toSet
+    val stream = graft.queries.StreamGate.q102StreamBloomDedup(spark, Sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream == batch, "stream/batch divergence in bloom dedup")
+    assert(batch.nonEmpty)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
