@@ -423,7 +423,8 @@ object DedupSim {
       .withColumn("blk", ((row_number().over(wB) - 1) / VerifyBlockSz).cast("int"))
       .groupBy(col("band_idx"), col("band_hash"), col("blk"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("bvec").as("bv"))))
-        .as("ms"))
+        .as("ms"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
     val bpairs = blocked.groupBy(col("band_idx"), col("band_hash"))
       .agg(max(col("blk")).as("mb"))
       .select(col("band_idx"), col("band_hash"),
@@ -432,11 +433,21 @@ object DedupSim {
       .select(col("band_idx"), col("band_hash"),
         col("p.ba").as("ba"), col("p.bb").as("bb"))
     val bound = crossBound.getOrElse(-1L)
-    bpairs
+    val joined = bpairs
       .join(blocked.select(col("band_idx"), col("band_hash"),
-        col("blk").as("ba"), col("ms").as("ms_a")), Seq("band_idx", "band_hash", "ba"))
+        col("blk").as("ba"), col("ms").as("ms_a"), col("mn").as("mn_a")),
+        Seq("band_idx", "band_hash", "ba"))
       .join(blocked.select(col("band_idx"), col("band_hash"),
-        col("blk").as("bb"), col("ms").as("ms_b")), Seq("band_idx", "band_hash", "bb"))
+        col("blk").as("bb"), col("ms").as("ms_b"), col("mx").as("mx_b")),
+        Seq("band_idx", "band_hash", "bb"))
+    // block-level prune under a cross boundary: blocks are doc_id-ordered,
+    // so a (a, b) block pair can yield a hist×new pair only when block a
+    // reaches below the bound and block b above it — pure-hist×pure-hist
+    // (the corpus's own near-dup mass) never even enters a kernel task
+    val pruned =
+      if (bound >= 0) joined.filter(col("mn_a") < bound && col("mx_b") >= bound)
+      else joined
+    pruned
       .repartition(col("band_idx"), col("band_hash"), col("ba"), col("bb"))
       .select(col("band_idx").cast("int").as("b"), (col("ba") === col("bb")).as("same"),
         col("ms_a"), col("ms_b"))
