@@ -133,12 +133,18 @@ object Ops {
     cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
-  /** Backward-fill (VFP stack bfill, vfp/_vfpcommon.py:137-146, W6). */
+  /** Backward-fill (VFP stack bfill, vfp/_vfpcommon.py:137-146, W6).
+    * `ord` columns are value expressions, taken ascending. Implemented
+    * as a reverse-ordered RUNNING frame: an explicit [currentRow,
+    * unboundedFollowing] frame re-scans to the partition end for every
+    * row in WindowExec (quadratic per partition — see
+    * Summary.interpAt's note); the running frame is incremental.
+    */
   def bfill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String], ord: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionBy.map(col).toIndexedSeq: _*)
-      .orderBy(ord.toIndexedSeq: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+      .orderBy(ord.map(_.desc).toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
   /** Status-change detection: keep rows where `value` differs from its lag
@@ -374,14 +380,15 @@ object Ops {
     val part = partitionBy.map(col).toIndexedSeq
     val wPrev = Window.partitionBy(part: _*).orderBy(col(indexCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(part: _*).orderBy(col(indexCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // reverse-ordered running frame, not unboundedFollowing — see bfill
+    val wNext = Window.partitionBy(part: _*).orderBy(col(indexCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col(valueCol)
     val x = col(indexCol).cast("double")
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(wPrev)
-    val nextV = first(v, ignoreNulls = true).over(wNext)
-    val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
+    val nextV = last(v, ignoreNulls = true).over(wNext)
+    val nextX = last(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
     val interp = prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX)
     df.withColumn(valueCol,
       when(v.isNotNull, v)

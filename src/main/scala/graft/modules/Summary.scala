@@ -68,13 +68,21 @@ object Summary {
     val u = samples.unionByName(t)
     val wPrev = Window.partitionBy(col("VECTOR")).orderBy(col("DATE"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("VECTOR")).orderBy(col("DATE"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next sample" as a reverse-ordered RUNNING frame, NOT an explicit
+    // [currentRow, unboundedFollowing] frame: WindowExec re-scans to the
+    // partition end for EVERY row of an unbounded-following frame —
+    // quadratic per partition (measured 437 s at sf0.1 on q31 where the
+    // running form is sub-second; hidden for 7 rounds because count()
+    // pruned the interp column). last(ignoreNulls) over the reversed
+    // order is the same value, computed incrementally.
+    val wNext = Window.partitionBy(col("VECTOR"))
+      .orderBy(col("DATE").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = unix_micros(col("DATE")).cast("double")
     val prevV = last(col("VALUE"), ignoreNulls = true).over(wPrev)
     val prevX = last(when(col("VALUE").isNotNull, x), ignoreNulls = true).over(wPrev)
-    val nextV = first(col("VALUE"), ignoreNulls = true).over(wNext)
-    val nextX = first(when(col("VALUE").isNotNull, x), ignoreNulls = true).over(wNext)
+    val nextV = last(col("VALUE"), ignoreNulls = true).over(wNext)
+    val nextX = last(when(col("VALUE").isNotNull, x), ignoreNulls = true).over(wNext)
     val interp =
       when(col("VALUE").isNotNull, col("VALUE"))
         // rate: backward fill inside the sampled range, zero after the

@@ -61,19 +61,29 @@ object TextAnalytics {
       expr(s"transform(sequence(0, size(t) - $n), i -> " +
         (0 until n).map(k => s"t[i + $k]").mkString("concat_ws(' ', ", ", ", "))")))
       .otherwise(array().cast("array<string>"))
+    // top-2gram count = longest equal run in the SORTED gram list: the
+    // transform(array_distinct)/filter formulation re-scans the gram
+    // list once per distinct gram (O(n²) interpreted HOF per doc); the
+    // sorted max-run aggregate is one O(n log n) sort + one linear fold
+    val maxRun = expr(
+      "aggregate(sequence(1, size(sg2) - 1), named_struct('run', 1, 'best', 1), " +
+        "(a, i) -> named_struct(" +
+        "'run', IF(sg2[i] = sg2[i-1], a.run + 1, 1), " +
+        "'best', GREATEST(a.best, IF(sg2[i] = sg2[i-1], a.run + 1, 1))), " +
+        "a -> a.best)")
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), grams(3).as("g3"), grams(2).as("g2"))
+      .withColumn("sg2", sort_array(col("g2")))
       .select(
         col("doc_id"),
         when(size(col("g3")) > 0,
           round(lit(1.0) -
             size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6))
           .otherwise(lit(0.0)).as("dup_3gram_frac"),
-        when(size(col("g2")) > 0,
-          round(expr(
-            "array_max(transform(array_distinct(g2), g -> size(filter(g2, x -> x = g))))")
-            .cast("double") / size(col("g2")), 6))
+        when(size(col("g2")) >= 2,
+          round(maxRun.cast("double") / size(col("g2")), 6))
+          .when(size(col("g2")) === 1, lit(1.0))
           .otherwise(lit(0.0)).as("top_2gram_frac"))
       .orderBy(col("doc_id"))
   }
