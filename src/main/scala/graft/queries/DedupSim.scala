@@ -382,6 +382,73 @@ object DedupSim {
       .orderBy(col("new_id"))
   }
 
+  private val SplitOffset = 1000000L
+
+  /** Train/eval split-leakage audit (q103): assign every document a
+    * deterministic hash-based train/val/test split (80/10/10 — the
+    * standard reproducible split: retries and backfills re-derive the
+    * same assignment, no RNG state), then find near-duplicate pairs
+    * that STRADDLE the train/eval boundary — the reason
+    * dedup-before-split discipline exists: an eval document with a
+    * near-dup in train is a leaked label, and every serious pipeline
+    * audits for it after the split is drawn.
+    *
+    * Pipeline: open-vocab MinHash band signatures over BOTH sides in
+    * one plan; eval docs are keyed above [[SplitOffset]] so the
+    * [[bandBlockPairs]] kernel's id-boundary restriction emits ONLY
+    * train×eval candidates — train's own near-dup mass (the bulk of
+    * the corpus's pair density) never reaches a shuffle, exactly the
+    * q101 incremental shape with the boundary drawn by the split hash
+    * instead of arrival time. Candidates verify with the O(1) q25/q91
+    * mask-popcount Jaccard, and each eval doc reports its candidate
+    * count, verified-leak count and worst Jaccard (LEFT join: clean
+    * eval docs emit zeros, so the audit is a complete eval census).
+    */
+  def q103SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val split = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(strHash(concat(lit("split:v1|"), col("doc_id").cast("string"))),
+          lit(10L)).as("b10"))
+      .select(col("doc_id"),
+        when(col("b10") < 8, lit("train"))
+          .when(col("b10") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), strHash(col("tok")).as("v"))
+    val skeyed = toks.join(split, Seq("doc_id"))
+      .select(when(col("split") === "train", col("doc_id"))
+        .otherwise(col("doc_id") + SplitOffset).as("doc_id"), col("v"))
+    val cand = bandBlockPairs(s, minhashBandVecs(skeyed), Some(SplitOffset))
+    val masks = docTokenBits(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+    val scored = cand
+      .select(col("doc_a").as("train_id"),
+        (col("doc_b") - SplitOffset).as("eval_id"), col("n_buckets"))
+      .join(broadcast(masks.select(col("doc_id").as("train_id"), col("mask").as("mask_a"))),
+        Seq("train_id"))
+      .join(broadcast(masks.select(col("doc_id").as("eval_id"), col("mask").as("mask_b"))),
+        Seq("eval_id"))
+      .withColumn("jaccard",
+        round(bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
+          / bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("double"), 6))
+    val perEval = scored.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        count(when(col("jaccard") >= VerifyThreshold, 1)).as("n_leaks"),
+        max(col("jaccard")).as("max_jaccard"))
+    split.filter(col("split") =!= "train")
+      .join(perEval.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+        (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-bucket block-kernel candidate pairs over a `(doc_id, bvec)`
     * band-signature frame → `(doc_a, doc_b, n_buckets)` with doc_a <
     * doc_b, each pair emitted EXACTLY ONCE. Two measured bottlenecks
@@ -1430,6 +1497,61 @@ object DedupSim {
     * hist×new pairs, best-candidate window, exact Jaccard of the best
     * pair (q25's list_intersect formulation).
     */
+  /** q103 oracle: split hash + the q39 band chain over split-keyed ids,
+    * boundary-restricted band self-join for candidates, token-set
+    * Jaccard verification, eval-census LEFT join.
+    */
+  private def splitLeakageSql: String = {
+    val spCtes = graft.functions.PortableStringHash.strHashCtes(
+      "sp0", Seq("doc_id"), "tok", "sph", "h")
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "otoks", Seq("doc_id"), "tok", "ohash", "v")
+    s"""WITH sp0 AS (SELECT doc_id, 'split:v1|' || CAST(doc_id AS VARCHAR) AS tok
+       |            FROM documents),
+       |$spCtes,
+       |split AS (SELECT doc_id,
+       |                 CASE WHEN h % 10 < 8 THEN 'train'
+       |                      WHEN h % 10 = 8 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |          FROM sph),
+       |otoks AS (SELECT doc_id,
+       |          unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |          FROM documents),
+       |$hashCtes,
+       |vals AS (SELECT CASE WHEN s.split = 'train' THEN o.doc_id
+       |                     ELSE o.doc_id + $SplitOffset END AS doc_id, o.v
+       |         FROM ohash o JOIN split s USING (doc_id)),
+       |${minhashBandsSql},
+       |cand AS (SELECT a.doc_id AS train_id, b.doc_id - $SplitOffset AS eval_id,
+       |                CAST(count(*) AS BIGINT) AS n_buckets
+       |         FROM bands a JOIN bands b USING (band_idx, band_hash)
+       |         WHERE a.doc_id < $SplitOffset AND b.doc_id >= $SplitOffset
+       |         GROUP BY 1, 2),
+       |tsets AS (SELECT doc_id,
+       |                 list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+       |          FROM documents),
+       |scored AS (SELECT c.eval_id,
+       |                  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |                        / (CAST(len(a.toks) + len(b.toks) AS DOUBLE)
+       |                           - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)),
+       |                        6) AS jaccard
+       |           FROM cand c JOIN tsets a ON a.doc_id = c.train_id
+       |                       JOIN tsets b ON b.doc_id = c.eval_id),
+       |ag AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_cand,
+       |              CAST(count(CASE WHEN jaccard >= $VerifyThreshold THEN 1 END)
+       |                   AS BIGINT) AS n_leaks,
+       |              max(jaccard) AS max_jaccard
+       |       FROM scored GROUP BY 1)
+       |SELECT s.doc_id, s.split,
+       |       coalesce(ag.n_cand, 0) AS n_cand,
+       |       coalesce(ag.n_leaks, 0) AS n_leaks,
+       |       coalesce(ag.n_leaks, 0) > 0 AS leaked,
+       |       coalesce(ag.max_jaccard, 0.0) AS max_jaccard
+       |FROM split s LEFT JOIN ag ON ag.eval_id = s.doc_id
+       |WHERE s.split <> 'train'
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   private def incNearDupSql: String = {
     val hashCtes = graft.functions.PortableStringHash.strHashCtes(
       "utoks", Seq("doc_id"), "tok", "uhash", "v")
@@ -1585,6 +1707,7 @@ object DedupSim {
     "q24_exact_dedup" -> (q24ExactDedup _),
     "q99_bloom_dedup" -> (q99BloomDedup _),
     "q101_inc_neardup" -> (q101IncNearDup _),
+    "q103_split_leakage" -> (q103SplitLeakage _),
     "q25_jaccard" -> (q25Jaccard _),
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -1766,6 +1889,7 @@ object DedupSim {
     "q96_semdedup" -> semDedupSql,
     "q99_bloom_dedup" -> bloomDedupSql,
     "q101_inc_neardup" -> incNearDupSql,
+    "q103_split_leakage" -> splitLeakageSql,
     "q37_simhash_neardup" -> simhashNearDupSql,
     "q26_minhash_lsh" -> minhashLshSql,
     "q39_minhash_openvocab" -> minhashOpenVocabSql,

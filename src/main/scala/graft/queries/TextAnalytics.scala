@@ -370,7 +370,93 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val TfidfK = 3
+
+  /** TF-IDF keyword extraction (q104): the top-[[TfidfK]] terms of every
+    * document by tf·ln(N/df) — the classic salience score a corpus
+    * profiler / keyword indexer computes, and the standard weighting for
+    * sparse retrieval over a pretraining corpus. Ties break by term asc
+    * so selection is fully deterministic.
+    *
+    * Scale shape: term frequencies are ONE linear hash aggregate keyed
+    * (doc_id, term) with map-side combine; document frequencies reuse
+    * that frame (count per term — vocabulary-sized output); N is a
+    * 1-row broadcast and the df join is vocabulary-keyed (AQE
+    * broadcasts it at any realistic vocabulary size). The per-doc top-k
+    * plans as the two-phase WindowGroupLimit (q57's shape): every input
+    * partition forwards at most K rows per doc before the exchange.
+    * Nothing quadratic, no driver state.
+    */
+  def q104Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val LineTok = 8 // tokens per pseudo-line (the corpus has no \n)
+  private val LineDupK = 3 // a chunk seen >= K times corpus-wide is boilerplate
+
+  /** Line-level boilerplate removal (q105): the RefinedWeb/CCNet line
+    * dedup stage — hash every line of every document, count occurrences
+    * CORPUS-WIDE, strike lines that repeat at least [[LineDupK]] times
+    * (nav bars, cookie banners, licence footers), and REASSEMBLE each
+    * document from its surviving lines in order. The corpus text is
+    * single-line by construction, so "lines" are consecutive
+    * [[LineTok]]-token chunks — the same granularity trade the
+    * paragraph/line dedup literature makes, with the splitter swapped.
+    *
+    * Scale shape: chunking is a narrow per-doc projection; the
+    * occurrence count is ONE linear hash aggregate keyed on the 16-byte
+    * md5 (map-side combine; no string shuffle — the chunk text shuffles
+    * only inside the per-doc reassembly, partitioned by doc_id); the
+    * count join back is an equi-join on the same key; reassembly is a
+    * doc_id-keyed aggregate whose state is one document's own chunks.
+    * Nothing quadratic, no driver state, no UDF.
+    */
+  def q105LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $LineTok), " +
+          s"i -> concat_ws(' ', slice(t, i * $LineTok + 1, $LineTok)))"))
+        .as(Seq("pos", "chunk")))
+    val counts = chunks
+      .groupBy(md5(col("chunk").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_occ"))
+    chunks
+      .join(counts, md5(col("chunk").cast("binary")) === col("h"))
+      .withColumn("removed", col("n_occ") >= LineDupK)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("removed"), 1)).as("n_removed"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(!col("removed"),
+            struct(col("pos"), col("chunk"))))),
+          x => x("chunk"))).as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text").cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_tfidf" -> (q104Tfidf _),
+    "q105_line_dedup" -> (q105LineDedup _),
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
@@ -404,6 +490,44 @@ object TextAnalytics {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q104_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT doc_id,
+                                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+                            FROM documents)
+                      WHERE length(term) > 0 GROUP BY 1, 2),
+          df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                        round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+          r AS (SELECT doc_id, term, tf, df, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS INTEGER) AS rank
+                FROM sc)
+          SELECT doc_id, term, tf, df, score, rank
+          FROM r WHERE rank <= $TfidfK ORDER BY doc_id, rank""",
+    "q105_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                     FROM documents),
+          ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                        array_to_string(toks[(CAST(i AS INT) * $LineTok + 1):
+                                             (CAST(i AS INT) * $LineTok + $LineTok)],
+                                        ' ') AS chunk
+                 FROM t, unnest(range(0, (len(toks) + ${LineTok - 1}) // $LineTok)) AS u(i)),
+          cnt AS (SELECT md5(chunk) AS h, CAST(count(*) AS BIGINT) AS n_occ
+                  FROM ch GROUP BY 1),
+          fl AS (SELECT c.doc_id, c.pos, c.chunk, n.n_occ >= $LineDupK AS removed
+                 FROM ch c JOIN cnt n ON md5(c.chunk) = n.h),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                         CAST(count(CASE WHEN removed THEN 1 END) AS BIGINT) AS n_removed,
+                         coalesce(string_agg(CASE WHEN NOT removed THEN chunk END,
+                                             ' ' ORDER BY pos), '') AS clean_text
+                  FROM fl GROUP BY 1)
+          SELECT doc_id, n_chunks, n_removed,
+                 CAST(length(clean_text) AS BIGINT) AS clean_len,
+                 md5(clean_text) AS clean_fp
+          FROM agg ORDER BY doc_id""",
     "q98_dup_spans" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,

@@ -372,6 +372,96 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("q103: split leakage audit is a complete eval census with sound flags") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
+      .toMap
+    def bucket(id: Long) =
+      math.floorMod(graft.functions.PortableStringHash.hashString(s"split:v1|$id"), 10L)
+    val evalIds = docs.keys.filter(bucket(_) >= 8).toSet
+    val out = graft.queries.DedupSim.q103SplitLeakage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    // census: exactly the hash-assigned eval docs, each once, split names right
+    assert(out.map(_._1).toSet == evalIds && out.length == evalIds.size)
+    out.foreach { case (id, split, nCand, nLeaks, leaked, maxJ) =>
+      assert(split == (if (bucket(id) == 8) "val" else "test"))
+      assert(nLeaks <= nCand && leaked == (nLeaks > 0))
+      // flags consistent with the reported worst jaccard
+      if (leaked) assert(maxJ >= 0.7) else assert(maxJ < 0.7)
+    }
+    // recall against exact ground truth: an eval doc with a train
+    // near-identical (exact token-set jaccard >= 0.95) is practically
+    // guaranteed a shared band (1 - (1 - j^4)^8 ~ 0.999998) -> flagged
+    val trainSets = docs.filter { case (id, _) => bucket(id) < 8 }.values.toSeq
+    def bestJ(ts: Set[String]) = trainSets.foldLeft(0.0) { (b, tr) =>
+      val j = (ts & tr).size.toDouble / (ts | tr).size
+      math.max(b, j)
+    }
+    val must = evalIds.filter(id => bestJ(docs(id)) >= 0.95)
+    assert(must.nonEmpty, "corpus should contain cross-split near-dups")
+    val flagged = out.filter(_._5).map(_._1).toSet
+    assert(must.subsetOf(flagged), s"missed leaks: ${must -- flagged}")
+  }
+
+  test("q104: tf-idf emits k ranked terms per doc with hand-checked tf") {
+    val out = graft.queries.TextAnalytics.q104Tfidf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    // every doc appears with min(3, distinct terms) rows, ranks 1..k dense,
+    // scores non-increasing within a doc
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val k = math.min(3, docs(id).distinct.size)
+      assert(rows.length == k && rows.map(_._6).sorted.toSeq == (1 to k))
+      val sorted = rows.sortBy(_._6)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5)
+        case _ =>
+      }
+      // tf of each reported term matches a hand count
+      rows.foreach { case (_, term, tf, _, _, _) =>
+        assert(tf == docs(id).count(_ == term), s"tf mismatch doc $id term $term")
+      }
+    }
+  }
+
+  test("q105: line dedup reassembles surviving chunks in order") {
+    val out = graft.queries.TextAnalytics.q105LineDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    // replay the whole operator in plain Scala: chunking, corpus counts,
+    // strike >= 3, ordered reassembly
+    val chunksOf: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+      id -> t.grouped(8).map(_.mkString(" ")).toSeq
+    }
+    val occ = chunksOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(out.length == docs.size)
+    var removedTotal = 0L
+    out.foreach { case (id, nChunks, nRemoved, cleanLen, fp) =>
+      val ch = chunksOf(id)
+      val kept = ch.filter(occ(_) < 3)
+      assert(nChunks == ch.size && nRemoved == ch.size - kept.size)
+      val clean = kept.mkString(" ")
+      assert(cleanLen == clean.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == md, s"fingerprint mismatch doc $id")
+      removedTotal += nRemoved
+    }
+    // the corpus is deliberately dup-dense: boilerplate must actually fire
+    assert(removedTotal > 0)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
