@@ -210,7 +210,47 @@ object Curation {
       .orderBy(col("ord"))
   }
 
+  /** Duplicate-provenance matrix (q107): for every pair of sources, how
+    * many duplicate document pairs straddle them — the data-governance
+    * report behind "which feeds are re-serving each other's content"
+    * (mirror detection, license laundering, scraper loops). The
+    * duplicate key is the BAG-OF-WORDS fingerprint — md5 of the sorted
+    * distinct token set — so word-order-shuffled mirrors collapse too
+    * (this corpus has zero byte-identical texts but 21 token-set
+    * duplicate groups; a raw-md5 key would report an empty matrix).
+    * Same-source pairs count C(n,2) within a duplicate group,
+    * cross-source pairs n_a·n_b; only contributing groups/pairs emit.
+    *
+    * Scale shape: ONE (fingerprint, source) hash aggregate (linear,
+    * map-side combined — the corpus text never shuffles, only 16-byte
+    * hashes), then a self-join keyed on the fingerprint whose output is
+    * bounded by Σ_group (distinct sources in group)² —
+    * duplicate-group-sized, not corpus-sized — and a source²-bounded
+    * final aggregate. The pair counts are pure arithmetic on group
+    * counts: the quadratic "all duplicate pairs" set is never
+    * materialized.
+    */
+  def q107DupProvenance(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(tokens(col("text"))))).cast("binary"))
+    val g = Tables.documents(s, dir)
+      .groupBy(fp.as("h"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    g.select(col("h"), col("source").as("source_a"), col("n").as("n_a"))
+      .join(g.select(col("h"), col("source").as("source_b"), col("n").as("n_b")),
+        Seq("h"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("n_pairs",
+        when(col("source_a") === col("source_b"),
+          expr("n_a * (n_a - 1) div 2")).otherwise(col("n_a") * col("n_b")))
+      .filter(col("n_pairs") > 0)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_pairs")).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_dup_provenance" -> (q107DupProvenance _),
     "q100_corpus_shuffle" -> (q100CorpusShuffle _),
     "q80_quality_gate" -> (q80QualityGate _),
     "q81_token_topk" -> (q81TokenTopk _),
@@ -222,6 +262,21 @@ object Curation {
   private val enList = sqlList(EnStop)
 
   val oracleSql: Map[String, String] = Map(
+    "q107_dup_provenance" ->
+      """WITH g AS (SELECT md5(array_to_string(
+                             list_sort(list_distinct(
+                               string_split_regex(trim(text), '\s+'))), ' ')) AS h,
+                           source, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1, 2),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+                           ELSE a.n * b.n END AS n_pairs
+               FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source)
+         SELECT source_a, source_b,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n_pairs) AS BIGINT) AS n_dup_pairs
+         FROM p WHERE n_pairs > 0
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q100_corpus_shuffle" ->
       s"""WITH d AS (SELECT doc_id, 'shuf:v1|' || CAST(doc_id AS VARCHAR) AS tok
         |           FROM documents),

@@ -253,7 +253,50 @@ object StreamGate {
     s.table(sink).orderBy(col("new_id"))
   }
 
+  /** q106: SESSION WINDOWS executed by the streaming engine — the last
+    * stateful streaming shape the family lacked (q58 tumbling windows,
+    * q69/q70 dedup state, q82 running offsets; sessions are the only
+    * MERGING state: two open sessions fuse when a late event bridges
+    * them). `session_window(ts, 30 min)` + watermark, per-user count /
+    * exact-long value sum, one AvailableNow run in complete mode (the
+    * engine rejects update mode for session aggregations, and append
+    * only emits a session after the watermark passes it — which a
+    * finite replay's last batch never triggers; complete surfaces
+    * every fully-merged session, q58's mode-honesty note verbatim:
+    * production uses append + watermark eviction on an unbounded
+    * stream).
+    *
+    * Boundary honesty: Spark merges an event into a session while
+    * `ts < session_end = last_ts + gap`, so a gap of EXACTLY 30 min
+    * starts a NEW session — the oracle replays `diff >= gap → new`
+    * gaps-and-islands. The batch q16 sessionizer keeps `diff == gap`
+    * in-session (`gap > gapSeconds → new`); same convention difference
+    * as pandas' closed-interval resample vs Spark windows, documented
+    * here because the two operators are otherwise interchangeable.
+    */
+  def q106StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val events = graft.streaming.EventStreams.readEvents(s, dir)
+      .withWatermark("ts", "2 hours")
+    val agg = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
+    val sink = "q106_sink"
+    s.catalog.dropTempView(sink)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_stream_sessions" -> (q106StreamSessions _),
     "q58_stream_window" -> (q58StreamWindow _),
     "q92_stream_quality" -> (q92StreamQuality _),
     "q102_stream_bloom" -> (q102StreamBloomDedup _),
@@ -263,6 +306,26 @@ object StreamGate {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // gaps-and-islands replay of Spark's session merge rule: an event
+    // at exactly session_end (diff == gap) opens a NEW session
+    "q106_stream_sessions" ->
+      """WITH g AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         isl AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS island
+                 FROM g)
+         SELECT user_id,
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+                  AS total_value
+         FROM isl GROUP BY user_id, island
+         ORDER BY user_id, session_start""",
     "q58_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
          count(*) AS n_events,

@@ -462,6 +462,58 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(removedTotal > 0)
   }
 
+  test("q106: streaming session windows equal a driver-side gaps-and-islands replay") {
+    // the events table carries MICROSECOND timestamps - all session
+    // arithmetic must replay at micros, not Timestamp.getTime millis
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val out = graft.queries.StreamGate.q106StreamSessions(spark, Sf).collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), micros(r.getTimestamp(2)),
+        r.getLong(3), r.getDouble(4)))
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getDouble(2)))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // Spark's merge rule: diff >= gap starts a NEW session
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Double)]]) {
+        (acc, r) =>
+          if (acc.nonEmpty && r._2 - acc.last.last._2 < gapUs)
+            acc.init :+ (acc.last :+ r)
+          else acc :+ Vector(r)
+      }
+      sessions.map { sess =>
+        (uid, sess.head._2, sess.last._2 + gapUs, sess.size.toLong,
+          sess.map(r => math.round(r._3 * 10000.0)).sum / 10000.0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.nonEmpty && out.toSeq == expected)
+    // merging actually happened: fewer sessions than events somewhere
+    assert(out.length < ev.length)
+  }
+
+  test("q107: duplicate-provenance pair counts match a driver-side replay") {
+    val out = graft.queries.Curation.q107DupProvenance(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs
+      .groupBy(d => d._2.trim.split("\\s+").distinct.sorted.toSeq)
+      .values.toSeq.flatMap { grp =>
+      val bySrc = grp.groupBy(_._1).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      for {
+        (sa, na) <- bySrc; (sb, nb) <- bySrc if sa <= sb
+        p = if (sa == sb) na * (na - 1) / 2 else na * nb
+        if p > 0
+      } yield ((sa, sb), p)
+    }.groupBy(_._1).map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+    assert(out == expected)
+    // the corpus is dup-dense: at least one cross-source mirror pair
+    assert(out.keys.exists { case (a, b) => a != b })
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
