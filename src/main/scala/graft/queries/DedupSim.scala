@@ -36,8 +36,12 @@ object DedupSim {
   /** Id offset of the synthetic "newly arriving shard" shared by the two
     * day-2 incremental queries (q99 exact, q101 near-dup): new_id =
     * doc_id + NearDupOffset, so src ids and new ids never collide.
+    * 2^61 so the hist-below/new-above ORDER invariant the q101 boundary
+    * kernel rides on survives any realistic id space — the ×10
+    * ScaleStress replica shifts ids by 10⁹, which overran the old 10⁶
+    * offset and silently misclassified replica hist docs as new.
     */
-  private val NearDupOffset = 1000000L
+  private[graft] val NearDupOffset = 1L << 61
 
   /** Incremental bloom-prefiltered dedup (q99): dedup a NEWLY ARRIVING
     * shard against a historical corpus without shuffling the whole
@@ -384,7 +388,7 @@ object DedupSim {
       .orderBy(col("new_id"))
   }
 
-  private val SplitOffset = 1000000L
+  private val SplitOffset = 1L << 61 // above any doc id (see NearDupOffset)
 
   /** Train/eval split-leakage audit (q103): assign every document a
     * deterministic hash-based train/val/test split (80/10/10 — the

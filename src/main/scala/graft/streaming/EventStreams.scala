@@ -25,22 +25,33 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String,
       sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.option("pathGlobFilter", "{events,events_[0-9]*}.parquet").parquet(dir).schema
     // scope to the events table: a bare directory read would pull every
     // table in the sf dir through name-based column matching (their rows
-    // surface as all-null events). The streaming file source requires a
-    // directory path, so the scoping is a file-name glob filter —
-    // exactly `events.parquet` (the testdata layout) or numbered
-    // per-arrival files `events_<digits>….parquet` (the report-step
-    // convention); a broader events* would silently union any future
-    // events_foo.parquet dump into the stream.
+    // surface as all-null events). When events.parquet is itself a
+    // DIRECTORY of part files (a distributed writer's layout — the
+    // ScaleStress replicas, any df.write output), stream from that
+    // directory directly: its part files are already exactly the events
+    // table, and the single-file glob below would match none of them.
+    // Otherwise the scoping is a file-name glob filter — exactly
+    // `events.parquet` (the testdata layout) or numbered per-arrival
+    // files `events_<digits>….parquet` (the report-step convention); a
+    // broader events* would silently union any future events_foo.parquet
+    // dump into the stream.
     // sourceOptions: extra FILE-SOURCE options (e.g. maxFilesPerTrigger
     // for incremental multi-batch runs).
+    val (srcDir, glob) =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        (s"$dir/events.parquet", None)
+      else (dir, Some("{events,events_[0-9]*}.parquet"))
+    def withGlob[T](r: T, set: (T, String, String) => T): T =
+      glob.fold(r)(g => set(r, "pathGlobFilter", g))
+    val raw = withGlob[org.apache.spark.sql.DataFrameReader](
+      spark.read, _.option(_, _)).parquet(srcDir).schema
     graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(raw)
-        .option("pathGlobFilter", "{events,events_[0-9]*}.parquet")
+      withGlob[org.apache.spark.sql.streaming.DataStreamReader](
+        spark.readStream.schema(raw), _.option(_, _))
         .options(sourceOptions)
-        .parquet(dir))
+        .parquet(srcDir))
   }
 
   /** The q58/StreamStress daily activity aggregate: event-time tumbling

@@ -79,7 +79,9 @@ object ScaleStress {
       "q81_token_topk", "q85_corpus_rollup", "q87_ann_pq", "q88_tokenize",
       "q91_lsh_verify", "q94_ann_ivf_pq",
       "q96_semdedup", "q97_lm_score", "q98_dup_spans", "q99_bloom_dedup",
-      "q100_corpus_shuffle", "q101_inc_neardup")
+      "q100_corpus_shuffle", "q101_inc_neardup", "q103_split_leakage",
+      "q104_tfidf", "q105_line_dedup", "q106_stream_sessions",
+      "q107_dup_provenance")
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {

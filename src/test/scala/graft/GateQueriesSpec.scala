@@ -349,11 +349,11 @@ class GateQueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
     assert(out.length == 500)
     out.foreach { case (newId, matchId, nBuckets, jaccard, isDup) =>
-      val src = newId - 1000000L
+      val src = newId - graft.queries.DedupSim.NearDupOffset
       if (src % 3 == 0) {
         // every edited re-crawl is flagged, with a real historical match
         // verified at or above the threshold (md5/q99 would MISS these)
-        assert(isDup && matchId >= 0 && matchId < 1000000L && jaccard >= 0.7,
+        assert(isDup && matchId >= 0 && matchId < graft.queries.DedupSim.NearDupOffset && jaccard >= 0.7,
           s"re-crawl $newId not caught: match=$matchId j=$jaccard")
       } else {
         // fresh closed-form content shares no band bucket with history
