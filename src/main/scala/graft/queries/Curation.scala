@@ -249,7 +249,79 @@ object Curation {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Per-source length percentiles (q108): exact p50/p90/p99 of document
+    * length per source — the corpus-profile report behind truncation and
+    * chunk-size decisions. Computed by the HISTOGRAM method, not a
+    * rank window: percentiles over an integer domain need only the
+    * per-(source, value) counts, so the corpus collapses in ONE linear
+    * map-side-combined aggregate and the cumulative walk runs over the
+    * value domain (distinct lengths per source — thousands, not the
+    * corpus). A row_number-per-source formulation would chain each
+    * source's whole mass through one sort; this never materializes
+    * per-document rank at all. p-th percentile = smallest value whose
+    * cumulative count reaches ceil(p·n) (SQL-standard percentile_disc),
+    * with ceil(p·n) written IDENTICALLY on both engines so the IEEE
+    * product is bit-equal.
+    */
+  def q108LengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = h.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n_docs")), col("n_chars")))
+    cum.join(tot, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source token-distribution divergence (q109): KL(source ‖
+    * corpus) over the unigram distributions — the mixture-drift monitor
+    * a corpus assembly runs per feed (a source whose language model
+    * diverges from the pool is mislabeled, degraded, or spam). Every
+    * per-term contribution p·ln(p/q) is computed by the IDENTICAL IEEE
+    * expression on both engines, then fixed-point rounded to 10⁻¹² and
+    * summed as LONGS — the q58 exact-long trick — so the vocabulary sum
+    * is association-order-free and bit-equal no matter how either
+    * engine parallelizes the aggregate.
+    *
+    * Scale shape: one (source, token) count aggregate (linear,
+    * map-side combined), one token-keyed corpus-count aggregate joined
+    * back (vocabulary-keyed — AQE broadcasts it), per-source totals as
+    * a window over the source key, and ONE per-source sum. Nothing
+    * quadratic, no driver state.
+    */
+  def q109SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val corpus = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val totS = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val tot = corpus.agg(sum(col("c_t")).as("t_all"))
+    val p = col("c_st").cast("double") / col("t_s").cast("double")
+    val q = col("c_t").cast("double") / col("t_all").cast("double")
+    st.join(corpus, Seq("t"))
+      .join(totS, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_fp", round(p * log(p / q) * 1e12).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), max(col("t_s")).as("n_tokens"),
+        round(sum(col("term_fp")).cast("double") / 1e12, 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_length_percentiles" -> (q108LengthPercentiles _),
+    "q109_source_divergence" -> (q109SourceDivergence _),
     "q107_dup_provenance" -> (q107DupProvenance _),
     "q100_corpus_shuffle" -> (q100CorpusShuffle _),
     "q80_quality_gate" -> (q80QualityGate _),
@@ -262,6 +334,41 @@ object Curation {
   private val enList = sqlList(EnStop)
 
   val oracleSql: Map[String, String] = Map(
+    "q108_length_percentiles" ->
+      """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+                    FROM documents GROUP BY 1, 2),
+         c AS (SELECT source, n_chars, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM h),
+         t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+         SELECT c.source, max(t.n_docs) AS n_docs,
+                min(CASE WHEN cum >= ceil(0.5 * t.n_docs) THEN n_chars END) AS p50,
+                min(CASE WHEN cum >= ceil(0.9 * t.n_docs) THEN n_chars END) AS p90,
+                min(CASE WHEN cum >= ceil(0.99 * t.n_docs) THEN n_chars END) AS p99,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM c JOIN t USING (source)
+         GROUP BY 1 ORDER BY 1""",
+    "q109_source_divergence" ->
+      """WITH st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+                     FROM (SELECT source,
+                                  unnest(string_split_regex(trim(text), '\s+')) AS t
+                           FROM documents)
+                     WHERE length(t) > 0 GROUP BY 1, 2),
+         corpus AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+         tots AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_all FROM corpus),
+         terms AS (SELECT st.source,
+                          CAST(round((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+                               * ln((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+                                    / (CAST(c_t AS DOUBLE) / CAST(t_all AS DOUBLE)))
+                               * 1e12) AS BIGINT) AS term_fp,
+                          t_s
+                   FROM st JOIN corpus USING (t) JOIN tots USING (source) CROSS JOIN tot)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                max(t_s) AS n_tokens,
+                round(CAST(sum(term_fp) AS DOUBLE) / 1e12, 6) AS kl
+         FROM terms GROUP BY 1 ORDER BY 1""",
     "q107_dup_provenance" ->
       """WITH g AS (SELECT md5(array_to_string(
                              list_sort(list_distinct(

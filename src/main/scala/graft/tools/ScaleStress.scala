@@ -81,7 +81,8 @@ object ScaleStress {
       "q96_semdedup", "q97_lm_score", "q98_dup_spans", "q99_bloom_dedup",
       "q100_corpus_shuffle", "q101_inc_neardup", "q103_split_leakage",
       "q104_tfidf", "q105_line_dedup", "q106_stream_sessions",
-      "q107_dup_provenance")
+      "q107_dup_provenance", "q108_length_percentiles",
+      "q109_source_divergence")
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {

@@ -514,6 +514,55 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.keys.exists { case (a, b) => a != b })
   }
 
+  test("q108: histogram percentiles equal a naive sorted-rank replay") {
+    val out = graft.queries.Curation.q108LengthPercentiles(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val lens = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(out.keySet == lens.keySet)
+    // percentile_disc: smallest value whose cumulative count >= ceil(p*n)
+    def disc(v: Vector[Long], p: Double) = v(math.ceil(p * v.size).toInt - 1)
+    lens.foreach { case (src, v) =>
+      val (n, p50, p90, p99, mn, mx) = out(src)
+      assert(n == v.size && mn == v.head && mx == v.last)
+      assert(p50 == disc(v, 0.5) && p90 == disc(v, 0.9) && p99 == disc(v, 0.99))
+    }
+  }
+
+  test("q109: per-source KL is non-negative-ish and matches a driver replay") {
+    val out = graft.queries.Curation.q109SourceDivergence(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val cST = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cT = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tS = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tAll = toks.length.toLong
+    val expected = cST.keys.groupBy(_._1).map { case (src, keys) =>
+      val sum = keys.toSeq.map { k =>
+        val p = cST(k).toDouble / tS(src)
+        val q = cT(k._2).toDouble / tAll
+        math.round(p * math.log(p / q) * 1e12)
+      }.sum
+      src -> (keys.size.toLong, tS(src),
+        BigDecimal(sum.toDouble / 1e12).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (src, (nTerms, nTok, kl)) =>
+      val (gn, gt, gkl) = out(src)
+      assert(gn == nTerms && gt == nTok, src)
+      assert(gkl == kl, s"$src kl $gkl vs $kl")
+      // Gibbs: true KL >= 0; the fixed-point rounding can dip a hair under
+      assert(gkl >= -1e-6, src)
+    }
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
