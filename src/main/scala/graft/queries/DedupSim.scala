@@ -192,10 +192,21 @@ object DedupSim {
     * vocabularies the MinHash path (q26) is the scale route; a postings
     * prefix-filter join is the exact-threshold route.
     */
-  def q25Jaccard(s: SparkSession, dir: String): DataFrame = {
-    val masks = docTokenBits(s, dir)
+  /** One 64-bit token-presence mask per doc over the [[docTokenBits]]
+    * dictionary view — the O(1) popcount-Jaccard operand (q25, q91,
+    * q103). INVARIANT: the dictionary must fit in 64 bits; `shiftleft`
+    * wraps mod 64 beyond that and the popcount Jaccard silently
+    * degrades. [[TokenDict]] bounds this corpus's vocabulary; an
+    * open-vocabulary caller must use the postings-intersection path
+    * instead (see q91's scaladoc for the measured trade).
+    */
+  private def docTokenMasks(s: SparkSession, dir: String): DataFrame =
+    docTokenBits(s, dir)
       .groupBy(col("doc_id"))
       .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+
+  def q25Jaccard(s: SparkSession, dir: String): DataFrame = {
+    val masks = docTokenMasks(s, dir)
     val dm = masks.select(col("mask")).distinct()
       .withColumn("pc", bit_count(col("mask")).cast("long"))
     val inter = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
@@ -420,17 +431,21 @@ object DedupSim {
         when(col("b10") < 8, lit("train"))
           .when(col("b10") === 8, lit("val"))
           .otherwise(lit("test")).as("split"))
-    val toks = Tables.documents(s, dir)
+    // the split key is a PURE FUNCTION of doc_id — recompute it inline
+    // as a narrow projection on the token stream rather than joining
+    // the corpus-wide (doc_id, v) rows against the split frame (that
+    // join is a corpus-sized exchange; the split frame is still used
+    // for the final eval census below, where it is census-sized)
+    val isTrain =
+      pmod(strHash(concat(lit("split:v1|"), col("doc_id").cast("string"))), lit(10L)) < 8
+    val skeyed = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), strHash(col("tok")).as("v"))
-    val skeyed = toks.join(split, Seq("doc_id"))
-      .select(when(col("split") === "train", col("doc_id"))
-        .otherwise(col("doc_id") + SplitOffset).as("doc_id"), col("v"))
+      .select(when(isTrain, col("doc_id"))
+        .otherwise(col("doc_id") + SplitOffset).as("doc_id"),
+        strHash(col("tok")).as("v"))
     val cand = bandBlockPairs(s, minhashBandVecs(skeyed), Some(SplitOffset))
-    val masks = docTokenBits(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+    val masks = docTokenMasks(s, dir)
     val scored = cand
       .select(col("doc_a").as("train_id"),
         (col("doc_b") - SplitOffset).as("eval_id"), col("n_buckets"))
@@ -614,9 +629,7 @@ object DedupSim {
     // whose cost is Σ_pairs |tokens| — measured 30× slower HERE because
     // this corpus is near-dup-dense: millions of candidates at ×10,
     // each O(|doc|) under postings but O(1) under masks)
-    val masks = docTokenBits(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+    val masks = docTokenMasks(s, dir)
     val full = cand
       // one mask row per doc — broadcast both sides so the multi-million
       // pair frame never shuffles for the verification lookups

@@ -39,17 +39,31 @@ object EventStreams {
     // dump into the stream.
     // sourceOptions: extra FILE-SOURCE options (e.g. maxFilesPerTrigger
     // for incremental multi-batch runs).
+    // directory detection goes through the Hadoop FileSystem of the
+    // path (not java.io.File) so hdfs://, s3a:// and file: URIs — the
+    // storage distributed writers actually target — take the directory
+    // branch too, and a layout mixing BOTH conventions fails loudly
+    // instead of silently dropping the per-arrival files.
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tablePath = new org.apache.hadoop.fs.Path(hPath, "events.parquet")
+    val tableIsDir = fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory
+    if (tableIsDir) {
+      val arrivals = fs.globStatus(new org.apache.hadoop.fs.Path(hPath, "events_*.parquet"))
+      require(arrivals == null || arrivals.isEmpty,
+        s"$dir mixes a directory-shaped events.parquet with per-arrival " +
+          "events_NNNN.parquet files; a single stream source cannot union " +
+          "both layouts - consolidate to one convention")
+    }
     val (srcDir, glob) =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
-        (s"$dir/events.parquet", None)
+      if (tableIsDir) (tablePath.toString, None)
       else (dir, Some("{events,events_[0-9]*}.parquet"))
-    def withGlob[T](r: T, set: (T, String, String) => T): T =
-      glob.fold(r)(g => set(r, "pathGlobFilter", g))
-    val raw = withGlob[org.apache.spark.sql.DataFrameReader](
-      spark.read, _.option(_, _)).parquet(srcDir).schema
+    val batchReader = spark.read
+    val raw = glob.fold(batchReader)(g => batchReader.option("pathGlobFilter", g))
+      .parquet(srcDir).schema
+    val streamReader = spark.readStream.schema(raw)
     graft.sources.Tables.normalizeEventTs(
-      withGlob[org.apache.spark.sql.streaming.DataStreamReader](
-        spark.readStream.schema(raw), _.option(_, _))
+      glob.fold(streamReader)(g => streamReader.option("pathGlobFilter", g))
         .options(sourceOptions)
         .parquet(srcDir))
   }
