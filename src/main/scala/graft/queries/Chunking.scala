@@ -75,12 +75,20 @@ object Chunking {
     * configurable pack size — split out so the layout laws are
     * property-testable on random corpora.
     */
-  private[graft] def q77PackOver(docs: DataFrame, packB: Long): DataFrame = {
+  private[graft] def q77PackOver(docs: DataFrame, packB: Long): DataFrame =
+    packLayout(
+      docs.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok")),
+      packB)
+
+  /** The pack-and-chop span layout over a PRE-COUNTED `(doc_id, source,
+    * n_tok)` frame — q77 feeds whitespace token counts, q111 feeds the
+    * q88 tokenizer's unit counts; the layout law is one definition.
+    */
+  private[queries] def packLayout(counted: DataFrame, packB: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
+    counted
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tok"))
       .withColumn("pack_id", explode(sequence(

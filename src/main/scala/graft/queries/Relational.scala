@@ -261,7 +261,37 @@ object Relational {
       .orderBy(col("vector"), col("month_date"))
   }
 
+  // ---- §2.5 W: event-time RANGE-frame rolling features -------------------
+  /** Rolling 1-hour per-user activity (q110): for every event, the count
+    * and exact-long value sum of that user's events in the preceding
+    * hour (RANGE BETWEEN INTERVAL frame — the only window-frame family
+    * not yet on the gate; every other gated window is row-framed). The
+    * feature shape behind rate limiting, burst detection and
+    * session-independent activity scores.
+    *
+    * Both engines order the frame by the MICROSECOND epoch (unix_micros
+    * / epoch_us) so the range arithmetic is integer-exact, and equal
+    * timestamps are frame PEERS on both (RANGE includes all peers of
+    * CURRENT ROW). The value sum uses the q58 exact-long trick so the
+    * in-frame accumulation order cannot surface. Scale: one exchange on
+    * user_id, per-user linear sliding frame — the standard time-series
+    * feature plan.
+    */
+  def q110Rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h",
+        (sum(round(col("value") * 10000.0).cast("long")).over(w) / 10000.0))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_rolling" -> (q110Rolling _),
     "q31_summary_resample" -> (q31SummaryResample _),
     "q01_agg" -> (q01Agg _),
     "q02_join" -> (q02Join _),
@@ -285,6 +315,15 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q110_rolling" ->
+      """SELECT event_id, user_id, ts,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) OVER w AS DOUBLE)
+                  / 10000.0 AS v_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q31_summary_resample" ->
       """WITH samples AS (
            SELECT event_type AS vector, ts AS d,

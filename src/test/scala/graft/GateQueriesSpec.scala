@@ -563,6 +563,49 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q110: range-frame rolling features equal a driver-side sliding replay") {
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val out = graft.queries.Relational.q110Rolling(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getDouble(3)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.map { case (eid, uid, us, _) =>
+      val frame = byUser(uid).filter(e => e._3 >= us - 3600000000L && e._3 <= us)
+      (eid, frame.length.toLong,
+        frame.map(e => math.round(e._4 * 10000.0)).sum / 10000.0)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected.toSeq)
+    // the frame must actually slide: some event has >1 in-frame peer
+    assert(out.exists(_._2 > 1))
+  }
+
+  test("q111: tokenize-and-pack satisfies the layout laws over q88 unit counts") {
+    val spans = graft.queries.Tokenize.q111TokenizePack(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val unitsOf = graft.queries.Tokenize.q88Tokenize(spark, Sf)
+      .select(col("doc_id"), col("n_units")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc's spans cover exactly its q88 unit count, with one head
+    val byDoc = spans.groupBy(_._3)
+    assert(byDoc.keySet == unitsOf.keySet)
+    byDoc.foreach { case (doc, ss) =>
+      assert(ss.map(_._5).sum == unitsOf(doc), s"doc $doc unit coverage")
+      assert(ss.count(_._6) == 1, s"doc $doc head count")
+      assert(ss.forall(_._4 == unitsOf(doc)))
+    }
+    // every pack except each source's last holds exactly 1024 units
+    val bySrcPack = spans.groupBy(s => (s._1, s._2)).view.mapValues(_.map(_._5).sum)
+    val lastPack = spans.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    bySrcPack.foreach { case ((src, pid), tot) =>
+      if (pid < lastPack(src)) assert(tot == 1024L, s"$src pack $pid holds $tot")
+      else assert(tot <= 1024L)
+    }
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
