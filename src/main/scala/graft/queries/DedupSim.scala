@@ -18,7 +18,7 @@ import graft.sources.Tables
 object DedupSim {
 
   private val MinhashK = 32
-  private val LshBands = 8
+  private[queries] val LshBands = 8
   private val SimhashSeed = 100 // seed base for the 64 SimHash bit planes
   private val SimhashMaxHamming = 8 // near-dup threshold for q37
   private val AnnPlanes = 12
@@ -364,23 +364,44 @@ object DedupSim {
     * only (one row per new doc). Emits every new doc with match id,
     * band count, verified jaccard and the near-dup verdict.
     */
-  def q101IncNearDup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableStringHash.strHash
-    val docs = Tables.documents(s, dir)
+  /** The q101/q112 closed-form "newly arriving shard" over any
+    * `(doc_id, text)` frame: every doc_id%3==0 document returns with an
+    * 'update:' prefix (a near-dup that is NOT an exact dup), the rest
+    * are fresh content with a disjoint token vocabulary. SHARED by the
+    * batch probe (q101) and the streaming probe (q112) so the two
+    * engines ingest byte-identical shards.
+    */
+  private[queries] def newShardOf(docs: DataFrame): DataFrame = {
     val newText = when(col("doc_id") % 3 === 0, concat(lit("update: "), col("text")))
       .otherwise(concat(lit("zz"), col("doc_id"), lit("a zz"),
         col("doc_id"), lit("b zz"), col("doc_id"), lit("c")))
-    val hist = docs.select(col("doc_id"), col("text"))
-    val nw = docs.select((col("doc_id") + NearDupOffset).as("doc_id"), newText.as("text"))
-    val all = hist.unionByName(nw)
-    val toks = all
+    docs.select((col("doc_id") + NearDupOffset).as("doc_id"), newText.as("text"))
+  }
+
+  /** Open-vocab band-signature vectors of a `(doc_id, text)` frame —
+    * tokenize, hash, [[minhashBandVecs]]. The historical band INDEX the
+    * incremental probes (q101 batch, q112 streaming) run against.
+    */
+  private[queries] def bandVecsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    minhashBandVecs(docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val bvecs = minhashBandVecs(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
-    val cand = bandBlockBest(s, bvecs, NearDupOffset)
-    val wTop = Window.partitionBy(col("doc_b")).orderBy(col("n_buckets").desc, col("doc_a"))
-    val best = cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col("doc_a").as("match_id"), col("doc_b").as("new_id"), col("n_buckets"))
+      .select(col("doc_id"), strHash(col("tok")).as("v")))
+  }
+
+  /** The incremental-probe verification tail over a best-candidate frame
+    * `(match_id, new_id, n_buckets)`: exact token-set Jaccard of the one
+    * best pair per new doc, then the complete new-shard census (LEFT
+    * join — unmatched fresh docs emit -1/0/0.0/false). SHARED by q101
+    * and q112 so the batch and streaming probes produce the identical
+    * contract and hash against the identical oracle.
+    */
+  private[queries] def incProbeTail(s: SparkSession, dir: String,
+      best: DataFrame): DataFrame = {
+    val hist = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nw = newShardOf(hist)
+    val all = hist.unionByName(nw)
     val tsets = all.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
     val inter = size(array_intersect(col("ts_b"), col("ts_a"))).cast("double")
     val verified = best
@@ -398,6 +419,63 @@ object DedupSim {
         (coalesce(col("jaccard"), lit(0.0)) >= VerifyThreshold).as("is_near_dup"))
       .orderBy(col("new_id"))
   }
+
+  def q101IncNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bvecs = bandVecsOf(hist.unionByName(newShardOf(hist)))
+    val cand = bandBlockBest(s, bvecs, NearDupOffset)
+    val wTop = Window.partitionBy(col("doc_b")).orderBy(col("n_buckets").desc, col("doc_a"))
+    val best = cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_a").as("match_id"), col("doc_b").as("new_id"), col("n_buckets"))
+    incProbeTail(s, dir, best)
+  }
+
+  /** The historical band INDEX as long rows, each still carrying the
+    * full signature — what q112's stream-static join probes.
+    */
+  private[queries] def histBandRows(s: SparkSession, dir: String): DataFrame =
+    bandsOf(bandVecsOf(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+
+  /** Scalar twin of [[bandVecsOf]] for the STREAMING probe's stateless
+    * per-document projection: bit-identical band hashes
+    * (`hashString` IS the codegen kernel, `mixLong` is mix's scalar
+    * twin, and the band fold repeats [[minhashBandVecs]]'s arithmetic
+    * term for term — products first, one trailing mod). Empty token
+    * sets return an empty vector (the batch side's length filter drops
+    * them before the signature aggregate the same way).
+    */
+  private[queries] def bandVectorOf(text: String): Array[Long] = {
+    import graft.functions.{PortableHash, PortableStringHash}
+    val raw = if (text == null) "" else text
+    // SQL-trim semantics: strip ' ' only (Java trim strips <= U+0020)
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val toks = raw.substring(lo, hi).split("\\s+").filter(_.nonEmpty).distinct
+    if (toks.isEmpty) return Array.empty
+    val mins = Array.fill(MinhashK)(Long.MaxValue)
+    toks.foreach { t =>
+      val h = PortableStringHash.hashString(t)
+      var k = 0
+      while (k < MinhashK) {
+        val m = PortableHash.mixLong(h, k)
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+    }
+    val r = MinhashK / LshBands
+    Array.tabulate(LshBands) { b =>
+      var acc = 0L
+      BandWeights.zipWithIndex.foreach { case (w, i) => acc += mins(b * r + i) * w }
+      (acc + b) % PortableHash.P
+    }
+  }
+
+  /** q101's oracle SQL, shared verbatim by the streaming probe (q112) —
+    * the batch and streaming runs must agree row for row, cross-engine.
+    */
+  private[queries] def incNearDupOracle: String = incNearDupSql
 
   private val SplitOffset = 1L << 61 // above any doc id (see NearDupOffset)
 
@@ -756,6 +834,32 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source near-dup rate report (q113): the q41 component labels
+    * rolled up per source — how much of each feed is near-duplicate
+    * mass, and how many distinct components it contributes to. The
+    * per-feed health dashboard a corpus assembly watches alongside
+    * q109's distribution drift (a feed whose dup_rate jumps is
+    * re-serving old content; q107 is the exact-fingerprint view, this
+    * is the transitive NEAR-dup view).
+    *
+    * Scale shape: the component labeling is q41's (bipartite min-label
+    * propagation, linear per round); the rollup is one doc-keyed join
+    * to attach `source` and one source-keyed aggregate. dup_rate is
+    * fixed to 6 decimals over exact longs, engine-portable.
+    */
+  def q113SourceDedupRate(s: SparkSession, dir: String): DataFrame = {
+    val comp = docComponents(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(comp, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_dup"), 1)).as("n_dups"),
+        countDistinct(col("component_id")).as("n_components"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Min-label propagation to a fixpoint over a bipartite membership
     * frame `(doc_id, bucket)` → `(doc_id, component_id, is_dup)`.
     * Round 0 is folded into initialization: `round(identity)` is just
@@ -865,6 +969,20 @@ object DedupSim {
     s"""WITH ${dedupComponentsCtes}
        SELECT doc_id, label AS component_id, label < doc_id AS is_dup
        FROM l$CcOracleRounds ORDER BY doc_id"""
+
+  private def sourceDedupRateSql: String =
+    s"""WITH ${dedupComponentsCtes},
+       comp AS (SELECT doc_id, label AS component_id, label < doc_id AS is_dup
+                FROM l$CcOracleRounds),
+       j AS (SELECT d.source, c.component_id, c.is_dup
+             FROM documents d JOIN comp c USING (doc_id))
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_dups,
+              CAST(count(DISTINCT component_id) AS BIGINT) AS n_components,
+              round(CAST(count(CASE WHEN is_dup THEN 1 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+       FROM j GROUP BY 1 ORDER BY 1"""
 
   private def dedupMaterializeSql: String =
     s"""WITH ${dedupComponentsCtes},
@@ -1780,6 +1898,7 @@ object DedupSim {
     "q99_bloom_dedup" -> (q99BloomDedup _),
     "q101_inc_neardup" -> (q101IncNearDup _),
     "q103_split_leakage" -> (q103SplitLeakage _),
+    "q113_source_dedup_rate" -> (q113SourceDedupRate _),
     "q25_jaccard" -> (q25Jaccard _),
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -1968,6 +2087,7 @@ object DedupSim {
     "q91_lsh_verify" -> lshVerifySql,
     "q41_dedup_components" -> dedupComponentsSql,
     "q56_dedup_materialize" -> dedupMaterializeSql,
+    "q113_source_dedup_rate" -> sourceDedupRateSql,
     "q40_ngram_jaccard" -> ngramJaccardSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,

@@ -295,7 +295,69 @@ object StreamGate {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming incremental NEAR-DUP probe (q112): q101 executed at
+    * ingest — arriving documents probe the historical corpus's MinHash
+    * band index as they stream in. The q101 pipeline splits cleanly
+    * into the streaming-legal shape: (1) a STATELESS typed projection
+    * computes each arriving doc's full band signature in one pass
+    * ([[DedupSim.bandVectorOf]], bit-identical to the batch
+    * signatures); (2) a stream-STATIC equi-join on the bucket key
+    * probes the persisted index (the static side is exactly what a
+    * q39 batch run materializes — an ingest pipeline broadcasts it to
+    * stream workers); (3) ONE streaming aggregation folds the best
+    * candidate per new doc — max(struct(shared, -match_id)) replays
+    * the (n_buckets desc, match_id asc) rule, and a pair surfacing in
+    * several buckets is harmless under max. Exact-Jaccard
+    * verification runs batch on the sink (one pair per new doc),
+    * through the SAME tail as q101 — the oracle is q101's verbatim,
+    * so the hash proves batch/stream agreement cross-engine.
+    * Update-mode single-batch caveat = q70/q82's.
+    */
+  def q112StreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = DedupSim.newShardOf(
+      graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(col("doc_id"), col("text")))
+    val streamBands = stream.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bv = DedupSim.bandVectorOf(text)
+        bv.indices.map(b => (id, b.toLong, bv(b), bv.toSeq))
+      }.toDF("new_id", "band_idx", "band_hash", "bvec_new")
+      // spread the probe across tasks: the arriving shard is one file —
+      // without this the whole broadcast-join candidate mass (dominated
+      // by mega buckets) funnels through the file's few input tasks
+      // (measured single-core). One stateless shuffle of the SHARD's
+      // band rows (shard-sized, not corpus-sized); keying by new_id
+      // spreads even a single mega bucket, since its candidates belong
+      // to many new docs
+      .repartition(col("new_id"))
+    val hist = DedupSim.histBandRows(s, dir)
+      .select(col("doc_id").as("match_id"), col("band_idx"), col("band_hash"),
+        col("bvec").as("bvec_hist"))
+    // shared-band count as 8 codegen'd element comparisons — the
+    // zip_with/filter HOF formulation runs interpreted per candidate
+    // row and was measured 3x slower on the dense-candidate corpus
+    val shared = (0 until DedupSim.LshBands)
+      .map(b => when(col("bvec_new")(b) === col("bvec_hist")(b), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val cand = streamBands.join(hist, Seq("band_idx", "band_hash"))
+      .withColumn("shared", shared)
+    val agg = cand.groupBy(col("new_id"))
+      .agg(max(struct(col("shared").as("sh"), (-col("match_id")).as("neg"))).as("best"))
+    val sink = "q112_sink"
+    s.catalog.dropTempView(sink)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val best = s.table(sink).select(
+      (-col("best.neg")).as("match_id"), col("new_id"), col("best.sh").as("n_buckets"))
+    DedupSim.incProbeTail(s, dir, best)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_stream_neardup" -> (q112StreamNearDup _),
     "q106_stream_sessions" -> (q106StreamSessions _),
     "q58_stream_window" -> (q58StreamWindow _),
     "q92_stream_quality" -> (q92StreamQuality _),
@@ -355,5 +417,8 @@ object StreamGate {
     // same oracle as q80, verbatim
     "q92_stream_quality" -> Curation.oracleSql("q80_quality_gate"),
     "q102_stream_bloom" -> DedupSim.bloomDedupOracle,
+    // the streaming probe must reproduce the batch probe EXACTLY -
+    // q101's oracle verbatim
+    "q112_stream_neardup" -> DedupSim.incNearDupOracle,
   )
 }

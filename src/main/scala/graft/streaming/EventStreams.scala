@@ -177,11 +177,24 @@ object EventStreams {
     * batch/streaming drift that silently dropped queries in r7.
     */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    // same layout handling as readEvents: a directory-shaped
+    // documents.parquet (distributed-writer output, ScaleStress
+    // replicas) is streamed directly; the single-file testdata layout
+    // goes through the scoping glob
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tablePath = new org.apache.hadoop.fs.Path(hPath, "documents.parquet")
+    val tableIsDir = fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory
+    val (srcDir, glob) =
+      if (tableIsDir) (tablePath.toString, None)
+      else (dir, Some("documents.parquet"))
+    val batchReader = spark.read
+    val raw = glob.fold(batchReader)(g => batchReader.option("pathGlobFilter", g))
+      .parquet(srcDir).schema
+    val streamReader = spark.readStream.schema(raw)
     graft.sources.Tables.pinDocumentTypes(
-      spark.readStream.schema(raw)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir))
+      glob.fold(streamReader)(g => streamReader.option("pathGlobFilter", g))
+        .parquet(srcDir))
   }
 
   case class PackSpan(source: String, pack_id: Long, doc_id: Long, n_tok: Long,

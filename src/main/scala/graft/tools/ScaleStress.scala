@@ -82,7 +82,8 @@ object ScaleStress {
       "q100_corpus_shuffle", "q101_inc_neardup", "q103_split_leakage",
       "q104_tfidf", "q105_line_dedup", "q106_stream_sessions",
       "q107_dup_provenance", "q108_length_percentiles",
-      "q109_source_divergence", "q110_rolling", "q111_tokenize_pack")
+      "q109_source_divergence", "q110_rolling", "q111_tokenize_pack",
+      "q112_stream_neardup", "q113_source_dedup_rate")
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {

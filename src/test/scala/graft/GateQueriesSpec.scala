@@ -606,6 +606,37 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q113: per-source dedup rates replay from the q41 labels") {
+    val out = graft.queries.DedupSim.q113SourceDedupRate(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val labels = graft.queries.DedupSim.q41DedupComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val srcOf = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = srcOf.groupBy(_._2).map { case (src, docs) =>
+      // keys is a Set — convert BEFORE mapping, or equal label tuples dedup
+      val ls = docs.keys.toSeq.map(labels)
+      val nDups = ls.count(_._2).toLong
+      src -> (docs.size.toLong, nDups, ls.map(_._1).toSet.size.toLong,
+        BigDecimal(nDups.toDouble / docs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out == expected)
+    // the corpus is dup-dense: some source must carry near-dup mass
+    assert(out.values.exists(_._2 > 0))
+  }
+
+  test("q112: the streaming near-dup probe equals the batch q101 row set") {
+    val batch = graft.queries.DedupSim.q101IncNearDup(spark, Sf).collect()
+      .map(_.toSeq).toSet
+    val stream = graft.queries.StreamGate.q112StreamNearDup(spark, Sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream == batch, "stream/batch divergence in the near-dup probe")
+    assert(batch.nonEmpty)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
