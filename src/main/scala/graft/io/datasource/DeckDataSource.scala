@@ -76,7 +76,7 @@ object DeckScan {
     * `paths` option (Spark's DataFrameReader encoding); single-path load
     * and comma-joined strings arrive plain.
     */
-  private[datasource] def splitPaths(raw: String): Seq[String] = {
+  private[graft] def splitPaths(raw: String): Seq[String] = {
     val t = raw.trim
     // a JSON paths array is ["..."] — requiring the quote right after the
     // bracket keeps legal bracket GLOBS like [0-9]*/deck.DATA out of this
@@ -94,7 +94,7 @@ object DeckScan {
     * file passes through. Deterministic (sorted) so partition numbering
     * is stable across runs.
     */
-  private[datasource] def expand(p: String, lenient: Boolean = false): Seq[String] = {
+  private[graft] def expand(p: String, lenient: Boolean = false): Seq[String] = {
     import java.nio.file.{Files, Path, Paths}
     def isGlob(s: String) = s.exists("*?[".contains(_))
     def listMatching(dir: Path, pattern: String): Vector[Path] = {

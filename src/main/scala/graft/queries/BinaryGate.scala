@@ -147,6 +147,37 @@ object BinaryGate {
       .orderBy(col("vector"), col("date"))
   }
 
+  private val FleetCases = 4
+
+  /** q114: the summary FLEET read (S6 at ensemble scale) under the gate —
+    * [[graft.write.SummaryWriter.corpusFromPath]] reads every case
+    * matching a glob in ONE distributed plan (one task per case, SMSPEC
+    * catalog + PARAMS decode executor-side), the ensemble layout the
+    * reservoir side's deck fleets already have. Four closed-form cases
+    * with a case-dependent dyadic formula (float32-exact), case
+    * identity recovered from the CASE path — the hash proves per-case
+    * decode state never leaks across cases.
+    */
+  def q114SummaryFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = fixtureDir("q114")
+    (0 until FleetCases).foreach { c =>
+      val rows = for {
+        (v, vi) <- SumVectors.zipWithIndex
+        d <- 0 until SumDays
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
+    }
+    graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
   private val RstCases = 4
   private val RstSteps = 3
   private val RstNactive = 500
@@ -254,6 +285,7 @@ object BinaryGate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
+    "q114_summary_fleet" -> (q114SummaryFleet _),
     "q62_unrst_binary" -> (q62UnrstBinary _),
     "q63_rft_binary" -> (q63RftBinary _),
     "q66_nnc_binary" -> (q66NncBinary _),
@@ -285,6 +317,16 @@ object BinaryGate {
                 CAST((g + 5 * c) % 64 AS DOUBLE) / 64 AS poro,
                 CAST((7 * g + c) % 1000 AS DOUBLE) AS permx
          FROM idx ORDER BY case_id, global_index""",
+    "q114_summary_fleet" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+         v AS (
+           SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
+                  unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+         d AS (SELECT unnest(range($SumDays)) AS day)
+         SELECT CAST(case_id AS INT) AS case_id, vector,
+                CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
+                1000.0 * vi + day + 7.0 * case_id + CAST(day % 32 AS DOUBLE) / 32 AS value
+         FROM c CROSS JOIN v CROSS JOIN d ORDER BY case_id, vector, date""",
     "q60_summary_binary" ->
       s"""WITH v AS (
            SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,

@@ -185,6 +185,45 @@ object SummaryWriter {
       .filter(_.nonEmpty)
   }
 
+  /** FLEET read: every summary case matching the glob pattern(s) in ONE
+    * distributed plan — one task per case, the whole SMSPEC catalog +
+    * UNSMRY PARAMS decode EXECUTOR-side (the readers are plain
+    * java.io over the shared filesystem an ensemble layout lives on;
+    * [[read]]'s driver-streamed form remains for the single-case CLI
+    * path). Patterns address the `.UNSMRY` files —
+    * realizations/&#42;/CASE.UNSMRY, same glob dialect as the
+    * eclipse-deck source; output is the long form with the case base
+    * path as `CASE` — every downstream state operator keys on it
+    * exactly like `deckId` in the deck fleet. A 1000-realization
+    * ensemble runs as ~1000 independent tasks with no driver loop and
+    * no shuffle before the per-case frames.
+    */
+  def corpusFromPath(spark: SparkSession, patterns: String*): DataFrame = {
+    import graft.io.datasource.DeckScan
+    val bases = patterns
+      .flatMap(p => DeckScan.splitPaths(p))
+      .flatMap(p => DeckScan.expand(p))
+      .filter(_.toUpperCase.endsWith(".UNSMRY"))
+      .map(_.dropRight(".UNSMRY".length))
+      .distinct.sorted
+    require(bases.nonEmpty, s"no .UNSMRY files match ${patterns.mkString(", ")}")
+    import spark.implicits._
+    val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
+    spark.createDataset(bases).repartition(par)
+      .flatMap { base =>
+        val (vectors, timeIdx, start) = specCatalog(base)
+        graft.io.EclKw.stream(s"$base.UNSMRY", (n, _, _) => n == "PARAMS") { it =>
+          it.zipWithIndex.flatMap { case (kw, step) =>
+            val vals = kw.floats
+            val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
+            vals.indices.filter(_ != timeIdx).map(i =>
+              (base, date, vectors(i), vals(i).toDouble, step))
+          }.toVector
+        }
+      }
+      .toDF("CASE", "DATE", "VECTOR", "VALUE", "STEP")
+  }
+
   def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
     val (vectors, timeIdx, start) = specCatalog(basePath)
     // STREAM one PARAMS record at a time (not EclKw.read's whole-file

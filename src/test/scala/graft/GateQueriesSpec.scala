@@ -628,6 +628,23 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.values.exists(_._2 > 0))
   }
 
+  test("q114: the fleet summary read equals the per-case driver-streamed reads") {
+    // build the q114 fixtures + run the distributed fleet read
+    val fleet = graft.queries.BinaryGate.q114SummaryFleet(spark, Sf).collect()
+      .map(_.toSeq).toSet
+    // the single-case reader (driver-streamed) must see the same rows
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", "q114").toString
+    val perCase = (0 until 4).flatMap { c =>
+      graft.write.SummaryWriter.read(spark, s"$tmp/CASE$c")
+        .filter(col("VECTOR") =!= "TIME")
+        .select(lit(c).as("case_id"), col("VECTOR").as("vector"),
+          col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+        .collect().map(_.toSeq)
+    }.toSet
+    assert(fleet == perCase && fleet.nonEmpty)
+  }
+
   test("q112: the streaming near-dup probe equals the batch q101 row set") {
     val batch = graft.queries.DedupSim.q101IncNearDup(spark, Sf).collect()
       .map(_.toSeq).toSet
