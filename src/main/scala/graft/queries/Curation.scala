@@ -319,7 +319,58 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  private val BudgetTok = 800L // per-source token quota
+
+  /** Budget-capped quality curation (q115): fill each source's fixed
+    * token quota with its best documents — rank by quality (ties by
+    * doc_id), admit documents while the RUNNING token total stays
+    * within [[BudgetTok]], skip any document that would overflow, and
+    * keep admitting smaller ones (first-fit by rank, the shape a
+    * token-budgeted mixture build actually uses: "give me the best N
+    * tokens per source", not "the best N documents").
+    *
+    * Scale shape: one narrow projection for tokens/quality, ONE
+    * exchange on source, and a per-source running-sum window — the
+    * admit/skip decision needs the running total of ADMITTED tokens,
+    * which is the classic first-fit prefix recurrence; it is expressed
+    * as a bounded per-source aggregate over the ranked list (sources
+    * are the parallel unit, exactly like the q77 packing shard). The
+    * recurrence is order-deterministic, so the DuckDB oracle replays
+    * it with a recursive CTE over the same rank order.
+    */
+  def q115TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("rank_in_source", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+    // first-fit admission per source: fold the ranked list in order,
+    // carrying the admitted-token total. Executed as ONE per-source
+    // aggregate over collect_list(sorted) — per-source state is that
+    // source's own (rank, n_tok) pairs, the same bounded-group contract
+    // as the q77 packer and the reassembly in q105.
+    val admitted = ranked
+      .groupBy(col("source"))
+      .agg(expr(
+        s"""aggregate(
+              array_sort(collect_list(struct(rank_in_source, doc_id, n_tok))),
+              struct(CAST(0 AS BIGINT) AS tot, CAST(array() AS ARRAY<BIGINT>) AS ids),
+              (acc, x) -> IF(acc.tot + x.n_tok <= $BudgetTok,
+                             struct(acc.tot + x.n_tok AS tot,
+                                    array_append(acc.ids, x.doc_id) AS ids),
+                             acc),
+              acc -> acc.ids)""").as("kept_ids"))
+      .select(col("source"), explode(col("kept_ids")).as("doc_id"))
+    ranked.join(admitted, Seq("source", "doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        round(col("quality"), 6).as("quality"), col("rank_in_source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_token_budget" -> (q115TokenBudget _),
     "q108_length_percentiles" -> (q108LengthPercentiles _),
     "q109_source_divergence" -> (q109SourceDivergence _),
     "q107_dup_provenance" -> (q107DupProvenance _),
@@ -334,6 +385,36 @@ object Curation {
   private val enList = sqlList(EnStop)
 
   val oracleSql: Map[String, String] = Map(
+    // first-fit admission replayed as a recursive CTE walking each
+    // source's rank order with the admitted-token total as state
+    "q115_token_budget" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, source, text,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+          m AS (SELECT doc_id, source,
+                       CAST(len(toks) AS BIGINT) AS n_tok,
+                       ${TextAnalytics.qualitySql("text")} AS quality
+                FROM t),
+          ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY quality DESC, doc_id) AS INTEGER)
+                          AS rank_in_source
+                     FROM m),
+          walk AS (
+            SELECT source, rank_in_source, doc_id, n_tok, quality,
+                   CASE WHEN n_tok <= $BudgetTok THEN n_tok
+                        ELSE CAST(0 AS BIGINT) END AS tot,
+                   n_tok <= $BudgetTok AS kept
+            FROM ranked WHERE rank_in_source = 1
+            UNION ALL
+            SELECT x.source, x.rank_in_source, x.doc_id, x.n_tok, x.quality,
+                   CASE WHEN w.tot + x.n_tok <= $BudgetTok THEN w.tot + x.n_tok
+                        ELSE w.tot END,
+                   w.tot + x.n_tok <= $BudgetTok
+            FROM walk w JOIN ranked x
+              ON x.source = w.source AND x.rank_in_source = w.rank_in_source + 1)
+          SELECT doc_id, source, n_tok, quality, rank_in_source
+          FROM walk WHERE kept ORDER BY doc_id""",
     "q108_length_percentiles" ->
       """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
                     FROM documents GROUP BY 1, 2),

@@ -481,7 +481,7 @@ object TextAnalytics {
     * — ONE definition for the q57 and q67 oracles (the Spark side has
     * the single `qualityScore` helper; this is its SQL twin, same
     * pattern as PortableStringHash.strHashCtes). */
-  private def qualitySql(textCol: String): String =
+  private[queries] def qualitySql(textCol: String): String =
     s"""round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
                       + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE)
                                / CAST(len(toks) AS DOUBLE))

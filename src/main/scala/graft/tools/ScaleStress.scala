@@ -83,7 +83,7 @@ object ScaleStress {
       "q104_tfidf", "q105_line_dedup", "q106_stream_sessions",
       "q107_dup_provenance", "q108_length_percentiles",
       "q109_source_divergence", "q110_rolling", "q111_tokenize_pack",
-      "q112_stream_neardup", "q113_source_dedup_rate")
+      "q112_stream_neardup", "q113_source_dedup_rate", "q115_token_budget")
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {

@@ -628,6 +628,32 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.values.exists(_._2 > 0))
   }
 
+  test("q115: budget admission is first-fit by rank and never overflows") {
+    val out = graft.queries.Curation.q115TokenBudget(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    val bySrc = out.groupBy(_._2)
+    // per source: admitted tokens within budget
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= 800L, s"$src over budget")
+    }
+    // replay first-fit over the FULL ranked list: build ranks from the
+    // corpus, walk in order, compare the admitted set exactly
+    val docs = graft.sources.Tables.documents(spark, Sf).collect()
+    val qOf = graft.queries.TextAnalytics.q22Quality(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expected = docs.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").count(_.nonEmpty).toLong))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val ranked = rows.sortBy(d => (-qOf(d._1), d._1))
+        var tot = 0L
+        ranked.toSeq.flatMap { d =>
+          if (tot + d._3 <= 800L) { tot += d._3; Some(d._1) } else None
+        }
+      }.toSet
+    assert(out.map(_._1).toSet == expected)
+  }
+
   test("q114: the fleet summary read equals the per-case driver-streamed reads") {
     // build the q114 fixtures + run the distributed fleet read
     val fleet = graft.queries.BinaryGate.q114SummaryFleet(spark, Sf).collect()
