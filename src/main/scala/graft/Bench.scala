@@ -69,8 +69,14 @@ object Bench {
     val qsFull = ordered.map { case (name, _) =>
       "\"" + name + "\":" + fullSweep(name) }.mkString("{", ",", "}")
     val totalFull = fullSweep.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""total_full":$totalFull,"queries_full":$qsFull,"sf":"$sfDir"}""")
+    // Field ORDER is load-bearing: the driver's artifact capture keeps
+    // only the TAIL of this (long) line, so the auxiliary full-plan
+    // sweep goes FIRST and the primary count-metric totals + per-query
+    // map go LAST — truncation then drops the auxiliary data, never the
+    // round-over-round comparable numbers (round-8 artifact lost its
+    // primary metric to the opposite ordering).
+    println(s"""{"metric":"total","total_full":$totalFull,"queries_full":$qsFull,""" +
+      s""""queries":$qs,"value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1857,6 +1857,16 @@ object DedupSim {
     * and dequantization is ONE IEEE division of exact operands, so the
     * ordering (ties broken by id) is identical on every engine — a
     * guarantee float accumulation order can't give.
+    *
+    * The HASHED output carries no IEEE-rounded column: the score is
+    * published as exact fixed-point `score_fp = ⌊score_raw·10⁶⌋` (a
+    * BIGINT — IEEE ÷ and × of exact operands are correctly-rounded and
+    * thus engine-identical, and floor has no half-way mode), because
+    * decimal `round(double, 6)` half-way behavior is an engine/build
+    * detail (round-half-even vs half-away) that a gate contract must
+    * not depend on. `dot_q` is likewise pinned to BIGINT on the oracle
+    * side — DuckDB widens sum(BIGINT) to HUGEINT, a representation the
+    * hasher may render differently.
     */
   def q65QuantAnn(s: SparkSession, dir: String): DataFrame = {
     // all-zero vectors are excluded EXPLICITLY on both sides: 127/0 is
@@ -1884,7 +1894,7 @@ object DedupSim {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), col("dot_q"),
-        round(col("score_raw"), 6).as("score"))
+        floor(col("score_raw") * lit(1e6)).cast("long").as("score_fp"))
       .orderBy(col("qid"), col("rn"))
   }
 
@@ -2133,8 +2143,8 @@ object DedupSim {
                WHERE b.vec_id <> q.vec_id GROUP BY 1, 2),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY score_raw DESC, nid) AS BIGINT) AS rn FROM d)
-         SELECT qid, rn, nid AS neighbor_id, dot_q,
-                round(score_raw, 6) AS score
+         SELECT qid, rn, nid AS neighbor_id, CAST(dot_q AS BIGINT) AS dot_q,
+                CAST(floor(score_raw * 1e6) AS BIGINT) AS score_fp
          FROM r WHERE rn <= 3 ORDER BY qid, rn""",
     "q29_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
