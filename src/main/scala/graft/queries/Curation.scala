@@ -329,14 +329,36 @@ object Curation {
     * token-budgeted mixture build actually uses: "give me the best N
     * tokens per source", not "the best N documents").
     *
-    * Scale shape: one narrow projection for tokens/quality, ONE
-    * exchange on source, and a per-source running-sum window — the
-    * admit/skip decision needs the running total of ADMITTED tokens,
-    * which is the classic first-fit prefix recurrence; it is expressed
-    * as a bounded per-source aggregate over the ranked list (sources
-    * are the parallel unit, exactly like the q77 packing shard). The
-    * recurrence is order-deterministic, so the DuckDB oracle replays
-    * it with a recursive CTE over the same rank order.
+    * Scale shape: the first-fit recurrence looks sequential per
+    * source, but it does NOT need the whole source in one task's
+    * memory (a CommonCrawl-shaped mixture is 80%+ one source — any
+    * per-source `collect_list` is billions of structs in one buffer
+    * at 100 TB). Two observations make it distributed:
+    *
+    *   1. **No-skip prefix**: while the RAW running token sum stays
+    *      ≤ budget, no document has been skipped, so first-fit admits
+    *      exactly that prefix — one per-source window cumsum, fully
+    *      distributed (phase 1).
+    *   2. **Capacity-monotone refinement**: remaining capacity only
+    *      shrinks, so any later candidate with `n_tok > rem` is
+    *      skipped PERMANENTLY and can be dropped by a distributed
+    *      filter. Among the survivors (all individually fit), the
+    *      prefix whose cumsum fits is admitted verbatim — first-fit
+    *      never skips inside it. Repeat. Each pass admits ≥1 doc per
+    *      still-active source (the head survivor always fits), so
+    *      passes ≤ per-source budget in tokens and in practice O(log):
+    *      the boundary region shrinks geometrically. Driver state per
+    *      pass is one count; per-task state is one window partition
+    *      slice, never a whole source.
+    *
+    * Task MEMORY is bounded in both phases: ranking/cumsum are window
+    * sorts (ExternalSorter spills), never aggregation buffers. A 90%
+    * single-source corpus therefore cannot OOM a task (ScaleStress
+    * `q115_skew` row: ×10 with 90% one source, ratio 1.8). Throughput
+    * under extreme skew (one source = one window partition's sort) has
+    * a further known path — q100's bounded-bucket offset composition
+    * (rank = per-bucket offset + within-bucket row_number) applied per
+    * source on quality-range sub-buckets — not needed at gate scale.
     */
   def q115TokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -346,24 +368,32 @@ object Curation {
       .withColumn("rank_in_source", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("quality").desc, col("doc_id").asc)))
-    // first-fit admission per source: fold the ranked list in order,
-    // carrying the admitted-token total. Executed as ONE per-source
-    // aggregate over collect_list(sorted) — per-source state is that
-    // source's own (rank, n_tok) pairs, the same bounded-group contract
-    // as the q77 packer and the reassembly in q105.
-    val admitted = ranked
-      .groupBy(col("source"))
-      .agg(expr(
-        s"""aggregate(
-              array_sort(collect_list(struct(rank_in_source, doc_id, n_tok))),
-              struct(CAST(0 AS BIGINT) AS tot, CAST(array() AS ARRAY<BIGINT>) AS ids),
-              (acc, x) -> IF(acc.tot + x.n_tok <= $BudgetTok,
-                             struct(acc.tot + x.n_tok AS tot,
-                                    array_append(acc.ids, x.doc_id) AS ids),
-                             acc),
-              acc -> acc.ids)""").as("kept_ids"))
-      .select(col("source"), explode(col("kept_ids")).as("doc_id"))
-    ranked.join(admitted, Seq("source", "doc_id"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("rank_in_source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phase 1: the no-skip prefix — raw running sum ≤ budget ⟹ admitted
+    val base = ranked.withColumn("cum", sum(col("n_tok")).over(wCum))
+    var admitted = base.filter(col("cum") <= BudgetTok)
+      .select(col("source"), col("doc_id"), col("n_tok")).localCheckpoint(true)
+    var cand = base.filter(col("cum") > BudgetTok)
+      .select(col("source"), col("rank_in_source"), col("doc_id"), col("n_tok"))
+      .localCheckpoint(true)
+    // phase 2: bounded-pass boundary refinement (observation 2 above)
+    while (!cand.isEmpty) {
+      // used-tokens per source is one row per source — broadcast side
+      val cap = admitted.groupBy(col("source")).agg(sum(col("n_tok")).as("used"))
+      val c = cand.join(broadcast(cap), Seq("source"), "left")
+        .withColumn("rem", lit(BudgetTok) - coalesce(col("used"), lit(0L)))
+        .filter(col("n_tok") <= col("rem")) // n_tok > rem: skipped forever
+        .withColumn("cum", sum(col("n_tok")).over(wCum))
+        .localCheckpoint(true)
+      admitted = admitted.union(
+        c.filter(col("cum") <= col("rem"))
+          .select(col("source"), col("doc_id"), col("n_tok"))).localCheckpoint(true)
+      cand = c.filter(col("cum") > col("rem"))
+        .select(col("source"), col("rank_in_source"), col("doc_id"), col("n_tok"))
+        .localCheckpoint(true)
+    }
+    ranked.join(admitted.select(col("source"), col("doc_id")), Seq("source", "doc_id"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         round(col("quality"), 6).as("quality"), col("rank_in_source"))
       .orderBy(col("doc_id"))

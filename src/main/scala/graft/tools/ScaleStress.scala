@@ -101,6 +101,35 @@ object ScaleStress {
       println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
     }
 
+    // q115 under organic source skew: one source holding 90% of a ×N
+    // corpus — the exact shape that OOMs a per-source collect_list
+    // (a CommonCrawl-style mixture). The bounded-pass first-fit must
+    // hold task memory constant: only window partition slices, never a
+    // whole source, regardless of the 90% source.
+    if (only.isEmpty || only.exists("q115_skew".contains)) {
+      val skewDst = s"/tmp/graft-sfx$factor-skew"
+      if (!new java.io.File(s"$skewDst/documents.parquet").exists()) {
+        println(s"-- materializing $skewDst (factor $factor, 90% one source)")
+        replicate(graft.sources.Tables.documents(spark, src), factor, Seq("doc_id"))
+          .withColumn("source",
+            when(pmod(col("doc_id"), lit(10)) < 9, lit("megacrawl"))
+              .otherwise(col("source")))
+          .write.mode("overwrite").parquet(s"$skewDst/documents.parquet")
+      }
+      val fn = graft.SparkEntry.queries("q115_token_budget")
+      def timeSkew(dir: String): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, dir).count() catch { case e: Throwable => println(s"q115_skew@$dir: $e"); -1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
+      }
+      val sBase = Seq(timeSkew(src), timeSkew(src)).min
+      val sBig = Seq(timeSkew(skewDst), timeSkew(skewDst)).min
+      println(f"SCALE q115_skew base=${sBase}%.2fs x${factor}skew=${sBig}%.2fs ratio=${sBig / sBase}%.1f")
+    }
+
     if (only.nonEmpty) { spark.stop(); return } // filtered run: tables only
 
     // per-deck window scaling: the Schedule clock over a many-deck corpus
