@@ -1550,41 +1550,79 @@ object DedupSim {
     * deterministic representative (min id).
     *
     * Scale shape: clustering bounds the quadratic — pairwise work is
-    * Σ|cluster|², never n², and each cluster's upper triangle runs as
-    * ONE task over its collected members (the q29 block kernel applied
-    * per cluster). At 100 TB the cluster count k rises with the corpus
-    * so a cluster stays task-sized; an oversized cluster composes with
-    * q29's block-pair split. Emits every vector with its cluster,
-    * earlier-neighbor count, max similarity and kept flag, so the dedup
-    * itself is a `kept` filter downstream.
+    * Σ|cluster|², never n² — and no task ever holds a whole cluster:
+    * the within-cluster upper triangle is BLOCK-PARTITIONED exactly
+    * like q91's bucket kernel. Members rank by vec_id into
+    * [[VerifyBlockSz]]-sized blocks, a cluster with B blocks fans out
+    * to B(B+1)/2 independent (ba ≤ bb) kernel tasks, and each task's
+    * state is ≤ 2·[[VerifyBlockSz]] vectors. K-means routinely
+    * produces one mega-cluster on real data; under this kernel a
+    * mega-cluster is many bounded tasks, not one task's collect_list.
+    * Blocks are vec_id-ordered, so cross-block tasks emit id_a < id_b
+    * by construction and every pair is evaluated exactly once. Emits
+    * every vector with its cluster, earlier-neighbor count, max
+    * similarity and kept flag, so the dedup itself is a `kept` filter
+    * downstream.
     */
-  def q96SemDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Within-cluster cosine pair kernel over `(list_id, vec_id,
+    * embedding)` members: the q91 block discipline applied to a
+    * cluster's upper triangle. Emits `(id_a, id_b, sim)` with
+    * id_a < id_b and sim ≥ [[SemDedupTau]]; each pair is evaluated in
+    * exactly one kernel task and no task holds more than `2·blockSz`
+    * vectors. `blockSz` is a parameter so the multi-block path is
+    * testable below the 256-member production size.
+    */
+  private[graft] def clusterBlockPairs(s: SparkSession, members: DataFrame,
+      blockSz: Int): DataFrame = {
     import s.implicits._
+    // blocked upper-triangle kernel (q91 discipline): vec_id-ranked
+    // blocks of blockSz per cluster, one task per (ba <= bb)
+    // block pair — task state is <= 2 blocks, never a cluster
+    val wC = Window.partitionBy(col("list_id")).orderBy(col("vec_id"))
+    val blocked = members
+      .withColumn("blk", ((row_number().over(wC) - 1) / blockSz).cast("int"))
+      .groupBy(col("list_id"), col("blk"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ms"))
+    val bpairs = blocked.groupBy(col("list_id")).agg(max(col("blk")).as("mb"))
+      .select(col("list_id"),
+        explode(expr("flatten(transform(sequence(0, mb), " +
+          "a -> transform(sequence(a, mb), b -> struct(a AS ba, b AS bb))))")).as("p"))
+      .select(col("list_id"), col("p.ba").as("ba"), col("p.bb").as("bb"))
+    val pairs = bpairs
+      .join(blocked.select(col("list_id"), col("blk").as("ba"), col("ms").as("ms_a")),
+        Seq("list_id", "ba"))
+      .join(blocked.select(col("list_id"), col("blk").as("bb"), col("ms").as("ms_b")),
+        Seq("list_id", "bb"))
+      .repartition(col("list_id"), col("ba"), col("bb"))
+      .select((col("ba") === col("bb")).as("same"), col("ms_a"), col("ms_b"))
+      .as[(Boolean, Seq[BVec], Seq[BVec])]
+      .flatMap { case (same, ma, mb) =>
+        def sim(x: BVec, y: BVec): Option[(Long, Long, Double)] = {
+          val xe = x.emb; val ye = y.emb
+          var d = 0.0; var i = 0
+          while (i < xe.length) { d += xe(i).toDouble * ye(i).toDouble; i += 1 }
+          val r = round6(d)
+          if (r >= SemDedupTau) Some((x.id, y.id, r)) else None
+        }
+        // blocks are vec_id-ordered: ids in ba < ids in bb, so id_a <
+        // id_b holds by construction in the cross-block branch
+        if (same) ma.indices.iterator.flatMap(i =>
+          (i + 1 until ma.length).iterator.flatMap(j => sim(ma(i), ma(j))))
+        else ma.iterator.flatMap(a => mb.iterator.flatMap(c => sim(a, c)))
+      }.toDF("id_a", "id_b", "sim")
+    pairs
+  }
+
+  def q96SemDedup(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.embeddings(s, dir)
     val e = embLong(s, dir)
     val cents = kmeansCentroids(s, raw, e, KmeansIters)
     val bc = s.sparkContext.broadcast(collectCentroids(cents))
     val assign = nearestCentroid(raw, bc)
-    val pairs = raw.join(assign, Seq("vec_id"))
-      .select(col("list_id"),
-        struct(col("vec_id").as("id"), col("embedding").as("emb")).as("v"))
-      .groupBy(col("list_id"))
-      .agg(sort_array(collect_list(col("v"))).as("vecs"))
-      .as[(Long, Seq[BVec])]
-      .flatMap { case (_, vs) =>
-        val ids = vs.iterator.map(_.id).toArray
-        val m = vs.iterator.map(_.emb.map(_.toDouble)).toArray
-        ids.indices.iterator.flatMap { a =>
-          val x = m(a)
-          (a + 1 until ids.length).iterator.flatMap { b =>
-            val y = m(b)
-            var d = 0.0; var i = 0
-            while (i < x.length) { d += x(i) * y(i); i += 1 }
-            val r = round6(d)
-            if (r >= SemDedupTau) Some((ids(a), ids(b), r)) else None
-          }
-        }
-      }.toDF("id_a", "id_b", "sim")
+    val pairs = clusterBlockPairs(s,
+      raw.join(assign, Seq("vec_id"))
+        .select(col("list_id"), col("vec_id"), col("embedding")), VerifyBlockSz)
     val dups = pairs.groupBy(col("id_b").as("vec_id"))
       .agg(count(lit(1)).as("n_dups_earlier"), max(col("sim")).as("max_sim_earlier"))
     assign.join(dups, Seq("vec_id"), "left")

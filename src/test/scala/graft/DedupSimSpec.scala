@@ -351,4 +351,22 @@ class DedupSimSpec extends AnyFunSuite {
     assert(joined.count() == nExact)
     assert(joined.filter(col("jaccard") =!= col("jx")).count() == 0)
   }
+
+  test("q96 block kernel: a mega-cluster split across blocks equals one-block brute force") {
+    // force a cluster far larger than the test block size: all 500 sf0.01
+    // vectors into 2 clusters -> the bigger one spans ~16 blocks at
+    // blockSz=16, exercising same-block, cross-block and the block-pair
+    // fan-out. A huge blockSz degenerates to the old whole-cluster task,
+    // which is the brute-force referee.
+    val members = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select((col("vec_id") % 2).as("list_id"), col("vec_id"), col("embedding"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().sorted.toSeq
+    val blockedOut = canon(DedupSim.clusterBlockPairs(spark, members, 16))
+    val bruteOut = canon(DedupSim.clusterBlockPairs(spark, members, 1000000))
+    assert(blockedOut.nonEmpty && blockedOut == bruteOut)
+    // exactly-once emission: no pair may appear twice
+    assert(blockedOut.map(p => (p._1, p._2)).distinct.size == blockedOut.size)
+    assert(blockedOut.forall(p => p._1 < p._2))
+  }
 }
