@@ -55,6 +55,70 @@ object StreamGate {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** q116: the PRODUCTION APPEND form of q58 on the gate — the same
+    * readStream → 2-hour watermark → tumbling-day-window plan, but
+    * append output mode: a window emits EXACTLY ONCE after the
+    * watermark passes its end, and its state is evicted (state =
+    * O(open windows × types), the unbounded-stream contract q58's
+    * mode-honesty note describes but complete mode cannot exercise).
+    *
+    * A finite replay's last batch never advances the watermark past
+    * the final windows, so the harness stages the events table plus a
+    * terminal SENTINEL arrival — one event 4 days past the corpus max
+    * ts, in its own per-arrival file. After the data batches the
+    * watermark is sentinel−2h > every real window end, and the
+    * engine's no-data micro-batch (on by default) flushes every real
+    * window to the sink. The sentinel's own window stays open forever
+    * and is never emitted in append mode — it is also filtered
+    * defensively (window_start ≤ real max ts). The oracle is q58's
+    * verbatim, so a hash match proves append+watermark emits exactly
+    * the batch answer, once per window — batch/stream parity for the
+    * mode production actually runs.
+    */
+  def q116StreamWindowAppend(s: SparkSession, dir: String): DataFrame = {
+    val events = graft.sources.Tables.events(s, dir)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", s"q116-v1-$tag")
+    java.nio.file.Files.createDirectories(tmp)
+    if (!java.nio.file.Files.exists(tmp.resolve("_staged"))) {
+      // per-process scratch: concurrent JVMs (sbt test + driver Verify)
+      // must not clobber each other's half-written staging
+      val scratch = s"$tmp/_scratch-${java.util.UUID.randomUUID()}"
+      events.write.mode("overwrite").parquet(s"$scratch/real")
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 86400 * 1000)
+      events.limit(1).withColumn("ts", lit(sentinelTs))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/sentinel")
+      def parts(sub: String) = new java.io.File(s"$scratch/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // the sentinel file sorts LAST so a maxFilesPerTrigger run would
+      // also see it last; a single AvailableNow batch needs no ordering
+      val all = parts("real") ++ parts("sentinel")
+      all.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath, tmp.resolve(f"events_$i%04d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      java.nio.file.Files.createFile(tmp.resolve("_staged"))
+    }
+    val sink = "q116_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.dailyActivityExact(
+      graft.streaming.EventStreams.readEvents(s, tmp.toString)
+        .withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .filter(col("window_start") <= lit(maxTs))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   private[graft] val DedupN = 5000
   private[graft] val DedupCopies = 4
 
@@ -360,6 +424,7 @@ object StreamGate {
     "q112_stream_neardup" -> (q112StreamNearDup _),
     "q106_stream_sessions" -> (q106StreamSessions _),
     "q58_stream_window" -> (q58StreamWindow _),
+    "q116_stream_window_append" -> (q116StreamWindowAppend _),
     "q92_stream_quality" -> (q92StreamQuality _),
     "q102_stream_bloom" -> (q102StreamBloomDedup _),
     "q69_stream_dedup" -> (q69StreamDedup _),
@@ -389,6 +454,13 @@ object StreamGate {
          FROM isl GROUP BY user_id, island
          ORDER BY user_id, session_start""",
     "q58_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // append mode must emit exactly the batch answer (sentinel window
+    // excluded by construction): q58's oracle verbatim
+    "q116_stream_window_append" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
          count(*) AS n_events,
          CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value

@@ -30,6 +30,18 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q116: append-mode watermark flush equals complete mode, once per window") {
+    // the production append path must emit exactly the complete-mode
+    // answer — every real window present once, sentinel window absent
+    val appended = graft.queries.StreamGate.q116StreamWindowAppend(spark, Sf)
+      .collect().toSeq
+    val complete = graft.queries.StreamGate.q58StreamWindow(spark, Sf)
+      .collect().toSeq
+    assert(appended.nonEmpty && appended == complete)
+    // exactly-once: no (window, type) key may appear twice
+    assert(appended.map(r => (r.get(0), r.get(1))).distinct.size == appended.size)
+  }
+
   test("q59: grid binary decode recovers the closed-form geometry exactly") {
     val rows = graft.queries.BinaryGate.q59GridBinary(spark, Sf)
     // 4 cases x 2000 cells minus the (g+c)%7==0 inactives
