@@ -71,6 +71,34 @@ object EclBinary {
     */
   def egrid(spark: SparkSession, path: String,
       applyMapaxes: Boolean = false): DataFrame = {
+    val g = readEgridCase(path, applyMapaxes)
+    val bcCoord = spark.sparkContext.broadcast(g.coord)
+    val mapx = g.mapx
+    val slabs = (0 until g.nz).map(g.slab)
+    val rows = spark.sparkContext
+      .parallelize(slabs, math.min(g.nz, spark.sparkContext.defaultParallelism))
+      .flatMap(sl => cellRows(sl, bcCoord.value, mapx))
+    spark.createDataFrame(rows, GeomSchema)
+  }
+
+  /** One EGRID's parsed state, decodable on the driver (the single-case
+    * [[egrid]] plan) or inside one executor task (the [[gridFleet]]
+    * ensemble read — plain java.io over shared storage).
+    */
+  private final case class EgridCase(nx: Int, ny: Int, nz: Int,
+      coord: Array[Float], zcorn: Array[Float], actnum: Array[Int],
+      aprefix: Array[Int],
+      mapx: Option[(Double, Double, Double, Double, Double, Double)]) {
+    def slab(k: Int): GridSlab = {
+      val perSlab = nx * ny
+      GridSlab(k, nx, ny,
+        java.util.Arrays.copyOfRange(zcorn, k * 8 * perSlab, (k + 1) * 8 * perSlab),
+        java.util.Arrays.copyOfRange(actnum, k * perSlab, (k + 1) * perSlab),
+        java.util.Arrays.copyOfRange(aprefix, k * perSlab, (k + 1) * perSlab))
+    }
+  }
+
+  private def readEgridCase(path: String, applyMapaxes: Boolean): EgridCase = {
     val wanted = Set("GRIDHEAD", "COORD", "ZCORN", "ACTNUM", "MAPAXES")
     val kws = EclKw.stream(path, (name, _, _) => wanted(name))(_.toVector)
     def kw(name: String) = kws.find(_.name == name)
@@ -97,60 +125,111 @@ object EclBinary {
     val (nx, ny, nz) = (gh(1), gh(2), gh(3))
     val ncells = nx.toLong * ny * nz
     require(ncells > 0 && ncells < Int.MaxValue, s"bad grid dims $nx*$ny*$nz")
-    val coord = kw("COORD").floats
-    val zcorn = kw("ZCORN").floats
     val actnum = kws.find(_.name == "ACTNUM").map(_.ints)
       .getOrElse(Array.fill(ncells.toInt)(1))
     val aprefix = actnum.scanLeft(0)((acc, a) => acc + (if (a != 0) 1 else 0))
-    val bcCoord = spark.sparkContext.broadcast(coord)
-    val perSlab = nx * ny
-    val slabs = (0 until nz).map { k =>
-      GridSlab(k, nx, ny,
-        java.util.Arrays.copyOfRange(zcorn, k * 8 * perSlab, (k + 1) * 8 * perSlab),
-        java.util.Arrays.copyOfRange(actnum, k * perSlab, (k + 1) * perSlab),
-        java.util.Arrays.copyOfRange(aprefix, k * perSlab, (k + 1) * perSlab))
+    EgridCase(nx, ny, nz, kw("COORD").floats, kw("ZCORN").floats,
+      actnum, aprefix, mapx)
+  }
+
+  /** The per-slab geometry kernel shared by [[egrid]]'s slab tasks and
+    * [[gridFleet]]'s per-case tasks: corner-point pillar interpolation,
+    * 8-corner center mean, 24-tetrahedron volume, active-ordinal rows.
+    */
+  private def cellRows(sl: GridSlab, coordA: Array[Float],
+      mapx: Option[(Double, Double, Double, Double, Double, Double)]): Iterator[Row] =
+    (0 until sl.nx * sl.ny).iterator.flatMap { li =>
+      if (sl.actnum(li) == 0) None
+      else {
+        val i = li % sl.nx
+        val j = li / sl.nx
+        val k = sl.k
+        // 8 corners: pillar (i+cx, j+cy) interpolated at the ZCORN
+        // depth; the slab's zcorn slice is 0-based at layer k
+        val cx8 = new Array[Double](8); val cy8 = new Array[Double](8)
+        val cz8 = new Array[Double](8)
+        var c = 0
+        while (c < 8) {
+          val (dx, dy, dz) = (c & 1, (c >> 1) & 1, (c >> 2) & 1)
+          val zi = ((dz * 2 * sl.ny + (j * 2 + dy)) * 2 * sl.nx) + (i * 2 + dx)
+          val z = sl.zcorn(zi).toDouble
+          val p = ((j + dy) * (sl.nx + 1) + (i + dx)) * 6
+          val (x1, y1, z1) = (coordA(p).toDouble, coordA(p + 1).toDouble, coordA(p + 2).toDouble)
+          val (x2, y2, z2) = (coordA(p + 3).toDouble, coordA(p + 4).toDouble, coordA(p + 5).toDouble)
+          val t = if (z2 == z1) 0.0 else (z - z1) / (z2 - z1)
+          cx8(c) = x1 + t * (x2 - x1); cy8(c) = y1 + t * (y2 - y1); cz8(c) = z
+          c += 1
+        }
+        val xl = cx8.sum / 8; val yl = cy8.sum / 8; val z = cz8.sum / 8
+        // center-level MAPAXES rebase: the transform is linear, so it
+        // commutes with the 8-corner mean (and leaves VOLUME rigid)
+        val (x, y) = mapx match {
+          case Some((ox, oy, uxx, uxy, uyx, uyy)) =>
+            (ox + xl * uxx + yl * uyx, oy + xl * uxy + yl * uyy)
+          case None => (xl, yl)
+        }
+        val g = k.toLong * sl.nx * sl.ny + li
+        Some(Row(i + 1, j + 1, k + 1, x, y, z, cz8.min, cz8.max,
+          hexVolume(cx8, cy8, cz8), g, sl.aprefix(li).toLong))
+      }
     }
-    val rows = spark.sparkContext
-      .parallelize(slabs, math.min(nz, spark.sparkContext.defaultParallelism))
-      .flatMap { sl =>
-        val coordA = bcCoord.value
-        (0 until sl.nx * sl.ny).iterator.flatMap { li =>
-          if (sl.actnum(li) == 0) None
-          else {
-            val i = li % sl.nx
-            val j = li / sl.nx
-            val k = sl.k
-            // 8 corners: pillar (i+cx, j+cy) interpolated at the ZCORN
-            // depth; the slab's zcorn slice is 0-based at layer k
-            val cx8 = new Array[Double](8); val cy8 = new Array[Double](8)
-            val cz8 = new Array[Double](8)
-            var c = 0
-            while (c < 8) {
-              val (dx, dy, dz) = (c & 1, (c >> 1) & 1, (c >> 2) & 1)
-              val zi = ((dz * 2 * sl.ny + (j * 2 + dy)) * 2 * sl.nx) + (i * 2 + dx)
-              val z = sl.zcorn(zi).toDouble
-              val p = ((j + dy) * (sl.nx + 1) + (i + dx)) * 6
-              val (x1, y1, z1) = (coordA(p).toDouble, coordA(p + 1).toDouble, coordA(p + 2).toDouble)
-              val (x2, y2, z2) = (coordA(p + 3).toDouble, coordA(p + 4).toDouble, coordA(p + 5).toDouble)
-              val t = if (z2 == z1) 0.0 else (z - z1) / (z2 - z1)
-              cx8(c) = x1 + t * (x2 - x1); cy8(c) = y1 + t * (y2 - y1); cz8(c) = z
-              c += 1
+
+  /** Ensemble grid read (S3/S4 at fleet scale): every case matching the
+    * glob — `realizations/&#42;/CASE.EGRID` is the reference users'
+    * layout, 100–1000 realizations per ensemble — decoded in ONE distributed
+    * plan, one task per case, EGRID + INIT parsed EXECUTOR-side (plain
+    * java.io over shared storage, the same convention as the UNSMRY
+    * fleet read). `vectors` are EXACT INIT vector names (not globs —
+    * the unioned schema must be fixed before any file is opened);
+    * vectors missing in a case's INIT surface as nulls. Per-task state
+    * is one realization's arrays — the ensemble axis is the parallel
+    * unit, matching how a 1000-realization history-match actually runs.
+    */
+  def gridFleet(spark: SparkSession, pattern: String, vectors: Seq[String] = Nil,
+      applyMapaxes: Boolean = false): DataFrame = {
+    import graft.io.datasource.DeckScan
+    val bases = DeckScan.splitPaths(pattern)
+      .flatMap(p => DeckScan.expand(p))
+      .filter(_.toUpperCase.endsWith(".EGRID"))
+      .map(_.dropRight(".EGRID".length))
+      .distinct.sorted
+    require(bases.nonEmpty, s"no .EGRID files match $pattern")
+    val vecNames = vectors.map(_.toUpperCase)
+    val schema = StructType(
+      StructField("CASE", StringType, nullable = false) +:
+        (GeomSchema.fields.toSeq ++
+          vecNames.map(v => StructField(v, DoubleType, nullable = true))))
+    val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(bases, par).flatMap { base =>
+      val g = readEgridCase(s"$base.EGRID", applyMapaxes)
+      val initVecs: Map[String, Array[Double]] =
+        if (vecNames.isEmpty) Map.empty
+        else {
+          val wantSet = vecNames.toSet
+          var nactive = -1
+          val picked = Vector.newBuilder[EclKw.Kw]
+          EclKw.stream(s"$base.INIT", (name, typ, n) =>
+            name == "INTEHEAD" ||
+              (isCellVector(name, typ, wantSet) && (nactive < 0 || n == nactive))) { it =>
+            it.foreach { kw =>
+              if (kw.name == "INTEHEAD") { if (nactive < 0) nactive = kw.ints(11) }
+              else picked += kw
             }
-            val xl = cx8.sum / 8; val yl = cy8.sum / 8; val z = cz8.sum / 8
-            // center-level MAPAXES rebase: the transform is linear, so it
-            // commutes with the 8-corner mean (and leaves VOLUME rigid)
-            val (x, y) = mapx match {
-              case Some((ox, oy, uxx, uxy, uyx, uyy)) =>
-                (ox + xl * uxx + yl * uyx, oy + xl * uxy + yl * uyy)
-              case None => (xl, yl)
-            }
-            val g = k.toLong * sl.nx * sl.ny + li
-            Some(Row(i + 1, j + 1, k + 1, x, y, z, cz8.min, cz8.max,
-              hexVolume(cx8, cy8, cz8), g, sl.aprefix(li).toLong))
           }
+          require(nactive >= 0, s"$base.INIT: no INTEHEAD")
+          picked.result().filter(_.data.length == nactive)
+            .map(k => k.name -> k.doubles).toMap
+        }
+      (0 until g.nz).iterator.flatMap { k =>
+        cellRows(g.slab(k), g.coord, g.mapx).map { r =>
+          val ai = r.getLong(10).toInt
+          Row.fromSeq(base +: (r.toSeq ++
+            vecNames.map(v =>
+              initVecs.get(v).map(a => a(ai): java.lang.Double).orNull)))
         }
       }
-    spark.createDataFrame(rows, GeomSchema)
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Volume of the (possibly non-planar) hexahedron with corners indexed

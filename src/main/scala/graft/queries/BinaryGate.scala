@@ -178,6 +178,31 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
+  /** q117: the GRID FLEET read (S3/S4 at ensemble scale) under the gate
+    * — [[graft.io.EclBinary.gridFleet]] decodes every EGRID+INIT case
+    * matching a glob in ONE distributed plan, one task per case,
+    * executor-side corner-point math and active-vector selection (the
+    * grid mirror of q114's UNSMRY fleet; reference users run 100–1000
+    * realizations per ensemble). Same closed-form fixtures as q59, so
+    * the oracle is q59's verbatim — a hash match proves the per-case
+    * decode (geometry AND init ordinals) never leaks state across
+    * cases and equals the single-case driver-orchestrated path.
+    */
+  def q117GridFleet(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q117")
+    (0 until GridCases).foreach(c => writeGridCase(tmp, c))
+    graft.io.EclBinary.gridFleet(s, s"$tmp/*.EGRID", Seq("PORO", "PERMX"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("I").as("i"), col("J").as("j"), col("K").as("k"),
+        col("X").as("x"), col("Y").as("y"), col("Z").as("z"),
+        col("Z_MIN").as("z_min"), col("Z_MAX").as("z_max"),
+        round(col("VOLUME"), 6).as("volume"),
+        col("GLOBAL_INDEX").as("global_index"), col("ACTIVE_IDX").as("active_idx"),
+        col("PORO").as("poro"), col("PERMX").as("permx"))
+      .orderBy(col("case_id"), col("global_index"))
+  }
+
   private val RstCases = 4
   private val RstSteps = 3
   private val RstNactive = 500
@@ -286,17 +311,20 @@ object BinaryGate {
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q114_summary_fleet" -> (q114SummaryFleet _),
+    "q117_grid_fleet" -> (q117GridFleet _),
     "q62_unrst_binary" -> (q62UnrstBinary _),
     "q63_rft_binary" -> (q63RftBinary _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // Geometry/vector replay from the closed form: centers (i-½, j-½,
-    // k²/2) for 1-based (i,j,k), VOLUME = k, ACTIVE_IDX = per-case rank
-    // of the global index over active cells.
-    "q59_grid_binary" ->
-      s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
+  /** Geometry/vector replay from the closed form: centers (i-½, j-½,
+    * k²/2) for 1-based (i,j,k), VOLUME = k, ACTIVE_IDX = per-case rank
+    * of the global index over active cells. Shared verbatim by q59
+    * (single-case reads unioned) and q117 (the fleet read) — identical
+    * fixtures, identical expected frame.
+    */
+  private def gridOracle: String =
+    s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
          cells AS (SELECT c, unnest(range(${Nx * Ny * Nz})) AS g FROM cases),
          act AS (
            SELECT c, g,
@@ -316,7 +344,13 @@ object BinaryGate {
                 g AS global_index, active_idx,
                 CAST((g + 5 * c) % 64 AS DOUBLE) / 64 AS poro,
                 CAST((7 * g + c) % 1000 AS DOUBLE) AS permx
-         FROM idx ORDER BY case_id, global_index""",
+         FROM idx ORDER BY case_id, global_index"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q59_grid_binary" -> gridOracle,
+    // the fleet read must equal the single-case path exactly: q59's
+    // oracle verbatim
+    "q117_grid_fleet" -> gridOracle,
     "q114_summary_fleet" ->
       s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
          v AS (
