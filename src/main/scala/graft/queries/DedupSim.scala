@@ -860,6 +860,49 @@ object DedupSim {
       .orderBy(col("source"))
   }
 
+  private[graft] val ShardArrivalW = 128L
+
+  /** Dedup-rate trend over ingest shards (q118): the monitoring query a
+    * recrawl pipeline actually alarms on — per (source, arrival-shard)
+    * the count and rate of documents that near-duplicate ANYTHING that
+    * arrived earlier, plus the cumulative rate per source over the
+    * shard sequence (the rising-trend signal). Arrival order is doc_id;
+    * a shard is [[ShardArrivalW]] consecutive ids. "Duplicates
+    * something earlier" is the q26/q39 LSH-candidate flag — an earlier
+    * (smaller-id) document sharing a MinHash band bucket — i.e. the
+    * incremental-ingest verdict q101 folds per shard, composed with
+    * q113's per-source report axis.
+    *
+    * Scale shape: one signature aggregate (linear in corpus tokens),
+    * ONE bucket-key window exchange (shared by representative+flag,
+    * same plan as q39), a doc-keyed join, and a source×shard aggregate
+    * whose output is the report itself; the cumulative ratio is a
+    * per-source running sum over report rows (bounded by
+    * sources × shards, never corpus-sized). The rate is computed from
+    * exact longs, so the rounding is one terminal IEEE division.
+    */
+  def q118ShardDedupTrend(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), strHash(col("tok")).as("v"))
+    val flags = minhashLshCluster(hashed).select(col("doc_id"), col("is_dup"))
+    val w = Window.partitionBy(col("source")).orderBy(col("shard_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(flags, Seq("doc_id"))
+      .withColumn("shard_seq", expr(s"doc_id div $ShardArrivalW"))
+      .groupBy(col("source"), col("shard_seq"))
+      .agg(count(lit(1)).as("n_docs"), count(when(col("is_dup"), 1)).as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6))
+      .withColumn("cum_dup_rate",
+        round(sum(col("n_dups")).over(w).cast("double")
+          / sum(col("n_docs")).over(w).cast("double"), 6))
+      .orderBy(col("source"), col("shard_seq"))
+  }
+
   /** Min-label propagation to a fixpoint over a bipartite membership
     * frame `(doc_id, bucket)` → `(doc_id, component_id, is_dup)`.
     * Round 0 is folded into initialization: `round(identity)` is just
@@ -1947,6 +1990,7 @@ object DedupSim {
     "q101_inc_neardup" -> (q101IncNearDup _),
     "q103_split_leakage" -> (q103SplitLeakage _),
     "q113_source_dedup_rate" -> (q113SourceDedupRate _),
+    "q118_shard_dedup_trend" -> (q118ShardDedupTrend _),
     "q25_jaccard" -> (q25Jaccard _),
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -2015,6 +2059,38 @@ object DedupSim {
                     FROM documents),
        $hashCtes,
        vals AS (SELECT doc_id, v FROM ohash)""")
+  }
+
+  /** q118 oracle: the q39 open-vocab band chain, per-doc earlier-arrival
+    * flag, then the source×shard report with a windowed cumulative.
+    */
+  private def shardDedupTrendSql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "otoks", Seq("doc_id"), "tok", "ohash", "v")
+    s"""WITH otoks AS (SELECT doc_id,
+                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                    FROM documents),
+       $hashCtes,
+       vals AS (SELECT doc_id, v FROM ohash),
+       ${minhashBandsSql},
+       bucket AS (SELECT band_idx, band_hash, min(doc_id) AS bucket_min
+                  FROM bands GROUP BY 1, 2),
+       flags AS (SELECT b.doc_id, min(u.bucket_min) < b.doc_id AS is_dup
+                 FROM bands b JOIN bucket u USING (band_idx, band_hash)
+                 GROUP BY b.doc_id),
+       shards AS (SELECT d.source, d.doc_id // $ShardArrivalW AS shard_seq, f.is_dup
+                  FROM documents d JOIN flags f USING (doc_id)),
+       agg AS (SELECT source, shard_seq,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dups
+               FROM shards GROUP BY 1, 2)
+       SELECT source, shard_seq, n_docs, n_dups,
+              round(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+              round(CAST(sum(n_dups) OVER w AS DOUBLE)
+                    / CAST(sum(n_docs) OVER w AS DOUBLE), 6) AS cum_dup_rate
+       FROM agg
+       WINDOW w AS (PARTITION BY source ORDER BY shard_seq ROWS UNBOUNDED PRECEDING)
+       ORDER BY source, shard_seq"""
   }
 
   /** q91 oracle: the q39 band chain, bucket-key self-join for candidate
@@ -2136,6 +2212,7 @@ object DedupSim {
     "q41_dedup_components" -> dedupComponentsSql,
     "q56_dedup_materialize" -> dedupMaterializeSql,
     "q113_source_dedup_rate" -> sourceDedupRateSql,
+    "q118_shard_dedup_trend" -> shardDedupTrendSql,
     "q40_ngram_jaccard" -> ngramJaccardSql,
     "q27_simhash" -> simhashSql,
     "q30_ann_lsh" -> annLshSql,

@@ -83,7 +83,8 @@ object ScaleStress {
       "q104_tfidf", "q105_line_dedup", "q106_stream_sessions",
       "q107_dup_provenance", "q108_length_percentiles",
       "q109_source_divergence", "q110_rolling", "q111_tokenize_pack",
-      "q112_stream_neardup", "q113_source_dedup_rate", "q115_token_budget")
+      "q112_stream_neardup", "q113_source_dedup_rate", "q115_token_budget",
+      "q116_stream_window_append", "q118_shard_dedup_trend")
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
