@@ -55,32 +55,19 @@ object StreamGate {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** q116: the PRODUCTION APPEND form of q58 on the gate — the same
-    * readStream → 2-hour watermark → tumbling-day-window plan, but
-    * append output mode: a window emits EXACTLY ONCE after the
-    * watermark passes its end, and its state is evicted (state =
-    * O(open windows × types), the unbounded-stream contract q58's
-    * mode-honesty note describes but complete mode cannot exercise).
-    *
-    * A finite replay's last batch never advances the watermark past
-    * the final windows, so the harness stages the events table plus a
-    * terminal SENTINEL arrival — one event 4 days past the corpus max
-    * ts, in its own per-arrival file. After the data batches the
-    * watermark is sentinel−2h > every real window end, and the
-    * engine's no-data micro-batch (on by default) flushes every real
-    * window to the sink. The sentinel's own window stays open forever
-    * and is never emitted in append mode — it is also filtered
-    * defensively (window_start ≤ real max ts). The oracle is q58's
-    * verbatim, so a hash match proves append+watermark emits exactly
-    * the batch answer, once per window — batch/stream parity for the
-    * mode production actually runs.
+  /** Stage `dir`'s events plus one watermark-advancing SENTINEL event
+    * (4 days past the corpus max ts, its own per-arrival file) into a
+    * reusable temp directory — the finite-replay scaffolding the
+    * append-mode gates (q116 tumbling windows, q119 session windows)
+    * share. Returns the staged directory and the REAL max ts (the
+    * boundary the callers filter sentinel-derived windows against).
     */
-  def q116StreamWindowAppend(s: SparkSession, dir: String): DataFrame = {
+  private def stageWithSentinel(s: SparkSession, dir: String): (String, java.sql.Timestamp) = {
     val events = graft.sources.Tables.events(s, dir)
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-gate", s"q116-v1-$tag")
+      sys.props("java.io.tmpdir"), "graft-gate", s"append-v1-$tag")
     java.nio.file.Files.createDirectories(tmp)
     if (!java.nio.file.Files.exists(tmp.resolve("_staged"))) {
       // per-process scratch: concurrent JVMs (sbt test + driver Verify)
@@ -102,6 +89,31 @@ object StreamGate {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
       java.nio.file.Files.createFile(tmp.resolve("_staged"))
     }
+    (tmp.toString, maxTs)
+  }
+
+  /** q116: the PRODUCTION APPEND form of q58 on the gate — the same
+    * readStream → 2-hour watermark → tumbling-day-window plan, but
+    * append output mode: a window emits EXACTLY ONCE after the
+    * watermark passes its end, and its state is evicted (state =
+    * O(open windows × types), the unbounded-stream contract q58's
+    * mode-honesty note describes but complete mode cannot exercise).
+    *
+    * A finite replay's last batch never advances the watermark past
+    * the final windows, so the harness stages the events table plus a
+    * terminal SENTINEL arrival — one event 4 days past the corpus max
+    * ts, in its own per-arrival file. After the data batches the
+    * watermark is sentinel−2h > every real window end, and the
+    * engine's no-data micro-batch (on by default) flushes every real
+    * window to the sink. The sentinel's own window stays open forever
+    * and is never emitted in append mode — it is also filtered
+    * defensively (window_start ≤ real max ts). The oracle is q58's
+    * verbatim, so a hash match proves append+watermark emits exactly
+    * the batch answer, once per window — batch/stream parity for the
+    * mode production actually runs.
+    */
+  def q116StreamWindowAppend(s: SparkSession, dir: String): DataFrame = {
+    val (tmp, maxTs) = stageWithSentinel(s, dir)
     val sink = "q116_sink"
     s.catalog.dropTempView(sink)
     val q = graft.streaming.EventStreams.dailyActivityExact(
@@ -359,6 +371,40 @@ object StreamGate {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q119: the PRODUCTION APPEND form of q106 — session windows with
+    * watermark EVICTION on the gate. A session emits exactly once,
+    * after the 2-hour watermark passes its end (state = open sessions
+    * only, the unbounded-stream contract complete mode cannot
+    * exercise; update mode the engine rejects outright for session
+    * aggregations). Same sentinel scaffolding as q116: one event 4
+    * days past max ts advances the watermark past every real
+    * session's end, the no-data micro-batch flushes them, and the
+    * sentinel's own session (a singleton 4 days out, mergeable with
+    * nothing) stays open and unemitted — filtered defensively too.
+    * Oracle is q106's verbatim gaps-and-islands replay.
+    */
+  def q119StreamSessionsAppend(s: SparkSession, dir: String): DataFrame = {
+    val (tmp, maxTs) = stageWithSentinel(s, dir)
+    val sink = "q119_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.readEvents(s, tmp)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .filter(col("session_start") <= lit(maxTs))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming incremental NEAR-DUP probe (q112): q101 executed at
     * ingest — arriving documents probe the historical corpus's MinHash
     * band index as they stream in. The q101 pipeline splits cleanly
@@ -423,6 +469,7 @@ object StreamGate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_stream_neardup" -> (q112StreamNearDup _),
     "q106_stream_sessions" -> (q106StreamSessions _),
+    "q119_stream_sessions_append" -> (q119StreamSessionsAppend _),
     "q58_stream_window" -> (q58StreamWindow _),
     "q116_stream_window_append" -> (q116StreamWindowAppend _),
     "q92_stream_quality" -> (q92StreamQuality _),
@@ -432,10 +479,10 @@ object StreamGate {
     "q82_stream_pack" -> (q82StreamPack _),
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // gaps-and-islands replay of Spark's session merge rule: an event
-    // at exactly session_end (diff == gap) opens a NEW session
-    "q106_stream_sessions" ->
+  // gaps-and-islands replay of Spark's session merge rule: an event
+  // at exactly session_end (diff == gap) opens a NEW session; shared by
+  // q106 (complete mode) and q119 (append mode) — identical expected frame
+  private val sessionsSql: String =
       """WITH g AS (SELECT user_id, ts, value,
                 CASE WHEN lag(ts) OVER w IS NULL
                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
@@ -452,7 +499,11 @@ object StreamGate {
                 CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
                   AS total_value
          FROM isl GROUP BY user_id, island
-         ORDER BY user_id, session_start""",
+         ORDER BY user_id, session_start"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q106_stream_sessions" -> sessionsSql,
+    "q119_stream_sessions_append" -> sessionsSql,
     "q58_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
          count(*) AS n_events,

@@ -42,6 +42,15 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(appended.map(r => (r.get(0), r.get(1))).distinct.size == appended.size)
   }
 
+  test("q119: append-mode session flush equals complete mode, once per session") {
+    val appended = graft.queries.StreamGate.q119StreamSessionsAppend(spark, Sf)
+      .collect().toSeq
+    val complete = graft.queries.StreamGate.q106StreamSessions(spark, Sf)
+      .collect().toSeq
+    assert(appended.nonEmpty && appended == complete)
+    assert(appended.map(r => (r.get(0), r.get(1))).distinct.size == appended.size)
+  }
+
   test("q59: grid binary decode recovers the closed-form geometry exactly") {
     val rows = graft.queries.BinaryGate.q59GridBinary(spark, Sf)
     // 4 cases x 2000 cells minus the (g+c)%7==0 inactives
