@@ -205,20 +205,8 @@ object EclBinary {
       val initVecs: Map[String, Array[Double]] =
         if (vecNames.isEmpty) Map.empty
         else {
-          val wantSet = vecNames.toSet
-          var nactive = -1
-          val picked = Vector.newBuilder[EclKw.Kw]
-          EclKw.stream(s"$base.INIT", (name, typ, n) =>
-            name == "INTEHEAD" ||
-              (isCellVector(name, typ, wantSet) && (nactive < 0 || n == nactive))) { it =>
-            it.foreach { kw =>
-              if (kw.name == "INTEHEAD") { if (nactive < 0) nactive = kw.ints(11) }
-              else picked += kw
-            }
-          }
-          require(nactive >= 0, s"$base.INIT: no INTEHEAD")
-          picked.result().filter(_.data.length == nactive)
-            .map(k => k.name -> k.doubles).toMap
+          val (_, vecs) = readInitVectors(s"$base.INIT", vecNames.toSet)
+          vecs.map(k => k.name -> k.doubles).toMap
         }
       (0 until g.nz).iterator.flatMap { k =>
         cellRows(g.slab(k), g.coord, g.mapx).map { r =>
@@ -341,7 +329,19 @@ object EclBinary {
     * materializes 2 vectors plus INTEHEAD.
     */
   def init(spark: SparkSession, path: String, vectors: Seq[String] = Nil): DataFrame = {
-    val wanted = vectorMatcher(vectors)
+    val (nactive, vecs) = readInitVectors(path, vectorMatcher(vectors))
+    cellFrame(spark, nactive, vecs)
+  }
+
+  /** Plain-IO core of the INIT selection protocol, shared by [[init]]
+    * (the driver-side single-case plan) and [[gridFleet]] (one executor
+    * task per case): INTEHEAD[11] fixes nactive, cell vectors passing
+    * `wanted` at active length are kept — ONE definition, so the fleet
+    * path can never silently diverge from the single-case path the
+    * q117 gate claims it equals.
+    */
+  private def readInitVectors(path: String,
+      wanted: String => Boolean): (Int, Vector[EclKw.Kw]) = {
     var nactive = -1
     val picked = Vector.newBuilder[EclKw.Kw]
     EclKw.stream(path, (name, typ, n) =>
@@ -353,7 +353,7 @@ object EclBinary {
       }
     }
     if (nactive < 0) throw new IllegalArgumentException(s"$path: no INTEHEAD")
-    cellFrame(spark, nactive, picked.result().filter(_.data.length == nactive))
+    (nactive, picked.result().filter(_.data.length == nactive))
   }
 
   /** Read a UNRST file into the DATE-stacked restart frame

@@ -190,8 +190,13 @@ object BinaryGate {
     */
   def q117GridFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q117")
-    (0 until GridCases).foreach(c => writeGridCase(tmp, c))
-    graft.io.EclBinary.gridFleet(s, s"$tmp/*.EGRID", Seq("PORO", "PERMX"))
+    // enumerate the exact per-case paths just written (comma list, not a
+    // *.EGRID glob): a persistent fixture dir can hold stale CASE files
+    // from an older revision, and a glob would silently gate against them
+    val paths = (0 until GridCases).map { c =>
+      writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
+    }
+    graft.io.EclBinary.gridFleet(s, paths.mkString(","), Seq("PORO", "PERMX"))
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("I").as("i"), col("J").as("j"), col("K").as("k"),

@@ -878,8 +878,12 @@ object DedupSim {
     * same plan as q39), a doc-keyed join, and a source×shard aggregate
     * whose output is the report itself; the cumulative ratio is a
     * per-source running sum over report rows (bounded by
-    * sources × shards, never corpus-sized). The rate is computed from
-    * exact longs, so the rounding is one terminal IEEE division.
+    * sources × shards, never corpus-sized). Rates publish as exact
+    * FIXED-POINT integers (`⌊rate·10⁶⌋` — the q65 contract): with
+    * [[ShardArrivalW]] = 128 a full shard's rate is odd/128, a binary-
+    * exact value whose 7th decimal digit is exactly 5 — the precise
+    * decimal-rounding half-way case whose engine/build dependence the
+    * q65 forensics established; floor has no half-way mode.
     */
   def q118ShardDedupTrend(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
@@ -895,11 +899,12 @@ object DedupSim {
       .withColumn("shard_seq", expr(s"doc_id div $ShardArrivalW"))
       .groupBy(col("source"), col("shard_seq"))
       .agg(count(lit(1)).as("n_docs"), count(when(col("is_dup"), 1)).as("n_dups"))
-      .withColumn("dup_rate",
-        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6))
-      .withColumn("cum_dup_rate",
-        round(sum(col("n_dups")).over(w).cast("double")
-          / sum(col("n_docs")).over(w).cast("double"), 6))
+      .withColumn("dup_rate_fp",
+        floor(col("n_dups").cast("double") / col("n_docs").cast("double") * 1e6)
+          .cast("long"))
+      .withColumn("cum_dup_rate_fp",
+        floor(sum(col("n_dups")).over(w).cast("double")
+          / sum(col("n_docs")).over(w).cast("double") * 1e6).cast("long"))
       .orderBy(col("source"), col("shard_seq"))
   }
 
@@ -1622,11 +1627,15 @@ object DedupSim {
     // blocks of blockSz per cluster, one task per (ba <= bb)
     // block pair — task state is <= 2 blocks, never a cluster
     val wC = Window.partitionBy(col("list_id")).orderBy(col("vec_id"))
+    // localCheckpoint: blocked feeds three consumers (the max(blk)
+    // block-pair fan-out and both member joins) — without it the
+    // rank+collect_list aggregate, the dominant cost, executes 3×
     val blocked = members
       .withColumn("blk", ((row_number().over(wC) - 1) / blockSz).cast("int"))
       .groupBy(col("list_id"), col("blk"))
       .agg(sort_array(collect_list(
         struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ms"))
+      .localCheckpoint(true)
     val bpairs = blocked.groupBy(col("list_id")).agg(max(col("blk")).as("mb"))
       .select(col("list_id"),
         explode(expr("flatten(transform(sequence(0, mb), " +
@@ -2085,9 +2094,11 @@ object DedupSim {
                       CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dups
                FROM shards GROUP BY 1, 2)
        SELECT source, shard_seq, n_docs, n_dups,
-              round(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
-              round(CAST(sum(n_dups) OVER w AS DOUBLE)
-                    / CAST(sum(n_docs) OVER w AS DOUBLE), 6) AS cum_dup_rate
+              CAST(floor(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6)
+                   AS BIGINT) AS dup_rate_fp,
+              CAST(floor(CAST(sum(n_dups) OVER w AS DOUBLE)
+                    / CAST(sum(n_docs) OVER w AS DOUBLE) * 1e6)
+                   AS BIGINT) AS cum_dup_rate_fp
        FROM agg
        WINDOW w AS (PARTITION BY source ORDER BY shard_seq ROWS UNBOUNDED PRECEDING)
        ORDER BY source, shard_seq"""

@@ -64,17 +64,31 @@ object StreamGate {
     */
   private def stageWithSentinel(s: SparkSession, dir: String): (String, java.sql.Timestamp) = {
     val events = graft.sources.Tables.events(s, dir)
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val h = events.agg(count(lit(1)), max(col("ts"))).head()
+    val nEvents = h.getLong(0)
+    val mts = h.getTimestamp(1)
+    // cache key = dir identity (md5 — the path sanitizer of an earlier
+    // revision could collide distinct dirs) + a content fingerprint
+    // (row count + max ts), so regenerated testdata or rebuilt ×N
+    // replicas at the same path can never be served stale staging
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-gate", s"append-v1-$tag")
-    java.nio.file.Files.createDirectories(tmp)
-    if (!java.nio.file.Files.exists(tmp.resolve("_staged"))) {
-      // per-process scratch: concurrent JVMs (sbt test + driver Verify)
-      // must not clobber each other's half-written staging
-      val scratch = s"$tmp/_scratch-${java.util.UUID.randomUUID()}"
+      sys.props("java.io.tmpdir"), "graft-gate",
+      s"append-v2-$dirTag-$nEvents-${mts.getTime}")
+    if (!java.nio.file.Files.isDirectory(tmp)) {
+      // stage the FINAL layout in a per-process scratch dir, then
+      // publish with one ATOMIC directory rename: concurrent JVMs
+      // (sbt test + driver Verify) either win the rename or discard
+      // their scratch and use the winner's — no interleaved file sets.
+      // (Row content is identical either way; only part-file
+      // partitioning differs between JVMs, which the aggregate gates
+      // are insensitive to.)
+      java.nio.file.Files.createDirectories(tmp.getParent)
+      val scratch = tmp.resolveSibling(
+        s"${tmp.getFileName}-scratch-${java.util.UUID.randomUUID()}")
       events.write.mode("overwrite").parquet(s"$scratch/real")
-      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 86400 * 1000)
+      val sentinelTs = new java.sql.Timestamp(mts.getTime + 4L * 86400 * 1000)
       events.limit(1).withColumn("ts", lit(sentinelTs))
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/sentinel")
       def parts(sub: String) = new java.io.File(s"$scratch/$sub").listFiles()
@@ -83,13 +97,23 @@ object StreamGate {
       // also see it last; a single AvailableNow batch needs no ordering
       val all = parts("real") ++ parts("sentinel")
       all.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath, tmp.resolve(f"events_$i%04d.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(f.toPath,
+          scratch.resolve(f"events_$i%04d.parquet"))
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
-      java.nio.file.Files.createFile(tmp.resolve("_staged"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$scratch/real"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$scratch/sentinel"))
+      try java.nio.file.Files.move(scratch, tmp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          // another JVM published first — its staging carries the same
+          // rows (same source, same sentinel formula); use it
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      }
     }
-    (tmp.toString, maxTs)
+    (tmp.toString, mts)
   }
 
   /** q116: the PRODUCTION APPEND form of q58 on the gate — the same

@@ -85,21 +85,32 @@ object ScaleStress {
       "q109_source_divergence", "q110_rolling", "q111_tokenize_pack",
       "q112_stream_neardup", "q113_source_dedup_rate", "q115_token_budget",
       "q116_stream_window_append", "q118_shard_dedup_trend")
-    for (name <- names if only.isEmpty || only.exists(name.contains)) {
+    // one timing body for every row: a crashed run returns -1 (NOT its
+    // time-to-crash — the skew rows exist to catch OOMs, which must not
+    // print as a normal-looking ratio), and the cache hygiene
+    // (localCheckpoint blocks are RDD persists clearCache misses — same
+    // as Bench/Profile) lives in exactly one place
+    def timeQuery(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
-      def time(dir: String): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, dir).count() catch { case e: Throwable => println(s"$name@$dir: $e"); -1 }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        // localCheckpoint blocks (q37/q38/q40/q41 hubs) are RDD-level
-        // persists clearCache misses — same hygiene as Bench/Profile
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
-      }
-      val base = Seq(time(src), time(src)).min
-      val big = Seq(time(dst), time(dst)).min
-      println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, dir).count(); true }
+        catch { case e: Throwable => println(s"$name@$dir: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (ok) dt else -1.0
+    }
+    def minOf2(name: String, dir: String): Double = {
+      val ts = Seq(timeQuery(name, dir), timeQuery(name, dir))
+      if (ts.exists(_ < 0)) -1.0 else ts.min
+    }
+    for (name <- names if only.isEmpty || only.exists(name.contains)) {
+      val base = minOf2(name, src)
+      val big = minOf2(name, dst)
+      if (base < 0 || big < 0)
+        println(s"SCALE $name FAILED (base=$base x$factor=$big)")
+      else
+        println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
     }
 
     // q115 under organic source skew: one source holding 90% of a ×N
@@ -117,18 +128,12 @@ object ScaleStress {
               .otherwise(col("source")))
           .write.mode("overwrite").parquet(s"$skewDst/documents.parquet")
       }
-      val fn = graft.SparkEntry.queries("q115_token_budget")
-      def timeSkew(dir: String): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, dir).count() catch { case e: Throwable => println(s"q115_skew@$dir: $e"); -1 }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
-      }
-      val sBase = Seq(timeSkew(src), timeSkew(src)).min
-      val sBig = Seq(timeSkew(skewDst), timeSkew(skewDst)).min
-      println(f"SCALE q115_skew base=${sBase}%.2fs x${factor}skew=${sBig}%.2fs ratio=${sBig / sBase}%.1f")
+      val sBase = minOf2("q115_token_budget", src)
+      val sBig = minOf2("q115_token_budget", skewDst)
+      if (sBase < 0 || sBig < 0)
+        println(s"SCALE q115_skew FAILED (base=$sBase x${factor}skew=$sBig)")
+      else
+        println(f"SCALE q115_skew base=${sBase}%.2fs x${factor}skew=${sBig}%.2fs ratio=${sBig / sBase}%.1f")
     }
 
     if (only.nonEmpty) { spark.stop(); return } // filtered run: tables only
