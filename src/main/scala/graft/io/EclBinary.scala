@@ -356,6 +356,69 @@ object EclBinary {
     (nactive, picked.result().filter(_.data.length == nactive))
   }
 
+  /** Ensemble restart read (S5 at fleet scale): every UNRST case
+    * matching the glob decoded in ONE distributed plan, one task per
+    * case, SEQNUM-group streaming EXECUTOR-side — the restart member
+    * of the fleet trio ([[graft.write.SummaryWriter.corpusFromPath]]
+    * for UNSMRY, [[gridFleet]] for EGRID+INIT). `vectors` are EXACT
+    * vector names (the unioned schema must be fixed before any file
+    * is opened); a vector missing at a report step surfaces as null
+    * for that step. Per-task state is one case's SELECTED vectors —
+    * the same bound as the single-case reader's driver contract,
+    * moved onto the executor where the ensemble axis parallelizes it.
+    */
+  def restartFleet(spark: SparkSession, pattern: String,
+      vectors: Seq[String]): DataFrame = {
+    import graft.io.datasource.DeckScan
+    require(vectors.nonEmpty,
+      "restartFleet needs explicit vector names - the fleet schema is fixed up front")
+    val bases = DeckScan.splitPaths(pattern)
+      .flatMap(p => DeckScan.expand(p))
+      .filter(_.toUpperCase.endsWith(".UNRST"))
+      .distinct.sorted
+    require(bases.nonEmpty, s"no .UNRST files match $pattern")
+    val vecNames = vectors.map(_.toUpperCase)
+    val wantSet = vecNames.toSet
+    val schema = StructType(
+      StructField("CASE", StringType, nullable = false) ::
+        StructField("DATE", DateType, nullable = false) ::
+        StructField("ACTIVE_IDX", LongType, nullable = false) ::
+        vecNames.map(v => StructField(v, DoubleType, nullable = true)).toList)
+    val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(bases, par).flatMap { path =>
+      // stream SEQNUM groups exactly like the single-case reader:
+      // unselected payloads are seeked past, selected ones buffer only
+      // until their step flushes to rows
+      val steps = Vector.newBuilder[(java.sql.Date, Int, Map[String, Array[Double]])]
+      var cur: List[EclKw.Kw] = Nil
+      var started = false
+      def flush(): Unit = if (started) {
+        val g = cur.reverse
+        val nactive = nactiveOf(g, path)
+        val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
+        val vecs = g.filter(k => isCellVector(k.name, k.typ, wantSet) &&
+          k.data.length == nactive)
+        steps += ((date, nactive, vecs.map(k => k.name -> k.doubles).toMap))
+      }
+      EclKw.stream(path, (name, typ, _) =>
+        name == "SEQNUM" || name == "INTEHEAD" || isCellVector(name, typ, wantSet)) { it =>
+        it.foreach { kw =>
+          if (kw.name == "SEQNUM") { flush(); cur = Nil; started = true }
+          else if (started) cur ::= kw
+        }
+      }
+      flush()
+      steps.result().iterator.flatMap { case (date, nactive, m) =>
+        val arrs = vecNames.map(m.get)
+        (0 until nactive).iterator.map { a =>
+          Row.fromSeq(path :: date :: a.toLong ::
+            arrs.map(_.map(x => x(a): java.lang.Double).orNull).toList)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Read a UNRST file into the DATE-stacked restart frame
     * `(DATE, ACTIVE_IDX, PRESSURE, SWAT, …)` (S5; `rst2df`
     * grid.py:190-284 — the reference's `@datestr` wide form is never

@@ -220,26 +220,34 @@ object BinaryGate {
     * (R4). PRESSURE is integer-valued and SWAT dyadic, so float32
     * round-trip vs the oracle formula is exact.
     */
+  /** Write the closed-form UNRST case `c` (shared by q62 and q120 —
+    * identical fixtures, identical expected frame).
+    */
+  private def writeRstCase(tmp: String, c: Int): String = {
+    val path = s"$tmp/CASE$c.UNRST"
+    EclKw.write(path, (0 until RstSteps).flatMap { t =>
+      val intehead = Array.tabulate(67) {
+        case 11 => RstNactive
+        case 64 => 1 + t // day
+        case 65 => 1     // month
+        case 66 => 2022  // year
+        case _  => 0
+      }
+      Seq(
+        Kw("SEQNUM", "INTE", Array(t)),
+        Kw("INTEHEAD", "INTE", intehead),
+        Kw("PRESSURE", "REAL",
+          Array.tabulate(RstNactive)(a => (a + 100 * t + 1000 * c).toFloat)),
+        Kw("SWAT", "REAL",
+          Array.tabulate(RstNactive)(a => ((a + t + c) % 32) / 32f)))
+    })
+    path
+  }
+
   def q62UnrstBinary(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q62")
     val frames = (0 until RstCases).map { c =>
-      val path = s"$tmp/CASE$c.UNRST"
-      EclKw.write(path, (0 until RstSteps).flatMap { t =>
-        val intehead = Array.tabulate(67) {
-          case 11 => RstNactive
-          case 64 => 1 + t // day
-          case 65 => 1     // month
-          case 66 => 2022  // year
-          case _  => 0
-        }
-        Seq(
-          Kw("SEQNUM", "INTE", Array(t)),
-          Kw("INTEHEAD", "INTE", intehead),
-          Kw("PRESSURE", "REAL",
-            Array.tabulate(RstNactive)(a => (a + 100 * t + 1000 * c).toFloat)),
-          Kw("SWAT", "REAL",
-            Array.tabulate(RstNactive)(a => ((a + t + c) % 32) / 32f)))
-      })
+      val path = writeRstCase(tmp, c)
       graft.io.EclBinary.unrst(s, path).withColumn("case_id", lit(c))
     }
     frames.reduce(_ unionByName _)
@@ -247,6 +255,26 @@ object BinaryGate {
         col("ACTIVE_IDX").as("active_idx"),
         col("PRESSURE").cast("double").as("pressure"),
         col("SWAT").cast("double").as("swat"))
+      .orderBy(col("case_id"), col("date"), col("active_idx"))
+  }
+
+  /** q120: the RESTART FLEET read (S5 at ensemble scale) under the gate
+    * — [[graft.io.EclBinary.restartFleet]] streams every UNRST case's
+    * SEQNUM groups executor-side, one task per case, completing the
+    * ensemble trio (q114 UNSMRY, q117 EGRID+INIT, q120 UNRST). Same
+    * closed-form fixtures as q62, so the oracle is q62's verbatim — a
+    * hash match proves the fleet path equals the single-case
+    * driver-streamed path with no cross-case state leakage.
+    */
+  def q120RestartFleet(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q120")
+    val paths = (0 until RstCases).map(c => writeRstCase(tmp, c))
+    graft.io.EclBinary.restartFleet(s, paths.mkString(","), Seq("PRESSURE", "SWAT"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").as("pressure"), col("SWAT").as("swat"))
       .orderBy(col("case_id"), col("date"), col("active_idx"))
   }
 
@@ -318,6 +346,7 @@ object BinaryGate {
     "q114_summary_fleet" -> (q114SummaryFleet _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q62_unrst_binary" -> (q62UnrstBinary _),
+    "q120_restart_fleet" -> (q120RestartFleet _),
     "q63_rft_binary" -> (q63RftBinary _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
@@ -351,6 +380,20 @@ object BinaryGate {
                 CAST((7 * g + c) % 1000 AS DOUBLE) AS permx
          FROM idx ORDER BY case_id, global_index"""
 
+  /** Restart replay from the closed form — shared verbatim by q62
+    * (single-case reads unioned) and q120 (the fleet read).
+    */
+  private def rstOracle: String =
+    s"""WITH cases AS (SELECT unnest(range($RstCases)) AS c),
+         steps AS (SELECT c, unnest(range($RstSteps)) AS t FROM cases),
+         cells AS (SELECT c, t, unnest(range($RstNactive)) AS a FROM steps)
+         SELECT CAST(c AS INT) AS case_id,
+                CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                a AS active_idx,
+                CAST(a + 100 * t + 1000 * c AS DOUBLE) AS pressure,
+                CAST((a + t + c) % 32 AS DOUBLE) / 32 AS swat
+         FROM cells ORDER BY case_id, date, active_idx"""
+
   val oracleSql: Map[String, String] = Map(
     "q59_grid_binary" -> gridOracle,
     // the fleet read must equal the single-case path exactly: q59's
@@ -375,16 +418,10 @@ object BinaryGate {
                 CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
                 1000.0 * vi + day + CAST(day % 32 AS DOUBLE) / 32 AS value
          FROM v CROSS JOIN d ORDER BY vector, date""",
-    "q62_unrst_binary" ->
-      s"""WITH cases AS (SELECT unnest(range($RstCases)) AS c),
-         steps AS (SELECT c, unnest(range($RstSteps)) AS t FROM cases),
-         cells AS (SELECT c, t, unnest(range($RstNactive)) AS a FROM steps)
-         SELECT CAST(c AS INT) AS case_id,
-                CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
-                a AS active_idx,
-                CAST(a + 100 * t + 1000 * c AS DOUBLE) AS pressure,
-                CAST((a + t + c) % 32 AS DOUBLE) / 32 AS swat
-         FROM cells ORDER BY case_id, date, active_idx""",
+    "q62_unrst_binary" -> rstOracle,
+    // the fleet read must equal the single-case path exactly: q62's
+    // oracle verbatim
+    "q120_restart_fleet" -> rstOracle,
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),
