@@ -399,7 +399,73 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  private val DsirB = 1024L
+  private val DsirK = 100
+
+  /** DSIR-style importance weighting (q121): hashed-n-gram importance
+    * resampling toward a target domain (Xie et al. 2023,
+    * arXiv:2302.03169 — the data-selection shape behind domain-matched
+    * pretraining mixtures). Features are unigrams AND bigrams hashed
+    * into [[DsirB]] buckets (the paper's hashed n-gram feature space);
+    * the target distribution is the English slice (`lang = 'en'` — the
+    * canonical "select docs like my target corpus" use), the raw
+    * distribution is the whole corpus; every document scores
+    * Σ_features [ln p̂_tgt(b) − ln p̂_raw(b)] with add-one smoothing,
+    * and the top [[DsirK]] by weight are marked selected (the
+    * deterministic variant of the paper's Gumbel resampling).
+    *
+    * Determinism contract: each bucket's log-ratio is fixed-pointed
+    * ONCE (⌊lr·10⁹+½⌋ — floor, not round, q65's discipline, because lr
+    * is signed and decimal-round half-way modes differ across engines),
+    * then per-doc weights are exact BIGINT sums of those fixed points —
+    * association-order-free, so the hashed output carries no
+    * accumulated float. Scale shape: feature extraction is linear scan
+    * work, the bucket table is ≤[[DsirB]] rows (broadcast), totals one
+    * row, the per-doc aggregate linear, and selection is a distributed
+    * top-K (TakeOrdered), never a global sort.
+    */
+  def q121DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val t0 = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)").as("t"))
+    val uni = t0.select(col("doc_id"), explode(col("t")).as("f"))
+    val bi = t0.select(col("doc_id"),
+      explode(expr("transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("f"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), pmod(strHash(col("f")), lit(DsirB)).as("b"))
+    val tgt = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"))
+    val bs = feats.join(tgt, Seq("doc_id"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_c"), count(when(col("is_t"), 1)).as("tgt_c"))
+    val tot = bs.agg(sum(col("raw_c")).as("rr"), sum(col("tgt_c")).as("tt"))
+    val lr = bs.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor((log((col("tgt_c") + lit(1.0)) / (col("tt") + lit(DsirB.toDouble)))
+          - log((col("raw_c") + lit(1.0)) / (col("rr") + lit(DsirB.toDouble))))
+          * lit(1e9) + lit(0.5)).cast("long").as("lr_fp"))
+    val dw = feats.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_fp")).as("logw_fp"))
+    val full = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(dw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_fp"), lit(0L)).as("logw_fp"))
+    val sel = full.orderBy(col("logw_fp").desc, col("doc_id")).limit(DsirK)
+      .select(col("doc_id"), lit(true).as("sel"))
+    full.join(broadcast(sel), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_feats"), col("logw_fp"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_dsir_weights" -> (q121DsirWeights _),
     "q115_token_budget" -> (q115TokenBudget _),
     "q108_length_percentiles" -> (q108LengthPercentiles _),
     "q109_source_divergence" -> (q109SourceDivergence _),
@@ -414,7 +480,56 @@ object Curation {
 
   private val enList = sqlList(EnStop)
 
+  /** q121 oracle: the same hashed-n-gram DSIR pipeline — position-keyed
+    * portable hashes keep feature MULTIPLICITY (strHashCtes groups by
+    * its keys, so (doc_id, pos) must be in them), bucket log-ratios are
+    * fixed-pointed once, doc weights are exact BIGINT sums.
+    */
+  private def dsirSql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "fall", Seq("doc_id", "pos"), "f", "fh", "v")
+    s"""WITH t0 AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> len(x) > 0) AS t
+                    FROM documents),
+       uni AS (SELECT doc_id, unnest(t) AS f, generate_subscripts(t, 1) AS pos
+               FROM t0),
+       bil AS (SELECT doc_id,
+                      list_transform(list_slice(t, 1, greatest(len(t) - 1, 0)),
+                                     (x, i) -> x || ' ' || t[i + 1]) AS bl
+               FROM t0),
+       bi AS (SELECT doc_id, unnest(bl) AS f,
+                     generate_subscripts(bl, 1) + 1000000 AS pos
+              FROM bil),
+       fall AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       $hashCtes,
+       feats AS (SELECT doc_id, v % $DsirB AS b FROM fh),
+       tgt AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+       bs AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_c,
+                     CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS tgt_c
+              FROM feats JOIN tgt USING (doc_id) GROUP BY 1),
+       tot AS (SELECT sum(raw_c) AS rr, sum(tgt_c) AS tt FROM bs),
+       lr AS (SELECT b,
+                     CAST(floor((ln((tgt_c + 1.0) / (tt + $DsirB.0))
+                                 - ln((raw_c + 1.0) / (rr + $DsirB.0)))
+                                * 1e9 + 0.5) AS BIGINT) AS lr_fp
+              FROM bs CROSS JOIN tot),
+       dw AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     CAST(sum(l.lr_fp) AS BIGINT) AS logw_fp
+              FROM feats f JOIN lr l USING (b) GROUP BY 1),
+       fullr AS (SELECT d.doc_id, d.source, d.lang,
+                       coalesce(w.n_feats, 0) AS n_feats,
+                       coalesce(w.logw_fp, 0) AS logw_fp
+                 FROM documents d LEFT JOIN dw w USING (doc_id)),
+       sel AS (SELECT doc_id FROM fullr ORDER BY logw_fp DESC, doc_id LIMIT $DsirK)
+       SELECT f.doc_id, f.source, f.lang, f.n_feats, f.logw_fp,
+              s.doc_id IS NOT NULL AS selected
+       FROM fullr f LEFT JOIN sel s USING (doc_id)
+       ORDER BY f.doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q121_dsir_weights" -> dsirSql,
     // first-fit admission replayed as a recursive CTE walking each
     // source's rank order with the admitted-token total as state
     "q115_token_budget" ->

@@ -51,6 +51,21 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(appended.map(r => (r.get(0), r.get(1))).distinct.size == appended.size)
   }
 
+  test("q121: DSIR importance weighting enriches the target language") {
+    // at sf0.01 the corpus (500 docs, 218 en) exceeds DsirK=100, so
+    // selection is a real cut; importance resampling toward the en
+    // distribution must select en at a higher rate than the corpus base
+    val out = graft.queries.Curation.q121DsirWeights(spark, "/root/testdata/sf0.01")
+      .select(col("lang"), col("selected"), col("n_feats"), col("logw_fp")).collect()
+    val sel = out.filter(_.getBoolean(1))
+    assert(sel.length == 100)
+    val enSel = sel.count(_.getString(0) == "en").toDouble / sel.length
+    val enAll = out.count(_.getString(0) == "en").toDouble / out.length
+    assert(enSel > enAll, s"selected en rate $enSel must beat corpus rate $enAll")
+    // docs with no features carry exactly the zero weight contract
+    out.filter(_.getLong(2) == 0L).foreach(r => assert(r.getLong(3) == 0L))
+  }
+
   test("q59: grid binary decode recovers the closed-form geometry exactly") {
     val rows = graft.queries.BinaryGate.q59GridBinary(spark, Sf)
     // 4 cases x 2000 cells minus the (g+c)%7==0 inactives
