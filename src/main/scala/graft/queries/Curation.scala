@@ -464,7 +464,59 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  private val MixAlphaBudget = 200L // sampled docs across the corpus
+
+  /** Temperature-balanced mixture sampling (q122): the α-scaled
+    * language-rebalancing trick multilingual pretraining uses (mT5 /
+    * XLM-R: sample languages ∝ n^α with α≈0.5 so high-resource
+    * languages stop drowning the tail). Per language, the acceptance
+    * rate is `min(1, n^α·M / (Σ_l n_l^α · n))` for a corpus budget of
+    * [[MixAlphaBudget]] docs; membership is decided by a deterministic
+    * portable hash threshold (the q55 convention — reproducible,
+    * coordination-free, executor-local).
+    *
+    * Determinism contract: IEEE sqrt is CORRECTLY ROUNDED (unlike ln),
+    * so `w_fp = ⌊√n·10⁶+½⌋` is engine-identical; every later step —
+    * Σ w_fp, the rate `⌊w_fp·M·10⁶ / (tot·n)⌋`, the hash compare — is
+    * exact BIGINT arithmetic. No float survives to the hashed output.
+    * (Long bound: w_fp·M·10⁶ < 2⁶³ up to ~2·10⁹ docs per language at
+    * this budget scale.) Scale shape: one language-count aggregate
+    * (bounded rows, driver-computed exact rates), one broadcast join,
+    * a codegen hash compare per row — zero extra exchanges.
+    */
+  def q122TempMixture(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PortableHash, PortableStringHash}
+    import PortableStringHash.strHash
+    import s.implicits._
+    val counts = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).orderBy(col("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val wfp = counts.map { case (l, n) =>
+      (l, n, math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val tot = wfp.map(_._3).sum
+    val rates = wfp.map { case (l, n, w) =>
+      (l, n, math.min(1000000L, w * MixAlphaBudget * 1000000L / (tot * n)))
+    }.toSeq.toDF("lang", "n_lang", "r_fp")
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(rates), Seq("lang"))
+      // mix after the string hash: a short numeric suffix only moves the
+      // polynomial through a NARROW band of [0, P) (width ≈ 131³·chars),
+      // so a 10⁶ modulus on the raw hash is badly lumpy (measured 6/500
+      // accepts at a 40% target); the M1-multiply bijection spreads the
+      // band across [0, P) first — q55's 10⁴ modulus wraps the band
+      // hundreds of times and never saw this
+      .withColumn("h", pmod(
+        PortableHash.mix(
+          strHash(concat(lit("mix:v1|"), col("doc_id").cast("string"))), 7),
+        lit(1000000L)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_lang"),
+        col("r_fp"), (col("h") < col("r_fp")).as("accepted"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_temp_mixture" -> (q122TempMixture _),
     "q121_dsir_weights" -> (q121DsirWeights _),
     "q115_token_budget" -> (q115TokenBudget _),
     "q108_length_percentiles" -> (q108LengthPercentiles _),
@@ -528,7 +580,38 @@ object Curation {
        ORDER BY f.doc_id"""
   }
 
+  /** q122 oracle: the same exact-integer rate pipeline; only sqrt is
+    * floating, and IEEE sqrt is correctly rounded on both engines.
+    */
+  private def tempMixtureSql: String = {
+    val hashCtes = graft.functions.PortableStringHash.strHashCtes(
+      "k", Seq("doc_id"), "f", "kh", "v")
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                 FROM documents GROUP BY 1),
+       w AS (SELECT lang, n_lang,
+                    CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                      AS w_fp
+             FROM c),
+       t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS tot FROM w),
+       r AS (SELECT lang, n_lang,
+                    CAST(least(1000000,
+                          (w_fp * $MixAlphaBudget * 1000000)
+                            // (tot * n_lang)) AS BIGINT) AS r_fp
+             FROM w CROSS JOIN t),
+       k AS (SELECT doc_id, 'mix:v1|' || CAST(doc_id AS VARCHAR) AS f
+             FROM documents),
+       $hashCtes
+       SELECT d.doc_id, d.lang, d.source, r.n_lang, r.r_fp,
+              (${graft.functions.PortableHash.mixSql("h.v", 7)} % 1000000)
+                < r.r_fp AS accepted
+       FROM documents d
+       JOIN r USING (lang)
+       JOIN kh h USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q122_temp_mixture" -> tempMixtureSql,
     "q121_dsir_weights" -> dsirSql,
     // first-fit admission replayed as a recursive CTE walking each
     // source's rank order with the admitted-token total as state

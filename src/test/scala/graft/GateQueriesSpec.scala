@@ -66,6 +66,25 @@ class GateQueriesSpec extends AnyFunSuite {
     out.filter(_.getLong(2) == 0L).foreach(r => assert(r.getLong(3) == 0L))
   }
 
+  test("q122: temperature mixture flattens language skew toward the budget") {
+    val out = graft.queries.Curation.q122TempMixture(spark, "/root/testdata/sf0.01")
+      .select(col("lang"), col("n_lang"), col("r_fp"), col("accepted")).collect()
+    // alpha=0.5 rebalancing: the PER-DOC acceptance rate of the biggest
+    // language must be strictly below the smallest language's (n^alpha/n
+    // is decreasing in n), while absolute sampled mass still orders the
+    // other way at alpha>0
+    val byLang = out.groupBy(_.getString(0)).map { case (l, rs) =>
+      (l, rs.head.getLong(1), rs.head.getLong(2), rs.count(_.getBoolean(3))) }.toSeq
+    val big = byLang.maxBy(_._2)
+    val small = byLang.minBy(_._2)
+    assert(big._2 > small._2) // the corpus is actually skewed
+    assert(big._3 < small._3, s"per-doc rate must flatten: $big vs $small")
+    // the realized sample approximates the budget (hash thresholds are
+    // uniform to ~1/sqrt(M) — allow a wide deterministic band)
+    val total = byLang.map(_._4).sum
+    assert(total > 120 && total < 280, s"sampled $total of budget 200")
+  }
+
   test("q59: grid binary decode recovers the closed-form geometry exactly") {
     val rows = graft.queries.BinaryGate.q59GridBinary(spark, Sf)
     // 4 cases x 2000 cells minus the (g+c)%7==0 inactives
