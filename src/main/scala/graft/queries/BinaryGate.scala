@@ -340,7 +340,68 @@ object BinaryGate {
         col("i2"), col("j2"), col("k2"))
   }
 
+  /** q123: per-cell ENSEMBLE STATISTICS across grid realizations — the
+    * history-match QC query a fleet read exists for ("where does the
+    * ensemble disagree about porosity?"): q117's fleet frame grouped by
+    * global cell, per-cell case count (ACTNUM differs per realization,
+    * so membership varies), min/max, and exact fixed-point means.
+    * PORO is dyadic (k/64) so `Σ poro·64` is an exact integer and the
+    * mean publishes as `⌊Σ·10⁶ / (64·n)⌋` — BIGINT end to end, no
+    * float accumulation reaches the hash (PERMX likewise,
+    * integer-valued). Scale: fleet scan → ONE cell-keyed aggregate;
+    * output is grid-sized, independent of ensemble size.
+    */
+  def q123GridEnsembleStats(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q123")
+    val paths = (0 until GridCases).map { c =>
+      writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
+    }
+    graft.io.EclBinary.gridFleet(s, paths.mkString(","), Seq("PORO", "PERMX"))
+      .groupBy(col("GLOBAL_INDEX").as("global_index"),
+        col("I").as("i"), col("J").as("j"), col("K").as("k"))
+      .agg(count(lit(1)).as("n_cases"),
+        min(col("PORO")).as("poro_min"), max(col("PORO")).as("poro_max"),
+        floor(sum((col("PORO") * 64).cast("long")) * 1000000
+          / (lit(64) * count(lit(1)))).cast("long").as("poro_mean_fp"),
+        min(col("PERMX")).as("permx_min"), max(col("PERMX")).as("permx_max"),
+        floor(sum(col("PERMX").cast("long")) * 1000000
+          / count(lit(1))).cast("long").as("permx_mean_fp"))
+      .orderBy(col("global_index"))
+  }
+
+  /** q124: per-vector ENSEMBLE ENVELOPE across summary realizations —
+    * the ERT ensemble plot behind every history-match review (min/max
+    * band + mean per vector per date over all cases): q114's fleet
+    * frame grouped by (vector, date). Values are dyadic (x/32 exact in
+    * float32), so `Σ value·32` is an exact BIGINT and the mean
+    * publishes fixed-point — no float accumulation in the hashed
+    * output. Scale: fleet scan → ONE (vector, date)-keyed aggregate;
+    * output is (vectors × dates)-sized, independent of ensemble size.
+    */
+  def q124SummaryEnsembleStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = fixtureDir("q124")
+    (0 until FleetCases).foreach { c =>
+      val rows = for {
+        (v, vi) <- SumVectors.zipWithIndex
+        d <- 0 until SumDays
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
+    }
+    graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .groupBy(col("VECTOR").as("vector"), col("DATE").cast("timestamp").as("date"))
+      .agg(count(lit(1)).as("n_cases"),
+        min(col("VALUE")).as("v_min"), max(col("VALUE")).as("v_max"),
+        floor(sum((col("VALUE") * 32).cast("long")) * 1000000
+          / (lit(32) * count(lit(1)))).cast("long").as("v_mean_fp"))
+      .orderBy(col("vector"), col("date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_grid_ensemble_stats" -> (q123GridEnsembleStats _),
+    "q124_summary_ensemble_stats" -> (q124SummaryEnsembleStats _),
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q114_summary_fleet" -> (q114SummaryFleet _),
@@ -395,6 +456,48 @@ object BinaryGate {
          FROM cells ORDER BY case_id, date, active_idx"""
 
   val oracleSql: Map[String, String] = Map(
+    // every arithmetic step lands on exactly-representable values
+    // (dyadic poro, integer permx, numerators < 2^53), so double
+    // division + floor is engine-identical. A cell inactive in ALL 4
+    // cases needs (g+c)%7=0 for four consecutive c — impossible — so
+    // every cell appears.
+    "q123_grid_ensemble_stats" ->
+      s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
+         cells AS (SELECT unnest(range(${Nx * Ny * Nz})) AS g),
+         act AS (SELECT g, c FROM cells CROSS JOIN cases WHERE (g + c) % 7 <> 0),
+         v AS (SELECT g, c, (g + 5 * c) % 64 AS p64, (7 * g + c) % 1000 AS px
+               FROM act)
+         SELECT g AS global_index,
+                CAST(g % $Nx + 1 AS INT) AS i,
+                CAST((g // $Nx) % $Ny + 1 AS INT) AS j,
+                CAST(g // ${Nx * Ny} + 1 AS INT) AS k,
+                CAST(count(*) AS BIGINT) AS n_cases,
+                CAST(min(p64) AS DOUBLE) / 64 AS poro_min,
+                CAST(max(p64) AS DOUBLE) / 64 AS poro_max,
+                CAST(floor(CAST(sum(p64) AS DOUBLE) * 1000000
+                           / (64 * count(*))) AS BIGINT) AS poro_mean_fp,
+                CAST(min(px) AS DOUBLE) AS permx_min,
+                CAST(max(px) AS DOUBLE) AS permx_max,
+                CAST(floor(CAST(sum(px) AS DOUBLE) * 1000000
+                           / count(*)) AS BIGINT) AS permx_mean_fp
+         FROM v GROUP BY g ORDER BY g""",
+    "q124_summary_ensemble_stats" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+         v AS (
+           SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
+                  unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+         d AS (SELECT unnest(range($SumDays)) AS day),
+         x AS (SELECT vector, day,
+                      32000 * vi + 32 * day + 224 * case_id + day % 32 AS v32
+               FROM c CROSS JOIN v CROSS JOIN d)
+         SELECT vector,
+                CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
+                CAST(count(*) AS BIGINT) AS n_cases,
+                CAST(min(v32) AS DOUBLE) / 32 AS v_min,
+                CAST(max(v32) AS DOUBLE) / 32 AS v_max,
+                CAST(floor(CAST(sum(v32) AS DOUBLE) * 1000000
+                           / (32 * count(*))) AS BIGINT) AS v_mean_fp
+         FROM x GROUP BY vector, day ORDER BY vector, date""",
     "q59_grid_binary" -> gridOracle,
     // the fleet read must equal the single-case path exactly: q59's
     // oracle verbatim
