@@ -289,6 +289,49 @@ object Multimodal {
     * meanB]` zero-padded to [[FeatureDim]] — the downstream contract
     * (fixed-dim Array[Float] per item) is the same as the stub's.
     */
+  /** Perceptual AVERAGE-HASH of a decoded image: partition into an
+    * 8×8 block grid, luminance-sum each block (lum = r+g+b — an
+    * integer ×3 scale of the mean, so no division anywhere), and set
+    * bit `by·8+bx` iff the block's mean EXCEEDS the global mean
+    * (`bs·64 > ts` in exact integer cross-multiplied form). Returned as
+    * two 32-bit halves packed in longs so no value ever touches the
+    * sign bit. The classic pHash-family content fingerprint: identical
+    * DECODED PIXELS hash identically regardless of how the bytes were
+    * encoded (PNG writer variant, raster layout), which is exactly what
+    * byte-level md5 dedup cannot see. Requires dimensions divisible by
+    * 8 — compose with [[resizeBilinear]] first for arbitrary sizes (the
+    * canonical aHash pipeline resizes to a small square anyway).
+    */
+  def averageHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % 8 == 0 && h % 8 == 0,
+      s"averageHash needs dims divisible by 8 (got ${w}x$h) - resize first")
+    val (bw, bh) = (w / 8, h / 8)
+    val bs = new Array[Long](64)
+    var ts = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        bs((y / bh) * 8 + x / bw) += lum
+        ts += lum
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L; var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (bs(b) * 64 > ts) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (lo, hi)
+  }
+
   private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     val (w, h) = (img.getWidth, img.getHeight)

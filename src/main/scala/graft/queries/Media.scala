@@ -119,13 +119,119 @@ object Media {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** q125: PERCEPTUAL image dedup — the multimodal member of the dedup
+    * family (q24 exact text, q26 near-dup text, q96 embeddings; this is
+    * the IMAGE axis a multimodal corpus needs). Per doc a deterministic
+    * 32×16 image keyed on `gid = doc_id % 50` (so every ~10 docs share
+    * PIXELS) is encoded through the JDK's REAL lossless codecs — half
+    * the corpus as PNG, half as BMP (same decoded pixels, entirely
+    * different container bytes: the same-photo-different-format case a
+    * scraped corpus is full of, invisible to byte-md5 dedup) — decoded
+    * back with [[Multimodal.decodeImage]] (format auto-detected) and
+    * fingerprinted with
+    * [[Multimodal.averageHash]] (8×8 block-mean aHash, exact integer
+    * compares). Same decoded pixels ⇒ same hash ⇒ the q24 keep-first
+    * report, now robust to re-encoding. The oracle replays the aHash
+    * bit math from the pixel formula alone — a hash match proves the
+    * real PNG codec ran AND the block fingerprint matched across the
+    * two encoder paths.
+    *
+    * Scale shape: one stateless mapPartitions decode kernel (the
+    * mapInPandas batch shape), one 16-byte-key hash aggregate, one
+    * broadcast-sized join back — q24's plan with a decode stage.
+    */
+  def q125ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map { id =>
+        val gid = id % 50
+        // red encodes gid's bits in BLOCK brightness (block bi reads bit
+        // bi mod 6), green/blue add a gid-independent texture: every gid
+        // in 0..49 lands on a DISTINCT aHash (simulated exhaustively),
+        // so dedup groups are exactly the pixel-identical gid groups —
+        // a smooth per-pixel gradient collapsed 28 gids into one hash
+        // (aHash is deliberately coarse; structure must sit at block
+        // scale to survive it)
+        val img = new java.awt.image.BufferedImage(
+          32, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 32) {
+            val bi = (y / 2) * 8 + x / 4
+            val r = (((gid >> (bi % 6)) & 1L) * 255L).toInt
+            val g = (x * 8) % 256
+            val b = (y * 16) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = if ((id / 50) % 2 == 0) Multimodal.encodePng(img)
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "bmp", bos)
+            bos.toByteArray
+          }
+        val dec = Multimodal.decodeImage(bytes)
+          .getOrElse(throw new IllegalStateException(s"image round-trip failed for doc $id"))
+        val (lo, hi) = Multimodal.averageHash(dec)
+        (id, lo, hi)
+      }
+    }.toDF("doc_id", "ahash_lo", "ahash_hi")
+    val grp = hashed.groupBy(col("ahash_lo"), col("ahash_hi"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(grp, Seq("ahash_lo", "ahash_hi"))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        col("keep_id"), col("n_copies"), (col("doc_id") > col("keep_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_image_dedup" -> (q125ImageDedup _),
     "q43_image_decode" -> (q43ImageDecode _),
     "q46_audio_decode" -> (q46AudioDecode _),
     "q93_frame_sample" -> (q93FrameSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // aHash bit math replayed from the pixel formula: 32×16 image,
+    // 8×8 block grid (4×2 px blocks), lum = r+g+b, bit set iff
+    // bs·64 > ts (exact integer cross-multiply) — engine-identical
+    "q125_image_dedup" ->
+      """WITH docs AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
+        |gids AS (SELECT DISTINCT gid FROM docs),
+        |pix AS (
+        |  SELECT gid, x, y,
+        |         ((gid >> CAST(((y // 2) * 8 + x // 4) % 6 AS INT)) & 1) * 255
+        |           + (x * 8) % 256 + (y * 16) % 256 AS lum
+        |  FROM gids
+        |  CROSS JOIN (SELECT unnest(range(32)) AS x)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS y)),
+        |blocks AS (
+        |  SELECT gid, CAST(y // 2 AS BIGINT) * 8 + x // 4 AS bit,
+        |         CAST(sum(lum) AS BIGINT) AS bs
+        |  FROM pix GROUP BY 1, 2),
+        |tots AS (SELECT gid, sum(bs) AS ts FROM blocks GROUP BY 1),
+        |hashes AS (
+        |  SELECT b.gid,
+        |         CAST(sum(CASE WHEN bit < 32 AND bs * 64 > ts
+        |                       THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |         CAST(sum(CASE WHEN bit >= 32 AND bs * 64 > ts
+        |                       THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS ahash_hi
+        |  FROM blocks b JOIN tots USING (gid) GROUP BY 1),
+        |dh AS (SELECT d.doc_id, h.ahash_lo, h.ahash_hi
+        |       FROM docs d JOIN hashes h USING (gid)),
+        |grp AS (SELECT ahash_lo, ahash_hi, min(doc_id) AS keep_id,
+        |               CAST(count(*) AS BIGINT) AS n_copies
+        |        FROM dh GROUP BY 1, 2)
+        |SELECT d.doc_id, d.ahash_lo, d.ahash_hi, g.keep_id, g.n_copies,
+        |       d.doc_id > g.keep_id AS is_dup
+        |FROM dh d JOIN grp g USING (ahash_lo, ahash_hi)
+        |ORDER BY d.doc_id""".stripMargin,
     "q43_image_decode" ->
       """WITH dims AS (
         |  SELECT doc_id,

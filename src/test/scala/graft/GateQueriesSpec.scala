@@ -85,6 +85,33 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(total > 120 && total < 280, s"sampled $total of budget 200")
   }
 
+  test("q125: aHash collapses re-encoded duplicates byte-md5 cannot see") {
+    import graft.multimodal.Multimodal
+    def build(gid: Long, typ: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 16, typ)
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val bi = (y / 2) * 8 + x / 4
+        val r = (((gid >> (bi % 6)) & 1L) * 255L).toInt
+        img.setRGB(x, y, (r << 16) | (((x * 8) % 256) << 8) | ((y * 16) % 256))
+      }
+      img
+    }
+    val img = build(3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val b1 = Multimodal.encodePng(img)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val b2 = bos.toByteArray
+    // identical pixels, different CONTAINER (png vs bmp) -> different
+    // bytes: byte-level md5 dedup finds nothing here
+    assert(!java.util.Arrays.equals(b1, b2))
+    // ...but the DECODED perceptual hash is identical
+    assert(Multimodal.averageHash(Multimodal.decodeImage(b1).get)
+      == Multimodal.averageHash(Multimodal.decodeImage(b2).get))
+    // and distinct content hashes differently
+    assert(Multimodal.averageHash(build(3, java.awt.image.BufferedImage.TYPE_INT_RGB))
+      != Multimodal.averageHash(build(5, java.awt.image.BufferedImage.TYPE_INT_RGB)))
+  }
+
   test("q59: grid binary decode recovers the closed-form geometry exactly") {
     val rows = graft.queries.BinaryGate.q59GridBinary(spark, Sf)
     // 4 cases x 2000 cells minus the (g+c)%7==0 inactives
