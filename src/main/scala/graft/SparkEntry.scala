@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnnPq, BinaryGate, Chunking, Curation, Deck, DedupSim, Extras, Media, ModuleOracles, Relational, ReservoirGate, StreamGate, TextAnalytics, Tokenize}
+import graft.queries.{AnnPq, BinaryGate, Chunking, Curation, Deck, DedupSim, Extras, Media, ModuleOracles, Relational, ReservoirGate, Sketches, StreamGate, TextAnalytics, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,13 @@ object SparkEntry {
     Relational.queries ++ TextAnalytics.queries ++ DedupSim.queries ++ Extras.queries ++
       Media.queries ++ Deck.queries ++ ModuleOracles.queries ++
       StreamGate.queries ++ BinaryGate.queries ++ ReservoirGate.queries ++
-      Chunking.queries ++ Curation.queries ++ AnnPq.queries ++ Tokenize.queries
+      Chunking.queries ++ Curation.queries ++ AnnPq.queries ++ Tokenize.queries ++
+      Sketches.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalytics.oracleSql ++ DedupSim.oracleSql ++ Extras.oracleSql ++
       Media.oracleSql ++ Deck.oracleSql ++ ModuleOracles.oracleSql ++
       StreamGate.oracleSql ++ BinaryGate.oracleSql ++ ReservoirGate.oracleSql ++
-      Chunking.oracleSql ++ Curation.oracleSql ++ AnnPq.oracleSql ++ Tokenize.oracleSql
+      Chunking.oracleSql ++ Curation.oracleSql ++ AnnPq.oracleSql ++ Tokenize.oracleSql ++
+      Sketches.oracleSql
 }

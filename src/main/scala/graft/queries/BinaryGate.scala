@@ -399,7 +399,186 @@ object BinaryGate {
       .orderBy(col("vector"), col("date"))
   }
 
+  /** Observation days for q126: every 5th report day. */
+  private val MisfitObsDays: Seq[Int] = (0 until SumDays).filter(_ % 5 == 0)
+
+  /** q126: ENSEMBLE MISFIT RANKING — the history-match scoring loop ERT
+    * runs after every ensemble batch (reference users rank realizations
+    * by weighted squared deviation from observed production data, cf.
+    * `summary.py`'s role as the data source for ERT's MISFIT workflow):
+    * a closed-form observation set (vector, date, value, error) joined
+    * against q114's summary FLEET read, per-realization misfit
+    * Σ ((sim−obs)/err)² aggregated in ONE pass, realizations ranked.
+    *
+    * Exactness: sim values are dyadic (x/32 float32-exact) and obs
+    * values are chosen on the same lattice, so `sim·32 − obs·32` is an
+    * exact BIGINT multiple of 32 and the residual (7c + 3(d%7) −
+    * 2(vi%3)) is an exact integer; errors are powers of two, so the
+    * normalized square publishes as `w·δ²` with w = 4/err² ∈ {1,4} —
+    * BIGINT end to end, no float reaches the hash.
+    *
+    * Scale shape: the observation set is always tiny (a history-match
+    * uses hundreds of observed points) → BROADCAST inner join against
+    * the fleet scan, one case-keyed aggregate; the ranking window runs
+    * over ensemble-sized output (≤ thousands of realizations — one
+    * task by construction, same bound as the codebook collects).
+    */
+  def q126EnsembleMisfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tmp = fixtureDir("q126")
+    (0 until FleetCases).foreach { c =>
+      val rows = for {
+        (v, vi) <- SumVectors.zipWithIndex
+        d <- 0 until SumDays
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
+    }
+    val obsRows = for {
+      (v, vi) <- SumVectors.zipWithIndex
+      d <- MisfitObsDays
+    } yield (v,
+      java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2021, 1, 1).plusDays(d).atStartOfDay),
+      32000L * vi + 32L * d - 96L * (d % 7) + 64L * (vi % 3) + d % 32,
+      if (vi % 2 == 0) 4L else 1L) // w = 4/err², err = 1 (even vi) or 2 (odd)
+    val obs = obsRows.toDF("vector", "ts", "obs32", "w")
+    val misfit = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("ts"),
+        (col("VALUE") * 32).cast("long").as("sim32"))
+      .join(broadcast(obs), Seq("vector", "ts"))
+      .withColumn("dlt", expr("(sim32 - obs32) div 32"))
+      .groupBy(col("case_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w") * col("dlt") * col("dlt")).as("misfit_fp4"))
+    misfit
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("misfit_fp4"), col("case_id"))))
+      .select(col("case_id"), col("n_obs"), col("misfit_fp4"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** q128: DEPLETION DELTA over the restart fleet — the
+    * pressure-depletion / saturation-sweep report an ensemble study
+    * reads UNRST files FOR (reference users difference restart steps
+    * per cell; cf. `grid.py` dataframe2res's dz/depth workflows): per
+    * (case, active cell) the first→last report-step change, then the
+    * per-cell CROSS-REALIZATION envelope (count, min/max, exact
+    * fixed-point mean of ΔP and ΔSWAT·32).
+    *
+    * Exactness: fixture pressures are integer-valued float32 and SWAT
+    * is dyadic (x/32), so ΔP and ΔSWAT·32 cast to exact BIGINTs; the
+    * mean publishes as `(sum·10⁶) div n` — positive-operand truncating
+    * division, engine-identical.
+    *
+    * Scale shape: fleet decode is one task per case (no driver
+    * streaming); first/last-per-(case,cell) is a min/max STRUCT
+    * aggregate keyed by date — partial-aggregated map-side, so the one
+    * exchange carries exactly one row per (case, cell); the ensemble
+    * envelope re-keys by cell, output = grid size, independent of
+    * ensemble size and step count. No window over steps is ever needed
+    * (min/max struct beats a sort-per-group at any step count).
+    */
+  /** The depletion-shaped UNRST closed form shared by q128 and q132:
+    * PRESSURE = 1000c + a + t·(10 + c + a%7) (per-case, per-cell time
+    * slope — integer-valued float32), SWAT = ((a + 3t + c) % 32)/32
+    * (dyadic). */
+  private def writeDepletionRstCase(tmp: String, c: Int): String = {
+    val path = s"$tmp/CASE$c.UNRST"
+    EclKw.write(path, (0 until RstSteps).flatMap { t =>
+      val intehead = Array.tabulate(67) {
+        case 11 => RstNactive
+        case 64 => 1 + t
+        case 65 => 1
+        case 66 => 2022
+        case _  => 0
+      }
+      Seq(
+        Kw("SEQNUM", "INTE", Array(t)),
+        Kw("INTEHEAD", "INTE", intehead),
+        Kw("PRESSURE", "REAL",
+          Array.tabulate(RstNactive)(a => (1000 * c + a + t * (10 + c + a % 7)).toFloat)),
+        Kw("SWAT", "REAL",
+          Array.tabulate(RstNactive)(a => ((a + 3 * t + c) % 32) / 32f)))
+    })
+    path
+  }
+
+  def q128Depletion(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q128")
+    val paths = (0 until RstCases).map(c => writeDepletionRstCase(tmp, c))
+    val perCase = graft.io.EclBinary.restartFleet(s, paths.mkString(","), Seq("PRESSURE", "SWAT"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("ACTIVE_IDX").as("active_idx"),
+        col("DATE").cast("timestamp").as("ts"),
+        col("PRESSURE").cast("double").as("p"),
+        (col("SWAT").cast("double") * 32).as("sw32"))
+      .groupBy(col("case_id"), col("active_idx"))
+      .agg(min(struct(col("ts"), col("p"), col("sw32"))).as("f"),
+        max(struct(col("ts"), col("p"), col("sw32"))).as("l"))
+      .select(col("case_id"), col("active_idx"),
+        (col("l.p") - col("f.p")).cast("long").as("dp"),
+        (col("l.sw32") - col("f.sw32")).cast("long").as("dsw32"))
+    perCase
+      .groupBy(col("active_idx"))
+      .agg(count(lit(1)).as("n_cases"),
+        min(col("dp")).as("dp_min"), max(col("dp")).as("dp_max"),
+        sum(col("dp")).as("dp_sum"),
+        min(col("dsw32")).as("dsw32_min"), max(col("dsw32")).as("dsw32_max"))
+      .withColumn("dp_mean_fp6", expr("(dp_sum * 1000000) div n_cases"))
+      .select(col("active_idx"), col("n_cases"), col("dp_min"), col("dp_max"),
+        col("dp_sum"), col("dp_mean_fp6"), col("dsw32_min"), col("dsw32_max"))
+      .orderBy(col("active_idx"))
+  }
+
+  /** q132: FIELD PRESSURE TRAJECTORY over the restart fleet — the
+    * material-balance plot an ensemble study draws first (field-average
+    * pressure vs report step per realization, with the step-over-step
+    * decline): per (case, step) ONE cell-aggregate over the fleet scan,
+    * then a per-case lag window over step-count-sized output.
+    *
+    * Exactness: fixture pressures are integer-valued float32 (q128's
+    * shared closed form), so the per-step sum is an exact BIGINT and
+    * the field average publishes as `(sum·10⁶) div n` (positive
+    * truncating division). The decline is a BIGINT difference,
+    * null on each case's first step.
+    *
+    * Scale shape: decode is one task per case; the (case, step)
+    * aggregate partial-combines map-side so the exchange carries one
+    * row per (case, step) — the window then runs over ensemble×steps
+    * rows (thousands), partitioned by case. Nothing grows with grid
+    * size after the first aggregate.
+    */
+  def q132FieldDecline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = fixtureDir("q132")
+    val paths = (0 until RstCases).map(c => writeDepletionRstCase(tmp, c))
+    graft.io.EclBinary.restartFleet(s, paths.mkString(","), Seq("PRESSURE"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("ts"),
+        col("PRESSURE").cast("long").as("p"))
+      .groupBy(col("case_id"), col("ts"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("p")).as("p_sum"))
+      .withColumn("p_avg_fp6", expr("(p_sum * 1000000) div n_cells"))
+      .withColumn("dp_sum",
+        col("p_sum") - lag(col("p_sum"), 1)
+          .over(Window.partitionBy(col("case_id")).orderBy(col("ts"))))
+      .select(col("case_id"), col("ts"), col("n_cells"), col("p_sum"),
+        col("p_avg_fp6"), col("dp_sum"))
+      .orderBy(col("case_id"), col("ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_field_decline" -> (q132FieldDecline _),
+    "q128_depletion" -> (q128Depletion _),
+    "q126_ensemble_misfit" -> (q126EnsembleMisfit _),
     "q123_grid_ensemble_stats" -> (q123GridEnsembleStats _),
     "q124_summary_ensemble_stats" -> (q124SummaryEnsembleStats _),
     "q59_grid_binary" -> (q59GridBinary _),
@@ -456,6 +635,68 @@ object BinaryGate {
          FROM cells ORDER BY case_id, date, active_idx"""
 
   val oracleSql: Map[String, String] = Map(
+    // closed-form replay of the q128 fixture: P = 1000c + a +
+    // t·(10 + c + a%7); all BIGINT, `//` on positive operands equals
+    // Spark's `div`
+    "q132_field_decline" ->
+      s"""WITH a AS (SELECT unnest(range($RstNactive)) AS a),
+          c AS (SELECT unnest(range($RstCases)) AS c),
+          t AS (SELECT unnest(range($RstSteps)) AS t),
+          x AS (SELECT c, t, 1000 * c + a + t * (10 + c + a % 7) AS p
+                FROM a CROSS JOIN c CROSS JOIN t),
+          m AS (SELECT c AS case_id, t, count(*) AS n_cells, sum(p) AS p_sum
+                FROM x GROUP BY 1, 2)
+          SELECT CAST(case_id AS INT) AS case_id,
+                 CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS ts,
+                 CAST(n_cells AS BIGINT) AS n_cells,
+                 CAST(p_sum AS BIGINT) AS p_sum,
+                 CAST((p_sum * 1000000) // n_cells AS BIGINT) AS p_avg_fp6,
+                 CAST(p_sum - lag(p_sum) OVER (PARTITION BY case_id ORDER BY t)
+                      AS BIGINT) AS dp_sum
+          FROM m ORDER BY case_id, ts""",
+    // closed-form replay: ΔP = 2·(10 + c + a%7), ΔSWAT·32 =
+    // ((a+6+c)%32) − ((a+c)%32); all BIGINT, `//` on positive operands
+    // equals Spark's `div`
+    "q128_depletion" ->
+      s"""WITH a AS (SELECT unnest(range($RstNactive)) AS a),
+          c AS (SELECT unnest(range($RstCases)) AS c),
+          x AS (SELECT a, c,
+                       2 * (10 + c + a % 7) AS dp,
+                       ((a + 6 + c) % 32) - ((a + c) % 32) AS dsw32
+                FROM a CROSS JOIN c),
+          m AS (SELECT a, count(*) AS n_cases,
+                       min(dp) AS dp_min, max(dp) AS dp_max, sum(dp) AS dp_sum,
+                       min(dsw32) AS dsw32_min, max(dsw32) AS dsw32_max
+                FROM x GROUP BY a)
+          SELECT CAST(a AS BIGINT) AS active_idx,
+                 CAST(n_cases AS BIGINT) AS n_cases,
+                 CAST(dp_min AS BIGINT) AS dp_min,
+                 CAST(dp_max AS BIGINT) AS dp_max,
+                 CAST(dp_sum AS BIGINT) AS dp_sum,
+                 CAST((dp_sum * 1000000) // n_cases AS BIGINT) AS dp_mean_fp6,
+                 CAST(dsw32_min AS BIGINT) AS dsw32_min,
+                 CAST(dsw32_max AS BIGINT) AS dsw32_max
+          FROM m ORDER BY active_idx""",
+    // residual replay: δ = (224c + 96(d%7) − 64(vi%3)) / 32 — an exact
+    // integer (every term is a multiple of 32), so `//` floor-division
+    // equals Spark's `div` truncation here even for negative residuals
+    "q126_ensemble_misfit" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+         v AS (
+           SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+         d AS (SELECT unnest(range(0, $SumDays, 5)) AS day),
+         x AS (SELECT case_id,
+                      (224 * case_id + 96 * (day % 7) - 64 * (vi % 3)) // 32 AS dlt,
+                      CASE WHEN vi % 2 = 0 THEN 4 ELSE 1 END AS w
+               FROM c CROSS JOIN v CROSS JOIN d),
+         m AS (SELECT case_id, count(*) AS n_obs,
+                      sum(w * dlt * dlt) AS misfit_fp4
+               FROM x GROUP BY case_id)
+         SELECT CAST(case_id AS INT) AS case_id,
+                CAST(n_obs AS BIGINT) AS n_obs,
+                CAST(misfit_fp4 AS BIGINT) AS misfit_fp4,
+                CAST(row_number() OVER (ORDER BY misfit_fp4, case_id) AS INT) AS rank
+         FROM m ORDER BY rank""",
     // every arithmetic step lands on exactly-representable values
     // (dyadic poro, integer permx, numerators < 2^53), so double
     // division + floor is engine-identical. A cell inactive in ALL 4

@@ -860,6 +860,49 @@ object DedupSim {
       .orderBy(col("source"))
   }
 
+  private val SplitSeed = 17
+
+  /** LEAKAGE-SAFE train/val/test split (q131): the assignment step the
+    * q61/q103 leakage AUDITS exist to check — instead of splitting by
+    * document hash (which strands near-duplicates across splits, the
+    * exact contamination q103 hunts), assign the whole q41 near-dup
+    * COMPONENT to one split by hashing its canonical label: every
+    * member inherits the component's draw, so no near-dup pair can
+    * cross a split boundary BY CONSTRUCTION. 80/10/10 via basis-point
+    * buckets of the mix-spread component id (deterministic — retries,
+    * backfills and incremental reruns re-derive identical splits, the
+    * q55 reproducibility argument applied to the split axis).
+    *
+    * Scale shape: component labels are q41's bipartite min-label
+    * propagation (linear per round); the split draw is one codegen'd
+    * projection over the doc-count-sized labels frame, and the only
+    * addition to q41's plan is the doc_id-keyed join attaching
+    * `source` — nothing here grows with corpus size beyond the labels
+    * themselves.
+    *
+    * Note on the synthetic corpus: its dup density collapses the q41
+    * closure to a handful of mega-components at small SF, so whole
+    * splits can be empty there (3 components → 51% chance all land in
+    * train). The mechanism is component-count-agnostic — real corpora
+    * have fine-grained components and the 80/10/10 shape emerges from
+    * the bucket uniformity the spec replays.
+    */
+  def q131LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val comp = docComponents(s, dir)
+      .withColumn("bucket_bp",
+        pmod(PortableHash.mix(col("component_id"), SplitSeed), lit(10000L)))
+      .withColumn("split",
+        when(col("bucket_bp") < 8000, lit("train"))
+          .when(col("bucket_bp") < 9000, lit("val"))
+          .otherwise(lit("test")))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(comp, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("component_id"),
+        col("bucket_bp"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] val ShardArrivalW = 128L
 
   /** Dedup-rate trend over ingest shards (q118): the monitoring query a
@@ -1041,6 +1084,19 @@ object DedupSim {
        JOIN comp c ON c.doc_id = d.doc_id AND c.component_id = d.doc_id
        JOIN sizes s ON s.component_id = c.component_id
        ORDER BY d.doc_id"""
+
+  private def leakageSafeSplitSql: String =
+    s"""WITH ${dedupComponentsCtes},
+       comp AS (SELECT doc_id, label AS component_id FROM l$CcOracleRounds),
+       a AS (SELECT d.doc_id, d.source, c.component_id,
+                    ${graft.functions.PortableHash.mixSql("c.component_id", SplitSeed)} % 10000 AS bucket_bp
+             FROM documents d JOIN comp c USING (doc_id))
+       SELECT doc_id, source, component_id,
+              CAST(bucket_bp AS BIGINT) AS bucket_bp,
+              CASE WHEN bucket_bp < 8000 THEN 'train'
+                   WHEN bucket_bp < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM a ORDER BY doc_id"""
 
   private val NgramN = 3
   private val NgramThreshold = 0.5
@@ -2006,6 +2062,7 @@ object DedupSim {
     "q39_minhash_openvocab" -> (q39MinhashOpenVocab _),
     "q91_lsh_verify" -> (q91LshVerify _),
     "q41_dedup_components" -> (q41DedupComponents _),
+    "q131_leakage_safe_split" -> (q131LeakageSafeSplit _),
     "q56_dedup_materialize" -> (q56DedupMaterialize _),
     "q27_simhash" -> (q27Simhash _),
     "q28_cosine_topk" -> (q28CosineTopK _),
@@ -2221,6 +2278,7 @@ object DedupSim {
     "q39_minhash_openvocab" -> minhashOpenVocabSql,
     "q91_lsh_verify" -> lshVerifySql,
     "q41_dedup_components" -> dedupComponentsSql,
+    "q131_leakage_safe_split" -> leakageSafeSplitSql,
     "q56_dedup_materialize" -> dedupMaterializeSql,
     "q113_source_dedup_rate" -> sourceDedupRateSql,
     "q118_shard_dedup_trend" -> shardDedupTrendSql,

@@ -290,7 +290,45 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q130: ORDERED FUNNEL — the product-analytics staple (first view →
+    * first click after it → first purchase after that) computed
+    * declaratively: one min-aggregate per stage, each stage's candidate
+    * set pre-filtered by event type (the filter reaches the scan) and
+    * restricted by a user-keyed join against the previous stage's
+    * timestamp. No per-user sort, no window, no session state: stage N
+    * is `min(ts) WHERE ts > t_{N-1}` — map-side combinable, and every
+    * exchange is keyed by user_id so AQE can size it. Lags publish as
+    * exact MICROSECOND BIGINTs (null-propagating for non-converters).
+    *
+    * At 100 TB the stage frames are user-sized (≪ event count); the
+    * three joins share the user_id key so they co-locate after the
+    * first shuffle, and the per-stage filters mean each pass reads only
+    * its event type's fraction of the scan.
+    */
+  def q130Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (unix_micros(col("t_click")) - unix_micros(col("t_view"))).as("lag_click_us"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_click"))).as("lag_purchase_us"),
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2))
+          .otherwise(lit(1)).cast("int").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_funnel" -> (q130Funnel _),
     "q110_rolling" -> (q110Rolling _),
     "q31_summary_resample" -> (q31SummaryResample _),
     "q01_agg" -> (q01Agg _),
@@ -315,6 +353,24 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q130_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+         SELECT s1.user_id, t_view, t_click, t_purchase,
+                epoch_us(t_click) - epoch_us(t_view) AS lag_click_us,
+                epoch_us(t_purchase) - epoch_us(t_click) AS lag_purchase_us,
+                CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                          WHEN t_click IS NOT NULL THEN 2
+                          ELSE 1 END AS INT) AS stage
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     "q110_rolling" ->
       """SELECT event_id, user_id, ts,
                 count(*) OVER w AS n_1h,

@@ -490,7 +490,57 @@ object StreamGate {
     DedupSim.incProbeTail(s, dir, best)
   }
 
+  /** q134: STREAM-STREAM INTERVAL JOIN on the gate — the attribution
+    * join (every click within 1 hour after a view by the same user)
+    * run by the streaming engine itself: two readStreams over the same
+    * event source, per-side event-time watermarks, inner equi-join with
+    * a time-range predicate. The range bound + watermarks are what let
+    * the engine EVICT join state (a view older than watermark−1h can
+    * never match again) — the unbounded-stream contract this gate
+    * exercises; without them state grows with the stream.
+    *
+    * Inner-join matches emit as they form (append mode holds back
+    * nothing for inner joins), so a finite AvailableNow replay needs no
+    * sentinel. The oracle is the batch self-join verbatim — a hash
+    * match proves the streaming join emits exactly the batch pair set,
+    * with lags as exact microsecond BIGINTs.
+    *
+    * Scale shape: both sides shuffle once on user_id (the equality
+    * key); state per key is bounded by the 1-hour range × arrival rate
+    * after watermark eviction. The batch twin of this plan is q130's
+    * first-stage join; this is its continuous form.
+    */
+  def q134StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val views = graft.streaming.EventStreams.readEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = graft.streaming.EventStreams.readEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views.join(clicks,
+      expr("""user_id = c_user AND
+              click_ts > view_ts AND
+              click_ts <= view_ts + interval 1 hour"""))
+    val sink = "q134_sink"
+    s.catalog.dropTempView(sink)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_stream_interval_join" -> (q134StreamIntervalJoin _),
     "q112_stream_neardup" -> (q112StreamNearDup _),
     "q106_stream_sessions" -> (q106StreamSessions _),
     "q119_stream_sessions_append" -> (q119StreamSessionsAppend _),
@@ -526,6 +576,17 @@ object StreamGate {
          ORDER BY user_id, session_start"""
 
   val oracleSql: Map[String, String] = Map(
+    // the batch self-join verbatim: the streaming join must emit
+    // exactly this pair set, once each
+    "q134_stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                v.ts AS view_ts, c.ts AS click_ts,
+                epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+         FROM events v JOIN events c
+           ON c.user_id = v.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+         ORDER BY view_id, click_id""",
     "q106_stream_sessions" -> sessionsSql,
     "q119_stream_sessions_append" -> sessionsSql,
     "q58_stream_window" ->

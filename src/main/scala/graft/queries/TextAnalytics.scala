@@ -88,6 +88,57 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule cascade (q127) — the document-level heuristic
+    * filter bundle of Rae et al. 2021 (Gopher, arXiv:2112.11446 §A1.1),
+    * the standard pre-dedup gate of CC-scale pipelines (reused by
+    * RefinedWeb/FineWeb): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, stop-word floor,
+    * and the duplicate-3-gram ceiling (q42's signal as a hard rule).
+    *
+    * Exactness: every ratio threshold is CROSS-MULTIPLIED into an
+    * integer comparison (mean word length in [3,10] ⟺ 3·n_words ≤
+    * word_chars ≤ 10·n_words; symbol ratio < 0.1 ⟺ 10·n_sym < n_words;
+    * alpha fraction ≥ 0.8 ⟺ 5·n_alpha ≥ 4·n_words; dup-3-gram ≤ 0.3 ⟺
+    * 10·(total−distinct) ≤ 3·total) — no division anywhere, so the gate
+    * hashes pure BIGINTs and booleans. The raw counts are emitted so
+    * the hash checks the measurement, not just the verdicts.
+    *
+    * Scale: one narrow codegen'd projection per document — no explode,
+    * no exchange except the output sort; the plan is scan→project at
+    * any corpus size (the 3-gram distinct count is a per-doc HOF over
+    * the token array, bounded by document length).
+    */
+  def q127GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val g3 = when(size(col("t")) >= 3,
+      expr("transform(sequence(0, size(t) - 3), i -> " +
+        "concat_ws(' ', t[i], t[i + 1], t[i + 2]))"))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("word_chars"),
+        expr("size(filter(t, x -> x rlike '^[A-Za-z]+$'))").cast("long").as("n_alpha"),
+        countIn(col("t"), EnStop).as("n_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("n_sym"),
+        size(g3).cast("long").as("g3_total"),
+        size(array_distinct(g3)).cast("long").as("g3_distinct"))
+      .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000L)
+      .withColumn("r_meanlen",
+        lit(3) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol", lit(10) * col("n_sym") < col("n_words"))
+      .withColumn("r_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_dup3",
+        lit(10) * (col("g3_total") - col("g3_distinct")) <= lit(3) * col("g3_total"))
+      .withColumn("pass",
+        col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop") && col("r_dup3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic mixture sampling (q55): reproducible per-source
     * sub-sampling for a training-data mix — keep a document iff the
     * portable hash of a salted doc key lands under its source's rate in
@@ -457,6 +508,7 @@ object TextAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf" -> (q104Tfidf _),
     "q105_line_dedup" -> (q105LineDedup _),
+    "q127_gopher_rules" -> (q127GopherRules _),
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
@@ -588,6 +640,43 @@ object TextAnalytics {
                 round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS avg_word_len
          FROM documents ORDER BY doc_id""",
+    // same cross-multiplied integer rules as the Spark side — no
+    // division ever happens, so the hashed columns are engine-exact
+    "q127_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text,
+                            string_split_regex(trim(text), '\\s+') AS toks
+                     FROM documents),
+          g AS (SELECT doc_id, text, toks,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE [] END AS g3
+                FROM t),
+          m AS (SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+                       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$$'))) AS BIGINT) AS n_alpha,
+                       CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS BIGINT) AS n_stop,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+                       CAST(len(g3) AS BIGINT) AS g3_total,
+                       CAST(len(list_distinct(g3)) AS BIGINT) AS g3_distinct
+                FROM g)
+          SELECT doc_id, n_words, word_chars, n_alpha, n_stop, n_sym,
+                 g3_total, g3_distinct,
+                 (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+                 (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_meanlen,
+                 (10 * n_sym < n_words) AS r_symbol,
+                 (5 * n_alpha >= 4 * n_words) AS r_alpha,
+                 (n_stop >= 2) AS r_stop,
+                 (10 * (g3_total - g3_distinct) <= 3 * g3_total) AS r_dup3,
+                 ((n_words >= 50 AND n_words <= 100000)
+                  AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+                  AND (10 * n_sym < n_words)
+                  AND (5 * n_alpha >= 4 * n_words)
+                  AND (n_stop >= 2)
+                  AND (10 * (g3_total - g3_distinct) <= 3 * g3_total)) AS pass
+          FROM m ORDER BY doc_id""",
     "q21_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
           sc AS (SELECT doc_id, lang,

@@ -85,7 +85,9 @@ object ScaleStress {
       "q109_source_divergence", "q110_rolling", "q111_tokenize_pack",
       "q112_stream_neardup", "q113_source_dedup_rate", "q115_token_budget",
       "q116_stream_window_append", "q118_shard_dedup_trend",
-      "q121_dsir_weights", "q122_temp_mixture")
+      "q121_dsir_weights", "q122_temp_mixture", "q127_gopher_rules",
+      "q129_hll_distinct", "q130_funnel", "q131_leakage_safe_split",
+      "q133_cms_heavy_hitters")
     // one timing body for every row: a crashed run returns -1 (NOT its
     // time-to-crash — the skew rows exist to catch OOMs, which must not
     // print as a normal-looking ratio), and the cache hygiene

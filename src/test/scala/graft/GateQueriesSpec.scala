@@ -753,6 +753,292 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(fleet == perCase && fleet.nonEmpty)
   }
 
+  test("q126: ensemble misfit ranking matches the closed-form replay") {
+    val out = graft.queries.BinaryGate.q126EnsembleMisfit(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // independent replay: δ = 7c + 3(d%7) − 2(vi%3), w = 4/err²
+    val expected = (0 until 4).map { c =>
+      val terms = for {
+        vi <- 0 until 5
+        d <- 0 until 30 if d % 5 == 0
+      } yield {
+        val dlt = 7L * c + 3L * (d % 7) - 2L * (vi % 3)
+        val w = if (vi % 2 == 0) 4L else 1L
+        w * dlt * dlt
+      }
+      (c, terms.size.toLong, terms.sum)
+    }
+    val ranked = expected.sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case ((c, n, m), i) => (c, n, m, i + 1) }
+    assert(out.toSeq == ranked)
+    // the ranking must be non-degenerate: all four misfits distinct
+    assert(expected.map(_._3).distinct.size == 4)
+  }
+
+  test("q127: Gopher rules match an independent plain-Scala replay") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val nWords = toks.size.toLong
+      val wordChars = text.replaceAll("\\s+", "").length.toLong
+      val nAlpha = toks.count(_.matches("[A-Za-z]+")).toLong
+      val nStop = toks.count(stop).toLong
+      val nSym = text.count(_ == '#').toLong + "\\.\\.\\.".r.findAllIn(text).size
+      val g3 = if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq else Nil
+      val (g3t, g3d) = (g3.size.toLong, g3.distinct.size.toLong)
+      val rules = Seq(
+        nWords >= 50 && nWords <= 100000,
+        3 * nWords <= wordChars && wordChars <= 10 * nWords,
+        10 * nSym < nWords,
+        5 * nAlpha >= 4 * nWords,
+        nStop >= 2,
+        10 * (g3t - g3d) <= 3 * g3t)
+      Seq[Any](id, nWords, wordChars, nAlpha, nStop, nSym, g3t, g3d) ++
+        rules :+ rules.forall(identity)
+    }.sortBy(_.head.asInstanceOf[Long])
+    val out = graft.queries.TextAnalytics.q127GopherRules(spark, Sf)
+      .collect().map(_.toSeq)
+    assert(out.length == expected.length && out.nonEmpty)
+    out.zip(expected).foreach { case (o, e) => assert(o == e) }
+    // the rule set must discriminate on this corpus: both verdicts occur
+    val verdicts = out.map(_.last.asInstanceOf[Boolean]).toSet
+    assert(verdicts.size == 2, s"degenerate rule set: $verdicts")
+  }
+
+  test("q128: depletion deltas match the closed-form fixture replay") {
+    val out = graft.queries.BinaryGate.q128Depletion(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val expected = (0 until 500).map { a =>
+      val dps = (0 until 4).map(c => 2L * (10 + c + a % 7))
+      val dsw = (0 until 4).map(c => ((a + 6 + c) % 32).toLong - ((a + c) % 32))
+      (a.toLong, 4L, dps.min, dps.max, dps.sum, dps.sum * 1000000L / 4L,
+        dsw.min, dsw.max)
+    }
+    assert(out.toSeq == expected)
+    // the saturation delta must be non-degenerate (wrap makes signs differ)
+    assert(out.map(_._7).distinct.length > 1)
+  }
+
+  test("q132: field decline matches the closed-form trajectory") {
+    val out = graft.queries.BinaryGate.q132FieldDecline(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else Long.box(r.getLong(5))))
+    val expected = for {
+      c <- 0 until 4
+      t <- 0 until 3
+    } yield {
+      val ps = (0 until 500).map(a => 1000L * c + a + t * (10 + c + a % 7))
+      val slope = (0 until 500).map(a => (10L + c + a % 7)).sum
+      (c, s"2022-01-0${1 + t} 00:00:00.0", 500L, ps.sum,
+        ps.sum * 1000000L / 500L,
+        if (t == 0) null else Long.box(slope))
+    }
+    assert(out.toSeq == expected)
+    // declines differ per case (slope depends on c) — non-degenerate
+    assert(out.flatMap(r => Option(r._6)).map(Long.unbox).distinct.length == 4)
+  }
+
+  test("q129: portable HLL registers and estimate match a scalar replay") {
+    import graft.functions.{PortableHash, PortableStringHash}
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bydocs = docs.map { case (src, text) =>
+      (src, PortableHash.mixLong(PortableStringHash.hashString(text), 7))
+    }
+    val expected = bydocs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val hms = rows.map(_._2)
+      val regs = hms.groupBy(_ % 64).map { case (_, vs) =>
+        vs.map { hm =>
+          val v = hm / 64
+          if (v == 0) 26 else 26 - java.lang.Long.toBinaryString(v).length
+        }.max
+      }.toSeq
+      val vEmpty = 64L - regs.size
+      val sSum = regs.map(r => 1L << (26 - r)).sum + vEmpty * (1L << 26)
+      val est = (709336L * 64 * 64 * (1L << 26)) / sSum
+      (src, hms.length.toLong, hms.distinct.length.toLong, vEmpty, sSum, est)
+    }
+    val out = graft.queries.Sketches.q129HllDistinct(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // the sketch must be in the right ballpark of the exact count
+    out.foreach { case (_, _, exact, _, _, est) =>
+      assert(est > exact * 1000000L / 100L && est < 100L * 1000000L * exact.max(1L))
+    }
+  }
+
+  test("q135: shard-built HLL registers merge to the full-pass sketch") {
+    val out = graft.queries.Sketches.q135HllMerge(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    // the law: merged registers ≡ full-pass registers, hence equal
+    // harmonic sums and equal estimates, per source
+    out.foreach { case (src, nShards, sFull, sMerged, eFull, eMerged, ok) =>
+      assert(ok && sFull == sMerged && eFull == eMerged, src)
+      assert(nShards >= 1 && nShards <= 2)
+    }
+    // and the full side must be exactly q129's sketch
+    val q129 = graft.queries.Sketches.q129HllDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    out.foreach { case (src, _, sFull, _, eFull, _, _) =>
+      assert(q129(src) == ((sFull, eFull)), src)
+    }
+  }
+
+  test("q136: histogram quantile hulls contain the exact rank values") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def bucketOf(x: Long): Int =
+      if (x == 0) 0 else java.lang.Long.toBinaryString(x).length
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val hist = rows.map(r => bucketOf(r._2)).groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      def pick(num: Long, den: Long): Int = {
+        var cum = 0L
+        hist.collectFirst {
+          case (b, c) if { cum += c; cum * den >= n * num } => b
+        }.get
+      }
+      val (b50, b95) = (pick(1, 2), pick(19, 20))
+      def lo(b: Int) = if (b == 0) 0L else 1L << (b - 1)
+      def hi(b: Int) = (1L << b) - 1
+      (src, n, b50, lo(b50), hi(b50), b95, lo(b95), hi(b95))
+    }
+    val out = graft.queries.Sketches.q136HistQuantiles(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // the hulls really contain the exact rank statistics
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      val p50 = sorted(((n + 1) / 2 - 1).toInt) // rank ceil(n/2), 1-indexed
+      val p95 = sorted((((19 * n + 19) / 20) - 1).toInt)
+      val row = out.find(_._1 == src).get
+      assert(p50 >= row._4 && p50 <= row._5, s"$src p50=$p50 hull=${(row._4, row._5)}")
+      assert(p95 >= row._7 && p95 <= row._8, s"$src p95=$p95 hull=${(row._7, row._8)}")
+    }
+  }
+
+  test("q133: CMS heavy hitters match a scalar sketch replay") {
+    import graft.functions.{PortableHash, PortableStringHash}
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def buckets(tok: String): Seq[(Int, Long)] = {
+      val v = PortableStringHash.hashString(tok)
+      (0 until 4).map(r => r -> PortableHash.mixLong(v, 21 + r) % 1024L)
+    }
+    val counters = toks.flatMap(buckets).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val top = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val expected = top.zipWithIndex.map { case ((tok, n), i) =>
+      (tok, n, buckets(tok).map(counters).min, i + 1)
+    }
+    val out = graft.queries.Sketches.q133CmsHeavyHitters(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // CMS never underestimates
+    out.foreach { case (_, n, est, _) => assert(est >= n) }
+  }
+
+  test("q130: funnel stages match a per-user sequential replay") {
+    val events = graft.sources.Tables.events(spark, Sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    // epoch micros: getTime already carries the millis of the fractional
+    // second, so only the sub-milli remainder of getNanos is added
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      def firstAfter(tpe: String, after: Option[java.sql.Timestamp]) = {
+        val c = evs.filter(e => e._2 == tpe && after.forall(a => e._3.after(a)))
+        if (c.isEmpty) None else Some(c.minBy(e => us(e._3))._3)
+      }
+      firstAfter("view", None).map { tv =>
+        val tc = firstAfter("click", Some(tv))
+        val tp = tc.flatMap(t => firstAfter("purchase", Some(t)))
+        val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2 else 1
+        (uid, tv, tc.orNull, tp.orNull,
+          tc.map(t => us(t) - us(tv)).map(Long.box).orNull,
+          tc.flatMap(c => tp.map(p => us(p) - us(c))).map(Long.box).orNull,
+          stage)
+      }
+    }.sortBy(_._1)
+    val out = graft.queries.Relational.q130Funnel(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3),
+        if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
+        if (r.isNullAt(5)) null else Long.box(r.getLong(5)),
+        r.getInt(6)))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // ordering is strict: every emitted lag is positive
+    out.foreach { case (_, _, _, _, lc, lp, _) =>
+      Option(lc).foreach(l => assert(l > 0L))
+      Option(lp).foreach(l => assert(l > 0L))
+    }
+    // at sf0.001 every viewer converts — the sequencing (not the
+    // left-join null path) is what discriminates here; sf0.01 populates
+    // all three stages and is gate-checked against the oracle
+    assert(out.map(_._7).toSet.contains(3))
+  }
+
+  test("q131: leakage-safe split never strands a near-dup pair across splits") {
+    val out = graft.queries.DedupSim.q131LeakageSafeSplit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val labels = graft.queries.DedupSim.q41DedupComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == labels.size && out.nonEmpty)
+    // every doc carries its q41 component, and the split is a pure
+    // function of the component: no component maps to two splits
+    out.foreach { case (id, _, comp, _, _) => assert(comp == labels(id)) }
+    val byComp = out.groupBy(_._3).view.mapValues(_.map(_._5).toSet)
+    assert(byComp.values.forall(_.size == 1))
+    // the draw replays: bucket = mix(component, 17) % 10000
+    out.foreach { case (_, _, comp, bp, split) =>
+      assert(bp == graft.functions.PortableHash.mixLong(comp, 17) % 10000L)
+      val exp = if (bp < 8000) "train" else if (bp < 9000) "val" else "test"
+      assert(split == exp)
+    }
+    // sf0.001 has few components, so not all splits need members here
+    // (sf0.01's gate run populates all three); the draw itself must
+    // still be non-constant across the bucket space it replays into
+    assert(out.map(_._4).distinct.length > 1)
+  }
+
+  test("q134: the streaming interval join equals a batch pair replay") {
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val views = ev.filter(_._3 == "view")
+    val clicks = ev.filter(_._3 == "click").groupBy(_._1)
+    val expected = views.flatMap { case (u, vid, _, vts) =>
+      clicks.getOrElse(u, Array.empty).collect {
+        case (_, cid, _, cts)
+            if us(cts) > us(vts) && us(cts) <= us(vts) + 3600L * 1000000L =>
+          (u, vid, cid, vts, cts, us(cts) - us(vts))
+      }
+    }.sortBy(p => (p._2, p._3))
+    val out = graft.queries.StreamGate.q134StreamIntervalJoin(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))
+    assert(out.toSeq == expected.toSeq && out.nonEmpty)
+  }
+
   test("q112: the streaming near-dup probe equals the batch q101 row set") {
     val batch = graft.queries.DedupSim.q101IncNearDup(spark, Sf).collect()
       .map(_.toSeq).toSet
