@@ -537,6 +537,52 @@ object BinaryGate {
       .orderBy(col("active_idx"))
   }
 
+  /** q137: ENSEMBLE PERCENTILE BANDS — the P10/P50/P90 fan chart ERT
+    * draws from a history-matched ensemble (q124 gives the min/max/mean
+    * envelope; decision workflows quote percentiles): per (vector,
+    * date), the EXACT rank statistics across realizations, rank rules
+    * cross-multiplied (smallest rank r with 10·r ≥ n ⟹ P10, 2·r ≥ n ⟹
+    * P50, 10·r ≥ 9·n ⟹ P90) and values published ·32 as exact BIGINTs
+    * (the fixture lattice is dyadic).
+    *
+    * Scale shape: one shuffle keyed (vector, date) serves BOTH the
+    * rank window and the aggregate (the groupBy keys prefix the window
+    * partition keys, so Catalyst reuses the exchange); groups are
+    * ensemble-sized (≤ thousands of cases), so the per-group sort is
+    * bounded regardless of how many vectors × dates the fleet carries.
+    */
+  def q137EnsemblePercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tmp = fixtureDir("q137")
+    (0 until FleetCases).foreach { c =>
+      val rows = for {
+        (v, vi) <- SumVectors.zipWithIndex
+        d <- 0 until SumDays
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
+    }
+    val base = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"),
+        col("case_id"), (col("VALUE") * 32).cast("long").as("v32"))
+    val w = Window.partitionBy(col("vector"), col("date"))
+      .orderBy(col("v32"), col("case_id"))
+    base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("vector"), col("date"))))
+      .groupBy(col("vector"), col("date"), col("n").as("n_cases"))
+      .agg(
+        min(when(col("rk") * 10 >= col("n"), col("v32"))).as("p10_32"),
+        min(when(col("rk") * 2 >= col("n"), col("v32"))).as("p50_32"),
+        min(when(col("rk") * 10 >= col("n") * 9, col("v32"))).as("p90_32"))
+      .orderBy(col("vector"), col("date"))
+  }
+
   /** q132: FIELD PRESSURE TRAJECTORY over the restart fleet — the
     * material-balance plot an ensemble study draws first (field-average
     * pressure vs report step per realization, with the step-over-step
@@ -576,6 +622,7 @@ object BinaryGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_ensemble_percentiles" -> (q137EnsemblePercentiles _),
     "q132_field_decline" -> (q132FieldDecline _),
     "q128_depletion" -> (q128Depletion _),
     "q126_ensemble_misfit" -> (q126EnsembleMisfit _),
@@ -635,6 +682,29 @@ object BinaryGate {
          FROM cells ORDER BY case_id, date, active_idx"""
 
   val oracleSql: Map[String, String] = Map(
+    // closed-form replay of the q114 lattice: v32 = 32000·vi + 32·d +
+    // 224·c + d%32, monotone in c — the same window/rank rules rerun
+    // over unnested ranges
+    "q137_ensemble_percentiles" ->
+      s"""WITH v AS (SELECT unnest([${SumVectors.map(v => s"'$v'").mkString(", ")}]) AS vector,
+                            unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+          d AS (SELECT unnest(range($SumDays)) AS d),
+          c AS (SELECT unnest(range($FleetCases)) AS c),
+          x AS (SELECT vector, d, c,
+                       32000 * vi + 32 * d + 224 * c + d % 32 AS v32
+                FROM v CROSS JOIN d CROSS JOIN c),
+          r AS (SELECT vector, d, v32,
+                       row_number() OVER (PARTITION BY vector, d ORDER BY v32, c) AS rk,
+                       count(*) OVER (PARTITION BY vector, d) AS n
+                FROM x)
+          SELECT vector,
+                 CAST(DATE '2021-01-01' + CAST(d AS INT) AS TIMESTAMP) AS date,
+                 CAST(n AS BIGINT) AS n_cases,
+                 CAST(min(CASE WHEN rk * 10 >= n THEN v32 END) AS BIGINT) AS p10_32,
+                 CAST(min(CASE WHEN rk * 2 >= n THEN v32 END) AS BIGINT) AS p50_32,
+                 CAST(min(CASE WHEN rk * 10 >= n * 9 THEN v32 END) AS BIGINT) AS p90_32
+          FROM r GROUP BY vector, d, n
+          ORDER BY vector, date""",
     // closed-form replay of the q128 fixture: P = 1000c + a +
     // t·(10 + c + a%7); all BIGINT, `//` on positive operands equals
     // Spark's `div`

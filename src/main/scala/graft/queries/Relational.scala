@@ -327,7 +327,38 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q138: COHORT RETENTION — the weekly activity grid behind every
+    * retention dashboard: users cohorted by the week of their first
+    * event, activity counted per (cohort week, week offset), retention
+    * published in exact basis points (`n·10000 div size` — no float).
+    *
+    * Scale shape: the cohort frame is one user-keyed min-aggregate
+    * (map-side combinable); the join back is user-keyed so it
+    * co-locates with the events shuffle; the final distinct-count is
+    * keyed by (cohort, offset) — grid-sized output. Cohort sizes come
+    * from the already-user-distinct cohort frame (a count, not a second
+    * distinct over events) and join broadcast (weeks are few).
+    */
+  def q138CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, Seq("user_id"))
+      .withColumn("offset_wk",
+        (datediff(to_date(col("wk")), to_date(col("cohort_wk"))) / 7).cast("int"))
+      .groupBy(col("cohort_wk"), col("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .withColumn("retained_bp", expr("(n_users * 10000) div cohort_size"))
+      .select(col("cohort_wk"), col("offset_wk"), col("n_users"),
+        col("cohort_size"), col("retained_bp"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_cohort_retention" -> (q138CohortRetention _),
     "q130_funnel" -> (q130Funnel _),
     "q110_rolling" -> (q110Rolling _),
     "q31_summary_resample" -> (q31SummaryResample _),
@@ -353,6 +384,22 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both engines truncate weeks to Monday and the offsets are exact
+    // multiples of 7 days, so the grid and basis points are engine-exact
+    "q138_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM f GROUP BY 1),
+         s AS (SELECT cohort_wk, count(*) AS cohort_size FROM c GROUP BY 1),
+         g AS (SELECT c.cohort_wk,
+                      CAST(date_diff('day', c.cohort_wk, f.wk) // 7 AS INT) AS offset_wk,
+                      count(DISTINCT f.user_id) AS n_users
+               FROM f JOIN c USING (user_id) GROUP BY 1, 2)
+         SELECT CAST(g.cohort_wk AS TIMESTAMP) AS cohort_wk, g.offset_wk,
+                CAST(g.n_users AS BIGINT) AS n_users,
+                CAST(s.cohort_size AS BIGINT) AS cohort_size,
+                CAST((g.n_users * 10000) // s.cohort_size AS BIGINT) AS retained_bp
+         FROM g JOIN s USING (cohort_wk)
+         ORDER BY cohort_wk, offset_wk""",
     "q130_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t_view
                      FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -874,6 +874,50 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q137: ensemble percentile bands match the lattice rank replay") {
+    val out = graft.queries.BinaryGate.q137EnsemblePercentiles(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val vectors = Seq("FOPR", "FOPT", "WBHP:W0", "WOPR:W0", "WOPR:W1")
+    assert(out.length == vectors.size * 30)
+    // ranks for n=4: P10 → rank 1, P50 → rank 2, P90 → rank 4
+    val byKey = out.map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    (for { (v, vi) <- vectors.zipWithIndex; d <- 0 until 30 } yield {
+      val date = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2021, 1, 1).plusDays(d).atStartOfDay).toString
+      val sorted = (0 until 4).map(c => 32000L * vi + 32 * d + 224 * c + d % 32).sorted
+      assert(byKey((v, date)) == ((4L, sorted(0), sorted(1), sorted(3))),
+        s"$v $date")
+    })
+    // P10 < P50 < P90 on this lattice (224·c spreads cases)
+    out.foreach { case (_, _, _, p10, p50, p90) =>
+      assert(p10 < p50 && p50 < p90)
+    }
+  }
+
+  test("q138: cohort retention matches a scalar replay") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).minBy(_.getTime)).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dayMs = 86400 * 1000L
+    val expected = ev.map { case (u, wk) =>
+      val cw = cohortOf(u)
+      (cw, ((wk.getTime - cw.getTime) / dayMs / 7).toInt, u)
+    }.distinct.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((cw, off), rows) =>
+        val n = rows.length.toLong
+        (cw, off, n, sizes(cw), n * 10000L / sizes(cw))
+      }.sortBy(t => (t._1.getTime, t._2))
+    val out = graft.queries.Relational.q138CohortRetention(spark, Sf)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // offset-0 rows are full cohorts by construction
+    out.filter(_._2 == 0).foreach { r => assert(r._3 == r._4 && r._5 == 10000L) }
+  }
+
   test("q135: shard-built HLL registers merge to the full-pass sketch") {
     val out = graft.queries.Sketches.q135HllMerge(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
