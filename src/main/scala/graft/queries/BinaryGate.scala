@@ -149,6 +149,26 @@ object BinaryGate {
 
   private val FleetCases = 4
 
+  /** Write the shared summary-fleet fixture ([[FleetCases]] UNSMRY
+    * cases, value = 1000·vi + d + 7·c + (d%32)/32 — the dyadic lattice
+    * q114/q124/q126/q137's oracles replay in closed form) under
+    * fixtureDir(`q`); returns the directory. ONE definition so the
+    * lattice can never drift between the four gates.
+    */
+  private def writeFleetFixture(s: SparkSession, q: String): String = {
+    import s.implicits._
+    val tmp = fixtureDir(q)
+    (0 until FleetCases).foreach { c =>
+      val rows = for {
+        (v, vi) <- SumVectors.zipWithIndex
+        d <- 0 until SumDays
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
+    }
+    tmp
+  }
+
   /** q114: the summary FLEET read (S6 at ensemble scale) under the gate —
     * [[graft.write.SummaryWriter.corpusFromPath]] reads every case
     * matching a glob in ONE distributed plan (one task per case, SMSPEC
@@ -159,16 +179,7 @@ object BinaryGate {
     * decode state never leaks across cases.
     */
   def q114SummaryFleet(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = fixtureDir("q114")
-    (0 until FleetCases).foreach { c =>
-      val rows = for {
-        (v, vi) <- SumVectors.zipWithIndex
-        d <- 0 until SumDays
-      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
-        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
-      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
-    }
+    val tmp = writeFleetFixture(s, "q114")
     graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
@@ -220,10 +231,14 @@ object BinaryGate {
     * (R4). PRESSURE is integer-valued and SWAT dyadic, so float32
     * round-trip vs the oracle formula is exact.
     */
-  /** Write the closed-form UNRST case `c` (shared by q62 and q120 —
-    * identical fixtures, identical expected frame).
+  /** Write a [[RstSteps]]-step UNRST case at `tmp`/CASE`c`.UNRST with
+    * the given per-(active cell, step) PRESSURE/SWAT closed forms —
+    * the ONE copy of the SEQNUM/INTEHEAD/record scaffolding every
+    * restart gate fixture shares (header layout drift would otherwise
+    * desync q62/q120 from q128/q132).
     */
-  private def writeRstCase(tmp: String, c: Int): String = {
+  private def writeRstCaseWith(tmp: String, c: Int,
+      pressure: (Int, Int) => Float, swat: (Int, Int) => Float): String = {
     val path = s"$tmp/CASE$c.UNRST"
     EclKw.write(path, (0 until RstSteps).flatMap { t =>
       val intehead = Array.tabulate(67) {
@@ -236,13 +251,19 @@ object BinaryGate {
       Seq(
         Kw("SEQNUM", "INTE", Array(t)),
         Kw("INTEHEAD", "INTE", intehead),
-        Kw("PRESSURE", "REAL",
-          Array.tabulate(RstNactive)(a => (a + 100 * t + 1000 * c).toFloat)),
-        Kw("SWAT", "REAL",
-          Array.tabulate(RstNactive)(a => ((a + t + c) % 32) / 32f)))
+        Kw("PRESSURE", "REAL", Array.tabulate(RstNactive)(a => pressure(a, t))),
+        Kw("SWAT", "REAL", Array.tabulate(RstNactive)(a => swat(a, t))))
     })
     path
   }
+
+  /** Write the closed-form UNRST case `c` (shared by q62 and q120 —
+    * identical fixtures, identical expected frame).
+    */
+  private def writeRstCase(tmp: String, c: Int): String =
+    writeRstCaseWith(tmp, c,
+      (a, t) => (a + 100 * t + 1000 * c).toFloat,
+      (a, t) => ((a + t + c) % 32) / 32f)
 
   def q62UnrstBinary(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q62")
@@ -379,16 +400,7 @@ object BinaryGate {
     * output is (vectors × dates)-sized, independent of ensemble size.
     */
   def q124SummaryEnsembleStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = fixtureDir("q124")
-    (0 until FleetCases).foreach { c =>
-      val rows = for {
-        (v, vi) <- SumVectors.zipWithIndex
-        d <- 0 until SumDays
-      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
-        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
-      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
-    }
+    val tmp = writeFleetFixture(s, "q124")
     graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR") =!= "TIME")
       .groupBy(col("VECTOR").as("vector"), col("DATE").cast("timestamp").as("date"))
@@ -426,24 +438,20 @@ object BinaryGate {
   def q126EnsembleMisfit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tmp = fixtureDir("q126")
-    (0 until FleetCases).foreach { c =>
-      val rows = for {
-        (v, vi) <- SumVectors.zipWithIndex
-        d <- 0 until SumDays
-      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
-        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
-      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
-    }
+    val tmp = writeFleetFixture(s, "q126")
+    // the obs frame carries java.sql.Date and casts IN-PLAN, so both
+    // join sides are session-timezone midnights; Timestamp.valueOf
+    // would bake in the JVM default zone and empty the join on a
+    // non-UTC driver (the ModuleOracles.scala date-literal rule)
     val obsRows = for {
       (v, vi) <- SumVectors.zipWithIndex
       d <- MisfitObsDays
     } yield (v,
-      java.sql.Timestamp.valueOf(
-        java.time.LocalDate.of(2021, 1, 1).plusDays(d).atStartOfDay),
+      java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
       32000L * vi + 32L * d - 96L * (d % 7) + 64L * (vi % 3) + d % 32,
       if (vi % 2 == 0) 4L else 1L) // w = 4/err², err = 1 (even vi) or 2 (odd)
-    val obs = obsRows.toDF("vector", "ts", "obs32", "w")
+    val obs = obsRows.toDF("vector", "obs_date", "obs32", "w")
+      .withColumn("ts", col("obs_date").cast("timestamp")).drop("obs_date")
     val misfit = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
@@ -462,6 +470,15 @@ object BinaryGate {
       .select(col("case_id"), col("n_obs"), col("misfit_fp4"), col("rank"))
       .orderBy(col("rank"))
   }
+
+  /** The depletion-shaped UNRST closed form shared by q128 and q132:
+    * PRESSURE = 1000c + a + t·(10 + c + a%7) (per-case, per-cell time
+    * slope — integer-valued float32), SWAT = ((a + 3t + c) % 32)/32
+    * (dyadic). */
+  private def writeDepletionRstCase(tmp: String, c: Int): String =
+    writeRstCaseWith(tmp, c,
+      (a, t) => (1000 * c + a + t * (10 + c + a % 7)).toFloat,
+      (a, t) => ((a + 3 * t + c) % 32) / 32f)
 
   /** q128: DEPLETION DELTA over the restart fleet — the
     * pressure-depletion / saturation-sweep report an ensemble study
@@ -484,31 +501,6 @@ object BinaryGate {
     * ensemble size and step count. No window over steps is ever needed
     * (min/max struct beats a sort-per-group at any step count).
     */
-  /** The depletion-shaped UNRST closed form shared by q128 and q132:
-    * PRESSURE = 1000c + a + t·(10 + c + a%7) (per-case, per-cell time
-    * slope — integer-valued float32), SWAT = ((a + 3t + c) % 32)/32
-    * (dyadic). */
-  private def writeDepletionRstCase(tmp: String, c: Int): String = {
-    val path = s"$tmp/CASE$c.UNRST"
-    EclKw.write(path, (0 until RstSteps).flatMap { t =>
-      val intehead = Array.tabulate(67) {
-        case 11 => RstNactive
-        case 64 => 1 + t
-        case 65 => 1
-        case 66 => 2022
-        case _  => 0
-      }
-      Seq(
-        Kw("SEQNUM", "INTE", Array(t)),
-        Kw("INTEHEAD", "INTE", intehead),
-        Kw("PRESSURE", "REAL",
-          Array.tabulate(RstNactive)(a => (1000 * c + a + t * (10 + c + a % 7)).toFloat)),
-        Kw("SWAT", "REAL",
-          Array.tabulate(RstNactive)(a => ((a + 3 * t + c) % 32) / 32f)))
-    })
-    path
-  }
-
   def q128Depletion(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q128")
     val paths = (0 until RstCases).map(c => writeDepletionRstCase(tmp, c))
@@ -552,17 +544,8 @@ object BinaryGate {
     * bounded regardless of how many vectors × dates the fleet carries.
     */
   def q137EnsemblePercentiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tmp = fixtureDir("q137")
-    (0 until FleetCases).foreach { c =>
-      val rows = for {
-        (v, vi) <- SumVectors.zipWithIndex
-        d <- 0 until SumDays
-      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
-        1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
-      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
-    }
+    val tmp = writeFleetFixture(s, "q137")
     val base = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
@@ -724,15 +707,16 @@ object BinaryGate {
                  CAST(p_sum - lag(p_sum) OVER (PARTITION BY case_id ORDER BY t)
                       AS BIGINT) AS dp_sum
           FROM m ORDER BY case_id, ts""",
-    // closed-form replay: ΔP = 2·(10 + c + a%7), ΔSWAT·32 =
-    // ((a+6+c)%32) − ((a+c)%32); all BIGINT, `//` on positive operands
-    // equals Spark's `div`
+    // closed-form replay with Δt = RstSteps−1 interpolated (NOT
+    // hard-coded) so a step-count change cannot desync the engines:
+    // ΔP = Δt·(10 + c + a%7), ΔSWAT·32 = ((a+3Δt+c)%32) − ((a+c)%32);
+    // all BIGINT, `//` on positive operands equals Spark's `div`
     "q128_depletion" ->
       s"""WITH a AS (SELECT unnest(range($RstNactive)) AS a),
           c AS (SELECT unnest(range($RstCases)) AS c),
           x AS (SELECT a, c,
-                       2 * (10 + c + a % 7) AS dp,
-                       ((a + 6 + c) % 32) - ((a + c) % 32) AS dsw32
+                       ${RstSteps - 1} * (10 + c + a % 7) AS dp,
+                       ((a + ${3 * (RstSteps - 1)} + c) % 32) - ((a + c) % 32) AS dsw32
                 FROM a CROSS JOIN c),
           m AS (SELECT a, count(*) AS n_cases,
                        min(dp) AS dp_min, max(dp) AS dp_max, sum(dp) AS dp_sum,

@@ -889,15 +889,20 @@ object DedupSim {
     */
   def q131LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash
-    val comp = docComponents(s, dir)
+    // LEFT join + doc_id fallback: a token-less document never enters
+    // the band graph, so it has no q41 label — it is its own singleton
+    // component (consistent with q41's min-reachable-doc_id labeling)
+    // rather than silently dropped from every split
+    val comp = docComponents(s, dir).select(col("doc_id"), col("component_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
       .withColumn("bucket_bp",
         pmod(PortableHash.mix(col("component_id"), SplitSeed), lit(10000L)))
       .withColumn("split",
         when(col("bucket_bp") < 8000, lit("train"))
           .when(col("bucket_bp") < 9000, lit("val"))
           .otherwise(lit("test")))
-    Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(comp, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("component_id"),
         col("bucket_bp"), col("split"))
       .orderBy(col("doc_id"))
@@ -1087,10 +1092,12 @@ object DedupSim {
 
   private def leakageSafeSplitSql: String =
     s"""WITH ${dedupComponentsCtes},
-       comp AS (SELECT doc_id, label AS component_id FROM l$CcOracleRounds),
-       a AS (SELECT d.doc_id, d.source, c.component_id,
-                    ${graft.functions.PortableHash.mixSql("c.component_id", SplitSeed)} % 10000 AS bucket_bp
-             FROM documents d JOIN comp c USING (doc_id))
+       comp AS (SELECT doc_id, label FROM l$CcOracleRounds),
+       a AS (SELECT d.doc_id, d.source,
+                    coalesce(c.label, d.doc_id) AS component_id,
+                    ${graft.functions.PortableHash.mixSql(
+                      "coalesce(c.label, d.doc_id)", SplitSeed)} % 10000 AS bucket_bp
+             FROM documents d LEFT JOIN comp c USING (doc_id))
        SELECT doc_id, source, component_id,
               CAST(bucket_bp AS BIGINT) AS bucket_bp,
               CASE WHEN bucket_bp < 8000 THEN 'train'

@@ -825,16 +825,20 @@ class GateQueriesSpec extends AnyFunSuite {
 
   test("q132: field decline matches the closed-form trajectory") {
     val out = graft.queries.BinaryGate.q132FieldDecline(spark, Sf).collect()
-      .map(r => (r.getInt(0), r.getTimestamp(1).toString, r.getLong(2),
+      .map(r => (r.getInt(0), r.getTimestamp(1), r.getLong(2),
         r.getLong(3), r.getLong(4),
         if (r.isNullAt(5)) null else Long.box(r.getLong(5))))
+    // the session tz is UTC, so expected instants are UTC midnights —
+    // NOT Timestamp.valueOf, which would bake in the JVM default zone
+    def utcMidnight(y: Int, m: Int, d: Int) = java.sql.Timestamp.from(
+      java.time.LocalDate.of(y, m, d).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
     val expected = for {
       c <- 0 until 4
       t <- 0 until 3
     } yield {
       val ps = (0 until 500).map(a => 1000L * c + a + t * (10 + c + a % 7))
       val slope = (0 until 500).map(a => (10L + c + a % 7)).sum
-      (c, s"2022-01-0${1 + t} 00:00:00.0", 500L, ps.sum,
+      (c, utcMidnight(2022, 1, 1 + t), 500L, ps.sum,
         ps.sum * 1000000L / 500L,
         if (t == 0) null else Long.box(slope))
     }
@@ -876,15 +880,17 @@ class GateQueriesSpec extends AnyFunSuite {
 
   test("q137: ensemble percentile bands match the lattice rank replay") {
     val out = graft.queries.BinaryGate.q137EnsemblePercentiles(spark, Sf)
-      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
         r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     val vectors = Seq("FOPR", "FOPT", "WBHP:W0", "WOPR:W0", "WOPR:W1")
     assert(out.length == vectors.size * 30)
-    // ranks for n=4: P10 → rank 1, P50 → rank 2, P90 → rank 4
+    // ranks for n=4: P10 → rank 1, P50 → rank 2, P90 → rank 4; keys are
+    // UTC-midnight instants (session tz), never default-zone renderings
     val byKey = out.map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
     (for { (v, vi) <- vectors.zipWithIndex; d <- 0 until 30 } yield {
-      val date = java.sql.Timestamp.valueOf(
-        java.time.LocalDate.of(2021, 1, 1).plusDays(d).atStartOfDay).toString
+      val date = java.sql.Timestamp.from(
+        java.time.LocalDate.of(2021, 1, 1).plusDays(d)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
       val sorted = (0 until 4).map(c => 32000L * vi + 32 * d + 224 * c + d % 32).sorted
       assert(byKey((v, date)) == ((4L, sorted(0), sorted(1), sorted(3))),
         s"$v $date")
