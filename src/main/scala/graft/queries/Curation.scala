@@ -515,7 +515,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q140: PARTITIONED CORPUS EXPORT — the sink step every curation
+    * pipeline ends with: the q127-passing documents written as a
+    * Hive-partitioned parquet corpus (`source=<name>/part-*.parquet`)
+    * and read BACK through the partition-discovery path, so the gate
+    * hashes the full write→discover→read round trip (partition values
+    * reconstructed from directory names, not data pages).
+    *
+    * Sink shape for 100 TB: `partitionBy` on a LOW-cardinality column
+    * (sources are tens — per-task open-file count stays bounded; a
+    * high-cardinality partition key would be a small-files explosion)
+    * plus `maxRecordsPerFile` to cap file size regardless of task
+    * sizing. Downstream, source-filtered reads prune whole directories
+    * (partition pruning needs no footer reads).
+    */
+  def q140PartitionedExport(s: SparkSession, dir: String): DataFrame = {
+    val out = BinaryGate.fixtureDir("q140") + "/corpus"
+    TextAnalytics.q127GopherRules(s, dir)
+      .filter(col("pass"))
+      .select(col("doc_id"), col("n_words"), col("g3_distinct"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("source")
+      .parquet(out)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("n_words"), col("g3_distinct"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_partitioned_export" -> (q140PartitionedExport _),
     "q122_temp_mixture" -> (q122TempMixture _),
     "q121_dsir_weights" -> (q121DsirWeights _),
     "q115_token_budget" -> (q115TokenBudget _),
@@ -611,6 +642,14 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the q127 rule text verbatim (shared def), pass-filtered and
+    // joined back for the partition column — what the export must
+    // round-trip exactly
+    "q140_partitioned_export" ->
+      s"""WITH rules AS (${TextAnalytics.gopherRulesSql})
+          SELECT r.doc_id, r.n_words, r.g3_distinct, d.source
+          FROM rules r JOIN documents d USING (doc_id)
+          WHERE r.pass ORDER BY r.doc_id""",
     "q122_temp_mixture" -> tempMixtureSql,
     "q121_dsir_weights" -> dsirSql,
     // first-fit admission replayed as a recursive CTE walking each

@@ -55,12 +55,19 @@ object StreamGate {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** Stage `dir`'s events plus one watermark-advancing SENTINEL event
-    * (4 days past the corpus max ts, its own per-arrival file) into a
+  /** Stage `dir`'s events plus watermark-advancing SENTINEL events
+    * (4 days past the corpus max ts, their own per-arrival file) into a
     * reusable temp directory — the finite-replay scaffolding the
-    * append-mode gates (q116 tumbling windows, q119 session windows)
-    * share. Returns the staged directory and the REAL max ts (the
-    * boundary the callers filter sentinel-derived windows against).
+    * append-mode gates (q116 tumbling windows, q119 session windows,
+    * q139 outer join) share. ONE sentinel row PER EVENT TYPE: a query
+    * that filters the stream by type (q139's two join sides) computes
+    * its watermark from the filtered rows only, and the global
+    * watermark is the MIN across sides — a single-type sentinel would
+    * leave the other side's watermark at its last real event and hold
+    * the final outer rows forever. For the type-agnostic gates the
+    * extra rows are one more excluded window/session. Returns the
+    * staged directory and the REAL max ts (the boundary the callers
+    * filter sentinel-derived output against).
     */
   private def stageWithSentinel(s: SparkSession, dir: String): (String, java.sql.Timestamp) = {
     val events = graft.sources.Tables.events(s, dir)
@@ -73,9 +80,11 @@ object StreamGate {
     // replicas at the same path can never be served stale staging
     val dirTag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // v3: per-type sentinels (a content change the name must reflect —
+    // the fingerprint fields alone would serve v2 staging stale)
     val tmp = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-gate",
-      s"append-v2-$dirTag-$nEvents-${mts.getTime}")
+      s"append-v3-$dirTag-$nEvents-${mts.getTime}")
     if (!java.nio.file.Files.isDirectory(tmp)) {
       // stage the FINAL layout in a per-process scratch dir, then
       // publish with one ATOMIC directory rename: concurrent JVMs
@@ -89,7 +98,11 @@ object StreamGate {
         s"${tmp.getFileName}-scratch-${java.util.UUID.randomUUID()}")
       events.write.mode("overwrite").parquet(s"$scratch/real")
       val sentinelTs = new java.sql.Timestamp(mts.getTime + 4L * 86400 * 1000)
-      events.limit(1).withColumn("ts", lit(sentinelTs))
+      val types = events.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: event types
+      types.map(t => events.filter(col("event_type") === t).limit(1)
+          .withColumn("ts", lit(sentinelTs)))
+        .reduce(_ unionByName _)
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/sentinel")
       def parts(sub: String) = new java.io.File(s"$scratch/$sub").listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -539,7 +552,58 @@ object StreamGate {
       .orderBy(col("view_id"), col("click_id"))
   }
 
+  /** q139: stream-stream LEFT OUTER interval join — q134's attribution
+    * join in the mode that exercises the engine's OTHER emission path:
+    * an unmatched view can only emit its null row after the watermark
+    * proves no qualifying click can still arrive (view_ts + 1h <
+    * watermark), so outer results are watermark-HELD, not immediate.
+    * A finite replay's last batch never advances the watermark past
+    * the final views — the q116 sentinel scaffolding (one arrival 4
+    * days out) closes every real view's window, and the no-data batch
+    * flushes the held null rows. Sentinel-derived views are filtered
+    * (view_ts ≤ real max ts); a sentinel click matches nothing (no
+    * view within an hour of it).
+    *
+    * The oracle is the batch LEFT JOIN verbatim — the hash proves the
+    * engine emits each matched pair once AND each unmatched view
+    * exactly once with nulls, the full outer contract. State shape is
+    * q134's (user-keyed, range-bounded, watermark-evicted).
+    */
+  def q139StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val (tmp, maxTs) = stageWithSentinel(s, dir)
+    val views = graft.streaming.EventStreams.readEvents(s, tmp)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = graft.streaming.EventStreams.readEvents(s, tmp)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views.join(clicks,
+      expr("""user_id = c_user AND
+              click_ts > view_ts AND
+              click_ts <= view_ts + interval 1 hour"""),
+      "leftOuter")
+    val sink = "q139_sink"
+    s.catalog.dropTempView(sink)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .filter(col("view_ts") <= lit(maxTs))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"),
+        col("click_id").isNotNull.as("converted"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_stream_outer_join" -> (q139StreamOuterJoin _),
     "q134_stream_interval_join" -> (q134StreamIntervalJoin _),
     "q112_stream_neardup" -> (q112StreamNearDup _),
     "q106_stream_sessions" -> (q106StreamSessions _),
@@ -586,6 +650,19 @@ object StreamGate {
            ON c.user_id = v.user_id
           AND v.event_type = 'view' AND c.event_type = 'click'
           AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+         ORDER BY view_id, click_id""",
+    // the batch LEFT JOIN verbatim: matched pairs once each, plus one
+    // null row per unmatched view
+    "q139_stream_outer_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                v.ts AS view_ts, c.ts AS click_ts,
+                epoch_us(c.ts) - epoch_us(v.ts) AS lag_us,
+                (c.event_id IS NOT NULL) AS converted
+         FROM events v LEFT JOIN events c
+           ON c.user_id = v.user_id
+          AND c.event_type = 'click'
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+         WHERE v.event_type = 'view'
          ORDER BY view_id, click_id""",
     "q106_stream_sessions" -> sessionsSql,
     "q119_stream_sessions_append" -> sessionsSql,

@@ -541,6 +541,45 @@ object TextAnalytics {
                                      / CAST(length($textCol) AS DOUBLE)), 6)"""
 
 
+  /** Gopher-cascade oracle (CTEs `t`/`g`/`m` + the rule projection) —
+    * shared verbatim by q127 and, pass-filtered, by the q140 export
+    * gate, so the rule set can never drift between them. */
+  private[graft] def gopherRulesSql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, text, toks,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          ELSE [] END AS g3
+              FROM t),
+        m AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+                     CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$$'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS BIGINT) AS n_stop,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+                     CAST(len(g3) AS BIGINT) AS g3_total,
+                     CAST(len(list_distinct(g3)) AS BIGINT) AS g3_distinct
+              FROM g)
+        SELECT doc_id, n_words, word_chars, n_alpha, n_stop, n_sym,
+               g3_total, g3_distinct,
+               (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+               (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_meanlen,
+               (10 * n_sym < n_words) AS r_symbol,
+               (5 * n_alpha >= 4 * n_words) AS r_alpha,
+               (n_stop >= 2) AS r_stop,
+               (10 * (g3_total - g3_distinct) <= 3 * g3_total) AS r_dup3,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+                AND (10 * n_sym < n_words)
+                AND (5 * n_alpha >= 4 * n_words)
+                AND (n_stop >= 2)
+                AND (10 * (g3_total - g3_distinct) <= 3 * g3_total)) AS pass
+        FROM m ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q104_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -642,41 +681,7 @@ object TextAnalytics {
          FROM documents ORDER BY doc_id""",
     // same cross-multiplied integer rules as the Spark side — no
     // division ever happens, so the hashed columns are engine-exact
-    "q127_gopher_rules" ->
-      s"""WITH t AS (SELECT doc_id, text,
-                            string_split_regex(trim(text), '\\s+') AS toks
-                     FROM documents),
-          g AS (SELECT doc_id, text, toks,
-                       CASE WHEN len(toks) >= 3
-                            THEN list_transform(range(1, len(toks) - 1),
-                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                            ELSE [] END AS g3
-                FROM t),
-          m AS (SELECT doc_id,
-                       CAST(len(toks) AS BIGINT) AS n_words,
-                       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
-                       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$$'))) AS BIGINT) AS n_alpha,
-                       CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS BIGINT) AS n_stop,
-                       CAST(length(text) - length(replace(text, '#', ''))
-                            + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
-                       CAST(len(g3) AS BIGINT) AS g3_total,
-                       CAST(len(list_distinct(g3)) AS BIGINT) AS g3_distinct
-                FROM g)
-          SELECT doc_id, n_words, word_chars, n_alpha, n_stop, n_sym,
-                 g3_total, g3_distinct,
-                 (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
-                 (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_meanlen,
-                 (10 * n_sym < n_words) AS r_symbol,
-                 (5 * n_alpha >= 4 * n_words) AS r_alpha,
-                 (n_stop >= 2) AS r_stop,
-                 (10 * (g3_total - g3_distinct) <= 3 * g3_total) AS r_dup3,
-                 ((n_words >= 50 AND n_words <= 100000)
-                  AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
-                  AND (10 * n_sym < n_words)
-                  AND (5 * n_alpha >= 4 * n_words)
-                  AND (n_stop >= 2)
-                  AND (10 * (g3_total - g3_distinct) <= 3 * g3_total)) AS pass
-          FROM m ORDER BY doc_id""",
+    "q127_gopher_rules" -> gopherRulesSql,
     "q21_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
           sc AS (SELECT doc_id, lang,

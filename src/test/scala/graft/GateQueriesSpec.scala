@@ -1089,6 +1089,59 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expected.toSeq && out.nonEmpty)
   }
 
+  test("q139: the streaming outer join emits matches once and null rows exactly once") {
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val views = ev.filter(_._3 == "view")
+    val clicks = ev.filter(_._3 == "click").groupBy(_._1)
+    val expected = views.flatMap { case (u, vid, _, vts) =>
+      val matches = clicks.getOrElse(u, Array.empty).collect {
+        case (_, cid, _, cts)
+            if us(cts) > us(vts) && us(cts) <= us(vts) + 3600L * 1000000L =>
+          (u, vid, Long.box(cid), vts, cts, Long.box(us(cts) - us(vts)), true)
+      }
+      if (matches.nonEmpty) matches.toSeq
+      else Seq((u, vid, null, vts, null, null, false))
+    }.sortBy(p => (p._2, Option(p._3).map(Long.unbox).getOrElse(Long.MinValue)))
+    val out = graft.queries.StreamGate.q139StreamOuterJoin(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)),
+        r.getTimestamp(3), r.getTimestamp(4),
+        if (r.isNullAt(5)) null else Long.box(r.getLong(5)),
+        r.getBoolean(6)))
+    assert(out.toSeq == expected.toSeq && out.nonEmpty)
+    // both emission paths exercised: matched pairs AND watermark-held
+    // null rows are present
+    assert(out.exists(_._7) && out.exists(!_._7))
+  }
+
+  test("q140: the partitioned export round-trips and lays out one directory per source") {
+    val out = graft.queries.Curation.q140PartitionedExport(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val direct = graft.queries.TextAnalytics.q127GopherRules(spark, Sf)
+      .filter(col("pass")).select("doc_id", "n_words", "g3_distinct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val srcOf = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = direct.map(d => (d._1, d._2, d._3, srcOf(d._1))).sortBy(_._1)
+    assert(out.toSeq == expected.toSeq && out.nonEmpty)
+    // hive layout: exactly one source=<name> directory per exported source
+    val root = new java.io.File(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-gate", "q140", "corpus").toString)
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == out.map(r => s"source=${r._4}").toSet)
+    // every partition directory holds at least one parquet part file
+    dirs.foreach { d =>
+      val parts = new java.io.File(root, d).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts >= 1, d)
+    }
+  }
+
   test("q112: the streaming near-dup probe equals the batch q101 row set") {
     val batch = graft.queries.DedupSim.q101IncNearDup(spark, Sf).collect()
       .map(_.toSeq).toSet
