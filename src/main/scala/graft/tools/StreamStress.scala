@@ -115,6 +115,112 @@ object StreamStress {
     require(streamed == batch,
       s"stream/batch mismatch: ${streamed.size} vs ${batch.size} rows")
     println(s"OK: ${streamed.size} windows bit-equal across ${nfiles} incremental batches")
+
+    // ---- stream-stream interval join under incremental arrivals ----
+    // The q134 join replayed over `nfiles` micro-batches. This needs
+    // TIME-ORDERED arrivals (each file above spans the full 90 days, so
+    // the watermark would jump to max after batch 1 and evict state the
+    // later batches still match against — correct engine behavior, but
+    // it would test the drop path, not state carry). Here file f covers
+    // the f-th slice of the timeline with ±30 min in-file jitter —
+    // bounded disorder well inside the 2 h watermark — so join state
+    // genuinely carries matches ACROSS batch boundaries and is evicted
+    // behind the advancing watermark (numRowsTotal stays bounded).
+    // v3: event_type decorrelated from user_id (id%5 is a function of
+    // id%U for U ≡ 0 mod 5 — every user had one type, empty join) AND
+    // 1000 users instead of 10000: same-user events arrive ~13 min
+    // apart (10 M events / 90 d / 1000 users), so the 1-hour interval
+    // actually spans several candidate clicks; at 10000 users the
+    // same-user gap was 2.16 h and the join was structurally empty
+    val dirJ = s"/tmp/graft-stream-stress-join-v3-$nfiles-$rowsPerFile"
+    val total = nfiles.toLong * rowsPerFile
+    val spanSec = 90L * 86400
+    if (!new java.io.File(f"$dirJ/events_${nfiles - 1}%04d.parquet").exists()) {
+      timed(s"materialize time-ordered $nfiles files") {
+        new java.io.File(dirJ).mkdirs()
+        val types = Array("view", "click", "purchase", "signup", "error")
+        (0 until nfiles).foreach { f =>
+          val tmp = s"$dirJ/_tmp"
+          spark.range(f.toLong * rowsPerFile, (f + 1).toLong * rowsPerFile)
+            .select(
+              col("id").as("event_id"),
+              timestamp_seconds(lit(1704067200L)
+                + (col("id") * spanSec) / total
+                + pmod(col("id") * 7919L, lit(3600L)) - 1800L).as("ts"),
+              pmod(col("id"), lit(1000L)).as("user_id"),
+              element_at(typedLit(types.toSeq),
+                (pmod(expr("id div 1000") + col("id"), lit(5L)) + 1).cast("int"))
+                .as("event_type"),
+              (pmod(col("id") * 31L, lit(10000L)).cast("double") / 100.0).as("value"),
+              lit("{}").as("props"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(f"$dirJ/events_$f%04d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dirJ/_tmp"))
+      }
+    }
+
+    def joinSides(ev: DataFrame): DataFrame = {
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      views.join(clicks,
+        expr("user_id = c_user AND click_ts > view_ts AND " +
+          "click_ts <= view_ts + interval 1 hour"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("view_ts"), col("click_ts"))
+    }
+
+    val batchJoin = timed("batch join answer") {
+      joinSides(graft.sources.Tables.normalizeEventTs(
+        spark.read.option("pathGlobFilter", "events*.parquet").parquet(dirJ)))
+    }
+    val nBatchPairs = batchJoin.count()
+
+    timed(s"streamed interval join ($nfiles incremental batches)") {
+      spark.catalog.dropTempView("stream_stress_join_sink")
+      val ev = graft.streaming.EventStreams.readEvents(spark, dirJ,
+        Map("maxFilesPerTrigger" -> "1"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val q = views.join(clicks,
+          expr("user_id = c_user AND click_ts > view_ts AND " +
+            "click_ts <= view_ts + interval 1 hour"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("view_ts"), col("click_ts"))
+        .writeStream.format("memory").queryName("stream_stress_join_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.lastProgress.batchId + 1
+      require(batches > 1, s"expected a multi-batch run, got $batches")
+      // bounded state: the join buffer must hold a watermark-window of
+      // events, not the whole stream
+      val maxState = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      println(s"micro-batches: $batches, max join state rows: $maxState " +
+        s"(stream total: $total)")
+      require(maxState < total / 4,
+        s"join state $maxState not bounded vs $total events")
+    }
+    val streamJoin = spark.table("stream_stress_join_sink")
+    val missing = batchJoin.exceptAll(streamJoin).count()
+    val extra = streamJoin.exceptAll(batchJoin).count()
+    require(missing == 0 && extra == 0,
+      s"join stream/batch mismatch: missing=$missing extra=$extra of $nBatchPairs")
+    println(s"OK: $nBatchPairs join pairs identical across incremental batches")
     spark.stop()
   }
 }
