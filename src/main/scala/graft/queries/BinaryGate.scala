@@ -238,11 +238,12 @@ object BinaryGate {
     * desync q62/q120 from q128/q132).
     */
   private def writeRstCaseWith(tmp: String, c: Int,
-      pressure: (Int, Int) => Float, swat: (Int, Int) => Float): String = {
+      pressure: (Int, Int) => Float, swat: (Int, Int) => Float,
+      nactive: Int = RstNactive): String = {
     val path = s"$tmp/CASE$c.UNRST"
     EclKw.write(path, (0 until RstSteps).flatMap { t =>
       val intehead = Array.tabulate(67) {
-        case 11 => RstNactive
+        case 11 => nactive
         case 64 => 1 + t // day
         case 65 => 1     // month
         case 66 => 2022  // year
@@ -251,8 +252,8 @@ object BinaryGate {
       Seq(
         Kw("SEQNUM", "INTE", Array(t)),
         Kw("INTEHEAD", "INTE", intehead),
-        Kw("PRESSURE", "REAL", Array.tabulate(RstNactive)(a => pressure(a, t))),
-        Kw("SWAT", "REAL", Array.tabulate(RstNactive)(a => swat(a, t))))
+        Kw("PRESSURE", "REAL", Array.tabulate(nactive)(a => pressure(a, t))),
+        Kw("SWAT", "REAL", Array.tabulate(nactive)(a => swat(a, t))))
     })
     path
   }
@@ -529,6 +530,69 @@ object BinaryGate {
       .orderBy(col("active_idx"))
   }
 
+  /** The q141 schedule: two wells, one completion landing on an
+    * inactive cell ((5,7,3) → g = 924 = 7·132 under case-0 ACTNUM) to
+    * exercise the drop path the trace must make visible. */
+  private val CompletionDeck =
+    """WELSPECS
+      | 'OP1' 'G' 5 7 1* 'OIL' /
+      | 'OP2' 'G' 12 3 1* 'WATER' /
+      |/
+      |COMPDAT
+      | 'OP1' 5 7 1 3 'OPEN' /
+      | 'OP2' 12 3 2 5 'OPEN' /
+      | 'OP2' 13 3 2 2 'OPEN' /
+      |/
+      |""".stripMargin
+
+  /** q141: WELL-COMPLETION PRESSURE TRACE — the cross-source workflow
+    * reference users run the library FOR (compdat + grid + rst2df in
+    * one report): the deck's COMPDAT connections (S1/S2 + R1 K-unroll)
+    * located in the EGRID geometry ((I,J,K) → ACTIVE_IDX, J3's merge
+    * key), then traced through the UNRST report steps — per (well,
+    * date) the active-connection count and the exact fixed-point mean
+    * completion pressure. A completion on an INACTIVE cell drops from
+    * the trace, and `n_conn` vs `n_active` makes the drop visible (the
+    * report a well engineer actually reads).
+    *
+    * Exactness: pressures are integer-valued float32; the mean
+    * publishes as `(sum·10⁶) div n` — all BIGINT.
+    *
+    * Scale shape: the connection frame is schedule-sized (thousands of
+    * rows at any field size) → both joins BROADCAST it against the
+    * grid/restart scans; the (well, date) aggregate's exchange is
+    * report-sized. Nothing here scales with cell count beyond the two
+    * scans themselves.
+    */
+  def q141CompletionPressure(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q141")
+    val base = writeGridCase(tmp, 0)
+    val ncells = Nx * Ny * Nz
+    val nactive = (0 until ncells).count(_ % 7 != 0)
+    val rstPath = writeRstCaseWith(tmp, 0,
+      (a, t) => (3000 + a + t * (5 + a % 9)).toFloat, (_, _) => 0f, nactive)
+    val conns = graft.modules.Compdat.df(s, CompletionDeck)
+      .select(col("WELL").as("well"), col("I").as("i"), col("J").as("j"),
+        col("K1").as("k"))
+    val grid = graft.io.EclBinary.egrid(s, s"$base.EGRID")
+      .select(col("I").as("i"), col("J").as("j"), col("K").as("k"),
+        col("ACTIVE_IDX").as("active_idx"))
+    val rst = graft.io.EclBinary.unrst(s, rstPath)
+      .select(col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").cast("long").as("p"))
+    val located = broadcast(conns).join(grid, Seq("i", "j", "k"))
+    val trace = rst.join(broadcast(located), Seq("active_idx"))
+      .groupBy(col("well"), col("date"))
+      .agg(count(lit(1)).as("n_active"), sum(col("p")).as("p_sum"))
+      .withColumn("p_avg_fp6", expr("(p_sum * 1000000) div n_active"))
+    val nconn = conns.groupBy(col("well")).agg(count(lit(1)).as("n_conn"))
+    trace.join(broadcast(nconn), Seq("well"))
+      .select(col("well"), col("date"), col("n_conn"), col("n_active"),
+        col("p_sum"), col("p_avg_fp6"))
+      .orderBy(col("well"), col("date"))
+  }
+
   /** q137: ENSEMBLE PERCENTILE BANDS — the P10/P50/P90 fan chart ERT
     * draws from a history-matched ensemble (q124 gives the min/max/mean
     * envelope; decision workflows quote percentiles): per (vector,
@@ -605,6 +669,7 @@ object BinaryGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_completion_pressure" -> (q141CompletionPressure _),
     "q137_ensemble_percentiles" -> (q137EnsemblePercentiles _),
     "q132_field_decline" -> (q132FieldDecline _),
     "q128_depletion" -> (q128Depletion _),
@@ -665,6 +730,33 @@ object BinaryGate {
          FROM cells ORDER BY case_id, date, active_idx"""
 
   val oracleSql: Map[String, String] = Map(
+    // replay: unrolled connections as literals, g = (i−1) + (j−1)·Nx +
+    // (k−1)·Nx·Ny, case-0 ACTNUM drops g ≡ 0 (mod 7), active ordinal =
+    // g − ⌈g/7⌉, pressure = 3000 + a + t·(5 + a%9); all BIGINT
+    "q141_completion_pressure" ->
+      s"""WITH conn AS (
+            SELECT * FROM (VALUES ('OP1', 5, 7, 1), ('OP1', 5, 7, 2),
+                                  ('OP1', 5, 7, 3), ('OP2', 12, 3, 2),
+                                  ('OP2', 12, 3, 3), ('OP2', 12, 3, 4),
+                                  ('OP2', 12, 3, 5), ('OP2', 13, 3, 2))
+                 AS v(well, i, j, k)),
+          g AS (SELECT well, (i - 1) + (j - 1) * $Nx + (k - 1) * ${Nx * Ny} AS g
+                FROM conn),
+          a AS (SELECT well, g - (g + 6) // 7 AS active_idx
+                FROM g WHERE g % 7 <> 0),
+          t AS (SELECT unnest(range($RstSteps)) AS t),
+          p AS (SELECT well, t, 3000 + active_idx + t * (5 + active_idx % 9) AS p
+                FROM a CROSS JOIN t),
+          m AS (SELECT well, t, count(*) AS n_active, sum(p) AS p_sum
+                FROM p GROUP BY 1, 2),
+          n AS (SELECT well, count(*) AS n_conn FROM conn GROUP BY 1)
+          SELECT m.well,
+                 CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                 CAST(n.n_conn AS BIGINT) AS n_conn,
+                 CAST(m.n_active AS BIGINT) AS n_active,
+                 CAST(m.p_sum AS BIGINT) AS p_sum,
+                 CAST((m.p_sum * 1000000) // m.n_active AS BIGINT) AS p_avg_fp6
+          FROM m JOIN n USING (well) ORDER BY well, date""",
     // closed-form replay of the q114 lattice: v32 = 32000·vi + 32·d +
     // 224·c + d%32, monotone in c — the same window/rank rules rerun
     // over unnested ranges

@@ -878,6 +878,36 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q141: the completion pressure trace drops the inactive cell and replays exactly") {
+    val out = graft.queries.BinaryGate.q141CompletionPressure(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val conns = Seq(("OP1", 5, 7, 1), ("OP1", 5, 7, 2), ("OP1", 5, 7, 3),
+      ("OP2", 12, 3, 2), ("OP2", 12, 3, 3), ("OP2", 12, 3, 4),
+      ("OP2", 12, 3, 5), ("OP2", 13, 3, 2))
+    val nConn = conns.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def utcMidnight(d: Int) = java.sql.Timestamp.from(
+      java.time.LocalDate.of(2022, 1, d).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+    val expected = (for {
+      t <- 0 until 3
+      (well, rows) <- conns.groupBy(_._1).toSeq.sortBy(_._1)
+    } yield {
+      val ps = rows.flatMap { case (_, i, j, k) =>
+        val g = (i - 1) + (j - 1) * 20 + (k - 1) * 400
+        if (g % 7 == 0) None // inactive under case-0 ACTNUM
+        else {
+          val a = g - (g + 6) / 7
+          Some(3000L + a + t * (5 + a % 9))
+        }
+      }
+      (well, utcMidnight(1 + t), nConn(well), ps.size.toLong, ps.sum,
+        ps.sum * 1000000L / ps.size)
+    }).sortBy(r => (r._1, r._2.getTime))
+    assert(out.toSeq == expected)
+    // the OP1 inactive completion is visible: 3 connections, 2 traced
+    assert(out.filter(_._1 == "OP1").forall(r => r._3 == 3 && r._4 == 2))
+  }
+
   test("q137: ensemble percentile bands match the lattice rank replay") {
     val out = graft.queries.BinaryGate.q137EnsemblePercentiles(spark, Sf)
       .collect().map(r => (r.getString(0), r.getTimestamp(1),
