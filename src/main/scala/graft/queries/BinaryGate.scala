@@ -44,6 +44,11 @@ object BinaryGate {
     * over the ACTIVE cells in file order. All geometry lands on
     * power-of-two fractions, so decode vs oracle compare is exact.
     */
+  /** The grid-fixture ACTNUM rule — ONE definition shared by the EGRID
+    * writer and every query that re-derives active counts/ordinals
+    * from it (q141's UNRST sizing), so the rule cannot drift. */
+  private def gridCaseActive(g: Int, c: Int): Boolean = (g + c) % 7 != 0
+
   private def writeGridCase(dir: String, c: Int): String = {
     val perSlab = Nx * Ny
     val ncells = perSlab * Nz
@@ -59,7 +64,7 @@ object BinaryGate {
       java.util.Arrays.fill(zcorn, k * 8 * perSlab, k * 8 * perSlab + 4 * perSlab, zb(k))
       java.util.Arrays.fill(zcorn, k * 8 * perSlab + 4 * perSlab, (k + 1) * 8 * perSlab, zb(k + 1))
     }
-    val actnum = Array.tabulate(ncells)(g => if ((g + c) % 7 == 0) 0 else 1)
+    val actnum = Array.tabulate(ncells)(g => if (gridCaseActive(g, c)) 1 else 0)
     val base = s"$dir/CASE$c"
     // NNC pair list (q66): 1-based global indices from a closed form that
     // may land on inactive cells — exercising the coordinate join's
@@ -568,7 +573,7 @@ object BinaryGate {
     val tmp = fixtureDir("q141")
     val base = writeGridCase(tmp, 0)
     val ncells = Nx * Ny * Nz
-    val nactive = (0 until ncells).count(_ % 7 != 0)
+    val nactive = (0 until ncells).count(gridCaseActive(_, 0))
     val rstPath = writeRstCaseWith(tmp, 0,
       (a, t) => (3000 + a + t * (5 + a % 9)).toFloat, (_, _) => 0f, nactive)
     val conns = graft.modules.Compdat.df(s, CompletionDeck)

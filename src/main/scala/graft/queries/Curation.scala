@@ -529,18 +529,34 @@ object Curation {
     * sizing. Downstream, source-filtered reads prune whole directories
     * (partition pruning needs no footer reads).
     */
+  /** The q140 export root: scoped by a fingerprint of `dir` (content
+    * differs per scale factor) AND the JVM pid — concurrent JVMs
+    * (sbt test + driver Verify, the stageWithSentinel race) must never
+    * overwrite a directory the other is lazily reading back. Shared
+    * with the spec so the layout assertions can't drift from the
+    * query's path scheme. */
+  private[graft] def q140ExportPath(dir: String): String = {
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    BinaryGate.fixtureDir("q140") +
+      s"/corpus-$dirTag-${ProcessHandle.current().pid()}"
+  }
+
   def q140PartitionedExport(s: SparkSession, dir: String): DataFrame = {
-    val out = BinaryGate.fixtureDir("q140") + "/corpus"
-    TextAnalytics.q127GopherRules(s, dir)
+    val out = q140ExportPath(dir)
+    val export = TextAnalytics.q127GopherRules(s, dir)
       .filter(col("pass"))
       .select(col("doc_id"), col("n_words"), col("g3_distinct"))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
         Seq("doc_id"))
-      .write.mode("overwrite")
+    export.write.mode("overwrite")
       .option("maxRecordsPerFile", 100000)
       .partitionBy("source")
       .parquet(out)
-    s.read.parquet(out)
+    // explicit schema: a zero-pass corpus writes no part files, and
+    // schema inference over an empty dir would throw instead of
+    // returning the (correct) empty frame
+    s.read.schema(export.schema).parquet(out)
       .select(col("doc_id"), col("n_words"), col("g3_distinct"), col("source"))
       .orderBy(col("doc_id"))
   }

@@ -98,11 +98,9 @@ object StreamGate {
         s"${tmp.getFileName}-scratch-${java.util.UUID.randomUUID()}")
       events.write.mode("overwrite").parquet(s"$scratch/real")
       val sentinelTs = new java.sql.Timestamp(mts.getTime + 4L * 86400 * 1000)
-      val types = events.select("event_type").distinct()
-        .collect().map(_.getString(0)).sorted // bounded: event types
-      types.map(t => events.filter(col("event_type") === t).limit(1)
-          .withColumn("ts", lit(sentinelTs)))
-        .reduce(_ unionByName _)
+      // one arbitrary row per event type, in a single pass
+      events.dropDuplicates("event_type")
+        .withColumn("ts", lit(sentinelTs))
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/sentinel")
       def parts(sub: String) = new java.io.File(s"$scratch/$sub").listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)

@@ -178,9 +178,11 @@ object StreamStress {
           col("view_ts"), col("click_ts"))
     }
 
+    // persisted: consumed three times below (count + two exceptAll)
     val batchJoin = timed("batch join answer") {
       joinSides(graft.sources.Tables.normalizeEventTs(
         spark.read.option("pathGlobFilter", "events*.parquet").parquet(dirJ)))
+        .persist()
     }
     val nBatchPairs = batchJoin.count()
 
@@ -218,6 +220,7 @@ object StreamStress {
     val streamJoin = spark.table("stream_stress_join_sink")
     val missing = batchJoin.exceptAll(streamJoin).count()
     val extra = streamJoin.exceptAll(batchJoin).count()
+    batchJoin.unpersist(blocking = false)
     require(missing == 0 && extra == 0,
       s"join stream/batch mismatch: missing=$missing extra=$extra of $nBatchPairs")
     println(s"OK: $nBatchPairs join pairs identical across incremental batches")

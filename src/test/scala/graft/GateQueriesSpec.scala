@@ -1159,9 +1159,10 @@ class GateQueriesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val expected = direct.map(d => (d._1, d._2, d._3, srcOf(d._1))).sortBy(_._1)
     assert(out.toSeq == expected.toSeq && out.nonEmpty)
-    // hive layout: exactly one source=<name> directory per exported source
-    val root = new java.io.File(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-gate", "q140", "corpus").toString)
+    // hive layout: exactly one source=<name> directory per exported
+    // source — the path comes from the query's own scheme, so the
+    // assertions can't drift from it
+    val root = new java.io.File(graft.queries.Curation.q140ExportPath(Sf))
     val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == out.map(r => s"source=${r._4}").toSet)
     // every partition directory holds at least one parquet part file
