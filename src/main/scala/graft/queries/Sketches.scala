@@ -62,9 +62,15 @@ object Sketches {
   /** Per-document (source, shard, hm, bucket, rho) projection — the
     * narrow scan both HLL gates build from. `shard` (doc_id parity)
     * exists for q135's merge law and is free for q129. */
-  private def hllProj(s: SparkSession, dir: String): DataFrame = {
+  private def hllProj(s: SparkSession, dir: String): DataFrame =
+    hllProjOf(Tables.documents(s, dir))
+
+  /** The projection over any (doc_id, source, text) frame — batch or
+    * STREAMING (pure codegen column tree, no state), shared by
+    * q129/q135 and the streaming census q142. */
+  private def hllProjOf(docs: DataFrame): DataFrame = {
     val hm = PortableHash.mix(PortableStringHash.strHash(col("text")), MixSeed)
-    Tables.documents(s, dir)
+    docs
       .select(col("source"), pmod(col("doc_id"), lit(2L)).as("shard"), hm.as("hm"))
       .withColumn("bucket", pmod(col("hm"), lit(HllM.toLong)))
       .withColumn("v", expr(s"hm div ${HllM}"))
@@ -228,7 +234,36 @@ object Sketches {
       .orderBy(col("rk"))
   }
 
+  /** q142: the HLL census RUN BY THE STREAMING ENGINE — registers as
+    * streaming aggregation state: the same projection as q129 over a
+    * documents readStream, `max(rho)` per (source, bucket) accumulated
+    * across micro-batches (state = sources × 64 registers, the
+    * CONTINUOUS census a 100 TB ingest keeps; no watermark needed —
+    * register max is monotone, so complete-mode state is the sketch
+    * itself and never grows past m rows per source). The batch-side
+    * fold publishes the same integer estimate as q129, so the oracle
+    * is q129's register/estimate math verbatim — a hash match proves
+    * the streaming accumulation path lands on bit-identical registers.
+    */
+  def q142StreamHllCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val regs = hllProjOf(
+        graft.streaming.EventStreams.readDocuments(s, dir)
+          .select(col("doc_id"), col("source"), col("text")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val sink = "q142_sink"
+    s.catalog.dropTempView(sink)
+    val q = regs.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    hllFold(s.table(sink)).orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_stream_hll_census" -> (q142StreamHllCensus _),
     "q129_hll_distinct" -> (q129HllDistinct _),
     "q133_cms_heavy_hitters" -> (q133CmsHeavyHitters _),
     "q135_hll_merge" -> (q135HllMerge _),
@@ -304,6 +339,21 @@ object Sketches {
                  CAST($EstNum // s_sum AS BIGINT) AS est_e6
           FROM e JOIN s USING (source)
           ORDER BY source""",
+    // q129's register math verbatim, sketch columns only (a streaming
+    // plan cannot also carry the exact countDistinct evidence)
+    "q142_stream_hll_census" ->
+      s"""WITH $hllProjCtes,
+          b AS (SELECT source, bucket, max(rho) AS rho
+                FROM y GROUP BY source, bucket),
+          s AS (SELECT source,
+                       CAST(sum(CAST(1 AS BIGINT) << ($HllScaleBits - rho))
+                            + ($HllM - count(*)) * ${1L << HllScaleBits}
+                            AS BIGINT) AS s_sum,
+                       CAST($HllM - count(*) AS BIGINT) AS v_empty
+                FROM b GROUP BY source)
+          SELECT source, v_empty, s_sum,
+                 CAST($EstNum // s_sum AS BIGINT) AS est_e6
+          FROM s ORDER BY source""",
     // both sides of the merge law replayed independently: full-pass
     // registers vs per-shard registers merged by max
     "q135_hll_merge" ->

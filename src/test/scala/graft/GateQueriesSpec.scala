@@ -954,6 +954,14 @@ class GateQueriesSpec extends AnyFunSuite {
     out.filter(_._2 == 0).foreach { r => assert(r._3 == r._4 && r._5 == 10000L) }
   }
 
+  test("q142: the streaming HLL census equals q129's batch sketch") {
+    val stream = graft.queries.Sketches.q142StreamHllCensus(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = graft.queries.Sketches.q129HllDistinct(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
+  }
+
   test("q135: shard-built HLL registers merge to the full-pass sketch") {
     val out = graft.queries.Sketches.q135HllMerge(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
