@@ -441,14 +441,13 @@ object BinaryGate {
     * over ensemble-sized output (≤ thousands of realizations — one
     * task by construction, same bound as the codebook collects).
     */
-  def q126EnsembleMisfit(s: SparkSession, dir: String): DataFrame = {
+  /** The q126/q143 observation frame. Carries java.sql.Date and casts
+    * IN-PLAN, so both join sides are session-timezone midnights;
+    * Timestamp.valueOf would bake in the JVM default zone and empty
+    * the join on a non-UTC driver (the ModuleOracles date-literal
+    * rule). */
+  private def misfitObs(s: SparkSession): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tmp = writeFleetFixture(s, "q126")
-    // the obs frame carries java.sql.Date and casts IN-PLAN, so both
-    // join sides are session-timezone midnights; Timestamp.valueOf
-    // would bake in the JVM default zone and empty the join on a
-    // non-UTC driver (the ModuleOracles.scala date-literal rule)
     val obsRows = for {
       (v, vi) <- SumVectors.zipWithIndex
       d <- MisfitObsDays
@@ -456,25 +455,88 @@ object BinaryGate {
       java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
       32000L * vi + 32L * d - 96L * (d % 7) + 64L * (vi % 3) + d % 32,
       if (vi % 2 == 0) 4L else 1L) // w = 4/err², err = 1 (even vi) or 2 (odd)
-    val obs = obsRows.toDF("vector", "obs_date", "obs32", "w")
+    obsRows.toDF("vector", "obs_date", "obs32", "w")
       .withColumn("ts", col("obs_date").cast("timestamp")).drop("obs_date")
-    val misfit = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+  }
+
+  /** Score a (vector, ts, sim32, case_id) frame against [[misfitObs]]
+    * — shared by the batch fleet read (q126) and the streaming
+    * scoreboard (q143); works on batch AND streaming frames (broadcast
+    * stream-static join + one case-keyed aggregate). */
+  private def misfitScore(s: SparkSession, sims: DataFrame): DataFrame =
+    sims.join(broadcast(misfitObs(s)), Seq("vector", "ts"))
+      .withColumn("dlt", expr("(sim32 - obs32) div 32"))
+      .groupBy(col("case_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w") * col("dlt") * col("dlt")).as("misfit_fp4"))
+
+  /** Rank a (case_id, n_obs, misfit_fp4) frame — ensemble-sized. */
+  private def misfitRank(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("misfit_fp4"), col("case_id"))))
+      .select(col("case_id"), col("n_obs"), col("misfit_fp4"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def q126EnsembleMisfit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q126")
+    val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),
         col("DATE").cast("timestamp").as("ts"),
         (col("VALUE") * 32).cast("long").as("sim32"))
-      .join(broadcast(obs), Seq("vector", "ts"))
-      .withColumn("dlt", expr("(sim32 - obs32) div 32"))
-      .groupBy(col("case_id"))
-      .agg(count(lit(1)).as("n_obs"),
-        sum(col("w") * col("dlt") * col("dlt")).as("misfit_fp4"))
-    misfit
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("misfit_fp4"), col("case_id"))))
-      .select(col("case_id"), col("n_obs"), col("misfit_fp4"), col("rank"))
-      .orderBy(col("rank"))
+    misfitRank(misfitScore(s, sims))
+  }
+
+  /** q143: STREAMING MISFIT SCOREBOARD — q126's history-match scoring
+    * run by the streaming engine as realizations LAND: each case's
+    * decoded summary frame arrives as a file, streams through the
+    * broadcast stream-static observation join, and the per-case
+    * Σ w·δ² accumulates as aggregation state (ensemble-sized,
+    * bounded). The live leaderboard an ensemble operator watches while
+    * the batch queue drains; complete-mode output re-ranks after every
+    * arrival. Oracle = q126's verbatim — the hash proves the
+    * incremental accumulation lands on the batch answer exactly.
+    */
+  def q143StreamMisfit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = writeFleetFixture(s, "q143")
+    val fleet = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("ts"),
+        (col("VALUE") * 32).cast("long").as("sim32"))
+    // stage one parquet arrival per realization (per-case file, the
+    // order results land from a batch queue)
+    val stage = fixtureDir("q143") + "/arrivals"
+    (0 until FleetCases).foreach { c =>
+      val tmpOut = s"$stage/_tmp"
+      fleet.filter(col("case_id") === c).coalesce(1)
+        .write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$stage/fleet_$c%04d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$stage/_tmp"))
+    val stream = s.readStream.schema(fleet.schema)
+      .option("pathGlobFilter", "fleet_*.parquet").parquet(stage)
+    val sink = "q143_sink"
+    s.catalog.dropTempView(sink)
+    val q = misfitScore(s, stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    misfitRank(s.table(sink))
   }
 
   /** The depletion-shaped UNRST closed form shared by q128 and q132:
@@ -674,6 +736,7 @@ object BinaryGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_stream_misfit" -> (q143StreamMisfit _),
     "q141_completion_pressure" -> (q141CompletionPressure _),
     "q137_ensemble_percentiles" -> (q137EnsemblePercentiles _),
     "q132_field_decline" -> (q132FieldDecline _),
@@ -831,23 +894,9 @@ object BinaryGate {
     // residual replay: δ = (224c + 96(d%7) − 64(vi%3)) / 32 — an exact
     // integer (every term is a multiple of 32), so `//` floor-division
     // equals Spark's `div` truncation here even for negative residuals
-    "q126_ensemble_misfit" ->
-      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
-         v AS (
-           SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
-         d AS (SELECT unnest(range(0, $SumDays, 5)) AS day),
-         x AS (SELECT case_id,
-                      (224 * case_id + 96 * (day % 7) - 64 * (vi % 3)) // 32 AS dlt,
-                      CASE WHEN vi % 2 = 0 THEN 4 ELSE 1 END AS w
-               FROM c CROSS JOIN v CROSS JOIN d),
-         m AS (SELECT case_id, count(*) AS n_obs,
-                      sum(w * dlt * dlt) AS misfit_fp4
-               FROM x GROUP BY case_id)
-         SELECT CAST(case_id AS INT) AS case_id,
-                CAST(n_obs AS BIGINT) AS n_obs,
-                CAST(misfit_fp4 AS BIGINT) AS misfit_fp4,
-                CAST(row_number() OVER (ORDER BY misfit_fp4, case_id) AS INT) AS rank
-         FROM m ORDER BY rank""",
+    // the streaming accumulation must land on the batch answer exactly
+    "q143_stream_misfit" -> ensembleMisfitSql,
+    "q126_ensemble_misfit" -> ensembleMisfitSql,
     // every arithmetic step lands on exactly-representable values
     // (dyadic poro, integer permx, numerators < 2^53), so double
     // division + floor is engine-identical. A cell inactive in ALL 4
@@ -962,4 +1011,22 @@ object BinaryGate {
          LEFT JOIN coord b ON b.c = pp.c AND b.g = pp.g2
          ORDER BY case_id, i1, j1, k1, i2, j2, k2""",
   )
+
+  private def ensembleMisfitSql: String =
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+         v AS (
+           SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+         d AS (SELECT unnest(range(0, $SumDays, 5)) AS day),
+         x AS (SELECT case_id,
+                      (224 * case_id + 96 * (day % 7) - 64 * (vi % 3)) // 32 AS dlt,
+                      CASE WHEN vi % 2 = 0 THEN 4 ELSE 1 END AS w
+               FROM c CROSS JOIN v CROSS JOIN d),
+         m AS (SELECT case_id, count(*) AS n_obs,
+                      sum(w * dlt * dlt) AS misfit_fp4
+               FROM x GROUP BY case_id)
+         SELECT CAST(case_id AS INT) AS case_id,
+                CAST(n_obs AS BIGINT) AS n_obs,
+                CAST(misfit_fp4 AS BIGINT) AS misfit_fp4,
+                CAST(row_number() OVER (ORDER BY misfit_fp4, case_id) AS INT) AS rank
+         FROM m ORDER BY rank"""
 }

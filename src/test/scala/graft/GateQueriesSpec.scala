@@ -753,6 +753,14 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(fleet == perCase && fleet.nonEmpty)
   }
 
+  test("q143: the streaming misfit scoreboard equals the batch q126 ranking") {
+    val stream = graft.queries.BinaryGate.q143StreamMisfit(spark, Sf).collect()
+      .map(_.toSeq)
+    val batch = graft.queries.BinaryGate.q126EnsembleMisfit(spark, Sf).collect()
+      .map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
+  }
+
   test("q126: ensemble misfit ranking matches the closed-form replay") {
     val out = graft.queries.BinaryGate.q126EnsembleMisfit(spark, Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
