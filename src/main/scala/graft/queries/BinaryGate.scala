@@ -122,6 +122,39 @@ object BinaryGate {
       .orderBy(col("case_id"), col("global_index"))
   }
 
+  /** q144: COARSE-BLOCK UPSCALING — the property-upscaling step a
+    * simulation workflow runs between geomodel and simulator (2×2
+    * areal blocks here): per (case, coarse block) the cell count,
+    * bulk-volume sum and VOLUME-WEIGHTED PORO mean over the q59
+    * fleet's decoded grid frame. Weighted means publish as exact
+    * fixed-point (`Σ vol·poro64 · 10⁶ div (64 · Σ vol)` — volumes are
+    * integers by the fixture's closed form, poro is dyadic /64).
+    *
+    * Scale shape: one (case, block)-keyed aggregate over the grid
+    * scan, partial map-side; output is coarse-grid-sized. The decoded
+    * VOLUME is rounded to the nearest integer before the exact
+    * arithmetic (the 24-tetrahedron sum sits within an ulp of the
+    * closed-form integer).
+    */
+  def q144Upscale(s: SparkSession, dir: String): DataFrame = {
+    q59GridBinary(s, dir)
+      .select(col("case_id"), col("i"), col("j"), col("k"),
+        round(col("volume")).cast("long").as("vol"),
+        (col("poro") * 64).cast("long").as("poro64"))
+      .groupBy(col("case_id"),
+        expr("CAST((i - 1) div 2 AS INT)").as("ci"),
+        expr("CAST((j - 1) div 2 AS INT)").as("cj"),
+        col("k"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("vol")).as("vol_sum"),
+        sum(col("vol") * col("poro64")).as("porv64_sum"))
+      .withColumn("poro_wavg_fp6",
+        expr("(porv64_sum * 1000000) div (64 * vol_sum)"))
+      .select(col("case_id"), col("ci"), col("cj"), col("k"),
+        col("n_cells"), col("vol_sum"), col("porv64_sum"), col("poro_wavg_fp6"))
+      .orderBy(col("case_id"), col("ci"), col("cj"), col("k"))
+  }
+
   private val SumVectors = Seq("FOPR", "FOPT", "WBHP:W0", "WOPR:W0", "WOPR:W1")
   private val SumDays = 30
 
@@ -736,6 +769,7 @@ object BinaryGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_upscale" -> (q144Upscale _),
     "q143_stream_misfit" -> (q143StreamMisfit _),
     "q141_completion_pressure" -> (q141CompletionPressure _),
     "q137_ensemble_percentiles" -> (q137EnsemblePercentiles _),
@@ -894,6 +928,31 @@ object BinaryGate {
     // residual replay: δ = (224c + 96(d%7) − 64(vi%3)) / 32 — an exact
     // integer (every term is a multiple of 32), so `//` floor-division
     // equals Spark's `div` truncation here even for negative residuals
+    // replay of q59's closed form rolled into 2x2 areal blocks:
+    // vol = K (1-based), poro64 = (g + 5c) % 64, active iff (g+c)%7 != 0
+    "q144_upscale" ->
+      s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
+          cells AS (SELECT unnest(range(${Nx * Ny * Nz})) AS g),
+          act AS (SELECT c, g,
+                         1 + g % $Nx AS i,
+                         1 + (g // $Nx) % $Ny AS j,
+                         1 + g // ${Nx * Ny} AS k
+                  FROM cells CROSS JOIN cases WHERE (g + c) % 7 <> 0),
+          v AS (SELECT c, (i - 1) // 2 AS ci, (j - 1) // 2 AS cj, k,
+                       CAST(k AS BIGINT) AS vol,
+                       CAST((g + 5 * c) % 64 AS BIGINT) AS poro64
+                FROM act),
+          m AS (SELECT c, ci, cj, k, count(*) AS n_cells,
+                       sum(vol) AS vol_sum, sum(vol * poro64) AS porv64_sum
+                FROM v GROUP BY 1, 2, 3, 4)
+          SELECT CAST(c AS INT) AS case_id,
+                 CAST(ci AS INT) AS ci, CAST(cj AS INT) AS cj,
+                 CAST(k AS INT) AS k,
+                 CAST(n_cells AS BIGINT) AS n_cells,
+                 CAST(vol_sum AS BIGINT) AS vol_sum,
+                 CAST(porv64_sum AS BIGINT) AS porv64_sum,
+                 CAST((porv64_sum * 1000000) // (64 * vol_sum) AS BIGINT) AS poro_wavg_fp6
+          FROM m ORDER BY case_id, ci, cj, k""",
     // the streaming accumulation must land on the batch answer exactly
     "q143_stream_misfit" -> ensembleMisfitSql,
     "q126_ensemble_misfit" -> ensembleMisfitSql,

@@ -753,6 +753,29 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(fleet == perCase && fleet.nonEmpty)
   }
 
+  test("q144: coarse-block upscaling matches the closed-form volume weighting") {
+    val out = graft.queries.BinaryGate.q144Upscale(spark, Sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val expected = (for {
+      c <- 0 until 4
+      g <- 0 until 2000
+      if (g + c) % 7 != 0
+    } yield {
+      val (i, j, k) = (1 + g % 20, 1 + (g / 20) % 20, 1 + g / 400)
+      ((c, (i - 1) / 2, (j - 1) / 2, k), (k.toLong, (k.toLong * ((g + 5L * c) % 64))))
+    }).groupBy(_._1).map { case (key, rows) =>
+      val vols = rows.map(_._2._1)
+      val porv = rows.map(_._2._2).sum
+      key -> (rows.size.toLong, vols.sum, porv, porv * 1000000L / (64 * vols.sum))
+    }
+    assert(out == expected && out.nonEmpty)
+    // 2x2 areal blocks: ≤4 cells; ACTNUM can drop TWO (g and g+21 are
+    // congruent mod 7, and both live in the same block)
+    assert(out.values.map(_._1).toSet.subsetOf(Set(2L, 3L, 4L)))
+    assert(out.values.exists(_._1 == 2L) && out.values.exists(_._1 == 4L))
+  }
+
   test("q143: the streaming misfit scoreboard equals the batch q126 ranking") {
     val stream = graft.queries.BinaryGate.q143StreamMisfit(spark, Sf).collect()
       .map(_.toSeq)
