@@ -34,6 +34,36 @@ object TextAnalytics {
       .withColumn("is_match", col("lang") === col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** q145: LANGUAGE-ID CONFUSION MATRIX — the classifier-evaluation
+    * report run before trusting q21's predictions for routing: per
+    * (true lang, predicted lang) cell count with both marginals, and
+    * exact basis-point recall/precision on the diagonal. Everything
+    * integer (no float in the hashed output).
+    *
+    * Scale shape: one (lang, lang_pred)-keyed count (languages are a
+    * handful, partial map-side), two marginal aggregates over the same
+    * scan, both BROADCAST back onto the cell frame — output is
+    * languages², independent of corpus size.
+    */
+  def q145LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(s, dir)
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+    val cells = pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val trueTot = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+    val predTot = pred.groupBy(col("lang_pred")).agg(count(lit(1)).as("n_pred"))
+    cells
+      .join(broadcast(trueTot), Seq("lang"))
+      .join(broadcast(predTot), Seq("lang_pred"))
+      .withColumn("recall_bp",
+        when(col("lang") === col("lang_pred"), expr("(n * 10000) div n_true")))
+      .withColumn("precision_bp",
+        when(col("lang") === col("lang_pred"), expr("(n * 10000) div n_pred")))
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_true"),
+        col("n_pred"), col("recall_bp"), col("precision_bp"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   def q22Quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -511,6 +541,7 @@ object TextAnalytics {
     "q127_gopher_rules" -> (q127GopherRules _),
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
+    "q145_lang_confusion" -> (q145LangConfusion _),
     "q22_quality" -> (q22Quality _),
     "q23_fingerprint" -> (q23Fingerprint _),
     "q42_repetition" -> (q42Repetition _),
@@ -540,6 +571,24 @@ object TextAnalytics {
                       + 0.2 * (1.0 - CAST(length($textCol) - length(regexp_replace($textCol, '[.,!?;:]', '', 'g')) AS DOUBLE)
                                      / CAST(length($textCol) AS DOUBLE)), 6)"""
 
+
+  /** The langId prediction as oracle SQL (doc_id, lang, lang_pred) —
+    * ONE definition shared by q21 and the q145 confusion matrix. */
+  private def langIdPredSql: String =
+    s"""SELECT doc_id, lang,
+               CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+                    WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+                    WHEN es > 0 AND es >= fr THEN 'es'
+                    WHEN fr > 0 THEN 'fr'
+                    ELSE 'unk' END AS lang_pred
+        FROM (SELECT doc_id, lang,
+                     len(list_filter(toks, x -> list_contains($enList, x))) AS en,
+                     len(list_filter(toks, x -> list_contains($deList, x))) AS de,
+                     len(list_filter(toks, x -> list_contains($esList, x))) AS es,
+                     len(list_filter(toks, x -> list_contains($frList, x))) AS fr
+              FROM (SELECT doc_id, lang,
+                           string_split_regex(trim(text), '\\s+') AS toks
+                    FROM documents))"""
 
   /** Gopher-cascade oracle (CTEs `t`/`g`/`m` + the rule projection) —
     * shared verbatim by q127 and, pass-filtered, by the q140 export
@@ -683,25 +732,26 @@ object TextAnalytics {
     // division ever happens, so the hashed columns are engine-exact
     "q127_gopher_rules" -> gopherRulesSql,
     "q21_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-          sc AS (SELECT doc_id, lang,
-                 len(list_filter(toks, x -> list_contains($enList, x))) AS en,
-                 len(list_filter(toks, x -> list_contains($deList, x))) AS de,
-                 len(list_filter(toks, x -> list_contains($esList, x))) AS es,
-                 len(list_filter(toks, x -> list_contains($frList, x))) AS fr
-                 FROM t)
-          SELECT doc_id, lang,
-                 CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
-                      WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
-                      WHEN es > 0 AND es >= fr THEN 'es'
-                      WHEN fr > 0 THEN 'fr'
-                      ELSE 'unk' END AS lang_pred,
-                 lang = (CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
-                      WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
-                      WHEN es > 0 AND es >= fr THEN 'es'
-                      WHEN fr > 0 THEN 'fr'
-                      ELSE 'unk' END) AS is_match
-          FROM sc ORDER BY doc_id""",
+      s"""WITH p AS ($langIdPredSql)
+          SELECT doc_id, lang, lang_pred, lang = lang_pred AS is_match
+          FROM p ORDER BY doc_id""",
+    // the same prediction SQL rolled into the confusion matrix with
+    // exact basis-point diagonal metrics
+    "q145_lang_confusion" ->
+      s"""WITH p AS ($langIdPredSql),
+          c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+          tt AS (SELECT lang, count(*) AS n_true FROM p GROUP BY 1),
+          pt AS (SELECT lang_pred, count(*) AS n_pred FROM p GROUP BY 1)
+          SELECT c.lang, c.lang_pred,
+                 CAST(c.n AS BIGINT) AS n,
+                 CAST(tt.n_true AS BIGINT) AS n_true,
+                 CAST(pt.n_pred AS BIGINT) AS n_pred,
+                 CASE WHEN c.lang = c.lang_pred
+                      THEN CAST((c.n * 10000) // tt.n_true AS BIGINT) END AS recall_bp,
+                 CASE WHEN c.lang = c.lang_pred
+                      THEN CAST((c.n * 10000) // pt.n_pred AS BIGINT) END AS precision_bp
+          FROM c JOIN tt USING (lang) JOIN pt USING (lang_pred)
+          ORDER BY lang, lang_pred""",
     "q22_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
           m AS (SELECT doc_id,

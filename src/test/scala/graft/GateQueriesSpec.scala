@@ -1049,6 +1049,28 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q145: the confusion matrix replays from q21's per-doc predictions") {
+    val preds = graft.queries.TextAnalytics.q21LangId(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cells = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTrue = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nPred = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = cells.toSeq.sortBy(_._1).map { case ((t, p), n) =>
+      val diag = t == p
+      (t, p, n, nTrue(t), nPred(p),
+        if (diag) Long.box(n * 10000L / nTrue(t)) else null,
+        if (diag) Long.box(n * 10000L / nPred(p)) else null)
+    }
+    val out = graft.queries.TextAnalytics.q145LangConfusion(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else Long.box(r.getLong(5)),
+        if (r.isNullAt(6)) null else Long.box(r.getLong(6))))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // the classifier is imperfect on this corpus: off-diagonal mass exists
+    assert(out.exists(r => r._1 != r._2) && out.exists(r => r._1 == r._2))
+  }
+
   test("q133: CMS heavy hitters match a scalar sketch replay") {
     import graft.functions.{PortableHash, PortableStringHash}
     val toks = graft.sources.Tables.documents(spark, Sf)
