@@ -257,6 +257,60 @@ object BinaryGate {
       .orderBy(col("case_id"), col("global_index"))
   }
 
+  /** q146: FLEET COMPLETION-PRESSURE ENVELOPE — q141 at ensemble
+    * scale: the same schedule located in EVERY realization's grid
+    * (per-case ACTNUM differs, so the (I,J,K) → ACTIVE_IDX map and
+    * even WHICH completions are active vary by case — cross-case
+    * ordinal state must not leak), traced through each case's
+    * restart steps, then the per-(well, date) cross-realization
+    * envelope of the exact fixed-point mean completion pressures.
+    *
+    * Scale shape: grid + restart fleets decode one task per case; the
+    * schedule-sized connection frame broadcasts into both; the
+    * (case, well, date) aggregate is report-sized and the final
+    * envelope re-keys by (well, date) — output independent of
+    * ensemble size.
+    */
+  def q146FleetCompletionEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q146")
+    val ncells = Nx * Ny * Nz
+    val gridPaths = (0 until GridCases).map { c =>
+      writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
+    }
+    val rstPaths = (0 until GridCases).map { c =>
+      val nactive = (0 until ncells).count(gridCaseActive(_, c))
+      writeRstCaseWith(tmp, c,
+        (a, t) => (3000 + a + t * (5 + a % 9) + 100 * c).toFloat,
+        (_, _) => 0f, nactive)
+    }
+    val conns = graft.modules.Compdat.df(s, CompletionDeck)
+      .select(col("WELL").as("well"), col("I").as("i"), col("J").as("j"),
+        col("K1").as("k"))
+    val grid = graft.io.EclBinary.gridFleet(s, gridPaths.mkString(","))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("I").as("i"), col("J").as("j"),
+        col("K").as("k"), col("ACTIVE_IDX").as("active_idx"))
+    val rst = graft.io.EclBinary.restartFleet(s, rstPaths.mkString(","), Seq("PRESSURE"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").cast("long").as("p"))
+    val located = broadcast(conns).join(grid, Seq("i", "j", "k"))
+    val perCase = rst.join(broadcast(located), Seq("case_id", "active_idx"))
+      .groupBy(col("case_id"), col("well"), col("date"))
+      .agg(count(lit(1)).as("n_active"), sum(col("p")).as("p_sum"))
+      .withColumn("p_avg_fp6", expr("(p_sum * 1000000) div n_active"))
+    perCase.groupBy(col("well"), col("date"))
+      .agg(count(lit(1)).as("n_cases"),
+        min(col("n_active")).as("n_active_min"),
+        max(col("n_active")).as("n_active_max"),
+        min(col("p_avg_fp6")).as("p_avg_min"),
+        max(col("p_avg_fp6")).as("p_avg_max"))
+      .orderBy(col("well"), col("date"))
+  }
+
   private val RstCases = 4
   private val RstSteps = 3
   private val RstNactive = 500
@@ -770,6 +824,7 @@ object BinaryGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_upscale" -> (q144Upscale _),
+    "q146_fleet_completion_envelope" -> (q146FleetCompletionEnvelope _),
     "q143_stream_misfit" -> (q143StreamMisfit _),
     "q141_completion_pressure" -> (q141CompletionPressure _),
     "q137_ensemble_percentiles" -> (q137EnsemblePercentiles _),
@@ -832,6 +887,44 @@ object BinaryGate {
          FROM cells ORDER BY case_id, date, active_idx"""
 
   val oracleSql: Map[String, String] = Map(
+    // per-case replay: with r_c = (7 − c%7) % 7, the case-c active
+    // ordinal of global cell g is g − (g − r_c + 6)//7 (DuckDB floor
+    // division is safe for g < r_c: the numerator is in [0,5]);
+    // p = 3000 + a + t·(5 + a%9) + 100·c
+    "q146_fleet_completion_envelope" ->
+      s"""WITH conn AS (
+            SELECT * FROM (VALUES ('OP1', 5, 7, 1), ('OP1', 5, 7, 2),
+                                  ('OP1', 5, 7, 3), ('OP2', 12, 3, 2),
+                                  ('OP2', 12, 3, 3), ('OP2', 12, 3, 4),
+                                  ('OP2', 12, 3, 5), ('OP2', 13, 3, 2))
+                 AS v(well, i, j, k)),
+          cases AS (SELECT unnest(range($GridCases)) AS c,
+                           (7 - unnest(range($GridCases)) % 7) % 7 AS r),
+          g AS (SELECT well, c, r,
+                       (i - 1) + (j - 1) * $Nx + (k - 1) * ${Nx * Ny} AS g
+                FROM conn CROSS JOIN cases),
+          a AS (SELECT well, c, g - (g - r + 6) // 7 AS active_idx
+                FROM g WHERE (g + c) % 7 <> 0),
+          t AS (SELECT unnest(range($RstSteps)) AS t),
+          p AS (SELECT well, c, t,
+                       3000 + active_idx + t * (5 + active_idx % 9) + 100 * c AS p
+                FROM a CROSS JOIN t),
+          m AS (SELECT well, c, t, count(*) AS n_active, sum(p) AS p_sum
+                FROM p GROUP BY 1, 2, 3),
+          e AS (SELECT well, t, count(*) AS n_cases,
+                       min(n_active) AS n_active_min,
+                       max(n_active) AS n_active_max,
+                       min((p_sum * 1000000) // n_active) AS p_avg_min,
+                       max((p_sum * 1000000) // n_active) AS p_avg_max
+                FROM m GROUP BY 1, 2)
+          SELECT well,
+                 CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                 CAST(n_cases AS BIGINT) AS n_cases,
+                 CAST(n_active_min AS BIGINT) AS n_active_min,
+                 CAST(n_active_max AS BIGINT) AS n_active_max,
+                 CAST(p_avg_min AS BIGINT) AS p_avg_min,
+                 CAST(p_avg_max AS BIGINT) AS p_avg_max
+          FROM e ORDER BY well, date""",
     // replay: unrolled connections as literals, g = (i−1) + (j−1)·Nx +
     // (k−1)·Nx·Ny, case-0 ACTNUM drops g ≡ 0 (mod 7), active ordinal =
     // g − ⌈g/7⌉, pressure = 3000 + a + t·(5 + a%9); all BIGINT

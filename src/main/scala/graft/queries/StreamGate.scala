@@ -600,7 +600,54 @@ object StreamGate {
       .orderBy(col("view_id"), col("click_id"))
   }
 
+  /** q147: STREAMING PARTITIONED FILE SINK — q140's curated-corpus
+    * export produced by the streaming engine's checkpointed parquet
+    * sink: documents stream through the (stateless, codegen) Gopher
+    * cascade, passing rows land in a Hive-partitioned parquet corpus
+    * via the file sink's write-ahead commit log (the exactly-once
+    * mechanism a continuous ingest relies on), and the gate reads the
+    * corpus back through partition discovery. Oracle = q140's
+    * verbatim — the streaming sink must produce exactly the batch
+    * export.
+    *
+    * Fresh sink+checkpoint dirs per run: the commit log is the
+    * idempotence mechanism ACROSS restarts of one stream, not across
+    * logically distinct runs. Note the q140 pushdown caveat applies
+    * in-stream too (`filter(pass)` inlines the rule expressions); a
+    * production stream would foreachBatch+persist — here the per-batch
+    * volume is the bench's own corpus and the cost is measured, not
+    * hidden.
+    */
+  def q147StreamExport(s: SparkSession, dir: String): DataFrame = {
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", "q147",
+      s"$dirTag-${ProcessHandle.current().pid()}").toString
+    val out = s"$root/corpus"
+    val cp = s"$root/checkpoint"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val scored = TextAnalytics.gopherRulesOf(
+        graft.streaming.EventStreams.readDocuments(s, dir)
+          .select(col("doc_id"), col("text"), col("source")),
+        keep = Seq("source"))
+      .filter(col("pass"))
+      .select(col("doc_id"), col("n_words"), col("g3_distinct"), col("source"))
+    val q = scored.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .partitionBy("source")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(scored.schema).parquet(out)
+      .select(col("doc_id"), col("n_words"), col("g3_distinct"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_stream_export" -> (q147StreamExport _),
     "q139_stream_outer_join" -> (q139StreamOuterJoin _),
     "q134_stream_interval_join" -> (q134StreamIntervalJoin _),
     "q112_stream_neardup" -> (q112StreamNearDup _),
@@ -638,6 +685,8 @@ object StreamGate {
          ORDER BY user_id, session_start"""
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming file sink must produce exactly the batch export
+    "q147_stream_export" -> Curation.oracleSql("q140_partitioned_export"),
     // the batch self-join verbatim: the streaming join must emit
     // exactly this pair set, once each
     "q134_stream_interval_join" ->

@@ -138,14 +138,23 @@ object TextAnalytics {
     * any corpus size (the 3-gram distinct count is a per-doc HOF over
     * the token array, bounded by document length).
     */
-  def q127GopherRules(s: SparkSession, dir: String): DataFrame = {
+  def q127GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The Gopher cascade over any (doc_id, text, ...) frame — batch or
+    * STREAMING (pure stateless codegen projection); extra columns in
+    * `keep` pass through. Shared by q127 and the streaming export
+    * gate q147. */
+  private[queries] def gopherRulesOf(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val g3 = when(size(col("t")) >= 3,
       expr("transform(sequence(0, size(t) - 3), i -> " +
         "concat_ws(' ', t[i], t[i + 1], t[i + 2]))"))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
-      .select(col("doc_id"),
+    docs
+      .select((Seq(col("doc_id"), col("text"), tokens(col("text")).as("t")) ++
+        keep.map(col)): _*)
+      .select((Seq(col("doc_id"),
         size(col("t")).cast("long").as("n_words"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("word_chars"),
         expr("size(filter(t, x -> x rlike '^[A-Za-z]+$'))").cast("long").as("n_alpha"),
@@ -153,7 +162,8 @@ object TextAnalytics {
         (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
           regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("n_sym"),
         size(g3).cast("long").as("g3_total"),
-        size(array_distinct(g3)).cast("long").as("g3_distinct"))
+        size(array_distinct(g3)).cast("long").as("g3_distinct")) ++
+        keep.map(col)): _*)
       .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000L)
       .withColumn("r_meanlen",
         lit(3) * col("n_words") <= col("word_chars") &&
@@ -166,7 +176,6 @@ object TextAnalytics {
       .withColumn("pass",
         col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
           col("r_alpha") && col("r_stop") && col("r_dup3"))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic mixture sampling (q55): reproducible per-source

@@ -909,6 +909,42 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q146: the fleet completion envelope replays per-case ACTNUM ordinals") {
+    val out = graft.queries.BinaryGate.q146FleetCompletionEnvelope(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val conns = Seq(("OP1", 5, 7, 1), ("OP1", 5, 7, 2), ("OP1", 5, 7, 3),
+      ("OP2", 12, 3, 2), ("OP2", 12, 3, 3), ("OP2", 12, 3, 4),
+      ("OP2", 12, 3, 5), ("OP2", 13, 3, 2))
+    def utcMidnight(d: Int) = java.sql.Timestamp.from(
+      java.time.LocalDate.of(2022, 1, d).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+    val expected = (for {
+      t <- 0 until 3
+      (well, rows) <- conns.groupBy(_._1).toSeq.sortBy(_._1)
+    } yield {
+      val perCase = (0 until 4).map { c =>
+        val r = (7 - c % 7) % 7
+        val ps = rows.flatMap { case (_, i, j, k) =>
+          val g = (i - 1) + (j - 1) * 20 + (k - 1) * 400
+          if ((g + c) % 7 == 0) None
+          else {
+            // case-c active ordinal; (g - r + 6) ≥ 0 always, so JVM
+            // truncating division equals floor here
+            val a = g - (g - r + 6) / 7
+            Some(3000L + a + t * (5 + a % 9) + 100L * c)
+          }
+        }
+        (ps.size.toLong, ps.sum * 1000000L / ps.size)
+      }
+      (well, utcMidnight(1 + t), 4L,
+        perCase.map(_._1).min, perCase.map(_._1).max,
+        perCase.map(_._2).min, perCase.map(_._2).max)
+    }).sortBy(r => (r._1, r._2.getTime))
+    assert(out.toSeq == expected)
+    // the per-case ACTNUM variation is visible in the envelope
+    assert(out.exists(r => r._4 != r._5))
+  }
+
   test("q141: the completion pressure trace drops the inactive cell and replays exactly") {
     val out = graft.queries.BinaryGate.q141CompletionPressure(spark, Sf)
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
@@ -1207,6 +1243,14 @@ class GateQueriesSpec extends AnyFunSuite {
     // both emission paths exercised: matched pairs AND watermark-held
     // null rows are present
     assert(out.exists(_._7) && out.exists(!_._7))
+  }
+
+  test("q147: the streaming file sink produces exactly the batch export") {
+    val stream = graft.queries.StreamGate.q147StreamExport(spark, Sf)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.Curation.q140PartitionedExport(spark, Sf)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
   }
 
   test("q140: the partitioned export round-trips and lays out one directory per source") {
