@@ -557,6 +557,58 @@ object EclBinary {
     * ([[EclKw.streamGroups]]) — a many-thousand-report RFT never
     * materializes whole; only the retained connection vectors live on.
     */
+  /** RFT FLEET read: every .RFT matching the pattern decoded in ONE
+    * distributed plan, one task per case, TIME-group streaming
+    * EXECUTOR-side — completing the binary ensemble QUARTET (UNSMRY
+    * [[graft.write.SummaryWriter.corpusFromPath]], EGRID+INIT
+    * [[gridFleet]], UNRST [[restartFleet]], RFT here). `vectors` are
+    * EXACT connection-vector names (the fleet schema is fixed before
+    * any file opens); a vector absent from a report surfaces null.
+    * Per-task state is one report group's selected vectors — the
+    * single-case reader's bound, moved onto the executor where the
+    * ensemble axis parallelizes.
+    */
+  def rftFleet(spark: SparkSession, pattern: String,
+      vectors: Seq[String]): DataFrame = {
+    import graft.io.datasource.DeckScan
+    require(vectors.nonEmpty,
+      "rftFleet needs explicit vector names - the fleet schema is fixed up front")
+    val bases = DeckScan.splitPaths(pattern)
+      .flatMap(p => DeckScan.expand(p))
+      .filter(_.toUpperCase.endsWith(".RFT"))
+      .distinct.sorted
+    require(bases.nonEmpty, s"no .RFT files match $pattern")
+    val vecNames = vectors.map(_.toUpperCase)
+    val schema = StructType(
+      StructField("CASE", StringType, nullable = false) ::
+        StructField("DATE", DateType, nullable = true) ::
+        StructField("WELL", StringType, nullable = false) ::
+        StructField("CONIDX", IntegerType, nullable = false) ::
+        vecNames.map(v => StructField(v, DoubleType, nullable = true)).toList)
+    val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(bases, par).flatMap { path =>
+      val groups = EclKw.streamGroups(path, "TIME") { g =>
+        g.find(_.name == "CONIPOS").map { conipos =>
+          val ncon = conipos.data.length
+          val date = g.find(_.name == "DATE").map(d =>
+            java.sql.Date.valueOf(LocalDate.of(d.ints(2), d.ints(1), d.ints(0)))).orNull
+          val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
+          val vecs = g.filter(k => vecNames.contains(k.name) &&
+            k.isNumeric && k.data.length == ncon)
+          (date, well, ncon, vecs.map(k => k.name -> k.doubles).toMap)
+        }
+      }
+      groups.iterator.flatMap { case (date, well, ncon, m) =>
+        val arrs = vecNames.map(m.get)
+        (0 until ncon).iterator.map { i =>
+          Row.fromSeq(path :: date :: well :: (i + 1) ::
+            arrs.map(_.map(x => x(i): java.lang.Double).orNull).toList)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   def rft(spark: SparkSession, path: String): DataFrame = {
     val perGroup = EclKw.streamGroups(path, "TIME") { g =>
       g.find(_.name == "CONIPOS").map { conipos =>

@@ -404,27 +404,54 @@ object BinaryGate {
     * formula replay; q51 already gates the downstream segment-topology
     * pipeline, this gates the BINARY decode feeding it.
     */
+  /** Write the closed-form .RFT case `c` (shared by q63's single-case
+    * reads and q148's fleet read — identical fixtures). */
+  private def writeRftCase(tmp: String, c: Int): String = {
+    val path = s"$tmp/CASE$c.RFT"
+    EclKw.write(path, (0 until RftDates).flatMap { t =>
+      Seq(
+        Kw("TIME", "REAL", Array(t.toFloat)),
+        Kw("DATE", "INTE", Array(1 + t, 2, 2023)),
+        Kw("WELLETC", "CHAR", Array("", s"W$c")),
+        Kw("CONIPOS", "INTE", Array.tabulate(RftNcon)(i => i + 1)),
+        Kw("DEPTH", "REAL",
+          Array.tabulate(RftNcon)(i => (1000 + 10 * i + 100 * t + c).toFloat)),
+        Kw("PRESSURE", "REAL",
+          Array.tabulate(RftNcon)(i => (200 + i + 50 * t + 7 * c).toFloat)))
+    })
+    path
+  }
+
   def q63RftBinary(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q63")
     val frames = (0 until RftCases).map { c =>
-      val path = s"$tmp/CASE$c.RFT"
-      EclKw.write(path, (0 until RftDates).flatMap { t =>
-        Seq(
-          Kw("TIME", "REAL", Array(t.toFloat)),
-          Kw("DATE", "INTE", Array(1 + t, 2, 2023)),
-          Kw("WELLETC", "CHAR", Array("", s"W$c")),
-          Kw("CONIPOS", "INTE", Array.tabulate(RftNcon)(i => i + 1)),
-          Kw("DEPTH", "REAL",
-            Array.tabulate(RftNcon)(i => (1000 + 10 * i + 100 * t + c).toFloat)),
-          Kw("PRESSURE", "REAL",
-            Array.tabulate(RftNcon)(i => (200 + i + 50 * t + 7 * c).toFloat)))
-      })
+      val path = writeRftCase(tmp, c)
       graft.io.EclBinary.rft(s, path).withColumn("case_id", lit(c))
     }
     frames.reduce(_ unionByName _)
       .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
         col("WELL").as("well"), col("CONIDX").as("conidx"),
         col("CONIPOS").as("conipos"),
+        col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
+      .orderBy(col("case_id"), col("date"), col("conidx"))
+  }
+
+  /** q148: the RFT FLEET read (S7 at ensemble scale) —
+    * [[graft.io.EclBinary.rftFleet]] decodes every case's TIME report
+    * groups executor-side, one task per case, completing the binary
+    * ensemble QUARTET (q114 UNSMRY, q117 EGRID+INIT, q120 UNRST, q148
+    * RFT). Same closed-form fixtures as q63; the hash proves the fleet
+    * path equals the single-case streaming reads with no cross-case
+    * group state.
+    */
+  def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q148")
+    val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
+    graft.io.EclBinary.rftFleet(s, paths.mkString(","), Seq("DEPTH", "PRESSURE"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.RFT$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("WELL").as("well"), col("CONIDX").as("conidx"),
         col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
       .orderBy(col("case_id"), col("date"), col("conidx"))
   }
@@ -840,6 +867,7 @@ object BinaryGate {
     "q62_unrst_binary" -> (q62UnrstBinary _),
     "q120_restart_fleet" -> (q120RestartFleet _),
     "q63_rft_binary" -> (q63RftBinary _),
+    "q148_rft_fleet" -> (q148RftFleet _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1118,6 +1146,19 @@ object BinaryGate {
     // the fleet read must equal the single-case path exactly: q62's
     // oracle verbatim
     "q120_restart_fleet" -> rstOracle,
+    // q63's replay minus the CONIPOS vector (the fleet selects DEPTH/
+    // PRESSURE explicitly; CONIDX is the ordinal)
+    "q148_rft_fleet" ->
+      s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
+         dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),
+         cons AS (SELECT c, t, unnest(range($RftNcon)) AS i FROM dates)
+         SELECT CAST(c AS INT) AS case_id,
+                CAST(DATE '2023-02-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                'W' || CAST(c AS VARCHAR) AS well,
+                CAST(i + 1 AS INT) AS conidx,
+                CAST(1000 + 10 * i + 100 * t + c AS DOUBLE) AS depth,
+                CAST(200 + i + 50 * t + 7 * c AS DOUBLE) AS pressure
+         FROM cons ORDER BY case_id, date, conidx""",
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),

@@ -909,6 +909,21 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q148: the RFT fleet read equals the per-case single reads") {
+    val fleet = graft.queries.BinaryGate.q148RftFleet(spark, Sf).collect()
+      .map(_.toSeq).toSet
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", "q148").toString
+    val perCase = (0 until 4).flatMap { c =>
+      graft.io.EclBinary.rft(spark, s"$tmp/CASE$c.RFT")
+        .select(lit(c).as("case_id"), col("DATE").cast("timestamp").as("date"),
+          col("WELL").as("well"), col("CONIDX").as("conidx"),
+          col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
+        .collect().map(_.toSeq)
+    }.toSet
+    assert(fleet == perCase && fleet.nonEmpty)
+  }
+
   test("q146: the fleet completion envelope replays per-case ACTNUM ordinals") {
     val out = graft.queries.BinaryGate.q146FleetCompletionEnvelope(spark, Sf)
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
