@@ -382,6 +382,80 @@ object TextAnalytics {
       .orderBy(col("doc_id"), col("start_tok"))
   }
 
+  private val WinK = 5
+  private val WinW = 4
+  /** Position-field width for the packed (hash, position) selection key:
+    * key = h·2^21 + (2^21−1−pos). h < P < 2^31 keeps the product under
+    * 2^52 (exact BIGINT both engines); documents are capped at 2^21
+    * shingle positions — a fingerprint contract, enforced identically
+    * on both sides. */
+  private val WinM = 1L << 21
+  private val WinDfCap = 32
+  private val WinMinShared = 2
+
+  /** Winnowing fingerprints (q150): the MOSS local fingerprinting
+    * algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003) — hash every
+    * [[WinK]]-token shingle, slide a [[WinW]]-window over the hash
+    * sequence, select each window's minimum (rightmost on ties), and
+    * report document pairs sharing ≥ [[WinMinShared]] selected
+    * fingerprints. The winnowing theorem guarantees any shared token
+    * run of length ≥ w + k − 1 (here 8 tokens) produces a shared
+    * fingerprint, while storing only ~2/(w+1) of all shingles — the
+    * position-aware, guarantee-bearing companion to q26/q40's MinHash
+    * (which sketches global set overlap and can miss short local
+    * matches).
+    *
+    * The rightmost-minimum tie rule is one integer: minimizing
+    * key = h·M + (M−1−pos) minimizes h first and maximizes pos on ties,
+    * so both engines' plain `min` window aggregate IS the paper's
+    * selection rule — no struct comparison, no float.
+    *
+    * Scale shape: shingle hashes are the q61/q98 token-hash polynomial
+    * fold (fixed-width BIGINTs fused into the scan, no string shuffle);
+    * selection is ONE per-doc window pass; the fingerprint set is
+    * ~2/(w+1) of shingle volume, de-duplicated per doc; the pair join
+    * runs only over fingerprints shared by 2..[[WinDfCap]] documents
+    * (the q40 stop-shingle discipline — a boilerplate fingerprint in
+    * half the corpus can never fan out quadratically). Output is
+    * match-pair-sized, the report MOSS itself emits.
+    */
+  def q150Winnow(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.{strHash, P}
+    import org.apache.spark.sql.expressions.Window
+    val fold = (1 until WinK)
+      .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
+    val shingleHashes = expr(s"transform(sequence(0, size(ha) - $WinK), i -> $fold)")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("ha")) >= WinK, shingleHashes)
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+      .filter(col("pos") < WinM)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sel = sh
+      .withColumn("key", col("h") * lit(WinM) + (lit(WinM - 1) - col("pos")))
+      .withColumn("winmin", min(col("key")).over(wOrd.rowsBetween(0, WinW - 1)))
+      // a window START is valid only if w shingles exist from it on
+      .withColumn("wend", lead(col("pos"), WinW - 1).over(wOrd))
+      .filter(col("wend").isNotNull)
+    val fp = sel.select(col("doc_id"), expr(s"winmin div $WinM").as("h")).distinct()
+    val dfc = fp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= WinDfCap)
+      .select(col("h"))
+    val kept = fp.join(dfc, Seq("h"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinMinShared)
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nfp").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
   private val IpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   private val PhoneRe = "555-[0-9]{4}"
@@ -561,6 +635,7 @@ object TextAnalytics {
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q97_lm_score" -> (q97LmScore _),
     "q98_dup_spans" -> (q98DupSpans _),
+    "q150_winnow" -> (q150Winnow _),
   )
 
   private val enList = sqlList(EnStop)
@@ -677,6 +752,40 @@ object TextAnalytics {
                  CAST(length(clean_text) AS BIGINT) AS clean_len,
                  md5(clean_text) AS clean_fp
           FROM agg ORDER BY doc_id""",
+    "q150_winnow" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+          sh AS (
+            SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+                   ${(1 until WinK).foldLeft("h")((acc, k) =>
+                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(h, ${WinK - 1}) OVER w IS NOT NULL),
+          sel AS (
+            SELECT doc_id,
+                   min(hsh * $WinM + (${WinM - 1} - pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS winmin
+            FROM sh WHERE pos < $WinM
+            QUALIFY lead(pos, ${WinW - 1}) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+          fp AS (SELECT DISTINCT doc_id, winmin // $WinM AS h FROM sel),
+          dfc AS (SELECT h FROM fp GROUP BY h
+                  HAVING count(*) >= 2 AND count(*) <= $WinDfCap),
+          kept AS (SELECT f.doc_id, f.h FROM fp f JOIN dfc USING (h)),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(count(*) AS BIGINT) AS n_shared
+                    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= $WinMinShared),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY 1)
+          SELECT doc_a, doc_b, n_shared, sa.nfp AS n_a, sb.nfp AS n_b
+          FROM pairs
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          ORDER BY doc_a, doc_b""",
     "q98_dup_spans" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,

@@ -113,12 +113,115 @@ object Tokenize {
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 
+  private val BpeRounds = 4
+  private val BpeTopK = 8
+
+  /** Adjacent symbol-pair counts over a '|'-separated word-type table
+    * `(sym, n)` — the statistic a BPE trainer maximizes each round.
+    * Every overlapping occurrence counts ("a|a|a" holds TWO "a|a"
+    * pairs), weighted by the word-type count, exactly as in Sennrich
+    * et al. 2016. */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("ss", split(col("sym"), "\\|"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(0, size(ss) - 2), " +
+          "i -> concat(element_at(ss, i + 1), '|', element_at(ss, i + 2)))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+
+  /** Apply one merge (the 1-row `win(win_pair)` frame, broadcast) to the
+    * word-type table: the winning adjacent pair fuses into one symbol.
+    * The sequence is wrapped in sentinels so the literal replace can
+    * only match at symbol boundaries, and both engines' `replace` scans
+    * left-to-right without rescanning replacements — the deterministic
+    * "leftmost non-overlapping" merge rule the gate contract pins. */
+  private def bpeMerge(words: DataFrame, win: DataFrame): DataFrame =
+    words.crossJoin(broadcast(win))
+      .select(expr(
+        "trim(BOTH '|' FROM replace('|' || sym || '|', '|' || win_pair || '|', " +
+          "'|' || replace(win_pair, '|', '') || '|'))").as("sym"), col("n"))
+
+  /** q149: BPE MERGE LEARNING — the byte-pair-encoding training loop
+    * itself (Sennrich et al. 2016, the algorithm behind GPT-2/Llama
+    * tokenizers) run distributively and gated: [[BpeRounds]] rounds of
+    * count-adjacent-pairs → pick the most frequent → fuse it across the
+    * vocabulary, publishing each round's top-[[BpeTopK]] pair
+    * leaderboard (rank 1 = the merge actually taken).
+    *
+    * Trainer shape, not a toy: real BPE training never iterates the
+    * corpus — it iterates the WORD-TYPE table (Zipf-collapsed counts).
+    * Here the corpus is touched exactly once (letter-run pre-tokenize
+    * fused into the scan, one map-side-combined `groupBy(w)`); every
+    * round after that is an aggregate over the word-type frame plus a
+    * broadcast 1-row winner join. At 100 TB the word-type table is
+    * vocabulary-scale (millions of rows, KBs per executor), so R merge
+    * rounds cost R tiny jobs, not R corpus passes. Each round's frame
+    * is persisted: round r's lineage feeds both round r+1's counts and
+    * its merge, and without the barrier the branch count doubles per
+    * round.
+    *
+    * Exactness: counts are BIGINTs, winners tie-break on (cnt DESC,
+    * pair ASC), and the merge is a literal (non-regex) replace under
+    * identical left-to-right semantics — no float exists in the plan.
+    */
+  def q149BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words0 = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(expr("trim(BOTH '|' FROM regexp_replace(w, '(.)', '$1|'))").as("sym"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byCount = Window.orderBy(col("cnt").desc, col("pair").asc)
+    val (tops, _) = (1 to BpeRounds).foldLeft((Seq.empty[DataFrame], words0)) {
+      case ((acc, words), r) =>
+        val pairs = bpePairCounts(words)
+        val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(BpeTopK)
+          .withColumn("rank", row_number().over(byCount))
+          .withColumn("round", lit(r))
+          .select(col("round"), col("rank"), col("pair"), col("cnt"))
+        val win = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .select(col("pair").as("win_pair"))
+        val merged = bpeMerge(words, win)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (acc :+ top, merged)
+    }
+    tops.reduce(_.unionByName(_)).orderBy(col("round"), col("rank"))
+  }
+
+  /** The q149 oracle's per-round CTE triple: pair counts over w{r-1},
+    * the 1-row winner, the merged word table w{r}. */
+  private def bpeRoundSql(r: Int): String =
+    s"""p$r AS (SELECT list_extract(ss, i + 1) || '|' || list_extract(ss, i + 2) AS pair,
+       |              CAST(sum(n) AS BIGINT) AS cnt
+       |       FROM (SELECT ss, n, unnest(range(len(ss) - 1)) AS i
+       |             FROM (SELECT string_split(sym, '|') AS ss, n FROM w${r - 1}))
+       |       GROUP BY 1),
+       |top$r AS (SELECT $r AS round,
+       |                 CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank,
+       |                 pair, cnt
+       |          FROM p$r ORDER BY cnt DESC, pair LIMIT $BpeTopK),
+       |win$r AS (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+       |w$r AS (SELECT trim(replace('|' || sym || '|', '|' || w.pair || '|',
+       |                            '|' || replace(w.pair, '|', '') || '|'), '|') AS sym, n
+       |        FROM w${r - 1}, win$r w)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_tokenize" -> (q88Tokenize _),
     "q111_tokenize_pack" -> (q111TokenizePack _),
+    "q149_bpe_merges" -> (q149BpeMerges _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q149_bpe_merges" ->
+      s"""WITH pieces AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |                FROM documents),
+        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1|', 'g'), '|') AS sym,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM pieces GROUP BY 1),
+        |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")}
+        |SELECT round, rank, pair, cnt FROM (
+        |  ${(1 to BpeRounds).map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")}
+        |) ORDER BY round, rank""".stripMargin,
     "q88_tokenize" ->
       s"""WITH p0 AS (SELECT doc_id,
         |                    regexp_extract_all(lower(text), '$PiecePat') AS ps

@@ -1302,6 +1302,74 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("q149: the distributed BPE trainer equals a sequential driver replay") {
+    // independent oracle: naive single-threaded Sennrich BPE over the
+    // collected word-count table, same leftmost-non-overlapping merge rule
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val wordRe = "[a-z]+".r
+    var words = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => wordRe.findAllIn(t.toLowerCase).foreach { w =>
+      val sym = w.toCharArray.mkString("|")
+      words(sym) = words.getOrElse(sym, 0L) + 1L
+    })
+    val pairOrd = Ordering.by[(String, Long), (Long, String)](p => (-p._2, p._1))
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Long)]
+    for (r <- 1 to 4) {
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (sym, n) =>
+        val ss = sym.split("\\|")
+        (0 until ss.length - 1).foreach { i =>
+          val p = ss(i) + "|" + ss(i + 1)
+          cnt(p) = cnt.getOrElse(p, 0L) + n
+        }
+      }
+      val ranked = cnt.toSeq.sorted(pairOrd)
+      ranked.take(8).zipWithIndex.foreach { case ((p, c), i) =>
+        expect += ((r, i + 1, p, c))
+      }
+      val win = ranked.head._1
+      val merged = win.replace("|", "")
+      words = words.map { case (sym, n) =>
+        (("|" + sym + "|").replace("|" + win + "|", "|" + merged + "|")
+          .stripPrefix("|").stripSuffix("|"), n)
+      }
+    }
+    val got = graft.queries.Tokenize.q149BpeMerges(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect.toSeq)
+  }
+
+  test("q150: winnowing fingerprints equal a sequential driver replay") {
+    import graft.functions.PortableStringHash.{hashString, P}
+    val k = 5; val w = 4; val m = 1L << 21
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // per-doc winnowed fingerprint sets, rightmost-min tie rule via the
+    // packed key
+    val fp = docs.map { case (id, text) =>
+      val ha = text.trim.split("\\s+").map(hashString)
+      val sh = (0 to ha.length - k).map { i =>
+        (1 until k).foldLeft(ha(i))((acc, j) => (acc * 131 + ha(i + j)) % P)
+      }
+      val keys = sh.zipWithIndex.map { case (h, pos) => h * m + (m - 1 - pos) }
+      val sel = (0 to keys.length - w).map(i => keys.slice(i, i + w).min).toSet
+      id -> sel.map(_ / m)
+    }.toMap
+    val dfc = fp.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+      .filter { case (_, n) => n >= 2 && n <= 32 }.keySet
+    val pairs = for {
+      (a, fa) <- fp.toSeq; (b, fb) <- fp.toSeq if a < b
+      shared = (fa intersect fb) intersect dfc if shared.size >= 2
+    } yield (a, b, shared.size.toLong, fp(a).size.toLong, fp(b).size.toLong)
+    val got = graft.queries.TextAnalytics.q150Winnow(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.nonEmpty && got.sorted == pairs.sorted)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
