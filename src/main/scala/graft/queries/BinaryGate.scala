@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.EclKw
 import graft.io.EclKw.Kw
@@ -711,6 +711,125 @@ object BinaryGate {
       .orderBy(col("active_idx"))
   }
 
+  /** q151 INIT closed forms: PORV = (1 + (3a + c) % 128)/32 (dyadic,
+    * float32-exact, ×32 → BIGINT 1..128) and FIPNUM = 1 + (a + 2c) % 4
+    * (four FIP regions, region membership shifting per case the way a
+    * re-gridded realization's would). */
+  private def writeInplaceInitCase(tmp: String, c: Int): String = {
+    val path = s"$tmp/CASE$c.INIT"
+    EclKw.write(path, Seq(
+      Kw("INTEHEAD", "INTE", Array.tabulate(12)(i => if (i == 11) RstNactive else 0)),
+      Kw("PORV", "REAL", Array.tabulate(RstNactive)(a => (1 + (3 * a + c) % 128) / 32f)),
+      Kw("FIPNUM", "INTE", Array.tabulate(RstNactive)(a => 1 + (a + 2 * c) % 4))))
+    path
+  }
+
+  /** q151: FLUID-IN-PLACE VOLUMETRICS per FIP region over the ensemble
+    * — the STOIIP/volumetrics report reservoir engineers compute from
+    * the library's frames (reference users join init2df's PORV/FIPNUM
+    * with rst2df's SWAT and sum PORV·SOIL per region; cf. the PRT
+    * FIP-report family q52/q89, which READS the simulator's own totals
+    * — this derives them from the vectors): per (case, report step,
+    * FIPNUM), cell count, pore volume, and oil/water in place as exact
+    * fixed-point BIGINTs (PORV·32 times SOIL·32 → ×1024 units; SOIL =
+    * 1 − SWAT in the two-phase fixture).
+    *
+    * Scale shape: the INIT side carries one row per (case, cell) —
+    * static properties; the restart side one row per (case, cell,
+    * step). The equi-join key (case_id, active_idx) co-partitions both
+    * scans (at 100 TB both sides bucket by the same key; neither is
+    * broadcastable), and the FIPNUM rollup's exchange carries only
+    * regions × steps × cases rows. No window, no driver state; the
+    * in-place trend over steps falls out of the same plan.
+    */
+  def q151InplaceVolumes(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q151")
+    val initFrames = (0 until RstCases).map { c =>
+      graft.io.EclBinary.init(s, writeInplaceInitCase(tmp, c), Seq("PORV", "FIPNUM"))
+        .withColumn("case_id", lit(c))
+    }
+    val init = initFrames.reduce(_ unionByName _)
+      .select(col("case_id"), col("ACTIVE_IDX").as("active_idx"),
+        (col("PORV") * 32).cast("long").as("porv32"), col("FIPNUM").as("fipnum"))
+    val rstPaths = (0 until RstCases).map(c => writeDepletionRstCase(tmp, c))
+    val rst = graft.io.EclBinary.restartFleet(s, rstPaths.mkString(","), Seq("SWAT"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        (col("SWAT").cast("double") * 32).cast("long").as("sw32"))
+    rst.join(init, Seq("case_id", "active_idx"))
+      .groupBy(col("case_id"), col("date"), col("fipnum"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("porv32")).as("porv32"),
+        sum(col("porv32") * (lit(32L) - col("sw32"))).as("oip1024"),
+        sum(col("porv32") * col("sw32")).as("wip1024"))
+      .orderBy(col("case_id"), col("date"), col("fipnum"))
+  }
+
+  /** q152: ENSEMBLE PARAMETER SENSITIVITY — Kendall rank correlation
+    * between each design parameter and the history-match misfit, the
+    * tornado-plot input an ensemble study reads parameters.txt FOR
+    * (the reference's parameters cascade q68 feeds exactly this; ERT's
+    * sensitivity workflows rank parameters by |tau|). Parameters are
+    * ingested DISTRIBUTED — `spark.read.text` over the realization
+    * glob, case identity from the path, the same `KEY value` line rule
+    * as [[graft.modules.GridOps.parseParametersTxt]] — and joined to
+    * the q126 misfit scores.
+    *
+    * Kendall's tau is chosen over Spearman because it is EXACT in
+    * integers: per parameter, every case pair contributes sign(Δp)·
+    * sign(Δm) ∈ {−1,0,1}; the gate publishes concordant/discordant/tie
+    * counts and the tau numerator as BIGINTs — no rank-average float
+    * ever exists. The O(n²) pair join is per-parameter and n is the
+    * ENSEMBLE size (≤ thousands of realizations — bounded by design,
+    * the same bound ERT's own workflows assume); parameters fan the
+    * join, cases bound it.
+    */
+  def q152ParamSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q152")
+    (0 until FleetCases).foreach { c =>
+      val d = new java.io.File(s"$tmp/real$c"); d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/real$c/parameters.txt"),
+        (s"PORO_MULT 0.${3 + (5 * c) % 7}\n" +
+          s"RMS_SEED ${(37 * c) % 11}\n" +
+          s"SKIN ${-c}\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val params = s.read.text(s"$tmp/real*/parameters.txt")
+      .select(
+        regexp_extract(input_file_name(), "real([0-9]+)/parameters\\.txt$", 1)
+          .cast("int").as("case_id"),
+        split(trim(col("value")), "\\s+").as("kv"))
+      .filter(size(col("kv")) === 2)
+      .select(col("case_id"), col("kv")(0).as("param"),
+        col("kv")(1).cast("double").as("pval"))
+    val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("ts"),
+        (col("VALUE") * 32).cast("long").as("sim32"))
+    val pm = params.join(
+      misfitScore(s, sims).select(col("case_id"), col("misfit_fp4")), Seq("case_id"))
+    val sgn = (a: Column, b: Column) =>
+      when(a > b, lit(1L)).when(a < b, lit(-1L)).otherwise(lit(0L))
+    pm.as("a")
+      .join(pm.as("b"),
+        col("a.param") === col("b.param") && col("a.case_id") < col("b.case_id"))
+      .select(col("a.param").as("param"),
+        sgn(col("a.pval"), col("b.pval")).as("sp"),
+        sgn(col("a.misfit_fp4"), col("b.misfit_fp4")).as("sm"))
+      .groupBy(col("param"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("sp") * col("sm") > 0).cast("long")).as("n_conc"),
+        sum((col("sp") * col("sm") < 0).cast("long")).as("n_disc"),
+        sum((col("sp") === 0 || col("sm") === 0).cast("long")).as("n_tie"),
+        sum(col("sp") * col("sm")).as("tau_num"))
+      .orderBy(col("param"))
+  }
+
   /** The q141 schedule: two wells, one completion landing on an
     * inactive cell ((5,7,3) → g = 924 = 7·132 under case-0 ACTNUM) to
     * exercise the drop path the trace must make visible. */
@@ -857,6 +976,8 @@ object BinaryGate {
     "q137_ensemble_percentiles" -> (q137EnsemblePercentiles _),
     "q132_field_decline" -> (q132FieldDecline _),
     "q128_depletion" -> (q128Depletion _),
+    "q151_inplace_volumes" -> (q151InplaceVolumes _),
+    "q152_param_sensitivity" -> (q152ParamSensitivity _),
     "q126_ensemble_misfit" -> (q126EnsembleMisfit _),
     "q123_grid_ensemble_stats" -> (q123GridEnsembleStats _),
     "q124_summary_ensemble_stats" -> (q124SummaryEnsembleStats _),
@@ -1076,6 +1197,61 @@ object BinaryGate {
           FROM m ORDER BY case_id, ci, cj, k""",
     // the streaming accumulation must land on the batch answer exactly
     "q143_stream_misfit" -> ensembleMisfitSql,
+    // closed-form replay: porv32 = 1 + (3a+c)%128, fip = 1 + (a+2c)%4,
+    // sw32 = (a+3t+c)%32 — every product < 2^12 per cell, sums < 2^32
+    "q151_inplace_volumes" ->
+      s"""WITH c AS (SELECT unnest(range($RstCases)) AS c),
+         t AS (SELECT unnest(range($RstSteps)) AS t),
+         a AS (SELECT unnest(range($RstNactive)) AS a),
+         cells AS (SELECT c.c, t.t, a.a,
+                          1 + (3 * a.a + c.c) % 128 AS porv32,
+                          CAST(1 + (a.a + 2 * c.c) % 4 AS INT) AS fipnum,
+                          (a.a + 3 * t.t + c.c) % 32 AS sw32
+                   FROM c, t, a)
+         SELECT CAST(c AS INT) AS case_id,
+                CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                fipnum,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(porv32) AS BIGINT) AS porv32,
+                CAST(sum(porv32 * (32 - sw32)) AS BIGINT) AS oip1024,
+                CAST(sum(porv32 * sw32) AS BIGINT) AS wip1024
+         FROM cells GROUP BY 1, 2, 3 ORDER BY case_id, date, fipnum""",
+    // misfit CTEs are q126's replay; parameters replay their closed
+    // forms as lockstep-unnested lists. The double comparisons are
+    // sign-only, so IEEE representation equality is all that's needed
+    // (identical decimal strings parse to identical doubles).
+    "q152_param_sensitivity" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+         v AS (SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+         d AS (SELECT unnest(range(0, $SumDays, 5)) AS day),
+         x AS (SELECT case_id,
+                      (224 * case_id + 96 * (day % 7) - 64 * (vi % 3)) // 32 AS dlt,
+                      CASE WHEN vi % 2 = 0 THEN 4 ELSE 1 END AS w
+               FROM c CROSS JOIN v CROSS JOIN d),
+         m AS (SELECT case_id, sum(w * dlt * dlt) AS misfit_fp4
+               FROM x GROUP BY case_id),
+         p AS (SELECT case_id,
+                      unnest(['PORO_MULT', 'RMS_SEED', 'SKIN']) AS param,
+                      unnest([CAST(3 + (5 * case_id) % 7 AS DOUBLE) / 10,
+                              CAST((37 * case_id) % 11 AS DOUBLE),
+                              CAST(-case_id AS DOUBLE)]) AS pval
+               FROM c),
+         pm AS (SELECT p.case_id, p.param, p.pval, m.misfit_fp4
+                FROM p JOIN m USING (case_id)),
+         pr AS (SELECT a.param,
+                       CASE WHEN a.pval > b.pval THEN 1
+                            WHEN a.pval < b.pval THEN -1 ELSE 0 END AS sp,
+                       CASE WHEN a.misfit_fp4 > b.misfit_fp4 THEN 1
+                            WHEN a.misfit_fp4 < b.misfit_fp4 THEN -1 ELSE 0 END AS sm
+                FROM pm a JOIN pm b
+                  ON a.param = b.param AND a.case_id < b.case_id)
+         SELECT param,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN sp * sm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+                CAST(sum(CASE WHEN sp * sm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+                CAST(sum(CASE WHEN sp = 0 OR sm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
+                CAST(sum(sp * sm) AS BIGINT) AS tau_num
+         FROM pr GROUP BY param ORDER BY param""",
     "q126_ensemble_misfit" -> ensembleMisfitSql,
     // every arithmetic step lands on exactly-representable values
     // (dyadic poro, integer permx, numerators < 2^53), so double

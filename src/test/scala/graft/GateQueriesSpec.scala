@@ -839,6 +839,35 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(verdicts.size == 2, s"degenerate rule set: $verdicts")
   }
 
+  test("q151: in-place volumes balance (oip + wip = 32·porv) in every region") {
+    val rows = graft.queries.BinaryGate.q151InplaceVolumes(spark, Sf).collect()
+    // 4 cases × 3 steps × 4 FIP regions
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val (porv32, oip, wip) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(oip + wip == 32 * porv32, s"mass balance broken in $r")
+      assert(r.getLong(3) == 125, "each region holds 500/4 cells")
+    }
+    // total pore volume is step-invariant per (case, region)
+    val perStep = rows.groupBy(r => (r.getInt(0), r.getInt(2)))
+      .values.map(_.map(_.getLong(4)).toSet)
+    assert(perStep.forall(_.size == 1))
+  }
+
+  test("q152: Kendall sensitivity gets the designed correlations exactly") {
+    val out = graft.queries.BinaryGate.q152ParamSensitivity(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // misfit is strictly increasing in case id; SKIN = -c is perfectly
+    // anti-correlated (tau -1), PORO_MULT = (3+(5c)%7)/10 = .3 .8 .6 .4
+    // gives 3 concordant / 3 discordant (tau 0), RMS_SEED = (37c)%11 =
+    // 0 4 8 1 gives 4/2 (tau +1/3)
+    assert(out == Seq(
+      ("PORO_MULT", 6L, 3L, 3L, 0L, 0L),
+      ("RMS_SEED", 6L, 4L, 2L, 0L, 2L),
+      ("SKIN", 6L, 0L, 6L, 0L, -6L)))
+  }
+
   test("q128: depletion deltas match the closed-form fixture replay") {
     val out = graft.queries.BinaryGate.q128Depletion(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
