@@ -438,7 +438,11 @@ object TextAnalytics {
       // a window START is valid only if w shingles exist from it on
       .withColumn("wend", lead(col("pos"), WinW - 1).over(wOrd))
       .filter(col("wend").isNotNull)
+    // barrier: fp feeds FOUR consumers (both pair-join sides, both size
+    // frames, the df cap) — without it each lineage re-runs the corpus
+    // scan + shingle fold + selection window (the q140 lesson)
     val fp = sel.select(col("doc_id"), expr(s"winmin div $WinM").as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = fp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2 && col("n_docs") <= WinDfCap)
       .select(col("h"))
