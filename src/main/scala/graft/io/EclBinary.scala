@@ -356,6 +356,46 @@ object EclBinary {
     (nactive, picked.result().filter(_.data.length == nactive))
   }
 
+  /** Ensemble INIT read (S4 at fleet scale): every .INIT case matching
+    * the glob decoded in ONE distributed plan, one task per case,
+    * through the SAME selection protocol as [[init]] (shared
+    * [[readInitVectors]] — the single-case and fleet paths cannot
+    * diverge). `vectors` are EXACT vector names (the fleet schema is
+    * fixed before any file opens); values publish as DOUBLE (the
+    * [[restartFleet]] fleet convention — INTE region vectors cast back
+    * losslessly). Completes the per-filetype fleet family: UNSMRY
+    * (corpusFromPath), EGRID+INIT ([[gridFleet]]), UNRST
+    * ([[restartFleet]]), RFT ([[rftFleet]]), INIT-only (this).
+    */
+  def initFleet(spark: SparkSession, pattern: String,
+      vectors: Seq[String]): DataFrame = {
+    import graft.io.datasource.DeckScan
+    require(vectors.nonEmpty,
+      "initFleet needs explicit vector names - the fleet schema is fixed up front")
+    val paths = DeckScan.splitPaths(pattern)
+      .flatMap(p => DeckScan.expand(p))
+      .filter(_.toUpperCase.endsWith(".INIT"))
+      .distinct.sorted
+    require(paths.nonEmpty, s"no .INIT files match $pattern")
+    val vecNames = vectors.map(_.toUpperCase)
+    val wantSet = vecNames.toSet
+    val schema = StructType(
+      StructField("CASE", StringType, nullable = false) ::
+        StructField("ACTIVE_IDX", LongType, nullable = false) ::
+        vecNames.map(v => StructField(v, DoubleType, nullable = true)).toList)
+    val par = math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(paths, par).flatMap { path =>
+      val (nactive, vecs) = readInitVectors(path, wantSet)
+      val m = vecs.map(k => k.name -> k.doubles).toMap
+      val arrs = vecNames.map(m.get)
+      (0 until nactive).iterator.map { a =>
+        Row.fromSeq(path :: a.toLong ::
+          arrs.map(_.map(x => x(a): java.lang.Double).orNull).toList)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Ensemble restart read (S5 at fleet scale): every UNRST case
     * matching the glob decoded in ONE distributed plan, one task per
     * case, SEQNUM-group streaming EXECUTOR-side — the restart member

@@ -734,23 +734,25 @@ object BinaryGate {
     * fixed-point BIGINTs (PORV·32 times SOIL·32 → ×1024 units; SOIL =
     * 1 − SWAT in the two-phase fixture).
     *
-    * Scale shape: the INIT side carries one row per (case, cell) —
-    * static properties; the restart side one row per (case, cell,
-    * step). The equi-join key (case_id, active_idx) co-partitions both
-    * scans (at 100 TB both sides bucket by the same key; neither is
-    * broadcastable), and the FIPNUM rollup's exchange carries only
-    * regions × steps × cases rows. No window, no driver state; the
-    * in-place trend over steps falls out of the same plan.
+    * Scale shape: BOTH sides decode executor-side, one task per case
+    * ([[graft.io.EclBinary.initFleet]] / restartFleet). The INIT side
+    * carries one row per (case, cell) — static properties; the restart
+    * side one row per (case, cell, step). The equi-join key (case_id,
+    * active_idx) co-partitions both scans (at 100 TB both sides bucket
+    * by the same key; neither is broadcastable), and the FIPNUM
+    * rollup's exchange carries only regions × steps × cases rows. No
+    * window, no driver state; the in-place trend over steps falls out
+    * of the same plan.
     */
   def q151InplaceVolumes(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q151")
-    val initFrames = (0 until RstCases).map { c =>
-      graft.io.EclBinary.init(s, writeInplaceInitCase(tmp, c), Seq("PORV", "FIPNUM"))
-        .withColumn("case_id", lit(c))
-    }
-    val init = initFrames.reduce(_ unionByName _)
+    val initPaths = (0 until RstCases).map(c => writeInplaceInitCase(tmp, c))
+    val init = graft.io.EclBinary.initFleet(s, initPaths.mkString(","), Seq("PORV", "FIPNUM"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.INIT$", 1).cast("int"))
       .select(col("case_id"), col("ACTIVE_IDX").as("active_idx"),
-        (col("PORV") * 32).cast("long").as("porv32"), col("FIPNUM").as("fipnum"))
+        (col("PORV") * 32).cast("long").as("porv32"),
+        col("FIPNUM").cast("int").as("fipnum"))
     val rstPaths = (0 until RstCases).map(c => writeDepletionRstCase(tmp, c))
     val rst = graft.io.EclBinary.restartFleet(s, rstPaths.mkString(","), Seq("SWAT"))
       .withColumn("case_id",
@@ -792,7 +794,9 @@ object BinaryGate {
       val d = new java.io.File(s"$tmp/real$c"); d.mkdirs()
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$tmp/real$c/parameters.txt"),
-        (s"PORO_MULT 0.${3 + (5 * c) % 7}\n" +
+        (s"# ERT design parameters, realization $c\n" +
+          s"#LEGACY_SEED ${c * 1000}\n" + // 2-token comment: startsWith rule, not arity
+          s"PORO_MULT 0.${3 + (5 * c) % 7}\n" +
           s"RMS_SEED ${(37 * c) % 11}\n" +
           s"SKIN ${-c}\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -801,7 +805,9 @@ object BinaryGate {
         regexp_extract(input_file_name(), "real([0-9]+)/parameters\\.txt$", 1)
           .cast("int").as("case_id"),
         split(trim(col("value")), "\\s+").as("kv"))
-      .filter(size(col("kv")) === 2)
+      // the parseParametersTxt line rule exactly: KEY value pairs only,
+      // '#'-prefixed comment lines dropped
+      .filter(size(col("kv")) === 2 && !col("kv")(0).startsWith("#"))
       .select(col("case_id"), col("kv")(0).as("param"),
         col("kv")(1).cast("double").as("pval"))
     val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
@@ -811,8 +817,12 @@ object BinaryGate {
       .select(col("case_id"), col("VECTOR").as("vector"),
         col("DATE").cast("timestamp").as("ts"),
         (col("VALUE") * 32).cast("long").as("sim32"))
+    // barrier: pm feeds both self-join sides — without it each side
+    // re-runs the fleet decode + misfit aggregate (ensemble-sized frame,
+    // the q140/q150 lesson)
     val pm = params.join(
       misfitScore(s, sims).select(col("case_id"), col("misfit_fp4")), Seq("case_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sgn = (a: Column, b: Column) =>
       when(a > b, lit(1L)).when(a < b, lit(-1L)).otherwise(lit(0L))
     pm.as("a")

@@ -868,6 +868,22 @@ class GateQueriesSpec extends AnyFunSuite {
       ("SKIN", 6L, 0L, 6L, 0L, -6L)))
   }
 
+  test("initFleet equals unioned single-case init reads on the q151 fixtures") {
+    // run q151 first so the fixtures exist, then compare paths directly
+    graft.queries.BinaryGate.q151InplaceVolumes(spark, Sf).collect()
+    val paths = (0 until 4).map(c => s"/tmp/graft-gate/q151/CASE$c.INIT")
+    val fleet = graft.io.EclBinary.initFleet(spark, paths.mkString(","), Seq("PORV", "FIPNUM"))
+      .select(col("CASE"), col("ACTIVE_IDX"), col("PORV"), col("FIPNUM"))
+      .collect().map(_.toSeq).toSet
+    val single = paths.flatMap { p =>
+      graft.io.EclBinary.init(spark, p, Seq("PORV", "FIPNUM"))
+        .select(lit(p).as("CASE"), col("ACTIVE_IDX"), col("PORV"),
+          col("FIPNUM").cast("double"))
+        .collect().map(_.toSeq)
+    }.toSet
+    assert(fleet.nonEmpty && fleet == single)
+  }
+
   test("q128: depletion deltas match the closed-form fixture replay") {
     val out = graft.queries.BinaryGate.q128Depletion(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
