@@ -332,6 +332,70 @@ object Multimodal {
     (lo, hi)
   }
 
+  /** Walsh–Hadamard perceptual hash (wHash) — the FREQUENCY-DOMAIN
+    * member of the pHash family, exact in integers: 8×8 luminance block
+    * sums → 2D Walsh–Hadamard transform (natural order, H[u,x] =
+    * (−1)^popcount(u&x) — the ±1 integer analog of pHash's DCT) → the
+    * 15 low-index coefficients (u < 4, v < 4, DC excluded) thresholded
+    * at their exact median (the rank-8 value) → a 15-bit fingerprint.
+    * Where [[averageHash]] thresholds each block against the global
+    * mean (spatial), this thresholds frequency structure — the two
+    * disagree exactly where pattern layout differs at equal brightness.
+    * Every step is BIGINT arithmetic, so an engine-independent oracle
+    * can replay it from a pixel formula bit for bit.
+    */
+  def hadamardHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % 8 == 0 && h % 8 == 0,
+      s"hadamardHash needs dims divisible by 8 (got ${w}x$h) - resize first")
+    val (bw, bh) = (w / 8, h / 8)
+    val bs = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        bs(y / bh)(x / bw) += lum
+        x += 1
+      }
+      y += 1
+    }
+    val coeffs = new Array[Long](15)
+    var idx = 0
+    var v = 0
+    while (v < 4) {
+      var u = 0
+      while (u < 4) {
+        if (u != 0 || v != 0) {
+          var c = 0L
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val s = Integer.bitCount(u & bx) + Integer.bitCount(v & by)
+              c += (if ((s & 1) == 0) bs(by)(bx) else -bs(by)(bx))
+              bx += 1
+            }
+            by += 1
+          }
+          coeffs(idx) = c
+          idx += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    val medV = coeffs.sorted.apply(7)
+    var hash = 0L
+    var i = 0
+    while (i < 15) {
+      if (coeffs(i) > medV) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     val (w, h) = (img.getWidth, img.getHeight)

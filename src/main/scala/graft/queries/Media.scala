@@ -140,43 +140,54 @@ object Media {
     * mapInPandas batch shape), one 16-byte-key hash aggregate, one
     * broadcast-sized join back — q24's plan with a decode stage.
     */
+  /** The shared q125/q153 image fixture: a deterministic 32×16 image
+    * keyed on gid — red encodes gid's bits in BLOCK brightness (block
+    * bi reads bit bi mod 6), green/blue add a gid-independent texture:
+    * every gid in 0..49 lands on a DISTINCT aHash (simulated
+    * exhaustively), so dedup groups are exactly the pixel-identical gid
+    * groups — a smooth per-pixel gradient collapsed 28 gids into one
+    * hash (aHash is deliberately coarse; structure must sit at block
+    * scale to survive it). */
+  private[graft] def gidImage(gid: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      32, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 32) {
+        val bi = (y / 2) * 8 + x / 4
+        val r = (((gid >> (bi % 6)) & 1L) * 255L).toInt
+        val g = (x * 8) % 256
+        val b = (y * 16) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode through the JDK's REAL lossless codecs — half the corpus as
+    * PNG, half as BMP (same decoded pixels, entirely different container
+    * bytes), then decode back with format auto-detection. */
+  private[graft] def roundTripImage(id: Long): java.awt.image.BufferedImage = {
+    val img = gidImage(id % 50)
+    val bytes = if ((id / 50) % 2 == 0) Multimodal.encodePng(img)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        bos.toByteArray
+      }
+    Multimodal.decodeImage(bytes)
+      .getOrElse(throw new IllegalStateException(s"image round-trip failed for doc $id"))
+  }
+
   def q125ImageDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
     val hashed = ids.mapPartitions { it =>
       it.map { id =>
-        val gid = id % 50
-        // red encodes gid's bits in BLOCK brightness (block bi reads bit
-        // bi mod 6), green/blue add a gid-independent texture: every gid
-        // in 0..49 lands on a DISTINCT aHash (simulated exhaustively),
-        // so dedup groups are exactly the pixel-identical gid groups —
-        // a smooth per-pixel gradient collapsed 28 gids into one hash
-        // (aHash is deliberately coarse; structure must sit at block
-        // scale to survive it)
-        val img = new java.awt.image.BufferedImage(
-          32, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 32) {
-            val bi = (y / 2) * 8 + x / 4
-            val r = (((gid >> (bi % 6)) & 1L) * 255L).toInt
-            val g = (x * 8) % 256
-            val b = (y * 16) % 256
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val bytes = if ((id / 50) % 2 == 0) Multimodal.encodePng(img)
-          else {
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "bmp", bos)
-            bos.toByteArray
-          }
-        val dec = Multimodal.decodeImage(bytes)
-          .getOrElse(throw new IllegalStateException(s"image round-trip failed for doc $id"))
-        val (lo, hi) = Multimodal.averageHash(dec)
+        val (lo, hi) = Multimodal.averageHash(roundTripImage(id))
         (id, lo, hi)
       }
     }.toDF("doc_id", "ahash_lo", "ahash_hi")
@@ -188,8 +199,41 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** q153: FREQUENCY-DOMAIN image dedup — the q125 corpus fingerprinted
+    * with [[Multimodal.hadamardHash]] (Walsh–Hadamard wHash): the exact
+    * integer analog of pHash's DCT low-frequency signature, run through
+    * the same real PNG/BMP codec round trip. aHash (q125) thresholds
+    * each block against the global mean; wHash thresholds the 15
+    * low-sequency TRANSFORM coefficients against their median, so it
+    * reads pattern structure (edges, stripes, gradients) rather than
+    * brightness layout — the second, independent axis a production
+    * image-dedup cascade votes across (aHash ∧ wHash agreement is the
+    * standard false-positive guard). The oracle replays block sums →
+    * ±1 transform → median threshold from the pixel formula alone
+    * (popcount via an 8-entry table over 3-bit operands), so a hash
+    * match proves the real codecs ran AND the transform math is
+    * bit-identical in both engines.
+    *
+    * Scale shape: identical to q125 — one stateless decode kernel, one
+    * hash aggregate, one broadcast-sized join back.
+    */
+  def q153WHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map(id => (id, Multimodal.hadamardHash(roundTripImage(id))))
+    }.toDF("doc_id", "whash")
+    val grp = hashed.groupBy(col("whash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(grp, Seq("whash"))
+      .select(col("doc_id"), col("whash"), col("keep_id"), col("n_copies"),
+        (col("doc_id") > col("keep_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_image_dedup" -> (q125ImageDedup _),
+    "q153_whash_dedup" -> (q153WHashDedup _),
     "q43_image_decode" -> (q43ImageDecode _),
     "q46_audio_decode" -> (q46AudioDecode _),
     "q93_frame_sample" -> (q93FrameSample _),
@@ -199,6 +243,48 @@ object Media {
     // aHash bit math replayed from the pixel formula: 32×16 image,
     // 8×8 block grid (4×2 px blocks), lum = r+g+b, bit set iff
     // bs·64 > ts (exact integer cross-multiply) — engine-identical
+    // wHash bit math replayed from the pixel formula: block sums → ±1
+    // Walsh–Hadamard transform (sign via an 8-entry popcount table over
+    // the 3-bit operands) → 15 low-sequency coefficients → exact rank-8
+    // median threshold — engine-identical BIGINTs throughout
+    "q153_whash_dedup" ->
+      """WITH docs AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
+        |gids AS (SELECT DISTINCT gid FROM docs),
+        |pix AS (
+        |  SELECT gid, x, y,
+        |         ((gid >> CAST(((y // 2) * 8 + x // 4) % 6 AS INT)) & 1) * 255
+        |           + (x * 8) % 256 + (y * 16) % 256 AS lum
+        |  FROM gids
+        |  CROSS JOIN (SELECT unnest(range(32)) AS x)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS y)),
+        |blocks AS (
+        |  SELECT gid, x // 4 AS bx, y // 2 AS by, CAST(sum(lum) AS BIGINT) AS bs
+        |  FROM pix GROUP BY 1, 2, 3),
+        |uv AS (SELECT u.u, v.v, CAST(v.v * 4 + u.u - 1 AS INT) AS idx
+        |       FROM (SELECT unnest(range(4)) AS u) u
+        |       CROSS JOIN (SELECT unnest(range(4)) AS v) v
+        |       WHERE NOT (u.u = 0 AND v.v = 0)),
+        |co AS (
+        |  SELECT b.gid, uv.idx,
+        |         CAST(sum(b.bs * (1 - 2 * ((([0,1,1,2,1,2,2,3])[CAST((uv.u & b.bx) + 1 AS INT)]
+        |                  + ([0,1,1,2,1,2,2,3])[CAST((uv.v & b.by) + 1 AS INT)]) % 2))) AS BIGINT) AS c
+        |  FROM blocks b CROSS JOIN uv
+        |  GROUP BY 1, 2),
+        |med AS (SELECT gid, c AS medv FROM (
+        |          SELECT gid, c, row_number() OVER (PARTITION BY gid ORDER BY c, idx) AS rk
+        |          FROM co)
+        |        WHERE rk = 8),
+        |hashes AS (
+        |  SELECT co.gid,
+        |         CAST(sum(CASE WHEN co.c > med.medv
+        |                       THEN (CAST(1 AS BIGINT) << co.idx) ELSE 0 END) AS BIGINT) AS whash
+        |  FROM co JOIN med USING (gid) GROUP BY 1),
+        |dh AS (SELECT d.doc_id, h.whash FROM docs d JOIN hashes h USING (gid)),
+        |grp AS (SELECT whash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |        FROM dh GROUP BY 1)
+        |SELECT dh.doc_id, dh.whash, g.keep_id, g.n_copies,
+        |       dh.doc_id > g.keep_id AS is_dup
+        |FROM dh JOIN grp g USING (whash) ORDER BY dh.doc_id""".stripMargin,
     "q125_image_dedup" ->
       """WITH docs AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
         |gids AS (SELECT DISTINCT gid FROM docs),

@@ -112,6 +112,36 @@ class GateQueriesSpec extends AnyFunSuite {
       != Multimodal.averageHash(build(5, java.awt.image.BufferedImage.TYPE_INT_RGB)))
   }
 
+  test("q153: wHash is codec-invariant and reads structure aHash cannot") {
+    import graft.multimodal.Multimodal
+    // codec invariance: same pixels via png and bmp hash identically
+    val h = (0L until 50L).map(g => Multimodal.hadamardHash(graft.queries.Media.roundTripImage(g)))
+    val direct = (0L until 50L).map(g => Multimodal.hadamardHash(graft.queries.Media.gidImage(g)))
+    assert(h == direct)
+    // a frequency flip aHash is blind to: swap two equal-brightness
+    // blocks (same global mean, same per-block sums set, different
+    // LAYOUT) — wHash must move, aHash per-block bits move identically
+    def striped(invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        32, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val bx = x / 4
+        val on = if (invert) bx % 2 == 1 else bx % 2 == 0
+        val v = if (on) 200 else 40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val (w1, w2) = (Multimodal.hadamardHash(striped(false)),
+      Multimodal.hadamardHash(striped(true)))
+    assert(w1 != w2, "wHash must distinguish phase-inverted stripes")
+    // hash is a pure function of gid on the gate corpus: 500 docs, 50 groups
+    val rows = graft.queries.Media.q153WHashDedup(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 500)
+    val byGid = rows.groupBy(r => r.getLong(0) % 50).values
+    assert(byGid.forall(_.map(_.getLong(1)).toSet.size == 1))
+  }
+
   test("q59: grid binary decode recovers the closed-form geometry exactly") {
     val rows = graft.queries.BinaryGate.q59GridBinary(spark, Sf)
     // 4 cases x 2000 cells minus the (g+c)%7==0 inactives
