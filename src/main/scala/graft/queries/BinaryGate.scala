@@ -840,6 +840,80 @@ object BinaryGate {
       .orderBy(col("param"))
   }
 
+  /** The q154 group tree: two wells under two groups under a platform
+    * under FIELD — four rollup levels, so the closure is a real
+    * multi-hop computation, not one join. */
+  private val TreeDeck =
+    """WELSPECS
+      | 'W0' 'G1' 1 1 1* 'OIL' /
+      | 'W1' 'G2' 2 2 1* 'OIL' /
+      |/
+      |GRUPTREE
+      | 'G1' 'PLAT' /
+      | 'G2' 'PLAT' /
+      | 'PLAT' 'FIELD' /
+      |/
+      |""".stripMargin
+
+  /** q154: HIERARCHICAL PRODUCTION ROLLUP — well rates summed up the
+    * GRUPTREE to every ancestor group, per realization and date: the
+    * group-level production report reference users compose gruptree +
+    * summary FOR (gruptree.py builds the tree; ERT/webviz roll well
+    * vectors up it). The tree closure (well → every ancestor) is an
+    * iterative distributed self-join to fixed point — the bounded-depth
+    * transitive-closure loop (trees are depth ≤ ~10; each round is one
+    * join over the SCHEDULE-sized edge frame, broadcast everywhere it
+    * appears). The closure then joins the summary FLEET read once:
+    * corpus-sized data flows through ONE equi-join + one rollup
+    * aggregate, never through the iteration.
+    *
+    * Exactness: fixture values are dyadic (·32 → exact BIGINT); the
+    * oracle replays the closure with a recursive CTE — an independent
+    * algorithm for the same reachability set.
+    */
+  def q154TreeRollup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q154")
+    val edges = graft.modules.Gruptree.df(s, TreeDeck)
+      .filter(col("PARENT").isNotNull)
+      .select(col("CHILD").as("child"), col("PARENT").as("parent"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ancestor closure to fixed point: tree-depth-bounded driver loop,
+    // each round broadcast-joins the tiny edge frame
+    // disambiguated copy for the closure joins (anc derives from edges,
+    // so joining them directly trips self-join column resolution)
+    val hop = edges.select(col("child").as("h_child"), col("parent").as("h_parent"))
+    var anc = edges.select(col("child").as("node"), col("parent").as("anc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var n = anc.count()
+    var rounds = 0
+    while (rounds < 8) {
+      val grown = anc.union(
+          anc.join(broadcast(hop), col("anc") === col("h_child"))
+            .select(col("node"), col("h_parent").as("anc")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = grown.count()
+      if (m == n) rounds = 8 else { anc = grown; n = m; rounds += 1 }
+    }
+    // leaves = wells (children that are nobody's parent)
+    val wells = edges.select(col("child")).except(edges.select(col("parent")))
+      .withColumnRenamed("child", "well")
+    val wellAnc = anc.join(wells, anc("node") === wells("well"))
+      .select(col("well"), col("anc").as("grp"))
+    val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR").startsWith("WOPR:"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), substring_index(col("VECTOR"), ":", -1).as("well"),
+        col("DATE").cast("timestamp").as("date"),
+        (col("VALUE") * 32).cast("long").as("v32"))
+    sims.join(broadcast(wellAnc), Seq("well"))
+      .groupBy(col("case_id"), col("date"), col("grp"))
+      .agg(count(lit(1)).as("n_wells"), sum(col("v32")).as("wopr32"))
+      .orderBy(col("case_id"), col("date"), col("grp"))
+  }
+
   /** The q141 schedule: two wells, one completion landing on an
     * inactive cell ((5,7,3) → g = 924 = 7·132 under case-0 ACTNUM) to
     * exercise the drop path the trace must make visible. */
@@ -988,6 +1062,7 @@ object BinaryGate {
     "q128_depletion" -> (q128Depletion _),
     "q151_inplace_volumes" -> (q151InplaceVolumes _),
     "q152_param_sensitivity" -> (q152ParamSensitivity _),
+    "q154_tree_rollup" -> (q154TreeRollup _),
     "q126_ensemble_misfit" -> (q126EnsembleMisfit _),
     "q123_grid_ensemble_stats" -> (q123GridEnsembleStats _),
     "q124_summary_ensemble_stats" -> (q124SummaryEnsembleStats _),
@@ -1262,6 +1337,31 @@ object BinaryGate {
                 CAST(sum(CASE WHEN sp = 0 OR sm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
                 CAST(sum(sp * sm) AS BIGINT) AS tau_num
          FROM pr GROUP BY param ORDER BY param""",
+    // the closure replayed by an INDEPENDENT algorithm (recursive CTE);
+    // WOPR:W0/W1 are SumVectors indices 3/4, values dyadic ·32
+    "q154_tree_rollup" ->
+      s"""WITH RECURSIVE edges(child, parent) AS (
+           VALUES ('W0', 'G1'), ('W1', 'G2'),
+                  ('G1', 'PLAT'), ('G2', 'PLAT'), ('PLAT', 'FIELD')),
+         anc AS (
+           SELECT child AS node, parent AS anc FROM edges
+           UNION ALL
+           SELECT a.node, e.parent FROM anc a JOIN edges e ON a.anc = e.child),
+         wellanc AS (SELECT node AS well, anc AS grp FROM anc
+                     WHERE node IN ('W0', 'W1')),
+         c AS (SELECT unnest(range($FleetCases)) AS case_id),
+         d AS (SELECT unnest(range($SumDays)) AS day),
+         w AS (SELECT unnest(['W0', 'W1']) AS well, unnest([3, 4]) AS vi),
+         sim AS (SELECT case_id, day, well,
+                        32000 * vi + 32 * day + 224 * case_id + day % 32 AS v32
+                 FROM c CROSS JOIN d CROSS JOIN w)
+         SELECT CAST(s.case_id AS INT) AS case_id,
+                CAST(DATE '2021-01-01' + CAST(s.day AS INT) AS TIMESTAMP) AS date,
+                wa.grp,
+                CAST(count(*) AS BIGINT) AS n_wells,
+                CAST(sum(s.v32) AS BIGINT) AS wopr32
+         FROM sim s JOIN wellanc wa USING (well)
+         GROUP BY 1, 2, 3 ORDER BY case_id, date, grp""",
     "q126_ensemble_misfit" -> ensembleMisfitSql,
     // every arithmetic step lands on exactly-representable values
     // (dyadic poro, integer permx, numerators < 2^53), so double

@@ -914,6 +914,24 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(fleet.nonEmpty && fleet == single)
   }
 
+  test("q154: the tree rollup respects subtree containment at every level") {
+    val rows = graft.queries.BinaryGate.q154TreeRollup(spark, Sf).collect()
+      .map(r => ((r.getInt(0), r.getTimestamp(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 480)
+    val keys = rows.keys.map { case (c, d, _) => (c, d) }.toSet
+    keys.foreach { case (c, d) =>
+      val (g1, g2) = (rows((c, d, "G1")), rows((c, d, "G2")))
+      val (plat, field) = (rows((c, d, "PLAT")), rows((c, d, "FIELD")))
+      assert(g1._1 == 1 && g2._1 == 1, "leaf groups hold one well each")
+      // each level is the exact sum of its children; PLAT == FIELD since
+      // every well sits under both
+      assert(plat == ((2L, g1._2 + g2._2)) && field == plat)
+      // the two leaf groups differ (W0 and W1 rates differ by 32000)
+      assert(g2._2 - g1._2 == 32000L)
+    }
+  }
+
   test("q128: depletion deltas match the closed-form fixture replay") {
     val out = graft.queries.BinaryGate.q128Depletion(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
