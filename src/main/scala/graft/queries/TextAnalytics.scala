@@ -331,6 +331,58 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val KnTopK = 32
+
+  /** q155: KNESER–NEY CONTINUATION STATISTICS — the type-count
+    * statistics KN smoothing is built from (Kneser & Ney 1995; the
+    * standard n-gram LM smoothing): per word, the number of DISTINCT
+    * left contexts (N1+(•w) — how many different words precede it) and
+    * distinct right continuations (N1+(w•)), plus the continuation
+    * probability N1+(•w)/|bigram types| in exact basis points. The KN
+    * insight is exactly this type-vs-token distinction: "francisco" is
+    * frequent (high c1) but continues only "san" (n_left = 1), so its
+    * continuation probability is tiny — the statistic q97's
+    * token-count LM cannot express. Published for the top-[[KnTopK]]
+    * words by (count DESC, word ASC).
+    *
+    * Scale shape: one bigram TYPE aggregate (Zipf-collapsed before any
+    * downstream step — the q97 discipline); both continuation counts
+    * are plain `count(*)` re-aggregations OVER THE TYPE TABLE (never
+    * countDistinct over the corpus); the top-k is a
+    * TakeOrderedAndProject over the unigram aggregate; joins at the
+    * end are k-row broadcasts. All counts BIGINT, the probability an
+    * exact integer division — no float anywhere.
+    */
+  def q155KnContinuation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = t.select(
+      explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nLeft = bi.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n_left"))
+    val nRight = bi.groupBy(col("w1").as("w")).agg(count(lit(1)).as("n_right"))
+    val btot = bi.agg(count(lit(1)).as("b"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val top = uni.orderBy(col("c1").desc, col("w").asc).limit(KnTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(col("c1").desc, col("w").asc)))
+    broadcast(top)
+      .join(nLeft, Seq("w"), "left")
+      .join(nRight, Seq("w"), "left")
+      .crossJoin(broadcast(btot))
+      .select(col("rank"), col("w"), col("c1"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        expr("(coalesce(n_left, 0) * 10000) div b").as("pcont_bp"))
+      .orderBy(col("rank"))
+  }
+
   private val SpanW = 12
 
   /** Duplicate-span detection (q98): substring-level exact dedup — every
@@ -640,6 +692,7 @@ object TextAnalytics {
     "q97_lm_score" -> (q97LmScore _),
     "q98_dup_spans" -> (q98DupSpans _),
     "q150_winnow" -> (q150Winnow _),
+    "q155_kn_continuation" -> (q155KnContinuation _),
   )
 
   private val enList = sqlList(EnStop)
@@ -756,6 +809,26 @@ object TextAnalytics {
                  CAST(length(clean_text) AS BIGINT) AS clean_len,
                  md5(clean_text) AS clean_fp
           FROM agg ORDER BY doc_id""",
+    "q155_kn_continuation" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |           FROM documents),
+        |big AS (SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        |        FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |bi AS (SELECT w1, w2 FROM big GROUP BY 1, 2),
+        |nl AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n_left FROM bi GROUP BY 1),
+        |nr AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS n_right FROM bi GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |top AS (SELECT CAST(row_number() OVER (ORDER BY c1 DESC, w) AS INT) AS rank,
+        |               w, c1
+        |        FROM uni ORDER BY c1 DESC, w LIMIT $KnTopK)
+        |SELECT top.rank, top.w, top.c1,
+        |       coalesce(nl.n_left, 0) AS n_left,
+        |       coalesce(nr.n_right, 0) AS n_right,
+        |       (coalesce(nl.n_left, 0) * 10000) // bt.b AS pcont_bp
+        |FROM top LEFT JOIN nl USING (w) LEFT JOIN nr USING (w) CROSS JOIN bt
+        |ORDER BY rank""".stripMargin,
     "q150_winnow" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,

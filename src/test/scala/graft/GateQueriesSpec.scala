@@ -1463,6 +1463,28 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sorted == pairs.sorted)
   }
 
+  test("q155: KN continuation stats equal a sequential driver replay") {
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val bi = toks.flatMap(ts => ts.zip(ts.drop(1))).toSet
+    val nLeft = bi.groupBy(_._2).map { case (w, s) => w -> s.size.toLong }
+    val nRight = bi.groupBy(_._1).map { case (w, s) => w -> s.size.toLong }
+    val b = bi.size.toLong
+    val top = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(32)
+    val expect = top.zipWithIndex.map { case ((w, c1), i) =>
+      val nl = nLeft.getOrElse(w, 0L)
+      (i + 1, w, c1, nl, nRight.getOrElse(w, 0L), nl * 10000 / b)
+    }
+    val got = graft.queries.TextAnalytics.q155KnContinuation(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // the KN point: continuation type-counts are bounded by token counts
+    assert(got.forall { case (_, _, c1, nl, _, _) => nl <= c1 })
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
