@@ -263,7 +263,100 @@ object Deck {
         col("UNIT_TYPE").as("unit_type"))
       .orderBy(col("table_number"), col("pressure"), col("wfr"), col("rate"))
 
+  /** The q156 VFPINJ fixture: integer axes and BHP corners so the
+    * bilinear arithmetic is exact end to end. */
+  private val VfpLookupDeck =
+    """VFPINJ
+      | 5 2000.0 'WAT' 'THP' 'METRIC' 'BHP' /
+      | 100 200 400 800 /
+      | 10 20 40 /
+      | 1 1100 1220 1380 1500 /
+      | 2 1210 1330 1490 1610 /
+      | 3 1430 1550 1710 1830 /
+      |/
+      |""".stripMargin
+
+  private val VfpPoints = 20
+
+  /** q156: VFP TABLE LOOKUP — bilinear BHP interpolation at well
+    * operating points (rate, THP), the EVALUATION step reference users
+    * extract VFP dataframes FOR (the simulator interpolates these
+    * tables every timestep; an analyst replays the lookup to validate
+    * lift curves or build proxies). The deck parses through the real
+    * DeckParser + Vfp stack (q50's path), then each query point
+    * brackets both axes with conditional min/max aggregates over the
+    * BROADCAST axis frame, joins its ≤4 corner values, and publishes
+    * the interpolated BHP as an exact fixed-point integer — degenerate
+    * brackets (a point landing exactly ON an axis value: rate 200 at
+    * k=4, THP 20 at k=10) collapse that axis's weight to the corner
+    * value instead of dividing by zero.
+    *
+    * Exactness: axes, corners, and query points are integers; the
+    * bilinear numerator/denominator are integer cross-products
+    * (num < 2^25, ·10⁶ < 2^45) and the published value is
+    * `(num·10⁶) div den` — positive truncating division,
+    * engine-identical.
+    *
+    * Scale shape: the production side (operating points) is the big
+    * side and flows through ONE broadcast-join pipeline: VFP tables are
+    * KB-sized dimension data (axes ≤ dozens of values), so bracketing
+    * and corner joins all broadcast; nothing shuffles with point count.
+    */
+  def q156VfpLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tab = graft.modules.Vfp.df(s, VfpLookupDeck)
+      .select(col("RATE").cast("long").as("r"), col("PRESSURE").cast("long").as("t"),
+        col("TAB").cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rates = tab.select(col("r")).distinct()
+    val thps = tab.select(col("t")).distinct()
+    val pts = (0 until VfpPoints)
+      .map(k => (k.toLong, 100L + 25L * k, 10L + (7L * k) % 30L))
+      .toDF("k", "q_rate", "p_thp")
+    val br = pts.crossJoin(broadcast(rates))
+      .groupBy(col("k"), col("q_rate"), col("p_thp"))
+      .agg(max(when(col("r") <= col("q_rate"), col("r"))).as("r1"),
+        min(when(col("r") >= col("q_rate"), col("r"))).as("r2"))
+    val bt = br.crossJoin(broadcast(thps))
+      .groupBy(col("k"), col("q_rate"), col("p_thp"), col("r1"), col("r2"))
+      .agg(max(when(col("t") <= col("p_thp"), col("t"))).as("t1"),
+        min(when(col("t") >= col("p_thp"), col("t"))).as("t2"))
+    def corner(rc: String, tc: String, name: String) =
+      broadcast(tab.select(col("r").as(rc + "_r"), col("t").as(tc + "_t"),
+        col("v").as(name)))
+    val g = bt
+      .join(corner("r1", "t1", "v11"),
+        col("r1") === col("r1_r") && col("t1") === col("t1_t")).drop("r1_r", "t1_t")
+      .join(corner("r2", "t1", "v21"),
+        col("r2") === col("r2_r") && col("t1") === col("t1_t")).drop("r2_r", "t1_t")
+      .join(corner("r1", "t2", "v12"),
+        col("r1") === col("r1_r") && col("t2") === col("t2_t")).drop("r1_r", "t2_t")
+      .join(corner("r2", "t2", "v22"),
+        col("r2") === col("r2_r") && col("t2") === col("t2_t")).drop("r2_r", "t2_t")
+    // per-axis exact weights with degenerate-bracket collapse: along
+    // rate first at each THP edge, then along THP
+    g.withColumn("dr", col("r2") - col("r1"))
+      .withColumn("dt", col("t2") - col("t1"))
+      .withColumn("n1", when(col("dr") === 0, col("v11"))
+        .otherwise((col("r2") - col("q_rate")) * col("v11")
+          + (col("q_rate") - col("r1")) * col("v21")))
+      .withColumn("n2", when(col("dr") === 0, col("v12"))
+        .otherwise((col("r2") - col("q_rate")) * col("v12")
+          + (col("q_rate") - col("r1")) * col("v22")))
+      .withColumn("num", when(col("dt") === 0, col("n1"))
+        .otherwise((col("t2") - col("p_thp")) * col("n1")
+          + (col("p_thp") - col("t1")) * col("n2")))
+      .withColumn("den",
+        when(col("dr") === 0, lit(1L)).otherwise(col("dr"))
+          * when(col("dt") === 0, lit(1L)).otherwise(col("dt")))
+      .select(col("k"), col("q_rate"), col("p_thp"),
+        col("r1"), col("r2"), col("t1"), col("t2"),
+        expr("(num * 1000000) div den").as("bhp_fp6"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_vfp_lookup" -> (q156VfpLookup _),
     "q44_compdat_welopen" -> (q44CompdatWelopen _),
     "q45_gruptree_snapshots" -> (q45GruptreeSnapshots _),
     "q47_welsegs_unroll" -> (q47WelsegsUnroll _),
@@ -279,6 +372,44 @@ object Deck {
     * the pipeline makes crosses a keyword boundary).
     */
   val oracleSql: Map[String, String] = Map(
+    // the 12 corners are the deck's literal table; bracketing and the
+    // degenerate-collapse bilinear replayed in pure integer arithmetic
+    "q156_vfp_lookup" ->
+      s"""WITH tab(r, t, v) AS (VALUES
+           (100, 10, 1100), (200, 10, 1220), (400, 10, 1380), (800, 10, 1500),
+           (100, 20, 1210), (200, 20, 1330), (400, 20, 1490), (800, 20, 1610),
+           (100, 40, 1430), (200, 40, 1550), (400, 40, 1710), (800, 40, 1830)),
+         pts AS (SELECT k, 100 + 25 * k AS q_rate, 10 + (7 * k) % 30 AS p_thp
+                 FROM (SELECT unnest(range($VfpPoints)) AS k)),
+         br AS (SELECT p.k, p.q_rate, p.p_thp,
+                       max(CASE WHEN r <= q_rate THEN r END) AS r1,
+                       min(CASE WHEN r >= q_rate THEN r END) AS r2
+                FROM pts p CROSS JOIN (SELECT DISTINCT r FROM tab)
+                GROUP BY 1, 2, 3),
+         bt AS (SELECT b.k, b.q_rate, b.p_thp, b.r1, b.r2,
+                       max(CASE WHEN t <= p_thp THEN t END) AS t1,
+                       min(CASE WHEN t >= p_thp THEN t END) AS t2
+                FROM br b CROSS JOIN (SELECT DISTINCT t FROM tab)
+                GROUP BY 1, 2, 3, 4, 5),
+         g AS (SELECT bt.*, c11.v AS v11, c21.v AS v21, c12.v AS v12, c22.v AS v22
+               FROM bt JOIN tab c11 ON c11.r = bt.r1 AND c11.t = bt.t1
+                       JOIN tab c21 ON c21.r = bt.r2 AND c21.t = bt.t1
+                       JOIN tab c12 ON c12.r = bt.r1 AND c12.t = bt.t2
+                       JOIN tab c22 ON c22.r = bt.r2 AND c22.t = bt.t2),
+         w AS (SELECT *, r2 - r1 AS dr, t2 - t1 AS dt,
+                      CASE WHEN r2 = r1 THEN v11
+                           ELSE (r2 - q_rate) * v11 + (q_rate - r1) * v21 END AS n1,
+                      CASE WHEN r2 = r1 THEN v12
+                           ELSE (r2 - q_rate) * v12 + (q_rate - r1) * v22 END AS n2
+               FROM g)
+         SELECT k, CAST(q_rate AS BIGINT) AS q_rate, CAST(p_thp AS BIGINT) AS p_thp,
+                CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+                CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+                CAST((CASE WHEN dt = 0 THEN n1
+                           ELSE (t2 - p_thp) * n1 + (p_thp - t1) * n2 END) * 1000000
+                     // ((CASE WHEN dr = 0 THEN 1 ELSE dr END)
+                        * (CASE WHEN dt = 0 THEN 1 ELSE dt END)) AS BIGINT) AS bhp_fp6
+         FROM w ORDER BY k""",
     "q44_compdat_welopen" ->
       s"""WITH decks AS (SELECT CAST(unnest(range($CorpusDecks)) AS BIGINT) AS d),
         |ev AS (

@@ -932,6 +932,32 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q156: the VFP lookup equals an exact sequential bilinear replay") {
+    val rates = Seq(100L, 200L, 400L, 800L)
+    val thps = Seq(10L, 20L, 40L)
+    val bhp = Map(10L -> Seq(1100L, 1220L, 1380L, 1500L),
+      20L -> Seq(1210L, 1330L, 1490L, 1610L),
+      40L -> Seq(1430L, 1550L, 1710L, 1830L))
+    def v(r: Long, t: Long) = bhp(t)(rates.indexOf(r))
+    val expect = (0 until 20).map { k =>
+      val q = 100L + 25L * k; val p = 10L + (7L * k) % 30L
+      val r1 = rates.filter(_ <= q).max; val r2 = rates.filter(_ >= q).min
+      val t1 = thps.filter(_ <= p).max; val t2 = thps.filter(_ >= p).min
+      val n1 = if (r1 == r2) v(r1, t1) else (r2 - q) * v(r1, t1) + (q - r1) * v(r2, t1)
+      val n2 = if (r1 == r2) v(r1, t2) else (r2 - q) * v(r1, t2) + (q - r1) * v(r2, t2)
+      val num = if (t1 == t2) n1 else (t2 - p) * n1 + (p - t1) * n2
+      val den = (if (r1 == r2) 1L else r2 - r1) * (if (t1 == t2) 1L else t2 - t1)
+      (k.toLong, q, p, r1, r2, t1, t2, num * 1000000L / den)
+    }
+    val got = graft.queries.Deck.q156VfpLookup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect)
+    // degenerate brackets really occur and collapse exactly: k=4 sits ON
+    // rate 200, k=10 ON thp 20
+    assert(got(4)._4 == got(4)._5 && got(10)._6 == got(10)._7)
+  }
+
   test("q128: depletion deltas match the closed-form fixture replay") {
     val out = graft.queries.BinaryGate.q128Depletion(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
