@@ -840,6 +840,53 @@ object BinaryGate {
       .orderBy(col("param"))
   }
 
+  /** q157 closed form: PRESSURE = a + t·(10 + (a+c)%5) + 1000c — the
+    * (a+c)%5 slope term makes the case-vs-base delta vary PER CELL
+    * (Δ = t·((a+c)%5 − a%5) + 1000c), so the diff join cannot be faked
+    * by a per-case constant. */
+  private def writeDeltaRstCase(tmp: String, c: Int): String =
+    writeRstCaseWith(tmp, c,
+      (a, t) => (a + t * (10 + (a + c) % 5) + 1000 * c).toFloat,
+      (_, _) => 0f)
+
+  /** q157: ENSEMBLE DELTA VS BASE REALIZATION — each case's restart
+    * pressures differenced against realization 0 per (cell, report
+    * step), rolled into the per-(case, step) drawdown-difference report
+    * (cell count, min/max/sum of Δ, cells-above-base count): the
+    * delta-map workflow an ensemble study runs against its reference
+    * case (ERT/webviz "diff against base" views over rst2df frames).
+    *
+    * Scale shape: the fleet side (cases ≥ 1) and the base side (case 0
+    * re-keyed) join on (active_idx, date) — co-partitioned equi-join;
+    * the base frame is grid×steps-sized so it is NOT broadcast (at 100
+    * TB neither side fits an executor), but it is scanned ONCE and
+    * shuffled once regardless of ensemble size, while the fleet side
+    * carries the ensemble axis. The rollup exchange is cases×steps
+    * rows. Exactness: integer-valued float32 pressures → exact BIGINT
+    * deltas.
+    */
+  def q157DeltaVsBase(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q157")
+    val paths = (0 until RstCases).map(c => writeDeltaRstCase(tmp, c))
+    val all = graft.io.EclBinary.restartFleet(s, paths.mkString(","), Seq("PRESSURE"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").cast("long").as("p"))
+    val base = all.filter(col("case_id") === 0)
+      .select(col("date"), col("active_idx"), col("p").as("p_base"))
+    all.filter(col("case_id") > 0)
+      .join(base, Seq("date", "active_idx"))
+      .withColumn("dp", col("p") - col("p_base"))
+      .groupBy(col("case_id"), col("date"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("dp")).as("dp_min"), max(col("dp")).as("dp_max"),
+        sum(col("dp")).as("dp_sum"),
+        sum((col("dp") > 0).cast("long")).as("n_above"))
+      .orderBy(col("case_id"), col("date"))
+  }
+
   /** The q154 group tree: two wells under two groups under a platform
     * under FIELD — four rollup levels, so the closure is a real
     * multi-hop computation, not one join. */
@@ -1063,6 +1110,7 @@ object BinaryGate {
     "q151_inplace_volumes" -> (q151InplaceVolumes _),
     "q152_param_sensitivity" -> (q152ParamSensitivity _),
     "q154_tree_rollup" -> (q154TreeRollup _),
+    "q157_delta_vs_base" -> (q157DeltaVsBase _),
     "q126_ensemble_misfit" -> (q126EnsembleMisfit _),
     "q123_grid_ensemble_stats" -> (q123GridEnsembleStats _),
     "q124_summary_ensemble_stats" -> (q124SummaryEnsembleStats _),
@@ -1362,6 +1410,22 @@ object BinaryGate {
                 CAST(sum(s.v32) AS BIGINT) AS wopr32
          FROM sim s JOIN wellanc wa USING (well)
          GROUP BY 1, 2, 3 ORDER BY case_id, date, grp""",
+    // Δ = t·((a+c)%5 − a%5) + 1000c replayed per (case, step, cell)
+    "q157_delta_vs_base" ->
+      s"""WITH c AS (SELECT unnest(range(1, $RstCases)) AS c),
+         t AS (SELECT unnest(range($RstSteps)) AS t),
+         a AS (SELECT unnest(range($RstNactive)) AS a),
+         d AS (SELECT c.c, t.t, a.a,
+                      t.t * ((a.a + c.c) % 5 - a.a % 5) + 1000 * c.c AS dp
+               FROM c, t, a)
+         SELECT CAST(c AS INT) AS case_id,
+                CAST(DATE '2022-01-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(min(dp) AS BIGINT) AS dp_min,
+                CAST(max(dp) AS BIGINT) AS dp_max,
+                CAST(sum(dp) AS BIGINT) AS dp_sum,
+                CAST(sum(CASE WHEN dp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+         FROM d GROUP BY 1, 2 ORDER BY case_id, date""",
     "q126_ensemble_misfit" -> ensembleMisfitSql,
     // every arithmetic step lands on exactly-representable values
     // (dyadic poro, integer permx, numerators < 2^53), so double

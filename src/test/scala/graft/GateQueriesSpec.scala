@@ -958,6 +958,23 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(got(4)._4 == got(4)._5 && got(10)._6 == got(10)._7)
   }
 
+  test("q157: delta-vs-base report matches the closed form at every step") {
+    // (a+c)%5 − a%5 takes value c on 5−c residues and c−5 on c residues
+    // (100 cells each), so Σ_a = 100·((5−c)c + c(c−5)) = 0 exactly and
+    // dp_sum = 500·1000c; extremes are (c−5)t and c·t around the offset
+    val rows = graft.queries.BinaryGate.q157DeltaVsBase(spark, Sf).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val c = r.getInt(0).toLong
+      val t = r.getTimestamp(1).toLocalDateTime.getDayOfMonth - 1L
+      assert(r.getLong(2) == 500L)
+      assert(r.getLong(3) == 1000 * c + (c - 5) * t, s"dp_min in $r")
+      assert(r.getLong(4) == 1000 * c + c * t, s"dp_max in $r")
+      assert(r.getLong(5) == 500000 * c, s"dp_sum in $r")
+      assert(r.getLong(6) == 500L, "every cell sits above base")
+    }
+  }
+
   test("q128: depletion deltas match the closed-form fixture replay") {
     val out = graft.queries.BinaryGate.q128Depletion(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
