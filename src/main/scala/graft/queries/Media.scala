@@ -239,6 +239,43 @@ object Media {
     "q93_frame_sample" -> (q93FrameSample _),
   )
 
+  /** The wHash replay as oracle CTE text: expects a `docs(doc_id, gid)`
+    * CTE in scope, emits `gids`/`pix`/`blocks`/`uv`/`co`/`med` and the
+    * final `hashes(gid, whash)` — ONE definition shared by the q153
+    * batch gate and the q158 streaming-ingest gate (index and probe
+    * replay identical bit math). */
+  private[queries] val whashCtes: String =
+    """gids AS (SELECT DISTINCT gid FROM docs),
+      |pix AS (
+      |  SELECT gid, x, y,
+      |         ((gid >> CAST(((y // 2) * 8 + x // 4) % 6 AS INT)) & 1) * 255
+      |           + (x * 8) % 256 + (y * 16) % 256 AS lum
+      |  FROM gids
+      |  CROSS JOIN (SELECT unnest(range(32)) AS x)
+      |  CROSS JOIN (SELECT unnest(range(16)) AS y)),
+      |blocks AS (
+      |  SELECT gid, x // 4 AS bx, y // 2 AS by, CAST(sum(lum) AS BIGINT) AS bs
+      |  FROM pix GROUP BY 1, 2, 3),
+      |uv AS (SELECT u.u, v.v, CAST(v.v * 4 + u.u - 1 AS INT) AS idx
+      |       FROM (SELECT unnest(range(4)) AS u) u
+      |       CROSS JOIN (SELECT unnest(range(4)) AS v) v
+      |       WHERE NOT (u.u = 0 AND v.v = 0)),
+      |co AS (
+      |  SELECT b.gid, uv.idx,
+      |         CAST(sum(b.bs * (1 - 2 * ((([0,1,1,2,1,2,2,3])[CAST((uv.u & b.bx) + 1 AS INT)]
+      |                  + ([0,1,1,2,1,2,2,3])[CAST((uv.v & b.by) + 1 AS INT)]) % 2))) AS BIGINT) AS c
+      |  FROM blocks b CROSS JOIN uv
+      |  GROUP BY 1, 2),
+      |med AS (SELECT gid, c AS medv FROM (
+      |          SELECT gid, c, row_number() OVER (PARTITION BY gid ORDER BY c, idx) AS rk
+      |          FROM co)
+      |        WHERE rk = 8),
+      |hashes AS (
+      |  SELECT co.gid,
+      |         CAST(sum(CASE WHEN co.c > med.medv
+      |                       THEN (CAST(1 AS BIGINT) << co.idx) ELSE 0 END) AS BIGINT) AS whash
+      |  FROM co JOIN med USING (gid) GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // aHash bit math replayed from the pixel formula: 32×16 image,
     // 8×8 block grid (4×2 px blocks), lum = r+g+b, bit set iff
@@ -248,37 +285,8 @@ object Media {
     // the 3-bit operands) → 15 low-sequency coefficients → exact rank-8
     // median threshold — engine-identical BIGINTs throughout
     "q153_whash_dedup" ->
-      """WITH docs AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
-        |gids AS (SELECT DISTINCT gid FROM docs),
-        |pix AS (
-        |  SELECT gid, x, y,
-        |         ((gid >> CAST(((y // 2) * 8 + x // 4) % 6 AS INT)) & 1) * 255
-        |           + (x * 8) % 256 + (y * 16) % 256 AS lum
-        |  FROM gids
-        |  CROSS JOIN (SELECT unnest(range(32)) AS x)
-        |  CROSS JOIN (SELECT unnest(range(16)) AS y)),
-        |blocks AS (
-        |  SELECT gid, x // 4 AS bx, y // 2 AS by, CAST(sum(lum) AS BIGINT) AS bs
-        |  FROM pix GROUP BY 1, 2, 3),
-        |uv AS (SELECT u.u, v.v, CAST(v.v * 4 + u.u - 1 AS INT) AS idx
-        |       FROM (SELECT unnest(range(4)) AS u) u
-        |       CROSS JOIN (SELECT unnest(range(4)) AS v) v
-        |       WHERE NOT (u.u = 0 AND v.v = 0)),
-        |co AS (
-        |  SELECT b.gid, uv.idx,
-        |         CAST(sum(b.bs * (1 - 2 * ((([0,1,1,2,1,2,2,3])[CAST((uv.u & b.bx) + 1 AS INT)]
-        |                  + ([0,1,1,2,1,2,2,3])[CAST((uv.v & b.by) + 1 AS INT)]) % 2))) AS BIGINT) AS c
-        |  FROM blocks b CROSS JOIN uv
-        |  GROUP BY 1, 2),
-        |med AS (SELECT gid, c AS medv FROM (
-        |          SELECT gid, c, row_number() OVER (PARTITION BY gid ORDER BY c, idx) AS rk
-        |          FROM co)
-        |        WHERE rk = 8),
-        |hashes AS (
-        |  SELECT co.gid,
-        |         CAST(sum(CASE WHEN co.c > med.medv
-        |                       THEN (CAST(1 AS BIGINT) << co.idx) ELSE 0 END) AS BIGINT) AS whash
-        |  FROM co JOIN med USING (gid) GROUP BY 1),
+      s"""WITH docs AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
+        |${whashCtes},
         |dh AS (SELECT d.doc_id, h.whash FROM docs d JOIN hashes h USING (gid)),
         |grp AS (SELECT whash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |        FROM dh GROUP BY 1)

@@ -646,7 +646,75 @@ object StreamGate {
       .orderBy(col("doc_id"))
   }
 
+  /** q158 image key space: 61 (prime, ≤ the fixture's 64 content
+    * classes) so arrivals mix genuine dups (key seen in the historical
+    * shard) with novel images. Historical index = docs 0..31 (an
+    * earlier ingest shard). */
+  private val WHashKeys = 61L
+  private val WHashHistN = 32L
+
+  /** The shared q158 decode kernel: image keyed `id % 61`, PNG/BMP
+    * round trip alternating on `(id / 61) % 2`, Walsh–Hadamard hash.
+    * ONE definition for the historical (batch) and arriving (stream)
+    * sides — index and probe cannot drift. */
+  private def wHashOf(id: Long): Long = {
+    val img = Media.gidImage(id % WHashKeys)
+    val bytes = if ((id / WHashKeys) % 2 == 0) graft.multimodal.Multimodal.encodePng(img)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        bos.toByteArray
+      }
+    graft.multimodal.Multimodal.hadamardHash(
+      graft.multimodal.Multimodal.decodeImage(bytes)
+        .getOrElse(throw new IllegalStateException(s"image round-trip failed for doc $id")))
+  }
+
+  /** q158: STREAMING IMAGE-HASH INGEST DEDUP — the multimodal member of
+    * the ingest-dedup family (q102 exact text by md5, q112 near-dup
+    * text by MinHash; this is the IMAGE axis): arriving documents'
+    * images are decoded and wHash-fingerprinted (q153's
+    * Walsh–Hadamard hash through the real PNG/BMP codecs) INSIDE the
+    * streaming engine as a stateless mapPartitions kernel, then
+    * stream-static left-joined against the broadcast historical hash
+    * index — dup-at-ingest for a scraped image corpus, where the same
+    * photo arrives re-encoded under a different container. No state
+    * store, no watermark; the static side is the persisted index an
+    * earlier q153 run materialized.
+    *
+    * Scale shape: decode cost rides the stream partition (one codec
+    * context per executor thread); the index is hash+src_id only
+    * (bytes never join); the broadcast is the index distribution step
+    * a production ingest ships to stream workers.
+    */
+  def q158StreamImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = graft.sources.Tables.documents(s, dir)
+      .filter(col("doc_id") < WHashHistN)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, wHashOf(id))))
+      .toDF("h_id", "whash")
+      .groupBy(col("whash")).agg(min(col("h_id")).as("src_id"))
+    val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+      .filter(col("doc_id") >= WHashHistN)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, wHashOf(id))))
+      .toDF("new_id", "whash")
+    val sink = "q158_sink"
+    s.catalog.dropTempView(sink)
+    val out = stream.join(broadcast(hist), Seq("whash"), "left")
+      .select(col("new_id"), col("whash"),
+        col("src_id").isNotNull.as("is_dup"), col("src_id"))
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("new_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_stream_image_dedup" -> (q158StreamImageDedup _),
     "q147_stream_export" -> (q147StreamExport _),
     "q139_stream_outer_join" -> (q139StreamOuterJoin _),
     "q134_stream_interval_join" -> (q134StreamIntervalJoin _),
@@ -685,6 +753,18 @@ object StreamGate {
          ORDER BY user_id, session_start"""
 
   val oracleSql: Map[String, String] = Map(
+    // the q153 wHash replay over the 61-key space; historical index =
+    // docs 0..31, arrivals left-join it by hash
+    "q158_stream_image_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, doc_id % $WHashKeys AS gid FROM documents),
+        |${Media.whashCtes},
+        |dh AS (SELECT d.doc_id, h.whash FROM docs d JOIN hashes h USING (gid)),
+        |hist AS (SELECT whash, min(doc_id) AS src_id FROM dh
+        |         WHERE doc_id < $WHashHistN GROUP BY 1)
+        |SELECT dh.doc_id AS new_id, dh.whash,
+        |       hist.src_id IS NOT NULL AS is_dup, hist.src_id
+        |FROM dh LEFT JOIN hist USING (whash)
+        |WHERE dh.doc_id >= $WHashHistN ORDER BY new_id""".stripMargin,
     // the streaming file sink must produce exactly the batch export
     "q147_stream_export" -> Curation.oracleSql("q140_partitioned_export"),
     // the batch self-join verbatim: the streaming join must emit

@@ -1528,6 +1528,20 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, c1, nl, _, _) => nl <= c1 })
   }
 
+  test("q158: the streaming image-dedup probe mixes dups and novel content") {
+    val rows = graft.queries.StreamGate.q158StreamImageDedup(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 468) // 500 docs minus the 32-doc historical shard
+    val (dups, novel) = rows.partition(_.getBoolean(2))
+    assert(dups.nonEmpty && novel.nonEmpty, "the key space must split both ways")
+    // every dup resolves to a historical shard member; novels carry null
+    assert(dups.forall(r => r.getLong(3) < 32))
+    assert(novel.forall(_.isNullAt(3)))
+    // hash is a pure function of the 61-ary image key
+    val byKey = rows.groupBy(r => r.getLong(0) % 61).values
+    assert(byKey.forall(_.map(_.getLong(1)).toSet.size == 1))
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
