@@ -2051,7 +2051,59 @@ object DedupSim {
       .orderBy(col("qid"), col("rn"))
   }
 
+  private val ContDfCap = 32
+  private val ContMinBp = 7000L
+
+  /** q159: CONTAINMENT DEDUP — the ASYMMETRIC overlap metric
+    * C(A→B) = |A∩B|/|A| in exact basis points, per document pair: a
+    * short document quoted wholesale inside a long one has high
+    * containment but LOW Jaccard (the union is dominated by the long
+    * side), so q25/q40's symmetric metrics structurally miss it — this
+    * is the quote/subset-expansion signal a curation pipeline needs
+    * next to them (set-similarity-join literature calls it the overlap
+    * /containment join).
+    *
+    * Scale shape: open-vocabulary postings (q40's discipline, not
+    * q25's 64-bit masks — containment targets size-skewed pairs, which
+    * a bounded dictionary misrepresents): per-doc DISTINCT token
+    * hashes, df-capped to 2..[[ContDfCap]] docs (a stopword can never
+    * fan out quadratically), ONE postings self-join counting shared
+    * tokens, sizes joined back, both directions published as exact
+    * integer divisions. Pairs survive when either direction ≥
+    * [[ContMinBp]] bp. The metric space is the CAPPED token set on
+    * both numerator and denominator — internally consistent, and the
+    * cap is the same production guard q40 documents.
+    */
+  def q159Containment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    val post = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), strHash(col("tok")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = post.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= ContDfCap)
+      .select(col("h"))
+    val kept = post.join(dfc, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("cont_a_bp", expr("(n_shared * 10000) div n_a"))
+      .withColumn("cont_b_bp", expr("(n_shared * 10000) div n_b"))
+      .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= ContMinBp)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        col("cont_a_bp"), col("cont_b_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_containment" -> (q159Containment _),
     "q65_quant_ann" -> (q65QuantAnn _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q38_ann_ivf_kmeans" -> (q38AnnIvfKmeans _),
@@ -2275,6 +2327,31 @@ object DedupSim {
 
   val oracleSql: Map[String, String] = Map(
     "q36_ann_ivf" -> annIvfSql,
+    "q159_containment" ->
+      s"""WITH raw AS (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "raw", Seq("doc_id"), "tok", "th", "h")},
+          post AS (SELECT DISTINCT doc_id, h FROM th),
+          dfc AS (SELECT h FROM post GROUP BY h
+                  HAVING count(*) >= 2 AND count(*) <= $ContDfCap),
+          kept AS (SELECT p.doc_id, p.h FROM post p JOIN dfc USING (h)),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(count(*) AS BIGINT) AS n_shared
+                    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT i.doc_a, i.doc_b, i.n_shared, sa.n AS n_a, sb.n AS n_b,
+                 (i.n_shared * 10000) // sa.n AS cont_a_bp,
+                 (i.n_shared * 10000) // sb.n AS cont_b_bp
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b
+          WHERE greatest((i.n_shared * 10000) // sa.n,
+                         (i.n_shared * 10000) // sb.n) >= $ContMinBp
+          ORDER BY doc_a, doc_b""",
     "q38_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q96_semdedup" -> semDedupSql,
     "q99_bloom_dedup" -> bloomDedupSql,

@@ -1542,6 +1542,30 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(byKey.forall(_.map(_.getLong(1)).toSet.size == 1))
   }
 
+  test("q159: containment equals a driver replay over capped postings") {
+    import graft.functions.PortableStringHash.hashString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val post = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").distinct.map(hashString).toSet
+    }.toMap
+    val dfc = post.values.flatten.groupBy(identity)
+      .collect { case (h, o) if o.size >= 2 && o.size <= 32 => h }.toSet
+    val kept = post.map { case (id, hs) => id -> (hs intersect dfc) }
+    val expect = (for {
+      (a, ha) <- kept.toSeq; (b, hb) <- kept.toSeq if a < b
+      inter = (ha intersect hb).size.toLong if inter > 0
+      ca = inter * 10000 / ha.size; cb = inter * 10000 / hb.size
+      if math.max(ca, cb) >= 7000
+    } yield (a, b, inter, ha.size.toLong, hb.size.toLong, ca, cb)).sorted
+    val got = graft.queries.DedupSim.q159Containment(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq.sorted
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
