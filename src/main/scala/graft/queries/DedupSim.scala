@@ -2102,8 +2102,44 @@ object DedupSim {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q160: QUALITY-CANONICAL DEDUP REPRESENTATIVE — the selection step
+    * after component labeling done the way a production curation run
+    * does it: keep each near-dup cluster's HIGHEST-QUALITY member, not
+    * its lowest id (q56's min-id rule is the simple policy; real
+    * pipelines keep the cleanest copy — the same document scraped from
+    * a boilerplate-heavy mirror should lose to its clean original).
+    * Composes q41's transitive components with q57's quality score and
+    * reports, per component, the chosen representative next to the
+    * naive min-id choice and whether the policy actually changed the
+    * outcome.
+    *
+    * Scale shape: the argmax is a STRUCT-MAX AGGREGATE
+    * (max(struct(quality, −doc_id))) — partial-aggregated map-side, so
+    * a mega-component never forces a per-group sort (the q96 lesson:
+    * no window over organic group sizes); ties break to the lowest id
+    * deterministically through the negated field. Component labels
+    * come from the checkpointed bipartite propagation (q41), quality
+    * is the shared rounded formula (q57) — both already gate-proven.
+    */
+  def q160BestRep(s: SparkSession, dir: String): DataFrame = {
+    val comp = docComponents(s, dir).select(col("doc_id"), col("component_id"))
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    comp.join(q, Seq("doc_id"))
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("doc_id"), col("quality"))).as("naive"))
+      .select(col("component_id"), col("n_members"),
+        (-col("best.nid")).as("rep_id"), col("best.quality").as("rep_quality"),
+        col("naive.doc_id").as("naive_id"), col("naive.quality").as("naive_quality"),
+        (-col("best.nid") =!= col("naive.doc_id")).as("improved"))
+      .orderBy(col("component_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_containment" -> (q159Containment _),
+    "q160_best_rep" -> (q160BestRep _),
     "q65_quant_ann" -> (q65QuantAnn _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q38_ann_ivf_kmeans" -> (q38AnnIvfKmeans _),
@@ -2327,6 +2363,29 @@ object DedupSim {
 
   val oracleSql: Map[String, String] = Map(
     "q36_ann_ivf" -> annIvfSql,
+    "q160_best_rep" ->
+      s"""WITH ${dedupComponentsCtes},
+          comp AS (SELECT doc_id, label AS component_id FROM l$CcOracleRounds),
+          q AS (SELECT doc_id, ${TextAnalytics.qualitySql("text")} AS quality
+                FROM (SELECT doc_id, text,
+                             string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents)),
+          j AS (SELECT c.component_id, q.doc_id, q.quality
+                FROM comp c JOIN q USING (doc_id)),
+          r AS (SELECT component_id, doc_id, quality,
+                       row_number() OVER (PARTITION BY component_id
+                                          ORDER BY quality DESC, doc_id) AS rk,
+                       row_number() OVER (PARTITION BY component_id
+                                          ORDER BY doc_id) AS rn,
+                       count(*) OVER (PARTITION BY component_id) AS n_members
+                FROM j)
+          SELECT b.component_id, CAST(b.n_members AS BIGINT) AS n_members,
+                 b.doc_id AS rep_id, b.quality AS rep_quality,
+                 c.doc_id AS naive_id, c.quality AS naive_quality,
+                 b.doc_id <> c.doc_id AS improved
+          FROM (SELECT * FROM r WHERE rk = 1) b
+          JOIN (SELECT * FROM r WHERE rn = 1) c USING (component_id)
+          ORDER BY component_id""",
     "q159_containment" ->
       s"""WITH raw AS (
             SELECT DISTINCT doc_id, tok FROM (

@@ -90,7 +90,8 @@ object ScaleStress {
       "q133_cms_heavy_hitters", "q135_hll_merge", "q136_hist_quantiles",
       "q138_cohort_retention", "q140_partitioned_export",
       "q142_stream_hll_census", "q149_bpe_merges", "q150_winnow",
-      "q153_whash_dedup", "q155_kn_continuation")
+      "q153_whash_dedup", "q155_kn_continuation",
+      "q158_stream_image_dedup", "q159_containment")
     // one timing body for every row: a crashed run returns -1 (NOT its
     // time-to-crash — the skew rows exist to catch OOMs, which must not
     // print as a normal-looking ratio), and the cache hygiene

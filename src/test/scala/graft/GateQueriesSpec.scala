@@ -1566,6 +1566,28 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("q160: the quality-canonical representative is the exact argmax") {
+    val sf01 = "/root/testdata/sf0.01"
+    val comp = graft.queries.DedupSim.q41DedupComponents(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = comp.groupBy(_._2).map { case (cid, ms) =>
+      val ids = ms.keys.toSeq
+      val rep = ids.minBy(id => (-qual(id), id))
+      val naive = ids.min
+      (cid, ids.size.toLong, rep, qual(rep), naive, qual(naive), rep != naive)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.DedupSim.q160BestRep(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSeq
+    assert(got == expect)
+    // the policy must actually differ from min-id somewhere on this corpus
+    assert(got.exists(_._7), "no component where quality beats min-id")
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
