@@ -91,7 +91,7 @@ object ScaleStress {
       "q138_cohort_retention", "q140_partitioned_export",
       "q142_stream_hll_census", "q149_bpe_merges", "q150_winnow",
       "q153_whash_dedup", "q155_kn_continuation",
-      "q158_stream_image_dedup", "q159_containment")
+      "q158_stream_image_dedup", "q159_containment", "q160_best_rep")
     // one timing body for every row: a crashed run returns -1 (NOT its
     // time-to-crash — the skew rows exist to catch OOMs, which must not
     // print as a normal-looking ratio), and the cache hygiene
