@@ -868,15 +868,18 @@ object BinaryGate {
   def q157DeltaVsBase(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q157")
     val paths = (0 until RstCases).map(c => writeDeltaRstCase(tmp, c))
-    val all = graft.io.EclBinary.restartFleet(s, paths.mkString(","), Seq("PRESSURE"))
-      .withColumn("case_id",
-        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
-      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
-        col("ACTIVE_IDX").as("active_idx"),
-        col("PRESSURE").cast("long").as("p"))
-    val base = all.filter(col("case_id") === 0)
+    def fleet(ps: Seq[String]) =
+      graft.io.EclBinary.restartFleet(s, ps.mkString(","), Seq("PRESSURE"))
+        .withColumn("case_id",
+          regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+        .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+          col("ACTIVE_IDX").as("active_idx"),
+          col("PRESSURE").cast("long").as("p"))
+    // the base side reads ONLY its own file — the ensemble never decodes
+    // twice just to extract realization 0
+    val base = fleet(Seq(paths.head))
       .select(col("date"), col("active_idx"), col("p").as("p_base"))
-    all.filter(col("case_id") > 0)
+    fleet(paths.tail)
       .join(base, Seq("date", "active_idx"))
       .withColumn("dp", col("p") - col("p_base"))
       .groupBy(col("case_id"), col("date"))
@@ -920,29 +923,38 @@ object BinaryGate {
     */
   def q154TreeRollup(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q154")
+    // localCheckpoint per iteration frame (the connectedComponents
+    // discipline): lineage stays flat and superseded rounds don't stack
+    // persisted copies across the 160-query gate run
     val edges = graft.modules.Gruptree.df(s, TreeDeck)
       .filter(col("PARENT").isNotNull)
       .select(col("CHILD").as("child"), col("PARENT").as("parent"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // ancestor closure to fixed point: tree-depth-bounded driver loop,
     // each round broadcast-joins the tiny edge frame
     // disambiguated copy for the closure joins (anc derives from edges,
     // so joining them directly trips self-join column resolution)
     val hop = edges.select(col("child").as("h_child"), col("parent").as("h_parent"))
     var anc = edges.select(col("child").as("node"), col("parent").as("anc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var n = anc.count()
+    var converged = false
     var rounds = 0
-    while (rounds < 8) {
+    val MaxRounds = 12
+    while (!converged && rounds < MaxRounds) {
       val grown = anc.union(
           anc.join(broadcast(hop), col("anc") === col("h_child"))
             .select(col("node"), col("h_parent").as("anc")))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val m = grown.count()
-      if (m == n) rounds = 8 else { anc = grown; n = m; rounds += 1 }
+      if (m == n) converged = true else { anc = grown; n = m; rounds += 1 }
     }
+    // fail loud, never roll up a silently truncated closure (the
+    // connectedComponents contract)
+    if (!converged) throw new IllegalStateException(
+      s"q154 ancestor closure did not converge within $MaxRounds rounds")
     // leaves = wells (children that are nobody's parent)
     val wells = edges.select(col("child")).except(edges.select(col("parent")))
       .withColumnRenamed("child", "well")

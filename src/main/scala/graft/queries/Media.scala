@@ -170,9 +170,9 @@ object Media {
   /** Encode through the JDK's REAL lossless codecs — half the corpus as
     * PNG, half as BMP (same decoded pixels, entirely different container
     * bytes), then decode back with format auto-detection. */
-  private[graft] def roundTripImage(id: Long): java.awt.image.BufferedImage = {
-    val img = gidImage(id % 50)
-    val bytes = if ((id / 50) % 2 == 0) Multimodal.encodePng(img)
+  private[graft] def roundTripImage(id: Long, keys: Long = 50L): java.awt.image.BufferedImage = {
+    val img = gidImage(id % keys)
+    val bytes = if ((id / keys) % 2 == 0) Multimodal.encodePng(img)
       else {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "bmp", bos)

@@ -654,21 +654,11 @@ object StreamGate {
   private val WHashHistN = 32L
 
   /** The shared q158 decode kernel: image keyed `id % 61`, PNG/BMP
-    * round trip alternating on `(id / 61) % 2`, Walsh–Hadamard hash.
-    * ONE definition for the historical (batch) and arriving (stream)
-    * sides — index and probe cannot drift. */
-  private def wHashOf(id: Long): Long = {
-    val img = Media.gidImage(id % WHashKeys)
-    val bytes = if ((id / WHashKeys) % 2 == 0) graft.multimodal.Multimodal.encodePng(img)
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "bmp", bos)
-        bos.toByteArray
-      }
-    graft.multimodal.Multimodal.hadamardHash(
-      graft.multimodal.Multimodal.decodeImage(bytes)
-        .getOrElse(throw new IllegalStateException(s"image round-trip failed for doc $id")))
-  }
+    * round trip alternating on `(id / 61) % 2` via the ONE
+    * [[Media.roundTripImage]] codec helper (the q125/q153 path —
+    * index and probe cannot drift from the batch gates). */
+  private def wHashOf(id: Long): Long =
+    graft.multimodal.Multimodal.hadamardHash(Media.roundTripImage(id, WHashKeys))
 
   /** q158: STREAMING IMAGE-HASH INGEST DEDUP — the multimodal member of
     * the ingest-dedup family (q102 exact text by md5, q112 near-dup
