@@ -231,13 +231,69 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** q161: MULTI-INDEX HAMMING NEAR-DUP over the wHash space — exact
+    * Hamming-distance search done the scalable way (Norouzi, Punjani &
+    * Fleet, "Fast Search in Hamming Space with Multi-Index Hashing"):
+    * split the 15-bit fingerprint into 3 disjoint 5-bit bands; by
+    * pigeonhole, any two hashes within distance ≤ 2 agree EXACTLY on
+    * at least one band, so an equi-join per band finds every candidate
+    * and a popcount verify keeps the true near pairs — no all-pairs
+    * comparison ever exists. The search runs at HASH level (distinct
+    * fingerprints with member counts), so the join is bounded by the
+    * fingerprint space, not the corpus: the near-duplicate IMAGE
+    * report (re-encoded + slightly-edited copies) that exact-hash
+    * q153 cannot see.
+    *
+    * Exactness: popcount of a 15-bit XOR via three 32-entry table
+    * lookups — pure integer, engine-identical. Candidates emit ONCE
+    * per pair (minimum agreeing band, the q91 single-emission rule)
+    * so no distinct-dedup pass is needed.
+    */
+  def q161HammingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map(id => (id, Multimodal.hadamardHash(roundTripImage(id))))
+    }.toDF("doc_id", "whash")
+    val hs = hashed.groupBy(col("whash")).agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hs.select(col("whash"), col("n_docs"),
+      explode(expr("sequence(0, 2)")).as("band"))
+      .withColumn("bkey", expr("shiftright(whash, cast(band * 5 as int)) & 31"))
+    val pc32 = (0 until 32).map(Integer.bitCount).mkString("array(", ", ", ")")
+    val dist = expr(s"""element_at($pc32, cast((shiftright(hx, 0) & 31) as int) + 1)
+      + element_at($pc32, cast((shiftright(hx, 5) & 31) as int) + 1)
+      + element_at($pc32, cast((shiftright(hx, 10) & 31) as int) + 1)""")
+    val minBand = expr("""least(
+      CASE WHEN (shiftright(hx, 0) & 31) = 0 THEN 0 ELSE 99 END,
+      CASE WHEN (shiftright(hx, 5) & 31) = 0 THEN 1 ELSE 99 END,
+      CASE WHEN (shiftright(hx, 10) & 31) = 0 THEN 2 ELSE 99 END)""")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.whash") < col("b.whash"))
+      .select(col("a.whash").as("hash_a"), col("b.whash").as("hash_b"),
+        col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"), col("a.band").as("band"))
+      .withColumn("hx", expr("hash_a ^ hash_b"))
+      .withColumn("dist", dist)
+      .filter(col("dist") <= 2 && col("band") === minBand)
+      .select(col("hash_a"), col("hash_b"), col("dist").cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("hash_a"), col("hash_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_image_dedup" -> (q125ImageDedup _),
     "q153_whash_dedup" -> (q153WHashDedup _),
+    "q161_hamming_neardup" -> (q161HammingNearDup _),
     "q43_image_decode" -> (q43ImageDecode _),
     "q46_audio_decode" -> (q46AudioDecode _),
     "q93_frame_sample" -> (q93FrameSample _),
   )
+
+  /** 32-entry popcount table as a SQL list literal (5-bit operands). */
+  private val Pc32List: String =
+    (0 until 32).map(Integer.bitCount).mkString("[", ", ", "]")
 
   /** The wHash replay as oracle CTE text: expects a `docs(doc_id, gid)`
     * CTE in scope, emits `gids`/`pix`/`blocks`/`uv`/`co`/`med` and the
@@ -280,6 +336,31 @@ object Media {
     // aHash bit math replayed from the pixel formula: 32×16 image,
     // 8×8 block grid (4×2 px blocks), lum = r+g+b, bit set iff
     // bs·64 > ts (exact integer cross-multiply) — engine-identical
+    // the multi-index Hamming join replayed at hash level: banded
+    // candidates, XOR popcount via 32-entry tables, min-band emission
+    "q161_hamming_neardup" ->
+      s"""WITH docs AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
+        |${whashCtes},
+        |dh AS (SELECT d.doc_id, h.whash FROM docs d JOIN hashes h USING (gid)),
+        |hs AS (SELECT whash, CAST(count(*) AS BIGINT) AS n_docs FROM dh GROUP BY 1),
+        |bk AS (SELECT whash, n_docs, band,
+        |              (whash >> CAST(band * 5 AS INT)) & 31 AS bkey
+        |       FROM (SELECT whash, n_docs, unnest(range(3)) AS band FROM hs)),
+        |cand AS (SELECT a.whash AS hash_a, b.whash AS hash_b, a.n_docs AS n_a,
+        |                b.n_docs AS n_b, a.band AS band,
+        |                xor(a.whash, b.whash) AS hx
+        |         FROM bk a JOIN bk b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.whash < b.whash),
+        |v AS (SELECT *,
+        |             ($Pc32List)[CAST(((hx >> 0) & 31) + 1 AS INT)]
+        |               + ($Pc32List)[CAST(((hx >> 5) & 31) + 1 AS INT)]
+        |               + ($Pc32List)[CAST(((hx >> 10) & 31) + 1 AS INT)] AS dist,
+        |             least(CASE WHEN ((hx >> 0) & 31) = 0 THEN 0 ELSE 99 END,
+        |                   CASE WHEN ((hx >> 5) & 31) = 0 THEN 1 ELSE 99 END,
+        |                   CASE WHEN ((hx >> 10) & 31) = 0 THEN 2 ELSE 99 END) AS mb
+        |      FROM cand)
+        |SELECT hash_a, hash_b, CAST(dist AS BIGINT) AS dist, n_a, n_b
+        |FROM v WHERE dist <= 2 AND band = mb ORDER BY hash_a, hash_b""".stripMargin,
     // wHash bit math replayed from the pixel formula: block sums → ±1
     // Walsh–Hadamard transform (sign via an 8-entry popcount table over
     // the 3-bit operands) → 15 low-sequency coefficients → exact rank-8

@@ -357,6 +357,59 @@ object Relational {
       .orderBy(col("cohort_wk"), col("offset_wk"))
   }
 
+  /** q162: ROBUST OUTLIER REPORT via exact MAD (median absolute
+    * deviation) — the robust-statistics anomaly screen (median ± k·MAD)
+    * run with NO floats: values land on the corpus's fixed ×10⁴
+    * lattice, both medians are exact LOWER medians (smallest value
+    * whose rank satisfies 2·rn ≥ n, rank ties broken by event_id), and
+    * the outlier rule is the integer cross-multiply `dev > 3·mad`.
+    * Mean/stddev screens break under the heavy tails event data
+    * actually has; MAD is the standard robust alternative, and doing
+    * it exactly makes it gateable.
+    *
+    * Scale shape: two rank windows keyed by event_type (the same
+    * exchange serves rank + count, the q137 discipline) with the
+    * per-type medians broadcast back as a tiny dimension frame between
+    * passes. Exact medians sort within each type — the honest cost of
+    * exactness (q108's note); the bounded-state companion at 100 TB is
+    * q136's log-histogram hull.
+    */
+  def q162MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 10000.0).cast("long").as("v4"))
+    val wt = Window.partitionBy(col("event_type"))
+    val meds = base
+      .withColumn("rn", row_number().over(wt.orderBy(col("v4"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wt))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") * 2 >= col("n"), col("v4"))).as("med4"))
+    val dev = base.join(broadcast(meds), Seq("event_type"))
+      .withColumn("dev", abs(col("v4") - col("med4")))
+    dev
+      .withColumn("rn", row_number().over(wt.orderBy(col("dev"), col("event_id"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med4")).as("med4"),
+        min(when(col("rn") * 2 >= col("n"), col("dev"))).as("mad4"))
+      .join(dev.groupBy(col("event_type")).agg(max(col("dev")).as("max_dev")),
+        Seq("event_type"))
+      .join(dev.select(col("event_type"), col("dev")).as("d2")
+          .join(broadcast(dev
+            .withColumn("rn", row_number().over(wt.orderBy(col("dev"), col("event_id"))))
+            .groupBy(col("event_type"))
+            .agg(max(col("n")).as("n2"),
+              min(when(col("rn") * 2 >= col("n"), col("dev"))).as("m2"))),
+            Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(sum((col("dev") > lit(3) * col("m2")).cast("long")).as("n_out")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med4"), col("mad4"),
+        col("n_out"), col("max_dev"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_cohort_retention" -> (q138CohortRetention _),
     "q130_funnel" -> (q130Funnel _),

@@ -1588,6 +1588,28 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(got.exists(_._7), "no component where quality beats min-id")
   }
 
+  test("q161: the banded Hamming join equals the brute-force pair scan") {
+    import graft.multimodal.Multimodal
+    val sf01 = "/root/testdata/sf0.01"
+    val ids = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val byHash = ids.groupBy(id => Multimodal.hadamardHash(graft.queries.Media.roundTripImage(id)))
+      .map { case (h, o) => h -> o.length.toLong }
+    val hs = byHash.keys.toSeq.sorted
+    val expect = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i) ^ hs(j)).toLong if d <= 2
+    } yield (hs(i), hs(j), d, byHash(hs(i)), byHash(hs(j)))).sorted
+    val got = graft.queries.Media.q161HammingNearDup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    // the multi-index join must find EXACTLY the brute-force neighbor set
+    // (pigeonhole: distance <= 2 over 3 bands forces a shared band), and
+    // the min-band rule must emit each pair exactly once
+    assert(got.nonEmpty && got == expect)
+    assert(got.distinct.size == got.size)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
