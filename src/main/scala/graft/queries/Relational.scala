@@ -368,11 +368,13 @@ object Relational {
     * it exactly makes it gateable.
     *
     * Scale shape: two rank windows keyed by event_type (the same
-    * exchange serves rank + count, the q137 discipline) with the
-    * per-type medians broadcast back as a tiny dimension frame between
-    * passes. Exact medians sort within each type — the honest cost of
-    * exactness (q108's note); the bounded-state companion at 100 TB is
-    * q136's log-histogram hull.
+    * exchange serves rank + count, the q137 discipline), each followed
+    * by a broadcast of the per-type median back as a tiny dimension
+    * frame — value median → ONE deviation pass for MAD, then one
+    * final per-type aggregate computes the outlier count and max
+    * deviation against the broadcast MAD. Exact medians sort within
+    * each type — the honest cost of exactness (q108's note); the
+    * bounded-state companion at 100 TB is q136's log-histogram hull.
     */
   def q162MadOutliers(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -388,29 +390,23 @@ object Relational {
         min(when(col("rn") * 2 >= col("n"), col("v4"))).as("med4"))
     val dev = base.join(broadcast(meds), Seq("event_type"))
       .withColumn("dev", abs(col("v4") - col("med4")))
-    dev
+    val mads = dev
       .withColumn("rn", row_number().over(wt.orderBy(col("dev"), col("event_id"))))
       .groupBy(col("event_type"))
+      .agg(min(when(col("rn") * 2 >= col("n"), col("dev"))).as("mad4"))
+    dev.join(broadcast(mads), Seq("event_type"))
+      .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), max(col("med4")).as("med4"),
-        min(when(col("rn") * 2 >= col("n"), col("dev"))).as("mad4"))
-      .join(dev.groupBy(col("event_type")).agg(max(col("dev")).as("max_dev")),
-        Seq("event_type"))
-      .join(dev.select(col("event_type"), col("dev")).as("d2")
-          .join(broadcast(dev
-            .withColumn("rn", row_number().over(wt.orderBy(col("dev"), col("event_id"))))
-            .groupBy(col("event_type"))
-            .agg(max(col("n")).as("n2"),
-              min(when(col("rn") * 2 >= col("n"), col("dev"))).as("m2"))),
-            Seq("event_type"))
-          .groupBy(col("event_type"))
-          .agg(sum((col("dev") > lit(3) * col("m2")).cast("long")).as("n_out")),
-        Seq("event_type"))
+        max(col("mad4")).as("mad4"),
+        sum((col("dev") > lit(3) * col("mad4")).cast("long")).as("n_out"),
+        max(col("dev")).as("max_dev"))
       .select(col("event_type"), col("n"), col("med4"), col("mad4"),
         col("n_out"), col("max_dev"))
       .orderBy(col("event_type"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_mad_outliers" -> (q162MadOutliers _),
     "q138_cohort_retention" -> (q138CohortRetention _),
     "q130_funnel" -> (q130Funnel _),
     "q110_rolling" -> (q110Rolling _),
@@ -437,6 +433,38 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact lower medians on the ×10⁴ lattice: rank rules replayed
+    // verbatim (row_number over (v, event_id)), outlier rule is the
+    // integer cross-multiply dev > 3·mad — engine-exact on both sides
+    "q162_mad_outliers" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+                  CAST(round(value * 10000.0) AS BIGINT) AS v4 FROM events),
+         r1 AS (SELECT event_type, event_id, v4,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY v4, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM base),
+         m AS (SELECT event_type, max(n) AS n,
+                      min(CASE WHEN rn * 2 >= n THEN v4 END) AS med4
+               FROM r1 GROUP BY 1),
+         d AS (SELECT b.event_type, b.event_id, m.n, m.med4,
+                      abs(b.v4 - m.med4) AS dev
+               FROM base b JOIN m USING (event_type)),
+         r2 AS (SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM d),
+         md AS (SELECT event_type,
+                       min(CASE WHEN rn * 2 >= nd THEN dev END) AS mad4
+                FROM r2 GROUP BY 1)
+         SELECT d.event_type, d.n, d.med4, md.mad4,
+                CAST(sum(CASE WHEN d.dev > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+                max(d.dev) AS max_dev
+         FROM d JOIN md USING (event_type)
+         GROUP BY 1, 2, 3, 4
+         ORDER BY 1""",
     // both engines truncate weeks to Monday and the offsets are exact
     // multiples of 7 days, so the grid and basis points are engine-exact
     "q138_cohort_retention" ->

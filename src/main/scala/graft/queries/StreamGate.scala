@@ -666,7 +666,7 @@ object StreamGate {
     * images are decoded and wHash-fingerprinted (q153's
     * Walsh–Hadamard hash through the real PNG/BMP codecs) INSIDE the
     * streaming engine as a stateless mapPartitions kernel, then
-    * stream-static left-joined against the broadcast historical hash
+    * stream-static left-joined against the historical hash
     * index — dup-at-ingest for a scraped image corpus, where the same
     * photo arrives re-encoded under a different container. No state
     * store, no watermark; the static side is the persisted index an
@@ -674,8 +674,15 @@ object StreamGate {
     *
     * Scale shape: decode cost rides the stream partition (one codec
     * context per executor thread); the index is hash+src_id only
-    * (bytes never join); the broadcast is the index distribution step
-    * a production ingest ships to stream workers.
+    * (bytes never join). The static side is NOT broadcast-hinted: the
+    * historical wHash index grows with every image ever ingested —
+    * unbounded in the production framing — so the join must be free to
+    * shuffle on `whash` (q112's stream-static discipline,
+    * [[q112StreamNearDup]]); the micro-batch planner/AQE may still pick
+    * broadcast while the index is small. The stream side is
+    * repartitioned on the join key AFTER decode, so the probe spreads
+    * off the arriving file's few input tasks at hash-row (not image-
+    * byte) width.
     */
   def q158StreamImageDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -690,9 +697,10 @@ object StreamGate {
       .select(col("doc_id")).as[Long]
       .mapPartitions(it => it.map(id => (id, wHashOf(id))))
       .toDF("new_id", "whash")
+      .repartition(col("whash"))
     val sink = "q158_sink"
     s.catalog.dropTempView(sink)
-    val out = stream.join(broadcast(hist), Seq("whash"), "left")
+    val out = stream.join(hist, Seq("whash"), "left")
       .select(col("new_id"), col("whash"),
         col("src_id").isNotNull.as("is_dup"), col("src_id"))
     val q = out.writeStream.format("memory").queryName(sink)

@@ -133,14 +133,27 @@ object Tokenize {
   /** Apply one merge (the 1-row `win(win_pair)` frame, broadcast) to the
     * word-type table: the winning adjacent pair fuses into one symbol.
     * The sequence is wrapped in sentinels so the literal replace can
-    * only match at symbol boundaries, and both engines' `replace` scans
-    * left-to-right without rescanning replacements — the deterministic
-    * "leftmost non-overlapping" merge rule the gate contract pins. */
+    * only match at symbol boundaries. A single left-to-right replace
+    * misses back-to-back occurrences (consecutive matches share a '|'
+    * the previous replacement consumed: a|b|a|b would stop at ab|a|b),
+    * so the boundary-wrapped replace is applied TWICE — pass 1 fuses
+    * alternating occurrences, which isolates the survivors between
+    * fused symbols, and pass 2 fuses those — giving canonical Sennrich
+    * leftmost-non-overlapping results for runs of a non-self-
+    * overlapping pair. Known residual deviation, shared by engine,
+    * oracle, and spec so the gate stays self-consistent: odd runs of a
+    * SELF-overlapping pair (a|a over aaaaa) fuse the same NUMBER of
+    * occurrences as canonical BPE but at alternating positions
+    * (aa|a|aa vs canonical aa|aa|a). */
+  private val BpeMergeExpr: String = {
+    val pat = "'|' || win_pair || '|'"
+    val rep = "'|' || replace(win_pair, '|', '') || '|'"
+    s"trim(BOTH '|' FROM replace(replace('|' || sym || '|', $pat, $rep), $pat, $rep))"
+  }
+
   private def bpeMerge(words: DataFrame, win: DataFrame): DataFrame =
     words.crossJoin(broadcast(win))
-      .select(expr(
-        "trim(BOTH '|' FROM replace('|' || sym || '|', '|' || win_pair || '|', " +
-          "'|' || replace(win_pair, '|', '') || '|'))").as("sym"), col("n"))
+      .select(expr(BpeMergeExpr).as("sym"), col("n"))
 
   /** q149: BPE MERGE LEARNING — the byte-pair-encoding training loop
     * itself (Sennrich et al. 2016, the algorithm behind GPT-2/Llama
@@ -201,7 +214,10 @@ object Tokenize {
        |                 pair, cnt
        |          FROM p$r ORDER BY cnt DESC, pair LIMIT $BpeTopK),
        |win$r AS (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-       |w$r AS (SELECT trim(replace('|' || sym || '|', '|' || w.pair || '|',
+       |w$r AS (SELECT trim(replace(replace('|' || sym || '|',
+       |                                    '|' || w.pair || '|',
+       |                                    '|' || replace(w.pair, '|', '') || '|'),
+       |                            '|' || w.pair || '|',
        |                            '|' || replace(w.pair, '|', '') || '|'), '|') AS sym, n
        |        FROM w${r - 1}, win$r w)""".stripMargin
 

@@ -1466,8 +1466,11 @@ class GateQueriesSpec extends AnyFunSuite {
       }
       val win = ranked.head._1
       val merged = win.replace("|", "")
+      // two boundary-wrapped replace passes: pass 2 fuses the back-to-back
+      // occurrences whose shared '|' pass 1 consumed (the engine/oracle rule)
       words = words.map { case (sym, n) =>
         (("|" + sym + "|").replace("|" + win + "|", "|" + merged + "|")
+          .replace("|" + win + "|", "|" + merged + "|")
           .stripPrefix("|").stripSuffix("|"), n)
       }
     }
@@ -1608,6 +1611,30 @@ class GateQueriesSpec extends AnyFunSuite {
     // the min-band rule must emit each pair exactly once
     assert(got.nonEmpty && got == expect)
     assert(got.distinct.size == got.size)
+  }
+
+  test("q162: exact-MAD outlier report matches a scalar replay") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._2).toSeq.map { case (t, rows) =>
+      val n = rows.length
+      // lower median = value at rank ceil(n/2) under (value, event_id) order
+      val v4 = rows.map(r => (math.round(r._3 * 10000.0), r._1)).sorted
+      val med = v4((n + 1) / 2 - 1)._1
+      val dev = rows.map(r =>
+        (math.abs(math.round(r._3 * 10000.0) - med), r._1)).sorted
+      val mad = dev((n + 1) / 2 - 1)._1
+      (t, n.toLong, med, mad, dev.count(_._1 > 3 * mad).toLong, dev.last._1)
+    }.sortBy(_._1)
+    val out = graft.queries.Relational.q162MadOutliers(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == expected && out.nonEmpty)
+    // MAD is a genuine spread: positive, and some-but-not-all rows flagged
+    out.foreach { case (t, n, _, mad, nOut, maxDev) =>
+      assert(mad > 0 && nOut < n && maxDev >= mad, t)
+    }
   }
 
   test("q87: the PQ index has M codes per vector, all within the codebook") {
