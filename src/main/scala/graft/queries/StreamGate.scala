@@ -259,27 +259,156 @@ object StreamGate {
       .orderBy(col("doc_id"))
   }
 
-  private def streamSigDedupSql: String = {
+  /** The shared q70/q163 oracle prefix: per-doc 32-slot MinHash
+    * signature CTEs (32 slots matching signatureDeduped's hardcoded
+    * width). Returns (CTE block ending at `sig(doc_id, m0..m31)`, the
+    * comma-joined key column list). */
+  private def sigCtePrefix: (String, String) = {
     import graft.functions.PortableHash.mixSql
     val hashCtes = graft.functions.PortableStringHash.strHashCtes(
       "otoks", Seq("doc_id"), "tok", "ohash", "v")
-    // 32 slots, matching signatureDeduped's hardcoded signature width
     val minCols = (0 until 32).map(k => s"min(${mixSql("v", k)}) AS m$k")
       .mkString(",\n                  ")
     val keys = (0 until 32).map("m" + _).mkString(", ")
-    s"""WITH otoks AS (SELECT doc_id,
+    (s"""WITH otoks AS (SELECT doc_id,
                   unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
                   FROM documents),
        $hashCtes,
        vals AS (SELECT doc_id, v FROM ohash),
        sig AS (SELECT doc_id, $minCols
-               FROM vals GROUP BY doc_id),
+               FROM vals GROUP BY doc_id)""", keys)
+  }
+
+  private def streamSigDedupSql: String = {
+    val (prefix, keys) = sigCtePrefix
+    s"""$prefix,
        canon AS (SELECT $keys, min(doc_id) AS canonical_id
                  FROM sig GROUP BY $keys)
        SELECT sig.doc_id, c.canonical_id, sig.doc_id > c.canonical_id AS is_dup
        FROM sig JOIN canon c USING ($keys)
        ORDER BY doc_id"""
   }
+
+  // gaps-and-islands replay of the TTL chain rule: within a signature,
+  // the canonical chain breaks when the doc_id gap exceeds TtlDocs
+  // (event time is doc_id·60 s, TTL is TtlDocs·60 s — the same rule in
+  // both clocks); each island's canonical is its min doc_id
+  private def streamTtlDedupSql: String = {
+    val (prefix, keys) = sigCtePrefix
+    s"""$prefix,
+       brk AS (SELECT doc_id, $keys,
+                      CASE WHEN lag(doc_id) OVER w IS NULL
+                                OR doc_id - lag(doc_id) OVER w > $TtlDocs
+                           THEN 1 ELSE 0 END AS b
+               FROM sig WINDOW w AS (PARTITION BY $keys ORDER BY doc_id)),
+       isl AS (SELECT doc_id, $keys,
+                      sum(b) OVER (PARTITION BY $keys ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+               FROM brk)
+       SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY $keys, island) AS canonical_id,
+              doc_id > min(doc_id) OVER (PARTITION BY $keys, island) AS is_dup
+       FROM isl ORDER BY doc_id"""
+  }
+
+  // q163 clock: event time = TtlEpochSec + doc_id · TtlStepSec, TTL =
+  // TtlDocs · TtlStepSec — so the TTL horizon is exactly a doc_id-gap
+  // rule and the oracle replays it without timestamps
+  private val TtlDocs = 64L
+  private val TtlStepSec = 60L
+  private val TtlEpochSec = 1704067200L
+  private val TtlFiles = 8
+
+  /** Stage `dir`'s documents as [[TtlFiles]] per-arrival files covering
+    * ascending doc_id ranges, file mtimes strictly increasing — so a
+    * `maxFilesPerTrigger=1` run replays them oldest-first, one
+    * micro-batch per file (the ordered per-shard arrival contract
+    * packedSpans documents). Same atomic-publish idiom as
+    * [[stageWithSentinel]]. */
+  private def stageDocArrivals(s: SparkSession, dir: String): String = {
+    val docs = graft.sources.Tables.documents(s, dir)
+    val h = docs.agg(count(lit(1)), max(col("doc_id"))).head()
+    val (nDocs, maxId) = (h.getLong(0), h.getLong(1))
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate",
+      s"docarr-v1-$dirTag-$nDocs-$maxId")
+    if (!java.nio.file.Files.isDirectory(tmp)) {
+      java.nio.file.Files.createDirectories(tmp.getParent)
+      val scratch = tmp.resolveSibling(
+        s"${tmp.getFileName}-scratch-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(scratch)
+      val step = maxId / TtlFiles + 1
+      (0 until TtlFiles).foreach { f =>
+        val part = s"$scratch/part$f"
+        docs.filter(col("doc_id") >= f * step && col("doc_id") < (f + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val file = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = scratch.resolve(f"documents_$f%04d.parquet")
+        java.nio.file.Files.move(file.toPath, dst)
+        // strictly increasing mtimes = deterministic arrival order
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 1000L))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+      }
+      try java.nio.file.Files.move(scratch, tmp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      }
+    }
+    tmp.toString
+  }
+
+  /** The q163 run, exposing the engine evidence the spec pins: returns
+    * (result, micro-batch count, max state-store rows across batches). */
+  private[graft] def sigDedupTtlRun(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val staged = stageDocArrivals(s, dir)
+    val stream = graft.streaming.EventStreams
+      .readDocuments(s, staged, Map("maxFilesPerTrigger" -> "1"))
+      .withColumn("ts",
+        timestamp_seconds(lit(TtlEpochSec) + col("doc_id") * TtlStepSec))
+      .select(col("doc_id"), col("ts"), col("text"))
+    val sink = "q163_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams
+      .signatureDedupedTtl(stream, TtlDocs * TtlStepSec * 1000L, "5 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.lastProgress.batchId + 1
+    val maxState = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    (s.table(sink)
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+      .orderBy(col("doc_id")), batches, maxState)
+  }
+
+  /** q163: TTL-BOUNDED STREAMING SIGNATURE DEDUP — q70's
+    * flatMapGroupsWithState dedup promoted to the production form the
+    * q116/q119 scaffolding proved for windows/sessions: a MULTI-BATCH
+    * run ([[TtlFiles]] per-arrival files, one micro-batch each) with
+    * EVENT-TIME STATE EVICTION. Each signature's canonical chain is
+    * remembered for [[TtlDocs]]·[[TtlStepSec]] of event time past its
+    * last occurrence and RESETS on a larger gap (enforced inline, so
+    * the result is exact under any batching); the EventTimeTimeout
+    * callback removes dead chains from the state store once the
+    * watermark passes their horizon — state = O(signatures per TTL
+    * horizon), the bound q70's NoTimeout form cannot claim. The DuckDB
+    * oracle replays the chain rule as per-signature gaps-and-islands
+    * over doc_id — the hash only matches if cross-batch state carry,
+    * inline TTL resets, and eviction-then-reappear all agree with the
+    * closed form.
+    */
+  def q163StreamTtlDedup(s: SparkSession, dir: String): DataFrame =
+    sigDedupTtlRun(s, dir)._1
 
   /** q82: STREAMING SEQUENCE PACKING on the gate — the incremental form
     * of q77 ([[graft.streaming.EventStreams.packedSpans]]: stateless
@@ -725,6 +854,7 @@ object StreamGate {
     "q102_stream_bloom" -> (q102StreamBloomDedup _),
     "q69_stream_dedup" -> (q69StreamDedup _),
     "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
+    "q163_stream_ttl_dedup" -> (q163StreamTtlDedup _),
     "q82_stream_pack" -> (q82StreamPack _),
   )
 
@@ -820,6 +950,7 @@ object StreamGate {
                   AS total_value
          FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
     "q70_stream_sig_dedup" -> streamSigDedupSql,
+    "q163_stream_ttl_dedup" -> streamTtlDedupSql,
     // the streaming packer must reproduce the batch layout EXACTLY —
     // same oracle as q77, verbatim
     "q82_stream_pack" -> Chunking.oracleSql("q77_pack"),

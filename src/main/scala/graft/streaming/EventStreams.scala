@@ -120,40 +120,44 @@ object EventStreams {
     * lives in the RocksDB state store, and a TTL policy can bound it when
     * late duplicates stop mattering.
     */
+  /** The per-document 32-slot MinHash signature kernel shared by
+    * [[signatureDeduped]] and [[signatureDedupedTtl]]: ONE pass per
+    * document — hash each distinct token once, fold the 32 slot-mins in
+    * a tight loop. The earlier 32-column projection re-evaluated
+    * strHash(token) once PER SLOT (CollapseProject inlines shared
+    * aliases), a measured 3x on the gate corpus. Values are
+    * bit-identical to the expression form: hashString IS the codegen
+    * kernel and mixLong is mix's scalar twin. Empty string = token-less
+    * document (no content to deduplicate — dropped on BOTH sides; the
+    * oracle's char-unnest naturally drops them). */
+  private[graft] def sigOf(text: String): String = {
+    import graft.functions.{PortableHash, PortableStringHash}
+    // SQL-trim semantics (strip ' ' only — Java String.trim strips
+    // all chars <= U+0020 and would diverge from the oracle's trim);
+    // null text folds to the empty token set
+    val raw = if (text == null) "" else text
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val toks = raw.substring(lo, hi).split("\\s+").filter(_.nonEmpty).distinct
+    val mins = Array.fill(32)(Long.MaxValue)
+    toks.foreach { t =>
+      val h = PortableStringHash.hashString(t)
+      var k = 0
+      while (k < 32) {
+        val m = PortableHash.mixLong(h, k)
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+    }
+    if (toks.isEmpty) "" else mins.mkString("_")
+  }
+
   def signatureDeduped(docs: DataFrame): Dataset[DocDedup] = {
     import docs.sparkSession.implicits._
-    import graft.functions.{PortableHash, PortableStringHash}
-    // ONE typed pass per document: hash each distinct token once, fold
-    // the 32 slot-mins in a tight loop. The earlier 32-column projection
-    // re-evaluated strHash(token) once PER SLOT (CollapseProject inlines
-    // shared aliases), a measured 3x on the gate corpus. Values are
-    // bit-identical to the expression form: hashString IS the codegen
-    // kernel and mixLong is mix's scalar twin.
     val keyed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        // SQL-trim semantics (strip ' ' only — Java String.trim strips
-        // all chars <= U+0020 and would diverge from the oracle's trim);
-        // null text folds to the empty token set
-        val raw = if (text == null) "" else text
-        var lo = 0
-        var hi = raw.length
-        while (lo < hi && raw.charAt(lo) == ' ') lo += 1
-        while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
-        val toks = raw.substring(lo, hi).split("\\s+").filter(_.nonEmpty).distinct
-        val mins = Array.fill(32)(Long.MaxValue)
-        toks.foreach { t =>
-          val h = PortableStringHash.hashString(t)
-          var k = 0
-          while (k < 32) {
-            val m = PortableHash.mixLong(h, k)
-            if (m < mins(k)) mins(k) = m
-            k += 1
-          }
-        }
-        (id, if (toks.isEmpty) "" else mins.mkString("_"))
-      }
-      // token-less documents carry no content to deduplicate — dropped on
-      // BOTH sides (the oracle's char-unnest naturally drops them)
+      .map { case (id, text) => (id, sigOf(text)) }
       .filter(_._2.nonEmpty)
     keyed.groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -171,29 +175,98 @@ object EventStreams {
         })
   }
 
+  /** TTL'd streaming signature dedup — [[signatureDeduped]] with BOUNDED
+    * state: the production form for an unbounded ingest stream, where a
+    * signature's canonical is only remembered for `ttlMs` of event time
+    * past its LAST occurrence. Semantics (exact, batching-independent):
+    * per signature, a canonical CHAIN extends while consecutive
+    * occurrences are ≤ ttlMs apart and RESETS on a larger gap — the
+    * gaps-and-islands rule, enforced INLINE by comparing each arrival's
+    * event time against the stored last-seen time. The
+    * `EventTimeTimeout` callback exists purely to BOUND STATE: once the
+    * watermark passes last-seen + ttl the key can never extend its
+    * chain again (any later arrival resets inline anyway), so the state
+    * row is removed. State = O(signatures live within one TTL horizon),
+    * not O(all signatures ever) — what makes the operator viable on an
+    * unbounded stream, and what NoTimeout q70 cannot claim.
+    *
+    * Input contract: `docs` carries (doc_id, ts, text) with doc_id
+    * ascending in event time (the per-shard ordered-arrival contract
+    * packedSpans documents). The watermark is declared HERE, after the
+    * stateless signature projection — a typed map erases an upstream
+    * watermark tag, and EventTimeTimeout requires the tag on the
+    * stateful operator's direct input.
+    */
+  def signatureDedupedTtl(docs: DataFrame, ttlMs: Long,
+      watermarkDelay: String): Dataset[DocDedup] = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, Timestamp, String)]
+      .map { case (id, ts, text) => (id, ts, sigOf(text)) }
+      .filter(_._3.nonEmpty)
+      .toDF("doc_id", "ts", "sig")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, String)]
+    keyed.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[(Long, Timestamp, String)],
+            state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last-seen + ttl: the chain is dead (any
+            // later arrival would reset inline), drop the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within a micro-batch: ascending doc_id is
+            // ascending event time under the input contract
+            val sorted = rows.map(r => (r._1, r._2.getTime)).toSeq.sorted
+            var cur = state.getOption // (canonical_id, last_seen_ms)
+            val out = sorted.map { case (id, tms) =>
+              cur = cur match {
+                case Some((c, last)) if tms - last <= ttlMs => Some((c, tms))
+                case _ => Some((id, tms)) // gap > ttl (or first): new chain
+              }
+              DocDedup(id, cur.get._1, cur.get._1 < id)
+            }
+            val (c, last) = cur.get
+            state.update((c, last))
+            // must be strictly past the current watermark or the engine
+            // rejects it; the max() only matters for a key whose ttl
+            // horizon already passed within this same batch
+            state.setTimeoutTimestamp(
+              math.max(last + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming documents reader: explicit schema from a one-file batch
     * probe, scoped to the documents file, with the SAME type pinning as
     * the batch `Tables.documents` loader — shared insurance against the
     * batch/streaming drift that silently dropped queries in r7.
     */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def readDocuments(spark: SparkSession, dir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     // same layout handling as readEvents: a directory-shaped
     // documents.parquet (distributed-writer output, ScaleStress
     // replicas) is streamed directly; the single-file testdata layout
-    // goes through the scoping glob
+    // goes through the scoping glob (which also admits numbered
+    // per-arrival files documents_NNNN.parquet — the incremental
+    // multi-batch staging q163 uses with maxFilesPerTrigger)
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tablePath = new org.apache.hadoop.fs.Path(hPath, "documents.parquet")
     val tableIsDir = fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory
     val (srcDir, glob) =
       if (tableIsDir) (tablePath.toString, None)
-      else (dir, Some("documents.parquet"))
+      else (dir, Some("{documents,documents_[0-9]*}.parquet"))
     val batchReader = spark.read
     val raw = glob.fold(batchReader)(g => batchReader.option("pathGlobFilter", g))
       .parquet(srcDir).schema
     val streamReader = spark.readStream.schema(raw)
     graft.sources.Tables.pinDocumentTypes(
       glob.fold(streamReader)(g => streamReader.option("pathGlobFilter", g))
+        .options(sourceOptions)
         .parquet(srcDir))
   }
 

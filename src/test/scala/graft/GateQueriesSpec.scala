@@ -1637,6 +1637,27 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q163: TTL dedup runs multi-batch, evicts state, and resets chains") {
+    val (outDf, batches, maxState) =
+      graft.queries.StreamGate.sigDedupTtlRun(spark, Sf)
+    val out = outDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // genuine incremental run: one micro-batch per staged arrival file
+    assert(batches > 1, s"expected a multi-batch run, got $batches")
+    // eviction bound: state never holds anything close to every
+    // signature ever seen — dead chains are removed behind the watermark
+    val nSigs = out.map(_._1).length // one row per token-bearing doc
+    assert(maxState < nSigs / 2, s"state $maxState not bounded vs $nSigs docs")
+    // TTL semantics: q70's global-min dedup must DISAGREE somewhere —
+    // at least one chain reset gave a later island a fresh canonical
+    val global = graft.queries.StreamGate.q70StreamSigDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val resets = out.count { case (id, c, _) => c > global(id) }
+    assert(resets > 0, "no TTL chain reset observed - gap fixture too small")
+    // and within-TTL dups still chain: some doc is a dup in BOTH forms
+    assert(out.exists { case (id, c, d) => d && c == global(id) })
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
