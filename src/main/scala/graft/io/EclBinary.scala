@@ -40,7 +40,7 @@ object EclBinary {
   private final case class GridSlab(k: Int, nx: Int, ny: Int,
       zcorn: Array[Float], actnum: Array[Int], aprefix: Array[Int])
 
-  private val GeomSchema = StructType(Seq(
+  private[io] val GeomSchema = StructType(Seq(
     StructField("I", IntegerType, nullable = false),
     StructField("J", IntegerType, nullable = false),
     StructField("K", IntegerType, nullable = false),
@@ -200,24 +200,35 @@ object EclBinary {
         (GeomSchema.fields.toSeq ++
           vecNames.map(v => StructField(v, DoubleType, nullable = true))))
     val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(bases, par).flatMap { base =>
-      val g = readEgridCase(s"$base.EGRID", applyMapaxes)
-      val initVecs: Map[String, Array[Double]] =
-        if (vecNames.isEmpty) Map.empty
-        else {
-          val (_, vecs) = readInitVectors(s"$base.INIT", vecNames.toSet)
-          vecs.map(k => k.name -> k.doubles).toMap
-        }
-      (0 until g.nz).iterator.flatMap { k =>
-        cellRows(g.slab(k), g.coord, g.mapx).map { r =>
-          val ai = r.getLong(10).toInt
-          Row.fromSeq(base +: (r.toSeq ++
-            vecNames.map(v =>
-              initVecs.get(v).map(a => a(ai): java.lang.Double).orNull)))
-        }
+    val rows = spark.sparkContext.parallelize(bases, par)
+      .flatMap(base => gridCaseRows(base, vecNames, applyMapaxes))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** One EGRID+INIT case decoded to `(CASE, geom…, vec…)` rows — the
+    * per-case kernel shared by [[gridFleet]]'s RDD tasks and the
+    * `eclipse-egrid` DataSourceV2 partition readers (one decode path, so
+    * the SQL-reachable format can never diverge from the fleet read).
+    * `vecNames` are uppercase EXACT INIT names; empty skips the INIT
+    * open entirely (the DSv2 column-pruning path).
+    */
+  private[io] def gridCaseRows(base: String, vecNames: Seq[String],
+      applyMapaxes: Boolean): Iterator[Row] = {
+    val g = readEgridCase(s"$base.EGRID", applyMapaxes)
+    val initVecs: Map[String, Array[Double]] =
+      if (vecNames.isEmpty) Map.empty
+      else {
+        val (_, vecs) = readInitVectors(s"$base.INIT", vecNames.toSet)
+        vecs.map(k => k.name -> k.doubles).toMap
+      }
+    (0 until g.nz).iterator.flatMap { k =>
+      cellRows(g.slab(k), g.coord, g.mapx).map { r =>
+        val ai = r.getLong(10).toInt
+        Row.fromSeq(base +: (r.toSeq ++
+          vecNames.map(v =>
+            initVecs.get(v).map(a => a(ai): java.lang.Double).orNull)))
       }
     }
-    spark.createDataFrame(rows, schema)
   }
 
   /** Volume of the (possibly non-planar) hexahedron with corners indexed
@@ -425,38 +436,46 @@ object EclBinary {
         StructField("ACTIVE_IDX", LongType, nullable = false) ::
         vecNames.map(v => StructField(v, DoubleType, nullable = true)).toList)
     val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(bases, par).flatMap { path =>
-      // stream SEQNUM groups exactly like the single-case reader:
-      // unselected payloads are seeked past, selected ones buffer only
-      // until their step flushes to rows
-      val steps = Vector.newBuilder[(java.sql.Date, Int, Map[String, Array[Double]])]
-      var cur: List[EclKw.Kw] = Nil
-      var started = false
-      def flush(): Unit = if (started) {
-        val g = cur.reverse
-        val nactive = nactiveOf(g, path)
-        val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
-        val vecs = g.filter(k => isCellVector(k.name, k.typ, wantSet) &&
-          k.data.length == nactive)
-        steps += ((date, nactive, vecs.map(k => k.name -> k.doubles).toMap))
-      }
-      EclKw.stream(path, (name, typ, _) =>
-        name == "SEQNUM" || name == "INTEHEAD" || isCellVector(name, typ, wantSet)) { it =>
-        it.foreach { kw =>
-          if (kw.name == "SEQNUM") { flush(); cur = Nil; started = true }
-          else if (started) cur ::= kw
-        }
-      }
-      flush()
-      steps.result().iterator.flatMap { case (date, nactive, m) =>
-        val arrs = vecNames.map(m.get)
-        (0 until nactive).iterator.map { a =>
-          Row.fromSeq(path :: date :: a.toLong ::
-            arrs.map(_.map(x => x(a): java.lang.Double).orNull).toList)
-        }
+    val rows = spark.sparkContext.parallelize(bases, par)
+      .flatMap(path => restartCaseRows(path, vecNames))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** One UNRST case streamed to `(CASE, DATE, ACTIVE_IDX, vec…)` rows —
+    * the per-case kernel shared by [[restartFleet]]'s RDD tasks and the
+    * `eclipse-unrst` DataSourceV2 partition readers. Streams SEQNUM
+    * groups exactly like the single-case reader: unselected payloads
+    * are seeked past, selected ones buffer only until their step
+    * flushes to rows.
+    */
+  private[io] def restartCaseRows(path: String, vecNames: Seq[String]): Iterator[Row] = {
+    val wantSet = vecNames.toSet
+    val steps = Vector.newBuilder[(java.sql.Date, Int, Map[String, Array[Double]])]
+    var cur: List[EclKw.Kw] = Nil
+    var started = false
+    def flush(): Unit = if (started) {
+      val g = cur.reverse
+      val nactive = nactiveOf(g, path)
+      val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
+      val vecs = g.filter(k => isCellVector(k.name, k.typ, wantSet) &&
+        k.data.length == nactive)
+      steps += ((date, nactive, vecs.map(k => k.name -> k.doubles).toMap))
+    }
+    EclKw.stream(path, (name, typ, _) =>
+      name == "SEQNUM" || name == "INTEHEAD" || isCellVector(name, typ, wantSet)) { it =>
+      it.foreach { kw =>
+        if (kw.name == "SEQNUM") { flush(); cur = Nil; started = true }
+        else if (started) cur ::= kw
       }
     }
-    spark.createDataFrame(rows, schema)
+    flush()
+    steps.result().iterator.flatMap { case (date, nactive, m) =>
+      val arrs = vecNames.map(m.get)
+      (0 until nactive).iterator.map { a =>
+        Row.fromSeq(path :: date :: a.toLong ::
+          arrs.map(_.map(x => x(a): java.lang.Double).orNull).toList)
+      }
+    }
   }
 
   /** Read a UNRST file into the DATE-stacked restart frame

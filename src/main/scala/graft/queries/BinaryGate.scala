@@ -392,6 +392,54 @@ object BinaryGate {
       .orderBy(col("case_id"), col("date"), col("active_idx"))
   }
 
+  /** q165: q120's RESTART FLEET replayed through the REGISTERED
+    * DataSourceV2 format — `spark.read.format("eclipse-unrst")` over
+    * the same fixtures, gated against the SAME oracle (the q164
+    * contract for the UNRST axis: shared per-case kernel, one
+    * partition per case, pruned vectors seeked past at the byte
+    * level).
+    */
+  def q165RestartFleetSql(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q165")
+    val paths = (0 until RstCases).map(c => writeRstCase(tmp, c))
+    s.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
+      .load(paths: _*)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").as("pressure"), col("SWAT").as("swat"))
+      .orderBy(col("case_id"), col("date"), col("active_idx"))
+  }
+
+  /** q164: q117's GRID FLEET replayed through the REGISTERED
+    * DataSourceV2 format — `spark.read.format("eclipse-egrid")
+    * .option("vectors", …).load(paths…)` over the same closed-form
+    * fixtures, gated against the SAME oracle. A hash match proves the
+    * SQL-reachable format (schema fixed from options before any file
+    * opens, one input partition per case, column pruning reaching the
+    * INIT byte level) decodes exactly like the library
+    * [[graft.io.EclBinary.gridFleet]] read — they share the per-case
+    * kernel, and this row pins that they stay shared.
+    */
+  def q164GridFleetSql(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q164")
+    val paths = (0 until GridCases).map { c =>
+      writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
+    }
+    s.read.format("eclipse-egrid").option("vectors", "PORO,PERMX")
+      .load(paths: _*)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("I").as("i"), col("J").as("j"), col("K").as("k"),
+        col("X").as("x"), col("Y").as("y"), col("Z").as("z"),
+        col("Z_MIN").as("z_min"), col("Z_MAX").as("z_max"),
+        round(col("VOLUME"), 6).as("volume"),
+        col("GLOBAL_INDEX").as("global_index"), col("ACTIVE_IDX").as("active_idx"),
+        col("PORO").as("poro"), col("PERMX").as("permx"))
+      .orderBy(col("case_id"), col("global_index"))
+  }
+
   private val RftCases = 4
   private val RftDates = 2
   private val RftNcon = 10
@@ -1130,8 +1178,10 @@ object BinaryGate {
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q114_summary_fleet" -> (q114SummaryFleet _),
     "q117_grid_fleet" -> (q117GridFleet _),
+    "q164_grid_fleet_sql" -> (q164GridFleetSql _),
     "q62_unrst_binary" -> (q62UnrstBinary _),
     "q120_restart_fleet" -> (q120RestartFleet _),
+    "q165_restart_fleet_sql" -> (q165RestartFleetSql _),
     "q63_rft_binary" -> (q63RftBinary _),
     "q148_rft_fleet" -> (q148RftFleet _),
     "q66_nnc_binary" -> (q66NncBinary _),
@@ -1485,6 +1535,7 @@ object BinaryGate {
     // the fleet read must equal the single-case path exactly: q59's
     // oracle verbatim
     "q117_grid_fleet" -> gridOracle,
+    "q164_grid_fleet_sql" -> gridOracle,
     "q114_summary_fleet" ->
       s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
          v AS (
@@ -1508,6 +1559,7 @@ object BinaryGate {
     // the fleet read must equal the single-case path exactly: q62's
     // oracle verbatim
     "q120_restart_fleet" -> rstOracle,
+    "q165_restart_fleet_sql" -> rstOracle,
     // q63's replay minus the CONIPOS vector (the fleet selects DEPTH/
     // PRESSURE explicitly; CONIDX is the ordinal)
     "q148_rft_fleet" ->

@@ -178,6 +178,30 @@ class EclBinarySpec extends AnyFunSuite {
     assert(zoned.filter(col("ZONE").isNull).count() == 0)
   }
 
+  test("eclipse-egrid DSv2: format read equals the library read, pruning skips INIT") {
+    // the registered format and the library fleet read share the
+    // per-case kernel — equal row for row on the real artifact
+    val viaFormat = spark.read.format("eclipse-egrid")
+      .option("vectors", "PORO,PERMX")
+      .load(s"$EightCells.EGRID").orderBy("ACTIVE_IDX").collect()
+    val lib = EclBinary.gridFleet(spark, s"$EightCells.EGRID", Seq("PORO", "PERMX"))
+      .orderBy("ACTIVE_IDX").collect()
+    assert(viaFormat.length == 8 && viaFormat.toSeq == lib.toSeq)
+    // byte-level column pruning: an EGRID with NO INIT beside it scans
+    // fine as long as no INIT vector column survives pruning (the
+    // pruned scan never opens the INIT file) — and the vector column
+    // genuinely requires it
+    val tmp = java.nio.file.Files.createTempDirectory("egrid-noinit")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$EightCells.EGRID"),
+      tmp.resolve("LONE.EGRID"))
+    val lone = spark.read.format("eclipse-egrid").option("vectors", "PORO")
+      .load(s"$tmp/LONE.EGRID")
+    assert(lone.select("CASE", "I", "J", "K", "ACTIVE_IDX").count() == 8)
+    intercept[org.apache.spark.SparkException] {
+      lone.select("PORO").collect()
+    }
+  }
+
   test("NNC TRANNNC attachment round-trips through the ecl_kw writer") {
     import graft.io.EclKw
     import graft.io.EclKw.Kw
