@@ -436,6 +436,40 @@ object StreamGate {
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 
+  /** q166: INCREMENTAL STREAMING SEQUENCE PACKING — q82 promoted to a
+    * genuine MULTI-BATCH run (the q163 staging: [[TtlFiles]] doc_id-
+    * ordered arrival files, one micro-batch each), closing the
+    * single-batch caveat for the running-offset state family. The
+    * per-source token offset CARRIES ACROSS micro-batches in the
+    * flatMapGroupsWithState state, and because arrivals are doc_id-
+    * ascending (the per-shard ordered-arrival contract), the
+    * incremental layout equals the batch q77 layout exactly — the
+    * oracle is q77's verbatim, so the hash only matches if cross-batch
+    * offset carry is exact. The spec additionally pins batches > 1.
+    */
+  def q166StreamPackInc(s: SparkSession, dir: String): DataFrame =
+    streamPackIncRun(s, dir)._1
+
+  private[graft] def streamPackIncRun(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val staged = stageDocArrivals(s, dir)
+    val stream = graft.streaming.EventStreams
+      .readDocuments(s, staged, Map("maxFilesPerTrigger" -> "1"))
+      .select(col("source"), col("doc_id"), col("text"))
+    val sink = "q166_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.packedSpans(stream, 1024L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.lastProgress.batchId + 1
+    (s.table(sink)
+      .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"),
+        col("tok_in_pack"), col("is_head"))
+      .orderBy(col("source"), col("pack_id"), col("doc_id")), batches)
+  }
+
   /** q92: the STREAMING quality-filter cascade — q80's exact Column
     * tree ([[Curation.qualityCascade]], stateless) executed by the
     * streaming engine over the documents file source in APPEND mode
@@ -813,14 +847,42 @@ object StreamGate {
     * off the arriving file's few input tasks at hash-row (not image-
     * byte) width.
     */
-  def q158StreamImageDedup(s: SparkSession, dir: String): DataFrame = {
+  def q158StreamImageDedup(s: SparkSession, dir: String): DataFrame =
+    streamImageDedupWith(s, dir, inflate = 1)
+
+  /** The q158 plan with the historical index optionally INFLATED
+    * ×`inflate` by synthetic never-matching rows — the ScaleStress hook
+    * probing the production concern the de-broadcast addressed: the
+    * index grows with every image ever ingested, and the stream-static
+    * join must absorb that growth by shuffling, not by shipping the
+    * index to every task. Synthetic keys are real hashes XORed with a
+    * hashed spine (overflow-free under ANSI arithmetic) and then
+    * filtered against the CLOSED image-hash key space
+    * (the fixture's 61 content keys × 2 containers = ≤122 distinct
+    * hashes, enumerable without touching the corpus), so no synthetic
+    * row can ever match an arrival — the inflated run's output is
+    * row-identical to the gate's by construction.
+    */
+  private[graft] def streamImageDedupWith(s: SparkSession, dir: String,
+      inflate: Int): DataFrame = {
     import s.implicits._
-    val hist = graft.sources.Tables.documents(s, dir)
+    val histReal = graft.sources.Tables.documents(s, dir)
       .filter(col("doc_id") < WHashHistN)
       .select(col("doc_id")).as[Long]
       .mapPartitions(it => it.map(id => (id, wHashOf(id))))
       .toDF("h_id", "whash")
       .groupBy(col("whash")).agg(min(col("h_id")).as("src_id"))
+    val hist =
+      if (inflate <= 1) histReal
+      else {
+        val keySpace = (0L until 2 * WHashKeys).map(wHashOf)
+        val spine = s.range(1, inflate).select(col("id").as("k"))
+        val synth = histReal.crossJoin(spine)
+          .select(col("whash").bitwiseXOR(xxhash64(col("k"))).as("whash"),
+            lit(-1L).as("src_id"))
+          .filter(!col("whash").isin(keySpace: _*))
+        histReal.unionByName(synth)
+      }
     val stream = graft.streaming.EventStreams.readDocuments(s, dir)
       .filter(col("doc_id") >= WHashHistN)
       .select(col("doc_id")).as[Long]
@@ -856,6 +918,7 @@ object StreamGate {
     "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
     "q163_stream_ttl_dedup" -> (q163StreamTtlDedup _),
     "q82_stream_pack" -> (q82StreamPack _),
+    "q166_stream_pack_inc" -> (q166StreamPackInc _),
   )
 
   // gaps-and-islands replay of Spark's session merge rule: an event
@@ -954,6 +1017,7 @@ object StreamGate {
     // the streaming packer must reproduce the batch layout EXACTLY —
     // same oracle as q77, verbatim
     "q82_stream_pack" -> Chunking.oracleSql("q77_pack"),
+    "q166_stream_pack_inc" -> Chunking.oracleSql("q77_pack"),
     // the streaming cascade must reproduce the batch verdicts EXACTLY —
     // same oracle as q80, verbatim
     "q92_stream_quality" -> Curation.oracleSql("q80_quality_gate"),

@@ -43,6 +43,17 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // peak task execution memory (shuffle/agg/sort buffers) across the
+    // whole run — the number that proves a row held task memory bounded
+    // at ×N, not just finished; printed per row as a running max
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    })
+    def peakMb: Long = peakTaskMem.get() >> 20
     // events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-6) and
     // TIMESTAMP(MICROS, NTZ) (round 8+): nanosAsLong makes the nanos form
     // readable, the replicated copy keeps whichever raw shape the source
@@ -91,7 +102,9 @@ object ScaleStress {
       "q138_cohort_retention", "q140_partitioned_export",
       "q142_stream_hll_census", "q149_bpe_merges", "q150_winnow",
       "q153_whash_dedup", "q155_kn_continuation",
-      "q158_stream_image_dedup", "q159_containment", "q160_best_rep")
+      "q158_stream_image_dedup", "q159_containment", "q160_best_rep",
+      "q161_hamming_neardup", "q162_mad_outliers", "q163_stream_ttl_dedup",
+      "q166_stream_pack_inc", "q67_curation_pipeline")
     // one timing body for every row: a crashed run returns -1 (NOT its
     // time-to-crash — the skew rows exist to catch OOMs, which must not
     // print as a normal-looking ratio), and the cache hygiene
@@ -117,7 +130,8 @@ object ScaleStress {
       if (base < 0 || big < 0)
         println(s"SCALE $name FAILED (base=$base x$factor=$big)")
       else
-        println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs ratio=${big / base}%.1f")
+        println(f"SCALE $name base=${base}%.2fs x$factor=${big}%.2fs " +
+          f"ratio=${big / base}%.1f peak_task_mb=$peakMb")
     }
 
     // q115 under organic source skew: one source holding 90% of a ×N
@@ -141,6 +155,68 @@ object ScaleStress {
         println(s"SCALE q115_skew FAILED (base=$sBase x${factor}skew=$sBig)")
       else
         println(f"SCALE q115_skew base=${sBase}%.2fs x${factor}skew=${sBig}%.2fs ratio=${sBig / sBase}%.1f")
+    }
+
+    // q158 under a ×100k historical image-hash index (the production
+    // concern behind dropping the broadcast hint): synthetic
+    // never-matching rows inflate the static side to ~3.2M entries, the
+    // stream-static join must absorb them by shuffling — time flat vs
+    // the 32-entry gate index (decode-dominated), output row-identical
+    if (only.isEmpty || only.exists("q158_index".contains)) {
+      def timeIdx(inflate: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.queries.StreamGate.streamImageDedupWith(spark, src, inflate).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, n)
+      }
+      val (iBase, nBase) = timeIdx(1)
+      val (iBig, nBig) = timeIdx(100000)
+      require(nBase == nBig,
+        s"inflated-index output drifted: $nBase vs $nBig rows")
+      println(f"SCALE q158_index base=${iBase}%.2fs x100k-index=${iBig}%.2fs " +
+        f"ratio=${iBig / iBase}%.1f rows=$nBase")
+    }
+
+    // restart fleet at ×100 the gate's ensemble size, through the
+    // REGISTERED DSv2 format (one input partition per case): 4 vs 400
+    // UNRST cases of 2000 active cells × 3 steps — the per-case decode
+    // is constant work, so the fleet must scale with the case count
+    if (only.isEmpty || only.exists("q120_fleet".contains)) {
+      val fleetDir = "/tmp/graft-unrst-fleet-400"
+      if (!new java.io.File(s"$fleetDir/CASE399.UNRST").exists()) {
+        println(s"-- materializing $fleetDir (400 UNRST cases)")
+        new java.io.File(fleetDir).mkdirs()
+        (0 until 400).foreach { c =>
+          graft.io.EclKw.write(s"$fleetDir/CASE$c.UNRST", (0 until 3).flatMap { t =>
+            val intehead = Array.tabulate(67) {
+              case 11 => 2000
+              case 64 => 1 + t
+              case 65 => 1
+              case 66 => 2022
+              case _ => 0
+            }
+            Seq(
+              graft.io.EclKw.Kw("SEQNUM", "INTE", Array(t)),
+              graft.io.EclKw.Kw("INTEHEAD", "INTE", intehead),
+              graft.io.EclKw.Kw("PRESSURE", "REAL",
+                Array.tabulate(2000)(a => (a + 100 * t + c).toFloat)),
+              graft.io.EclKw.Kw("SWAT", "REAL",
+                Array.tabulate(2000)(a => ((a + t + c) % 32) / 32f)))
+          })
+        }
+      }
+      def timeFleetRead(n: Int): Double = {
+        val paths = (0 until n).map(c => s"$fleetDir/CASE$c.UNRST").mkString(",")
+        val t0 = System.nanoTime()
+        spark.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
+          .load(paths).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (r4, r400) = (Seq(timeFleetRead(4), timeFleetRead(4)).min,
+        Seq(timeFleetRead(400), timeFleetRead(400)).min)
+      println(f"SCALE q120_fleet_dsv2 cases=4:${r4}%.2fs cases=400:${r400}%.2fs " +
+        f"ratio=${r400 / r4}%.1f")
     }
 
     if (only.nonEmpty) { spark.stop(); return } // filtered run: tables only

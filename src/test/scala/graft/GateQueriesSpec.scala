@@ -1658,6 +1658,17 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.exists { case (id, c, d) => d && c == global(id) })
   }
 
+  test("q166: incremental pack layout equals the batch layout across batches") {
+    val (outDf, batches) = graft.queries.StreamGate.streamPackIncRun(spark, Sf)
+    assert(batches > 1, s"expected a multi-batch run, got $batches")
+    val inc = outDf.collect().map(_.toSeq).toSeq
+    // cross-batch offset carry must reproduce the single-batch q82 run
+    // (itself gated equal to batch q77) row for row
+    val single = graft.queries.StreamGate.q82StreamPack(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == single && inc.nonEmpty)
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
