@@ -188,20 +188,19 @@ object EclBinary {
   def gridFleet(spark: SparkSession, pattern: String, vectors: Seq[String] = Nil,
       applyMapaxes: Boolean = false): DataFrame = {
     import graft.io.datasource.DeckScan
-    val bases = DeckScan.splitPaths(pattern)
-      .flatMap(p => DeckScan.expand(p))
+    val paths = DeckScan.splitPaths(pattern)
+      .flatMap(p => DeckScan.expand(p, ext = ".EGRID"))
       .filter(_.toUpperCase.endsWith(".EGRID"))
-      .map(_.dropRight(".EGRID".length))
       .distinct.sorted
-    require(bases.nonEmpty, s"no .EGRID files match $pattern")
+    require(paths.nonEmpty, s"no .EGRID files match $pattern")
     val vecNames = vectors.map(_.toUpperCase)
     val schema = StructType(
       StructField("CASE", StringType, nullable = false) +:
         (GeomSchema.fields.toSeq ++
           vecNames.map(v => StructField(v, DoubleType, nullable = true))))
-    val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(bases, par)
-      .flatMap(base => gridCaseRows(base, vecNames, applyMapaxes))
+    val par = math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(paths, par)
+      .flatMap(path => gridCaseRows(path, vecNames, applyMapaxes))
     spark.createDataFrame(rows, schema)
   }
 
@@ -209,16 +208,24 @@ object EclBinary {
     * per-case kernel shared by [[gridFleet]]'s RDD tasks and the
     * `eclipse-egrid` DataSourceV2 partition readers (one decode path, so
     * the SQL-reachable format can never diverge from the fleet read).
-    * `vecNames` are uppercase EXACT INIT names; empty skips the INIT
-    * open entirely (the DSv2 column-pruning path).
+    * Takes the EGRID file path AS LISTED (never re-derives the
+    * extension, so a lowercase `.egrid` opens on a case-sensitive
+    * filesystem); CASE = the path minus its 6-char extension; the INIT
+    * sibling is resolved preferring the canonical uppercase name, then
+    * lowercase. `vecNames` are uppercase EXACT INIT names; empty skips
+    * the INIT open entirely (the DSv2 column-pruning path).
     */
-  private[io] def gridCaseRows(base: String, vecNames: Seq[String],
+  private[io] def gridCaseRows(egridPath: String, vecNames: Seq[String],
       applyMapaxes: Boolean): Iterator[Row] = {
-    val g = readEgridCase(s"$base.EGRID", applyMapaxes)
+    val base = egridPath.dropRight(".EGRID".length)
+    val g = readEgridCase(egridPath, applyMapaxes)
     val initVecs: Map[String, Array[Double]] =
       if (vecNames.isEmpty) Map.empty
       else {
-        val (_, vecs) = readInitVectors(s"$base.INIT", vecNames.toSet)
+        val initPath = Seq(s"$base.INIT", s"$base.init")
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .getOrElse(s"$base.INIT")
+        val (_, vecs) = readInitVectors(initPath, vecNames.toSet)
         vecs.map(k => k.name -> k.doubles).toMap
       }
     (0 until g.nz).iterator.flatMap { k =>
@@ -384,7 +391,7 @@ object EclBinary {
     require(vectors.nonEmpty,
       "initFleet needs explicit vector names - the fleet schema is fixed up front")
     val paths = DeckScan.splitPaths(pattern)
-      .flatMap(p => DeckScan.expand(p))
+      .flatMap(p => DeckScan.expand(p, ext = ".INIT"))
       .filter(_.toUpperCase.endsWith(".INIT"))
       .distinct.sorted
     require(paths.nonEmpty, s"no .INIT files match $pattern")
@@ -424,7 +431,7 @@ object EclBinary {
     require(vectors.nonEmpty,
       "restartFleet needs explicit vector names - the fleet schema is fixed up front")
     val bases = DeckScan.splitPaths(pattern)
-      .flatMap(p => DeckScan.expand(p))
+      .flatMap(p => DeckScan.expand(p, ext = ".UNRST"))
       .filter(_.toUpperCase.endsWith(".UNRST"))
       .distinct.sorted
     require(bases.nonEmpty, s"no .UNRST files match $pattern")
@@ -633,7 +640,7 @@ object EclBinary {
     require(vectors.nonEmpty,
       "rftFleet needs explicit vector names - the fleet schema is fixed up front")
     val bases = DeckScan.splitPaths(pattern)
-      .flatMap(p => DeckScan.expand(p))
+      .flatMap(p => DeckScan.expand(p, ext = ".RFT"))
       .filter(_.toUpperCase.endsWith(".RFT"))
       .distinct.sorted
     require(bases.nonEmpty, s"no .RFT files match $pattern")

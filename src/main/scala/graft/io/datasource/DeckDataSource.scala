@@ -89,12 +89,14 @@ object DeckScan {
   }
 
   /** Fleet-friendly path resolution: a directory yields its contained
-    * .DATA files; globs (`*`/`?`/`[]`) may sit in ANY path segment —
-    * realizations/&#42;/deck.DATA — and expand level by level; a plain
-    * file passes through. Deterministic (sorted) so partition numbering
-    * is stable across runs.
+    * `ext` files (case-insensitive; `.DATA` for decks, `.EGRID`/`.UNRST`
+    * for the binary formats); globs (`*`/`?`/`[]`) may sit in ANY path
+    * segment — realizations/&#42;/deck.DATA — and expand level by level;
+    * a plain file passes through. Deterministic (sorted) so partition
+    * numbering is stable across runs.
     */
-  private[graft] def expand(p: String, lenient: Boolean = false): Seq[String] = {
+  private[graft] def expand(p: String, lenient: Boolean = false,
+      ext: String = ".DATA"): Seq[String] = {
     import java.nio.file.{Files, Path, Paths}
     def isGlob(s: String) = s.exists("*?[".contains(_))
     def listMatching(dir: Path, pattern: String): Vector[Path] = {
@@ -111,13 +113,13 @@ object DeckScan {
       if (Files.isDirectory(path)) {
         val s = Files.list(path)
         try s.iterator().asScala
-          .filter(f => f.toString.toUpperCase.endsWith(".DATA") &&
+          .filter(f => f.toString.toUpperCase.endsWith(ext) &&
             Files.isRegularFile(f))
           .map(_.toString).toVector.sorted
         finally s.close()
       } else if (Files.isRegularFile(path)) Seq(p)
       else if (lenient) Nil // a glob-matched dir missing the tail file
-      else throw new IllegalArgumentException(s"eclipse-deck: no such file: $p")
+      else throw new IllegalArgumentException(s"eclipse source: no such file: $p")
     } else {
       // walk segment by segment: expand the FIRST glob segment against
       // its directory level, recurse into the remainder
@@ -130,13 +132,13 @@ object DeckScan {
       listMatching(baseDir, segs(firstGlob)).flatMap { m =>
         if (rest.isEmpty) {
           if (Files.isRegularFile(m)) Seq(m.toString)
-          else if (Files.isDirectory(m)) expand(m.toString, lenient = true)
+          else if (Files.isDirectory(m)) expand(m.toString, lenient = true, ext = ext)
           else Nil
         } else
           // a matched dir may legitimately lack the tail (a failed
           // realization) — skip it rather than shipping a nonexistent
           // path into a partition
-          expand((m.toString +: rest).mkString("/"), lenient = true)
+          expand((m.toString +: rest).mkString("/"), lenient = true, ext = ext)
       }
     }
   }

@@ -88,10 +88,12 @@ object EclBinaryDataSource {
       vectors.map(v => StructField(v, DoubleType, nullable = true)).toList)
 
   /** Expand the load path(s) to sorted case files of the given extension
-    * (same multi-path / glob / directory rules as the deck source). */
+    * (same multi-path / glob / directory rules as the deck source; the
+    * extension threads into directory listings so a bare ensemble
+    * directory load finds its .EGRID/.UNRST members). */
   private[datasource] def cases(path: String, ext: String): Seq[String] = {
     val files = DeckScan.splitPaths(path)
-      .flatMap(p => DeckScan.expand(p))
+      .flatMap(p => DeckScan.expand(p, ext = ext))
       .filter(_.toUpperCase.endsWith(ext))
       .distinct.sorted
     require(files.nonEmpty, s"no $ext files match $path")
@@ -129,9 +131,10 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val ext = if (kind == "egrid") ".EGRID" else ".UNRST"
+    // the partition carries the file path AS LISTED — the kernels never
+    // re-append an extension, so lowercase artifact sets stay readable
     EclBinaryDataSource.cases(path, ext)
-      .map(f => EclCaseInputPartition(
-        if (kind == "egrid") f.dropRight(ext.length) else f): InputPartition)
+      .map(f => EclCaseInputPartition(f): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -144,7 +147,7 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val base = partition.asInstanceOf[EclCaseInputPartition].caseBase
+    val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseBase
     // only the REQUIRED vector columns are decoded: the pruned ones are
     // seeked past at the byte level by the kernels' keyword predicate
     val requiredVecs = vectors.filter(required.fieldNames.contains)
@@ -168,15 +171,17 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
         case other => throw new IllegalArgumentException(s"unexpected type $other")
       }
     }
+    // hoisted: per-row conversion must not re-copy the extractor array
+    val exs = scala.collection.immutable.ArraySeq.unsafeWrapArray(extractors)
     new PartitionReader[InternalRow] {
       private val rows =
-        if (kind == "egrid") EclBinary.gridCaseRows(base, requiredVecs, mapaxes)
-        else EclBinary.restartCaseRows(base, requiredVecs)
+        if (kind == "egrid") EclBinary.gridCaseRows(caseFile, requiredVecs, mapaxes)
+        else EclBinary.restartCaseRows(caseFile, requiredVecs)
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!rows.hasNext) return false
         val r = rows.next()
-        current = InternalRow.fromSeq(extractors.toIndexedSeq.map(_(r)))
+        current = InternalRow.fromSeq(exs.map(_(r)))
         true
       }
       override def get(): InternalRow = current

@@ -329,7 +329,7 @@ object BinaryGate {
     * restart gate fixture shares (header layout drift would otherwise
     * desync q62/q120 from q128/q132).
     */
-  private def writeRstCaseWith(tmp: String, c: Int,
+  private[graft] def writeRstCaseWith(tmp: String, c: Int,
       pressure: (Int, Int) => Float, swat: (Int, Int) => Float,
       nactive: Int = RstNactive): String = {
     val path = s"$tmp/CASE$c.UNRST"

@@ -54,6 +54,7 @@ object ScaleStress {
       }
     })
     def peakMb: Long = peakTaskMem.get() >> 20
+    def resetPeak(): Unit = peakTaskMem.set(0)
     // events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-6) and
     // TIMESTAMP(MICROS, NTZ) (round 8+): nanosAsLong makes the nanos form
     // readable, the replicated copy keeps whichever raw shape the source
@@ -126,6 +127,7 @@ object ScaleStress {
     }
     for (name <- names if only.isEmpty || only.exists(name.contains)) {
       val base = minOf2(name, src)
+      resetPeak() // peak_task_mb attributes to THIS row's xN run only
       val big = minOf2(name, dst)
       if (base < 0 || big < 0)
         println(s"SCALE $name FAILED (base=$base x$factor=$big)")
@@ -171,39 +173,30 @@ object ScaleStress {
         (dt, n)
       }
       val (iBase, nBase) = timeIdx(1)
+      resetPeak()
       val (iBig, nBig) = timeIdx(100000)
       require(nBase == nBig,
         s"inflated-index output drifted: $nBase vs $nBig rows")
       println(f"SCALE q158_index base=${iBase}%.2fs x100k-index=${iBig}%.2fs " +
-        f"ratio=${iBig / iBase}%.1f rows=$nBase")
+        f"ratio=${iBig / iBase}%.1f rows=$nBase peak_task_mb=$peakMb")
     }
 
     // restart fleet at ×100 the gate's ensemble size, through the
     // REGISTERED DSv2 format (one input partition per case): 4 vs 400
     // UNRST cases of 2000 active cells × 3 steps — the per-case decode
     // is constant work, so the fleet must scale with the case count
-    if (only.isEmpty || only.exists("q120_fleet".contains)) {
+    if (only.isEmpty || only.exists("q120_fleet_dsv2".contains)) {
       val fleetDir = "/tmp/graft-unrst-fleet-400"
       if (!new java.io.File(s"$fleetDir/CASE399.UNRST").exists()) {
         println(s"-- materializing $fleetDir (400 UNRST cases)")
         new java.io.File(fleetDir).mkdirs()
+        // the ONE copy of the SEQNUM/INTEHEAD scaffolding (BinaryGate's
+        // writer — header-layout drift would silently desync this row)
         (0 until 400).foreach { c =>
-          graft.io.EclKw.write(s"$fleetDir/CASE$c.UNRST", (0 until 3).flatMap { t =>
-            val intehead = Array.tabulate(67) {
-              case 11 => 2000
-              case 64 => 1 + t
-              case 65 => 1
-              case 66 => 2022
-              case _ => 0
-            }
-            Seq(
-              graft.io.EclKw.Kw("SEQNUM", "INTE", Array(t)),
-              graft.io.EclKw.Kw("INTEHEAD", "INTE", intehead),
-              graft.io.EclKw.Kw("PRESSURE", "REAL",
-                Array.tabulate(2000)(a => (a + 100 * t + c).toFloat)),
-              graft.io.EclKw.Kw("SWAT", "REAL",
-                Array.tabulate(2000)(a => ((a + t + c) % 32) / 32f)))
-          })
+          graft.queries.BinaryGate.writeRstCaseWith(fleetDir, c,
+            (a, t) => (a + 100 * t + c).toFloat,
+            (a, t) => ((a + t + c) % 32) / 32f,
+            nactive = 2000)
         }
       }
       def timeFleetRead(n: Int): Double = {
@@ -213,10 +206,11 @@ object ScaleStress {
           .load(paths).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val (r4, r400) = (Seq(timeFleetRead(4), timeFleetRead(4)).min,
-        Seq(timeFleetRead(400), timeFleetRead(400)).min)
+      val r4 = Seq(timeFleetRead(4), timeFleetRead(4)).min
+      resetPeak()
+      val r400 = Seq(timeFleetRead(400), timeFleetRead(400)).min
       println(f"SCALE q120_fleet_dsv2 cases=4:${r4}%.2fs cases=400:${r400}%.2fs " +
-        f"ratio=${r400 / r4}%.1f")
+        f"ratio=${r400 / r4}%.1f peak_task_mb=$peakMb")
     }
 
     if (only.nonEmpty) { spark.stop(); return } // filtered run: tables only

@@ -202,7 +202,7 @@ object SummaryWriter {
     import graft.io.datasource.DeckScan
     val bases = patterns
       .flatMap(p => DeckScan.splitPaths(p))
-      .flatMap(p => DeckScan.expand(p))
+      .flatMap(p => DeckScan.expand(p, ext = ".UNSMRY"))
       .filter(_.toUpperCase.endsWith(".UNSMRY"))
       .map(_.dropRight(".UNSMRY".length))
       .distinct.sorted

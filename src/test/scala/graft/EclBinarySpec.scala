@@ -200,6 +200,11 @@ class EclBinarySpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] {
       lone.select("PORO").collect()
     }
+    // a bare directory load lists its .EGRID members (the extension
+    // threads into directory expansion — not the deck source's .DATA)
+    val dirLoad = spark.read.format("eclipse-egrid").option("vectors", "PORO")
+      .load("/root/reference/tests/data/eightcells")
+    assert(dirLoad.count() == 8)
   }
 
   test("NNC TRANNNC attachment round-trips through the ecl_kw writer") {
