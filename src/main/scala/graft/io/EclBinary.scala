@@ -652,27 +652,35 @@ object EclBinary {
         StructField("CONIDX", IntegerType, nullable = false) ::
         vecNames.map(v => StructField(v, DoubleType, nullable = true)).toList)
     val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(bases, par).flatMap { path =>
-      val groups = EclKw.streamGroups(path, "TIME") { g =>
-        g.find(_.name == "CONIPOS").map { conipos =>
-          val ncon = conipos.data.length
-          val date = g.find(_.name == "DATE").map(d =>
-            java.sql.Date.valueOf(LocalDate.of(d.ints(2), d.ints(1), d.ints(0)))).orNull
-          val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
-          val vecs = g.filter(k => vecNames.contains(k.name) &&
-            k.isNumeric && k.data.length == ncon)
-          (date, well, ncon, vecs.map(k => k.name -> k.doubles).toMap)
-        }
-      }
-      groups.iterator.flatMap { case (date, well, ncon, m) =>
-        val arrs = vecNames.map(m.get)
-        (0 until ncon).iterator.map { i =>
-          Row.fromSeq(path :: date :: well :: (i + 1) ::
-            arrs.map(_.map(x => x(i): java.lang.Double).orNull).toList)
-        }
+    val rows = spark.sparkContext.parallelize(bases, par)
+      .flatMap(path => rftCaseRows(path, vecNames))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** One .RFT case streamed to `(CASE, DATE, WELL, CONIDX, vec…)` rows —
+    * the per-case kernel shared by [[rftFleet]]'s RDD tasks and the
+    * `eclipse-rft` DataSourceV2 partition readers. Only the SELECTED
+    * vectors are kept per TIME group; the rest seek past.
+    */
+  private[io] def rftCaseRows(path: String, vecNames: Seq[String]): Iterator[Row] = {
+    val groups = EclKw.streamGroups(path, "TIME") { g =>
+      g.find(_.name == "CONIPOS").map { conipos =>
+        val ncon = conipos.data.length
+        val date = g.find(_.name == "DATE").map(d =>
+          java.sql.Date.valueOf(LocalDate.of(d.ints(2), d.ints(1), d.ints(0)))).orNull
+        val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
+        val vecs = g.filter(k => vecNames.contains(k.name) &&
+          k.isNumeric && k.data.length == ncon)
+        (date, well, ncon, vecs.map(k => k.name -> k.doubles).toMap)
       }
     }
-    spark.createDataFrame(rows, schema)
+    groups.iterator.flatMap { case (date, well, ncon, m) =>
+      val arrs = vecNames.map(m.get)
+      (0 until ncon).iterator.map { i =>
+        Row.fromSeq(path :: date :: well :: (i + 1) ::
+          arrs.map(_.map(x => x(i): java.lang.Double).orNull).toList)
+      }
+    }
   }
 
   def rft(spark: SparkSession, path: String): DataFrame = {

@@ -15,57 +15,73 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.io.EclBinary
 
 /** DataSourceV2 formats over the Eclipse BINARY artifact kernels — the
-  * fleet surface made SQL-reachable (SURVEY §4.3's "later milestone",
-  * closing the loop the `eclipse-deck` source opened for text decks):
+  * full fleet surface made SQL-reachable (SURVEY §4.3's "later
+  * milestone", closing the loop the `eclipse-deck` source opened for
+  * text decks):
   *
   *   spark.read.format("eclipse-egrid").option("vectors", "PORO,PERMX")
   *     .load("realizations/&#42;/CASE.EGRID")
   *   spark.read.format("eclipse-unrst").option("vectors", "PRESSURE")
   *     .load("realizations/&#42;/CASE.UNRST")
+  *   spark.read.format("eclipse-unsmry").load("realizations/&#42;/CASE.UNSMRY")
+  *   spark.read.format("eclipse-rft").option("vectors", "DEPTH,PRESSURE")
+  *     .load("realizations/&#42;/CASE.RFT")
   *
-  * Both formats decode through the SAME per-case kernels as the library
-  * fleet readers ([[EclBinary.gridCaseRows]] / [[EclBinary.restartCaseRows]]
-  * — one decode path, so the SQL-reachable form can never diverge from
-  * the gates over `gridFleet`/`restartFleet`). Partitioning is ONE INPUT
-  * PARTITION PER CASE: a realization is the natural parallel unit of an
-  * ensemble (the 100–1000-realization history-match layout), and each
-  * task's state is one case's selected arrays.
+  * All four formats decode through the SAME per-case kernels as the
+  * library fleet readers ([[EclBinary.gridCaseRows]] /
+  * [[EclBinary.restartCaseRows]] / [[EclBinary.rftCaseRows]] /
+  * [[graft.write.SummaryWriter.summaryCaseTuples]] — one decode path,
+  * so the SQL-reachable form can never diverge from the gates over the
+  * library fleet reads). Partitioning is ONE INPUT PARTITION PER CASE:
+  * a realization is the natural parallel unit of an ensemble (the
+  * 100–1000-realization history-match layout), and each task's state is
+  * one case's selected arrays.
   *
   * Column pruning (SupportsPushDownRequiredColumns) reaches the BYTE
-  * level: a pruned INIT/UNRST vector is seeked past by the
-  * [[graft.io.EclKw.stream]] predicate, never decoded — and if no INIT
-  * vector column survives pruning, the egrid scan never opens the INIT
-  * file at all. `vectors` is a comma list of EXACT uppercase vector
-  * names (the unioned fleet schema must be fixed before any file opens,
-  * the same contract as the library fleet readers); vectors missing in
-  * a case surface as nulls.
+  * level where the file layout allows it: a pruned INIT/UNRST/RFT
+  * vector is seeked past by the [[graft.io.EclKw.stream]] predicate,
+  * never decoded — and if no INIT vector column survives pruning, the
+  * egrid scan never opens the INIT file at all. (UNSMRY PARAMS records
+  * interleave all vectors per step, so its long form prunes columns
+  * after decode — the record is the decode unit there.) `vectors` is a
+  * comma list of EXACT uppercase vector names (the unioned fleet schema
+  * must be fixed before any file opens, the same contract as the
+  * library fleet readers); vectors missing in a case surface as nulls.
   */
 class EclGridDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "eclipse-egrid"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EclBinaryDataSource.gridSchema(EclBinaryDataSource.vectorsOf(options))
+    EclBinaryDataSource.schemaFor("egrid", EclBinaryDataSource.vectorsOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val opts = new CaseInsensitiveStringMap(properties)
-    new EclBinaryTable(
-      kind = "egrid",
-      path = EclBinaryDataSource.pathOf(properties),
-      vectors = EclBinaryDataSource.vectorsOf(opts),
-      mapaxes = opts.getBoolean("mapaxes", false))
-  }
+      properties: util.Map[String, String]): Table =
+    EclBinaryDataSource.table("egrid", properties)
 }
 
 class EclRestartDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "eclipse-unrst"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EclBinaryDataSource.restartSchema(EclBinaryDataSource.vectorsOf(options))
+    EclBinaryDataSource.schemaFor("unrst", EclBinaryDataSource.vectorsOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new EclBinaryTable(
-      kind = "unrst",
-      path = EclBinaryDataSource.pathOf(properties),
-      vectors = EclBinaryDataSource.vectorsOf(new CaseInsensitiveStringMap(properties)),
-      mapaxes = false)
+    EclBinaryDataSource.table("unrst", properties)
+}
+
+class EclSummaryDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "eclipse-unsmry"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EclBinaryDataSource.schemaFor("unsmry", Nil)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    EclBinaryDataSource.table("unsmry", properties)
+}
+
+class EclRftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "eclipse-rft"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EclBinaryDataSource.schemaFor("rft", EclBinaryDataSource.vectorsOf(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    EclBinaryDataSource.table("rft", properties)
 }
 
 object EclBinaryDataSource {
@@ -73,24 +89,58 @@ object EclBinaryDataSource {
     Option(options.get("vectors")).toSeq
       .flatMap(_.split(",")).map(_.trim.toUpperCase).filter(_.nonEmpty)
 
-  private[datasource] def pathOf(properties: util.Map[String, String]): String =
-    properties.asScala.getOrElse("path", properties.asScala.getOrElse("paths", ""))
+  private[datasource] def table(kind: String,
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = properties.asScala.getOrElse("path",
+      properties.asScala.getOrElse("paths", ""))
+    new EclBinaryTable(kind, path, vectorsOf(opts),
+      opts.getBoolean("mapaxes", false))
+  }
 
-  def gridSchema(vectors: Seq[String]): StructType = StructType(
-    StructField("CASE", StringType, nullable = false) +:
-      (EclBinary.GeomSchema.fields.toSeq ++
-        vectors.map(v => StructField(v, DoubleType, nullable = true))))
+  private[datasource] def extOf(kind: String): String = kind match {
+    case "egrid" => ".EGRID"
+    case "unrst" => ".UNRST"
+    case "unsmry" => ".UNSMRY"
+    case "rft" => ".RFT"
+  }
 
-  def restartSchema(vectors: Seq[String]): StructType = StructType(
-    StructField("CASE", StringType, nullable = false) ::
-      StructField("DATE", DateType, nullable = false) ::
-      StructField("ACTIVE_IDX", LongType, nullable = false) ::
-      vectors.map(v => StructField(v, DoubleType, nullable = true)).toList)
+  def schemaFor(kind: String, vectors: Seq[String]): StructType = kind match {
+    case "egrid" => StructType(
+      StructField("CASE", StringType, nullable = false) +:
+        (EclBinary.GeomSchema.fields.toSeq ++
+          vectors.map(v => StructField(v, DoubleType, nullable = true))))
+    case "unrst" => StructType(
+      StructField("CASE", StringType, nullable = false) ::
+        StructField("DATE", DateType, nullable = false) ::
+        StructField("ACTIVE_IDX", LongType, nullable = false) ::
+        vectors.map(v => StructField(v, DoubleType, nullable = true)).toList)
+    case "unsmry" => StructType(Seq(
+      StructField("CASE", StringType, nullable = false),
+      StructField("DATE", DateType, nullable = false),
+      StructField("VECTOR", StringType, nullable = false),
+      StructField("VALUE", DoubleType, nullable = false),
+      StructField("STEP", IntegerType, nullable = false)))
+    case "rft" => StructType(
+      StructField("CASE", StringType, nullable = false) ::
+        StructField("DATE", DateType, nullable = true) ::
+        StructField("WELL", StringType, nullable = false) ::
+        StructField("CONIDX", IntegerType, nullable = false) ::
+        vectors.map(v => StructField(v, DoubleType, nullable = true)).toList)
+  }
+
+  /** Fixed (non-vector) leading columns of each kind's kernel row. */
+  private[datasource] def fixedFields(kind: String): Seq[String] = kind match {
+    case "egrid" => "CASE" +: EclBinary.GeomSchema.fieldNames.toSeq
+    case "unrst" => Seq("CASE", "DATE", "ACTIVE_IDX")
+    case "unsmry" => Seq("CASE", "DATE", "VECTOR", "VALUE", "STEP")
+    case "rft" => Seq("CASE", "DATE", "WELL", "CONIDX")
+  }
 
   /** Expand the load path(s) to sorted case files of the given extension
     * (same multi-path / glob / directory rules as the deck source; the
     * extension threads into directory listings so a bare ensemble
-    * directory load finds its .EGRID/.UNRST members). */
+    * directory load finds its members). */
   private[datasource] def cases(path: String, ext: String): Seq[String] = {
     val files = DeckScan.splitPaths(path)
       .flatMap(p => DeckScan.expand(p, ext = ext))
@@ -105,8 +155,7 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean) extends Table with SupportsRead {
   override def name(): String = s"eclipse-$kind:$path"
   override def schema(): StructType =
-    if (kind == "egrid") EclBinaryDataSource.gridSchema(vectors)
-    else EclBinaryDataSource.restartSchema(vectors)
+    EclBinaryDataSource.schemaFor(kind, vectors)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -130,42 +179,41 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val ext = if (kind == "egrid") ".EGRID" else ".UNRST"
     // the partition carries the file path AS LISTED — the kernels never
-    // re-append an extension, so lowercase artifact sets stay readable
+    // re-append an extension (except unsmry, whose kernel addresses the
+    // SMSPEC/UNSMRY pair through the shared case base, matching
+    // corpusFromPath's CASE contract)
+    val ext = EclBinaryDataSource.extOf(kind)
     EclBinaryDataSource.cases(path, ext)
-      .map(f => EclCaseInputPartition(f): InputPartition)
+      .map(f => EclCaseInputPartition(
+        if (kind == "unsmry") f.dropRight(ext.length) else f): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new EclBinaryReaderFactory(kind, vectors, mapaxes, required)
 }
 
-case class EclCaseInputPartition(caseBase: String) extends InputPartition
+case class EclCaseInputPartition(caseFile: String) extends InputPartition
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseBase
+    val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseFile
     // only the REQUIRED vector columns are decoded: the pruned ones are
     // seeked past at the byte level by the kernels' keyword predicate
     val requiredVecs = vectors.filter(required.fieldNames.contains)
-    val fixedWidth = if (kind == "egrid") 12 else 3 // kernel Row prefix
-    val srcIdx: Map[String, Int] = {
-      val fixed =
-        if (kind == "egrid")
-          ("CASE" +: EclBinary.GeomSchema.fieldNames.toSeq).zipWithIndex.toMap
-        else Map("CASE" -> 0, "DATE" -> 1, "ACTIVE_IDX" -> 2)
-      fixed ++ requiredVecs.zipWithIndex.map { case (v, i) => v -> (fixedWidth + i) }
-    }
+    val fixed = EclBinaryDataSource.fixedFields(kind)
+    val srcIdx: Map[String, Int] = fixed.zipWithIndex.toMap ++
+      requiredVecs.zipWithIndex.map { case (v, i) => v -> (fixed.length + i) }
     val extractors: Array[Row => Any] = required.fields.map { f =>
       val i = srcIdx(f.name)
       f.dataType match {
         case StringType => (r: Row) => UTF8String.fromString(r.getString(i))
         case IntegerType => (r: Row) => r.getInt(i)
         case LongType => (r: Row) => r.getLong(i)
-        case DateType => (r: Row) => DateTimeUtils.fromJavaDate(r.getDate(i))
+        case DateType => (r: Row) =>
+          if (r.isNullAt(i)) null else DateTimeUtils.fromJavaDate(r.getDate(i))
         case DoubleType => (r: Row) =>
           if (r.isNullAt(i)) null else r.getDouble(i)
         case other => throw new IllegalArgumentException(s"unexpected type $other")
@@ -174,9 +222,13 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     // hoisted: per-row conversion must not re-copy the extractor array
     val exs = scala.collection.immutable.ArraySeq.unsafeWrapArray(extractors)
     new PartitionReader[InternalRow] {
-      private val rows =
-        if (kind == "egrid") EclBinary.gridCaseRows(caseFile, requiredVecs, mapaxes)
-        else EclBinary.restartCaseRows(caseFile, requiredVecs)
+      private val rows: Iterator[Row] = kind match {
+        case "egrid" => EclBinary.gridCaseRows(caseFile, requiredVecs, mapaxes)
+        case "unrst" => EclBinary.restartCaseRows(caseFile, requiredVecs)
+        case "rft" => EclBinary.rftCaseRows(caseFile, requiredVecs)
+        case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile)
+          .iterator.map(t => Row(t._1, t._2, t._3, t._4, t._5))
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!rows.hasNext) return false

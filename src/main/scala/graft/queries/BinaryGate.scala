@@ -492,6 +492,68 @@ object BinaryGate {
     * path equals the single-case streaming reads with no cross-case
     * group state.
     */
+  /** The closed-form summary-fleet replay shared verbatim by q114 (the
+    * library corpusFromPath read) and q167 (the eclipse-unsmry DSv2
+    * format) — identical fixtures, identical expected frame. */
+  private def summaryFleetOracle: String =
+    s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+       v AS (
+         SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
+                unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+       d AS (SELECT unnest(range($SumDays)) AS day)
+       SELECT CAST(case_id AS INT) AS case_id, vector,
+              CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
+              1000.0 * vi + day + 7.0 * case_id + CAST(day % 32 AS DOUBLE) / 32 AS value
+       FROM c CROSS JOIN v CROSS JOIN d ORDER BY case_id, vector, date"""
+
+  /** q63's replay minus the CONIPOS vector, shared verbatim by q148 (the
+    * library rftFleet read) and q168 (the eclipse-rft DSv2 format). */
+  private def rftFleetOracle: String =
+    s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
+       dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),
+       cons AS (SELECT c, t, unnest(range($RftNcon)) AS i FROM dates)
+       SELECT CAST(c AS INT) AS case_id,
+              CAST(DATE '2023-02-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
+              'W' || CAST(c AS VARCHAR) AS well,
+              CAST(i + 1 AS INT) AS conidx,
+              CAST(1000 + 10 * i + 100 * t + c AS DOUBLE) AS depth,
+              CAST(200 + i + 50 * t + 7 * c AS DOUBLE) AS pressure
+       FROM cons ORDER BY case_id, date, conidx"""
+
+  /** q167: q114's SUMMARY FLEET replayed through the REGISTERED
+    * `eclipse-unsmry` DataSourceV2 format — glob load, one partition
+    * per case, gated against the SAME oracle (the q164 contract for
+    * the UNSMRY axis: the format and corpusFromPath share
+    * summaryCaseTuples). */
+  def q167SummaryFleetSql(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q167")
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") =!= "TIME")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
+  /** q168: q148's RFT FLEET replayed through the REGISTERED
+    * `eclipse-rft` DataSourceV2 format — same fixtures, same oracle,
+    * shared rftCaseRows kernel; pruned connection vectors seek past at
+    * the byte level. Completes the DSv2 QUARTET (q164 EGRID+INIT, q165
+    * UNRST, q167 UNSMRY, q168 RFT). */
+  def q168RftFleetSql(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q168")
+    val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
+    s.read.format("eclipse-rft").option("vectors", "DEPTH,PRESSURE")
+      .load(paths: _*)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.RFT$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("WELL").as("well"), col("CONIDX").as("conidx"),
+        col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
+      .orderBy(col("case_id"), col("date"), col("conidx"))
+  }
+
   def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q148")
     val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
@@ -1177,6 +1239,7 @@ object BinaryGate {
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q114_summary_fleet" -> (q114SummaryFleet _),
+    "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
     "q62_unrst_binary" -> (q62UnrstBinary _),
@@ -1184,6 +1247,7 @@ object BinaryGate {
     "q165_restart_fleet_sql" -> (q165RestartFleetSql _),
     "q63_rft_binary" -> (q63RftBinary _),
     "q148_rft_fleet" -> (q148RftFleet _),
+    "q168_rft_fleet_sql" -> (q168RftFleetSql _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1536,16 +1600,8 @@ object BinaryGate {
     // oracle verbatim
     "q117_grid_fleet" -> gridOracle,
     "q164_grid_fleet_sql" -> gridOracle,
-    "q114_summary_fleet" ->
-      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
-         v AS (
-           SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
-                  unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
-         d AS (SELECT unnest(range($SumDays)) AS day)
-         SELECT CAST(case_id AS INT) AS case_id, vector,
-                CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
-                1000.0 * vi + day + 7.0 * case_id + CAST(day % 32 AS DOUBLE) / 32 AS value
-         FROM c CROSS JOIN v CROSS JOIN d ORDER BY case_id, vector, date""",
+    "q114_summary_fleet" -> summaryFleetOracle,
+    "q167_summary_fleet_sql" -> summaryFleetOracle,
     "q60_summary_binary" ->
       s"""WITH v AS (
            SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
@@ -1562,17 +1618,8 @@ object BinaryGate {
     "q165_restart_fleet_sql" -> rstOracle,
     // q63's replay minus the CONIPOS vector (the fleet selects DEPTH/
     // PRESSURE explicitly; CONIDX is the ordinal)
-    "q148_rft_fleet" ->
-      s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
-         dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),
-         cons AS (SELECT c, t, unnest(range($RftNcon)) AS i FROM dates)
-         SELECT CAST(c AS INT) AS case_id,
-                CAST(DATE '2023-02-01' + CAST(t AS INT) AS TIMESTAMP) AS date,
-                'W' || CAST(c AS VARCHAR) AS well,
-                CAST(i + 1 AS INT) AS conidx,
-                CAST(1000 + 10 * i + 100 * t + c AS DOUBLE) AS depth,
-                CAST(200 + i + 50 * t + 7 * c AS DOUBLE) AS pressure
-         FROM cons ORDER BY case_id, date, conidx""",
+    "q148_rft_fleet" -> rftFleetOracle,
+    "q168_rft_fleet_sql" -> rftFleetOracle,
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),

@@ -210,18 +210,26 @@ object SummaryWriter {
     import spark.implicits._
     val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
     spark.createDataset(bases).repartition(par)
-      .flatMap { base =>
-        val (vectors, timeIdx, start) = specCatalog(base)
-        graft.io.EclKw.stream(s"$base.UNSMRY", (n, _, _) => n == "PARAMS") { it =>
-          it.zipWithIndex.flatMap { case (kw, step) =>
-            val vals = kw.floats
-            val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
-            vals.indices.filter(_ != timeIdx).map(i =>
-              (base, date, vectors(i), vals(i).toDouble, step))
-          }.toVector
-        }
-      }
+      .flatMap(base => summaryCaseTuples(base))
       .toDF("CASE", "DATE", "VECTOR", "VALUE", "STEP")
+  }
+
+  /** One UNSMRY case decoded to `(CASE, DATE, VECTOR, VALUE, STEP)`
+    * tuples — the per-case kernel shared by [[corpusFromPath]]'s tasks
+    * and the `eclipse-unsmry` DataSourceV2 partition readers (one
+    * decode path). TIME itself is excluded (it becomes DATE).
+    */
+  private[graft] def summaryCaseTuples(
+      base: String): Vector[(String, java.sql.Date, String, Double, Int)] = {
+    val (vectors, timeIdx, start) = specCatalog(base)
+    graft.io.EclKw.stream(s"$base.UNSMRY", (n, _, _) => n == "PARAMS") { it =>
+      it.zipWithIndex.flatMap { case (kw, step) =>
+        val vals = kw.floats
+        val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
+        vals.indices.filter(_ != timeIdx).map(i =>
+          (base, date, vectors(i), vals(i).toDouble, step))
+      }.toVector
+    }
   }
 
   def readWithStep(spark: SparkSession, basePath: String): DataFrame = {
