@@ -207,6 +207,26 @@ class EclBinarySpec extends AnyFunSuite {
     assert(dirLoad.count() == 8)
   }
 
+  test("eclipse-unsmry/rft DSv2: format reads equal the library reads on real artifacts") {
+    // UNSMRY: the format and corpusFromPath share summaryCaseTuples —
+    // row-identical on the real eightcells summary (incl. UNRST/RFT
+    // siblings the extension filter must skip)
+    val viaFormat = spark.read.format("eclipse-unsmry")
+      .load(s"$EightCells.UNSMRY")
+      .orderBy("VECTOR", "STEP").collect()
+    val lib = graft.write.SummaryWriter.corpusFromPath(spark, s"$EightCells.UNSMRY")
+      .orderBy("VECTOR", "STEP").collect()
+    assert(viaFormat.nonEmpty && viaFormat.toSeq == lib.toSeq)
+    // RFT: shared rftCaseRows on the real Reek RFT (OP_1 reports)
+    val reekRft = s"$ReekModel.RFT"
+    val fmtRft = spark.read.format("eclipse-rft")
+      .option("vectors", "DEPTH,PRESSURE").load(reekRft)
+      .orderBy("DATE", "WELL", "CONIDX").collect()
+    val libRft = EclBinary.rftFleet(spark, reekRft, Seq("DEPTH", "PRESSURE"))
+      .orderBy("DATE", "WELL", "CONIDX").collect()
+    assert(fmtRft.nonEmpty && fmtRft.toSeq == libRft.toSeq)
+  }
+
   test("NNC TRANNNC attachment round-trips through the ecl_kw writer") {
     import graft.io.EclKw
     import graft.io.EclKw.Kw
