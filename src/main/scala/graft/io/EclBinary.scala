@@ -663,7 +663,11 @@ object EclBinary {
     * vectors are kept per TIME group; the rest seek past.
     */
   private[io] def rftCaseRows(path: String, vecNames: Seq[String]): Iterator[Row] = {
-    val groups = EclKw.streamGroups(path, "TIME") { g =>
+    // the select predicate reaches the byte level: unselected
+    // connection vectors are seeked past, never decoded
+    val keep = Set("TIME", "DATE", "WELLETC", "CONIPOS")
+    val groups = EclKw.streamGroups(path, "TIME",
+      (name, _, _) => keep(name) || vecNames.contains(name)) { g =>
       g.find(_.name == "CONIPOS").map { conipos =>
         val ncon = conipos.data.length
         val date = g.find(_.name == "DATE").map(d =>

@@ -94,7 +94,10 @@ object EclBinaryDataSource {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = properties.asScala.getOrElse("path",
       properties.asScala.getOrElse("paths", ""))
-    new EclBinaryTable(kind, path, vectorsOf(opts),
+    // unsmry's five-column long schema has no vector columns: a stray
+    // vectors option must not leak into the reader's index math
+    val vectors = if (kind == "unsmry") Nil else vectorsOf(opts)
+    new EclBinaryTable(kind, path, vectors,
       opts.getBoolean("mapaxes", false))
   }
 
@@ -129,13 +132,11 @@ object EclBinaryDataSource {
         vectors.map(v => StructField(v, DoubleType, nullable = true)).toList)
   }
 
-  /** Fixed (non-vector) leading columns of each kind's kernel row. */
-  private[datasource] def fixedFields(kind: String): Seq[String] = kind match {
-    case "egrid" => "CASE" +: EclBinary.GeomSchema.fieldNames.toSeq
-    case "unrst" => Seq("CASE", "DATE", "ACTIVE_IDX")
-    case "unsmry" => Seq("CASE", "DATE", "VECTOR", "VALUE", "STEP")
-    case "rft" => Seq("CASE", "DATE", "WELL", "CONIDX")
-  }
+  /** Fixed (non-vector) leading columns of each kind's kernel row —
+    * derived from the declared schema so the reader's index math can
+    * never drift from what the scan advertises. */
+  private[datasource] def fixedFields(kind: String): Seq[String] =
+    schemaFor(kind, Nil).fieldNames.toSeq
 
   /** Expand the load path(s) to sorted case files of the given extension
     * (same multi-path / glob / directory rules as the deck source; the
@@ -180,13 +181,9 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     // the partition carries the file path AS LISTED — the kernels never
-    // re-append an extension (except unsmry, whose kernel addresses the
-    // SMSPEC/UNSMRY pair through the shared case base, matching
-    // corpusFromPath's CASE contract)
-    val ext = EclBinaryDataSource.extOf(kind)
-    EclBinaryDataSource.cases(path, ext)
-      .map(f => EclCaseInputPartition(
-        if (kind == "unsmry") f.dropRight(ext.length) else f): InputPartition)
+    // re-append an extension, so lowercase artifact sets stay readable
+    EclBinaryDataSource.cases(path, EclBinaryDataSource.extOf(kind))
+      .map(f => EclCaseInputPartition(f): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -227,7 +224,7 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
         case "unrst" => EclBinary.restartCaseRows(caseFile, requiredVecs)
         case "rft" => EclBinary.rftCaseRows(caseFile, requiredVecs)
         case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile)
-          .iterator.map(t => Row(t._1, t._2, t._3, t._4, t._5))
+          .map(t => Row(t._1, t._2, t._3, t._4, t._5))
       }
       private var current: InternalRow = _
       override def next(): Boolean = {

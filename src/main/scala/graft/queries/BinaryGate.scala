@@ -218,8 +218,8 @@ object BinaryGate {
     */
   def q114SummaryFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q114")
+    // summaryCaseTuples excludes TIME by construction (it becomes DATE)
     graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),
@@ -527,8 +527,8 @@ object BinaryGate {
     * summaryCaseTuples). */
   def q167SummaryFleetSql(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q167")
+    // summaryCaseTuples excludes TIME by construction (it becomes DATE)
     s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),

@@ -130,8 +130,11 @@ object SummaryWriter {
   /** Decode a SMSPEC's catalog: (per-param vector names, TIME index,
     * start date).
     */
-  private def specCatalog(basePath: String): (IndexedSeq[String], Int, LocalDate) = {
-    val spec = graft.io.EclKw.read(s"$basePath.SMSPEC").map(k => k.name -> k).toMap
+  private def specCatalog(basePath: String): (IndexedSeq[String], Int, LocalDate) =
+    specCatalogAt(s"$basePath.SMSPEC")
+
+  private def specCatalogAt(smspecPath: String): (IndexedSeq[String], Int, LocalDate) = {
+    val spec = graft.io.EclKw.read(smspecPath).map(k => k.name -> k).toMap
     val kws = spec("KEYWORDS").strings
     val wgs = spec.get("WGNAMES").orElse(spec.get("NAMES")).map(_.strings)
       .getOrElse(kws.map(_ => ""))
@@ -142,7 +145,7 @@ object SummaryWriter {
     val start = LocalDate.of(sd(2), sd(1), sd(0))
     val vectors = kws.indices.map(i => vectorName(kws(i), wgs(i), nums(i), dims))
     val timeIdx = kws.indexOf("TIME")
-    require(timeIdx >= 0, s"$basePath.SMSPEC has no TIME vector")
+    require(timeIdx >= 0, s"$smspecPath has no TIME vector")
     (vectors, timeIdx, start)
   }
 
@@ -200,35 +203,45 @@ object SummaryWriter {
     */
   def corpusFromPath(spark: SparkSession, patterns: String*): DataFrame = {
     import graft.io.datasource.DeckScan
-    val bases = patterns
+    val paths = patterns
       .flatMap(p => DeckScan.splitPaths(p))
       .flatMap(p => DeckScan.expand(p, ext = ".UNSMRY"))
       .filter(_.toUpperCase.endsWith(".UNSMRY"))
-      .map(_.dropRight(".UNSMRY".length))
       .distinct.sorted
-    require(bases.nonEmpty, s"no .UNSMRY files match ${patterns.mkString(", ")}")
+    require(paths.nonEmpty, s"no .UNSMRY files match ${patterns.mkString(", ")}")
     import spark.implicits._
-    val par = math.max(1, math.min(bases.length, spark.sparkContext.defaultParallelism))
-    spark.createDataset(bases).repartition(par)
-      .flatMap(base => summaryCaseTuples(base))
+    val par = math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths).repartition(par)
+      .flatMap(p => summaryCaseTuples(p))
       .toDF("CASE", "DATE", "VECTOR", "VALUE", "STEP")
   }
 
   /** One UNSMRY case decoded to `(CASE, DATE, VECTOR, VALUE, STEP)`
     * tuples — the per-case kernel shared by [[corpusFromPath]]'s tasks
     * and the `eclipse-unsmry` DataSourceV2 partition readers (one
-    * decode path). TIME itself is excluded (it becomes DATE).
+    * decode path). Takes the UNSMRY path AS LISTED (lowercase artifact
+    * sets stay readable); `CASE` = the path minus its 7-char extension;
+    * the SMSPEC sibling resolves preferring the canonical uppercase
+    * name, then lowercase. Held memory is the raw per-step float
+    * payloads (≈ the file itself); the steps×vectors long-row expansion
+    * is LAZY — [[readWithStep]]'s discipline, so a 1000-realization
+    * ensemble task never materializes millions of boxed tuples. TIME
+    * itself is excluded (it becomes DATE).
     */
   private[graft] def summaryCaseTuples(
-      base: String): Vector[(String, java.sql.Date, String, Double, Int)] = {
-    val (vectors, timeIdx, start) = specCatalog(base)
-    graft.io.EclKw.stream(s"$base.UNSMRY", (n, _, _) => n == "PARAMS") { it =>
-      it.zipWithIndex.flatMap { case (kw, step) =>
-        val vals = kw.floats
-        val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
-        vals.indices.filter(_ != timeIdx).map(i =>
-          (base, date, vectors(i), vals(i).toDouble, step))
-      }.toVector
+      unsmryPath: String): Iterator[(String, java.sql.Date, String, Double, Int)] = {
+    val base = unsmryPath.dropRight(".UNSMRY".length)
+    val smspec = Seq(s"$base.SMSPEC", s"$base.smspec")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse(s"$base.SMSPEC")
+    val (vectors, timeIdx, start) = specCatalogAt(smspec)
+    val steps = graft.io.EclKw.stream(unsmryPath, (n, _, _) => n == "PARAMS") { it =>
+      it.zipWithIndex.map { case (kw, step) => (step, kw.floats) }.toVector
+    }
+    steps.iterator.flatMap { case (step, vals) =>
+      val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
+      vals.indices.iterator.filter(_ != timeIdx).map(i =>
+        (base, date, vectors(i), vals(i).toDouble, step))
     }
   }
 
