@@ -139,12 +139,17 @@ object Tokenize {
     * so the boundary-wrapped replace is applied TWICE — pass 1 fuses
     * alternating occurrences, which isolates the survivors between
     * fused symbols, and pass 2 fuses those — giving canonical Sennrich
-    * leftmost-non-overlapping results for runs of a non-self-
-    * overlapping pair. Known residual deviation, shared by engine,
-    * oracle, and spec so the gate stays self-consistent: odd runs of a
-    * SELF-overlapping pair (a|a over aaaaa) fuse the same NUMBER of
-    * occurrences as canonical BPE but at alternating positions
-    * (aa|a|aa vs canonical aa|aa|a). */
+    * leftmost-non-overlapping results for every NON-self-overlapping
+    * pair (first symbol ≠ second; verified exhaustively over all ≤6-
+    * symbol words in the spec). Known residual deviation, shared by
+    * engine, oracle, and spec so the gate stays self-consistent:
+    * same-symbol RUNS under a self-overlapping pair (a|a over aaaa…)
+    * fuse at alternating positions, and runs of ≥6 fuse FEWER
+    * occurrences than canonical (aa|a|aa|a vs canonical aa|aa|aa) —
+    * the two-pass result is still a fixpoint of its own rule (no
+    * adjacent occurrence of the pair survives), and English letter
+    * runs of ≥4 are rare enough that learned merge tables agree in
+    * practice. */
   private val BpeMergeExpr: String = {
     val pat = "'|' || win_pair || '|'"
     val rep = "'|' || replace(win_pair, '|', '') || '|'"

@@ -1479,6 +1479,59 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(got == expect.toSeq)
   }
 
+  test("q149: the two-pass merge rule matches canonical BPE (exhaustive small cases)") {
+    // every symbol sequence over {a,b} up to length 6, every candidate
+    // pair: the boundary-wrapped double replace must (1) equal canonical
+    // leftmost-non-overlapping Sennrich merging whenever the pair is not
+    // self-overlapping (first symbol != second), and (2) always reach a
+    // fixpoint of its own rule (no adjacent occurrence of the pair
+    // survives two passes) — the exact contract bpeMerge's scaladoc
+    // states, including the documented self-overlap deviation (runs of
+    // >= 6 same symbols fuse fewer occurrences than canonical)
+    def twoPass(sym: String, pair: String): String = {
+      val merged = pair.replace("|", "")
+      ("|" + sym + "|").replace("|" + pair + "|", "|" + merged + "|")
+        .replace("|" + pair + "|", "|" + merged + "|")
+        .stripPrefix("|").stripSuffix("|")
+    }
+    def canonical(sym: String, pair: String): String = {
+      val Array(p1, p2) = pair.split("\\|")
+      val ss = sym.split("\\|")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == p1 && ss(i + 1) == p2) {
+          out += (p1 + p2); i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      out.mkString("|")
+    }
+    val alphabet = Seq("a", "b")
+    val words = (1 to 6).flatMap(n =>
+      Seq.fill(n)(alphabet).foldLeft(Seq(Seq.empty[String])) {
+        (acc, as) => acc.flatMap(w => as.map(w :+ _))
+      }.map(_.mkString("|")))
+    val pairs = for (x <- alphabet; y <- alphabet) yield s"$x|$y"
+    var checked = 0
+    var deviations = 0
+    for (w <- words; p <- pairs) {
+      val got = twoPass(w, p)
+      val want = canonical(w, p)
+      val Array(p1, p2) = p.split("\\|")
+      if (p1 != p2) assert(got == want, s"word=$w pair=$p")
+      else if (got != want) deviations += 1
+      // fixpoint: two passes leave no adjacent occurrence of the pair
+      assert(twoPass(got, p) == got, s"not a fixpoint: word=$w pair=$p got=$got")
+      // and never MORE merges than canonical (it can only under-fuse)
+      assert(got.split("\\|").length >= want.split("\\|").length,
+        s"over-fused: word=$w pair=$p got=$got want=$want")
+      checked += 1
+    }
+    assert(checked == words.size * pairs.size && checked > 400)
+    // the deviation is real but confined to self-overlapping runs
+    assert(deviations > 0 && deviations < checked / 10)
+  }
+
   test("q150: winnowing fingerprints equal a sequential driver replay") {
     import graft.functions.PortableStringHash.{hashString, P}
     val k = 5; val w = 4; val m = 1L << 21
