@@ -420,24 +420,29 @@ object Curation {
     * then per-doc weights are exact BIGINT sums of those fixed points —
     * association-order-free, so the hashed output carries no
     * accumulated float. Scale shape: feature extraction is linear scan
-    * work, the bucket table is ≤[[DsirB]] rows (broadcast), totals one
+    * work — uni+bigrams emitted from ONE array concat per document and
+    * the target flag carried FROM THE SAME SCAN (`lang` rides the
+    * projection; attaching it later as a doc_id join would shuffle the
+    * token-level feature stream, measured 2× the whole query at ×100) —
+    * the bucket table is ≤[[DsirB]] rows (broadcast), totals one
     * row, the per-doc aggregate linear, and selection is a distributed
-    * top-K (TakeOrdered), never a global sort.
+    * top-K (TakeOrdered), never a global sort. Feature extraction runs
+    * once per consuming aggregate (the bucket census, then the per-doc
+    * fold) — the inherent two passes of importance weighting.
     */
   def q121DsirWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
     val t0 = Tables.documents(s, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
         expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)").as("t"))
-    val uni = t0.select(col("doc_id"), explode(col("t")).as("f"))
-    val bi = t0.select(col("doc_id"),
+    val uni = t0.select(col("doc_id"), col("is_t"), explode(col("t")).as("f"))
+    val bi = t0.select(col("doc_id"), col("is_t"),
       explode(expr("transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
         "(x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("f"))
     val feats = uni.unionByName(bi)
-      .select(col("doc_id"), pmod(strHash(col("f")), lit(DsirB)).as("b"))
-    val tgt = Tables.documents(s, dir)
-      .select(col("doc_id"), (col("lang") === "en").as("is_t"))
-    val bs = feats.join(tgt, Seq("doc_id"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(strHash(col("f")), lit(DsirB)).as("b"))
+    val bs = feats
       .groupBy(col("b"))
       .agg(count(lit(1)).as("raw_c"), count(when(col("is_t"), 1)).as("tgt_c"))
     val tot = bs.agg(sum(col("raw_c")).as("rr"), sum(col("tgt_c")).as("tt"))
