@@ -222,10 +222,7 @@ object EclBinary {
     val initVecs: Map[String, Array[Double]] =
       if (vecNames.isEmpty) Map.empty
       else {
-        val initPath = Seq(s"$base.INIT", s"$base.init")
-          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .getOrElse(s"$base.INIT")
-        val (_, vecs) = readInitVectors(initPath, vecNames.toSet)
+        val (_, vecs) = readInitVectors(EclKw.sibling(base, ".INIT"), vecNames.toSet)
         vecs.map(k => k.name -> k.doubles).toMap
       }
     (0 until g.nz).iterator.flatMap { k =>

@@ -214,6 +214,18 @@ object EclKw {
     * writing in [[graft.write.SummaryWriter]] and synthetic test
     * artifacts both ride on it.
     */
+  /** Resolve a case's sibling artifact path: prefer the canonical
+    * uppercase extension, fall back to lowercase (mixed-case artifact
+    * sets written by other tooling); returns the uppercase name when
+    * neither exists, so the caller's open fails with the canonical
+    * path in its message. Shared by every kernel that addresses a
+    * sibling file (EGRID→INIT, UNSMRY→SMSPEC).
+    */
+  def sibling(base: String, ext: String): String =
+    Seq(s"$base$ext", s"$base${ext.toLowerCase}")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse(s"$base$ext")
+
   def write(path: String, kws: Seq[Kw]): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path)))

@@ -179,7 +179,6 @@ object BinaryGate {
     val df = rows.toDF("VECTOR", "DATE", "VALUE")
     graft.write.SummaryWriter.write(df, s"$tmp/GATE")
     graft.write.SummaryWriter.read(s, s"$tmp/GATE")
-      .filter(col("VECTOR") =!= "TIME")
       .select(col("VECTOR").as("vector"), col("DATE").cast("timestamp").as("date"),
         col("VALUE").as("value"))
       .orderBy(col("vector"), col("date"))
@@ -632,7 +631,6 @@ object BinaryGate {
   def q124SummaryEnsembleStats(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q124")
     graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .groupBy(col("VECTOR").as("vector"), col("DATE").cast("timestamp").as("date"))
       .agg(count(lit(1)).as("n_cases"),
         min(col("VALUE")).as("v_min"), max(col("VALUE")).as("v_max"),
@@ -707,7 +705,6 @@ object BinaryGate {
   def q126EnsembleMisfit(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q126")
     val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),
@@ -730,7 +727,6 @@ object BinaryGate {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = writeFleetFixture(s, "q143")
     val fleet = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),
@@ -921,7 +917,6 @@ object BinaryGate {
       .select(col("case_id"), col("kv")(0).as("param"),
         col("kv")(1).cast("double").as("pval"))
     val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),
@@ -1164,7 +1159,6 @@ object BinaryGate {
     import org.apache.spark.sql.expressions.Window
     val tmp = writeFleetFixture(s, "q137")
     val base = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
-      .filter(col("VECTOR") =!= "TIME")
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("VECTOR").as("vector"),

@@ -231,10 +231,8 @@ object SummaryWriter {
   private[graft] def summaryCaseTuples(
       unsmryPath: String): Iterator[(String, java.sql.Date, String, Double, Int)] = {
     val base = unsmryPath.dropRight(".UNSMRY".length)
-    val smspec = Seq(s"$base.SMSPEC", s"$base.smspec")
-      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      .getOrElse(s"$base.SMSPEC")
-    val (vectors, timeIdx, start) = specCatalogAt(smspec)
+    val (vectors, timeIdx, start) =
+      specCatalogAt(graft.io.EclKw.sibling(base, ".SMSPEC"))
     val steps = graft.io.EclKw.stream(unsmryPath, (n, _, _) => n == "PARAMS") { it =>
       it.zipWithIndex.map { case (kw, step) => (step, kw.floats) }.toVector
     }
