@@ -279,6 +279,105 @@ object TextAnalytics {
   private val LmHeadT = -3.39
   private val LmTailT = -3.42
 
+  // q169 constants: absolute discount D = 0.75 (exactly 3/4 in binary,
+  // so both engines' doubles agree bit-for-bit), ×10⁹ fixed point, and
+  // the head/middle/tail cutoffs on the average per-bigram NLL in fp
+  // units (ln-space: head < 3.40 nats ~ the corpus median, dominated by
+  // target-language docs; tail >= 3.47 nats ~ the q90 percentile) —
+  // apply-time constants, the CCNet deployment convention
+  private val KnPplHeadT = 3400000000L
+  private val KnPplTailT = 3470000000L
+
+  /** q169: KNESER–NEY PERPLEXITY FILTER — CCNet's actual deployment
+    * shape (Wenzek et al. 2020, arXiv:1911.00359): an interpolated
+    * Kneser–Ney bigram LM (Kneser & Ney 1995) is TRAINED ON THE TARGET
+    * SLICE (`lang = 'en'`, the reference-corpus side CCNet trains on
+    * Wikipedia) and then scores EVERY document — the train/apply split
+    * q97's self-trained add-one scorer deliberately folds away, plus
+    * the smoothing a real filter uses: absolute discounting (D = 3/4)
+    * with continuation-probability backoff built from q155's type
+    * statistics, p(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1•)/c1)·p_cont(w2)
+    * with add-one on p_cont so unseen continuations stay scoreable, and
+    * pure continuation backoff for unknown contexts.
+    *
+    * Determinism contract: every count is a BIGINT; the per-bigram
+    * probability is ONE shared expression over exact integer ratios
+    * (identical operation order in both engines), fixed-pointed ONCE
+    * per corpus bigram TYPE as the POSITIVE nll ⌊−ln(p)·10⁹+½⌋ (q121's
+    * floor discipline; positive, so half-up agrees cross-engine); doc
+    * scores are exact BIGINT sums, and the average is a positive
+    * integer division (negative-division truncation semantics differ
+    * between engines, so nothing negative is ever divided).
+    *
+    * Scale shape: train statistics are vocabulary-scale type tables
+    * (map-side-combined hash aggregates of the target slice); the nll
+    * table is computed once per CORPUS bigram type (Zipf-collapsed,
+    * never per token) and the occurrence stream joins it on (w1, w2) —
+    * one token-level linear shuffle, the q97/q104 class; the per-doc
+    * fold keys on doc_id. No quadratic anywhere; thresholds are apply-
+    * time constants exactly as CCNet ships its percentile cutoffs.
+    */
+  def q169KnPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bgExpr = expr("transform(sequence(0, size(toks) - 2), " +
+      "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")
+    val emptyBg = array().cast("array<struct<w1:string,w2:string>>")
+    val train = Tables.documents(s, dir).filter(col("lang") === "en")
+      .select(tokens(col("text")).as("toks"))
+    val trBig = train
+      .select(explode(when(size(col("toks")) >= 2, bgExpr).otherwise(emptyBg)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the model's type tables: bigram counts, left-context totals and
+    // right-diversity, continuation counts, and the (types, vocab) pair
+    // sizing the add-one continuation floor. bi feeds three aggregates
+    // and the type join — one persist barrier, q149's discipline
+    val bi = trBig.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lhs = bi.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n_right"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_left"))
+    val tot = bi.agg(count(lit(1)).as("bt")).crossJoin(
+      train.select(explode(col("toks")).as("w")).distinct()
+        .agg(count(lit(1)).as("vt")))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val docBig = docs
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2, bgExpr).otherwise(emptyBg)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // ONE shared probability expression — identical text in the oracle
+    val pSql =
+      """CASE WHEN c1 IS NOT NULL THEN
+           greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+           + (0.75 * CAST(n_right AS DOUBLE) / CAST(c1 AS DOUBLE))
+             * ((CAST(coalesce(n_left, 0) AS DOUBLE) + 1.0)
+                / (CAST(bt AS DOUBLE) + CAST(vt AS DOUBLE) + 1.0))
+         ELSE (CAST(coalesce(n_left, 0) AS DOUBLE) + 1.0)
+              / (CAST(bt AS DOUBLE) + CAST(vt AS DOUBLE) + 1.0) END"""
+    val typeNll = docBig.select(col("w1"), col("w2")).distinct()
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(lhs, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        floor(expr(s"-ln($pSql)") * lit(1e9) + lit(0.5)).cast("long").as("nfp"))
+    val sc = docBig.join(typeNll, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nfp")).as("nll_fp"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_fp"), lit(0L)).as("nll_fp"),
+        when(col("n_bigrams").isNull, lit(0L))
+          .otherwise(expr("nll_fp div n_bigrams")).as("avg_nll_fp"))
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("empty"))
+          .when(col("avg_nll_fp") < KnPplHeadT, lit("head"))
+          .when(col("avg_nll_fp") < KnPplTailT, lit("middle"))
+          .otherwise(lit("tail")))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram language-model quality scoring (q97): the CCNet-style
     * perplexity filter (Wenzek et al. 2020, arXiv:1911.00359) — score
     * every document by the average add-one-smoothed bigram
@@ -693,6 +792,7 @@ object TextAnalytics {
     "q98_dup_spans" -> (q98DupSpans _),
     "q150_winnow" -> (q150Winnow _),
     "q155_kn_continuation" -> (q155KnContinuation _),
+    "q169_kn_perplexity" -> (q169KnPerplexity _),
   )
 
   private val enList = sqlList(EnStop)
@@ -809,6 +909,52 @@ object TextAnalytics {
                  CAST(length(clean_text) AS BIGINT) AS clean_len,
                  md5(clean_text) AS clean_fp
           FROM agg ORDER BY doc_id""",
+    // the probability CASE is the engine expression verbatim; all
+    // counts BIGINT, the nll fixed-pointed once per corpus bigram type,
+    // integer division only over positives (engine `div` vs DuckDB `//`
+    // agree there)
+    "q169_kn_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |                  string_split_regex(trim(text), '\\s+') AS toks
+        |           FROM documents),
+        |tr AS (SELECT toks FROM d WHERE lang = 'en'),
+        |trb AS (SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        |        FROM tr, unnest(range(1, len(toks))) AS u(i)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM trb GROUP BY 1, 2),
+        |lhs AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |               CAST(count(*) AS BIGINT) AS n_right FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_left FROM bi GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS bt,
+        |               (SELECT CAST(count(DISTINCT w) AS BIGINT)
+        |                FROM (SELECT unnest(toks) AS w FROM tr)) AS vt),
+        |db AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        |       FROM d, unnest(range(1, len(toks))) AS u(i)),
+        |ty AS (SELECT DISTINCT w1, w2 FROM db),
+        |nll AS (SELECT ty.w1, ty.w2,
+        |               CAST(floor(-ln(
+        |                 CASE WHEN c1 IS NOT NULL THEN
+        |                   greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+        |                   + (0.75 * CAST(n_right AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |                     * ((CAST(coalesce(n_left, 0) AS DOUBLE) + 1.0)
+        |                        / (CAST(bt AS DOUBLE) + CAST(vt AS DOUBLE) + 1.0))
+        |                 ELSE (CAST(coalesce(n_left, 0) AS DOUBLE) + 1.0)
+        |                      / (CAST(bt AS DOUBLE) + CAST(vt AS DOUBLE) + 1.0) END
+        |               ) * 1000000000.0 + 0.5) AS BIGINT) AS nfp
+        |        FROM ty LEFT JOIN bi USING (w1, w2) LEFT JOIN lhs USING (w1)
+        |                LEFT JOIN cont USING (w2) CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(nfp) AS BIGINT) AS nll_fp
+        |       FROM db JOIN nll USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(sc.nll_fp, 0) AS nll_fp,
+        |       CASE WHEN sc.n_bigrams IS NULL THEN 0
+        |            ELSE sc.nll_fp // sc.n_bigrams END AS avg_nll_fp,
+        |       CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 'empty'
+        |            WHEN sc.nll_fp // sc.n_bigrams < $KnPplHeadT THEN 'head'
+        |            WHEN sc.nll_fp // sc.n_bigrams < $KnPplTailT THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q155_kn_continuation" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         |           FROM documents),

@@ -1532,6 +1532,52 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(deviations > 0 && deviations < checked / 10)
   }
 
+  test("q169: KN target-LM perplexity matches a scalar replay and ranks the target") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def bigrams(ts: Seq[String]) = if (ts.length < 2) Seq.empty else ts.zip(ts.tail)
+    // train the interpolated-KN bigram stats on the 'en' slice
+    val trb = docs.filter(_._2 == "en").flatMap(d => bigrams(toks(d._3)))
+    val c2 = trb.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nRight = c2.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nLeft = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val bt = c2.size.toDouble
+    val vt = docs.filter(_._2 == "en").flatMap(d => toks(d._3)).distinct.size.toDouble
+    def nfp(bg: (String, String)): Long = {
+      val contP = (nLeft.getOrElse(bg._2, 0L) + 1.0) / (bt + vt + 1.0)
+      val p = c1.get(bg._1) match {
+        case Some(c1v) =>
+          math.max(c2.getOrElse(bg, 0L).toDouble - 0.75, 0.0) / c1v.toDouble +
+            (0.75 * nRight(bg._1).toDouble / c1v.toDouble) * contP
+        case None => contP
+      }
+      math.floor(-math.log(p) * 1e9 + 0.5).toLong
+    }
+    val expected = docs.map { case (id, lang, text) =>
+      val bgs = bigrams(toks(text))
+      val n = bgs.length.toLong
+      val s = bgs.map(nfp).sum
+      val avg = if (n == 0) 0L else s / n
+      val bucket =
+        if (n == 0) "empty"
+        else if (avg < 3400000000L) "head"
+        else if (avg < 3470000000L) "middle"
+        else "tail"
+      (id, lang, n, s, avg, bucket)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.TextAnalytics.q169KnPerplexity(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the filter discriminates: the target slice scores strictly better
+    val en = got.filter(g => g._2 == "en" && g._3 > 0).map(_._5)
+    val other = got.filter(g => g._2 != "en" && g._3 > 0).map(_._5)
+    assert(en.sum / en.size < other.sum / other.size)
+  }
+
   test("q150: winnowing fingerprints equal a sequential driver replay") {
     import graft.functions.PortableStringHash.{hashString, P}
     val k = 5; val w = 4; val m = 1L << 21
