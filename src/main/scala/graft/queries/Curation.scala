@@ -469,6 +469,79 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  private val EpochMult = 2L     // materialized size = EpochMult × corpus
+  private val EpochBuckets = 1024L // hash-bucket width for the de-skewed rank
+
+  /** q170: EPOCH-AWARE MIXTURE MATERIALIZATION — the upsampling half of
+    * the mixture story (q55/q122 sample DOWN; real pretraining mixes
+    * REPEAT high-quality slices for fractional epochs — "books ×3.5,
+    * crawl ×0.9"). Per language, the α=½-tempered share of an
+    * [[EpochMult]]× token budget fixes an exact integer quota; every
+    * doc repeats ⌊quota/n⌋ times and the quota-mod-n FRACTIONAL epoch
+    * goes to the docs with the smallest deterministic per-doc hash
+    * (MINSTD over doc_id — reproducible, coordination-free); the output
+    * is the epoch-expanded corpus, one row per (doc, epoch), quotas hit
+    * EXACTLY by construction. A quota below n downsamples the same way
+    * (reps 0 drops the doc) — one rule covers both directions.
+    *
+    * Scale shape (the q115 de-skew discipline, applied to rank
+    * selection): the fractional-epoch set is "the fn smallest (h,
+    * doc_id) per language", but a naive per-language row_number funnels
+    * each language through ONE task. Instead h is split into
+    * [[EpochBuckets]] ordered buckets; per-(lang, bucket) counts
+    * cumulate on a language×buckets frame (driver-tiny, broadcast), all
+    * buckets strictly below the threshold bucket are extras wholesale,
+    * and ONLY the boundary bucket (≈ n/buckets docs) pays a rank
+    * window. Because the bucket id is h div W — monotone in h — the
+    * bucketed selection is PROVABLY the global fn-smallest set, which
+    * is exactly what the declarative oracle replays with one
+    * row_number. Weights are q122's exact ⌊√n·10⁶+½⌋ fixed points
+    * (IEEE sqrt is correctly rounded); everything after is BIGINT.
+    */
+  def q170EpochMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    val cnt = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = cnt.select(col("lang"), col("n"),
+      floor(sqrt(col("n").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("w"))
+    val tot = w.agg(sum(col("w")).as("tw"), sum(col("n")).as("tn"))
+    val q = w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        expr(s"(w * $EpochMult * tn) div tw").as("quota"))
+    val bw = (2147483647L / EpochBuckets) + 1
+    val dd = d.join(broadcast(q), Seq("lang"))
+      .withColumn("h", pmod(col("doc_id") * lit(48271L), lit(2147483647L)))
+      .withColumn("bk", expr(s"h div $bw"))
+      .withColumn("fn", expr("quota % n"))
+    // language×bucket census → cumulative threshold (tiny frame)
+    val cum = dd.groupBy(col("lang"), col("bk")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_before",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bstar = cum.join(q.select(col("lang"), expr("quota % n").as("fn")), Seq("lang"))
+      .filter(col("fn") > 0 && col("cum_before") < col("fn") &&
+        col("cum_before") + col("c") >= col("fn"))
+      .select(col("lang"), col("bk").as("bstar"),
+        (col("fn") - col("cum_before")).as("k"))
+    val withB = dd.join(broadcast(bstar), Seq("lang"), "left")
+    // only the boundary bucket pays a rank window — ≈ n/EpochBuckets rows
+    val boundaryRk = withB.filter(col("bk") === col("bstar"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), (col("rk") <= col("k")).as("extra_b"))
+    withB.join(boundaryRk, Seq("doc_id"), "left")
+      .withColumn("extra",
+        when(col("bstar").isNull, lit(false))
+          .when(col("bk") < col("bstar"), lit(true))
+          .otherwise(coalesce(col("extra_b"), lit(false))))
+      .withColumn("reps", expr("quota div n") + col("extra").cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n").as("n_lang"),
+        col("quota"), col("reps"),
+        explode(when(col("reps") > 0, sequence(lit(0L), col("reps") - 1))
+          .otherwise(array().cast("array<long>"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   private val MixAlphaBudget = 200L // sampled docs across the corpus
 
   /** Temperature-balanced mixture sampling (q122): the α-scaled
@@ -587,6 +660,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_partitioned_export" -> (q140PartitionedExport _),
     "q122_temp_mixture" -> (q122TempMixture _),
+    "q170_epoch_mixture" -> (q170EpochMixture _),
     "q121_dsir_weights" -> (q121DsirWeights _),
     "q115_token_budget" -> (q115TokenBudget _),
     "q108_length_percentiles" -> (q108LengthPercentiles _),
@@ -690,6 +764,28 @@ object Curation {
           FROM rules r JOIN documents d USING (doc_id)
           WHERE r.pass ORDER BY r.doc_id""",
     "q122_temp_mixture" -> tempMixtureSql,
+    // the oracle replays the DECLARATIVE spec — global fn-smallest
+    // (h, doc_id) per language — which the engine's bucketed threshold
+    // selection provably equals (bucket id is monotone in h)
+    "q170_epoch_mixture" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w
+        |      FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n) AS BIGINT) AS tn FROM w),
+        |q AS (SELECT lang, n, (w * $EpochMult * tn) // tw AS quota FROM w CROSS JOIN t),
+        |r AS (SELECT d.doc_id, d.lang, d.source, q.n, q.quota,
+        |             row_number() OVER (PARTITION BY d.lang
+        |               ORDER BY (d.doc_id * 48271) % 2147483647, d.doc_id) AS rk
+        |      FROM d JOIN q USING (lang)),
+        |e AS (SELECT doc_id, lang, source, n AS n_lang, quota,
+        |             CAST(quota // n
+        |               + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END AS BIGINT) AS reps
+        |      FROM r)
+        |SELECT doc_id, lang, source, n_lang, quota, reps, CAST(u.e AS BIGINT) AS epoch
+        |FROM e, unnest(range(reps)) AS u(e)
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q121_dsir_weights" -> dsirSql,
     // first-fit admission replayed as a recursive CTE walking each
     // source's rank order with the admitted-token total as state

@@ -1578,6 +1578,40 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(en.sum / en.size < other.sum / other.size)
   }
 
+  test("q170: epoch mixture hits every language quota exactly") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = n.view.mapValues(v =>
+      math.floor(math.sqrt(v.toDouble) * 1e6 + 0.5).toLong).toMap
+    val (tw, tn) = (w.values.sum, n.values.sum)
+    val quota = w.map { case (l, wv) => l -> (wv * 2 * tn) / tw }.toMap
+    // declarative replay: extras = fn smallest (minstd(doc_id), doc_id)
+    val reps = docs.groupBy(_._2).toSeq.flatMap { case (l, ds) =>
+      val full = quota(l) / n(l)
+      val fn = (quota(l) % n(l)).toInt
+      val ranked = ds.map(_._1).sortBy(id => (id * 48271 % 2147483647, id)).toSeq
+      ranked.zipWithIndex.map { case (id, i) =>
+        id -> (full + (if (i < fn) 1L else 0L))
+      }
+    }
+    val expected = reps.toSeq.flatMap { case (id, r) =>
+      (0L until r).map(e => (id, e))
+    }.sorted
+    val out = graft.queries.Curation.q170EpochMixture(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(6)))
+    // (doc_id, epoch) pairs equal the replay: the bucketed threshold
+    // selection IS the global fn-smallest set
+    assert(out.map(r => (r._1, r._3)).toSeq.sorted == expected)
+    // every language's materialized count hits its quota EXACTLY
+    val perLang = out.groupBy(_._2).view.mapValues(_.length.toLong)
+    quota.foreach { case (l, qv) => assert(perLang.getOrElse(l, 0L) == qv, l) }
+    // reps spread: both up- and down-sampled languages exist in the fixture
+    val repsByDoc = out.groupBy(_._1).view.mapValues(_.length).values.toSeq
+    assert(repsByDoc.exists(_ >= 2))
+  }
+
   test("q150: winnowing fingerprints equal a sequential driver replay") {
     import graft.functions.PortableStringHash.{hashString, P}
     val k = 5; val w = 4; val m = 1L << 21
