@@ -224,6 +224,78 @@ object StreamStress {
     require(missing == 0 && extra == 0,
       s"join stream/batch mismatch: missing=$missing extra=$extra of $nBatchPairs")
     println(s"OK: $nBatchPairs join pairs identical across incremental batches")
+
+    // ---- TTL signature dedup under incremental arrivals ----
+    // q163's flatMapGroupsWithState family at volume: 1M documents in
+    // nfiles doc_id-ordered arrivals, TTL = 10k docs of event time.
+    // Even doc_ids cycle through 200 DENSE content classes (recur every
+    // 400 ids — inside the TTL, so chains never reset: every occurrence
+    // after a class's first is a dup); odd doc_ids are all UNIQUE
+    // content (singleton chains). Closed form: n_dup = n_even − 200.
+    // The state-store bound is the point: distinct signatures ever ≈
+    // 200 + n/2, but live state is only the TTL horizon (200 dense +
+    // ~TTL/2 sparse keys) — EventTimeTimeout must evict the rest.
+    val nDocs = math.min(nfiles.toLong * rowsPerFile, 1000000L)
+    val docsPerFile = nDocs / nfiles
+    val dirT = s"/tmp/graft-stream-stress-ttl-v1-$nfiles-$docsPerFile"
+    if (!new java.io.File(f"$dirT/documents_${nfiles - 1}%04d.parquet").exists()) {
+      timed(s"materialize $nfiles doc files x $docsPerFile rows") {
+        new java.io.File(dirT).mkdirs()
+        (0 until nfiles).foreach { f =>
+          val tmp2 = s"$dirT/_tmp"
+          spark.range(f * docsPerFile, (f + 1) * docsPerFile)
+            .select(
+              col("id").as("doc_id"),
+              when(pmod(col("id"), lit(2L)) === 0,
+                  concat(lit("dense"), pmod(col("id"), lit(400L))))
+                .otherwise(concat(lit("uniq"), col("id"))).as("text"),
+              lit("en").as("lang"), lit("s0").as("source"),
+              lit(8L).as("n_chars"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp2)
+          val part = new java.io.File(tmp2).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(f"$dirT/documents_$f%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 1000L))
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dirT/_tmp"))
+      }
+    }
+    val ttlDocs = 10000L
+    timed(s"TTL signature dedup ($nfiles incremental batches, $nDocs docs)") {
+      spark.catalog.dropTempView("stream_stress_ttl_sink")
+      val stream = graft.streaming.EventStreams
+        .readDocuments(spark, dirT, Map("maxFilesPerTrigger" -> "1"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+        .select(col("doc_id"), col("ts"), col("text"))
+      val q = graft.streaming.EventStreams
+        .signatureDedupedTtl(stream, ttlDocs * 60000L, "5 minutes")
+        .writeStream.format("memory").queryName("stream_stress_ttl_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.lastProgress.batchId + 1
+      require(batches > 1, s"expected a multi-batch run, got $batches")
+      val maxState = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val out = spark.table("stream_stress_ttl_sink")
+      val total = out.count()
+      val dups = out.filter(col("is_dup")).count()
+      val nEven = (nDocs + 1) / 2
+      require(total == nDocs, s"row count $total != $nDocs")
+      require(dups == nEven - 200,
+        s"dup count $dups != closed form ${nEven - 200}")
+      // distinct signatures ever = 200 dense + nDocs/2 unique; live
+      // state must stay at the TTL horizon, not the signature universe
+      val sigUniverse = 200L + nDocs / 2
+      println(s"micro-batches: $batches, max dedup state rows: $maxState " +
+        s"(signature universe: $sigUniverse)")
+      require(maxState < sigUniverse / 10,
+        s"state $maxState not evicted vs universe $sigUniverse")
+    }
     spark.stop()
   }
 }
