@@ -509,10 +509,12 @@ object Curation {
       .select(col("lang"), col("n"),
         expr(s"(w * $EpochMult * tn) div tw").as("quota"))
     val bw = (2147483647L / EpochBuckets) + 1
+    // dd feeds the census, the boundary window and both sides of the
+    // final join — one persist barrier (q149's discipline)
     val dd = d.join(broadcast(q), Seq("lang"))
       .withColumn("h", pmod(col("doc_id") * lit(48271L), lit(2147483647L)))
       .withColumn("bk", expr(s"h div $bw"))
-      .withColumn("fn", expr("quota % n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // language×bucket census → cumulative threshold (tiny frame)
     val cum = dd.groupBy(col("lang"), col("bk")).agg(count(lit(1)).as("c"))
       .withColumn("cum_before",

@@ -235,8 +235,16 @@ object StreamStress {
     // The state-store bound is the point: distinct signatures ever ≈
     // 200 + n/2, but live state is only the TTL horizon (200 dense +
     // ~TTL/2 sparse keys) — EventTimeTimeout must evict the rest.
-    val nDocs = math.min(nfiles.toLong * rowsPerFile, 1000000L)
-    val docsPerFile = nDocs / nfiles
+    // docsPerFile*nfiles (NOT the min target) is what's materialized —
+    // recompute nDocs after the integer division so non-divisible
+    // [nfiles] args don't fail the closed-form requires spuriously.
+    // The closed forms below additionally assume nDocs >= 400 (all 200
+    // dense classes occur at least twice) and no 31-bit signature
+    // collisions inside the TTL horizon — deterministic and verified at
+    // the default 20x50k parameterization.
+    val docsPerFile = math.min(nfiles.toLong * rowsPerFile, 1000000L) / nfiles
+    val nDocs = docsPerFile * nfiles
+    require(nDocs >= 400, s"TTL section needs >= 400 docs, got $nDocs")
     val dirT = s"/tmp/graft-stream-stress-ttl-v1-$nfiles-$docsPerFile"
     if (!new java.io.File(f"$dirT/documents_${nfiles - 1}%04d.parquet").exists()) {
       timed(s"materialize $nfiles doc files x $docsPerFile rows") {
@@ -263,7 +271,10 @@ object StreamStress {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dirT/_tmp"))
       }
     }
-    val ttlDocs = 10000L
+    // TTL scales with the corpus (1%, floored at 500 so the 400-id
+    // dense recurrence always chains) — a fixed TTL wider than a small
+    // corpus would leave nothing to evict and fail the bound vacuously
+    val ttlDocs = math.max(500L, nDocs / 100)
     timed(s"TTL signature dedup ($nfiles incremental batches, $nDocs docs)") {
       spark.catalog.dropTempView("stream_stress_ttl_sink")
       val stream = graft.streaming.EventStreams
@@ -289,12 +300,16 @@ object StreamStress {
       require(dups == nEven - 200,
         s"dup count $dups != closed form ${nEven - 200}")
       // distinct signatures ever = 200 dense + nDocs/2 unique; live
-      // state must stay at the TTL horizon, not the signature universe
+      // state must stay at the TTL horizon (200 dense + ~ttl/2 sparse)
+      // plus at most ~2 batches of eviction lag (timeouts fire at batch
+      // boundaries behind the watermark) — NOT the signature universe
       val sigUniverse = 200L + nDocs / 2
+      val stateBound = 200L + ttlDocs + 2 * docsPerFile
       println(s"micro-batches: $batches, max dedup state rows: $maxState " +
-        s"(signature universe: $sigUniverse)")
-      require(maxState < sigUniverse / 10,
-        s"state $maxState not evicted vs universe $sigUniverse")
+        s"(signature universe: $sigUniverse, bound: $stateBound)")
+      require(maxState < stateBound,
+        s"state $maxState exceeds horizon+lag bound $stateBound " +
+          s"(universe $sigUniverse)")
     }
     spark.stop()
   }

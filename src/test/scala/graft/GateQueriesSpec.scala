@@ -1536,7 +1536,15 @@ class GateQueriesSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    // SQL-trim semantics (spaces only, no nonEmpty filter) — the
+    // engine's tokens() keeps the empty token of a blank document,
+    // which counts toward vt; Java trim would diverge (sigOf's note)
+    def toks(t: String) = {
+      var lo = 0; var hi = t.length
+      while (lo < hi && t.charAt(lo) == ' ') lo += 1
+      while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+      t.substring(lo, hi).split("\\s+").toSeq
+    }
     def bigrams(ts: Seq[String]) = if (ts.length < 2) Seq.empty else ts.zip(ts.tail)
     // train the interpolated-KN bigram stats on the 'en' slice
     val trb = docs.filter(_._2 == "en").flatMap(d => bigrams(toks(d._3)))
