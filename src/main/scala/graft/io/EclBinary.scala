@@ -451,25 +451,47 @@ object EclBinary {
     * groups exactly like the single-case reader: unselected payloads
     * are seeked past, selected ones buffer only until their step
     * flushes to rows.
+    *
+    * `datePred` is the DSv2 pushed-down DATE filter: each step's
+    * INTEHEAD clock is judged BEFORE its cell-vector headers (the
+    * lazy-advance stream contract, as in [[unrst]]'s `dates` path), so
+    * the payloads of unselected report steps are seeked past, never
+    * decoded — on a 200-step ensemble member a `DATE = last` query
+    * decodes 1/200th of the bytes. The flush-level re-check keeps the
+    * filter exact even for a pathological file ordering the byte-skip
+    * can't exploit.
     */
-  private[io] def restartCaseRows(path: String, vecNames: Seq[String]): Iterator[Row] = {
+  private[graft] def restartCaseRows(path: String, vecNames: Seq[String],
+      datePred: DatePred = DatePred.All): Iterator[Row] = {
     val wantSet = vecNames.toSet
     val steps = Vector.newBuilder[(java.sql.Date, Int, Map[String, Array[Double]])]
     var cur: List[EclKw.Kw] = Nil
     var started = false
-    def flush(): Unit = if (started) {
+    var stepOk = datePred.trivial
+    def flush(): Unit = if (started && stepOk) {
       val g = cur.reverse
       val nactive = nactiveOf(g, path)
       val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
-      val vecs = g.filter(k => isCellVector(k.name, k.typ, wantSet) &&
-        k.data.length == nactive)
-      steps += ((date, nactive, vecs.map(k => k.name -> k.doubles).toMap))
+      if (datePred.keep(date)) {
+        val vecs = g.filter(k => isCellVector(k.name, k.typ, wantSet) &&
+          k.data.length == nactive)
+        steps += ((date, nactive, vecs.map(k => k.name -> k.doubles).toMap))
+      }
     }
     EclKw.stream(path, (name, typ, _) =>
-      name == "SEQNUM" || name == "INTEHEAD" || isCellVector(name, typ, wantSet)) { it =>
+      name == "SEQNUM" || name == "INTEHEAD" ||
+        (stepOk && isCellVector(name, typ, wantSet))) { it =>
       it.foreach { kw =>
-        if (kw.name == "SEQNUM") { flush(); cur = Nil; started = true }
-        else if (started) cur ::= kw
+        if (kw.name == "SEQNUM") {
+          flush(); cur = Nil; started = true
+          stepOk = datePred.trivial // unknown until this step's INTEHEAD
+        } else if (started) {
+          if (kw.name == "INTEHEAD")
+            stepOk = datePred.trivial || datePred.keep(intestampDate(kw.ints))
+          else if (isCellVector(kw.name, kw.typ, wantSet))
+            DecodeStats.unrstVecPayloads.increment()
+          cur ::= kw
+        }
       }
     }
     flush()
@@ -658,24 +680,61 @@ object EclBinary {
     * the per-case kernel shared by [[rftFleet]]'s RDD tasks and the
     * `eclipse-rft` DataSourceV2 partition readers. Only the SELECTED
     * vectors are kept per TIME group; the rest seek past.
+    *
+    * `datePred` / `wells` are the DSv2 pushed-down filters: an RFT
+    * report group leads with its small TIME/DATE/WELLETC clock keywords
+    * before the per-connection data vectors, so once either disqualifies
+    * the group the remaining data payloads are seeked past at the byte
+    * level (the lazy-advance stream contract — the select predicate
+    * observes the flags the foreach sets on the PREVIOUS keyword). The
+    * flush-level re-check keeps the filter exact regardless of keyword
+    * order inside a group.
     */
-  private[io] def rftCaseRows(path: String, vecNames: Seq[String]): Iterator[Row] = {
-    // the select predicate reaches the byte level: unselected
-    // connection vectors are seeked past, never decoded
-    val keep = Set("TIME", "DATE", "WELLETC", "CONIPOS")
-    val groups = EclKw.streamGroups(path, "TIME",
-      (name, _, _) => keep(name) || vecNames.contains(name)) { g =>
-      g.find(_.name == "CONIPOS").map { conipos =>
+  private[graft] def rftCaseRows(path: String, vecNames: Seq[String],
+      datePred: DatePred = DatePred.All,
+      wells: Option[Set[String]] = None): Iterator[Row] = {
+    val clock = Set("TIME", "DATE", "WELLETC", "CONIPOS")
+    def dateOf(k: EclKw.Kw): java.sql.Date =
+      java.sql.Date.valueOf(LocalDate.of(k.ints(2), k.ints(1), k.ints(0)))
+    val groups = Vector.newBuilder[(java.sql.Date, String, Int, Map[String, Array[Double]])]
+    var cur: List[EclKw.Kw] = Nil
+    var started = false
+    var dateOk = datePred.trivial
+    var wellOk = wells.isEmpty
+    def flush(): Unit = if (started && dateOk && wellOk) {
+      val g = cur.reverse
+      g.find(_.name == "CONIPOS").foreach { conipos =>
         val ncon = conipos.data.length
-        val date = g.find(_.name == "DATE").map(d =>
-          java.sql.Date.valueOf(LocalDate.of(d.ints(2), d.ints(1), d.ints(0)))).orNull
+        val date = g.find(_.name == "DATE").map(dateOf).orNull
         val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
-        val vecs = g.filter(k => vecNames.contains(k.name) &&
-          k.isNumeric && k.data.length == ncon)
-        (date, well, ncon, vecs.map(k => k.name -> k.doubles).toMap)
+        if (datePred.keep(date) && wells.forall(_.contains(well))) {
+          val vecs = g.filter(k => vecNames.contains(k.name) &&
+            k.isNumeric && k.data.length == ncon)
+          groups += ((date, well, ncon, vecs.map(k => k.name -> k.doubles).toMap))
+        }
       }
     }
-    groups.iterator.flatMap { case (date, well, ncon, m) =>
+    EclKw.stream(path, (name, _, _) =>
+      name == "TIME" || clock(name) ||
+        (dateOk && wellOk && vecNames.contains(name))) { it =>
+      it.foreach { kw =>
+        if (kw.name == "TIME") {
+          flush(); cur = List(kw); started = true
+          dateOk = datePred.trivial // unknown until this group's DATE
+          wellOk = wells.isEmpty //   … and WELLETC
+        } else if (started) {
+          if (kw.name == "DATE")
+            dateOk = datePred.trivial || datePred.keep(dateOf(kw))
+          else if (kw.name == "WELLETC")
+            wellOk = wells.forall(_.contains(kw.strings(1)))
+          else if (vecNames.contains(kw.name))
+            DecodeStats.rftVecPayloads.increment()
+          cur ::= kw
+        }
+      }
+      flush()
+    }
+    groups.result().iterator.flatMap { case (date, well, ncon, m) =>
       val arrs = vecNames.map(m.get)
       (0 until ncon).iterator.map { i =>
         Row.fromSeq(path :: date :: well :: (i + 1) ::

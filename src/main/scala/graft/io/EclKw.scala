@@ -197,6 +197,59 @@ object EclKw {
     */
   def read(path: String): Vector[Kw] = stream(path)(_.toVector)
 
+  private def skipFully(in: DataInputStream, n: Int): Unit = {
+    var toSkip = n
+    while (toSkip > 0) {
+      val s = in.skipBytes(toSkip)
+      if (s <= 0) throw new EOFException(s"EOF inside a data record ($toSkip bytes short)")
+      toSkip -= s
+    }
+  }
+
+  /** Decode ONLY element `elemIdx` of every REAL keyword named `kwName`,
+    * in file order — 4 bytes read per occurrence, every other byte of
+    * every payload seeked past. This is the UNSMRY date pre-scan: a
+    * PARAMS record carries nvec floats per ministep (tens of KB on a
+    * full-field SMSPEC), but a date-selective read only needs TIME
+    * (element `timeIdx`) to decide whether the step is wanted at all —
+    * the INTEHEAD-prescan discipline of the restart reader
+    * (grid.py:54-123's dates2rstindices), applied inside the record.
+    */
+  def streamFloatElement(path: String, kwName: String, elemIdx: Int): Vector[Float] = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    try {
+      val out = Vector.newBuilder[Float]
+      var h = readHead(in)
+      while (h.isDefined) {
+        val hd = h.get
+        if (hd.name == kwName) {
+          require(hd.typ == "REAL",
+            s"$kwName: element peek expects REAL, got ${hd.typ}")
+          require(elemIdx >= 0 && elemIdx < hd.n,
+            s"$kwName: element $elemIdx out of range (n=${hd.n})")
+          var filled = 0
+          while (filled < hd.n) {
+            val len = in.readInt()
+            require(len >= 0 && len % hd.w == 0,
+              s"$kwName: REAL record of $len bytes is not whole elements")
+            val count = len / hd.w
+            require(count <= hd.n - filled,
+              s"$kwName: record of $len bytes vs ${hd.n - filled} remaining elements")
+            if (elemIdx >= filled && elemIdx < filled + count) {
+              skipFully(in, (elemIdx - filled) * hd.w)
+              out += in.readFloat()
+              skipFully(in, (filled + count - elemIdx - 1) * hd.w)
+            } else skipFully(in, len)
+            in.readInt() // trailing length
+            filled += count
+          }
+        } else skipData(in, hd)
+        h = readHead(in)
+      }
+      out.result()
+    } finally in.close()
+  }
+
   // ---- writer (the inverse; Eclipse chunk conventions) ---------------------
 
   private val NumChunk = 1000

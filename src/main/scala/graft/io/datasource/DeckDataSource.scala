@@ -81,12 +81,25 @@ object DeckScan {
     // a JSON paths array is ["..."] — requiring the quote right after the
     // bracket keeps legal bracket GLOBS like [0-9]*/deck.DATA out of this
     // branch
-    if (t.startsWith("[\"") && t.endsWith("]"))
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
-        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .toVector
-    else t.split(",").map(_.trim).filter(_.nonEmpty).toVector
+    val split =
+      if (t.startsWith("[\"") && t.endsWith("]"))
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
+          .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          .toVector
+      else t.split(",").map(_.trim).filter(_.nonEmpty).toVector
+    split.map(stripFileScheme)
   }
+
+  /** `CREATE TABLE … USING \`eclipse-…\` OPTIONS (path '…')` stores the
+    * path as the table LOCATION, normalized to a `file:` URI — strip the
+    * scheme back to a plain local path for java.io (globs make the
+    * string an illegal URI, hence the prefix fallback). */
+  private def stripFileScheme(p: String): String =
+    if (!p.startsWith("file:")) p
+    else try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p.stripPrefix("file:")
+    } catch { case _: java.net.URISyntaxException => p.stripPrefix("file:") }
 
   /** Fleet-friendly path resolution: a directory yields its contained
     * `ext` files (case-insensitive; `.DATA` for decks, `.EGRID`/`.UNRST`

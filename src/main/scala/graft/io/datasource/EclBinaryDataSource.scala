@@ -165,20 +165,88 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
   }
 }
 
+/** Scan builder with column pruning AND filter pushdown. Pushdown is
+  * the `--rstdates` discipline made SQL-reachable (reference semantics:
+  * grid.py:54-123 `dates2rstindices` — decide which report steps to
+  * decode from a cheap clock pre-scan, read only those): a
+  * `WHERE DATE = …` over `eclipse-unrst`/`eclipse-unsmry`/`eclipse-rft`
+  * (and `WHERE WELL = …` over rft) reaches the byte level, skipping
+  * whole report steps / report groups / PARAMS records instead of
+  * decoding everything and filtering rows. At a 1000-case × 200-step
+  * ensemble, `DATE = last` decodes ~1/200th of the bytes the unfiltered
+  * scan would.
+  *
+  * Accepted filters are still RETURNED to Spark for post-scan
+  * re-evaluation (the standard inexact-pushdown contract): the source-
+  * side skip is exact at the step level by construction, but one
+  * codegen'd comparison per surviving row is a price worth paying to
+  * make correctness independent of any kernel-ordering assumption.
+  */
 class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+  private var datePred: graft.io.DatePred = graft.io.DatePred.All
+  private var wells: Option[Set[String]] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def dayOf(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val hasDate = kind != "egrid"
+    val acc = Array.newBuilder[Filter]
+    filters.foreach { f =>
+      val took = f match {
+        case EqualTo("DATE", v) if hasDate && dayOf(v).isDefined =>
+          datePred = datePred.withEqual(dayOf(v).get); true
+        case In("DATE", vs) if hasDate && vs.nonEmpty && vs.forall(dayOf(_).isDefined) =>
+          datePred = datePred.withIn(vs.flatMap(dayOf).toSet); true
+        case GreaterThan("DATE", v) if hasDate && dayOf(v).isDefined =>
+          datePred = datePred.withMin(dayOf(v).get + 1); true
+        case GreaterThanOrEqual("DATE", v) if hasDate && dayOf(v).isDefined =>
+          datePred = datePred.withMin(dayOf(v).get); true
+        case LessThan("DATE", v) if hasDate && dayOf(v).isDefined =>
+          datePred = datePred.withMax(dayOf(v).get - 1); true
+        case LessThanOrEqual("DATE", v) if hasDate && dayOf(v).isDefined =>
+          datePred = datePred.withMax(dayOf(v).get); true
+        case EqualTo("WELL", w: String) if kind == "rft" =>
+          wells = Some(wells.fold(Set(w))(_ intersect Set(w))); true
+        case In("WELL", ws) if kind == "rft" && ws.nonEmpty &&
+            ws.forall(_.isInstanceOf[String]) =>
+          val s = ws.map(_.asInstanceOf[String]).toSet
+          wells = Some(wells.fold(s)(_ intersect s)); true
+        case _ => false
+      }
+      if (took) acc += f
+    }
+    accepted = acc.result()
+    filters // all re-evaluated post-scan (see scaladoc)
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan =
-    new EclBinaryScan(kind, path, vectors, mapaxes, required)
+    new EclBinaryScan(kind, path, vectors, mapaxes, required, datePred, wells)
 }
 
 class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
-    mapaxes: Boolean, required: StructType) extends Scan with Batch {
+    mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
+    wells: Option[Set[String]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String = {
+    val d = if (datePred.trivial) "" else s" datePred=$datePred"
+    val w = wells.fold("")(s => s" wells=${s.toSeq.sorted.mkString(",")}")
+    s"eclipse-$kind $path$d$w"
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     // the partition carries the file path AS LISTED — the kernels never
     // re-append an extension, so lowercase artifact sets stay readable
@@ -187,13 +255,14 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EclBinaryReaderFactory(kind, vectors, mapaxes, required)
+    new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
 }
 
 case class EclCaseInputPartition(caseFile: String) extends InputPartition
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
-    mapaxes: Boolean, required: StructType) extends PartitionReaderFactory {
+    mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
+    wells: Option[Set[String]]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseFile
@@ -221,9 +290,9 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     new PartitionReader[InternalRow] {
       private val rows: Iterator[Row] = kind match {
         case "egrid" => EclBinary.gridCaseRows(caseFile, requiredVecs, mapaxes)
-        case "unrst" => EclBinary.restartCaseRows(caseFile, requiredVecs)
-        case "rft" => EclBinary.rftCaseRows(caseFile, requiredVecs)
-        case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile)
+        case "unrst" => EclBinary.restartCaseRows(caseFile, requiredVecs, datePred)
+        case "rft" => EclBinary.rftCaseRows(caseFile, requiredVecs, datePred, wells)
+        case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile, datePred)
           .map(t => Row(t._1, t._2, t._3, t._4, t._5))
       }
       private var current: InternalRow = _

@@ -494,7 +494,12 @@ object BinaryGate {
   /** The closed-form summary-fleet replay shared verbatim by q114 (the
     * library corpusFromPath read) and q167 (the eclipse-unsmry DSv2
     * format) — identical fixtures, identical expected frame. */
-  private def summaryFleetOracle: String =
+  private def summaryFleetOracle: String = summaryFleetOracleWhere("TRUE")
+
+  /** summaryFleetOracle restricted to the ministeps a pushed-down DATE
+    * filter selects (`cond` ranges over `day`); q174 replays q167 with
+    * `cond` = the days its DATE range picks. */
+  private def summaryFleetOracleWhere(cond: String): String =
     s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
        v AS (
          SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
@@ -503,11 +508,18 @@ object BinaryGate {
        SELECT CAST(case_id AS INT) AS case_id, vector,
               CAST(DATE '2021-01-01' + CAST(day AS INT) AS TIMESTAMP) AS date,
               1000.0 * vi + day + 7.0 * case_id + CAST(day % 32 AS DOUBLE) / 32 AS value
-       FROM c CROSS JOIN v CROSS JOIN d ORDER BY case_id, vector, date"""
+       FROM c CROSS JOIN v CROSS JOIN d WHERE $cond
+       ORDER BY case_id, vector, date"""
 
   /** q63's replay minus the CONIPOS vector, shared verbatim by q148 (the
     * library rftFleet read) and q168 (the eclipse-rft DSv2 format). */
-  private def rftFleetOracle: String =
+  private def rftFleetOracle: String = rftFleetOracleWhere("TRUE")
+
+  /** rftFleetOracle restricted to the report groups a pushed-down
+    * DATE/WELL filter selects (`cond` ranges over case `c` — the well is
+    * `'W' || c` — and report `t`); q173 replays q168 with `cond` = the
+    * groups its WELL IN + DATE equality pick. */
+  private def rftFleetOracleWhere(cond: String): String =
     s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
        dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),
        cons AS (SELECT c, t, unnest(range($RftNcon)) AS i FROM dates)
@@ -517,7 +529,7 @@ object BinaryGate {
               CAST(i + 1 AS INT) AS conidx,
               CAST(1000 + 10 * i + 100 * t + c AS DOUBLE) AS depth,
               CAST(200 + i + 50 * t + 7 * c AS DOUBLE) AS pressure
-       FROM cons ORDER BY case_id, date, conidx"""
+       FROM cons WHERE $cond ORDER BY case_id, date, conidx"""
 
   /** q167: q114's SUMMARY FLEET replayed through the REGISTERED
     * `eclipse-unsmry` DataSourceV2 format — glob load, one partition
@@ -551,6 +563,105 @@ object BinaryGate {
         col("WELL").as("well"), col("CONIDX").as("conidx"),
         col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
       .orderBy(col("case_id"), col("date"), col("conidx"))
+  }
+
+  /** q171: DATE-SELECTIVE DSv2 RESTART READ — q165 replayed with a
+    * pushed-down `WHERE DATE = …` (`SupportsPushDownFilters`), gated
+    * against the q165 oracle restricted to that report step. The hash
+    * proves the filtered SQL read equals the full-decode-then-filter
+    * answer; the companion spec (EclPushdownSpec) additionally proves
+    * the DECODE count dropped — the unselected SEQNUM groups' cell
+    * vectors were seeked past at the byte level, never decoded (the
+    * `--rstdates` / grid.py:54-123 `dates2rstindices` discipline, now
+    * reachable from SQL). At a 1000-case × 200-step ensemble this is
+    * the difference between reading ~1/200th of the bytes and all of
+    * them.
+    */
+  def q171RestartDatePushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q171")
+    val paths = (0 until RstCases).map(c => writeRstCase(tmp, c))
+    s.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
+      .load(paths: _*)
+      .where(col("DATE") === lit(java.sql.Date.valueOf("2022-01-02")))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").as("pressure"), col("SWAT").as("swat"))
+      .orderBy(col("case_id"), col("date"), col("active_idx"))
+  }
+
+  /** q172: SQL-DDL REACHABILITY — the ensemble grid registered as a
+    * CATALOG TABLE (`CREATE TABLE … USING \`eclipse-egrid\``) and
+    * queried with PURE SQL TEXT, gated against q164's oracle verbatim.
+    * Closes the last gap between "format registered" and "a SQL user
+    * can use it without writing Scala": after the one DDL statement, an
+    * analyst's `SELECT … FROM ens_grid` resolves through the session
+    * catalog to the same per-case partitions, byte-level column
+    * pruning, and (q171) filter pushdown as the programmatic
+    * `spark.read.format(…)` route.
+    */
+  def q172SqlDdlGrid(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q172")
+    val paths = (0 until GridCases).map { c =>
+      writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
+    }
+    s.sql("DROP TABLE IF EXISTS ens_grid")
+    s.sql(s"""CREATE TABLE ens_grid USING `eclipse-egrid`
+              OPTIONS (path '${paths.mkString(",")}', vectors 'PORO,PERMX')""")
+    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)$', 1) AS INT) AS case_id,
+                    I AS i, J AS j, K AS k, X AS x, Y AS y, Z AS z,
+                    Z_MIN AS z_min, Z_MAX AS z_max,
+                    round(VOLUME, 6) AS volume,
+                    GLOBAL_INDEX AS global_index, ACTIVE_IDX AS active_idx,
+                    PORO AS poro, PERMX AS permx
+             FROM ens_grid ORDER BY case_id, global_index""")
+  }
+
+  /** q173: WELL+DATE-SELECTIVE DSv2 RFT READ — q168 replayed with
+    * pushed-down `WHERE WELL IN (…) AND DATE = …`: the disqualified
+    * TIME report groups' per-connection vectors seek past at the byte
+    * level (an RFT group leads with its small TIME/DATE/WELLETC clock
+    * keywords, so the well/date verdict lands before any data payload).
+    * Gated against the q168 oracle restricted to those groups; the
+    * companion spec proves the decode count dropped.
+    */
+  def q173RftWellPushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q173")
+    val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
+    s.read.format("eclipse-rft").option("vectors", "DEPTH,PRESSURE")
+      .load(paths: _*)
+      .where(col("WELL").isin("W1", "W2") &&
+        col("DATE") === lit(java.sql.Date.valueOf("2023-02-02")))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.RFT$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("WELL").as("well"), col("CONIDX").as("conidx"),
+        col("DEPTH").as("depth"), col("PRESSURE").as("pressure"))
+      .orderBy(col("case_id"), col("date"), col("conidx"))
+  }
+
+  /** q174: DATE-RANGE-SELECTIVE DSv2 SUMMARY READ — q167 replayed with
+    * a pushed-down `WHERE DATE BETWEEN … AND …`. UNSMRY's PARAMS records
+    * interleave ALL vectors per ministep, so the source first PEEKS only
+    * the TIME element of each record ([[graft.io.EclKw.streamFloatElement]]
+    * — 4 bytes per step), then decodes just the ministeps inside the
+    * range; the rest seek past whole (the INTEHEAD-prescan discipline
+    * applied inside the record — on a full-field SMSPEC with 10⁴
+    * vectors, a 3-of-200-step read decodes ~1.5% of the PARAMS bytes).
+    * Gated against the q167 oracle restricted to those days.
+    */
+  def q174SummaryDatePushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q174")
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .where(col("DATE").between(
+        lit(java.sql.Date.valueOf("2021-01-10")),
+        lit(java.sql.Date.valueOf("2021-01-12"))))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
   def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
@@ -1242,6 +1353,10 @@ object BinaryGate {
     "q63_rft_binary" -> (q63RftBinary _),
     "q148_rft_fleet" -> (q148RftFleet _),
     "q168_rft_fleet_sql" -> (q168RftFleetSql _),
+    "q171_unrst_date_pushdown" -> (q171RestartDatePushdown _),
+    "q172_sql_ddl_grid" -> (q172SqlDdlGrid _),
+    "q173_rft_well_pushdown" -> (q173RftWellPushdown _),
+    "q174_unsmry_date_pushdown" -> (q174SummaryDatePushdown _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1277,7 +1392,12 @@ object BinaryGate {
   /** Restart replay from the closed form — shared verbatim by q62
     * (single-case reads unioned) and q120 (the fleet read).
     */
-  private def rstOracle: String =
+  private def rstOracle: String = rstOracleWhere("TRUE")
+
+  /** rstOracle restricted to the report steps a pushed-down DATE filter
+    * selects (`cond` ranges over case `c` and step `t`) — q171 replays
+    * q165 with `cond` = the step the DATE equality picks. */
+  private def rstOracleWhere(cond: String): String =
     s"""WITH cases AS (SELECT unnest(range($RstCases)) AS c),
          steps AS (SELECT c, unnest(range($RstSteps)) AS t FROM cases),
          cells AS (SELECT c, t, unnest(range($RstNactive)) AS a FROM steps)
@@ -1286,7 +1406,7 @@ object BinaryGate {
                 a AS active_idx,
                 CAST(a + 100 * t + 1000 * c AS DOUBLE) AS pressure,
                 CAST((a + t + c) % 32 AS DOUBLE) / 32 AS swat
-         FROM cells ORDER BY case_id, date, active_idx"""
+         FROM cells WHERE $cond ORDER BY case_id, date, active_idx"""
 
   val oracleSql: Map[String, String] = Map(
     // per-case replay: with r_c = (7 − c%7) % 7, the case-c active
@@ -1614,6 +1734,13 @@ object BinaryGate {
     // PRESSURE explicitly; CONIDX is the ordinal)
     "q148_rft_fleet" -> rftFleetOracle,
     "q168_rft_fleet_sql" -> rftFleetOracle,
+    // pushed-down filters restrict the SAME closed forms: DATE
+    // 2022-01-02 is step t=1; WELL W1/W2 + DATE 2023-02-02 are cases
+    // 1,2 at report t=1; 2021-01-10..12 are days 9..11
+    "q171_unrst_date_pushdown" -> rstOracleWhere("t = 1"),
+    "q172_sql_ddl_grid" -> gridOracle,
+    "q173_rft_well_pushdown" -> rftFleetOracleWhere("c IN (1, 2) AND t = 1"),
+    "q174_unsmry_date_pushdown" -> summaryFleetOracleWhere("day BETWEEN 9 AND 11"),
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),

@@ -242,6 +242,12 @@ object StreamGate {
     * (same portable hash family as q26/q39). A hash match proves the
     * stateful streaming operator computed the batch signature-grouping
     * semantics.
+    *
+    * PRODUCTION TWIN: [[q163StreamTtlDedup]] — the same operator run
+    * genuinely multi-batch with TTL state eviction (this gate pins the
+    * closed-form global-min layout; q163 pins cross-batch state carry
+    * and bounded state). Between them the single-batch shape here is a
+    * layout contract, not a caveat.
     */
   def q70StreamSigDedup(s: SparkSession, dir: String): DataFrame = {
     val stream = graft.streaming.EventStreams.readDocuments(s, dir)
@@ -325,6 +331,29 @@ object StreamGate {
     * micro-batch per file (the ordered per-shard arrival contract
     * packedSpans documents). Same atomic-publish idiom as
     * [[stageWithSentinel]]. */
+  /** Fingerprint of the SOURCE parquet bytes (name:size:mtime per file,
+    * md5'd) — folded into the staging cache tag so a regenerated fixture
+    * with the same row count/max id but different content can never
+    * serve stale staged arrival files (it re-stages instead). Pure
+    * filesystem metadata: no extra data scan per run. */
+  private def docsFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toVector.filter(java.nio.file.Files.isRegularFile(_))
+        finally s.close()
+      } else if (java.nio.file.Files.exists(p)) Seq(p)
+      else Nil
+    val sig = files.sortBy(_.toString).map { f =>
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
   private def stageDocArrivals(s: SparkSession, dir: String): String = {
     val docs = graft.sources.Tables.documents(s, dir)
     val h = docs.agg(count(lit(1)), max(col("doc_id"))).head()
@@ -333,7 +362,7 @@ object StreamGate {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val tmp = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-gate",
-      s"docarr-v1-$dirTag-$nDocs-$maxId")
+      s"docarr-v2-$dirTag-${docsFingerprint(dir)}-$nDocs-$maxId")
     if (!java.nio.file.Files.isDirectory(tmp)) {
       java.nio.file.Files.createDirectories(tmp.getParent)
       val scratch = tmp.resolveSibling(
@@ -418,6 +447,11 @@ object StreamGate {
     * batch each source group sorts by doc_id), so the oracle IS q77's —
     * the hash only matches if the stateful streaming operator packed
     * exactly like the batch window-cumsum plan.
+    *
+    * PRODUCTION TWIN: [[q166StreamPackInc]] — the same operator run
+    * genuinely multi-batch with cross-batch offset carry (this gate
+    * pins the layout law; q166 pins the incremental state). The
+    * single-batch shape here is a layout contract, not a caveat.
     */
   def q82StreamPack(s: SparkSession, dir: String): DataFrame = {
     val stream = graft.streaming.EventStreams.readDocuments(s, dir)
@@ -468,6 +502,78 @@ object StreamGate {
       .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"),
         col("tok_in_pack"), col("is_head"))
       .orderBy(col("source"), col("pack_id"), col("doc_id")), batches)
+  }
+
+  /** q175: CHECKPOINT RECOVERY of the stateful TTL dedup — the one
+    * production streaming property q163 left unexercised: kill the
+    * query mid-stream and PROVE the restart resumes from the state
+    * store, not from scratch. The pipeline is q163's exactly
+    * (signatureDedupedTtl over [[TtlFiles]] doc_id-ordered arrival
+    * files, one micro-batch each, checkpointed parquet sink); here run
+    * 1 sees only the first half of the arrival files, STOPS, the rest
+    * land, and run 2 restarts from the SAME checkpoint. The oracle is
+    * q163's closed form over the full corpus — the hash can only match
+    * if (a) the file-source log resumes without reprocessing run 1's
+    * files (a reprocess would double-emit into the append sink), and
+    * (b) every signature chain OPEN at the kill point continues from
+    * restored state (a cold restart would mint fresh canonical ids for
+    * run-2 arrivals of live chains). The companion spec additionally
+    * pins the batch accounting of both runs.
+    */
+  def q175StreamCkptRecovery(s: SparkSession, dir: String): DataFrame =
+    sigDedupCkptRun(s, dir)._1
+
+  /** The q175 run, exposing (result, run-1 batches, cumulative batches
+    * after run 2) — batch ids CONTINUE across the restart, so run 2
+    * processing exactly the second half shows up as cumulative = 2×. */
+  private[graft] def sigDedupCkptRun(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val staged = stageDocArrivals(s, dir)
+    val arrivals = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // fresh per-run root (the q147 convention): the checkpoint is the
+    // recovery mechanism WITHIN this gate's two runs, not across
+    // logically distinct gate invocations
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", "q175",
+      s"$dirTag-${ProcessHandle.current().pid()}").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val src = s"$root/arrivals"
+    val out = s"$root/dedup"
+    val cp = s"$root/checkpoint"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def land(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      // COPY_ATTRIBUTES keeps the staged strictly-increasing mtimes =
+      // deterministic arrival order under maxFilesPerTrigger=1
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(src, f.getName),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    def runOnce(): Long = {
+      val stream = graft.streaming.EventStreams
+        .readDocuments(s, src, Map("maxFilesPerTrigger" -> "1"))
+        .withColumn("ts",
+          timestamp_seconds(lit(TtlEpochSec) + col("doc_id") * TtlStepSec))
+        .select(col("doc_id"), col("ts"), col("text"))
+      val q = graft.streaming.EventStreams
+        .signatureDedupedTtl(stream, TtlDocs * TtlStepSec * 1000L, "5 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.lastProgress.batchId + 1
+    }
+    val half = arrivals.length / 2
+    land(arrivals.take(half))
+    val b1 = runOnce() // run 1: first half, then the engine STOPS
+    land(arrivals.drop(half))
+    val b2 = runOnce() // run 2: SAME checkpoint, only the new files
+    (s.read.parquet(out)
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+      .orderBy(col("doc_id")), b1, b2)
   }
 
   /** q92: the STREAMING quality-filter cascade — q80's exact Column
@@ -619,7 +725,9 @@ object StreamGate {
     * verification runs batch on the sink (one pair per new doc),
     * through the SAME tail as q101 — the oracle is q101's verbatim,
     * so the hash proves batch/stream agreement cross-engine.
-    * Update-mode single-batch caveat = q70/q82's.
+    * Single-batch layout contract = q70/q82's (production multi-batch
+    * state carry is pinned by their twins q163/q166; the streaming
+    * aggregation here is the same state machinery).
     */
   def q112StreamNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -917,6 +1025,7 @@ object StreamGate {
     "q69_stream_dedup" -> (q69StreamDedup _),
     "q70_stream_sig_dedup" -> (q70StreamSigDedup _),
     "q163_stream_ttl_dedup" -> (q163StreamTtlDedup _),
+    "q175_stream_ckpt_recovery" -> (q175StreamCkptRecovery _),
     "q82_stream_pack" -> (q82StreamPack _),
     "q166_stream_pack_inc" -> (q166StreamPackInc _),
   )
@@ -1014,6 +1123,10 @@ object StreamGate {
          FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
     "q70_stream_sig_dedup" -> streamSigDedupSql,
     "q163_stream_ttl_dedup" -> streamTtlDedupSql,
+    // recovery must reproduce the uninterrupted run exactly: q163's
+    // closed form verbatim — double-emits or cold-restarted chains
+    // cannot hash-match it
+    "q175_stream_ckpt_recovery" -> streamTtlDedupSql,
     // the streaming packer must reproduce the batch layout EXACTLY —
     // same oracle as q77, verbatim
     "q82_stream_pack" -> Chunking.oracleSql("q77_pack"),

@@ -53,8 +53,21 @@ object ScaleStress {
         if (m != null) peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
       }
     })
-    def peakMb: Long = peakTaskMem.get() >> 20
-    def resetPeak(): Unit = peakTaskMem.set(0)
+    // the listener bus is ASYNC: drain it before reading or resetting,
+    // or late onTaskEnd events from the previous (base) run bleed into
+    // the xN row's peak — and the xN run's own tail events can land
+    // after the print (the r10 ADVICE item)
+    // listenerBus is private[spark] (Scala-level only — public in
+    // bytecode), so reach it reflectively; this is a measurement tool,
+    // not library surface
+    def drainBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L))
+    }
+    def peakMb: Long = { drainBus(); peakTaskMem.get() >> 20 }
+    def resetPeak(): Unit = { drainBus(); peakTaskMem.set(0) }
     // events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-6) and
     // TIMESTAMP(MICROS, NTZ) (round 8+): nanosAsLong makes the nanos form
     // readable, the replicated copy keeps whichever raw shape the source
@@ -212,6 +225,41 @@ object ScaleStress {
       val r400 = Seq(timeFleetRead(400), timeFleetRead(400)).min
       println(f"SCALE q120_fleet_dsv2 cases=4:${r4}%.2fs cases=400:${r400}%.2fs " +
         f"ratio=${r400 / r4}%.1f peak_task_mb=$peakMb")
+    }
+
+    // Adversarial JOIN-KEY skew for the dedup shuffle (r10 verdict #4):
+    // one text — hence ONE md5 and ONE MinHash signature (8 hot band
+    // buckets) — holding 50% of a ×N corpus. q24's md5 groupBy must
+    // collapse the hot key map-side (partial aggregation); q41/q56's
+    // component propagation joins membership(bucket) to the bucket-min
+    // frame, where the hot buckets each carry half the corpus on the
+    // probe side — the build side stays tiny (distinct buckets), so
+    // the planner broadcasts it and the hot key never concentrates a
+    // shuffle partition; AQE covers the residual. peak_task_mb is the
+    // proof that no task held the mega-key's members.
+    if (only.isEmpty || only.exists("qdedup_megakey".contains)) {
+      val megaDst = s"/tmp/graft-sfx$factor-megadup"
+      if (!new java.io.File(s"$megaDst/documents.parquet").exists()) {
+        println(s"-- materializing $megaDst (factor $factor, 50% one text)")
+        replicate(graft.sources.Tables.documents(spark, src), factor, Seq("doc_id"))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("the same boilerplate page served by half the crawl " +
+                "over and over again"))
+              .otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$megaDst/documents.parquet")
+      }
+      for (name <- Seq("q24_exact_dedup", "q41_dedup_components",
+          "q56_dedup_materialize")) {
+        val b = minOf2(name, src)
+        resetPeak()
+        val m = minOf2(name, megaDst)
+        if (b < 0 || m < 0)
+          println(s"SCALE ${name}_megakey FAILED (base=$b x${factor}mega=$m)")
+        else
+          println(f"SCALE ${name}_megakey base=${b}%.2fs x${factor}mega=${m}%.2fs " +
+            f"ratio=${m / b}%.1f peak_task_mb=$peakMb")
+      }
     }
 
     if (only.nonEmpty) { spark.stop(); return } // filtered run: tables only

@@ -228,15 +228,35 @@ object SummaryWriter {
     * ensemble task never materializes millions of boxed tuples. TIME
     * itself is excluded (it becomes DATE).
     */
-  private[graft] def summaryCaseTuples(
-      unsmryPath: String): Iterator[(String, java.sql.Date, String, Double, Int)] = {
+  private[graft] def summaryCaseTuples(unsmryPath: String,
+      datePred: graft.io.DatePred = graft.io.DatePred.All
+      ): Iterator[(String, java.sql.Date, String, Double, Int)] = {
     val base = unsmryPath.dropRight(".UNSMRY".length)
     val (vectors, timeIdx, start) =
       specCatalogAt(graft.io.EclKw.sibling(base, ".SMSPEC"))
-    val steps = graft.io.EclKw.stream(unsmryPath, (n, _, _) => n == "PARAMS") { it =>
-      it.zipWithIndex.map { case (kw, step) => (step, kw.floats) }.toVector
+    // DSv2 DATE pushdown: a PARAMS record interleaves ALL vectors per
+    // ministep, so a date-selective read first peeks ONLY the TIME
+    // element of each record (streamFloatElement — 4 bytes per step),
+    // then the main pass decodes just the matching step ordinals; the
+    // rest are seeked past whole. The stateful ordinal predicate is
+    // sound because EclKw.stream judges each header exactly once, in
+    // file order.
+    val wantedSteps: Option[Set[Int]] =
+      if (datePred.trivial) None
+      else Some(graft.io.EclKw.streamFloatElement(unsmryPath, "PARAMS", timeIdx)
+        .zipWithIndex.collect { case (t, i)
+          if datePred.keepDay(start.plusDays(t.toLong).toEpochDay) => i }.toSet)
+    var ord = -1
+    val steps = graft.io.EclKw.stream(unsmryPath, (n, _, _) =>
+      n == "PARAMS" && { ord += 1; wantedSteps.forall(_.contains(ord)) }) { it =>
+      it.map { kw => graft.io.DecodeStats.unsmryParams.increment(); kw.floats }.toVector
     }
-    steps.iterator.flatMap { case (step, vals) =>
+    val stepIds: Int => Int = wantedSteps match {
+      case Some(sel) => val sorted = sel.toArray.sorted; sorted(_)
+      case None => identity
+    }
+    steps.iterator.zipWithIndex.flatMap { case (vals, k) =>
+      val step = stepIds(k)
       val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
       vals.indices.iterator.filter(_ != timeIdx).map(i =>
         (base, date, vectors(i), vals(i).toDouble, step))

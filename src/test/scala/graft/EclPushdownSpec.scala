@@ -1,0 +1,227 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.{DatePred, DecodeStats, EclBinary, EclKw}
+import graft.io.EclKw.Kw
+
+/** DSv2 filter pushdown for the binary sources: proves not only that a
+  * pushed DATE/WELL filter returns the right ROWS (the q171/q173/q174
+  * gates hash that against DuckDB) but that it skips the DECODE — the
+  * unselected report steps / report groups / PARAMS records are seeked
+  * past at the byte level, which is the whole point of the pushdown
+  * (the `--rstdates` / grid.py:54-123 `dates2rstindices` discipline).
+  * The [[graft.io.DecodeStats]] payload counters are the evidence: a
+  * row count alone cannot distinguish decode-then-filter from true
+  * seek-past.
+  */
+class EclPushdownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-pushdown-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def day(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+
+  // ---- fixtures -------------------------------------------------------------
+
+  /** 5-step UNRST, 2 cell vectors per step, dates 2022-03-01..05. */
+  private def writeUnrst(dir: String, nactive: Int = 40): String = {
+    val path = s"$dir/PUSH.UNRST"
+    EclKw.write(path, (0 until 5).flatMap { t =>
+      val intehead = Array.tabulate(67) {
+        case 11 => nactive
+        case 64 => 1 + t
+        case 65 => 3
+        case 66 => 2022
+        case _ => 0
+      }
+      Seq(
+        Kw("SEQNUM", "INTE", Array(t)),
+        Kw("INTEHEAD", "INTE", intehead),
+        Kw("PRESSURE", "REAL", Array.tabulate(nactive)(a => (a + 10f * t))),
+        Kw("SWAT", "REAL", Array.tabulate(nactive)(a => (a % 8) / 8f)))
+    })
+    path
+  }
+
+  /** 3 TIME groups: wells W0/W1/W2 on dates 2023-05-01/02/03. */
+  private def writeRft(dir: String): String = {
+    val path = s"$dir/PUSH.RFT"
+    EclKw.write(path, (0 until 3).flatMap { t =>
+      Seq(
+        Kw("TIME", "REAL", Array(t.toFloat)),
+        Kw("DATE", "INTE", Array(1 + t, 5, 2023)),
+        Kw("WELLETC", "CHAR", Array("", s"W$t")),
+        Kw("CONIPOS", "INTE", Array.tabulate(6)(i => i + 1)),
+        Kw("DEPTH", "REAL", Array.tabulate(6)(i => 100f * t + i)),
+        Kw("PRESSURE", "REAL", Array.tabulate(6)(i => 200f + 10 * t + i)))
+    })
+    path
+  }
+
+  // ---- kernel-level decode skip --------------------------------------------
+
+  test("unrst kernel: DATE equality decodes only the matching step's payloads") {
+    val d = tmpDir("unrst")
+    val path = writeUnrst(d)
+
+    DecodeStats.unrstVecPayloads.reset()
+    val full = EclBinary.restartCaseRows(path, Seq("PRESSURE", "SWAT")).toVector
+    val fullPayloads = DecodeStats.unrstVecPayloads.sum()
+    assert(fullPayloads === 10) // 5 steps x 2 vectors
+    assert(full.size === 5 * 40)
+
+    val pred = DatePred.All.withEqual(day("2022-03-03"))
+    DecodeStats.unrstVecPayloads.reset()
+    val filtered = EclBinary.restartCaseRows(path, Seq("PRESSURE", "SWAT"), pred).toVector
+    assert(DecodeStats.unrstVecPayloads.sum() === 2) // ONE step x 2 vectors
+    val expected = full.filter(_.getDate(1).toString == "2022-03-03")
+    assert(filtered === expected)
+  }
+
+  test("unrst kernel: DATE range decodes only in-range steps") {
+    val d = tmpDir("unrst-range")
+    val path = writeUnrst(d)
+    val pred = DatePred.All.withMin(day("2022-03-02")).withMax(day("2022-03-04"))
+    DecodeStats.unrstVecPayloads.reset()
+    val rows = EclBinary.restartCaseRows(path, Seq("PRESSURE", "SWAT"), pred).toVector
+    assert(DecodeStats.unrstVecPayloads.sum() === 6) // 3 steps x 2 vectors
+    assert(rows.map(_.getDate(1).toString).distinct.sorted ===
+      Vector("2022-03-02", "2022-03-03", "2022-03-04"))
+  }
+
+  test("rft kernel: WELL + DATE filters skip disqualified groups' vectors") {
+    val d = tmpDir("rft")
+    val path = writeRft(d)
+
+    DecodeStats.rftVecPayloads.reset()
+    val full = EclBinary.rftCaseRows(path, Seq("DEPTH", "PRESSURE")).toVector
+    assert(DecodeStats.rftVecPayloads.sum() === 6) // 3 groups x 2 vectors
+    assert(full.size === 18)
+
+    // well-only
+    DecodeStats.rftVecPayloads.reset()
+    val w1 = EclBinary.rftCaseRows(path, Seq("DEPTH", "PRESSURE"),
+      wells = Some(Set("W1"))).toVector
+    assert(DecodeStats.rftVecPayloads.sum() === 2)
+    assert(w1 === full.filter(_.getString(2) == "W1"))
+
+    // date-only
+    val pred = DatePred.All.withEqual(day("2023-05-03"))
+    DecodeStats.rftVecPayloads.reset()
+    val d3 = EclBinary.rftCaseRows(path, Seq("DEPTH", "PRESSURE"), pred).toVector
+    assert(DecodeStats.rftVecPayloads.sum() === 2)
+    assert(d3 === full.filter(_.getDate(1).toString == "2023-05-03"))
+
+    // conjunction that excludes everything: zero data payloads decoded
+    DecodeStats.rftVecPayloads.reset()
+    val none = EclBinary.rftCaseRows(path, Seq("DEPTH", "PRESSURE"), pred,
+      Some(Set("W0"))).toVector
+    assert(DecodeStats.rftVecPayloads.sum() === 0)
+    assert(none.isEmpty)
+  }
+
+  test("unsmry kernel: TIME-element pre-scan decodes only in-range PARAMS") {
+    import spark.implicits._
+    val d = tmpDir("unsmry")
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "FOPT").zipWithIndex
+      t <- 0 until 20
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 6, 1).plusDays(t)),
+      100.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/PUSH")
+
+    DecodeStats.unsmryParams.reset()
+    val full = graft.write.SummaryWriter.summaryCaseTuples(s"$d/PUSH.UNSMRY").toVector
+    assert(DecodeStats.unsmryParams.sum() === 20)
+    assert(full.size === 40)
+
+    val pred = DatePred.All
+      .withMin(day("2021-06-05")).withMax(day("2021-06-07"))
+    DecodeStats.unsmryParams.reset()
+    val filtered = graft.write.SummaryWriter
+      .summaryCaseTuples(s"$d/PUSH.UNSMRY", pred).toVector
+    assert(DecodeStats.unsmryParams.sum() === 3) // steps 4,5,6 of 20
+    // same tuples (incl. the ORIGINAL step ordinals), just restricted
+    assert(filtered === full.filter(t => pred.keep(t._2)))
+  }
+
+  // ---- DSv2 end-to-end ------------------------------------------------------
+
+  test("DSv2 unrst: pushed DATE filter skips decode and keeps answers exact") {
+    val d = tmpDir("dsv2-unrst")
+    val path = writeUnrst(d)
+    val df = spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE,SWAT").load(path)
+      .where(col("DATE") === lit(java.sql.Date.valueOf("2022-03-02")))
+
+    // the scan advertises the pushed predicate
+    assert(df.queryExecution.executedPlan.toString.contains("datePred"))
+
+    DecodeStats.unrstVecPayloads.reset()
+    // no orderBy: a range-sort would sample-scan the source a second
+    // time and double the payload count; sort driver-side instead
+    val got = df.select("DATE", "ACTIVE_IDX", "PRESSURE", "SWAT")
+      .collect().sortBy(_.getLong(1))
+    assert(DecodeStats.unrstVecPayloads.sum() === 2) // one step, not five
+    assert(got.length === 40)
+    assert(got.forall(_.getDate(0).toString == "2022-03-02"))
+    assert(got.map(r => (r.getLong(1), r.getDouble(2))).take(3) ===
+      Array((0L, 10.0), (1L, 11.0), (2L, 12.0)))
+  }
+
+  test("DSv2 rft: pushed WELL IN filter prunes groups across the file") {
+    val d = tmpDir("dsv2-rft")
+    val path = writeRft(d)
+    val df = spark.read.format("eclipse-rft")
+      .option("vectors", "DEPTH,PRESSURE").load(path)
+      .where(col("WELL").isin("W0", "W2"))
+    DecodeStats.rftVecPayloads.reset()
+    val got = df.select("WELL", "CONIDX", "DEPTH")
+      .collect().sortBy(r => (r.getString(0), r.getInt(1)))
+    // group pruning COMPOSES with column pruning: 2 of 3 groups survive
+    // the WELL filter, and PRESSURE is pruned away (only DEPTH selected)
+    assert(DecodeStats.rftVecPayloads.sum() === 2)
+    assert(got.map(_.getString(0)).distinct === Array("W0", "W2"))
+    assert(got.length === 12)
+  }
+
+  test("DSv2 unsmry: pushed DATE range matches the unfiltered scan filtered") {
+    import spark.implicits._
+    val d = tmpDir("dsv2-unsmry")
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "WBHP:A1").zipWithIndex
+      t <- 0 until 15
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2022, 2, 1).plusDays(t)),
+      10.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/PUSH")
+
+    val lo = java.sql.Date.valueOf("2022-02-04")
+    val hi = java.sql.Date.valueOf("2022-02-06")
+    val base = spark.read.format("eclipse-unsmry").load(s"$d/PUSH.UNSMRY")
+    val expected = base.collect()
+      .filter(r => !r.getDate(1).before(lo) && !r.getDate(1).after(hi))
+      .map(_.toString).sorted
+    DecodeStats.unsmryParams.reset()
+    val got = base.where(col("DATE").between(lit(lo), lit(hi))).collect()
+    assert(DecodeStats.unsmryParams.sum() === 3) // 3 of 15 ministeps
+    assert(got.map(_.toString).sorted === expected)
+  }
+
+  test("DSv2: unfiltered scans and egrid are unaffected by the pushdown surface") {
+    val d = tmpDir("dsv2-plain")
+    val path = writeUnrst(d)
+    val n = spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE").load(path).count()
+    assert(n === 200)
+    // a non-DATE filter is simply not pushed (post-scan only)
+    val k = spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE").load(path)
+      .where(col("PRESSURE") > 20.0).count()
+    assert(k > 0 && k < 200)
+  }
+}

@@ -1799,6 +1799,32 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.exists { case (id, c, d) => d && c == global(id) })
   }
 
+  test("q175: checkpoint restart resumes state, reprocesses nothing") {
+    val (outDf, b1, b2) =
+      graft.queries.StreamGate.sigDedupCkptRun(spark, Sf)
+    val recovered = outDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // run 1 processed exactly the first half of the arrival files (one
+    // micro-batch each); batch ids CONTINUE across the restart, so run 2
+    // adds only the second half — a reprocess would overshoot, a
+    // from-scratch restart would reset the batch id to the first half
+    assert(b1 >= 4 && b1 <= 5, s"run 1 processed $b1 batches")
+    assert(b2 > b1, s"restart did not advance: $b1 -> $b2")
+    assert(b2 - b1 >= 4 && b2 - b1 <= 5, s"run 2 processed ${b2 - b1} batches")
+    // the recovered two-run output equals the uninterrupted q163 run
+    // row for row: state restored (open chains continue their canonical
+    // ids across the kill point), nothing double-emitted
+    val single = graft.queries.StreamGate.sigDedupTtlRun(spark, Sf)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(recovered == single && recovered.nonEmpty)
+    // the kill point sits inside live chains: some canonical id from
+    // run 1 is referenced by a run-2 doc (state carry is actually load-
+    // bearing, not vacuous)
+    val half = recovered.map(_._1).sorted.apply(recovered.size / 2)
+    assert(recovered.exists { case (id, c, _) => id >= half && c < half },
+      "no chain crosses the restart boundary - recovery untested")
+  }
+
   test("q166: incremental pack layout equals the batch layout across batches") {
     val (outDf, batches) = graft.queries.StreamGate.streamPackIncRun(spark, Sf)
     assert(batches > 1, s"expected a multi-batch run, got $batches")
