@@ -68,11 +68,24 @@ class EclRestartDataSource extends TableProvider with DataSourceRegister {
 
 class EclSummaryDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "eclipse-unsmry"
+  // writes hand the DataFrame's own schema through getTable (reads
+  // still infer): `df.write.format("eclipse-unsmry").save(dir)` must
+  // validate against (CASE, DATE, VECTOR, VALUE) without a STEP column
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     EclBinaryDataSource.schemaFor("unsmry", Nil)
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    EclBinaryDataSource.table("unsmry", properties)
+      properties: util.Map[String, String]): Table = {
+    val full = EclBinaryDataSource.schemaFor("unsmry", Nil)
+    val external = Option(schema).filter(s =>
+      s.nonEmpty && s.fieldNames.toSet != full.fieldNames.toSet)
+    external.foreach { s =>
+      require(s.fieldNames.forall(full.fieldNames.contains),
+        s"eclipse-unsmry columns are ${full.fieldNames.mkString(", ")}; " +
+          s"got ${s.fieldNames.mkString(", ")}")
+    }
+    EclBinaryDataSource.table("unsmry", properties, external)
+  }
 }
 
 class EclRftDataSource extends TableProvider with DataSourceRegister {
@@ -90,7 +103,8 @@ object EclBinaryDataSource {
       .flatMap(_.split(",")).map(_.trim.toUpperCase).filter(_.nonEmpty)
 
   private[datasource] def table(kind: String,
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String],
+      externalSchema: Option[StructType] = None): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = properties.asScala.getOrElse("path",
       properties.asScala.getOrElse("paths", ""))
@@ -98,7 +112,7 @@ object EclBinaryDataSource {
     // vectors option must not leak into the reader's index math
     val vectors = if (kind == "unsmry") Nil else vectorsOf(opts)
     new EclBinaryTable(kind, path, vectors,
-      opts.getBoolean("mapaxes", false))
+      opts.getBoolean("mapaxes", false), externalSchema)
   }
 
   private[datasource] def extOf(kind: String): String = kind match {
@@ -153,15 +167,28 @@ object EclBinaryDataSource {
 }
 
 class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
-    mapaxes: Boolean) extends Table with SupportsRead {
+    mapaxes: Boolean, externalSchema: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"eclipse-$kind:$path"
   override def schema(): StructType =
-    EclBinaryDataSource.schemaFor(kind, vectors)
+    externalSchema.getOrElse(EclBinaryDataSource.schemaFor(kind, vectors))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (kind == "unsmry")
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
     new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema())
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(kind == "unsmry",
+      s"eclipse-$kind is read-only; only eclipse-unsmry supports BATCH_WRITE")
+    val p = Option(info.options.get("path")).filter(_.nonEmpty).getOrElse(path)
+    new SummaryWriteBuilder(p, info)
   }
 }
 
@@ -191,9 +218,13 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
   private var accepted: Array[Filter] = Array.empty
   private var datePred: graft.io.DatePred = graft.io.DatePred.All
   private var wells: Option[Set[String]] = None
+  private var caseSet: Option[Set[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def intersectInto(cur: Option[Set[String]], s: Set[String]): Option[Set[String]] =
+    Some(cur.fold(s)(_ intersect s))
 
   private def dayOf(v: Any): Option[Long] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
@@ -219,11 +250,17 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
         case LessThanOrEqual("DATE", v) if hasDate && dayOf(v).isDefined =>
           datePred = datePred.withMax(dayOf(v).get); true
         case EqualTo("WELL", w: String) if kind == "rft" =>
-          wells = Some(wells.fold(Set(w))(_ intersect Set(w))); true
+          wells = intersectInto(wells, Set(w)); true
         case In("WELL", ws) if kind == "rft" && ws.nonEmpty &&
             ws.forall(_.isInstanceOf[String]) =>
-          val s = ws.map(_.asInstanceOf[String]).toSet
-          wells = Some(wells.fold(s)(_ intersect s)); true
+          wells = intersectInto(wells, ws.map(_.asInstanceOf[String]).toSet); true
+        // CASE filters prune INPUT PARTITIONS — whole files are never
+        // opened (the file-level analog of partition pruning; a
+        // 1000-case ensemble query for one realization opens one file)
+        case EqualTo("CASE", c: String) =>
+          caseSet = intersectInto(caseSet, Set(c)); true
+        case In("CASE", cs) if cs.nonEmpty && cs.forall(_.isInstanceOf[String]) =>
+          caseSet = intersectInto(caseSet, cs.map(_.asInstanceOf[String]).toSet); true
         case _ => false
       }
       if (took) acc += f
@@ -234,23 +271,62 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new EclBinaryScan(kind, path, vectors, mapaxes, required, datePred, wells)
+    new EclBinaryScan(kind, path, vectors, mapaxes, required, datePred, wells,
+      caseSet)
 }
 
 class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
-    wells: Option[Set[String]]) extends Scan with Batch {
+    wells: Option[Set[String]], caseSet: Option[Set[String]])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  // runtime (DPP-style) CASE restriction, delivered by Spark AFTER a
+  // join's build side materializes — set by filter(), consumed by
+  // planInputPartitions; composes (intersects) with the static pushdown
+  private var runtimeCases: Option[Set[String]] = None
+
+  /** What the kernel will emit as this file's CASE value: egrid/unsmry
+    * kernels strip the extension (the INIT/SMSPEC sibling is derived
+    * from the base), unrst/rft carry the path as listed. File-level
+    * pruning must match the EMITTED value or it would silently drop
+    * matching rows. */
+  private def caseIdOf(f: String): String = kind match {
+    case "egrid" => f.dropRight(".EGRID".length)
+    case "unsmry" => f.dropRight(".UNSMRY".length)
+    case _ => f
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val d = if (datePred.trivial) "" else s" datePred=$datePred"
     val w = wells.fold("")(s => s" wells=${s.toSeq.sorted.mkString(",")}")
-    s"eclipse-$kind $path$d$w"
+    val c = caseSet.fold("")(s => s" cases=${s.size}")
+    s"eclipse-$kind $path$d$w$c"
   }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("CASE"))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.foreach {
+      case EqualTo("CASE", c: String) =>
+        runtimeCases = Some(runtimeCases.fold(Set(c))(_ intersect Set(c)))
+      case In("CASE", cs) if cs.forall(_.isInstanceOf[String]) =>
+        val s = cs.map(_.asInstanceOf[String]).toSet
+        runtimeCases = Some(runtimeCases.fold(s)(_ intersect s))
+      case _ => () // unsupported runtime filter: ignore (pruning is optional)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // the partition carries the file path AS LISTED — the kernels never
     // re-append an extension, so lowercase artifact sets stay readable
     EclBinaryDataSource.cases(path, EclBinaryDataSource.extOf(kind))
+      .filter { f =>
+        val id = caseIdOf(f)
+        caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
+      }
       .map(f => EclCaseInputPartition(f): InputPartition)
       .toArray
   }

@@ -664,6 +664,63 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
+  /** q176: CASE-SELECTIVE DSv2 RESTART READ — file-level partition
+    * pruning: `WHERE CASE = …` over the ensemble load plans ONE input
+    * partition; the other cases' files are never opened at all (the
+    * partition-pruning analog for the keyed-file ensemble layout — at
+    * a 1000-realization study, one realization's query touches one
+    * file). Gated against the q165 oracle restricted to that case; the
+    * companion spec pins partitions-planned = 1 and zero decode from
+    * unmatched files. Runtime (join-driven) CASE restriction rides the
+    * same hook via SupportsRuntimeFiltering.
+    */
+  def q176CasePushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q176")
+    val paths = (0 until RstCases).map(c => writeRstCase(tmp, c))
+    s.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
+      .load(paths: _*)
+      .where(col("CASE") === paths(2))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)\\.UNRST$", 1).cast("int"))
+      .select(col("case_id"), col("DATE").cast("timestamp").as("date"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PRESSURE").as("pressure"), col("SWAT").as("swat"))
+      .orderBy(col("case_id"), col("date"), col("active_idx"))
+  }
+
+  /** q177: DSv2 SUMMARY FLEET WRITE→READ ROUND TRIP — the S16
+    * `df2ressum` symmetry at ensemble scale through the REGISTERED
+    * format in BOTH directions: the closed-form fleet frame written by
+    * `df.write.format("eclipse-unsmry").save(dir)` (one distributed
+    * write; the Write REQUIRES clustering by CASE and ordering by
+    * (CASE, DATE, VECTOR), so Spark plans the one exchange and each
+    * task streams whole cases to SMSPEC/UNSMRY pairs with a
+    * rename-on-commit protocol), then read back by the same format and
+    * gated against the q167 fleet oracle verbatim. The input is
+    * deliberately SHUFFLED first — the hash only matches if the
+    * required distribution actually regrouped it.
+    */
+  def q177SummaryFleetWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = fixtureDir("q177")
+    val rows = for {
+      c <- 0 until FleetCases
+      (v, vi) <- SumVectors.zipWithIndex
+      d <- 0 until SumDays
+    } yield (s"CASE$c",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+      v, 1000.0 * vi + d + 7.0 * c + (d % 32) / 32.0)
+    rows.toDF("CASE", "DATE", "VECTOR", "VALUE")
+      .orderBy(rand(11)) // prove the required clustering regroups it
+      .write.format("eclipse-unsmry").mode("overwrite").save(tmp)
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
   def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q148")
     val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
@@ -1357,6 +1414,8 @@ object BinaryGate {
     "q172_sql_ddl_grid" -> (q172SqlDdlGrid _),
     "q173_rft_well_pushdown" -> (q173RftWellPushdown _),
     "q174_unsmry_date_pushdown" -> (q174SummaryDatePushdown _),
+    "q176_case_pushdown" -> (q176CasePushdown _),
+    "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1741,6 +1800,10 @@ object BinaryGate {
     "q172_sql_ddl_grid" -> gridOracle,
     "q173_rft_well_pushdown" -> rftFleetOracleWhere("c IN (1, 2) AND t = 1"),
     "q174_unsmry_date_pushdown" -> summaryFleetOracleWhere("day BETWEEN 9 AND 11"),
+    // file-level pruning keeps exactly case 2's steps; the write→read
+    // round trip must reproduce the fleet frame verbatim
+    "q176_case_pushdown" -> rstOracleWhere("c = 2"),
+    "q177_unsmry_fleet_write" -> summaryFleetOracle,
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),

@@ -216,8 +216,11 @@ object ScaleStress {
       def timeFleetRead(n: Int): Double = {
         val paths = (0 until n).map(c => s"$fleetDir/CASE$c.UNRST").mkString(",")
         val t0 = System.nanoTime()
+        // aggregate the vectors (a bare count() would prune them away
+        // and time only the INTEHEAD walk)
         spark.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
-          .load(paths).count()
+          .load(paths)
+          .agg(sum(col("PRESSURE")), sum(col("SWAT"))).collect()
         (System.nanoTime() - t0) / 1e9
       }
       val r4 = Seq(timeFleetRead(4), timeFleetRead(4)).min
@@ -225,6 +228,23 @@ object ScaleStress {
       val r400 = Seq(timeFleetRead(400), timeFleetRead(400)).min
       println(f"SCALE q120_fleet_dsv2 cases=4:${r4}%.2fs cases=400:${r400}%.2fs " +
         f"ratio=${r400 / r4}%.1f peak_task_mb=$peakMb")
+      // the DATE pushdown at fleet scale: `DATE = one step` over all 400
+      // cases must beat the full read (2 of 3 steps' payloads seeked
+      // past per case) — the wall-clock form of EclPushdownSpec's
+      // payload-count proof
+      def timeFleetDate(n: Int): (Double, Long) = {
+        val paths = (0 until n).map(c => s"$fleetDir/CASE$c.UNRST").mkString(",")
+        graft.io.DecodeStats.unrstVecPayloads.reset()
+        val t0 = System.nanoTime()
+        spark.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
+          .load(paths)
+          .where(col("DATE") === lit(java.sql.Date.valueOf("2022-01-02")))
+          .agg(sum(col("PRESSURE")), sum(col("SWAT"))).collect()
+        ((System.nanoTime() - t0) / 1e9, graft.io.DecodeStats.unrstVecPayloads.sum())
+      }
+      val (rd, decoded) = Seq(timeFleetDate(400), timeFleetDate(400)).minBy(_._1)
+      println(f"SCALE q171_fleet_date_pushdown cases=400 full:${r400}%.2fs " +
+        f"one_date:${rd}%.2fs payloads_decoded=$decoded (full would be ${400 * 3 * 2})")
     }
 
     // Adversarial JOIN-KEY skew for the dedup shuffle (r10 verdict #4):

@@ -50,9 +50,22 @@ object SummaryWriter {
       restartFrom: Option[String] = None): Seq[String] = {
     val rows = df.select(col("DATE").cast("date"), col("VECTOR"), col("VALUE").cast("double"))
       .collect()
-    val dates = rows.map(_.getDate(0).toLocalDate).distinct.sorted(Ordering.by[LocalDate, Long](_.toEpochDay))
-    val vectors = rows.map(_.getString(1)).distinct.sorted.toIndexedSeq
-    val byKey = rows.map(r => (r.getDate(0).toLocalDate, r.getString(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getDouble(2)))
+    writeCaseFiles(basePath, rows, restartFrom)
+  }
+
+  /** Write ONE case's long-form `(date, vector, value)` rows as
+    * `basePath.{SMSPEC, UNSMRY}` — the in-memory kernel shared by
+    * [[write]] (driver-side, after its collect) and the
+    * `eclipse-unsmry` DataSourceV2 BATCH_WRITE task writers (executor-
+    * side, one case per cluster key). A case's rows are one float per
+    * vector per step — always task-sized. */
+  private[graft] def writeCaseFiles(basePath: String,
+      rows: Array[(LocalDate, String, Double)],
+      restartFrom: Option[String] = None): Seq[String] = {
+    val dates = rows.map(_._1).distinct.sorted(Ordering.by[LocalDate, Long](_.toEpochDay))
+    val vectors = rows.map(_._2).distinct.sorted.toIndexedSeq
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
     val start = dates.headOption.getOrElse(LocalDate.of(2000, 1, 1))
 
     // TIME (days since start) is param 0, matching the convention that the

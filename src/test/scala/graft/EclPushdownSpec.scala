@@ -212,6 +212,54 @@ class EclPushdownSpec extends AnyFunSuite {
     assert(got.map(_.toString).sorted === expected)
   }
 
+  test("DSv2: CASE equality prunes input partitions - unmatched files never open") {
+    val d = tmpDir("case-prune")
+    val paths = (0 until 3).map { c =>
+      val p = s"$d/CASE$c.UNRST"
+      EclKw.write(p, (0 until 2).flatMap { t =>
+        val intehead = Array.tabulate(67) {
+          case 11 => 10; case 64 => 1 + t; case 65 => 7; case 66 => 2024; case _ => 0
+        }
+        Seq(Kw("SEQNUM", "INTE", Array(t)), Kw("INTEHEAD", "INTE", intehead),
+          Kw("PRESSURE", "REAL", Array.tabulate(10)(a => a + 100f * c)))
+      })
+      p
+    }
+    val df = spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE").load(paths: _*)
+      .where(col("CASE") === paths(1))
+    // file-level pruning: ONE input partition planned, not three
+    assert(df.rdd.getNumPartitions === 1)
+    DecodeStats.unrstVecPayloads.reset()
+    val got = df.select("CASE", "ACTIVE_IDX", "PRESSURE").collect()
+    assert(DecodeStats.unrstVecPayloads.sum() === 2) // case 1 only: 2 steps x 1 vec
+    assert(got.length === 20 && got.forall(_.getString(0) == paths(1)))
+    assert(got.forall(r => r.getDouble(2) >= 100.0 && r.getDouble(2) < 200.0))
+  }
+
+  test("DSv2: runtime (join-driven) CASE filtering is accepted without changing results") {
+    import spark.implicits._
+    val d = tmpDir("case-runtime")
+    val paths = (0 until 3).map { c =>
+      val p = s"$d/CASE$c.UNRST"
+      EclKw.write(p, Seq(
+        Kw("SEQNUM", "INTE", Array(0)),
+        Kw("INTEHEAD", "INTE", Array.tabulate(67) {
+          case 11 => 5; case 64 => 1; case 65 => 7; case 66 => 2024; case _ => 0
+        }),
+        Kw("PRESSURE", "REAL", Array.tabulate(5)(a => a + 10f * c))))
+      p
+    }
+    val scan = spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE").load(paths: _*)
+    val wanted = Seq(paths(0), paths(2)).toDF("CASE")
+    val joined = scan.join(broadcast(wanted), Seq("CASE"))
+      .select("CASE", "ACTIVE_IDX", "PRESSURE").collect()
+    assert(joined.length === 10)
+    assert(joined.map(_.getString(0)).distinct.sorted ===
+      Array(paths(0), paths(2)).sorted)
+  }
+
   test("DSv2: unfiltered scans and egrid are unaffected by the pushdown surface") {
     val d = tmpDir("dsv2-plain")
     val path = writeUnrst(d)
