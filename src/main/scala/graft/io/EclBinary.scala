@@ -457,9 +457,11 @@ object EclBinary {
     * lazy-advance stream contract, as in [[unrst]]'s `dates` path), so
     * the payloads of unselected report steps are seeked past, never
     * decoded — on a 200-step ensemble member a `DATE = last` query
-    * decodes 1/200th of the bytes. The flush-level re-check keeps the
-    * filter exact even for a pathological file ordering the byte-skip
-    * can't exploit.
+    * decodes 1/200th of the bytes. Until a step's INTEHEAD has been
+    * seen the predicate decodes PESSIMISTICALLY (skip only after an
+    * exact verdict): a pathological writer emitting vectors before the
+    * clock costs decode, never correctness — the flush-level re-check
+    * then drops non-matching steps whole.
     */
   private[graft] def restartCaseRows(path: String, vecNames: Seq[String],
       datePred: DatePred = DatePred.All): Iterator[Row] = {
@@ -467,7 +469,7 @@ object EclBinary {
     val steps = Vector.newBuilder[(java.sql.Date, Int, Map[String, Array[Double]])]
     var cur: List[EclKw.Kw] = Nil
     var started = false
-    var stepOk = datePred.trivial
+    var stepOk = true
     def flush(): Unit = if (started && stepOk) {
       val g = cur.reverse
       val nactive = nactiveOf(g, path)
@@ -484,7 +486,7 @@ object EclBinary {
       it.foreach { kw =>
         if (kw.name == "SEQNUM") {
           flush(); cur = Nil; started = true
-          stepOk = datePred.trivial // unknown until this step's INTEHEAD
+          stepOk = true // unknown until this step's INTEHEAD: decode, don't skip
         } else if (started) {
           if (kw.name == "INTEHEAD")
             stepOk = datePred.trivial || datePred.keep(intestampDate(kw.ints))
@@ -526,16 +528,21 @@ object EclBinary {
     // set when the current step's INTEHEAD is processed; the lazy-advance
     // stream contract guarantees the select predicate observes it before
     // judging the step's cell-vector headers, so payloads of unselected
-    // report steps are SEEKED PAST, never decoded
-    var stepOk = wantedDate.isEmpty
+    // report steps are SEEKED PAST, never decoded. Until the INTEHEAD
+    // is seen the predicate decodes PESSIMISTICALLY (a writer emitting
+    // vectors before the clock costs decode, never dropped values);
+    // the flush-level re-check drops non-matching steps whole.
+    var stepOk = true
     def flush(): Unit = if (started && stepOk) {
       val g = cur.reverse
       val nactive = nactiveOf(g, path)
       val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
-      val cellVecs = g.filter(k => isCellVector(k.name, k.typ, wantedVec) &&
-        k.data.length == nactive)
-      frames += cellFrame(spark, nactive, cellVecs,
-        extra = Seq(StructField("DATE", DateType, nullable = false) -> date))
+      if (wantedDate.isEmpty || wantedDate(date)) {
+        val cellVecs = g.filter(k => isCellVector(k.name, k.typ, wantedVec) &&
+          k.data.length == nactive)
+        frames += cellFrame(spark, nactive, cellVecs,
+          extra = Seq(StructField("DATE", DateType, nullable = false) -> date))
+      }
     }
     EclKw.stream(path, (name, typ, _) =>
       name == "SEQNUM" || name == "INTEHEAD" ||
@@ -543,7 +550,7 @@ object EclBinary {
       it.foreach { kw =>
         if (kw.name == "SEQNUM") {
           flush(); cur = Nil; started = true
-          stepOk = wantedDate.isEmpty // unknown until this step's INTEHEAD
+          stepOk = true // unknown until this step's INTEHEAD
         } else if (started) {
           if (kw.name == "INTEHEAD")
             stepOk = wantedDate.isEmpty || wantedDate(intestampDate(kw.ints))
@@ -686,9 +693,12 @@ object EclBinary {
     * before the per-connection data vectors, so once either disqualifies
     * the group the remaining data payloads are seeked past at the byte
     * level (the lazy-advance stream contract — the select predicate
-    * observes the flags the foreach sets on the PREVIOUS keyword). The
-    * flush-level re-check keeps the filter exact regardless of keyword
-    * order inside a group.
+    * observes the flags the foreach sets on the PREVIOUS keyword).
+    * Until a clock keyword has been seen its flag decodes
+    * PESSIMISTICALLY (skip only after an exact verdict), so a
+    * pathological writer emitting data vectors before the clock costs
+    * decode, never correctness — the flush-level re-check then drops
+    * disqualified groups whole.
     */
   private[graft] def rftCaseRows(path: String, vecNames: Seq[String],
       datePred: DatePred = DatePred.All,
@@ -699,8 +709,8 @@ object EclBinary {
     val groups = Vector.newBuilder[(java.sql.Date, String, Int, Map[String, Array[Double]])]
     var cur: List[EclKw.Kw] = Nil
     var started = false
-    var dateOk = datePred.trivial
-    var wellOk = wells.isEmpty
+    var dateOk = true
+    var wellOk = true
     def flush(): Unit = if (started && dateOk && wellOk) {
       val g = cur.reverse
       g.find(_.name == "CONIPOS").foreach { conipos =>
@@ -720,8 +730,9 @@ object EclBinary {
       it.foreach { kw =>
         if (kw.name == "TIME") {
           flush(); cur = List(kw); started = true
-          dateOk = datePred.trivial // unknown until this group's DATE
-          wellOk = wells.isEmpty //   … and WELLETC
+          // unknown until this group's DATE/WELLETC: decode, don't skip
+          dateOk = true
+          wellOk = true
         } else if (started) {
           if (kw.name == "DATE")
             dateOk = datePred.trivial || datePred.keep(dateOf(kw))

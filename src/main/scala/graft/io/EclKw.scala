@@ -91,6 +91,21 @@ object EclKw {
     * zero-length data records (some writers emit them) are consumed and
     * skipped.
     */
+  /** Read and validate one data record's leading length marker: the
+    * ONE copy of the framing invariants (non-negative, whole elements,
+    * within the remaining count) shared by the full decode, the skip
+    * path, and the single-element peek — a framing fix lands in all
+    * three walks at once.
+    */
+  private def recordLen(in: DataInputStream, h: Head, remaining: Int): Int = {
+    val len = in.readInt()
+    require(len >= 0 && len % h.w == 0,
+      s"${h.name}: ${h.typ} record of $len bytes is not a whole number of ${h.w}-byte elements")
+    require(len / h.w <= remaining,
+      s"${h.name}: ${h.typ} record of $len bytes vs $remaining remaining elements")
+    len
+  }
+
   private def readData(in: DataInputStream, h: Head): Array[_] = {
     val out: Array[_] = h.typ match {
       case "INTE" => new Array[Int](h.n)
@@ -103,12 +118,8 @@ object EclKw {
     val total = if (h.w == 0) 0 else h.n
     var filled = 0
     while (filled < total) {
-      val len = in.readInt()
-      require(len >= 0 && len % h.w == 0,
-        s"${h.name}: ${h.typ} record of $len bytes is not a whole number of ${h.w}-byte elements")
+      val len = recordLen(in, h, total - filled)
       val count = len / h.w
-      require(count <= total - filled,
-        s"${h.name}: ${h.typ} record of $len bytes vs ${total - filled} remaining elements")
       if (count > 0) {
         val bytes = new Array[Byte](len)
         in.readFully(bytes)
@@ -138,20 +149,10 @@ object EclKw {
   private def skipData(in: DataInputStream, h: Head): Unit = {
     var remaining = if (h.w == 0) 0 else h.n
     while (remaining > 0) {
-      val len = in.readInt()
-      require(len >= 0 && len % h.w == 0,
-        s"${h.name}: ${h.typ} record of $len bytes is not a whole number of ${h.w}-byte elements")
-      val count = len / h.w
-      require(count <= remaining,
-        s"${h.name}: ${h.typ} record of $len bytes vs $remaining remaining elements")
-      var toSkip = len
-      while (toSkip > 0) {
-        val s = in.skipBytes(toSkip)
-        if (s <= 0) throw new EOFException(s"${h.name}: EOF inside a $len-byte data record")
-        toSkip -= s
-      }
+      val len = recordLen(in, h, remaining)
+      skipFully(in, len)
       in.readInt() // trailing length
-      remaining -= count
+      remaining -= len / h.w
     }
   }
 
@@ -229,12 +230,8 @@ object EclKw {
             s"$kwName: element $elemIdx out of range (n=${hd.n})")
           var filled = 0
           while (filled < hd.n) {
-            val len = in.readInt()
-            require(len >= 0 && len % hd.w == 0,
-              s"$kwName: REAL record of $len bytes is not whole elements")
+            val len = recordLen(in, hd, hd.n - filled)
             val count = len / hd.w
-            require(count <= hd.n - filled,
-              s"$kwName: record of $len bytes vs ${hd.n - filled} remaining elements")
             if (elemIdx >= filled && elemIdx < filled + count) {
               skipFully(in, (elemIdx - filled) * hd.w)
               out += in.readFloat()

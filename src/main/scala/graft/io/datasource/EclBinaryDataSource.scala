@@ -157,6 +157,8 @@ object EclBinaryDataSource {
     * extension threads into directory listings so a bare ensemble
     * directory load finds its members). */
   private[datasource] def cases(path: String, ext: String): Seq[String] = {
+    // strict per-path resolution: a typo'd explicit file in a BATCH
+    // load fails with that path named, not a silent drop
     val files = DeckScan.splitPaths(path)
       .flatMap(p => DeckScan.expand(p, ext = ext))
       .filter(_.toUpperCase.endsWith(ext))
@@ -164,6 +166,14 @@ object EclBinaryDataSource {
     require(files.nonEmpty, s"no $ext files match $path")
     files
   }
+
+  /** As [[cases]], but an empty match is fine — the STREAMING source
+    * polls a directory that may not have received its first case yet. */
+  private[datasource] def casesLenient(path: String, ext: String): Seq[String] =
+    DeckScan.splitPaths(path)
+      .flatMap(p => DeckScan.expand(p, lenient = true, ext = ext))
+      .filter(_.toUpperCase.endsWith(ext))
+      .distinct.sorted
 }
 
 class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
@@ -176,8 +186,9 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
   override def capabilities(): util.Set[TableCapability] =
     if (kind == "unsmry")
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
-    else util.EnumSet.of(TableCapability.BATCH_READ)
+        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
     new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema())
@@ -332,6 +343,11 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EclBinaryMicroBatchStream(kind, path, vectors, mapaxes, required,
+      datePred, wells, caseSet)
 }
 
 case class EclCaseInputPartition(caseFile: String) extends InputPartition

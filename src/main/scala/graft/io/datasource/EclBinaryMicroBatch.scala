@@ -1,0 +1,88 @@
+package graft.io.datasource
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** MICRO_BATCH_READ for the binary ensemble formats — arriving
+  * realizations become a STREAM:
+  *
+  *   spark.readStream.format("eclipse-unsmry").load("ensemble/&#42;.UNSMRY")
+  *
+  * An ensemble run lands case files over hours as realizations finish;
+  * this source turns each newly arrived case into exactly one input
+  * partition of the next micro-batch, decoded by the SAME per-case
+  * kernels (and honoring the same pushed-down DATE/WELL/CASE filters)
+  * as the batch scan — so a live misfit scoreboard (q143's shape) can
+  * watch UNSMRY files directly instead of a converted event table.
+  *
+  * Offsets are the SORTED LIST of case files already surfaced,
+  * serialized as a JSON array into the checkpoint's offset log — the
+  * same recovery contract as Spark's own file source: a restart reads
+  * the last committed offset and processes only files not in it.
+  * Ensembles are 10²–10³ cases, so the offset is a few hundred paths —
+  * well inside offset-log scale (the built-in file source logs the
+  * same information per batch). A file, once listed, is assumed
+  * immutable and never re-read (the simulator writes a case once and
+  * moves on; in-progress cases should be written under a different
+  * extension or directory and renamed into place, the standard
+  * atomic-publish idiom).
+  */
+class EclBinaryMicroBatchStream(kind: String, path: String,
+    vectors: Seq[String], mapaxes: Boolean, required: StructType,
+    datePred: graft.io.DatePred, wells: Option[Set[String]],
+    caseSet: Option[Set[String]]) extends MicroBatchStream {
+
+  private def listNow(): Seq[String] =
+    EclBinaryDataSource.casesLenient(path, EclBinaryDataSource.extOf(kind))
+      .filter { f =>
+        val id = kind match {
+          case "egrid" => f.dropRight(".EGRID".length)
+          case "unsmry" => f.dropRight(".UNSMRY".length)
+          case _ => f
+        }
+        caseSet.forall(_.contains(id))
+      }
+
+  override def initialOffset(): Offset = EclFilesOffset(Nil)
+  override def latestOffset(): Offset = EclFilesOffset(listNow())
+  override def deserializeOffset(json: String): Offset =
+    EclFilesOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[EclFilesOffset].files.toSet
+    end.asInstanceOf[EclFilesOffset].files
+      .filterNot(seen)
+      .map(f => EclCaseInputPartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
+}
+
+/** The processed-file set, sorted for deterministic json()/equality. */
+case class EclFilesOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+}
+
+object EclFilesOffset {
+  def fromJson(json: String): EclFilesOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"bad files offset: $json")
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
+      .map(m => m.group(1)
+        .replace("\\\"", "\"")
+        .replace("\\\\", "\\"))
+      .toVector
+    EclFilesOffset(files)
+  }
+}

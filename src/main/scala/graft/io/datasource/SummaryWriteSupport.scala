@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DateType, DoubleType, StringType, StructType}
 
 /** BATCH_WRITE for the `eclipse-unsmry` format — the S16 `df2ressum`
   * symmetry made SQL/DataFrame-reachable at FLEET scale:
@@ -26,10 +26,16 @@ import org.apache.spark.sql.types.StructType
   * 1000-realization ensemble writes as ~1000 independent case files
   * across the cluster with exactly one exchange.
   *
-  * Commit protocol: tasks write `<base>.<ext>.inprogress` and the
-  * driver COMMIT renames all pairs into place (same-directory atomic
-  * rename per file); abort deletes the temporaries — a failed job
-  * leaves no half-written case visible under the canonical names.
+  * Commit protocol (task-retry and speculative-attempt safe): every
+  * attempt stages under a hidden per-attempt directory
+  * (`.eclipse-unsmry-staging-<part>-<task>/` — invisible to the
+  * `*.UNSMRY` readers), then promotes each file to an ATTEMPT-UNIQUE
+  * temporary (`<base>.<ext>.inprogress-<task>`). Only the attempt whose
+  * commit message the driver receives gets its temporaries renamed into
+  * the canonical names (same-directory atomic rename per file); a
+  * losing attempt's abort deletes only ITS OWN suffixed files, so
+  * concurrent attempts can never clobber each other, and a crashed
+  * attempt's debris never matches a reader's extension filter.
   */
 class SummaryWriteBuilder(savePath: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -40,10 +46,20 @@ class SummaryWriteBuilder(savePath: String, info: LogicalWriteInfo)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val schema = info.schema()
-    require(Seq("CASE", "DATE", "VECTOR", "VALUE")
-      .forall(schema.fieldNames.contains),
-      s"eclipse-unsmry write needs CASE, DATE, VECTOR, VALUE columns; got " +
-        schema.fieldNames.mkString(", "))
+    // validate TYPES, not just names: supportsExternalMetadata hands the
+    // DataFrame's own schema through analysis, so a TimestampType DATE
+    // or IntegerType VALUE would otherwise reinterpret raw row slots
+    private def need(name: String, t: org.apache.spark.sql.types.DataType): Unit = {
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"eclipse-unsmry write needs column $name (schema: " +
+            schema.fieldNames.mkString(", ") + ")"))
+      require(f.dataType == t,
+        s"eclipse-unsmry write column $name must be $t, got ${f.dataType} " +
+          s"- cast it (e.g. CAST($name AS ${t.sql}))")
+    }
+    need("CASE", StringType); need("DATE", DateType)
+    need("VECTOR", StringType); need("VALUE", DoubleType)
 
     override def requiredDistribution(): Distribution =
       Distributions.clustered(Array(Expressions.identity("CASE")))
@@ -67,18 +83,16 @@ class SummaryWriteBuilder(savePath: String, info: LogicalWriteInfo)
   }
 }
 
-private[datasource] case class SummaryCommit(tmpFiles: Seq[String])
+/** `files` are (attempt-unique temporary, canonical destination) pairs. */
+private[datasource] case class SummaryCommit(files: Seq[(String, String)])
     extends WriterCommitMessage
 
 private[datasource] object SummaryWriteSupport {
-  val InProgress = ".inprogress"
-
   def finalizeFiles(messages: Array[WriterCommitMessage])
       (op: (java.nio.file.Path, java.nio.file.Path) => Unit): Unit =
     messages.foreach {
-      case SummaryCommit(tmps) => tmps.foreach { t =>
-        op(java.nio.file.Paths.get(t),
-          java.nio.file.Paths.get(t.stripSuffix(InProgress)))
+      case SummaryCommit(files) => files.foreach { case (tmp, dst) =>
+        op(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dst))
       }
       case other => throw new IllegalStateException(s"unexpected commit $other")
     }
@@ -87,20 +101,24 @@ private[datasource] object SummaryWriteSupport {
 private class SummaryWriterFactory(savePath: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SummaryCaseWriter(savePath, schema)
+    new SummaryCaseWriter(savePath, schema, partitionId, taskId)
 }
 
 /** Streams clustered+sorted rows, cutting a SMSPEC/UNSMRY pair at each
   * CASE boundary. Only ONE case's rows are buffered at a time. */
-private class SummaryCaseWriter(savePath: String, schema: StructType)
-    extends DataWriter[InternalRow] {
+private class SummaryCaseWriter(savePath: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
   private val iCase = schema.fieldIndex("CASE")
   private val iDate = schema.fieldIndex("DATE")
   private val iVec = schema.fieldIndex("VECTOR")
   private val iVal = schema.fieldIndex("VALUE")
   private var current: String = null
   private val buf = ArrayBuffer.empty[(LocalDate, String, Double)]
-  private val written = ArrayBuffer.empty[String]
+  private val files = ArrayBuffer.empty[(String, String)] // (tmp, dst)
+  // hidden + attempt-unique: a crashed attempt's debris neither matches
+  // a reader's *.UNSMRY filter nor collides with a retry's staging
+  private val tag = s"$partitionId-$taskId"
+  private var stageDir: java.nio.file.Path = null
 
   private def baseOf(c: String): String =
     if (c.startsWith("/")) c
@@ -108,24 +126,29 @@ private class SummaryCaseWriter(savePath: String, schema: StructType)
 
   private def flush(): Unit = if (current != null && buf.nonEmpty) {
     val base = baseOf(current)
-    Option(java.nio.file.Paths.get(base).getParent)
-      .foreach(java.nio.file.Files.createDirectories(_))
-    // write to .inprogress names; the driver commit renames into place
+    val dir = Option(java.nio.file.Paths.get(base).getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    java.nio.file.Files.createDirectories(dir)
+    if (stageDir == null) {
+      stageDir = dir.resolve(s".eclipse-unsmry-staging-$tag")
+      java.nio.file.Files.createDirectories(stageDir)
+    }
+    val caseName = java.nio.file.Paths.get(base).getFileName.toString
     graft.write.SummaryWriter.writeCaseFiles(
-      s"$base${SummaryWriteSupport.InProgress}-stage", buf.toArray)
+      stageDir.resolve(caseName).toString, buf.toArray)
     Seq(".SMSPEC", ".UNSMRY").foreach { ext =>
-      val staged = java.nio.file.Paths.get(
-        s"$base${SummaryWriteSupport.InProgress}-stage$ext")
-      val tmp = java.nio.file.Paths.get(
-        s"$base$ext${SummaryWriteSupport.InProgress}")
-      java.nio.file.Files.move(staged, tmp,
+      val tmp = java.nio.file.Paths.get(s"$base$ext.inprogress-$tag")
+      java.nio.file.Files.move(stageDir.resolve(s"$caseName$ext"), tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      written += tmp.toString
+      files += ((tmp.toString, s"$base$ext"))
     }
     buf.clear()
   }
 
   override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(iCase) && !row.isNullAt(iDate) &&
+      !row.isNullAt(iVec) && !row.isNullAt(iVal),
+      "eclipse-unsmry write: CASE, DATE, VECTOR, VALUE must be non-null")
     val c = row.getUTF8String(iCase).toString
     if (c != current) { flush(); current = c }
     buf += ((LocalDate.ofEpochDay(row.getInt(iDate).toLong),
@@ -134,12 +157,27 @@ private class SummaryCaseWriter(savePath: String, schema: StructType)
 
   override def commit(): WriterCommitMessage = {
     flush()
-    SummaryCommit(written.toSeq)
+    cleanupStage()
+    SummaryCommit(files.toSeq)
   }
   override def abort(): Unit = {
     buf.clear()
-    written.foreach(t =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t)))
+    files.foreach { case (t, _) =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t))
+    }
+    cleanupStage()
   }
-  override def close(): Unit = ()
+  override def close(): Unit = cleanupStage()
+
+  private def cleanupStage(): Unit = if (stageDir != null) {
+    if (java.nio.file.Files.isDirectory(stageDir)) {
+      val s = java.nio.file.Files.list(stageDir)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally s.close()
+      java.nio.file.Files.deleteIfExists(stageDir)
+    }
+    stageDir = null
+  }
 }

@@ -721,6 +721,36 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
+  /** q178: the SUMMARY FLEET as a STREAM — `spark.readStream.format(
+    * "eclipse-unsmry")` over the same closed-form fixtures, MICRO_BATCH
+    * source: arriving realizations become input partitions of the next
+    * micro-batch, decoded by the SAME per-case kernel as the batch scan
+    * (the live ensemble-monitoring shape: a misfit scoreboard watches
+    * UNSMRY files land instead of a converted event table). Offsets are
+    * the processed-file set in the checkpoint's offset log — the spec
+    * additionally proves restart-from-checkpoint processes only new
+    * cases. Gated against the q167 fleet oracle verbatim: the streamed
+    * decode must equal the batch read row for row.
+    */
+  def q178SummaryStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = writeFleetFixture(s, "q178")
+    val sink = "q178_sink"
+    s.catalog.dropTempView(sink)
+    val q = s.readStream.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
   def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q148")
     val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
@@ -1416,6 +1446,7 @@ object BinaryGate {
     "q174_unsmry_date_pushdown" -> (q174SummaryDatePushdown _),
     "q176_case_pushdown" -> (q176CasePushdown _),
     "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
+    "q178_unsmry_stream" -> (q178SummaryStream _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1804,6 +1835,8 @@ object BinaryGate {
     // round trip must reproduce the fleet frame verbatim
     "q176_case_pushdown" -> rstOracleWhere("c = 2"),
     "q177_unsmry_fleet_write" -> summaryFleetOracle,
+    // the streamed decode must equal the batch fleet read verbatim
+    "q178_unsmry_stream" -> summaryFleetOracle,
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),

@@ -365,6 +365,20 @@ object StreamGate {
       s"docarr-v2-$dirTag-${docsFingerprint(dir)}-$nDocs-$maxId")
     if (!java.nio.file.Files.isDirectory(tmp)) {
       java.nio.file.Files.createDirectories(tmp.getParent)
+      // the fingerprint in the tag means a REGENERATED fixture stages
+      // fresh — so stale same-source stagings (old fingerprints, and
+      // any v1-era dirs) must be swept or /tmp grows by one corpus
+      // copy per regeneration
+      import scala.jdk.CollectionConverters._
+      val stale = java.nio.file.Files.list(tmp.getParent)
+      try stale.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n != tmp.getFileName.toString &&
+            (n.startsWith(s"docarr-v2-$dirTag-") || n.startsWith(s"docarr-v1-$dirTag-"))
+        }
+        .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      finally stale.close()
       val scratch = tmp.resolveSibling(
         s"${tmp.getFileName}-scratch-${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(scratch)

@@ -94,6 +94,30 @@ class EclPushdownSpec extends AnyFunSuite {
       Vector("2022-03-02", "2022-03-03", "2022-03-04"))
   }
 
+  test("unrst kernel: vectors BEFORE the clock still decode (pessimistic skip)") {
+    // pathological writer: PRESSURE precedes INTEHEAD inside the group.
+    // The byte-skip cannot engage (the verdict isn't known yet), but the
+    // kept step must carry VALUES, never nulls — skip only after an
+    // exact verdict, re-check at flush.
+    val d = tmpDir("unrst-patho")
+    val path = s"$d/PATHO.UNRST"
+    EclKw.write(path, (0 until 3).flatMap { t =>
+      val intehead = Array.tabulate(67) {
+        case 11 => 8; case 64 => 1 + t; case 65 => 9; case 66 => 2025; case _ => 0
+      }
+      Seq(
+        Kw("SEQNUM", "INTE", Array(t)),
+        Kw("PRESSURE", "REAL", Array.tabulate(8)(a => a + 100f * t)), // before clock!
+        Kw("INTEHEAD", "INTE", intehead))
+    })
+    val pred = DatePred.All.withEqual(day("2025-09-02"))
+    val rows = EclBinary.restartCaseRows(path, Seq("PRESSURE"), pred).toVector
+    assert(rows.size === 8)
+    assert(rows.forall(_.getDate(1).toString == "2025-09-02"))
+    // the values are REAL data, not nulls from a wrongly-skipped payload
+    assert(rows.map(r => r.getDouble(3)).sorted === (0 until 8).map(_ + 100.0))
+  }
+
   test("rft kernel: WELL + DATE filters skip disqualified groups' vectors") {
     val d = tmpDir("rft")
     val path = writeRft(d)

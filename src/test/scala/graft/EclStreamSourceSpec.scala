@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The binary formats as MICRO_BATCH streaming sources: arriving case
+  * files become input partitions, offsets are the processed-file set in
+  * the checkpoint log, and a restart processes only new cases. q178
+  * gates stream-equals-batch against DuckDB; these tests pin the offset
+  * mechanics and recovery.
+  */
+class EclStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-eclstream-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def writeCase(dir: String, c: Int): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "WBHP:W0").zipWithIndex
+      t <- 0 until 4
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(t)),
+      10.0 * vi + t + 100.0 * c)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$dir/CASE$c")
+  }
+
+  test("offset json round-trips, including escaping") {
+    import graft.io.datasource.EclFilesOffset
+    val o = EclFilesOffset(Seq("/a/b/CASE0.UNSMRY", "/odd \"quoted\"/x.UNSMRY"))
+    val back = EclFilesOffset.fromJson(o.json())
+    assert(back.files.sorted === o.files.sorted)
+    assert(EclFilesOffset.fromJson(EclFilesOffset(Nil).json()).files.isEmpty)
+  }
+
+  test("streamed unsmry fleet equals the batch read; restart resumes the offset log") {
+    val src = tmpDir("src")
+    val root = tmpDir("run")
+    val out = s"$root/out"
+    val cp = s"$root/cp"
+    def runOnce(): Long = {
+      val q = spark.readStream.format("eclipse-unsmry").load(s"$src/*.UNSMRY")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+    }
+    // phase 1: two cases
+    (0 until 2).foreach(writeCase(src, _))
+    val rows1 = runOnce()
+    assert(rows1 === 2 * 2 * 4) // 2 cases x 2 vectors x 4 steps
+    // phase 2: two more cases land; restart from the SAME checkpoint
+    (2 until 4).foreach(writeCase(src, _))
+    val rows2 = runOnce()
+    assert(rows2 === 2 * 2 * 4, "restart must process ONLY the new cases")
+    // the union equals the batch read row for row
+    val streamed = spark.read.parquet(out)
+      .select("CASE", "DATE", "VECTOR", "VALUE", "STEP")
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.format("eclipse-unsmry").load(s"$src/*.UNSMRY")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
+  test("an empty source directory streams zero rows without erroring") {
+    val src = tmpDir("empty")
+    val sink = "ecl_empty_sink"
+    spark.catalog.dropTempView(sink)
+    val q = spark.readStream.format("eclipse-unsmry").load(s"$src/*.UNSMRY")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(sink).count() === 0)
+  }
+
+  test("streaming unrst honors vectors option and pushed DATE filters") {
+    import graft.io.EclKw
+    import graft.io.EclKw.Kw
+    val src = tmpDir("unrst")
+    (0 until 2).foreach { c =>
+      EclKw.write(s"$src/CASE$c.UNRST", (0 until 3).flatMap { t =>
+        val intehead = Array.tabulate(67) {
+          case 11 => 6; case 64 => 1 + t; case 65 => 4; case 66 => 2024; case _ => 0
+        }
+        Seq(Kw("SEQNUM", "INTE", Array(t)), Kw("INTEHEAD", "INTE", intehead),
+          Kw("PRESSURE", "REAL", Array.tabulate(6)(a => a + 10f * t + 100f * c)))
+      })
+    }
+    val sink = "ecl_unrst_sink"
+    spark.catalog.dropTempView(sink)
+    val q = spark.readStream.format("eclipse-unrst")
+      .option("vectors", "PRESSURE").load(s"$src/*.UNRST")
+      .where(col("DATE") === lit(java.sql.Date.valueOf("2024-04-02")))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).collect()
+    assert(got.length === 2 * 6) // 2 cases x 6 cells, ONE step
+    assert(got.forall(_.getDate(1).toString == "2024-04-02"))
+  }
+}
