@@ -191,7 +191,8 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
-    new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema())
+    val maxCases = Option(options.get("maxCasesPerTrigger")).map(_.toInt)
+    new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema(), maxCases)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -221,7 +222,7 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
   * make correctness independent of any kernel-ordering assumption.
   */
 class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
-    mapaxes: Boolean, full: StructType)
+    mapaxes: Boolean, full: StructType, maxCases: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -283,12 +284,13 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
 
   override def build(): Scan =
     new EclBinaryScan(kind, path, vectors, mapaxes, required, datePred, wells,
-      caseSet)
+      caseSet, maxCases)
 }
 
 class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
-    wells: Option[Set[String]], caseSet: Option[Set[String]])
+    wells: Option[Set[String]], caseSet: Option[Set[String]],
+    maxCases: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
   // runtime (DPP-style) CASE restriction, delivered by Spark AFTER a
   // join's build side materializes — set by filter(), consumed by
@@ -347,7 +349,7 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new EclBinaryMicroBatchStream(kind, path, vectors, mapaxes, required,
-      datePred, wells, caseSet)
+      datePred, wells, caseSet, maxCases)
 }
 
 case class EclCaseInputPartition(caseFile: String) extends InputPartition

@@ -1,7 +1,8 @@
 package graft.io.datasource
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** MICRO_BATCH_READ for the binary ensemble formats — arriving
@@ -31,7 +32,9 @@ import org.apache.spark.sql.types.StructType
 class EclBinaryMicroBatchStream(kind: String, path: String,
     vectors: Seq[String], mapaxes: Boolean, required: StructType,
     datePred: graft.io.DatePred, wells: Option[Set[String]],
-    caseSet: Option[Set[String]]) extends MicroBatchStream {
+    caseSet: Option[Set[String]], maxCasesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def listNow(): Seq[String] =
     EclBinaryDataSource.casesLenient(path, EclBinaryDataSource.extOf(kind))
@@ -43,6 +46,32 @@ class EclBinaryMicroBatchStream(kind: String, path: String,
         }
         caseSet.forall(_.contains(id))
       }
+
+  // AvailableNow contract: snapshot the listing once, then drain ONLY
+  // that snapshot (files landing mid-drain wait for the next run) — so
+  // the trigger terminates even on a live directory
+  private var availableNowSnapshot: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(listNow())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxCasesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: `maxCasesPerTrigger` cases per micro-batch (a
+    * case = a file = one input partition), the file source's
+    * maxFilesPerTrigger for the ensemble layout — bounds a batch's
+    * decode work when a backlog of finished realizations lands at once.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[EclFilesOffset].files.toSet
+    val unseen = availableNowSnapshot.getOrElse(listNow()).filterNot(seen).sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => unseen.take(mf.maxFiles())
+      case _ => unseen
+    }
+    EclFilesOffset((seen ++ admitted).toSeq)
+  }
 
   override def initialOffset(): Offset = EclFilesOffset(Nil)
   override def latestOffset(): Offset = EclFilesOffset(listNow())

@@ -751,6 +751,62 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
+  /** q179: LIVE ENSEMBLE MISFIT SCOREBOARD — the production composition
+    * of the q178 streaming source: realizations ARRIVE one micro-batch
+    * each (`maxCasesPerTrigger=1`, the source's admission control —
+    * the file source's maxFilesPerTrigger for the ensemble layout),
+    * each arriving case's summary rows join the broadcast OBSERVED
+    * table stream-side (stream-static inner join, stateless → append-
+    * legal, no state store) and publish per-row squared errors; the
+    * scoreboard rollup per case runs on the sink. This is the q126
+    * batch misfit ranking as a LIVE view over UNSMRY files landing —
+    * what a history-match operator actually watches during a run.
+    *
+    * Exactness: value − observed = 3.5·(2c−3) exactly (both sides
+    * dyadic float32-exact), so 4·(value−observed)² = 49·(2c−3)² is an
+    * exact integer — misfit_fp4 is a BIGINT both engines agree on.
+    */
+  def q179StreamScoreboard(s: SparkSession, dir: String): DataFrame =
+    streamScoreboardRun(s, dir)._1
+
+  /** The q179 run, exposing the micro-batch count the spec pins (one
+    * case per batch under maxCasesPerTrigger=1). */
+  private[graft] def streamScoreboardRun(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val tmp = writeFleetFixture(s, "q179")
+    // the observed "truth": the fleet formula at the half-way case
+    // c = 1.5 — every case's error is then 7·(c − 1.5), dyadic-exact
+    val observed = (for {
+      (v, vi) <- SumVectors.zipWithIndex
+      d <- 0 until SumDays
+    } yield (v,
+      java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+      1000.0 * vi + d + 7.0 * 1.5 + (d % 32) / 32.0))
+      .toDF("VECTOR", "DATE", "OBS")
+    val sink = "q179_sink"
+    s.catalog.dropTempView(sink)
+    val q = s.readStream.format("eclipse-unsmry")
+      .option("maxCasesPerTrigger", "1")
+      .load(s"$tmp/*.UNSMRY")
+      .join(broadcast(observed), Seq("VECTOR", "DATE"))
+      .select(col("CASE"), col("VECTOR"), col("DATE"),
+        (((col("VALUE") - col("OBS")) * (col("VALUE") - col("OBS"))) * 4)
+          .cast("long").as("sqerr_fp4"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.lastProgress.batchId + 1
+    (s.table(sink)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .groupBy(col("case_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("sqerr_fp4")).as("misfit_fp4"))
+      .orderBy(col("misfit_fp4"), col("case_id")), batches)
+  }
+
   def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q148")
     val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
@@ -1447,6 +1503,7 @@ object BinaryGate {
     "q176_case_pushdown" -> (q176CasePushdown _),
     "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
     "q178_unsmry_stream" -> (q178SummaryStream _),
+    "q179_stream_scoreboard" -> (q179StreamScoreboard _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1837,6 +1894,15 @@ object BinaryGate {
     "q177_unsmry_fleet_write" -> summaryFleetOracle,
     // the streamed decode must equal the batch fleet read verbatim
     "q178_unsmry_stream" -> summaryFleetOracle,
+    // per case: error = 7(c - 1.5) on every one of the 5x30 rows, so
+    // misfit_fp4 = 150 * 49 * (2c-3)^2 exactly
+    "q179_stream_scoreboard" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id)
+         SELECT CAST(case_id AS INT) AS case_id,
+                CAST(${SumVectors.length * SumDays} AS BIGINT) AS n_rows,
+                CAST(${SumVectors.length * SumDays} * 49 * (2 * case_id - 3)
+                     * (2 * case_id - 3) AS BIGINT) AS misfit_fp4
+         FROM c ORDER BY misfit_fp4, case_id""",
     "q63_rft_binary" ->
       s"""WITH cases AS (SELECT unnest(range($RftCases)) AS c),
          dates AS (SELECT c, unnest(range($RftDates)) AS t FROM cases),

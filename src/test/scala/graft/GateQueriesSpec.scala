@@ -1825,6 +1825,20 @@ class GateQueriesSpec extends AnyFunSuite {
       "no chain crosses the restart boundary - recovery untested")
   }
 
+  test("q179: scoreboard streams one case per micro-batch (admission control)") {
+    val (outDf, batches) =
+      graft.queries.BinaryGate.streamScoreboardRun(spark, Sf)
+    // maxCasesPerTrigger=1 over 4 cases = at least 4 micro-batches
+    assert(batches >= 4, s"expected one case per batch, got $batches batches")
+    val rows = outDf.collect()
+    assert(rows.length === 4)
+    // exact misfit closed form: 150 * 49 * (2c-3)^2, ranked ascending
+    val expect = (0 until 4)
+      .map(c => (c, 150L * 49 * (2 * c - 3) * (2 * c - 3)))
+      .sortBy(t => (t._2, t._1))
+    assert(rows.map(r => (r.getInt(0), r.getLong(2))).toSeq === expect)
+  }
+
   test("q166: incremental pack layout equals the batch layout across batches") {
     val (outDf, batches) = graft.queries.StreamGate.streamPackIncRun(spark, Sf)
     assert(batches > 1, s"expected a multi-batch run, got $batches")
