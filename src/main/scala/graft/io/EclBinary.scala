@@ -472,6 +472,9 @@ object EclBinary {
     var stepOk = true
     def flush(): Unit = if (started && stepOk) {
       val g = cur.reverse
+      // a SEQNUM group without INTEHEAD (truncated/mid-write file) fails
+      // HERE with the path named — nactiveOf throws before the .get below
+      // can, same contract as the unfiltered read
       val nactive = nactiveOf(g, path)
       val date = intestampDate(g.find(_.name == "INTEHEAD").get.ints)
       if (datePred.keep(date)) {

@@ -167,6 +167,18 @@ object EclBinaryDataSource {
     files
   }
 
+  /** What the kernel will emit as this file's CASE value: egrid/unsmry
+    * kernels strip the extension (the INIT/SMSPEC sibling is derived
+    * from the base), unrst/rft carry the path as listed. The ONE copy
+    * shared by batch partition pruning and the streaming source's
+    * listing — file-level pruning must match the EMITTED value or it
+    * would silently drop matching rows. */
+  private[datasource] def caseIdOf(kind: String, f: String): String = kind match {
+    case "egrid" => f.dropRight(".EGRID".length)
+    case "unsmry" => f.dropRight(".UNSMRY".length)
+    case _ => f
+  }
+
   /** As [[cases]], but an empty match is fine — the STREAMING source
     * polls a directory that may not have received its first case yet. */
   private[datasource] def casesLenient(path: String, ext: String): Seq[String] =
@@ -191,7 +203,15 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val p = Option(options.get("path")).filter(_.nonEmpty).getOrElse(path)
-    val maxCases = Option(options.get("maxCasesPerTrigger")).map(_.toInt)
+    val maxCases = Option(options.get("maxCasesPerTrigger")).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxCasesPerTrigger must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"maxCasesPerTrigger must be positive, got $n " +
+        "(0 would admit no files forever)")
+      n
+    }
     new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema(), maxCases)
   }
   override def newWriteBuilder(
@@ -297,16 +317,8 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   // planInputPartitions; composes (intersects) with the static pushdown
   private var runtimeCases: Option[Set[String]] = None
 
-  /** What the kernel will emit as this file's CASE value: egrid/unsmry
-    * kernels strip the extension (the INIT/SMSPEC sibling is derived
-    * from the base), unrst/rft carry the path as listed. File-level
-    * pruning must match the EMITTED value or it would silently drop
-    * matching rows. */
-  private def caseIdOf(f: String): String = kind match {
-    case "egrid" => f.dropRight(".EGRID".length)
-    case "unsmry" => f.dropRight(".UNSMRY".length)
-    case _ => f
-  }
+  private def caseIdOf(f: String): String =
+    EclBinaryDataSource.caseIdOf(kind, f)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -38,14 +38,7 @@ class EclBinaryMicroBatchStream(kind: String, path: String,
 
   private def listNow(): Seq[String] =
     EclBinaryDataSource.casesLenient(path, EclBinaryDataSource.extOf(kind))
-      .filter { f =>
-        val id = kind match {
-          case "egrid" => f.dropRight(".EGRID".length)
-          case "unsmry" => f.dropRight(".UNSMRY".length)
-          case _ => f
-        }
-        caseSet.forall(_.contains(id))
-      }
+      .filter(f => caseSet.forall(_.contains(EclBinaryDataSource.caseIdOf(kind, f))))
 
   // AvailableNow contract: snapshot the listing once, then drain ONLY
   // that snapshot (files landing mid-drain wait for the next run) — so
@@ -92,25 +85,39 @@ class EclBinaryMicroBatchStream(kind: String, path: String,
     new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
 }
 
-/** The processed-file set, sorted for deterministic json()/equality. */
+/** The processed-file SET. Equality and hashing go through the sorted
+  * canonical form (NOT the case-class structural members): the engine
+  * compares a freshly listed offset against one deserialized from the
+  * checkpoint log, and those can carry the same set in different Seq
+  * orders — order-sensitive equality would schedule a spurious empty
+  * batch on every restart. */
 case class EclFilesOffset(files: Seq[String]) extends Offset {
+  private lazy val canonical: Vector[String] = files.sorted.toVector
   override def json(): String =
-    files.sorted.map(f => "\"" + f.flatMap {
+    canonical.map(f => "\"" + f.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\"").mkString("[", ",", "]")
+  override def equals(o: Any): Boolean = o match {
+    case e: EclFilesOffset => e.canonical == canonical
+    case _ => false
+  }
+  override def hashCode(): Int = canonical.hashCode
 }
 
 object EclFilesOffset {
+  private val Esc = "\\\\u([0-9a-fA-F]{4})|\\\\(.)".r
   def fromJson(json: String): EclFilesOffset = {
     val t = json.trim
     require(t.startsWith("[") && t.endsWith("]"), s"bad files offset: $json")
     val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
-      .map(m => m.group(1)
-        .replace("\\\"", "\"")
-        .replace("\\\\", "\\"))
+      .map(m => Esc.replaceAllIn(m.group(1), e =>
+        // decode the FULL escape set json() emits: \uXXXX and \<char>
+        java.util.regex.Matcher.quoteReplacement(
+          if (e.group(1) != null) Integer.parseInt(e.group(1), 16).toChar.toString
+          else e.group(2))))
       .toVector
     EclFilesOffset(files)
   }

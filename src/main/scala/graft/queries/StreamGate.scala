@@ -375,6 +375,7 @@ object StreamGate {
         .filter { p =>
           val n = p.getFileName.toString
           n != tmp.getFileName.toString &&
+            !n.contains("-scratch-") && // another JVM's in-flight staging
             (n.startsWith(s"docarr-v2-$dirTag-") || n.startsWith(s"docarr-v1-$dirTag-"))
         }
         .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))

@@ -247,6 +247,41 @@ object ScaleStress {
         f"one_date:${rd}%.2fs payloads_decoded=$decoded (full would be ${400 * 3 * 2})")
     }
 
+    // STREAMING drain of the 400-case ensemble through the registered
+    // MICRO_BATCH source: all-at-once (one batch) vs admission-
+    // controlled (maxCasesPerTrigger=50 → 8 batches). Proves the
+    // streaming path absorbs a full backlog, that per-batch bounding
+    // costs only the per-trigger overhead, and that rows match the
+    // batch read exactly.
+    if (only.isEmpty || only.exists("qstream_drain".contains)) {
+      val fleetDir = "/tmp/graft-unrst-fleet-400"
+      if (new java.io.File(s"$fleetDir/CASE399.UNRST").exists()) {
+        def drain(maxCases: Option[Int]): (Double, Long, Long) = {
+          val sink = s"drain_sink_${maxCases.getOrElse(0)}"
+          spark.catalog.dropTempView(sink)
+          val r0 = spark.readStream.format("eclipse-unrst")
+            .option("vectors", "PRESSURE")
+          val rs = maxCases.fold(r0)(n => r0.option("maxCasesPerTrigger", n.toString))
+          val t0 = System.nanoTime()
+          val q = rs.load(s"$fleetDir/*.UNRST")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val n = spark.table(sink).count()
+          spark.catalog.dropTempView(sink)
+          (dt, n, q.lastProgress.batchId + 1)
+        }
+        val (tAll, nAll, bAll) = drain(None)
+        val (tCap, nCap, bCap) = drain(Some(50))
+        require(nAll == nCap, s"drain row drift: $nAll vs $nCap")
+        println(f"SCALE qstream_drain cases=400 all:${tAll}%.2fs/${bAll}b " +
+          f"cap50:${tCap}%.2fs/${bCap}b rows=$nAll")
+      } else println("SCALE qstream_drain SKIPPED (run q120_fleet_dsv2 first)")
+    }
+
     // Adversarial JOIN-KEY skew for the dedup shuffle (r10 verdict #4):
     // one text — hence ONE md5 and ONE MinHash signature (8 hot band
     // buckets) — holding 50% of a ×N corpus. q24's md5 groupBy must

@@ -31,10 +31,32 @@ class EclStreamSourceSpec extends AnyFunSuite {
 
   test("offset json round-trips, including escaping") {
     import graft.io.datasource.EclFilesOffset
-    val o = EclFilesOffset(Seq("/a/b/CASE0.UNSMRY", "/odd \"quoted\"/x.UNSMRY"))
+    val o = EclFilesOffset(Seq("/a/b/CASE0.UNSMRY", "/odd \"quoted\"/x.UNSMRY",
+      "/ctrl\tchar\nno.UNSMRY", "/back\\slash.UNSMRY"))
     val back = EclFilesOffset.fromJson(o.json())
     assert(back.files.sorted === o.files.sorted)
     assert(EclFilesOffset.fromJson(EclFilesOffset(Nil).json()).files.isEmpty)
+    // equality is SET equality (canonical order), not Seq order — the
+    // engine compares freshly listed vs checkpoint-deserialized offsets
+    val a = EclFilesOffset(Seq("/z.UNSMRY", "/a.UNSMRY", "/m.UNSMRY"))
+    val b = EclFilesOffset(Seq("/m.UNSMRY", "/z.UNSMRY", "/a.UNSMRY"))
+    assert(a === b && a.hashCode === b.hashCode)
+    assert(EclFilesOffset.fromJson(a.json()) === a)
+  }
+
+  test("maxCasesPerTrigger rejects zero and non-numeric values") {
+    val src = tmpDir("badopt")
+    writeCase(src, 0)
+    def start(v: String) = spark.readStream.format("eclipse-unsmry")
+      .option("maxCasesPerTrigger", v).load(s"$src/*.UNSMRY")
+      .writeStream.format("memory").queryName(s"bad_$v".replace('.', '_'))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val e0 = intercept[Exception] { val q = start("0"); q.awaitTermination() }
+    assert(e0.getMessage.contains("maxCasesPerTrigger") ||
+      Option(e0.getCause).exists(_.getMessage.contains("maxCasesPerTrigger")))
+    val eN = intercept[Exception] { val q = start("lots"); q.awaitTermination() }
+    assert(eN.getMessage.contains("maxCasesPerTrigger") ||
+      Option(eN.getCause).exists(_.getMessage.contains("maxCasesPerTrigger")))
   }
 
   test("streamed unsmry fleet equals the batch read; restart resumes the offset log") {
