@@ -98,8 +98,15 @@ object EclBinary {
     }
   }
 
-  private def readEgridCase(path: String, applyMapaxes: Boolean): EgridCase = {
-    val wanted = Set("GRIDHEAD", "COORD", "ZCORN", "ACTNUM", "MAPAXES")
+  private def readEgridCase(path: String, applyMapaxes: Boolean,
+      needGeom: Boolean = true): EgridCase = {
+    // a property-only read (DSv2 projection without X/Y/Z/VOLUME) never
+    // decodes COORD/ZCORN at all — ZCORN is 8 floats per cell, the
+    // dominant EGRID payload; activity and index math only need
+    // GRIDHEAD + ACTNUM
+    val wanted: Set[String] =
+      if (needGeom) Set("GRIDHEAD", "COORD", "ZCORN", "ACTNUM", "MAPAXES")
+      else Set("GRIDHEAD", "ACTNUM")
     val kws = EclKw.stream(path, (name, _, _) => wanted(name))(_.toVector)
     def kw(name: String) = kws.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"$path: no $name keyword"))
@@ -128,8 +135,11 @@ object EclBinary {
     val actnum = kws.find(_.name == "ACTNUM").map(_.ints)
       .getOrElse(Array.fill(ncells.toInt)(1))
     val aprefix = actnum.scanLeft(0)((acc, a) => acc + (if (a != 0) 1 else 0))
-    EgridCase(nx, ny, nz, kw("COORD").floats, kw("ZCORN").floats,
-      actnum, aprefix, mapx)
+    if (needGeom)
+      EgridCase(nx, ny, nz, kw("COORD").floats, kw("ZCORN").floats,
+        actnum, aprefix, mapx)
+    else // geometry payloads were seeked past; slab() must not be called
+      EgridCase(nx, ny, nz, Array.empty, Array.empty, actnum, aprefix, mapx)
   }
 
   /** The per-slab geometry kernel shared by [[egrid]]'s slab tasks and
@@ -215,22 +225,44 @@ object EclBinary {
     * lowercase. `vecNames` are uppercase EXACT INIT names; empty skips
     * the INIT open entirely (the DSv2 column-pruning path).
     */
-  private[io] def gridCaseRows(egridPath: String, vecNames: Seq[String],
-      applyMapaxes: Boolean): Iterator[Row] = {
+  private[graft] def gridCaseRows(egridPath: String, vecNames: Seq[String],
+      applyMapaxes: Boolean, needGeom: Boolean = true): Iterator[Row] = {
     val base = egridPath.dropRight(".EGRID".length)
-    val g = readEgridCase(egridPath, applyMapaxes)
+    val g = readEgridCase(egridPath, applyMapaxes, needGeom)
     val initVecs: Map[String, Array[Double]] =
       if (vecNames.isEmpty) Map.empty
       else {
         val (_, vecs) = readInitVectors(EclKw.sibling(base, ".INIT"), vecNames.toSet)
         vecs.map(k => k.name -> k.doubles).toMap
       }
-    (0 until g.nz).iterator.flatMap { k =>
-      cellRows(g.slab(k), g.coord, g.mapx).map { r =>
-        val ai = r.getLong(10).toInt
-        Row.fromSeq(base +: (r.toSeq ++
-          vecNames.map(v =>
-            initVecs.get(v).map(a => a(ai): java.lang.Double).orNull)))
+    if (needGeom)
+      (0 until g.nz).iterator.flatMap { k =>
+        val sl = g.slab(k)
+        DecodeStats.egridGeomCells.add(sl.actnum.count(_ != 0).toLong)
+        cellRows(sl, g.coord, g.mapx).map { r =>
+          val ai = r.getLong(10).toInt
+          Row.fromSeq(base +: (r.toSeq ++
+            vecNames.map(v =>
+              initVecs.get(v).map(a => a(ai): java.lang.Double).orNull)))
+        }
+      }
+    else {
+      // property-only projection: no pillar interpolation, no volume,
+      // no ZCORN/COORD decode — I/J/K and the active ordinal come from
+      // GRIDHEAD + ACTNUM alone; the pruned geometry slots carry zeros
+      // the extractors never read
+      val perSlab = g.nx * g.ny
+      (0 until g.nz * perSlab).iterator.flatMap { gi =>
+        if (g.actnum(gi) == 0) None
+        else {
+          val li = gi % perSlab
+          Some(Row.fromSeq(
+            (base :: (li % g.nx + 1) :: (li / g.nx + 1) :: (gi / perSlab + 1) ::
+              0.0 :: 0.0 :: 0.0 :: 0.0 :: 0.0 :: 0.0 ::
+              gi.toLong :: g.aprefix(gi).toLong :: Nil) ++
+              vecNames.map(v =>
+                initVecs.get(v).map(a => a(g.aprefix(gi)): java.lang.Double).orNull)))
+        }
       }
     }
   }

@@ -63,4 +63,9 @@ private[graft] object DecodeStats {
   /** UNSMRY PARAMS payloads FULLY decoded (the pre-scan's single-element
     * peeks are not counted — they are the point of the optimization). */
   val unsmryParams = new LongAdder
+  /** EGRID active cells whose corner-point GEOMETRY was computed (one
+    * add per slab at its active count — a property-only projection must
+    * leave this untouched: no pillar interpolation, and the ZCORN/COORD
+    * payloads never decode at all). */
+  val egridGeomCells = new LongAdder
 }

@@ -394,8 +394,14 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     // hoisted: per-row conversion must not re-copy the extractor array
     val exs = scala.collection.immutable.ArraySeq.unsafeWrapArray(extractors)
     new PartitionReader[InternalRow] {
+      // geometry-kernel pruning: if the projection needs none of the
+      // computed geometry columns, the corner-point interpolation is
+      // skipped AND the COORD/ZCORN payloads are never decoded —
+      // a property-only fleet scan reads ACTNUM + the INIT vectors only
+      private val geomCols = Set("X", "Y", "Z", "Z_MIN", "Z_MAX", "VOLUME")
       private val rows: Iterator[Row] = kind match {
-        case "egrid" => EclBinary.gridCaseRows(caseFile, requiredVecs, mapaxes)
+        case "egrid" => EclBinary.gridCaseRows(caseFile, requiredVecs, mapaxes,
+          needGeom = required.fieldNames.exists(geomCols.contains))
         case "unrst" => EclBinary.restartCaseRows(caseFile, requiredVecs, datePred)
         case "rft" => EclBinary.rftCaseRows(caseFile, requiredVecs, datePred, wells)
         case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile, datePred)

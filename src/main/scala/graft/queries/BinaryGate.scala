@@ -807,6 +807,31 @@ object BinaryGate {
       .orderBy(col("misfit_fp4"), col("case_id")), batches)
   }
 
+  /** q180: PROPERTY-ONLY GRID FLEET READ — geometry-kernel pruning:
+    * a projection that needs none of X/Y/Z/Z_MIN/Z_MAX/VOLUME skips
+    * the corner-point pillar interpolation AND never decodes the
+    * COORD/ZCORN payloads (ZCORN is 8 floats per cell — the dominant
+    * EGRID payload; a 10⁸-cell property screen reads ACTNUM + the two
+    * INIT vectors instead of 32 bytes/cell of geometry). I/J/K,
+    * GLOBAL_INDEX and the active ordinal come from GRIDHEAD + ACTNUM
+    * alone. Gated against the q164 oracle projected to the property
+    * columns; the companion spec pins geometry-cells-computed = 0.
+    */
+  def q180GridPropsPushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q180")
+    val paths = (0 until GridCases).map { c =>
+      writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
+    }
+    s.read.format("eclipse-egrid").option("vectors", "PORO,PERMX")
+      .load(paths: _*)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("GLOBAL_INDEX").as("global_index"),
+        col("ACTIVE_IDX").as("active_idx"),
+        col("PORO").as("poro"), col("PERMX").as("permx"))
+      .orderBy(col("case_id"), col("global_index"))
+  }
+
   def q148RftFleet(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q148")
     val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
@@ -1504,6 +1529,7 @@ object BinaryGate {
     "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
     "q178_unsmry_stream" -> (q178SummaryStream _),
     "q179_stream_scoreboard" -> (q179StreamScoreboard _),
+    "q180_grid_props_pushdown" -> (q180GridPropsPushdown _),
     "q66_nnc_binary" -> (q66NncBinary _),
   )
 
@@ -1894,6 +1920,19 @@ object BinaryGate {
     "q177_unsmry_fleet_write" -> summaryFleetOracle,
     // the streamed decode must equal the batch fleet read verbatim
     "q178_unsmry_stream" -> summaryFleetOracle,
+    // gridOracle projected to the property columns: the fast path must
+    // get activity, the index math and the INIT gather exactly right
+    // without ever touching geometry
+    "q180_grid_props_pushdown" ->
+      s"""WITH cases AS (SELECT unnest(range($GridCases)) AS c),
+         cells AS (SELECT c, unnest(range(${Nx * Ny * Nz})) AS g FROM cases),
+         act AS (SELECT c, g FROM cells WHERE (g + c) % 7 <> 0),
+         idx AS (SELECT *, row_number() OVER (PARTITION BY c ORDER BY g) - 1 AS active_idx
+                 FROM act)
+         SELECT CAST(c AS INT) AS case_id, g AS global_index, active_idx,
+                CAST((g + 5 * c) % 64 AS DOUBLE) / 64 AS poro,
+                CAST((7 * g + c) % 1000 AS DOUBLE) AS permx
+         FROM idx ORDER BY case_id, global_index""",
     // per case: error = 7(c - 1.5) on every one of the 5x30 rows, so
     // misfit_fp4 = 150 * 49 * (2c-3)^2 exactly
     "q179_stream_scoreboard" ->

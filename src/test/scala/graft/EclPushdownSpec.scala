@@ -284,6 +284,26 @@ class EclPushdownSpec extends AnyFunSuite {
       Array(paths(0), paths(2)).sorted)
   }
 
+  test("DSv2 egrid: a property-only projection computes ZERO geometry cells") {
+    val sf = "/root/testdata/sf0.001" // fixtures are closed-form; dir unused
+    DecodeStats.egridGeomCells.reset()
+    val props = graft.queries.BinaryGate.q180GridPropsPushdown(spark, sf).collect()
+    assert(DecodeStats.egridGeomCells.sum() === 0,
+      "property-only read must skip the corner-point kernel entirely")
+    assert(props.nonEmpty)
+    // activity, index math and the INIT gather are exact on the fast path
+    props.take(50).foreach { r =>
+      val (c, g) = (r.getInt(0), r.getLong(1))
+      assert((g + c) % 7 != 0)
+      assert(r.getDouble(3) === ((g + 5 * c) % 64) / 64.0)
+      assert(r.getDouble(4) === ((7 * g + c) % 1000).toDouble)
+    }
+    // the geometry path still computes (and counts) cells
+    DecodeStats.egridGeomCells.reset()
+    graft.queries.BinaryGate.q164GridFleetSql(spark, sf).collect()
+    assert(DecodeStats.egridGeomCells.sum() > 0)
+  }
+
   test("DSv2: unfiltered scans and egrid are unaffected by the pushdown surface") {
     val d = tmpDir("dsv2-plain")
     val path = writeUnrst(d)
