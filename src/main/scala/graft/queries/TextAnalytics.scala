@@ -773,9 +773,92 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val CdcW = 8   // landmark window width (chars)
+  private val CdcD = 64L // landmark divisor — expected chunk ≈ 64 chars
+
+  /** q181: CONTENT-DEFINED CHUNK DEDUP — the LBFS/rsync/FastCDC landmark
+    * discipline that q105's fixed-width chunks structurally lack: a
+    * one-character insertion shifts every fixed boundary after it, so
+    * fixed chunks of a shifted copy never re-align, while LANDMARK
+    * boundaries (cut after every [[CdcW]]-char window whose portable
+    * hash ≡ 0 mod [[CdcD]]) depend only on local content and
+    * re-synchronize right after the edit — shifted near-copies still
+    * dedup chunk-for-chunk. This is the storage-dedup primitive
+    * (Muthitacharoen et al., LBFS, SOSP'01) applied to corpus bytes;
+    * pure landmark rule, no min/max chunk clamp (documented trade: a
+    * clamp makes boundary selection sequential per document, breaking
+    * both the per-position parallelism and the SQL oracle's closed
+    * form — the divisor alone already bounds the EXPECTED chunk size).
+    *
+    * Scale shape: per-position window hashing is a NARROW per-document
+    * projection (O(len·W) codegen'd work via transform over the char
+    * positions — [[graft.functions.PortableStringHash]] is a native
+    * Expression, so the whole boundary scan stays in whole-stage
+    * codegen); chunking is per-row array slicing; the first-occurrence
+    * dedup is ONE md5-keyed aggregate (map-side combined) plus an
+    * equi-join back on the same key, exactly q24's shuffle budget; the
+    * per-doc rollup re-keys by doc_id. Nothing quadratic, no UDF, no
+    * driver state.
+    */
+  /** The landmark chunker: `(doc_id, text)` → `(doc_id, ord, chunk)`.
+    * Factored out so the spec can drive it with hand-built shifted
+    * copies and pin the re-synchronization property directly.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    // boundary END positions: the window starting at i (1-based) covers
+    // chars [i, i+W-1]; cut AFTER char i+W-1 when its hash lands on the
+    // divisor. The document end is always a boundary; array_distinct
+    // merges a landmark that falls exactly on the end (a zero-length
+    // tail chunk must not exist — the oracle's char grouping cannot
+    // produce one).
+    val ends = docs
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("ends", array_distinct(concat(
+        when(col("len") >= CdcW,
+          filter(
+            transform(sequence(lit(1L), col("len") - lit((CdcW - 1).toLong)),
+              i => when(strHash(col("text").substr(i.cast("int"), lit(CdcW))) % CdcD === 0,
+                i + lit((CdcW - 1).toLong))),
+            e => e.isNotNull))
+          .otherwise(array().cast("array<bigint>")),
+        array(col("len")))))
+    ends.select(col("doc_id"),
+      explode(expr(
+        """transform(ends, (e, i) -> named_struct(
+          |  'ord', CAST(i AS BIGINT),
+          |  'chunk', substring(text,
+          |     CAST((CASE WHEN i = 0 THEN 0 ELSE element_at(ends, i) END) + 1 AS INT),
+          |     CAST(e - (CASE WHEN i = 0 THEN 0 ELSE element_at(ends, i) END) AS INT))))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.ord").as("ord"), col("c.chunk").as("chunk"))
+  }
+
+  def q181CdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val withH = chunks
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .withColumn("clen", length(col("chunk")).cast("long"))
+    // first occurrence corpus-wide in (doc_id, ord) order — a struct-min
+    // aggregate (map-side partial), never a per-hash sort
+    val first = withH.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ord"))).as("f"))
+    withH.join(first, Seq("h"))
+      .withColumn("dup",
+        !(col("doc_id") === col("f.doc_id") && col("ord") === col("f.ord")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("dup"), 1)).as("n_dup_chunks"),
+        sum(col("clen")).as("n_chars_total"),
+        coalesce(sum(when(col("dup"), col("clen"))), lit(0L)).as("n_chars_dup"))
+      .withColumn("dup_bp", expr("(n_chars_dup * 10000) div n_chars_total"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf" -> (q104Tfidf _),
     "q105_line_dedup" -> (q105LineDedup _),
+    "q181_cdc_dedup" -> (q181CdcDedup _),
     "q127_gopher_rules" -> (q127GopherRules _),
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
@@ -909,6 +992,44 @@ object TextAnalytics {
                  CAST(length(clean_text) AS BIGINT) AS clean_len,
                  md5(clean_text) AS clean_fp
           FROM agg ORDER BY doc_id""",
+    // landmark hash = the PortableStringHash positional sum over the
+    // 8-char window (powers of B mod P precomputed); chunk membership =
+    // count of landmark ends strictly before the char; first occurrence
+    // by (doc_id, ord) via row_number over the chunk md5
+    "q181_cdc_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+        |c AS (SELECT doc_id,
+        |             CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) AS pos,
+        |             CAST(ascii(unnest(string_split(text, ''))) AS BIGINT) AS cp,
+        |             unnest(string_split(text, '')) AS ch
+        |      FROM d),
+        |g AS (SELECT a.doc_id, a.pos AS p,
+        |             CAST(sum((b.cp + 1) *
+        |               ([1, 131, 17161, 2248091, 294499921, 2072267652,
+        |                 884122890, 2003465299])[CAST(8 - (b.pos - a.pos) AS INT)])
+        |               % 2147483647 AS BIGINT) AS h
+        |      FROM c a JOIN c b ON b.doc_id = a.doc_id
+        |                       AND b.pos >= a.pos AND b.pos < a.pos + $CdcW
+        |      GROUP BY 1, 2 HAVING count(*) = $CdcW),
+        |b AS (SELECT doc_id, p + ${CdcW - 1} AS e FROM g WHERE h % $CdcD = 0),
+        |o AS (SELECT c.doc_id, c.pos, c.ch, count(b.e) AS ord
+        |      FROM c LEFT JOIN b ON b.doc_id = c.doc_id AND b.e < c.pos
+        |      GROUP BY 1, 2, 3),
+        |ck AS (SELECT doc_id, ord, string_agg(ch, '' ORDER BY pos) AS chunk,
+        |              CAST(count(*) AS BIGINT) AS clen
+        |       FROM o GROUP BY 1, 2),
+        |fr AS (SELECT doc_id, ord, clen,
+        |              row_number() OVER (PARTITION BY md5(chunk)
+        |                                 ORDER BY doc_id, ord) AS rn
+        |       FROM ck)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup_chunks,
+        |       CAST(sum(clen) AS BIGINT) AS n_chars_total,
+        |       CAST(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0) AS BIGINT)
+        |         AS n_chars_dup,
+        |       CAST(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0) * 10000
+        |            // sum(clen) AS BIGINT) AS dup_bp
+        |FROM fr GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // the probability CASE is the engine expression verbatim; all
     // counts BIGINT, the nll fixed-pointed once per corpus bigram type,
     // integer division only over positives (engine `div` vs DuckDB `//`

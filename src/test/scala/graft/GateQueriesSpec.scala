@@ -1850,6 +1850,41 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(inc == single && inc.nonEmpty)
   }
 
+  test("q181: landmark chunking re-synchronizes after a prefix edit") {
+    // the property fixed-width chunking (q105) cannot have: prepend a
+    // prefix to a document and all chunks after the first shared
+    // landmark are IDENTICAL — boundaries depend only on local content
+    val base = (1 to 600).map { i =>
+      if (i % 7 == 0) ' ' else ('a' + (i * 37 + i * i * 11) % 26).toChar
+    }.mkString
+    val docs = Seq((1L, base), (2L, "EDITED-PREFIX " + base))
+      .toDF("doc_id", "text")
+    val ch = graft.queries.TextAnalytics.cdcChunks(docs).collect()
+    val c1 = ch.filter(_.getLong(0) == 1L).sortBy(_.getLong(1)).map(_.getString(2))
+    val c2 = ch.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    assert(c1.length > 3, s"need several landmarks for a load-bearing test, got ${c1.length}")
+    // every base chunk except the first (the one the edit lives in)
+    // reappears verbatim in the shifted copy
+    val tail = c1.drop(1)
+    assert(tail.forall(c2.contains),
+      s"missing: ${tail.filterNot(c2.contains).mkString("|")}")
+    // reassembly identity: chunks concatenate back to the document
+    assert(c1.mkString == base)
+  }
+
+  test("q181: corpus dedup actually fires and conserves chars") {
+    val out = graft.queries.TextAnalytics.q181CdcDedup(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length == 500)
+    // the corpus carries planted exact/near duplicates — chunk dedup
+    // must find some, and never on the first occurrence doc itself
+    assert(out.map(_.getLong(2)).sum > 0, "no duplicate chunks found")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1) // every doc has at least the tail chunk
+      assert(r.getLong(4) <= r.getLong(3)) // dup chars <= total chars
+    }
+  }
+
   test("q87: the PQ index has M codes per vector, all within the codebook") {
     val raw = graft.sources.Tables.embeddings(spark, Sf)
     val n = raw.count()
