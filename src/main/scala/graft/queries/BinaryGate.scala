@@ -206,6 +206,79 @@ object BinaryGate {
     tmp
   }
 
+  /** Trend-fixture lattice for q182: value = 1000·vi + (1+vi+2c)·d + 7c
+    * + ((d·d)%7)/8 — slope varies per (vector, case), and the dyadic
+    * pseudo-residue ((d²)%7)/8 keeps the fit NON-perfect (r² < 1), so
+    * the regression output is load-bearing per group. All terms are
+    * float32-exact (|32·value| < 2²⁴), so `value·32` round-trips the
+    * binary format as an exact integer.
+    */
+  private def writeTrendFixture(s: SparkSession, q: String): String = {
+    import s.implicits._
+    val tmp = fixtureDir(q)
+    (0 until FleetCases).foreach { c =>
+      val rows = for {
+        (v, vi) <- SumVectors.zipWithIndex
+        d <- 0 until SumDays
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(d)),
+        1000.0 * vi + (1 + vi + 2 * c) * d + 7.0 * c + ((d * d) % 7) / 8.0)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$tmp/CASE$c")
+    }
+    tmp
+  }
+
+  /** q182: ENSEMBLE PRODUCTION-TREND FIT — the OLS regression aggregate
+    * the reservoir side lacked: per (realization, vector), slope /
+    * intercept / R² of value vs simulation day, the arithmetic core of
+    * Arps decline analysis (exponential decline is exactly this fit in
+    * log space) and of history-match trend screening. Everything EXACT:
+    * values enter as `y·32` integers (the fixture lattice is dyadic/32),
+    * the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are BIGINT
+    * sums, and slope/intercept/R² publish as fixed-point integer
+    * divisions (R²'s single-ratio numerator cov²·10⁶ crosses 2⁶³, so it
+    * publishes as the staged floor ((cov·10⁶ div varx)·cov) div vary —
+    * every intermediate BIGINT, both engines replay the same stages;
+    * every operand is positive, so `div` and `//` agree).
+    *
+    * Scale shape: ONE map-side-combined aggregate keyed (case, vector) —
+    * the sufficient-statistic trick means a 200-step × 10⁴-vector ×
+    * 10³-case ensemble fits in a single linear pass with report-sized
+    * output; no window, no sort, no second scan.
+    */
+  def q182TrendFit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeTrendFixture(s, "q182")
+    val obs = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        datediff(col("DATE"), lit(java.sql.Date.valueOf("2021-01-01")))
+          .cast("long").as("x"),
+        round(col("VALUE") * 32).cast("long").as("y32"))
+    obs.groupBy(col("case_id"), col("vector"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y32")).as("sy"),
+        sum(col("x") * col("y32")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y32") * col("y32")).as("syy"))
+      .withColumn("slope_fp6",
+        expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"))
+      .withColumn("icept_fp6",
+        expr("((sy * sxx - sx * sxy) * 1000000) div (n * sxx - sx * sx)"))
+      // R² = cov²/(varx·vary) published as the TWO-STAGE fixed point
+      // ((cov·10⁶ div varx)·cov) div vary — every intermediate fits
+      // BIGINT (cov² alone crosses 2⁶³ and Spark's DECIMAL(38,0)
+      // IntegralDivide was measured losing low digits), and both
+      // engines replay the same staged floors, so the published value
+      // is bit-identical by construction (≤1 ulp of 1e-6 from the
+      // exact ratio, documented)
+      .withColumn("r2_fp6",
+        expr("(((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx))" +
+          " * (n * sxy - sx * sy)) div (n * syy - sy * sy)"))
+      .select(col("case_id"), col("vector"), col("n"),
+        col("slope_fp6"), col("icept_fp6"), col("r2_fp6"))
+      .orderBy(col("case_id"), col("vector"))
+  }
+
   /** q114: the summary FLEET read (S6 at ensemble scale) under the gate —
     * [[graft.write.SummaryWriter.corpusFromPath]] reads every case
     * matching a glob in ONE distributed plan (one task per case, SMSPEC
@@ -1512,6 +1585,7 @@ object BinaryGate {
     "q59_grid_binary" -> (q59GridBinary _),
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q114_summary_fleet" -> (q114SummaryFleet _),
+    "q182_trend_fit" -> (q182TrendFit _),
     "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
@@ -1888,6 +1962,34 @@ object BinaryGate {
     "q117_grid_fleet" -> gridOracle,
     "q164_grid_fleet_sql" -> gridOracle,
     "q114_summary_fleet" -> summaryFleetOracle,
+    // q182: the trend-lattice replay, integer y·32, sufficient-statistic
+    // OLS in BIGINT; R² is the engine's staged fixed point verbatim
+    // (every intermediate < 2⁶³); all operands positive so // = div
+    "q182_trend_fit" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+        |v AS (SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
+        |              unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+        |d AS (SELECT unnest(range($SumDays)) AS day),
+        |o AS (SELECT case_id, vector, CAST(day AS BIGINT) AS x,
+        |             CAST(32000 * vi + 32 * (1 + vi + 2 * case_id) * day
+        |                  + 224 * case_id + 4 * ((day * day) % 7) AS BIGINT) AS y32
+        |      FROM c CROSS JOIN v CROSS JOIN d),
+        |a AS (SELECT CAST(case_id AS INT) AS case_id, vector,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y32) AS BIGINT) AS sy,
+        |             CAST(sum(x * y32) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y32 * y32) AS BIGINT) AS syy
+        |      FROM o GROUP BY 1, 2)
+        |SELECT case_id, vector, n,
+        |       CAST(((n * sxy - sx * sy) * 1000000)
+        |            // (n * sxx - sx * sx) AS BIGINT) AS slope_fp6,
+        |       CAST(((sy * sxx - sx * sxy) * 1000000)
+        |            // (n * sxx - sx * sx) AS BIGINT) AS icept_fp6,
+        |       CAST((((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+        |             * (n * sxy - sx * sy)) // (n * syy - sy * sy)
+        |            AS BIGINT) AS r2_fp6
+        |FROM a ORDER BY case_id, vector""".stripMargin,
     "q167_summary_fleet_sql" -> summaryFleetOracle,
     "q60_summary_binary" ->
       s"""WITH v AS (

@@ -1850,6 +1850,36 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(inc == single && inc.nonEmpty)
   }
 
+  test("q182: OLS trend fit recovers the planted slopes exactly") {
+    val out = graft.queries.BinaryGate.q182TrendFit(spark, Sf).collect()
+    assert(out.length == 20) // 4 cases x 5 vectors
+    val vecIdx = Seq("FOPR", "FOPT", "WBHP:W0", "WOPR:W0", "WOPR:W1").zipWithIndex.toMap
+    out.foreach { r =>
+      val (c, vi) = (r.getInt(0), vecIdx(r.getString(1)))
+      // replay the staged fixed point from the lattice in exact integers
+      val xs = 0 until 30
+      val ys = xs.map(d => 32000L * vi + 32L * (1 + vi + 2 * c) * d +
+        224L * c + 4L * ((d.toLong * d) % 7))
+      val n = 30L
+      val (sx, sy) = (xs.map(_.toLong).sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val (sxx, syy) = (xs.map(x => x.toLong * x).sum, ys.map(y => y * y).sum)
+      val (cov, varx, vary) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      assert(r.getLong(3) == cov * 1000000L / varx, s"slope c=$c vi=$vi")
+      assert(r.getLong(4) == (sy * sxx - sx * sxy) * 1000000L / varx, s"icept c=$c vi=$vi")
+      assert(r.getLong(5) == (cov * 1000000L / varx) * cov / vary, s"r2 c=$c vi=$vi")
+      // the dyadic pseudo-residue keeps the fit imperfect but strong —
+      // the R2 column is load-bearing, not a constant 10^6
+      assert(r.getLong(5) > 990000L && r.getLong(5) < 1000000L)
+    }
+    // slopes must strictly order by the planted (1 + vi + 2c) factor
+    val slopes = out.map(r => (32L * (1 + vecIdx(r.getString(1)) + 2 * r.getInt(0)),
+      r.getLong(3))).sortBy(_._1)
+    slopes.sliding(2).foreach { case Array(a, b) =>
+      if (a._1 < b._1) assert(a._2 < b._2)
+    }
+  }
+
   test("q181: landmark chunking re-synchronizes after a prefix edit") {
     // the property fixed-width chunking (q105) cannot have: prepend a
     // prefix to a document and all chunks after the first shared
