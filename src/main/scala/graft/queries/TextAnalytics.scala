@@ -276,6 +276,63 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  private val ContamDfCap = 50 // a shingle in more docs is template boilerplate
+
+  /** q183: CROSS-SOURCE CONTAMINATION MATRIX — q61's n-gram overlap
+    * generalized from one train/test split to the full source×source
+    * grid: for every ordered source pair (a, b), how many of a's
+    * documents share at least one [[DecontamN]]-token shingle with ANY
+    * document of b (exact basis points of a's corpus). This is the
+    * audit a mixture designer runs BEFORE q55/q170 assign per-source
+    * sampling weights — two "independent" sources that are actually
+    * mirrors would otherwise silently double their effective epochs.
+    *
+    * Scale shape: shingles are q61's BIGINT fold (no string shuffle);
+    * the per-shingle pivot aggregates to (df, source set) — the set is
+    * bounded by the source CATALOG (hundreds in production, never
+    * millions), and the [[ContamDfCap]] df cap stops a boilerplate
+    * shingle from fanning out; the explode back is ≤ |sources| per
+    * posting; the (doc, source_b) distinct and the final (a, b) count
+    * are bounded by docs×sources. The doc×doc pair space is never
+    * materialized — no quadratic term in documents anywhere.
+    */
+  def q183SourceContamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableStringHash.{strHash, P}
+    val fold = (1 until DecontamN)
+      .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
+    val shingleHashes = expr(s"transform(sequence(0, size(ha) - $DecontamN), i -> $fold)")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        transform(tokens(col("text")), t => strHash(t)).as("ha"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(when(size(col("ha")) >= DecontamN, shingleHashes)
+          .otherwise(array().cast("array<bigint>")))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pivot = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"), collect_set(col("source")).as("srcs"))
+      .filter(col("df") <= ContamDfCap && size(col("srcs")) >= 2)
+      .select(col("h"), col("srcs"))
+    val hits = sh.join(pivot, Seq("h"))
+      .select(col("source").as("source_a"), col("doc_id"),
+        explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") =!= col("source_b"))
+      .distinct()
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_docs_hit"))
+    val tot = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // the full (catalog × catalog) grid so zero-contamination pairs are
+    // visible rows, not absences — the frame a mixture review reads
+    val pairs = tot.select(col("source").as("source_a"), col("n").as("n_docs_a"))
+      .crossJoin(broadcast(tot.select(col("source").as("source_b"))))
+      .filter(col("source_a") =!= col("source_b"))
+    pairs.join(hits, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"), col("n_docs_a"),
+        expr("(coalesce(n_docs_hit, 0) * 10000) div n_docs_a").as("hit_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   private val LmHeadT = -3.39
   private val LmTailT = -3.42
 
@@ -869,6 +926,7 @@ object TextAnalytics {
     "q55_sample_mixture" -> (q55SampleMixture _),
     "q57_quality_topk" -> (q57QualityTopK _),
     "q61_decontaminate" -> (q61Decontaminate _),
+    "q183_source_contamination" -> (q183SourceContamination _),
     "q64_pii_scrub" -> (q64PiiScrub _),
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q97_lm_score" -> (q97LmScore _),
@@ -1296,6 +1354,41 @@ object TextAnalytics {
                  coalesce(h.n_hits, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN hits h USING (doc_id)
           WHERE d.doc_id % $DecontamBenchMod <> 0 ORDER BY doc_id""",
+    // q183: the q61 shingle CTEs verbatim, widened with source; the
+    // pivot/explode becomes a hash self-join with the same df/ns guards
+    "q183_source_contamination" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+          shh AS (
+            SELECT DISTINCT doc_id,
+                   ${(1 until DecontamN).foldLeft("h")((acc, k) =>
+                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(h, ${DecontamN - 1}) OVER w IS NOT NULL),
+          ds AS (SELECT s.doc_id, d.source, s.hsh
+                 FROM shh s JOIN documents d USING (doc_id)),
+          piv AS (SELECT hsh FROM ds GROUP BY 1
+                  HAVING count(DISTINCT doc_id) <= $ContamDfCap
+                     AND count(DISTINCT source) >= 2),
+          hits AS (SELECT DISTINCT a.source AS source_a, a.doc_id,
+                          b.source AS source_b
+                   FROM ds a JOIN piv USING (hsh)
+                        JOIN ds b ON b.hsh = a.hsh AND b.source <> a.source),
+          hc AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM hits GROUP BY 1, 2),
+          tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_a
+                  FROM documents GROUP BY 1),
+          pairs AS (SELECT a.source AS source_a, b.source AS source_b, a.n_docs_a
+                    FROM tot a JOIN tot b ON a.source <> b.source)
+          SELECT p.source_a, p.source_b,
+                 CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_docs_hit, p.n_docs_a,
+                 CAST(coalesce(h.n_hit, 0) * 10000 // p.n_docs_a AS BIGINT) AS hit_bp
+          FROM pairs p LEFT JOIN hc h USING (source_a, source_b)
+          ORDER BY source_a, source_b""",
     "q64_pii_scrub" ->
       s"""WITH p AS (
            SELECT doc_id,

@@ -1850,6 +1850,22 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(inc == single && inc.nonEmpty)
   }
 
+  test("q183: contamination matrix is a full grid with symmetric evidence") {
+    val out = graft.queries.TextAnalytics
+      .q183SourceContamination(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 20 * 19) // the full ordered source grid
+    val hit = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.exists(_.getLong(2) > 0), "planted cross-source dups must surface")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // hits bounded by the source size
+      // a shared shingle is symmetric at the source level: if any doc of
+      // a overlaps b, some doc of b holds that same shingle
+      if (r.getLong(2) > 0)
+        assert(hit((r.getString(1), r.getString(0))) > 0,
+          s"${r.getString(0)}->${r.getString(1)} hit but not the reverse")
+    }
+  }
+
   test("q182: OLS trend fit recovers the planted slopes exactly") {
     val out = graft.queries.BinaryGate.q182TrendFit(spark, Sf).collect()
     assert(out.length == 20) // 4 cases x 5 vectors
