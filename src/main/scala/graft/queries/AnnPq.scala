@@ -282,9 +282,68 @@ object AnnPq {
       }.toDF("vec_id", "list_id", "m", "cid")
   }
 
+  private val KCenterK = 9
+
+  /** q184: K-CENTER DIVERSITY SAMPLE — farthest-point traversal
+    * (Gonzalez 1985, the 2-approximation for the k-center objective),
+    * the coreset/diversity selection step a curation pipeline runs when
+    * it wants coverage of the embedding space rather than q55's
+    * frequency-weighted draw: start from a deterministic seed, then
+    * repeatedly pick the vector FARTHEST from everything selected so
+    * far. Output is the selection order with each pick's exact squared
+    * distance to the previously selected set — the coverage-radius²
+    * sequence (non-increasing by construction), which is also the
+    * stopping diagnostic a practitioner reads.
+    *
+    * Determinism across engines: components quantize to integers (the
+    * q30/q87 `round(x·1e6)` convention), so every distance is EXACT
+    * BIGINT arithmetic and the argmax (ties to the lowest vec_id) can
+    * never flip on float noise — an iterative selection would amplify
+    * one flipped pick into a different tail, so exactness here is
+    * load-bearing, not cosmetic.
+    *
+    * Scale shape: [[KCenterK]] passes, each ONE narrow map (distance to
+    * the single newest center, folded into a running min) plus a
+    * single-row struct-max reduce (partial map-side, one tiny
+    * exchange); the state frame is localCheckpoint'ed per round so the
+    * lineage stays flat. Driver state = the selected centers
+    * (K·64 longs), never the corpus. This is the textbook distributed
+    * farthest-point loop — k passes is the algorithm, not an
+    * implementation artifact.
+    */
+  def q184KCenterSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qv"))
+    var center = q.filter(col("vec_id") === 0)
+      .select(col("qv")).head().getSeq[Long](0).toArray
+    val picks = scala.collection.mutable.ListBuffer((1L, 0L, 0L))
+    var state = q.withColumn("min_d2", lit(Long.MaxValue))
+    for (ord <- 2 to KCenterK) {
+      val cLit = array(center.map(lit(_)).toIndexedSeq: _*)
+      state = state.withColumn("min_d2",
+        least(col("min_d2"),
+          aggregate(zip_with(col("qv"), cLit, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)))
+        .localCheckpoint(true)
+      // argmax(min_d2, ties to lowest id) carrying the winner's vector —
+      // the qv struct field is only compared on impossible full ties
+      val pick = state
+        .select(max(struct(col("min_d2"), (-col("vec_id")).as("nid"),
+          col("qv"))).as("m"))
+        .head().getStruct(0)
+      picks += ((ord.toLong, -pick.getLong(1), pick.getLong(0)))
+      center = pick.getSeq[Long](2).toArray
+    }
+    picks.toSeq.toDF("sel_ord", "vec_id", "d2_pick").orderBy(col("sel_ord"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_ann_pq" -> (q87AnnPq _),
     "q94_ann_ivf_pq" -> (q94AnnIvfPq _),
+    "q184_kcenter_sample" -> (q184KCenterSample _),
   )
 
   /** Shared oracle prefix: quantized long form, PQ codebook, code
@@ -339,7 +398,40 @@ object AnnPq {
       |FROM topk WHERE rn <= $TopK
       |ORDER BY qid, rn""".stripMargin
 
+  /** The q184 argmax inside a recursive CTE: DuckDB 1.0's arg_max takes
+    * no struct key, so (d2 DESC, vec_id ASC) packs into ONE BIGINT as
+    * d2·8192 + (8191 − vec_id) — exact while vec_id < 8192 and
+    * d2 < 2⁵⁰ (64 dims × (2·10⁶)² = 2.6·10¹⁴ ≈ 2⁴⁸ ✓); the engine's
+    * struct-max is unconstrained. */
+  private def kcenterD2Sql: String =
+    s"""CAST(list_min(list_transform(s.centers,
+      |  c -> list_sum(list_transform(range(1, 65),
+      |       i -> (e.qv[i] - c[i]) * (e.qv[i] - c[i]))))) AS BIGINT)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q184_kcenter_sample" -> {
+      val key = s"($kcenterD2Sql * 8192 + (8191 - e.vec_id))"
+      s"""WITH RECURSIVE sel AS (
+        |  SELECT 1 AS ord, CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(0 AS BIGINT) AS d2,
+        |         [list_transform(embedding,
+        |            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))] AS centers
+        |  FROM embeddings WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT s.ord + 1 AS ord,
+        |         arg_max(e.vec_id, $key) AS vec_id,
+        |         arg_max($kcenterD2Sql, $key) AS d2,
+        |         list_append(s.centers, arg_max(e.qv, $key)) AS centers
+        |  FROM sel s CROSS JOIN (
+        |    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |           list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |    FROM embeddings) e
+        |  WHERE s.ord < $KCenterK
+        |  GROUP BY s.ord, s.centers)
+        |SELECT CAST(ord AS BIGINT) AS sel_ord, vec_id, d2 AS d2_pick
+        |FROM sel ORDER BY sel_ord""".stripMargin
+    },
     "q87_ann_pq" ->
       s"""$pqPrefixSql,
         |adc AS (SELECT l.qid, c.vec_id,

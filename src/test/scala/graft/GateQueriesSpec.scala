@@ -1850,6 +1850,32 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(inc == single && inc.nonEmpty)
   }
 
+  test("q184: farthest-point picks equal a driver greedy replay exactly") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.queries.AnnPq.q184KCenterSample(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 9 && out.map(_._2).distinct.length == 9)
+    // the coverage radius sequence is non-increasing by construction
+    out.drop(1).sliding(2).foreach { case Array(a, b) => assert(a._3 >= b._3) }
+    // brute-force greedy over the quantized vectors, driver-side
+    val vecs = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
+        BigDecimal(f.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong).toArray).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = List(vecs.head._2)
+    var expect = List((1L, 0L, 0L))
+    for (ord <- 2 to 9) {
+      val best = vecs.map { case (id, v) => (centers.map(d2(v, _)).min, id, v) }
+        .maxBy { case (d, id, _) => (d, -id) }
+      expect = (ord.toLong, best._2, best._1) :: expect
+      centers = best._3 :: centers
+    }
+    assert(out.toSeq == expect.reverse)
+  }
+
   test("q183: contamination matrix is a full grid with symmetric evidence") {
     val out = graft.queries.TextAnalytics
       .q183SourceContamination(spark, "/root/testdata/sf0.01").collect()
