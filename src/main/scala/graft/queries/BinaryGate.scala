@@ -279,6 +279,48 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"))
   }
 
+  private val BreakMargin = 20.0 // dyadic-exact onset margin over the fleet baseline
+
+  /** q185: BREAKTHROUGH / ONSET DETECTION across the fleet — per
+    * (realization, vector), the FIRST simulation day the observable
+    * exceeds its fleet-wide baseline (the ensemble minimum) by
+    * [[BreakMargin]], plus the cross-realization envelope of those
+    * onset days (count / earliest / latest). This is water-breakthrough
+    * timing analysis: the reservoir question is not the value but WHEN
+    * each realization crosses, and how wide the ensemble spread is —
+    * the spread IS the history-match uncertainty band.
+    *
+    * Scale shape: the baseline is a per-vector min (map-side, output =
+    * vector catalog) broadcast back onto the scan; the onset is a
+    * min(date) aggregate keyed (case, vector); the envelope re-keys by
+    * vector and broadcasts back onto the report-sized onset frame. One
+    * fleet scan, report-sized exchanges only. All comparisons are
+    * dyadic-exact (the lattice and the margin are /32 rationals), so
+    * the onset day can never flip on float noise.
+    */
+  def q185Breakthrough(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q185")
+    val obs = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        datediff(col("DATE"), lit(java.sql.Date.valueOf("2021-01-01")))
+          .cast("long").as("day"),
+        col("VALUE").as("value"))
+    val base = obs.groupBy(col("vector")).agg(min(col("value")).as("v0"))
+    val onset = obs.join(broadcast(base), Seq("vector"))
+      .filter(col("value") >= col("v0") + BreakMargin)
+      .groupBy(col("case_id"), col("vector"))
+      .agg(min(col("day")).as("first_day"))
+    val env = onset.groupBy(col("vector"))
+      .agg(count(lit(1)).as("n_cases_crossed"),
+        min(col("first_day")).as("day_min"), max(col("first_day")).as("day_max"))
+    onset.join(broadcast(env), Seq("vector"))
+      .select(col("case_id"), col("vector"), col("first_day"),
+        col("n_cases_crossed"), col("day_min"), col("day_max"))
+      .orderBy(col("case_id"), col("vector"))
+  }
+
   /** q114: the summary FLEET read (S6 at ensemble scale) under the gate —
     * [[graft.write.SummaryWriter.corpusFromPath]] reads every case
     * matching a glob in ONE distributed plan (one task per case, SMSPEC
@@ -1586,6 +1628,7 @@ object BinaryGate {
     "q60_summary_binary" -> (q60SummaryBinary _),
     "q114_summary_fleet" -> (q114SummaryFleet _),
     "q182_trend_fit" -> (q182TrendFit _),
+    "q185_breakthrough" -> (q185Breakthrough _),
     "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
@@ -1962,6 +2005,29 @@ object BinaryGate {
     "q117_grid_fleet" -> gridOracle,
     "q164_grid_fleet_sql" -> gridOracle,
     "q114_summary_fleet" -> summaryFleetOracle,
+    // q185: the q114 lattice replay; baseline = per-vector min, onset =
+    // min day crossing baseline + margin, envelope re-keyed by vector —
+    // every comparison dyadic-exact
+    "q185_breakthrough" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+        |v AS (SELECT unnest([${SumVectors.map("'" + _ + "'").mkString(", ")}]) AS vector,
+        |              unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+        |d AS (SELECT unnest(range($SumDays)) AS day),
+        |o AS (SELECT case_id, vector, CAST(day AS BIGINT) AS day,
+        |             1000.0 * vi + day + 7.0 * case_id
+        |               + CAST(day % 32 AS DOUBLE) / 32 AS value
+        |      FROM c CROSS JOIN v CROSS JOIN d),
+        |b AS (SELECT vector, min(value) AS v0 FROM o GROUP BY 1),
+        |x AS (SELECT CAST(case_id AS INT) AS case_id, vector,
+        |             CAST(min(day) AS BIGINT) AS first_day
+        |      FROM o JOIN b USING (vector)
+        |      WHERE value >= v0 + $BreakMargin GROUP BY 1, 2),
+        |e AS (SELECT vector, CAST(count(*) AS BIGINT) AS n_cases_crossed,
+        |             min(first_day) AS day_min, max(first_day) AS day_max
+        |      FROM x GROUP BY 1)
+        |SELECT x.case_id, x.vector, x.first_day,
+        |       e.n_cases_crossed, e.day_min, e.day_max
+        |FROM x JOIN e USING (vector) ORDER BY case_id, vector""".stripMargin,
     // q182: the trend-lattice replay, integer y·32, sufficient-statistic
     // OLS in BIGINT; R² is the engine's staged fixed point verbatim
     // (every intermediate < 2⁶³); all operands positive so // = div

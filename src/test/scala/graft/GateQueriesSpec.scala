@@ -1850,6 +1850,22 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(inc == single && inc.nonEmpty)
   }
 
+  test("q185: onset days follow the closed form and order by case") {
+    val out = graft.queries.BinaryGate.q185Breakthrough(spark, Sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val c = r.getInt(0)
+      // closed form: first d with d + 7c + d/32 >= 20 (baseline = 1000*vi)
+      val expect = (0 until 30).find(d => d + 7.0 * c + d / 32.0 >= 20.0).get
+      assert(r.getLong(2) == expect, s"case $c")
+      assert(r.getLong(3) == 4L) // every case crosses on this lattice
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(2) <= r.getLong(5))
+    }
+    // later realizations (higher 7c shift) cross strictly earlier
+    val byCase = out.groupBy(_.getInt(0)).view.mapValues(_.head.getLong(2)).toMap
+    assert(byCase(0) > byCase(1) && byCase(1) > byCase(2) && byCase(2) > byCase(3))
+  }
+
   test("q184: farthest-point picks equal a driver greedy replay exactly") {
     val sf01 = "/root/testdata/sf0.01"
     val out = graft.queries.AnnPq.q184KCenterSample(spark, sf01).collect()
