@@ -149,7 +149,9 @@ object Tokenize {
     * the two-pass result is still a fixpoint of its own rule (no
     * adjacent occurrence of the pair survives), and English letter
     * runs of ≥4 are rare enough that learned merge tables agree in
-    * practice. */
+    * practice. When canonical behavior matters, use
+    * [[bpeMergeCanonical]] (the q186 fold), which matches Sennrich
+    * scanning on EVERY case including self-overlapping runs. */
   private val BpeMergeExpr: String = {
     val pat = "'|' || win_pair || '|'"
     val rep = "'|' || replace(win_pair, '|', '') || '|'"
@@ -159,6 +161,29 @@ object Tokenize {
   private def bpeMerge(words: DataFrame, win: DataFrame): DataFrame =
     words.crossJoin(broadcast(win))
       .select(expr(BpeMergeExpr).as("sym"), col("n"))
+
+  /** CANONICAL Sennrich merge (q186): a left-to-right greedy FOLD over
+    * the symbol array — if the accumulator's last symbol is p1 and the
+    * incoming symbol is p2, fuse them, else append. This is exactly the
+    * reference trainer's scan-with-skip semantics for EVERY pair,
+    * including the self-overlapping same-symbol runs where
+    * [[BpeMergeExpr]]'s two-pass literal replace fuses alternating
+    * positions (the deviation that expression's scaladoc documents):
+    * over a|a|a|a the fold yields canonical aa|aa because the fused
+    * symbol (p1p2) can never re-match p1. The fold re-copies the
+    * accumulator per element — O(len²) per WORD TYPE, and word types
+    * are short (bounded by the longest word, not the corpus), so the
+    * frame cost is unchanged. The `win` frame carries (win_p1, win_p2).
+    */
+  private[graft] def bpeMergeCanonical(words: DataFrame, win: DataFrame): DataFrame =
+    words.crossJoin(broadcast(win))
+      .select(concat_ws("|", expr(
+        """aggregate(split(sym, '\\|'), CAST(array() AS ARRAY<STRING>),
+          |  (acc, x) -> CASE
+          |    WHEN size(acc) > 0 AND element_at(acc, -1) = win_p1 AND x = win_p2
+          |    THEN concat(slice(acc, 1, size(acc) - 1),
+          |                array(concat(element_at(acc, -1), x)))
+          |    ELSE concat(acc, array(x)) END)""".stripMargin)).as("sym"), col("n"))
 
   /** q149: BPE MERGE LEARNING — the byte-pair-encoding training loop
     * itself (Sennrich et al. 2016, the algorithm behind GPT-2/Llama
@@ -183,7 +208,24 @@ object Tokenize {
     * pair ASC), and the merge is a literal (non-regex) replace under
     * identical left-to-right semantics — no float exists in the plan.
     */
-  def q149BpeMerges(s: SparkSession, dir: String): DataFrame = {
+  def q149BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir, bpeMerge)
+
+  /** q186: the q149 trainer with the CANONICAL fold merge
+    * ([[bpeMergeCanonical]]) — closes the two-pass deviation on
+    * self-overlapping runs as a gated query of its own (q149 stays as
+    * the literal-replace variant both for continuity and because the
+    * two differ only on ≥6-symbol same-letter runs, which this corpus —
+    * like most natural text — happens not to reach in the learned
+    * window; the exhaustive contract spec covers where they diverge).
+    */
+  def q186BpeCanonical(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir, bpeMergeCanonical)
+
+  /** The shared BPE training loop; `mergeFn` applies the 1-row winner
+    * frame `(win_pair, win_p1, win_p2)` to the word-type table. */
+  private def bpeTrain(s: SparkSession, dir: String,
+      mergeFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val words0 = Tables.documents(s, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -198,8 +240,10 @@ object Tokenize {
           .withColumn("round", lit(r))
           .select(col("round"), col("rank"), col("pair"), col("cnt"))
         val win = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
-          .select(col("pair").as("win_pair"))
-        val merged = bpeMerge(words, win)
+          .select(col("pair").as("win_pair"),
+            expr("split(pair, '\\\\|')[0]").as("win_p1"),
+            expr("split(pair, '\\\\|')[1]").as("win_p2"))
+        val merged = mergeFn(words, win)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (acc :+ top, merged)
     }
@@ -226,13 +270,48 @@ object Tokenize {
        |                            '|' || replace(w.pair, '|', '') || '|'), '|') AS sym, n
        |        FROM w${r - 1}, win$r w)""".stripMargin
 
+  /** q186's per-round CTE triple: identical to [[bpeRoundSql]] except
+    * the merge is the canonical left-to-right fold (list_reduce over
+    * single-element lists — the accumulator's slice-and-append mirrors
+    * the engine's aggregate() lambda symbol for symbol). */
+  private def bpeRoundCanonicalSql(r: Int): String =
+    s"""p$r AS (SELECT list_extract(ss, i + 1) || '|' || list_extract(ss, i + 2) AS pair,
+       |              CAST(sum(n) AS BIGINT) AS cnt
+       |       FROM (SELECT ss, n, unnest(range(len(ss) - 1)) AS i
+       |             FROM (SELECT string_split(sym, '|') AS ss, n FROM w${r - 1}))
+       |       GROUP BY 1),
+       |top$r AS (SELECT $r AS round,
+       |                 CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank,
+       |                 pair, cnt
+       |          FROM p$r ORDER BY cnt DESC, pair LIMIT $BpeTopK),
+       |win$r AS (SELECT string_split(pair, '|')[1] AS p1,
+       |                 string_split(pair, '|')[2] AS p2
+       |          FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+       |w$r AS (SELECT array_to_string(
+       |               list_reduce(list_transform(string_split(sym, '|'), x -> [x]),
+       |                 (acc, x) -> CASE WHEN acc[-1] = w.p1 AND x[1] = w.p2
+       |                   THEN list_append(acc[1:-2], acc[-1] || x[1])
+       |                   ELSE list_concat(acc, x) END), '|') AS sym, n
+       |        FROM w${r - 1}, win$r w)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_tokenize" -> (q88Tokenize _),
     "q111_tokenize_pack" -> (q111TokenizePack _),
     "q149_bpe_merges" -> (q149BpeMerges _),
+    "q186_bpe_canonical" -> (q186BpeCanonical _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q186_bpe_canonical" ->
+      s"""WITH pieces AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |                FROM documents),
+        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1|', 'g'), '|') AS sym,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM pieces GROUP BY 1),
+        |${(1 to BpeRounds).map(bpeRoundCanonicalSql).mkString(",\n")}
+        |SELECT round, rank, pair, cnt FROM (
+        |  ${(1 to BpeRounds).map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")}
+        |) ORDER BY round, rank""".stripMargin,
     "q149_bpe_merges" ->
       s"""WITH pieces AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
         |                FROM documents),

@@ -1532,6 +1532,41 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(deviations > 0 && deviations < checked / 10)
   }
 
+  test("q186: the canonical fold merge equals Sennrich scanning on ALL small cases") {
+    // the engine's aggregate() fold itself (not a Scala re-derivation),
+    // driven over every word up to length 7 over {a,b} and every pair —
+    // INCLUDING the self-overlapping runs where q149's two-pass replace
+    // deviates: the fold must equal canonical everywhere, no exemptions
+    def canonical(sym: String, pair: String): String = {
+      val Array(p1, p2) = pair.split("\\|")
+      val ss = sym.split("\\|")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == p1 && ss(i + 1) == p2) {
+          out += (p1 + p2); i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      out.mkString("|")
+    }
+    val alphabet = Seq("a", "b")
+    val words = (1 to 7).flatMap(n =>
+      Seq.fill(n)(alphabet).foldLeft(Seq(Seq.empty[String])) {
+        (acc, as) => acc.flatMap(w => as.map(w :+ _))
+      }.map(_.mkString("|")))
+    val wdf = words.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("sym", "n")
+    for (p1 <- alphabet; p2 <- alphabet) {
+      val win = Seq((s"$p1|$p2", p1, p2)).toDF("win_pair", "win_p1", "win_p2")
+      val got = graft.queries.Tokenize.bpeMergeCanonical(wdf, win)
+        .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i.toLong) == canonical(w, s"$p1|$p2"),
+          s"word=$w pair=$p1|$p2 got=${got(i.toLong)}")
+      }
+    }
+  }
+
   test("q169: KN target-LM perplexity matches a scalar replay and ranks the target") {
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select(col("doc_id"), col("lang"), col("text")).collect()
