@@ -912,10 +912,55 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** q187: INCREMENTAL CDC INGEST DEDUP — q181's landmark chunks run in
+    * the q101/q112 ingest shape: a NEW shard (q101's derived shard —
+    * every third history doc re-arrives as a PREFIX-SHIFTED copy,
+    * "update: " + text, the rest fresh) dedups against the HISTORY's
+    * chunk index plus first-occurrence within the shard. The shifted
+    * copies are the point: fixed-width chunking finds ~nothing reusable
+    * in them, landmark chunking recovers almost every byte (only the
+    * chunk the edit lives in is new) — this is the rsync/restic ingest
+    * economics question "how many bytes of this shard are actually
+    * new", answered exactly.
+    *
+    * Scale shape: both chunkings are the q181 narrow projections; the
+    * history index is corpus-scale so the membership probe is a proper
+    * md5-keyed EQUI-JOIN (never a broadcast — the q158 lesson), sharing
+    * its key with the intra-shard struct-min aggregate; the per-doc
+    * rollup re-keys by doc_id. The history side prunes to ONE column
+    * (the 16-byte hash) before the shuffle.
+    */
+  def q187CdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val histH = cdcChunks(hist)
+      .select(md5(col("chunk").cast("binary")).as("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val ch = cdcChunks(DedupSim.newShardOf(hist))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .withColumn("clen", length(col("chunk")).cast("long"))
+    val first = ch.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ord"))).as("f"))
+    ch.join(histH, Seq("h"), "left")
+      .join(first, Seq("h"))
+      .withColumn("dup_hist", coalesce(col("in_hist"), lit(false)))
+      .withColumn("dup_intra", !col("dup_hist") &&
+        !(col("doc_id") === col("f.doc_id") && col("ord") === col("f.ord")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("dup_hist"), 1)).as("n_hist_dup"),
+        count(when(col("dup_intra"), 1)).as("n_intra_dup"),
+        sum(col("clen")).as("n_chars_total"),
+        coalesce(sum(when(!col("dup_hist") && !col("dup_intra"), col("clen"))),
+          lit(0L)).as("n_chars_fresh"))
+      .withColumn("fresh_bp", expr("(n_chars_fresh * 10000) div n_chars_total"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf" -> (q104Tfidf _),
     "q105_line_dedup" -> (q105LineDedup _),
     "q181_cdc_dedup" -> (q181CdcDedup _),
+    "q187_cdc_incremental" -> (q187CdcIncremental _),
     "q127_gopher_rules" -> (q127GopherRules _),
     "q20_tokens" -> (q20Tokens _),
     "q21_langid" -> (q21LangId _),
@@ -1011,6 +1056,34 @@ object TextAnalytics {
                 AND (10 * (g3_total - g3_distinct) <= 3 * g3_total)) AS pass
         FROM m ORDER BY doc_id"""
 
+  /** DuckDB CTE chain computing the CDC chunks of relation
+    * `src(doc_id, text)` under name prefix `pfx`: emits
+    * `<pfx>c,<pfx>g,<pfx>b,<pfx>o,<pfx>ck`; the final `<pfx>ck` has
+    * (doc_id, ord, chunk, clen). ONE definition shared by the q181 and
+    * q187 oracles so the landmark rule can never drift between them.
+    */
+  private def cdcChunkCtes(src: String, pfx: String): String =
+    s"""${pfx}c AS (SELECT doc_id,
+      |             CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) AS pos,
+      |             CAST(ascii(unnest(string_split(text, ''))) AS BIGINT) AS cp,
+      |             unnest(string_split(text, '')) AS ch
+      |      FROM $src),
+      |${pfx}g AS (SELECT a.doc_id, a.pos AS p,
+      |             CAST(sum((b.cp + 1) *
+      |               ([1, 131, 17161, 2248091, 294499921, 2072267652,
+      |                 884122890, 2003465299])[CAST(8 - (b.pos - a.pos) AS INT)])
+      |               % 2147483647 AS BIGINT) AS h
+      |      FROM ${pfx}c a JOIN ${pfx}c b ON b.doc_id = a.doc_id
+      |                       AND b.pos >= a.pos AND b.pos < a.pos + $CdcW
+      |      GROUP BY 1, 2 HAVING count(*) = $CdcW),
+      |${pfx}b AS (SELECT doc_id, p + ${CdcW - 1} AS e FROM ${pfx}g WHERE h % $CdcD = 0),
+      |${pfx}o AS (SELECT c.doc_id, c.pos, c.ch, count(b.e) AS ord
+      |      FROM ${pfx}c c LEFT JOIN ${pfx}b b ON b.doc_id = c.doc_id AND b.e < c.pos
+      |      GROUP BY 1, 2, 3),
+      |${pfx}ck AS (SELECT doc_id, ord, string_agg(ch, '' ORDER BY pos) AS chunk,
+      |              CAST(count(*) AS BIGINT) AS clen
+      |       FROM ${pfx}o GROUP BY 1, 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q104_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -1056,26 +1129,7 @@ object TextAnalytics {
     // by (doc_id, ord) via row_number over the chunk md5
     "q181_cdc_dedup" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
-        |c AS (SELECT doc_id,
-        |             CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) AS pos,
-        |             CAST(ascii(unnest(string_split(text, ''))) AS BIGINT) AS cp,
-        |             unnest(string_split(text, '')) AS ch
-        |      FROM d),
-        |g AS (SELECT a.doc_id, a.pos AS p,
-        |             CAST(sum((b.cp + 1) *
-        |               ([1, 131, 17161, 2248091, 294499921, 2072267652,
-        |                 884122890, 2003465299])[CAST(8 - (b.pos - a.pos) AS INT)])
-        |               % 2147483647 AS BIGINT) AS h
-        |      FROM c a JOIN c b ON b.doc_id = a.doc_id
-        |                       AND b.pos >= a.pos AND b.pos < a.pos + $CdcW
-        |      GROUP BY 1, 2 HAVING count(*) = $CdcW),
-        |b AS (SELECT doc_id, p + ${CdcW - 1} AS e FROM g WHERE h % $CdcD = 0),
-        |o AS (SELECT c.doc_id, c.pos, c.ch, count(b.e) AS ord
-        |      FROM c LEFT JOIN b ON b.doc_id = c.doc_id AND b.e < c.pos
-        |      GROUP BY 1, 2, 3),
-        |ck AS (SELECT doc_id, ord, string_agg(ch, '' ORDER BY pos) AS chunk,
-        |              CAST(count(*) AS BIGINT) AS clen
-        |       FROM o GROUP BY 1, 2),
+        |${cdcChunkCtes("d", "")},
         |fr AS (SELECT doc_id, ord, clen,
         |              row_number() OVER (PARTITION BY md5(chunk)
         |                                 ORDER BY doc_id, ord) AS rn
@@ -1088,6 +1142,36 @@ object TextAnalytics {
         |       CAST(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0) * 10000
         |            // sum(clen) AS BIGINT) AS dup_bp
         |FROM fr GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q187: the q181 chunk CTEs over BOTH corpora (prefixes h/n); the
+    // new-shard derivation is q101's SQL replay verbatim
+    "q187_cdc_incremental" ->
+      s"""WITH hd AS (SELECT doc_id, text FROM documents),
+        |nd AS (SELECT doc_id + ${DedupSim.NearDupOffset} AS doc_id,
+        |              CASE WHEN doc_id % 3 = 0 THEN 'update: ' || text
+        |                   ELSE 'zz' || doc_id || 'a zz' || doc_id || 'b zz' || doc_id || 'c'
+        |              END AS text
+        |       FROM documents),
+        |${cdcChunkCtes("hd", "h")},
+        |${cdcChunkCtes("nd", "n")},
+        |hh AS (SELECT DISTINCT md5(chunk) AS h FROM hck),
+        |nf AS (SELECT md5(chunk) AS h, doc_id, ord, clen,
+        |              row_number() OVER (PARTITION BY md5(chunk)
+        |                                 ORDER BY doc_id, ord) AS rn
+        |       FROM nck),
+        |fl AS (SELECT nf.doc_id, nf.clen,
+        |              (hh.h IS NOT NULL) AS dup_hist,
+        |              (hh.h IS NULL AND nf.rn > 1) AS dup_intra
+        |       FROM nf LEFT JOIN hh USING (h))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(CASE WHEN dup_hist THEN 1 END) AS BIGINT) AS n_hist_dup,
+        |       CAST(count(CASE WHEN dup_intra THEN 1 END) AS BIGINT) AS n_intra_dup,
+        |       CAST(sum(clen) AS BIGINT) AS n_chars_total,
+        |       CAST(coalesce(sum(CASE WHEN NOT dup_hist AND NOT dup_intra
+        |                              THEN clen END), 0) AS BIGINT) AS n_chars_fresh,
+        |       CAST(coalesce(sum(CASE WHEN NOT dup_hist AND NOT dup_intra
+        |                              THEN clen END), 0) * 10000
+        |            // sum(clen) AS BIGINT) AS fresh_bp
+        |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // the probability CASE is the engine expression verbatim; all
     // counts BIGINT, the nll fixed-pointed once per corpus bigram type,
     // integer division only over positives (engine `div` vs DuckDB `//`

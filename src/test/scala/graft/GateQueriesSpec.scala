@@ -1927,6 +1927,27 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expect.reverse)
   }
 
+  test("q187: landmark chunks make shifted re-arrivals mostly reusable") {
+    val out = graft.queries.TextAnalytics
+      .q187CdcIncremental(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 500)
+    val off = graft.queries.DedupSim.NearDupOffset
+    // the %3==0 shard members are prefix-shifted HISTORY copies: the
+    // landmark chunker must recover most of their bytes from the
+    // history index (only the chunk the edit lives in is new), while
+    // the synthetic fresh docs stay mostly fresh — the rsync economics
+    // the operator exists to measure
+    val (shifted, fresh) = out.partition(r => (r.getLong(0) - off) % 3 == 0)
+    def ratio(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(5)).sum.toDouble / rs.map(_.getLong(4)).sum
+    assert(ratio(shifted) < 0.35, s"shifted fresh ratio ${ratio(shifted)}")
+    assert(ratio(fresh) > 0.8, s"fresh-doc fresh ratio ${ratio(fresh)}")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(5) <= r.getLong(4)) // fresh chars <= total chars
+    }
+  }
+
   test("q183: contamination matrix is a full grid with symmetric evidence") {
     val out = graft.queries.TextAnalytics
       .q183SourceContamination(spark, "/root/testdata/sf0.01").collect()
