@@ -893,9 +893,13 @@ object TextAnalytics {
 
   def q181CdcDedup(s: SparkSession, dir: String): DataFrame = {
     val chunks = cdcChunks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // two consumers (the first-occurrence aggregate and the join side)
+    // would otherwise each re-run the char-level boundary scan — the
+    // dominant cost (measured 2x at sf0.1)
     val withH = chunks
       .withColumn("h", md5(col("chunk").cast("binary")))
       .withColumn("clen", length(col("chunk")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence corpus-wide in (doc_id, ord) order — a struct-min
     // aggregate (map-side partial), never a per-hash sort
     val first = withH.groupBy(col("h"))
@@ -938,6 +942,7 @@ object TextAnalytics {
     val ch = cdcChunks(DedupSim.newShardOf(hist))
       .withColumn("h", md5(col("chunk").cast("binary")))
       .withColumn("clen", length(col("chunk")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = ch.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("ord"))).as("f"))
     ch.join(histH, Seq("h"), "left")
