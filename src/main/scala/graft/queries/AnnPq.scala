@@ -321,13 +321,25 @@ object AnnPq {
       .select(col("qv")).head().getSeq[Long](0).toArray
     val picks = scala.collection.mutable.ListBuffer((1L, 0L, 0L))
     var state = q.withColumn("min_d2", lit(Long.MaxValue))
+    var prevCheckpoint: DataFrame = null
     for (ord <- 2 to KCenterK) {
       val cLit = array(center.map(lit(_)).toIndexedSeq: _*)
-      state = state.withColumn("min_d2",
+      val next = state.withColumn("min_d2",
         least(col("min_d2"),
           aggregate(zip_with(col("qv"), cLit, (a, b) => (a - b) * (a - b)),
             lit(0L), (acc, x) => acc + x)))
         .localCheckpoint(true)
+      // the previous round's checkpoint blocks are dead once the new
+      // one is materialized — without this, K-1 corpus-scale snapshots
+      // sit in executor storage simultaneously (review finding). The
+      // persisted RDD is the one inside the LogicalRDD leaf
+      // localCheckpoint returned, not the df.rdd wrapper.
+      if (prevCheckpoint != null) prevCheckpoint.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+      prevCheckpoint = next
+      state = next
       // argmax(min_d2, ties to lowest id) carrying the winner's vector —
       // the qv struct field is only compared on impossible full ties
       val pick = state
@@ -411,12 +423,18 @@ object AnnPq {
   val oracleSql: Map[String, String] = Map(
     "q184_kcenter_sample" -> {
       val key = s"($kcenterD2Sql * 8192 + (8191 - e.vec_id))"
-      s"""WITH RECURSIVE sel AS (
+      s"""WITH RECURSIVE guard AS (
+        |  SELECT CASE WHEN max(vec_id) >= 8192
+        |              THEN CAST(error('q184 oracle key packing needs vec_id < 8192')
+        |                   AS BIGINT)
+        |              ELSE 0 END AS ok
+        |  FROM embeddings),
+        |sel AS (
         |  SELECT 1 AS ord, CAST(vec_id AS BIGINT) AS vec_id,
         |         CAST(0 AS BIGINT) AS d2,
         |         [list_transform(embedding,
         |            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))] AS centers
-        |  FROM embeddings WHERE vec_id = 0
+        |  FROM embeddings, guard WHERE vec_id = 0 AND guard.ok = 0
         |  UNION ALL
         |  SELECT s.ord + 1 AS ord,
         |         arg_max(e.vec_id, $key) AS vec_id,

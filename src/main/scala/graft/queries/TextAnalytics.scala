@@ -244,23 +244,49 @@ object TextAnalytics {
     * Emits every training doc (LEFT join), hit count + flag, so the
     * clean/contaminated split is a filter downstream.
     */
-  def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct [[DecontamN]]-token shingle hashes per document, with
+    * `extra` columns carried through: the BIGINT fold shared by q61 and
+    * q183 so the shingle definition can never drift between them (the
+    * cdcChunkCtes convention). Shingle hash = polynomial fold of the
+    * PER-TOKEN hashes (base 131 mod P), NOT strHash of the joined
+    * string: strHash caps at MaxChars=64 codepoints, and an 8-token
+    * shingle routinely exceeds that — two distinct 8-grams sharing a
+    * 64-char prefix would silently collide on BOTH engines
+    * (review-found). Token hashes are < P < 2^31, so acc·131 + h <
+    * 2^39 never overflows a long; the oracle replays the identical
+    * fold over lead() windows ([[shingleCtes]]).
+    */
+  private def shingleFrame(docs: DataFrame, extra: String*): DataFrame = {
     import graft.functions.PortableStringHash.{strHash, P}
-    // Shingle hash = polynomial fold of the PER-TOKEN hashes (base 131
-    // mod P), NOT strHash of the joined string: strHash caps at
-    // MaxChars=64 codepoints, and an 8-token shingle routinely exceeds
-    // that — two distinct 8-grams sharing a 64-char prefix would
-    // silently collide on BOTH engines (review-found). Token hashes are
-    // < P < 2^31, so acc·131 + h < 2^39 never overflows a long; the
-    // oracle replays the identical fold over lead() windows.
     val fold = (1 until DecontamN)
       .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
     val shingleHashes = expr(s"transform(sequence(0, size(ha) - $DecontamN), i -> $fold)")
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
-      .select(col("doc_id"),
+    val keep = col("doc_id") +: extra.map(col)
+    docs
+      .select(keep :+ transform(tokens(col("text")), t => strHash(t)).as("ha"): _*)
+      .select(keep :+
         explode(array_distinct(when(size(col("ha")) >= DecontamN, shingleHashes)
-          .otherwise(array().cast("array<bigint>")))).as("h"))
+          .otherwise(array().cast("array<bigint>")))).as("h"): _*)
+  }
+
+  /** The oracle twin of [[shingleFrame]]: CTEs `toks`, `th` (+`th_chars`)
+    * and `shh(doc_id, hsh)` over relation `src(doc_id, text, …)`. */
+  private def shingleCtes(src: String): String =
+    s"""toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+          FROM $src),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+          shh AS (
+            SELECT DISTINCT doc_id,
+                   ${(1 until DecontamN).foldLeft("h")((acc, k) =>
+                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(h, ${DecontamN - 1}) OVER w IS NOT NULL)"""
+
+  def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleFrame(Tables.documents(s, dir))
     val isBench = col("doc_id") % DecontamBenchMod === 0
     val bench = sh.filter(isBench).select(col("h")).distinct()
     val hits = sh.filter(!isBench)
@@ -297,16 +323,7 @@ object TextAnalytics {
     * materialized — no quadratic term in documents anywhere.
     */
   def q183SourceContamination(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableStringHash.{strHash, P}
-    val fold = (1 until DecontamN)
-      .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
-    val shingleHashes = expr(s"transform(sequence(0, size(ha) - $DecontamN), i -> $fold)")
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        transform(tokens(col("text")), t => strHash(t)).as("ha"))
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(when(size(col("ha")) >= DecontamN, shingleHashes)
-          .otherwise(array().cast("array<bigint>")))).as("h"))
+    val sh = shingleFrame(Tables.documents(s, dir), "source")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pivot = sh.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"), collect_set(col("source")).as("srcs"))
@@ -1423,18 +1440,7 @@ object TextAnalytics {
           SELECT doc_id, source, quality, rank_in_source
           FROM r WHERE rank_in_source <= 10 ORDER BY doc_id""",
     "q61_decontaminate" ->
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents),
-          ${graft.functions.PortableStringHash.strHashCtes(
-            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
-          shh AS (
-            SELECT DISTINCT doc_id,
-                   ${(1 until DecontamN).foldLeft("h")((acc, k) =>
-                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
-            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(h, ${DecontamN - 1}) OVER w IS NOT NULL),
+      s"""WITH ${shingleCtes("documents")},
           bench AS (SELECT DISTINCT hsh FROM shh WHERE doc_id % $DecontamBenchMod = 0),
           hits AS (SELECT s.doc_id, count(DISTINCT s.hsh) AS n_hits
                    FROM shh s JOIN bench b USING (hsh)
@@ -1443,21 +1449,11 @@ object TextAnalytics {
                  coalesce(h.n_hits, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN hits h USING (doc_id)
           WHERE d.doc_id % $DecontamBenchMod <> 0 ORDER BY doc_id""",
-    // q183: the q61 shingle CTEs verbatim, widened with source; the
-    // pivot/explode becomes a hash self-join with the same df/ns guards
+    // q183: the SHARED q61 shingle CTEs ([[shingleCtes]]) widened with
+    // source; the pivot/explode becomes a hash self-join with the same
+    // df/ns guards
     "q183_source_contamination" ->
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents),
-          ${graft.functions.PortableStringHash.strHashCtes(
-            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
-          shh AS (
-            SELECT DISTINCT doc_id,
-                   ${(1 until DecontamN).foldLeft("h")((acc, k) =>
-                     s"(($acc * 131 + lead(h, $k) OVER w) % ${graft.functions.PortableStringHash.P})")} AS hsh
-            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(h, ${DecontamN - 1}) OVER w IS NOT NULL),
+      s"""WITH ${shingleCtes("documents")},
           ds AS (SELECT s.doc_id, d.source, s.hsh
                  FROM shh s JOIN documents d USING (doc_id)),
           piv AS (SELECT hsh FROM ds GROUP BY 1
