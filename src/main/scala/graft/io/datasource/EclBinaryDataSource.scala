@@ -311,7 +311,8 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
     wells: Option[Set[String]], caseSet: Option[Set[String]],
     maxCases: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // runtime (DPP-style) CASE restriction, delivered by Spark AFTER a
   // join's build side materializes — set by filter(), consumed by
   // planInputPartitions; composes (intersects) with the static pushdown
@@ -352,9 +353,30 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
         val id = caseIdOf(f)
         caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
       }
-      .map(f => EclCaseInputPartition(f): InputPartition)
+      .map(f => EclCaseInputPartition(f, caseIdOf(f)): InputPartition)
       .toArray
   }
+
+  /** Rows of one partition all carry that partition's CASE, so when the
+    * projection keeps CASE the scan advertises
+    * KeyGroupedPartitioning(identity(CASE)): Spark's storage-partitioned
+    * planning (spark.sql.sources.v2.bucketing.enabled) then satisfies
+    * ClusteredDistribution(CASE) straight off the scan — a per-case
+    * fleet aggregate or CASE-keyed join over a 1000-realization
+    * ensemble shuffles NOTHING. With CASE pruned away the grouping
+    * claim would reference a non-output column, so it degrades to
+    * UnknownPartitioning.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val n = planInputPartitions().length
+    if (required.fieldNames.contains("CASE"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("CASE")), n)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(n)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
 
@@ -364,7 +386,19 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
       datePred, wells, caseSet, maxCases)
 }
 
-case class EclCaseInputPartition(caseFile: String) extends InputPartition
+/** One ensemble case = one partition; carries its CASE value as the
+  * partition key so [[EclBinaryScan.outputPartitioning]] can report
+  * KeyGroupedPartitioning(CASE) — per-case aggregations and CASE-keyed
+  * joins then run WITHOUT an exchange (storage-partitioned planning;
+  * needs spark.sql.sources.v2.bucketing.enabled=true).
+  */
+case class EclCaseInputPartition(caseFile: String, caseId: String)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(caseId))
+}
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,

@@ -77,7 +77,8 @@ class EclBinaryMicroBatchStream(kind: String, path: String,
     val seen = start.asInstanceOf[EclFilesOffset].files.toSet
     end.asInstanceOf[EclFilesOffset].files
       .filterNot(seen)
-      .map(f => EclCaseInputPartition(f): InputPartition)
+      .map(f => EclCaseInputPartition(f,
+        EclBinaryDataSource.caseIdOf(kind, f)): InputPartition)
       .toArray
   }
 

@@ -662,6 +662,36 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
+  /** q189: CO-LOCATED PER-CASE FLEET AGGREGATE — the plan-shape payoff
+    * of the DSv2 sources reporting KeyGroupedPartitioning(CASE): each
+    * partition IS one realization, every row of it carries that
+    * partition's CASE, so a per-case aggregate grouped on the RAW CASE
+    * column satisfies ClusteredDistribution straight off the scan and
+    * Spark plans a SINGLE complete aggregate with NO exchange (under
+    * spark.sql.sources.v2.bucketing.enabled — storage-partitioned
+    * planning). At a 1000-realization × 10⁸-row ensemble this is the
+    * difference between shuffling the whole fleet and shuffling
+    * nothing; case_id derives AFTER the aggregate, on report-sized
+    * rows. The spec pins zero hash exchanges in the executed plan; the
+    * gate hashes the closed-form per-case sums.
+    */
+  def q189FleetAggColocated(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q189")
+    // storage-partitioned planning is off by default; the report is
+    // harmless without it (UnknownPartitioning fallback), so enabling
+    // it here only ever REMOVES an exchange
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .groupBy(col("CASE"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("VALUE") * 32).cast("long")).as("sum_y32"),
+        countDistinct(col("VECTOR")).as("n_vectors"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("n_rows"), col("n_vectors"), col("sum_y32"))
+      .orderBy(col("case_id"))
+  }
+
   /** q168: q148's RFT FLEET replayed through the REGISTERED
     * `eclipse-rft` DataSourceV2 format — same fixtures, same oracle,
     * shared rftCaseRows kernel; pruned connection vectors seek past at
@@ -1629,6 +1659,7 @@ object BinaryGate {
     "q114_summary_fleet" -> (q114SummaryFleet _),
     "q182_trend_fit" -> (q182TrendFit _),
     "q185_breakthrough" -> (q185Breakthrough _),
+    "q189_fleet_agg_colocated" -> (q189FleetAggColocated _),
     "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
@@ -2005,6 +2036,20 @@ object BinaryGate {
     "q117_grid_fleet" -> gridOracle,
     "q164_grid_fleet_sql" -> gridOracle,
     "q114_summary_fleet" -> summaryFleetOracle,
+    // q189: the q114 lattice rolled up per case (y·32 = 32000·vi +
+    // 33·day + 224·case on this lattice — day < 32 folds the sawtooth)
+    "q189_fleet_agg_colocated" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+        |v AS (SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+        |d AS (SELECT unnest(range($SumDays)) AS day),
+        |o AS (SELECT case_id, vi,
+        |             CAST(32000 * vi + 33 * day + 224 * case_id AS BIGINT) AS y32
+        |      FROM c CROSS JOIN v CROSS JOIN d)
+        |SELECT CAST(case_id AS INT) AS case_id,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT vi) AS BIGINT) AS n_vectors,
+        |       CAST(sum(y32) AS BIGINT) AS sum_y32
+        |FROM o GROUP BY 1 ORDER BY case_id""".stripMargin,
     // q185: the q114 lattice replay; baseline = per-vector min, onset =
     // min day crossing baseline + margin, envelope re-keyed by vector —
     // every comparison dyadic-exact

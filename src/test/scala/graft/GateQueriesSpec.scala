@@ -1885,6 +1885,35 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(inc == single && inc.nonEmpty)
   }
 
+  test("q189: the per-case fleet aggregate plans WITHOUT a hash exchange") {
+    val df = graft.queries.BinaryGate.q189FleetAggColocated(spark, Sf)
+    val rows = df.collect()
+    // closed form on the q114 lattice: sum_y32 = 9671775 + 33600*c
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 150L && r.getLong(2) == 5L)
+      assert(r.getLong(3) == 9671775L + 33600L * r.getInt(0), s"case ${r.getInt(0)}")
+    }
+    // the point of SupportsReportPartitioning: the groupBy(CASE)
+    // aggregate must ride the scan's KeyGroupedPartitioning — no
+    // hash exchange anywhere (the presentation orderBy's range
+    // exchange is the only one allowed)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-case aggregate still shuffles:\n$plan")
+    // differential control proving causation, not coincidence: the SAME
+    // aggregate grouped on a DERIVED key (which the reported
+    // KeyGroupedPartitioning(CASE) cannot satisfy) must still shuffle
+    val control = spark.read.format("eclipse-unsmry")
+      .load(sys.props("java.io.tmpdir") + "/graft-gate/q189/*.UNSMRY")
+      .withColumn("case_id", regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .groupBy(col("case_id")).agg(count(lit(1)).as("n"))
+    control.collect()
+    assert(control.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "control should shuffle — the no-exchange plan would be vacuous")
+  }
+
   test("q185: onset days follow the closed form and order by case") {
     val out = graft.queries.BinaryGate.q185Breakthrough(spark, Sf).collect()
     assert(out.length == 20)
