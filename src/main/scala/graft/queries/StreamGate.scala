@@ -744,6 +744,60 @@ object StreamGate {
     * state carry is pinned by their twins q163/q166; the streaming
     * aggregation here is the same state machinery).
     */
+  /** q188: STREAMING CDC INGEST DEDUP — q187's landmark-chunk probe run
+    * by the streaming engine (the q112 discipline applied to the chunk
+    * axis): the arriving shard chunks STREAM-SIDE (cdcChunks is pure
+    * narrow projection — stream-legal), left-joins the STATIC history
+    * chunk index (stream-static join, stateless), and aggregates per
+    * (doc, chunk-hash) in update mode; the per-document rollup runs
+    * batch-side over the sink. Contract difference from q187, by
+    * design: a stateless streaming probe dedups each document against
+    * HISTORY and against ITSELF — the cross-document intra-shard layer
+    * needs corpus state and is q187's batch job (same split as
+    * q101/q112). A chunk type absent from history counts fresh once
+    * per document that carries it.
+    *
+    * Scale shape: the history index prunes to its 16-byte hash column
+    * before the join; the shard's chunk rows repartition off the single
+    * arrival file so the probe parallelizes; state is per-(doc, hash)
+    * within the running aggregate — bounded by the shard, evicted with
+    * the query.
+    */
+  def q188StreamCdcIngest(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.sources.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    val histH = TextAnalytics.cdcChunks(hist)
+      .select(md5(col("chunk").cast("binary")).as("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val stream = DedupSim.newShardOf(
+      graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(col("doc_id"), col("text")))
+    val ch = TextAnalytics.cdcChunks(stream)
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .withColumn("clen", length(col("chunk")).cast("long"))
+      .repartition(col("doc_id"))
+    val perHash = ch.join(histH, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("clen")).as("clen"),
+        max(coalesce(col("in_hist"), lit(false))).as("in_hist"))
+    val sink = "q188_sink"
+    s.catalog.dropTempView(sink)
+    val q = perHash.writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        sum(when(col("in_hist"), col("cnt")).otherwise(0L)).as("n_hist_dup"),
+        sum(when(!col("in_hist"), col("cnt") - 1).otherwise(0L)).as("n_self_dup"),
+        sum(col("cnt") * col("clen")).as("n_chars_total"),
+        sum(when(col("in_hist"), 0L).otherwise(col("clen"))).as("n_chars_fresh"))
+      .withColumn("fresh_bp", expr("(n_chars_fresh * 10000) div n_chars_total"))
+      .orderBy(col("doc_id"))
+  }
+
   def q112StreamNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stream = DedupSim.newShardOf(
@@ -1031,6 +1085,7 @@ object StreamGate {
     "q139_stream_outer_join" -> (q139StreamOuterJoin _),
     "q134_stream_interval_join" -> (q134StreamIntervalJoin _),
     "q112_stream_neardup" -> (q112StreamNearDup _),
+    "q188_stream_cdc_ingest" -> (q188StreamCdcIngest _),
     "q106_stream_sessions" -> (q106StreamSessions _),
     "q119_stream_sessions_append" -> (q119StreamSessionsAppend _),
     "q58_stream_window" -> (q58StreamWindow _),
@@ -1153,5 +1208,33 @@ object StreamGate {
     // the streaming probe must reproduce the batch probe EXACTLY -
     // q101's oracle verbatim
     "q112_stream_neardup" -> DedupSim.incNearDupOracle,
+    // q188: the shared chunk CTEs over both corpora; per-doc rollup with
+    // history-dup / self-dup split (no cross-doc intra-shard layer — the
+    // stateless-probe contract, see the query scaladoc)
+    "q188_stream_cdc_ingest" ->
+      s"""WITH hd AS (SELECT doc_id, text FROM documents),
+        |nd AS (SELECT doc_id + ${DedupSim.NearDupOffset} AS doc_id,
+        |              CASE WHEN doc_id % 3 = 0 THEN 'update: ' || text
+        |                   ELSE 'zz' || doc_id || 'a zz' || doc_id || 'b zz' || doc_id || 'c'
+        |              END AS text
+        |       FROM documents),
+        |${TextAnalytics.cdcChunkCtes("hd", "h")},
+        |${TextAnalytics.cdcChunkCtes("nd", "n")},
+        |hh AS (SELECT DISTINCT md5(chunk) AS h FROM hck),
+        |nper AS (SELECT doc_id, md5(chunk) AS h, CAST(count(*) AS BIGINT) AS cnt,
+        |              CAST(min(clen) AS BIGINT) AS clen
+        |       FROM nck GROUP BY 1, 2),
+        |fl AS (SELECT nper.doc_id, nper.cnt, nper.clen, hh.h IS NOT NULL AS in_hist
+        |       FROM nper LEFT JOIN hh USING (h))
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN in_hist THEN cnt ELSE 0 END) AS BIGINT) AS n_hist_dup,
+        |       CAST(sum(CASE WHEN NOT in_hist THEN cnt - 1 ELSE 0 END) AS BIGINT)
+        |         AS n_self_dup,
+        |       CAST(sum(cnt * clen) AS BIGINT) AS n_chars_total,
+        |       CAST(sum(CASE WHEN in_hist THEN 0 ELSE clen END) AS BIGINT)
+        |         AS n_chars_fresh,
+        |       CAST(sum(CASE WHEN in_hist THEN 0 ELSE clen END) * 10000
+        |            // sum(cnt * clen) AS BIGINT) AS fresh_bp
+        |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1084,7 +1084,7 @@ object TextAnalytics {
     * (doc_id, ord, chunk, clen). ONE definition shared by the q181 and
     * q187 oracles so the landmark rule can never drift between them.
     */
-  private def cdcChunkCtes(src: String, pfx: String): String =
+  private[graft] def cdcChunkCtes(src: String, pfx: String): String =
     s"""${pfx}c AS (SELECT doc_id,
       |             CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) AS pos,
       |             CAST(ascii(unnest(string_split(text, ''))) AS BIGINT) AS cp,

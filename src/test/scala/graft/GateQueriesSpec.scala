@@ -1956,6 +1956,28 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expect.reverse)
   }
 
+  test("q188: the streaming CDC probe agrees with the batch job where stateless") {
+    val sf01 = "/root/testdata/sf0.01"
+    val streamed = graft.queries.StreamGate.q188StreamCdcIngest(spark, sf01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val batch = graft.queries.TextAnalytics.q187CdcIncremental(spark, sf01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.size == 500)
+    streamed.foreach { case (id, (nc, hist, total, fresh)) =>
+      val (bnc, bhist, btotal, bfresh) = batch(id)
+      // the chunker and the HISTORY probe are shared — identical
+      assert(nc == bnc && total == btotal, s"doc $id chunking diverged")
+      assert(hist == bhist, s"doc $id history dedup diverged")
+      // the stateless stream can't see cross-document intra-shard dups,
+      // so it can only count MORE bytes as fresh, never fewer
+      assert(fresh >= bfresh, s"doc $id stateless probe under-counts fresh")
+    }
+    // and the intra-shard layer the batch job adds is real on this corpus
+    assert(streamed.values.map(_._4).sum > batch.values.map(_._4).sum)
+  }
+
   test("q187: landmark chunks make shifted re-arrivals mostly reusable") {
     val out = graft.queries.TextAnalytics
       .q187CdcIncremental(spark, "/root/testdata/sf0.01").collect()
