@@ -692,6 +692,42 @@ object BinaryGate {
       .orderBy(col("case_id"))
   }
 
+  /** q190: STORAGE-PARTITIONED FLEET SELF-JOIN — the join half of the
+    * KeyGroupedPartitioning payoff (q189 is the aggregate half): every
+    * realization's oil-rate series joined per CASE against that
+    * realization's END-OF-HISTORY cumulative (itself a per-CASE
+    * aggregate that rides the reported grouping exchange-free), giving
+    * the fractional-depletion-rate screen. The join key IS the
+    * partition key, both sides carry the scan's CASE grouping (the
+    * aggregate preserves its child's partitioning), so Spark's
+    * storage-partitioned join plans the whole thing with ZERO
+    * exchanges — at a 10⁸-row ensemble the fleet is never shuffled.
+    * The MERGE hint pins the sort-merge path (at fixture size AQE
+    * would broadcast — legal, but then the plan proves nothing).
+    * Exactness: /32 dyadic vectors, integer fixed-point ratio.
+    */
+  def q190FleetSpjRatio(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q190")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def side(vec: String) =
+      s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+        .filter(col("VECTOR") === vec)
+    val rates = side("FOPR").select(col("CASE"), col("DATE"),
+      round(col("VALUE") * 32).cast("long").as("rate32"))
+    val finalCum = side("FOPT")
+      .groupBy(col("CASE"))
+      .agg(max(round(col("VALUE") * 32).cast("long")).as("cum_final32"))
+    rates.hint("merge").join(finalCum.hint("merge"), Seq("CASE"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"),
+        datediff(col("DATE"), lit(java.sql.Date.valueOf("2021-01-01")))
+          .cast("long").as("day"),
+        col("rate32"), col("cum_final32"),
+        expr("(rate32 * 1000000) div cum_final32").as("ratio_fp6"))
+      .orderBy(col("case_id"), col("day"))
+  }
+
   /** q168: q148's RFT FLEET replayed through the REGISTERED
     * `eclipse-rft` DataSourceV2 format — same fixtures, same oracle,
     * shared rftCaseRows kernel; pruned connection vectors seek past at
@@ -1660,6 +1696,7 @@ object BinaryGate {
     "q182_trend_fit" -> (q182TrendFit _),
     "q185_breakthrough" -> (q185Breakthrough _),
     "q189_fleet_agg_colocated" -> (q189FleetAggColocated _),
+    "q190_fleet_spj_ratio" -> (q190FleetSpjRatio _),
     "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
@@ -2036,6 +2073,19 @@ object BinaryGate {
     "q117_grid_fleet" -> gridOracle,
     "q164_grid_fleet_sql" -> gridOracle,
     "q114_summary_fleet" -> summaryFleetOracle,
+    // q190: FOPR (vi=0) rate series vs the per-case FINAL FOPT (vi=1,
+    // day=29) off the q114 lattice; exact integer fixed-point ratio
+    "q190_fleet_spj_ratio" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+        |d AS (SELECT unnest(range($SumDays)) AS day),
+        |o AS (SELECT CAST(case_id AS INT) AS case_id, CAST(day AS BIGINT) AS day,
+        |             CAST(33 * day + 224 * case_id AS BIGINT) AS rate32,
+        |             CAST(32000 + 33 * ${SumDays - 1} + 224 * case_id AS BIGINT)
+        |               AS cum_final32
+        |      FROM c CROSS JOIN d)
+        |SELECT case_id, day, rate32, cum_final32,
+        |       CAST((rate32 * 1000000) // cum_final32 AS BIGINT) AS ratio_fp6
+        |FROM o ORDER BY case_id, day""".stripMargin,
     // q189: the q114 lattice rolled up per case (y·32 = 32000·vi +
     // 33·day + 224·case on this lattice — day < 32 folds the sawtooth)
     "q189_fleet_agg_colocated" ->

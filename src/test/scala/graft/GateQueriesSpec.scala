@@ -1914,6 +1914,22 @@ class GateQueriesSpec extends AnyFunSuite {
       "control should shuffle — the no-exchange plan would be vacuous")
   }
 
+  test("q190: the fleet self-join is storage-partitioned (no hash exchange)") {
+    val df = graft.queries.BinaryGate.q190FleetSpjRatio(spark, Sf)
+    val rows = df.collect()
+    assert(rows.length == 4 * 30)
+    rows.foreach { r =>
+      val (c, d) = (r.getInt(0), r.getLong(1))
+      val rate = 33L * d + 224L * c
+      val cum = 32000L + 33L * 29 + 224L * c
+      assert(r.getLong(2) == rate && r.getLong(3) == cum)
+      assert(r.getLong(4) == rate * 1000000L / cum)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fleet self-join still shuffles:\n$plan")
+  }
+
   test("q185: onset days follow the closed form and order by case") {
     val out = graft.queries.BinaryGate.q185Breakthrough(spark, Sf).collect()
     assert(out.length == 20)
