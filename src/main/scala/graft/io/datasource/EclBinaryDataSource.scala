@@ -312,7 +312,8 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     wells: Option[Set[String]], caseSet: Option[Set[String]],
     maxCases: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   // runtime (DPP-style) CASE restriction, delivered by Spark AFTER a
   // join's build side materializes — set by filter(), consumed by
   // planInputPartitions; composes (intersects) with the static pushdown
@@ -375,6 +376,25 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("CASE")), n)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(n)
+  }
+
+  /** The kernels emit rows in FILE order, which is report-step order:
+    * DATE is non-decreasing within every case partition (unsmry
+    * ministeps, unrst SEQNUM groups, rft TIME groups are sequential),
+    * and egrid cells stream in ascending GLOBAL_INDEX. CASE is constant
+    * per partition, so prefixing it keeps the claim trivially true and
+    * lets a window PARTITION BY CASE ORDER BY DATE (or an orderBy) ride
+    * the scan with neither an exchange NOR a sort. Only columns
+    * surviving projection are claimed.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val fields = required.fieldNames.toSet
+    val orderedCol = if (kind == "egrid") "GLOBAL_INDEX" else "DATE"
+    (Seq("CASE").filter(fields) ++ Seq(orderedCol).filter(fields))
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.EclKw
 import graft.io.EclKw.Kw
@@ -725,6 +726,35 @@ object BinaryGate {
           .cast("long").as("day"),
         col("rate32"), col("cum_final32"),
         expr("(rate32 * 1000000) div cum_final32").as("ratio_fp6"))
+      .orderBy(col("case_id"), col("day"))
+  }
+
+  /** q191: FULLY-PIPELINED FLEET WINDOW — the ordering half of the
+    * scan-report story (q189 grouping, q190 join, q191 sort): the
+    * binary sources also report per-partition ordering (CASE, DATE) —
+    * true by construction, the kernels emit report steps in file
+    * order — so a PARTITION BY CASE ORDER BY DATE window (here: the
+    * day-over-day rate delta, the decline-onset primitive) plans with
+    * NEITHER an exchange NOR a sort: the window runs directly on the
+    * scan's output stream. At a 10⁸-row ensemble the alternative is
+    * shuffling AND sorting the whole fleet. Null first-delta is part
+    * of the contract (both engines emit SQL null for day 0).
+    */
+  def q191FleetWindowPipelined(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q191")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val w = Window.partitionBy(col("CASE")).orderBy(col("DATE"))
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .filter(col("VECTOR") === "FOPR")
+      .select(col("CASE"), col("DATE"),
+        round(col("VALUE") * 32).cast("long").as("rate32"))
+      .withColumn("delta32", col("rate32") - lag(col("rate32"), 1).over(w))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"),
+        datediff(col("DATE"), lit(java.sql.Date.valueOf("2021-01-01")))
+          .cast("long").as("day"),
+        col("rate32"), col("delta32"))
       .orderBy(col("case_id"), col("day"))
   }
 
@@ -1697,6 +1727,7 @@ object BinaryGate {
     "q185_breakthrough" -> (q185Breakthrough _),
     "q189_fleet_agg_colocated" -> (q189FleetAggColocated _),
     "q190_fleet_spj_ratio" -> (q190FleetSpjRatio _),
+    "q191_fleet_window_pipelined" -> (q191FleetWindowPipelined _),
     "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
@@ -2073,6 +2104,15 @@ object BinaryGate {
     "q117_grid_fleet" -> gridOracle,
     "q164_grid_fleet_sql" -> gridOracle,
     "q114_summary_fleet" -> summaryFleetOracle,
+    // q191: FOPR day-over-day delta = 33 on this lattice (day >= 1),
+    // SQL NULL for each case's first day
+    "q191_fleet_window_pipelined" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+        |d AS (SELECT unnest(range($SumDays)) AS day)
+        |SELECT CAST(case_id AS INT) AS case_id, CAST(day AS BIGINT) AS day,
+        |       CAST(33 * day + 224 * case_id AS BIGINT) AS rate32,
+        |       CASE WHEN day = 0 THEN NULL ELSE CAST(33 AS BIGINT) END AS delta32
+        |FROM c CROSS JOIN d ORDER BY case_id, day""".stripMargin,
     // q190: FOPR (vi=0) rate series vs the per-case FINAL FOPT (vi=1,
     // day=29) off the q114 lattice; exact integer fixed-point ratio
     "q190_fleet_spj_ratio" ->

@@ -1930,6 +1930,27 @@ class GateQueriesSpec extends AnyFunSuite {
       s"fleet self-join still shuffles:\n$plan")
   }
 
+  test("q191: the per-case window runs with neither an exchange nor a sort") {
+    val df = graft.queries.BinaryGate.q191FleetWindowPipelined(spark, Sf)
+    val rows = df.collect()
+    assert(rows.length == 4 * 30)
+    rows.foreach { r =>
+      val (c, d) = (r.getInt(0), r.getLong(1))
+      assert(r.getLong(2) == 33L * d + 224L * c)
+      if (d == 0L) assert(r.isNullAt(3)) else assert(r.getLong(3) == 33L)
+    }
+    // the reported (CASE, DATE) ordering + CASE grouping must carry the
+    // window: the ONLY exchange and the ONLY sort in the final plan are
+    // the presentation orderBy's (range) pair — the window added none
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
+      match { case -1 => plan.length; case i => i })
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"window still shuffles:\n$finalPlan")
+    val sorts = "\\bSort \\[".r.findAllIn(finalPlan).length
+    assert(sorts == 1, s"expected only the presentation sort, got $sorts:\n$finalPlan")
+  }
+
   test("q185: onset days follow the closed form and order by case") {
     val out = graft.queries.BinaryGate.q185Breakthrough(spark, Sf).collect()
     assert(out.length == 20)
