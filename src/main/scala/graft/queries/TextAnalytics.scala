@@ -978,8 +978,65 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  /** q192: NAIVE-BAYES TARGET CLASSIFIER — the trained discriminative
+    * filter next to q169's perplexity filter (the two standard
+    * pretraining quality gates: CCNet scores with a target LM, the
+    * GPT-3/fastText lineage scores with a classifier). Train: positive
+    * class = target-language documents, negative = the rest; add-one
+    * smoothed multinomial NB over word counts. Apply: every document's
+    * log-likelihood-ratio sum, published EXACTLY — the per-word LLR is
+    * fixed-pointed (×10⁹, half-up) ONCE per vocabulary TYPE with
+    * byte-identical expression text on both engines (the q169
+    * discipline), so doc scores are BIGINT sums of shared constants,
+    * never a float accumulation. No OOV case exists by construction:
+    * training covers the full corpus vocabulary, and smoothing keeps
+    * every ratio finite.
+    *
+    * Scale shape: ONE token-linear class-count aggregate (map-side
+    * combined, keyed by word); totals broadcast; the apply join re-keys
+    * token occurrences by word (Zipf-collapsed: one LLR row per TYPE);
+    * the doc rollup re-keys by doc_id. At 100 TB the word keys would
+    * ride [[graft.functions.PortableStringHash]] instead of strings —
+    * the gate keeps strings for oracle transparency, the shape is
+    * identical.
+    *
+    * Fixture honesty: on this synthetic corpus the lang label is NOT
+    * text-derivable (every doc draws from one shared vocabulary —
+    * q145's confusion matrix shows even the stopword heuristic
+    * predicts 'en' for everything), so no classifier separates it and
+    * the spec pins the trained mechanism (exact scalar replay,
+    * evidence-sign monotonicity), not accuracy. On a real corpus this
+    * operator IS the fastText-style quality/language gate.
+    */
+  def q192NbQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cls = toks.groupBy(col("tok"))
+      .agg(count(when(col("lang") === "en", 1)).as("cpos"),
+        count(when(col("lang") =!= "en", 1)).as("cneg"))
+    val tot = cls.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
+      count(lit(1)).as("v"))
+    // identical expression TEXT to the oracle — ln of the same exact
+    // doubles, fixed-pointed once per word type
+    val llr = cls.crossJoin(broadcast(tot))
+      .withColumn("llr_fp", expr(
+        "CAST(floor((ln((cpos + 1.0) / (npos + v)) - ln((cneg + 1.0) / (nneg + v)))" +
+          " * 1000000000.0 + 0.5) AS BIGINT)"))
+      .select(col("tok"), col("llr_fp"))
+    toks.join(llr, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("llr_fp")).as("score_fp"))
+      .withColumn("predicted_target", col("score_fp") > 0)
+      .withColumn("is_target", col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("score_fp"),
+        col("predicted_target"), col("is_target"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf" -> (q104Tfidf _),
+    "q192_nb_quality" -> (q192NbQuality _),
     "q105_line_dedup" -> (q105LineDedup _),
     "q181_cdc_dedup" -> (q181CdcDedup _),
     "q187_cdc_incremental" -> (q187CdcIncremental _),
@@ -1107,6 +1164,31 @@ object TextAnalytics {
       |       FROM ${pfx}o GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q192: identical LLR expression text as the engine — ln over the
+    // same exact doubles, fixed-pointed once per word type, BIGINT sums
+    "q192_nb_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |                  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |           FROM documents),
+        |cls AS (SELECT tok,
+        |               CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS cpos,
+        |               CAST(count(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT) AS cneg
+        |        FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+        |               CAST(sum(cneg) AS BIGINT) AS nneg,
+        |               CAST(count(*) AS BIGINT) AS v
+        |        FROM cls),
+        |llr AS (SELECT tok,
+        |               CAST(floor((ln((cpos + 1.0) / (npos + v))
+        |                           - ln((cneg + 1.0) / (nneg + v)))
+        |                    * 1000000000.0 + 0.5) AS BIGINT) AS llr_fp
+        |        FROM cls CROSS JOIN tot)
+        |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_toks,
+        |       CAST(sum(llr_fp) AS BIGINT) AS score_fp,
+        |       sum(llr_fp) > 0 AS predicted_target,
+        |       t.lang = 'en' AS is_target
+        |FROM t JOIN llr USING (tok)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q104_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                       FROM (SELECT doc_id,

@@ -2015,6 +2015,54 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(streamed.values.map(_._4).sum > batch.values.map(_._4).sum)
   }
 
+  test("q192: NB scores equal a scalar replay and order by class evidence") {
+    // NOTE the fixture reality (measured, and visible in q145's
+    // confusion matrix where even langId predicts 'en' for everything):
+    // this corpus's lang label is NOT text-derivable — every doc draws
+    // from the same vocabulary. So this spec pins the MECHANISM
+    // exactly, not separability no classifier could achieve here.
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.queries.TextAnalytics.q192NbQuality(spark, sf01)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // SQL-trim semantics (spaces only) — the q169 spec's note
+    def toks(t: String) = {
+      var lo = 0; var hi = t.length
+      while (lo < hi && t.charAt(lo) == ' ') lo += 1
+      while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+      t.substring(lo, hi).split("\\s+").toSeq
+    }
+    val all = docs.flatMap(d => toks(d._3).map((d._2, _)))
+    val cpos = all.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cneg = all.filterNot(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (npos, nneg) = (cpos.values.sum, cneg.values.sum)
+    val v = (cpos.keySet ++ cneg.keySet).size.toLong
+    def llrFp(w: String): Long =
+      math.floor((math.log((cpos.getOrElse(w, 0L) + 1.0) / (npos + v)) -
+        math.log((cneg.getOrElse(w, 0L) + 1.0) / (nneg + v))) * 1e9 + 0.5).toLong
+    docs.foreach { case (id, _, text) =>
+      val ts = toks(text)
+      assert(out(id) == ((ts.size.toLong, ts.map(llrFp).sum)), s"doc $id")
+    }
+    // mechanism monotonicity, exact rational form: sign(llr) must equal
+    // sign((cpos+1)(nneg+v) − (cneg+1)(npos+v)) for EVERY word — the
+    // evidence direction can never flip on the fixed-pointing
+    val vocab = cpos.keySet ++ cneg.keySet
+    var pos = 0; var neg = 0
+    vocab.foreach { w =>
+      val lhs = BigInt(cpos.getOrElse(w, 0L) + 1) * BigInt(nneg + v)
+      val rhs = BigInt(cneg.getOrElse(w, 0L) + 1) * BigInt(npos + v)
+      val fp = llrFp(w)
+      if (lhs > rhs) { assert(fp > 0, s"word $w"); pos += 1 }
+      else if (lhs < rhs) { assert(fp < 0, s"word $w"); neg += 1 }
+      else assert(fp == 0, s"word $w")
+    }
+    // both evidence directions genuinely occur in the trained table
+    assert(pos > 0 && neg > 0)
+  }
+
   test("q187: landmark chunks make shifted re-arrivals mostly reusable") {
     val out = graft.queries.TextAnalytics
       .q187CdcIncremental(spark, "/root/testdata/sf0.01").collect()
