@@ -121,7 +121,7 @@ object ScaleStress {
       "q166_stream_pack_inc", "q169_kn_perplexity", "q170_epoch_mixture",
       "q67_curation_pipeline", "q181_cdc_dedup", "q183_source_contamination",
       "q184_kcenter_sample", "q186_bpe_canonical", "q187_cdc_incremental",
-      "q192_nb_quality")
+      "q188_stream_cdc_ingest", "q192_nb_quality")
     // one timing body for every row: a crashed run returns -1 (NOT its
     // time-to-crash — the skew rows exist to catch OOMs, which must not
     // print as a normal-looking ratio), and the cache hygiene
