@@ -282,7 +282,65 @@ object Media {
       .orderBy(col("hash_a"), col("hash_b"))
   }
 
+  private val AfpOffset = 1L << 60
+  private val AfpWindows = 8
+
+  /** q193: ACOUSTIC-FINGERPRINT DEDUP — the energy-envelope front end
+    * every audio-dedup pipeline starts from (Shazam-style fingerprints
+    * are functions of exactly this window-energy sequence): decode each
+    * clip through the REAL WAV codec (q46's path), sum squared samples
+    * over [[AfpWindows]] equal windows (exact BIGINT — the remainder
+    * tail is dropped identically on both engines), fingerprint the
+    * envelope, and group. The corpus plants a PHASE-INVERTED twin of
+    * every clip (samples negated; −32768 wraps to itself under 16-bit
+    * two's complement, which leaves its square — hence the envelope —
+    * unchanged either way): energy is sign-blind, so every twin must
+    * land in its original's group — the invariance the energy domain
+    * exists to provide, and one a byte-level dedup (q24) structurally
+    * cannot see.
+    *
+    * Scale shape: one per-clip decode kernel (linear, embarrassingly
+    * parallel), ONE md5-keyed group (map-side combined) + an equi-join
+    * back on the same key — the q24/q181 dedup shuffle budget with the
+    * codec in front.
+    */
+  def q193AudioFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val items = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = (64 + id % 64).toInt
+        val base = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+        val inverted = base.map(v => (-v).toShort)
+        Seq((id, base), (id + AfpOffset, inverted))
+      }.map { case (itemId, samples) =>
+        val wav = Multimodal.decodeWav(Multimodal.encodeWav(samples, 8000, 1))
+          .getOrElse(throw new IllegalStateException(
+            s"WAV round-trip failed for item $itemId"))
+        def raw(i: Int): Long = Math.round(wav.samples(i) * 32768f).toLong
+        val n = wav.samples.length
+        val w = n / AfpWindows
+        val env = Array.tabulate(AfpWindows) { k =>
+          var acc = 0L
+          var i = k * w
+          while (i < (k + 1) * w) { acc += raw(i) * raw(i); i += 1 }
+          acc
+        }
+        (itemId, n.toLong, env.mkString(","))
+      }
+    }.toDF("item_id", "n_frames", "env")
+    val withFp = items.withColumn("fp", md5(col("env").cast("binary")))
+    val grp = withFp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("item_id")).as("canonical_id"))
+    withFp.join(grp, Seq("fp"))
+      .select(col("item_id"), col("n_frames"), col("fp"), col("n_copies"),
+        col("canonical_id"), (col("item_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy(col("item_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_audio_fp_dedup" -> (q193AudioFingerprintDedup _),
     "q125_image_dedup" -> (q125ImageDedup _),
     "q153_whash_dedup" -> (q153WHashDedup _),
     "q161_hamming_neardup" -> (q161HammingNearDup _),
@@ -426,6 +484,35 @@ object Media {
         |       s.red_sum
         |FROM dims d JOIN sums s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q193: the q46 sample formula squared over 8 equal windows (the
+    // remainder tail dropped); twins share the base envelope verbatim
+    "q193_audio_fp_dedup" ->
+      s"""WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+        |           FROM documents),
+        |w AS (SELECT doc_id, n, n // $AfpWindows AS wlen FROM d),
+        |k AS (SELECT unnest(range($AfpWindows)) AS k),
+        |i AS (SELECT unnest(range(128)) AS i),
+        |en AS (SELECT w.doc_id, w.n, k.k,
+        |              CAST(SUM(((w.doc_id * 31 + i.i * 17) % 65536 - 32768)
+        |                       * ((w.doc_id * 31 + i.i * 17) % 65536 - 32768))
+        |                   AS BIGINT) AS e
+        |       FROM w CROSS JOIN k
+        |       JOIN i ON i.i >= k.k * w.wlen AND i.i < (k.k + 1) * w.wlen
+        |       GROUP BY 1, 2, 3),
+        |env AS (SELECT doc_id, n,
+        |               string_agg(CAST(e AS VARCHAR), ',' ORDER BY k) AS env
+        |        FROM en GROUP BY 1, 2),
+        |items AS (SELECT doc_id AS item_id, n AS n_frames, env FROM env
+        |          UNION ALL
+        |          SELECT doc_id + $AfpOffset, n, env FROM env),
+        |g AS (SELECT md5(env) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |             min(item_id) AS canonical_id
+        |      FROM items GROUP BY 1)
+        |SELECT i.item_id, i.n_frames, md5(i.env) AS fp, g.n_copies,
+        |       g.canonical_id, i.item_id <> g.canonical_id AS is_dup
+        |FROM items i JOIN g ON md5(i.env) = g.fp
+        |ORDER BY item_id""".stripMargin,
 
     "q46_audio_decode" ->
       """WITH dims AS (

@@ -2015,6 +2015,23 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(streamed.values.map(_._4).sum > batch.values.map(_._4).sum)
   }
 
+  test("q193: phase-inverted clips land in their original's group") {
+    val out = graft.queries.Media.q193AudioFingerprintDedup(spark, Sf).collect()
+    val n = out.length
+    assert(n % 2 == 0 && n > 0)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val off = 1L << 60
+    byId.keys.filter(_ < off).foreach { id =>
+      val (fp, copies, canon, isDup) = byId(id)
+      val (fp2, _, canon2, isDup2) = byId(id + off)
+      // energy is sign-blind: the inverted twin shares the fingerprint,
+      // groups with its original, and only the twin is flagged dup
+      assert(fp == fp2 && canon == id && canon2 == id)
+      assert(copies >= 2 && !isDup && isDup2, s"clip $id")
+    }
+  }
+
   test("q192: NB scores equal a scalar replay and order by class evidence") {
     // NOTE the fixture reality (measured, and visible in q145's
     // confusion matrix where even langId predicts 'en' for everything):
