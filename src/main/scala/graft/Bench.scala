@@ -15,6 +15,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned planning for the eclipse-* DSv2 sources:
+      // set at SESSION BIRTH everywhere queries run, so plan shapes never
+      // depend on whether a fleet gate ran first (review finding)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

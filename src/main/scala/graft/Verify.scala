@@ -14,6 +14,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned planning for the eclipse-* DSv2 sources:
+      // set at SESSION BIRTH everywhere queries run, so plan shapes never
+      // depend on whether a fleet gate ran first (review finding)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -368,9 +368,15 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     * claim would reference a non-output column, so it degrades to
     * UnknownPartitioning.
     */
+  // computed once: outputPartitioning is a planner hook that would
+  // otherwise re-list the whole ensemble directory per invocation just
+  // to read .length (review finding); runtime-filter pruning after this
+  // point is handled by Spark's KeyGrouped subset logic
+  private lazy val plannedPartitionCount = planInputPartitions().length
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val n = planInputPartitions().length
+    val n = plannedPartitionCount
     if (required.fieldNames.contains("CASE"))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("CASE")), n)

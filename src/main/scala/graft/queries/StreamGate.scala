@@ -766,15 +766,11 @@ object StreamGate {
   def q188StreamCdcIngest(s: SparkSession, dir: String): DataFrame = {
     val hist = graft.sources.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
-    val histH = TextAnalytics.cdcChunks(hist)
-      .select(md5(col("chunk").cast("binary")).as("h")).distinct()
-      .withColumn("in_hist", lit(true))
+    val histH = TextAnalytics.chunkHashIndex(hist)
     val stream = DedupSim.newShardOf(
       graft.streaming.EventStreams.readDocuments(s, dir)
         .select(col("doc_id"), col("text")))
-    val ch = TextAnalytics.cdcChunks(stream)
-      .withColumn("h", md5(col("chunk").cast("binary")))
-      .withColumn("clen", length(col("chunk")).cast("long"))
+    val ch = TextAnalytics.chunkHashFrame(stream)
       .repartition(col("doc_id"))
     val perHash = ch.join(histH, Seq("h"), "left")
       .groupBy(col("doc_id"), col("h"))

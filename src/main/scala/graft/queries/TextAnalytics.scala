@@ -909,14 +909,12 @@ object TextAnalytics {
   }
 
   def q181CdcDedup(s: SparkSession, dir: String): DataFrame = {
-    val chunks = cdcChunks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    // two consumers (the first-occurrence aggregate and the join side)
-    // would otherwise each re-run the char-level boundary scan — the
-    // dominant cost (measured 2x at sf0.1)
-    val withH = chunks
-      .withColumn("h", md5(col("chunk").cast("binary")))
-      .withColumn("clen", length(col("chunk")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist: two consumers (the first-occurrence aggregate and the
+    // join side) would otherwise each re-run the char-level boundary
+    // scan — the dominant cost (measured 2x at sf0.1)
+    val withH =
+      chunkHashFrame(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence corpus-wide in (doc_id, ord) order — a struct-min
     // aggregate (map-side partial), never a per-hash sort
     val first = withH.groupBy(col("h"))
@@ -951,14 +949,27 @@ object TextAnalytics {
     * rollup re-keys by doc_id. The history side prunes to ONE column
     * (the 16-byte hash) before the shuffle.
     */
-  def q187CdcIncremental(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val histH = cdcChunks(hist)
-      .select(md5(col("chunk").cast("binary")).as("h")).distinct()
-      .withColumn("in_hist", lit(true))
-    val ch = cdcChunks(DedupSim.newShardOf(hist))
+  /** Hashed chunk frame `(doc_id, ord, h, clen)` of `(doc_id, text)`
+    * docs — ONE definition shared by q187 and q188 (the cdcChunkCtes
+    * convention on the engine side): the hash keying and length rule
+    * can never drift between the batch job and its streaming twin,
+    * whose spec pins exact agreement. */
+  private[queries] def chunkHashFrame(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
       .withColumn("h", md5(col("chunk").cast("binary")))
       .withColumn("clen", length(col("chunk")).cast("long"))
+      .drop("chunk")
+
+  /** The distinct history chunk-hash index, pruned to the hash column
+    * (+ the join marker) BEFORE any shuffle — shared by q187/q188. */
+  private[queries] def chunkHashIndex(docs: DataFrame): DataFrame =
+    chunkHashFrame(docs).select(col("h")).distinct()
+      .withColumn("in_hist", lit(true))
+
+  def q187CdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val histH = chunkHashIndex(hist)
+    val ch = chunkHashFrame(DedupSim.newShardOf(hist))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = ch.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("ord"))).as("f"))

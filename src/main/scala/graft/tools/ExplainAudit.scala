@@ -17,6 +17,10 @@ object ExplainAudit {
       .appName("explain-audit")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned planning for the eclipse-* DSv2 sources:
+      // set at SESSION BIRTH everywhere queries run, so plan shapes never
+      // depend on whether a fleet gate ran first (review finding)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -5,6 +5,10 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned planning for the eclipse-* DSv2 sources:
+      // set at SESSION BIRTH everywhere queries run, so plan shapes never
+      // depend on whether a fleet gate ran first (review finding)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"

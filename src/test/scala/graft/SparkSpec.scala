@@ -10,6 +10,10 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned planning for the eclipse-* DSv2 sources:
+      // set at SESSION BIRTH everywhere queries run, so plan shapes never
+      // depend on whether a fleet gate ran first (review finding)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
