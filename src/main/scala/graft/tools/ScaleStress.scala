@@ -310,8 +310,13 @@ object ScaleStress {
               .otherwise(col("text")))
           .write.mode("overwrite").parquet(s"$megaDst/documents.parquet")
       }
+      // the chunk-axis analog: 50% of the corpus sharing ONE text means
+      // one chunk-hash family holds half the probe rows of q181's
+      // first-occurrence join and q187's history-index join — the
+      // mega-CHUNK skew those plans must survive without a task
+      // concentrating the hot hash
       for (name <- Seq("q24_exact_dedup", "q41_dedup_components",
-          "q56_dedup_materialize")) {
+          "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental")) {
         val b = minOf2(name, src)
         resetPeak()
         val m = minOf2(name, megaDst)
