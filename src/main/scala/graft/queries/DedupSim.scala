@@ -2137,7 +2137,70 @@ object DedupSim {
       .orderBy(col("component_id"))
   }
 
+  /** q194: EXACT τ-JACCARD SIMILARITY JOIN via PREFIX FILTERING — the
+    * database-literature discipline (PPJoin, Xiao et al. 2008) that
+    * fills the gap between this file's two existing similarity joins:
+    * q25 is exact but needs a bounded dictionary (64-bit masks), and
+    * q26/q39's LSH is open-vocabulary but PROBABILISTIC (a pair can be
+    * missed). Prefix filtering is open-vocab, subquadratic AND
+    * recall-1.0 by theorem: order every document's distinct tokens by
+    * ascending global document frequency (rarest first, ties by token),
+    * keep each document's first |x| − ⌈τ|x|⌉ + 1 tokens as its PREFIX,
+    * and two documents can reach Jaccard ≥ τ ONLY if their prefixes
+    * share a token. Candidates = the prefix-postings self-join (tiny:
+    * prefixes are rare-token-heavy, so posting lists are short where it
+    * matters), then exact verification on the full sets. The threshold
+    * is evaluated in INTEGERS (τ = 1/2: 3·|∩| ≥ |a|+|b|), so no float
+    * sits on the keep/drop boundary.
+    *
+    * Scale shape: df ranking is one token-keyed aggregate + join (the
+    * Zipf frame); per-doc sorted sets are a doc-keyed aggregate whose
+    * state is one document; the candidate join is keyed by PREFIX
+    * token — a token with a huge posting list is by construction a
+    * HIGH-df token, which prefixes exclude unless the document is
+    * mostly stopwords, and the paired length filter
+    * (2·min ≥ max) prunes inside the join; verification joins the two
+    * set arrays back by doc id. Nothing is all-pairs, nothing is
+    * probabilistic.
+    */
+  def q194PpjoinExact(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfT = tok.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val sets = tok.join(dfT, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("st"),
+        count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length for τ = 1/2: sz − ceil(sz/2) + 1
+    val prefix = sets.select(col("doc_id"), col("sz"),
+      explode(expr("slice(st, 1, CAST(sz - (sz + 1) div 2 + 1 AS INT))")).as("p"))
+      .select(col("doc_id"), col("sz"), col("p.tok").as("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.tok") === col("b.tok")
+        && col("a.doc_id") < col("b.doc_id")
+        && lit(2) * least(col("a.sz"), col("b.sz"))
+           >= greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val setsA = sets.select(col("doc_id").as("doc_a"),
+      expr("transform(st, x -> x.tok)").as("ts_a"), col("sz").as("sa"))
+    val setsB = sets.select(col("doc_id").as("doc_b"),
+      expr("transform(st, x -> x.tok)").as("ts_b"), col("sz").as("sb"))
+    cand.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .filter(lit(3) * col("inter") >= col("sa") + col("sb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sa"), col("sb"),
+        round(col("inter").cast("double")
+          / (col("sa") + col("sb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_ppjoin_exact" -> (q194PpjoinExact _),
     "q159_containment" -> (q159Containment _),
     "q160_best_rep" -> (q160BestRep _),
     "q65_quant_ann" -> (q65QuantAnn _),
@@ -2362,6 +2425,28 @@ object DedupSim {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q194: BRUTE-FORCE τ-join as the oracle — the prefix filter's
+    // recall-1.0 theorem means the engine's pruned candidate set must
+    // hash-equal the unpruned all-pairs answer; integer threshold
+    // (3·inter >= sa+sb ⟺ jaccard >= 1/2)
+    "q194_ppjoin_exact" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+        |            SELECT doc_id,
+        |                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |            FROM documents) WHERE len(tok) > 0),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM t GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS inter
+        |          FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.inter, sa.s AS sa, sb.s AS sb,
+        |       round(CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter), 6)
+        |         AS jaccard
+        |FROM pairs p
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE 3 * p.inter >= sa.s + sb.s
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q36_ann_ivf" -> annIvfSql,
     "q160_best_rep" ->
       s"""WITH ${dedupComponentsCtes},

@@ -2015,6 +2015,32 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(streamed.values.map(_._4).sum > batch.values.map(_._4).sum)
   }
 
+  test("q194: prefix filtering loses NO pair a brute-force tau-join finds") {
+    // the recall-1.0 theorem, checked directly: candidate pruning via
+    // rarest-first prefixes must reproduce the unpruned answer exactly
+    val got = graft.queries.DedupSim.q194PpjoinExact(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> {
+        val t = r.getString(1)
+        var lo = 0; var hi = t.length
+        while (lo < hi && t.charAt(lo) == ' ') lo += 1
+        while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+        t.substring(lo, hi).split("\\s+").filter(_.nonEmpty).toSet
+      }).sortBy(_._1)
+    val brute = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      inter = (docs(i)._2 & docs(j)._2).size.toLong
+      sa = docs(i)._2.size.toLong; sb = docs(j)._2.size.toLong
+      if 3 * inter >= sa + sb
+    } yield (docs(i)._1, docs(j)._1, inter, sa, sb)).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("q193: phase-inverted clips land in their original's group") {
     val out = graft.queries.Media.q193AudioFingerprintDedup(spark, Sf).collect()
     val n = out.length
