@@ -2041,6 +2041,42 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("q195: edit verification flags weak merges and matches a scalar DP") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.queries.DedupSim.q195EditVerify(spark, sf01).collect()
+    assert(out.nonEmpty)
+    val txt = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    // exact scalar replay on a deterministic sample (every 50th row)
+    out.zipWithIndex.filter(_._2 % 50 == 0).map(_._1).foreach { r =>
+      val d = lev(txt(r.getLong(0)), txt(r.getLong(1)))
+      assert(r.getLong(2) == d, s"pair ${r.getLong(0)}->${r.getLong(1)}")
+      assert(d <= r.getLong(3))
+    }
+    // the corpus verdict, pinned honestly: this fixture's "near-dups"
+    // are token-overlap with RANDOMIZED word order, so every LSH merge
+    // is character-weak (measured max edit-sim 0.395 at sf0.01) — the
+    // verifier flags ALL of them, which is exactly the operator's
+    // point: set-similar is not phrasing-similar, and only this metric
+    // space sees the difference
+    assert(out.forall(_.getBoolean(5)), "unexpectedly strong merge")
+    assert(out.map(_.getLong(4)).max < 500000L)
+    assert(out.map(_.getLong(4)).min > 0L) // but never text-unrelated either
+  }
+
   test("q193: phase-inverted clips land in their original's group") {
     val out = graft.queries.Media.q193AudioFingerprintDedup(spark, Sf).collect()
     val n = out.length
