@@ -801,6 +801,72 @@ object TextAnalytics {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  private val Bm25K = 5 // neighbors returned per query document
+
+  /** q196: BM25 RETRIEVAL — the lexical ranked-retrieval scorer (the
+    * Lucene/Elasticsearch default) next to q104's raw TF-IDF: every
+    * held-out benchmark document (q61's eval stand-in, doc_id %
+    * [[DecontamBenchMod]] = 0) retrieves its top-[[Bm25K]] corpus
+    * documents by Σ_{t∈q∩d} idf(t)·tf(k₁+1)/(tf + k₁(1−b+b·len/avglen))
+    * — the retrieval-side mate of the n-gram decontamination scrub
+    * (q61 asks "does the eval leak into training", q196 asks "WHICH
+    * training docs would a retriever surface for it"). Constants are
+    * dyadic (k₁ = 1.25 — in the standard 1.2–2.0 band — and b = 0.75),
+    * idf is the Lucene ln((N−df+½)/(df+½)+1) form, and the whole
+    * per-posting score fixed-points ONCE per (term, doc) posting with
+    * the identical IEEE operation sequence on both engines (the q169
+    * discipline; Spark needs D-suffixed literals — bare 0.5 parses as
+    * DECIMAL and was measured drifting 2·10⁻⁸ through scale-limited
+    * decimal arithmetic), so per-pair scores are BIGINT sums and the
+    * top-k can never flip on float noise.
+    *
+    * Scale shape: postings (tf), df, and doc lengths are the three
+    * token-linear aggregates every search index builds; the probe joins
+    * QUERY terms (tiny side — eval suites) against postings keyed by
+    * term; the (query, doc) sum is map-side combinable; top-k is the
+    * q57 WindowGroupLimit shape (partial limit below the exchange).
+    */
+  def q196Bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBench = col("doc_id") % DecontamBenchMod === 0
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val corpus = toks.filter(!isBench)
+    val tf = corpus.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumlen"))
+    val qterms = toks.filter(isBench)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val scored = qterms
+      .join(tf, Seq("term"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      // D-suffixed literals: Spark parses bare 0.5/1.0 as DECIMAL and
+      // drags the whole chain through scale-limited decimal arithmetic
+      // (measured 2e-8 relative drift vs IEEE); DuckDB promotes to
+      // DOUBLE, so the engine must force doubles to run the SAME
+      // operation sequence the oracle runs
+      .withColumn("score_fp", expr(
+        "CAST(floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D) + 1.0D)" +
+          " * (CAST(tf AS DOUBLE) * 2.25D) / (CAST(tf AS DOUBLE)" +
+          "    + 1.25D * (0.25D + 0.75D * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)" +
+          "               / CAST(sumlen AS DOUBLE)))" +
+          " * 1000000000.0D + 0.5D) AS BIGINT)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("score_fp")).as("score_fp"),
+        count(lit(1)).as("n_shared_terms"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25K)
+      .select(col("qid"), col("rank"), col("doc_id").as("hit_id"),
+        col("score_fp"), col("n_shared_terms"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private val LineTok = 8 // tokens per pseudo-line (the corpus has no \n)
   private val LineDupK = 3 // a chunk seen >= K times corpus-wide is boilerplate
 
@@ -1062,6 +1128,7 @@ object TextAnalytics {
     "q57_quality_topk" -> (q57QualityTopK _),
     "q61_decontaminate" -> (q61Decontaminate _),
     "q183_source_contamination" -> (q183SourceContamination _),
+    "q196_bm25_retrieval" -> (q196Bm25Retrieval _),
     "q64_pii_scrub" -> (q64PiiScrub _),
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q97_lm_score" -> (q97LmScore _),
@@ -1175,6 +1242,35 @@ object TextAnalytics {
       |       FROM ${pfx}o GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q196: identical score expression text as the engine, fixed-pointed
+    // once per posting; ties break (score DESC, hit id ASC)
+    "q196_bm25_retrieval" ->
+      s"""WITH t AS (SELECT doc_id,
+        |                  unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |           FROM documents),
+        |tt AS (SELECT * FROM t WHERE len(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tt WHERE doc_id % $DecontamBenchMod <> 0 GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM tt WHERE doc_id % $DecontamBenchMod <> 0 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS BIGINT) AS sumlen FROM dl),
+        |q AS (SELECT DISTINCT doc_id AS qid, term FROM tt
+        |      WHERE doc_id % $DecontamBenchMod = 0),
+        |sc AS (SELECT q.qid, tf.doc_id,
+        |              CAST(sum(CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl * n_docs / sumlen))
+        |                * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_fp,
+        |              CAST(count(*) AS BIGINT) AS n_shared_terms
+        |       FROM q JOIN tf USING (term) JOIN dfx USING (term)
+        |            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+        |       GROUP BY 1, 2)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id AS hit_id,
+        |       score_fp, n_shared_terms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= $Bm25K ORDER BY qid, rank""".stripMargin,
     // q192: identical LLR expression text as the engine — ln over the
     // same exact doubles, fixed-pointed once per word type, BIGINT sums
     "q192_nb_quality" ->

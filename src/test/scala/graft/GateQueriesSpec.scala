@@ -2041,6 +2041,48 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("q196: BM25 ranking equals a scalar replay, query by query") {
+    val out = graft.queries.TextAnalytics.q196Bm25Retrieval(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1)
+        var lo = 0; var hi = t.length
+        while (lo < hi && t.charAt(lo) == ' ') lo += 1
+        while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+        r.getLong(0) -> t.substring(lo, hi).split("\\s+").filter(_.nonEmpty).toSeq
+      }
+    val corpus = docs.filter(_._1 % 50 != 0)
+    val tf = corpus.flatMap { case (d, ts) => ts.map((d, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dlm = corpus.map { case (d, ts) => d -> ts.size.toLong }.toMap
+    val n = corpus.size.toLong
+    val sumlen = dlm.values.sum
+    def fp(t: String, d: Long): Long = {
+      val c = tf.getOrElse((d, t), 0L)
+      if (c == 0) 0L
+      else math.floor(math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+        (c * 2.25) / (c + 1.25 * (0.25 + 0.75 * dlm(d) * n / sumlen.toDouble)) *
+        1e9 + 0.5).toLong
+    }
+    docs.filter(_._1 % 50 == 0).foreach { case (qid, qts) =>
+      val terms = qts.distinct
+      val scores = corpus.map(_._1).map { d =>
+        val shared = terms.filter(t => tf.contains((d, t)))
+        d -> (shared.map(fp(_, d)).sum, shared.size.toLong)
+      }.filter(_._2._1 > 0)
+      val top = scores.sortBy { case (d, (s, _)) => (-s, d) }.take(5)
+      val got = out.filter(_._1 == qid).sortBy(_._2)
+      assert(got.length == math.min(5, top.length), s"qid $qid")
+      got.zip(top).foreach { case ((_, _, hit, sc), (d, (s, _))) =>
+        assert(hit == d && sc == s, s"qid $qid hit $hit vs $d")
+      }
+    }
+  }
+
   test("q195: edit verification flags weak merges and matches a scalar DP") {
     val sf01 = "/root/testdata/sf0.01"
     val out = graft.queries.DedupSim.q195EditVerify(spark, sf01).collect()
