@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 module-family oracle queries: the remaining hard families that
@@ -325,7 +326,66 @@ object ModuleOracles {
       .orderBy(col("well"), col("zone"), col("date"))
   }
 
+  /** q197 fixture: one connection per well over a year of monthly CPI
+    * samples, value = 0 when (w + month) ≡ 0 (mod 4) else 1 — every
+    * well cycles through shut-in months at a phase set by its id, so
+    * islands, their lengths, and the open-at-horizon tail all vary by
+    * well in closed form.
+    */
+  private def uptimeCpi(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until Wells).flatMap { w =>
+      (0 until 12).map { d =>
+        (s"CPI:W$w:1,1,1",
+          java.sql.Date.valueOf(java.time.LocalDate.of(2000, 1, 1).plusMonths(d)),
+          if ((w + d) % 4 == 0) 0.0 else 1.0)
+      }
+    }.toDF("VECTOR", "DATE", "VALUE")
+  }
+
+  /** q197: WELL UPTIME ISLANDS — the production-availability report on
+    * top of the connection-status change log: each OPEN event from
+    * [[graft.modules.WellOps.wellConnStatus]] (the real module — first
+    * positive sample opens, transitions after) pairs with the NEXT
+    * change of the same connection (lead window) or the end-of-history
+    * horizon, yielding per-well uptime segments with exact day
+    * durations, plus the per-well rollup (segment count / total /
+    * longest) broadcast back onto the segments. The reference's
+    * connstatus front stops at the change log; the islands-and-
+    * durations layer is the question an availability review actually
+    * asks of it.
+    *
+    * Scale shape: change detection and the lead pairing share ONE
+    * window exchange keyed (well, conn); the rollup re-keys by well
+    * (report-sized) and broadcasts back. Nothing quadratic; the
+    * segment count is bounded by the change-log size.
+    */
+  def q197UptimeIslands(s: SparkSession, dir: String): DataFrame = {
+    val horizon = java.sql.Date.valueOf("2001-01-01")
+    val cs = graft.modules.WellOps.wellConnStatus(uptimeCpi(s))
+    val w = Window.partitionBy(col("WELL"), col("I"), col("J"), col("K"))
+      .orderBy(col("DATE"))
+    val segs = cs
+      .withColumn("next_date", lead(col("DATE"), 1).over(w))
+      .filter(col("OP/SH") === "OPEN")
+      .select(col("WELL").as("well"), col("DATE").as("start_date"),
+        coalesce(col("next_date"), lit(horizon)).as("end_date"),
+        col("next_date").isNull.as("open_at_end"))
+      .withColumn("days",
+        datediff(col("end_date"), col("start_date")).cast("long"))
+    val tot = segs.groupBy(col("well"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("days")).as("uptime_days"),
+        max(col("days")).as("longest_days"))
+    segs.join(broadcast(tot), Seq("well"))
+      .select(col("well"), col("start_date").cast("timestamp").as("start_date"),
+        col("end_date").cast("timestamp").as("end_date"), col("days"),
+        col("open_at_end"), col("n_segments"), col("uptime_days"),
+        col("longest_days"))
+      .orderBy(col("well"), col("start_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_uptime_islands" -> (q197UptimeIslands _),
     "q51_rft_topology" -> (q51RftTopology _),
     "q52_fipreports" -> (q52Fipreports _),
     "q89_fipreports_corpus" -> (q89FipreportsCorpus _),
@@ -427,6 +487,40 @@ object ModuleOracles {
      * joined to compdat attributes with the compdat-only-well remainder,
      * inline zonemap with unmapped layers dropped, and the
      * any-open/KH-sum zone rollup. */
+    // q197: the CPI lattice in closed form, the module's first-positive/
+    // transition rule as lag windows, lead pairing to the next change or
+    // the horizon, and the per-well rollup joined back
+    "q197_uptime_islands" ->
+      s"""WITH wl AS (SELECT unnest(range($Wells)) AS w),
+        |mo AS (SELECT unnest(range(12)) AS d),
+        |cpi AS (SELECT 'W' || CAST(w AS VARCHAR) AS well, w, d,
+        |               CAST(DATE '2000-01-01' + to_months(CAST(d AS INT)) AS DATE) AS date,
+        |               CASE WHEN (w + d) % 4 = 0 THEN 0.0 ELSE 1.0 END AS value
+        |        FROM wl CROSS JOIN mo),
+        |fl AS (SELECT well, date, value > 0 AS open,
+        |              lag(value > 0) OVER (PARTITION BY well ORDER BY date) AS prev_open
+        |       FROM cpi),
+        |ch AS (SELECT well, date, CASE WHEN open THEN 'OPEN' ELSE 'SHUT' END AS st
+        |       FROM fl WHERE (prev_open IS NULL AND open)
+        |                  OR (prev_open IS NOT NULL AND prev_open <> open)),
+        |seg0 AS (SELECT well, date AS start_date, st,
+        |                lead(date) OVER (PARTITION BY well ORDER BY date) AS next_date
+        |         FROM ch),
+        |segs AS (SELECT well, start_date,
+        |                coalesce(next_date, DATE '2001-01-01') AS end_date,
+        |                next_date IS NULL AS open_at_end,
+        |                CAST(date_diff('day', start_date,
+        |                     coalesce(next_date, DATE '2001-01-01')) AS BIGINT) AS days
+        |         FROM seg0 WHERE st = 'OPEN'),
+        |tot AS (SELECT well, CAST(count(*) AS BIGINT) AS n_segments,
+        |               CAST(sum(days) AS BIGINT) AS uptime_days,
+        |               CAST(max(days) AS BIGINT) AS longest_days
+        |        FROM segs GROUP BY 1)
+        |SELECT s.well, CAST(s.start_date AS TIMESTAMP) AS start_date,
+        |       CAST(s.end_date AS TIMESTAMP) AS end_date, s.days,
+        |       s.open_at_end, t.n_segments, t.uptime_days, t.longest_days
+        |FROM segs s JOIN tot t USING (well)
+        |ORDER BY s.well, s.start_date""".stripMargin,
     "q54_wellcompletion" ->
       s"""WITH wells AS (SELECT CAST(unnest(range($Wells)) AS BIGINT) AS w),
         |compdat AS (

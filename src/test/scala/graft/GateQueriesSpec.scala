@@ -2041,6 +2041,44 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("q197: uptime islands follow the phase lattice exactly") {
+    val out = graft.queries.ModuleOracles.q197UptimeIslands(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (well, segs) =>
+      val w = well.drop(1).toInt
+      // closed form: months with (w + d) % 4 == 0 are shut; islands are
+      // the maximal open runs, ending at the next shut month or horizon
+      val open = (0 until 12).map(d => (w + d) % 4 != 0)
+      val expectIslands = {
+        var res = List.empty[(Int, Int)] // (startMonth, endMonthExclusive or 12)
+        var i = 0
+        while (i < 12) {
+          if (open(i)) {
+            val j = (i until 12).find(k => !open(k)).getOrElse(12)
+            res = (i, j) :: res
+            i = j
+          } else i += 1
+        }
+        res.reverse
+      }
+      assert(segs.length == expectIslands.length, s"well $well")
+      segs.sortBy(_.getTimestamp(1)).zip(expectIslands).foreach {
+        case (r, (st, en)) =>
+          val start = java.time.LocalDate.of(2000, 1, 1).plusMonths(st)
+          val end = if (en == 12) java.time.LocalDate.of(2001, 1, 1)
+            else java.time.LocalDate.of(2000, 1, 1).plusMonths(en)
+          assert(r.getTimestamp(1).toLocalDateTime.toLocalDate == start, s"$well start")
+          assert(r.getTimestamp(2).toLocalDateTime.toLocalDate == end, s"$well end")
+          assert(r.getLong(3) == java.time.temporal.ChronoUnit.DAYS.between(start, end))
+          assert(r.getBoolean(4) == (en == 12))
+      }
+      // the rollup columns agree with the segments themselves
+      assert(segs.head.getLong(5) == segs.length)
+      assert(segs.head.getLong(6) == segs.map(_.getLong(3)).sum)
+      assert(segs.head.getLong(7) == segs.map(_.getLong(3)).max)
+    }
+  }
+
   test("q196: BM25 ranking equals a scalar replay, query by query") {
     val out = graft.queries.TextAnalytics.q196Bm25Retrieval(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
