@@ -802,6 +802,7 @@ object TextAnalytics {
   }
 
   private val Bm25K = 5 // neighbors returned per query document
+  private val Bm25ProbeTerms = 16 // rarest query terms probed (impact pruning)
 
   /** q196: BM25 RETRIEVAL — the lexical ranked-retrieval scorer (the
     * Lucene/Elasticsearch default) next to q104's raw TF-IDF: every
@@ -837,8 +838,19 @@ object TextAnalytics {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumlen"))
+    // impact pruning (the WAND family's static variant): probe only
+    // each query's [[Bm25ProbeTerms]] RAREST terms — rare terms carry
+    // the idf mass, and a stopword-dense query would otherwise drag
+    // corpus-sized posting lists into the probe (measured 82× at ×10 on
+    // this 31-word-vocabulary fixture, where EVERY term posts ~N)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("df").asc, col("term").asc)
     val qterms = toks.filter(isBench)
       .select(col("doc_id").as("qid"), col("term")).distinct()
+      .join(dfT, Seq("term"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= Bm25ProbeTerms)
+      .select(col("qid"), col("term"))
     val scored = qterms
       .join(tf, Seq("term"))
       .join(dfT, Seq("term"))
@@ -1256,8 +1268,14 @@ object TextAnalytics {
         |       FROM tt WHERE doc_id % $DecontamBenchMod <> 0 GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |               CAST(sum(dl) AS BIGINT) AS sumlen FROM dl),
-        |q AS (SELECT DISTINCT doc_id AS qid, term FROM tt
-        |      WHERE doc_id % $DecontamBenchMod = 0),
+        |q0 AS (SELECT DISTINCT doc_id AS qid, term FROM tt
+        |       WHERE doc_id % $DecontamBenchMod = 0),
+        |q AS (SELECT qid, term FROM (
+        |        SELECT q0.qid, q0.term,
+        |               row_number() OVER (PARTITION BY q0.qid
+        |                                  ORDER BY dfx.df, q0.term) AS qrank
+        |        FROM q0 JOIN dfx USING (term))
+        |      WHERE qrank <= $Bm25ProbeTerms),
         |sc AS (SELECT q.qid, tf.doc_id,
         |              CAST(sum(CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         |                * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl * n_docs / sumlen))

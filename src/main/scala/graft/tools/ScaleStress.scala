@@ -125,7 +125,13 @@ object ScaleStress {
       "q166_stream_pack_inc", "q169_kn_perplexity", "q170_epoch_mixture",
       "q67_curation_pipeline", "q181_cdc_dedup", "q183_source_contamination",
       "q184_kcenter_sample", "q186_bpe_canonical", "q187_cdc_incremental",
-      "q188_stream_cdc_ingest", "q192_nb_quality")
+      "q188_stream_cdc_ingest", "q192_nb_quality", "q195_edit_verify")
+    // q194/q196 are deliberately NOT in the ×N sweep: the replica corpus
+    // duplicates texts (q194's answer grows quadratically — output size,
+    // not the operator) and replicates the BENCH docs (q196's query side
+    // grows with the corpus, so the exact dense score matrix is Q×N by
+    // construction on this 31-word vocabulary; production eval suites
+    // are FIXED while corpora grow). See PLANS.md for both analyses.
     // one timing body for every row: a crashed run returns -1 (NOT its
     // time-to-crash — the skew rows exist to catch OOMs, which must not
     // print as a normal-looking ratio), and the cache hygiene

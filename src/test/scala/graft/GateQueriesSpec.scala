@@ -2107,7 +2107,9 @@ class GateQueriesSpec extends AnyFunSuite {
         1e9 + 0.5).toLong
     }
     docs.filter(_._1 % 50 == 0).foreach { case (qid, qts) =>
-      val terms = qts.distinct
+      // impact pruning: the 16 rarest distinct query terms by (df, term)
+      val terms = qts.distinct.filter(dfm.contains)
+        .sortBy(t => (dfm(t), t)).take(16)
       val scores = corpus.map(_._1).map { d =>
         val shared = terms.filter(t => tf.contains((d, t)))
         d -> (shared.map(fp(_, d)).sum, shared.size.toLong)
