@@ -850,10 +850,11 @@ object TextAnalytics {
       .join(dfT, Seq("term"))
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= Bm25ProbeTerms)
-      .select(col("qid"), col("term"))
+      // df rides along from the ranking join — rejoining dfT on the
+      // probe side would spend a second term-keyed shuffle (review)
+      .select(col("qid"), col("term"), col("df"))
     val scored = qterms
       .join(tf, Seq("term"))
-      .join(dfT, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))
       // D-suffixed literals: Spark parses bare 0.5/1.0 as DECIMAL and

@@ -17,6 +17,19 @@ class GateQueriesSpec extends AnyFunSuite {
 
   private val Sf = "/root/testdata/sf0.001"
 
+  /** SQL-trim tokenization replica (spaces only — Java trim strips
+    * <= U+0020 and would diverge; the q169 note), shared by every
+    * scalar replay so the exactness-critical tokenizer is pinned ONCE.
+    * No nonEmpty filter: callers that mirror an engine-side
+    * length(tok) > 0 filter apply it themselves.
+    */
+  private def sqlTrimTokens(t: String): Seq[String] = {
+    var lo = 0; var hi = t.length
+    while (lo < hi && t.charAt(lo) == ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+    t.substring(lo, hi).split("\\s+").toSeq
+  }
+
   test("q58: the streaming window aggregate equals the batch computation") {
     val streamed = graft.queries.StreamGate.q58StreamWindow(spark, Sf)
       .collect().toSeq
@@ -1571,15 +1584,9 @@ class GateQueriesSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // SQL-trim semantics (spaces only, no nonEmpty filter) — the
-    // engine's tokens() keeps the empty token of a blank document,
-    // which counts toward vt; Java trim would diverge (sigOf's note)
-    def toks(t: String) = {
-      var lo = 0; var hi = t.length
-      while (lo < hi && t.charAt(lo) == ' ') lo += 1
-      while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
-      t.substring(lo, hi).split("\\s+").toSeq
-    }
+    // no nonEmpty filter: the engine's tokens() keeps the empty token
+    // of a blank document, which counts toward vt
+    def toks(t: String) = sqlTrimTokens(t)
     def bigrams(ts: Seq[String]) = if (ts.length < 2) Seq.empty else ts.zip(ts.tail)
     // train the interpolated-KN bigram stats on the 'en' slice
     val trb = docs.filter(_._2 == "en").flatMap(d => bigrams(toks(d._3)))
@@ -2023,19 +2030,16 @@ class GateQueriesSpec extends AnyFunSuite {
       .toSet
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> {
-        val t = r.getString(1)
-        var lo = 0; var hi = t.length
-        while (lo < hi && t.charAt(lo) == ' ') lo += 1
-        while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
-        t.substring(lo, hi).split("\\s+").filter(_.nonEmpty).toSet
-      }).sortBy(_._1)
+      .map(r => r.getLong(0) ->
+        sqlTrimTokens(r.getString(1)).filter(_.nonEmpty).toSet).sortBy(_._1)
     val brute = (for {
       i <- docs.indices.iterator
       j <- (i + 1) until docs.length
       inter = (docs(i)._2 & docs(j)._2).size.toLong
       sa = docs(i)._2.size.toLong; sb = docs(j)._2.size.toLong
-      if 3 * inter >= sa + sb
+      // inter >= 1: engine and oracle both require a SHARED token, so a
+      // degenerate empty-vs-empty pair must not count here either
+      if inter > 0 && 3 * inter >= sa + sb
     } yield (docs(i)._1, docs(j)._1, inter, sa, sb)).toSet
     assert(got == brute, s"got=${got.size} brute=${brute.size}")
     assert(brute.nonEmpty)
@@ -2085,14 +2089,10 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select(col("doc_id"), col("text")).collect()
-      .map { r =>
-        val t = r.getString(1)
-        var lo = 0; var hi = t.length
-        while (lo < hi && t.charAt(lo) == ' ') lo += 1
-        while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
-        r.getLong(0) -> t.substring(lo, hi).split("\\s+").filter(_.nonEmpty).toSeq
-      }
-    val corpus = docs.filter(_._1 % 50 != 0)
+      .map(r => r.getLong(0) -> sqlTrimTokens(r.getString(1)).filter(_.nonEmpty))
+    // zero-token docs produce no postings, so the engine's n_docs and
+    // avg length exclude them — the replay must too (review finding)
+    val corpus = docs.filter(d => d._1 % 50 != 0 && d._2.nonEmpty)
     val tf = corpus.flatMap { case (d, ts) => ts.map((d, _)) }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
@@ -2188,14 +2188,7 @@ class GateQueriesSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, sf01)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // SQL-trim semantics (spaces only) — the q169 spec's note
-    def toks(t: String) = {
-      var lo = 0; var hi = t.length
-      while (lo < hi && t.charAt(lo) == ' ') lo += 1
-      while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
-      t.substring(lo, hi).split("\\s+").toSeq
-    }
-    val all = docs.flatMap(d => toks(d._3).map((d._2, _)))
+    val all = docs.flatMap(d => sqlTrimTokens(d._3).map((d._2, _)))
     val cpos = all.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val cneg = all.filterNot(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val (npos, nneg) = (cpos.values.sum, cneg.values.sum)
@@ -2204,7 +2197,7 @@ class GateQueriesSpec extends AnyFunSuite {
       math.floor((math.log((cpos.getOrElse(w, 0L) + 1.0) / (npos + v)) -
         math.log((cneg.getOrElse(w, 0L) + 1.0) / (nneg + v))) * 1e9 + 0.5).toLong
     docs.foreach { case (id, _, text) =>
-      val ts = toks(text)
+      val ts = sqlTrimTokens(text)
       assert(out(id) == ((ts.size.toLong, ts.map(llrFp).sum)), s"doc $id")
     }
     // mechanism monotonicity, exact rational form: sign(llr) must equal
