@@ -750,7 +750,14 @@ object EclBinary {
       val g = cur.reverse
       g.find(_.name == "CONIPOS").foreach { conipos =>
         val ncon = conipos.data.length
-        val date = g.find(_.name == "DATE").map(dateOf).orNull
+        // throw exactly like the library rft() reader does: the DSv2
+        // scan claims DATE ASC per partition, and Spark's ASC default is
+        // NULLS FIRST — a dateless group AFTER dated ones would make the
+        // claim silently false for any plan that trusted it (q191's
+        // shape). Real RFT files always carry DATE; a malformed one must
+        // fail loudly, never sort wrong.
+        val date = g.find(_.name == "DATE").map(dateOf).getOrElse(
+          throw new IllegalArgumentException(s"$path: TIME group without DATE"))
         val well = g.find(_.name == "WELLETC").map(_.strings(1)).getOrElse("")
         if (datePred.keep(date) && wells.forall(_.contains(well))) {
           val vecs = g.filter(k => vecNames.contains(k.name) &&

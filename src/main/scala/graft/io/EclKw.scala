@@ -247,6 +247,63 @@ object EclKw {
     } finally in.close()
   }
 
+  /** Decode ONLY the elements at `elemIdxs` (ascending, distinct) of
+    * each REAL keyword named `kwName` whose occurrence ordinal passes
+    * `keepRecord`, in file order — `4·|elemIdxs|` bytes read per
+    * selected occurrence, every other byte seeked past; rejected
+    * occurrences skip whole. The generalization of
+    * [[streamFloatElement]] from one peeked element to a selected slot
+    * set: the `eclipse-unsmry` VECTOR pushdown reads (TIME + the
+    * selected vectors') slots out of each PARAMS record, so a
+    * one-vector fleet read of a 10⁴-vector SMSPEC touches ~0.01% of
+    * the PARAMS payload bytes instead of decoding every record fully.
+    * Returns `(occurrence ordinal, values aligned with elemIdxs)`.
+    */
+  def streamFloatSlots(path: String, kwName: String, elemIdxs: Array[Int],
+      keepRecord: Int => Boolean): Vector[(Int, Array[Float])] = {
+    require(elemIdxs.nonEmpty && elemIdxs.indices.tail.forall(j =>
+      elemIdxs(j) > elemIdxs(j - 1)),
+      s"$kwName: slot indices must be ascending and distinct")
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    try {
+      val out = Vector.newBuilder[(Int, Array[Float])]
+      var ord = -1
+      var h = readHead(in)
+      while (h.isDefined) {
+        val hd = h.get
+        if (hd.name == kwName) {
+          ord += 1
+          if (keepRecord(ord)) {
+            require(hd.typ == "REAL",
+              s"$kwName: slot decode expects REAL, got ${hd.typ}")
+            require(elemIdxs.last < hd.n,
+              s"$kwName: slot ${elemIdxs.last} out of range (n=${hd.n})")
+            val vals = new Array[Float](elemIdxs.length)
+            var p = 0 // next slot to read
+            var filled = 0
+            while (filled < hd.n) {
+              val len = recordLen(in, hd, hd.n - filled)
+              val count = len / hd.w
+              var pos = filled // element cursor inside this data record
+              while (p < elemIdxs.length && elemIdxs(p) < filled + count) {
+                skipFully(in, (elemIdxs(p) - pos) * hd.w)
+                vals(p) = in.readFloat()
+                pos = elemIdxs(p) + 1
+                p += 1
+              }
+              skipFully(in, (filled + count - pos) * hd.w)
+              in.readInt() // trailing length
+              filled += count
+            }
+            out += ((ord, vals))
+          } else skipData(in, hd)
+        } else skipData(in, hd)
+        h = readHead(in)
+      }
+      out.result()
+    } finally in.close()
+  }
+
   // ---- writer (the inverse; Eclipse chunk conventions) ---------------------
 
   private val NumChunk = 1000

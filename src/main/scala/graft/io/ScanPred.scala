@@ -63,6 +63,12 @@ private[graft] object DecodeStats {
   /** UNSMRY PARAMS payloads FULLY decoded (the pre-scan's single-element
     * peeks are not counted — they are the point of the optimization). */
   val unsmryParams = new LongAdder
+  /** UNSMRY PARAMS float SLOTS partially decoded by the VECTOR-pushdown
+    * path ([[EclKw.streamFloatSlots]]) — counts ELEMENTS, not records,
+    * so a spec can prove the decoded-byte drop is ~nvec-fold: a
+    * one-vector read adds 2 per selected step (TIME + the vector)
+    * where the full decode path would have read nvec. */
+  val unsmryParamSlots = new LongAdder
   /** EGRID active cells whose corner-point GEOMETRY was computed (one
     * add per slab at its active count — a property-only projection must
     * leave this untouched: no pillar interpolation, and the ZCORN/COORD

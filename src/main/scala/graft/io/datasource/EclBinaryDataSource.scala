@@ -229,11 +229,13 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
   * grid.py:54-123 `dates2rstindices` — decide which report steps to
   * decode from a cheap clock pre-scan, read only those): a
   * `WHERE DATE = …` over `eclipse-unrst`/`eclipse-unsmry`/`eclipse-rft`
-  * (and `WHERE WELL = …` over rft) reaches the byte level, skipping
-  * whole report steps / report groups / PARAMS records instead of
-  * decoding everything and filtering rows. At a 1000-case × 200-step
-  * ensemble, `DATE = last` decodes ~1/200th of the bytes the unfiltered
-  * scan would.
+  * (and `WHERE WELL = …` over rft, `WHERE VECTOR = …` over unsmry)
+  * reaches the byte level, skipping whole report steps / report groups /
+  * PARAMS records — and, for VECTOR, unselected SLOTS inside each
+  * PARAMS record — instead of decoding everything and filtering rows.
+  * At a 1000-case × 200-step ensemble, `DATE = last` decodes ~1/200th
+  * of the bytes the unfiltered scan would; a one-vector read of a
+  * 10⁴-vector SMSPEC decodes ~0.01% of the PARAMS payload.
   *
   * Accepted filters are still RETURNED to Spark for post-scan
   * re-evaluation (the standard inexact-pushdown contract): the source-
@@ -251,6 +253,7 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
   private var datePred: graft.io.DatePred = graft.io.DatePred.All
   private var wells: Option[Set[String]] = None
   private var caseSet: Option[Set[String]] = None
+  private var vectorSel: Option[Set[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -286,6 +289,16 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
         case In("WELL", ws) if kind == "rft" && ws.nonEmpty &&
             ws.forall(_.isInstanceOf[String]) =>
           wells = intersectInto(wells, ws.map(_.asInstanceOf[String]).toSet); true
+        // VECTOR filters reach INSIDE the PARAMS record: a record
+        // interleaves all nvec vectors per ministep, but the kernel can
+        // decode just the selected ordinals' 4-byte slots and seek past
+        // the rest (EclKw.streamFloatSlots) — a one-vector read of a
+        // 10⁴-vector SMSPEC touches ~0.01% of the PARAMS bytes
+        case EqualTo("VECTOR", v: String) if kind == "unsmry" =>
+          vectorSel = intersectInto(vectorSel, Set(v)); true
+        case In("VECTOR", vs) if kind == "unsmry" && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[String]) =>
+          vectorSel = intersectInto(vectorSel, vs.map(_.asInstanceOf[String]).toSet); true
         // CASE filters prune INPUT PARTITIONS — whole files are never
         // opened (the file-level analog of partition pruning; a
         // 1000-case ensemble query for one realization opens one file)
@@ -304,13 +317,13 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
 
   override def build(): Scan =
     new EclBinaryScan(kind, path, vectors, mapaxes, required, datePred, wells,
-      caseSet, maxCases)
+      caseSet, maxCases, vectorSel)
 }
 
 class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
     wells: Option[Set[String]], caseSet: Option[Set[String]],
-    maxCases: Option[Int] = None)
+    maxCases: Option[Int] = None, vectorSel: Option[Set[String]] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -328,7 +341,8 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     val d = if (datePred.trivial) "" else s" datePred=$datePred"
     val w = wells.fold("")(s => s" wells=${s.toSeq.sorted.mkString(",")}")
     val c = caseSet.fold("")(s => s" cases=${s.size}")
-    s"eclipse-$kind $path$d$w$c"
+    val v = vectorSel.fold("")(s => s" vectors=${s.toSeq.sorted.mkString(",")}")
+    s"eclipse-$kind $path$d$w$c$v"
   }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -404,12 +418,13 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
+    new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred,
+      wells, vectorSel)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new EclBinaryMicroBatchStream(kind, path, vectors, mapaxes, required,
-      datePred, wells, caseSet, maxCases)
+      datePred, wells, caseSet, maxCases, vectorSel)
 }
 
 /** One ensemble case = one partition; carries its CASE value as the
@@ -428,7 +443,8 @@ case class EclCaseInputPartition(caseFile: String, caseId: String)
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
-    wells: Option[Set[String]]) extends PartitionReaderFactory {
+    wells: Option[Set[String]],
+    vectorSel: Option[Set[String]] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseFile
@@ -464,14 +480,44 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
           needGeom = required.fieldNames.exists(geomCols.contains))
         case "unrst" => EclBinary.restartCaseRows(caseFile, requiredVecs, datePred)
         case "rft" => EclBinary.rftCaseRows(caseFile, requiredVecs, datePred, wells)
-        case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile, datePred)
+        case "unsmry" => graft.write.SummaryWriter.summaryCaseTuples(caseFile,
+            datePred, vectorSel)
           .map(t => Row(t._1, t._2, t._3, t._4, t._5))
       }
+      // the scan REPORTS per-partition (CASE, DATE/GLOBAL_INDEX)
+      // ascending ([[EclBinaryScan.outputOrdering]]) and downstream
+      // windows/SPJ plans may skip their sort on that claim — so the
+      // claim is VALIDATED here, one long comparison per row: a file
+      // whose report steps regress (e.g. a restarted run re-emitting
+      // earlier dates) fails loudly instead of silently feeding an
+      // unsorted stream to a sort-skipping plan. Only checked when the
+      // ordered column survives projection — with it pruned, no
+      // ordering is claimed.
+      private val orderedCol = if (kind == "egrid") "GLOBAL_INDEX" else "DATE"
+      private val ordIdx = required.fieldNames.indexOf(orderedCol)
+      private var prevOrd = Long.MinValue
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!rows.hasNext) return false
         val r = rows.next()
-        current = InternalRow.fromSeq(exs.map(_(r)))
+        val vals = exs.map(_(r))
+        if (ordIdx >= 0) {
+          val v = vals(ordIdx) match {
+            case i: java.lang.Integer => i.toLong
+            case l: java.lang.Long => l.toLong
+            case null => throw new IllegalStateException(
+              s"$caseFile: null $orderedCol under a claimed ASC ordering " +
+                "(ASC is NULLS FIRST; a null after non-nulls would falsify it)")
+            case other => throw new IllegalStateException(
+              s"$caseFile: unexpected $orderedCol value $other")
+          }
+          if (v < prevOrd) throw new IllegalStateException(
+            s"$caseFile: $orderedCol regressed ($v after $prevOrd) — the " +
+              "file violates the report-step-order precondition the scan's " +
+              "outputOrdering claim rests on")
+          prevOrd = v
+        }
+        current = InternalRow.fromSeq(vals)
         true
       }
       override def get(): InternalRow = current

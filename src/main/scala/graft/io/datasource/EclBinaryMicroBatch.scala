@@ -32,7 +32,8 @@ import org.apache.spark.sql.types.StructType
 class EclBinaryMicroBatchStream(kind: String, path: String,
     vectors: Seq[String], mapaxes: Boolean, required: StructType,
     datePred: graft.io.DatePred, wells: Option[Set[String]],
-    caseSet: Option[Set[String]], maxCasesPerTrigger: Option[Int])
+    caseSet: Option[Set[String]], maxCasesPerTrigger: Option[Int],
+    vectorSel: Option[Set[String]] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -83,7 +84,8 @@ class EclBinaryMicroBatchStream(kind: String, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred, wells)
+    new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred,
+      wells, vectorSel)
 }
 
 /** The processed-file SET. Equality and hashing go through the sorted

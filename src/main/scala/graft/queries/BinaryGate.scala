@@ -678,10 +678,11 @@ object BinaryGate {
     */
   def q189FleetAggColocated(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q189")
-    // storage-partitioned planning is off by default; the report is
-    // harmless without it (UnknownPartitioning fallback), so enabling
-    // it here only ever REMOVES an exchange
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // storage-partitioned planning (spark.sql.sources.v2.bucketing
+    // .enabled) is set at SESSION BIRTH in every entry point — never
+    // inside a query body, so plan shapes cannot depend on query order;
+    // without it the report degrades harmlessly to UnknownPartitioning
+    // (one extra exchange, same rows)
     s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
       .groupBy(col("CASE"))
       .agg(count(lit(1)).as("n_rows"),
@@ -709,7 +710,7 @@ object BinaryGate {
     */
   def q190FleetSpjRatio(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q190")
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // v2.bucketing.enabled comes from session birth (see q189)
     def side(vec: String) =
       s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
         .filter(col("VECTOR") === vec)
@@ -742,7 +743,7 @@ object BinaryGate {
     */
   def q191FleetWindowPipelined(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q191")
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // v2.bucketing.enabled comes from session birth (see q189)
     val w = Window.partitionBy(col("CASE")).orderBy(col("DATE"))
     s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
       .filter(col("VECTOR") === "FOPR")
@@ -868,6 +869,32 @@ object BinaryGate {
       .where(col("DATE").between(
         lit(java.sql.Date.valueOf("2021-01-10")),
         lit(java.sql.Date.valueOf("2021-01-12"))))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
+  /** q198: VECTOR-SELECTIVE DSv2 SUMMARY READ — q167 replayed with a
+    * pushed-down `WHERE VECTOR IN (…)`. A PARAMS record interleaves ALL
+    * nvec vectors per ministep, so row-level pushdown cannot skip
+    * records — instead the kernel decodes ONLY the selected vectors'
+    * (plus TIME's) 4-byte SLOTS inside each record and seeks past the
+    * rest ([[graft.io.EclKw.streamFloatSlots]] — the q174 TIME-peek
+    * mechanism generalized from one element to a slot set). On a
+    * full-field SMSPEC with 10⁴ vectors, a one-vector fleet read (the
+    * exact filter shape q190/q191 issue) touches ~0.01% of the PARAMS
+    * payload bytes. Gated against the q167 oracle restricted to those
+    * vectors; the companion spec (EclPushdownSpec) proves via
+    * [[graft.io.DecodeStats]] that NO record was fully decoded and the
+    * slots decoded are exactly (selected+TIME)·steps — a row count
+    * alone cannot distinguish seek-past from decode-then-filter.
+    */
+  def q198SummaryVectorPushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q198")
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .where(col("VECTOR").isin("FOPR", "WBHP:W0"))
       .withColumn("case_id",
         regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
       .select(col("case_id"), col("VECTOR").as("vector"),
@@ -1741,6 +1768,7 @@ object BinaryGate {
     "q172_sql_ddl_grid" -> (q172SqlDdlGrid _),
     "q173_rft_well_pushdown" -> (q173RftWellPushdown _),
     "q174_unsmry_date_pushdown" -> (q174SummaryDatePushdown _),
+    "q198_unsmry_vector_pushdown" -> (q198SummaryVectorPushdown _),
     "q176_case_pushdown" -> (q176CasePushdown _),
     "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
     "q178_unsmry_stream" -> (q178SummaryStream _),
@@ -2217,6 +2245,8 @@ object BinaryGate {
     "q172_sql_ddl_grid" -> gridOracle,
     "q173_rft_well_pushdown" -> rftFleetOracleWhere("c IN (1, 2) AND t = 1"),
     "q174_unsmry_date_pushdown" -> summaryFleetOracleWhere("day BETWEEN 9 AND 11"),
+    "q198_unsmry_vector_pushdown" ->
+      summaryFleetOracleWhere("vector IN ('FOPR', 'WBHP:W0')"),
     // file-level pruning keeps exactly case 2's steps; the write→read
     // round trip must reproduce the fleet frame verbatim
     "q176_case_pushdown" -> rstOracleWhere("c = 2"),

@@ -964,8 +964,12 @@ object TextAnalytics {
     // divisor. The document end is always a boundary; array_distinct
     // merges a landmark that falls exactly on the end (a zero-length
     // tail chunk must not exist — the oracle's char grouping cannot
-    // produce one).
+    // produce one). Empty-doc contract: a zero-length document has NO
+    // chunks (filtered here) — the oracles' char-explode produces no
+    // rows for it, so emitting an (ord 0, clen 0) chunk would both
+    // mismatch the oracle row count and make dup_bp divide by zero.
     val ends = docs
+      .where(length(col("text")) > 0)
       .withColumn("len", length(col("text")).cast("long"))
       .withColumn("ends", array_distinct(concat(
         when(col("len") >= CdcW,
@@ -1107,12 +1111,17 @@ object TextAnalytics {
         count(when(col("lang") =!= "en", 1)).as("cneg"))
     val tot = cls.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
       count(lit(1)).as("v"))
-    // identical expression TEXT to the oracle — ln of the same exact
-    // doubles, fixed-pointed once per word type
+    // same exact IEEE doubles as the oracle, fixed-pointed once per word
+    // type. D-suffixed literals + explicit DOUBLE casts (the q196
+    // discipline): a bare `(cpos + 1.0) / (npos + v)` is scale-limited
+    // DECIMAL division in Spark (rounded BEFORE ln) while DuckDB casts
+    // decimal division to DOUBLE — a measured 2e-8 drift class that can
+    // flip floor(x+0.5) at a half-boundary.
     val llr = cls.crossJoin(broadcast(tot))
       .withColumn("llr_fp", expr(
-        "CAST(floor((ln((cpos + 1.0) / (npos + v)) - ln((cneg + 1.0) / (nneg + v)))" +
-          " * 1000000000.0 + 0.5) AS BIGINT)"))
+        "CAST(floor((ln((CAST(cpos AS DOUBLE) + 1.0D) / CAST(npos + v AS DOUBLE))" +
+          " - ln((CAST(cneg AS DOUBLE) + 1.0D) / CAST(nneg + v AS DOUBLE)))" +
+          " * 1000000000.0D + 0.5D) AS BIGINT)"))
       .select(col("tok"), col("llr_fp"))
     toks.join(llr, Seq("tok"))
       .groupBy(col("doc_id"), col("lang"))
@@ -1290,8 +1299,10 @@ object TextAnalytics {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |                ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= $Bm25K ORDER BY qid, rank""".stripMargin,
-    // q192: identical LLR expression text as the engine — ln over the
-    // same exact doubles, fixed-pointed once per word type, BIGINT sums
+    // q192: same LLR arithmetic as the engine — both sides divide and
+    // ln over explicit DOUBLEs (the engine D-suffixes its literals so
+    // Spark cannot route through scale-limited DECIMAL division),
+    // fixed-pointed once per word type, BIGINT sums
     "q192_nb_quality" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |                  unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -1305,8 +1316,8 @@ object TextAnalytics {
         |               CAST(count(*) AS BIGINT) AS v
         |        FROM cls),
         |llr AS (SELECT tok,
-        |               CAST(floor((ln((cpos + 1.0) / (npos + v))
-        |                           - ln((cneg + 1.0) / (nneg + v)))
+        |               CAST(floor((ln((CAST(cpos AS DOUBLE) + 1.0) / CAST(npos + v AS DOUBLE))
+        |                           - ln((CAST(cneg AS DOUBLE) + 1.0) / CAST(nneg + v AS DOUBLE)))
         |                    * 1000000000.0 + 0.5) AS BIGINT) AS llr_fp
         |        FROM cls CROSS JOIN tot)
         |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_toks,

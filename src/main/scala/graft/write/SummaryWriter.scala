@@ -242,7 +242,8 @@ object SummaryWriter {
     * itself is excluded (it becomes DATE).
     */
   private[graft] def summaryCaseTuples(unsmryPath: String,
-      datePred: graft.io.DatePred = graft.io.DatePred.All
+      datePred: graft.io.DatePred = graft.io.DatePred.All,
+      vectorSel: Option[Set[String]] = None
       ): Iterator[(String, java.sql.Date, String, Double, Int)] = {
     val base = unsmryPath.dropRight(".UNSMRY".length)
     val (vectors, timeIdx, start) =
@@ -259,20 +260,49 @@ object SummaryWriter {
       else Some(graft.io.EclKw.streamFloatElement(unsmryPath, "PARAMS", timeIdx)
         .zipWithIndex.collect { case (t, i)
           if datePred.keepDay(start.plusDays(t.toLong).toEpochDay) => i }.toSet)
-    var ord = -1
-    val steps = graft.io.EclKw.stream(unsmryPath, (n, _, _) =>
-      n == "PARAMS" && { ord += 1; wantedSteps.forall(_.contains(ord)) }) { it =>
-      it.map { kw => graft.io.DecodeStats.unsmryParams.increment(); kw.floats }.toVector
-    }
-    val stepIds: Int => Int = wantedSteps match {
-      case Some(sel) => val sorted = sel.toArray.sorted; sorted(_)
-      case None => identity
-    }
-    steps.iterator.zipWithIndex.flatMap { case (vals, k) =>
-      val step = stepIds(k)
-      val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
-      vals.indices.iterator.filter(_ != timeIdx).map(i =>
-        (base, date, vectors(i), vals(i).toDouble, step))
+    vectorSel match {
+      case Some(sel) =>
+        // DSv2 VECTOR pushdown: decode ONLY the selected vectors'
+        // 4-byte slots (plus TIME for DATE) out of each wanted PARAMS
+        // record — streamFloatSlots seeks past everything else, so a
+        // one-vector read of a 10⁴-vector SMSPEC touches ~0.01% of the
+        // PARAMS bytes. Selection is ORDINAL-based (an SMSPEC may
+        // declare the same vector name twice; both ordinals emit, same
+        // as the full-decode path). TIME itself is never an output row,
+        // so a pushed VECTOR='TIME' simply selects nothing.
+        val selOrds = vectors.indices
+          .filter(i => i != timeIdx && sel.contains(vectors(i))).toArray
+        if (selOrds.isEmpty) Iterator.empty
+        else {
+          val decodeIdxs = (selOrds :+ timeIdx).distinct.sorted
+          val tpos = decodeIdxs.indexOf(timeIdx)
+          val recs = graft.io.EclKw.streamFloatSlots(unsmryPath, "PARAMS",
+            decodeIdxs, ord => wantedSteps.forall(_.contains(ord)))
+          graft.io.DecodeStats.unsmryParamSlots.add(
+            recs.length.toLong * decodeIdxs.length)
+          recs.iterator.flatMap { case (step, slots) =>
+            val date = java.sql.Date.valueOf(start.plusDays(slots(tpos).toLong))
+            decodeIdxs.indices.iterator.filter(_ != tpos).map { j =>
+              (base, date, vectors(decodeIdxs(j)), slots(j).toDouble, step)
+            }
+          }
+        }
+      case None =>
+        var ord = -1
+        val steps = graft.io.EclKw.stream(unsmryPath, (n, _, _) =>
+          n == "PARAMS" && { ord += 1; wantedSteps.forall(_.contains(ord)) }) { it =>
+          it.map { kw => graft.io.DecodeStats.unsmryParams.increment(); kw.floats }.toVector
+        }
+        val stepIds: Int => Int = wantedSteps match {
+          case Some(sel) => val sorted = sel.toArray.sorted; sorted(_)
+          case None => identity
+        }
+        steps.iterator.zipWithIndex.flatMap { case (vals, k) =>
+          val step = stepIds(k)
+          val date = java.sql.Date.valueOf(start.plusDays(vals(timeIdx).toLong))
+          vals.indices.iterator.filter(_ != timeIdx).map(i =>
+            (base, date, vectors(i), vals(i).toDouble, step))
+        }
     }
   }
 

@@ -174,6 +174,65 @@ class EclPushdownSpec extends AnyFunSuite {
     assert(filtered === full.filter(t => pred.keep(t._2)))
   }
 
+  test("streamFloatSlots: multi-chunk records decode exactly the selected slots") {
+    // 2500 floats = three 1000-element data records; the selected
+    // indices straddle every chunk boundary (first, last-of-chunk,
+    // first-of-next, mid, last) — pins the skip/read/skip walk across
+    // record framing
+    val d = tmpDir("slots")
+    val path = s"$d/SLOTS.BIN"
+    val n = 2500
+    EclKw.write(path, (0 until 3).map { rec =>
+      Kw("PARAMS", "REAL", Array.tabulate(n)(i => (1000f * rec) + i))
+    })
+    val idxs = Array(0, 999, 1000, 1500, 2499)
+    val got = EclKw.streamFloatSlots(path, "PARAMS", idxs, _ != 1)
+    assert(got.map(_._1) === Vector(0, 2)) // record 1 skipped whole
+    got.foreach { case (rec, vals) =>
+      assert(vals === idxs.map(i => 1000f * rec + i))
+    }
+  }
+
+  test("unsmry kernel: VECTOR selection decodes only the selected slots") {
+    import spark.implicits._
+    val d = tmpDir("unsmry-vec")
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "FOPT", "WBHP:A1", "WOPR:A1").zipWithIndex
+      t <- 0 until 12
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(t)),
+      100.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/VEC")
+
+    DecodeStats.unsmryParams.reset()
+    val full = graft.write.SummaryWriter.summaryCaseTuples(s"$d/VEC.UNSMRY").toVector
+    assert(DecodeStats.unsmryParams.sum() === 12)
+
+    // one vector: NO record fully decodes; slots = (TIME + FOPR) x 12
+    DecodeStats.unsmryParams.reset()
+    DecodeStats.unsmryParamSlots.reset()
+    val one = graft.write.SummaryWriter.summaryCaseTuples(s"$d/VEC.UNSMRY",
+      vectorSel = Some(Set("FOPR"))).toVector
+    assert(DecodeStats.unsmryParams.sum() === 0)
+    assert(DecodeStats.unsmryParamSlots.sum() === 24)
+    assert(one === full.filter(_._3 == "FOPR"))
+
+    // composes with the DATE pre-scan: 3 steps x (TIME + 2 vectors)
+    val pred = DatePred.All
+      .withMin(day("2024-03-04")).withMax(day("2024-03-06"))
+    DecodeStats.unsmryParamSlots.reset()
+    val both = graft.write.SummaryWriter.summaryCaseTuples(s"$d/VEC.UNSMRY",
+      pred, Some(Set("FOPR", "WBHP:A1"))).toVector
+    assert(DecodeStats.unsmryParamSlots.sum() === 9)
+    assert(both === full.filter(t =>
+      pred.keep(t._2) && Set("FOPR", "WBHP:A1")(t._3)))
+
+    // a selection matching nothing decodes nothing
+    DecodeStats.unsmryParamSlots.reset()
+    assert(graft.write.SummaryWriter.summaryCaseTuples(s"$d/VEC.UNSMRY",
+      vectorSel = Some(Set("NOPE"))).isEmpty)
+    assert(DecodeStats.unsmryParamSlots.sum() === 0)
+  }
+
   // ---- DSv2 end-to-end ------------------------------------------------------
 
   test("DSv2 unrst: pushed DATE filter skips decode and keeps answers exact") {
@@ -233,6 +292,32 @@ class EclPushdownSpec extends AnyFunSuite {
     DecodeStats.unsmryParams.reset()
     val got = base.where(col("DATE").between(lit(lo), lit(hi))).collect()
     assert(DecodeStats.unsmryParams.sum() === 3) // 3 of 15 ministeps
+    assert(got.map(_.toString).sorted === expected)
+  }
+
+  test("DSv2 unsmry: pushed VECTOR filter decodes slots, never whole records") {
+    import spark.implicits._
+    val d = tmpDir("dsv2-vec")
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "FOPT", "WBHP:A1", "WOPR:A1").zipWithIndex
+      t <- 0 until 10
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2023, 9, 1).plusDays(t)),
+      10.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/VEC")
+
+    val base = spark.read.format("eclipse-unsmry").load(s"$d/VEC.UNSMRY")
+    val expected = base.collect()
+      .filter(_.getString(2) == "FOPR").map(_.toString).sorted
+
+    val df = base.where(col("VECTOR") === "FOPR")
+    // the scan advertises the pushed vector selection
+    assert(df.queryExecution.executedPlan.toString.contains("vectors=FOPR"))
+    DecodeStats.unsmryParams.reset()
+    DecodeStats.unsmryParamSlots.reset()
+    val got = df.collect()
+    assert(DecodeStats.unsmryParams.sum() === 0,
+      "a VECTOR-pushed scan must never fully decode a PARAMS record")
+    assert(DecodeStats.unsmryParamSlots.sum() === 20) // (TIME + FOPR) x 10
     assert(got.map(_.toString).sorted === expected)
   }
 
@@ -302,6 +387,56 @@ class EclPushdownSpec extends AnyFunSuite {
     DecodeStats.egridGeomCells.reset()
     graft.queries.BinaryGate.q164GridFleetSql(spark, sf).collect()
     assert(DecodeStats.egridGeomCells.sum() > 0)
+  }
+
+  // ---- ordering-claim soundness --------------------------------------------
+  // the scan REPORTS (CASE, DATE) ascending per partition and sort-
+  // skipping plans (q191's shape) TRUST it — so the inputs that would
+  // falsify the claim must fail loudly, never silently sort wrong
+
+  test("rft kernel: a TIME group without DATE fails loudly (never null-sorts)") {
+    val d = tmpDir("rft-nodate")
+    val path = s"$d/NODATE.RFT"
+    EclKw.write(path, Seq(
+      Kw("TIME", "REAL", Array(0f)),
+      Kw("DATE", "INTE", Array(1, 5, 2023)),
+      Kw("WELLETC", "CHAR", Array("", "W0")),
+      Kw("CONIPOS", "INTE", Array(1, 2)),
+      Kw("DEPTH", "REAL", Array(1f, 2f)),
+      // second group: DATELESS, after a dated one — Spark's ASC default
+      // is NULLS FIRST, so emitting null here would silently falsify
+      // the scan's claimed DATE ordering
+      Kw("TIME", "REAL", Array(1f)),
+      Kw("WELLETC", "CHAR", Array("", "W0")),
+      Kw("CONIPOS", "INTE", Array(1, 2)),
+      Kw("DEPTH", "REAL", Array(3f, 4f))))
+    val e = intercept[IllegalArgumentException] {
+      EclBinary.rftCaseRows(path, Seq("DEPTH")).toVector
+    }
+    assert(e.getMessage.contains("TIME group without DATE"))
+  }
+
+  test("DSv2 reader: a date regression in the file fails loudly, not silently") {
+    val d = tmpDir("nonmono")
+    // a restarted run re-emitting an earlier date: TIME 0, 5, 3
+    EclKw.write(s"$d/BAD.SMSPEC", Seq(
+      Kw("DIMENS", "INTE", Array(2, 1, 1, 1, 0, 0)),
+      Kw("KEYWORDS", "CHAR", Array("TIME", "FOPR")),
+      Kw("WGNAMES", "CHAR", Array("", "")),
+      Kw("NUMS", "INTE", Array(0, 0)),
+      Kw("STARTDAT", "INTE", Array(1, 1, 2022))))
+    EclKw.write(s"$d/BAD.UNSMRY", Seq(0f, 5f, 3f).map(t =>
+      Kw("PARAMS", "REAL", Array(t, 100f + t))))
+    val e = intercept[Exception] {
+      spark.read.format("eclipse-unsmry").load(s"$d/BAD.UNSMRY").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("regressed")),
+      s"expected the ordering-precondition failure, got: ${msgs.mkString(" | ")}")
+    // the library reader makes NO ordering claim and still reads it
+    val lib = graft.write.SummaryWriter.read(spark, s"$d/BAD").collect()
+    assert(lib.length === 3)
   }
 
   test("DSv2: unfiltered scans and egrid are unaffected by the pushdown surface") {

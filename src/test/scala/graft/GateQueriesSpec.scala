@@ -2306,6 +2306,17 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(c1.mkString == base)
   }
 
+  test("q181: an empty document yields NO chunks (the oracle's char-explode contract)") {
+    // the DuckDB oracles explode documents into characters, so a
+    // zero-length doc produces no rows there — the engine must not
+    // emit an (ord 0, clen 0) chunk for it (which would also make
+    // q181's dup_bp divide by zero)
+    val docs = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
+    val ch = graft.queries.TextAnalytics.cdcChunks(docs).collect()
+    assert(ch.forall(_.getLong(0) == 2L), "empty doc must produce no chunks")
+    assert(ch.map(_.getString(2)).mkString == "short")
+  }
+
   test("q181: corpus dedup actually fires and conserves chars") {
     val out = graft.queries.TextAnalytics.q181CdcDedup(spark, "/root/testdata/sf0.01")
       .collect()
