@@ -830,6 +830,73 @@ object BinaryGate {
              FROM ens_grid ORDER BY case_id, global_index""")
   }
 
+  /** q199: SQL-DDL REACHABILITY for the RESTART format — q172's catalog
+    * discipline on `eclipse-unrst`, WITH a pushed WHERE: after
+    * `CREATE TABLE … USING eclipse-unrst`, a pure-SQL
+    * `WHERE DATE = …` must reach the same byte-level step skipping as
+    * the programmatic q171 route (the catalog resolution path has its
+    * own plumbing — q172 needed a path-normalization fix — so pushdown
+    * preservation through it is gated, not assumed; the companion
+    * spec counts decoded payloads through the DDL route). Gated
+    * against the q165 oracle restricted to that report step.
+    */
+  def q199SqlDdlUnrst(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q199")
+    val paths = (0 until RstCases).map(c => writeRstCase(tmp, c))
+    s.sql("DROP TABLE IF EXISTS ens_rst")
+    s.sql(s"""CREATE TABLE ens_rst USING `eclipse-unrst`
+              OPTIONS (path '${paths.mkString(",")}', vectors 'PRESSURE,SWAT')""")
+    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)[.]UNRST$', 1) AS INT) AS case_id,
+                    CAST(DATE AS TIMESTAMP) AS date, ACTIVE_IDX AS active_idx,
+                    PRESSURE AS pressure, SWAT AS swat
+             FROM ens_rst WHERE DATE = DATE'2022-01-02'
+             ORDER BY case_id, date, active_idx""")
+  }
+
+  /** q200: SQL-DDL REACHABILITY for the SUMMARY format — catalog table
+    * over `eclipse-unsmry` queried with a pure-SQL WHERE combining BOTH
+    * pushdown axes the format supports: a DATE range (record-level
+    * TIME-peek skipping, q174) AND a VECTOR equality (slot-level
+    * in-record skipping, q198). Gated against the q167 oracle under
+    * the same restriction; the companion spec proves the DDL route
+    * decodes zero full PARAMS records.
+    */
+  def q200SqlDdlUnsmry(s: SparkSession, dir: String): DataFrame = {
+    val tmp = writeFleetFixture(s, "q200")
+    s.sql("DROP TABLE IF EXISTS ens_sum")
+    s.sql(s"""CREATE TABLE ens_sum USING `eclipse-unsmry`
+              OPTIONS (path '$tmp/*.UNSMRY')""")
+    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)$', 1) AS INT) AS case_id,
+                    VECTOR AS vector, CAST(DATE AS TIMESTAMP) AS date,
+                    VALUE AS value
+             FROM ens_sum
+             WHERE VECTOR = 'FOPR'
+               AND DATE BETWEEN DATE'2021-01-10' AND DATE'2021-01-12'
+             ORDER BY case_id, vector, date""")
+  }
+
+  /** q201: SQL-DDL REACHABILITY for the RFT format — catalog table over
+    * `eclipse-rft` with a pure-SQL `WHERE WELL IN … AND DATE = …`
+    * (q173's group-level skip through the catalog route). Completes
+    * the DDL QUARTET (q172 egrid, q199 unrst, q200 unsmry, q201 rft):
+    * every binary ensemble format is now a one-statement catalog
+    * table with its pushdown surface intact. Gated against the q168
+    * oracle restricted to those groups.
+    */
+  def q201SqlDdlRft(s: SparkSession, dir: String): DataFrame = {
+    val tmp = fixtureDir("q201")
+    val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
+    s.sql("DROP TABLE IF EXISTS ens_rft")
+    s.sql(s"""CREATE TABLE ens_rft USING `eclipse-rft`
+              OPTIONS (path '${paths.mkString(",")}', vectors 'DEPTH,PRESSURE')""")
+    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)[.]RFT$', 1) AS INT) AS case_id,
+                    CAST(DATE AS TIMESTAMP) AS date, WELL AS well,
+                    CONIDX AS conidx, DEPTH AS depth, PRESSURE AS pressure
+             FROM ens_rft
+             WHERE WELL IN ('W1', 'W2') AND DATE = DATE'2023-02-02'
+             ORDER BY case_id, date, conidx""")
+  }
+
   /** q173: WELL+DATE-SELECTIVE DSv2 RFT READ — q168 replayed with
     * pushed-down `WHERE WELL IN (…) AND DATE = …`: the disqualified
     * TIME report groups' per-connection vectors seek past at the byte
@@ -987,6 +1054,80 @@ object BinaryGate {
       .select(col("case_id"), col("VECTOR").as("vector"),
         col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
       .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
+  /** q202: KILL-MID-DRAIN RECOVERY for the BINARY streaming source —
+    * the composition of q178 (clean restart processes only new cases)
+    * and q175 (the file-event source's mid-run kill): all M cases are
+    * PRESENT up front, the stream drains one case per micro-batch
+    * (`maxCasesPerTrigger=1`), and an injected failure KILLS the query
+    * at batch N — before that batch produces any effect, the crash
+    * point with the strongest replay obligation. The restart from the
+    * SAME checkpoint must (a) never re-emit batches 0..N-1 (they are in
+    * the commit log — a reprocess would double-append to the sink),
+    * (b) re-execute the in-flight batch N from its already-written
+    * OFFSET log entry — the same admitted case file, decoded once into
+    * the sink — and (c) drain the remaining cases. Gated against the
+    * q167 fleet oracle VERBATIM: the hash only matches if every case
+    * lands exactly once across the kill. The companion spec pins the
+    * batch accounting (run 1 commits exactly N; cumulative ids continue
+    * to M) — the q175 evidence shape on the binary source.
+    */
+  def q202StreamKillRecovery(s: SparkSession, dir: String): DataFrame =
+    summaryStreamKillRun(s, dir)._1
+
+  /** The q202 run, exposing (result, run-1 committed batches, cumulative
+    * batches after run 2). The kill is a deterministic injected throw in
+    * `foreachBatch` at `killAt`, BEFORE the batch writes — so the replay
+    * writing it exactly once is load-bearing, not a coincidence of
+    * where an external kill landed. */
+  private[graft] def summaryStreamKillRun(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = writeFleetFixture(s, "q202")
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // fresh per-run root (the q175/q147 convention): the checkpoint is
+    // the recovery mechanism WITHIN this gate's two runs
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-gate", "q202",
+      s"$dirTag-${ProcessHandle.current().pid()}").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val out = s"$root/rows"
+    val cp = s"$root/checkpoint"
+    val killAt = FleetCases / 2 // batches 0..killAt-1 commit, killAt dies
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def runOnce(): Long = {
+      val q = s.readStream.format("eclipse-unsmry")
+        .option("maxCasesPerTrigger", "1")
+        .load(s"$tmp/*.UNSMRY")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          if (bid == killAt && armed.getAndSet(false))
+            throw new RuntimeException("q202 injected kill")
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          // only the injected kill is survivable — anything else is real
+          require(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage).exists(_.contains("q202 injected kill"))), e)
+      }
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+    }
+    val b1 = runOnce() // commits killAt batches, DIES on batch killAt
+    val b2 = runOnce() // same checkpoint: replays killAt, drains the rest
+    (s.read.parquet(out)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date")), b1, b2)
   }
 
   /** q179: LIVE ENSEMBLE MISFIT SCOREBOARD — the production composition
@@ -1766,12 +1907,16 @@ object BinaryGate {
     "q168_rft_fleet_sql" -> (q168RftFleetSql _),
     "q171_unrst_date_pushdown" -> (q171RestartDatePushdown _),
     "q172_sql_ddl_grid" -> (q172SqlDdlGrid _),
+    "q199_sql_ddl_unrst" -> (q199SqlDdlUnrst _),
+    "q200_sql_ddl_unsmry" -> (q200SqlDdlUnsmry _),
+    "q201_sql_ddl_rft" -> (q201SqlDdlRft _),
     "q173_rft_well_pushdown" -> (q173RftWellPushdown _),
     "q174_unsmry_date_pushdown" -> (q174SummaryDatePushdown _),
     "q198_unsmry_vector_pushdown" -> (q198SummaryVectorPushdown _),
     "q176_case_pushdown" -> (q176CasePushdown _),
     "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
     "q178_unsmry_stream" -> (q178SummaryStream _),
+    "q202_stream_kill_recovery" -> (q202StreamKillRecovery _),
     "q179_stream_scoreboard" -> (q179StreamScoreboard _),
     "q180_grid_props_pushdown" -> (q180GridPropsPushdown _),
     "q66_nnc_binary" -> (q66NncBinary _),
@@ -2243,6 +2388,10 @@ object BinaryGate {
     // 1,2 at report t=1; 2021-01-10..12 are days 9..11
     "q171_unrst_date_pushdown" -> rstOracleWhere("t = 1"),
     "q172_sql_ddl_grid" -> gridOracle,
+    "q199_sql_ddl_unrst" -> rstOracleWhere("t = 1"),
+    "q200_sql_ddl_unsmry" ->
+      summaryFleetOracleWhere("vector = 'FOPR' AND day BETWEEN 9 AND 11"),
+    "q201_sql_ddl_rft" -> rftFleetOracleWhere("c IN (1, 2) AND t = 1"),
     "q173_rft_well_pushdown" -> rftFleetOracleWhere("c IN (1, 2) AND t = 1"),
     "q174_unsmry_date_pushdown" -> summaryFleetOracleWhere("day BETWEEN 9 AND 11"),
     "q198_unsmry_vector_pushdown" ->
@@ -2253,6 +2402,7 @@ object BinaryGate {
     "q177_unsmry_fleet_write" -> summaryFleetOracle,
     // the streamed decode must equal the batch fleet read verbatim
     "q178_unsmry_stream" -> summaryFleetOracle,
+    "q202_stream_kill_recovery" -> summaryFleetOracle,
     // gridOracle projected to the property columns: the fast path must
     // get activity, the index math and the INIT gather exactly right
     // without ever touching geometry

@@ -389,6 +389,31 @@ class EclPushdownSpec extends AnyFunSuite {
     assert(DecodeStats.egridGeomCells.sum() > 0)
   }
 
+  test("SQL-DDL: the catalog route preserves byte-level pushdown") {
+    import spark.implicits._
+    val d = tmpDir("ddl-push")
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "FOPT").zipWithIndex
+      t <- 0 until 10
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(t)),
+      10.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/DDL")
+    spark.sql("DROP TABLE IF EXISTS push_ddl")
+    spark.sql(s"CREATE TABLE push_ddl USING `eclipse-unsmry` OPTIONS (path '$d/DDL.UNSMRY')")
+    try {
+      // the catalog resolution path (q172's path-normalization lesson)
+      // must hand the SAME ScanBuilder surface to the planner: a pure-SQL
+      // VECTOR filter still decodes slots, never whole PARAMS records
+      DecodeStats.unsmryParams.reset()
+      DecodeStats.unsmryParamSlots.reset()
+      val got = spark.sql("SELECT * FROM push_ddl WHERE VECTOR = 'FOPR'").collect()
+      assert(DecodeStats.unsmryParams.sum() === 0,
+        "the DDL route must preserve the VECTOR slot pushdown")
+      assert(DecodeStats.unsmryParamSlots.sum() === 20) // (TIME + FOPR) x 10
+      assert(got.length === 10 && got.forall(_.getString(2) == "FOPR"))
+    } finally spark.sql("DROP TABLE IF EXISTS push_ddl")
+  }
+
   // ---- ordering-claim soundness --------------------------------------------
   // the scan REPORTS (CASE, DATE) ascending per partition and sort-
   // skipping plans (q191's shape) TRUST it — so the inputs that would

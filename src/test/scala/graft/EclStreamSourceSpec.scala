@@ -125,4 +125,20 @@ class EclStreamSourceSpec extends AnyFunSuite {
     assert(got.length === 2 * 6) // 2 cases x 6 cells, ONE step
     assert(got.forall(_.getDate(1).toString == "2024-04-02"))
   }
+
+  test("q202: kill at batch N commits exactly N, the restart drains to M, no case twice") {
+    val (df, b1, b2) =
+      graft.queries.BinaryGate.summaryStreamKillRun(spark, "/root/testdata/sf0.001")
+    // run 1 dies ON batch killAt = M/2 = 2 — batches 0 and 1 are in the
+    // commit log, the in-flight batch's offsets are in the offset log
+    assert(b1 === 2L, "the injected kill must land after exactly 2 commits")
+    // run 2 continues the SAME batch-id sequence: replayed batch 2, then 3
+    assert(b2 === 4L, "cumulative batch ids must continue across the restart")
+    val rows = df.collect()
+    // every (case, vector, date) exactly once — a committed-batch replay
+    // or a double-decode of the in-flight case would show as duplicates
+    assert(rows.length === 4 * 5 * 30)
+    val keys = rows.map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2)))
+    assert(keys.distinct.length === keys.length)
+  }
 }
