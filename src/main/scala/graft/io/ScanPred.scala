@@ -55,23 +55,42 @@ object DatePred {
   * own share).
   */
 private[graft] object DecodeStats {
-  import java.util.concurrent.atomic.LongAdder
+  /** A JVM-global sum plus a per-thread running total. The global sum is
+    * the spec evidence (unchanged API); the thread total lets a DSv2
+    * [[org.apache.spark.sql.connector.read.PartitionReader]] report its
+    * OWN decode work as a custom task metric by snapshotting before /
+    * after — correct because Spark consumes one partition reader from
+    * exactly one task thread, and the kernels decode on that thread.
+    * (32 concurrent local tasks interleave the GLOBAL adder, so a
+    * global before/after delta would mis-attribute work across tasks.)
+    */
+  private[graft] final class TaskLocalAdder {
+    private val global = new java.util.concurrent.atomic.LongAdder
+    private val local = new ThreadLocal[Array[Long]] {
+      override def initialValue(): Array[Long] = Array(0L)
+    }
+    def increment(): Unit = add(1L)
+    def add(n: Long): Unit = { global.add(n); local.get()(0) += n }
+    def sum(): Long = global.sum()
+    def reset(): Unit = global.reset() // thread totals only feed deltas
+    def threadTotal: Long = local.get()(0)
+  }
   /** UNRST cell-vector payloads decoded (per selected vector per step). */
-  val unrstVecPayloads = new LongAdder
+  val unrstVecPayloads = new TaskLocalAdder
   /** RFT data-vector payloads decoded (per selected vector per group). */
-  val rftVecPayloads = new LongAdder
+  val rftVecPayloads = new TaskLocalAdder
   /** UNSMRY PARAMS payloads FULLY decoded (the pre-scan's single-element
     * peeks are not counted — they are the point of the optimization). */
-  val unsmryParams = new LongAdder
+  val unsmryParams = new TaskLocalAdder
   /** UNSMRY PARAMS float SLOTS partially decoded by the VECTOR-pushdown
     * path ([[EclKw.streamFloatSlots]]) — counts ELEMENTS, not records,
     * so a spec can prove the decoded-byte drop is ~nvec-fold: a
     * one-vector read adds 2 per selected step (TIME + the vector)
     * where the full decode path would have read nvec. */
-  val unsmryParamSlots = new LongAdder
+  val unsmryParamSlots = new TaskLocalAdder
   /** EGRID active cells whose corner-point GEOMETRY was computed (one
     * add per slab at its active count — a property-only projection must
     * leave this untouched: no pillar interpolation, and the ZCORN/COORD
     * payloads never decode at all). */
-  val egridGeomCells = new LongAdder
+  val egridGeomCells = new TaskLocalAdder
 }

@@ -417,6 +417,17 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
       .toArray
   }
 
+  /** The DecodeStats skip evidence, surfaced in the Spark UI: at
+    * production scale the skip fractions (payloads decoded vs. a full
+    * read, slots vs. whole PARAMS records, geometry cells computed)
+    * show per-query in the SQL tab instead of only in the specs. Values
+    * are per-task deltas of the thread-local counters, summed by Spark.
+    */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PayloadsDecodedMetric, new ParamSlotsDecodedMetric,
+      new GeomCellsComputedMetric)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred,
       wells, vectorSel)
@@ -439,6 +450,34 @@ case class EclCaseInputPartition(caseFile: String, caseId: String)
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
     org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString(caseId))
+}
+
+/** Custom scan metrics (CustomSumMetric: driver sums the per-task
+  * deltas). Names are the contract the UI shows and the metrics spec
+  * asserts on. */
+class PayloadsDecodedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "payloadsDecoded"
+  override def description(): String =
+    "binary payloads fully decoded (seeked-past ones never count)"
+}
+class ParamSlotsDecodedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "paramSlotsDecoded"
+  override def description(): String =
+    "UNSMRY PARAMS float slots partially decoded (VECTOR pushdown path)"
+}
+class GeomCellsComputedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "geomCellsComputed"
+  override def description(): String =
+    "egrid cells whose corner-point geometry was computed"
+}
+
+private[datasource] case class EclTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
 }
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
@@ -469,7 +508,29 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     }
     // hoisted: per-row conversion must not re-copy the extractor array
     val exs = scala.collection.immutable.ArraySeq.unsafeWrapArray(extractors)
+    // task-metric baselines: one partition reader is consumed by exactly
+    // one task thread, so thread-total deltas attribute decode work to
+    // THIS task even with 32 concurrent readers in the JVM. Snapshot
+    // BEFORE the kernel iterator below is built — several kernels decode
+    // eagerly at construction.
+    import graft.io.DecodeStats
+    val basePayloads = DecodeStats.unrstVecPayloads.threadTotal +
+      DecodeStats.rftVecPayloads.threadTotal + DecodeStats.unsmryParams.threadTotal
+    val baseSlots = DecodeStats.unsmryParamSlots.threadTotal
+    val baseGeom = DecodeStats.egridGeomCells.threadTotal
     new PartitionReader[InternalRow] {
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        val payloads = DecodeStats.unrstVecPayloads.threadTotal +
+          DecodeStats.rftVecPayloads.threadTotal +
+          DecodeStats.unsmryParams.threadTotal - basePayloads
+        Array(
+          EclTaskMetric("payloadsDecoded", payloads),
+          EclTaskMetric("paramSlotsDecoded",
+            DecodeStats.unsmryParamSlots.threadTotal - baseSlots),
+          EclTaskMetric("geomCellsComputed",
+            DecodeStats.egridGeomCells.threadTotal - baseGeom))
+      }
       // geometry-kernel pruning: if the projection needs none of the
       // computed geometry columns, the corner-point interpolation is
       // skipped AND the COORD/ZCORN payloads are never decoded —

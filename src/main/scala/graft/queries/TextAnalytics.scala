@@ -607,6 +607,175 @@ object TextAnalytics {
       .orderBy(col("doc_id"), col("start_tok"))
   }
 
+  private[graft] val SufL = 12 // min duplicate length (tokens) to report
+  private[graft] val SufK = 48 // suffix comparison cap (tokens)
+
+  /** q203: SUFFIX-GRANULAR EXACT SUBSTRING DEDUP — the maximal-repeat
+    * extraction q98 approximates at shingle granularity, done EXACTLY:
+    * every maximal duplicated token sequence of length ≥ [[SufL]],
+    * corpus-wide, with its exact length, occurrence count and example
+    * documents. This is the Lee et al. 2022 (arXiv:2107.06499)
+    * suffix-array discipline re-expressed relationally:
+    *
+    *  1. one row per token position carrying its CAPPED suffix — the
+    *     next [[SufK]] token hashes as a fixed-bound array (capping is
+    *     LOSSLESS for detection: a duplicate's suffix is a duplicate,
+    *     so `m(i+1) ≥ m(i) − 1` and coverage/maximality up to length K
+    *     are preserved exactly; lengths ≥ K report as K — a documented
+    *     truncation, like MaxChars in the portable hash);
+    *  2. ONE total-order sort of the suffixes (arrays compare
+    *     lexicographically in both engines) and the classic suffix-array
+    *     lemma: a suffix's longest match with ANY other suffix is
+    *     attained at an ADJACENT suffix in sorted order — so one
+    *     window pass (lag/lead + zip_with first-mismatch) yields every
+    *     position's neighbor LCPs;
+    *  3. LCP-INTERVAL enumeration: for each candidate length v, islands
+    *     of consecutive ranks with lcp ≥ v are exactly the lcp-tree
+    *     nodes; emitting an island only when min(lcp) = v dedupes each
+    *     interval to its true length. An interval [l−1..r] is a
+    *     RIGHT-maximal repeat by construction (some adjacent pair
+    *     differs at token v+1); the LEFT-maximality filter keeps
+    *     intervals whose occurrences carry ≥2 distinct preceding tokens
+    *     (doc starts get per-doc sentinels — they can never extend
+    *     left). Output = the maximal repeats of Gusfield ch. 7, sized
+    *     ≤ n by the suffix-tree internal-node bound — never all-pairs.
+    *
+    * Scale shape: suffix rows are K-bounded (K·n elements total); the
+    * sort is Spark's range-partitioned exchange (the gate's window is
+    * single-partition at test scale — at ensemble scale the same
+    * adjacency computes per range-partition with a numPartitions-sized
+    * boundary fix-up, the standard distributed-SA formulation, Flick &
+    * Aluru SC'15); the v-expansion multiplies only the DUPLICATED tail
+    * (lcp ≥ L rows) by ≤ K−L+1; interval occurrence expansion is
+    * output-sized. Everything downstream is equi-joins and map-side
+    * aggregates on integer keys.
+    */
+  def q203SuffixRepeats(s: SparkSession, dir: String): DataFrame =
+    suffixRepeats(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The q203 kernel over any `(doc_id, text)` frame — factored out so
+    * the spec can drive it with planted corpora and pin the
+    * maximal-repeat properties (exact length, occurrence count,
+    * left/right maximality, cap truncation) directly. */
+  private[graft] def suffixRepeats(input: DataFrame): DataFrame = {
+    import graft.functions.PortableStringHash.{strHash, P}
+    import org.apache.spark.sql.expressions.Window
+    val docs = input
+      .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per position: capped suffix + left-extension witness
+    // (pos 0 gets the per-doc negative sentinel: a doc-start occurrence
+    // is always left-diverse against any other occurrence)
+    val suf = docs
+      .select(col("doc_id"),
+        posexplode(when(size(col("ha")) > 0, expr(
+          s"""transform(sequence(0, size(ha) - 1), p -> named_struct(
+             |  'key', slice(ha, p + 1, $SufK),
+             |  'prevh', CASE WHEN p = 0 THEN -doc_id - 1
+             |                ELSE element_at(ha, p) END))""".stripMargin))
+          .otherwise(array().cast(
+            "array<struct<key:array<bigint>,prevh:bigint>>"))).as(Seq("pos", "sx")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("sx.key").as("key"), col("sx.prevh").as("prevh"))
+    // the total suffix order, DISTRIBUTED: range-partition by the
+    // suffix key (range partitions are globally ordered), take each
+    // position's neighbors inside a PER-PARTITION window (parallel — no
+    // single-task global sort holding the whole suffix table), and fix
+    // the numPartitions−1 seam pairs with two broadcast-tiny edge
+    // frames (each partition's first/last key). Global rank = the
+    // partition's cumulative offset + the local rank — the distributed-
+    // SA adjacency formulation (Flick & Aluru SC'15's shape). Ties
+    // (equal capped suffixes) break by (doc, pos) for determinism, but
+    // every downstream quantity is tie-invariant (equal keys have
+    // full-length LCP either way; interval membership is a set).
+    def lcpOf(a: Column, b: Column): Column = {
+      // first mismatch over the zipped arrays; zip_with pads the shorter
+      // side with null -> false, so a strict-prefix pair yields min(len)
+      val firstFalse = array_position(
+        zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), lit(false))
+      when(b.isNull, lit(0L)).otherwise(
+        when(firstFalse === 0, least(size(a), size(b)).cast("long"))
+          .otherwise(firstFalse - 1))
+    }
+    val s = input.sparkSession
+    val nPart = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("key"), col("doc_id"), col("pos"))
+    val local = suf
+      .repartitionByRange(nPart, col("key"), col("doc_id"), col("pos"))
+      .withColumn("pid", spark_partition_id())
+      .select(col("pid"), col("doc_id"), col("pos"), col("prevh"), col("key"),
+        row_number().over(wp).as("lrank"),
+        lag(col("key"), 1).over(wp).as("pkey"),
+        lead(col("key"), 1).over(wp).as("nkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seam frame: one row per NON-EMPTY partition (first = pkey null,
+    // last = nkey null), chained with lag/lead over pid order so empty
+    // range partitions cannot break the neighbor chain — broadcast
+    // state is numPartitions x two capped keys + a count
+    val wSeam = Window.orderBy(col("pid"))
+    val seams = local.filter(col("pkey").isNull)
+      .select(col("pid"), col("key").as("first_key"))
+      .join(local.filter(col("nkey").isNull)
+        .select(col("pid"), col("key").as("last_key")), Seq("pid"))
+      .join(local.groupBy(col("pid")).agg(count(lit(1)).as("cnt")), Seq("pid"))
+      .select(col("pid"),
+        lag(col("last_key"), 1).over(wSeam).as("prev_last_key"),
+        lead(col("first_key"), 1).over(wSeam).as("next_first_key"),
+        coalesce(sum(col("cnt")).over(
+          wSeam.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val ranked = local
+      .join(broadcast(seams), Seq("pid"))
+      .select(col("doc_id"), col("pos"), col("prevh"),
+        (col("off") + col("lrank")).as("rank"),
+        lcpOf(col("key"),
+          coalesce(col("pkey"), col("prev_last_key"))).as("lcp"),
+        lcpOf(col("key"),
+          coalesce(col("nkey"), col("next_first_key"))).as("nlcp"))
+      // keep the duplicated tail only: members (lcp >= L) plus each
+      // group's FIRST suffix (its successor has lcp >= L) — everything
+      // an interval's occurrence expansion can touch
+      .filter(col("lcp") >= SufL || col("nlcp") >= SufL)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lcp-interval enumeration: v-expansion over the duplicated tail,
+    // islands of consecutive ranks, emitted at their true value only
+    val wv = Window.partitionBy(col("v")).orderBy(col("rank"))
+    val islands = ranked.filter(col("lcp") >= SufL)
+      .select(col("rank"), col("lcp"),
+        explode(expr(s"sequence(CAST($SufL AS BIGINT), lcp)")).as("v"))
+      .withColumn("grp", col("rank") - row_number().over(wv))
+      .groupBy(col("v"), col("grp"))
+      .agg(min(col("rank")).as("lmin"), max(col("rank")).as("r"),
+        min(col("lcp")).as("minlcp"))
+      .filter(col("minlcp") === col("v"))
+      .select(col("v"), (col("lmin") - 1).as("lo"), col("r").as("hi"))
+    // occurrences: ranks lo..hi, equi-joined back (output-sized)
+    val occ = islands
+      .select(col("v"), col("lo"), col("hi"),
+        explode(expr("sequence(lo, hi)")).as("rank"))
+      .join(ranked.select(col("rank"), col("doc_id"), col("pos"), col("prevh")),
+        Seq("rank"))
+    val reps = occ.groupBy(col("v"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("prevh")).as("n_left"),
+        min(col("doc_id")).as("example_doc_min"),
+        max(col("doc_id")).as("example_doc_max"),
+        min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .filter(col("n_left") >= 2) // left-maximality
+    // the representative occurrence names the substring: polynomial fold
+    // of its first v token hashes (q98's fold, shared with the oracle)
+    reps
+      .join(docs.select(col("doc_id").as("rep_doc"), col("ha")),
+        col("rep.doc_id") === col("rep_doc"))
+      .select(
+        expr(s"aggregate(slice(ha, CAST(rep.pos + 1 AS INT), CAST(v AS INT)), " +
+          s"0L, (acc, x) -> (acc * 131 + x) % $P)").as("sub_hash"),
+        col("v").as("length"), col("n_occ"),
+        col("example_doc_min"), col("example_doc_max"))
+      .orderBy(col("length"), col("sub_hash"), col("example_doc_min"),
+        col("example_doc_max"), col("n_occ"))
+  }
+
   private val WinK = 5
   private val WinW = 4
   /** Position-field width for the packed (hash, position) selection key:
@@ -1155,6 +1324,7 @@ object TextAnalytics {
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q97_lm_score" -> (q97LmScore _),
     "q98_dup_spans" -> (q98DupSpans _),
+    "q203_suffix_repeats" -> (q203SuffixRepeats _),
     "q150_winnow" -> (q150Winnow _),
     "q155_kn_continuation" -> (q155KnContinuation _),
     "q169_kn_perplexity" -> (q169KnPerplexity _),
@@ -1177,6 +1347,21 @@ object TextAnalytics {
                       + 0.2 * (1.0 - CAST(length($textCol) - length(regexp_replace($textCol, '[.,!?;:]', '', 'g')) AS DOUBLE)
                                      / CAST(length($textCol) AS DOUBLE)), 6)"""
 
+
+  /** First-mismatch LCP of two DuckDB lists as SQL text (NULL neighbor →
+    * 0; strict prefix → min length) — the q203 oracle's twin of the
+    * engine's zip_with expression. */
+  private def lcpSql(a: String, b: String): String = {
+    // like Spark's array_position, this DuckDB's list_position returns 0
+    // (not NULL) when no element matches — i.e. the lists agree on their
+    // common length (a strict-prefix or identical pair)
+    val firstFalse = s"""list_position(list_transform(
+                          range(1, least(len($a), len($b)) + 1),
+                          i -> $a[CAST(i AS INT)] = $b[CAST(i AS INT)]), false)"""
+    s"""CASE WHEN $b IS NULL THEN 0
+        WHEN $firstFalse = 0 THEN least(len($a), len($b))
+        ELSE $firstFalse - 1 END"""
+  }
 
   /** The langId prediction as oracle SQL (doc_id, lang, lang_pred) —
     * ONE definition shared by q21 and the q145 confusion matrix. */
@@ -1540,6 +1725,59 @@ object TextAnalytics {
                  max(pos) + ${SpanW - 1} AS end_tok,
                  CAST(count(*) AS BIGINT) AS n_dup_shingles, max(n_occ) AS max_occ
           FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok""",
+    // q203: the same capped-suffix sort + neighbor-LCP + lcp-interval
+    // enumeration as the engine, in list-native SQL. Composite orderings
+    // pack into one BIGINT (arg_max takes no struct key here) with a
+    // loud error() guard on the packing bound.
+    "q203_suffix_repeats" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents),
+          ${graft.functions.PortableStringHash.strHashCtes(
+            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+          hal AS (SELECT doc_id, list(h ORDER BY pos) AS ha FROM th GROUP BY doc_id),
+          suf AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                         ha[CAST(p + 1 AS INT):CAST(least(p + $SufK, len(ha)) AS INT)] AS key,
+                         CASE WHEN p = 0 THEN -doc_id - 1
+                              ELSE ha[CAST(p AS INT)] END AS prevh
+                  FROM hal, unnest(range(len(ha))) AS u(p)),
+          rk AS (SELECT doc_id, pos, prevh, key,
+                        row_number() OVER wo AS rank,
+                        lag(key) OVER wo AS pkey, lead(key) OVER wo AS nkey
+                 FROM suf WINDOW wo AS (ORDER BY key, doc_id, pos)),
+          lc AS (SELECT rank, doc_id, pos, prevh,
+                        CAST(${lcpSql("key", "pkey")} AS BIGINT) AS lcp,
+                        CAST(${lcpSql("key", "nkey")} AS BIGINT) AS nlcp
+                 FROM rk),
+          dup AS (SELECT * FROM lc WHERE lcp >= $SufL OR nlcp >= $SufL),
+          marked AS (SELECT t.rank, t.lcp, CAST(u.v AS BIGINT) AS v
+                     FROM (SELECT rank, lcp FROM lc WHERE lcp >= $SufL) t,
+                          unnest(range($SufL, t.lcp + 1)) AS u(v)),
+          isl AS (SELECT v, rank, lcp,
+                         rank - row_number() OVER (PARTITION BY v ORDER BY rank) AS grp
+                  FROM marked),
+          iv AS (SELECT v, min(rank) - 1 AS lo, max(rank) AS hi
+                 FROM isl GROUP BY v, grp HAVING min(lcp) = v),
+          occ AS (SELECT iv.v, iv.lo, iv.hi, d.doc_id, d.pos, d.prevh
+                  FROM iv, unnest(range(iv.lo, iv.hi + 1)) AS u(rnk), dup d
+                  WHERE d.rank = u.rnk),
+          reps AS (SELECT v, lo, hi,
+                          CAST(count(*) AS BIGINT) AS n_occ,
+                          min(doc_id) AS example_doc_min,
+                          max(doc_id) AS example_doc_max,
+                          min(CASE WHEN pos >= 2097152
+                                   THEN error('q203: pos exceeds the packing bound')
+                                   ELSE doc_id * 2097152 + pos END) AS repk
+                   FROM occ GROUP BY 1, 2, 3
+                   HAVING count(DISTINCT prevh) >= 2)
+          SELECT CAST(list_reduce(
+                   hal.ha[CAST(repk % 2097152 + 1 AS INT):CAST(repk % 2097152 + v AS INT)],
+                   (a, b) -> (a * 131 + b) % ${graft.functions.PortableStringHash.P})
+                 AS BIGINT) AS sub_hash,
+                 v AS length, n_occ, example_doc_min, example_doc_max
+          FROM reps JOIN hal ON hal.doc_id = repk // 2097152
+          ORDER BY length, sub_hash, example_doc_min, example_doc_max, n_occ""",
     "q97_lm_score" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                      FROM documents),

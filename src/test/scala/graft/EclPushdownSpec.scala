@@ -389,6 +389,41 @@ class EclPushdownSpec extends AnyFunSuite {
     assert(DecodeStats.egridGeomCells.sum() > 0)
   }
 
+  test("decode counters surface as DSv2 custom scan metrics (Spark-UI visible)") {
+    val d = tmpDir("metrics")
+    val path = writeUnrst(d) // 5 steps x 2 vectors x 40 cells
+    def scanMetrics(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics
+      }.get
+    }
+    // unfiltered: every payload decodes, and the value is visible in the
+    // plan's metric accumulators — what the SQL tab renders per query
+    val full = scanMetrics(spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE,SWAT").load(path))
+    assert(full("payloadsDecoded").value === 10)
+    assert(full("geomCellsComputed").value === 0)
+    // pushed DATE: the METRIC (not just the spec counter) shows the skip
+    val pushed = scanMetrics(spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE,SWAT").load(path)
+      .where(col("DATE") === lit(java.sql.Date.valueOf("2022-03-03"))))
+    assert(pushed("payloadsDecoded").value === 2)
+    // the VECTOR slot path reports its own metric
+    import spark.implicits._
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "FOPT").zipWithIndex
+      t <- 0 until 8
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 6, 1).plusDays(t)),
+      10.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/MET")
+    val slots = scanMetrics(spark.read.format("eclipse-unsmry")
+      .load(s"$d/MET.UNSMRY").where(col("VECTOR") === "FOPR"))
+    assert(slots("payloadsDecoded").value === 0)
+    assert(slots("paramSlotsDecoded").value === 16) // (TIME + FOPR) x 8
+  }
+
   test("SQL-DDL: the catalog route preserves byte-level pushdown") {
     import spark.implicits._
     val d = tmpDir("ddl-push")

@@ -2317,6 +2317,63 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(ch.map(_.getString(2)).mkString == "short")
   }
 
+  private def q203Fold(toks: Seq[String]): Long = {
+    import graft.functions.PortableStringHash
+    toks.foldLeft(0L)((a, t) =>
+      (a * 131 + PortableStringHash.hashString(t)) % PortableStringHash.P)
+  }
+
+  test("q203: a planted shared phrase emits exactly its maximal repeat") {
+    // 20-token phrase in 3 docs with pairwise-distinct contexts: the
+    // ONLY maximal repeat is the phrase itself at its exact length —
+    // every proper sub-phrase fails left- or right-maximality
+    val A = (1 to 20).map(i => s"a$i")
+    val docs = Seq(
+      (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
+      (2L, (Seq("z1", "z2", "z3") ++ A ++ Seq("q1")).mkString(" ")),
+      (3L, (Seq("p1") ++ A ++ Seq("r1")).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.suffixRepeats(docs).collect()
+    assert(out.length == 1, out.mkString("|"))
+    val r = out.head
+    assert(r.getLong(0) == q203Fold(A))
+    assert(r.getLong(1) == 20 && r.getLong(2) == 3)
+    assert(r.getLong(3) == 1 && r.getLong(4) == 3)
+  }
+
+  test("q203: cap truncation and the left-extension discipline") {
+    // a 60-token duplicate reports at the documented cap K=48, once —
+    // the interior suffixes all share their left neighbor and filter out
+    val B = (1 to 60).map(i => s"b$i")
+    val docs2 = Seq(
+      (1L, (Seq("u1") ++ B ++ Seq("u2")).mkString(" ")),
+      (2L, (Seq("v1") ++ B ++ Seq("v2")).mkString(" "))).toDF("doc_id", "text")
+    val out2 = graft.queries.TextAnalytics.suffixRepeats(docs2).collect()
+    assert(out2.length == 1, out2.mkString("|"))
+    assert(out2.head.getLong(1) == graft.queries.TextAnalytics.SufK)
+    assert(out2.head.getLong(2) == 2)
+    assert(out2.head.getLong(0) == q203Fold(B.take(graft.queries.TextAnalytics.SufK)))
+    // a repeat whose occurrences ALL share the same preceding token is
+    // reported only at its extended length (left-maximality)
+    val C = (1 to 15).map(i => s"c$i")
+    val docs3 = Seq(
+      (1L, (Seq("u1", "m") ++ C ++ Seq("u2")).mkString(" ")),
+      (2L, (Seq("w1", "m") ++ C ++ Seq("w2")).mkString(" "))).toDF("doc_id", "text")
+    val out3 = graft.queries.TextAnalytics.suffixRepeats(docs3).collect()
+    assert(out3.length == 1, out3.mkString("|"))
+    assert(out3.head.getLong(1) == 16)
+    assert(out3.head.getLong(0) == q203Fold("m" +: C))
+  }
+
+  test("q203: within-doc repeats count both occurrences (doc-start is left-diverse)") {
+    val D = (1 to 14).map(i => s"d$i")
+    val docs = Seq((10L, (D ++ Seq("f1", "f2") ++ D).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.suffixRepeats(docs).collect()
+    assert(out.length == 1, out.mkString("|"))
+    assert(out.head.getLong(1) == 14 && out.head.getLong(2) == 2)
+    assert(out.head.getLong(3) == 10 && out.head.getLong(4) == 10)
+  }
+
   test("q181: corpus dedup actually fires and conserves chars") {
     val out = graft.queries.TextAnalytics.q181CdcDedup(spark, "/root/testdata/sf0.01")
       .collect()
