@@ -261,9 +261,10 @@ object EclKw {
     */
   def streamFloatSlots(path: String, kwName: String, elemIdxs: Array[Int],
       keepRecord: Int => Boolean): Vector[(Int, Array[Float])] = {
-    require(elemIdxs.nonEmpty && elemIdxs.indices.tail.forall(j =>
-      elemIdxs(j) > elemIdxs(j - 1)),
-      s"$kwName: slot indices must be ascending and distinct")
+    require(elemIdxs.nonEmpty && elemIdxs(0) >= 0 &&
+      elemIdxs.indices.tail.forall(j => elemIdxs(j) > elemIdxs(j - 1)),
+      s"$kwName: slot indices must be non-negative, ascending and distinct " +
+        "(a -1 from a failed indexOf would silently desync the stream)")
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
     try {
       val out = Vector.newBuilder[(Int, Array[Float])]

@@ -764,7 +764,7 @@ object TextAnalytics {
       .filter(col("n_left") >= 2) // left-maximality
     // the representative occurrence names the substring: polynomial fold
     // of its first v token hashes (q98's fold, shared with the oracle)
-    reps
+    val out = reps
       .join(docs.select(col("doc_id").as("rep_doc"), col("ha")),
         col("rep.doc_id") === col("rep_doc"))
       .select(
@@ -774,6 +774,14 @@ object TextAnalytics {
         col("example_doc_min"), col("example_doc_max"))
       .orderBy(col("length"), col("sub_hash"), col("example_doc_min"),
         col("example_doc_max"), col("n_occ"))
+    // materialize once (the result is output-bounded — <= n intervals by
+    // the suffix-tree node bound), then release the three cached inputs
+    // — the K*n suffix cache must not accumulate across repeated kernel
+    // invocations in a long-lived session (the q184 localCheckpoint +
+    // unpersist discipline; review finding)
+    val materialized = out.localCheckpoint(true)
+    docs.unpersist(false); local.unpersist(false); ranked.unpersist(false)
+    materialized
   }
 
   private val WinK = 5

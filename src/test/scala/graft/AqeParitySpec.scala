@@ -97,9 +97,15 @@ class AqeParitySpec extends AnyFunSuite {
         .select(col("CASE"), col("DATE"), col("VALUE").as("rate"))
         .join(side("FOPT").groupBy(col("CASE"))
           .agg(max(col("VALUE")).as("cum")), Seq("CASE"))
-      assert(joined.count() == 4 * 30)
-      assert(!joined.queryExecution.executedPlan.toString
-        .contains("Exchange hashpartitioning"),
+      // execute THIS DataFrame (count() would spawn a separate
+      // QueryExecution and leave this one un-run), then assert on the
+      // FINAL adaptive plan only — the recorded initial plan may
+      // legitimately carry the exchange AQE then removed
+      assert(joined.collect().length == 4 * 30)
+      val plan = joined.queryExecution.executedPlan.toString
+      val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
+        match { case -1 => plan.length; case i => i })
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
         "the unhinted fleet join must not hash-shuffle the fleet side")
     }
   }
