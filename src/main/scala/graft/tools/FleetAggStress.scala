@@ -52,15 +52,45 @@ object FleetAggStress {
         .groupBy(col("CASE"))
         .agg(count(lit(1)).as("n"), sum(col("VALUE")).as("s"))
       val t0 = System.nanoTime()
-      val n = df.count()
+      // collect THIS DataFrame (ncases rows) so the inspected plan is the
+      // executed one — count() would run a separate QueryExecution and
+      // leave df's adaptive plan unexecuted (review finding)
+      val n = df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
+        match { case -1 => plan.length; case i => i })
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
       println(f"FLEETAGG spj=$spj cases=$n%d wall=${dt}%.2fs hash_exchanges=$hashEx")
     }
     // OFF first so the co-located run cannot ride its shuffle files
     run(spj = false)
     run(spj = true)
+
+    // the VECTOR-pushdown half at the same fleet scale: one vector's
+    // fleet series (the q190/q191 filter shape) with the slot path vs
+    // the same semantic query with pushdown DEFEATED (filter on a
+    // derived expression — not a pushable attribute filter), so the
+    // kernels fully decode every PARAMS record and Spark post-filters
+    def runVec(pushed: Boolean): Unit = {
+      graft.io.DecodeStats.unsmryParams.reset()
+      graft.io.DecodeStats.unsmryParamSlots.reset()
+      val base = spark.read.format("eclipse-unsmry").load(s"$dir/*.UNSMRY")
+      val df = if (pushed) base.where(col("VECTOR") === "V7")
+        else base.where(concat(col("VECTOR"), lit("")) === lit("V7"))
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // bytes actually decoded from PARAMS payloads: full records carry
+      // (nvec+1) floats each; the slot path reads 4 bytes per slot
+      val full = graft.io.DecodeStats.unsmryParams.sum()
+      val slots = graft.io.DecodeStats.unsmryParamSlots.sum()
+      val bytes = full * (nvec + 1) * 4 + slots * 4
+      println(f"FLEETVEC pushed=$pushed rows=$n%d wall=${dt}%.2fs " +
+        f"params_full=$full slots=$slots payload_bytes=$bytes")
+    }
+    runVec(pushed = false)
+    runVec(pushed = true)
     spark.stop()
   }
 }
