@@ -709,16 +709,17 @@ object TextAnalytics {
         lag(col("key"), 1).over(wp).as("pkey"),
         lead(col("key"), 1).over(wp).as("nkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seam frame: one row per NON-EMPTY partition (first = pkey null,
-    // last = nkey null), chained with lag/lead over pid order so empty
-    // range partitions cannot break the neighbor chain — broadcast
-    // state is numPartitions x two capped keys + a count
+    // seam frame: one row per NON-EMPTY partition (its first/last key +
+    // count in ONE aggregation pass over the cached suffix table — not
+    // three filter/join scans; review finding), chained with lag/lead
+    // over pid order so empty range partitions cannot break the
+    // neighbor chain — broadcast state is numPartitions x two capped
+    // keys + a count
     val wSeam = Window.orderBy(col("pid"))
-    val seams = local.filter(col("pkey").isNull)
-      .select(col("pid"), col("key").as("first_key"))
-      .join(local.filter(col("nkey").isNull)
-        .select(col("pid"), col("key").as("last_key")), Seq("pid"))
-      .join(local.groupBy(col("pid")).agg(count(lit(1)).as("cnt")), Seq("pid"))
+    val seams = local.groupBy(col("pid"))
+      .agg(min_by(col("key"), col("lrank")).as("first_key"),
+        max_by(col("key"), col("lrank")).as("last_key"),
+        count(lit(1)).as("cnt"))
       .select(col("pid"),
         lag(col("last_key"), 1).over(wSeam).as("prev_last_key"),
         lead(col("first_key"), 1).over(wSeam).as("next_first_key"),
@@ -1288,12 +1289,16 @@ object TextAnalytics {
         count(when(col("lang") =!= "en", 1)).as("cneg"))
     val tot = cls.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
       count(lit(1)).as("v"))
-    // same exact IEEE doubles as the oracle, fixed-pointed once per word
-    // type. D-suffixed literals + explicit DOUBLE casts (the q196
-    // discipline): a bare `(cpos + 1.0) / (npos + v)` is scale-limited
-    // DECIMAL division in Spark (rounded BEFORE ln) while DuckDB casts
-    // decimal division to DOUBLE — a measured 2e-8 drift class that can
-    // flip floor(x+0.5) at a half-boundary.
+    // the same DOUBLE operand sequence as the oracle, fixed-pointed once
+    // per word type. D-suffixed literals + explicit DOUBLE casts (the
+    // q196 discipline): a bare `(cpos + 1.0) / (npos + v)` is
+    // scale-limited DECIMAL division in Spark (rounded BEFORE ln) while
+    // DuckDB casts decimal division to DOUBLE — a measured 2e-8 drift
+    // class that can flip floor(x+0.5) at a half-boundary. Residual
+    // cross-engine risk: ln() itself is ~1-ulp libm accuracy, not
+    // correctly rounded — identical OPERANDS, not a bit-identity
+    // guarantee; a flip needs the fixed point within ~1e-7 of an
+    // integer boundary AND a 1-ulp log divergence on that operand.
     val llr = cls.crossJoin(broadcast(tot))
       .withColumn("llr_fp", expr(
         "CAST(floor((ln((CAST(cpos AS DOUBLE) + 1.0D) / CAST(npos + v AS DOUBLE))" +

@@ -58,21 +58,17 @@ class AqeParitySpec extends AnyFunSuite {
       assert(aggRows.length == 4)
       aggRows.foreach(r =>
         assert(r.getLong(3) == 9671775L + 33600L * r.getInt(0)))
-      assert(!agg.queryExecution.executedPlan.toString
-        .contains("Exchange hashpartitioning"),
+      assert(!PlanText.finalPlanOf(agg).contains("Exchange hashpartitioning"),
         "q189 shape must stay exchange-free under AQE")
 
       val spj = graft.queries.BinaryGate.q190FleetSpjRatio(spark, Sf)
       spj.collect()
-      assert(!spj.queryExecution.executedPlan.toString
-        .contains("Exchange hashpartitioning"),
+      assert(!PlanText.finalPlanOf(spj).contains("Exchange hashpartitioning"),
         "q190 shape must stay exchange-free under AQE")
 
       val win = graft.queries.BinaryGate.q191FleetWindowPipelined(spark, Sf)
       win.collect()
-      val plan = win.queryExecution.executedPlan.toString
-      val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
-        match { case -1 => plan.length; case i => i })
+      val finalPlan = PlanText.finalPlanOf(win)
       assert(!finalPlan.contains("Exchange hashpartitioning"),
         "q191 shape must stay exchange-free under AQE")
       assert("\\bSort \\[".r.findAllIn(finalPlan).length == 1,
@@ -102,10 +98,7 @@ class AqeParitySpec extends AnyFunSuite {
       // FINAL adaptive plan only — the recorded initial plan may
       // legitimately carry the exchange AQE then removed
       assert(joined.collect().length == 4 * 30)
-      val plan = joined.queryExecution.executedPlan.toString
-      val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
-        match { case -1 => plan.length; case i => i })
-      assert(!finalPlan.contains("Exchange hashpartitioning"),
+      assert(!PlanText.finalPlanOf(joined).contains("Exchange hashpartitioning"),
         "the unhinted fleet join must not hash-shuffle the fleet side")
     }
   }

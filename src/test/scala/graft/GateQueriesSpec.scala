@@ -1949,9 +1949,7 @@ class GateQueriesSpec extends AnyFunSuite {
     // the reported (CASE, DATE) ordering + CASE grouping must carry the
     // window: the ONLY exchange and the ONLY sort in the final plan are
     // the presentation orderBy's (range) pair — the window added none
-    val plan = df.queryExecution.executedPlan.toString
-    val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
-      match { case -1 => plan.length; case i => i })
+    val finalPlan = PlanText.finalPlanOf(df)
     assert(!finalPlan.contains("Exchange hashpartitioning"),
       s"window still shuffles:\n$finalPlan")
     val sorts = "\\bSort \\[".r.findAllIn(finalPlan).length
