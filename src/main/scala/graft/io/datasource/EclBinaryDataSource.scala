@@ -47,6 +47,16 @@ import graft.io.EclBinary
   * comma list of EXACT uppercase vector names (the unioned fleet schema
   * must be fixed before any file opens, the same contract as the
   * library fleet readers); vectors missing in a case surface as nulls.
+  *
+  * FILTER OPTIONS (`filter.dates`, `filter.wells` [rft],
+  * `filter.vectors` [unsmry], `filter.cases`) seed the same byte-level
+  * predicates a pushed-down WHERE produces — the documented route for
+  * STREAMING reads, where Spark's filter pushdown never reaches the
+  * scan (a stream's WHERE is row-evaluated after a full decode; the
+  * optimizer rule rewrites batch relations only). `filter.dates` takes
+  * a comma list of `YYYY-MM-DD` values and/or `lo..hi` ranges (either
+  * end open), all conjoined; the set options take comma lists. On a
+  * batch read they conjoin (intersect) with whatever Spark pushes.
   */
 class EclGridDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "eclipse-egrid"
@@ -186,6 +196,49 @@ object EclBinaryDataSource {
       .flatMap(p => DeckScan.expand(p, lenient = true, ext = ext))
       .filter(_.toUpperCase.endsWith(ext))
       .distinct.sorted
+
+  /** Parse the `filter.dates` option into a [[graft.io.DatePred]]: a
+    * comma list of `YYYY-MM-DD` values (an IN set) and/or `lo..hi`
+    * ranges (either end open: `..2022-03-01`, `2022-01-01..`), all
+    * CONJOINED — the same semantics a pushed-down WHERE produces.
+    * Spark's filter pushdown does not reach STREAMING scans (the
+    * optimizer rule only rewrites batch relations; a stream's WHERE is
+    * evaluated row-wise after a full decode), so these options are the
+    * documented byte-level route for readStream — and they compose
+    * with batch pushdown by intersection.
+    */
+  private[datasource] def datePredOf(options: CaseInsensitiveStringMap): graft.io.DatePred = {
+    import java.time.LocalDate
+    Option(options.get("filter.dates")).map(_.trim).filter(_.nonEmpty) match {
+      case None => graft.io.DatePred.All
+      case Some(s) =>
+        var p = graft.io.DatePred.All
+        val ins = Set.newBuilder[Long]
+        var haveIn = false
+        s.split(",").map(_.trim).filter(_.nonEmpty).foreach { tok =>
+          val i = tok.indexOf("..")
+          if (i >= 0) {
+            val lo = tok.substring(0, i).trim
+            val hi = tok.substring(i + 2).trim
+            require(lo.nonEmpty || hi.nonEmpty,
+              s"filter.dates: empty range '$tok'")
+            if (lo.nonEmpty) p = p.withMin(LocalDate.parse(lo).toEpochDay)
+            if (hi.nonEmpty) p = p.withMax(LocalDate.parse(hi).toEpochDay)
+          } else {
+            ins += LocalDate.parse(tok).toEpochDay
+            haveIn = true
+          }
+        }
+        if (haveIn) p.withIn(ins.result()) else p
+    }
+  }
+
+  /** A comma-list string option as a non-empty Set, or None. */
+  private[datasource] def setOptOf(options: CaseInsensitiveStringMap,
+      key: String): Option[Set[String]] =
+    Option(options.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
 }
 
 class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
@@ -212,7 +265,22 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
         "(0 would admit no files forever)")
       n
     }
-    new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema(), maxCases)
+    // option-seeded predicates: the byte-level filter route for
+    // STREAMING reads (Spark never pushes a stream's WHERE into the
+    // scan) — identical machinery, conjoined with any batch pushdown
+    val optDates = EclBinaryDataSource.datePredOf(options)
+    require(optDates.trivial || kind != "egrid",
+      "filter.dates: eclipse-egrid has no DATE column")
+    val optWells = EclBinaryDataSource.setOptOf(options, "filter.wells")
+    require(optWells.isEmpty || kind == "rft",
+      "filter.wells applies to eclipse-rft only")
+    val optVecSel = EclBinaryDataSource.setOptOf(options, "filter.vectors")
+    require(optVecSel.isEmpty || kind == "unsmry",
+      "filter.vectors applies to eclipse-unsmry only (use the 'vectors' " +
+        "option to prune vector COLUMNS on egrid/unrst/rft)")
+    val optCases = EclBinaryDataSource.setOptOf(options, "filter.cases")
+    new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema(), maxCases,
+      optDates, optWells, optVecSel, optCases)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -244,16 +312,20 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
   * make correctness independent of any kernel-ordering assumption.
   */
 class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
-    mapaxes: Boolean, full: StructType, maxCases: Option[Int] = None)
+    mapaxes: Boolean, full: StructType, maxCases: Option[Int] = None,
+    datePred0: graft.io.DatePred = graft.io.DatePred.All,
+    wells0: Option[Set[String]] = None,
+    vectorSel0: Option[Set[String]] = None,
+    caseSet0: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
-  private var datePred: graft.io.DatePred = graft.io.DatePred.All
-  private var wells: Option[Set[String]] = None
-  private var caseSet: Option[Set[String]] = None
-  private var vectorSel: Option[Set[String]] = None
+  private var datePred: graft.io.DatePred = datePred0
+  private var wells: Option[Set[String]] = wells0
+  private var caseSet: Option[Set[String]] = caseSet0
+  private var vectorSel: Option[Set[String]] = vectorSel0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

@@ -1056,6 +1056,43 @@ object BinaryGate {
       .orderBy(col("case_id"), col("vector"), col("date"))
   }
 
+  /** q204: BYTE-LEVEL FILTERED STREAMING READ — the `filter.*` option
+    * route under the gate. Spark's filter pushdown never reaches a
+    * STREAMING scan (V2ScanRelationPushDown rewrites batch relations
+    * only; a stream's WHERE is row-evaluated after a full decode — a
+    * limitation this round MEASURED: the round-11 "pushdown works
+    * in-stream" impression was row-verified only). The sources
+    * therefore accept `filter.dates` / `filter.vectors` /
+    * `filter.wells` / `filter.cases` options that seed the SAME
+    * byte-level predicates a batch WHERE pushes: here the q178 stream
+    * re-runs with a date range AND a vector selection, so each
+    * arriving realization decodes only (TIME + 1 vector) slots of 3 of
+    * its 30 PARAMS records. Gated against the q167 oracle under the
+    * same restriction; the companion spec proves the in-stream decode
+    * counts (zero full records; the bare-WHERE control fully decodes).
+    */
+  def q204StreamFilteredRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = writeFleetFixture(s, "q204")
+    val sink = "q204_sink"
+    s.catalog.dropTempView(sink)
+    val q = s.readStream.format("eclipse-unsmry")
+      .option("filter.vectors", "FOPR")
+      .option("filter.dates", "2021-01-10..2021-01-12")
+      .load(s"$tmp/*.UNSMRY")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("VECTOR").as("vector"),
+        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
+      .orderBy(col("case_id"), col("vector"), col("date"))
+  }
+
   /** q202: KILL-MID-DRAIN RECOVERY for the BINARY streaming source —
     * the composition of q178 (clean restart processes only new cases)
     * and q175 (the file-event source's mid-run kill): all M cases are
@@ -1917,6 +1954,7 @@ object BinaryGate {
     "q177_unsmry_fleet_write" -> (q177SummaryFleetWrite _),
     "q178_unsmry_stream" -> (q178SummaryStream _),
     "q202_stream_kill_recovery" -> (q202StreamKillRecovery _),
+    "q204_stream_filtered_read" -> (q204StreamFilteredRead _),
     "q179_stream_scoreboard" -> (q179StreamScoreboard _),
     "q180_grid_props_pushdown" -> (q180GridPropsPushdown _),
     "q66_nnc_binary" -> (q66NncBinary _),
@@ -2403,6 +2441,8 @@ object BinaryGate {
     // the streamed decode must equal the batch fleet read verbatim
     "q178_unsmry_stream" -> summaryFleetOracle,
     "q202_stream_kill_recovery" -> summaryFleetOracle,
+    "q204_stream_filtered_read" ->
+      summaryFleetOracleWhere("vector = 'FOPR' AND day BETWEEN 9 AND 11"),
     // gridOracle projected to the property columns: the fast path must
     // get activity, the index math and the INIT gather exactly right
     // without ever touching geometry

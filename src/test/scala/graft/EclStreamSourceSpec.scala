@@ -100,7 +100,7 @@ class EclStreamSourceSpec extends AnyFunSuite {
     assert(spark.table(sink).count() === 0)
   }
 
-  test("streaming unrst honors vectors option and pushed DATE filters") {
+  test("streaming unrst: vectors option prunes columns; a WHERE DATE is row-correct") {
     import graft.io.EclKw
     import graft.io.EclKw.Kw
     val src = tmpDir("unrst")
@@ -124,6 +124,72 @@ class EclStreamSourceSpec extends AnyFunSuite {
     val got = spark.table(sink).collect()
     assert(got.length === 2 * 6) // 2 cases x 6 cells, ONE step
     assert(got.forall(_.getDate(1).toString == "2024-04-02"))
+  }
+
+  test("streaming filters: a WHERE is row-correct but NOT byte-level; filter.* options are") {
+    import graft.io.DecodeStats
+    val src = tmpDir("vecstream")
+    (0 until 2).foreach(writeCase(src, _))
+    def run(sink: String, withOption: Boolean): Unit = {
+      spark.catalog.dropTempView(sink)
+      val reader = spark.readStream.format("eclipse-unsmry")
+      val df = (if (withOption) reader.option("filter.vectors", "FOPR") else reader)
+        .load(s"$src/*.UNSMRY")
+        .where(col("VECTOR") === "FOPR") // row-level guard either way
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // bare WHERE: rows are right, but Spark never pushes a stream's
+    // filter into the scan — every PARAMS record fully decodes (this is
+    // the documented limitation the filter.* options exist for)
+    DecodeStats.unsmryParams.reset()
+    DecodeStats.unsmryParamSlots.reset()
+    run("ecl_vec_where", withOption = false)
+    assert(spark.table("ecl_vec_where").count() === 2 * 4)
+    assert(DecodeStats.unsmryParams.sum() === 2 * 4)
+    assert(DecodeStats.unsmryParamSlots.sum() === 0)
+    // filter.vectors option: same rows, slot decode only — the byte-
+    // level route for streaming (same kernel as batch VECTOR pushdown)
+    DecodeStats.unsmryParams.reset()
+    DecodeStats.unsmryParamSlots.reset()
+    run("ecl_vec_opt", withOption = true)
+    val got = spark.table("ecl_vec_opt").collect()
+    assert(got.length === 2 * 4 && got.forall(_.getString(2) == "FOPR"))
+    assert(DecodeStats.unsmryParams.sum() === 0,
+      "filter.vectors must ride the slot kernel in-stream")
+    assert(DecodeStats.unsmryParamSlots.sum() === 2 * 4 * 2)
+  }
+
+  test("streaming filter.dates skips whole report steps at the byte level") {
+    import graft.io.{DecodeStats, EclKw}
+    import graft.io.EclKw.Kw
+    val src = tmpDir("datestream")
+    (0 until 2).foreach { c =>
+      EclKw.write(s"$src/CASE$c.UNRST", (0 until 5).flatMap { t =>
+        val intehead = Array.tabulate(67) {
+          case 11 => 6; case 64 => 1 + t; case 65 => 4; case 66 => 2024; case _ => 0
+        }
+        Seq(Kw("SEQNUM", "INTE", Array(t)), Kw("INTEHEAD", "INTE", intehead),
+          Kw("PRESSURE", "REAL", Array.tabulate(6)(a => a + 10f * t + 100f * c)))
+      })
+    }
+    val sink = "ecl_dates_sink"
+    spark.catalog.dropTempView(sink)
+    DecodeStats.unrstVecPayloads.reset()
+    val q = spark.readStream.format("eclipse-unrst")
+      .option("vectors", "PRESSURE")
+      .option("filter.dates", "2024-04-02")
+      .load(s"$src/*.UNRST")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).collect()
+    assert(got.length === 2 * 6)
+    assert(got.forall(_.getDate(1).toString == "2024-04-02"))
+    // one step of five decoded per case — the other SEQNUM groups'
+    // payloads seeked past in-stream
+    assert(DecodeStats.unrstVecPayloads.sum() === 2)
   }
 
   test("q202: kill at batch N commits exactly N, the restart drains to M, no case twice") {
