@@ -55,8 +55,13 @@ import graft.io.EclBinary
   * scan (a stream's WHERE is row-evaluated after a full decode; the
   * optimizer rule rewrites batch relations only). `filter.dates` takes
   * a comma list of `YYYY-MM-DD` values and/or `lo..hi` ranges (either
-  * end open), all conjoined; the set options take comma lists. On a
-  * batch read they conjoin (intersect) with whatever Spark pushes.
+  * end open), all conjoined; the set options take comma lists
+  * (well/vector names are uppercased like the `vectors` option;
+  * `filter.cases` values must be the EMITTED CASE values — the file
+  * path minus its extension for egrid/unsmry, the path as listed for
+  * unrst/rft — and stay verbatim). A present-but-degenerate value and
+  * a wrong-format option both THROW, never silently no-op. On a batch
+  * read they conjoin (intersect) with whatever Spark pushes.
   */
 class EclGridDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "eclipse-egrid"
@@ -215,7 +220,11 @@ object EclBinaryDataSource {
         var p = graft.io.DatePred.All
         val ins = Set.newBuilder[Long]
         var haveIn = false
-        s.split(",").map(_.trim).filter(_.nonEmpty).foreach { tok =>
+        val toks = s.split(",").map(_.trim).filter(_.nonEmpty)
+        require(toks.nonEmpty,
+          s"filter.dates: '$s' contains no date or range (a degenerate " +
+            "value must fail loudly, never silently no-op)")
+        toks.foreach { tok =>
           val i = tok.indexOf("..")
           if (i >= 0) {
             val lo = tok.substring(0, i).trim
@@ -233,12 +242,22 @@ object EclBinaryDataSource {
     }
   }
 
-  /** A comma-list string option as a non-empty Set, or None. */
+  /** A comma-list string option as a non-empty Set, or None when the
+    * option is absent/blank. A PRESENT option that parses to nothing
+    * (e.g. ",") throws — it would otherwise both silently no-op and
+    * bypass the per-format guards. `upper` matches the `vectors`
+    * option's normalization (vector/well names are uppercase in the
+    * files); case ids are PATHS and must stay verbatim. */
   private[datasource] def setOptOf(options: CaseInsensitiveStringMap,
-      key: String): Option[Set[String]] =
-    Option(options.get(key))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
+      key: String, upper: Boolean): Option[Set[String]] =
+    Option(options.get(key)).map(_.trim).filter(_.nonEmpty).map { s =>
+      val vals = s.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(v => if (upper) v.toUpperCase else v).toSet
+      require(vals.nonEmpty,
+        s"$key: '$s' contains no values (a degenerate value must fail " +
+          "loudly, never silently no-op)")
+      vals
+    }
 }
 
 class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
@@ -271,14 +290,17 @@ class EclBinaryTable(kind: String, path: String, vectors: Seq[String],
     val optDates = EclBinaryDataSource.datePredOf(options)
     require(optDates.trivial || kind != "egrid",
       "filter.dates: eclipse-egrid has no DATE column")
-    val optWells = EclBinaryDataSource.setOptOf(options, "filter.wells")
+    val optWells = EclBinaryDataSource.setOptOf(options, "filter.wells", upper = true)
     require(optWells.isEmpty || kind == "rft",
       "filter.wells applies to eclipse-rft only")
-    val optVecSel = EclBinaryDataSource.setOptOf(options, "filter.vectors")
+    val optVecSel = EclBinaryDataSource.setOptOf(options, "filter.vectors", upper = true)
     require(optVecSel.isEmpty || kind == "unsmry",
       "filter.vectors applies to eclipse-unsmry only (use the 'vectors' " +
         "option to prune vector COLUMNS on egrid/unrst/rft)")
-    val optCases = EclBinaryDataSource.setOptOf(options, "filter.cases")
+    // filter.cases values must be the EMITTED CASE values — the file
+    // path minus its extension for egrid/unsmry, the path as listed for
+    // unrst/rft (caseIdOf) — not basenames; kept verbatim (paths)
+    val optCases = EclBinaryDataSource.setOptOf(options, "filter.cases", upper = false)
     new EclBinaryScanBuilder(kind, p, vectors, mapaxes, schema(), maxCases,
       optDates, optWells, optVecSel, optCases)
   }

@@ -1037,12 +1037,21 @@ object BinaryGate {
     * cases. Gated against the q167 fleet oracle verbatim: the streamed
     * decode must equal the batch read row for row.
     */
-  def q178SummaryStream(s: SparkSession, dir: String): DataFrame = {
+  def q178SummaryStream(s: SparkSession, dir: String): DataFrame =
+    summaryStreamToFleetFrame(s, "q178", Map.empty)
+
+  /** The shared stream→memory-sink→fleet-frame plumbing of q178 and
+    * q204 (identical shape; q204 adds reader options). */
+  private def summaryStreamToFleetFrame(s: SparkSession, tag: String,
+      readerOpts: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = writeFleetFixture(s, "q178")
-    val sink = "q178_sink"
+    val tmp = writeFleetFixture(s, tag)
+    val sink = s"${tag}_sink"
     s.catalog.dropTempView(sink)
-    val q = s.readStream.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+    val reader = readerOpts.foldLeft(s.readStream.format("eclipse-unsmry")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(s"$tmp/*.UNSMRY")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -1071,27 +1080,10 @@ object BinaryGate {
     * same restriction; the companion spec proves the in-stream decode
     * counts (zero full records; the bare-WHERE control fully decodes).
     */
-  def q204StreamFilteredRead(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val tmp = writeFleetFixture(s, "q204")
-    val sink = "q204_sink"
-    s.catalog.dropTempView(sink)
-    val q = s.readStream.format("eclipse-unsmry")
-      .option("filter.vectors", "FOPR")
-      .option("filter.dates", "2021-01-10..2021-01-12")
-      .load(s"$tmp/*.UNSMRY")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink)
-      .withColumn("case_id",
-        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
-      .select(col("case_id"), col("VECTOR").as("vector"),
-        col("DATE").cast("timestamp").as("date"), col("VALUE").as("value"))
-      .orderBy(col("case_id"), col("vector"), col("date"))
-  }
+  def q204StreamFilteredRead(s: SparkSession, dir: String): DataFrame =
+    summaryStreamToFleetFrame(s, "q204", Map(
+      "filter.vectors" -> "FOPR",
+      "filter.dates" -> "2021-01-10..2021-01-12"))
 
   /** q202: KILL-MID-DRAIN RECOVERY for the BINARY streaming source —
     * the composition of q178 (clean restart processes only new cases)

@@ -424,6 +424,41 @@ class EclPushdownSpec extends AnyFunSuite {
     assert(slots("paramSlotsDecoded").value === 16) // (TIME + FOPR) x 8
   }
 
+  test("batch reads conjoin filter.* options with pushed WHERE filters") {
+    import spark.implicits._
+    val d = tmpDir("opt-conj")
+    val rows = for {
+      (v, vi) <- Seq("FOPR", "FOPT", "WBHP:A1").zipWithIndex
+      t <- 0 until 10
+    } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2025, 2, 1).plusDays(t)),
+      10.0 * vi + t)
+    graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/CONJ")
+    // option: vectors {FOPR, FOPT} and dates 02-03..02-08; pushed WHERE:
+    // VECTOR in {fopr (lowercased option path), WBHP:A1} and DATE >= 02-06.
+    // The result must be the INTERSECTION on both axes — if the builder
+    // overwrote the seeds instead of conjoining, extra rows would appear
+    // (Spark's post-scan re-eval only re-applies its own pushed filters,
+    // never the option predicates)
+    val df = spark.read.format("eclipse-unsmry")
+      .option("filter.vectors", "fopr,FOPT") // lowercase normalizes too
+      .option("filter.dates", "2025-02-03..2025-02-08")
+      .load(s"$d/CONJ.UNSMRY")
+      .where(col("VECTOR").isin("FOPR", "WBHP:A1") &&
+        col("DATE") >= lit(java.sql.Date.valueOf("2025-02-06")))
+    DecodeStats.unsmryParams.reset()
+    DecodeStats.unsmryParamSlots.reset()
+    val got = df.collect()
+    // intersection: VECTOR = FOPR only; dates 02-06..02-08 = 3 steps
+    assert(got.length === 3)
+    assert(got.forall(r => r.getString(2) == "FOPR"))
+    assert(got.map(_.getDate(1).toString).sorted ===
+      Array("2025-02-06", "2025-02-07", "2025-02-08"))
+    // and the conjunction reached the BYTE level: 3 selected steps x
+    // (TIME + FOPR) slots, zero full records
+    assert(DecodeStats.unsmryParams.sum() === 0)
+    assert(DecodeStats.unsmryParamSlots.sum() === 6)
+  }
+
   test("SQL-DDL: the catalog route preserves byte-level pushdown") {
     import spark.implicits._
     val d = tmpDir("ddl-push")

@@ -192,6 +192,62 @@ class EclStreamSourceSpec extends AnyFunSuite {
     assert(DecodeStats.unrstVecPayloads.sum() === 2)
   }
 
+  test("filter.* options: wrong formats, degenerate values and bad dates all throw") {
+    val src = tmpDir("badfilter")
+    writeCase(src, 0)
+    def failing(kind: String, key: String, value: String): Unit = {
+      val e = intercept[Exception] {
+        val q = spark.readStream.format(kind).option(key, value)
+          .load(s"$src/*.UNSMRY")
+          .writeStream.format("memory")
+          .queryName(s"bad_${key.replace('.', '_')}_${value.hashCode.abs}")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains(key) || msgs.contains("Text") /* date parse */,
+        s"$key=$value: expected a loud failure naming the option, got: $msgs")
+    }
+    // wrong format: filter.wells / filter.vectors are not unsmry options
+    failing("eclipse-unsmry", "filter.wells", "W1")
+    // degenerate values must not silently no-op (they would also bypass
+    // the per-format guards)
+    failing("eclipse-unsmry", "filter.vectors", " , ")
+    failing("eclipse-unsmry", "filter.dates", " , ")
+    failing("eclipse-unsmry", "filter.dates", "..")
+    // malformed date
+    failing("eclipse-unsmry", "filter.dates", "2021-1-5")
+    // and filter.vectors on a non-unsmry format
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("eclipse-unrst")
+        .option("vectors", "PRESSURE").option("filter.vectors", "PRESSURE")
+        .load(s"$src/*.UNRST")
+        .writeStream.format("memory").queryName("bad_vec_unrst")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("filter.vectors"))))
+  }
+
+  test("filter.cases prunes the streaming listing (emitted-CASE values, i.e. paths)") {
+    val src = tmpDir("fcases")
+    (0 until 3).foreach(writeCase(src, _))
+    val sink = "ecl_fcases_sink"
+    spark.catalog.dropTempView(sink)
+    // the emitted CASE for unsmry = path minus .UNSMRY (caseIdOf)
+    val q = spark.readStream.format("eclipse-unsmry")
+      .option("filter.cases", s"$src/CASE1")
+      .load(s"$src/*.UNSMRY")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).collect()
+    assert(got.length === 2 * 4) // ONE case of three
+    assert(got.forall(_.getString(0) == s"$src/CASE1"))
+  }
+
   test("q202: kill at batch N commits exactly N, the restart drains to M, no case twice") {
     val (df, b1, b2) =
       graft.queries.BinaryGate.summaryStreamKillRun(spark, "/root/testdata/sf0.001")
