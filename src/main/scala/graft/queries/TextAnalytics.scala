@@ -1365,15 +1365,16 @@ object TextAnalytics {
     * 0; strict prefix → min length) — the q203 oracle's twin of the
     * engine's zip_with expression. */
   private def lcpSql(a: String, b: String): String = {
-    // like Spark's array_position, this DuckDB's list_position returns 0
-    // (not NULL) when no element matches — i.e. the lists agree on their
-    // common length (a strict-prefix or identical pair)
+    // no-match means the lists agree on their whole common length (a
+    // strict-prefix or identical pair). DuckDB builds have disagreed on
+    // list_position's no-match value (this one returns 0, like Spark's
+    // array_position; others return NULL) — nullif folds BOTH semantics
+    // into the coalesce fallback, so the oracle is version-proof
     val firstFalse = s"""list_position(list_transform(
                           range(1, least(len($a), len($b)) + 1),
                           i -> $a[CAST(i AS INT)] = $b[CAST(i AS INT)]), false)"""
     s"""CASE WHEN $b IS NULL THEN 0
-        WHEN $firstFalse = 0 THEN least(len($a), len($b))
-        ELSE $firstFalse - 1 END"""
+        ELSE coalesce(nullif($firstFalse, 0) - 1, least(len($a), len($b))) END"""
   }
 
   /** The langId prediction as oracle SQL (doc_id, lang, lang_pred) —
