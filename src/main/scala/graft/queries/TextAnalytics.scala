@@ -658,7 +658,45 @@ object TextAnalytics {
     * maximal-repeat properties (exact length, occurrence count,
     * left/right maximality, cap truncation) directly. */
   private[graft] def suffixRepeats(input: DataFrame): DataFrame = {
-    import graft.functions.PortableStringHash.{strHash, P}
+    import graft.functions.PortableStringHash.P
+    val (docs, occ, cleanup) = suffixOcc(input)
+    val reps = occ.groupBy(col("v"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("prevh")).as("n_left"),
+        min(col("doc_id")).as("example_doc_min"),
+        max(col("doc_id")).as("example_doc_max"),
+        min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .filter(col("n_left") >= 2) // left-maximality
+    // the representative occurrence names the substring: polynomial fold
+    // of its first v token hashes (q98's fold, shared with the oracle)
+    val out = reps
+      .join(docs.select(col("doc_id").as("rep_doc"), col("ha")),
+        col("rep.doc_id") === col("rep_doc"))
+      .select(
+        expr(s"aggregate(slice(ha, CAST(rep.pos + 1 AS INT), CAST(v AS INT)), " +
+          s"0L, (acc, x) -> (acc * 131 + x) % $P)").as("sub_hash"),
+        col("v").as("length"), col("n_occ"),
+        col("example_doc_min"), col("example_doc_max"))
+      .orderBy(col("length"), col("sub_hash"), col("example_doc_min"),
+        col("example_doc_max"), col("n_occ"))
+    // materialize once (the result is output-bounded — <= n intervals by
+    // the suffix-tree node bound), then release the cached inputs — the
+    // K*n suffix cache must not accumulate across repeated kernel
+    // invocations in a long-lived session (the q184 localCheckpoint +
+    // unpersist discipline; review finding)
+    val materialized = out.localCheckpoint(true)
+    cleanup()
+    materialized
+  }
+
+  /** The shared suffix-order pipeline: hashed docs + the lcp-interval
+    * OCCURRENCE frame `(v, lo, hi, rank, doc_id, pos, prevh)` — one row
+    * per (right-maximal interval, member suffix) — plus a cleanup that
+    * releases the three persisted intermediates. q203 aggregates it to
+    * maximal repeats; q205 turns it into the removal pass. */
+  private def suffixOcc(input: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
+    import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
     val docs = input
       .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
@@ -756,32 +794,67 @@ object TextAnalytics {
         explode(expr("sequence(lo, hi)")).as("rank"))
       .join(ranked.select(col("rank"), col("doc_id"), col("pos"), col("prevh")),
         Seq("rank"))
-    val reps = occ.groupBy(col("v"), col("lo"), col("hi"))
-      .agg(count(lit(1)).as("n_occ"),
-        countDistinct(col("prevh")).as("n_left"),
-        min(col("doc_id")).as("example_doc_min"),
-        max(col("doc_id")).as("example_doc_max"),
-        min(struct(col("doc_id"), col("pos"))).as("rep"))
-      .filter(col("n_left") >= 2) // left-maximality
-    // the representative occurrence names the substring: polynomial fold
-    // of its first v token hashes (q98's fold, shared with the oracle)
-    val out = reps
-      .join(docs.select(col("doc_id").as("rep_doc"), col("ha")),
-        col("rep.doc_id") === col("rep_doc"))
-      .select(
-        expr(s"aggregate(slice(ha, CAST(rep.pos + 1 AS INT), CAST(v AS INT)), " +
-          s"0L, (acc, x) -> (acc * 131 + x) % $P)").as("sub_hash"),
-        col("v").as("length"), col("n_occ"),
-        col("example_doc_min"), col("example_doc_max"))
-      .orderBy(col("length"), col("sub_hash"), col("example_doc_min"),
-        col("example_doc_max"), col("n_occ"))
-    // materialize once (the result is output-bounded — <= n intervals by
-    // the suffix-tree node bound), then release the three cached inputs
-    // — the K*n suffix cache must not accumulate across repeated kernel
-    // invocations in a long-lived session (the q184 localCheckpoint +
-    // unpersist discipline; review finding)
+    (docs, occ,
+      () => { docs.unpersist(false); local.unpersist(false); ranked.unpersist(false) })
+  }
+
+  /** q205: SUFFIX-CLIP DEDUP — the REMOVAL pass Lee et al. 2022 run
+    * after extraction: every duplicate family keeps its FIRST occurrence
+    * (min (doc_id, pos)) and the other occurrences' token ranges are
+    * clipped; per document the clipped ranges union into spans and the
+    * report carries exact before/removed/kept counts. Built on q203's
+    * interval-occurrence frame with the left-diversity filter
+    * deliberately OFF: the interior suffixes of a duplicate longer than
+    * the [[SufK]] cap all share their left token (non-left-diverse),
+    * but their capped intervals are exactly what chains coverage past
+    * the truncation — a 100-token duplicate's second copy is fully
+    * covered by the per-position capped intervals (the `m(i+1) ≥
+    * m(i)−1` lemma), so coverage is EXACT despite the cap.
+    *
+    * Scale shape: first-occurrence per interval is one map-side
+    * aggregate on the occurrence frame (output-sized); coverage union
+    * is the gaps-and-islands running max per doc (one window keyed by
+    * doc); the final rollup joins back to per-doc token counts. The
+    * survivor policy (min doc_id, pos) is deterministic and documented;
+    * removal is reported as counts + spans so the clipping itself stays
+    * a downstream `slice` choice, exactly like q98.
+    */
+  def q205SuffixClip(s: SparkSession, dir: String): DataFrame =
+    suffixClip(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def suffixClip(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (docs, occ, cleanup) = suffixOcc(input)
+    val first = occ.groupBy(col("v"), col("lo"), col("hi"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val covered = occ.join(first, Seq("v", "lo", "hi"))
+      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
+    // per-doc interval union: running-max gaps-and-islands
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
+    val spans = covered
+      .withColumn("maxe",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("news",
+        when(col("maxe").isNull || col("pos") > col("maxe"), 1).otherwise(0))
+      .withColumn("g", sum(col("news")).over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val removed = spans.groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("n_removed"),
+        count(lit(1)).as("n_spans"))
+    val out = docs
+      .select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 " +
+          "ELSE (coalesce(n_removed, 0) * 10000) div n_tokens END").as("removed_bp"))
+      .orderBy(col("doc_id"))
     val materialized = out.localCheckpoint(true)
-    docs.unpersist(false); local.unpersist(false); ranked.unpersist(false)
+    cleanup()
     materialized
   }
 
@@ -1338,6 +1411,7 @@ object TextAnalytics {
     "q97_lm_score" -> (q97LmScore _),
     "q98_dup_spans" -> (q98DupSpans _),
     "q203_suffix_repeats" -> (q203SuffixRepeats _),
+    "q205_suffix_clip" -> (q205SuffixClip _),
     "q150_winnow" -> (q150Winnow _),
     "q155_kn_continuation" -> (q155KnContinuation _),
     "q169_kn_perplexity" -> (q169KnPerplexity _),
@@ -1360,6 +1434,44 @@ object TextAnalytics {
                       + 0.2 * (1.0 - CAST(length($textCol) - length(regexp_replace($textCol, '[.,!?;:]', '', 'g')) AS DOUBLE)
                                      / CAST(length($textCol) AS DOUBLE)), 6)"""
 
+
+  /** The shared suffix-pipeline CTE prefix (through the lcp-interval
+    * occurrence relation `occ`) — ONE definition for the q203 and q205
+    * oracles, mirroring the engine's shared [[suffixOcc]]. Also exposes
+    * `hal` (per-doc hash lists) and `dup` (the duplicated tail). */
+  private def suffixOccCtes: String =
+    s"""toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+          FROM documents),
+        ${graft.functions.PortableStringHash.strHashCtes(
+          "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
+        hal AS (SELECT doc_id, list(h ORDER BY pos) AS ha FROM th GROUP BY doc_id),
+        suf AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                       ha[CAST(p + 1 AS INT):CAST(least(p + $SufK, len(ha)) AS INT)] AS key,
+                       CASE WHEN p = 0 THEN -doc_id - 1
+                            ELSE ha[CAST(p AS INT)] END AS prevh
+                FROM hal, unnest(range(len(ha))) AS u(p)),
+        rk AS (SELECT doc_id, pos, prevh, key,
+                      row_number() OVER wo AS rank,
+                      lag(key) OVER wo AS pkey, lead(key) OVER wo AS nkey
+               FROM suf WINDOW wo AS (ORDER BY key, doc_id, pos)),
+        lc AS (SELECT rank, doc_id, pos, prevh,
+                      CAST(${lcpSql("key", "pkey")} AS BIGINT) AS lcp,
+                      CAST(${lcpSql("key", "nkey")} AS BIGINT) AS nlcp
+               FROM rk),
+        dup AS (SELECT * FROM lc WHERE lcp >= $SufL OR nlcp >= $SufL),
+        marked AS (SELECT t.rank, t.lcp, CAST(u.v AS BIGINT) AS v
+                   FROM (SELECT rank, lcp FROM lc WHERE lcp >= $SufL) t,
+                        unnest(range($SufL, t.lcp + 1)) AS u(v)),
+        isl AS (SELECT v, rank, lcp,
+                       rank - row_number() OVER (PARTITION BY v ORDER BY rank) AS grp
+                FROM marked),
+        iv AS (SELECT v, min(rank) - 1 AS lo, max(rank) AS hi
+               FROM isl GROUP BY v, grp HAVING min(lcp) = v),
+        occ AS (SELECT iv.v, iv.lo, iv.hi, d.doc_id, d.pos, d.prevh
+                FROM iv, unnest(range(iv.lo, iv.hi + 1)) AS u(rnk), dup d
+                WHERE d.rank = u.rnk)"""
 
   /** First-mismatch LCP of two DuckDB lists as SQL text (NULL neighbor →
     * 0; strict prefix → min length) — the q203 oracle's twin of the
@@ -1744,38 +1856,7 @@ object TextAnalytics {
     // pack into one BIGINT (arg_max takes no struct key here) with a
     // loud error() guard on the packing bound.
     "q203_suffix_repeats" ->
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents),
-          ${graft.functions.PortableStringHash.strHashCtes(
-            "toks", Seq("doc_id", "pos"), "tok", "th", "h")},
-          hal AS (SELECT doc_id, list(h ORDER BY pos) AS ha FROM th GROUP BY doc_id),
-          suf AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
-                         ha[CAST(p + 1 AS INT):CAST(least(p + $SufK, len(ha)) AS INT)] AS key,
-                         CASE WHEN p = 0 THEN -doc_id - 1
-                              ELSE ha[CAST(p AS INT)] END AS prevh
-                  FROM hal, unnest(range(len(ha))) AS u(p)),
-          rk AS (SELECT doc_id, pos, prevh, key,
-                        row_number() OVER wo AS rank,
-                        lag(key) OVER wo AS pkey, lead(key) OVER wo AS nkey
-                 FROM suf WINDOW wo AS (ORDER BY key, doc_id, pos)),
-          lc AS (SELECT rank, doc_id, pos, prevh,
-                        CAST(${lcpSql("key", "pkey")} AS BIGINT) AS lcp,
-                        CAST(${lcpSql("key", "nkey")} AS BIGINT) AS nlcp
-                 FROM rk),
-          dup AS (SELECT * FROM lc WHERE lcp >= $SufL OR nlcp >= $SufL),
-          marked AS (SELECT t.rank, t.lcp, CAST(u.v AS BIGINT) AS v
-                     FROM (SELECT rank, lcp FROM lc WHERE lcp >= $SufL) t,
-                          unnest(range($SufL, t.lcp + 1)) AS u(v)),
-          isl AS (SELECT v, rank, lcp,
-                         rank - row_number() OVER (PARTITION BY v ORDER BY rank) AS grp
-                  FROM marked),
-          iv AS (SELECT v, min(rank) - 1 AS lo, max(rank) AS hi
-                 FROM isl GROUP BY v, grp HAVING min(lcp) = v),
-          occ AS (SELECT iv.v, iv.lo, iv.hi, d.doc_id, d.pos, d.prevh
-                  FROM iv, unnest(range(iv.lo, iv.hi + 1)) AS u(rnk), dup d
-                  WHERE d.rank = u.rnk),
+      s"""WITH $suffixOccCtes,
           reps AS (SELECT v, lo, hi,
                           CAST(count(*) AS BIGINT) AS n_occ,
                           min(doc_id) AS example_doc_min,
@@ -1792,6 +1873,42 @@ object TextAnalytics {
                  v AS length, n_occ, example_doc_min, example_doc_max
           FROM reps JOIN hal ON hal.doc_id = repk // 2097152
           ORDER BY length, sub_hash, example_doc_min, example_doc_max, n_occ""",
+    // q205: the removal pass over the same occurrence relation — first
+    // occurrence per interval survives (packed-min, guarded), the rest
+    // union into per-doc clipped spans
+    "q205_suffix_clip" ->
+      s"""WITH $suffixOccCtes,
+          firsts AS (SELECT v, lo, hi,
+                            min(CASE WHEN pos >= 2097152
+                                     THEN error('q205: pos exceeds the packing bound')
+                                     ELSE doc_id * 2097152 + pos END) AS fk
+                     FROM occ GROUP BY 1, 2, 3),
+          covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
+                      FROM occ o JOIN firsts f USING (v, lo, hi)
+                      WHERE o.doc_id * 2097152 + o.pos <> f.fk),
+          mx AS (SELECT doc_id, pos, e,
+                        max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS maxe
+                 FROM covered),
+          gi AS (SELECT doc_id, pos, e,
+                        sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
+                 FROM mx),
+          spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+                    FROM gi GROUP BY 1, 2),
+          rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed,
+                         CAST(count(*) AS BIGINT) AS n_spans
+                  FROM spans GROUP BY 1),
+          nt AS (SELECT doc_id, CAST(len(ha) AS BIGINT) AS n_tokens FROM hal)
+          SELECT nt.doc_id, n_tokens,
+                 coalesce(n_removed, 0) AS n_removed,
+                 coalesce(n_spans, 0) AS n_spans,
+                 n_tokens - coalesce(n_removed, 0) AS n_kept,
+                 CASE WHEN n_tokens = 0 THEN 0
+                      ELSE (coalesce(n_removed, 0) * 10000) // n_tokens
+                 END AS removed_bp
+          FROM nt LEFT JOIN rem USING (doc_id) ORDER BY nt.doc_id""",
     "q97_lm_score" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                      FROM documents),

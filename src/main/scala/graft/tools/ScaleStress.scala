@@ -126,7 +126,7 @@ object ScaleStress {
       "q67_curation_pipeline", "q181_cdc_dedup", "q183_source_contamination",
       "q184_kcenter_sample", "q186_bpe_canonical", "q187_cdc_incremental",
       "q188_stream_cdc_ingest", "q192_nb_quality", "q195_edit_verify",
-      "q203_suffix_repeats")
+      "q203_suffix_repeats", "q205_suffix_clip")
     // q194/q196 are deliberately NOT in the ×N sweep: the replica corpus
     // duplicates texts (q194's answer grows quadratically — output size,
     // not the operator) and replicates the BENCH docs (q196's query side

@@ -2372,6 +2372,36 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.head.getLong(3) == 10 && out.head.getLong(4) == 10)
   }
 
+  test("q205: the first occurrence survives, later copies clip exactly") {
+    val A = (1 to 20).map(i => s"a$i")
+    val docs = Seq(
+      (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
+      (2L, (Seq("z1", "z2", "z3") ++ A ++ Seq("q1")).mkString(" ")),
+      (3L, (Seq("p1") ++ A ++ Seq("r1")).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.suffixClip(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // doc 1 holds the family's first occurrence: nothing removed
+    assert(out(1L) == ((24L, 0L, 24L)))
+    // docs 2 and 3 lose exactly the 20 phrase tokens, nothing else
+    assert(out(2L) == ((24L, 20L, 4L)))
+    assert(out(3L) == ((22L, 20L, 2L)))
+  }
+
+  test("q205: coverage chains past the suffix cap (a 60-token duplicate clips whole)") {
+    // the second copy of a duplicate LONGER than SufK=48 must still be
+    // fully covered: the interior positions' capped intervals chain
+    // (m(i+1) >= m(i) - 1), so the cap truncates reported LENGTHS but
+    // never coverage
+    val B = (1 to 60).map(i => s"b$i")
+    val docs = Seq(
+      (1L, (Seq("u1") ++ B ++ Seq("u2")).mkString(" ")),
+      (2L, (Seq("v1") ++ B ++ Seq("v2")).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.suffixClip(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((0L, 0L)), "the first copy survives untouched")
+    assert(out(2L) == ((60L, 1L)), "the second copy clips all 60 tokens as ONE span")
+  }
+
   test("q181: corpus dedup actually fires and conserves chars") {
     val out = graft.queries.TextAnalytics.q181CdcDedup(spark, "/root/testdata/sf0.01")
       .collect()
