@@ -698,7 +698,12 @@ object TextAnalytics {
       : (DataFrame, DataFrame, () => Unit) = {
     import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
+    // NULL-text contract: such a document has no suffixes and no per-doc
+    // report row — pinned here because the oracles' char-explode drops
+    // NULL texts from every downstream relation (q205's one-row-per-doc
+    // output would otherwise diverge; q203's interval output never could)
     val docs = input
+      .where(col("text").isNotNull)
       .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per position: capped suffix + left-extension witness
@@ -825,9 +830,13 @@ object TextAnalytics {
   private[graft] def suffixClip(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (docs, occ, cleanup) = suffixOcc(input)
-    val first = occ.groupBy(col("v"), col("lo"), col("hi"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val covered = occ.join(first, Seq("v", "lo", "hi"))
+    // the survivor in ONE pass over occ (a window min per interval, then
+    // drop the survivor's row) — a groupBy+self-join would evaluate the
+    // unpersisted occ subtree twice and shuffle it once more (review
+    // finding)
+    val wf = Window.partitionBy(col("v"), col("lo"), col("hi"))
+    val covered = occ
+      .withColumn("f", min(struct(col("doc_id"), col("pos"))).over(wf))
       .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
     // per-doc interval union: running-max gaps-and-islands
