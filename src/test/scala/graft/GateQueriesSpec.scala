@@ -2377,9 +2377,14 @@ class GateQueriesSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
       (2L, (Seq("z1", "z2", "z3") ++ A ++ Seq("q1")).mkString(" ")),
-      (3L, (Seq("p1") ++ A ++ Seq("r1")).mkString(" "))).toDF("doc_id", "text")
+      (3L, (Seq("p1") ++ A ++ Seq("r1")).mkString(" ")),
+      // NULL-text contract: dropped, not crashed and not a phantom row
+      // (the oracle's char-explode drops it from every relation)
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = graft.queries.TextAnalytics.suffixClip(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(!out.contains(4L), "a NULL-text doc must produce no report row")
+    assert(out.size == 3)
     // doc 1 holds the family's first occurrence: nothing removed
     assert(out(1L) == ((24L, 0L, 24L)))
     // docs 2 and 3 lose exactly the 20 phrase tokens, nothing else
