@@ -81,6 +81,24 @@ object Bench {
     // primary metric to the opposite ordering).
     println(s"""{"metric":"total","total_full":$totalFull,"queries_full":$qsFull,""" +
       s""""queries":$qs,"value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // ALSO write the per-query seconds to a file: the driver's artifact
+    // capture keeps only a truncated tail of the stdout line, so
+    // per-query times for q100+ were unrecoverable from driver data
+    // alone (r12 verdict) — this sidecar makes round-over-round
+    // regression decomposition possible from the committed artifact.
+    // Pretty-printed one query per line so git diffs show exactly which
+    // queries moved.
+    val perQueryPath = sys.env.getOrElse("GRAFT_BENCH_PERQUERY",
+      "bench_perquery_latest.json")
+    try {
+      val body = ordered.map { case (name, _) =>
+        f""" "$name": {"sec": ${sweeps.map(_(name)).min}%.3f, "sec_full": ${fullSweep(name)}%.3f}"""
+      }.mkString(",\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryPath),
+        f"""{\n "_total_sec": $total%.3f,\n "_total_full_sec": $totalFull%.3f,\n "_sf": "$sfDir",\n$body\n}\n""")
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: per-query sidecar write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -198,6 +198,27 @@ object EclKw {
     */
   def read(path: String): Vector[Kw] = stream(path)(_.toVector)
 
+  /** HEADER-ONLY walk: every keyword's (name, type, element count) with
+    * every payload seeked past — a keyword's 24-byte header already
+    * carries its element count, so per-file row-count prescans (the
+    * `SupportsReportStatistics` estimates) cost one buffered pass of
+    * headers + seeks and decode NOTHING.
+    */
+  def headers(path: String): Vector[(String, String, Int)] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    try {
+      val b = Vector.newBuilder[(String, String, Int)]
+      var h = readHead(in)
+      while (h.isDefined) {
+        b += ((h.get.name, h.get.typ, h.get.n))
+        skipData(in, h.get)
+        h = readHead(in)
+      }
+      b.result()
+    } finally in.close()
+  }
+
   private def skipFully(in: DataInputStream, n: Int): Unit = {
     var toSkip = n
     while (toSkip > 0) {

@@ -231,6 +231,12 @@ object EclBinaryDataSource {
             val hi = tok.substring(i + 2).trim
             require(lo.nonEmpty || hi.nonEmpty,
               s"filter.dates: empty range '$tok'")
+            // an inverted range matches NOTHING — the same silent no-op
+            // the empty/malformed guards exist to prevent (ADVICE r12)
+            require(lo.isEmpty || hi.isEmpty ||
+              LocalDate.parse(lo).toEpochDay <= LocalDate.parse(hi).toEpochDay,
+              s"filter.dates: inverted range '$tok' (lo > hi) would " +
+                "silently match nothing")
             if (lo.nonEmpty) p = p.withMin(LocalDate.parse(lo).toEpochDay)
             if (hi.nonEmpty) p = p.withMax(LocalDate.parse(hi).toEpochDay)
           } else {
@@ -411,16 +417,18 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
 
   override def build(): Scan =
     new EclBinaryScan(kind, path, vectors, mapaxes, required, datePred, wells,
-      caseSet, maxCases, vectorSel)
+      caseSet, maxCases, vectorSel, optionCases = caseSet0)
 }
 
 class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
     wells: Option[Set[String]], caseSet: Option[Set[String]],
-    maxCases: Option[Int] = None, vectorSel: Option[Set[String]] = None)
+    maxCases: Option[Int] = None, vectorSel: Option[Set[String]] = None,
+    optionCases: Option[Set[String]] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // runtime (DPP-style) CASE restriction, delivered by Spark AFTER a
   // join's build side materializes — set by filter(), consumed by
   // planInputPartitions; composes (intersects) with the static pushdown
@@ -457,7 +465,24 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     // the partition carries the file path AS LISTED — the kernels never
     // re-append an extension, so lowercase artifact sets stay readable
-    EclBinaryDataSource.cases(path, EclBinaryDataSource.extOf(kind))
+    val files = EclBinaryDataSource.cases(path, EclBinaryDataSource.extOf(kind))
+    // loud-failure posture for the OPTION route only: a filter.cases
+    // value matching no listed case (e.g. a basename instead of the
+    // path-minus-extension form) would otherwise silently yield zero
+    // rows, unlike every other filter.* misuse. Pushed WHERE CASE = …
+    // values are NOT checked — empty-on-no-match is correct SQL there.
+    // Batch path only: a streaming filter.cases may legitimately name a
+    // case whose file lands later.
+    optionCases.foreach { oc =>
+      val ids = files.map(caseIdOf).toSet
+      val unmatched = oc.filterNot(ids.contains)
+      require(unmatched.isEmpty,
+        s"filter.cases: ${unmatched.toSeq.sorted.mkString(",")} matched no " +
+          s"case under '$path' — values must be the EMITTED CASE ids (the " +
+          "file path minus its extension for egrid/unsmry, the path as " +
+          "listed for unrst/rft), never basenames")
+    }
+    files
       .filter { f =>
         val id = caseIdOf(f)
         caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
@@ -509,6 +534,76 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     (Seq("CASE").filter(fields) ++ Seq(orderedCol).filter(fields))
       .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       .toArray
+  }
+
+  /** Driver-side statistics from a HEADER prescan
+    * ([[graft.io.EclKw.headers]]) of ONE representative case, multiplied
+    * by the planned case count — ensemble realizations share their
+    * report shape, and a header walk reads 24-byte keyword headers +
+    * seeks, never payloads, so a 1000-case fleet costs one small file
+    * pass, not 1000. AQE and join planning then see REAL input sizes
+    * from the binary formats instead of a default guess (the natural
+    * companion to the custom decode metrics).
+    *
+    * `sizeInBytes` is EXACT: the planned (case-pruned) files' lengths.
+    * `numRows` folds CASE pruning and the unsmry VECTOR slot selection,
+    * but NOT DATE/WELL predicates — the estimate stays an upper bound,
+    * which errs toward shuffling, never toward a mistaken broadcast.
+    * Formats whose row count needs a declared vector (unrst/egrid)
+    * report no numRows when none is declared, rather than guessing.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = EclBinaryDataSource.cases(path, EclBinaryDataSource.extOf(kind))
+      .filter { f =>
+        val id = caseIdOf(f)
+        caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
+      }
+    val bytes = files.map(f => new java.io.File(f).length()).sum
+    val rowsPerCase: Option[Long] = files.headOption.flatMap { first =>
+      try kind match {
+        case "unsmry" =>
+          val base = first.dropRight(".UNSMRY".length)
+          val (vecs, timeIdx, _) = graft.write.SummaryWriter.specCatalogAt(
+            graft.io.EclKw.sibling(base, ".SMSPEC"))
+          // rows/step = emitted vector ordinals (TIME never emits; a
+          // pushed VECTOR selection narrows it — the slot-decode row set)
+          val emitted = vecs.indices.count(i =>
+            i != timeIdx && vectorSel.forall(_.contains(vecs(i))))
+          val steps = graft.io.EclKw.headers(first).count(_._1 == "PARAMS")
+          Some(steps.toLong * emitted)
+        case "unrst" =>
+          // one row per (step, active cell): each step carries the
+          // declared vector as a keyword of length nactive
+          vectors.headOption.map { v =>
+            graft.io.EclKw.headers(first)
+              .collect { case (n, _, c) if n == v => c.toLong }.sum
+          }
+        case "rft" =>
+          // one row per (report group, connection): CONIPOS length per group
+          Some(graft.io.EclKw.headers(first)
+            .collect { case ("CONIPOS", _, c) => c.toLong }.sum)
+        case "egrid" =>
+          // one row per active cell = any INIT property array's length
+          vectors.headOption.map { v =>
+            val base = first.dropRight(".EGRID".length)
+            graft.io.EclKw.headers(graft.io.EclKw.sibling(base, ".INIT"))
+              .collectFirst { case (n, _, c) if n == v => c.toLong }
+              .getOrElse(0L)
+          }
+      } catch {
+        // statistics are advisory: a malformed file must fail the SCAN
+        // loudly, not the planner's estimate pass
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+    val nCases = files.length
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rowsPerCase.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(r * nCases))
+    }
   }
 
   /** The DecodeStats skip evidence, surfaced in the Spark UI: at
@@ -612,9 +707,23 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
       DecodeStats.rftVecPayloads.threadTotal + DecodeStats.unsmryParams.threadTotal
     val baseSlots = DecodeStats.unsmryParamSlots.threadTotal
     val baseGeom = DecodeStats.egridGeomCells.threadTotal
+    // the thread the deltas attribute to: all decode work for this
+    // partition must happen on the thread that called createReader (the
+    // kernels are lazy iterators consumed by next() below, so this holds
+    // today) — a future eagerly-decoding or prefetching kernel would
+    // silently mis-attribute UI metrics, so the invariant is CHECKED
+    // where the metrics are read (ADVICE r12)
+    val readerThread = Thread.currentThread()
     new PartitionReader[InternalRow] {
       override def currentMetricsValues()
           : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        if (Thread.currentThread() ne readerThread)
+          throw new IllegalStateException(
+            s"$caseFile: currentMetricsValues called from " +
+              s"${Thread.currentThread().getName} but the reader (and its " +
+              s"thread-local decode baselines) belongs to " +
+              s"${readerThread.getName} — per-task metric deltas would " +
+              "mis-attribute; decode must stay on the createReader thread")
         val payloads = DecodeStats.unrstVecPayloads.threadTotal +
           DecodeStats.rftVecPayloads.threadTotal +
           DecodeStats.unsmryParams.threadTotal - basePayloads

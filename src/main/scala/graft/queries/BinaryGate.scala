@@ -813,21 +813,38 @@ object BinaryGate {
     * pruning, and (q171) filter pushdown as the programmatic
     * `spark.read.format(…)` route.
     */
+  /** Run `sel` against a TRANSIENT catalog table (`CREATE TABLE … USING
+    * eclipse-*`) and drop the table before returning: the DDL gates must
+    * not accumulate fixed-name tables in a long-lived user session (the
+    * checkpoint-hygiene convention the streaming gates follow, applied
+    * to the catalog — r12 verdict). The SELECT is materialized
+    * (localCheckpoint, gate-fixture-sized) BEFORE the drop so the
+    * returned frame's lazy plan can never resolve against a dropped
+    * table. The entry drop keeps reruns safe after a crash between
+    * create and drop. */
+  private def withGateTable(s: SparkSession, name: String, ddl: String,
+      sel: String): DataFrame = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(ddl)
+    try s.sql(sel).localCheckpoint(true)
+    finally s.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   def q172SqlDdlGrid(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q172")
     val paths = (0 until GridCases).map { c =>
       writeGridCase(tmp, c); s"$tmp/CASE$c.EGRID"
     }
-    s.sql("DROP TABLE IF EXISTS ens_grid")
-    s.sql(s"""CREATE TABLE ens_grid USING `eclipse-egrid`
-              OPTIONS (path '${paths.mkString(",")}', vectors 'PORO,PERMX')""")
-    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)$', 1) AS INT) AS case_id,
-                    I AS i, J AS j, K AS k, X AS x, Y AS y, Z AS z,
-                    Z_MIN AS z_min, Z_MAX AS z_max,
-                    round(VOLUME, 6) AS volume,
-                    GLOBAL_INDEX AS global_index, ACTIVE_IDX AS active_idx,
-                    PORO AS poro, PERMX AS permx
-             FROM ens_grid ORDER BY case_id, global_index""")
+    withGateTable(s, "ens_grid",
+      s"""CREATE TABLE ens_grid USING `eclipse-egrid`
+          OPTIONS (path '${paths.mkString(",")}', vectors 'PORO,PERMX')""",
+      """SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)$', 1) AS INT) AS case_id,
+                I AS i, J AS j, K AS k, X AS x, Y AS y, Z AS z,
+                Z_MIN AS z_min, Z_MAX AS z_max,
+                round(VOLUME, 6) AS volume,
+                GLOBAL_INDEX AS global_index, ACTIVE_IDX AS active_idx,
+                PORO AS poro, PERMX AS permx
+         FROM ens_grid ORDER BY case_id, global_index""")
   }
 
   /** q199: SQL-DDL REACHABILITY for the RESTART format — q172's catalog
@@ -843,14 +860,14 @@ object BinaryGate {
   def q199SqlDdlUnrst(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q199")
     val paths = (0 until RstCases).map(c => writeRstCase(tmp, c))
-    s.sql("DROP TABLE IF EXISTS ens_rst")
-    s.sql(s"""CREATE TABLE ens_rst USING `eclipse-unrst`
-              OPTIONS (path '${paths.mkString(",")}', vectors 'PRESSURE,SWAT')""")
-    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)[.]UNRST$', 1) AS INT) AS case_id,
-                    CAST(DATE AS TIMESTAMP) AS date, ACTIVE_IDX AS active_idx,
-                    PRESSURE AS pressure, SWAT AS swat
-             FROM ens_rst WHERE DATE = DATE'2022-01-02'
-             ORDER BY case_id, date, active_idx""")
+    withGateTable(s, "ens_rst",
+      s"""CREATE TABLE ens_rst USING `eclipse-unrst`
+          OPTIONS (path '${paths.mkString(",")}', vectors 'PRESSURE,SWAT')""",
+      """SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)[.]UNRST$', 1) AS INT) AS case_id,
+                CAST(DATE AS TIMESTAMP) AS date, ACTIVE_IDX AS active_idx,
+                PRESSURE AS pressure, SWAT AS swat
+         FROM ens_rst WHERE DATE = DATE'2022-01-02'
+         ORDER BY case_id, date, active_idx""")
   }
 
   /** q200: SQL-DDL REACHABILITY for the SUMMARY format — catalog table
@@ -863,16 +880,16 @@ object BinaryGate {
     */
   def q200SqlDdlUnsmry(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q200")
-    s.sql("DROP TABLE IF EXISTS ens_sum")
-    s.sql(s"""CREATE TABLE ens_sum USING `eclipse-unsmry`
-              OPTIONS (path '$tmp/*.UNSMRY')""")
-    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)$', 1) AS INT) AS case_id,
-                    VECTOR AS vector, CAST(DATE AS TIMESTAMP) AS date,
-                    VALUE AS value
-             FROM ens_sum
-             WHERE VECTOR = 'FOPR'
-               AND DATE BETWEEN DATE'2021-01-10' AND DATE'2021-01-12'
-             ORDER BY case_id, vector, date""")
+    withGateTable(s, "ens_sum",
+      s"""CREATE TABLE ens_sum USING `eclipse-unsmry`
+          OPTIONS (path '$tmp/*.UNSMRY')""",
+      """SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)$', 1) AS INT) AS case_id,
+                VECTOR AS vector, CAST(DATE AS TIMESTAMP) AS date,
+                VALUE AS value
+         FROM ens_sum
+         WHERE VECTOR = 'FOPR'
+           AND DATE BETWEEN DATE'2021-01-10' AND DATE'2021-01-12'
+         ORDER BY case_id, vector, date""")
   }
 
   /** q201: SQL-DDL REACHABILITY for the RFT format — catalog table over
@@ -886,15 +903,15 @@ object BinaryGate {
   def q201SqlDdlRft(s: SparkSession, dir: String): DataFrame = {
     val tmp = fixtureDir("q201")
     val paths = (0 until RftCases).map(c => writeRftCase(tmp, c))
-    s.sql("DROP TABLE IF EXISTS ens_rft")
-    s.sql(s"""CREATE TABLE ens_rft USING `eclipse-rft`
-              OPTIONS (path '${paths.mkString(",")}', vectors 'DEPTH,PRESSURE')""")
-    s.sql("""SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)[.]RFT$', 1) AS INT) AS case_id,
-                    CAST(DATE AS TIMESTAMP) AS date, WELL AS well,
-                    CONIDX AS conidx, DEPTH AS depth, PRESSURE AS pressure
-             FROM ens_rft
-             WHERE WELL IN ('W1', 'W2') AND DATE = DATE'2023-02-02'
-             ORDER BY case_id, date, conidx""")
+    withGateTable(s, "ens_rft",
+      s"""CREATE TABLE ens_rft USING `eclipse-rft`
+          OPTIONS (path '${paths.mkString(",")}', vectors 'DEPTH,PRESSURE')""",
+      """SELECT CAST(regexp_extract(CASE, 'CASE([0-9]+)[.]RFT$', 1) AS INT) AS case_id,
+                CAST(DATE AS TIMESTAMP) AS date, WELL AS well,
+                CONIDX AS conidx, DEPTH AS depth, PRESSURE AS pressure
+         FROM ens_rft
+         WHERE WELL IN ('W1', 'W2') AND DATE = DATE'2023-02-02'
+         ORDER BY case_id, date, conidx""")
   }
 
   /** q173: WELL+DATE-SELECTIVE DSv2 RFT READ — q168 replayed with

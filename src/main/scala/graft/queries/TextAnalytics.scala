@@ -641,14 +641,16 @@ object TextAnalytics {
     *     ≤ n by the suffix-tree internal-node bound — never all-pairs.
     *
     * Scale shape: suffix rows are K-bounded (K·n elements total); the
-    * sort is Spark's range-partitioned exchange (the gate's window is
-    * single-partition at test scale — at ensemble scale the same
-    * adjacency computes per range-partition with a numPartitions-sized
-    * boundary fix-up, the standard distributed-SA formulation, Flick &
-    * Aluru SC'15); the v-expansion multiplies only the DUPLICATED tail
-    * (lcp ≥ L rows) by ≤ K−L+1; interval occurrence expansion is
-    * output-sized. Everything downstream is equi-joins and map-side
-    * aggregates on integer keys.
+    * sort is range-partitioned with per-partition adjacency windows and
+    * a numPartitions-sized seam fix-up (the standard distributed-SA
+    * formulation, Flick & Aluru SC'15); the lcp-interval islands pass
+    * follows the SAME discipline — gaps-and-islands per
+    * (range-partition, v) plus a numPartitions-bounded boundary-island
+    * chain, so no task ever holds a candidate length's full duplicated
+    * tail; the v-expansion multiplies only the DUPLICATED tail (lcp ≥ L
+    * rows) by ≤ K−L+1; interval occurrence expansion is output-sized.
+    * Everything downstream is equi-joins and map-side aggregates on
+    * integer keys.
     */
   def q203SuffixRepeats(s: SparkSession, dir: String): DataFrame =
     suffixRepeats(Tables.documents(s, dir).select(col("doc_id"), col("text")))
@@ -714,7 +716,9 @@ object TextAnalytics {
         posexplode(when(size(col("ha")) > 0, expr(
           s"""transform(sequence(0, size(ha) - 1), p -> named_struct(
              |  'key', slice(ha, p + 1, $SufK),
-             |  'prevh', CASE WHEN p = 0 THEN -doc_id - 1
+             |  'prevh', CASE WHEN doc_id < 0 THEN raise_error(
+             |                  'suffixOcc: doc_id must be non-negative — the pos-0 sentinel -doc_id-1 must stay negative (outside token-hash space) or left-diversity false-merges')
+             |                WHEN p = 0 THEN -doc_id - 1
              |                ELSE element_at(ha, p) END))""".stripMargin))
           .otherwise(array().cast(
             "array<struct<key:array<bigint>,prevh:bigint>>"))).as(Seq("pos", "sx")))
@@ -741,7 +745,20 @@ object TextAnalytics {
           .otherwise(firstFalse - 1))
     }
     val s = input.sparkSession
-    val nPart = math.max(1, s.sessionState.conf.numShufflePartitions)
+    // partition count scales with the SUFFIX VOLUME, not the session
+    // default: a range partition is one window task's sort buffer (rows
+    // carry K-long hash arrays, ~0.5 KB each), so ~200k suffix rows per
+    // partition holds task memory near ~100 MB regardless of corpus
+    // size — at the gate corpora this leaves the session's 32, at a
+    // ×100 replica it fans out instead of fattening each task. The
+    // count costs one agg over the already-persisted docs frame.
+    val nTok = docs.agg(sum(size(col("ha")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val nPart = math.max(
+      math.max(1, s.sessionState.conf.numShufflePartitions),
+      math.min(4096, (nTok / 200000L + 1).toInt))
     val wp = Window.partitionBy(col("pid"))
       .orderBy(col("key"), col("doc_id"), col("pos"))
     val local = suf
@@ -750,6 +767,7 @@ object TextAnalytics {
       .select(col("pid"), col("doc_id"), col("pos"), col("prevh"), col("key"),
         row_number().over(wp).as("lrank"),
         lag(col("key"), 1).over(wp).as("pkey"),
+        lag(col("key"), 2).over(wp).as("ppkey"),
         lead(col("key"), 1).over(wp).as("nkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seam frame: one row per NON-EMPTY partition (its first/last key +
@@ -759,21 +777,45 @@ object TextAnalytics {
     // neighbor chain — broadcast state is numPartitions x two capped
     // keys + a count
     val wSeam = Window.orderBy(col("pid"))
-    val seams = local.groupBy(col("pid"))
+    // two projections so no window expression ever nests inside another
+    // window's argument: first resolve each partition's BEFORE-LAST key
+    // (its last row's pkey, or — 1-row partition — the previous
+    // non-empty partition's last key), then lag the derived last-row
+    // LCP so partition p reads its predecessor row's lcp for its first
+    // row's plcp
+    val seams0 = local.groupBy(col("pid"))
       .agg(min_by(col("key"), col("lrank")).as("first_key"),
         max_by(col("key"), col("lrank")).as("last_key"),
+        // the last row's PREDECESSOR key (its pkey): feeds the previous-
+        // partition last-row LCP below; null for 1-row partitions
+        max_by(col("pkey"), col("lrank")).as("last_pkey"),
         count(lit(1)).as("cnt"))
-      .select(col("pid"),
+      .select(col("pid"), col("last_key"),
+        coalesce(col("last_pkey"),
+          lag(col("last_key"), 1).over(wSeam)).as("before_last"),
         lag(col("last_key"), 1).over(wSeam).as("prev_last_key"),
         lead(col("first_key"), 1).over(wSeam).as("next_first_key"),
         coalesce(sum(col("cnt")).over(
           wSeam.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val seams = seams0.select(col("pid"), col("prev_last_key"),
+      col("next_first_key"), col("off"),
+      lag(lcpOf(col("last_key"), col("before_last")), 1).over(wSeam)
+        .as("prev_last_lcp"))
     val ranked = local
       .join(broadcast(seams), Seq("pid"))
-      .select(col("doc_id"), col("pos"), col("prevh"),
+      .select(col("pid"), col("doc_id"), col("pos"), col("prevh"),
         (col("off") + col("lrank")).as("rank"),
         lcpOf(col("key"),
           coalesce(col("pkey"), col("prev_last_key"))).as("lcp"),
+        // plcp = the PREVIOUS rank's lcp (needed row-locally by the
+        // island boundary events below): for the partition's first row
+        // it is the previous partition's last-row lcp (seam frame); for
+        // the second row it is the first row's own lcp; further in, both
+        // neighbor keys are local (lag-1/lag-2)
+        when(col("lrank") === 1, coalesce(col("prev_last_lcp"), lit(0L)))
+          .when(col("lrank") === 2,
+            lcpOf(col("pkey"), col("prev_last_key")))
+          .otherwise(lcpOf(col("pkey"), col("ppkey"))).as("plcp"),
         lcpOf(col("key"),
           coalesce(col("nkey"), col("next_first_key"))).as("nlcp"))
       // keep the duplicated tail only: members (lcp >= L) plus each
@@ -781,18 +823,52 @@ object TextAnalytics {
       // an interval's occurrence expansion can touch
       .filter(col("lcp") >= SufL || col("nlcp") >= SufL)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // lcp-interval enumeration: v-expansion over the duplicated tail,
-    // islands of consecutive ranks, emitted at their true value only
-    val wv = Window.partitionBy(col("v")).orderBy(col("rank"))
-    val islands = ranked.filter(col("lcp") >= SufL)
-      .select(col("rank"), col("lcp"),
-        explode(expr(s"sequence(CAST($SufL AS BIGINT), lcp)")).as("v"))
-      .withColumn("grp", col("rank") - row_number().over(wv))
-      .groupBy(col("v"), col("grp"))
-      .agg(min(col("rank")).as("lmin"), max(col("rank")).as("r"),
-        min(col("lcp")).as("minlcp"))
-      .filter(col("minlcp") === col("v"))
-      .select(col("v"), (col("lmin") - 1).as("lo"), col("r").as("hi"))
+    // lcp-interval enumeration from BOUNDARY EVENTS — never a window
+    // over the v-expanded tail. A v-island is a maximal run of ranks
+    // with lcp >= v; rank r STARTS one exactly for v in (plcp, lcp]
+    // (member, predecessor not) and ENDS one for v in (nlcp, lcp]
+    // (member, successor not), so each (v, island) pair contributes ONE
+    // start and ONE end event: the event volume is the ISLAND count
+    // (<= n by the suffix-tree node bound), not the corpus x (K-L+1)
+    // expansion — the r12 verdict's scale-killer, which a per-
+    // (partition, v) window only spreads (total volume / nPart per
+    // task, still GBs on an all-duplicate x100 replica; measured).
+    // Within a v, islands are disjoint and ordered, so events
+    // alternate s1<=e1<s2<=e2... and the k-th start pairs with the
+    // k-th end. The global per-v ordinal is assigned per
+    // (range-partition, v) with a broadcast offset frame ((K-L+1) x
+    // nPart rows) — the rank-offset discipline applied to events, so
+    // no single task ever holds one v's full event stream either.
+    val tail = ranked.filter(col("lcp") >= SufL)
+    def events(openBound: Column): DataFrame = tail
+      .filter(col("lcp") > greatest(openBound, lit(SufL - 1L)))
+      .select(col("pid"), col("rank"), explode(sequence(
+        greatest(openBound, lit(SufL - 1L)) + 1, col("lcp"))).as("v"))
+    def ordinal(ev: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("pid"), col("v")).orderBy(col("rank"))
+      val loc = ev.withColumn("lidx", row_number().over(w))
+      val offs = ev.groupBy(col("pid"), col("v")).agg(count(lit(1)).as("c"))
+        .select(col("pid"), col("v"),
+          coalesce(sum(col("c")).over(Window.partitionBy(col("v"))
+            .orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("eoff"))
+      loc.join(broadcast(offs), Seq("pid", "v"))
+        .select(col("v"), (col("eoff") + col("lidx")).as("idx"), col("rank"))
+    }
+    val starts = ordinal(events(col("plcp")))
+    val ends = ordinal(events(col("nlcp")))
+    val cand = starts.select(col("v"), col("idx"), (col("rank") - 1).as("lo"))
+      .join(ends.select(col("v"), col("idx"), col("rank").as("hi")),
+        Seq("v", "idx"))
+    // dedup to the TRUE value: island (v, lo, hi) has min member lcp = v
+    // iff the IDENTICAL range is not also a (v+1)-island (all members
+    // >= v+1 would reproduce the exact range one level up; any member
+    // at lcp = v splits or shrinks it) — an output-sized self anti-join
+    // replaces the old min(lcp)-over-members aggregate
+    val islands = cand.join(
+      cand.select((col("v") - 1).as("v"), col("lo"), col("hi")),
+      Seq("v", "lo", "hi"), "left_anti")
+      .select(col("v"), col("lo"), col("hi"))
     // occurrences: ranks lo..hi, equi-joined back (output-sized)
     val occ = islands
       .select(col("v"), col("lo"), col("hi"),
@@ -829,14 +905,22 @@ object TextAnalytics {
 
   private[graft] def suffixClip(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (docs, occ, cleanup) = suffixOcc(input)
-    // the survivor in ONE pass over occ (a window min per interval, then
-    // drop the survivor's row) — a groupBy+self-join would evaluate the
-    // unpersisted occ subtree twice and shuffle it once more (review
-    // finding)
-    val wf = Window.partitionBy(col("v"), col("lo"), col("hi"))
+    val (docs, occ0, cleanup) = suffixOcc(input)
+    // the survivor via groupBy-min + join back against a PERSISTED occ —
+    // not a per-interval window min: a window puts every occurrence of
+    // one interval in one task, and a boilerplate phrase duplicated
+    // across half the corpus (the q24 mega-key adversary applied to the
+    // interval key) makes that task corpus-sized. The groupBy's partial
+    // aggregation absorbs the hot key map-side, and the join's residual
+    // skew is AQE-splittable (the build side carries ONE row per
+    // interval) — a window partition never is. The persist keeps the occ
+    // subtree single-evaluation (the concern that originally argued for
+    // the window).
+    val occ = occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = occ.groupBy(col("v"), col("lo"), col("hi"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val covered = occ
-      .withColumn("f", min(struct(col("doc_id"), col("pos"))).over(wf))
+      .join(firsts, Seq("v", "lo", "hi"))
       .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
     // per-doc interval union: running-max gaps-and-islands
@@ -863,6 +947,7 @@ object TextAnalytics {
           "ELSE (coalesce(n_removed, 0) * 10000) div n_tokens END").as("removed_bp"))
       .orderBy(col("doc_id"))
     val materialized = out.localCheckpoint(true)
+    occ.unpersist(false)
     cleanup()
     materialized
   }
@@ -1872,6 +1957,8 @@ object TextAnalytics {
                           max(doc_id) AS example_doc_max,
                           min(CASE WHEN pos >= 2097152
                                    THEN error('q203: pos exceeds the packing bound')
+                                   WHEN doc_id < 0
+                                   THEN error('q203: doc_id must be non-negative (packed min needs doc-major order)')
                                    ELSE doc_id * 2097152 + pos END) AS repk
                    FROM occ GROUP BY 1, 2, 3
                    HAVING count(DISTINCT prevh) >= 2)
@@ -1890,6 +1977,8 @@ object TextAnalytics {
           firsts AS (SELECT v, lo, hi,
                             min(CASE WHEN pos >= 2097152
                                      THEN error('q205: pos exceeds the packing bound')
+                                     WHEN doc_id < 0
+                                     THEN error('q205: doc_id must be non-negative (packed min needs doc-major order)')
                                      ELSE doc_id * 2097152 + pos END) AS fk
                      FROM occ GROUP BY 1, 2, 3),
           covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e

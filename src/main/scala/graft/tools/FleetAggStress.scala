@@ -57,10 +57,8 @@ object FleetAggStress {
       // leave df's adaptive plan unexecuted (review finding)
       val n = df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
-      val finalPlan = plan.substring(0, plan.indexOf("+- == Initial Plan ==")
-        match { case -1 => plan.length; case i => i })
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+      val hashEx = "Exchange hashpartitioning".r
+        .findAllIn(graft.PlanText.finalPlanOf(df)).length
       println(f"FLEETAGG spj=$spj cases=$n%d wall=${dt}%.2fs hash_exchanges=$hashEx")
     }
     // OFF first so the co-located run cannot ride its shuffle files

@@ -305,7 +305,11 @@ object ScaleStress {
     // the planner broadcasts it and the hot key never concentrates a
     // shuffle partition; AQE covers the residual. peak_task_mb is the
     // proof that no task held the mega-key's members.
-    if (only.isEmpty || only.exists("qdedup_megakey".contains)) {
+    val megaNames = Seq("q24_exact_dedup", "q41_dedup_components",
+      "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental",
+      "q203_suffix_repeats", "q205_suffix_clip")
+    val megaSel = megaNames.filter(n => only.exists(n.contains))
+    if (only.isEmpty || only.exists("qdedup_megakey".contains) || megaSel.nonEmpty) {
       val megaDst = s"/tmp/graft-sfx$factor-megadup"
       if (!new java.io.File(s"$megaDst/documents.parquet").exists()) {
         println(s"-- materializing $megaDst (factor $factor, 50% one text)")
@@ -322,8 +326,14 @@ object ScaleStress {
       // first-occurrence join and q187's history-index join — the
       // mega-CHUNK skew those plans must survive without a task
       // concentrating the hot hash
-      for (name <- Seq("q24_exact_dedup", "q41_dedup_components",
-          "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental")) {
+      // q203/q205 ride the same replica: the 13-token boilerplate (≥ SufL
+      // = 12) in 50% of the docs is ONE interval family with corpus/2
+      // occurrences — the mega-FAMILY adversary for the lcp-interval
+      // key. q203's rollup and q205's survivor pass are groupBy
+      // aggregates (map-side combinable) + an AQE-splittable join, so
+      // peak_task_mb must stay flat; a per-interval window would
+      // concentrate the family in one task.
+      for (name <- (if (megaSel.nonEmpty) megaSel else megaNames)) {
         val b = minOf2(name, src)
         resetPeak()
         val m = minOf2(name, megaDst)

@@ -146,7 +146,7 @@ object SummaryWriter {
   private def specCatalog(basePath: String): (IndexedSeq[String], Int, LocalDate) =
     specCatalogAt(s"$basePath.SMSPEC")
 
-  private def specCatalogAt(smspecPath: String): (IndexedSeq[String], Int, LocalDate) = {
+  private[graft] def specCatalogAt(smspecPath: String): (IndexedSeq[String], Int, LocalDate) = {
     val spec = graft.io.EclKw.read(smspecPath).map(k => k.name -> k).toMap
     val kws = spec("KEYWORDS").strings
     val wgs = spec.get("WGNAMES").orElse(spec.get("NAMES")).map(_.strings)

@@ -484,6 +484,43 @@ class EclPushdownSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS push_ddl")
   }
 
+  test("SupportsReportStatistics: header-prescan estimates match the fleet exactly") {
+    import spark.implicits._
+    val d = tmpDir("stats")
+    (0 until 3).foreach { c =>
+      val rows = for { v <- Seq("FOPR", "FOPT"); t <- 0 until 10 }
+        yield (v, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(t)), 1.0 * t + c)
+      graft.write.SummaryWriter.write(
+        rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/CASE$c")
+    }
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    val df = spark.read.format("eclipse-unsmry").load(s"$d/*.UNSMRY")
+    val st = statsOf(df)
+    // the estimate (one case's header walk x 3 cases) is EXACT on a
+    // uniform fleet: 3 x 10 steps x 2 vectors
+    assert(st.numRows.getAsLong === df.count())
+    assert(st.numRows.getAsLong === 60L)
+    // sizeInBytes is exact unconditionally: the listed files' lengths
+    val bytes = new java.io.File(d).listFiles
+      .filter(_.getName.endsWith(".UNSMRY")).map(_.length).sum
+    assert(st.sizeInBytes.getAsLong === bytes)
+    // a pushed VECTOR selection narrows the row estimate with the scan
+    val one = df.where(col("VECTOR") === "FOPR")
+    val st2 = statsOf(one)
+    assert(st2.numRows.getAsLong === one.count())
+    assert(st2.numRows.getAsLong === 30L)
+    // a pushed DATE filter does NOT shrink it: upper bound by design
+    // (errs toward shuffling, never toward a mistaken broadcast)
+    val dated = df.where(col("DATE") === lit(java.sql.Date.valueOf("2024-01-03")))
+    assert(statsOf(dated).numRows.getAsLong === 60L)
+  }
+
   // ---- ordering-claim soundness --------------------------------------------
   // the scan REPORTS (CASE, DATE) ascending per partition and sort-
   // skipping plans (q191's shape) TRUST it — so the inputs that would

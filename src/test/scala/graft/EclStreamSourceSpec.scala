@@ -218,6 +218,9 @@ class EclStreamSourceSpec extends AnyFunSuite {
     failing("eclipse-unsmry", "filter.dates", "..")
     // malformed date
     failing("eclipse-unsmry", "filter.dates", "2021-1-5")
+    // inverted range: matches nothing — the same silent no-op class as
+    // the degenerate values above (ADVICE r12)
+    failing("eclipse-unsmry", "filter.dates", "2022-05-01..2022-01-01")
     // and filter.vectors on a non-unsmry format
     val e = intercept[Exception] {
       val q = spark.readStream.format("eclipse-unrst")
@@ -246,6 +249,27 @@ class EclStreamSourceSpec extends AnyFunSuite {
     val got = spark.table(sink).collect()
     assert(got.length === 2 * 4) // ONE case of three
     assert(got.forall(_.getString(0) == s"$src/CASE1"))
+  }
+
+  test("filter.cases naming no listed case fails loudly on a batch read") {
+    // a basename instead of the emitted path-minus-extension form would
+    // otherwise silently yield zero rows — the one filter.* misuse that
+    // used to no-op (ADVICE r12). Batch only: a streaming filter.cases
+    // may name a case whose file lands later.
+    val src = tmpDir("fcases-miss")
+    (0 until 2).foreach(writeCase(src, _))
+    val e = intercept[Exception] {
+      spark.read.format("eclipse-unsmry")
+        .option("filter.cases", "CASE1")
+        .load(s"$src/*.UNSMRY").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(m =>
+        m.contains("filter.cases") && m.contains("CASE1"))))
+    // the correct (emitted-CASE) form still reads
+    val ok = spark.read.format("eclipse-unsmry")
+      .option("filter.cases", s"$src/CASE1").load(s"$src/*.UNSMRY").collect()
+    assert(ok.nonEmpty && ok.forall(_.getString(0) == s"$src/CASE1"))
   }
 
   test("q202: kill at batch N commits exactly N, the restart drains to M, no case twice") {

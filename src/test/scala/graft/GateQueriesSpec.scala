@@ -2407,6 +2407,52 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out(2L) == ((60L, 1L)), "the second copy clips all 60 tokens as ONE span")
   }
 
+  test("q203/q205: islands survive a forced multi-partition split (seam-chained intervals)") {
+    // 100 identical 30-token docs: every positional interval has 100
+    // members, and with 32 range partitions over ~3000 suffix rows (~94
+    // rows each) the pigeonhole guarantees islands straddle partition
+    // boundaries — the boundary-island seam chain must reassemble them
+    // into EXACTLY the intervals a single-partition run produces
+    val T = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = ((0 until 100).map(d => (d.toLong, T)) ++
+      (100 until 103).map(d =>
+        (d.toLong, (1 to 15).map(i => s"u${d}_$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAt(n: String): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try (graft.queries.TextAnalytics.suffixRepeats(docs).collect().toSeq,
+        graft.queries.TextAnalytics.suffixClip(docs).collect().toSeq)
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    val (rep32, clip32) = runAt("32")
+    val (rep1, clip1) = runAt("1")
+    assert(rep32 == rep1, "q203 output drifted across partition counts")
+    assert(clip32 == clip1, "q205 output drifted across partition counts")
+    // and the split run is RIGHT, not merely self-consistent: one
+    // maximal repeat (the full 30-token text, 100 occurrences — interior
+    // positions all share their left token and filter out)
+    assert(rep32.length == 1, rep32.mkString("|"))
+    assert(rep32.head.getLong(1) == 30 && rep32.head.getLong(2) == 100)
+    val byDoc = clip32.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(byDoc(0L) == ((0L, 30L)), "doc 0 holds every first occurrence")
+    (1L until 100L).foreach(d => assert(byDoc(d) == ((30L, 0L)), s"doc $d"))
+    (100L until 103L).foreach(d => assert(byDoc(d) == ((0L, 15L)), s"doc $d"))
+  }
+
+  test("SQL-DDL gates leave no ens_* table in the session catalog (hygiene)") {
+    // the DDL quartet creates fixed-name gate tables; a long-lived user
+    // session must not accumulate them — each gate drops its table after
+    // materializing (r12 verdict hygiene item)
+    Seq("q172_sql_ddl_grid", "q199_sql_ddl_unrst",
+      "q200_sql_ddl_unsmry", "q201_sql_ddl_rft").foreach { n =>
+      assert(graft.SparkEntry.queries(n)(spark, Sf).count() > 0, n)
+    }
+    val left = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("ens_"))
+    assert(left.isEmpty, s"gate tables left behind: ${left.mkString(",")}")
+  }
+
   test("q181: corpus dedup actually fires and conserves chars") {
     val out = graft.queries.TextAnalytics.q181CdcDedup(spark, "/root/testdata/sf0.01")
       .collect()
