@@ -550,10 +550,23 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     * but NOT DATE/WELL predicates — the estimate stays an upper bound,
     * which errs toward shuffling, never toward a mistaken broadcast.
     * Formats whose row count needs a declared vector (unrst/egrid)
-    * report no numRows when none is declared, rather than guessing.
+    * report no numRows when none resolves, rather than guessing — and
+    * numRows is never allowed to UNDERestimate: a vector missing from a
+    * file still emits null-valued rows, so absence means "unknown", not
+    * zero.
+    *
+    * Memoized: Spark recomputes logical stats per optimization round
+    * (and per micro-batch for stream-static joins via
+    * StreamingDataSourceV2ScanRelation.computeStats), and this walk
+    * must not re-list a 1000-case directory each time — the
+    * plannedPartitionCount discipline. The LENIENT listing keeps a
+    * stats request over a not-yet-populated streaming source directory
+    * from crashing the query: empty source = 0 bytes, unknown rows
+    * (batch reads still fail loudly in planInputPartitions).
     */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val files = EclBinaryDataSource.cases(path, EclBinaryDataSource.extOf(kind))
+  private lazy val estimatedStats: org.apache.spark.sql.connector.read.Statistics = {
+    val files = EclBinaryDataSource
+      .casesLenient(path, EclBinaryDataSource.extOf(kind))
       .filter { f =>
         val id = caseIdOf(f)
         caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
@@ -572,24 +585,27 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
           val steps = graft.io.EclKw.headers(first).count(_._1 == "PARAMS")
           Some(steps.toLong * emitted)
         case "unrst" =>
-          // one row per (step, active cell): each step carries the
-          // declared vector as a keyword of length nactive
-          vectors.headOption.map { v =>
-            graft.io.EclKw.headers(first)
-              .collect { case (n, _, c) if n == v => c.toLong }.sum
-          }
+          // one row per (step, active cell) REGARDLESS of which vectors
+          // each step carries (missing ones are null): steps from the
+          // SEQNUM markers, nactive from the largest declared-vector
+          // payload seen anywhere in the file; no vector found => unknown
+          val hs = graft.io.EclKw.headers(first)
+          val steps = hs.count(_._1 == "SEQNUM")
+          val vset = vectors.toSet
+          val nactive = hs.collect { case (n, _, c) if vset(n) => c.toLong }
+          if (nactive.isEmpty) None else Some(steps.toLong * nactive.max)
         case "rft" =>
           // one row per (report group, connection): CONIPOS length per group
           Some(graft.io.EclKw.headers(first)
             .collect { case ("CONIPOS", _, c) => c.toLong }.sum)
         case "egrid" =>
-          // one row per active cell = any INIT property array's length
-          vectors.headOption.map { v =>
-            val base = first.dropRight(".EGRID".length)
-            graft.io.EclKw.headers(graft.io.EclKw.sibling(base, ".INIT"))
-              .collectFirst { case (n, _, c) if n == v => c.toLong }
-              .getOrElse(0L)
-          }
+          // one row per active cell = any INIT property array's length;
+          // none of the declared vectors present => unknown, NEVER zero
+          // (the scan still emits every active cell with null properties)
+          val base = first.dropRight(".EGRID".length)
+          val vset = vectors.toSet
+          graft.io.EclKw.headers(graft.io.EclKw.sibling(base, ".INIT"))
+            .collectFirst { case (n, _, c) if vset(n) => c.toLong }
       } catch {
         // statistics are advisory: a malformed file must fail the SCAN
         // loudly, not the planner's estimate pass
@@ -605,6 +621,9 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
           java.util.OptionalLong.of(r * nCases))
     }
   }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    estimatedStats
 
   /** The DecodeStats skip evidence, surfaced in the Spark UI: at
     * production scale the skip fractions (payloads decoded vs. a full

@@ -309,7 +309,11 @@ object ScaleStress {
       "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental",
       "q203_suffix_repeats", "q205_suffix_clip")
     val megaSel = megaNames.filter(n => only.exists(n.contains))
-    if (only.isEmpty || only.exists("qdedup_megakey".contains) || megaSel.nonEmpty) {
+    // the legacy 'qdedup_megakey' token selects the FULL block even when
+    // combined with specific names — a mixed filter must not silently
+    // shrink the sweep (review finding)
+    val megaAll = only.isEmpty || only.exists("qdedup_megakey".contains)
+    if (megaAll || megaSel.nonEmpty) {
       val megaDst = s"/tmp/graft-sfx$factor-megadup"
       if (!new java.io.File(s"$megaDst/documents.parquet").exists()) {
         println(s"-- materializing $megaDst (factor $factor, 50% one text)")
@@ -333,7 +337,7 @@ object ScaleStress {
       // aggregates (map-side combinable) + an AQE-splittable join, so
       // peak_task_mb must stay flat; a per-interval window would
       // concentrate the family in one task.
-      for (name <- (if (megaSel.nonEmpty) megaSel else megaNames)) {
+      for (name <- (if (megaAll) megaNames else megaSel)) {
         val b = minOf2(name, src)
         resetPeak()
         val m = minOf2(name, megaDst)

@@ -519,6 +519,37 @@ class EclPushdownSpec extends AnyFunSuite {
     // (errs toward shuffling, never toward a mistaken broadcast)
     val dated = df.where(col("DATE") === lit(java.sql.Date.valueOf("2024-01-03")))
     assert(statsOf(dated).numRows.getAsLong === 60L)
+    // an EMPTY source directory must not crash the stats pass — Spark
+    // computes STREAMING-relation stats per micro-batch via
+    // estimateStatistics (StreamingDataSourceV2ScanRelation.computeStats),
+    // and a polled directory may not have received its first case yet
+    // (review finding): 0 bytes, unknown rows. Probed on the scan
+    // directly — a BATCH read of an empty dir still fails loudly (its
+    // strict listing runs in outputPartitioning/planInputPartitions).
+    val empty = tmpDir("stats-empty")
+    val stE = new graft.io.datasource.EclBinaryTable(
+      "unsmry", s"$empty/*.UNSMRY", Nil, false)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stE.sizeInBytes.getAsLong === 0L)
+    assert(!stE.numRows.isPresent)
+    intercept[Exception] { // the batch route keeps its loud failure
+      spark.read.format("eclipse-unsmry").load(s"$empty/*.UNSMRY").collect()
+    }
+    // a declared vector ABSENT from the file still emits null-valued
+    // rows, so its row estimate must be UNKNOWN, never zero (the upper-
+    // bound contract; review finding)
+    val du = tmpDir("stats-novec")
+    writeUnrst(du)
+    val stM = statsOf(spark.read.format("eclipse-unrst")
+      .option("vectors", "SGAS").load(s"$du/PUSH.UNRST"))
+    assert(!stM.numRows.isPresent, "missing vector must be unknown, not 0")
+    // ...while a present one sizes exactly: 5 steps x 40 active cells
+    val stP = statsOf(spark.read.format("eclipse-unrst")
+      .option("vectors", "PRESSURE").load(s"$du/PUSH.UNRST"))
+    assert(stP.numRows.getAsLong === 200L)
   }
 
   // ---- ordering-claim soundness --------------------------------------------
