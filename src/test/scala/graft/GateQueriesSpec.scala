@@ -2453,6 +2453,64 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(left.isEmpty, s"gate tables left behind: ${left.mkString(",")}")
   }
 
+  test("q203 property: random corpora match a brute-force maximal-repeat oracle") {
+    // seeded random corpora with planted shared phrases, checked against
+    // an INDEPENDENT enumeration of the Gusfield maximal-repeat
+    // definition (occurrences >= 2, left-diverse with per-doc doc-start
+    // sentinels, not right-extendable by one common token, cap-truncated
+    // at K) — the event-based island pipeline must reproduce it exactly,
+    // including nested intervals and doc-end right-maximality
+    import graft.functions.PortableStringHash
+    val L = graft.queries.TextAnalytics.SufL
+    val K = graft.queries.TextAnalytics.SufK
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = Vector("xa", "yb", "zc", "wd")
+    def phrase(n: Int): Vector[String] =
+      Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size)) + rnd.nextInt(3))
+    for (trial <- 1 to 8) {
+      val shared = Vector.fill(3)(phrase(L + rnd.nextInt(12)))
+      def mkDoc(): Vector[String] = {
+        var t = Vector.empty[String]
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          t = t ++ phrase(rnd.nextInt(6))
+          if (rnd.nextBoolean()) t = t ++ shared(rnd.nextInt(3))
+        }
+        t ++ phrase(rnd.nextInt(4))
+      }
+      val corpus = (0 until 6).map(d => (d.toLong, mkDoc()))
+      val df = corpus.map { case (d, t) => (d, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.TextAnalytics.suffixRepeats(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val exp = (for {
+        (d, toks) <- corpus
+        v <- L to K
+        p <- 0 to toks.length - v
+      } yield ((v, toks.slice(p, p + v)), (d, p)))
+        .groupBy(_._1).flatMap { case ((v, s), occ0) =>
+          val os = occ0.map(_._2)
+          val prevs = os.map { case (d, p) =>
+            if (p == 0) s" $d" else corpus(d.toInt)._2(p - 1) }.toSet
+          // right-closed: every occurrence continues with the SAME next
+          // token (below the cap) — then the interval only exists at a
+          // longer length; a doc-end occurrence always breaks closure
+          val rightClosed = v < K &&
+            os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
+            os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
+          if (os.size >= 2 && prevs.size >= 2 && !rightClosed) {
+            val h = s.foldLeft(0L)((a, t) =>
+              (a * 131 + PortableStringHash.hashString(t)) % PortableStringHash.P)
+            Some((h, v.toLong, os.size.toLong,
+              os.map(_._1).min, os.map(_._1).max))
+          } else None
+        }.toSet
+      assert(got == exp,
+        s"trial $trial: engine=${got.size} brute=${exp.size} " +
+          s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    }
+  }
+
   test("q181: corpus dedup actually fires and conserves chars") {
     val out = graft.queries.TextAnalytics.q181CdcDedup(spark, "/root/testdata/sf0.01")
       .collect()
