@@ -2508,6 +2508,48 @@ class GateQueriesSpec extends AnyFunSuite {
       assert(got == exp,
         s"trial $trial: engine=${got.size} brute=${exp.size} " +
           s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+
+      // and the q205 clip against the same corpus: brute-force intervals
+      // are ALL (v, s) groups with >= 2 occurrences at their true value
+      // (left-diversity deliberately OFF — the removal pass needs the
+      // non-diverse interior intervals to chain coverage); survivor =
+      // min (doc, pos); the rest cover [p, p+v) and union per doc
+      val clipGot = graft.queries.TextAnalytics.suffixClip(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val covered = scala.collection.mutable.Map[Long, List[(Int, Int)]]()
+        .withDefaultValue(Nil)
+      (for {
+        (d, toks) <- corpus
+        v <- L to K
+        p <- 0 to toks.length - v
+      } yield ((v, toks.slice(p, p + v)), (d, p)))
+        .groupBy(_._1).foreach { case ((v, s), occ0) =>
+          val os = occ0.map(_._2)
+          val rightClosed = v < K &&
+            os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
+            os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
+          if (os.size >= 2 && !rightClosed) {
+            val survivor = os.min
+            os.filterNot(_ == survivor).foreach { case (d, p) =>
+              covered(d) = (p, p + v) :: covered(d)
+            }
+          }
+        }
+      corpus.foreach { case (d, toks) =>
+        val spans = covered(d).sorted
+          .foldLeft(List.empty[(Int, Int)]) {
+            case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+              if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+            case (Nil, sp) => sp :: Nil
+          }
+        val nRem = spans.map { case (s0, e0) => (e0 - s0).toLong }.sum
+        val nTok = toks.length.toLong
+        val expRow = (nTok, nRem, spans.length.toLong, nTok - nRem,
+          if (nTok == 0) 0L else nRem * 10000 / nTok)
+        assert(clipGot(d) == expRow,
+          s"trial $trial doc $d: engine=${clipGot(d)} brute=$expRow")
+      }
     }
   }
 
