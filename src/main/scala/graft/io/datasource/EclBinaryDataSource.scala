@@ -550,21 +550,30 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     * but NOT DATE/WELL predicates — the estimate stays an upper bound,
     * which errs toward shuffling, never toward a mistaken broadcast.
     * Formats whose row count needs a declared vector (unrst/egrid)
-    * report no numRows when none resolves, rather than guessing — and
-    * numRows is never allowed to UNDERestimate: a vector missing from a
-    * file still emits null-valued rows, so absence means "unknown", not
-    * zero.
+    * report no numRows when none resolves, rather than guessing — and a
+    * vector missing from a file still emits null-valued rows, so
+    * absence means "unknown", never zero. Rows scale with BYTES, not
+    * case count: numRows = firstCaseRows × totalBytes / firstCaseBytes,
+    * so a heterogeneous fleet (an aborted short realization sorting
+    * first) cannot drag the estimate to a fraction of the truth the
+    * way firstRows × nCases would.
     *
-    * Memoized: Spark recomputes logical stats per optimization round
-    * (and per micro-batch for stream-static joins via
-    * StreamingDataSourceV2ScanRelation.computeStats), and this walk
-    * must not re-list a 1000-case directory each time — the
-    * plannedPartitionCount discipline. The LENIENT listing keeps a
-    * stats request over a not-yet-populated streaming source directory
-    * from crashing the query: empty source = 0 bytes, unknown rows
-    * (batch reads still fail loudly in planInputPartitions).
+    * Freshness vs cost: the LISTING and byte totals are recomputed per
+    * request — Spark asks for streaming-relation stats per micro-batch
+    * (StreamingDataSourceV2ScanRelation.computeStats), and a stats
+    * object frozen at stream start would report an empty-at-start
+    * directory as 0 bytes forever, inviting exactly the mistaken
+    * broadcast the estimate exists to prevent. Only the header
+    * PRESCAN is cached, keyed by (file, length) so a growing live file
+    * re-walks — per-request cost is one listing + one length() per
+    * case, the same order as the streaming source's own per-trigger
+    * poll. An empty listing yields 0 bytes / unknown rows (batch reads
+    * still fail loudly in planInputPartitions).
     */
-  private lazy val estimatedStats: org.apache.spark.sql.connector.read.Statistics = {
+  private val prescanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val files = EclBinaryDataSource
       .casesLenient(path, EclBinaryDataSource.extOf(kind))
       .filter { f =>
@@ -572,8 +581,31 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
         caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
       }
     val bytes = files.map(f => new java.io.File(f).length()).sum
-    val rowsPerCase: Option[Long] = files.headOption.flatMap { first =>
-      try kind match {
+    // (rows, bytes) of the representative first case, header-walked once
+    // per (path, length) per Scan (vectorSel/vectors are fixed per Scan,
+    // so the instance-level cache never mixes selections)
+    val firstEst: Option[(Long, Long)] = files.headOption.flatMap { first =>
+      val fb = new java.io.File(first).length()
+      prescanCache.computeIfAbsent(s"$first@$fb",
+        _ => prescanRows(first).map(r => (r, fb)))
+    }
+    val estRows: Option[Long] = firstEst.flatMap { case (r, fb) =>
+      if (fb <= 0L) None
+      else Some(math.round(r.toDouble / fb.toDouble * bytes.toDouble))
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        estRows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+  }
+
+  /** Rows of ONE case from its 24-byte keyword headers (payloads seeked
+    * past; [[graft.io.EclKw.headers]]); None = unknown, never a guess. */
+  private def prescanRows(first: String): Option[Long] = {
+    try kind match {
         case "unsmry" =>
           val base = first.dropRight(".UNSMRY".length)
           val (vecs, timeIdx, _) = graft.write.SummaryWriter.specCatalogAt(
@@ -606,24 +638,12 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
           val vset = vectors.toSet
           graft.io.EclKw.headers(graft.io.EclKw.sibling(base, ".INIT"))
             .collectFirst { case (n, _, c) if vset(n) => c.toLong }
-      } catch {
-        // statistics are advisory: a malformed file must fail the SCAN
-        // loudly, not the planner's estimate pass
-        case scala.util.control.NonFatal(_) => None
-      }
-    }
-    val nCases = files.length
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        rowsPerCase.fold(java.util.OptionalLong.empty())(r =>
-          java.util.OptionalLong.of(r * nCases))
+    } catch {
+      // statistics are advisory: a malformed file must fail the SCAN
+      // loudly, not the planner's estimate pass
+      case scala.util.control.NonFatal(_) => None
     }
   }
-
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    estimatedStats
 
   /** The DecodeStats skip evidence, surfaced in the Spark UI: at
     * production scale the skip fractions (payloads decoded vs. a full

@@ -857,9 +857,14 @@ object TextAnalytics {
     }
     val starts = ordinal(events(col("plcp")))
     val ends = ordinal(events(col("nlcp")))
+    // persisted: the self anti-join below and the occurrence expansion
+    // would otherwise re-derive the event subtree per consumer (the
+    // same single-evaluation discipline as docs/local/ranked) —
+    // island-count-sized, so the blocks are tiny
     val cand = starts.select(col("v"), col("idx"), (col("rank") - 1).as("lo"))
       .join(ends.select(col("v"), col("idx"), col("rank").as("hi")),
         Seq("v", "idx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dedup to the TRUE value: island (v, lo, hi) has min member lcp = v
     // iff the IDENTICAL range is not also a (v+1)-island (all members
     // >= v+1 would reproduce the exact range one level up; any member
@@ -876,7 +881,8 @@ object TextAnalytics {
       .join(ranked.select(col("rank"), col("doc_id"), col("pos"), col("prevh")),
         Seq("rank"))
     (docs, occ,
-      () => { docs.unpersist(false); local.unpersist(false); ranked.unpersist(false) })
+      () => { docs.unpersist(false); local.unpersist(false)
+        ranked.unpersist(false); cand.unpersist(false) })
   }
 
   /** q205: SUFFIX-CLIP DEDUP — the REMOVAL pass Lee et al. 2022 run

@@ -550,6 +550,24 @@ class EclPushdownSpec extends AnyFunSuite {
     val stP = statsOf(spark.read.format("eclipse-unrst")
       .option("vectors", "PRESSURE").load(s"$du/PUSH.UNRST"))
     assert(stP.numRows.getAsLong === 200L)
+    // heterogeneous fleet: rows scale with BYTES, not case count — an
+    // aborted short realization sorting FIRST must not drag the
+    // estimate to firstRows x nCases (review finding)
+    val dh = tmpDir("stats-hetero")
+    def writeSteps(base: String, steps: Int): Unit = {
+      val rows = for { v <- Seq("FOPR", "FOPT"); t <- 0 until steps }
+        yield (v, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(t)), 1.0 * t)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), base)
+    }
+    writeSteps(s"$dh/CASE0", 5) // sorts first
+    writeSteps(s"$dh/CASE1", 50)
+    val dfh = spark.read.format("eclipse-unsmry").load(s"$dh/*.UNSMRY")
+    val actual = dfh.count() // (5 + 50) steps x 2 vectors = 110
+    val est = statsOf(dfh).numRows.getAsLong
+    assert(est > 5L * 2 * 2, s"est=$est must beat firstRows x nCases = 20")
+    assert(math.abs(est - actual) <= actual / 4,
+      s"byte-proportional estimate est=$est too far from actual=$actual")
   }
 
   // ---- ordering-claim soundness --------------------------------------------
