@@ -552,54 +552,62 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     * Formats whose row count needs a declared vector (unrst/egrid)
     * report no numRows when none resolves, rather than guessing — and a
     * vector missing from a file still emits null-valued rows, so
-    * absence means "unknown", never zero. Rows scale with BYTES, not
-    * case count: numRows = firstCaseRows × totalBytes / firstCaseBytes,
-    * so a heterogeneous fleet (an aborted short realization sorting
-    * first) cannot drag the estimate to a fraction of the truth the
-    * way firstRows × nCases would.
+    * absence (or a row-less just-created first file) means "unknown",
+    * never zero. The estimate is the LARGER of two scalings of the
+    * first case's header-walked row count — byte-proportional
+    * (firstRows × totalBytes/firstBytes: robust to an aborted short
+    * realization sorting first) and per-case (firstRows × nCases:
+    * robust to per-file fixed overhead dominating a tiny first file) —
+    * exact on uniform fleets, an ESTIMATE on mixed ones; it is not a
+    * guaranteed bound, but it can never be zero, and pushed
+    * DATE/WELL predicates never shrink it.
     *
-    * Freshness vs cost: the LISTING and byte totals are recomputed per
-    * request — Spark asks for streaming-relation stats per micro-batch
-    * (StreamingDataSourceV2ScanRelation.computeStats), and a stats
+    * Caching: computed once and reused for the life of the Scan — with
+    * ONE exception: an EMPTY listing is never cached, because Spark
+    * asks for streaming-relation stats per micro-batch
+    * (StreamingDataSourceV2ScanRelation.computeStats) and a stats
     * object frozen at stream start would report an empty-at-start
     * directory as 0 bytes forever, inviting exactly the mistaken
-    * broadcast the estimate exists to prevent. Only the header
-    * PRESCAN is cached, keyed by (file, length) so a growing live file
-    * re-walks — per-request cost is one listing + one length() per
-    * case, the same order as the streaming source's own per-trigger
-    * poll. An empty listing yields 0 bytes / unknown rows (batch reads
-    * still fail loudly in planInputPartitions).
+    * broadcast the estimate exists to prevent. Once files land, the
+    * snapshot is cached (batch plans re-request stats per optimization
+    * round and must not re-list a 1000-case directory each time — the
+    * plannedPartitionCount discipline); later growth of a live
+    * streaming file only staleness-shifts an estimate.
     */
-  private val prescanCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+  @volatile private var cachedStats
+      : org.apache.spark.sql.connector.read.Statistics = null
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val cached = cachedStats
+    if (cached != null) return cached
     val files = EclBinaryDataSource
       .casesLenient(path, EclBinaryDataSource.extOf(kind))
       .filter { f =>
         val id = caseIdOf(f)
         caseSet.forall(_.contains(id)) && runtimeCases.forall(_.contains(id))
       }
-    val bytes = files.map(f => new java.io.File(f).length()).sum
-    // (rows, bytes) of the representative first case, header-walked once
-    // per (path, length) per Scan (vectorSel/vectors are fixed per Scan,
-    // so the instance-level cache never mixes selections)
-    val firstEst: Option[(Long, Long)] = files.headOption.flatMap { first =>
-      val fb = new java.io.File(first).length()
-      prescanCache.computeIfAbsent(s"$first@$fb",
-        _ => prescanRows(first).map(r => (r, fb)))
+    // each file stat'ed ONCE: the first file's length must be the same
+    // number inside the byte total and under the ratio, or a live
+    // append between two reads skews the scaling
+    val lens = files.map(f => f -> new java.io.File(f).length())
+    val bytes = lens.map(_._2).sum
+    val estRows: Option[Long] = lens.headOption.flatMap { case (first, fb) =>
+      prescanRows(first).flatMap { r =>
+        if (r <= 0L || fb <= 0L) None // no evidence — unknown, never 0
+        else Some(math.max(
+          math.round(r.toDouble / fb.toDouble * bytes.toDouble),
+          r * files.length))
+      }
     }
-    val estRows: Option[Long] = firstEst.flatMap { case (r, fb) =>
-      if (fb <= 0L) None
-      else Some(math.round(r.toDouble / fb.toDouble * bytes.toDouble))
-    }
-    new org.apache.spark.sql.connector.read.Statistics {
+    val stats = new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         estRows.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)
     }
+    if (files.nonEmpty) cachedStats = stats // benign race: same snapshot class
+    stats
   }
 
   /** Rows of ONE case from its 24-byte keyword headers (payloads seeked

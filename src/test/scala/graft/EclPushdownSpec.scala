@@ -515,8 +515,9 @@ class EclPushdownSpec extends AnyFunSuite {
     val st2 = statsOf(one)
     assert(st2.numRows.getAsLong === one.count())
     assert(st2.numRows.getAsLong === 30L)
-    // a pushed DATE filter does NOT shrink it: upper bound by design
-    // (errs toward shuffling, never toward a mistaken broadcast)
+    // a pushed DATE filter does NOT shrink it: predicates never reduce
+    // the estimate (errs toward shuffling, never toward a mistaken
+    // broadcast)
     val dated = df.where(col("DATE") === lit(java.sql.Date.valueOf("2024-01-03")))
     assert(statsOf(dated).numRows.getAsLong === 60L)
     // an EMPTY source directory must not crash the stats pass — Spark
