@@ -562,24 +562,23 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     * guaranteed bound, but it can never be zero, and pushed
     * DATE/WELL predicates never shrink it.
     *
-    * Caching: computed once and reused for the life of the Scan — with
-    * ONE exception: an EMPTY listing is never cached, because Spark
-    * asks for streaming-relation stats per micro-batch
-    * (StreamingDataSourceV2ScanRelation.computeStats) and a stats
-    * object frozen at stream start would report an empty-at-start
-    * directory as 0 bytes forever, inviting exactly the mistaken
-    * broadcast the estimate exists to prevent. Once files land, the
-    * snapshot is cached (batch plans re-request stats per optimization
-    * round and must not re-list a 1000-case directory each time — the
-    * plannedPartitionCount discipline); later growth of a live
-    * streaming file only staleness-shifts an estimate.
+    * Freshness: the LISTING and byte totals are recomputed on EVERY
+    * request, deliberately — Spark asks for streaming-relation stats
+    * per micro-batch (StreamingDataSourceV2ScanRelation.computeStats)
+    * and new realizations land mid-stream; AQE re-requests stats after
+    * runtime CASE pruning. Any whole-snapshot freeze re-creates the
+    * understated-size broadcast hazard from some angle (empty-at-start,
+    * a 0-byte first file, late-arriving cases, post-DPP pruning — each
+    * was a measured review finding). The per-request cost — one listing
+    * + one length() per case — is the same class the streaming source
+    * itself pays per trigger poll; only the header WALK (the file I/O
+    * that actually costs something) is memoized, in a single slot keyed
+    * by (file, length), so the memo is O(1) for the life of the Scan
+    * and a grown or different first file re-walks.
     */
-  @volatile private var cachedStats
-      : org.apache.spark.sql.connector.read.Statistics = null
+  @volatile private var prescanMemo: (String, Long, Option[Long]) = null
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val cached = cachedStats
-    if (cached != null) return cached
     val files = EclBinaryDataSource
       .casesLenient(path, EclBinaryDataSource.extOf(kind))
       .filter { f =>
@@ -592,22 +591,28 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     val lens = files.map(f => f -> new java.io.File(f).length())
     val bytes = lens.map(_._2).sum
     val estRows: Option[Long] = lens.headOption.flatMap { case (first, fb) =>
-      prescanRows(first).flatMap { r =>
+      val memo = prescanMemo
+      val rows =
+        if (memo != null && memo._1 == first && memo._2 == fb) memo._3
+        else {
+          val r = prescanRows(first)
+          prescanMemo = (first, fb, r) // benign race: same value class
+          r
+        }
+      rows.flatMap { r =>
         if (r <= 0L || fb <= 0L) None // no evidence — unknown, never 0
         else Some(math.max(
           math.round(r.toDouble / fb.toDouble * bytes.toDouble),
           r * files.length))
       }
     }
-    val stats = new org.apache.spark.sql.connector.read.Statistics {
+    new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         estRows.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)
     }
-    if (files.nonEmpty) cachedStats = stats // benign race: same snapshot class
-    stats
   }
 
   /** Rows of ONE case from its 24-byte keyword headers (payloads seeked

@@ -528,17 +528,31 @@ class EclPushdownSpec extends AnyFunSuite {
     // directly — a BATCH read of an empty dir still fails loudly (its
     // strict listing runs in outputPartitioning/planInputPartitions).
     val empty = tmpDir("stats-empty")
-    val stE = new graft.io.datasource.EclBinaryTable(
+    val emptyScan = new graft.io.datasource.EclBinaryTable(
       "unsmry", s"$empty/*.UNSMRY", Nil, false)
       .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap())).build()
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
-      .estimateStatistics()
+    val stE = emptyScan.estimateStatistics()
     assert(stE.sizeInBytes.getAsLong === 0L)
     assert(!stE.numRows.isPresent)
     intercept[Exception] { // the batch route keeps its loud failure
       spark.read.format("eclipse-unsmry").load(s"$empty/*.UNSMRY").collect()
     }
+    // STATS FRESHNESS on the SAME scan instance: a streaming query holds
+    // one Scan for its whole life and realizations land mid-stream — a
+    // snapshot frozen at the empty (or first-file) state would feed the
+    // planner understated sizes forever (review finding). Files landing
+    // AFTER the first request must show up on the next one.
+    val rows2 = for { v <- Seq("FOPR", "FOPT"); t <- 0 until 10 }
+      yield (v, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(t)), 2.0 * t)
+    graft.write.SummaryWriter.write(
+      rows2.toDF("VECTOR", "DATE", "VALUE"), s"$empty/LATE")
+    val stL = emptyScan.estimateStatistics()
+    assert(stL.sizeInBytes.getAsLong > 0L,
+      "a case landing after the first stats request must be visible")
+    assert(stL.numRows.getAsLong === 20L)
     // a declared vector ABSENT from the file still emits null-valued
     // rows, so its row estimate must be UNKNOWN, never zero (the upper-
     // bound contract; review finding)
