@@ -759,6 +759,44 @@ object BinaryGate {
       .orderBy(col("case_id"), col("day"))
   }
 
+  /** q206: RUNTIME (DPP-style) CASE PRUNING — the DYNAMIC half of the
+    * file-level partition pruning story (q176 is the static half, a
+    * literal `WHERE CASE = …`): here the surviving realizations are not
+    * known until ANOTHER table's filter evaluates. A parquet dimension
+    * frame (realization → group tag, the ensemble-metadata shape of an
+    * ERT runpath index) is filtered and broadcast-joined against the
+    * fleet scan on CASE; Spark's dynamic partition pruning reuses the
+    * broadcast as a `DynamicPruningSubquery` against the scan's
+    * [[EclBinaryScan.filterAttributes]] (`SupportsRuntimeFiltering`), so
+    * the NON-matching realizations' files are never opened — at a
+    * 1000-case ensemble where the metadata filter keeps 50 realizations,
+    * 95% of the fleet's bytes are pruned by a filter the scan could not
+    * see statically. The gate hashes the per-case rollup against the
+    * closed form restricted to the kept group; the companion spec
+    * (EclPushdownSpec) asserts the injected runtime filter AND the
+    * halved decode count — correctness here, plan+bytes evidence there.
+    */
+  def q206RuntimeCasePrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = writeFleetFixture(s, "q206")
+    // the ensemble-metadata dim lives in parquet (not a LocalRelation:
+    // Catalyst folds a filtered local frame into literals, leaving no
+    // selective predicate for the DPP planner to key on — probed, r13)
+    (0 until FleetCases).map(c => (s"$tmp/CASE$c", c % 2)).toDF("CASE", "grp")
+      .write.mode("overwrite").parquet(s"$tmp/runpaths")
+    val dim = s.read.parquet(s"$tmp/runpaths").filter(col("grp") === 1)
+    s.read.format("eclipse-unsmry").load(s"$tmp/*.UNSMRY")
+      .join(broadcast(dim), Seq("CASE"))
+      .groupBy(col("CASE"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("VALUE") * 32).cast("long")).as("sum_y32"),
+        countDistinct(col("VECTOR")).as("n_vectors"))
+      .withColumn("case_id",
+        regexp_extract(col("CASE"), "CASE([0-9]+)$", 1).cast("int"))
+      .select(col("case_id"), col("n_rows"), col("n_vectors"), col("sum_y32"))
+      .orderBy(col("case_id"))
+  }
+
   /** q168: q148's RFT FLEET replayed through the REGISTERED
     * `eclipse-rft` DataSourceV2 format — same fixtures, same oracle,
     * shared rftCaseRows kernel; pruned connection vectors seek past at
@@ -1942,6 +1980,7 @@ object BinaryGate {
     "q189_fleet_agg_colocated" -> (q189FleetAggColocated _),
     "q190_fleet_spj_ratio" -> (q190FleetSpjRatio _),
     "q191_fleet_window_pipelined" -> (q191FleetWindowPipelined _),
+    "q206_runtime_case_prune" -> (q206RuntimeCasePrune _),
     "q167_summary_fleet_sql" -> (q167SummaryFleetSql _),
     "q117_grid_fleet" -> (q117GridFleet _),
     "q164_grid_fleet_sql" -> (q164GridFleetSql _),
@@ -2355,6 +2394,21 @@ object BinaryGate {
         |o AS (SELECT case_id, vi,
         |             CAST(32000 * vi + 33 * day + 224 * case_id AS BIGINT) AS y32
         |      FROM c CROSS JOIN v CROSS JOIN d)
+        |SELECT CAST(case_id AS INT) AS case_id,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT vi) AS BIGINT) AS n_vectors,
+        |       CAST(sum(y32) AS BIGINT) AS sum_y32
+        |FROM o GROUP BY 1 ORDER BY case_id""".stripMargin,
+    // q206: q189's rollup restricted to the dim-filtered group (odd
+    // realizations) — runtime pruning must change WHICH files are read,
+    // never what the surviving cases' rows contain
+    "q206_runtime_case_prune" ->
+      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+        |v AS (SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+        |d AS (SELECT unnest(range($SumDays)) AS day),
+        |o AS (SELECT case_id, vi,
+        |             CAST(32000 * vi + 33 * day + 224 * case_id AS BIGINT) AS y32
+        |      FROM c CROSS JOIN v CROSS JOIN d WHERE case_id % 2 = 1)
         |SELECT CAST(case_id AS INT) AS case_id,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT vi) AS BIGINT) AS n_vectors,

@@ -958,6 +958,94 @@ object TextAnalytics {
     materialized
   }
 
+  /** Eval-slice rule for q207: documents with doc_id ≡ [[DecontamRes]]
+    * (mod [[DecontamMod]]) stand in for the held-out benchmark corpus —
+    * deterministic, so the oracle replays the same split. */
+  private[graft] val DecontamMod = 11L
+  private[graft] val DecontamRes = 3L
+
+  /** q207: EXACT SUBSTRING DECONTAMINATION — the cross-corpus form of
+    * the q203/q205 suffix discipline: every TRAIN-document token run of
+    * length ≥ [[SufL]] that appears VERBATIM anywhere in the EVAL
+    * (benchmark) corpus, unioned into per-doc contaminated spans with
+    * exact counts. This is the benchmark-leakage scrub the n-gram
+    * auditors (q61/q103/q183) approximate at shingle granularity, done
+    * exactly: the GPT-3/PaLM-style "N-token verbatim overlap" rule with
+    * the overlap length measured precisely instead of sampled at a
+    * fixed shingle width.
+    *
+    * Mechanism: ONE suffix order over the combined corpus (the q203
+    * kernel — train/eval membership plays no role until after the
+    * lcp-interval occurrence frame exists); an interval is CONTAMINATING
+    * iff its occurrence set touches an eval document; the train-side
+    * occurrences of those intervals clip exactly like q205 (coverage
+    * chains past the [[SufK]] cap by the same m(i+1) ≥ m(i)−1 lemma, so
+    * a 500-token verbatim benchmark quote is covered end-to-end despite
+    * the 48-token suffix cap). Left-diversity is OFF for the same reason
+    * as q205: the interior capped intervals ARE the chain.
+    *
+    * Scale shape: everything up to `occ` is q203's (range-partitioned
+    * suffix sort, seam frames, event-based islands — no single-task
+    * stage); the eval-interval frame is island-count-bounded and
+    * DISTINCT-deduped (map-side combinable); the semi-join marking
+    * train occurrences is AQE-broadcastable when the benchmark footprint
+    * is small (the production case: benchmarks are MBs against TBs of
+    * train) and skew-splittable when it is not; the span union is
+    * q205's per-doc gaps-and-islands. Output = one row per train doc.
+    */
+  def q207DecontamClip(s: SparkSession, dir: String): DataFrame =
+    decontamClip(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      col("doc_id") % DecontamMod === DecontamRes)
+
+  /** The q207 kernel over any `(doc_id, text)` frame with an eval-slice
+    * predicate on doc_id — factored out so the spec can plant verbatim
+    * cross-corpus quotes and pin exact coverage, cap chaining, and the
+    * no-train-train-false-positive property directly. */
+  private[graft] def decontamClip(input: DataFrame, isEval: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (docs, occ0, cleanup) = suffixOcc(input)
+    val occ = occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // contaminating intervals: occurrence set touches an eval doc. The
+    // DISTINCT is interval-key-bounded (≤ island count) and its partial
+    // aggregation absorbs a mega-family's eval occurrences map-side.
+    val evalIv = occ.where(isEval).select(col("v"), col("lo"), col("hi")).distinct()
+    // train occurrences of contaminating intervals → covered token runs.
+    // Semi-join, not inner: membership is the question, and the build
+    // side carries ONE row per interval (AQE broadcasts it when small,
+    // splits residual skew when not — a window by interval never could).
+    val covered = occ.where(!isEval)
+      .join(evalIv, Seq("v", "lo", "hi"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
+    // per-doc interval union: q205's running-max gaps-and-islands
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
+    val spans = covered
+      .withColumn("maxe",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("news",
+        when(col("maxe").isNull || col("pos") > col("maxe"), 1).otherwise(0))
+      .withColumn("g", sum(col("news")).over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val contam = spans.groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("n_contam"),
+        count(lit(1)).as("n_spans"))
+    val out = docs
+      .where(!isEval)
+      .select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_tokens") - coalesce(col("n_contam"), lit(0L))).as("n_clean"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 " +
+          "ELSE (coalesce(n_contam, 0) * 10000) div n_tokens END").as("contam_bp"))
+      .orderBy(col("doc_id"))
+    val materialized = out.localCheckpoint(true)
+    occ.unpersist(false)
+    cleanup()
+    materialized
+  }
+
   private val WinK = 5
   private val WinW = 4
   /** Position-field width for the packed (hash, position) selection key:
@@ -1512,6 +1600,7 @@ object TextAnalytics {
     "q98_dup_spans" -> (q98DupSpans _),
     "q203_suffix_repeats" -> (q203SuffixRepeats _),
     "q205_suffix_clip" -> (q205SuffixClip _),
+    "q207_decontam_clip" -> (q207DecontamClip _),
     "q150_winnow" -> (q150Winnow _),
     "q155_kn_continuation" -> (q155KnContinuation _),
     "q169_kn_perplexity" -> (q169KnPerplexity _),
@@ -2013,6 +2102,40 @@ object TextAnalytics {
                       ELSE (coalesce(n_removed, 0) * 10000) // n_tokens
                  END AS removed_bp
           FROM nt LEFT JOIN rem USING (doc_id) ORDER BY nt.doc_id""",
+    // q207: the decontamination pass over the same occurrence relation —
+    // intervals touching an eval-slice doc mark their TRAIN occurrences,
+    // which union into per-doc contaminated spans (q205's union CTEs)
+    "q207_decontam_clip" ->
+      s"""WITH $suffixOccCtes,
+          ev AS (SELECT DISTINCT v, lo, hi FROM occ
+                 WHERE doc_id % $DecontamMod = $DecontamRes),
+          covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
+                      FROM occ o JOIN ev USING (v, lo, hi)
+                      WHERE o.doc_id % $DecontamMod <> $DecontamRes),
+          mx AS (SELECT doc_id, pos, e,
+                        max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS maxe
+                 FROM covered),
+          gi AS (SELECT doc_id, pos, e,
+                        sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
+                 FROM mx),
+          spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+                    FROM gi GROUP BY 1, 2),
+          con AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_contam,
+                         CAST(count(*) AS BIGINT) AS n_spans
+                  FROM spans GROUP BY 1),
+          nt AS (SELECT doc_id, CAST(len(ha) AS BIGINT) AS n_tokens FROM hal
+                 WHERE doc_id % $DecontamMod <> $DecontamRes)
+          SELECT nt.doc_id, n_tokens,
+                 coalesce(n_contam, 0) AS n_contam,
+                 coalesce(n_spans, 0) AS n_spans,
+                 n_tokens - coalesce(n_contam, 0) AS n_clean,
+                 CASE WHEN n_tokens = 0 THEN 0
+                      ELSE (coalesce(n_contam, 0) * 10000) // n_tokens
+                 END AS contam_bp
+          FROM nt LEFT JOIN con USING (doc_id) ORDER BY nt.doc_id""",
     "q97_lm_score" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                      FROM documents),

@@ -126,7 +126,7 @@ object ScaleStress {
       "q67_curation_pipeline", "q181_cdc_dedup", "q183_source_contamination",
       "q184_kcenter_sample", "q186_bpe_canonical", "q187_cdc_incremental",
       "q188_stream_cdc_ingest", "q192_nb_quality", "q195_edit_verify",
-      "q203_suffix_repeats", "q205_suffix_clip")
+      "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip")
     // q194/q196 are deliberately NOT in the ×N sweep: the replica corpus
     // duplicates texts (q194's answer grows quadratically — output size,
     // not the operator) and replicates the BENCH docs (q196's query side
@@ -307,7 +307,7 @@ object ScaleStress {
     // proof that no task held the mega-key's members.
     val megaNames = Seq("q24_exact_dedup", "q41_dedup_components",
       "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental",
-      "q203_suffix_repeats", "q205_suffix_clip")
+      "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip")
     val megaSel = megaNames.filter(n => only.exists(n.contains))
     // the legacy 'qdedup_megakey' token selects the FULL block even when
     // combined with specific names — a mixed filter must not silently
@@ -336,7 +336,12 @@ object ScaleStress {
       // key. q203's rollup and q205's survivor pass are groupBy
       // aggregates (map-side combinable) + an AQE-splittable join, so
       // peak_task_mb must stay flat; a per-interval window would
-      // concentrate the family in one task.
+      // concentrate the family in one task. q207 shares the adversary
+      // from the OTHER side: the boilerplate lands in eval-slice docs
+      // too (doc_id % 11 spans both halves), so the mega family IS a
+      // contaminating interval and its corpus/2 train occurrences all
+      // probe the semi-join on one interval key — the DISTINCT build
+      // side stays one row and the probe side must spread.
       for (name <- (if (megaAll) megaNames else megaSel)) {
         val b = minOf2(name, src)
         resetPeak()

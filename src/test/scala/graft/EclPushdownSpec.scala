@@ -369,6 +369,44 @@ class EclPushdownSpec extends AnyFunSuite {
       Array(paths(0), paths(2)).sorted)
   }
 
+  test("DSv2: dynamic partition pruning reaches the scan — non-matching cases never decode") {
+    import spark.implicits._
+    val d = tmpDir("case-dpp")
+    (0 until 4).foreach { c =>
+      val rows = for {
+        (v, vi) <- Seq("FOPR", "FOPT").zipWithIndex
+        t <- 0 until 10
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(t)),
+        10.0 * vi + t + c)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/CASE$c")
+    }
+    // the dim must be a FILE scan: a filtered LocalRelation folds to
+    // literals (ConvertToLocalRelation) and leaves no selective
+    // predicate for the DPP planner to key on — measured, r13
+    (0 until 4).map(c => (s"$d/CASE$c", c % 2)).toDF("CASE", "grp")
+      .write.mode("overwrite").parquet(s"$d/dim")
+    val fleet = spark.read.format("eclipse-unsmry").load(s"$d/*.UNSMRY")
+    val dim = spark.read.parquet(s"$d/dim").filter(col("grp") === 1)
+    val joined = fleet.join(broadcast(dim), Seq("CASE"))
+      .groupBy(col("CASE")).agg(count(lit(1)).as("n"))
+    DecodeStats.unsmryParams.reset()
+    val got = joined.collect()
+    // rows: cases 1 and 3 only, 2 vectors x 10 steps each
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq ===
+      Seq(s"$d/CASE1" -> 20L, s"$d/CASE3" -> 20L))
+    // decode evidence: ONLY the surviving cases' PARAMS records decoded —
+    // 2 cases x 10 steps, not 4 x 10; the pruned files were never opened
+    assert(DecodeStats.unsmryParams.sum() === 20)
+    // plan evidence: the runtime filter was actually injected on the scan
+    // (the executed plan hides the BatchScanExec inside query-stage
+    // leaves, so this asserts on the final plan text like AqeParitySpec)
+    val scanLine = PlanText.finalPlanOf(joined).linesIterator
+      .find(l => l.contains("BatchScan eclipse-unsmry"))
+      .getOrElse(fail("expected the eclipse-unsmry BatchScan in the final plan"))
+    assert(scanLine.contains("dynamicpruningexpression"),
+      s"expected a DynamicPruningExpression runtime filter on the binary scan, got: $scanLine")
+  }
+
   test("DSv2 egrid: a property-only projection computes ZERO geometry cells") {
     val sf = "/root/testdata/sf0.001" // fixtures are closed-form; dir unused
     DecodeStats.egridGeomCells.reset()

@@ -2407,6 +2407,45 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out(2L) == ((60L, 1L)), "the second copy clips all 60 tokens as ONE span")
   }
 
+  test("q207: only eval-touching runs contaminate; train-train repeats never do") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextAnalytics.{DecontamMod, DecontamRes}
+    val A = (1 to 20).map(i => s"a$i") // verbatim benchmark quote
+    val B = (1 to 15).map(i => s"b$i") // train-train duplicate (must NOT count)
+    // production eval rule: doc_id % 11 == 3 → doc 3 is the benchmark
+    val docs = Seq(
+      (1L, (Seq("x1") ++ A ++ Seq("x2") ++ B ++ Seq("x3")).mkString(" ")),
+      (2L, (Seq("y1") ++ B ++ Seq("y2") ++ A ++ Seq("y3")).mkString(" ")),
+      (3L, (Seq("z1") ++ A ++ Seq("z2")).mkString(" ")),
+      (5L, (1 to 16).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.decontamClip(docs,
+      col("doc_id") % DecontamMod === DecontamRes).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(3L), "eval docs must produce no report row")
+    assert(out.size == 3)
+    // docs 1 and 2 lose exactly the 20 quote tokens; the 15-token B
+    // duplicate they ALSO share is train-only and must not contaminate
+    assert(out(1L) == ((38L, 20L, 1L)))
+    assert(out(2L) == ((38L, 20L, 1L)))
+    assert(out(5L) == ((16L, 0L, 0L)), "an untouched train doc reports zeros")
+  }
+
+  test("q207: coverage chains past the suffix cap (a 60-token benchmark quote clips whole)") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextAnalytics.{DecontamMod, DecontamRes}
+    val B = (1 to 60).map(i => s"b$i")
+    // 14 % 11 == 3 → doc 14 is the benchmark copy; doc 1 is train
+    val docs = Seq(
+      (1L, (Seq("u1") ++ B ++ Seq("u2")).mkString(" ")),
+      (14L, (Seq("v1") ++ B ++ Seq("v2")).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.decontamClip(docs,
+      col("doc_id") % DecontamMod === DecontamRes).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 1)
+    assert(out(1L) == ((60L, 1L)),
+      "the train copy clips all 60 tokens as ONE span despite the 48-token cap")
+  }
+
   test("q203/q205: islands survive a forced multi-partition split (seam-chained intervals)") {
     // 100 identical 30-token docs: every positional interval has 100
     // members, and with 32 range partitions over ~3000 suffix rows (~94
