@@ -627,6 +627,24 @@ object BinaryGate {
        FROM c CROSS JOIN v CROSS JOIN d WHERE $cond
        ORDER BY case_id, vector, date"""
 
+  /** The per-case fleet ROLLUP closed form (y32 = 32000·vi + 33·day +
+    * 224·case_id — the writeFleetFixture lattice times 32), restricted
+    * to the cases `cond` keeps: ONE copy shared by q189 (unrestricted)
+    * and q206 (the runtime-pruned group), so the lattice cannot drift
+    * between the colocated-aggregate and DPP gates (review finding). */
+  private def fleetRollupOracleWhere(cond: String): String =
+    s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
+      |v AS (SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
+      |d AS (SELECT unnest(range($SumDays)) AS day),
+      |o AS (SELECT case_id, vi,
+      |             CAST(32000 * vi + 33 * day + 224 * case_id AS BIGINT) AS y32
+      |      FROM c CROSS JOIN v CROSS JOIN d WHERE $cond)
+      |SELECT CAST(case_id AS INT) AS case_id,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT vi) AS BIGINT) AS n_vectors,
+      |       CAST(sum(y32) AS BIGINT) AS sum_y32
+      |FROM o GROUP BY 1 ORDER BY case_id""".stripMargin
+
   /** q63's replay minus the CONIPOS vector, shared verbatim by q148 (the
     * library rftFleet read) and q168 (the eclipse-rft DSv2 format). */
   private def rftFleetOracle: String = rftFleetOracleWhere("TRUE")
@@ -2387,33 +2405,11 @@ object BinaryGate {
         |FROM o ORDER BY case_id, day""".stripMargin,
     // q189: the q114 lattice rolled up per case (y·32 = 32000·vi +
     // 33·day + 224·case on this lattice — day < 32 folds the sawtooth)
-    "q189_fleet_agg_colocated" ->
-      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
-        |v AS (SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
-        |d AS (SELECT unnest(range($SumDays)) AS day),
-        |o AS (SELECT case_id, vi,
-        |             CAST(32000 * vi + 33 * day + 224 * case_id AS BIGINT) AS y32
-        |      FROM c CROSS JOIN v CROSS JOIN d)
-        |SELECT CAST(case_id AS INT) AS case_id,
-        |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(count(DISTINCT vi) AS BIGINT) AS n_vectors,
-        |       CAST(sum(y32) AS BIGINT) AS sum_y32
-        |FROM o GROUP BY 1 ORDER BY case_id""".stripMargin,
+    "q189_fleet_agg_colocated" -> fleetRollupOracleWhere("TRUE"),
     // q206: q189's rollup restricted to the dim-filtered group (odd
     // realizations) — runtime pruning must change WHICH files are read,
     // never what the surviving cases' rows contain
-    "q206_runtime_case_prune" ->
-      s"""WITH c AS (SELECT unnest(range($FleetCases)) AS case_id),
-        |v AS (SELECT unnest([${SumVectors.indices.mkString(", ")}]) AS vi),
-        |d AS (SELECT unnest(range($SumDays)) AS day),
-        |o AS (SELECT case_id, vi,
-        |             CAST(32000 * vi + 33 * day + 224 * case_id AS BIGINT) AS y32
-        |      FROM c CROSS JOIN v CROSS JOIN d WHERE case_id % 2 = 1)
-        |SELECT CAST(case_id AS INT) AS case_id,
-        |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(count(DISTINCT vi) AS BIGINT) AS n_vectors,
-        |       CAST(sum(y32) AS BIGINT) AS sum_y32
-        |FROM o GROUP BY 1 ORDER BY case_id""".stripMargin,
+    "q206_runtime_case_prune" -> fleetRollupOracleWhere("case_id % 2 = 1"),
     // q185: the q114 lattice replay; baseline = per-vector min, onset =
     // min day crossing baseline + margin, envelope re-keyed by vector —
     // every comparison dyadic-exact

@@ -909,8 +909,41 @@ object TextAnalytics {
   def q205SuffixClip(s: SparkSession, dir: String): DataFrame =
     suffixClip(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
-  private[graft] def suffixClip(input: DataFrame): DataFrame = {
+  /** The shared removal-report tail of q205/q207: union `covered`
+    * (doc_id, pos, e) token runs into per-doc spans (running-max
+    * gaps-and-islands) and report exact counts against `perDoc`
+    * (doc_id, n_tokens) — ONE copy, parameterized only by the report's
+    * column names, so a fix to the union (tie order, the n_tokens = 0
+    * guard) can never reach one consumer and not the other (review
+    * finding — the suffixOccCtes single-copy rule applied to the tail).
+    */
+  private def spanUnionReport(perDoc: DataFrame, covered: DataFrame,
+      nRemoved: String, nSpans: String, nKept: String, bp: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
+    val spans = covered
+      .withColumn("maxe",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("news",
+        when(col("maxe").isNull || col("pos") > col("maxe"), 1).otherwise(0))
+      .withColumn("g", sum(col("news")).over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val agg = spans.groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as(nRemoved),
+        count(lit(1)).as(nSpans))
+    perDoc
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col(nRemoved), lit(0L)).as(nRemoved),
+        coalesce(col(nSpans), lit(0L)).as(nSpans),
+        (col("n_tokens") - coalesce(col(nRemoved), lit(0L))).as(nKept),
+        expr(s"CASE WHEN n_tokens = 0 THEN 0 " +
+          s"ELSE (coalesce($nRemoved, 0) * 10000) div n_tokens END").as(bp))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def suffixClip(input: DataFrame): DataFrame = {
     val (docs, occ0, cleanup) = suffixOcc(input)
     // the survivor via groupBy-min + join back against a PERSISTED occ —
     // not a per-interval window min: a window puts every occurrence of
@@ -929,29 +962,9 @@ object TextAnalytics {
       .join(firsts, Seq("v", "lo", "hi"))
       .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
-    // per-doc interval union: running-max gaps-and-islands
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
-    val spans = covered
-      .withColumn("maxe",
-        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("news",
-        when(col("maxe").isNull || col("pos") > col("maxe"), 1).otherwise(0))
-      .withColumn("g", sum(col("news")).over(wd))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
-    val removed = spans.groupBy(col("doc_id"))
-      .agg(sum(col("e") - col("s")).as("n_removed"),
-        count(lit(1)).as("n_spans"))
-    val out = docs
-      .select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens"))
-      .join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
-        expr("CASE WHEN n_tokens = 0 THEN 0 " +
-          "ELSE (coalesce(n_removed, 0) * 10000) div n_tokens END").as("removed_bp"))
-      .orderBy(col("doc_id"))
+    val out = spanUnionReport(
+      docs.select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens")),
+      covered, "n_removed", "n_spans", "n_kept", "removed_bp")
     val materialized = out.localCheckpoint(true)
     occ.unpersist(false)
     cleanup()
@@ -1016,30 +1029,11 @@ object TextAnalytics {
     val covered = occ.where(!isEval)
       .join(evalIv, Seq("v", "lo", "hi"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
-    // per-doc interval union: q205's running-max gaps-and-islands
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
-    val spans = covered
-      .withColumn("maxe",
-        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("news",
-        when(col("maxe").isNull || col("pos") > col("maxe"), 1).otherwise(0))
-      .withColumn("g", sum(col("news")).over(wd))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
-    val contam = spans.groupBy(col("doc_id"))
-      .agg(sum(col("e") - col("s")).as("n_contam"),
-        count(lit(1)).as("n_spans"))
-    val out = docs
-      .where(!isEval)
-      .select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens"))
-      .join(contam, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        (col("n_tokens") - coalesce(col("n_contam"), lit(0L))).as("n_clean"),
-        expr("CASE WHEN n_tokens = 0 THEN 0 " +
-          "ELSE (coalesce(n_contam, 0) * 10000) div n_tokens END").as("contam_bp"))
-      .orderBy(col("doc_id"))
+    // per-doc interval union + report: q205's shared tail
+    val out = spanUnionReport(
+      docs.where(!isEval)
+        .select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens")),
+      covered, "n_contam", "n_spans", "n_clean", "contam_bp")
     val materialized = out.localCheckpoint(true)
     occ.unpersist(false)
     cleanup()
@@ -1662,6 +1656,43 @@ object TextAnalytics {
                 FROM iv, unnest(range(iv.lo, iv.hi + 1)) AS u(rnk), dup d
                 WHERE d.rank = u.rnk)"""
 
+  /** The q205/q207 oracle skeleton: `$suffixOccCtes`, then the caller's
+    * covered-set derivation (must end in `covered(doc_id, pos, e)`),
+    * then ONE copy of the span-union + per-doc report chain — the
+    * engine-side [[spanUnionReport]] mirrored in SQL, parameterized
+    * only by the report's column names and the per-doc base's WHERE
+    * (q207 reports train docs only). A fix to the union frame or the
+    * basis-point expression can never reach one oracle and not the
+    * other (review finding — the suffixOccCtes single-copy rule).
+    */
+  private def clipOracleSql(coveredCtes: String, ntWhere: String,
+      nRemoved: String, nSpans: String, nKept: String, bp: String): String =
+    s"""WITH $suffixOccCtes,
+        $coveredCtes,
+        mx AS (SELECT doc_id, pos, e,
+                      max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS maxe
+               FROM covered),
+        gi AS (SELECT doc_id, pos, e,
+                      sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
+               FROM mx),
+        spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+                  FROM gi GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS $nRemoved,
+                       CAST(count(*) AS BIGINT) AS $nSpans
+                FROM spans GROUP BY 1),
+        nt AS (SELECT doc_id, CAST(len(ha) AS BIGINT) AS n_tokens FROM hal$ntWhere)
+        SELECT nt.doc_id, n_tokens,
+               coalesce($nRemoved, 0) AS $nRemoved,
+               coalesce($nSpans, 0) AS $nSpans,
+               n_tokens - coalesce($nRemoved, 0) AS $nKept,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (coalesce($nRemoved, 0) * 10000) // n_tokens
+               END AS $bp
+        FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""
+
   /** First-mismatch LCP of two DuckDB lists as SQL text (NULL neighbor →
     * 0; strict prefix → min length) — the q203 oracle's twin of the
     * engine's zip_with expression. */
@@ -2067,9 +2098,8 @@ object TextAnalytics {
     // q205: the removal pass over the same occurrence relation — first
     // occurrence per interval survives (packed-min, guarded), the rest
     // union into per-doc clipped spans
-    "q205_suffix_clip" ->
-      s"""WITH $suffixOccCtes,
-          firsts AS (SELECT v, lo, hi,
+    "q205_suffix_clip" -> clipOracleSql(
+      s"""firsts AS (SELECT v, lo, hi,
                             min(CASE WHEN pos >= 2097152
                                      THEN error('q205: pos exceeds the packing bound')
                                      WHEN doc_id < 0
@@ -2078,64 +2108,19 @@ object TextAnalytics {
                      FROM occ GROUP BY 1, 2, 3),
           covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
                       FROM occ o JOIN firsts f USING (v, lo, hi)
-                      WHERE o.doc_id * 2097152 + o.pos <> f.fk),
-          mx AS (SELECT doc_id, pos, e,
-                        max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING) AS maxe
-                 FROM covered),
-          gi AS (SELECT doc_id, pos, e,
-                        sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
-                          OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
-                 FROM mx),
-          spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
-                    FROM gi GROUP BY 1, 2),
-          rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed,
-                         CAST(count(*) AS BIGINT) AS n_spans
-                  FROM spans GROUP BY 1),
-          nt AS (SELECT doc_id, CAST(len(ha) AS BIGINT) AS n_tokens FROM hal)
-          SELECT nt.doc_id, n_tokens,
-                 coalesce(n_removed, 0) AS n_removed,
-                 coalesce(n_spans, 0) AS n_spans,
-                 n_tokens - coalesce(n_removed, 0) AS n_kept,
-                 CASE WHEN n_tokens = 0 THEN 0
-                      ELSE (coalesce(n_removed, 0) * 10000) // n_tokens
-                 END AS removed_bp
-          FROM nt LEFT JOIN rem USING (doc_id) ORDER BY nt.doc_id""",
+                      WHERE o.doc_id * 2097152 + o.pos <> f.fk)""",
+      ntWhere = "", "n_removed", "n_spans", "n_kept", "removed_bp"),
     // q207: the decontamination pass over the same occurrence relation —
     // intervals touching an eval-slice doc mark their TRAIN occurrences,
-    // which union into per-doc contaminated spans (q205's union CTEs)
-    "q207_decontam_clip" ->
-      s"""WITH $suffixOccCtes,
-          ev AS (SELECT DISTINCT v, lo, hi FROM occ
+    // which union into per-doc contaminated spans (q205's shared chain)
+    "q207_decontam_clip" -> clipOracleSql(
+      s"""ev AS (SELECT DISTINCT v, lo, hi FROM occ
                  WHERE doc_id % $DecontamMod = $DecontamRes),
           covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
                       FROM occ o JOIN ev USING (v, lo, hi)
-                      WHERE o.doc_id % $DecontamMod <> $DecontamRes),
-          mx AS (SELECT doc_id, pos, e,
-                        max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING) AS maxe
-                 FROM covered),
-          gi AS (SELECT doc_id, pos, e,
-                        sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
-                          OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
-                 FROM mx),
-          spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
-                    FROM gi GROUP BY 1, 2),
-          con AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_contam,
-                         CAST(count(*) AS BIGINT) AS n_spans
-                  FROM spans GROUP BY 1),
-          nt AS (SELECT doc_id, CAST(len(ha) AS BIGINT) AS n_tokens FROM hal
-                 WHERE doc_id % $DecontamMod <> $DecontamRes)
-          SELECT nt.doc_id, n_tokens,
-                 coalesce(n_contam, 0) AS n_contam,
-                 coalesce(n_spans, 0) AS n_spans,
-                 n_tokens - coalesce(n_contam, 0) AS n_clean,
-                 CASE WHEN n_tokens = 0 THEN 0
-                      ELSE (coalesce(n_contam, 0) * 10000) // n_tokens
-                 END AS contam_bp
-          FROM nt LEFT JOIN con USING (doc_id) ORDER BY nt.doc_id""",
+                      WHERE o.doc_id % $DecontamMod <> $DecontamRes)""",
+      ntWhere = s" WHERE doc_id % $DecontamMod <> $DecontamRes",
+      "n_contam", "n_spans", "n_clean", "contam_bp"),
     "q97_lm_score" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                      FROM documents),
