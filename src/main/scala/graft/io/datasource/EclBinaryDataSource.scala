@@ -429,10 +429,17 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  // runtime (DPP-style) CASE restriction, delivered by Spark AFTER a
-  // join's build side materializes — set by filter(), consumed by
-  // planInputPartitions; composes (intersects) with the static pushdown
+  // runtime (DPP-style) restrictions, delivered by Spark AFTER a join's
+  // build side materializes — set by filter(), consumed by
+  // planInputPartitions (CASE: whole files pruned) and
+  // createReaderFactory (DATE: report steps seeked past at the byte
+  // level); both compose (intersect) with the static pushdown. Safe by
+  // construction: a runtime filter comes FROM an equi-join's build-side
+  // key set, so rows it would drop cannot join — ignoring it entirely
+  // (or a future Spark reordering filter() after createReaderFactory)
+  // degrades to a full decode, never to wrong rows.
   private var runtimeCases: Option[Set[String]] = None
+  private var runtimeDates: Option[Set[Long]] = None
 
   private def caseIdOf(f: String): String =
     EclBinaryDataSource.caseIdOf(kind, f)
@@ -447,19 +454,41 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     s"eclipse-$kind $path$d$w$c$v"
   }
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("CASE"))
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns SURVIVING projection may be claimed: Spark resolves
+    // these against the scan's output and fails the query otherwise
+    // (the outputOrdering discipline applied to the filter surface)
+    val fields = required.fieldNames.toSet
+    val cols = ("CASE" +: (if (kind == "egrid") Nil else Seq("DATE")))
+      .filter(fields)
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  private def runtimeDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
+    def tighten[T](cur: Option[Set[T]], s: Set[T]): Option[Set[T]] =
+      Some(cur.fold(s)(_ intersect s))
     filters.foreach {
       case EqualTo("CASE", c: String) =>
-        runtimeCases = Some(runtimeCases.fold(Set(c))(_ intersect Set(c)))
+        runtimeCases = tighten(runtimeCases, Set(c))
       case In("CASE", cs) if cs.forall(_.isInstanceOf[String]) =>
-        val s = cs.map(_.asInstanceOf[String]).toSet
-        runtimeCases = Some(runtimeCases.fold(s)(_ intersect s))
+        runtimeCases = tighten(runtimeCases, cs.map(_.asInstanceOf[String]).toSet)
+      // a DATE runtime filter cannot prune PARTITIONS (every case spans
+      // all report steps) — it tightens the readers' byte-level step
+      // predicate instead: the join-driven form of `--rstdates`
+      case EqualTo("DATE", v) if runtimeDay(v).isDefined =>
+        runtimeDates = tighten(runtimeDates, Set(runtimeDay(v).get))
+      case In("DATE", vs) if vs.nonEmpty && vs.forall(runtimeDay(_).isDefined) =>
+        runtimeDates = tighten(runtimeDates, vs.flatMap(runtimeDay).toSet)
       case _ => () // unsupported runtime filter: ignore (pruning is optional)
     }
+    runtimeDates.foreach(factory.tightenDates)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -669,9 +698,23 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     Array(new PayloadsDecodedMetric, new ParamSlotsDecodedMetric,
       new GeomCellsComputedMetric)
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  // ONE factory instance per scan: BatchScanExec builds the factory at
+  // PLANNING time (supportsColumnar probes it) — before runtime filters
+  // resolve — but serializes it to tasks at JOB LAUNCH, after filter()
+  // ran. A join-delivered DATE set therefore travels as mutable factory
+  // state set by filter(), not as a constructor argument (which would
+  // freeze the pre-filter predicate). If a future Spark ever serialized
+  // the factory before filter(), the degradation is a full decode with
+  // the same rows — never wrong results (see the runtime-filter note
+  // above).
+  private lazy val factory =
     new EclBinaryReaderFactory(kind, vectors, mapaxes, required, datePred,
       wells, vectorSel)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    runtimeDates.foreach(factory.tightenDates)
+    factory
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -722,9 +765,22 @@ private[datasource] case class EclTaskMetric(metricName: String, v: Long)
 }
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
-    mapaxes: Boolean, required: StructType, datePred: graft.io.DatePred,
+    mapaxes: Boolean, required: StructType, datePred0: graft.io.DatePred,
     wells: Option[Set[String]],
     vectorSel: Option[Set[String]] = None) extends PartitionReaderFactory {
+
+  /** The effective step predicate: the statically-pushed one, tightened
+    * by any runtime (DPP-delivered) DATE set [[tightenDates]] installed
+    * before task serialization. @volatile for the driver-side
+    * plan-probe/filter() ordering; the serialized snapshot each task
+    * receives is immutable. */
+  @volatile private var datePred: graft.io.DatePred = datePred0
+
+  /** Conjoin a runtime DATE set (epoch days) into the step predicate —
+    * called by [[EclBinaryScan.filter]] when a join's build side
+    * delivers the dates the probe side can match at all. */
+  private[datasource] def tightenDates(days: Set[Long]): Unit =
+    datePred = datePred0.withIn(days)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseFile

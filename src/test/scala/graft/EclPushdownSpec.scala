@@ -407,6 +407,42 @@ class EclPushdownSpec extends AnyFunSuite {
       s"expected a DynamicPruningExpression runtime filter on the binary scan, got: $scanLine")
   }
 
+  test("DSv2: a runtime DATE filter reaches the byte level — unselected steps never decode") {
+    import spark.implicits._
+    val d = tmpDir("date-dpp")
+    (0 until 4).foreach { c =>
+      val rows = for {
+        (v, vi) <- Seq("FOPR", "FOPT").zipWithIndex
+        t <- 0 until 10
+      } yield (v, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(t)),
+        10.0 * vi + t + c)
+      graft.write.SummaryWriter.write(rows.toDF("VECTOR", "DATE", "VALUE"), s"$d/CASE$c")
+    }
+    // a calendar dim (report date → tag) keeping 3 of the 10 report days
+    (0 until 10).map(t => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2021, 1, 1).plusDays(t)), t % 3))
+      .toDF("DATE", "tag")
+      .write.mode("overwrite").parquet(s"$d/calendar")
+    val fleet = spark.read.format("eclipse-unsmry").load(s"$d/*.UNSMRY")
+    val dim = spark.read.parquet(s"$d/calendar").filter(col("tag") === 1)
+    val joined = fleet.join(broadcast(dim), Seq("DATE"))
+      .groupBy(col("CASE")).agg(count(lit(1)).as("n"))
+    DecodeStats.unsmryParams.reset()
+    val got = joined.collect()
+    // rows: all 4 cases, days 1/4/7 only, 2 vectors each
+    assert(got.length === 4 && got.forall(_.getLong(1) == 6L))
+    // decode evidence: a DATE runtime filter cannot prune partitions, so
+    // it tightens the readers' step predicate — 4 cases x 3 selected
+    // PARAMS records decoded, the other 7 steps' payloads seeked past
+    // (the TIME pre-scan reads 4 bytes per step, not the record)
+    assert(DecodeStats.unsmryParams.sum() === 12)
+    val scanLine = PlanText.finalPlanOf(joined).linesIterator
+      .find(l => l.contains("BatchScan eclipse-unsmry"))
+      .getOrElse(fail("expected the eclipse-unsmry BatchScan in the final plan"))
+    assert(scanLine.contains("dynamicpruningexpression"),
+      s"expected a runtime DATE filter on the binary scan, got: $scanLine")
+  }
+
   test("DSv2 egrid: a property-only projection computes ZERO geometry cells") {
     val sf = "/root/testdata/sf0.001" // fixtures are closed-form; dir unused
     DecodeStats.egridGeomCells.reset()
