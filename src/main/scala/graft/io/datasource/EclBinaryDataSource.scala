@@ -440,6 +440,7 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
   // degrades to a full decode, never to wrong rows.
   private var runtimeCases: Option[Set[String]] = None
   private var runtimeDates: Option[Set[Long]] = None
+  private var runtimeWells: Option[Set[String]] = None
 
   private def caseIdOf(f: String): String =
     EclBinaryDataSource.caseIdOf(kind, f)
@@ -459,7 +460,8 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     // these against the scan's output and fails the query otherwise
     // (the outputOrdering discipline applied to the filter surface)
     val fields = required.fieldNames.toSet
-    val cols = ("CASE" +: (if (kind == "egrid") Nil else Seq("DATE")))
+    val cols = (Seq("CASE") ++ (if (kind == "egrid") Nil else Seq("DATE")) ++
+        (if (kind == "rft") Seq("WELL") else Nil))
       .filter(fields)
     cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
@@ -486,9 +488,17 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
         runtimeDates = tighten(runtimeDates, Set(runtimeDay(v).get))
       case In("DATE", vs) if vs.nonEmpty && vs.forall(runtimeDay(_).isDefined) =>
         runtimeDates = tighten(runtimeDates, vs.flatMap(runtimeDay).toSet)
+      // a WELL runtime filter (rft): report groups of unselected wells
+      // seek past at the byte level, same route as the DATE set
+      case EqualTo("WELL", w: String) if kind == "rft" =>
+        runtimeWells = tighten(runtimeWells, Set(w))
+      case In("WELL", ws) if kind == "rft" && ws.nonEmpty &&
+          ws.forall(_.isInstanceOf[String]) =>
+        runtimeWells = tighten(runtimeWells, ws.map(_.asInstanceOf[String]).toSet)
       case _ => () // unsupported runtime filter: ignore (pruning is optional)
     }
     runtimeDates.foreach(factory.tightenDates)
+    runtimeWells.foreach(factory.tightenWells)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -766,7 +776,7 @@ private[datasource] case class EclTaskMetric(metricName: String, v: Long)
 
 class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     mapaxes: Boolean, required: StructType, datePred0: graft.io.DatePred,
-    wells: Option[Set[String]],
+    wells0: Option[Set[String]],
     vectorSel: Option[Set[String]] = None) extends PartitionReaderFactory {
 
   /** The effective step predicate: the statically-pushed one, tightened
@@ -775,12 +785,17 @@ class EclBinaryReaderFactory(kind: String, vectors: Seq[String],
     * plan-probe/filter() ordering; the serialized snapshot each task
     * receives is immutable. */
   @volatile private var datePred: graft.io.DatePred = datePred0
+  @volatile private var wells: Option[Set[String]] = wells0
 
   /** Conjoin a runtime DATE set (epoch days) into the step predicate —
     * called by [[EclBinaryScan.filter]] when a join's build side
     * delivers the dates the probe side can match at all. */
   private[datasource] def tightenDates(days: Set[Long]): Unit =
     datePred = datePred0.withIn(days)
+
+  /** As [[tightenDates]], for an rft WELL runtime filter. */
+  private[datasource] def tightenWells(ws: Set[String]): Unit =
+    wells = Some(wells0.fold(ws)(_ intersect ws))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val caseFile = partition.asInstanceOf[EclCaseInputPartition].caseFile

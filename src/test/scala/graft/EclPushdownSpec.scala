@@ -443,6 +443,35 @@ class EclPushdownSpec extends AnyFunSuite {
       s"expected a runtime DATE filter on the binary scan, got: $scanLine")
   }
 
+  test("DSv2 rft: a runtime WELL filter reaches the byte level — unselected groups never decode") {
+    import spark.implicits._
+    val d = tmpDir("rft-dpp")
+    val path = writeRft(d) // 3 report groups, one well each (W0/W1/W2)
+    // wells-metadata dim (a completion registry shape) keeping W1 only;
+    // a file scan for the same reason as the CASE/DATE DPP specs
+    Seq(("W0", 0), ("W1", 1), ("W2", 0)).toDF("WELL", "keep")
+      .write.mode("overwrite").parquet(s"$d/wells")
+    val dim = spark.read.parquet(s"$d/wells").filter(col("keep") === 1)
+    val scan = spark.read.format("eclipse-rft")
+      .option("vectors", "DEPTH,PRESSURE").load(path)
+    val joined = scan.join(broadcast(dim), Seq("WELL"))
+      .groupBy(col("WELL"))
+      .agg(count(lit(1)).as("n"), sum(col("DEPTH")).as("sum_depth"))
+    DecodeStats.rftVecPayloads.reset()
+    val got = joined.collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("W1", 6L, (0 until 6).map(i => 100.0 + i).sum)))
+    // decode evidence: ONE surviving group x ONE surviving vector (the
+    // runtime well set composes with column pruning — PRESSURE is
+    // projected away); W0/W2's payloads seeked past entirely
+    assert(DecodeStats.rftVecPayloads.sum() === 1)
+    val scanLine = PlanText.finalPlanOf(joined).linesIterator
+      .find(l => l.contains("BatchScan eclipse-rft"))
+      .getOrElse(fail("expected the eclipse-rft BatchScan in the final plan"))
+    assert(scanLine.contains("dynamicpruningexpression"),
+      s"expected a runtime WELL filter on the binary scan, got: $scanLine")
+  }
+
   test("DSv2 egrid: a property-only projection computes ZERO geometry cells") {
     val sf = "/root/testdata/sf0.001" // fixtures are closed-form; dir unused
     DecodeStats.egridGeomCells.reset()
