@@ -248,6 +248,16 @@ object EclBinaryDataSource {
     }
   }
 
+  /** External-type date value (java.sql.Date, or LocalDate under the
+    * Java-8 datetime API flag) to epoch day — ONE copy shared by the
+    * static pushdown (ScanBuilder) and the runtime-filter route, so the
+    * two paths can never disagree on what day a value means. */
+  private[datasource] def epochDayOf(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
   /** A comma-list string option as a non-empty Set, or None when the
     * option is absent/blank. A PRESENT option that parses to nothing
     * (e.g. ",") throws — it would otherwise both silently no-op and
@@ -361,11 +371,7 @@ class EclBinaryScanBuilder(kind: String, path: String, vectors: Seq[String],
   private def intersectInto(cur: Option[Set[String]], s: Set[String]): Option[Set[String]] =
     Some(cur.fold(s)(_ intersect s))
 
-  private def dayOf(v: Any): Option[Long] = v match {
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case _ => None
-  }
+  private def dayOf(v: Any): Option[Long] = EclBinaryDataSource.epochDayOf(v)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val hasDate = kind != "egrid"
@@ -466,11 +472,7 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
     cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
 
-  private def runtimeDay(v: Any): Option[Long] = v match {
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case _ => None
-  }
+  private def runtimeDay(v: Any): Option[Long] = EclBinaryDataSource.epochDayOf(v)
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
@@ -722,7 +724,11 @@ class EclBinaryScan(kind: String, path: String, vectors: Seq[String],
       wells, vectorSel)
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // re-apply BOTH runtime sets: a no-op today (filter() installs them
+    // directly), load-bearing if a future Spark built the factory after
+    // filter() — and then it must not be DATE-only (review finding)
     runtimeDates.foreach(factory.tightenDates)
+    runtimeWells.foreach(factory.tightenWells)
     factory
   }
 

@@ -1015,7 +1015,6 @@ object TextAnalytics {
     * cross-corpus quotes and pin exact coverage, cap chaining, and the
     * no-train-train-false-positive property directly. */
   private[graft] def decontamClip(input: DataFrame, isEval: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (docs, occ0, cleanup) = suffixOcc(input)
     val occ = occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // contaminating intervals: occurrence set touches an eval doc. The
