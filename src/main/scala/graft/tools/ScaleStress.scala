@@ -258,6 +258,32 @@ object ScaleStress {
       val (rd, decoded) = Seq(timeFleetDate(400), timeFleetDate(400)).minBy(_._1)
       println(f"SCALE q171_fleet_date_pushdown cases=400 full:${r400}%.2fs " +
         f"one_date:${rd}%.2fs payloads_decoded=$decoded (full would be ${400 * 3 * 2})")
+      // RUNTIME (DPP) CASE pruning at fleet scale — the q206 gate's
+      // wall-clock form: a parquet metadata dim keeping 10 of the 400
+      // realizations prunes 390 files at EXECUTION time (the filter
+      // lives on the dim, invisible to static pushdown); decode
+      // evidence: 10 cases x 3 steps x 2 vectors, not 2400 payloads
+      def timeFleetDpp(): (Double, Long) = {
+        val paths = (0 until 400).map(c => s"$fleetDir/CASE$c.UNRST").mkString(",")
+        val dimPath = s"$fleetDir-dim"
+        if (!new java.io.File(dimPath).exists()) {
+          import spark.implicits._
+          (0 until 400).map(c => (s"$fleetDir/CASE$c.UNRST", if (c % 40 == 0) 1 else 0))
+            .toDF("CASE", "keep").write.mode("overwrite").parquet(dimPath)
+        }
+        val dim = spark.read.parquet(dimPath).filter(col("keep") === 1)
+        graft.io.DecodeStats.unrstVecPayloads.reset()
+        val t0 = System.nanoTime()
+        spark.read.format("eclipse-unrst").option("vectors", "PRESSURE,SWAT")
+          .load(paths)
+          .join(broadcast(dim), Seq("CASE"))
+          .agg(sum(col("PRESSURE")), sum(col("SWAT"))).collect()
+        ((System.nanoTime() - t0) / 1e9,
+          graft.io.DecodeStats.unrstVecPayloads.sum())
+      }
+      val (rdpp, dppDecoded) = Seq(timeFleetDpp(), timeFleetDpp()).minBy(_._1)
+      println(f"SCALE q206_fleet_dpp cases=400 keep=10 full:${r400}%.2fs " +
+        f"dpp:${rdpp}%.2fs payloads_decoded=$dppDecoded (full would be ${400 * 3 * 2})")
     }
 
     // STREAMING drain of the 400-case ensemble through the registered
