@@ -2589,6 +2589,55 @@ class GateQueriesSpec extends AnyFunSuite {
         assert(clipGot(d) == expRow,
           s"trial $trial doc $d: engine=${clipGot(d)} brute=$expRow")
       }
+
+      // and the q207 decontamination against the same corpus: a (v, s)
+      // group at its true value CONTAMINATES iff any occurrence lies in
+      // the eval slice (production rule: doc_id % 11 == 3 → doc 3 here);
+      // then ALL train occurrences cover [p, p+v) — no survivor
+      // exemption, unlike the clip pass
+      val isEvalDoc = (d: Long) =>
+        d % graft.queries.TextAnalytics.DecontamMod ==
+          graft.queries.TextAnalytics.DecontamRes
+      val decontamGot = graft.queries.TextAnalytics.decontamClip(df,
+          org.apache.spark.sql.functions.col("doc_id") %
+            graft.queries.TextAnalytics.DecontamMod ===
+            graft.queries.TextAnalytics.DecontamRes).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(decontamGot.keySet == corpus.map(_._1).filterNot(isEvalDoc).toSet,
+        s"trial $trial: q207 must report every train doc and no eval doc")
+      val contamCov = scala.collection.mutable.Map[Long, List[(Int, Int)]]()
+        .withDefaultValue(Nil)
+      (for {
+        (d, toks) <- corpus
+        v <- L to K
+        p <- 0 to toks.length - v
+      } yield ((v, toks.slice(p, p + v)), (d, p)))
+        .groupBy(_._1).foreach { case ((v, s), occ0) =>
+          val os = occ0.map(_._2)
+          val rightClosed = v < K &&
+            os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
+            os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
+          if (os.size >= 2 && !rightClosed && os.exists(o => isEvalDoc(o._1))) {
+            os.filterNot(o => isEvalDoc(o._1)).foreach { case (d, p) =>
+              contamCov(d) = (p, p + v) :: contamCov(d)
+            }
+          }
+        }
+      corpus.filterNot { case (d, _) => isEvalDoc(d) }.foreach { case (d, toks) =>
+        val spans = contamCov(d).sorted
+          .foldLeft(List.empty[(Int, Int)]) {
+            case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+              if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+            case (Nil, sp) => sp :: Nil
+          }
+        val nCon = spans.map { case (s0, e0) => (e0 - s0).toLong }.sum
+        val nTok = toks.length.toLong
+        val expRow = (nTok, nCon, spans.length.toLong, nTok - nCon,
+          if (nTok == 0) 0L else nCon * 10000 / nTok)
+        assert(decontamGot(d) == expRow,
+          s"trial $trial doc $d: q207 engine=${decontamGot(d)} brute=$expRow")
+      }
     }
   }
 
