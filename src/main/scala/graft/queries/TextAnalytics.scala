@@ -917,11 +917,14 @@ object TextAnalytics {
     * guard) can never reach one consumer and not the other (review
     * finding — the suffixOccCtes single-copy rule applied to the tail).
     */
-  private def spanUnionReport(perDoc: DataFrame, covered: DataFrame,
-      nRemoved: String, nSpans: String, nKept: String, bp: String): DataFrame = {
+  /** Union `covered` (doc_id, pos, e) token runs into disjoint per-doc
+    * spans (doc_id, s, e) — running-max gaps-and-islands, ONE copy
+    * shared by the count reports (q205/q207) and the text
+    * materialization (q208). */
+  private def spanUnion(covered: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
-    val spans = covered
+    covered
       .withColumn("maxe",
         max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("news",
@@ -929,6 +932,24 @@ object TextAnalytics {
       .withColumn("g", sum(col("news")).over(wd))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+  }
+
+  /** The first-occurrence-survivor covered set over an interval
+    * occurrence frame: every non-first occurrence's token run — shared
+    * by q205 (the count report) and q208 (the cleaned-text
+    * materialization), so the survivor policy lives in one place. */
+  private def clipCovered(occ: DataFrame): DataFrame = {
+    val firsts = occ.groupBy(col("v"), col("lo"), col("hi"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    occ
+      .join(firsts, Seq("v", "lo", "hi"))
+      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
+  }
+
+  private def spanUnionReport(perDoc: DataFrame, covered: DataFrame,
+      nRemoved: String, nSpans: String, nKept: String, bp: String): DataFrame = {
+    val spans = spanUnion(covered)
     val agg = spans.groupBy(col("doc_id"))
       .agg(sum(col("e") - col("s")).as(nRemoved),
         count(lit(1)).as(nSpans))
@@ -956,15 +977,56 @@ object TextAnalytics {
     // subtree single-evaluation (the concern that originally argued for
     // the window).
     val occ = occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firsts = occ.groupBy(col("v"), col("lo"), col("hi"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val covered = occ
-      .join(firsts, Seq("v", "lo", "hi"))
-      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
-      .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
     val out = spanUnionReport(
       docs.select(col("doc_id"), size(col("ha")).cast("long").as("n_tokens")),
-      covered, "n_removed", "n_spans", "n_kept", "removed_bp")
+      clipCovered(occ), "n_removed", "n_spans", "n_kept", "removed_bp")
+    val materialized = out.localCheckpoint(true)
+    occ.unpersist(false)
+    cleanup()
+    materialized
+  }
+
+  /** q208: SUFFIX-SCRUB MATERIALIZATION — the cleaned corpus q205 only
+    * REPORTS: per document, the text that remains after the clipped
+    * spans are actually removed (the kept tokens re-joined). This is
+    * the Lee et al. pipeline's deliverable artifact — extract (q203),
+    * decide (q205), and here EMIT the deduplicated training corpus —
+    * completing the family the same way q56 materializes q41's
+    * component labels into a surviving corpus.
+    *
+    * Spans are per-doc few (bounded by n_tokens / SufL), so they gather
+    * into ONE array column per doc and the removal is a codegen'd array
+    * lambda over the token list — no per-token explode, no extra
+    * shuffle beyond the span aggregate's doc-keyed exchange. The output
+    * normalizes whitespace (tokens re-joined with single spaces) — the
+    * tokenizer's contract, stated so downstream counts use n_tokens,
+    * not character math on the original text.
+    */
+  def q208SuffixScrub(s: SparkSession, dir: String): DataFrame =
+    suffixScrub(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The q208 kernel over any `(doc_id, text)` frame — factored out like
+    * [[suffixClip]] so the spec can pin exact scrubbed text on planted
+    * corpora. */
+  private[graft] def suffixScrub(input: DataFrame): DataFrame = {
+    val (docs, occ0, cleanup) = suffixOcc(input)
+    val occ = occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spansAgg = spanUnion(clipCovered(occ))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val out = input
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spansAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr("""transform(
+          filter(transform(toks, (t, i) -> named_struct('t', t, 'i', CAST(i AS BIGINT))),
+                 p -> spans IS NULL OR NOT exists(spans, sp -> p.i >= sp.s AND p.i < sp.e)),
+          p -> p.t)""").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
+      .orderBy(col("doc_id"))
     val materialized = out.localCheckpoint(true)
     occ.unpersist(false)
     cleanup()
@@ -1594,6 +1656,7 @@ object TextAnalytics {
     "q203_suffix_repeats" -> (q203SuffixRepeats _),
     "q205_suffix_clip" -> (q205SuffixClip _),
     "q207_decontam_clip" -> (q207DecontamClip _),
+    "q208_suffix_scrub" -> (q208SuffixScrub _),
     "q150_winnow" -> (q150Winnow _),
     "q155_kn_continuation" -> (q155KnContinuation _),
     "q169_kn_perplexity" -> (q169KnPerplexity _),
@@ -1664,11 +1727,13 @@ object TextAnalytics {
     * basis-point expression can never reach one oracle and not the
     * other (review finding — the suffixOccCtes single-copy rule).
     */
-  private def clipOracleSql(coveredCtes: String, ntWhere: String,
-      nRemoved: String, nSpans: String, nKept: String, bp: String): String =
-    s"""WITH $suffixOccCtes,
-        $coveredCtes,
-        mx AS (SELECT doc_id, pos, e,
+  /** The span-union CTE chain over a previously-defined
+    * `covered(doc_id, pos, e)` relation, ending in
+    * `spans(doc_id, g, s, e)` — the SQL twin of [[spanUnion]], ONE copy
+    * shared by the report oracles (via [[clipOracleSql]]) and the q208
+    * materialization oracle. */
+  private def spanUnionSqlCtes: String =
+    s"""mx AS (SELECT doc_id, pos, e,
                       max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND 1 PRECEDING) AS maxe
@@ -1678,7 +1743,28 @@ object TextAnalytics {
                         OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
                FROM mx),
         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
-                  FROM gi GROUP BY 1, 2),
+                  FROM gi GROUP BY 1, 2)"""
+
+  /** The q205/q208 covered-set derivation (first occurrence per interval
+    * survives; packed-min, guarded) — shared so the survivor policy's
+    * SQL twin also lives in one place. */
+  private def clipCoveredCtes(q: String): String =
+    s"""firsts AS (SELECT v, lo, hi,
+                          min(CASE WHEN pos >= 2097152
+                                   THEN error('$q: pos exceeds the packing bound')
+                                   WHEN doc_id < 0
+                                   THEN error('$q: doc_id must be non-negative (packed min needs doc-major order)')
+                                   ELSE doc_id * 2097152 + pos END) AS fk
+                   FROM occ GROUP BY 1, 2, 3),
+        covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
+                    FROM occ o JOIN firsts f USING (v, lo, hi)
+                    WHERE o.doc_id * 2097152 + o.pos <> f.fk)"""
+
+  private def clipOracleSql(coveredCtes: String, ntWhere: String,
+      nRemoved: String, nSpans: String, nKept: String, bp: String): String =
+    s"""WITH $suffixOccCtes,
+        $coveredCtes,
+        $spanUnionSqlCtes,
         agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS $nRemoved,
                        CAST(count(*) AS BIGINT) AS $nSpans
                 FROM spans GROUP BY 1),
@@ -2097,18 +2183,27 @@ object TextAnalytics {
     // q205: the removal pass over the same occurrence relation — first
     // occurrence per interval survives (packed-min, guarded), the rest
     // union into per-doc clipped spans
-    "q205_suffix_clip" -> clipOracleSql(
-      s"""firsts AS (SELECT v, lo, hi,
-                            min(CASE WHEN pos >= 2097152
-                                     THEN error('q205: pos exceeds the packing bound')
-                                     WHEN doc_id < 0
-                                     THEN error('q205: doc_id must be non-negative (packed min needs doc-major order)')
-                                     ELSE doc_id * 2097152 + pos END) AS fk
-                     FROM occ GROUP BY 1, 2, 3),
-          covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
-                      FROM occ o JOIN firsts f USING (v, lo, hi)
-                      WHERE o.doc_id * 2097152 + o.pos <> f.fk)""",
+    "q205_suffix_clip" -> clipOracleSql(clipCoveredCtes("q205"),
       ntWhere = "", "n_removed", "n_spans", "n_kept", "removed_bp"),
+    // q208: the same survivor policy and span union, then the kept
+    // tokens re-joined — the cleaned-corpus artifact itself
+    "q208_suffix_scrub" ->
+      s"""WITH $suffixOccCtes,
+          ${clipCoveredCtes("q208")},
+          $spanUnionSqlCtes,
+          tok0 AS (SELECT doc_id, tok, CAST(pos - 1 AS BIGINT) AS i FROM toks),
+          kept AS (SELECT t.doc_id, t.tok, t.i FROM tok0 t
+                   WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                     WHERE sp.doc_id = t.doc_id
+                                       AND t.i >= sp.s AND t.i < sp.e)),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         string_agg(tok, ' ' ORDER BY i) AS kept_text
+                  FROM kept GROUP BY 1),
+          base AS (SELECT doc_id, CAST(len(ha) AS BIGINT) AS n_tokens FROM hal)
+          SELECT base.doc_id, n_tokens,
+                 n_tokens - coalesce(n_kept, 0) AS n_removed,
+                 coalesce(kept_text, '') AS kept_text
+          FROM base LEFT JOIN agg USING (doc_id) ORDER BY base.doc_id""",
     // q207: the decontamination pass over the same occurrence relation —
     // intervals touching an eval-slice doc mark their TRAIN occurrences,
     // which union into per-doc contaminated spans (q205's shared chain)

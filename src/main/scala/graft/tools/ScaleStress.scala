@@ -126,7 +126,8 @@ object ScaleStress {
       "q67_curation_pipeline", "q181_cdc_dedup", "q183_source_contamination",
       "q184_kcenter_sample", "q186_bpe_canonical", "q187_cdc_incremental",
       "q188_stream_cdc_ingest", "q192_nb_quality", "q195_edit_verify",
-      "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip")
+      "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip",
+      "q208_suffix_scrub")
     // q194/q196 are deliberately NOT in the ×N sweep: the replica corpus
     // duplicates texts (q194's answer grows quadratically — output size,
     // not the operator) and replicates the BENCH docs (q196's query side
@@ -333,7 +334,8 @@ object ScaleStress {
     // proof that no task held the mega-key's members.
     val megaNames = Seq("q24_exact_dedup", "q41_dedup_components",
       "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental",
-      "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip")
+      "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip",
+      "q208_suffix_scrub")
     val megaSel = megaNames.filter(n => only.exists(n.contains))
     // the legacy 'qdedup_megakey' token selects the FULL block even when
     // combined with specific names — a mixed filter must not silently

@@ -2407,6 +2407,26 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out(2L) == ((60L, 1L)), "the second copy clips all 60 tokens as ONE span")
   }
 
+  test("q208: the scrubbed text drops exactly the clipped spans, first copy intact") {
+    import org.apache.spark.sql.functions.col
+    val A = (1 to 20).map(i => s"a$i")
+    val T = (1 to 14).map(i => s"t$i") // doc 4 is a verbatim copy of doc 5's text
+    val docs = Seq(
+      (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
+      (2L, (Seq("z1") ++ A ++ Seq("q1")).mkString(" ")),
+      (4L, T.mkString(" ")),
+      (5L, T.mkString(" "))).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalytics.suffixScrub(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 holds the A-family first occurrence AND the earliest T? no —
+    // T lives in docs 4/5 only; doc 4 is its first occurrence
+    assert(out(1L) == ((24L, 0L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" "))))
+    assert(out(2L) == ((22L, 20L, "z1 q1")), "the second A copy scrubs to its context")
+    assert(out(4L) == ((14L, 0L, T.mkString(" "))), "the first T copy survives whole")
+    assert(out(5L) == ((14L, 14L, "")), "a fully-duplicated doc scrubs to empty text")
+  }
+
   test("q207: only eval-touching runs contaminate; train-train repeats never do") {
     import org.apache.spark.sql.functions.col
     import graft.queries.TextAnalytics.{DecontamMod, DecontamRes}
