@@ -1841,6 +1841,27 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.exists { case (id, c, d) => d && c == global(id) })
   }
 
+  test("q163: the RocksDB state store reproduces the default provider exactly") {
+    // the 100 TB state story: the default HDFSBackedStateStoreProvider
+    // keeps every key in executor memory — at production signature-state
+    // volume the disk-backed RocksDB provider is the one you'd run. The
+    // stateful TTL dedup (flatMapGroupsWithState + watermark eviction)
+    // must be provider-agnostic: same rows, same chains, same evictions.
+    // Provider is a query-start conf; fresh checkpoints per run make the
+    // swap legal.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    val base = graft.queries.StreamGate.sigDedupTtlRun(spark, Sf)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = try graft.queries.StreamGate.sigDedupTtlRun(spark, Sf)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    assert(rocks.nonEmpty && rocks == base,
+      "RocksDB-backed state diverged from the memory-backed run")
+  }
+
   test("q175: checkpoint restart resumes state, reprocesses nothing") {
     val (outDf, b1, b2) =
       graft.queries.StreamGate.sigDedupCkptRun(spark, Sf)
