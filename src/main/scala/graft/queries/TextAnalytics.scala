@@ -700,12 +700,16 @@ object TextAnalytics {
       : (DataFrame, DataFrame, () => Unit) = {
     import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
-    // NULL-text contract: such a document has no suffixes and no per-doc
-    // report row — pinned here because the oracles' char-explode drops
-    // NULL texts from every downstream relation (q205's one-row-per-doc
-    // output would otherwise diverge; q203's interval output never could)
+    // NULL- and EMPTY-text contract: such a document has no suffixes and
+    // no per-doc report row — pinned here because the oracles drop both
+    // classes from every downstream relation (char-explode drops NULL
+    // texts; the strHashCtes char CTE drops the lone EMPTY token a
+    // whitespace-only text tokenizes to, so hal has no row). Without the
+    // trim filter the ENGINE would hash '' into one ghost suffix and
+    // report n_tokens = 1 where the oracle reports nothing (review
+    // finding — latent until a fixture carries an empty-text doc).
     val docs = input
-      .where(col("text").isNotNull)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
       .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per position: capped suffix + left-extension witness
@@ -909,14 +913,6 @@ object TextAnalytics {
   def q205SuffixClip(s: SparkSession, dir: String): DataFrame =
     suffixClip(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
-  /** The shared removal-report tail of q205/q207: union `covered`
-    * (doc_id, pos, e) token runs into per-doc spans (running-max
-    * gaps-and-islands) and report exact counts against `perDoc`
-    * (doc_id, n_tokens) — ONE copy, parameterized only by the report's
-    * column names, so a fix to the union (tie order, the n_tokens = 0
-    * guard) can never reach one consumer and not the other (review
-    * finding — the suffixOccCtes single-copy rule applied to the tail).
-    */
   /** Union `covered` (doc_id, pos, e) token runs into disjoint per-doc
     * spans (doc_id, s, e) — running-max gaps-and-islands, ONE copy
     * shared by the count reports (q205/q207) and the text
@@ -947,6 +943,12 @@ object TextAnalytics {
       .select(col("doc_id"), col("pos"), (col("pos") + col("v")).as("e"))
   }
 
+  /** The shared removal-report tail of q205/q207: [[spanUnion]] the
+    * covered runs, then report exact counts against `perDoc`
+    * (doc_id, n_tokens) — ONE copy, parameterized only by the report's
+    * column names, so a fix to the report (coalesce defaults, the
+    * n_tokens = 0 guard) can never reach one consumer and not the other.
+    */
   private def spanUnionReport(perDoc: DataFrame, covered: DataFrame,
       nRemoved: String, nSpans: String, nKept: String, bp: String): DataFrame = {
     val spans = spanUnion(covered)
@@ -1014,15 +1016,27 @@ object TextAnalytics {
     val spansAgg = spanUnion(clipCovered(occ))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    // same zero-content contract as suffixOcc's docs frame (one rule,
+    // stated there); reconstruction needs the raw TOKENS, not hashes
     val out = input
-      .where(col("text").isNotNull)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .join(spansAgg, Seq("doc_id"), "left")
+      // complement-slice reconstruction, O(kept + spans) per doc: spans
+      // are disjoint and non-adjacent (spanUnion merges touching runs),
+      // so sorted span boundaries define the kept gaps and ONE flatten
+      // concatenates their slices — a per-token exists() over the span
+      // array would be O(n_tokens x n_spans), hidden-quadratic on a doc
+      // built from many short duplicated phrases (review finding)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        expr("""transform(
-          filter(transform(toks, (t, i) -> named_struct('t', t, 'i', CAST(i AS BIGINT))),
-                 p -> spans IS NULL OR NOT exists(spans, sp -> p.i >= sp.s AND p.i < sp.e)),
-          p -> p.t)""").as("kept"))
+        expr("""CASE WHEN spans IS NULL THEN toks ELSE
+          flatten(zip_with(
+            concat(array(0L), transform(sort_array(spans), sp -> sp.e)),
+            concat(transform(sort_array(spans), sp -> sp.s),
+                   array(CAST(size(toks) AS BIGINT))),
+            (a, b) -> slice(toks, CAST(a + 1 AS INT),
+                            CAST(greatest(b - a, 0L) AS INT))))
+        END""").as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).as("n_removed"),
         array_join(col("kept"), " ").as("kept_text"))
@@ -1718,15 +1732,6 @@ object TextAnalytics {
                 FROM iv, unnest(range(iv.lo, iv.hi + 1)) AS u(rnk), dup d
                 WHERE d.rank = u.rnk)"""
 
-  /** The q205/q207 oracle skeleton: `$suffixOccCtes`, then the caller's
-    * covered-set derivation (must end in `covered(doc_id, pos, e)`),
-    * then ONE copy of the span-union + per-doc report chain — the
-    * engine-side [[spanUnionReport]] mirrored in SQL, parameterized
-    * only by the report's column names and the per-doc base's WHERE
-    * (q207 reports train docs only). A fix to the union frame or the
-    * basis-point expression can never reach one oracle and not the
-    * other (review finding — the suffixOccCtes single-copy rule).
-    */
   /** The span-union CTE chain over a previously-defined
     * `covered(doc_id, pos, e)` relation, ending in
     * `spans(doc_id, g, s, e)` — the SQL twin of [[spanUnion]], ONE copy
@@ -1760,6 +1765,12 @@ object TextAnalytics {
                     FROM occ o JOIN firsts f USING (v, lo, hi)
                     WHERE o.doc_id * 2097152 + o.pos <> f.fk)"""
 
+  /** The q205/q207 oracle skeleton: `$suffixOccCtes`, then the caller's
+    * covered-set derivation (must end in `covered(doc_id, pos, e)`),
+    * then the shared span-union chain and the per-doc count report —
+    * the engine-side [[spanUnionReport]] mirrored in SQL, parameterized
+    * only by the report's column names and the per-doc base's WHERE
+    * (q207 reports train docs only). */
   private def clipOracleSql(coveredCtes: String, ntWhere: String,
       nRemoved: String, nSpans: String, nKept: String, bp: String): String =
     s"""WITH $suffixOccCtes,

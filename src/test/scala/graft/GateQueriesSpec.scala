@@ -2399,12 +2399,16 @@ class GateQueriesSpec extends AnyFunSuite {
       (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
       (2L, (Seq("z1", "z2", "z3") ++ A ++ Seq("q1")).mkString(" ")),
       (3L, (Seq("p1") ++ A ++ Seq("r1")).mkString(" ")),
-      // NULL-text contract: dropped, not crashed and not a phantom row
-      // (the oracle's char-explode drops it from every relation)
-      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      // NULL- and EMPTY-text contract: dropped, not crashed and not a
+      // phantom row (the oracle's char CTEs drop both classes — and the
+      // engine must not hash '' into a ghost one-token suffix)
+      (4L, null.asInstanceOf[String]),
+      (6L, ""), (7L, "   ")).toDF("doc_id", "text")
     val out = graft.queries.TextAnalytics.suffixClip(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
     assert(!out.contains(4L), "a NULL-text doc must produce no report row")
+    assert(!out.contains(6L) && !out.contains(7L),
+      "an empty/whitespace-only doc must produce no report row (oracle parity)")
     assert(out.size == 3)
     // doc 1 holds the family's first occurrence: nothing removed
     assert(out(1L) == ((24L, 0L, 24L)))
@@ -2436,7 +2440,8 @@ class GateQueriesSpec extends AnyFunSuite {
       (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
       (2L, (Seq("z1") ++ A ++ Seq("q1")).mkString(" ")),
       (4L, T.mkString(" ")),
-      (5L, T.mkString(" "))).toDF("doc_id", "text")
+      (5L, T.mkString(" ")),
+      (6L, "")).toDF("doc_id", "text") // zero-content contract: no row
     val out = graft.queries.TextAnalytics.suffixScrub(docs)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
@@ -2446,6 +2451,7 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out(2L) == ((22L, 20L, "z1 q1")), "the second A copy scrubs to its context")
     assert(out(4L) == ((14L, 0L, T.mkString(" "))), "the first T copy survives whole")
     assert(out(5L) == ((14L, 14L, "")), "a fully-duplicated doc scrubs to empty text")
+    assert(!out.contains(6L), "a zero-content doc must produce no scrub row")
   }
 
   test("q207: only eval-touching runs contaminate; train-train repeats never do") {
