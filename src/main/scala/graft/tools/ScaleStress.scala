@@ -187,6 +187,41 @@ object ScaleStress {
         println(f"SCALE q115_skew base=${sBase}%.2fs x${factor}skew=${sBig}%.2fs ratio=${sBig / sBase}%.1f")
     }
 
+    // q208 under the MANY-SPANS adversary: every doc built from ~30
+    // short duplicated phrases drawn from a small shared pool, so the
+    // scrub must remove ~30 disjoint spans per doc corpus-wide — the
+    // shape where a per-token exists() over the span array goes
+    // hidden-quadratic (O(n_tokens x n_spans) per doc; review finding)
+    // and the complement-slice reconstruction stays O(kept + spans).
+    if (only.isEmpty || only.exists("q208_manyspans".contains)) {
+      val spanDst = s"/tmp/graft-sfx$factor-manyspans"
+      if (!new java.io.File(s"$spanDst/documents.parquet").exists()) {
+        println(s"-- materializing $spanDst (factor $factor, ~30 spans/doc)")
+        // phrase pool of 97 distinct 13-token phrases (13 >= SufL); doc d
+        // concatenates 30 pool picks, each followed by a UNIQUE
+        // (doc, slot) separator token — the separators keep the clipped
+        // spans DISJOINT (no two phrase occurrences can chain through a
+        // token that exists nowhere else), so every doc carries ~30
+        // separate spans instead of one merged run
+        replicate(graft.sources.Tables.documents(spark, src), factor, Seq("doc_id"))
+          .withColumn("text", expr(
+            """array_join(transform(sequence(0, 29), i -> concat(
+                 array_join(transform(sequence(0, 12), j ->
+                   concat('p', CAST(pmod(doc_id * 31 + i * 7, 97) AS STRING),
+                          '_', CAST(j AS STRING))), ' '),
+                 ' u', CAST(doc_id AS STRING), '_', CAST(i AS STRING))), ' ')"""))
+          .write.mode("overwrite").parquet(s"$spanDst/documents.parquet")
+      }
+      val mBase = minOf2("q208_suffix_scrub", src)
+      resetPeak()
+      val mBig = minOf2("q208_suffix_scrub", spanDst)
+      if (mBase < 0 || mBig < 0)
+        println(s"SCALE q208_manyspans FAILED (base=$mBase x${factor}spans=$mBig)")
+      else
+        println(f"SCALE q208_manyspans base=${mBase}%.2fs x${factor}spans=${mBig}%.2fs " +
+          f"ratio=${mBig / mBase}%.1f peak_task_mb=$peakMb")
+    }
+
     // q158 under a ×100k historical image-hash index (the production
     // concern behind dropping the broadcast hint): synthetic
     // never-matching rows inflate the static side to ~3.2M entries, the
