@@ -691,6 +691,31 @@ object TextAnalytics {
     materialized
   }
 
+  /** The suffix family's tokenized-doc frame `(doc_id, toks)` — the ONE
+    * copy of the family's tokenization contract, shared by [[suffixOcc]]
+    * (which hashes it) and [[suffixScrub]] (which reconstructs from the
+    * raw tokens), so the two sides can never disagree on positions.
+    *
+    * Two rules, both forced by oracle parity:
+    *
+    *  - COMPACTION: `split(trim(text), "\s+")` keeps a leading/trailing
+    *    '' ghost when the text has edge whitespace other than the spaces
+    *    trim() strips (tabs, newlines — both Spark's and DuckDB's trim
+    *    are space-only). The oracle's char-CTE hashing drops exactly
+    *    those ghost tokens from `hal` (an empty string explodes to zero
+    *    char rows), so the engine must drop them too or every position,
+    *    n_tokens and span coordinate shifts by the ghost count (review
+    *    finding — latent until a fixture carries edge tab/newline text).
+    *  - ZERO-CONTENT docs (NULL, empty, whitespace-only) have an EMPTY
+    *    compacted list and are dropped entirely: no suffixes, no per-doc
+    *    report row, matching the oracle where such a doc never reaches
+    *    `hal` (NULL splits to NULL; ghost-only lists hash to nothing).
+    */
+  private def suffixToks(input: DataFrame): DataFrame =
+    input.select(col("doc_id"),
+        filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+
   /** The shared suffix-order pipeline: hashed docs + the lcp-interval
     * OCCURRENCE frame `(v, lo, hi, rank, doc_id, pos, prevh)` — one row
     * per (right-maximal interval, member suffix) — plus a cleanup that
@@ -700,17 +725,8 @@ object TextAnalytics {
       : (DataFrame, DataFrame, () => Unit) = {
     import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
-    // NULL- and EMPTY-text contract: such a document has no suffixes and
-    // no per-doc report row — pinned here because the oracles drop both
-    // classes from every downstream relation (char-explode drops NULL
-    // texts; the strHashCtes char CTE drops the lone EMPTY token a
-    // whitespace-only text tokenizes to, so hal has no row). Without the
-    // trim filter the ENGINE would hash '' into one ghost suffix and
-    // report n_tokens = 1 where the oracle reports nothing (review
-    // finding — latent until a fixture carries an empty-text doc).
-    val docs = input
-      .where(col("text").isNotNull && trim(col("text")) =!= "")
-      .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
+    val docs = suffixToks(input)
+      .select(col("doc_id"), transform(col("toks"), t => strHash(t)).as("ha"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per position: capped suffix + left-extension witness
     // (pos 0 gets the per-doc negative sentinel: a doc-start occurrence
@@ -1016,11 +1032,10 @@ object TextAnalytics {
     val spansAgg = spanUnion(clipCovered(occ))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
-    // same zero-content contract as suffixOcc's docs frame (one rule,
-    // stated there); reconstruction needs the raw TOKENS, not hashes
-    val out = input
-      .where(col("text").isNotNull && trim(col("text")) =!= "")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // the same tokenized frame the occurrence side hashed ([[suffixToks]]
+    // — one copy of the compaction + zero-content contract), so span
+    // coordinates and the raw tokens reconstructed here can never drift
+    val out = suffixToks(input)
       .join(spansAgg, Seq("doc_id"), "left")
       // complement-slice reconstruction, O(kept + spans) per doc: spans
       // are disjoint and non-adjacent (spanUnion merges touching runs),
@@ -2202,7 +2217,14 @@ object TextAnalytics {
       s"""WITH $suffixOccCtes,
           ${clipCoveredCtes("q208")},
           $spanUnionSqlCtes,
-          tok0 AS (SELECT doc_id, tok, CAST(pos - 1 AS BIGINT) AS i FROM toks),
+          -- COMPACTED coordinates: spans/ha index the token list with
+          -- edge-whitespace ghost '' tokens dropped (the char CTE never
+          -- hashes them), so the reconstruction must re-number over the
+          -- non-empty tokens, not the raw split subscripts
+          tok0 AS (SELECT doc_id, tok,
+                          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                               AS BIGINT) AS i
+                   FROM toks WHERE tok <> ''),
           kept AS (SELECT t.doc_id, t.tok, t.i FROM tok0 t
                    WHERE NOT EXISTS (SELECT 1 FROM spans sp
                                      WHERE sp.doc_id = t.doc_id

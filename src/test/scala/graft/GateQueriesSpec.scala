@@ -2401,20 +2401,31 @@ class GateQueriesSpec extends AnyFunSuite {
       (3L, (Seq("p1") ++ A ++ Seq("r1")).mkString(" ")),
       // NULL- and EMPTY-text contract: dropped, not crashed and not a
       // phantom row (the oracle's char CTEs drop both classes — and the
-      // engine must not hash '' into a ghost one-token suffix)
+      // engine must not hash '' into a ghost one-token suffix). Doc 8 is
+      // the TAB/NEWLINE form of whitespace-only: trim() strips spaces
+      // only, so the zero-content drop must survive split's edge ghosts.
       (4L, null.asInstanceOf[String]),
-      (6L, ""), (7L, "   ")).toDF("doc_id", "text")
+      (6L, ""), (7L, "   "), (8L, "\t \n"),
+      // edge-whitespace COMPACTION contract: tabs/newlines the trim
+      // cannot see add leading/trailing '' ghost tokens to the raw
+      // split — n_tokens must count the 3 real tokens, not 5
+      (9L, "\tc1 c2 c3\n")).toDF("doc_id", "text")
     val out = graft.queries.TextAnalytics.suffixClip(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
     assert(!out.contains(4L), "a NULL-text doc must produce no report row")
     assert(!out.contains(6L) && !out.contains(7L),
       "an empty/whitespace-only doc must produce no report row (oracle parity)")
-    assert(out.size == 3)
+    assert(!out.contains(8L),
+      "a tab/newline-only doc must produce no report row (trim is space-only)")
+    assert(out.size == 4)
     // doc 1 holds the family's first occurrence: nothing removed
     assert(out(1L) == ((24L, 0L, 24L)))
     // docs 2 and 3 lose exactly the 20 phrase tokens, nothing else
     assert(out(2L) == ((24L, 20L, 4L)))
     assert(out(3L) == ((22L, 20L, 2L)))
+    // doc 9: ghost edge tokens compacted away on BOTH engines
+    assert(out(9L) == ((3L, 0L, 3L)),
+      "edge tab/newline ghosts must not inflate n_tokens")
   }
 
   test("q205: coverage chains past the suffix cap (a 60-token duplicate clips whole)") {
@@ -2438,20 +2449,30 @@ class GateQueriesSpec extends AnyFunSuite {
     val T = (1 to 14).map(i => s"t$i") // doc 4 is a verbatim copy of doc 5's text
     val docs = Seq(
       (1L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" ")),
-      (2L, (Seq("z1") ++ A ++ Seq("q1")).mkString(" ")),
+      // edge whitespace trim() cannot see: the split's ghost '' tokens
+      // must compact away BEFORE spans index the token list, or every
+      // span coordinate shifts right by one here
+      (2L, "\t" + (Seq("z1") ++ A ++ Seq("q1")).mkString(" ") + "\n"),
       (4L, T.mkString(" ")),
       (5L, T.mkString(" ")),
-      (6L, "")).toDF("doc_id", "text") // zero-content contract: no row
+      (6L, ""), // zero-content contract: no row
+      // TWO disjoint spans in one doc (second copies of both A and T,
+      // separated by a unique token): the complement-slice boundary
+      // arrays must keep all three gap slices, in order
+      (7L, (Seq("m1") ++ A ++ Seq("m2") ++ T ++ Seq("m3")).mkString(" ")))
+      .toDF("doc_id", "text")
     val out = graft.queries.TextAnalytics.suffixScrub(docs)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     // doc 1 holds the A-family first occurrence AND the earliest T? no —
-    // T lives in docs 4/5 only; doc 4 is its first occurrence
+    // T lives in docs 4/5/7 only; doc 4 is its first occurrence
     assert(out(1L) == ((24L, 0L, (Seq("x1", "x2") ++ A ++ Seq("y1", "y2")).mkString(" "))))
     assert(out(2L) == ((22L, 20L, "z1 q1")), "the second A copy scrubs to its context")
     assert(out(4L) == ((14L, 0L, T.mkString(" "))), "the first T copy survives whole")
     assert(out(5L) == ((14L, 14L, "")), "a fully-duplicated doc scrubs to empty text")
     assert(!out.contains(6L), "a zero-content doc must produce no scrub row")
+    assert(out(7L) == ((37L, 34L, "m1 m2 m3")),
+      "both duplicated runs must clip as separate spans, keeping the gaps")
   }
 
   test("q207: only eval-touching runs contaminate; train-train repeats never do") {
@@ -2566,25 +2587,37 @@ class GateQueriesSpec extends AnyFunSuite {
       val corpus = (0 until 6).map(d => (d.toLong, mkDoc()))
       val df = corpus.map { case (d, t) => (d, t.mkString(" ")) }
         .toDF("doc_id", "text")
+      // ONE enumeration of every (v, token-slice) → occurrence list, one
+      // right-closure rule and one span-merge fold, shared by the four
+      // brute-force oracles below (q203/q205/q207/q208) — a fix to the
+      // closure rule or the merge tie-handling lands in exactly one place
+      val groups: Map[(Int, Vector[String]), Seq[(Long, Int)]] =
+        (for {
+          (d, toks) <- corpus
+          v <- L to K
+          p <- 0 to toks.length - v
+        } yield ((v, toks.slice(p, p + v)), (d, p)))
+          .groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+      // right-closed: every occurrence continues with the SAME next
+      // token (below the cap) — then the interval only exists at a
+      // longer length; a doc-end occurrence always breaks closure
+      def isRightClosed(v: Int, os: Seq[(Long, Int)]): Boolean =
+        v < K &&
+          os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
+          os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
+      def mergeSpans(cov: List[(Int, Int)]): List[(Int, Int)] =
+        cov.sorted.foldLeft(List.empty[(Int, Int)]) {
+          case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+            if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+          case (Nil, sp) => sp :: Nil
+        }
       val got = graft.queries.TextAnalytics.suffixRepeats(df).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSet
-      val exp = (for {
-        (d, toks) <- corpus
-        v <- L to K
-        p <- 0 to toks.length - v
-      } yield ((v, toks.slice(p, p + v)), (d, p)))
-        .groupBy(_._1).flatMap { case ((v, s), occ0) =>
-          val os = occ0.map(_._2)
+      val exp = groups.flatMap { case ((v, s), os) =>
           val prevs = os.map { case (d, p) =>
             if (p == 0) s" $d" else corpus(d.toInt)._2(p - 1) }.toSet
-          // right-closed: every occurrence continues with the SAME next
-          // token (below the cap) — then the interval only exists at a
-          // longer length; a doc-end occurrence always breaks closure
-          val rightClosed = v < K &&
-            os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
-            os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
-          if (os.size >= 2 && prevs.size >= 2 && !rightClosed) {
+          if (os.size >= 2 && prevs.size >= 2 && !isRightClosed(v, os)) {
             val h = s.foldLeft(0L)((a, t) =>
               (a * 131 + PortableStringHash.hashString(t)) % PortableStringHash.P)
             Some((h, v.toLong, os.size.toLong,
@@ -2605,36 +2638,44 @@ class GateQueriesSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4), r.getLong(5))).toMap
       val covered = scala.collection.mutable.Map[Long, List[(Int, Int)]]()
         .withDefaultValue(Nil)
-      (for {
-        (d, toks) <- corpus
-        v <- L to K
-        p <- 0 to toks.length - v
-      } yield ((v, toks.slice(p, p + v)), (d, p)))
-        .groupBy(_._1).foreach { case ((v, s), occ0) =>
-          val os = occ0.map(_._2)
-          val rightClosed = v < K &&
-            os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
-            os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
-          if (os.size >= 2 && !rightClosed) {
-            val survivor = os.min
-            os.filterNot(_ == survivor).foreach { case (d, p) =>
-              covered(d) = (p, p + v) :: covered(d)
-            }
+      groups.foreach { case ((v, _), os) =>
+        if (os.size >= 2 && !isRightClosed(v, os)) {
+          val survivor = os.min
+          os.filterNot(_ == survivor).foreach { case (d, p) =>
+            covered(d) = (p, p + v) :: covered(d)
           }
         }
+      }
       corpus.foreach { case (d, toks) =>
-        val spans = covered(d).sorted
-          .foldLeft(List.empty[(Int, Int)]) {
-            case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
-              if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
-            case (Nil, sp) => sp :: Nil
-          }
+        val spans = mergeSpans(covered(d))
         val nRem = spans.map { case (s0, e0) => (e0 - s0).toLong }.sum
         val nTok = toks.length.toLong
         val expRow = (nTok, nRem, spans.length.toLong, nTok - nRem,
           if (nTok == 0) 0L else nRem * 10000 / nTok)
         assert(clipGot(d) == expRow,
           s"trial $trial doc $d: engine=${clipGot(d)} brute=$expRow")
+      }
+
+      // and the q208 scrub against the SAME covered set: kept_text must
+      // be exactly the tokens outside the merged spans, re-joined — the
+      // complement-slice reconstruction checked on every random corpus,
+      // multi-span docs included
+      val scrubGot = graft.queries.TextAnalytics.suffixScrub(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      corpus.foreach { case (d, toks) =>
+        if (toks.isEmpty) assert(!scrubGot.contains(d),
+          s"trial $trial doc $d: a zero-content doc must produce no scrub row")
+        else {
+          val spans = mergeSpans(covered(d))
+          val kept = toks.zipWithIndex.collect {
+            case (t, i) if !spans.exists { case (s0, e0) => i >= s0 && i < e0 } => t
+          }
+          val expRow = (toks.length.toLong, (toks.length - kept.length).toLong,
+            kept.mkString(" "))
+          assert(scrubGot(d) == expRow,
+            s"trial $trial doc $d: q208 engine=${scrubGot(d)} brute=$expRow")
+        }
       }
 
       // and the q207 decontamination against the same corpus: a (v, s)
@@ -2655,29 +2696,15 @@ class GateQueriesSpec extends AnyFunSuite {
         s"trial $trial: q207 must report every train doc and no eval doc")
       val contamCov = scala.collection.mutable.Map[Long, List[(Int, Int)]]()
         .withDefaultValue(Nil)
-      (for {
-        (d, toks) <- corpus
-        v <- L to K
-        p <- 0 to toks.length - v
-      } yield ((v, toks.slice(p, p + v)), (d, p)))
-        .groupBy(_._1).foreach { case ((v, s), occ0) =>
-          val os = occ0.map(_._2)
-          val rightClosed = v < K &&
-            os.forall { case (d, p) => corpus(d.toInt)._2.length - p > v } &&
-            os.map { case (d, p) => corpus(d.toInt)._2(p + v) }.toSet.size == 1
-          if (os.size >= 2 && !rightClosed && os.exists(o => isEvalDoc(o._1))) {
-            os.filterNot(o => isEvalDoc(o._1)).foreach { case (d, p) =>
-              contamCov(d) = (p, p + v) :: contamCov(d)
-            }
+      groups.foreach { case ((v, _), os) =>
+        if (os.size >= 2 && !isRightClosed(v, os) && os.exists(o => isEvalDoc(o._1))) {
+          os.filterNot(o => isEvalDoc(o._1)).foreach { case (d, p) =>
+            contamCov(d) = (p, p + v) :: contamCov(d)
           }
         }
+      }
       corpus.filterNot { case (d, _) => isEvalDoc(d) }.foreach { case (d, toks) =>
-        val spans = contamCov(d).sorted
-          .foldLeft(List.empty[(Int, Int)]) {
-            case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
-              if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
-            case (Nil, sp) => sp :: Nil
-          }
+        val spans = mergeSpans(contamCov(d))
         val nCon = spans.map { case (s0, e0) => (e0 - s0).toLong }.sum
         val nTok = toks.length.toLong
         val expRow = (nTok, nCon, spans.length.toLong, nTok - nCon,
