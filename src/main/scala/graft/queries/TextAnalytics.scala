@@ -716,6 +716,37 @@ object TextAnalytics {
         filter(tokens(col("text")), t => length(t) > 0).as("toks"))
       .where(size(col("toks")) > 0)
 
+  /** Target suffix rows per range partition: one partition is one
+    * window task's sort buffer, and its rows carry four capped-key
+    * hash arrays (~2 KB each), so 200k rows holds peak task memory
+    * near the measured ~540 MB regardless of corpus size. */
+  private[graft] val SuffixRowsPerPartition = 200000L
+
+  /** Session conf capping the suffix order's range-partition fan-out.
+    * The default (4096) saturates at ~0.8B suffix rows (cap ×
+    * [[SuffixRowsPerPartition]]) — right for the single-JVM harness;
+    * a cluster deployment running corpora past that raises it so the
+    * sort keeps fanning out instead of fattening each task. */
+  private[graft] val SuffixMaxPartitionsKey = "graft.suffix.maxPartitions"
+
+  /** Range-partition count for the distributed suffix order: suffix
+    * volume over [[SuffixRowsPerPartition]], floored at the session
+    * shuffle parallelism (small corpora keep the session's fan-out),
+    * capped at [[SuffixMaxPartitionsKey]]. Misconfiguration fails
+    * loudly — a silent fallback would quietly reshape every suffix
+    * plan. */
+  private[graft] def suffixPartitions(s: SparkSession, nTok: Long): Int = {
+    val raw = s.conf.get(SuffixMaxPartitionsKey, "4096")
+    val cap = try raw.toInt catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"$SuffixMaxPartitionsKey: expected a positive integer, got '$raw'", e)
+    }
+    require(cap > 0, s"$SuffixMaxPartitionsKey: expected a positive integer, got '$raw'")
+    math.max(
+      math.max(1, s.sessionState.conf.numShufflePartitions),
+      math.min(cap, (nTok / SuffixRowsPerPartition + 1).toInt))
+  }
+
   /** The shared suffix-order pipeline: hashed docs + the lcp-interval
     * OCCURRENCE frame `(v, lo, hi, rank, doc_id, pos, prevh)` — one row
     * per (right-maximal interval, member suffix) — plus a cleanup that
@@ -766,19 +797,13 @@ object TextAnalytics {
     }
     val s = input.sparkSession
     // partition count scales with the SUFFIX VOLUME, not the session
-    // default: a range partition is one window task's sort buffer (rows
-    // carry K-long hash arrays, ~0.5 KB each), so ~200k suffix rows per
-    // partition holds task memory near ~100 MB regardless of corpus
-    // size — at the gate corpora this leaves the session's 32, at a
-    // ×100 replica it fans out instead of fattening each task. The
-    // count costs one agg over the already-persisted docs frame.
+    // default — see [[suffixPartitions]]. The count costs one agg over
+    // the already-persisted docs frame.
     val nTok = docs.agg(sum(size(col("ha")))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val nPart = math.max(
-      math.max(1, s.sessionState.conf.numShufflePartitions),
-      math.min(4096, (nTok / 200000L + 1).toInt))
+    val nPart = suffixPartitions(s, nTok)
     val wp = Window.partitionBy(col("pid"))
       .orderBy(col("key"), col("doc_id"), col("pos"))
     val local = suf

@@ -2547,6 +2547,27 @@ class GateQueriesSpec extends AnyFunSuite {
     (100L until 103L).foreach(d => assert(byDoc(d) == ((0L, 15L)), s"doc $d"))
   }
 
+  test("suffix partition sizing: volume-scaled, session-floored, conf-capped") {
+    import graft.queries.TextAnalytics.{suffixPartitions,
+      SuffixMaxPartitionsKey, SuffixRowsPerPartition}
+    val shuffle = spark.sessionState.conf.numShufflePartitions
+    // small corpora keep the session fan-out; volume scales it up
+    assert(suffixPartitions(spark, 0L) == shuffle)
+    assert(suffixPartitions(spark, SuffixRowsPerPartition * 1000) == 1001)
+    // the default cap binds at ~0.8B suffix rows (the PLANS trade note)
+    assert(suffixPartitions(spark, SuffixRowsPerPartition * 100000) == 4096)
+    try {
+      // a cluster-sized override keeps the sort fanning out...
+      spark.conf.set(SuffixMaxPartitionsKey, "8192")
+      assert(suffixPartitions(spark, SuffixRowsPerPartition * 100000) == 8192)
+      // ...and misconfiguration fails loudly, never a silent fallback
+      spark.conf.set(SuffixMaxPartitionsKey, "banana")
+      intercept[IllegalArgumentException](suffixPartitions(spark, 1L))
+      spark.conf.set(SuffixMaxPartitionsKey, "0")
+      intercept[IllegalArgumentException](suffixPartitions(spark, 1L))
+    } finally spark.conf.unset(SuffixMaxPartitionsKey)
+  }
+
   test("SQL-DDL gates leave no ens_* table in the session catalog (hygiene)") {
     // the DDL quartet creates fixed-name gate tables; a long-lived user
     // session must not accumulate them — each gate drops its table after
