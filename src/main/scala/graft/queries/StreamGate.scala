@@ -794,6 +794,71 @@ object StreamGate {
       .orderBy(col("doc_id"))
   }
 
+  /** q209: STREAMING DECONTAMINATION AT INGEST — q207's exact-substring
+    * benchmark-leakage rule executed by the streaming engine as train
+    * documents arrive (the q112/q188 "probe a static reference
+    * in-stream" discipline applied to the suffix axis). The identity
+    * that makes an EXACT stateless streaming form possible: a train
+    * position is covered by an eval-matching duplicated run of length
+    * ≥ SufL iff it is covered by an eval-matching window of length
+    * EXACTLY SufL — every L-subwindow of a verbatim run is itself
+    * verbatim, and the union of a run's L-subwindows reconstructs the
+    * run — so the suffix ORDER is not needed in-stream; the static
+    * side reduces to the benchmark corpus's distinct L-token-hash
+    * window set.
+    *
+    * Shape: the static side windows the eval slice (doc_id ≡ 3 mod 11,
+    * [[TextAnalytics.suffixWindows]]); arriving train docs window
+    * identically (pure narrow projection — stream-legal), LEFT SEMI
+    * join the static set, and matched positions land in the sink;
+    * the per-doc span union + count report runs batch-side over the
+    * sink through q205's shared tail. Gated against the q207 ORACLE
+    * VERBATIM ([[TextAnalytics.decontamOracleSql]]): the batch
+    * suffix-order route and this streaming fixed-window route must
+    * hash-match the same DuckDB replay — each cross-validates the
+    * other.
+    *
+    * Scale shape (the production story): benchmarks are MBs against
+    * TBs of train, so the eval window frame broadcasts and the
+    * in-stream work is a stateless broadcast semi-join per micro-batch
+    * — no state store, trivial checkpoint recovery (the q175/q202
+    * machinery carries over unchanged); sink volume is bounded by the
+    * contaminated-position count. The window expansion multiplies the
+    * stream by ~n_tokens rows per doc BEFORE the semi-join drops
+    * non-matches, which is the same per-token linear cost the batch
+    * suffix sort pays — but here it never shuffles: generator → join →
+    * sink is one pipelined stage per micro-batch.
+    */
+  def q209StreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % TextAnalytics.DecontamMod === TextAnalytics.DecontamRes
+    val batch = graft.sources.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalWins = TextAnalytics.suffixWindows(batch.where(isEval))
+      .select(col("wkey")).distinct()
+    val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+      .select(col("doc_id"), col("text"))
+      .where(!isEval)
+    // spread the probe off the single arrival file before the window
+    // expansion (the q112/q188 lesson — doc_id keying parallelizes even
+    // a contamination-heavy batch, since positions belong to many docs)
+    val matched = TextAnalytics.suffixWindows(stream.repartition(col("doc_id")))
+      .join(evalWins, Seq("wkey"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val sink = "q209_sink"
+    s.catalog.dropTempView(sink)
+    val q = matched.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val covered = s.table(sink)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + TextAnalytics.SufL).as("e"))
+    val perDoc = TextAnalytics.suffixToks(batch.where(!isEval))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    TextAnalytics.spanUnionReport(perDoc, covered,
+      "n_contam", "n_spans", "n_clean", "contam_bp")
+  }
+
   def q112StreamNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stream = DedupSim.newShardOf(
@@ -1082,6 +1147,7 @@ object StreamGate {
     "q134_stream_interval_join" -> (q134StreamIntervalJoin _),
     "q112_stream_neardup" -> (q112StreamNearDup _),
     "q188_stream_cdc_ingest" -> (q188StreamCdcIngest _),
+    "q209_stream_decontam" -> (q209StreamDecontam _),
     "q106_stream_sessions" -> (q106StreamSessions _),
     "q119_stream_sessions_append" -> (q119StreamSessionsAppend _),
     "q58_stream_window" -> (q58StreamWindow _),
@@ -1119,6 +1185,10 @@ object StreamGate {
          ORDER BY user_id, session_start"""
 
   val oracleSql: Map[String, String] = Map(
+    // q209 gates against the q207 oracle VERBATIM — the streaming
+    // fixed-window route must reproduce the batch suffix-order route's
+    // report exactly (the L-subwindow identity, stated at the query)
+    "q209_stream_decontam" -> TextAnalytics.decontamOracleSql,
     // the q153 wHash replay over the 61-key space; historical index =
     // docs 0..31, arrivals left-join it by hash
     "q158_stream_image_dedup" ->

@@ -711,10 +711,27 @@ object TextAnalytics {
     *    report row, matching the oracle where such a doc never reaches
     *    `hal` (NULL splits to NULL; ghost-only lists hash to nothing).
     */
-  private def suffixToks(input: DataFrame): DataFrame =
+  private[graft] def suffixToks(input: DataFrame): DataFrame =
     input.select(col("doc_id"),
         filter(tokens(col("text")), t => length(t) > 0).as("toks"))
       .where(size(col("toks")) > 0)
+
+  /** [[SufL]]-token hash windows of a `(doc_id, text)` frame: one row
+    * per start position, `(doc_id, pos, wkey)` with `wkey` = the SufL
+    * token hashes from `pos` — the fixed-window complement of the
+    * suffix machinery. ONE copy shared by q209's static (eval) and
+    * streaming (train) sides, so both window the corpus identically;
+    * narrow projections only, hence stream-legal. */
+  private[graft] def suffixWindows(input: DataFrame): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    suffixToks(input)
+      .select(col("doc_id"), transform(col("toks"), t => strHash(t)).as("ha"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("ha")) >= SufL, expr(
+          s"transform(sequence(0, size(ha) - $SufL), i -> slice(ha, i + 1, $SufL))"))
+          .otherwise(array().cast("array<array<bigint>>"))).as(Seq("pos", "wkey")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wkey"))
+  }
 
   /** Target suffix rows per range partition: one partition is one
     * window task's sort buffer, and its rows carry four capped-key
@@ -990,7 +1007,7 @@ object TextAnalytics {
     * column names, so a fix to the report (coalesce defaults, the
     * n_tokens = 0 guard) can never reach one consumer and not the other.
     */
-  private def spanUnionReport(perDoc: DataFrame, covered: DataFrame,
+  private[graft] def spanUnionReport(perDoc: DataFrame, covered: DataFrame,
       nRemoved: String, nSpans: String, nKept: String, bp: String): DataFrame = {
     val spans = spanUnion(covered)
     val agg = spans.groupBy(col("doc_id"))
@@ -1829,6 +1846,21 @@ object TextAnalytics {
                END AS $bp
         FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""
 
+  /** The q207 oracle — factored out because q209 (the STREAMING form of
+    * the same decontamination rule) gates against it VERBATIM: the
+    * fixed-window streaming route must reproduce the suffix-order batch
+    * route's report exactly (the L-subwindow identity, stated at q209),
+    * so the two queries sharing one oracle string IS the equivalence
+    * claim. */
+  private[graft] def decontamOracleSql: String = clipOracleSql(
+    s"""ev AS (SELECT DISTINCT v, lo, hi FROM occ
+               WHERE doc_id % $DecontamMod = $DecontamRes),
+        covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
+                    FROM occ o JOIN ev USING (v, lo, hi)
+                    WHERE o.doc_id % $DecontamMod <> $DecontamRes)""",
+    ntWhere = s" WHERE doc_id % $DecontamMod <> $DecontamRes",
+    "n_contam", "n_spans", "n_clean", "contam_bp")
+
   /** First-mismatch LCP of two DuckDB lists as SQL text (NULL neighbor →
     * 0; strict prefix → min length) — the q203 oracle's twin of the
     * engine's zip_with expression. */
@@ -2265,14 +2297,7 @@ object TextAnalytics {
     // q207: the decontamination pass over the same occurrence relation —
     // intervals touching an eval-slice doc mark their TRAIN occurrences,
     // which union into per-doc contaminated spans (q205's shared chain)
-    "q207_decontam_clip" -> clipOracleSql(
-      s"""ev AS (SELECT DISTINCT v, lo, hi FROM occ
-                 WHERE doc_id % $DecontamMod = $DecontamRes),
-          covered AS (SELECT o.doc_id, o.pos, o.pos + o.v AS e
-                      FROM occ o JOIN ev USING (v, lo, hi)
-                      WHERE o.doc_id % $DecontamMod <> $DecontamRes)""",
-      ntWhere = s" WHERE doc_id % $DecontamMod <> $DecontamRes",
-      "n_contam", "n_spans", "n_clean", "contam_bp"),
+    "q207_decontam_clip" -> decontamOracleSql,
     "q97_lm_score" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                      FROM documents),

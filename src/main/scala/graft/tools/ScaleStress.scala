@@ -127,7 +127,7 @@ object ScaleStress {
       "q184_kcenter_sample", "q186_bpe_canonical", "q187_cdc_incremental",
       "q188_stream_cdc_ingest", "q192_nb_quality", "q195_edit_verify",
       "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip",
-      "q208_suffix_scrub")
+      "q208_suffix_scrub", "q209_stream_decontam")
     // q194/q196 are deliberately NOT in the ×N sweep: the replica corpus
     // duplicates texts (q194's answer grows quadratically — output size,
     // not the operator) and replicates the BENCH docs (q196's query side
@@ -370,7 +370,7 @@ object ScaleStress {
     val megaNames = Seq("q24_exact_dedup", "q41_dedup_components",
       "q56_dedup_materialize", "q181_cdc_dedup", "q187_cdc_incremental",
       "q203_suffix_repeats", "q205_suffix_clip", "q207_decontam_clip",
-      "q208_suffix_scrub")
+      "q208_suffix_scrub", "q209_stream_decontam")
     val megaSel = megaNames.filter(n => only.exists(n.contains))
     // the legacy 'qdedup_megakey' token selects the FULL block even when
     // combined with specific names — a mixed filter must not silently
@@ -404,7 +404,11 @@ object ScaleStress {
       // too (doc_id % 11 spans both halves), so the mega family IS a
       // contaminating interval and its corpus/2 train occurrences all
       // probe the semi-join on one interval key — the DISTINCT build
-      // side stays one row and the probe side must spread.
+      // side stays one row and the probe side must spread. q209 meets
+      // it as a mega WINDOW family: the boilerplate's L-windows match
+      // eval, so corpus/2 streamed positions hit the same handful of
+      // window keys — the distinct eval-window build side stays tiny
+      // and the stream-side semi-join probe must spread by doc.
       for (name <- (if (megaAll) megaNames else megaSel)) {
         val b = minOf2(name, src)
         resetPeak()

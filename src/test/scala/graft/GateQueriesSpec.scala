@@ -2547,6 +2547,35 @@ class GateQueriesSpec extends AnyFunSuite {
     (100L until 103L).foreach(d => assert(byDoc(d) == ((0L, 15L)), s"doc $d"))
   }
 
+  test("q209: the streaming window route equals the batch suffix route exactly") {
+    // the planted corpus exercises the two contract edges that make the
+    // equivalence non-obvious: a benchmark quote LONGER than the SufK=48
+    // suffix cap (coverage must chain whole on both routes) and a
+    // train-train duplicate (must contaminate on neither)
+    val A = (1 to 60).map(i => s"a$i") // the benchmark quote, > SufK
+    val B = (1 to 15).map(i => s"b$i") // train-train decoy
+    val docs = Seq(
+      (1L, (Seq("x1") ++ A ++ Seq("x2") ++ B).mkString(" ")),
+      (2L, (Seq("y1") ++ B ++ Seq("y2")).mkString(" ")),
+      (3L, (Seq("z1") ++ A ++ Seq("z2")).mkString(" ")), // eval (3 % 11 == 3)
+      (5L, (1 to 16).map(i => s"w$i").mkString(" ")),
+      (6L, ""), (7L, "\t \n")).toDF("doc_id", "text") // zero-content: no rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q209")
+    tmp.toFile.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.StreamGate.q209StreamDecontam(spark, tmp.toString)
+      .collect().toSeq
+    val exp = graft.queries.TextAnalytics.q207DecontamClip(spark, tmp.toString)
+      .collect().toSeq
+    assert(got == exp, s"stream=$got batch=$exp")
+    // and the planted families are LIVE, not vacuously equal
+    val byDoc = got.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byDoc(1L) == ((60L, 1L)),
+      "the 60-token quote must clip whole as ONE span (cap chaining)")
+    assert(byDoc(2L) == ((0L, 0L)), "a train-train duplicate must not contaminate")
+    assert(byDoc.keySet == Set(1L, 2L, 5L), "train rows only, zero-content dropped")
+  }
+
   test("suffix partition sizing: volume-scaled, session-floored, conf-capped") {
     import graft.queries.TextAnalytics.{suffixPartitions,
       SuffixMaxPartitionsKey, SuffixRowsPerPartition}
