@@ -842,21 +842,54 @@ object StreamGate {
     // a contamination-heavy batch, since positions belong to many docs)
     val matched = TextAnalytics.suffixWindows(stream.repartition(col("doc_id")))
       .join(evalWins, Seq("wkey"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-    val sink = "q209_sink"
-    s.catalog.dropTempView(sink)
-    val q = matched.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + TextAnalytics.SufL).as("e"))
+    // union spans PER MICRO-BATCH, before anything leaves the executors:
+    // a document's window rows are a projection of its single source
+    // row, so they land in one batch and the per-batch union is
+    // complete per doc. The sink therefore holds SPANS (which collapse
+    // toward one row per doc as contamination grows — an
+    // all-contaminated corpus sinks ~n_docs rows), never raw matched
+    // positions (which grow toward corpus token count on the same
+    // adversary — a driver-heap hazard under a memory sink, and wasted
+    // I/O under any sink; review finding). Distributed file sink, no
+    // state store.
+    val spanDir = java.nio.file.Files.createTempDirectory("graft-q209-spans")
+    spanDir.toFile.deleteOnExit()
+    val cp = java.nio.file.Files.createTempDirectory("graft-q209-cp")
+    cp.toFile.deleteOnExit()
+    val q = matched.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        TextAnalytics.spanUnion(b).select(col("doc_id"), col("s"), col("e"))
+          .write.mode("append").parquet(spanDir.toString)
+      }
+      .option("checkpointLocation", cp.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val covered = s.table(sink)
-      .select(col("doc_id"), col("pos"),
-        (col("pos") + TextAnalytics.SufL).as("e"))
+    // explicit schema: a zero-contamination run appends no files and the
+    // read must yield an empty frame, not an inference error
+    val spans = s.read.schema("doc_id LONG, s LONG, e LONG")
+      .parquet(spanDir.toString)
     val perDoc = TextAnalytics.suffixToks(batch.where(!isEval))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    TextAnalytics.spanUnionReport(perDoc, covered,
+    // spanUnionReport re-unions, which is idempotent on the already-
+    // disjoint per-doc spans — the one shared copy of the report tail
+    val report = TextAnalytics.spanUnionReport(perDoc,
+      spans.select(col("doc_id"), col("s").as("pos"), col("e")),
       "n_contam", "n_spans", "n_clean", "contam_bp")
+    // the report is doc-count-sized: materialize it, then release the
+    // span files (the suffix family's localCheckpoint + cleanup
+    // discipline applied to the sink artifacts)
+    val out = report.localCheckpoint(true)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmTree(spanDir); rmTree(cp)
+    out
   }
 
   def q112StreamNearDup(s: SparkSession, dir: String): DataFrame = {

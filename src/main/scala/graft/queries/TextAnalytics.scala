@@ -716,22 +716,29 @@ object TextAnalytics {
         filter(tokens(col("text")), t => length(t) > 0).as("toks"))
       .where(size(col("toks")) > 0)
 
+  /** [[suffixToks]] with the tokens hashed: `(doc_id, ha)` — the ONE
+    * hashed-token projection the whole suffix family reads
+    * ([[suffixOcc]] and [[suffixWindows]]), so the hashing contract
+    * cannot drift between the suffix-order and fixed-window routes. */
+  private def hashedDocs(input: DataFrame): DataFrame = {
+    import graft.functions.PortableStringHash.strHash
+    suffixToks(input)
+      .select(col("doc_id"), transform(col("toks"), t => strHash(t)).as("ha"))
+  }
+
   /** [[SufL]]-token hash windows of a `(doc_id, text)` frame: one row
     * per start position, `(doc_id, pos, wkey)` with `wkey` = the SufL
     * token hashes from `pos` — the fixed-window complement of the
     * suffix machinery. ONE copy shared by q209's static (eval) and
     * streaming (train) sides, so both window the corpus identically;
     * narrow projections only, hence stream-legal. */
-  private[graft] def suffixWindows(input: DataFrame): DataFrame = {
-    import graft.functions.PortableStringHash.strHash
-    suffixToks(input)
-      .select(col("doc_id"), transform(col("toks"), t => strHash(t)).as("ha"))
+  private[graft] def suffixWindows(input: DataFrame): DataFrame =
+    hashedDocs(input)
       .select(col("doc_id"),
         posexplode(when(size(col("ha")) >= SufL, expr(
           s"transform(sequence(0, size(ha) - $SufL), i -> slice(ha, i + 1, $SufL))"))
           .otherwise(array().cast("array<array<bigint>>"))).as(Seq("pos", "wkey")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wkey"))
-  }
 
   /** Target suffix rows per range partition: one partition is one
     * window task's sort buffer, and its rows carry four capped-key
@@ -773,8 +780,7 @@ object TextAnalytics {
       : (DataFrame, DataFrame, () => Unit) = {
     import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
-    val docs = suffixToks(input)
-      .select(col("doc_id"), transform(col("toks"), t => strHash(t)).as("ha"))
+    val docs = hashedDocs(input)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per position: capped suffix + left-extension witness
     // (pos 0 gets the per-doc negative sentinel: a doc-start occurrence
@@ -975,7 +981,7 @@ object TextAnalytics {
     * spans (doc_id, s, e) — running-max gaps-and-islands, ONE copy
     * shared by the count reports (q205/q207) and the text
     * materialization (q208). */
-  private def spanUnion(covered: DataFrame): DataFrame = {
+  private[graft] def spanUnion(covered: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("e"))
     covered

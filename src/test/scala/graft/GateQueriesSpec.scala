@@ -2574,6 +2574,20 @@ class GateQueriesSpec extends AnyFunSuite {
       "the 60-token quote must clip whole as ONE span (cap chaining)")
     assert(byDoc(2L) == ((0L, 0L)), "a train-train duplicate must not contaminate")
     assert(byDoc.keySet == Set(1L, 2L, 5L), "train rows only, zero-content dropped")
+    // ZERO-contamination run: the span sink appends no files and the
+    // schema-pinned read must yield the all-clean report, not an
+    // inference error
+    val clean = Seq(
+      (1L, (1 to 20).map(i => s"p$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-q209-clean")
+    tmp2.toFile.deleteOnExit()
+    clean.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val cleanRows = graft.queries.StreamGate.q209StreamDecontam(spark, tmp2.toString)
+      .collect()
+    assert(cleanRows.map(_.getLong(0)).toSeq == Seq(1L), "one train doc")
+    assert(cleanRows.head.getLong(2) == 0L && cleanRows.head.getLong(3) == 0L,
+      "no eval overlap -> zero contamination, zero spans")
   }
 
   test("suffix partition sizing: volume-scaled, session-floored, conf-capped") {
