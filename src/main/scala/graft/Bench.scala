@@ -19,6 +19,13 @@ object Bench {
       // set at SESSION BIRTH everywhere queries run, so plan shapes never
       // depend on whether a fleet gate ran first (review finding)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // Checkpoint-file checksums (a Spark 4.1 integrity feature, default
+      // on) serialize every state-store/WAL file close behind an awaited
+      // async checksum write — measured round 13: all 32 task threads
+      // parked in ChecksumCancellableFSDataOutputStream.close, q134
+      // 8.9 s -> 5.1 s from this conf alone. Corruption detection for
+      // durable production checkpoints is a deliberate opt-back-in.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1510,12 +1510,16 @@ object BinaryGate {
       .option("pathGlobFilter", "fleet_*.parquet").parquet(stage)
     val sink = "q143_sink"
     s.catalog.dropTempView(sink)
-    val q = misfitScore(s, stream)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // scale-adaptive state partitions for the stateful misfit aggregate
+    // (guide §2; see StreamTune) — results are partitioning-invariant
+    graft.streaming.StreamTune.withAdaptiveStreamShuffle(s, stage) {
+      val q = misfitScore(s, stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     misfitRank(s.table(sink))
   }
 

@@ -624,15 +624,22 @@ object Curation {
 
   def q140PartitionedExport(s: SparkSession, dir: String): DataFrame = {
     val out = q140ExportPath(dir)
-    // PERSIST BARRIER, measured 15 s → 2.6 s at sf0.1: without it
-    // `filter(pass)` pushes beneath q127's projection and alias
+    // OBSERVE BARRIER (r13; previously a persist, 15 s → 2.6 s): without
+    // a barrier `filter(pass)` pushes beneath q127's projection and alias
     // substitution inlines the whole six-rule conjunction — including
     // both trigram HOF chains — into the filter, re-evaluating the
     // heavy expressions many times per row (the projection then pays
-    // them again). Materializing the rules frame once is also the
-    // 100 TB shape: score once, filter from the scored table.
-    val rules = TextAnalytics.q127GopherRules(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // them again). PushPredicateThroughNonJoin does not cross
+    // CollectMetrics, so the cascade stays a single codegen'd projection
+    // and the filter reads the `pass` column — same one-evaluation shape
+    // as the persist, without paying cache write+read for rows used once
+    // (measured: the scored noop 13.4 s → 0.9 s; also the barrier q147's
+    // STREAM uses, where persist is not available).
+    // gopherRulesOf directly (not q127GopherRules): q127's presentation
+    // orderBy would be a wasted range exchange under the export join
+    val rules = TextAnalytics.gopherRulesOf(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .observe("q140_scored", count(lit(1)).as("n_scored"))
     val export = rules
       .filter(col("pass"))
       .select(col("doc_id"), col("n_words"), col("g3_distinct"))
@@ -648,9 +655,6 @@ object Curation {
       .option("maxRecordsPerFile", 100000)
       .partitionBy("source")
       .parquet(out)
-    // the write (eager) was the only consumer; the read-back below
-    // depends on the written files alone
-    rules.unpersist(blocking = false)
     // explicit schema: a zero-pass corpus writes no part files, and
     // schema inference over an empty dir would throw instead of
     // returning the (correct) empty frame

@@ -254,11 +254,15 @@ object Sketches {
       .agg(max(col("rho")).as("rho"))
     val sink = "q142_sink"
     s.catalog.dropTempView(sink)
-    val q = regs.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // scale-adaptive state partitions for the stateful census (guide §2;
+    // see StreamTune) — results are partitioning-invariant
+    graft.streaming.StreamTune.withAdaptiveStreamShuffle(s, s"$dir/documents.parquet") {
+      val q = regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     hllFold(s.table(sink)).orderBy(col("source"))
   }
 

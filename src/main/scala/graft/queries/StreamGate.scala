@@ -18,6 +18,22 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamGate {
 
+  /** Start a gate's streaming query and drain it to completion under
+    * scale-adaptive shuffle/state partitions derived from the source's
+    * bytes ([[graft.streaming.StreamTune.withAdaptiveStreamShuffle]] —
+    * guide §2: partitioning from input size, not the session constant;
+    * a KB-per-batch gate run otherwise pays 32 empty state-store
+    * commits per stateful operator per micro-batch). Returns the
+    * finished query for gates that read progress counters. */
+  private def runAdaptive(s: SparkSession, src: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamTune.withAdaptiveStreamShuffle(s, src) {
+      val q = start
+      q.awaitTermination()
+      q
+    }
+
   /** q58: event-time tumbling 1-day window aggregation executed BY THE
     * STREAMING ENGINE (readStream → watermark → window groupBy →
     * memory sink, one AvailableNow run). Float totals use the exact-long
@@ -43,12 +59,11 @@ object StreamGate {
       events.withWatermark("ts", "2 hours"))
     val sink = "q58_sink"
     s.catalog.dropTempView(sink) // rerun hygiene (Bench sweeps 3×)
-    val q = agg.writeStream
+    runAdaptive(s, s"$dir/events.parquet")(agg.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     s.table(sink)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -151,14 +166,13 @@ object StreamGate {
     val (tmp, maxTs) = stageWithSentinel(s, dir)
     val sink = "q116_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams.dailyActivityExact(
+    runAdaptive(s, tmp.toString)(graft.streaming.EventStreams.dailyActivityExact(
       graft.streaming.EventStreams.readEvents(s, tmp.toString)
         .withWatermark("ts", "2 hours"))
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     s.table(sink)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -218,13 +232,12 @@ object StreamGate {
     }
     val sink = "q69_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams
+    runAdaptive(s, tmp.toString)(graft.streaming.EventStreams
       .dedupedEvents(graft.streaming.EventStreams.readEvents(s, tmp.toString), "2 hours")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     graft.streaming.EventStreams.dailyActivityExact(s.table(sink))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -254,12 +267,12 @@ object StreamGate {
       .select(col("doc_id"), col("text"))
     val sink = "q70_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams.signatureDeduped(stream)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/documents.parquet")(
+      graft.streaming.EventStreams.signatureDeduped(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink)
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))
       .orderBy(col("doc_id"))
@@ -420,13 +433,12 @@ object StreamGate {
       .select(col("doc_id"), col("ts"), col("text"))
     val sink = "q163_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams
+    val q = runAdaptive(s, staged)(graft.streaming.EventStreams
       .signatureDedupedTtl(stream, TtlDocs * TtlStepSec * 1000L, "5 minutes")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     val batches = q.lastProgress.batchId + 1
     val maxState = q.recentProgress
       .flatMap(_.stateOperators.map(_.numRowsTotal)).max
@@ -473,12 +485,12 @@ object StreamGate {
       .select(col("source"), col("doc_id"), col("text"))
     val sink = "q82_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams.packedSpans(stream, 1024L)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/documents.parquet")(
+      graft.streaming.EventStreams.packedSpans(stream, 1024L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink)
       .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"),
         col("tok_in_pack"), col("is_head"))
@@ -506,12 +518,12 @@ object StreamGate {
       .select(col("source"), col("doc_id"), col("text"))
     val sink = "q166_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams.packedSpans(stream, 1024L)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = runAdaptive(s, staged)(
+      graft.streaming.EventStreams.packedSpans(stream, 1024L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start())
     val batches = q.lastProgress.batchId + 1
     (s.table(sink)
       .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"),
@@ -571,14 +583,13 @@ object StreamGate {
         .withColumn("ts",
           timestamp_seconds(lit(TtlEpochSec) + col("doc_id") * TtlStepSec))
         .select(col("doc_id"), col("ts"), col("text"))
-      val q = graft.streaming.EventStreams
+      val q = runAdaptive(s, src)(graft.streaming.EventStreams
         .signatureDedupedTtl(stream, TtlDocs * TtlStepSec * 1000L, "5 minutes")
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", cp)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .start())
       q.lastProgress.batchId + 1
     }
     val half = arrivals.length / 2
@@ -678,11 +689,11 @@ object StreamGate {
         (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
     val sink = "q106_sink"
     s.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/events.parquet")(
+      agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink)
       .select(col("user_id"),
         col("sw.start").as("session_start"), col("sw.end").as("session_end"),
@@ -706,7 +717,7 @@ object StreamGate {
     val (tmp, maxTs) = stageWithSentinel(s, dir)
     val sink = "q119_sink"
     s.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStreams.readEvents(s, tmp)
+    runAdaptive(s, tmp)(graft.streaming.EventStreams.readEvents(s, tmp)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
@@ -714,8 +725,7 @@ object StreamGate {
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     s.table(sink)
       .select(col("user_id"),
         col("sw.start").as("session_start"), col("sw.end").as("session_end"),
@@ -778,11 +788,11 @@ object StreamGate {
         max(coalesce(col("in_hist"), lit(false))).as("in_hist"))
     val sink = "q188_sink"
     s.catalog.dropTempView(sink)
-    val q = perHash.writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/documents.parquet")(
+      perHash.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink)
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_chunks"),
@@ -858,7 +868,7 @@ object StreamGate {
     spanDir.toFile.deleteOnExit()
     val cp = java.nio.file.Files.createTempDirectory("graft-q209-cp")
     cp.toFile.deleteOnExit()
-    val q = matched.writeStream
+    runAdaptive(s, s"$dir/documents.parquet")(matched.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         TextAnalytics.spanUnion(b).select(col("doc_id"), col("s"), col("e"))
@@ -866,8 +876,7 @@ object StreamGate {
       }
       .option("checkpointLocation", cp.toString)
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     // explicit schema: a zero-contamination run appends no files and the
     // read must yield an empty frame, not an inference error
     val spans = s.read.schema("doc_id LONG, s LONG, e LONG")
@@ -925,11 +934,11 @@ object StreamGate {
       .agg(max(struct(col("shared").as("sh"), (-col("match_id")).as("neg"))).as("best"))
     val sink = "q112_sink"
     s.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/documents.parquet")(
+      agg.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start())
     val best = s.table(sink).select(
       (-col("best.neg")).as("match_id"), col("new_id"), col("best.sh").as("n_buckets"))
     DedupSim.incProbeTail(s, dir, best)
@@ -972,11 +981,11 @@ object StreamGate {
               click_ts <= view_ts + interval 1 hour"""))
     val sink = "q134_sink"
     s.catalog.dropTempView(sink)
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/events.parquet")(
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"),
@@ -1020,11 +1029,11 @@ object StreamGate {
       "leftOuter")
     val sink = "q139_sink"
     s.catalog.dropTempView(sink)
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, tmp)(
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink)
       .filter(col("view_ts") <= lit(maxTs))
       .select(col("user_id"), col("view_id"), col("click_id"),
@@ -1046,11 +1055,19 @@ object StreamGate {
     *
     * Fresh sink+checkpoint dirs per run: the commit log is the
     * idempotence mechanism ACROSS restarts of one stream, not across
-    * logically distinct runs. Note the q140 pushdown caveat applies
-    * in-stream too (`filter(pass)` inlines the rule expressions); a
-    * production stream would foreachBatch+persist — here the per-batch
-    * volume is the bench's own corpus and the cost is measured, not
-    * hidden.
+    * logically distinct runs.
+    *
+    * The `observe` node between the cascade and `filter(pass)` is an
+    * OPTIMIZER BARRIER (plus free per-batch row observability): without
+    * it, filter pushdown substitutes the six-rule conjunction — both
+    * trigram HOF chains included — into a Filter below the projection,
+    * re-evaluating the heavy expressions many times per row (q140's
+    * measured 15 s pathology; a stream cannot use q140's persist
+    * barrier). PushPredicateThroughNonJoin does not cross
+    * CollectMetrics, so the cascade is computed once in its own
+    * codegen'd projection and the filter reads the `pass` column —
+    * measured round 13: the scored noop falls 13.4 s → 0.9 s, the gate
+    * 12.4 s → ~3 s.
     */
   def q147StreamExport(s: SparkSession, dir: String): DataFrame = {
     val dirTag = java.security.MessageDigest.getInstance("MD5")
@@ -1065,6 +1082,7 @@ object StreamGate {
         graft.streaming.EventStreams.readDocuments(s, dir)
           .select(col("doc_id"), col("text"), col("source")),
         keep = Seq("source"))
+      .observe("q147_scored", count(lit(1)).as("n_scored"))
       .filter(col("pass"))
       .select(col("doc_id"), col("n_words"), col("g3_distinct"), col("source"))
     val q = scored.writeStream.format("parquet")
@@ -1165,11 +1183,11 @@ object StreamGate {
     val out = stream.join(hist, Seq("whash"), "left")
       .select(col("new_id"), col("whash"),
         col("src_id").isNotNull.as("is_dup"), col("src_id"))
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAdaptive(s, s"$dir/documents.parquet")(
+      out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start())
     s.table(sink).orderBy(col("new_id"))
   }
 

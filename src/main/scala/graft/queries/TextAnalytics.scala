@@ -145,7 +145,7 @@ object TextAnalytics {
     * STREAMING (pure stateless codegen projection); extra columns in
     * `keep` pass through. Shared by q127 and the streaming export
     * gate q147. */
-  private[queries] def gopherRulesOf(docs: DataFrame,
+  private[graft] def gopherRulesOf(docs: DataFrame,
       keep: Seq[String] = Nil): DataFrame = {
     val g3 = when(size(col("t")) >= 3,
       expr("transform(sequence(0, size(t) - 3), i -> " +

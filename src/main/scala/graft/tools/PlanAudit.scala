@@ -9,6 +9,9 @@ object PlanAudit {
       // set at SESSION BIRTH everywhere queries run, so plan shapes never
       // depend on whether a fleet gate ran first (review finding)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // checkpoint checksums off: measured r13 state-commit serialization
+      // (see Bench.scala) — same setting everywhere queries run
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"

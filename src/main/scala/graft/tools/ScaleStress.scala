@@ -43,6 +43,9 @@ object ScaleStress {
       // set at SESSION BIRTH everywhere queries run, so plan shapes never
       // depend on whether a fleet gate ran first (review finding)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // checkpoint checksums off: measured r13 state-commit serialization
+      // (see Bench.scala) — same setting everywhere queries run
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
