@@ -771,44 +771,106 @@ object TextAnalytics {
       math.min(cap, (nTok / SuffixRowsPerPartition + 1).toInt))
   }
 
+  /** One suffix-table row as the adjacency pass reads it (primitive
+    * Array[Int] key: the tuple encoder would box every element). */
+  private[graft] case class SufRow(doc_id: Long, pos: Long, prevh: Long, key: Array[Int])
+
+  /** One adjacency-pass output row: local rank plus the three neighbor
+    * LCPs, with -1 marking a value that crosses the partition boundary
+    * and is resolved from the broadcast seam frame (lcp unknown for the
+    * partition's first row, plcp for its first two, nlcp for its last). */
+  private[graft] case class AdjRow(pid: Int, lrank: Long, doc_id: Long, pos: Long,
+    prevh: Long, lcp: Long, plcp: Long, nlcp: Long)
+
+  /** One per-partition seam summary: boundary keys, row count, and the
+    * last row's OWN lcp (-1 for 1-row partitions, whose predecessor is
+    * in the previous partition and resolves in the seam frame). */
+  private[graft] case class SeamRow(pid: Int, cnt: Long, first_key: Array[Int],
+    last_key: Array[Int], last_lcp: Long)
+
+  /** First-mismatch LCP over primitive int arrays — the tight-loop twin
+    * of the Column-level lcpOf (which must build a zipped boolean array
+    * per comparison); early exit at the first differing token. */
+  private def lcpInts(a: Array[Int], b: Array[Int]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i.toLong
+  }
+
   /** The shared suffix-order pipeline: hashed docs + the lcp-interval
     * OCCURRENCE frame `(v, lo, hi, rank, doc_id, pos, prevh)` — one row
     * per (right-maximal interval, member suffix) — plus a cleanup that
     * releases the three persisted intermediates. q203 aggregates it to
     * maximal repeats; q205 turns it into the removal pass. */
+  /** Probe alias for tools.SuffixProbe (measurement only). */
+  private[graft] def suffixOccProbe(input: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = suffixOcc(input)
+
   private def suffixOcc(input: DataFrame)
       : (DataFrame, DataFrame, () => Unit) = {
+    // GRAFT_SUFFIX_DEBUG: eager per-segment counts+timings (measurement
+    // only — forces each persisted intermediate in sequence)
+    val dbg = sys.env.contains("GRAFT_SUFFIX_DEBUG")
+    def probe(label: String, df: => DataFrame): Unit = if (dbg) {
+      val t0 = System.nanoTime(); val n = df.count()
+      println(f"[suffix] $label: $n rows, ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     import graft.functions.PortableStringHash.strHash
     import org.apache.spark.sql.expressions.Window
-    val docs = hashedDocs(input)
+    // spread the hashed docs BEFORE the suffix explode: a single-file
+    // corpus scans as ONE partition, which would compute and
+    // shuffle-serialize the whole K×n suffix frame from one task
+    // (guide §2.5, unsplittable input). Doc-level rows are the
+    // lightweight proxy — repartitioning them costs ~the corpus's hash
+    // arrays once; the explode then parallelizes. Skipped when the scan
+    // already fans out (a multi-file production corpus).
+    val sc = input.sparkSession.sparkContext
+    val docs0 = hashedDocs(input)
+    val docs = (if (docs0.rdd.getNumPartitions < sc.defaultParallelism)
+        docs0.repartition(sc.defaultParallelism) else docs0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per position: capped suffix + left-extension witness
     // (pos 0 gets the per-doc negative sentinel: a doc-start occurrence
-    // is always left-diverse against any other occurrence)
+    // is always left-diverse against any other occurrence).
+    // `key` is array<INT>: token hashes live in [0, 2^31-1) (mod P), so
+    // the int cast is lossless and elementwise order-preserving, and it
+    // halves the bytes the range exchange, the per-partition sort and
+    // the adjacency windows carry — the kernel's dominant volume.
     val suf = docs
       .select(col("doc_id"),
         posexplode(when(size(col("ha")) > 0, expr(
           s"""transform(sequence(0, size(ha) - 1), p -> named_struct(
-             |  'key', slice(ha, p + 1, $SufK),
+             |  'key', transform(slice(ha, p + 1, $SufK), h -> CAST(h AS INT)),
              |  'prevh', CASE WHEN doc_id < 0 THEN raise_error(
              |                  'suffixOcc: doc_id must be non-negative — the pos-0 sentinel -doc_id-1 must stay negative (outside token-hash space) or left-diversity false-merges')
              |                WHEN p = 0 THEN -doc_id - 1
              |                ELSE element_at(ha, p) END))""".stripMargin))
           .otherwise(array().cast(
-            "array<struct<key:array<bigint>,prevh:bigint>>"))).as(Seq("pos", "sx")))
+            "array<struct<key:array<int>,prevh:bigint>>"))).as(Seq("pos", "sx")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("sx.key").as("key"), col("sx.prevh").as("prevh"))
     // the total suffix order, DISTRIBUTED: range-partition by the
-    // suffix key (range partitions are globally ordered), take each
-    // position's neighbors inside a PER-PARTITION window (parallel — no
-    // single-task global sort holding the whole suffix table), and fix
-    // the numPartitions−1 seam pairs with two broadcast-tiny edge
-    // frames (each partition's first/last key). Global rank = the
-    // partition's cumulative offset + the local rank — the distributed-
-    // SA adjacency formulation (Flick & Aluru SC'15's shape). Ties
-    // (equal capped suffixes) break by (doc, pos) for determinism, but
-    // every downstream quantity is tie-invariant (equal keys have
-    // full-length LCP either way; interval membership is a set).
+    // suffix key (range partitions are globally ordered), sort within
+    // each partition, then ONE TYPED PASS per partition computes every
+    // row's local rank and neighbor LCPs (lcp/plcp/nlcp) with a
+    // primitive first-mismatch loop; the numPartitions−1 seam values
+    // resolve from a broadcast-tiny per-partition summary frame. Global
+    // rank = the partition's cumulative offset + the local rank — the
+    // distributed-SA adjacency formulation (Flick & Aluru SC'15's
+    // shape). Ties (equal capped suffixes) break by (doc, pos) for
+    // determinism, but every downstream quantity is tie-invariant.
+    //
+    // Why mapPartitions and not window lag/lead + a zip_with LCP (the
+    // pre-r13 form): no Catalyst expression computes first-mismatch
+    // with early exit — zip_with materializes a zipped boolean array
+    // per comparison and the window buffered FOUR 48-wide key arrays
+    // per row (key/pkey/ppkey/nkey). Measured r13 (sf0.1, 32 cores):
+    // the adjacency stages alone cost ~30 s of executor CPU; the typed
+    // pass replaces them with one streamed iterator per partition, and
+    // ALSO pre-drops interior rows outside the duplicated tail (both
+    // neighbor LCPs known < L) so the seam join input is tail-sized,
+    // not corpus-sized.
     def lcpOf(a: Column, b: Column): Column = {
       // first mismatch over the zipped arrays; zip_with pads the shorter
       // side with null -> false, so a strict-prefix pair yields min(len)
@@ -819,6 +881,7 @@ object TextAnalytics {
           .otherwise(firstFalse - 1))
     }
     val s = input.sparkSession
+    import s.implicits._
     // partition count scales with the SUFFIX VOLUME, not the session
     // default — see [[suffixPartitions]]. The count costs one agg over
     // the already-persisted docs frame.
@@ -827,65 +890,111 @@ object TextAnalytics {
       case r => r.getLong(0)
     }
     val nPart = suffixPartitions(s, nTok)
-    val wp = Window.partitionBy(col("pid"))
-      .orderBy(col("key"), col("doc_id"), col("pos"))
-    val local = suf
+    // the sorted suffix table, persisted ONCE; both the adjacency pass
+    // and the seam-summary pass stream its cached partitions in order
+    val sorted = suf
       .repartitionByRange(nPart, col("key"), col("doc_id"), col("pos"))
-      .withColumn("pid", spark_partition_id())
-      .select(col("pid"), col("doc_id"), col("pos"), col("prevh"), col("key"),
-        row_number().over(wp).as("lrank"),
-        lag(col("key"), 1).over(wp).as("pkey"),
-        lag(col("key"), 2).over(wp).as("ppkey"),
-        lead(col("key"), 1).over(wp).as("nkey"))
+      .sortWithinPartitions(col("key"), col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos"), col("prevh"), col("key"))
+      .as[SufRow]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seam frame: one row per NON-EMPTY partition (its first/last key +
-    // count in ONE aggregation pass over the cached suffix table — not
-    // three filter/join scans; review finding), chained with lag/lead
-    // over pid order so empty range partitions cannot break the
-    // neighbor chain — broadcast state is numPartitions x two capped
-    // keys + a count
+    val minKeep = SufL // pre-drop threshold, fixed into the closure
+    // pass A — per-row adjacency: emit row i when row i+1 is read (its
+    // nlcp is then known); -1 marks boundary-unknowns the seam join
+    // fills. Rows whose BOTH neighbor LCPs are known < L can never
+    // reach the duplicated tail and are dropped here.
+    val adj = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      new Iterator[AdjRow] {
+        private var lrank = 0L          // rows read so far
+        private var prevKey: Array[Int] = null // key of the last row read
+        private var lcpPrev = -1L       // lcp of row lrank-1
+        private var lcpCur = -1L        // lcp of row lrank
+        private var held: SufRow = null // row lrank, awaiting its nlcp
+        private var out: AdjRow = null
+        private def emit(r: SufRow, rank: Long, lcp: Long, plcp: Long,
+            nlcp: Long): Unit =
+          if (lcp == -1L || lcp >= minKeep || nlcp == -1L || nlcp >= minKeep)
+            out = AdjRow(pid, rank, r.doc_id, r.pos, r.prevh, lcp, plcp, nlcp)
+        private def advance(): Unit = {
+          while (out == null && (it.hasNext || held != null)) {
+            if (it.hasNext) {
+              val cur = it.next()
+              val curLcp = if (lrank == 0L) -1L else lcpInts(cur.key, prevKey)
+              if (held != null)
+                emit(held, lrank, lcpCur, if (lrank <= 2L) -1L else lcpPrev,
+                  curLcp)
+              held = cur; prevKey = cur.key
+              lcpPrev = lcpCur; lcpCur = curLcp; lrank += 1L
+            } else { // end of partition: the held row's nlcp is a seam value
+              emit(held, lrank, lcpCur, if (lrank <= 2L) -1L else lcpPrev, -1L)
+              held = null
+            }
+          }
+        }
+        override def hasNext: Boolean = { advance(); out != null }
+        override def next(): AdjRow = {
+          advance(); val r = out; out = null; r
+        }
+      }
+    }
+    // pass B — one summary row per NON-EMPTY partition: boundary keys,
+    // count, and the last row's own lcp (resolvable in-partition only
+    // when the partition has ≥ 2 rows)
+    val seamsRaw = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val first = it.next()
+        var cnt = 1L
+        var lastKey = first.key
+        var lastLcp = -1L
+        while (it.hasNext) {
+          val cur = it.next()
+          lastLcp = lcpInts(cur.key, lastKey)
+          lastKey = cur.key
+          cnt += 1L
+        }
+        Iterator.single(SeamRow(pid, cnt, first.key, lastKey, lastLcp))
+      }
+    }.toDF()
+    // seam frame: lag/lead over pid order chain non-empty partitions
+    // (empty range partitions simply have no row), exactly the pre-r13
+    // seam discipline; three projections so no window expression ever
+    // nests inside another window's argument. lcp_first(p) is the
+    // first row's lcp (vs the previous partition's last key) — it is
+    // also row 2's plcp, and lead(lcp_first) is the previous
+    // partition's last-row nlcp.
     val wSeam = Window.orderBy(col("pid"))
-    // two projections so no window expression ever nests inside another
-    // window's argument: first resolve each partition's BEFORE-LAST key
-    // (its last row's pkey, or — 1-row partition — the previous
-    // non-empty partition's last key), then lag the derived last-row
-    // LCP so partition p reads its predecessor row's lcp for its first
-    // row's plcp
-    val seams0 = local.groupBy(col("pid"))
-      .agg(min_by(col("key"), col("lrank")).as("first_key"),
-        max_by(col("key"), col("lrank")).as("last_key"),
-        // the last row's PREDECESSOR key (its pkey): feeds the previous-
-        // partition last-row LCP below; null for 1-row partitions
-        max_by(col("pkey"), col("lrank")).as("last_pkey"),
-        count(lit(1)).as("cnt"))
-      .select(col("pid"), col("last_key"),
-        coalesce(col("last_pkey"),
-          lag(col("last_key"), 1).over(wSeam)).as("before_last"),
-        lag(col("last_key"), 1).over(wSeam).as("prev_last_key"),
-        lead(col("first_key"), 1).over(wSeam).as("next_first_key"),
-        coalesce(sum(col("cnt")).over(
-          wSeam.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
-    val seams = seams0.select(col("pid"), col("prev_last_key"),
-      col("next_first_key"), col("off"),
-      lag(lcpOf(col("last_key"), col("before_last")), 1).over(wSeam)
-        .as("prev_last_lcp"))
-    val ranked = local
+    val seams1 = seamsRaw.select(col("pid"), col("cnt"),
+      col("first_key"), col("last_key"), col("last_lcp"),
+      lag(col("last_key"), 1).over(wSeam).as("prev_last_key"),
+      coalesce(sum(col("cnt")).over(
+        wSeam.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val seams2 = seams1.select(col("pid"), col("cnt"), col("off"),
+      lcpOf(col("first_key"), col("prev_last_key")).as("lcp_first"),
+      // a 1-row partition's last row IS its first row: its lcp crosses
+      // the boundary and equals lcp_first
+      when(col("last_lcp") >= 0, col("last_lcp"))
+        .otherwise(lcpOf(col("last_key"), col("prev_last_key")))
+        .as("own_last_lcp"))
+    val seams = seams2.select(col("pid"), col("cnt"), col("off"), col("lcp_first"),
+      lag(col("own_last_lcp"), 1).over(wSeam).as("prev_last_lcp"),
+      lead(col("lcp_first"), 1).over(wSeam).as("nlcp_last"))
+    val ranked = adj.toDF()
       .join(broadcast(seams), Seq("pid"))
       .select(col("pid"), col("doc_id"), col("pos"), col("prevh"),
         (col("off") + col("lrank")).as("rank"),
-        lcpOf(col("key"),
-          coalesce(col("pkey"), col("prev_last_key"))).as("lcp"),
-        // plcp = the PREVIOUS rank's lcp (needed row-locally by the
-        // island boundary events below): for the partition's first row
-        // it is the previous partition's last-row lcp (seam frame); for
-        // the second row it is the first row's own lcp; further in, both
-        // neighbor keys are local (lag-1/lag-2)
+        when(col("lrank") === 1, col("lcp_first")).otherwise(col("lcp")).as("lcp"),
+        // plcp = the PREVIOUS rank's lcp: for the partition's first row
+        // it is the previous partition's last-row lcp; for the second
+        // row it is the first row's own lcp (= lcp_first); further in,
+        // it came out of the adjacency pass
         when(col("lrank") === 1, coalesce(col("prev_last_lcp"), lit(0L)))
-          .when(col("lrank") === 2,
-            lcpOf(col("pkey"), col("prev_last_key")))
-          .otherwise(lcpOf(col("pkey"), col("ppkey"))).as("plcp"),
-        lcpOf(col("key"),
-          coalesce(col("nkey"), col("next_first_key"))).as("nlcp"))
+          .when(col("lrank") === 2, col("lcp_first"))
+          .otherwise(col("plcp")).as("plcp"),
+        when(col("lrank") === col("cnt"), coalesce(col("nlcp_last"), lit(0L)))
+          .otherwise(col("nlcp")).as("nlcp"))
       // keep the duplicated tail only: members (lcp >= L) plus each
       // group's FIRST suffix (its successor has lcp >= L) — everything
       // an interval's occurrence expansion can touch
@@ -895,62 +1004,113 @@ object TextAnalytics {
     // over the v-expanded tail. A v-island is a maximal run of ranks
     // with lcp >= v; rank r STARTS one exactly for v in (plcp, lcp]
     // (member, predecessor not) and ENDS one for v in (nlcp, lcp]
-    // (member, successor not), so each (v, island) pair contributes ONE
-    // start and ONE end event: the event volume is the ISLAND count
-    // (<= n by the suffix-tree node bound), not the corpus x (K-L+1)
-    // expansion — the r12 verdict's scale-killer, which a per-
-    // (partition, v) window only spreads (total volume / nPart per
-    // task, still GBs on an all-duplicate x100 replica; measured).
-    // Within a v, islands are disjoint and ordered, so events
-    // alternate s1<=e1<s2<=e2... and the k-th start pairs with the
-    // k-th end. The global per-v ordinal is assigned per
-    // (range-partition, v) with a broadcast offset frame ((K-L+1) x
-    // nPart rows) — the rank-offset discipline applied to events, so
-    // no single task ever holds one v's full event stream either.
-    val tail = ranked.filter(col("lcp") >= SufL)
-    def events(openBound: Column): DataFrame = tail
-      .filter(col("lcp") > greatest(openBound, lit(SufL - 1L)))
-      .select(col("pid"), col("rank"), explode(sequence(
-        greatest(openBound, lit(SufL - 1L)) + 1, col("lcp"))).as("v"))
-    def ordinal(ev: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("pid"), col("v")).orderBy(col("rank"))
-      val loc = ev.withColumn("lidx", row_number().over(w))
-      val offs = ev.groupBy(col("pid"), col("v")).agg(count(lit(1)).as("c"))
-        .select(col("pid"), col("v"),
-          coalesce(sum(col("c")).over(Window.partitionBy(col("v"))
-            .orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("eoff"))
-      loc.join(broadcast(offs), Seq("pid", "v"))
-        .select(col("v"), (col("eoff") + col("lidx")).as("idx"), col("rank"))
-    }
-    val starts = ordinal(events(col("plcp")))
-    val ends = ordinal(events(col("nlcp")))
-    // persisted: the self anti-join below and the occurrence expansion
-    // would otherwise re-derive the event subtree per consumer (the
-    // same single-evaluation discipline as docs/local/ranked) —
-    // island-count-sized, so the blocks are tiny
-    val cand = starts.select(col("v"), col("idx"), (col("rank") - 1).as("lo"))
-      .join(ends.select(col("v"), col("idx"), col("rank").as("hi")),
-        Seq("v", "idx"))
+    // (member, successor not). Within a v, islands are disjoint and
+    // ordered, so events alternate s1<=e1<s2<=e2... and the k-th start
+    // pairs with the k-th end.
+    //
+    // r13 form: the pairing runs as ONE typed pass over the tail — a
+    // (K−L+1)-slot pending array per partition stashes each v's open
+    // start and every end event closes it in place, so the (v, island)
+    // levels never materialize as a DataFrame (the pre-r13 plan
+    // exploded them — measured 23× the island count at sf0.1 — then
+    // paired via two windows + a broadcast-offset frame + an equi-join,
+    // ~4 s of the kernel). Because lcp/plcp/nlcp are GLOBAL
+    // (seam-resolved) values, a start event exists exactly at an
+    // island's true global start: the only cross-partition cases are an
+    // end whose start lives in an earlier partition (≤ K−L+1 dangling
+    // ends per partition) and an unclosed pending array at partition
+    // end (≤ K−L+1 dangling starts) — a broadcast-tiny frame pairs the
+    // k-th dangling start with the k-th dangling end per v (the same
+    // alternation argument, applied to the seam residue).
+    //
+    // The min-lcp dedup rides the same pass: island (v, lo, hi) has
+    // true value v iff the identical range is not also a (v+1)-island;
+    // (v+1, lo, hi) exists iff v+1 closed at the same end rank with the
+    // same pending lo, which is locally visible at emission — the
+    // pre-r13 output-sized self anti-join folds into one comparison.
+    //
+    // Emission tuples: typ 0 = island(v, lo, hi); typ 1 = dangling
+    // start (v, lo, -1); typ 2 = dangling end (v, -1, hi).
+    val minV = SufL
+    val ev = ranked
+      .select(col("rank"), col("lcp"), col("plcp"), col("nlcp"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val pend = Array.fill[Long](SufK + 2)(-1L) // pending lo per v
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+        while (it.hasNext) {
+          val (rank, lcp, plcp, nlcp) = it.next()
+          // starts: v in (max(plcp, L-1), lcp]
+          var v = math.max(plcp, minV - 1L) + 1L
+          while (v <= lcp) { pend(v.toInt) = rank - 1L; v += 1L }
+          // ends: v in (max(nlcp, L-1), lcp], walked top-down with the
+          // (v+1) close's lo REMEMBERED across iterations (its pend slot
+          // is already cleared by the time v is examined). If a level's
+          // start lives in an earlier partition (pend empty), every
+          // lower level's start is at least as far left, so the rest of
+          // the group dangles too — the local (v) vs cross-seam (v+1)
+          // identical-range case is impossible, keeping the two dedup
+          // scopes (here and pairedTrue below) disjoint and exhaustive.
+          val vlo = math.max(nlcp, minV - 1L) + 1L
+          v = lcp
+          var loAbove = Long.MinValue // no (v+1) close in this group yet
+          while (v >= vlo) {
+            val lo = pend(v.toInt)
+            if (lo < 0L) { // start in an earlier partition: dangling end
+              out += ((2, v, -1L, rank))
+            } else {
+              // true value iff no (v+1)-island with the identical range
+              if (lo != loAbove) out += ((0, v, lo, rank))
+              pend(v.toInt) = -1L
+            }
+            loAbove = lo
+            v -= 1L
+          }
+        }
+        // partition end: surviving pends are dangling starts
+        var v = minV
+        while (v <= SufK) {
+          if (pend(v) >= 0L) out += ((1, v.toLong, pend(v), -1L))
+          v += 1
+        }
+        out.iterator
+      }
+      .toDF("typ", "v", "lo", "hi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // dedup to the TRUE value: island (v, lo, hi) has min member lcp = v
-    // iff the IDENTICAL range is not also a (v+1)-island (all members
-    // >= v+1 would reproduce the exact range one level up; any member
-    // at lcp = v splits or shrinks it) — an output-sized self anti-join
-    // replaces the old min(lcp)-over-members aggregate
-    val islands = cand.join(
-      cand.select((col("v") - 1).as("v"), col("lo"), col("hi")),
+    // cross-partition islands: k-th dangling start ↔ k-th dangling end
+    // per v (alternation), then the same (v+1)-identical-range dedup on
+    // the paired set (local/cross ranges can never coincide: equal
+    // (lo, hi) forces equal start partitions)
+    val wv = Window.partitionBy(col("v"))
+    val ds = ev.filter(col("typ") === 1)
+      .select(col("v"), col("lo"),
+        row_number().over(wv.orderBy(col("lo"))).as("rn"))
+    val de = ev.filter(col("typ") === 2)
+      .select(col("v"), col("hi"),
+        row_number().over(wv.orderBy(col("hi"))).as("rn"))
+    val paired = ds.join(de, Seq("v", "rn")).select(col("v"), col("lo"), col("hi"))
+    val pairedTrue = paired.join(
+      paired.select((col("v") - 1).as("v"), col("lo"), col("hi")),
       Seq("v", "lo", "hi"), "left_anti")
+    val islands = ev.filter(col("typ") === 0)
       .select(col("v"), col("lo"), col("hi"))
+      .unionByName(pairedTrue)
     // occurrences: ranks lo..hi, equi-joined back (output-sized)
     val occ = islands
       .select(col("v"), col("lo"), col("hi"),
         explode(expr("sequence(lo, hi)")).as("rank"))
       .join(ranked.select(col("rank"), col("doc_id"), col("pos"), col("prevh")),
         Seq("rank"))
+    probe("docs", docs)
+    probe("sorted", sorted.toDF())
+    probe("adj", adj.toDF())
+    probe("ranked", ranked)
+    probe("ev", ev)
+    probe("islands", islands)
+    probe("occ", occ)
     (docs, occ,
-      () => { docs.unpersist(false); local.unpersist(false)
-        ranked.unpersist(false); cand.unpersist(false) })
+      () => { docs.unpersist(false); sorted.unpersist(false)
+        ranked.unpersist(false); ev.unpersist(false) })
   }
 
   /** q205: SUFFIX-CLIP DEDUP — the REMOVAL pass Lee et al. 2022 run
