@@ -777,11 +777,15 @@ object StreamGate {
     val hist = graft.sources.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
     val histH = TextAnalytics.chunkHashIndex(hist)
+    // spread the shard BEFORE the CDC chunk kernel (q112's discipline:
+    // one arrival file = one input task; explicit parallelism because
+    // runAdaptive's volume-derived shuffle partitions size the state
+    // stores, not this CPU-spreading exchange)
     val stream = DedupSim.newShardOf(
       graft.streaming.EventStreams.readDocuments(s, dir)
         .select(col("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val ch = TextAnalytics.chunkHashFrame(stream)
-      .repartition(col("doc_id"))
     val perHash = ch.join(histH, Seq("h"), "left")
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"), min(col("clen")).as("clen"),
@@ -850,7 +854,10 @@ object StreamGate {
     // spread the probe off the single arrival file before the window
     // expansion (the q112/q188 lesson — doc_id keying parallelizes even
     // a contamination-heavy batch, since positions belong to many docs)
-    val matched = TextAnalytics.suffixWindows(stream.repartition(col("doc_id")))
+    // (explicit parallelism: runAdaptive's volume-derived shuffle
+    // partitions size state stores, not this CPU-spreading exchange)
+    val matched = TextAnalytics.suffixWindows(
+        stream.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       .join(evalWins, Seq("wkey"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + TextAnalytics.SufL).as("e"))
@@ -903,22 +910,26 @@ object StreamGate {
 
   def q112StreamNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // spread the arriving shard across tasks BEFORE the signature
+    // kernel: the shard is one file (one input task), and both the
+    // 32-slot MinHash flatMap and the broadcast-join candidate mass
+    // (dominated by mega buckets) would otherwise funnel through it
+    // (measured single-core). One stateless shuffle of the SHARD's doc
+    // rows (shard-sized, not corpus-sized); keying by doc_id spreads
+    // even a single mega bucket, since its candidates belong to many
+    // new docs. Explicit numPartitions: the gate runs under
+    // runAdaptive's volume-derived shuffle partitions, which size the
+    // STATE stores — this exchange exists to spread CPU, so it takes
+    // the machine parallelism instead.
     val stream = DedupSim.newShardOf(
       graft.streaming.EventStreams.readDocuments(s, dir)
         .select(col("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val streamBands = stream.as[(Long, String)]
       .flatMap { case (id, text) =>
         val bv = DedupSim.bandVectorOf(text)
         bv.indices.map(b => (id, b.toLong, bv(b), bv.toSeq))
       }.toDF("new_id", "band_idx", "band_hash", "bvec_new")
-      // spread the probe across tasks: the arriving shard is one file —
-      // without this the whole broadcast-join candidate mass (dominated
-      // by mega buckets) funnels through the file's few input tasks
-      // (measured single-core). One stateless shuffle of the SHARD's
-      // band rows (shard-sized, not corpus-sized); keying by new_id
-      // spreads even a single mega bucket, since its candidates belong
-      // to many new docs
-      .repartition(col("new_id"))
     val hist = DedupSim.histBandRows(s, dir)
       .select(col("doc_id").as("match_id"), col("band_idx"), col("band_hash"),
         col("bvec").as("bvec_hist"))
@@ -1172,12 +1183,18 @@ object StreamGate {
           .filter(!col("whash").isin(keySpace: _*))
         histReal.unionByName(synth)
       }
+    // spread the DECODE off the single arrival file first (the
+    // q112/q188 lesson), then key the probe by the join column; both
+    // take the machine parallelism explicitly — runAdaptive's
+    // volume-derived shuffle partitions size state stores, not these
+    // CPU-spreading exchanges
     val stream = graft.streaming.EventStreams.readDocuments(s, dir)
       .filter(col("doc_id") >= WHashHistN)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions(it => it.map(id => (id, wHashOf(id))))
       .toDF("new_id", "whash")
-      .repartition(col("whash"))
+      .repartition(s.sparkContext.defaultParallelism, col("whash"))
     val sink = "q158_sink"
     s.catalog.dropTempView(sink)
     val out = stream.join(hist, Seq("whash"), "left")
