@@ -384,6 +384,11 @@ object DedupSim {
     */
   private[queries] def bandVecsOf(docs: DataFrame): DataFrame = {
     import graft.functions.PortableStringHash.strHash
+    // measured WITHOUT Tables.spreadDocs: the q101/q112 consumers run
+    // the signature aggregate over a 2-partition union and the spread's
+    // exchange + extra planning cost more than the kernel saves here
+    // (A/B r13: q101 4.6 s -> 5.4 s with the spread) — q91's heavier
+    // single-scan path keeps it
     minhashBandVecs(docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -694,7 +699,7 @@ object DedupSim {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.PortableStringHash.strHash
     import s.implicits._
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spreadDocs(Tables.documents(s, dir))
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
     val bvecs = minhashBandVecs(toks.select(col("doc_id"), strHash(col("tok")).as("v")))
@@ -801,6 +806,8 @@ object DedupSim {
     */
   private def docComponents(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
+    // no Tables.spreadDocs here: A/B-measured flat-to-worse (the family's
+    // per-iteration fixed costs dominate, not the hash kernel)
     val hashed = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)

@@ -821,14 +821,9 @@ object TextAnalytics {
     // spread the hashed docs BEFORE the suffix explode: a single-file
     // corpus scans as ONE partition, which would compute and
     // shuffle-serialize the whole K×n suffix frame from one task
-    // (guide §2.5, unsplittable input). Doc-level rows are the
-    // lightweight proxy — repartitioning them costs ~the corpus's hash
-    // arrays once; the explode then parallelizes. Skipped when the scan
-    // already fans out (a multi-file production corpus).
-    val sc = input.sparkSession.sparkContext
-    val docs0 = hashedDocs(input)
-    val docs = (if (docs0.rdd.getNumPartitions < sc.defaultParallelism)
-        docs0.repartition(sc.defaultParallelism) else docs0)
+    // (guide §2.5, unsplittable input — Tables.spreadDocs, no-op for
+    // multi-file production corpora).
+    val docs = Tables.spreadDocs(hashedDocs(input))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per position: capped suffix + left-extension witness
     // (pos 0 gets the per-doc negative sentinel: a doc-start occurrence
@@ -1769,7 +1764,9 @@ object TextAnalytics {
     * can never drift between the batch job and its streaming twin,
     * whose spec pins exact agreement. */
   private[queries] def chunkHashFrame(docs: DataFrame): DataFrame =
-    cdcChunks(docs)
+    // the rolling-hash chunker is per-doc CPU: spread an under-parallel
+    // batch scan first (no-op for streaming and multi-file inputs)
+    cdcChunks(Tables.spreadDocs(docs))
       .withColumn("h", md5(col("chunk").cast("binary")))
       .withColumn("clen", length(col("chunk")).cast("long"))
       .drop("chunk")

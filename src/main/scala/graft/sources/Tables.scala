@@ -15,6 +15,28 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Conditional compute-spread for a CPU-heavy per-document kernel fed
+    * by an under-parallel scan (optimization guide §2.5: unsplittable
+    * single-file input → repartition immediately after the read). The
+    * gate corpus is ONE small parquet file = one scan partition, so a
+    * tokenize/hash/signature kernel otherwise runs single-core no matter
+    * the cluster; a multi-file production corpus already fans out and
+    * the repartition (with its doc-row shuffle) is skipped. Batch only —
+    * streaming plans cannot inspect partitioning here and spread at the
+    * gate instead (the q112/q188 explicit-parallelism discipline). Only
+    * worth the exchange for kernels measured ≥ hundreds of ms single-task
+    * (MinHash signatures, CDC chunking, suffix hashing) — cheap
+    * projections keep the scan's own layout. */
+  def spreadDocs(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    // inputFiles (a logical-plan walk) instead of rdd.getNumPartitions:
+    // the latter forces a full extra physical-planning pass per call
+    if (df.isStreaming) df
+    else if (df.inputFiles.length * 2 <= sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
+    else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
