@@ -722,8 +722,15 @@ object TextAnalytics {
     * cannot drift between the suffix-order and fixed-window routes. */
   private def hashedDocs(input: DataFrame): DataFrame = {
     import graft.functions.PortableStringHash.strHash
+    // ha is array<INT>: hashes are mod 2^31-1 so the narrowing is
+    // lossless, and casting ONCE PER TOKEN here (instead of once per
+    // suffix-slice element in the explode) removes K interpreted casts
+    // per position — measured as the dominant ×100 stage. Consumers
+    // mixing ha with long arithmetic (the sub_hash fold, the prevh
+    // sentinel CASE) coerce int→bigint implicitly, same values.
     suffixToks(input)
-      .select(col("doc_id"), transform(col("toks"), t => strHash(t)).as("ha"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => strHash(t).cast("int")).as("ha"))
   }
 
   /** [[SufL]]-token hash windows of a `(doc_id, text)` frame: one row
@@ -737,7 +744,7 @@ object TextAnalytics {
       .select(col("doc_id"),
         posexplode(when(size(col("ha")) >= SufL, expr(
           s"transform(sequence(0, size(ha) - $SufL), i -> slice(ha, i + 1, $SufL))"))
-          .otherwise(array().cast("array<array<bigint>>"))).as(Seq("pos", "wkey")))
+          .otherwise(array().cast("array<array<int>>"))).as(Seq("pos", "wkey")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wkey"))
 
   /** Target suffix rows per range partition: one partition is one
@@ -770,6 +777,11 @@ object TextAnalytics {
       math.max(1, s.sessionState.conf.numShufflePartitions),
       math.min(cap, (nTok / SuffixRowsPerPartition + 1).toInt))
   }
+
+  /** One hashed-doc row as the suffix flatMap reads it (named fields so
+    * the encoder binds by column name; primitive Array[Int] avoids
+    * per-element boxing). */
+  private[graft] case class HaRow(doc_id: Long, ha: Array[Int])
 
   /** One suffix-table row as the adjacency pass reads it (primitive
     * Array[Int] key: the tuple encoder would box every element). */
@@ -828,15 +840,21 @@ object TextAnalytics {
     // one row per position: capped suffix + left-extension witness
     // (pos 0 gets the per-doc negative sentinel: a doc-start occurrence
     // is always left-diverse against any other occurrence).
-    // `key` is array<INT>: token hashes live in [0, 2^31-1) (mod P), so
-    // the int cast is lossless and elementwise order-preserving, and it
-    // halves the bytes the range exchange, the per-partition sort and
-    // the adjacency windows carry — the kernel's dominant volume.
+    // `key` is array<INT>: [[hashedDocs]] narrows the hashes once per
+    // token (lossless — mod 2^31-1 — and elementwise order-preserving),
+    // halving the bytes the range exchange and per-partition sort carry
+    // and sparing K interpreted casts per position here. A typed-flatMap
+    // form of this explode was tried and REVERTED: it cut this stage's
+    // CPU 3× but regressed the downstream sort+adjacency stage ~8× with
+    // heavy GC at ×100 (object-churned shuffle rows sort far worse than
+    // the HOF-built columnar ones) — net 2–4× slower end-to-end.
+    val s = input.sparkSession
+    import s.implicits._
     val suf = docs
       .select(col("doc_id"),
         posexplode(when(size(col("ha")) > 0, expr(
           s"""transform(sequence(0, size(ha) - 1), p -> named_struct(
-             |  'key', transform(slice(ha, p + 1, $SufK), h -> CAST(h AS INT)),
+             |  'key', slice(ha, p + 1, $SufK),
              |  'prevh', CASE WHEN doc_id < 0 THEN raise_error(
              |                  'suffixOcc: doc_id must be non-negative — the pos-0 sentinel -doc_id-1 must stay negative (outside token-hash space) or left-diversity false-merges')
              |                WHEN p = 0 THEN -doc_id - 1
@@ -875,8 +893,6 @@ object TextAnalytics {
         when(firstFalse === 0, least(size(a), size(b)).cast("long"))
           .otherwise(firstFalse - 1))
     }
-    val s = input.sparkSession
-    import s.implicits._
     // partition count scales with the SUFFIX VOLUME, not the session
     // default — see [[suffixPartitions]]. The count costs one agg over
     // the already-persisted docs frame.
