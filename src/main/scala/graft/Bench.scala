@@ -106,6 +106,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: per-query sidecar write failed: $e")
     }
+    // Compact FINAL line (driver-parseable): the artifact capture keeps only
+    // a ~2000-char stdout tail, so the full contract line above (with both
+    // 209-entry per-query maps, ~18 KB) arrives brace-truncated and
+    // unparseable — it cost rounds 12 AND 13 their per-query/scaling blocks
+    // (PERF_r13 "parsed": null, r13 verdict item 1). This short totals-only
+    // line is printed LAST, fits whole inside the tail, and parses;
+    // per-query detail lives in the sidecar file written just above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_full":$totalFull,"per_query_sidecar":"$perQueryPath"}""")
     spark.stop()
   }
 }

@@ -71,10 +71,15 @@ object StageProfile {
         if (full) df.queryExecution.toRdd.count() else df.count()
       }
       once(); cleanup() // warmup
+      // the listener bus is async: drain it at each capture-flag flip so
+      // warmup stragglers don't contaminate the window and the measured
+      // run's own tail events aren't dropped (ADVICE r13)
+      org.apache.spark.graftshim.ListenerBusDrain.drain(spark.sparkContext)
       buf.clear(); capturing = true
       val t0 = System.nanoTime()
       val rows = once()
       val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftshim.ListenerBusDrain.drain(spark.sparkContext)
       capturing = false
       cleanup()
       println(f"\n===== $name rows=$rows wall=$wall%.3f s  stages=${buf.size} =====")
