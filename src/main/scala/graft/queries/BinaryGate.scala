@@ -1812,12 +1812,21 @@ object BinaryGate {
     var rounds = 0
     val MaxRounds = 12
     while (!converged && rounds < MaxRounds) {
+      // convergence count fused into the checkpoint job (the r14
+      // connectedComponents discipline): an observe() metric rides the
+      // rows the eager localCheckpoint materializes anyway, replacing
+      // the separate count() job per round
+      val obs = org.apache.spark.sql.Observation(s"q154_n_$rounds")
       val grown = anc.union(
           anc.join(broadcast(hop), col("anc") === col("h_child"))
             .select(col("node"), col("h_parent").as("anc")))
         .distinct()
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val m = grown.count()
+      val m = obs.get.get("n") match {
+        case Some(c: Long) => c
+        case _ => 0L
+      }
       if (m == n) converged = true else { anc = grown; n = m; rounds += 1 }
     }
     // fail loud, never roll up a silently truncated closure (the

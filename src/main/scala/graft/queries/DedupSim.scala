@@ -989,19 +989,22 @@ object DedupSim {
     var labels = membership.join(bucketMin0, Seq("bucket"))
       .groupBy(col("doc_id")).agg(min(col("blabel")).as("label"))
       .localCheckpoint(true)
+    // each round carries the PREVIOUS label alongside the propagated one,
+    // so the convergence check needs no re-join against the old frame
     def round(l: DataFrame): DataFrame = {
       val bucketMin = membership.join(l, Seq("doc_id"))
         .groupBy(col("bucket")).agg(min(col("label")).as("blabel"))
       val docMin = membership.join(bucketMin, Seq("bucket"))
         .groupBy(col("doc_id")).agg(min(col("blabel")).as("nlabel"))
       l.join(docMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
     }
     def jump(l: DataFrame): DataFrame =
       l.join(l.select(col("doc_id").as("jid"), col("label").as("jlabel")),
           col("label") === col("jid"), "left")
-        .select(col("doc_id"), coalesce(col("jlabel"), col("label")).as("label"))
+        .select(col("doc_id"), col("old_label"),
+          coalesce(col("jlabel"), col("label")).as("label"))
     val MaxIter = 25
     var changed = 1L
     var iter = 0
@@ -1012,12 +1015,24 @@ object DedupSim {
       // confirmation), so the self-join would land exactly on the
       // cheapest, final iteration; deep chains still get distance
       // doubling one round later
-      val next = (if (iter >= 3) jump(propagated) else propagated)
-        .withColumnRenamed("label", "nlabel")
-        .join(labels, Seq("doc_id"))
+      val stepped = if (iter >= 3) jump(propagated) else propagated
+      // fuse the convergence count into the checkpoint job: an observe()
+      // metric rides the rows the eager localCheckpoint materializes
+      // anyway (Dataset.localCheckpoint is a tracked action, so the
+      // Observation is fulfilled), replacing the separate filter+count
+      // job per iteration — labels are monotone non-increasing, so
+      // "any label < old_label" IS the old strict-decrease count
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val next = stepped
+        .observe(obs, sum(when(col("label") < col("old_label"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("doc_id"), col("label"))
         .localCheckpoint(true)
-      changed = next.filter(col("nlabel") < col("label")).count()
-      labels = next.select(col("doc_id"), col("nlabel").as("label"))
+      changed = obs.get.get("changed") match {
+        case Some(n: Long) => n
+        case _ => 0L // empty frame: sum over no rows is null = converged
+      }
+      labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] iter=$iter changed=$changed")
@@ -2175,26 +2190,43 @@ object DedupSim {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
     val dfT = tok.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
-    val sets = tok.join(dfT, Seq("tok"))
+    // EXACT dense int dictionary in (dfc, tok) order — no hashing, so the
+    // recall-1.0 theorem is untouched (ids are injective by construction,
+    // and ascending id IS the prefix order). The output never contains a
+    // token, so the encoding is output-invariant; it exists because the
+    // verification intersect runs once per candidate PAIR (8.9M pairs at
+    // sf0.1) and int equality beats string equality there, and because the
+    // per-doc sorted-set aggregate now collects ints, not (long, string)
+    // structs. zipWithIndex keeps the global sort's order (no one-task
+    // window); the eager localCheckpoint pins the sampled range boundaries
+    // so a task retry can never re-derive a different id assignment.
+    import s.implicits._
+    val dict = dfT.orderBy(col("dfc"), col("tok")).select(col("tok")).as[String]
+      .rdd.zipWithIndex.map { case (t, i) =>
+        if (i > Int.MaxValue.toLong) throw new IllegalStateException(
+          s"q194 token dictionary exceeds Int range ($i) — widen ids to long")
+        (t, i.toInt)
+      }.toDF("tok", "tid")
+      .localCheckpoint(true)
+    val sets = tok.join(dict, Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("st"),
+      .agg(sort_array(collect_list(col("tid"))).as("st"),
         count(lit(1)).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix length for τ = 1/2: sz − ceil(sz/2) + 1
     val prefix = sets.select(col("doc_id"), col("sz"),
-      explode(expr("slice(st, 1, CAST(sz - (sz + 1) div 2 + 1 AS INT))")).as("p"))
-      .select(col("doc_id"), col("sz"), col("p.tok").as("tok"))
+      explode(expr("slice(st, 1, CAST(sz - (sz + 1) div 2 + 1 AS INT))")).as("tid"))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.tok") === col("b.tok")
+      .join(prefix.as("b"), col("a.tid") === col("b.tid")
         && col("a.doc_id") < col("b.doc_id")
         && lit(2) * least(col("a.sz"), col("b.sz"))
            >= greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val setsA = sets.select(col("doc_id").as("doc_a"),
-      expr("transform(st, x -> x.tok)").as("ts_a"), col("sz").as("sa"))
+      col("st").as("ts_a"), col("sz").as("sa"))
     val setsB = sets.select(col("doc_id").as("doc_b"),
-      expr("transform(st, x -> x.tok)").as("ts_b"), col("sz").as("sb"))
+      col("st").as("ts_b"), col("sz").as("sb"))
     cand.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
       .withColumn("inter",
         size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))

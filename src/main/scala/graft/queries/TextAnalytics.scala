@@ -1048,43 +1048,61 @@ object TextAnalytics {
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         val pend = Array.fill[Long](SufK + 2)(-1L) // pending lo per v
-        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
-        while (it.hasNext) {
-          val (rank, lcp, plcp, nlcp) = it.next()
-          // starts: v in (max(plcp, L-1), lcp]
-          var v = math.max(plcp, minV - 1L) + 1L
-          while (v <= lcp) { pend(v.toInt) = rank - 1L; v += 1L }
-          // ends: v in (max(nlcp, L-1), lcp], walked top-down with the
-          // (v+1) close's lo REMEMBERED across iterations (its pend slot
-          // is already cleared by the time v is examined). If a level's
-          // start lives in an earlier partition (pend empty), every
-          // lower level's start is at least as far left, so the rest of
-          // the group dangles too — the local (v) vs cross-seam (v+1)
-          // identical-range case is impossible, keeping the two dedup
-          // scopes (here and pairedTrue below) disjoint and exhaustive.
-          val vlo = math.max(nlcp, minV - 1L) + 1L
-          v = lcp
-          var loAbove = Long.MinValue // no (v+1) close in this group yet
-          while (v >= vlo) {
-            val lo = pend(v.toInt)
-            if (lo < 0L) { // start in an earlier partition: dangling end
-              out += ((2, v, -1L, rank))
-            } else {
-              // true value iff no (v+1)-island with the identical range
-              if (lo != loAbove) out += ((0, v, lo, rank))
-              pend(v.toInt) = -1L
+        // INCREMENTAL emission (review note r13): events stream out as
+        // each input row is processed — the staging deque never holds
+        // more than one row's events (≤ K−L+1) plus the partition-end
+        // danglings, so an adversarial all-duplicate partition cannot
+        // re-introduce a rows×(K−L+1) on-heap cliff the way a
+        // whole-partition ArrayBuffer did. Emission order is unchanged.
+        new Iterator[(Int, Long, Long, Long)] {
+          private val buf =
+            scala.collection.mutable.ArrayDeque[(Int, Long, Long, Long)]()
+          private var tailDone = false
+          private def refill(): Unit = {
+            while (buf.isEmpty && it.hasNext) {
+              val (rank, lcp, plcp, nlcp) = it.next()
+              // starts: v in (max(plcp, L-1), lcp]
+              var v = math.max(plcp, minV - 1L) + 1L
+              while (v <= lcp) { pend(v.toInt) = rank - 1L; v += 1L }
+              // ends: v in (max(nlcp, L-1), lcp], walked top-down with the
+              // (v+1) close's lo REMEMBERED across iterations (its pend slot
+              // is already cleared by the time v is examined). If a level's
+              // start lives in an earlier partition (pend empty), every
+              // lower level's start is at least as far left, so the rest of
+              // the group dangles too — the local (v) vs cross-seam (v+1)
+              // identical-range case is impossible, keeping the two dedup
+              // scopes (here and pairedTrue below) disjoint and exhaustive.
+              val vlo = math.max(nlcp, minV - 1L) + 1L
+              v = lcp
+              var loAbove = Long.MinValue // no (v+1) close in this group yet
+              while (v >= vlo) {
+                val lo = pend(v.toInt)
+                if (lo < 0L) { // start in an earlier partition: dangling end
+                  buf += ((2, v, -1L, rank))
+                } else {
+                  // true value iff no (v+1)-island with the identical range
+                  if (lo != loAbove) buf += ((0, v, lo, rank))
+                  pend(v.toInt) = -1L
+                }
+                loAbove = lo
+                v -= 1L
+              }
             }
-            loAbove = lo
-            v -= 1L
+            if (buf.isEmpty && !it.hasNext && !tailDone) {
+              tailDone = true
+              // partition end: surviving pends are dangling starts
+              var v = minV
+              while (v <= SufK) {
+                if (pend(v) >= 0L) buf += ((1, v.toLong, pend(v), -1L))
+                v += 1
+              }
+            }
+          }
+          override def hasNext: Boolean = { refill(); buf.nonEmpty }
+          override def next(): (Int, Long, Long, Long) = {
+            refill(); buf.removeHead()
           }
         }
-        // partition end: surviving pends are dangling starts
-        var v = minV
-        while (v <= SufK) {
-          if (pend(v) >= 0L) out += ((1, v.toLong, pend(v), -1L))
-          v += 1
-        }
-        out.iterator
       }
       .toDF("typ", "v", "lo", "hi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -26,7 +26,14 @@ object Tables {
     * gate instead (the q112/q188 explicit-parallelism discipline). Only
     * worth the exchange for kernels measured ≥ hundreds of ms single-task
     * (MinHash signatures, CDC chunking, suffix hashing) — cheap
-    * projections keep the scan's own layout. */
+    * projections keep the scan's own layout.
+    *
+    * PRECONDITION (review note r13): `df` must be a SINGLE file-source
+    * scan (possibly with narrow projections on top). `inputFiles`
+    * concatenates files from EVERY scan in the plan, so a join/union
+    * frame could over-count and skip a needed spread, and a non-file
+    * relation returns empty (unconditional repartition). All current
+    * call sites pass bare document scans. */
   def spreadDocs(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     // inputFiles (a logical-plan walk) instead of rdd.getNumPartitions:

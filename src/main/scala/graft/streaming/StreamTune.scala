@@ -74,7 +74,14 @@ object StreamTune {
     * `spark.sql.shuffle.partitions` derived from the bytes under
     * `srcPath`; always restores the session value. The engine reads the
     * conf once at query start, so the window only needs to cover
-    * `.start()`. */
+    * `.start()`.
+    *
+    * CONCURRENCY CONTRACT (review note r13): this mutates a
+    * session-global conf with no reentrancy guard — callers run gates
+    * SEQUENTIALLY on the session (Bench/Verify do). Concurrent or nested
+    * gate execution would race the set/restore; run such gates on
+    * `SparkSession.cloneSession()` instead so the override stays
+    * session-local. */
   def withAdaptiveStreamShuffle[T](s: SparkSession, srcPath: String)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)

@@ -57,18 +57,36 @@ object StreamBatchProbe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // A/B knob: override the adaptive state-partition target (bytes per
+    // partition) so partition-count sensitivity can be measured without
+    // recompiling — e.g. GRAFT_STREAM_BPP=262144 gives ~8 partitions for
+    // a 2 MB source where the 16 MB default gives 1.
+    sys.env.get("GRAFT_STREAM_BPP").foreach { v =>
+      spark.conf.set(graft.streaming.StreamTune.BytesPerPartitionKey, v)
+      println(s"[probe] ${graft.streaming.StreamTune.BytesPerPartitionKey}=$v")
+    }
+    val runs = sys.env.getOrElse("GRAFT_PROBE_RUNS", "1").toInt
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
       def once(): Long = fn(spark, sfDir).count()
       once(); cleanup() // warmup
       Thread.sleep(500) // streaming listener bus is async — let warmup events land
-      buf.synchronized(buf.clear()); capturing = true
-      val t0 = System.nanoTime()
-      val rows = once()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(800) // drain the async streaming listener bus
-      capturing = false
-      cleanup()
+      // min-of-N walls (host variance discipline); batch table from the last run
+      var rows = 0L
+      var wall = Double.MaxValue
+      val walls = (1 to runs).map { _ =>
+        buf.synchronized(buf.clear()); capturing = true
+        val t0 = System.nanoTime()
+        rows = once()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800) // drain the async streaming listener bus
+        capturing = false
+        cleanup()
+        wall = math.min(wall, w)
+        w
+      }
+      if (runs > 1)
+        println(f"[probe] $name walls: ${walls.map(w => f"$w%.3f").mkString(", ")} (min $wall%.3f)")
       val batches = buf.synchronized(buf.toVector)
       println(f"\n===== $name rows=$rows wall=$wall%.3f s  batches=${batches.size} =====")
       val keys = Seq("triggerExecution", "queryPlanning", "getBatch",
