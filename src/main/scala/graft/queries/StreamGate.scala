@@ -25,10 +25,11 @@ object StreamGate {
     * a KB-per-batch gate run otherwise pays 32 empty state-store
     * commits per stateful operator per micro-batch). Returns the
     * finished query for gates that read progress counters. */
-  private def runAdaptive(s: SparkSession, src: String)(
+  private def runAdaptive(s: SparkSession, src: String,
+      cpuBound: Boolean = false)(
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    graft.streaming.StreamTune.withAdaptiveStreamShuffle(s, src) {
+    graft.streaming.StreamTune.withAdaptiveStreamShuffle(s, src, cpuBound) {
       val q = start
       q.awaitTermination()
       q
@@ -367,7 +368,23 @@ object StreamGate {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
 
+  /** In-process memo of (dir|source fingerprint) → staged arrival path:
+    * the staging cache itself is keyed by the corpus fingerprint (pure
+    * file metadata, recomputed on EVERY call so a regenerated fixture
+    * still re-stages), but deriving the cache tag also costs a Spark
+    * count/max job — pure overhead on the 11 of 12 gate invocations per
+    * bench run that hit the already-staged directory. Only the tag
+    * derivation is memoized, never any query result. */
+  private val stagedArrivalMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def stageDocArrivals(s: SparkSession, dir: String): String = {
+    val fp = docsFingerprint(dir)
+    val memoKey = s"$dir|$fp"
+    val memoHit = stagedArrivalMemo.get(memoKey)
+    if (memoHit != null &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(memoHit)))
+      return memoHit
     val docs = graft.sources.Tables.documents(s, dir)
     val h = docs.agg(count(lit(1)), max(col("doc_id"))).head()
     val (nDocs, maxId) = (h.getLong(0), h.getLong(1))
@@ -375,7 +392,7 @@ object StreamGate {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val tmp = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-gate",
-      s"docarr-v2-$dirTag-${docsFingerprint(dir)}-$nDocs-$maxId")
+      s"docarr-v2-$dirTag-$fp-$nDocs-$maxId")
     if (!java.nio.file.Files.isDirectory(tmp)) {
       java.nio.file.Files.createDirectories(tmp.getParent)
       // the fingerprint in the tag means a REGENERATED fixture stages
@@ -419,6 +436,7 @@ object StreamGate {
           org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
       }
     }
+    stagedArrivalMemo.put(memoKey, tmp.toString)
     tmp.toString
   }
 
@@ -689,7 +707,10 @@ object StreamGate {
         (sum(round(col("value") * 10000.0).cast("long")) / 10000.0).as("total_value"))
     val sink = "q106_sink"
     s.catalog.dropTempView(sink)
-    runAdaptive(s, s"$dir/events.parquet")(
+    // cpuBound: session-window MERGING is per-batch CPU, not commit
+    // overhead — the r14 partition sweep (see StreamTune) reverses the
+    // r13 regression here (2.05 -> 1.47 s at the 8-partition floor)
+    runAdaptive(s, s"$dir/events.parquet", cpuBound = true)(
       agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
@@ -717,7 +738,9 @@ object StreamGate {
     val (tmp, maxTs) = stageWithSentinel(s, dir)
     val sink = "q119_sink"
     s.catalog.dropTempView(sink)
-    runAdaptive(s, tmp)(graft.streaming.EventStreams.readEvents(s, tmp)
+    // cpuBound floor: same session-window merge CPU as q106 (measured
+    // 2.75 -> 2.12 s at the 8-partition floor, r14)
+    runAdaptive(s, tmp, cpuBound = true)(graft.streaming.EventStreams.readEvents(s, tmp)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),

@@ -40,6 +40,18 @@ object StreamTune {
   val BytesPerPartitionKey = "graft.stream.bytesPerStatePartition"
   private val DefaultBytesPerPartition = 16L << 20
 
+  /** Floor for CPU-BEARING stateful operators (session-window merges):
+    * the r13 volume-derived count serialized q106/q119's per-batch
+    * session merging onto 1–2 tasks (q106 regressed 0.80×). Measured
+    * sweep at sf0.1 (r14): 1 part 2.05 s, 2 parts 1.69 s, 8 parts
+    * 1.47 s, 32 parts 1.61 s — merge CPU fans out usefully to ~8 before
+    * per-partition commit overhead wins again. The floor is INERT at
+    * volume (the byte-derived count already exceeds it) and inert for
+    * commit-dominated gates (they don't opt in); a cluster can lower or
+    * raise it by conf. */
+  val MinCpuPartitionsKey = "graft.stream.minCpuPartitions"
+  private val DefaultMinCpuPartitions = 8
+
   /** Sum of regular-file bytes under `path` (file or directory,
     * recursive) on the session's Hadoop filesystem. */
   def bytesUnder(s: SparkSession, path: String): Long = {
@@ -82,10 +94,24 @@ object StreamTune {
     * gate execution would race the set/restore; run such gates on
     * `SparkSession.cloneSession()` instead so the override stays
     * session-local. */
-  def withAdaptiveStreamShuffle[T](s: SparkSession, srcPath: String)(body: => T): T = {
+  def withAdaptiveStreamShuffle[T](s: SparkSession, srcPath: String,
+      cpuBound: Boolean = false)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    s.conf.set(key, streamPartitions(s, bytesUnder(s, srcPath)).toString)
+    val base = streamPartitions(s, bytesUnder(s, srcPath))
+    val n = if (!cpuBound) base else {
+      val raw = s.conf.get(MinCpuPartitionsKey, DefaultMinCpuPartitions.toString)
+      val floor = try raw.toInt catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$MinCpuPartitionsKey: expected a positive int, got '$raw'", e)
+      }
+      require(floor > 0, s"$MinCpuPartitionsKey: expected a positive int, got '$raw'")
+      // never exceed the session fan-out: the floor spreads CPU, it does
+      // not override the cluster's own parallelism cap
+      math.max(base, math.min(floor,
+        math.max(1, s.sessionState.conf.numShufflePartitions)))
+    }
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, old)
   }
 }
