@@ -527,7 +527,8 @@ object DedupSim {
       .select(when(isTrain, col("doc_id"))
         .otherwise(col("doc_id") + SplitOffset).as("doc_id"),
         strHash(col("tok")).as("v"))
-    val cand = bandBlockPairs(s, minhashBandVecs(skeyed), Some(SplitOffset))
+    val cand = bandBlockPairs(s, minhashBandVecs(skeyed), Some(SplitOffset),
+      spreadKernel = false) // sparse kernel: measured worse under fan-out
     val masks = docTokenMasks(s, dir)
     val scored = cand
       .select(col("doc_a").as("train_id"),
@@ -590,7 +591,8 @@ object DedupSim {
     * SHARED by the exactly-once pair kernel ([[bandBlockPairs]]) and
     * the best-match fold kernel ([[bandBlockBest]]).
     */
-  private def blockTasks(s: SparkSession, bvecs: DataFrame, bound: Long)
+  private def blockTasks(s: SparkSession, bvecs: DataFrame, bound: Long,
+      spreadKernel: Boolean)
       : org.apache.spark.sql.Dataset[(Int, Boolean, Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])])] = {
     import s.implicits._
     val bands = bandsOf(bvecs)
@@ -622,18 +624,32 @@ object DedupSim {
     val pruned =
       if (bound >= 0) joined.filter(col("mn_a") < bound && col("mx_b") >= bound)
       else joined
-    pruned
-      .repartition(col("band_idx"), col("band_hash"), col("ba"), col("bb"))
+    val spread =
+      // EXPLICIT partition count (the q112/q188 CPU-exchange discipline):
+      // without it AQE coalesces this KB-sized shuffle to 2–3 partitions
+      // and the all-pairs verify kernel above it runs 2.7 s of CPU on 3
+      // tasks (StageProfile r14, q101 stage 54). Caller-controlled: the
+      // dense-candidate kernels (q91, q101) take the session's full
+      // fan-out (CPU-bound at any scale); q103's sparse cross-split
+      // kernel measured WORSE under the forced fan-out (0.55 -> 0.89 s —
+      // its task CPU is smaller than the exchange overhead) and keeps
+      // AQE's coalesced layout.
+      if (spreadKernel)
+        pruned.repartition(s.sparkContext.defaultParallelism,
+          col("band_idx"), col("band_hash"), col("ba"), col("bb"))
+      else
+        pruned.repartition(col("band_idx"), col("band_hash"), col("ba"), col("bb"))
+    spread
       .select(col("band_idx").cast("int").as("b"), (col("ba") === col("bb")).as("same"),
         col("ms_a"), col("ms_b"))
       .as[(Int, Boolean, Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])])]
   }
 
   private def bandBlockPairs(s: SparkSession, bvecs: DataFrame,
-      crossBound: Option[Long]): DataFrame = {
+      crossBound: Option[Long], spreadKernel: Boolean = true): DataFrame = {
     import s.implicits._
     val bound = crossBound.getOrElse(-1L)
-    blockTasks(s, bvecs, bound)
+    blockTasks(s, bvecs, bound, spreadKernel)
       .flatMap { case (b, same, ma, mb) =>
         def pair(x: (Long, Seq[Long]), y: (Long, Seq[Long])): Option[(Long, Long, Long)] = {
           if (bound >= 0 && !(x._1 < bound && y._1 >= bound)) None
@@ -668,7 +684,7 @@ object DedupSim {
     */
   private def bandBlockBest(s: SparkSession, bvecs: DataFrame, bound: Long): DataFrame = {
     import s.implicits._
-    blockTasks(s, bvecs, bound)
+    blockTasks(s, bvecs, bound, spreadKernel = true)
       .flatMap { case (_, same, ma, mb) =>
         // doc_b -> (shared, doc_a); members are doc_id-sorted, so in the
         // mixed same-block case x=ma(i), y=ma(j) (i<j) is the only
