@@ -1613,7 +1613,26 @@ object TextAnalytics {
       // df rides along from the ranking join — rejoining dfT on the
       // probe side would spend a second term-keyed shuffle (review)
       .select(col("qid"), col("term"), col("df"))
-    val scored = qterms
+    // the probe join's cost is |q∩d| SCORED PAIRS (36M at sf0.1), not
+    // the inputs' bytes: the planner BROADCASTS the postings and runs
+    // the scoring chain on qterms' partitioning, which AQE coalesces to
+    // ONE task by its KB-scale bytes — 2.8 s of scoring CPU on one core
+    // (StageProfile r14, the q101-kernel pathology). Spread qterms
+    // explicitly — conditional on the under-parallel single-file gate
+    // corpus (the spreadDocs precondition), so a production run whose
+    // query suite already fans out pays no extra exchange. qid is
+    // fine-grained enough (one task per query upper bound).
+    // key on (qid, term), not qid: qterms' window already hash-partitions
+    // on qid, so a qid-keyed repartition is satisfied by the EXISTING
+    // exchange and AQE then coalesces that one to a single partition —
+    // the different key forces a real exchange with a user-pinned count
+    val docsScan = Tables.documents(s, dir)
+    val qtermsSpread =
+      if (docsScan.inputFiles.length * 2 <= s.sparkContext.defaultParallelism)
+        qterms.repartition(s.sparkContext.defaultParallelism,
+          col("qid"), col("term"))
+      else qterms
+    val scored = qtermsSpread
       .join(tf, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))

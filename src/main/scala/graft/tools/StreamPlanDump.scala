@@ -38,12 +38,21 @@ object StreamPlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val plans = ArrayBuffer[(String, String)]() // (description, plan)
+    val plans = ArrayBuffer[(Long, String, String)]() // (execId, description, plan)
     @volatile var capturing = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
         case e: SparkListenerSQLExecutionStart if capturing =>
-          plans.synchronized(plans += ((e.description, e.physicalPlanDescription)))
+          plans.synchronized(plans += ((e.executionId, e.description, e.physicalPlanDescription)))
+        case e: org.apache.spark.sql.execution.ui.SparkListenerSQLAdaptiveExecutionUpdate
+            if capturing =>
+          // AQE re-plans mid-execution: keep the LAST update per execution
+          // (the final adaptive plan — what actually ran)
+          plans.synchronized {
+            val i = plans.lastIndexWhere(_._1 == e.executionId)
+            if (i >= 0) plans(i) = ((e.executionId, plans(i)._2, e.physicalPlanDescription))
+            else plans += ((e.executionId, "adaptive-update", e.physicalPlanDescription))
+          }
         case _ =>
       }
     })
@@ -57,8 +66,8 @@ object StreamPlanDump {
       org.apache.spark.graftshim.ListenerBusDrain.drain(spark.sparkContext)
       capturing = false
       val captured = plans.synchronized(plans.toVector)
-      val body = captured.zipWithIndex.map { case ((desc, plan), i) =>
-        s"########## execution $i: ${desc.linesIterator.take(1).mkString} ##########\n$plan"
+      val body = captured.map { case (id, desc, plan) =>
+        s"########## execution $id: ${desc.linesIterator.take(1).mkString} ##########\n$plan"
       }.mkString("\n\n")
       java.nio.file.Files.writeString(outDir.resolve(s"$name.txt"),
         s"== $name: ${captured.size} executions, result rows=$rows ==\n\n$body\n")
