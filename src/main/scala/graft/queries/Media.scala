@@ -306,6 +306,11 @@ object Media {
     */
   def q193AudioFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // deliberately NOT spread (guide §2.5 tried and REVERTED, r14): the
+    // javax.sound codec path serializes on the JVM-global provider
+    // registry lock, so a 32-way spread measured 82.7 s of task time
+    // (lock wait) for the same ~3 s of real decode CPU — wall flat,
+    // contention pure loss. The kernel stays on the scan's layout.
     val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
     val items = ids.mapPartitions { it =>
       it.flatMap { id =>
@@ -331,9 +336,15 @@ object Media {
       }
     }.toDF("item_id", "n_frames", "env")
     val withFp = items.withColumn("fp", md5(col("env").cast("binary")))
-    val grp = withFp.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_copies"), min(col("item_id")).as("canonical_id"))
-    withFp.join(grp, Seq("fp"))
+    // group stats via ONE fp-keyed window instead of groupBy + self-join:
+    // the join's second consumption of withFp re-executed the whole
+    // decode kernel (no shared-scan reuse across an aggregate), doubling
+    // the codec CPU; the window pays the same fp-keyed exchange once and
+    // decodes once. Values identical (count/min are order-free).
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    withFp
+      .withColumn("n_copies", count(lit(1)).over(wFp))
+      .withColumn("canonical_id", min(col("item_id")).over(wFp))
       .select(col("item_id"), col("n_frames"), col("fp"), col("n_copies"),
         col("canonical_id"), (col("item_id") =!= col("canonical_id")).as("is_dup"))
       .orderBy(col("item_id"))
