@@ -432,6 +432,9 @@ object Curation {
     */
   def q121DsirWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableStringHash.strHash
+    // spreadDocs A/B-measured FLAT here (r14: 2.26 vs 2.21 s — the
+    // per-pass n-gram CPU is small and ~13 stages of fixed cost
+    // dominate), so the scan keeps its own layout
     val t0 = Tables.documents(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("is_t"),
         expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)").as("t"))

@@ -1410,7 +1410,11 @@ object TextAnalytics {
     val fold = (1 until WinK)
       .foldLeft("ha[i]")((acc, k) => s"(($acc * 131 + ha[i + $k]) % $P)")
     val shingleHashes = expr(s"transform(sequence(0, size(ha) - $WinK), i -> $fold)")
-    val sh = Tables.documents(s, dir)
+    // spread the shingle-hash fold (guide §2.5): the single-file gate
+    // corpus is one scan partition, so the K-term polynomial fold over
+    // every token ran single-core ahead of the per-doc window exchange
+    // (StageProfile r14: 1-task 0.5 s stage); no-op on multi-file corpora
+    val sh = Tables.spreadDocs(Tables.documents(s, dir))
       .select(col("doc_id"), transform(tokens(col("text")), t => strHash(t)).as("ha"))
       .select(col("doc_id"),
         posexplode(when(size(col("ha")) >= WinK, shingleHashes)
