@@ -1790,54 +1790,87 @@ object BinaryGate {
     * oracle replays the closure with a recursive CTE — an independent
     * algorithm for the same reachability set.
     */
+  /** Edge-count bound below which the q154 ancestor closure runs as a
+    * driver-side graph walk: a GRUPTREE is schedule-sized (human-authored
+    * deck configuration — hundreds of nodes at any field size, the same
+    * bound that lets the closure output be `broadcast()` downstream), so
+    * running 12 fixpoint rounds of union+distinct+checkpoint Spark jobs
+    * over it was ~40 stages of sub-200 ms data (StageProfile r14). Above
+    * the bound — a malformed or adversarial deck — the distributed
+    * fixpoint loop still handles it. */
+  private val TreeClosureDriverMaxEdges = 100000
+
   def q154TreeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tmp = writeFleetFixture(s, "q154")
-    // localCheckpoint per iteration frame (the connectedComponents
-    // discipline): lineage stays flat and superseded rounds don't stack
-    // persisted copies across the 160-query gate run
     val edges = graft.modules.Gruptree.df(s, TreeDeck)
       .filter(col("PARENT").isNotNull)
       .select(col("CHILD").as("child"), col("PARENT").as("parent"))
       .distinct()
       .localCheckpoint(true)
-    // ancestor closure to fixed point: tree-depth-bounded driver loop,
-    // each round broadcast-joins the tiny edge frame
-    // disambiguated copy for the closure joins (anc derives from edges,
-    // so joining them directly trips self-join column resolution)
-    val hop = edges.select(col("child").as("h_child"), col("parent").as("h_parent"))
-    var anc = edges.select(col("child").as("node"), col("parent").as("anc"))
-      .localCheckpoint(true)
-    var n = anc.count()
-    var converged = false
-    var rounds = 0
-    val MaxRounds = 12
-    while (!converged && rounds < MaxRounds) {
-      // convergence count fused into the checkpoint job (the r14
-      // connectedComponents discipline): an observe() metric rides the
-      // rows the eager localCheckpoint materializes anyway, replacing
-      // the separate count() job per round
-      val obs = org.apache.spark.sql.Observation(s"q154_n_$rounds")
-      val grown = anc.union(
-          anc.join(broadcast(hop), col("anc") === col("h_child"))
-            .select(col("node"), col("h_parent").as("anc")))
-        .distinct()
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      val m = obs.get.get("n") match {
-        case Some(c: Long) => c
-        case _ => 0L
+    val nEdges = edges.count()
+    val wellAnc: DataFrame = if (nEdges <= TreeClosureDriverMaxEdges) {
+      // driver-side transitive-ancestor walk (identical closure: BFS with
+      // a visited set computes exactly the union-distinct fixpoint, cycle
+      // inputs included)
+      val edgePairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      val parentsOf = edgePairs.groupBy(_._1).map { case (c, ps) =>
+        c -> ps.map(_._2).toSet }
+      val childSet = edgePairs.iterator.map(_._1).toSet
+      val parentSet = edgePairs.iterator.map(_._2).toSet
+      val wellsSet = childSet -- parentSet // leaves: children nobody parents
+      def ancestorsOf(w: String): Set[String] = {
+        val seen = scala.collection.mutable.Set[String]()
+        var frontier = parentsOf.getOrElse(w, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(parentsOf.getOrElse(_, Set.empty)) -- seen
+        }
+        seen.toSet
       }
-      if (m == n) converged = true else { anc = grown; n = m; rounds += 1 }
+      wellsSet.toSeq.sorted
+        .flatMap(w => ancestorsOf(w).toSeq.sorted.map(g => (w, g)))
+        .toDF("well", "grp")
+    } else {
+      // distributed ancestor closure to fixed point (the pre-r14 form):
+      // tree-depth-bounded driver loop, each round broadcast-joins the
+      // tiny edge frame; localCheckpoint per iteration frame (the
+      // connectedComponents discipline) keeps lineage flat
+      val hop = edges.select(col("child").as("h_child"), col("parent").as("h_parent"))
+      var anc = edges.select(col("child").as("node"), col("parent").as("anc"))
+        .localCheckpoint(true)
+      var n = anc.count()
+      var converged = false
+      var rounds = 0
+      val MaxRounds = 12
+      while (!converged && rounds < MaxRounds) {
+        // convergence count fused into the checkpoint job (the r14
+        // connectedComponents discipline): an observe() metric rides the
+        // rows the eager localCheckpoint materializes anyway, replacing
+        // the separate count() job per round
+        val obs = org.apache.spark.sql.Observation(s"q154_n_$rounds")
+        val grown = anc.union(
+            anc.join(broadcast(hop), col("anc") === col("h_child"))
+              .select(col("node"), col("h_parent").as("anc")))
+          .distinct()
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val m = obs.get.get("n") match {
+          case Some(c: Long) => c
+          case _ => 0L
+        }
+        if (m == n) converged = true else { anc = grown; n = m; rounds += 1 }
+      }
+      // fail loud, never roll up a silently truncated closure (the
+      // connectedComponents contract)
+      if (!converged) throw new IllegalStateException(
+        s"q154 ancestor closure did not converge within $MaxRounds rounds")
+      // leaves = wells (children that are nobody's parent)
+      val wells = edges.select(col("child")).except(edges.select(col("parent")))
+        .withColumnRenamed("child", "well")
+      anc.join(wells, anc("node") === wells("well"))
+        .select(col("well"), col("anc").as("grp"))
     }
-    // fail loud, never roll up a silently truncated closure (the
-    // connectedComponents contract)
-    if (!converged) throw new IllegalStateException(
-      s"q154 ancestor closure did not converge within $MaxRounds rounds")
-    // leaves = wells (children that are nobody's parent)
-    val wells = edges.select(col("child")).except(edges.select(col("parent")))
-      .withColumnRenamed("child", "well")
-    val wellAnc = anc.join(wells, anc("node") === wells("well"))
-      .select(col("well"), col("anc").as("grp"))
     val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR").startsWith("WOPR:"))
       .withColumn("case_id",
