@@ -1800,8 +1800,76 @@ object BinaryGate {
     * fixpoint loop still handles it. */
   private val TreeClosureDriverMaxEdges = 100000
 
-  def q154TreeRollup(s: SparkSession, dir: String): DataFrame = {
+  /** Driver-side well→ancestor closure for a bounded edge set: BFS with a
+    * visited set computes exactly the union-distinct fixpoint the
+    * distributed loop reaches (cycle inputs included). Extracted so the
+    * equivalence spec can pit it against [[wellAncestorsDistributed]] on
+    * random DAGs — the distributed path is the at-scale fallback and never
+    * runs in the gates otherwise. */
+  private[graft] def wellAncestorsDriver(s: SparkSession,
+      edgePairs: Array[(String, String)]): DataFrame = {
     import s.implicits._
+    val parentsOf = edgePairs.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.map(_._2).toSet }
+    val childSet = edgePairs.iterator.map(_._1).toSet
+    val parentSet = edgePairs.iterator.map(_._2).toSet
+    val wellsSet = childSet -- parentSet // leaves: children nobody parents
+    def ancestorsOf(w: String): Set[String] = {
+      val seen = scala.collection.mutable.Set[String]()
+      var frontier = parentsOf.getOrElse(w, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(parentsOf.getOrElse(_, Set.empty)) -- seen
+      }
+      seen.toSet
+    }
+    wellsSet.toSeq.sorted
+      .flatMap(w => ancestorsOf(w).toSeq.sorted.map(g => (w, g)))
+      .toDF("well", "grp")
+  }
+
+  /** Distributed ancestor closure to fixed point (the pre-r14 q154 form,
+    * kept as the at-scale fallback): tree-depth-bounded driver loop, each
+    * round broadcast-joins the tiny edge frame; localCheckpoint per
+    * iteration frame (the connectedComponents discipline) keeps lineage
+    * flat, and the convergence count rides the checkpoint job as an
+    * observe() metric. */
+  private[graft] def wellAncestorsDistributed(s: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val hop = edges.select(col("child").as("h_child"), col("parent").as("h_parent"))
+    var anc = edges.select(col("child").as("node"), col("parent").as("anc"))
+      .localCheckpoint(true)
+    var n = anc.count()
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 12
+    while (!converged && rounds < MaxRounds) {
+      val obs = org.apache.spark.sql.Observation(
+        s"q154_n_${rounds}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val grown = anc.union(
+          anc.join(broadcast(hop), col("anc") === col("h_child"))
+            .select(col("node"), col("h_parent").as("anc")))
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val m = obs.get.get("n") match {
+        case Some(c: Long) => c
+        case _ => 0L
+      }
+      if (m == n) converged = true else { anc = grown; n = m; rounds += 1 }
+    }
+    // fail loud, never roll up a silently truncated closure (the
+    // connectedComponents contract)
+    if (!converged) throw new IllegalStateException(
+      s"q154 ancestor closure did not converge within $MaxRounds rounds")
+    // leaves = wells (children that are nobody's parent)
+    val wells = edges.select(col("child")).except(edges.select(col("parent")))
+      .withColumnRenamed("child", "well")
+    anc.join(wells, anc("node") === wells("well"))
+      .select(col("well"), col("anc").as("grp"))
+  }
+
+  def q154TreeRollup(s: SparkSession, dir: String): DataFrame = {
     val tmp = writeFleetFixture(s, "q154")
     val edges = graft.modules.Gruptree.df(s, TreeDeck)
       .filter(col("PARENT").isNotNull)
@@ -1809,68 +1877,11 @@ object BinaryGate {
       .distinct()
       .localCheckpoint(true)
     val nEdges = edges.count()
-    val wellAnc: DataFrame = if (nEdges <= TreeClosureDriverMaxEdges) {
-      // driver-side transitive-ancestor walk (identical closure: BFS with
-      // a visited set computes exactly the union-distinct fixpoint, cycle
-      // inputs included)
-      val edgePairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
-      val parentsOf = edgePairs.groupBy(_._1).map { case (c, ps) =>
-        c -> ps.map(_._2).toSet }
-      val childSet = edgePairs.iterator.map(_._1).toSet
-      val parentSet = edgePairs.iterator.map(_._2).toSet
-      val wellsSet = childSet -- parentSet // leaves: children nobody parents
-      def ancestorsOf(w: String): Set[String] = {
-        val seen = scala.collection.mutable.Set[String]()
-        var frontier = parentsOf.getOrElse(w, Set.empty)
-        while (frontier.nonEmpty) {
-          seen ++= frontier
-          frontier = frontier.flatMap(parentsOf.getOrElse(_, Set.empty)) -- seen
-        }
-        seen.toSet
-      }
-      wellsSet.toSeq.sorted
-        .flatMap(w => ancestorsOf(w).toSeq.sorted.map(g => (w, g)))
-        .toDF("well", "grp")
-    } else {
-      // distributed ancestor closure to fixed point (the pre-r14 form):
-      // tree-depth-bounded driver loop, each round broadcast-joins the
-      // tiny edge frame; localCheckpoint per iteration frame (the
-      // connectedComponents discipline) keeps lineage flat
-      val hop = edges.select(col("child").as("h_child"), col("parent").as("h_parent"))
-      var anc = edges.select(col("child").as("node"), col("parent").as("anc"))
-        .localCheckpoint(true)
-      var n = anc.count()
-      var converged = false
-      var rounds = 0
-      val MaxRounds = 12
-      while (!converged && rounds < MaxRounds) {
-        // convergence count fused into the checkpoint job (the r14
-        // connectedComponents discipline): an observe() metric rides the
-        // rows the eager localCheckpoint materializes anyway, replacing
-        // the separate count() job per round
-        val obs = org.apache.spark.sql.Observation(s"q154_n_$rounds")
-        val grown = anc.union(
-            anc.join(broadcast(hop), col("anc") === col("h_child"))
-              .select(col("node"), col("h_parent").as("anc")))
-          .distinct()
-          .observe(obs, count(lit(1)).as("n"))
-          .localCheckpoint(true)
-        val m = obs.get.get("n") match {
-          case Some(c: Long) => c
-          case _ => 0L
-        }
-        if (m == n) converged = true else { anc = grown; n = m; rounds += 1 }
-      }
-      // fail loud, never roll up a silently truncated closure (the
-      // connectedComponents contract)
-      if (!converged) throw new IllegalStateException(
-        s"q154 ancestor closure did not converge within $MaxRounds rounds")
-      // leaves = wells (children that are nobody's parent)
-      val wells = edges.select(col("child")).except(edges.select(col("parent")))
-        .withColumnRenamed("child", "well")
-      anc.join(wells, anc("node") === wells("well"))
-        .select(col("well"), col("anc").as("grp"))
-    }
+    val wellAnc: DataFrame =
+      if (nEdges <= TreeClosureDriverMaxEdges)
+        wellAncestorsDriver(s,
+          edges.collect().map(r => (r.getString(0), r.getString(1))))
+      else wellAncestorsDistributed(s, edges)
     val sims = graft.write.SummaryWriter.corpusFromPath(s, s"$tmp/*.UNSMRY")
       .filter(col("VECTOR").startsWith("WOPR:"))
       .withColumn("case_id",

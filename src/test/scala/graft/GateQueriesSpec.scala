@@ -2804,4 +2804,39 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(out.groupBy(col("qid")).count().filter(col("count") =!= 5).count() == 0)
     assert(n > 0)
   }
+
+  test("q154 closure paths: driver BFS == distributed fixpoint on random DAGs") {
+    // r14 runs the ancestor closure driver-side for schedule-sized trees;
+    // the distributed loop is the at-scale fallback and never executes in
+    // the gates — this equivalence pin is the only coverage it gets.
+    // Seeded multi-parent DAGs (distinct() allows a child with several
+    // historical parents) plus a diamond and a deep chain.
+    val rnd = new scala.util.Random(154)
+    val cases: Seq[Array[(String, String)]] = Seq(
+      // random layered DAGs: edges only point to strictly higher layers
+      Array.tabulate(40) { _ =>
+        val c = rnd.nextInt(30) + 10
+        val p = rnd.nextInt(c) // parent id < child id: acyclic
+        (s"N$c", s"N$p")
+      }.distinct,
+      // diamond: two paths re-converging
+      Array(("W", "A"), ("W", "B"), ("A", "ROOT"), ("B", "ROOT")),
+      // deep chain near the distributed loop's documented 12-round depth
+      // bound (deeper trees fail loud there by contract — MaxRounds)
+      Array.tabulate(10)(i => (s"C${i + 1}", s"C$i"))
+    )
+    for (edgePairs <- cases) {
+      val edges = edgePairs.toSeq.toDF("child", "parent")
+        .distinct().localCheckpoint(true)
+      val viaDriver = graft.queries.BinaryGate
+        .wellAncestorsDriver(spark, edgePairs)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val viaSpark = graft.queries.BinaryGate
+        .wellAncestorsDistributed(spark, edges)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(viaDriver == viaSpark,
+        s"closure mismatch: driver ${viaDriver.size} vs spark ${viaSpark.size} rows")
+      assert(viaDriver.nonEmpty)
+    }
+  }
 }
